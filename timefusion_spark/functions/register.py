@@ -1,0 +1,48 @@
+"""SQL-surface registration for the function layer.
+
+Spark 4 supports SQL scalar functions (CREATE FUNCTION ... RETURN expr),
+which lets the PG-parity functions stay JVM-side even when invoked from
+`spark.sql`. Functions whose arguments must be parsed driver-side
+(time_bucket's interval grammar, to_char's format string) are registered
+for the common literal shapes; the DataFrame API (timefusion_spark.functions)
+is the primary surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_SQL_FUNCTIONS: dict[str, str] = {
+    # epoch seconds as double, µs preserved (functions.rs:939-967)
+    "extract_epoch": """
+        CREATE OR REPLACE TEMPORARY FUNCTION extract_epoch(ts TIMESTAMP)
+        RETURNS DOUBLE RETURN unix_micros(ts) / 1000000.0
+    """,
+    # PG AT TIME ZONE for UTC-stored timestamps (functions.rs:777-818)
+    "at_time_zone": """
+        CREATE OR REPLACE TEMPORARY FUNCTION at_time_zone(ts TIMESTAMP, tz STRING)
+        RETURNS TIMESTAMP RETURN from_utc_timestamp(ts, tz)
+    """,
+    # TimescaleDB-style epoch-aligned bucketing (functions.rs:1043-1093);
+    # SQL form takes the bucket width in seconds ('5 minutes' parsing lives
+    # in the Python/pgshim layer where the literal is visible).
+    "time_bucket_secs": """
+        CREATE OR REPLACE TEMPORARY FUNCTION time_bucket_secs(secs BIGINT, ts TIMESTAMP)
+        RETURNS TIMESTAMP
+        RETURN timestamp_micros(CAST(floor(unix_micros(ts) / (secs * 1000000)) AS BIGINT) * secs * 1000000)
+    """,
+    # PG ->> scalar text extraction over a JSON string column
+    "json_get_text": """
+        CREATE OR REPLACE TEMPORARY FUNCTION json_get_text(j STRING, k STRING)
+        RETURNS STRING RETURN get_json_object(j, concat('$.', k))
+    """,
+}
+
+
+def register_all(spark: SparkSession) -> list[str]:
+    """Register SQL-invocable functions; returns the registered names."""
+    registered = []
+    for name, ddl in _SQL_FUNCTIONS.items():
+        spark.sql(ddl)
+        registered.append(name)
+    return registered

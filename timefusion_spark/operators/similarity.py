@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant (random-hyperplane sign buckets) is the scale path — candidate
+generation shuffles on bucket keys only, so the pair space is
+O(n·bucket_size), not O(n²).
+
+All vector math is per-row JVM array arithmetic (zip_with + aggregate in
+double precision, sequential fold — deterministic and oracle-matchable);
+no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic random-hyperplane seeds for sign-LSH (generated once,
+# fixed): each plane is derived per-dimension from a seed via the same
+# portable polynomial scheme used in dedup.py.
+SIGN_LSH_SEEDS = [7_368_787, 29_986_577, 71_316_922, 48_610_247, 93_310_753, 15_485_863]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_brute_force(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k rows by cosine to a fixed query vector.
+
+    Plan shape: one scan → per-row cosine → TakeOrderedAndProject.
+    No shuffle beyond the final top-k merge; scales linearly and is the
+    exact-recall baseline for the IVF/LSH variants.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def nearest_neighbor_per_row(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """For every vector, its top-1 neighbor (cosine) — optionally blocked
+    (e.g. per label / per IVF cell) to bound the pair space at scale."""
+    from pyspark.sql import Window as W
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                  *([F.col(block_col).alias("blk_a")] if block_col else []))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  *([F.col(block_col).alias("blk_b")] if block_col else []))
+    cond = F.col("id_a") != F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("blk_a") == F.col("blk_b"))
+    pairs = a.join(b, cond).select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    )
+    w = W.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def sign_lsh_bucket(vec: Column, n_planes: int = 6) -> Column:
+    """Sign-LSH bucket id: bit i = sign(<v, plane_i>) where plane_i's
+    component for dimension d is a deterministic pseudo-random ±1 weight
+    derived from (seed_i, d). Bucket computation is per-row arithmetic."""
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        seed = SIGN_LSH_SEEDS[i % len(SIGN_LSH_SEEDS)]
+        # weight(d) = +1 if ((seed * (d+1)) mod 97) < 48 else -1
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                idx,
+                lambda x, d: x.cast("double")
+                * F.when(
+                    ((F.lit(seed).cast("long") * (d.cast("long") + 1)) % 97) < 48,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: restrict brute force to the query's sign-LSH
+    bucket (scale path: bucket column is precomputable + partitionable)."""
+    with_bucket = df.withColumn("_bucket", sign_lsh_bucket(F.col(vec_col), n_planes))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qb = with_bucket.sparkSession.range(1).select(sign_lsh_bucket(q, n_planes).alias("qb")).collect()[0][0]
+    return (
+        with_bucket.where(F.col("_bucket") == qb)
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,67 @@
+"""Text analysis operators: token counting, quality scoring, language-ID
+heuristic, document fingerprinting. (LLM-pipeline surface.)
+
+Everything is per-row JVM expression arithmetic over split/filter/regexp —
+no UDF, no shuffle; aggregations on top are ordinary hash aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from timefusion_spark.operators.dedup import normalize_text, tokens
+
+# English function words used by the stopword-ratio features. Deliberately
+# tiny + hardcoded so the DuckDB oracle can mirror it exactly.
+EN_STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """BPE-ish proxy: count regex word pieces (letters runs, digit runs,
+    single punctuation) — a deterministic stand-in for a real tokenizer."""
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def stopword_ratio(c: Column) -> Column:
+    t = tokens(normalize_text(c))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(EN_STOPWORDS)))
+    return n_stop.cast("double") / F.size(t)
+
+
+def avg_token_len(c: Column) -> Column:
+    t = tokens(c)
+    total = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return total.cast("double") / F.size(t)
+
+
+def quality_score(c: Column) -> Column:
+    """Composite quality score in [0,1]: length band + stopword presence +
+    token-length sanity. Deterministic, oracle-mirrorable."""
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    atl = avg_token_len(c)
+    shape_score = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score + stop_score + shape_score) / 3.0
+
+
+def english_likelihood(c: Column) -> Column:
+    """Language-ID heuristic feature: ratio of English function words.
+    (A real n-gram model slots in the same shape — per-row score, then a
+    threshold/argmax.)"""
+    return stopword_ratio(c)
+
+
+def doc_fingerprint(c: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+    (Content-addressed identity for exact dedup / lineage joins.)"""
+    return F.md5(normalize_text(c))

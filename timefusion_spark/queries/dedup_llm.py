@@ -1,0 +1,134 @@
+"""Deduplication queries over `documents` (LLM-pipeline surface).
+
+Oracle strategy: the portable polynomial hash (dedup.py) is reproduced
+in DuckDB SQL bit-for-bit, so signatures/fingerprints hash-match; for
+MinHash-LSH the oracle is the exact all-pairs ground truth (the LSH path
+must achieve full recall at the planted-duplicate similarity level —
+verified by tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timefusion_spark.operators import dedup as dd
+from timefusion_spark.queries._tables import t
+from timefusion_spark.registry import query
+
+# DuckDB mirror of operators/dedup.py::poly_hash (acc*31+ascii mod 1e9+7).
+_H = (
+    "list_reduce([0::BIGINT] || list_transform(range(1, length({s})+1), "
+    "i -> ascii({s}[i])::BIGINT), (a,b) -> (a*31+b) % 1000000007)"
+)
+
+_SHINGLES3 = """
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             for i in range(1, len(toks)-1)])
+         ELSE [array_to_string(toks, ' ')] END
+"""
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) >= 1
+    ORDER BY keep_id
+    """,
+    doc="Exact dedup: hash-groupBy on normalized-text md5 (scale: one "
+    "map-side-combinable aggregate).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dd.exact_duplicates(d).orderBy("keep_id")
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SHINGLES3} AS shingles FROM tok
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="MinHash(16) + banded LSH(4×4) + exact-jaccard verify ≥0.5 on "
+    "3-word shingles. Oracle = exact all-pairs ground truth: the LSH "
+    "candidates must reach full recall at the planted-dup similarity.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(list_transform(string_split_regex(trim(text), '\\s+'),
+                                          s -> {_H.format(s='s')})) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 32), j ->
+               CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+    FROM tok
+    ORDER BY doc_id
+    """,
+    doc="SimHash(32-bit) signatures from token hashes — per-row array "
+    "arithmetic, bit-for-bit matched by the oracle.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", dd.simhash32(dd.tokens(F.col("text"))).alias("simhash")
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH nrm AS (
+      SELECT doc_id, source, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             CASE WHEN length(s) >= 5
+                  THEN list_distinct([s[i:i+4] for i in range(1, length(s)-3)])
+                  ELSE [s] END AS gs
+      FROM nrm
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE
+                 / len(list_distinct(a.gs || b.gs)), 4) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id AND a.source = b.source
+    WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+          / len(list_distinct(a.gs || b.gs)) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    doc="Exact char-5-gram Jaccard near-dup pairs, blocked by source "
+    "(blocking bounds the pair space at scale).",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, block_col="source", threshold=0.6, ngram_n=5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")

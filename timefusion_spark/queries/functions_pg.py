@@ -1,0 +1,163 @@
+"""PG/Timescale-parity function queries (SURVEY §2.9).
+
+Each query pins one custom function from the reference's
+register_custom_functions surface (functions.rs:423-477) against the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timefusion_spark.functions.pg_format import to_char
+from timefusion_spark.functions.text import text_match
+from timefusion_spark.functions.time import at_time_zone, extract_epoch
+from timefusion_spark.queries._tables import t
+from timefusion_spark.registry import query
+
+
+@query(
+    "q_to_char",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso,
+           strftime(o_orderdate, '%d/%m/%Y') || ' Q' AS with_literal,
+           CAST(dayofweek(o_orderdate) + 1 AS VARCHAR) AS pg_d,
+           upper(strftime(o_orderdate, '%a')) AS pg_dy,
+           strftime(o_orderdate, '%B') AS month_name,
+           strftime(o_orderdate, '%I %p') AS hour12
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+    doc="PG to_char token parity (functions.rs:537-775): YYYY/MM/DD/HH24/"
+    "MI/SS, literal escapes, D (Sun=1), DY, Month, HH12+AM.",
+)
+def q_to_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 200)
+    ts = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        to_char(ts, "YYYY-MM-DD HH24:MI:SS").alias("iso"),
+        to_char(ts, 'DD/MM/YYYY " Q"').alias("with_literal"),
+        to_char(ts, "D").alias("pg_d"),
+        to_char(ts, "DY").alias("pg_dy"),
+        to_char(ts, "Month").alias("month_name"),
+        to_char(ts, "HH12 AM").alias("hour12"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q_extract_epoch",
+    oracle="""
+    SELECT event_id, ROUND(epoch(ts), 6) AS epoch_secs
+    FROM events
+    WHERE event_id <= 100
+    ORDER BY event_id
+    """,
+    doc="extract_epoch: seconds since epoch as double, µs preserved "
+    "(functions.rs:939-967).",
+)
+def q_extract_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 100)
+    return ev.select(
+        "event_id", F.round(extract_epoch(F.col("ts")), 6).alias("epoch_secs")
+    ).orderBy("event_id")
+
+
+@query(
+    "q_at_time_zone",
+    oracle="""
+    SELECT event_id,
+           timezone('America/New_York', ts::TIMESTAMPTZ) AS ny_time,
+           timezone('Asia/Tokyo', ts::TIMESTAMPTZ) AS tokyo_time
+    FROM events
+    WHERE event_id <= 100
+    ORDER BY event_id
+    """,
+    doc="at_time_zone: UTC instant → local wall-clock (functions.rs:777-818 "
+    "≡ from_utc_timestamp).",
+)
+def q_at_time_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 100)
+    return ev.select(
+        "event_id",
+        at_time_zone(F.col("ts"), "America/New_York").alias("ny_time"),
+        at_time_zone(F.col("ts"), "Asia/Tokyo").alias("tokyo_time"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q_text_match",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_match
+    FROM documents
+    WHERE contains(lower(text), 'spark') AND contains(lower(text), 'merge')
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="text_match fallback semantics (tantivy_index/udf.rs:1-60): "
+    "case-insensitive AND-of-tokens substring match.",
+)
+def q_text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.where(text_match(F.col("text"), "Spark MERGE"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_array_ops",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents
+    )
+    SELECT doc_id,
+           list_contains(tokens, 'spark') AS has_spark,
+           len(list_intersect(tokens, ['window', 'stream'])) > 0 AS overlaps_ws,
+           len(list_distinct(tokens)) AS n_distinct_tokens
+    FROM tok
+    WHERE doc_id <= 100
+    ORDER BY doc_id
+    """,
+    doc="PG array operators: 'x' = ANY(col) → array_contains; a && b → "
+    "arrays_overlap (functions.rs:104-114).",
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.operators.dedup import tokens as tok
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    tokens = tok(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.array_contains(tokens, "spark").alias("has_spark"),
+        F.arrays_overlap(tokens, F.array(F.lit("window"), F.lit("stream"))).alias("overlaps_ws"),
+        F.size(F.array_distinct(tokens)).alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_json_get_text",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_text,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+    FROM events
+    WHERE event_id <= 100
+    ORDER BY event_id
+    """,
+    doc="PG ->> text extraction over JSON strings (json_to_pg_text, "
+    "functions.rs:256-303).",
+)
+def q_json_get_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.functions.json_fns import json_get_text
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 100)
+    k = json_get_text(F.col("props"), "k")
+    return ev.select(
+        "event_id", k.alias("k_text"), k.cast("bigint").alias("k_int")
+    ).orderBy("event_id")

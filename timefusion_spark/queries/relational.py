@@ -1,0 +1,516 @@
+"""Relational operator coverage (SURVEY §2.2-§2.8).
+
+The reference delegates all of these to DataFusion (SURVEY: "TimeFusion
+implements almost no relational operators itself"); we delegate to Spark
+SQL / Catalyst. Each query exists to pin one operator family against the
+DuckDB oracle: scan+filter+projection, hash aggregate (partial/final),
+joins (inner/left/semi/anti/broadcast), windows, sort/top-K, set ops,
+grouping sets, FILTER aggregates, subqueries.
+
+Scale notes (100 TB posture):
+- filters/projections are expressed on the scan so Catalyst pushes them
+  into parquet (PushedFilters / ReadSchema);
+- small dims (region/nation/supplier) are broadcast() — no shuffle;
+- top-K uses orderBy().limit() → TakeOrderedAndProject (no global sort);
+- aggregates rely on partial/final hash agg (map-side combine built-in).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timefusion_spark.queries._tables import t
+from timefusion_spark.registry import query
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                         AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                    AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                 AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)   AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                         AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                    AS avg_price,
+           ROUND(AVG(l_discount), 4)                                         AS avg_disc,
+           COUNT(*)                                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan → pushed filter → 8-agg hash aggregate → sort.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="Top-K: orderBy+limit → TakeOrderedAndProject (streaming top-K, no "
+    "global sort). Mirrors the reference's OrderedUnionForTopK goal "
+    "(optimizers/ordered_union_for_topk.rs) without custom rules.",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join (customer side broadcast) + agg + top-K.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(li.l_orderkey.alias("orderkey"), o.o_orderdate.alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_join_chain_rollup",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region_name NULLS FIRST, nation_name NULLS FIRST
+    """,
+    doc="Broadcast join chain over dims + ROLLUP grouping sets (§2.4).",
+)
+def q_join_chain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"), "c_acctbal")
+        .rollup("region_name", "nation_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+        .orderBy(F.col("region_name").asc_nulls_first(), F.col("nation_name").asc_nulls_first())
+    )
+
+
+@query(
+    "q_cube_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="CUBE grouping sets (§2.4 grouping sets / cube / rollup).",
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+    doc="Left-semi join (EXISTS).",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Left-anti join (NOT EXISTS).",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+@query(
+    "q_left_outer_join_agg",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+    doc="Left outer join + aggregate over nullable side.",
+)
+def q_left_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_setops",
+    oracle="""
+    (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+    ORDER BY custkey
+    """,
+    doc="Set operations: INTERSECT / EXCEPT (distinct semantics, §2.8).",
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    f_cust = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o_cust = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    big = o.where(F.col("o_totalprice") > 450000).select(F.col("o_custkey").alias("custkey"))
+    return f_cust.intersect(o_cust).subtract(big).orderBy("custkey")
+
+
+@query(
+    "q_union_all_distinct",
+    oracle="""
+    SELECT DISTINCT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) u
+    ORDER BY nationkey
+    """,
+    doc="UNION ALL + DISTINCT.",
+)
+def q_union_all_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct().orderBy("nationkey")
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 400
+    ORDER BY l_suppkey
+    """,
+    doc="GROUP BY + HAVING (aggregations.slt:53-192 analog).",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+        .where(F.col("n_items") > 400)
+        .orderBy("l_suppkey")
+    )
+
+
+@query(
+    "q_filter_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS finished_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="FILTER (WHERE ...) aggregates — the reference's error-rate pattern "
+    "(README.md:181-183).",
+)
+def q_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    fin = F.col("o_orderstatus") == "F"
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(fin, 1)).alias("n_finished"),
+            F.round(F.sum(F.when(fin, F.col("o_totalprice"))), 2).alias("finished_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_count_star",
+    oracle="SELECT COUNT(*) AS n FROM lineitem",
+    doc="Bare COUNT(*) — the reference's count-pushdown path "
+    "(count_pushdown.rs); Spark answers from parquet row-group metadata "
+    "via aggregate pushdown.",
+)
+def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_window_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(SUM(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+    FROM lineitem
+    WHERE l_suppkey <= 3
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+    doc="Running aggregate window (§2.5), deterministic total order.",
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 3)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+@query(
+    "q_window_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, ROUND(p_retailprice, 2) AS price, rn
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part
+    ) x
+    WHERE rn <= 3
+    ORDER BY p_brand, rn
+    """,
+    doc="Top-K per group via row_number window (§2.5 ranking).",
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    p = t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), "rn")
+        .orderBy("p_brand", "rn")
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER w  AS prev_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank
+    FROM orders
+    WHERE o_custkey <= 20
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Analytic windows: lag / lead / rank (§2.5).",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 20)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = W.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.rank().over(wr).alias("prio_rank"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    ORDER BY o_orderkey
+    """,
+    doc="Scalar subquery in predicate (§2.2 / DF built-in decorrelation).",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("tf_orders_scalar_sub")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+        FROM tf_orders_scalar_sub
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM tf_orders_scalar_sub)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "q_distinct_count",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_prios
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="COUNT(DISTINCT) — expand + two-phase agg in Spark.",
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_orderpriority").alias("n_prios"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q_in_subquery_join",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name IN ('ASIA', 'EUROPE'))
+    ORDER BY s.s_suppkey
+    """,
+    doc="IN-subquery → semi join; dim broadcast.",
+)
+def q_in_subquery_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.select("r_regionkey")), n.n_regionkey == F.col("r_regionkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join with compound join condition.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("nation_name"))
+    )

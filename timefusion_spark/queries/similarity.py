@@ -1,0 +1,130 @@
+"""Similarity-search queries over `embeddings` (LLM-pipeline surface).
+
+Cosine math is a sequential double-precision fold in both engines
+(Spark F.aggregate left fold ≡ DuckDB list_inner_product), so values
+match bit-for-bit before the display rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timefusion_spark.operators import similarity as sim
+from timefusion_spark.queries._tables import t
+from timefusion_spark.registry import query
+
+_COS = (
+    "list_inner_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_inner_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_inner_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") == vec_id).select("embedding").first()
+    )
+    return list(row[0])
+
+
+@query(
+    "q_ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND(cos_sim, 4) AS cos_sim
+    FROM (
+        SELECT e.vec_id, {_COS.format(a='e.embedding', b='q.qv')} AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    ) x
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Brute-force cosine top-k (exact-recall ANN baseline): per-row "
+    "fold + TakeOrderedAndProject — linear scan, no shuffle.",
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir, 0)
+    top = sim.knn_brute_force(e, qv, k=10)
+    return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query(
+    "q_knn_per_label",
+    oracle=f"""
+    SELECT id_a, id_b, ROUND(cos_sim, 4) AS cos_sim
+    FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_COS.format(a='a.embedding', b='b.embedding')} DESC, b.vec_id) AS rn
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ) x
+    WHERE rn = 1
+    ORDER BY id_a
+    """,
+    doc="Top-1 neighbor per vector blocked by label (IVF-cell shape): "
+    "the pair space is per-block, the block key is the shuffle key.",
+)
+def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    nn = sim.nearest_neighbor_per_row(e, block_col="label")
+    return nn.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")).orderBy("id_a")
+
+
+@query(
+    "q_lsh_bucket_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(0, 6), i ->
+                   CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), d ->
+                            embedding[d]::DOUBLE *
+                            (CASE WHEN (([7368787,29986577,71316922,48610247,93310753,15485863][i+1]::BIGINT * d) % 97) < 48
+                                  THEN 1.0 ELSE -1.0 END))) > 0
+                        THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        FROM embeddings
+    )
+    SELECT bucket, COUNT(*) AS n
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Sign-LSH bucketing histogram — the candidate-generation layer of "
+    "the scale-path ANN (bucket id is per-row arithmetic; buckets are "
+    "the shuffle/partition key).",
+)
+def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select(sim.sign_lsh_bucket(F.col("embedding"), 6).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_embedding_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Vector-column aggregate sanity: per-label counts and mean L2 norm.",
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(sim.norm(F.col("embedding"))), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,147 @@
+"""Text-analysis queries over `documents` (LLM-pipeline surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timefusion_spark.operators import text_analysis as ta
+from timefusion_spark.queries._tables import t
+from timefusion_spark.registry import query
+
+# DuckDB-side mirrors of the expression building blocks (kept adjacent to
+# the Spark ones so drift is visible in review).
+_ORACLE_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_ORACLE_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_ORACLE_STOP_RATIO = (
+    "len(list_filter(string_split_regex(" + _ORACLE_NORM + ", '\\s+'), "
+    "x -> x IN ('the','a','of','and','in','to','is')))::DOUBLE / len(" + _ORACLE_TOKENS + ")"
+)
+_ORACLE_ATL = (
+    "list_sum(list_transform(" + _ORACLE_TOKENS + ", x -> length(x)))::DOUBLE / len(" + _ORACLE_TOKENS + ")"
+)
+
+
+@query(
+    "q_token_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len({_ORACLE_TOKENS})) AS total_tokens,
+           ROUND(AVG(len({_ORACLE_TOKENS})), 4) AS avg_tokens,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Whitespace token counting + per-source corpus stats.",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tok = ta.token_count(F.col("text"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           len({_ORACLE_TOKENS}) AS n_tokens,
+           ROUND({_ORACLE_STOP_RATIO}, 4) AS stop_ratio,
+           ROUND({_ORACLE_ATL}, 4) AS avg_token_len,
+           ROUND((
+               least(len({_ORACLE_TOKENS}) / 50.0, 1.0)
+             + least(({_ORACLE_STOP_RATIO}) * 5.0, 1.0)
+             + (CASE WHEN ({_ORACLE_ATL}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+           ) / 3.0, 4) AS quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Per-document quality scoring (length/stopword/token-shape bands).",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ta.token_count(F.col("text")).alias("n_tokens"),
+        F.round(ta.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
+        F.round(ta.avg_token_len(F.col("text")), 4).alias("avg_token_len"),
+        F.round(ta.quality_score(F.col("text")), 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_langid_heuristic",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG({_ORACLE_STOP_RATIO}), 4) AS avg_en_score,
+           COUNT(*) FILTER (WHERE ({_ORACLE_STOP_RATIO}) >= 0.05) AS n_english_guess
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Language-ID heuristic: English function-word ratio per labeled lang.",
+)
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    score = ta.english_likelihood(F.col("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(score), 4).alias("avg_en_score"),
+            F.count(F.when(score >= 0.05, 1)).alias("n_english_guess"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_doc_fingerprints",
+    oracle=f"""
+    SELECT md5({_ORACLE_NORM}) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY keep_id
+    """,
+    doc="Document fingerprinting (md5 of normalized text) + exact-dedup "
+    "grouping — hash-groupBy dedup at any scale.",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(ta.doc_fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+@query(
+    "q_bpe_ish_tokens",
+    oracle="""
+    SELECT source,
+           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]'))) AS total_pieces
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="BPE-ish regex token counting (letter runs / digit runs / punct).",
+)
+def q_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(F.sum(ta.bpe_ish_token_count(F.col("text"))).alias("total_pieces"))
+        .orderBy("source")
+    )

@@ -1,0 +1,256 @@
+"""Time-series / observability queries on the `events` table.
+
+These mirror the reference's dashboard workload (README.md:140-226 and
+tests/slt): time_bucket aggregation, error-rate FILTER aggregates, moving
+averages over buckets, latest-event dedup (the DedupExec/merge-on-read
+semantics of read_dedup.rs re-expressed as a window view), and top-K by
+recency (ordered_union_for_topk.rs analog).
+
+Scale notes: every query groups/windows on (bucket | user) keys that
+hash-partition evenly; time_bucket is pure JVM expression arithmetic
+(no UDF); the dedup view is a single window shuffle on the dedup keys —
+the same shuffle the reference's DedupExec repartitioning implies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timefusion_spark.functions.time import time_bucket
+from timefusion_spark.queries._tables import t
+from timefusion_spark.registry import query
+
+
+@query(
+    "q_time_bucket_counts",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket, event_type
+    """,
+    doc="time_bucket('5 minutes', ts) aggregation — functions.rs:1043-1093 "
+    "TimescaleDB-compatible bucketing as pure expression arithmetic.",
+)
+def q_time_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            time_bucket("5 minutes", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+@query(
+    "q_error_rate",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS bucket,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           ROUND(COUNT(*) FILTER (WHERE event_type = 'error') * 100.0 / COUNT(*), 4) AS error_pct
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc="Hourly error-rate dashboard tile — README.md:181-183 FILTER pattern.",
+)
+def q_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    n_err = F.count(F.when(F.col("event_type") == "error", 1))
+    return (
+        ev.groupBy(time_bucket("1 hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            n_err.alias("n_errors"),
+            F.round(n_err * 100.0 / F.count(F.lit(1)), 4).alias("error_pct"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+        FROM events
+    ) x
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Keep-greatest dedup semantics (read_dedup.rs keep-greatest policy, "
+    "schema_loader.rs:32-38 NULLS LAST): last-write-wins view as a window.",
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc_nulls_last(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_recent_events_topk",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, ROUND(value, 2) AS value
+    FROM events
+    ORDER BY ts DESC, event_id
+    LIMIT 50
+    """,
+    doc="`ORDER BY ts DESC LIMIT 50` recency top-K — the reference's "
+    "flagship low-latency path (BASELINE 377 ms over 6 h); Spark's "
+    "TakeOrderedAndProject + parquet row-group stats give the early stop.",
+)
+def q_recent_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id"))
+        .limit(50)
+        .select("event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "q_moving_avg",
+    oracle="""
+    SELECT bucket, event_type, n,
+           ROUND(AVG(n) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_n
+    FROM (
+        SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS bucket,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ) b
+    ORDER BY event_type, bucket
+    """,
+    doc="Moving average over time buckets — README.md:220-226 window example.",
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    bucketed = ev.groupBy(
+        time_bucket("1 hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("bucket").rowsBetween(-2, 0)
+    return bucketed.select(
+        "bucket",
+        "event_type",
+        "n",
+        F.round(F.avg("n").over(w), 4).alias("moving_avg_n"),
+    ).orderBy("event_type", "bucket")
+
+
+@query(
+    "q_percentile_duration",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Percentile tiles (percentile_agg/approx_percentile, "
+    "functions.rs:1096-1267). Exact `percentile` here so the oracle "
+    "hash-matches; `approx_percentile` (t-digest-like sketch) is the "
+    "scale path — see functions/percentile.py.",
+)
+def q_percentile_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_json_props_extract",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="JSON extraction from the semi-structured props column "
+    "(datafusion-functions-json parity, SURVEY §2.9): get_json_object "
+    "stays JVM-side.",
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.avg(k), 4).alias("avg_k"), F.max(k).alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                         > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc="Sessionization: lag + gap>30min cumulative-sum session ids — the "
+    "standard Spark window composition (no stateful UDF needed in batch).",
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_ts = F.lag("ts").over(w_order)
+    new_session = F.when(
+        prev_ts.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
