@@ -48,16 +48,26 @@ _SPECIAL = "special"  # needs its own expression: D, DY, am, pm, TZ, AM, PM
 def _parse(fmt: str) -> list[tuple[str, str]]:
     parts: list[tuple[str, str]] = []
     buf: list[str] = []  # pending java-pattern fragment
+    litbuf: list[str] = []  # pending RAW literal text, merged before quoting
+
+    def flush_lit() -> None:
+        # java.time quotes literals with single quotes; '' escapes a quote.
+        # Contiguous literal text MUST be emitted as ONE quoted run: quoting
+        # fragments individually yields adjacent quotes ('a''b') which
+        # java.time reads as an escaped quote, not two literals.
+        if litbuf:
+            buf.append("'" + "".join(litbuf).replace("'", "''") + "'")
+            litbuf.clear()
 
     def flush() -> None:
+        flush_lit()
         if buf:
             parts.append((_PATTERN, "".join(buf)))
             buf.clear()
 
     def push_literal(text: str) -> None:
-        # java.time quotes literals with single quotes; '' escapes a quote.
         if text:
-            buf.append("'" + text.replace("'", "''") + "'")
+            litbuf.append(text)
 
     i = 0
     n = len(fmt)
@@ -103,6 +113,7 @@ def _parse(fmt: str) -> list[tuple[str, str]]:
         else:
             for pg, java in _TOKENS:
                 if fmt.startswith(pg, i):
+                    flush_lit()
                     buf.append(java)
                     i += len(pg)
                     break

@@ -40,7 +40,7 @@ def q_to_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         to_char(ts, "YYYY-MM-DD HH24:MI:SS").alias("iso"),
-        to_char(ts, 'DD/MM/YYYY " Q"').alias("with_literal"),
+        to_char(ts, 'DD/MM/YYYY" Q"').alias("with_literal"),
         to_char(ts, "D").alias("pg_d"),
         to_char(ts, "DY").alias("pg_dy"),
         to_char(ts, "Month").alias("month_name"),

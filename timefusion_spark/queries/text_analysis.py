@@ -27,7 +27,7 @@ _ORACLE_ATL = (
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len({_ORACLE_TOKENS})) AS total_tokens,
+           CAST(SUM(len({_ORACLE_TOKENS})) AS BIGINT) AS total_tokens,
            ROUND(AVG(len({_ORACLE_TOKENS})), 4) AS avg_tokens,
            MAX(n_chars) AS max_chars
     FROM documents
@@ -131,7 +131,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bpe_ish_tokens",
     oracle="""
     SELECT source,
-           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]'))) AS total_pieces
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]'))) AS BIGINT) AS total_pieces
     FROM documents
     GROUP BY source
     ORDER BY source

@@ -25,7 +25,7 @@ from timefusion_spark.registry import query
 @query(
     "q_time_bucket_counts",
     oracle="""
-    SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS bucket,
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS bucket,
            event_type,
            COUNT(*) AS n,
            ROUND(SUM(value), 2) AS total_value
@@ -51,7 +51,7 @@ def q_time_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_error_rate",
     oracle="""
-    SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS bucket,
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
            COUNT(*) AS n_total,
            COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
            ROUND(COUNT(*) FILTER (WHERE event_type = 'error') * 100.0 / COUNT(*), 4) AS error_pct
@@ -132,7 +132,7 @@ def q_recent_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY event_type ORDER BY bucket
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_n
     FROM (
-        SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS bucket,
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
                event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2
     ) b
@@ -213,15 +213,15 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionization",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
-               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                         > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                         > 1800 * 1000000 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     ), numbered AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -238,10 +238,18 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    w_cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     prev_ts = F.lag("ts").over(w_order)
+    # µs-precision gap (matches the oracle's epoch_us) — unix_timestamp would
+    # truncate to whole seconds and split sub-second boundary gaps differently.
     new_session = F.when(
-        prev_ts.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800), 1
+        prev_ts.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > 1800 * 1_000_000),
+        1,
     ).otherwise(0)
     return (
         ev.withColumn("new_session", new_session)

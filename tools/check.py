@@ -96,6 +96,32 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        # Typed check: the driver hashes values WITH their types, so a DuckDB
+        # HUGEINT vs Spark BIGINT, or TIMESTAMPTZ vs TIMESTAMP, fails there
+        # even when canonicalized values match. Catch it here.
+        for j, ocol in enumerate(ocols):
+            otype = str(res.description[j][1]).upper()
+            if "HUGEINT" in otype or "INT128" in otype:
+                problems.append(f"oracle col {ocol} is HUGEINT (cast to BIGINT in oracle)")
+        for j in range(len(ocols)):
+            oval = next((r[j] for r in orows if r[j] is not None), None)
+            if isinstance(oval, dt.datetime) and oval.tzinfo is not None:
+                problems.append(
+                    f"oracle col {ocols[j]} is tz-aware TIMESTAMPTZ (cast to TIMESTAMP)"
+                )
+        if not problems and srows and orows:
+            smap = {c: i for i, c in enumerate(scols)}
+            for j, ocol in enumerate(ocols):
+                si = smap.get(ocol)
+                if si is None:
+                    continue
+                sval = next((r[si] for r in srows if r[si] is not None), None)
+                oval = next((r[j] for r in orows if r[j] is not None), None)
+                if sval is None or oval is None:
+                    continue
+                st, ot = type(sval).__name__, type(oval).__name__
+                if st != ot:
+                    problems.append(f"col {ocol} type drift spark={st} oracle={ot}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:
