@@ -1,0 +1,90 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total_wall", "value": N, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Query set mirrors BASELINE.md's measured shapes:
+  - dashboard count over time buckets (207-377 ms reference rows)
+  - hourly error-rate FILTER tile
+  - percentile tiles (the reference's 5-39 s rows)
+  - ORDER BY ts DESC LIMIT 50 recency top-K (377 ms reference row)
+  - relational joins/aggs (TPC-H q1/q3 shapes)
+  - MinHash-LSH near-dup (the LLM-pipeline scale path)
+
+Execution is measured with a count()/collect() that forces the full plan;
+results stay distributed (no driver materialization of big outputs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q_time_bucket_counts",
+    "q_error_rate",
+    "q_percentile_duration",
+    "q_recent_events_topk",
+    "q_latest_event_per_user",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_window_topk_per_group",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_ann_bruteforce_topk",
+    "q_sessionization",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    import __spark_entry__ as entrymod
+    from timefusion_spark.session import get_spark
+
+    spark = get_spark("tf-bench")
+    qs = entrymod.queries()
+
+    # JVM/codegen warmup so the first timed query isn't paying session boot.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            # Force full execution; outputs of headline queries are small
+            # (aggregates / top-K), so collect() is not the bottleneck.
+            n = len(df.collect())
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"bench {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench {name}: ERROR {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(v for v in timings.values() if v >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
