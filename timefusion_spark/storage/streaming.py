@@ -1,0 +1,61 @@
+"""Streaming ingest: Structured Streaming → the Table write path.
+
+The reference's ingest stack — WAL append (wal.rs:462), MemBuffer time
+buckets (mem_buffer.rs:35-73), background flush with sort + LWW dedup
+(buffered_write_layer.rs:2211, 2651-2674), WAL replay on boot
+(buffered_write_layer.rs:1256 `recover_from_wal`) — collapses into one
+Structured Streaming query (SURVEY §1.4):
+
+  - micro-batch trigger   = time-bucket flush interval
+  - foreachBatch body     = coerce → stamp → in-batch LWW dedup → sorted
+                            partitioned append (Table.append, the exact
+                            batch write path — no second code path)
+  - checkpoint directory  = WAL (offsets + commit log; replay on restart)
+  - exactly-once          = checkpoint replay + dedup_keys collapsing
+                            redelivered rows at read time (the reference's
+                            LWW guarantee, buffered_write_layer.rs:2506)
+
+Restart recovery (tests/e2e/restart_recovery.rs analog): kill the query
+mid-stream, start a new one on the same checkpoint — the unfinished batch
+replays, its rows re-append, and the dedup read view serves each key once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from timefusion_spark.storage.table import Table
+
+
+def ingest_stream(
+    table: Table,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Attach a streaming DataFrame to the table's write path.
+
+    `stream` is any streaming source (file/rate/kafka/socket). Late rows are
+    accepted unconditionally and land in their own timestamp's date
+    partition — the reference's late-data policy (SURVEY §2.10): no
+    watermark on the append path."""
+    if not stream.isStreaming:
+        raise ValueError("ingest_stream requires a streaming DataFrame")
+
+    def _write_batch(batch: DataFrame, _batch_id: int) -> None:
+        table.append(batch)
+
+    writer = (
+        stream.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

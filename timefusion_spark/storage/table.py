@@ -1,0 +1,263 @@
+"""Partitioned-parquet table with the reference's write-path and
+merge-on-read semantics.
+
+Reference behaviors re-expressed (file:line in /root/reference/src/):
+  - write path = coerce → stamp_version → in-batch LWW dedup → sorted write
+    (insert_coerce.rs:167, buffered_write_layer.rs:2651-2674,
+    mem_buffer.rs:637, database.rs:3023-3076 writer props).
+  - read view = DedupExec keep-greatest / keep-first + tombstone filter
+    (read_dedup.rs:1-160, database.rs:12906-12909) as a row_number() window —
+    SURVEY §2.7's ~3,000-LoC-to-20-lines collapse.
+  - timestamp→date partition derivation on scan (optimizers/mod.rs:100-150).
+
+Storage is plain partitioned parquet (delta-spark is not available in this
+environment): one directory per table, `partitionBy(project_id, date)`
+directories, a `_tf_schema.json` sidecar carrying the declared TableSchema
+(underscore prefix ⇒ invisible to Spark's parquet scanner). At cluster scale
+the same class works unchanged over an object store path; the Delta upgrade
+point is isolated to `append` / `read_raw`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timefusion_spark.storage.schema import TableSchema
+
+_SIDECAR = "_tf_schema.json"
+
+KEEP_GREATEST = "keep_greatest"
+KEEP_FIRST = "keep_first"
+
+
+class Table:
+    """One partitioned table. Construct via :meth:`create` or :meth:`open`."""
+
+    def __init__(self, spark: SparkSession, schema: TableSchema, path: str):
+        self.spark = spark
+        self.schema = schema
+        self.path = path
+
+    # ── lifecycle ────────────────────────────────────────────────────────
+
+    @classmethod
+    def create(cls, spark: SparkSession, schema: TableSchema, path: str) -> Table:
+        os.makedirs(path, exist_ok=True)
+        sidecar = os.path.join(path, _SIDECAR)
+        if os.path.exists(sidecar):
+            raise FileExistsError(f"table already exists at {path}")
+        with open(sidecar, "w") as fh:
+            fh.write(schema.to_json())
+        return cls(spark, schema, path)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> Table:
+        with open(os.path.join(path, _SIDECAR)) as fh:
+            schema = TableSchema.from_dict(json.load(fh))
+        return cls(spark, schema, path)
+
+    def save_schema(self) -> None:
+        with open(os.path.join(self.path, _SIDECAR), "w") as fh:
+            fh.write(self.schema.to_json())
+
+    # ── write path ───────────────────────────────────────────────────────
+
+    def coerce(self, df: DataFrame) -> DataFrame:
+        """Shape an incoming batch to the declared schema
+        (insert_coerce.rs analog): missing nullable columns become NULL,
+        present columns are cast to the declared type, the derived `date`
+        partition column is filled from `time_column` when absent or null,
+        and output column ORDER is the declared order (yaml:375-380 — order
+        is load-bearing)."""
+        incoming = set(df.columns)
+        cols: list[Column] = []
+        for f in self.schema.fields:
+            target = f.to_spark().dataType
+            if f.name in incoming:
+                c = F.col(f.name).cast(target)
+            elif f.name == "date" and "date" in self.schema.partitions:
+                c = F.lit(None).cast(target)  # filled from time_column below
+            elif f.nullable:
+                c = F.lit(None).cast(target)
+            else:
+                raise ValueError(f"batch missing non-nullable column {f.name!r}")
+            cols.append(c.alias(f.name))
+        out = df.select(*cols)
+        if "date" in self.schema.partitions and self.schema.time_column in out.columns:
+            # Derived partition column: date = CAST(time_column AS DATE)
+            # (the generated-column design decision, SURVEY §7.0.1).
+            out = out.withColumn(
+                "date",
+                F.coalesce(F.col("date"), F.col(self.schema.time_column).cast("date")),
+            )
+        return out
+
+    def stamp_version(self, df: DataFrame, stamp: Column | str | None = None) -> DataFrame:
+        """Overwrite the TF-owned tiebreak column on a version_append table
+        (insert_coerce.rs:167 `stamp_version`) — the tiebreak is engine-owned
+        there, so client-supplied values are always replaced."""
+        if not (self.schema.version_append and self.schema.dedup_tiebreak):
+            return df
+        col = (
+            F.lit(stamp).cast("timestamp")
+            if isinstance(stamp, str)
+            else (stamp if stamp is not None else F.current_timestamp())
+        )
+        return df.withColumn(self.schema.dedup_tiebreak, col)
+
+    def dedup_batch(self, df: DataFrame) -> DataFrame:
+        """In-batch last-write-wins collapse on dedup_keys before the write
+        commits (mem_buffer.rs:637 `dedup_batches`): greatest tiebreak wins,
+        ties → last row seen in the batch."""
+        if not self.schema.dedup_keys:
+            return df
+        from pyspark.sql import Window as W
+
+        order = [F.col("_tf_pos").desc()]
+        if self.schema.dedup_tiebreak:
+            order.insert(0, F.col(self.schema.dedup_tiebreak).desc_nulls_last())
+        w = W.partitionBy(*self.schema.dedup_keys).orderBy(*order)
+        return (
+            df.withColumn("_tf_pos", F.monotonically_increasing_id())
+            .withColumn("_tf_rn", F.row_number().over(w))
+            .where(F.col("_tf_rn") == 1)
+            .drop("_tf_pos", "_tf_rn")
+        )
+
+    def _sort_cols(self) -> list[Column]:
+        out = []
+        for s in self.schema.sorting_columns:
+            c = F.col(s.name)
+            if s.descending:
+                out.append(c.desc_nulls_first() if s.nulls_first else c.desc_nulls_last())
+            else:
+                out.append(c.asc_nulls_first() if s.nulls_first else c.asc_nulls_last())
+        return out
+
+    def _writer_options(self) -> dict[str, str]:
+        # Parquet bloom filters for id-lookup columns (database.rs:3056-3076,
+        # yaml `bloom_filter: true` fields).
+        opts: dict[str, str] = {"compression": "zstd"}
+        for f in self.schema.fields:
+            if f.bloom_filter:
+                opts[f"parquet.bloom.filter.enabled#{f.name}"] = "true"
+        return opts
+
+    def append(self, df: DataFrame, stamp: Column | str | None = None) -> None:
+        """Full write path: coerce → stamp_version → in-batch LWW dedup →
+        sortWithinPartitions(sorting_columns) → partitioned append.
+
+        The sorted write is what makes recency top-K cheap at scale: DESC
+        timestamp row groups give tight min/max footer stats, so
+        `ORDER BY timestamp DESC LIMIT n` prunes to the newest groups
+        (the ordered_union_for_topk.rs effect without a custom rule)."""
+        batch = self.dedup_batch(self.stamp_version(self.coerce(df), stamp))
+        if self.schema.partitions:
+            # One writer task per (project_id, date) hash → one sorted file
+            # per partition dir per append — the flush-commit file layout
+            # (database.rs:10025 FlushBatches writes one sorted file per
+            # bucket). Without this, every shuffle partition appends a
+            # fragment to every dir: small-file explosion.
+            batch = batch.repartition(*[F.col(c) for c in self.schema.partitions])
+        if self.schema.sorting_columns:
+            batch = batch.sortWithinPartitions(*self._sort_cols())
+        writer = batch.write.mode("append").options(**self._writer_options())
+        if self.schema.partitions:
+            writer = writer.partitionBy(*self.schema.partitions)
+        writer.parquet(self.path)
+
+    # ── read path ────────────────────────────────────────────────────────
+
+    def read_raw(self) -> DataFrame:
+        """All physical row versions (no dedup, no tombstone filter)."""
+        df = (
+            self.spark.read.schema(self.schema.spark_schema)
+            .option("basePath", self.path)
+            .parquet(self.path)
+        )
+        # Preserve declared column order (partition cols would otherwise
+        # migrate to the end of the scan output).
+        return df.select(*[f.name for f in self.schema.fields])
+
+    def _dedup_view(self, df: DataFrame, policy: str) -> DataFrame:
+        if not self.schema.dedup_keys:
+            return df
+        from pyspark.sql import Window as W
+
+        tb = self.schema.dedup_tiebreak
+        if policy == KEEP_GREATEST:
+            # Greatest tiebreak wins, NULL lowest (schema_loader.rs:32-38).
+            order = [F.col(tb).desc_nulls_last()] if tb else [F.lit(1)]
+        elif policy == KEEP_FIRST:
+            # Earliest version wins — the batch-deterministic reading of the
+            # streaming HashSet keep-first policy (read_dedup.rs).
+            order = [F.col(tb).asc_nulls_first()] if tb else [F.lit(1)]
+        else:
+            raise ValueError(f"unknown dedup policy {policy!r}")
+        w = W.partitionBy(*self.schema.dedup_keys).orderBy(*order)
+        return (
+            df.withColumn("_tf_rn", F.row_number().over(w))
+            .where(F.col("_tf_rn") == 1)
+            .drop("_tf_rn")
+        )
+
+    def _tombstone_filter(self, df: DataFrame) -> DataFrame:
+        # Winning version true ⇒ key invisible; NULL/false both live
+        # (database.rs:12906-12909, schema_loader.rs:41-51).
+        if not self.schema.tombstone_column:
+            return df
+        return df.where(~F.coalesce(F.col(self.schema.tombstone_column), F.lit(False)))
+
+    def read(self, policy: str = KEEP_GREATEST, with_tombstones: bool = False) -> DataFrame:
+        """The merge-on-read view (read_dedup.rs:25-40 + database.rs:12906).
+
+        Predicates later placed on this view sit ABOVE the window — exactly
+        the reference's rule that filters on version-mutable columns must
+        not push below DedupExec (database.rs:12507-12533). Partition-column
+        filters still prune the scan (window partition keys are preserved)."""
+        df = self._dedup_view(self.read_raw(), policy)
+        return df if with_tombstones else self._tombstone_filter(df)
+
+    def scan(
+        self,
+        project_id: str | None = None,
+        ts_lo: str | None = None,
+        ts_hi: str | None = None,
+        policy: str = KEEP_GREATEST,
+    ) -> DataFrame:
+        """Routed scan (ProjectRoutingTable::scan analog, database.rs:12553):
+        project guard + timestamp bounds, with the derived `date` partition
+        bounds added so partition pruning engages (optimizers/mod.rs:100-150).
+
+        These filters sit BELOW the dedup window, which is safe because
+        project_id, date and the time column are immutable across row
+        versions (an UPDATE appends the row's ORIGINAL timestamp —
+        otel_logs_and_spans.yaml version_append note), so a version filtered
+        here can never be the winner of a key that survives the filter."""
+        df = self.read_raw()
+        tc = self.schema.time_column
+        if project_id is not None and "project_id" in df.columns:
+            df = df.where(F.col("project_id") == project_id)
+        if ts_lo is not None:
+            df = df.where(F.col(tc) >= F.lit(ts_lo).cast("timestamp"))
+            if "date" in self.schema.partitions:
+                df = df.where(F.col("date") >= F.lit(ts_lo).cast("timestamp").cast("date"))
+        if ts_hi is not None:
+            df = df.where(F.col(tc) < F.lit(ts_hi).cast("timestamp"))
+            if "date" in self.schema.partitions:
+                df = df.where(F.col("date") <= F.lit(ts_hi).cast("timestamp").cast("date"))
+        return self._tombstone_filter(self._dedup_view(df, policy))
+
+    def count(self) -> int:
+        """COUNT(*) with the reference's decline-on-doubt gating
+        (count_pushdown.rs:1-27): a table that can hold duplicate versions
+        or tombstones must count through the dedup view; a plain append-only
+        table counts the raw scan, which Spark serves from parquet footer
+        statistics (aggregate pushdown — no row materialization)."""
+        if self.schema.dedup_keys or self.schema.tombstone_column:
+            return self.read().count()
+        return self.read_raw().count()
