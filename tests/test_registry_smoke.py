@@ -1,0 +1,89 @@
+"""Smoke: every registered query runs at sf0.001 and returns a DataFrame
+with a stable schema; every oracle is syntactically valid DuckDB SQL at the
+same scale. (The full typed value comparison is tools/check.py / the
+driver's CORRECTNESS gate — this is the cheap always-on net.)"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+@pytest.fixture(scope="module")
+def oracles():
+    return entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def spark_dfs(spark, sf_dir, qs):
+    """Build each query's DataFrame once (some queries construct storage
+    tables at call time — don't pay that twice)."""
+    out, errors = {}, {}
+    for name, fn in qs.items():
+        try:
+            out[name] = fn(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = str(e)
+    return out, errors
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.columns and df.count() >= 0
+
+
+def test_every_query_runs(spark_dfs):
+    dfs, errors = spark_dfs
+    failures = [f"{n}: {e}" for n, e in errors.items()]
+    for name, df in dfs.items():
+        try:
+            assert df.columns
+            df.limit(1).collect()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {e}")
+    assert not failures, "\n".join(failures)
+
+
+def test_every_oracle_parses(duck, oracles):
+    failures = []
+    for name, sql in oracles.items():
+        try:
+            duck.execute(f"SELECT * FROM ({sql}) LIMIT 1")
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {e}")
+    assert not failures, "\n".join(failures)
+
+
+def test_columns_match_oracle(spark_dfs, oracles, duck):
+    """Column-name parity — the driver sorts columns by name before hashing,
+    so a name mismatch is an automatic driver failure."""
+    dfs, _ = spark_dfs
+    failures = []
+    for name, sql in oracles.items():
+        if name not in dfs:
+            continue
+        try:
+            ocols = [d[0] for d in duck.execute(f"SELECT * FROM ({sql}) LIMIT 0").description]
+            scols = dfs[name].columns
+            if sorted(scols) != sorted(ocols):
+                failures.append(f"{name}: spark={sorted(scols)} oracle={sorted(ocols)}")
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {e}")
+    assert not failures, "\n".join(failures)

@@ -1,0 +1,273 @@
+"""Storage core: schema loader, write path, MOR read views, DML,
+maintenance — the merge_on_read.slt scenario coverage in pytest form
+(/root/reference/tests/slt/merge_on_read.slt,
+/root/reference/tests/suite/test_dml_operations.rs)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from timefusion_spark.storage import Table, dml, load_schema_text, maintenance
+from timefusion_spark.storage.schema import FieldDef, TableSchema
+
+MOR_YAML = """
+table_name: t
+partitions: [project_id, date]
+time_column: timestamp
+dedup_keys: [timestamp, id]
+dedup_tiebreak: updated_at
+tombstone_column: deleted
+version_append: true
+sorting_columns:
+  - {name: timestamp, descending: true, nulls_first: true}
+  - {name: id, descending: false, nulls_first: false}
+fields:
+  - {name: date, data_type: Date32, nullable: false}
+  - {name: timestamp, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: value, data_type: Float64, nullable: true}
+  - {name: project_id, data_type: Utf8, nullable: true}
+  - {name: updated_at, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: true}
+  - {name: deleted, data_type: Boolean, nullable: true}
+"""
+
+
+@pytest.fixture()
+def mor_table(spark, tmp_path):
+    schema = load_schema_text(MOR_YAML)
+    return Table.create(spark, schema, str(tmp_path / "t"))
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "timestamp string, id string, value double, project_id string"
+    )
+
+
+BASE = [
+    ("2026-01-01 10:00:00", "a", 1.0, "p1"),
+    ("2026-01-01 11:00:00", "b", 2.0, "p1"),
+    ("2026-01-02 09:00:00", "c", 3.0, "p2"),
+]
+
+
+class TestSchemaLoader:
+    def test_option_validation_unknown_column(self):
+        with pytest.raises(ValueError, match="unknown column"):
+            TableSchema(
+                table_name="x",
+                fields=[FieldDef("a", "Utf8")],
+                dedup_keys=["missing"],
+            )
+
+    def test_version_append_requires_mor_columns(self):
+        with pytest.raises(ValueError, match="version_append requires"):
+            TableSchema(
+                table_name="x",
+                fields=[FieldDef("a", "Utf8")],
+                version_append=True,
+            )
+
+    def test_type_mapping(self):
+        s = load_schema_text(MOR_YAML).spark_schema
+        assert s["timestamp"].dataType.typeName() == "timestamp"
+        assert s["date"].dataType.typeName() == "date"
+        assert s["value"].dataType.typeName() == "double"
+
+    def test_column_order_preserved(self):
+        names = [f.name for f in load_schema_text(MOR_YAML).fields]
+        assert names == ["date", "timestamp", "id", "value", "project_id", "updated_at", "deleted"]
+
+
+class TestWritePath:
+    def test_derived_date_partition(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        dates = {str(r["date"]) for r in mor_table.read().select("date").collect()}
+        assert dates == {"2026-01-01", "2026-01-02"}
+        # physical layout: project_id=/date= directories
+        dirs = {
+            d for d in os.listdir(mor_table.path) if d.startswith("project_id=")
+        }
+        assert dirs == {"project_id=p1", "project_id=p2"}
+
+    def test_in_batch_lww_dedup(self, spark, mor_table):
+        dup = BASE + [("2026-01-01 10:00:00", "a", 99.0, "p1")]  # same (ts,id) as row 1
+        mor_table.append(_rows(spark, dup), stamp="2026-02-01 00:00:00")
+        assert mor_table.read_raw().count() == 3  # collapsed before commit
+        vals = {r["id"]: r["value"] for r in mor_table.read().collect()}
+        assert vals["a"] == 99.0  # last row seen wins on equal stamp
+
+    def test_stamp_overwrites_client_tiebreak(self, spark, mor_table):
+        df = _rows(spark, BASE).withColumn(
+            "updated_at", F.lit("1999-01-01 00:00:00").cast("timestamp")
+        )
+        mor_table.append(df, stamp="2026-02-01 00:00:00")
+        stamps = {str(r["updated_at"]) for r in mor_table.read().collect()}
+        assert stamps == {"2026-02-01 00:00:00"}  # engine-owned column
+
+    def test_missing_nullable_fills_null_missing_required_raises(self, spark, mor_table):
+        no_value = spark.createDataFrame(
+            [("2026-01-01 10:00:00", "z", "p1")], "timestamp string, id string, project_id string"
+        )
+        mor_table.append(no_value, stamp="2026-02-01 00:00:00")
+        assert mor_table.read().where("id='z'").collect()[0]["value"] is None
+        missing_id = spark.createDataFrame([("2026-01-01 10:00:00",)], "timestamp string")
+        with pytest.raises(ValueError, match="non-nullable"):
+            mor_table.append(missing_id)
+
+
+class TestReadViews:
+    def test_keep_greatest_cross_batch(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        v2 = _rows(spark, [("2026-01-01 10:00:00", "a", 100.0, "p1")])
+        mor_table.append(v2, stamp="2026-02-02 00:00:00")
+        assert mor_table.read_raw().count() == 4
+        vals = {r["id"]: r["value"] for r in mor_table.read().collect()}
+        assert vals == {"a": 100.0, "b": 2.0, "c": 3.0}
+
+    def test_keep_first_policy(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        mor_table.append(
+            _rows(spark, [("2026-01-01 10:00:00", "a", 100.0, "p1")]),
+            stamp="2026-02-02 00:00:00",
+        )
+        vals = {r["id"]: r["value"] for r in mor_table.read(policy="keep_first").collect()}
+        assert vals["a"] == 1.0  # earliest version wins
+
+    def test_null_tiebreak_sorts_lowest(self, spark, mor_table):
+        # A NULL-stamped (legacy) row must always lose to a stamped one
+        # (schema_loader.rs:32-38). stamp_version would overwrite, so write
+        # a non-version_append sibling table to inject the NULL directly.
+        import copy
+
+        schema2 = copy.deepcopy(mor_table.schema)
+        schema2.version_append = False
+        t2 = Table(mor_table.spark, schema2, mor_table.path)
+        with_null = _rows(spark, [("2026-01-01 10:00:00", "a", 50.0, "p1")])
+        t2.append(with_null)  # updated_at stays NULL
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        vals = {r["id"]: r["value"] for r in mor_table.read().collect()}
+        assert vals["a"] == 1.0  # stamped row wins over NULL
+
+    def test_tombstone_masks_key(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        dml.delete(mor_table, predicate="id = 'a'", stamp="2026-02-02 00:00:00")
+        assert {r["id"] for r in mor_table.read().collect()} == {"b", "c"}
+        assert mor_table.read(with_tombstones=True).count() == 3
+        # NULL and false both mean live
+        assert mor_table.count() == 2
+
+
+class TestScanPruning:
+    def test_partition_filters_in_plan(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        plan = mor_table.scan(
+            project_id="p1", ts_lo="2026-01-01 00:00:00", ts_hi="2026-01-02 00:00:00"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "(project_id" in plan and "(date" in plan
+        # timestamp predicate also pushed to parquet
+        assert "PushedFilters" in plan
+
+    def test_scan_results(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        got = mor_table.scan(project_id="p1", ts_lo="2026-01-01 00:00:00").count()
+        assert got == 2
+
+
+class TestDML:
+    def test_update_version_append(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        n = dml.update(
+            mor_table, {"value": F.col("value") * 10}, predicate="project_id = 'p1'",
+            stamp="2026-02-02 00:00:00",
+        )
+        assert n == 2
+        assert mor_table.read_raw().count() == 5  # nothing rewritten
+        vals = {r["id"]: r["value"] for r in mor_table.read().collect()}
+        assert vals == {"a": 10.0, "b": 20.0, "c": 3.0}
+
+    def test_update_twice_latest_wins(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        dml.update(mor_table, {"value": F.lit(7.0)}, predicate="id='a'", stamp="2026-02-02 00:00:00")
+        dml.update(mor_table, {"value": F.lit(8.0)}, predicate="id='a'", stamp="2026-02-03 00:00:00")
+        assert mor_table.read().where("id='a'").collect()[0]["value"] == 8.0
+
+    def test_delete_then_reinsert(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        dml.delete(mor_table, predicate="id='b'", stamp="2026-02-02 00:00:00")
+        assert mor_table.read().where("id='b'").count() == 0
+        # re-insert with a fresh stamp resurrects the key
+        mor_table.append(
+            _rows(spark, [("2026-01-01 11:00:00", "b", 5.0, "p1")]),
+            stamp="2026-02-03 00:00:00",
+        )
+        assert mor_table.read().where("id='b'").collect()[0]["value"] == 5.0
+
+    def test_update_from_source_join(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        src = spark.createDataFrame(
+            [("a", 111.0), ("c", 333.0)], "id string, newval double"
+        )
+        n = dml.update_from(
+            mor_table, src, ["id"], {"value": F.col("_src.newval")},
+            stamp="2026-02-02 00:00:00",
+        )
+        assert n == 2
+        vals = {r["id"]: r["value"] for r in mor_table.read().collect()}
+        assert vals == {"a": 111.0, "b": 2.0, "c": 333.0}
+
+    def test_update_from_source_cap(self, spark, mor_table, monkeypatch):
+        monkeypatch.setattr(dml, "MAX_UPDATE_SOURCE_ROWS", 1)
+        src = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "id string, newval double")
+        with pytest.raises(ValueError, match="source too large"):
+            dml.update_from(mor_table, src, ["id"], {"value": F.col("_src.newval")})
+
+    def test_dml_requires_version_append(self, spark, tmp_path):
+        schema = load_schema_text(MOR_YAML)
+        schema.version_append = False
+        t = Table.create(spark, schema, str(tmp_path / "plain"))
+        with pytest.raises(ValueError, match="version_append"):
+            dml.update(t, {"value": F.lit(0.0)})
+
+
+class TestMaintenance:
+    def test_dedup_sweep_removes_physical_dupes(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        dml.update(mor_table, {"value": F.lit(9.0)}, predicate="id='a'", stamp="2026-02-02 00:00:00")
+        before = mor_table.read_raw().count()
+        removed = maintenance.dedup_sweep(
+            mor_table, {"project_id": "p1", "date": "2026-01-01"}
+        )
+        assert removed == 1 and mor_table.read_raw().count() == before - 1
+        # visible state unchanged
+        vals = {r["id"]: r["value"] for r in mor_table.read().collect()}
+        assert vals == {"a": 9.0, "b": 2.0, "c": 3.0}
+
+    def test_compact_preserves_versions(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        mor_table.append(_rows(spark, BASE[:1]), stamp="2026-02-02 00:00:00")
+        raw_before = mor_table.read_raw().count()
+        rows = maintenance.compact(mor_table, {"project_id": "p1", "date": "2026-01-01"})
+        assert rows > 0
+        assert mor_table.read_raw().count() == raw_before  # nothing dropped
+
+    def test_migrate_columns_widening(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        maintenance.migrate_columns(mor_table, [FieldDef("note", "Utf8", nullable=True)])
+        reopened = Table.open(spark, mor_table.path)
+        assert "note" in [f.name for f in reopened.schema.fields]
+        # old files read NULL for the new column
+        assert reopened.read().select("note").distinct().collect()[0]["note"] is None
+        # non-nullable widening rejected
+        with pytest.raises(ValueError, match="nullable"):
+            maintenance.migrate_columns(mor_table, [FieldDef("bad", "Utf8", nullable=False)])
+
+    def test_stats(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        st = maintenance.stats(mor_table).collect()
+        assert len(st) == 2  # (p1, 2026-01-01) and (p2, 2026-01-02)
+        assert all(r["n_files"] >= 1 and r["bytes"] > 0 for r in st)
