@@ -85,3 +85,38 @@ def test_minhash_lsh_plan_no_cartesian(planted):
     plan = _plan(D.minhash_lsh_pairs(planted))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_results_and_plan(spark, planted):
+    """LSH-banded n-gram path: equals all-pairs ground truth on planted
+    dups, with an equi-join plan (no cartesian / nested-loop)."""
+    df = planted.withColumn("src", F.lit("s"))
+    out = D.ngram_jaccard_pairs(df, block_col="src", threshold=0.6)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    expected = {(i, 1000 + i) for i in range(0, 40, 2)}
+    assert got == expected  # full recall at j≈0.87 gram similarity
+
+
+def test_nn_per_row_plan_no_cartesian(spark):
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(16)], f"l{i % 3}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    from timefusion_spark.operators import similarity as S
+
+    out = S.nearest_neighbor_per_row(df, block_col="label")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    res = out.collect()
+    assert res  # some neighbors found
+    # every reported neighbor shares the label (block respected)
+    labels = {r["vec_id"]: r["label"] for r in df.select("vec_id", "label").collect()}
+    assert all(labels[r["id_a"]] == labels[r["id_b"]] for r in res)

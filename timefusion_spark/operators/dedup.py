@@ -1,20 +1,27 @@
 """Deduplication operator family: exact, MinHash+LSH, SimHash, n-gram
 Jaccard. (North-star LLM-pipeline surface; the reference's own dedup is
-last-write-wins on keys — storage/view.py — these are the content-dedup
-analogs for training-data pipelines.)
+last-write-wins on keys — storage/table.py read views — these are the
+content-dedup analogs for training-data pipelines.)
 
 Design for 100 TB:
-- all hashing is per-row JVM expression arithmetic (portable polynomial
-  hash, no Python, no UDF) — embarrassingly parallel, no shuffle;
-- MinHash-LSH shuffles only on (band, band_key) buckets — candidate
-  generation is O(candidates), never O(n²);
-- the exact-jaccard verify joins only the candidate pairs back to their
-  shingle sets (semi-join-sized shuffle);
+- all hashing is per-row JVM expression arithmetic (no Python, no UDF) —
+  embarrassingly parallel, no shuffle;
+- EVERY near-dup operator generates candidates via banded LSH — shuffle
+  only on (band, band_key) buckets, O(candidates) pair space, never O(n²);
+- the exact-jaccard verify recomputes shingle/gram sets only for candidate
+  ids (semi-join-sized work);
 - SimHash produces a per-row 32-bit signature; near-dup banding can
   bucket on signature prefixes the same way.
 
-The polynomial hash is deliberately engine-portable (acc*31 + ascii, mod
-1e9+7) so the DuckDB oracle can reproduce signatures bit-for-bit.
+Two hash tiers:
+- `poly_hash` (acc*31 + ascii, mod 1e9+7) is deliberately engine-portable
+  so DuckDB oracles reproduce signatures bit-for-bit (SimHash, token-level
+  features).
+- MinHash set elements use `xxhash64` on tokens, with shingle hashes
+  combined arithmetically from token hashes — one JVM hash call per token
+  instead of a per-character fold, ~10× cheaper per row. Signatures are
+  engine-internal (the LSH oracles check against exact ground truth, not
+  signature bits), so portability is not required there.
 """
 
 from __future__ import annotations
@@ -25,7 +32,9 @@ from pyspark.sql import functions as F
 HASH_PRIME = 1_000_000_007
 
 # Deterministic MinHash family h_i(x) = (a_i * x + b_i) mod P.
-# 16 hashes = 4 bands × 4 rows → catches jaccard ≳ 0.5 with high recall.
+# First 16 = 4 bands × 4 rows → catches jaccard ≳ 0.5 with high recall;
+# all 32 = 16 bands × 2 rows → near-certain recall at jaccard ≥ 0.6
+# (miss probability (1-j²)^16 ≈ 8e-4 at j=0.6, ~0 above).
 MINHASH_SEEDS: list[tuple[int, int]] = [
     (1_107_677_413, 613_651_349),
     (924_961_777, 443_573_543),
@@ -43,6 +52,22 @@ MINHASH_SEEDS: list[tuple[int, int]] = [
     (566_492_537, 259_336_153),
     (378_551_453, 808_182_263),
     (941_083_981, 64_936_379),
+    (823_117_499, 505_294_637),
+    (151_253_381, 672_409_841),
+    (906_352_073, 231_874_099),
+    (345_679_627, 884_560_913),
+    (718_064_159, 119_826_347),
+    (263_940_619, 741_352_693),
+    (592_183_801, 398_715_529),
+    (837_429_287, 46_509_131),
+    (174_852_239, 963_207_443),
+    (529_614_857, 286_390_177),
+    (691_837_463, 814_923_581),
+    (88_463_269, 457_618_939),
+    (952_738_417, 603_481_759),
+    (316_275_143, 128_947_561),
+    (764_591_833, 539_082_677),
+    (207_364_529, 975_310_271),
 ]
 LSH_BANDS = 4
 LSH_ROWS = 4
@@ -68,9 +93,10 @@ def poly_hash(s: Column) -> Column:
     )
 
 
-def word_shingles(c: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a text column (array<string>)."""
-    t = tokens(c)
+def word_shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a MATERIALIZED token-array column
+    (array<string>) — `t` is sliced once per shingle, so it must be an
+    attribute (see evaluation-count note below)."""
     n = F.size(t)
     shingled = F.transform(
         F.sequence(F.lit(1), n - F.lit(k - 1)),
@@ -79,9 +105,15 @@ def word_shingles(c: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, shingled).otherwise(F.array(F.concat_ws(" ", t))))
 
 
-def char_ngrams(c: Column, n: int = 5) -> Column:
-    """Distinct character n-grams of normalized text (array<string>)."""
-    s = normalize_text(c)
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column. Convenience form for
+    single-use contexts; hot paths stage tokens first (word_shingles_from_tokens)."""
+    return word_shingles_from_tokens(tokens(c), k)
+
+
+def char_ngrams_from_norm(s: Column, n: int = 5) -> Column:
+    """Distinct character n-grams from a MATERIALIZED normalized-text
+    column — `s` is substringed once per gram position."""
     ln = F.length(s)
     grams = F.transform(
         F.sequence(F.lit(1), ln - F.lit(n - 1)),
@@ -90,17 +122,130 @@ def char_ngrams(c: Column, n: int = 5) -> Column:
     return F.array_distinct(F.when(ln >= n, grams).otherwise(F.array(s)))
 
 
-def minhash_signature(shingles: Column) -> Column:
-    """MinHash signature (array<long>, len 16) over a shingle array."""
-    hashes = F.transform(shingles, poly_hash)
+def char_ngrams(c: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of normalized text (convenience form)."""
+    return char_ngrams_from_norm(normalize_text(c), n)
+
+
+# EVALUATION-COUNT DISCIPLINE (the dominant cost factor in this module):
+# a Column EXPRESSION referenced n times is EVALUATED n times — Catalyst's
+# CollapseProject only de-duplicates attribute references, not expression
+# trees, and common-subexpression elimination does not reach inside
+# higher-order-function lambdas. Every function below that consumes an
+# array many times therefore requires its input to be a MATERIALIZED
+# column (a `.select(...)` stage making it an attribute), never an inline
+# expression. Callers stage their pipelines accordingly.
+
+
+def token_hashes(c: Column) -> Column:
+    """Per-token hashes reduced mod P (array<long>): one xxhash64 JVM call
+    per token. Reduction keeps later affine combinations below 2^63 (ANSI
+    mode throws on long overflow — magnitudes are controlled algebraically,
+    not by wraparound)."""
+    return F.transform(tokens(c), lambda x: F.pmod(F.xxhash64(x), F.lit(HASH_PRIME)))
+
+
+def shingle_hashes_from_token_hashes(th: Column, k: int = 3) -> Column:
+    """Hashes of k-word shingles combined arithmetically from token hashes.
+    `th` MUST be a materialized column (see module note) — `element_at` is
+    evaluated k times per shingle. Duplicate shingle hashes are left in
+    place: MinHash takes a min, so distinctness is irrelevant and skipping
+    array_distinct saves a per-row sort."""
+    n = F.size(th)
+
+    def combine(i: Column) -> Column:
+        acc = F.element_at(th, i)
+        for j in range(1, k):
+            acc = F.pmod(acc * F.lit(31) + F.element_at(th, i + j), F.lit(HASH_PRIME))
+        return acc
+
+    shingled = F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)), combine)
+    # Fewer than k tokens: one pseudo-shingle from the whole hash array.
+    whole = F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * F.lit(31) + h, F.lit(HASH_PRIME)),
+    )
+    return F.when(n >= k, shingled).otherwise(F.array(whole))
+
+
+def minhash_signature_from_hashes(set_hashes: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature (array<long>, len n_hashes) over mod-P element
+    hashes. `set_hashes` MUST be a materialized column — it is scanned once
+    per hash function (n_hashes single-pass array_min folds over an
+    attribute, the cheapest available shape)."""
 
     def permute(a: int, b: int):
         # closure factory: PySpark inspects lambda arity, so default-arg
         # tricks (lambda h, a=a: ...) would read as multi-arg lambdas.
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(HASH_PRIME))
+
+    mins = [
+        F.array_min(F.transform(set_hashes, permute(a, b)))
+        for a, b in MINHASH_SEEDS[:n_hashes]
+    ]
+    return F.array(*mins)
+
+
+def minhash_signature(shingles: Column) -> Column:
+    """MinHash signature (array<long>, len 16) over a shingle STRING array
+    (portable-hash variant kept for signature-level parity tests)."""
+    hashes = F.transform(shingles, poly_hash)
+
+    def permute(a: int, b: int):
         return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_PRIME)
 
-    mins = [F.array_min(F.transform(hashes, permute(a, b))) for a, b in MINHASH_SEEDS]
+    mins = [F.array_min(F.transform(hashes, permute(a, b))) for a, b in MINHASH_SEEDS[:16]]
     return F.array(*mins)
+
+
+def banded_candidate_pairs(
+    sigs: DataFrame,
+    n_bands: int,
+    n_rows: int,
+    block_col: str | None = None,
+) -> DataFrame:
+    """LSH banding: `sigs` is (_id, _sig array<long>[, block]); emit distinct
+    candidate pairs (id_a < id_b) that collide in ≥1 band.
+
+    Scale shape: explode to n_bands rows, shuffle ONLY on (band, key[, blk])
+    — an equi-join on the band key; the pair space is the sum of
+    per-bucket C(size, 2), never global O(n²)."""
+    bands = sigs.select(
+        "_id",
+        *([F.col("_blk")] if block_col else []),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            F.transform(
+                                F.slice("_sig", j * n_rows + 1, n_rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("key"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", *(["_blk"] if block_col else []), "b.band", "b.key")
+
+    left, right = bands.alias("l"), bands.alias("r")
+    cond = (
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.key") == F.col("r.key"))
+        & (F.col("l._id") < F.col("r._id"))
+    )
+    if block_col:
+        cond = cond & (F.col("l._blk") == F.col("r._blk"))
+    return (
+        left.join(right, cond)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -108,10 +253,10 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
 
 
-def simhash32(token_arr: Column) -> Column:
-    """32-bit SimHash over a token array: bit j set iff the sum over tokens
-    of (±1 by token-hash bit j) is positive. Pure array arithmetic."""
-    hashes = F.array_distinct(F.transform(token_arr, poly_hash))
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from a MATERIALIZED distinct-token-hash column: bit j
+    set iff the sum over hashes of (±1 by hash bit j) is positive. 32
+    single-pass folds over an attribute."""
 
     def bit_vote(j: int):
         return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -121,6 +266,12 @@ def simhash32(token_arr: Column) -> Column:
         bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(j))
         out = out + F.when(bit_sum > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out
+
+
+def simhash32(token_arr: Column) -> Column:
+    """32-bit SimHash over a token array (convenience form — hot paths
+    stage the hash array first, see simhash32_from_hashes)."""
+    return simhash32_from_hashes(F.array_distinct(F.transform(token_arr, poly_hash)))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -148,47 +299,24 @@ def minhash_lsh_pairs(
     (band, key) → candidate pairs → exact jaccard filter. Returns
     (id_a, id_b, jaccard) with id_a < id_b.
     """
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_k).alias("_shingles"),
-    ).withColumn("_sig", minhash_signature(F.col("_shingles")))
-
-    bands = base.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            F.transform(
-                                F.slice("_sig", j * LSH_ROWS + 1, LSH_ROWS),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("key"),
-                    )
-                    for j in range(LSH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("_id", "b.band", "b.key")
-
-    left = bands.alias("l")
-    right = bands.alias("r")
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l._id") < F.col("r._id")),
+    # Staged projections: each hash array becomes an ATTRIBUTE before the
+    # next stage scans it many times (module evaluation-count note).
+    sigs = (
+        df.select(F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th"))
+        .select("_id", shingle_hashes_from_token_hashes(F.col("_th"), shingle_k).alias("_shh"))
+        .select(
+            "_id",
+            minhash_signature_from_hashes(F.col("_shh"), LSH_BANDS * LSH_ROWS).alias("_sig"),
         )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
     )
+    candidates = banded_candidate_pairs(sigs, LSH_BANDS, LSH_ROWS)
 
-    sh = base.select("_id", "_shingles")
-    verified = (
+    # Exact-jaccard verify over shingle STRING sets (matches the
+    # ground-truth oracle); staged the same way.
+    sh = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")).select(
+        "_id", word_shingles_from_tokens(F.col("_toks"), shingle_k).alias("_shingles")
+    )
+    return (
         candidates.join(sh.alias("sa"), F.col("id_a") == F.col("sa._id"))
         .join(sh.alias("sb"), F.col("id_b") == F.col("sb._id"))
         .select(
@@ -198,7 +326,14 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return verified
+
+
+# n-gram LSH banding: 32 hashes as 16 bands × 2 rows. Recall at the verify
+# threshold j=0.6 is 1-(1-j²)^16 ≈ 0.9992 per pair, ~1.0 for j ≥ 0.7 —
+# wide-band (2-row) keys admit more candidates, the exact verify removes
+# them, and the pair space stays O(candidates).
+NGRAM_LSH_BANDS = 16
+NGRAM_LSH_ROWS = 2
 
 
 def ngram_jaccard_pairs(
@@ -209,25 +344,50 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     ngram_n: int = 5,
 ) -> DataFrame:
-    """Exact char-n-gram Jaccard near-dup pairs, optionally blocked on a
-    column (e.g. source) so the pair space is per-block, not global —
-    the blocked join is the scale control."""
-    sets = df.select(
+    """Exact char-n-gram Jaccard near-dup pairs.
+
+    Candidate generation is banded MinHash-LSH over the n-gram sets — the
+    same machinery as word-shingle MinHash — so the join is an equi-join on
+    (band, key[, block]), never an all-pairs self-join within a block (a
+    `source`-keyed block is O(n²) at corpus scale). The optional block
+    column further partitions candidates (pairs must share it). Every
+    surviving pair is verified with EXACT jaccard over the true gram sets,
+    so the output equals the all-pairs ground truth wherever LSH recall
+    holds (≥0.999 at the 0.6 verify threshold; see NGRAM_LSH_BANDS note).
+    """
+    blk = [F.col(block_col).alias("_blk")] if block_col else []
+    blk_names = ["_blk"] if block_col else []
+    grams = df.select(
         F.col(id_col).alias("_id"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-        char_ngrams(F.col(text_col), ngram_n).alias("_grams"),
+        *blk,
+        normalize_text(F.col(text_col)).alias("_s"),
+    ).select(
+        "_id", *blk_names, char_ngrams_from_norm(F.col("_s"), ngram_n).alias("_grams")
     )
-    a = sets.alias("a")
-    b = sets.alias("b")
-    cond = F.col("a._id") < F.col("b._id")
-    if block_col:
-        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    sigs = grams.select(
+        "_id",
+        *blk_names,
+        F.transform(
+            F.col("_grams"), lambda g: F.pmod(F.xxhash64(g), F.lit(HASH_PRIME))
+        ).alias("_gh"),
+    ).select(
+        "_id",
+        *blk_names,
+        minhash_signature_from_hashes(
+            F.col("_gh"), NGRAM_LSH_BANDS * NGRAM_LSH_ROWS
+        ).alias("_sig"),
+    )
+    candidates = banded_candidate_pairs(
+        sigs, NGRAM_LSH_BANDS, NGRAM_LSH_ROWS, block_col=block_col
+    )
+    g = grams.select("_id", "_grams")
     return (
-        a.join(b, cond)
+        candidates.join(g.alias("ga"), F.col("id_a") == F.col("ga._id"))
+        .join(g.alias("gb"), F.col("id_b") == F.col("gb._id"))
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            jaccard(F.col("a._grams"), F.col("b._grams")).alias("jaccard"),
+            "id_a",
+            "id_b",
+            jaccard(F.col("ga._grams"), F.col("gb._grams")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -64,20 +64,40 @@ def nearest_neighbor_per_row(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    n_planes: int = 6,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """For every vector, its top-1 neighbor (cosine) — optionally blocked
-    (e.g. per label / per IVF cell) to bound the pair space at scale."""
+    """For every vector, its top-1 neighbor (cosine) among candidates that
+    share its sign-LSH bucket up to hamming distance 1 (multi-probe), and
+    its block column if given.
+
+    Scale shape: the candidate join is an EQUI-join — each vector's probe
+    keys (its own bucket + the n_planes single-bit flips) against every
+    vector's bucket — so the pair space is O(n · bucket_occupancy ·
+    (n_planes+1)), never the O(n²/|blocks|) of an all-pairs block join
+    (a low-cardinality label block is quadratic at corpus scale). Rows
+    with no candidate in any probed bucket are absent from the output
+    (approximate-NN contract; raise n_planes/multi-probe for recall)."""
     from pyspark.sql import Window as W
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                  *([F.col(block_col).alias("blk_a")] if block_col else []))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                  *([F.col(block_col).alias("blk_b")] if block_col else []))
-    cond = F.col("id_a") != F.col("id_b")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+        sign_lsh_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    probe_keys = [F.col("_bucket")]
+    if multi_probe:
+        probe_keys += [F.col("_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    a = base.withColumn("_probe", F.explode(F.array(*probe_keys))).alias("a")
+    b = base.alias("b")
+    cond = (F.col("a._probe") == F.col("b._bucket")) & (F.col("a._id") != F.col("b._id"))
     if block_col:
-        cond = cond & (F.col("blk_a") == F.col("blk_b"))
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
     pairs = a.join(b, cond).select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        cosine(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
     )
     w = W.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b"))
     return (

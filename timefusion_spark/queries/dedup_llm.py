@@ -97,8 +97,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", dd.simhash32(dd.tokens(F.col("text"))).alias("simhash")
+    # Stage the hash array into an attribute: simhash folds over it 32
+    # times, and a folded EXPRESSION would be re-evaluated per fold.
+    staged = d.select(
+        "doc_id",
+        F.array_distinct(F.transform(dd.tokens(F.col("text")), dd.poly_hash)).alias("_hs"),
+    )
+    return staged.select(
+        "doc_id", dd.simhash32_from_hashes(F.col("_hs")).alias("simhash")
     ).orderBy("doc_id")
 
 

@@ -51,9 +51,22 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+_BUCKET = """
+        CAST(list_sum(list_transform(range(0, 6), i ->
+            CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), d ->
+                     embedding[d]::DOUBLE *
+                     (CASE WHEN (([7368787,29986577,71316922,48610247,93310753,15485863][i+1]::BIGINT * d) % 97) < 48
+                           THEN 1.0 ELSE -1.0 END))) > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)
+"""
+
+
 @query(
     "q_knn_per_label",
     oracle=f"""
+    WITH bk AS (
+        SELECT vec_id, label, embedding, {_BUCKET} AS bucket FROM embeddings
+    )
     SELECT id_a, id_b, ROUND(cos_sim, 4) AS cos_sim
     FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -61,18 +74,21 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (
                    PARTITION BY a.vec_id
                    ORDER BY {_COS.format(a='a.embedding', b='b.embedding')} DESC, b.vec_id) AS rn
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+        FROM bk a
+        JOIN bk b ON a.label = b.label AND a.vec_id <> b.vec_id
+                 AND bit_count(xor(a.bucket, b.bucket)) <= 1
     ) x
     WHERE rn = 1
     ORDER BY id_a
     """,
-    doc="Top-1 neighbor per vector blocked by label (IVF-cell shape): "
-    "the pair space is per-block, the block key is the shuffle key.",
+    doc="Top-1 neighbor per vector among candidates sharing (label, sign-LSH "
+    "bucket) up to hamming 1 — multi-probe ANN. The Spark plan is an "
+    "equi-join on probe keys (no all-pairs block join); the oracle states "
+    "the identical candidate rule symmetrically (bucket hamming ≤ 1).",
 )
 def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    nn = sim.nearest_neighbor_per_row(e, block_col="label")
+    nn = sim.nearest_neighbor_per_row(e, block_col="label", n_planes=6, multi_probe=True)
     return nn.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")).orderBy("id_a")
 
 
