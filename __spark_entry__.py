@@ -27,8 +27,10 @@ def entry(spark: SparkSession) -> DataFrame:
     quick-start dashboard query shape (README.md:140-144) — count per
     operation name over a time window, ordered by count."""
     _ensure_loaded()
+    from timefusion_spark.functions.register import register_all
     from timefusion_spark.registry import REGISTRY
 
+    register_all(spark)  # SQL surface live for every session the driver opens
     return REGISTRY["q1_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001")
 
 

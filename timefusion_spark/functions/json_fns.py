@@ -19,18 +19,15 @@ def _path(key: str | int) -> str:
 
 def json_get(col: Column, key: str | int) -> Column:
     """PG `->`: extract a field as JSON text (objects/arrays stay JSON,
-    strings stay quoted).  get_json_object returns scalars unquoted, so
-    re-quote strings to keep `->` (json) semantics distinct from `->>`."""
-    raw = F.get_json_object(col, _path(key))
-    # get_json_object strips quotes from string scalars; detect scalars that
-    # were strings by round-tripping: if the raw extract is valid JSON
-    # (object/array/number/bool/null) keep it, else re-quote.
-    return F.when(raw.isNull(), F.lit(None).cast("string")).otherwise(
-        F.when(
-            raw.rlike(r"^(\{.*\}|\[.*\]|-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?|true|false|null)$"),
-            raw,
-        ).otherwise(F.concat(F.lit('"'), raw, F.lit('"')))
-    )
+    strings stay QUOTED — distinct from `->>`).
+
+    Structural, not heuristic: the value is extracted as a Variant and
+    re-rendered with to_json, so a string scalar that happens to look like
+    a number/bool ({"k":"123"}) keeps its quotes and embedded quotes are
+    escaped correctly (the regex re-quoting approach misclassified both).
+    Mirrors the reference's `->` rewrite to variant_get + variant_to_json
+    (functions.rs:94-254)."""
+    return F.to_json(F.variant_get(F.try_parse_json(col), _path(key), "variant"))
 
 
 def json_get_text(col: Column, key: str | int) -> Column:
@@ -76,3 +73,31 @@ def json_length(col: Column) -> Column:
 def json_contains(col: Column, key: str) -> Column:
     """True if the JSON object contains `key` (json_contains parity)."""
     return F.get_json_object(col, _path(key)).isNotNull()
+
+
+_SIMPLE_JSONPATH = __import__("re").compile(r"^\$(\.[A-Za-z_][A-Za-z0-9_]*|\[\d+\])*$")
+
+
+def jsonb_path_exists(col: Column, path: str) -> Column:
+    """PG jsonb_path_exists for SIMPLE lax paths ($.a.b[0] grammar): true
+    iff the path resolves to a value. Pure expression — matches the
+    reference's variant_get fast path (functions.rs:1273-1502, which
+    short-circuits simple paths the same way before engaging its full
+    jsonpath engine). Filter expressions (`? (@ > 1)`), wildcards and
+    recursive descent are NOT supported here and raise: a Python-UDF
+    jsonpath engine would put Python in the row path, which this engine
+    bans (SURVEY §2.11); the slt corpus only exercises simple paths."""
+    if not _SIMPLE_JSONPATH.match(path):
+        raise ValueError(f"unsupported jsonpath (simple $.a.b[0] paths only): {path!r}")
+    # JSON null is an existing value for jsonb_path_exists; variant_get
+    # distinguishes it (variant null) from a missing path (SQL NULL).
+    v = F.variant_get(F.try_parse_json(col), path, "variant")
+    return v.isNotNull() | F.is_variant_null(v)
+
+
+def json_array_elements(col: Column) -> Column:
+    """PG jsonb_array_elements as array<variant> for `explode` (the
+    reference stubs this pending table-function support,
+    functions.rs:823-827 — Spark's generator + Variant do it natively;
+    render elements with to_json for PG's jsonb element output)."""
+    return F.from_json(col, "array<variant>")

@@ -42,6 +42,7 @@ def load_all() -> None:
     from timefusion_spark.queries import (  # noqa: F401
         dedup_llm,
         functions_pg,
+        json_variant,
         relational,
         similarity,
         storage_mor,
