@@ -186,6 +186,51 @@ def q_percentile_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_percentile_sketch",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               LEAST(GREATEST(CAST(floor(((value - 0.0) / 600.0) * 64) AS INT), 0), 63) AS b,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), tot AS (SELECT event_type, SUM(c) AS t FROM h GROUP BY 1),
+    cum AS (
+        SELECT h.event_type, b, SUM(c) OVER (PARTITION BY h.event_type ORDER BY b) AS cm, tot.t
+        FROM h JOIN tot ON h.event_type = tot.event_type
+    )
+    SELECT event_type,
+           ROUND(CAST(0.0 + (MIN(CASE WHEN cm >= ceil(0.50 * t) THEN b END) + 0.5) * 9.375 AS DOUBLE), 4) AS p50,
+           ROUND(CAST(0.0 + (MIN(CASE WHEN cm >= ceil(0.95 * t) THEN b END) + 0.5) * 9.375 AS DOUBLE), 4) AS p95,
+           ROUND(CAST(0.0 + (MIN(CASE WHEN cm >= ceil(0.99 * t) THEN b END) + 0.5) * 9.375 AS DOUBLE), 4) AS p99
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Two-step mergeable percentile sketch (percentile_agg / "
+    "approx_percentile, functions.rs:1096-1267): partial digests built per "
+    "(event_type, user shard), MERGED per event_type, then quantiles read "
+    "from the merged digest — proving the partial-state roll-up the "
+    "reference's t-digest UDAF provides. Oracle mirrors the digest math "
+    "exactly (deterministic histogram sketch, functions/percentile.py).",
+)
+def q_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.functions import percentile as P
+
+    ev = t(spark, sf_dir, "events").withColumn("shard", (F.col("user_id") % 4).cast("int"))
+    partials = P.percentile_agg(ev, ["event_type", "shard"], "value", lo=0.0, hi=600.0, n=64)
+    merged = P.merge_digests(partials, ["event_type"])
+    out = P.with_percentiles(
+        merged, {"p50": 0.50, "p95": 0.95, "p99": 0.99}, lo=0.0, hi=600.0, n=64
+    )
+    return out.select(
+        "event_type",
+        F.round("p50", 4).alias("p50"),
+        F.round("p95", 4).alias("p95"),
+        F.round("p99", 4).alias("p99"),
+    ).orderBy("event_type")
+
+
+@query(
     "q_json_props_extract",
     oracle="""
     SELECT event_type,
