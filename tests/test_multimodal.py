@@ -1,0 +1,68 @@
+"""Multimodal plumbing: binary payload construction, mapInPandas batch
+shape/schema, stubbed decode gating, frame sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timefusion_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"text number {i} " * (i + 1), len(f"text number {i} " * (i + 1))) for i in range(12)]
+    return spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+
+def test_payload_is_binary_and_sized(docs):
+    media = M.synthesize_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    rows = media.select("media_id", F.octet_length("payload").alias("n")).collect()
+    by_id = {r["media_id"]: r["n"] for r in rows}
+    n_chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    assert all(by_id[i] == 32 * (1 + n_chars[i] % 7) for i in by_id)
+
+
+def test_map_in_pandas_features(docs):
+    media = M.synthesize_media(docs)
+    feats = M.extract_features(media, deterministic_fake=True).collect()
+    assert len(feats) == 12
+    # mean byte of repeat(md5hex) == mean ascii of the 32-char hex digest
+    import hashlib
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in feats:
+        hexd = hashlib.md5(texts[r["media_id"]].encode()).hexdigest()
+        expected = sum(ord(c) for c in hexd) / 32.0
+        assert abs(r["mean_byte"] - expected) < 1e-9
+
+
+def test_real_decode_is_declared_stub():
+    with pytest.raises(NotImplementedError, match="PIL|fake"):
+        M.decode_image(b"xx", "png", deterministic_fake=False)
+
+
+def test_frame_sampling(docs):
+    media = M.synthesize_media(docs).where(F.col("kind") == "video")
+    out = media.select(
+        F.col("meta")["n_frames"].alias("n"),
+        F.size(M.frame_sample_indices(F.col("meta"), 30)).alias("s"),
+    ).collect()
+    for r in out:
+        expected = 0 if r["n"] <= 0 else (r["n"] - 1) // 30 + 1
+        assert r["s"] == expected
+
+
+def test_metadata_query_prunes_payload(docs):
+    media = M.synthesize_media(docs)
+    # A metadata-only aggregate must not read the payload column — check
+    # column pruning in the analyzed plan (payload absent from the scan).
+    plan = (
+        media.groupBy("kind")
+        .count()
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "payload" not in plan  # pruned: the binary column is never built/read

@@ -1,0 +1,161 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode / feature-extraction as Arrow-batched Pandas UDF pipelines.
+
+Design (north-star LLM-pipeline brief):
+- media rows are (media_id, kind, payload BINARY, meta struct, format) —
+  the payload is opaque to the engine; everything relational (size/type
+  histograms, metadata filters, partition pruning) is pure JVM expression
+  over the binary column and the typed metadata.
+- decode / feature-extract runs in `mapInPandas` (Arrow batch transfer,
+  one pandas DataFrame per partition chunk — never row-at-a-time Python).
+  The actual image/audio codecs are NOT in this environment, so
+  `decode_image` raises NotImplementedError unless the deterministic-fake
+  mode is chosen; the fake derives pixel statistics from the payload
+  bytes, which keeps the whole Pandas-UDF path REAL (schema, batching,
+  Arrow round-trip) and oracle-checkable.
+- at 100 TB: payloads live in their own column chunk, so metadata-only
+  queries never read them (parquet column pruning); feature extraction
+  parallelizes per partition with no shuffle; repartition by kind only
+  when codec working-set size differs wildly per kind.
+
+Synthetic payload construction is shared with the DuckDB oracle: payload =
+UTF-8 bytes of repeat(md5_hex(text), 1 + n_chars % 7), so octet lengths
+and byte statistics are reproducible in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+KINDS = ["image", "audio", "video"]
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        # One flat typed metadata struct covering all kinds (absent fields
+        # NULL) — mirrors the flattened-column convention (SURVEY §1.2).
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("fps", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("size_bytes", T.LongType(), True),
+        T.StructField("mean_byte", T.DoubleType(), True),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table from `documents`: payload bytes are
+    repeat(md5_hex(text), 1 + n_chars % 7) — opaque to the engine, exactly
+    reproducible by the oracle."""
+    k = (F.lit(1) + F.col("n_chars") % 7).cast("int")
+    kind = F.element_at(
+        F.array(*[F.lit(x) for x in KINDS]), (F.col("doc_id") % 3).cast("int") + 1
+    )
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("wav"), F.lit("mp4")), (F.col("doc_id") % 3).cast("int") + 1
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        fmt.alias("format"),
+        F.encode(F.repeat(F.md5("text"), k), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(48).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.lit(30).alias("fps"),
+            (F.col("n_chars") % 300).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes, fmt: str, deterministic_fake: bool = False):
+    """Decode an image payload to a pixel array.
+
+    Real codecs (PIL/OpenCV) are not installed in this environment; the
+    real-decode branch is a declared stub. The deterministic fake treats
+    the payload bytes as the 'pixels', which exercises every downstream
+    code path with reproducible numbers."""
+    if deterministic_fake:
+        import numpy as np
+
+        return np.frombuffer(payload, dtype=np.uint8)
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env has no PIL
+        raise NotImplementedError(
+            "real image decode requires PIL/OpenCV (not in this environment); "
+            "pass deterministic_fake=True for the stubbed decode"
+        ) from e
+    raise NotImplementedError("real decode path not implemented — fake mode only")
+
+
+def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column via
+    mapInPandas: per batch, 'decode' each payload and emit
+    (media_id, kind, size_bytes, mean_byte).
+
+    Plan shape: scan → mapInPandas (no shuffle) — extraction is
+    embarrassingly parallel per partition; payload bytes only cross into
+    Python as Arrow buffers, batch-at-a-time."""
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            decoded = [
+                decode_image(p, f, deterministic_fake=deterministic_fake)
+                for p, f in zip(pdf["payload"], pdf["format"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "size_bytes": [len(p) for p in pdf["payload"]],
+                    "mean_byte": [float(d.mean()) for d in decoded],
+                }
+            )
+
+    return media.select("media_id", "kind", "format", "payload").mapInPandas(
+        _batches, FEATURE_SCHEMA
+    )
+
+
+def frame_sample_indices(meta: "F.Column", every_n: int = 30) -> "F.Column":
+    """Frame-sampling plan for video rows: indices [0, every_n, 2·every_n,
+    …) below meta.n_frames — pure expression; the per-frame decode slots
+    into the same mapInPandas shape as extract_features."""
+    n = F.coalesce(meta["n_frames"], F.lit(0))
+    return F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_n))).otherwise(
+        F.array().cast("array<int>")
+    )

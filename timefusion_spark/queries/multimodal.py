@@ -1,0 +1,107 @@
+"""Multimodal-column queries: binary payload histograms (pure JVM) and the
+Arrow-batched mapInPandas feature-extraction path, both oracle-checked via
+the deterministic payload construction (operators/multimodal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timefusion_spark.operators import multimodal as M
+from timefusion_spark.queries._tables import t
+from timefusion_spark.registry import query
+
+# payload = UTF-8(repeat(md5_hex(text), 1 + n_chars % 7)) — oracle mirror.
+_PAYLOAD_LEN = "32 * (1 + n_chars % 7)"
+_KIND = "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
+
+
+@query(
+    "q_media_size_histogram",
+    oracle=f"""
+    SELECT {_KIND} AS kind,
+           COUNT(*) AS n,
+           CAST(SUM({_PAYLOAD_LEN}) AS BIGINT) AS total_bytes,
+           ROUND(AVG({_PAYLOAD_LEN}), 4) AS avg_bytes,
+           CAST(MAX({_PAYLOAD_LEN}) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY kind
+    """,
+    doc="Size/type histogram over an opaque BINARY media column — pure "
+    "expression metadata query; the payload chunk is never decoded "
+    "(parquet column pruning keeps it unread when unselected).",
+)
+def q_media_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(t(spark, sf_dir, "documents"))
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.round(F.avg(F.octet_length("payload")), 4).alias("avg_bytes"),
+            F.max(F.octet_length("payload")).cast("bigint").alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+@query(
+    "q_media_features_pandas",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id AS media_id, {_KIND} AS kind,
+               {_PAYLOAD_LEN} AS size_bytes,
+               list_avg(list_transform(range(1, 33), i -> ascii(md5(text)[i]))) AS mean_byte
+        FROM documents
+    )
+    SELECT kind,
+           CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+           ROUND(AVG(mean_byte), 4) AS avg_mean_byte
+    FROM f
+    GROUP BY kind
+    ORDER BY kind
+    """,
+    doc="Arrow-batched mapInPandas decode/feature path over the binary "
+    "column (deterministic-fake decode — real codecs are a declared stub): "
+    "proves the Python batch plumbing end-to-end, values oracle-matched "
+    "(mean byte of repeat(md5_hex) == mean ascii of the 32 hex chars).",
+)
+def q_media_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(t(spark, sf_dir, "documents"))
+    feats = M.extract_features(media, deterministic_fake=True)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.sum("size_bytes").alias("total_bytes"),
+            F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+        )
+        .orderBy("kind")
+    )
+
+
+@query(
+    "q_media_frame_sampling",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN n_frames > 0
+                         THEN CAST(floor((n_frames - 1) / 30) AS BIGINT) + 1
+                         ELSE 0 END) AS BIGINT) AS total_sampled_frames,
+           COUNT(*) AS n_videos
+    FROM (
+        SELECT n_chars % 300 AS n_frames
+        FROM documents WHERE doc_id % 3 = 2
+    ) v
+    """,
+    doc="Video frame-sampling plan: every-30th frame indices from typed "
+    "metadata as a pure sequence expression; the per-frame decode slots "
+    "into the same mapInPandas batch shape.",
+)
+def q_media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(t(spark, sf_dir, "documents"))
+    videos = media.where(F.col("kind") == "video")
+    return videos.select(
+        F.size(M.frame_sample_indices(F.col("meta"), 30)).alias("_n")
+    ).agg(
+        F.sum("_n").alias("total_sampled_frames"),
+        F.count(F.lit(1)).alias("n_videos"),
+    )

@@ -43,6 +43,7 @@ def load_all() -> None:
         dedup_llm,
         functions_pg,
         json_variant,
+        multimodal,
         relational,
         similarity,
         storage_mor,
