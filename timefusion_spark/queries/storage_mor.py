@@ -140,6 +140,57 @@ def q_mor_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_maintenance_invariance",
+    oracle=f"""
+    SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
+           COUNT(*) AS n_live,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END), 2) AS total_value
+    FROM orders
+    WHERE o_orderkey <= {_N} AND o_orderkey % 7 <> 0
+    GROUP BY 1
+    ORDER BY project_id
+    """,
+    doc="Maintenance preserves visible state: OPTIMIZE-style compaction on "
+    "one partition (database.rs:5675), dedup sweep on another "
+    "(database.rs:6737), vacuum of stray files (database.rs:9514), and a "
+    "migrate-columns schema widening (main.rs:622-671) — the dedup view "
+    "afterwards still equals the closed-form post-DML oracle.",
+)
+def q_maintenance_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import maintenance
+    from timefusion_spark.storage.schema import FieldDef
+
+    tbl, base_dir = _build_mor_table(spark, sf_dir)
+    try:
+        parts = [
+            (r["project_id"], str(r["date"]))
+            for r in tbl.read_raw().select("project_id", "date").distinct().collect()
+        ]
+        # Compact the first partition, dedup-sweep two more, then vacuum
+        # and widen the schema — none may change the visible state.
+        maintenance.compact(tbl, {"project_id": parts[0][0], "date": parts[0][1]})
+        for pid, d in parts[1:3]:
+            maintenance.dedup_sweep(tbl, {"project_id": pid, "date": d})
+        maintenance.vacuum(tbl)
+        maintenance.migrate_columns(tbl, [FieldDef("note", "Utf8", nullable=True)])
+        from timefusion_spark.storage import Table
+
+        reopened = Table.open(spark, tbl.path)
+        out = (
+            reopened.read()
+            .groupBy("project_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("project_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
     "q_storage_partition_scan",
     oracle=f"""
     SELECT COUNT(*) AS n,
