@@ -1,0 +1,86 @@
+"""PG-dialect shim: string translation unit tests + end-to-end execution
+through spark.sql against known values."""
+
+from __future__ import annotations
+
+import pytest
+
+from timefusion_spark.pgshim import pg_sql, pg_to_spark_sql
+
+
+@pytest.mark.parametrize(
+    "pg,expected",
+    [
+        # ->> text extraction
+        (
+            "SELECT props ->> 'k' FROM t",
+            "SELECT get_json_object(props, '$.k') FROM t",
+        ),
+        # -> JSON extraction via variant
+        (
+            "SELECT props -> 'k' FROM t",
+            "SELECT to_json(variant_get(try_parse_json(props), '$.k', 'variant')) FROM t",
+        ),
+        # chained arrows collapse into one path
+        (
+            "SELECT props -> 'a' ->> 'b' FROM t",
+            "SELECT get_json_object(props, '$.a.b') FROM t",
+        ),
+        ("SELECT j -> 0 ->> 'x' FROM t", "SELECT get_json_object(j, '$[0].x') FROM t"),
+        # :: casts
+        ("SELECT x::int8 FROM t", "SELECT CAST(x AS BIGINT) FROM t"),
+        ("SELECT x::text FROM t", "SELECT CAST(x AS STRING) FROM t"),
+        ("SELECT ts::date FROM t", "SELECT CAST(ts AS DATE) FROM t"),
+        # cast binds to the parenthesized unit / function call
+        ("SELECT sum(v)::float8 FROM t", "SELECT CAST(sum(v) AS DOUBLE) FROM t"),
+        # PG array literal with element type
+        ("SELECT '{a,b}'::text[] FROM t", "SELECT array('a', 'b') FROM t"),
+        ("SELECT '{1,2}'::int4[] FROM t", "SELECT array(1, 2) FROM t"),
+        # = ANY membership
+        (
+            "SELECT * FROM t WHERE 'x' = ANY(tags)",
+            "SELECT * FROM t WHERE array_contains(tags, 'x')",
+        ),
+        # ARRAY[...] constructor
+        ("SELECT ARRAY['a','b'] FROM t", "SELECT array('a','b') FROM t"),
+        # && overlap
+        ("SELECT a && b FROM t", "SELECT arrays_overlap(a, b) FROM t"),
+        # regex matches
+        ("SELECT x ~ 'ab+' FROM t", "SELECT x RLIKE 'ab+' FROM t"),
+        ("SELECT x ~* 'ab+' FROM t", "SELECT x RLIKE '(?i)ab+' FROM t"),
+        # now()
+        ("SELECT now()", "SELECT current_timestamp()"),
+        # leading ABORT synonym
+        ("ABORT; SELECT 1", "ROLLBACK; SELECT 1"),
+        # strings and comments are never rewritten
+        (
+            "SELECT '->> not an op', x FROM t -- y::int8",
+            "SELECT '->> not an op', x FROM t -- y::int8",
+        ),
+    ],
+)
+def test_translation(pg, expected):
+    assert pg_to_spark_sql(pg) == expected
+
+
+def test_end_to_end_execution(spark):
+    spark.createDataFrame(
+        [(1, '{"k": 7, "tags": ["a", "b"]}', "Hello")],
+        "id long, props string, txt string",
+    ).createOrReplaceTempView("shim_t")
+    row = pg_sql(
+        spark,
+        """
+        SELECT (props ->> 'k')::int8 AS k,
+               props -> 'k' AS k_json,
+               id::text AS id_s,
+               'a' = ANY('{a,b}'::text[]) AS has_a,
+               txt ~* '^hello$' AS m
+        FROM shim_t
+        """,
+    ).collect()[0]
+    assert row["k"] == 7
+    assert row["k_json"] == "7"
+    assert row["id_s"] == "1"
+    assert row["has_a"] is True
+    assert row["m"] is True

@@ -141,6 +141,40 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pg_shim_dialect",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) FILTER (WHERE regexp_matches(event_type, '(?i)^err')) AS n_err_like
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="PG-dialect SQL surface end-to-end (SURVEY §3.1 step 1): ->> text "
+    "extraction, ::int8 cast, ~* regex — translated by pgshim "
+    "(pgwire_handlers.rs:654 synonyms, functions.rs:94-254 arrow rewrites) "
+    "and executed by spark.sql.",
+)
+def q_pg_shim_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.pgshim import pg_sql
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("_tf_events_pg")
+    return pg_sql(
+        spark,
+        """
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM((props ->> 'k')::int8) AS sum_k,
+               COUNT(*) FILTER (WHERE event_type ~* '^err') AS n_err_like
+        FROM _tf_events_pg
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    )
+
+
+@query(
     "q_json_get_text",
     oracle="""
     SELECT event_id,
