@@ -178,6 +178,30 @@ class TestScanPruning:
         assert got == 2
 
 
+class TestProjectGuard:
+    def test_guard_accepts_and_conjuncts(self, spark):
+        from timefusion_spark.storage.guard import contains_project_id
+
+        assert contains_project_id("project_id = 'p1'")
+        assert contains_project_id("'p1' = project_id")
+        assert contains_project_id("a > 3 AND project_id = 'p1' AND b < 9")
+        assert contains_project_id("(project_id = 'p1') AND x IS NULL")
+
+    def test_guard_rejects_or_and_absent(self, spark):
+        from timefusion_spark.storage.guard import contains_project_id
+
+        assert not contains_project_id("project_id = 'a' OR project_id = 'b'")
+        assert not contains_project_id("x = 1")
+        assert not contains_project_id("project_id > 'a'")
+        assert not contains_project_id("project_id = other_col")
+
+    def test_guarded_where(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        assert mor_table.guarded_where("project_id = 'p1' AND value > 0").count() == 2
+        with pytest.raises(ValueError, match="project_id"):
+            mor_table.guarded_where("value > 0")
+
+
 class TestDML:
     def test_update_version_append(self, spark, mor_table):
         mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")

@@ -140,6 +140,54 @@ def q_mor_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_otel_dashboard",
+    oracle="""
+    SELECT event_type AS name, COUNT(*) AS n
+    FROM events
+    WHERE event_id <= 4000 AND user_id % 3 = 1 AND event_id % 5 IN (0, 1)
+    GROUP BY event_type
+    ORDER BY n DESC, name
+    """,
+    doc="The reference README quick-start dashboard query (README.md:140-144) "
+    "over the REAL otel_logs_and_spans storage table: routed scan with "
+    "project guard + timestamp bounds deriving date partition pruning, "
+    "keep-greatest dedup view, GROUP BY name ORDER BY count DESC.",
+)
+def q_otel_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import Table, load_schema
+
+    schema = load_schema(os.path.join(_SCHEMA_DIR, "otel_logs_and_spans.yaml"))
+    base_dir = tempfile.mkdtemp(prefix="tf_otel_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "otel"))
+    try:
+        ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 4000)
+        rows = ev.select(
+            F.col("event_id").cast("string").alias("id"),
+            F.expr(
+                "timestamp'2026-03-01 00:00:00'"
+                " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
+                " + make_interval(0,0,0,0,0,0,cast(event_id % 86400 as int))"
+            ).alias("timestamp"),
+            F.col("event_type").alias("name"),
+            F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
+            (F.col("value") * 1e6).cast("long").alias("duration_ns"),
+            F.col("props").alias("attributes"),
+        )
+        tbl.append(rows, stamp="2026-03-06 00:00:00")
+        view = tbl.scan(
+            project_id="p1", ts_lo="2026-03-01 00:00:00", ts_hi="2026-03-03 00:00:00"
+        )
+        out = (
+            view.groupBy("name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "name")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
     "q_maintenance_invariance",
     oracle=f"""
     SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,

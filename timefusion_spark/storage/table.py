@@ -252,6 +252,16 @@ class Table:
                 df = df.where(F.col("date") <= F.lit(ts_hi).cast("timestamp").cast("date"))
         return self._tombstone_filter(self._dedup_view(df, policy))
 
+    def guarded_where(self, predicate: str) -> DataFrame:
+        """Tenant-guarded query entry: the predicate MUST pin project_id
+        (optimizers/mod.rs:192-216 — AND-conjuncts only, OR rejected);
+        applied over the dedup view, with the project filter free to prune
+        partitions below the window (the key is version-immutable)."""
+        from timefusion_spark.storage.guard import require_project_guard
+
+        require_project_guard(predicate)
+        return self.read().where(predicate)
+
     def count(self) -> int:
         """COUNT(*) with the reference's decline-on-doubt gating
         (count_pushdown.rs:1-27): a table that can hold duplicate versions
