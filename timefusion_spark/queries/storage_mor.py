@@ -140,6 +140,73 @@ def q_mor_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_streaming_ingest",
+    oracle="""
+    SELECT 'p' || CAST(user_id % 3 AS VARCHAR) AS project_id,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE event_id <= 3000
+    GROUP BY 1
+    ORDER BY project_id
+    """,
+    doc="Streaming ingest lifecycle (SURVEY M5, buffered_write_layer.rs "
+    "flush semantics): file-source readStream → foreachBatch through the "
+    "real write path (stamp, in-batch LWW dedup, sorted partitioned "
+    "append), checkpointed; the same rows DELIVERED TWICE (two source "
+    "streams — an at-least-once producer replay) still count once through "
+    "the dedup view (exactly-once visibility, "
+    "buffered_write_layer.rs:2506).",
+)
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import Table, load_schema
+    from timefusion_spark.storage.streaming import ingest_stream
+
+    schema = load_schema(os.path.join(_SCHEMA_DIR, "mor_versioned.yaml"))
+    base_dir = tempfile.mkdtemp(prefix="tf_stream_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "t"))
+    try:
+        ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 3000)
+        rows = ev.select(
+            F.col("event_id").cast("string").alias("id"),
+            F.expr(
+                "timestamp'2026-03-01 00:00:00'"
+                " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
+            ).alias("timestamp"),
+            F.col("event_type").alias("name"),
+            F.col("value").alias("value"),
+            F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
+        )
+        src = os.path.join(base_dir, "src")
+        rows.coalesce(2).write.json(src)
+        src_schema = (
+            "id string, timestamp timestamp, name string, value double, project_id string"
+        )
+
+        def _run(ckpt: str) -> None:
+            stream = spark.readStream.schema(src_schema).json(src)
+            q = ingest_stream(tbl, stream, os.path.join(base_dir, ckpt))
+            q.awaitTermination(300)
+
+        _run("ckpt1")
+        _run("ckpt2")  # full redelivery through a second stream
+        n_src = rows.count()
+        assert tbl.read_raw().count() == 2 * n_src  # both deliveries landed
+        out = (
+            tbl.read()
+            .groupBy("project_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("project_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
     "q_otel_dashboard",
     oracle="""
     SELECT event_type AS name, COUNT(*) AS n
