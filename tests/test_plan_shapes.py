@@ -1,0 +1,83 @@
+"""Plan-shape pins for the optimizer behaviors the reference implements
+as custom rules — verifying Catalyst already provides them (SURVEY §4.1),
+so a regression (or a Spark upgrade changing behavior) is caught here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _expensive(col):
+    return F.to_json(F.struct(col, (col * 2).alias("d")))
+
+
+def test_catalyst_does_not_defer_expensive_projection(spark):
+    """Pins the finding that motivates plans/defer.py: writing the
+    projection BEFORE orderBy().limit() evaluates it on every row — the
+    expensive expression sits in a Project BELOW TakeOrderedAndProject
+    (Catalyst has no DeferExpensiveProjection analog)."""
+    naive = (
+        spark.range(1000)
+        .select("id", _expensive(F.col("id")).alias("expensive"))
+        .orderBy(F.col("id").desc())
+        .limit(5)
+    )
+    plan = naive._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    topk_at = next(i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l)
+    proj_at = next(i for i, l in enumerate(lines) if "structstojson" in l.lower() or "to_json" in l)
+    assert proj_at > topk_at  # projection is BELOW (evaluated first, on all rows)
+
+
+def test_take_ordered_then_project_defers(spark):
+    """The helper produces the reference-rule shape: top-K on narrow
+    columns, expensive projection above it (evaluated on K rows only)."""
+    from timefusion_spark.plans import take_ordered_then_project
+
+    df = take_ordered_then_project(
+        spark.range(1000),
+        order=[F.col("id").desc()],
+        limit=5,
+        projections={"expensive": _expensive(F.col("id"))},
+    )
+    assert df.count() == 5
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    topk_at = next(i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l)
+    # the projection folds INTO TakeOrderedAndProject's project list (its
+    # output), which evaluates after top-K selection — and no Project with
+    # the expensive expression exists BELOW it.
+    assert "expensive" in lines[topk_at]
+    assert not any(
+        "structstojson" in l.lower() or "to_json" in l for l in lines[topk_at + 1 :]
+    )
+
+
+def test_count_star_reads_no_columns(spark, sf_dir):
+    """COUNT(*) metadata shape (count_pushdown.rs analog): a bare count
+    over parquet prunes to ReadSchema struct<> — no column is decoded,
+    the scan serves row counts from parquet row-group metadata."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(F.count(F.lit(1)).alias("n"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<>" in plan
+
+
+def test_partition_filters_reach_scan_through_dedup_window(spark, tmp_path):
+    """Predicate placement (database.rs:12507-12533): partition/time filters
+    applied below the dedup window still prune the scan; the window itself
+    uses WindowGroupLimit (map-side partial top-1) rather than a full sort
+    of every version."""
+    from timefusion_spark.storage import Table, load_schema_text
+    from tests.test_storage import MOR_YAML, _rows, BASE
+
+    tbl = Table.create(spark, load_schema_text(MOR_YAML), str(tmp_path / "t"))
+    tbl.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+    plan = (
+        tbl.scan(project_id="p1", ts_lo="2026-01-01 00:00:00")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "project_id" in plan
+    assert "WindowGroupLimit" in plan

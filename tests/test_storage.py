@@ -290,6 +290,39 @@ class TestMaintenance:
         with pytest.raises(ValueError, match="nullable"):
             maintenance.migrate_columns(mor_table, [FieldDef("bad", "Utf8", nullable=False)])
 
+    def test_sorted_write_survives_partitioned_writer(self, spark, mor_table):
+        """Within-file order must be sorting_columns (timestamp DESC, id):
+        FileFormatWriter re-sorts by dynamic-partition columns unless they
+        lead the sort — this pins that our files really are recency-sorted
+        (the row-group-pruning contract for top-K)."""
+        rows = [
+            (f"2026-01-01 10:{i % 60:02d}:00", f"id{i:02d}", float(i), "p1")
+            for i in range(30)
+        ]
+        mor_table.append(_rows(spark, rows), stamp="2026-02-01 00:00:00")
+        got = [r["id"] for r in mor_table.read_raw().collect()]
+        ts_desc = [f"id{i:02d}" for i in reversed(range(30))]
+        assert got == ts_desc
+
+    def test_zorder_rewrite_invariant_and_idempotent(self, spark, mor_table):
+        rows = [
+            (f"2026-01-01 10:{i % 60:02d}:00", f"id{i}", float(i * 7 % 23), "p1")
+            for i in range(40)
+        ]
+        mor_table.append(_rows(spark, rows), stamp="2026-02-01 00:00:00")
+        part = {"project_id": "p1", "date": "2026-01-01"}
+        n = maintenance.zorder_rewrite(mor_table, part, ["timestamp", "value"])
+        assert n == 40
+        # visible data unchanged
+        assert mor_table.read().count() == 40
+        order1 = [r["id"] for r in mor_table.read_raw().collect()]
+        # idempotent: same deterministic layout on re-run
+        maintenance.zorder_rewrite(mor_table, part, ["timestamp", "value"])
+        order2 = [r["id"] for r in mor_table.read_raw().collect()]
+        assert order1 == order2
+        # clustered: neither plain timestamp-order nor insertion order
+        assert order1 != [f"id{i}" for i in range(40)]
+
     def test_stats(self, spark, mor_table):
         mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
         st = maintenance.stats(mor_table).collect()

@@ -52,7 +52,9 @@ def compact(table: Table, partition_values: dict[str, str], target_files: int = 
         return 0
     out = part.repartition(target_files)
     if table.schema.sorting_columns:
-        out = out.sortWithinPartitions(*table._sort_cols())
+        out = out.sortWithinPartitions(
+            *[F.col(c) for c in table.schema.partitions], *table._sort_cols()
+        )
     _overwrite_partitions(table, out)
     return rows
 
@@ -72,9 +74,64 @@ def dedup_sweep(table: Table, partition_values: dict[str, str]) -> int:
     if after < before:
         out = winners
         if table.schema.sorting_columns:
-            out = out.sortWithinPartitions(*table._sort_cols())
+            out = out.sortWithinPartitions(
+                *[F.col(c) for c in table.schema.partitions], *table._sort_cols()
+            )
         _overwrite_partitions(table, out)
     return before - after
+
+
+def zorder_rewrite(
+    table: Table,
+    partition_values: dict[str, str],
+    cols: list[str] | None = None,
+    bits: int = 8,
+) -> int:
+    """OPTIMIZE … ZORDER BY analog (database.rs z-order compaction path;
+    e2e idempotence contract tests/e2e/zorder_idempotence.rs): rewrite one
+    partition with rows clustered along a Z-order (Morton) curve over
+    `cols`, so multi-column range predicates prune row groups on every
+    listed column instead of only the leading sort key.
+
+    Each column is rank-normalized into 2^bits buckets (percent_rank —
+    distribution-agnostic), and bucket bits are interleaved into the sort
+    key. The global-order window runs over ONE table partition (the unit
+    the reference compacts), which bounds the sort. Deterministic, hence
+    idempotent: a second rewrite reproduces the same layout."""
+    cols = cols or table.schema.z_order_columns
+    if not cols:
+        return 0
+    from pyspark.sql import Window as W
+
+    part = _partition_filter(table.read_raw(), partition_values)
+    rows = part.count()
+    if rows == 0:
+        return 0
+    n = len(cols)
+    staged = part
+    for i, c in enumerate(cols):
+        pr = F.percent_rank().over(W.orderBy(F.col(c).asc_nulls_first()))
+        staged = staged.withColumn(
+            f"_zb{i}",
+            F.least(F.floor(pr * F.lit(1 << bits)).cast("long"), F.lit((1 << bits) - 1)),
+        )
+    zkey = F.lit(0).cast("long")
+    for j in range(bits):
+        for i in range(n):
+            zkey = zkey + F.shiftleft(
+                F.shiftright(F.col(f"_zb{i}"), j).bitwiseAND(F.lit(1)), j * n + i
+            )
+    out = (
+        staged.withColumn("_zkey", zkey)
+        .repartition(1)
+        # partition cols lead the sort so FileFormatWriter's dynamic-
+        # partition ordering requirement is already satisfied and it does
+        # not re-sort (its sort is unstable and would undo the clustering).
+        .sortWithinPartitions(*table.schema.partitions, "_zkey", *cols)
+        .drop("_zkey", *[f"_zb{i}" for i in range(n)])
+    )
+    _overwrite_partitions(table, out)
+    return rows
 
 
 def vacuum(table: Table) -> list[str]:

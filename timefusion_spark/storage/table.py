@@ -164,7 +164,15 @@ class Table:
             # fragment to every dir: small-file explosion.
             batch = batch.repartition(*[F.col(c) for c in self.schema.partitions])
         if self.schema.sorting_columns:
-            batch = batch.sortWithinPartitions(*self._sort_cols())
+            # Partition columns MUST lead the sort: FileFormatWriter demands
+            # rows ordered by the dynamic-partition columns and inserts its
+            # own (unstable) sort when they don't — which would destroy the
+            # sorting_columns order inside each file. With the partition
+            # cols as a prefix, the writer sees its requirement satisfied
+            # and our within-file order survives.
+            batch = batch.sortWithinPartitions(
+                *[F.col(c) for c in self.schema.partitions], *self._sort_cols()
+            )
         writer = batch.write.mode("append").options(**self._writer_options())
         if self.schema.partitions:
             writer = writer.partitionBy(*self.schema.partitions)
