@@ -50,6 +50,12 @@ from timefusion_spark.pgshim import pg_sql, pg_to_spark_sql
         ("SELECT x ~* 'ab+' FROM t", "SELECT x RLIKE '(?i)ab+' FROM t"),
         # now()
         ("SELECT now()", "SELECT current_timestamp()"),
+        # time_bucket interval literal → seconds form (reference grammar)
+        (
+            "SELECT time_bucket('5 minutes', ts) FROM t",
+            "SELECT time_bucket_secs(300, ts) FROM t",
+        ),
+        ("SELECT time_bucket('30m', ts) FROM t", "SELECT time_bucket_secs(1800, ts) FROM t"),
         # leading ABORT synonym
         ("ABORT; SELECT 1", "ROLLBACK; SELECT 1"),
         # strings and comments are never rewritten

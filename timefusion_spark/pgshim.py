@@ -325,6 +325,17 @@ def _translate_misc(sql: str) -> str:
         sql,
     )
     sql = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
+
+    # time_bucket('5 minutes', ts) → time_bucket_secs(300, ts): the interval
+    # literal parses driver-side with the reference grammar
+    # (functions.rs:1043-1093); the SQL function stays JVM-side.
+    def _tb(m: "re.Match[str]") -> str:
+        from timefusion_spark.functions.time import parse_interval_to_micros
+
+        micros = parse_interval_to_micros(m.group(1))
+        return f"time_bucket_secs({micros // 1_000_000}, "
+
+    sql = re.sub(r"\btime_bucket\s*\(\s*'([^']+)'\s*,\s*", _tb, sql, flags=re.IGNORECASE)
     return sql
 
 

@@ -122,6 +122,115 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_OF = """
+        CAST(list_sum(list_transform(range(0, 6), i ->
+            CASE WHEN list_sum(list_transform(range(1, len({v})+1), d ->
+                     {v}[d]::DOUBLE *
+                     (CASE WHEN (([7368787,29986577,71316922,48610247,93310753,15485863][i+1]::BIGINT * d) % 97) < 48
+                           THEN 1.0 ELSE -1.0 END))) > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)
+"""
+
+
+@query(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id,
+               list_transform(embedding::DOUBLE[], x -> x * 1.5) AS v
+        FROM embeddings WHERE vec_id < 200 AND vec_id % 2 = 0
+    ), bk AS (
+        SELECT vec_id, v, {_BUCKET_OF.format(v='v')} AS bucket FROM base
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_inner_product(a.v, b.v) /
+                 (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos_sim
+    FROM bk a JOIN bk b
+      ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+    WHERE list_inner_product(a.v, b.v) /
+          (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.999
+    ORDER BY id_a
+    """,
+    doc="Embedding-cosine near-duplicate pairs: sign-LSH bucket candidates "
+    "(hamming ≤ 1, equi-join on probe keys — never all-pairs) + exact "
+    "cosine verify ≥0.999. Planted duplicates (positively scaled copies) "
+    "share buckets by construction, so recall is exact and the oracle "
+    "states the identical candidate rule.",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    dup = e.where(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * F.lit(1.5)).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    ).unionByName(dup)
+    staged = base.select(
+        "vec_id", "embedding", sim.sign_lsh_bucket(F.col("embedding"), 6).alias("_bucket")
+    )
+    probes = staged.withColumn(
+        "_probe",
+        F.explode(
+            F.array(
+                F.col("_bucket"),
+                *[F.col("_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(6)],
+            )
+        ),
+    ).alias("a")
+    b = staged.alias("b")
+    pairs = (
+        probes.join(
+            b,
+            (F.col("a._probe") == F.col("b._bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.999)
+    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")).orderBy(
+        "id_a"
+    )
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Skew-resilient salted two-stage aggregation (operators/skew.py): "
+    "hot keys spread over 16 salt buckets in stage 1, partials merged in "
+    "stage 2 — result provably identical to the direct groupBy (exact "
+    "decimal sums make the equality independent of addition order).",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.operators.skew import salted_sum_count
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_sum_count(ev, ["event_type"], "value", F.col("user_id"), 16)
+    return out.select(
+        "event_type", F.col("total").cast("double").alias("total"), "n"
+    ).orderBy("event_type")
+
+
 @query(
     "q_embedding_stats",
     oracle="""
