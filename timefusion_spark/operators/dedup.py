@@ -137,6 +137,18 @@ def char_ngrams(c: Column, n: int = 5) -> Column:
 # expression. Callers stage their pipelines accordingly.
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Gated repartition for CPU-bound per-row stages: if the scan yields
+    fewer partitions than the cluster's parallelism (e.g. a single-row-group
+    parquet file, which is unsplittable), spread rows first. At real scale
+    inputs arrive as many ≥128 MB row groups, the gate is false, and NO
+    shuffle is added — this only rescues the degenerate small-file case."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 32):
+        return df.repartition(min(target, 32))
+    return df
+
+
 def token_hashes(c: Column) -> Column:
     """Per-token hashes reduced mod P (array<long>): one xxhash64 JVM call
     per token. Reduction keeps later affine combinations below 2^63 (ANSI
@@ -299,6 +311,7 @@ def minhash_lsh_pairs(
     (band, key) → candidate pairs → exact jaccard filter. Returns
     (id_a, id_b, jaccard) with id_a < id_b.
     """
+    df = ensure_parallelism(df.select(F.col(id_col).alias(id_col), F.col(text_col)))
     # Staged projections: each hash array becomes an ATTRIBUTE before the
     # next stage scans it many times (module evaluation-count note).
     sigs = (
@@ -357,32 +370,83 @@ def ngram_jaccard_pairs(
     """
     blk = [F.col(block_col).alias("_blk")] if block_col else []
     blk_names = ["_blk"] if block_col else []
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        *blk,
-        normalize_text(F.col(text_col)).alias("_s"),
-    ).select(
-        "_id", *blk_names, char_ngrams_from_norm(F.col("_s"), ngram_n).alias("_grams")
+    nrm = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("_id"),
+            *blk,
+            normalize_text(F.col(text_col)).alias("_s"),
+        )
     )
-    sigs = grams.select(
-        "_id",
-        *blk_names,
-        F.transform(
-            F.col("_grams"), lambda g: F.pmod(F.xxhash64(g), F.lit(HASH_PRIME))
-        ).alias("_gh"),
-    ).select(
-        "_id",
-        *blk_names,
-        minhash_signature_from_hashes(
-            F.col("_gh"), NGRAM_LSH_BANDS * NGRAM_LSH_ROWS
-        ).alias("_sig"),
+    # Signature path: RAW gram hashes (array_min ignores duplicates, so the
+    # per-row array_distinct sort is pure waste here; the distinct gram
+    # SETS are built only in the verify stage where jaccard needs them).
+    raw_gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(F.col("_s")) - F.lit(ngram_n - 1), F.lit(1))),
+        lambda i: F.pmod(F.xxhash64(F.col("_s").substr(i, F.lit(ngram_n))), F.lit(HASH_PRIME)),
+    )
+    # Consistent sampling before the 32 permutation passes: keeping only
+    # hashes ≡ 0 (mod 4) selects the SAME 25% sub-universe of grams on
+    # every document (the bottom-k/mod-sketch idea), so Jaccard estimates
+    # are unchanged in expectation while signature cost drops 4×. Short
+    # documents fall back to their full hash set (sampling an ~0-gram doc
+    # would empty its signature).
+    sigs = (
+        nrm.select("_id", *blk_names, raw_gram_hashes.alias("_gh_all"))
+        .select(
+            "_id",
+            *blk_names,
+            F.col("_gh_all"),
+            F.filter(F.col("_gh_all"), lambda h: h % 4 == 0).alias("_gh_sample"),
+        )
+        .select(
+            "_id",
+            *blk_names,
+            F.when(F.size("_gh_sample") >= 64, F.col("_gh_sample"))
+            .otherwise(F.col("_gh_all"))
+            .alias("_gh"),
+        )
+        .select(
+            "_id",
+            *blk_names,
+            minhash_signature_from_hashes(
+                F.col("_gh"), NGRAM_LSH_BANDS * NGRAM_LSH_ROWS
+            ).alias("_sig"),
+        )
+    )
+    grams = nrm.select(
+        "_id", *blk_names, char_ngrams_from_norm(F.col("_s"), ngram_n).alias("_grams")
     )
     candidates = banded_candidate_pairs(
         sigs, NGRAM_LSH_BANDS, NGRAM_LSH_ROWS, block_col=block_col
     )
+    # Signature-estimate prefilter: wide (2-row) bands admit many false
+    # candidates — tens of thousands on boilerplate-heavy corpora — and
+    # the EXACT verify intersects ~10³-element gram sets per pair. The
+    # minhash agreement fraction estimates jaccard from the 32-element
+    # signatures already in hand (O(32) per pair); requiring est ≥
+    # threshold - 0.2 removes ~99% of false candidates while a true pair
+    # at j ≥ threshold fails the margin with probability < 1%
+    # (binomial(32, j) more than 2.3σ below its mean). The exact verify
+    # then restores 100% precision.
+    s = sigs.select("_id", "_sig")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sa._sig"), F.col("sb._sig"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.size(F.col("sa._sig"))
+    )
+    screened = (
+        candidates.join(s.alias("sa"), F.col("id_a") == F.col("sa._id"))
+        .join(s.alias("sb"), F.col("id_b") == F.col("sb._id"))
+        .where(est >= threshold - 0.2)
+        .select("id_a", "id_b")
+    )
     g = grams.select("_id", "_grams")
     return (
-        candidates.join(g.alias("ga"), F.col("id_a") == F.col("ga._id"))
+        screened.join(g.alias("ga"), F.col("id_a") == F.col("ga._id"))
         .join(g.alias("gb"), F.col("id_b") == F.col("gb._id"))
         .select(
             "id_a",
