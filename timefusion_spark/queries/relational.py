@@ -514,3 +514,128 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("nation_name"))
     )
+
+
+@query(
+    "q_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+    doc="Correlated EXISTS / NOT EXISTS (DF-delegated subquery "
+    "decorrelation, SURVEY §4.1): Catalyst rewrites to semi/anti joins.",
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"_tf_{name}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _tf_customer c
+        WHERE EXISTS (SELECT 1 FROM _tf_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM _tf_orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice > 400000)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "q_like_filtering",
+    oracle="""
+    SELECT COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE p_type LIKE 'PROMO%') AS n_promo,
+           COUNT(*) FILTER (WHERE p_type LIKE '%BRUSHED%') AS n_brushed,
+           COUNT(*) FILTER (WHERE p_name LIKE '_lmond%') AS n_underscore,
+           COUNT(*) FILTER (WHERE lower(p_name) LIKE '%sea%') AS n_ilike
+    FROM part
+    """,
+    doc="LIKE-family filtering (tests/slt/filtering.slt shapes): prefix "
+    "(pushable as range), infix contains, '_' single-char, ILIKE via lower.",
+)
+def q_like_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("p_type").like("PROMO%"), 1)).alias("n_promo"),
+        F.count(F.when(F.col("p_type").like("%BRUSHED%"), 1)).alias("n_brushed"),
+        F.count(F.when(F.col("p_name").like("_lmond%"), 1)).alias("n_underscore"),
+        F.count(F.when(F.lower(F.col("p_name")).like("%sea%"), 1)).alias("n_ilike"),
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    WITH x AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS p
+        FROM orders WHERE o_orderkey <= 1000
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(v) AS n_nonnull,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           ROUND(SUM(COALESCE(v, 0)), 2) AS sum_coalesced,
+           CAST(SUM(CASE WHEN p IS DISTINCT FROM 'URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_from,
+           CAST(SUM(CASE WHEN NULLIF(p, '1-URGENT') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullif
+    FROM x
+    """,
+    doc="NULL-semantics edge cases (tests/slt/edge_cases.slt): COUNT vs "
+    "COUNT(col), COALESCE, IS DISTINCT FROM (null-safe), NULLIF.",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    x = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("v"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("p"),
+    )
+    return x.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.round(F.sum(F.coalesce("v", F.lit(0.0))), 2).alias("sum_coalesced"),
+        F.sum(
+            F.when(~F.col("p").eqNullSafe(F.lit("URGENT")), 1).otherwise(0)
+        ).alias("n_distinct_from"),
+        F.sum(
+            F.when(F.nullif(F.col("p"), F.lit("1-URGENT")).isNull(), 1).otherwise(0)
+        ).alias("n_nullif"),
+    )
+
+
+@query(
+    "q_date_bin_origin",
+    oracle="""
+    SELECT CAST(to_timestamp(floor((epoch(ts) - epoch(TIMESTAMP '2026-01-01 00:30:00')) / 3600) * 3600
+                + epoch(TIMESTAMP '2026-01-01 00:30:00')) AS TIMESTAMP) AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc="PG date_bin: origin-aligned bucketing (time_bucket with explicit "
+    "origin — functions/time.py date_bin).",
+)
+def q_date_bin_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.functions.time import date_bin
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(date_bin("1 hour", F.col("ts"), "2026-01-01 00:30:00").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
