@@ -63,6 +63,45 @@ def test_count_star_reads_no_columns(spark, sf_dir):
     assert "ReadSchema: struct<>" in plan
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Co-located joins via bucketing (SURVEY 'partitioning & shuffle'):
+    two tables bucketed on the join key join with NO Exchange — the
+    pre-shuffled layout is the 100 TB fact-fact join strategy."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp_path}/bdb'")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("bdb.b_orders")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("bdb.b_lineitem")
+        joined = (
+            spark.table("bdb.b_orders")
+            .hint("merge")  # force SMJ so the shuffle question is real
+            .join(
+                spark.table("bdb.b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        smj_at = plan.find("SortMergeJoin")
+        assert smj_at != -1
+        # no Exchange below the join (bucketed layout satisfies distribution)
+        assert "Exchange" not in plan[smj_at:].split("HashAggregate")[-1]
+        below_join = plan[smj_at:]
+        assert "Exchange hashpartitioning(o_orderkey" not in below_join
+        assert "Exchange hashpartitioning(l_orderkey" not in below_join
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bdb.b_orders")
+        spark.sql("DROP TABLE IF EXISTS bdb.b_lineitem")
+        spark.sql("DROP DATABASE IF EXISTS bdb")
+
+
 def test_partition_filters_reach_scan_through_dedup_window(spark, tmp_path):
     """Predicate placement (database.rs:12507-12533): partition/time filters
     applied below the dedup window still prune the scan; the window itself

@@ -133,6 +133,65 @@ def sign_lsh_bucket(vec: Column, n_planes: int = 6) -> Column:
     return bucket
 
 
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 7,
+):
+    """IVF coarse quantizer: k-means centroids (fixed seed → deterministic
+    given the data) and per-row cell assignment. Returns (centroids,
+    assigned_df with `_cell`).
+
+    Scale shape: training samples/iterates on the cluster (MLlib KMeans);
+    assignment is one map-side pass. The cell id then serves as the
+    partition/shuffle key for probe-limited search — the IVF counterpart
+    of the sign-LSH bucket (same candidate-bounding role, data-adaptive
+    cells instead of fixed hyperplanes)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    withvec = df.withColumn("_vec", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=k, seed=seed, featuresCol="_vec", predictionCol="_cell").fit(withvec)
+    assigned = model.transform(withvec).drop("_vec")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return centroids, assigned
+
+
+def knn_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> DataFrame:
+    """Approximate top-k via IVF: brute-force cosine only inside the
+    `n_probe` cells whose centroids are nearest the query — candidate set
+    ~ n_probe/n_cells of the corpus, vs the full linear scan."""
+    import math
+
+    centroids, assigned = ivf_assign(df, vec_col, k=n_cells)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot_ / (na * nb) if na and nb else 0.0
+
+    probe_cells = sorted(
+        range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec)
+    )[:n_probe]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        assigned.where(F.col("_cell").isin(probe_cells))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_lsh(
     df: DataFrame,
     query_vec: list[float],

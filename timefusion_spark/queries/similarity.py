@@ -205,6 +205,29 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_ivf_topk",
+    oracle=None,  # k-means is iterative — genuinely non-SQL-expressible;
+    # driver records the rows-only check. Recall vs the exact brute-force
+    # baseline is asserted inside the query itself (top-1 must match).
+    doc="IVF approximate nearest neighbor: k-means coarse cells (MLlib, "
+    "fixed seed), probe the 4 nearest cells, brute-force cosine inside — "
+    "the data-adaptive counterpart of the sign-LSH bucket path "
+    "(q_lsh_bucket_histogram / q_knn_per_label).",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir, 0)
+    approx = sim.knn_ivf(e, qv, k=10, n_probe=4).select(
+        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    )
+    out = approx.localCheckpoint(eager=True)
+    # self-check: IVF's best hit equals the exact brute-force best hit
+    exact_top = sim.knn_brute_force(e, qv, k=1).collect()[0]["vec_id"]
+    assert out.collect()[0]["vec_id"] == exact_top, "IVF lost the true top-1"
+    return out
+
+
+@query(
     "q_salted_agg",
     oracle="""
     SELECT event_type,
