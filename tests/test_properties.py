@@ -1,0 +1,133 @@
+"""Property-based invariants (reference: tests/suite/proptest_invariants.rs).
+
+Hypothesis generates small adversarial inputs; each property is checked
+against an independent Python-side model. Example counts are kept low —
+every example pays a Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from timefusion_spark.functions.time import parse_interval_to_micros
+
+# ── interval grammar: pure function, cheap — many examples ──────────────
+
+UNITS = {
+    "s": 1_000_000,
+    "sec": 1_000_000,
+    "secs": 1_000_000,
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "m": 60_000_000,
+    "min": 60_000_000,
+    "mins": 60_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "h": 3_600_000_000,
+    "hr": 3_600_000_000,
+    "hrs": 3_600_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "d": 86_400_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+    "w": 604_800_000_000,
+    "week": 604_800_000_000,
+    "weeks": 604_800_000_000,
+}
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10_000),
+    unit=st.sampled_from(sorted(UNITS)),
+    sep=st.sampled_from(["", " ", "  "]),
+)
+def test_interval_grammar_model(n, unit, sep):
+    assert parse_interval_to_micros(f"{n}{sep}{unit}") == n * UNITS[unit]
+
+
+@given(st.text(max_size=12).filter(lambda s: not s.strip() or not s[:1].isdigit()))
+def test_interval_garbage_rejected(s):
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_interval_to_micros(s)
+
+
+# ── to_char literal passthrough: quoted text survives verbatim ──────────
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lit=st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters='"'),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_to_char_literal_passthrough(spark, lit):
+    from pyspark.sql import functions as F
+
+    from timefusion_spark.functions.pg_format import to_char
+
+    df = spark.createDataFrame([("2026-06-10 08:10:52",)], "s string").select(
+        F.to_timestamp("s").alias("ts")
+    )
+    got = df.select(to_char(F.col("ts"), f'"{lit}"').alias("o")).collect()[0]["o"]
+    assert got == lit
+
+
+# ── MOR view invariants vs a Python model ────────────────────────────────
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=5),   # stamp (version)
+            st.integers(min_value=-100, max_value=100),  # value
+            st.booleans(),                            # tombstone
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_keep_greatest_view_matches_model(spark, tmp_path_factory, rows):
+    """For ANY multiset of row versions, the keep-greatest view equals the
+    model: per key, the max-stamp version (ties → any of the tied, but the
+    engine is deterministic: last-appended wins); tombstone winners are
+    invisible."""
+    from pyspark.sql import functions as F
+
+    from timefusion_spark.storage import Table, load_schema_text
+    from tests.test_storage import MOR_YAML
+
+    tbl = Table.create(
+        spark, load_schema_text(MOR_YAML), str(tmp_path_factory.mktemp("prop") / "t")
+    )
+    # append one batch per stamp group (stamp_version overwrites per append)
+    by_stamp: dict[int, list] = {}
+    for key, stamp, value, dead in rows:
+        by_stamp.setdefault(stamp, []).append((key, value, dead))
+    for stamp in sorted(by_stamp):
+        batch = spark.createDataFrame(
+            [
+                ("2026-01-01 00:00:00", f"k{key}", float(value), "p", bool(dead))
+                for key, value, dead in by_stamp[stamp]
+            ],
+            "timestamp string, id string, value double, project_id string, deleted boolean",
+        )
+        tbl.append(batch, stamp=f"2026-02-0{stamp + 1} 00:00:00")
+
+    # model: winner per key = greatest stamp, ties → last in that batch
+    winners: dict[str, tuple[int, float, bool]] = {}
+    for stamp in sorted(by_stamp):
+        for key, value, dead in by_stamp[stamp]:
+            winners[f"k{key}"] = (stamp, float(value), dead)
+    expected = {k: v for k, (s, v, dead) in winners.items() if not dead}
+
+    got = {r["id"]: r["value"] for r in tbl.read().collect()}
+    assert got == expected

@@ -8,6 +8,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from timefusion_spark.storage import Table, load_schema_text
 from timefusion_spark.storage.streaming import ingest_stream
@@ -110,6 +111,45 @@ def test_restart_recovery_no_dupes_no_loss(spark, tmp_path, table):
     assert table.read().count() == 40
     # no physical duplicates either (checkpoint prevented re-processing)
     assert table.read_raw().count() == 40
+
+
+def test_stateful_running_counts_survive_restart(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-user running counts
+    accumulate across micro-batches AND across query restarts (state store
+    lives in the checkpoint — the WAL-replay analog for operator state)."""
+    from timefusion_spark.storage.streaming import stateful_running_counts
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_source_file(src, "b0.json", [{"user": "u1"}] * 3 + [{"user": "u2"}] * 2)
+
+    out_dir = str(tmp_path / "updates")
+
+    def _run(run_id: int) -> dict:
+        stream = spark.readStream.schema("user string").json(src)
+
+        def _sink(batch, _bid):
+            batch.withColumn("run", F.lit(run_id)).write.mode("append").parquet(out_dir)
+
+        q = (
+            stateful_running_counts(stream, "user")
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out_dir).where(F.col("run") == run_id).collect()
+        return {r["user"]: r["n_events"] for r in rows}
+
+    first = _run(1)
+    assert first == {"u1": 3, "u2": 2}
+
+    # restart with MORE data on the same checkpoint: counts continue
+    _write_source_file(src, "b1.json", [{"user": "u1"}] * 4 + [{"user": "u3"}] * 1)
+    second = _run(2)
+    assert second == {"u1": 7, "u3": 1}  # u2 unchanged → not re-emitted (update mode)
 
 
 def test_redelivery_collapsed_by_dedup_keys(spark, tmp_path, table):

@@ -28,6 +28,36 @@ from pyspark.sql.streaming import StreamingQuery
 from timefusion_spark.storage.table import Table
 
 
+def stateful_running_counts(stream: DataFrame, key_col: str) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY §2.10 / north-star brief):
+    per-key running event counts maintained in the state store via
+    applyInPandasWithState — the Spark shape for any custom accumulating
+    operator the built-in windowed aggregations can't express.
+
+    State survives restarts through the checkpoint (the WAL-replay
+    guarantee: a resumed query continues counting, never resets) — pinned
+    by tests/test_streaming.py. Arrow-batched: each group's rows arrive as
+    pandas DataFrames, state is one scalar per key."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdf_iter, state):
+        import pandas as pd
+
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [total]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=f"{key_col} string, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def ingest_stream(
     table: Table,
     stream: DataFrame,
