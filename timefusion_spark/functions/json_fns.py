@@ -51,6 +51,28 @@ def json_to_pg_text(json_text: Column) -> Column:
     )
 
 
+def _quote_json_string(c: Column) -> Column:
+    # JSON-escape + quote a scalar via the to_json(array(x)) trick.
+    return F.regexp_replace(F.regexp_replace(F.to_json(F.array(c)), r"^\[", ""), r"\]$", "")
+
+
+def pg_to_json(c: Column, sniff_json: bool = True) -> Column:
+    """PG to_json/to_jsonb value rendering (functions.rs:871-937, sniff
+    rules functions.rs:987-1040): strings that LOOK like top-level JSON
+    ({...} / [...]) and parse surface as real JSON; any other string is a
+    quoted JSON string; numbers/bools render literally (pass a non-string
+    column). Sniffing applies only at the top level — inside text[] the
+    reference keeps elements as JSON strings (use to_json(array) there)."""
+    t = F.trim(c)
+    looks = (t.startswith("{") & t.endswith("}")) | (t.startswith("[") & t.endswith("]"))
+    parsed = F.try_parse_json(c)
+    if not sniff_json:
+        return _quote_json_string(c)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(looks & parsed.isNotNull(), F.to_json(parsed)).otherwise(_quote_json_string(c))
+    )
+
+
 def json_build_array(*cols: Column) -> Column:
     """PG json_build_array(variadic) → JSON array text
     (functions.rs:829-869). Renders each argument by type and joins —

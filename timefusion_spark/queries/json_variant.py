@@ -143,6 +143,31 @@ def q_json_get_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pg_to_json",
+    oracle="""
+    SELECT event_id,
+           json_extract(props, '$')::VARCHAR AS props_json,
+           '"' || event_type || '"' AS type_json,
+           CAST(user_id AS VARCHAR) AS uid_json
+    FROM events
+    WHERE event_id <= 200
+    ORDER BY event_id
+    """,
+    doc="PG to_json/to_jsonb sniff rules (functions.rs:871-937, 987-1040): "
+    "a string holding top-level JSON surfaces as real JSON; a plain string "
+    "is quoted; numbers render literally.",
+)
+def q_pg_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 200)
+    return ev.select(
+        "event_id",
+        J.pg_to_json(F.col("props")).alias("props_json"),
+        J.pg_to_json(F.col("event_type")).alias("type_json"),
+        J._quote_json_string(F.col("user_id")).alias("uid_json"),
+    ).orderBy("event_id")
+
+
+@query(
     "q_sql_function_surface",
     oracle="""
     SELECT event_id,

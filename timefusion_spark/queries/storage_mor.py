@@ -255,6 +255,53 @@ def q_otel_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_otel_recent_topk",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS id, event_type AS name
+    FROM events
+    WHERE event_id <= 4000 AND user_id % 3 = 1
+    ORDER BY timestamp'2026-03-01 00:00:00'
+             + to_seconds(CAST(event_id % 5 AS BIGINT) * 86400)
+             + to_seconds(CAST(event_id % 86400 AS BIGINT)) DESC,
+             CAST(event_id AS VARCHAR)
+    LIMIT 50
+    """,
+    doc="`ORDER BY timestamp DESC LIMIT 50` over the REAL sorted storage "
+    "table — the reference's flagship 377 ms path (ordered-union + footer "
+    "pushdown, BASELINE row): DESC-sorted files + TakeOrderedAndProject "
+    "give the early stop; uses the routed scan with project guard.",
+)
+def q_otel_recent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import Table, load_schema
+
+    schema = load_schema(os.path.join(_SCHEMA_DIR, "otel_logs_and_spans.yaml"))
+    base_dir = tempfile.mkdtemp(prefix="tf_otel_topk_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "otel"))
+    try:
+        ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 4000)
+        rows = ev.select(
+            F.col("event_id").cast("string").alias("id"),
+            F.expr(
+                "timestamp'2026-03-01 00:00:00'"
+                " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
+                " + make_interval(0,0,0,0,0,0,cast(event_id % 86400 as int))"
+            ).alias("timestamp"),
+            F.col("event_type").alias("name"),
+            F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
+        )
+        tbl.append(rows, stamp="2026-03-06 00:00:00")
+        out = (
+            tbl.scan(project_id="p1")
+            .orderBy(F.col("timestamp").desc(), F.col("id"))
+            .limit(50)
+            .select("id", "name")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
     "q_maintenance_invariance",
     oracle=f"""
     SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
