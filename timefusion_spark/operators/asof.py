@@ -1,0 +1,79 @@
+"""As-of join: for each left row, the most recent right row at or before
+its timestamp (per key) — the standard enrichment join for time-series
+(latest config/status/price as of an event).
+
+The reference delegates all joins to its engine and ships no as-of
+operator (SURVEY §2.3); this is one of the brief's beyond-the-reference
+operators. Spark has no ASOF JOIN either, and the naive formulations are
+scale-traps: a theta-join `l.ts >= r.ts` explodes to O(|L|·|R|) per key,
+and a windowed subquery per left row re-scans. The scalable shape is the
+UNION-AND-CARRY merge:
+
+  1. tag right rows (carrying their payload) and left rows (payload NULL),
+  2. union, ONE window per key ordered by (ts, tag) with
+     `last(payload, ignoreNulls)` carrying the latest right payload
+     forward,
+  3. keep left rows.
+
+One shuffle on the key, one sort — the same cost as a groupBy window,
+independent of how many right rows precede each left row. Ties (equal
+ts) resolve right-before-left (tag order), matching ASOF `>=` semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every `left` row gains `<payload><suffix>` columns
+    from the latest `right` row with `right_ts <= left_ts` on key `on`
+    (NULL when no prior right row exists)."""
+    from pyspark.sql import Window as W
+
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            l_tagged.schema["_lrow"].dataType
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_ts", "_is_left")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "_is_left",
+        "_lrow",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = carried.where(F.col("_is_left") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in payload_cols],
+    )
+    return out

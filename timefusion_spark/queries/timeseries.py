@@ -307,3 +307,93 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH l AS (SELECT * FROM events WHERE event_id % 10 = 0),
+    r AS (
+        SELECT user_id, ts, MAX(value) AS status_value
+        FROM events WHERE event_id % 97 = 0
+        GROUP BY user_id, ts
+    )
+    SELECT l.event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(r.status_value) AS BIGINT) AS n_matched,
+           ROUND(SUM(COALESCE(r.status_value, 0)), 2) AS total_asof
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    GROUP BY l.event_type
+    ORDER BY l.event_type
+    """,
+    doc="As-of join (beyond-reference operator, operators/asof.py): each "
+    "event enriched with the latest prior per-user status value via the "
+    "union-and-carry merge — one shuffle + one window, never the "
+    "O(|L|*|R|) theta-join. Oracle uses DuckDB's native ASOF JOIN.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_id") % 10 == 0)
+    right = (
+        ev.where(F.col("event_id") % 97 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("status_value"))
+    )
+    joined = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("status_value_asof").alias("n_matched"),
+            F.round(F.sum(F.coalesce("status_value_asof", F.lit(0.0))), 2).alias(
+                "total_asof"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_hypertable_rollup",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+    doc="Hypertable rollup / continuous aggregate (beyond-reference "
+    "operator): hourly partial aggregates MATERIALIZED to a rollup table, "
+    "then daily tiles served by re-aggregating the rollup — counts and "
+    "sums compose exactly, so the result equals aggregating raw data "
+    "(which is what the oracle computes).",
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ev = t(spark, sf_dir, "events")
+    rollup_dir = tempfile.mkdtemp(prefix="tf_rollup_")
+    try:
+        hourly = ev.groupBy(
+            time_bucket("1 hour", F.col("ts")).alias("bucket"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        hourly.write.mode("overwrite").parquet(rollup_dir)  # materialized aggregate
+        daily = (
+            t(spark, sf_dir, "events").sparkSession.read.parquet(rollup_dir)
+            .groupBy(
+                F.col("bucket").cast("date").cast("string").alias("day"), "event_type"
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.round(F.sum("sum_value"), 2).alias("total_value"),
+            )
+            .orderBy("day", "event_type")
+        )
+        return daily.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(rollup_dir, ignore_errors=True)
