@@ -152,6 +152,65 @@ def test_stateful_running_counts_survive_restart(spark, tmp_path):
     assert second == {"u1": 7, "u3": 1}  # u2 unchanged → not re-emitted (update mode)
 
 
+def test_watermarked_window_agg_drops_late_rows(spark, tmp_path):
+    """Watermark + windowed aggregation (SURVEY §2.10 late-data contract
+    for AGGREGATING streams — the append-only ingest path accepts late
+    rows unconditionally, but a windowed agg needs bounded state): rows
+    later than the watermark are dropped from closed windows."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    # batch 1: two windows of events, max ts 10:30
+    _write_source_file(
+        src,
+        "b0.json",
+        [
+            {"timestamp": "2026-01-01 10:00:30", "id": "a"},
+            {"timestamp": "2026-01-01 10:00:40", "id": "b"},
+            {"timestamp": "2026-01-01 10:30:00", "id": "c"},
+        ],
+    )
+
+    def _run():
+        stream = spark.readStream.schema("timestamp timestamp, id string").json(src)
+        agg = (
+            stream.withWatermark("timestamp", "5 minutes")
+            .groupBy(F.window("timestamp", "1 minute").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("string").alias("w_start"), "n")
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    # batch 2: a row 35 minutes LATE (10:00:50 when watermark ≈ 10:25) and
+    # one fresh row advancing time.
+    _write_source_file(
+        src,
+        "b1.json",
+        [
+            {"timestamp": "2026-01-01 10:00:50", "id": "late"},
+            {"timestamp": "2026-01-01 11:00:00", "id": "fresh"},
+        ],
+    )
+    _run()
+    _run()  # one more trigger so closable windows emit
+
+    got = {r["w_start"]: r["n"] for r in spark.read.parquet(out).collect()}
+    # the 10:00 window emitted with ONLY the two on-time rows — the late
+    # row never re-opened it
+    assert got.get("2026-01-01 10:00:00") == 2
+
+
 def test_redelivery_collapsed_by_dedup_keys(spark, tmp_path, table):
     """At-least-once upstream: the same rows delivered through TWO separate
     streams (distinct checkpoints — e.g. a replayed producer) appear once in

@@ -639,3 +639,68 @@ def q_date_bin_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_grouping_sets_explicit",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="Explicit GROUPING SETS (§2.4) — not just ROLLUP/CUBE sugar; "
+    "DataFrame.groupingSets (Spark 4) → Expand + hash aggregate.",
+)
+def q_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    return (
+        od.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing_1h,
+           ROUND(AVG(value) OVER w, 4) AS avg_trailing_1h
+    FROM events
+    WHERE user_id % 50 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="Time-based RANGE BETWEEN window frame (§2.5): trailing 1-hour "
+    "aggregate per user ordered by microsecond epoch — a RANGE frame over "
+    "a numeric order key, identical semantics in Spark and DuckDB.",
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.avg("value").over(w), 4).alias("avg_trailing_1h"),
+    ).orderBy("user_id", "event_id")
