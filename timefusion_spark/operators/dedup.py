@@ -216,16 +216,28 @@ def banded_candidate_pairs(
     n_bands: int,
     n_rows: int,
     block_col: str | None = None,
+    est_min: float | None = None,
 ) -> DataFrame:
     """LSH banding: `sigs` is (_id, _sig array<long>[, block]); emit distinct
     candidate pairs (id_a < id_b) that collide in ≥1 band.
 
-    Scale shape: explode to n_bands rows, shuffle ONLY on (band, key[, blk])
-    — an equi-join on the band key; the pair space is the sum of
-    per-bucket C(size, 2), never global O(n²)."""
+    Scale shape: explode to n_bands rows, ONE shuffle on (band, key[, blk]),
+    then pairs are expanded per bucket (groupBy + collect_list + in-array
+    combination) — NOT a bands⋈bands self-join. The self-join shape would
+    re-evaluate the (expensive) signature pipeline feeding `sigs` once per
+    join side; here it runs exactly once per input row. The pair space is
+    the sum of per-bucket C(size, 2), never global O(n²); LSH bucket sizes
+    are bounded by band selectivity, so collect_list stays small per key.
+
+    `est_min`: optional inline minhash-agreement prefilter — the fraction of
+    agreeing signature positions estimates jaccard at O(len(sig)) per pair
+    from the signatures already collected, so screening costs no extra join.
+    """
+    blk = [F.col("_blk")] if block_col else []
+    blk_names = ["_blk"] if block_col else []
     bands = sigs.select(
-        "_id",
-        *([F.col("_blk")] if block_col else []),
+        F.struct(F.col("_id").alias("i"), F.col("_sig").alias("s")).alias("m"),
+        *blk,
         F.explode(
             F.array(
                 *[
@@ -243,21 +255,37 @@ def banded_candidate_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("_id", *(["_blk"] if block_col else []), "b.band", "b.key")
+    ).select("m", *blk_names, "b.band", "b.key")
 
-    left, right = bands.alias("l"), bands.alias("r")
-    cond = (
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.key") == F.col("r.key"))
-        & (F.col("l._id") < F.col("r._id"))
+    buckets = (
+        bands.groupBy("band", "key", *blk_names)
+        .agg(F.collect_list("m").alias("ms"))
+        .where(F.size("ms") > 1)
     )
-    if block_col:
-        cond = cond & (F.col("l._blk") == F.col("r._blk"))
-    return (
-        left.join(right, cond)
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+
+    def pair(x: Column, y: Column) -> Column:
+        agree = F.size(
+            F.filter(F.zip_with(x["s"], y["s"], lambda p, q: p == q), lambda eq: eq)
+        )
+        return F.struct(
+            F.least(x["i"], y["i"]).alias("id_a"),
+            F.greatest(x["i"], y["i"]).alias("id_b"),
+            (agree.cast("double") / F.size(x["s"])).alias("est"),
+        )
+
+    ms = F.col("ms")
+    pairs_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(F.slice(ms, i + 2, F.size(ms)), lambda y: pair(x, y)),
+        )
     )
+    cand = buckets.select(F.explode(pairs_arr).alias("p")).select(
+        "p.id_a", "p.id_b", "p.est"
+    )
+    if est_min is not None:
+        cand = cand.where(F.col("est") >= est_min)
+    return cand.select("id_a", "id_b").distinct()
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -416,33 +444,20 @@ def ngram_jaccard_pairs(
     grams = nrm.select(
         "_id", *blk_names, char_ngrams_from_norm(F.col("_s"), ngram_n).alias("_grams")
     )
-    candidates = banded_candidate_pairs(
-        sigs, NGRAM_LSH_BANDS, NGRAM_LSH_ROWS, block_col=block_col
-    )
-    # Signature-estimate prefilter: wide (2-row) bands admit many false
-    # candidates — tens of thousands on boilerplate-heavy corpora — and
-    # the EXACT verify intersects ~10³-element gram sets per pair. The
-    # minhash agreement fraction estimates jaccard from the 32-element
-    # signatures already in hand (O(32) per pair); requiring est ≥
-    # threshold - 0.2 removes ~99% of false candidates while a true pair
-    # at j ≥ threshold fails the margin with probability < 1%
-    # (binomial(32, j) more than 2.3σ below its mean). The exact verify
-    # then restores 100% precision.
-    s = sigs.select("_id", "_sig")
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sa._sig"), F.col("sb._sig"), lambda x, y: x == y),
-                lambda m: m,
-            )
-        ).cast("double")
-        / F.size(F.col("sa._sig"))
-    )
-    screened = (
-        candidates.join(s.alias("sa"), F.col("id_a") == F.col("sa._id"))
-        .join(s.alias("sb"), F.col("id_b") == F.col("sb._id"))
-        .where(est >= threshold - 0.2)
-        .select("id_a", "id_b")
+    # Signature-estimate prefilter (est_min): wide (2-row) bands admit many
+    # false candidates — tens of thousands on boilerplate-heavy corpora —
+    # and the EXACT verify intersects ~10³-element gram sets per pair.
+    # Requiring minhash agreement ≥ threshold - 0.2 removes ~99% of false
+    # candidates while a true pair at j ≥ threshold fails the margin with
+    # probability < 1% (binomial(32, j) more than 2.3σ below its mean); the
+    # exact verify then restores 100% precision. The screen runs INLINE in
+    # the bucket pair expansion — no join back to the signature relation.
+    screened = banded_candidate_pairs(
+        sigs,
+        NGRAM_LSH_BANDS,
+        NGRAM_LSH_ROWS,
+        block_col=block_col,
+        est_min=threshold - 0.2,
     )
     g = grams.select("_id", "_grams")
     return (
