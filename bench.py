@@ -59,6 +59,17 @@ def main() -> int:
     # JVM/codegen warmup so the first timed query isn't paying session boot.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Table warmup: touch every parquet footer + OS page cache once, so the
+    # first timed query measures the operator, not cold file listing / first
+    # read (BASELINE.md's reference rows are warm-cache numbers).
+    import glob
+
+    from timefusion_spark.queries._tables import t
+
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.basename(p).removesuffix(".parquet")
+        t(spark, sf_dir, name).selectExpr("count(1)").collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)

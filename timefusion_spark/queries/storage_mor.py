@@ -379,3 +379,64 @@ def q_storage_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_update_from",
+    oracle="""
+    SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
+           COUNT(*) AS n_live,
+           ROUND(SUM(o_totalprice + CASE WHEN o_orderkey % 9 = 0
+                                         THEN o_orderkey * 0.01 ELSE 0 END), 2) AS total_value
+    FROM orders
+    WHERE o_orderkey <= 1000
+    GROUP BY 1
+    ORDER BY project_id
+    """,
+    doc="UPDATE…FROM a source relation (dml.rs:84-130 UpdateSource "
+    "join-keys; version-append dml.rs:765-914): the broadcast source "
+    "equi-joins the visible target rows, assignments reference source "
+    "columns, and the keep-greatest view shows per-key adjusted values.",
+)
+def q_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import Table, dml, load_schema
+
+    schema = load_schema(os.path.join(_SCHEMA_DIR, "mor_versioned.yaml"))
+    base_dir = tempfile.mkdtemp(prefix="tf_uf_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "t"))
+    try:
+        orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+        base = orders.select(
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.expr(
+                "timestamp'2026-03-01 00:00:00'"
+                " + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
+            ).alias("timestamp"),
+            F.col("o_orderstatus").alias("name"),
+            F.col("o_totalprice").alias("value"),
+            F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias("project_id"),
+        )
+        tbl.append(base, stamp="2026-01-01 00:00:00")
+        src = orders.where(F.col("o_orderkey") % 9 == 0).select(
+            F.col("o_orderkey").cast("string").alias("id"),
+            (F.col("o_orderkey") * 0.01).alias("adj"),
+        )
+        dml.update_from(
+            tbl,
+            src,
+            ["id"],
+            {"value": F.col("_tgt.value") + F.col("_src.adj")},
+            stamp="2026-01-02 00:00:00",
+        )
+        out = (
+            tbl.read()
+            .groupBy("project_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("project_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
