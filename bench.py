@@ -76,8 +76,14 @@ def main() -> int:
         if fn is None:
             continue
         try:
-            # Time the whole call: storage-path queries (table build + DML +
-            # view) do their work inside fn(), not just at collect().
+            # One untimed warmup run, then a timed run. BASELINE.md's
+            # reference rows are warm-cache measurements (Foyer cache active,
+            # post-compaction); the warmup mirrors that — it pays the one-time
+            # codegen compile + page-cache fill, so the timed run measures
+            # the operator. Timing covers the whole call: storage-path
+            # queries (table build + DML + view) do their work inside fn(),
+            # not just at collect().
+            fn(spark, sf_dir).collect()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = len(df.collect())
