@@ -214,8 +214,16 @@ def _translate_arrows(toks: list[str]) -> list[str]:
             lstart, base = left
             path = []
             op = toks[i]
+
+            def seg(key: str) -> str:
+                if not key.startswith("'"):
+                    return f"[{key}]"
+                k = _strip_quotes(key)
+                # ->>'' : empty key = text rendering of the current value
+                return f".{k}" if k else ""
+
             key = right[1]
-            path.append(f"[{key}]" if not key.startswith("'") else f".{_strip_quotes(key)}")
+            path.append(seg(key))
             i = right[0] + 1
             # chain further arrows
             while True:
@@ -226,9 +234,7 @@ def _translate_arrows(toks: list[str]) -> list[str]:
                         break
                     op = toks[n]
                     key = nxt[1]
-                    path.append(
-                        f"[{key}]" if not key.startswith("'") else f".{_strip_quotes(key)}"
-                    )
+                    path.append(seg(key))
                     i = nxt[0] + 1
                 else:
                     break
@@ -237,7 +243,11 @@ def _translate_arrows(toks: list[str]) -> list[str]:
             if op == "->>":
                 out.append(f"get_json_object({base}, '{jpath}')")
             else:
-                out.append(f"to_json(variant_get(try_parse_json({base}), '{jpath}', 'variant'))")
+                # __TOJSON__ sentinel: keep the user-facing to_json rewrite
+                # pass from re-wrapping this engine-generated call.
+                out.append(
+                    f"__TOJSON__(variant_get(try_parse_json({base}), '{jpath}', 'variant'))"
+                )
             continue
         out.append(toks[i])
         i += 1
@@ -302,6 +312,370 @@ def _translate_casts(toks: list[str]) -> list[str]:
     return out
 
 
+def _split_args(argtext: str) -> list[str]:
+    """Split a function-call argument list at top-level commas
+    (paren/bracket/quote aware)."""
+    args, depth, buf, i = [], 0, [], 0
+    while i < len(argtext):
+        ch = argtext[i]
+        if ch == "'":
+            m = re.match(r"'(?:''|[^'])*'", argtext[i:])
+            frag = m.group(0) if m else ch
+            buf.append(frag)
+            i += len(frag)
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append("".join(buf).strip())
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def _rewrite_calls(sql: str, name: str, fn) -> str:
+    """Rewrite every call of `name(...)` via fn(args list) → replacement
+    text (or None to leave unchanged). Handles nesting by repeating from the
+    innermost match until fixpoint."""
+    pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    changed = True
+    while changed:
+        changed = False
+        for m in pat.finditer(sql):
+            # Skip if inside a string literal (count quotes before).
+            if sql.count("'", 0, m.start()) % 2 == 1:
+                continue
+            depth, i = 0, m.end() - 1
+            while i < len(sql):
+                if sql[i] == "'":
+                    mm = re.match(r"'(?:''|[^'])*'", sql[i:])
+                    i += len(mm.group(0)) if mm else 1
+                    continue
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i += 1
+            if depth != 0:
+                continue
+            # Nested same-name calls converge without inner-first ordering:
+            # the replacement embeds inner text verbatim and the loop
+            # re-scans until no 2-arg/user-form occurrence remains.
+            inner = sql[m.end() : i]
+            repl = fn(_split_args(inner))
+            if repl is None:
+                continue
+            sql = sql[: m.start()] + repl + sql[i + 1 :]
+            changed = True
+            break
+    return sql
+
+
+def _variant_path(path_lit: str) -> str:
+    """'a.b[0]' (reference variant_get grammar, functions.rs:145) →
+    Spark JSON path '$.a.b[0]'."""
+    p = _strip_quotes(path_lit)
+    return "$" + ("" if p.startswith("[") else ".") + p
+
+
+def _pg_json_render(x: str) -> str:
+    """PG value → JSON text rendering, type-universal: Variant casts accept
+    any input type, and to_json(variant) renders canonical JSON. Uses the
+    __TOJSON__ sentinel so the user-facing to_json rewrite pass does not
+    re-process generated calls."""
+    return f"__TOJSON__(cast({x} AS variant))"
+
+
+def _to_char_sql(ts: str, fmt: str) -> str:
+    """SQL-text twin of functions.pg_format.to_char — same parser, same
+    segment semantics (functions.rs:537-775 incl. divergences), emitted as
+    date_format/dayofweek compositions.
+
+    Literal runs inside a java pattern ('-', 'T', …) are emitted as plain
+    SQL string fragments instead of quoted pattern text: SQL quote escaping
+    differs between Spark's two string-literal parse modes, while pattern
+    fragments and bare literals are mode-independent."""
+    from timefusion_spark.functions.pg_format import _PATTERN, _parse
+
+    frags: list[str] = []
+
+    def emit_pattern(payload: str) -> None:
+        # split "yyyy'-'MM''dd" into pattern vs quoted-literal runs
+        for piece in re.split(r"('(?:''|[^'])*')", payload):
+            if not piece:
+                continue
+            if piece.startswith("'"):
+                lit = piece[1:-1].replace("''", "'") if piece != "''" else "'"
+                frags.append("'" + lit.replace("'", "''") + "'")
+            else:
+                frags.append(f"date_format({ts}, '{piece}')")
+
+    for kind, payload in _parse(fmt):
+        if kind == _PATTERN:
+            emit_pattern(payload)
+        elif payload == "D":
+            frags.append(f"cast(dayofweek({ts}) as string)")
+        elif payload == "DY":
+            frags.append(f"upper(date_format({ts}, 'EEE'))")
+        elif payload == "TZ":
+            frags.append("'UTC'")
+        elif payload in ("AM", "PM"):
+            frags.append(f"date_format({ts}, 'a')")
+        else:  # am / pm
+            frags.append(f"lower(date_format({ts}, 'a'))")
+    body = f"concat({', '.join(frags)})" if len(frags) > 1 else (frags[0] if frags else "''")
+    return f"(CASE WHEN ({ts}) IS NULL THEN CAST(NULL AS STRING) ELSE {body} END)"
+
+
+def _translate_fn_calls(sql: str) -> str:
+    """PG/reference function-surface rewrites that need argument structure
+    (the token passes handle operators; these handle named calls).
+
+    The Variant family maps onto the engine's JSON-text Variant encoding
+    (storage/schema.py: Variant → canonical JSON string), mirroring
+    functions.rs:395-450 semantics: json_to_variant is the identity on
+    JSON text, variant_to_json canonicalizes, variant_get extracts a
+    sub-document as JSON text."""
+    # to_char(ts, 'fmt') — PG format tokens (functions.rs:537-775).
+    sql = _rewrite_calls(
+        sql,
+        "to_char",
+        lambda a: (
+            _to_char_sql(a[0], _strip_quotes(a[1]))
+            if len(a) == 2 and a[1].strip().startswith("'")
+            else None
+        ),
+    )
+    # PG to_json / to_jsonb value rendering (functions.rs:871-937). Spark's
+    # to_json only accepts container/variant input; the Variant cast makes
+    # the rewrite type-universal (string → quoted, number → literal,
+    # array → JSON array). The reference's JSON-sniffing of string inputs
+    # (functions.rs:987-1040) lives in the Column API (json_fns.pg_to_json);
+    # the slt corpus does not exercise it through SQL.
+    def _pg_to_json(a: list[str]) -> str | None:
+        return _pg_json_render(a[0]) if len(a) == 1 else None
+
+    sql = _rewrite_calls(sql, "to_json", _pg_to_json)
+    sql = _rewrite_calls(sql, "to_jsonb", _pg_to_json)
+    # json_build_array(variadic) → JSON array text (functions.rs:829-869);
+    # per-element Variant casts keep mixed argument types uncoerced, and
+    # string elements that LOOK like top-level JSON embed as real JSON
+    # (the reference's sniff rule, functions.rs:987-1040).
+    def _sniff_elem(x: str) -> str:
+        s = f"cast({x} AS string)"
+        return (
+            f"coalesce(CASE WHEN (startswith(ltrim({s}), '{{') OR"
+            f" startswith(ltrim({s}), '[')) THEN try_parse_json({s}) END,"
+            f" cast({x} AS variant))"
+        )
+
+    def _build_array(a: list[str]) -> str | None:
+        if not a or not a[0]:
+            return "'[]'"
+        return "__TOJSON__(array(" + ", ".join(_sniff_elem(x) for x in a) + "))"
+
+    sql = _rewrite_calls(sql, "json_build_array", _build_array)
+    sql = _rewrite_calls(sql, "jsonb_build_array", _build_array)
+    sql = _rewrite_calls(
+        sql, "json_to_variant", lambda a: f"({a[0]})" if len(a) == 1 else None
+    )
+    # variant_to_json renders a missing/NULL variant as JSON 'null' (the
+    # DataFusion-variant behavior the slt corpus pins).
+    sql = _rewrite_calls(
+        sql,
+        "variant_to_json",
+        lambda a: (
+            f"coalesce(to_json(try_parse_json({a[0]})), 'null')" if len(a) == 1 else None
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "variant_get",
+        lambda a: (
+            f"to_json(variant_get(try_parse_json({a[0]}), '{_variant_path(a[1])}', 'variant'))"
+            if len(a) == 2 and a[1].strip().startswith("'")
+            else None
+        ),
+    )
+    # sentinel: the replacement contains the pattern name itself
+    sql = _rewrite_calls(
+        sql,
+        "is_variant_null",
+        lambda a: f"__ISVNULL__(try_parse_json({a[0]}))" if len(a) == 1 else None,
+    )
+
+    # jsonb_path_exists (functions.rs:1273-1502): simple lax paths via
+    # variant_get (a JSON-null value still EXISTS); one [*] wildcard
+    # supported via an array-any expression.
+    def _path_exists(a: list[str]) -> str | None:
+        if len(a) != 2 or not a[1].strip().startswith("'"):
+            return None
+        v, path = a[0], _strip_quotes(a[1].strip())
+        if not path.startswith("$"):
+            return None
+        if "[*]" in path:
+            pre, _, post = path.partition("[*]")
+            arr = f"try_variant_get(try_parse_json({v}), '{pre}', 'array<variant>')"
+            if post:
+                inner = f"try_variant_get(x, '${post}', 'variant')"
+                probe = f"size(filter({arr}, x -> {inner} IS NOT NULL OR is_variant_null({inner}))) > 0"
+            else:
+                probe = f"size({arr}) > 0"
+            return f"coalesce({probe}, false)"
+        g = f"variant_get(try_parse_json({v}), '{path}', 'variant')"
+        return f"({g} IS NOT NULL OR is_variant_null({g}))"
+
+    sql = _rewrite_calls(sql, "jsonb_path_exists", _path_exists)
+    # percentile two-step (functions.rs:1096-1267): the composed form maps
+    # to Spark's interpolating percentile aggregate — the t-digest
+    # interpolates between centroids, so nearest-value percentile_approx
+    # diverges on small groups while percentile() matches; a bare
+    # percentile_agg keeps digest-nullability semantics (NULL iff no rows).
+    # The engine's own sketch path (functions/percentile.py) stays
+    # percentile_approx — this is the PG-surface parity mapping.
+    sql = _rewrite_calls(
+        sql,
+        "approx_percentile",
+        lambda a: (
+            f"percentile({a[1].strip()[len('percentile_agg('):-1].strip()}, {a[0]})"
+            if len(a) == 2 and re.match(r"(?i)^percentile_agg\(", a[1].strip())
+            else None
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "percentile_agg",
+        lambda a: f"percentile({a[0]}, 0.5)" if len(a) == 1 else None,
+    )
+    # datafusion-functions-json surface (database.rs:3350).
+    def _json_length(a: list[str]) -> str | None:
+        target = a[0] if len(a) == 1 else f"get_json_object({a[0]}, '$.{_strip_quotes(a[1])}')"
+        if len(a) > 2:
+            return None
+        arr = f"try_variant_get(try_parse_json({target}), '$', 'array<variant>')"
+        obj = f"try_variant_get(try_parse_json({target}), '$', 'map<string,variant>')"
+        return f"coalesce(size({arr}), size(map_keys({obj})))"
+
+    sql = _rewrite_calls(sql, "json_length", _json_length)
+    sql = _rewrite_calls(
+        sql,
+        "json_contains",
+        lambda a: (
+            f"get_json_object({a[0]}, '$.{_strip_quotes(a[1])}') IS NOT NULL"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # DataFusion 1-arg array_length (0 for empty); PG's 2-arg (arr, dim=1).
+    sql = _rewrite_calls(
+        sql,
+        "array_length",
+        lambda a: f"size({a[0]})" if len(a) == 1 or (len(a) == 2 and a[1] == "1") else None,
+    )
+
+    # coalesce(list_col, '{a,b}') — PG array literal in coalesce
+    # (optimizers/pg_array_literal_rewriter.rs semantics): rewrite brace
+    # literals to array(...) when another argument is a non-literal operand.
+    def _coalesce(a: list[str]) -> str | None:
+        if not any(re.fullmatch(r"'\{[^{}]*\}'", x.strip()) for x in a):
+            return None
+        if not any(not x.strip().startswith("'") for x in a):
+            return None
+        out = []
+        for x in a:
+            x = x.strip()
+            if re.fullmatch(r"'\{[^{}]*\}'", x):
+                elems = [e.strip() for e in _strip_quotes(x).strip("{}").split(",") if e.strip()]
+                rendered = ", ".join(
+                    e if re.fullmatch(r"-?\d+(\.\d+)?", e) else "'" + e.replace("'", "''") + "'"
+                    for e in elems
+                )
+                out.append(f"array({rendered})")
+            else:
+                out.append(x)
+        return f"coalesce({', '.join(out)})"
+
+    sql = _rewrite_calls(sql, "coalesce", _coalesce)
+    # DataFusion EXTRACT(SECOND ...) yields whole seconds; Spark yields
+    # DECIMAL(8,6) with the fraction — truncate to match.
+    sql = re.sub(
+        r"(?i)\bEXTRACT\s*\(\s*SECOND\s+FROM\s+([^()]+)\)",
+        r"CAST(EXTRACT(SECOND FROM \1) AS BIGINT)",
+        sql,
+    )
+    return sql.replace("__TOJSON__", "to_json").replace("__ISVNULL__", "is_variant_null")
+
+
+def _translate_distinct_on(sql: str) -> str:
+    """PG `SELECT DISTINCT ON (keys) select_list ... ORDER BY o...` →
+    row_number window rewrite (keep the first row per key group under the
+    ORDER BY, which is PG's semantic)."""
+    m = re.search(r"(?is)\bSELECT\s+DISTINCT\s+ON\s*\(", sql)
+    if not m:
+        return sql
+    # keys list — balanced parens
+    depth, i = 0, m.end() - 1
+    while i < len(sql):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    keys = [k.strip() for k in _split_args(sql[m.end() : i])]
+    rest = sql[i + 1 :]
+    # Bound the statement scope: it ends where paren depth goes negative
+    # (the ')' closing an enclosing subquery) or at end of text.
+    depth, j = 0, 0
+    while j < len(rest):
+        ch = rest[j]
+        if ch == "'":
+            mm = re.match(r"'(?:''|[^'])*'", rest[j:])
+            j += len(mm.group(0)) if mm else 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                break
+        j += 1
+    rest, trailer = rest[:j], rest[j:]
+    om = re.search(r"(?is)\bORDER\s+BY\s+", rest)
+    if not om:
+        return sql
+    body, order_text = rest[: om.start()], rest[om.end() :]
+    fm = re.search(r"(?is)\bFROM\b", body)
+    if not fm:
+        return sql
+    select_list, from_part = body[: fm.start()].strip(), body[fm.end() :].strip()
+    order_items = _split_args(order_text)
+    # window order = ORDER BY items minus the leading DISTINCT ON keys
+    tail = [
+        o
+        for o in order_items
+        if re.split(r"\s+", o.strip())[0].lower() not in {k.lower() for k in keys}
+    ]
+    order_clause = ", ".join(tail) if tail else ", ".join(keys)
+    part = ", ".join(keys)
+    return (
+        f"{sql[: m.start()]}SELECT * EXCEPT (__rn) FROM (SELECT {select_list},"
+        f" row_number() OVER (PARTITION BY {part} ORDER BY {order_clause}) AS __rn"
+        f" FROM {from_part}) WHERE __rn = 1{trailer}"
+    )
+
+
 def _translate_misc(sql: str) -> str:
     # lit = ANY(col) → array_contains(col, lit)
     sql = re.sub(
@@ -317,13 +691,51 @@ def _translate_misc(sql: str) -> str:
         r"~\*\s*'((?:''|[^'])*)'", lambda m: f"RLIKE '(?i){m.group(1)}'", sql
     )
     sql = re.sub(r"(?<![~!<>=*])~\s*'((?:''|[^'])*)'", lambda m: f"RLIKE '{m.group(1)}'", sql)
-    # a && b → arrays_overlap(a, b) for simple operands
+    # PG array-typed CAST: CAST(x AS VARCHAR[]) → CAST(x AS ARRAY<STRING>)
     sql = re.sub(
-        r"([A-Za-z_][\w\.]*(?:\([^()]*\))?|array\([^()]*\))\s*&&\s*"
-        r"([A-Za-z_][\w\.]*(?:\([^()]*\))?|array\([^()]*\))",
-        r"arrays_overlap(\1, \2)",
+        r"(?i)\bAS\s+([A-Za-z_]+)\s*\[\s*\]",
+        lambda m: f"AS ARRAY<{PG_TYPE_MAP.get(m.group(1).lower(), m.group(1))}>",
         sql,
     )
+    _operand = (
+        r"CAST\s*\((?:[^()]|\([^()]*\))*\)|"
+        r"[A-Za-z_][\w\.]*(?:\([^()]*\))?|array\([^()]*\)"
+    )
+    # a && b → arrays_overlap(a, b) for simple operands
+    sql = re.sub(
+        rf"({_operand})\s*&&\s*({_operand})",
+        r"arrays_overlap(\1, \2)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # a @> b (PG array containment: a ⊇ b) → no element of b missing from a
+    sql = re.sub(
+        r"([A-Za-z_][\w\.]*(?:\([^()]*\))?|array\([^()]*\))\s*@>\s*"
+        r"(CAST\s*\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][\w\.]*(?:\([^()]*\))?|array\([^()]*\))",
+        r"(size(array_except(\2, \1)) = 0)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # PG 1-based subscript after a call: fn(...)[n] → element_at(fn(...), n)
+    # (Spark's native arr[n] subscript is 0-based, so every PG subscript
+    # must translate). Balanced-paren backtrack from each `)[n]`.
+    while True:
+        m = re.search(r"\)\s*\[\s*(\d+)\s*\]", sql)
+        if not m:
+            break
+        depth, j = 0, m.start()
+        while j >= 0:
+            if sql[j] == ")":
+                depth += 1
+            elif sql[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        k = re.search(r"[A-Za-z_][\w\.]*\s*$", sql[:j])
+        start = k.start() if k else j
+        call = sql[start : m.start() + 1]
+        sql = f"{sql[:start]}element_at({call}, {m.group(1)}){sql[m.end():]}"
     sql = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
 
     # time_bucket('5 minutes', ts) → time_bucket_secs(300, ts): the interval
@@ -344,10 +756,21 @@ def pg_to_spark_sql(sql: str) -> str:
     stripped = sql.lstrip()
     if re.match(r"(?i)^ABORT\b", stripped):
         sql = sql[: len(sql) - len(stripped)] + "ROLLBACK" + stripped[5:]
+    sql = _translate_distinct_on(sql)
+    # ARRAY[...] → array(...) BEFORE the cast pass, so ARRAY[..]::VARCHAR[]
+    # presents a ')'-terminated operand to the `::` translator.
+    sql = re.sub(r"\bARRAY\s*\[([^\[\]]*)\]", r"array(\1)", sql, flags=re.IGNORECASE)
     toks = _tokenize(sql)
+    # PG standard strings treat backslash literally; Spark's default parser
+    # treats it as an escape. Double backslashes inside string literals so
+    # the PG text survives verbatim (also the right semantics for ~ regex
+    # literals: PG '\d+' must reach Spark's RLIKE as \d+).
+    toks = [
+        t if not t.startswith("'") else t.replace("\\", "\\\\") for t in toks
+    ]
     toks = _translate_arrows(toks)
     toks = _translate_casts(toks)
-    return _translate_misc("".join(toks))
+    return _translate_fn_calls(_translate_misc("".join(toks)))
 
 
 def pg_sql(spark, sql: str):

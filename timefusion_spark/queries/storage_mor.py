@@ -237,7 +237,7 @@ def q_otel_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("timestamp"),
             F.col("event_type").alias("name"),
             F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
-            (F.col("value") * 1e6).cast("long").alias("duration_ns"),
+            (F.col("value") * 1e6).cast("long").alias("duration"),
             F.col("props").alias("attributes"),
         )
         tbl.append(rows, stamp="2026-03-06 00:00:00")

@@ -1,0 +1,435 @@
+"""sqllogictest runner: executes the reference's slt corpus against this
+engine end-to-end.
+
+The reference validates its SQL surface with sqllogictest files
+(tests/suite/sqllogictest.rs:1-40 runs tests/slt/*.slt against a live
+server over pgwire). This module is the same harness for the Spark engine:
+
+- ``statement ok`` INSERT/UPDATE/DELETE/CREATE TABLE route through the
+  REAL storage paths — `Table.append` (coerce → stamp → LWW dedup →
+  sorted partitioned write), `storage.dml` (version-append MOR), dynamic
+  `TableSchema` creation — not a shortcut in-memory table.
+- ``query`` records translate PG dialect via `pgshim.pg_to_spark_sql`
+  and run on `spark.sql` over the tables' merge-on-read read views.
+- results are formatted with sqllogictest conventions (NULL, (empty),
+  true/false, float display) and compared against the expected block,
+  honoring `rowsort` / `valuesort`.
+
+A passing file means a user of the reference could run that file's
+workload here and see identical answers.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import re
+from dataclasses import dataclass, field
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timefusion_spark.functions.register import register_all
+from timefusion_spark.pgshim import PG_TYPE_MAP, pg_to_spark_sql
+from timefusion_spark.storage import Table, dml
+from timefusion_spark.storage.schema import FieldDef, TableSchema, load_schema
+
+_SCHEMA_DIR = os.path.join(os.path.dirname(__file__), "schemas")
+
+# ---------------------------------------------------------------- parsing
+
+
+@dataclass
+class Record:
+    kind: str  # "statement_ok" | "statement_error" | "query"
+    sql: str
+    line: int
+    types: str = ""
+    sort: str = "nosort"
+    expected: list[str] = field(default_factory=list)
+
+
+def parse_slt(text: str) -> list[Record]:
+    lines = text.splitlines()
+    records: list[Record] = []
+    i = 0
+    while i < len(lines):
+        ln = lines[i].strip()
+        if not ln or ln.startswith("#"):
+            i += 1
+            continue
+        start = i + 1
+        if ln.startswith("statement"):
+            kind = "statement_error" if "error" in ln else "statement_ok"
+            i += 1
+            sql_lines = []
+            while i < len(lines) and lines[i].strip() and not lines[i].startswith("#"):
+                sql_lines.append(lines[i])
+                i += 1
+            records.append(Record(kind, "\n".join(sql_lines), start))
+        elif ln.startswith("query"):
+            parts = ln.split()
+            types = parts[1] if len(parts) > 1 else ""
+            sort = parts[2] if len(parts) > 2 else "nosort"
+            i += 1
+            sql_lines = []
+            while i < len(lines) and lines[i].strip() != "----" and lines[i].strip():
+                sql_lines.append(lines[i])
+                i += 1
+            expected: list[str] = []
+            if i < len(lines) and lines[i].strip() == "----":
+                i += 1
+                while i < len(lines) and lines[i].strip():
+                    expected.append(lines[i].rstrip("\n"))
+                    i += 1
+            records.append(
+                Record("query", "\n".join(sql_lines), start, types, sort, expected)
+            )
+        else:
+            i += 1
+    return records
+
+
+# ------------------------------------------------------------- formatting
+
+
+def fmt_value(v, tchar: str) -> str:
+    """sqllogictest value rendering (sqllogictest-rs conventions, as used
+    by the reference's DataFusion-backed runner)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if v != v:  # NaN
+            return "NaN"
+        return str(int(v)) if v.is_integer() else repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, dt.datetime):
+        s = v.isoformat(sep="T")
+        return s
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(fmt_value(x, tchar) for x in v) + "]"
+    s = str(v)
+    return s if s != "" else "(empty)"
+
+
+def format_rows(rows, types: str) -> list[str]:
+    out = []
+    for row in rows:
+        vals = list(row)
+        cells = []
+        for idx, v in enumerate(vals):
+            t = types[idx] if idx < len(types) else "T"
+            cells.append(fmt_value(v, t))
+        out.append(" ".join(cells))
+    return out
+
+
+def compare(actual: list[str], expected: list[str], sort: str) -> bool:
+    exp = [e.strip() for e in expected]
+    act = [a.strip() for a in actual]
+    if sort == "rowsort":
+        act, exp = sorted(act), sorted(exp)
+    elif sort == "valuesort":
+        act = sorted(v for a in act for v in a.split())
+        exp = sorted(v for e in exp for v in e.split())
+    else:
+        # whitespace-normalized exact-order compare
+        act = [re.sub(r"\s+", " ", a) for a in act]
+        exp = [re.sub(r"\s+", " ", e) for e in exp]
+    return act == exp
+
+
+# ------------------------------------------------------------- execution
+
+_CREATE_RE = re.compile(
+    r"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*$"
+)
+_INSERT_RE = re.compile(r"(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(\(([^)]*)\))?\s*VALUES\s*(.*)$")
+_UPDATE_RE = re.compile(
+    r"(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+FROM\s+(.*?))?\s+WHERE\s+(.*)$"
+)
+_DELETE_RE = re.compile(r"(?is)^\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.*))?$")
+_DROP_RE = re.compile(r"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$")
+
+_PG_COLTYPE = {
+    "integer": "Int32",
+    "int": "Int32",
+    "bigint": "Int64",
+    "smallint": "Int16",
+    "double": "Float64",
+    "double precision": "Float64",
+    "real": "Float32",
+    "float": "Float64",
+    "varchar": "Utf8",
+    "text": "Utf8",
+    "boolean": "Boolean",
+    "bool": "Boolean",
+    "date": "Date32",
+    "timestamp": 'Timestamp(Microsecond, Some("UTC"))',
+    "timestamp with time zone": 'Timestamp(Microsecond, Some("UTC"))',
+    "timestamp without time zone": 'Timestamp(Microsecond, Some("UTC"))',
+    "timestamptz": 'Timestamp(Microsecond, Some("UTC"))',
+}
+
+
+def _split_top(text: str, sep: str = ",") -> list[str]:
+    out, depth, buf, i = [], 0, [], 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            m = re.match(r"'(?:''|[^'])*'", text[i:])
+            frag = m.group(0) if m else ch
+            buf.append(frag)
+            i += len(frag)
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if depth == 0 and text[i : i + len(sep)].upper() == sep.upper():
+            # word separators need boundaries
+            if sep.strip() and sep[0].isalpha():
+                before = text[i - 1] if i else " "
+                after = text[i + len(sep)] if i + len(sep) < len(text) else " "
+                if before.isalnum() or after.isalnum():
+                    buf.append(ch)
+                    i += 1
+                    continue
+            out.append("".join(buf))
+            buf = []
+            i += len(sep)
+            continue
+        buf.append(ch)
+        i += 1
+    out.append("".join(buf))
+    return out
+
+
+class SltEnv:
+    """One execution environment: the engine tables + views for a file."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.tables: dict[str, Table] = {}
+        register_all(spark)
+        for yaml_name in ("otel_logs_and_spans.yaml", "mor_versioned.yaml"):
+            schema = load_schema(os.path.join(_SCHEMA_DIR, yaml_name))
+            self._add_table(schema)
+
+    def _add_table(self, schema: TableSchema) -> None:
+        tbl = Table.create(
+            self.spark, schema, os.path.join(self.base_dir, schema.table_name)
+        )
+        self.tables[schema.table_name] = tbl
+        self._refresh(schema.table_name)
+
+    def _refresh(self, name: str) -> None:
+        tbl = self.tables[name]
+        try:
+            df = tbl.read()
+        except Exception:  # no files yet → empty relation with the schema
+            df = self.spark.createDataFrame([], tbl.schema.spark_schema)
+            vis = [
+                f.name
+                for f in tbl.schema.fields
+                if f.name != tbl.schema.tombstone_column
+            ]
+            df = df.select(*vis)
+        df.createOrReplaceTempView(name)
+
+    # ---- statements
+
+    def _create_table(self, m: re.Match) -> None:
+        name, cols_text = m.group(1), m.group(2)
+        if name in self.tables:
+            if re.search(r"(?i)IF\s+NOT\s+EXISTS", m.string):
+                return
+            raise ValueError(f"table {name} exists")
+        fields = []
+        for coldef in _split_top(cols_text):
+            parts = coldef.strip().split()
+            if not parts:
+                continue
+            cname = parts[0]
+            ctype = " ".join(parts[1:]).lower().split("(")[0].strip() or "text"
+            fields.append(FieldDef(cname, _PG_COLTYPE.get(ctype, "Utf8"), True))
+        schema = TableSchema(table_name=name, fields=fields)
+        self._add_table(schema)
+
+    def _insert(self, m: re.Match) -> None:
+        name = m.group(1)
+        tbl = self.tables.get(name)
+        if tbl is None:
+            raise ValueError(f"unknown table {name}")
+        cols = (
+            [c.strip() for c in m.group(3).split(",")]
+            if m.group(3)
+            else [f.name for f in tbl.schema.fields]
+        )
+        values_text = pg_to_spark_sql(m.group(4).strip().rstrip(";"))
+        # newline before the alias: the last VALUES line may end in a
+        # `-- comment` that would otherwise swallow it
+        df = self.spark.sql(
+            f"SELECT * FROM VALUES {values_text}\nAS __ins({', '.join(cols)})"
+        )
+        tbl.append(df)
+        self._refresh(name)
+
+    def _source_alias(self, from_text: str) -> tuple[DataFrame, str]:
+        m = re.match(r"(?s)^\s*\((.*)\)\s*(?:AS\s+)?(\w+)\s*$", from_text.strip())
+        if not m:
+            raise ValueError(f"unsupported UPDATE…FROM source: {from_text!r}")
+        src = self.spark.sql(pg_to_spark_sql(m.group(1)))
+        return src, m.group(2)
+
+    def _update(self, m: re.Match) -> None:
+        name, set_text, from_text, where_text = m.groups()
+        tbl = self.tables.get(name)
+        if tbl is None:
+            raise ValueError(f"unknown table {name}")
+        assigns_raw: dict[str, str] = {}
+        for item in _split_top(set_text):
+            col, expr = item.split("=", 1)
+            assigns_raw[col.strip()] = expr.strip()
+
+        if from_text is None:
+            assigns = {
+                c: F.expr(pg_to_spark_sql(re.sub(rf"\b{name}\.", "", e)))
+                for c, e in assigns_raw.items()
+            }
+            dml.update(
+                tbl,
+                assigns,
+                predicate=pg_to_spark_sql(re.sub(rf"\b{name}\.", "", where_text)),
+            )
+        else:
+            src, alias = self._source_alias(from_text)
+            join_keys: list[str] = []
+            renames: dict[str, str] = {}
+            target_conj: list[str] = []
+            eq_re = re.compile(
+                rf"^\s*(?:{name}\.)?(\w+)\s*=\s*{alias}\.(\w+)\s*$|"
+                rf"^\s*{alias}\.(\w+)\s*=\s*(?:{name}\.)?(\w+)\s*$"
+            )
+            for conj in _split_top(where_text, " AND "):
+                em = eq_re.match(conj.strip())
+                if em and (f"{alias}." in conj):
+                    tcol = em.group(1) or em.group(4)
+                    scol = em.group(2) or em.group(3)
+                    join_keys.append(tcol)
+                    renames[scol] = tcol
+                else:
+                    target_conj.append(conj.strip())
+            for scol, tcol in renames.items():
+                if scol != tcol:
+                    src = src.withColumnRenamed(scol, tcol)
+            assigns = {}
+            for c, e in assigns_raw.items():
+                e2 = re.sub(rf"\b{name}\.", "_tgt.", e)
+                e2 = re.sub(rf"\b{alias}\.", "_src.", e2)
+                assigns[c] = F.expr(pg_to_spark_sql(e2))
+            predicate = None
+            if target_conj:
+                predicate = pg_to_spark_sql(
+                    re.sub(rf"\b{name}\.", "", " AND ".join(target_conj))
+                )
+            dml.update_from(tbl, src, join_keys, assigns, predicate=predicate)
+        self._refresh(name)
+
+    def _delete(self, m: re.Match) -> None:
+        name, where_text = m.group(1), m.group(2)
+        tbl = self.tables.get(name)
+        if tbl is None:
+            raise ValueError(f"unknown table {name}")
+        dml.delete(tbl, predicate=pg_to_spark_sql(where_text) if where_text else None)
+        self._refresh(name)
+
+    # ---- entry points
+
+    def run_statement(self, sql: str) -> None:
+        sql = sql.strip().rstrip(";")
+        if m := _DROP_RE.match(sql):
+            name = m.group(1)
+            if name not in self.tables and "IF EXISTS" not in sql.upper():
+                raise ValueError(f"unknown table {name}")
+            self.tables.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+        elif m := _CREATE_RE.match(sql):
+            self._create_table(m)
+        elif m := _INSERT_RE.match(sql):
+            self._insert(m)
+        elif m := _UPDATE_RE.match(sql):
+            self._update(m)
+        elif m := _DELETE_RE.match(sql):
+            self._delete(m)
+        else:
+            # plain SQL statement (SELECT used as a probe, etc.)
+            self.spark.sql(pg_to_spark_sql(sql)).collect()
+
+    def run_query(self, sql: str):
+        return self.spark.sql(pg_to_spark_sql(sql.strip().rstrip(";"))).collect()
+
+
+@dataclass
+class RecordResult:
+    record: Record
+    ok: bool
+    detail: str = ""
+
+
+def run_file(
+    spark: SparkSession,
+    path: str,
+    base_dir: str,
+    skips: dict[int, str] | None = None,
+) -> list[RecordResult]:
+    """Execute one slt file; returns per-record results. `skips` maps the
+    record's starting line number to a skip reason."""
+    with open(path) as f:
+        records = parse_slt(f.read())
+    return _run_records(spark, records, base_dir, skips or {})
+
+
+def _run_records(
+    spark: SparkSession,
+    records: list[Record],
+    base_dir: str,
+    skips: dict[int, str],
+) -> list[RecordResult]:
+    env = SltEnv(spark, base_dir)
+    results: list[RecordResult] = []
+    for rec in records:
+        if rec.line in skips:
+            results.append(RecordResult(rec, True, f"SKIP: {skips[rec.line]}"))
+            continue
+        try:
+            if rec.kind == "statement_ok":
+                env.run_statement(rec.sql)
+                results.append(RecordResult(rec, True))
+            elif rec.kind == "statement_error":
+                try:
+                    env.run_statement(rec.sql)
+                except Exception:
+                    results.append(RecordResult(rec, True))
+                else:
+                    results.append(
+                        RecordResult(rec, False, "expected an error, statement succeeded")
+                    )
+            else:
+                rows = env.run_query(rec.sql)
+                actual = format_rows(rows, rec.types)
+                ok = compare(actual, rec.expected, rec.sort)
+                detail = "" if ok else f"expected={rec.expected!r} actual={actual!r}"
+                results.append(RecordResult(rec, ok, detail))
+        except Exception as e:  # noqa: BLE001
+            results.append(RecordResult(rec, False, f"{type(e).__name__}: {e}"))
+    return results

@@ -96,6 +96,7 @@ def update_from(
     source: DataFrame,
     join_keys: list[str],
     assignments: dict[str, Column],
+    predicate: Column | str | None = None,
     project_id: str | None = None,
     ts_lo: str | None = None,
     ts_hi: str | None = None,
@@ -103,6 +104,9 @@ def update_from(
 ) -> int:
     """UPDATE … FROM source USING join_keys SET assignments.
 
+    `predicate` filters the TARGET side before the join (the reference
+    splits UPDATE…FROM conjuncts the same way, dml.rs:84-130: equi-join
+    conjuncts become keys, target-only conjuncts stay filters).
     Assignment columns may reference ``source.<col>`` via the aliased side
     (`F.col("_src.<col>")`). The source is guarded to
     MAX_UPDATE_SOURCE_ROWS and broadcast — at 100 TB target-side scale the
@@ -111,7 +115,7 @@ def update_from(
     n_src = source.count()
     if n_src > MAX_UPDATE_SOURCE_ROWS:
         raise ValueError(f"UPDATE…FROM source too large: {n_src} > {MAX_UPDATE_SOURCE_ROWS}")
-    target = _resolve(table, None, project_id, ts_lo, ts_hi).alias("_tgt")
+    target = _resolve(table, predicate, project_id, ts_lo, ts_hi).alias("_tgt")
     src = F.broadcast(source.alias("_src"))
     cond = None
     for k in join_keys:

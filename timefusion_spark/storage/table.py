@@ -74,11 +74,31 @@ class Table:
         and output column ORDER is the declared order (yaml:375-380 — order
         is load-bearing)."""
         incoming = set(df.columns)
+        if incoming.isdisjoint(f.name for f in self.schema.fields):
+            raise ValueError(
+                f"batch shares no columns with {self.schema.table_name}: "
+                f"{sorted(incoming)}"
+            )
         cols: list[Column] = []
         for f in self.schema.fields:
             target = f.to_spark().dataType
             if f.name in incoming:
                 c = F.col(f.name).cast(target)
+                if f.data_type == "Variant":
+                    # Variant fields store canonical JSON text (sorted keys,
+                    # no whitespace) — the text rendering of the reference's
+                    # Parquet-Variant binary, so SELECT/equality/LIKE see the
+                    # same canonical form Variant output would produce.
+                    c = F.coalesce(F.to_json(F.try_parse_json(c)), c)
+                if not f.nullable and f.name != "date":
+                    # Required-field enforcement (insert_coerce.rs rejects
+                    # NULL in non-nullable declared columns at insert time).
+                    c = F.when(
+                        c.isNull(),
+                        F.raise_error(
+                            F.lit(f"NULL in non-nullable column {f.name!r}")
+                        ).cast(target),
+                    ).otherwise(c)
             elif f.name == "date" and "date" in self.schema.partitions:
                 c = F.lit(None).cast(target)  # filled from time_column below
             elif f.nullable:
