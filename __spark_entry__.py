@@ -29,7 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
     _ensure_loaded()
     from timefusion_spark.functions.register import register_all
     from timefusion_spark.registry import REGISTRY
+    from timefusion_spark.session import ensure_runtime_confs
 
+    ensure_runtime_confs(spark)  # driver-owned sessions: UTC + ns-parquet
     register_all(spark)  # SQL surface live for every session the driver opens
     return REGISTRY["q1_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001")
 

@@ -18,29 +18,13 @@ import pytest
 
 SLT_DIR = "/root/reference/tests/slt"
 
-# (file, record start line) -> reason. Keep empty unless a record is
-# genuinely out of scope; every skip is visible in the test output.
-SKIPS: dict[str, dict[int, str]] = {
-    "json_functions.slt": {
-        212: "jsonb_build_array(sub.*): star-expansion inside a rewritten "
-        "call needs bind-time schema; out of the text-shim's scope",
-    },
-    "variant_functions.slt": {
-        100: "variant_pretty prints DataFusion-variant's internal type tags "
-        "(Int8(123)) — engine-internal debug format, not a semantic surface",
-        266: "PG json text operators slice the source document verbatim "
-        "('[10, 20, 30]' keeps spaces); this engine re-renders extracted "
-        "JSON canonically — documented divergence",
-    },
-}
-
 _FILES = sorted(glob.glob(os.path.join(SLT_DIR, "*.slt")))
 
 
 @pytest.mark.skipif(not _FILES, reason="reference slt corpus not present")
 @pytest.mark.parametrize("path", _FILES, ids=[os.path.basename(p) for p in _FILES])
 def test_slt_file(path, spark, tmp_path):
-    from timefusion_spark.slt import run_file
+    from timefusion_spark.slt import SKIPS, run_file
 
     skips = SKIPS.get(os.path.basename(path), {})
     results = run_file(spark, path, str(tmp_path), skips=skips)

@@ -15,7 +15,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     comparisons line up exactly.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Also set in session.py's builder; re-asserted here (idempotent,
+        # check-first) because the driver may hand us ITS session, built
+        # without the engine's confs.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -46,6 +46,7 @@ def load_all() -> None:
         multimodal,
         relational,
         similarity,
+        slt_parity,
         storage_mor,
         text_analysis,
         timeseries,

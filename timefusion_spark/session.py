@@ -39,15 +39,31 @@ def get_spark(app_name: str = "timefusion_spark", cpus: str | int | None = None)
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     active = SparkSession.getActiveSession()
     if active is not None:
+        # An existing session ignores builder confs; re-assert the
+        # runtime-settable ones that affect CORRECTNESS (a driver-owned
+        # session may carry a non-UTC zone or reject ns-parquet).
+        ensure_runtime_confs(active)
         return active
     builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", "48g")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Re-assert runtime-settable confs that affect correctness on a
+    session the engine did not build (e.g. the driver's)."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict:
