@@ -26,6 +26,7 @@ import time
 
 
 HEADLINE = [
+    "q_dashboard_count_window",
     "q_time_bucket_counts",
     "q_error_rate",
     "q_percentile_duration",

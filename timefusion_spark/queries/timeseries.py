@@ -49,6 +49,41 @@ def q_time_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dashboard_count_window",
+    oracle="""
+    SELECT COUNT(*) AS n_1h,
+           COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15 12:00:00'
+                              AND ts <  TIMESTAMP '2024-01-15 12:05:00') AS n_5m
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 12:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 13:00:00'
+    """,
+    doc="The BASELINE dashboard-count rows (207-377 ms 5-min window, "
+    "336-343 ms 1-h window — docs/2026-08-03-overnight-optimization-"
+    "report.md:107,120): a single windowed count whose time predicate "
+    "pushes down to parquet row-group pruning; both windows answered in "
+    "one scan via a FILTER aggregate.",
+)
+def q_dashboard_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    lo, hi = "2024-01-15 12:00:00", "2024-01-15 13:00:00"
+    five = "2024-01-15 12:05:00"
+    return ev.where(
+        (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("ts") < F.lit(hi).cast("timestamp"))
+    ).agg(
+        F.count(F.lit(1)).alias("n_1h"),
+        F.count(
+            F.when(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(five).cast("timestamp")),
+                1,
+            )
+        ).alias("n_5m"),
+    )
+
+
+@query(
     "q_error_rate",
     oracle="""
     SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,

@@ -52,6 +52,22 @@ def _require_mor(table: Table) -> None:
         )
 
 
+def _count_and_append(table: Table, new_versions: DataFrame, stamp) -> int:
+    """Materialize the new versions ONCE (persist), count them, append if
+    any. Without the persist the resolve plan — a dedup-window scan of the
+    whole table — would execute twice: once for the count, once for the
+    write (dml.rs materializes the matched set the same way before its
+    version-append)."""
+    new_versions = new_versions.persist()
+    try:
+        n = new_versions.count()
+        if n:
+            table.append(new_versions, stamp=stamp)
+        return n
+    finally:
+        new_versions.unpersist()
+
+
 def update(
     table: Table,
     assignments: dict[str, Column],
@@ -65,10 +81,7 @@ def update(
     _require_mor(table)
     matched = _resolve(table, predicate, project_id, ts_lo, ts_hi)
     new_versions = matched.withColumns(assignments)
-    n = new_versions.count()
-    if n:
-        table.append(new_versions, stamp=stamp)
-    return n
+    return _count_and_append(table, new_versions, stamp)
 
 
 def delete(
@@ -85,10 +98,7 @@ def delete(
     assert tomb is not None  # guaranteed by version_append validation
     matched = _resolve(table, predicate, project_id, ts_lo, ts_hi)
     new_versions = matched.withColumn(tomb, F.lit(True))
-    n = new_versions.count()
-    if n:
-        table.append(new_versions, stamp=stamp)
-    return n
+    return _count_and_append(table, new_versions, stamp)
 
 
 def update_from(
@@ -132,7 +142,4 @@ def update_from(
             for f in table.schema.fields
         ]
     )
-    n = new_versions.count()
-    if n:
-        table.append(new_versions, stamp=stamp)
-    return n
+    return _count_and_append(table, new_versions, stamp)
