@@ -83,6 +83,10 @@ def nearest_neighbor_per_row(
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        # Per-row norm computed ONCE here; the pair stage would otherwise
+        # re-fold both vectors' norms for every candidate pair (3 array
+        # folds per pair instead of 1).
+        norm(F.col(vec_col)).alias("_n"),
         *([F.col(block_col).alias("_blk")] if block_col else []),
         sign_lsh_bucket(F.col(vec_col), n_planes).alias("_bucket"),
     )
@@ -97,7 +101,9 @@ def nearest_neighbor_per_row(
     pairs = a.join(b, cond).select(
         F.col("a._id").alias("id_a"),
         F.col("b._id").alias("id_b"),
-        cosine(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+        (dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))).alias(
+            "cos_sim"
+        ),
     )
     w = W.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b"))
     return (
@@ -110,7 +116,11 @@ def nearest_neighbor_per_row(
 def sign_lsh_bucket(vec: Column, n_planes: int = 6) -> Column:
     """Sign-LSH bucket id: bit i = sign(<v, plane_i>) where plane_i's
     component for dimension d is a deterministic pseudo-random ±1 weight
-    derived from (seed_i, d). Bucket computation is per-row arithmetic."""
+    derived from (seed_i, d). Bucket computation is per-row arithmetic.
+
+    (Perf note: shipping precomputed weights as array literals was tried
+    and is a trap — `F.lit(list)` builds a per-row CreateArray of one node
+    per element, ~7× slower than this inline modular arithmetic.)"""
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
