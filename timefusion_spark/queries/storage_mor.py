@@ -353,6 +353,49 @@ def q_maintenance_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stats_introspection",
+    oracle=f"""
+    WITH live AS (
+        SELECT o_orderkey AS k,
+               'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
+               CAST(CAST(DATE '2026-03-01' + (o_orderkey % 5) * INTERVAL 1 DAY AS DATE) AS VARCHAR) AS date
+        FROM orders WHERE o_orderkey <= {_N}
+    )
+    SELECT project_id, date,
+           CAST(1 + MAX(CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END)
+                  + MAX(CASE WHEN k % 7  = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_files
+    FROM live
+    GROUP BY 1, 2
+    ORDER BY project_id, date
+    """,
+    doc="Stats introspection (timefusion_stats / stats_table.rs analog, "
+    "registered at database.rs:3248-3269): per-(project_id, date) physical "
+    "file counts of the MOR table after the append → UPDATE → DELETE "
+    "scenario. The write path guarantees ONE file per touched partition "
+    "per append (repartition on partition cols before the sorted write), "
+    "so the layout is closed-form: 1 base file + 1 iff the partition holds "
+    "an updated key (k%10=0) + 1 iff it holds a deleted key (k%7=0).",
+)
+def q_stats_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import maintenance
+
+    tbl, base_dir = _build_mor_table(spark, sf_dir)
+    try:
+        st = maintenance.stats(tbl)
+        out = (
+            st.select(
+                F.get_json_object("partition", "$.project_id").alias("project_id"),
+                F.get_json_object("partition", "$.date").alias("date"),
+                F.col("n_files"),
+            )
+            .orderBy("project_id", "date")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
     "q_storage_partition_scan",
     oracle=f"""
     SELECT COUNT(*) AS n,
