@@ -90,3 +90,47 @@ def test_end_to_end_execution(spark):
     assert row["id_s"] == "1"
     assert row["has_a"] is True
     assert row["m"] is True
+
+
+class TestSettingsSurface:
+    """SET / SHOW / RESET / set_config / current_setting / pg_settings
+    (database.rs:3283-3348 registers the same PG compat plumbing)."""
+
+    def test_set_show_roundtrip(self, spark):
+        assert pg_sql(spark, "SET application_name = 'tf_test'").count() == 0
+        row = pg_sql(spark, "SHOW application_name").collect()[0]
+        assert row["application_name"] == "tf_test"
+
+    def test_set_time_zone_and_show(self, spark):
+        pg_sql(spark, "SET TIME ZONE 'America/New_York'")
+        assert pg_sql(spark, "SHOW TIME ZONE").collect()[0]["TimeZone"] == (
+            "America/New_York"
+        )
+        pg_sql(spark, "RESET timezone")
+        assert pg_sql(spark, "SHOW timezone").collect()[0]["timezone"] == "UTC"
+
+    def test_set_config_and_current_setting(self, spark):
+        row = pg_sql(
+            spark, "SELECT set_config('my.knob', 'v1', false) AS applied"
+        ).collect()[0]
+        assert row["applied"] == "v1"
+        row = pg_sql(spark, "SELECT current_setting('my.knob') AS v").collect()[0]
+        assert row["v"] == "v1"
+
+    def test_current_setting_missing_ok(self, spark):
+        row = pg_sql(
+            spark, "SELECT current_setting('no.such', true) AS v"
+        ).collect()[0]
+        assert row["v"] is None
+
+    def test_pg_settings_view(self, spark):
+        pg_sql(spark, "SET search_path = 'tf'")
+        rows = pg_sql(
+            spark,
+            "SELECT setting FROM pg_settings WHERE name = 'search_path'",
+        ).collect()
+        assert rows[0]["setting"] == "tf"
+
+    def test_show_all_has_defaults(self, spark):
+        names = {r["name"] for r in pg_sql(spark, "SHOW ALL").collect()}
+        assert {"timezone", "server_version", "client_encoding"} <= names

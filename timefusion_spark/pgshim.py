@@ -773,6 +773,122 @@ def pg_to_spark_sql(sql: str) -> str:
     return _translate_fn_calls(_translate_misc("".join(toks)))
 
 
+# ── PG settings surface (SET / SHOW / set_config / current_setting /
+# pg_settings — database.rs:3283-3348 registers the same plumbing) ────────
+#
+# Settings are recorded per SparkSession and echoed back with PG behavior;
+# they do NOT re-configure the engine (the engine contract pins UTC
+# rendering and µs timestamps — the reference likewise serves a fixed
+# server configuration and keeps these for client compatibility).
+
+_DEFAULT_SETTINGS: dict[str, str] = {
+    "timezone": "UTC",
+    "search_path": "public",
+    "server_version": "16.4",
+    "application_name": "",
+    "client_encoding": "UTF8",
+    "standard_conforming_strings": "on",
+}
+
+_SESSION_SETTINGS: dict[int, dict[str, str]] = {}
+
+
+def _settings_for(spark) -> dict[str, str]:
+    return _SESSION_SETTINGS.setdefault(id(spark), dict(_DEFAULT_SETTINGS))
+
+
+def _setting_literal(raw: str) -> str:
+    raw = raw.strip()
+    if raw.startswith("'"):
+        return _strip_quotes(raw).replace("''", "'")
+    return raw
+
+
+def _apply_settings_statement(spark, stripped: str):
+    """Handle SET / RESET / SHOW statements. Returns a DataFrame for SHOW,
+    True for a handled side-effect statement, None if not a settings
+    statement."""
+    st = _settings_for(spark)
+    m = re.match(r"(?is)^SET\s+(?:SESSION\s+|LOCAL\s+)?TIME\s+ZONE\s+(.+)$", stripped)
+    if m:
+        st["timezone"] = _setting_literal(m.group(1))
+        return True
+    m = re.match(
+        r"(?is)^SET\s+(?:SESSION\s+|LOCAL\s+)?([A-Za-z_][\w.]*)\s*(?:TO|=)\s*(.+)$",
+        stripped,
+    )
+    if m:
+        st[m.group(1).lower()] = _setting_literal(m.group(2))
+        return True
+    m = re.match(r"(?is)^RESET\s+([A-Za-z_][\w.]*)$", stripped)
+    if m:
+        name = m.group(1).lower()
+        st[name] = _DEFAULT_SETTINGS.get(name, "")
+        return True
+    m = re.match(r"(?is)^SHOW\s+TIME\s+ZONE$", stripped)
+    if m:
+        return spark.createDataFrame([(st["timezone"],)], "TimeZone string")
+    m = re.match(r"(?is)^SHOW\s+ALL$", stripped)
+    if m:
+        rows = sorted(st.items())
+        return spark.createDataFrame(rows, "name string, setting string")
+    m = re.match(r"(?is)^SHOW\s+([A-Za-z_][\w.]*)$", stripped)
+    if m:
+        name = m.group(1).lower()
+        return spark.createDataFrame([(st.get(name, ""),)], f"{name} string")
+    return None
+
+
+def _apply_settings_functions(spark, sql: str) -> str:
+    """Rewrite set_config('n','v',is_local) (side effect + returns value)
+    and current_setting('n') to string literals against the session store —
+    the same eager resolution the reference's scalar UDFs perform."""
+    st = _settings_for(spark)
+
+    def _q(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    def _set_config(a: list[str]):
+        if len(a) != 3:
+            return None
+        name = _strip_quotes(a[0]).lower()
+        value = _strip_quotes(a[1]).replace("''", "'")
+        st[name] = value
+        return _q(value)
+
+    def _current_setting(a: list[str]):
+        if len(a) not in (1, 2):
+            return None
+        name = _strip_quotes(a[0]).lower()
+        if name not in st and len(a) == 2 and a[1].strip().lower() == "true":
+            return "CAST(NULL AS STRING)"
+        return _q(st.get(name, ""))
+
+    sql = _rewrite_calls(sql, "set_config", _set_config)
+    return _rewrite_calls(sql, "current_setting", _current_setting)
+
+
+def _ensure_pg_settings_view(spark) -> None:
+    rows = sorted(_settings_for(spark).items())
+    spark.createDataFrame(rows, "name string, setting string").createOrReplaceTempView(
+        "pg_settings"
+    )
+
+
 def pg_sql(spark, sql: str):
-    """Run a PG-dialect query through the shim on a SparkSession."""
+    """Run a PG-dialect statement through the shim on a SparkSession.
+
+    SET/RESET return an empty result frame (command-complete analog);
+    SHOW returns the one-row PG shape; everything else translates and
+    executes, with set_config/current_setting resolved against the
+    per-session settings store and pg_settings available as a view."""
+    stripped = sql.strip().rstrip(";").strip()
+    handled = _apply_settings_statement(spark, stripped)
+    if handled is True:
+        return spark.createDataFrame([], "status string")
+    if handled is not None:
+        return handled
+    if re.search(r"(?i)\bpg_settings\b", sql):
+        _ensure_pg_settings_view(spark)
+    sql = _apply_settings_functions(spark, sql)
     return spark.sql(pg_to_spark_sql(sql))
