@@ -120,3 +120,33 @@ def test_partition_filters_reach_scan_through_dedup_window(spark, tmp_path):
     )
     assert "PartitionFilters" in plan and "project_id" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_time_predicate_pushes_to_parquet_scan(spark, sf_dir):
+    """The dashboard-count window (BASELINE rows 1-2): the ts bounds must
+    reach the parquet scan as PushedFilters so row groups outside the
+    window are pruned by footer min/max stats — the reference gets the
+    same effect from its time-range leg exclusion + parquet page stats."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q_dashboard_count_window"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # events.ts is read as long (nanosAsLong) then converted; the pushed
+    # filter lands on the raw long column.
+    assert "PushedFilters: [" in plan
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "ts" in pushed and "IsNotNull" in pushed
+
+
+def test_q3_broadcasts_dimension_side(spark, sf_dir):
+    """TPC-H q3 shape: the customer dimension is broadcast — no shuffle of
+    the orders/lineitem fact side for that join (SURVEY §2.3 broadcast
+    hint; at cluster scale this is the difference between a map-side join
+    and a full fact shuffle)."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q3_shipping_priority"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
