@@ -128,6 +128,93 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_training_pipeline",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               (least(len({_ORACLE_TOKENS}) / 50.0, 1.0)
+              + least(({_ORACLE_STOP_RATIO}) * 5.0, 1.0)
+              + (CASE WHEN ({_ORACLE_ATL}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+               ) / 3.0 AS q,
+               {_ORACLE_STOP_RATIO} AS en,
+               md5({_ORACLE_NORM}) AS fp,
+               len({_ORACLE_TOKENS}) AS n_tok
+        FROM documents
+    ),
+    filtered AS (SELECT * FROM scored WHERE q >= 0.5 AND en >= 0.05),
+    uniq AS (
+        SELECT source, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM filtered
+    ),
+    funnel AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(*) FILTER (WHERE q >= 0.5) AS n_quality,
+               COUNT(*) FILTER (WHERE q >= 0.5 AND en >= 0.05) AS n_english
+        FROM scored GROUP BY source
+    ),
+    kept AS (
+        SELECT source,
+               CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_unique,
+               CAST(COALESCE(SUM(n_tok) FILTER (WHERE rn = 1), 0) AS BIGINT) AS total_tokens_kept
+        FROM uniq GROUP BY source
+    )
+    SELECT f.source, f.n_docs, f.n_quality, f.n_english,
+           COALESCE(k.n_unique, 0) AS n_unique,
+           COALESCE(k.total_tokens_kept, 0) AS total_tokens_kept
+    FROM funnel f LEFT JOIN kept k ON f.source = k.source
+    ORDER BY f.source
+    """,
+    doc="End-to-end training-data prep funnel (LLM-pipeline composition): "
+    "quality scoring → language gate → exact dedup (keep min doc_id per "
+    "fingerprint) → token-budget accounting, all per source. Every stage "
+    "is the registered operator (quality_score, english_likelihood, "
+    "doc_fingerprint, token_count) composed in one distributed plan: two "
+    "shuffles total (fingerprint window + final agg) at any corpus size.",
+)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        ta.quality_score(F.col("text")).alias("q"),
+        ta.english_likelihood(F.col("text")).alias("en"),
+        ta.doc_fingerprint(F.col("text")).alias("fp"),
+        ta.token_count(F.col("text")).alias("n_tok"),
+    )
+    funnel = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("q") >= 0.5, 1)).alias("n_quality"),
+        F.count(F.when((F.col("q") >= 0.5) & (F.col("en") >= 0.05), 1)).alias(
+            "n_english"
+        ),
+    )
+    filtered = scored.where((F.col("q") >= 0.5) & (F.col("en") >= 0.05))
+    uniq = filtered.withColumn(
+        "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    )
+    kept = uniq.where(F.col("rn") == 1).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_tok").alias("total_tokens_kept"),
+    )
+    return (
+        funnel.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_quality",
+            "n_english",
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("total_tokens_kept", F.lit(0)).alias("total_tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "q_bpe_ish_tokens",
     oracle="""
     SELECT source,
