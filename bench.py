@@ -44,6 +44,8 @@ HEADLINE = [
     "q_salted_agg",
     "q_mor_merge_on_read",
     "q_sessionization",
+    "q_training_pipeline",
+    "q_hypertable_rollup",
 ]
 
 
