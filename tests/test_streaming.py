@@ -225,3 +225,25 @@ def test_redelivery_collapsed_by_dedup_keys(spark, tmp_path, table):
     q.awaitTermination(120)
     assert table.read_raw().count() == 60  # both deliveries landed
     assert table.read().count() == 30  # view serves each key once
+
+
+def test_in_stream_dedup_within_watermark(spark, tmp_path, table):
+    """dropDuplicatesWithinWatermark ingest (SURVEY §2.10 in-stream dedup):
+    redelivered keys inside the watermark are collapsed BEFORE the write —
+    physically exactly-once, no duplicate versions on disk (the in-buffer
+    collapse of buffered_write_layer.rs:2651-2674), with state bounded by
+    the watermark."""
+    src = str(tmp_path / "src")
+    _write_source_file(src, "b0.json", _rows(0, 30))
+    _write_source_file(src, "b1.json", _rows(0, 30))  # full redelivery
+    _write_source_file(src, "b2.json", _rows(30, 40))
+    q = ingest_stream(
+        table,
+        _stream(spark, src),
+        str(tmp_path / "ckpt"),
+        dedup_in_stream=True,
+        watermark="30 minutes",
+    )
+    q.awaitTermination(180)
+    assert table.read_raw().count() == 40  # duplicates never landed
+    assert table.read().count() == 40

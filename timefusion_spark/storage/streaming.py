@@ -64,15 +64,37 @@ def ingest_stream(
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
     query_name: str | None = None,
+    dedup_in_stream: bool = False,
+    watermark: str = "10 minutes",
 ) -> StreamingQuery:
     """Attach a streaming DataFrame to the table's write path.
 
     `stream` is any streaming source (file/rate/kafka/socket). Late rows are
     accepted unconditionally and land in their own timestamp's date
     partition — the reference's late-data policy (SURVEY §2.10): no
-    watermark on the append path."""
+    watermark on the append path.
+
+    `dedup_in_stream=True` additionally collapses redelivered keys BEFORE
+    they are written — `withWatermark` + `dropDuplicatesWithinWatermark`
+    on the table's dedup_keys, state bounded by the watermark. This is
+    physical exactly-once (no duplicate versions ever land), vs the
+    default logical exactly-once where the read view collapses
+    redeliveries (buffered_write_layer.rs:2506 does the same in-buffer
+    collapse before flush). Late rows outside the watermark still append
+    and are still collapsed by the read view."""
     if not stream.isStreaming:
         raise ValueError("ingest_stream requires a streaming DataFrame")
+    if dedup_in_stream:
+        keys = table.schema.dedup_keys
+        if not keys:
+            raise ValueError("dedup_in_stream requires dedup_keys on the table")
+        from pyspark.sql import functions as F
+
+        tc = table.schema.time_column
+        # The watermark needs event-time typed; sources often deliver the
+        # time column as text (the full coerce happens later in append).
+        stream = stream.withColumn(tc, F.col(tc).cast("timestamp"))
+        stream = stream.withWatermark(tc, watermark).dropDuplicatesWithinWatermark(keys)
 
     def _write_batch(batch: DataFrame, _batch_id: int) -> None:
         table.append(batch)
