@@ -105,6 +105,20 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # BASELINE.md rows each query maps to (reference numbers are
+                # warm-cache, single-node, prod-tenant measurements).
+                "baseline_map": {
+                    "q_dashboard_count_window": "dashboard count 5-min 207-377ms / 1-h 336-343ms",
+                    "q_recent_events_topk": "ORDER BY ts DESC LIMIT 50: 377ms",
+                    "q_percentile_duration": "percentile tiles 3-6h: 5-39s",
+                    "q_percentile_sketch": "percentile tiles (mergeable sketch path)",
+                    "q_mor_merge_on_read": "full insert->UPDATE->DELETE->query lifecycle; ref warm MOR reads 556-741ms + deferred 300s flush",
+                    "q_time_bucket_counts": "whole-table 5-min rollup (39k groups; no direct baseline row)",
+                },
+                "notes": "near-dup/LSH queries are plan-overhead-bound at this sf: "
+                "their reused-plan exec is ~0.1s (measured); wall time is "
+                "dominated by per-query Catalyst/codegen on ~1k-node "
+                "expression trees, which amortizes to noise at cluster scale.",
             }
         )
     )
