@@ -96,6 +96,23 @@ def main() -> int:
             print(f"bench {name}: ERROR {e}", file=sys.stderr)
             timings[name] = -1.0
 
+    # ── The reference's bench contract beyond select wall-times
+    # (README.md:284-289: insert throughput, select tail latency,
+    # query-under-ingest) ────────────────────────────────────────────────
+    extra: dict = {}
+    try:
+        extra["insert"] = _insert_bench(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench insert: ERROR {e}", file=sys.stderr)
+    try:
+        extra["select_latency_ms"] = _select_latency(spark, sf_dir, qs)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench select-latency: ERROR {e}", file=sys.stderr)
+    try:
+        extra["query_under_ingest"] = _query_under_ingest(spark, sf_dir, qs)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench query-under-ingest: ERROR {e}", file=sys.stderr)
+
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     print(
         json.dumps(
@@ -119,10 +136,133 @@ def main() -> int:
                 "their reused-plan exec is ~0.1s (measured); wall time is "
                 "dominated by per-query Catalyst/codegen on ~1k-node "
                 "expression trees, which amortizes to noise at cluster scale.",
+                **extra,
             }
         )
     )
     return 0
+
+
+def _mor_rows(spark, sf_dir: str, lo: int, hi: int):
+    """events-derived rows shaped for the mor_versioned schema."""
+    from pyspark.sql import functions as F
+
+    from timefusion_spark.queries._tables import t
+
+    ev = t(spark, sf_dir, "events").where(
+        (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+    )
+    return ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.expr(
+            "timestamp'2026-03-01 00:00:00'"
+            " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
+        ).alias("timestamp"),
+        F.col("event_type").alias("name"),
+        F.col("value").alias("value"),
+        F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
+    )
+
+
+def _insert_bench(spark, sf_dir: str) -> dict:
+    """Insert throughput + per-batch ack latency through the REAL write
+    path (coerce → stamp → LWW dedup → sorted partitioned write) — the
+    run_insert_bench.sh analog. 5 batches of 20k events-derived rows."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from timefusion_spark.storage import Table, load_schema
+
+    schema_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "timefusion_spark",
+        "schemas",
+        "mor_versioned.yaml",
+    )
+    base = tempfile.mkdtemp(prefix="tf_insbench_")
+    try:
+        tbl = Table.create(spark, load_schema(schema_path), os.path.join(base, "t"))
+        batch_rows = 20_000
+        acks = []
+        for i in range(5):
+            rows = _mor_rows(spark, sf_dir, i * batch_rows, (i + 1) * batch_rows)
+            t0 = _t.perf_counter()
+            tbl.append(rows, stamp="2026-03-06 00:00:00")
+            acks.append(_t.perf_counter() - t0)
+        total = sum(acks)
+        acks_ms = sorted(a * 1000 for a in acks)
+        return {
+            "rows_per_sec": round(5 * batch_rows / total, 1),
+            "batch_ack_ms_p50": round(acks_ms[2], 1),
+            "batch_ack_ms_max": round(acks_ms[-1], 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _select_latency(spark, sf_dir: str, qs) -> dict:
+    """Tail latency of the dashboard-count query (run_select_bench.sh
+    analog): 12 consecutive fresh runs, p50/p95."""
+    import time as _t
+
+    fn = qs["q_dashboard_count_window"]
+    lat = []
+    for _ in range(12):
+        t0 = _t.perf_counter()
+        fn(spark, sf_dir).collect()
+        lat.append((_t.perf_counter() - t0) * 1000)
+    lat.sort()
+    return {"p50": round(lat[len(lat) // 2], 1), "p95": round(lat[int(len(lat) * 0.95)], 1)}
+
+
+def _query_under_ingest(spark, sf_dir: str, qs) -> dict:
+    """Dashboard-query latency WHILE a micro-batch stream ingests into a
+    storage table (query_under_ingest.py analog): file-source stream of 5
+    batches through the real write path, dashboard query timed during
+    ingestion; reports query p50 under load + rows ingested."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from timefusion_spark.storage import Table, load_schema
+    from timefusion_spark.storage.streaming import ingest_stream
+
+    schema_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "timefusion_spark",
+        "schemas",
+        "mor_versioned.yaml",
+    )
+    base = tempfile.mkdtemp(prefix="tf_qui_")
+    try:
+        tbl = Table.create(spark, load_schema(schema_path), os.path.join(base, "t"))
+        src = os.path.join(base, "src")
+        for i in range(5):
+            _mor_rows(spark, sf_dir, i * 10_000, (i + 1) * 10_000).coalesce(1).write.mode(
+                "append"
+            ).json(src)
+        stream = spark.readStream.schema(
+            "id string, timestamp timestamp, name string, value double, project_id string"
+        ).option("maxFilesPerTrigger", 1).json(src)
+        q = ingest_stream(tbl, stream, os.path.join(base, "ckpt"))
+        fn = qs["q_dashboard_count_window"]
+        lat = []
+        while q.isActive:
+            t0 = _t.perf_counter()
+            fn(spark, sf_dir).collect()
+            lat.append((_t.perf_counter() - t0) * 1000)
+            if not q.awaitTermination(0.05):
+                continue
+        q.awaitTermination(120)
+        lat.sort()
+        return {
+            "query_p50_ms_under_ingest": round(lat[len(lat) // 2], 1) if lat else None,
+            "n_queries_during_ingest": len(lat),
+            "rows_ingested": tbl.read_raw().count(),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":
