@@ -328,3 +328,57 @@ class TestMaintenance:
         st = maintenance.stats(mor_table).collect()
         assert len(st) == 2  # (p1, 2026-01-01) and (p2, 2026-01-02)
         assert all(r["n_files"] >= 1 and r["bytes"] > 0 for r in st)
+
+
+class TestReferenceSchemas:
+    """The YAML loader reads the reference's OWN schema declarations
+    verbatim (same grammar as schema_loader.rs) — a reference user's
+    schemas work unchanged here."""
+
+    REF_DIR = "/root/reference/schemas"
+    EXPECTED_FIELDS = {
+        "otel_logs_and_spans.yaml": 91,
+        "otel_metrics.yaml": 69,
+        "mor_versioned.yaml": 7,
+        "mor_dormant.yaml": 12,
+        "variant_bench.yaml": 7,
+    }
+
+    @pytest.fixture(autouse=True)
+    def _need_reference(self):
+        if not os.path.isdir(self.REF_DIR):
+            pytest.skip("reference schema tree not present")
+
+    def test_all_reference_schemas_load(self):
+        from timefusion_spark.storage import load_schema
+
+        for fname, n in self.EXPECTED_FIELDS.items():
+            s = load_schema(os.path.join(self.REF_DIR, fname))
+            assert len(s.fields) == n, fname
+            assert len(s.spark_schema.fields) == n, fname
+
+    def test_full_otel_table_lifecycle(self, spark, tmp_path):
+        """Create the 91-column otel table from the reference yaml, append
+        a sparse row through the full write path, read it back through the
+        dedup view."""
+        from pyspark.sql import functions as F
+
+        from timefusion_spark.storage import Table, load_schema
+
+        s = load_schema(os.path.join(self.REF_DIR, "otel_logs_and_spans.yaml"))
+        tbl = Table.create(spark, s, str(tmp_path / "otel_full"))
+        row = spark.range(1).select(
+            F.lit("id1").alias("id"),
+            F.lit("2026-03-01 12:00:00").cast("timestamp").alias("timestamp"),
+            F.lit("GET /x").alias("name"),
+            F.lit("p1").alias("project_id"),
+            F.array(F.lit("s")).alias("summary"),
+            F.lit('{"http":{"status":200}}').alias("attributes"),
+        )
+        tbl.append(row, stamp="2026-03-01 12:00:01")
+        out = tbl.read()
+        assert len(out.columns) == 91
+        got = out.select("id", "name", "project_id", "attributes").collect()[0]
+        assert got["id"] == "id1" and got["project_id"] == "p1"
+        # Variant column canonicalized to JSON text by coerce
+        assert got["attributes"] == '{"http":{"status":200}}'

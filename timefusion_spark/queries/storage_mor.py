@@ -29,6 +29,19 @@ from timefusion_spark.registry import query
 
 _SCHEMA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "schemas")
 
+# The reference's OWN schema declaration (92-column otel table). Our YAML
+# loader reads the reference format verbatim (same grammar — pinned by
+# tests/test_storage.py::TestReferenceSchemas); fall back to the compact
+# in-repo copy when the reference tree is absent.
+_REF_OTEL = "/root/reference/schemas/otel_logs_and_spans.yaml"
+
+
+def _otel_schema_path() -> str:
+    if os.path.exists(_REF_OTEL):
+        return _REF_OTEL
+    return os.path.join(_SCHEMA_DIR, "otel_logs_and_spans.yaml")
+
+
 _N = 2000
 
 
@@ -223,7 +236,7 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_otel_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timefusion_spark.storage import Table, load_schema
 
-    schema = load_schema(os.path.join(_SCHEMA_DIR, "otel_logs_and_spans.yaml"))
+    schema = load_schema(_otel_schema_path())
     base_dir = tempfile.mkdtemp(prefix="tf_otel_")
     tbl = Table.create(spark, schema, os.path.join(base_dir, "otel"))
     try:
@@ -239,6 +252,8 @@ def q_otel_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
             (F.col("value") * 1e6).cast("long").alias("duration"),
             F.col("props").alias("attributes"),
+            # non-nullable in the reference schema (List(Utf8))
+            F.array(F.col("event_type")).alias("summary"),
         )
         tbl.append(rows, stamp="2026-03-06 00:00:00")
         view = tbl.scan(
@@ -274,7 +289,7 @@ def q_otel_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_otel_recent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timefusion_spark.storage import Table, load_schema
 
-    schema = load_schema(os.path.join(_SCHEMA_DIR, "otel_logs_and_spans.yaml"))
+    schema = load_schema(_otel_schema_path())
     base_dir = tempfile.mkdtemp(prefix="tf_otel_topk_")
     tbl = Table.create(spark, schema, os.path.join(base_dir, "otel"))
     try:
@@ -288,6 +303,7 @@ def q_otel_recent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("timestamp"),
             F.col("event_type").alias("name"),
             F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
+            F.array(F.col("event_type")).alias("summary"),
         )
         tbl.append(rows, stamp="2026-03-06 00:00:00")
         out = (
