@@ -134,3 +134,72 @@ class TestSettingsSurface:
     def test_show_all_has_defaults(self, spark):
         names = {r["name"] for r in pg_sql(spark, "SHOW ALL").collect()}
         assert {"timezone", "server_version", "client_encoding"} <= names
+
+
+class TestAdminVerbs:
+    """FLUSH / OPTIMIZE / VACUUM intercepted before planning
+    (pgwire_handlers.rs:634-640,768), routed to the maintenance jobs."""
+
+    @pytest.fixture()
+    def admin_table(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from timefusion_spark.storage import Table, load_schema_text
+
+        yaml = """
+table_name: admin_t
+partitions: [project_id, date]
+time_column: timestamp
+dedup_keys: [timestamp, id]
+dedup_tiebreak: updated_at
+tombstone_column: deleted
+version_append: true
+fields:
+  - {name: date, data_type: Date32, nullable: false}
+  - {name: timestamp, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: value, data_type: Float64, nullable: true}
+  - {name: project_id, data_type: Utf8, nullable: true}
+  - {name: updated_at, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: true}
+  - {name: deleted, data_type: Boolean, nullable: true}
+"""
+        tbl = Table.create(spark, load_schema_text(yaml), str(tmp_path / "admin_t"))
+        rows = spark.range(20).select(
+            F.col("id").cast("string").alias("id"),
+            F.lit("2026-02-01 10:00:00").cast("timestamp").alias("timestamp"),
+            (F.col("id") * 1.0).alias("value"),
+            F.lit("p1").alias("project_id"),
+        )
+        # two appends → two files in the partition, so OPTIMIZE has work
+        tbl.append(rows, stamp="2026-02-01 10:00:01")
+        tbl.append(rows, stamp="2026-02-01 10:00:02")
+        return tbl
+
+    def test_flush_is_command_complete(self, spark):
+        assert pg_sql(spark, "FLUSH").collect()[0]["flush"] == "ok"
+
+    def test_optimize_with_partition_where(self, spark, admin_table):
+        before = admin_table.read().count()
+        out = pg_sql(
+            spark,
+            "OPTIMIZE admin_t WHERE project_id = 'p1' AND date = '2026-02-01'",
+            tables={"admin_t": admin_table},
+        ).collect()[0]
+        assert out["files_removed"] >= 1
+        assert admin_table.read().count() == before  # visible state preserved
+
+    def test_vacuum_counts_strays(self, spark, admin_table, tmp_path):
+        import os
+
+        stray = os.path.join(admin_table.path, "_tmp_stray.parquet.crc")
+        with open(stray, "w") as fh:
+            fh.write("x")
+        out = pg_sql(
+            spark, "VACUUM admin_t RETAIN 0 HOURS", tables={"admin_t": admin_table}
+        ).collect()[0]
+        assert out["files_removed"] >= 0  # ran end-to-end
+        assert pg_sql(spark, "VACUUM admin_t", tables={"admin_t": admin_table}) is not None
+
+    def test_unknown_table_raises(self, spark):
+        with pytest.raises(ValueError, match="unknown table"):
+            pg_sql(spark, "OPTIMIZE nope", tables={})

@@ -875,19 +875,74 @@ def _ensure_pg_settings_view(spark) -> None:
     )
 
 
-def pg_sql(spark, sql: str):
+def _apply_admin_statement(spark, stripped: str, tables):
+    """Admin verbs the reference intercepts before planning
+    (pgwire_handlers.rs:634-640,768: FLUSH / OPTIMIZE / VACUUM).
+    `tables` maps table name → storage Table. Returns a result DataFrame
+    or None when not an admin statement."""
+    if re.match(r"(?i)^FLUSH$", stripped):
+        # Batch appends commit synchronously and streaming ingest is
+        # driven by its own trigger — FLUSH is complete by definition
+        # (the reference drains MemBuffer; there is no unflushed tier here).
+        return spark.createDataFrame([("ok",)], "flush string")
+    m = re.match(
+        r"(?is)^OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+WHERE\s+(.+))?$", stripped
+    )
+    if m:
+        name, where = m.group(1), m.group(2)
+        tbl = (tables or {}).get(name)
+        if tbl is None:
+            raise ValueError(f"OPTIMIZE: unknown table {name!r}")
+        from timefusion_spark.storage import maintenance
+
+        parts: dict[str, str] = {}
+        for frag in re.split(r"(?i)\s+AND\s+", where or ""):
+            km = re.match(r"\s*([A-Za-z_][\w]*)\s*=\s*'([^']*)'\s*", frag)
+            if km:
+                parts[km.group(1)] = km.group(2)
+        if parts:
+            n = maintenance.compact(tbl, parts)
+        else:
+            n = 0
+            for r in (
+                tbl.read_raw().select(*tbl.schema.partitions).distinct().collect()
+            ):
+                n += maintenance.compact(
+                    tbl, {c: str(r[c]) for c in tbl.schema.partitions}
+                )
+        return spark.createDataFrame([(n,)], "files_removed int")
+    m = re.match(
+        r"(?is)^VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+\d+\s+HOURS)?$", stripped
+    )
+    if m:
+        tbl = (tables or {}).get(m.group(1))
+        if tbl is None:
+            raise ValueError(f"VACUUM: unknown table {m.group(1)!r}")
+        from timefusion_spark.storage import maintenance
+
+        removed = maintenance.vacuum(tbl)
+        return spark.createDataFrame([(len(removed),)], "files_removed int")
+    return None
+
+
+def pg_sql(spark, sql: str, tables=None):
     """Run a PG-dialect statement through the shim on a SparkSession.
 
     SET/RESET return an empty result frame (command-complete analog);
-    SHOW returns the one-row PG shape; everything else translates and
-    executes, with set_config/current_setting resolved against the
-    per-session settings store and pg_settings available as a view."""
+    SHOW returns the one-row PG shape; FLUSH/OPTIMIZE/VACUUM route to the
+    maintenance jobs when a `tables` registry is supplied (the pgwire
+    admin-verb interception); everything else translates and executes,
+    with set_config/current_setting resolved against the per-session
+    settings store and pg_settings available as a view."""
     stripped = sql.strip().rstrip(";").strip()
     handled = _apply_settings_statement(spark, stripped)
     if handled is True:
         return spark.createDataFrame([], "status string")
     if handled is not None:
         return handled
+    admin = _apply_admin_statement(spark, stripped, tables)
+    if admin is not None:
+        return admin
     if re.search(r"(?i)\bpg_settings\b", sql):
         _ensure_pg_settings_view(spark)
     sql = _apply_settings_functions(spark, sql)
