@@ -318,6 +318,62 @@ def q_otel_recent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_otel_promoted_columns",
+    oracle="""
+    SELECT (event_id % 5) * 100 + 100 AS status_code,
+           COUNT(*) AS n,
+           CAST(COUNT(*) FILTER (WHERE (event_id % 5) * 100 + 100 >= 400) AS BIGINT) AS n_err
+    FROM events
+    WHERE event_id <= 3000 AND user_id % 3 = 1
+    GROUP BY 1
+    ORDER BY status_code
+    """,
+    doc="Flattened promoted attribute columns (SURVEY §1.2, reference "
+    "yaml:270-272): the same logical field lives in the `attributes` "
+    "Variant AND as the typed top-level "
+    "`attributes___http___response___status_code` Int32 column; the "
+    "dashboard filters/aggregates on the PROMOTED column (typed scan, "
+    "pushdown-friendly — no JSON parsing in the hot path).",
+)
+def q_otel_promoted_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import Table, load_schema
+
+    schema = load_schema(_otel_schema_path())
+    base_dir = tempfile.mkdtemp(prefix="tf_otel_promo_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "otel"))
+    try:
+        ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 3000)
+        status = ((F.col("event_id") % 5) * 100 + 100).cast("int")
+        rows = ev.select(
+            F.col("event_id").cast("string").alias("id"),
+            F.expr(
+                "timestamp'2026-03-01 00:00:00'"
+                " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
+            ).alias("timestamp"),
+            F.col("event_type").alias("name"),
+            F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
+            F.array(F.col("event_type")).alias("summary"),
+            # both representations, like the reference's ingest produces
+            F.to_json(F.struct(F.struct(F.struct(status.alias("status_code")).alias("response")).alias("http"))).alias("attributes"),
+            status.alias("attributes___http___response___status_code"),
+        )
+        tbl.append(rows, stamp="2026-03-06 00:00:00")
+        view = tbl.scan(project_id="p1")
+        sc = F.col("attributes___http___response___status_code")
+        out = (
+            view.groupBy(sc.alias("status_code"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(sc >= 400, 1)).alias("n_err"),
+            )
+            .orderBy("status_code")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
     "q_maintenance_invariance",
     oracle=f"""
     SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
