@@ -374,6 +374,73 @@ def q_otel_promoted_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_otel_metrics_rollup",
+    oracle="""
+    SELECT event_type AS metric_name,
+           COUNT(*) AS n_points,
+           CAST(COUNT(DISTINCT user_id % 50) AS BIGINT) AS n_series,
+           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    WHERE event_id <= 3000 AND user_id % 3 = 1
+    GROUP BY 1
+    ORDER BY metric_name
+    """,
+    doc="The reference's SECOND table type end-to-end: gauge points written "
+    "into the otel_metrics schema (the reference's own 69-column "
+    "declaration, schemas/otel_metrics.yaml) through the full write path, "
+    "then a per-metric rollup (points, distinct series, avg/max) off the "
+    "routed scan — metrics ingest + dashboard shape.",
+)
+def q_otel_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import Table, load_schema
+
+    ref = "/root/reference/schemas/otel_metrics.yaml"
+    if not os.path.exists(ref):
+        # metrics schema only ships in the reference tree; reuse the otel
+        # schema shape check there is nothing to compare against otherwise
+        raise FileNotFoundError("reference otel_metrics.yaml not present")
+    schema = load_schema(ref)
+    base_dir = tempfile.mkdtemp(prefix="tf_metrics_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "metrics"))
+    try:
+        ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 3000)
+        ts = F.expr(
+            "timestamp'2026-03-01 00:00:00'"
+            " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
+        )
+        rows = ev.select(
+            F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
+            ts.alias("timestamp"),
+            ts.alias("ingested_at"),
+            F.col("event_id").cast("string").alias("id"),
+            F.concat(F.lit("s"), (F.col("user_id") % 50).cast("string")).alias("series_id"),
+            F.col("event_type").alias("metric_name"),
+            F.lit("ms").alias("metric_unit"),
+            F.lit("gauge").alias("metric_type"),
+            F.lit(0).cast("long").alias("flags"),
+            F.lit(0).cast("long").alias("dropped_attributes_count"),
+            F.lit(64).cast("long").alias("message_size_bytes"),
+            F.col("value").alias("value_double"),
+        )
+        tbl.append(rows, stamp="2026-03-06 00:00:00")
+        view = tbl.scan(project_id="p1")
+        out = (
+            view.groupBy(F.col("metric_name"))
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.countDistinct("series_id").alias("n_series"),
+                F.round(F.avg("value_double"), 4).alias("avg_value"),
+                F.round(F.max("value_double"), 4).alias("max_value"),
+            )
+            .orderBy("metric_name")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
     "q_maintenance_invariance",
     oracle=f"""
     SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
