@@ -1,0 +1,75 @@
+"""Training-pipeline operators: sequence packing and deterministic
+sampling (beyond-the-reference, north-star brief).
+
+Both are pure window/expression compositions — no UDFs, one shuffle on
+the group key — so they scale exactly like a groupBy at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from timefusion_spark.operators.dedup import poly_hash
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents in each group are
+    concatenated in ``order_col`` order and cut into fixed ``budget``-token
+    chunks — the standard LLM-pretraining packing (no padding waste, docs
+    may straddle a chunk boundary).
+
+    Adds three columns:
+      - ``chunk_id``   — chunk containing the document's FIRST token,
+      - ``chunk_last`` — chunk containing its last token,
+      - ``chunks_spanned`` — ``chunk_last - chunk_id + 1`` (>1 = straddler).
+
+    One window per group (single shuffle + sort); assignment is a pure
+    prefix-sum expression, so the operator is as scalable as the sort.
+    At cluster scale the group key is the unit of parallelism — use a
+    sharded group (e.g. ``(source, shard)``) if single groups exceed an
+    executor's sort budget.
+    """
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    cum = F.sum(size_col).over(w)
+    first_chunk = F.floor((cum - F.col(size_col)) / F.lit(budget))
+    last_chunk = F.floor((cum - F.lit(1)) / F.lit(budget))
+    return (
+        df.withColumn("_cum", cum)
+        .withColumn("chunk_id", first_chunk)
+        .withColumn("chunk_last", last_chunk)
+        .withColumn(
+            "chunks_spanned", F.col("chunk_last") - F.col("chunk_id") + F.lit(1)
+        )
+        .drop("_cum")
+    )
+
+
+def sample_hash(key: Column, modulus: int = 10, keep_below: int = 1) -> Column:
+    """Deterministic hash-sampling predicate: keep rows where
+    ``poly_hash(key) % modulus < keep_below`` (a ``keep_below/modulus``
+    rate). A pure per-row filter — no shuffle, no RNG state, reproducible
+    across engines (poly_hash has a bit-exact DuckDB mirror) and across
+    reruns, which is what makes ablation/holdout splits auditable."""
+    return F.pmod(poly_hash(key), F.lit(modulus)) < F.lit(keep_below)
+
+
+def stratified_rank(
+    df: DataFrame, group_col: str, key: Column, tiebreak: Column | None = None
+) -> DataFrame:
+    """Add ``_rk``: the row's deterministic sampling rank within its
+    ``group_col`` stratum (1 = first sampled). ``_rk <= k`` is an exact-k
+    per-stratum sample with hash-order determinism — the distributed
+    analog of seeded reservoir sampling, as one window. ``tiebreak``
+    (default: the key itself) makes equal-hash rows totally ordered."""
+    h = poly_hash(key)
+    w = Window.partitionBy(group_col).orderBy(
+        h, key if tiebreak is None else tiebreak
+    )
+    return df.withColumn("_rk", F.row_number().over(w))

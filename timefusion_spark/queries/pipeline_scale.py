@@ -1,0 +1,219 @@
+"""Training-pipeline scale operators (beyond-the-reference, north-star
+brief): interval join, sequence packing, deterministic stratified
+sampling, and dedup clustering.
+
+Oracle strategy: interval join and packing are plain SQL (theta join /
+window cumsum are fine in DuckDB at sf0.01); sampling reuses the
+bit-exact DuckDB mirror of poly_hash; clustering closes the exact
+all-pairs near-dup graph with a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timefusion_spark.operators import dedup as dd
+from timefusion_spark.operators import packing as pk
+from timefusion_spark.queries._tables import t
+from timefusion_spark.queries.dedup_llm import _H, _SHINGLES3
+from timefusion_spark.registry import query
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    WITH incidents AS (
+      SELECT event_id AS incident_id,
+             ts AS start_ts,
+             ts + INTERVAL 30 MINUTE AS end_ts
+      FROM events WHERE event_id % 499 = 0
+    )
+    SELECT i.incident_id,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM incidents i
+    JOIN events e ON e.ts >= i.start_ts AND e.ts <= i.end_ts
+    GROUP BY i.incident_id
+    ORDER BY i.incident_id
+    """,
+    doc="Bucketed interval join (operators/interval_join.py): events "
+    "matched to 30-min incident windows via an equi-join on time buckets "
+    "+ exact refine — never the O(|P|*|I|) nested-loop theta-join the "
+    "naive BETWEEN formulation plans. Oracle uses the theta-join (exact "
+    "at sf0.01).",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.operators.interval_join import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    incidents = ev.where(F.col("event_id") % 499 == 0).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    points = ev.select("ts", "user_id", "value")
+    j = interval_join(
+        points, incidents, point_ts="ts", bucket_width_s=1800, how="inner"
+    )
+    return (
+        j.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("incident_id")
+    )
+
+
+@query(
+    "q_sequence_packing",
+    oracle="""
+    WITH sized AS (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized
+    ), asg AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS chunk_id,
+             CAST(FLOOR((cum_tokens - 1) / 512.0) AS BIGINT) AS chunk_last
+      FROM cum
+    )
+    SELECT source, chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+           CAST(SUM(CASE WHEN chunk_last > chunk_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddlers
+    FROM asg
+    GROUP BY source, chunk_id
+    ORDER BY source, chunk_id
+    """,
+    doc="Concat-and-chunk sequence packing (operators/packing.py): "
+    "documents per source concatenated in doc_id order and cut into "
+    "512-token training chunks; per chunk: docs starting there, token "
+    "total, boundary straddlers. Pure prefix-sum window — one shuffle.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    sized = d.select(
+        "source", "doc_id", F.size(dd.tokens(F.col("text"))).alias("n_tokens")
+    )
+    packed = pk.pack_concat_chunks(
+        sized, group_col="source", order_col="doc_id", size_col="n_tokens", budget=512
+    )
+    return (
+        packed.groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("chunk_tokens"),
+            F.sum(
+                F.when(F.col("chunk_last") > F.col("chunk_id"), 1).otherwise(0)
+            ).alias("n_straddlers"),
+        )
+        .orderBy("source", "chunk_id")
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars, CAST(doc_id AS VARCHAR) AS k FROM documents
+    ), hashed AS (
+      SELECT source, doc_id, n_chars, {_H.format(s="k")} AS h FROM keyed
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      FROM hashed
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN h % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hash_sampled,
+           CAST(SUM(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_topk,
+           CAST(SUM(CASE WHEN rk <= 20 THEN n_chars END) AS BIGINT) AS chars_topk
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Deterministic sampling (operators/packing.py): ~10% hash-rate "
+    "sample (pure filter, no shuffle, no RNG state — reproducible across "
+    "engines and reruns) and an exact-20-per-source stratified sample "
+    "(hash-order row_number — the distributed seeded-reservoir analog). "
+    "Oracle reproduces poly_hash bit-for-bit in DuckDB.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    keyed = d.select("source", "doc_id", "n_chars")
+    ranked = pk.stratified_rank(keyed, "source", key, tiebreak=F.col("doc_id"))
+    sampled = pk.sample_hash(key, modulus=10, keep_below=1)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.sum(F.when(sampled, 1).otherwise(0)).alias("n_hash_sampled"),
+            F.sum(F.when(F.col("_rk") <= 20, 1).otherwise(0)).alias("n_topk"),
+            F.sum(F.when(F.col("_rk") <= 20, F.col("n_chars"))).alias("chars_topk"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SHINGLES3} AS shingles FROM tok
+    ), pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+    ), edges AS (
+      SELECT ia AS a, ib AS b FROM pairs
+      UNION ALL
+      SELECT ib, ia FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT a AS n FROM edges
+    ), reach(n, lab) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.n = e.b
+    ), comp AS (
+      SELECT n, MIN(lab) AS component FROM reach GROUP BY n
+    ), csize AS (
+      SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters, MIN(component) AS min_root
+    FROM csize
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+    doc="Near-dup clustering (operators/graph.py): MinHash-LSH pairs "
+    "closed into connected components via min-label propagation "
+    "(shuffled join per round, one-scalar convergence check, lineage "
+    "truncated per round); output is the cluster-size histogram. Oracle "
+    "closes the exact all-pairs graph with a recursive CTE.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.min("component").alias("min_root"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -44,6 +44,7 @@ def load_all() -> None:
         functions_pg,
         json_variant,
         multimodal,
+        pipeline_scale,
         relational,
         similarity,
         slt_parity,
