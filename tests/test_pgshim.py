@@ -203,3 +203,72 @@ fields:
     def test_unknown_table_raises(self, spark):
         with pytest.raises(ValueError, match="unknown table"):
             pg_sql(spark, "OPTIMIZE nope", tables={})
+
+
+class TestUnnestBulkPath:
+    """Column-oriented bulk-insert surface: FROM-position unnest →
+    inline(arrays_zip(…)), string_to_array PG edge rules, the __bulk
+    write alias, and INSERT…SELECT routing (insert_unnest_variant.rs +
+    bulk_load.rs analogs)."""
+
+    def test_unnest_zip_with_alias(self, spark):
+        rows = pg_sql(
+            spark,
+            "SELECT t.id, t.v FROM unnest(ARRAY['a','b'], ARRAY[1,2]) AS t(id, v) ORDER BY t.id",
+        ).collect()
+        assert [(r["id"], r["v"]) for r in rows] == [("a", 1), ("b", 2)]
+
+    def test_unnest_null_pads_shorter_arrays(self, spark):
+        rows = pg_sql(
+            spark,
+            "SELECT t.a, t.b FROM unnest(ARRAY[1,2,3], ARRAY['x']) AS t(a, b) ORDER BY t.a",
+        ).collect()
+        assert [(r["a"], r["b"]) for r in rows] == [(1, "x"), (2, None), (3, None)]
+
+    def test_unnest_single_default_names(self, spark):
+        assert [r["u"] for r in pg_sql(spark, "SELECT u FROM unnest(ARRAY[7]) AS u").collect()] == [7]
+        assert [r["unnest"] for r in pg_sql(spark, "SELECT unnest FROM unnest(ARRAY[8])").collect()] == [8]
+
+    def test_select_list_unnest_untouched(self, spark):
+        # set-returning unnest in the projection is out of scope; the
+        # rewrite must not fire outside FROM position
+        from timefusion_spark.pgshim import pg_to_spark_sql
+
+        assert "arrays_zip" not in pg_to_spark_sql("SELECT unnest(tags) FROM x")
+
+    def test_string_to_array_pg_rules(self, spark):
+        r = pg_sql(
+            spark,
+            "SELECT string_to_array('a,b,,c', ',') AS r, string_to_array('', ',') AS e, "
+            "string_to_array('ab', '') AS w, string_to_array('x.y', '.') AS d",
+        ).collect()[0]
+        assert r["r"] == ["a", "b", "", "c"]
+        assert r["e"] == []  # PG: empty string → empty array
+        assert r["w"] == ["ab"]  # PG: empty delimiter → whole string
+        assert r["d"] == ["x", "y"]  # delimiter regex-quoted
+
+    def test_insert_select_unnest_via_bulk_alias(self, spark, tmp_path):
+        from timefusion_spark.slt import SltEnv
+
+        env = SltEnv(spark, str(tmp_path))
+        env.run_statement(
+            "INSERT INTO mor_versioned__bulk (id, timestamp, name, value, project_id) "
+            "SELECT u.id, u.ts::timestamp, u.nm, u.v, 'p0' "
+            "FROM unnest(ARRAY['a','b'], "
+            "ARRAY['2026-03-01 00:00:00','2026-03-02 00:00:00'], "
+            "ARRAY['x','y'], ARRAY[1.5, 2.5]) AS u(id, ts, nm, v)"
+        )
+        rows = env.run_query(
+            "SELECT id, value FROM mor_versioned ORDER BY id"
+        )
+        assert [(r[0], r[1]) for r in rows] == [("a", 1.5), ("b", 2.5)]
+
+    def test_insert_select_width_mismatch_raises(self, spark, tmp_path):
+        from timefusion_spark.slt import SltEnv
+
+        env = SltEnv(spark, str(tmp_path))
+        with pytest.raises(ValueError, match="column count"):
+            env.run_statement(
+                "INSERT INTO mor_versioned (id, timestamp) SELECT u.a "
+                "FROM unnest(ARRAY['x']) AS u(a)"
+            )

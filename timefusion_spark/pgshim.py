@@ -557,6 +557,23 @@ def _translate_fn_calls(sql: str) -> str:
         "percentile_agg",
         lambda a: f"percentile({a[0]}, 0.5)" if len(a) == 1 else None,
     )
+
+    # string_to_array (the bulk-insert summary round-trip:
+    # string_to_array(_, chr(31)) in insert_unnest_variant.rs). PG rules:
+    # '' → empty array, empty delimiter → whole string as one element,
+    # NULL string → NULL. The delimiter is a literal string, so it is
+    # regex-quoted (\Q…\E) before Spark's regex-based split.
+    def _string_to_array(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        s, d = a[0], a[1]
+        return (
+            f"CASE WHEN ({s}) = '' THEN array() "
+            f"WHEN ({d}) = '' THEN array({s}) "
+            f"ELSE split({s}, concat('\\\\Q', {d}, '\\\\E'), -1) END"
+        )
+
+    sql = _rewrite_calls(sql, "string_to_array", _string_to_array)
     # datafusion-functions-json surface (database.rs:3350).
     def _json_length(a: list[str]) -> str | None:
         target = a[0] if len(a) == 1 else f"get_json_object({a[0]}, '$.{_strip_quotes(a[1])}')"
@@ -614,6 +631,71 @@ def _translate_fn_calls(sql: str) -> str:
         sql,
     )
     return sql.replace("__TOJSON__", "to_json").replace("__ISVNULL__", "is_variant_null")
+
+
+def _translate_unnest(sql: str) -> str:
+    """FROM-position ``unnest(a1, a2, …)`` → ``(SELECT inline(arrays_zip(
+    a1, a2, …)))`` — the column-oriented bulk-insert source
+    (tests/e2e/insert_unnest_variant.rs: INSERT…SELECT…FROM unnest(<array
+    per column>) keeps planning O(cols) instead of O(rows×cols)).
+
+    PG zip semantics (multi-array unnest pads the shorter arrays with
+    NULL) match arrays_zip exactly. A following ``AS t(c1, …)`` alias is
+    valid Spark for a subquery and passes through verbatim; PG's
+    column-name defaults (alias name, else ``unnest``) are materialized
+    when the column list is absent (single-array form only)."""
+    out = []
+    i = 0
+    pat = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql, i)
+        if m is None:
+            out.append(sql[i:])
+            break
+        # FROM-position check: previous non-ws token must end the FROM
+        # introduction (FROM / , / JOIN). Select-list unnest (a PG
+        # set-returning projection) is out of scope — leave it alone.
+        prev = sql[:m.start()].rstrip()
+        if not re.search(r"(?i)(\bFROM|\bJOIN|,)$", prev):
+            out.append(sql[i : m.end()])
+            i = m.end()
+            continue
+        # balanced-paren arg extraction (quote-aware)
+        depth, j = 0, m.end() - 1
+        while j < len(sql):
+            if sql[j] == "'":
+                mm = re.match(r"'(?:''|[^'])*'", sql[j:])
+                j += len(mm.group(0)) if mm else 1
+                continue
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            out.append(sql[i : m.end()])
+            i = m.end()
+            continue
+        args = _split_args(sql[m.end() : j])
+        repl = f"(SELECT inline(arrays_zip({', '.join(args)})))"
+        tail = sql[j + 1 :]
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(\()?", tail, re.IGNORECASE)
+        alias_kw = {"WHERE", "GROUP", "ORDER", "LIMIT", "ON", "JOIN", "CROSS",
+                    "INNER", "LEFT", "RIGHT", "FULL", "UNION", "HAVING"}
+        if am and am.group(1).upper() not in alias_kw:
+            if am.group(2) is None and len(args) == 1:
+                # alias without column list → PG names the column after it
+                repl += f" AS {am.group(1)}({am.group(1)})"
+                tail = tail[am.end(1) :]
+        elif len(args) == 1:
+            repl += " AS unnest(unnest)"
+        out.append(sql[i : m.start()])
+        out.append(repl)
+        sql = tail
+        i = 0
+    return "".join(out)
 
 
 def _translate_distinct_on(sql: str) -> str:
@@ -757,6 +839,7 @@ def pg_to_spark_sql(sql: str) -> str:
     if re.match(r"(?i)^ABORT\b", stripped):
         sql = sql[: len(sql) - len(stripped)] + "ROLLBACK" + stripped[5:]
     sql = _translate_distinct_on(sql)
+    sql = _translate_unnest(sql)
     # ARRAY[...] → array(...) BEFORE the cast pass, so ARRAY[..]::VARCHAR[]
     # presents a ')'-terminated operand to the `::` translator.
     sql = re.sub(r"\bARRAY\s*\[([^\[\]]*)\]", r"array(\1)", sql, flags=re.IGNORECASE)

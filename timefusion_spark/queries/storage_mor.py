@@ -622,3 +622,134 @@ def q_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_otel_hash_enrichment",
+    oracle="""
+    SELECT 'err_' || CAST(event_id % 7 AS VARCHAR) AS tag,
+           COUNT(*) AS n
+    FROM events
+    WHERE event_id <= 3000 AND event_id % 4 = 0 AND event_id % 7 IN (3, 5)
+    GROUP BY 1
+    ORDER BY tag
+    """,
+    doc="The monoscope hash-enrichment flow (tests/e2e/hash_enrichment.rs): "
+    "spans land with an EMPTY `hashes` array; an enrichment pass issues "
+    "`UPDATE ... FROM src SET hashes = COALESCE(hashes,'{}') || ARRAY[tag]` "
+    "equi-joined on (context___span_id, context___trace_id) — here "
+    "dml.update_from with a broadcast source and an array-concat "
+    "assignment, landing as a merge-on-read version-append — and the "
+    "dashboard then filters the dedup view with `hashes && ARRAY[...]` "
+    "(array overlap). Enriched tag counts match the closed-form oracle; "
+    "non-enriched rows keep their empty array and never match overlap.",
+)
+def q_otel_hash_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import Table, dml, load_schema
+
+    schema = load_schema(_otel_schema_path())
+    base_dir = tempfile.mkdtemp(prefix="tf_otel_hash_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "otel"))
+    try:
+        ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 3000)
+        rows = ev.select(
+            F.col("event_id").cast("string").alias("id"),
+            F.expr(
+                "timestamp'2026-03-01 00:00:00'"
+                " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
+            ).alias("timestamp"),
+            F.col("event_type").alias("name"),
+            F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
+            F.array(F.col("event_type")).alias("summary"),
+            # spans arrive with an EMPTY hashes array (ARRAY[]::text[])
+            F.array().cast("array<string>").alias("hashes"),
+            F.concat(F.lit("s"), F.col("event_id").cast("string")).alias("context___span_id"),
+            F.concat(F.lit("t"), (F.col("event_id") % 97).cast("string")).alias("context___trace_id"),
+        )
+        tbl.append(rows, stamp="2026-03-06 00:00:00")
+        # enrichment source: one tag per selected span, keyed like the
+        # reference's `unnest` source on (span_id, trace_id)
+        src = ev.where(F.col("event_id") % 4 == 0).select(
+            F.concat(F.lit("s"), F.col("event_id").cast("string")).alias("context___span_id"),
+            F.concat(F.lit("t"), (F.col("event_id") % 97).cast("string")).alias("context___trace_id"),
+            F.concat(F.lit("err_"), (F.col("event_id") % 7).cast("string")).alias("tag"),
+        )
+        dml.update_from(
+            tbl,
+            src,
+            ["context___span_id", "context___trace_id"],
+            {
+                "hashes": F.concat(
+                    F.coalesce(F.col("_tgt.hashes"), F.array().cast("array<string>")),
+                    F.array(F.col("_src.tag")),
+                )
+            },
+            stamp="2026-03-07 00:00:00",
+        )
+        wanted = F.array(F.lit("err_3"), F.lit("err_5"))
+        out = (
+            tbl.read()
+            .where(F.arrays_overlap(F.col("hashes"), wanted))
+            .select(F.element_at("hashes", -1).alias("tag"))
+            .groupBy("tag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("tag")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_insert_unnest_bulk",
+    oracle="""
+    SELECT 'p' || CAST(k % 3 AS VARCHAR) AS project_id,
+           COUNT(*) AS n,
+           CAST(SUM(k % 3 + 1) AS BIGINT) AS n_summary_parts
+    FROM generate_series(0, 239) AS t(k)
+    GROUP BY 1
+    ORDER BY project_id
+    """,
+    doc="Column-oriented bulk insert (tests/e2e/insert_unnest_variant.rs + "
+    "bulk_load.rs): `INSERT INTO otel_logs_and_spans__bulk (cols) SELECT "
+    "... FROM unnest(<one array per column>) AS u(...)` — planning stays "
+    "O(cols), the `__bulk` alias is the direct-commit path, `::timestamp` "
+    "casts and the `string_to_array(_, chr(31))` summary round-trip "
+    "(0x1F-delimited, comma-safe) all go through the PG shim. The shim "
+    "lowers multi-array unnest to inline(arrays_zip(...)), which shares "
+    "PG's NULL-padding zip semantics. Verified by per-project counts and "
+    "total summary parts off the real table's read view.",
+)
+def q_insert_unnest_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.slt import SltEnv
+
+    base_dir = tempfile.mkdtemp(prefix="tf_unnest_")
+    try:
+        env = SltEnv(spark, base_dir)
+        n_rows = 240
+        us = chr(31)
+        ids = ", ".join(f"'i{k}'" for k in range(n_rows))
+        tss = ", ".join(
+            f"'2026-03-0{1 + k % 5} 00:00:0{k % 10}'" for k in range(n_rows)
+        )
+        names = ", ".join(f"'n{k % 7}'" for k in range(n_rows))
+        pids = ", ".join(f"'p{k % 3}'" for k in range(n_rows))
+        summs = ", ".join(
+            "'" + us.join(["s"] * (k % 3 + 1)) + "'" for k in range(n_rows)
+        )
+        env.run_statement(
+            "INSERT INTO otel_logs_and_spans__bulk "
+            "(id, timestamp, name, project_id, summary) "
+            "SELECT u.id, u.ts::timestamp, u.name, u.pid, "
+            "string_to_array(u.summ, chr(31)) "
+            f"FROM unnest(ARRAY[{ids}], ARRAY[{tss}], ARRAY[{names}], "
+            f"ARRAY[{pids}], ARRAY[{summs}]) AS u(id, ts, name, pid, summ)"
+        )
+        out = env.spark.sql(
+            "SELECT project_id, COUNT(*) AS n, "
+            "CAST(SUM(size(summary)) AS BIGINT) AS n_summary_parts "
+            "FROM otel_logs_and_spans GROUP BY project_id ORDER BY project_id"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

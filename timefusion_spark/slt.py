@@ -153,6 +153,7 @@ _CREATE_RE = re.compile(
     r"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*$"
 )
 _INSERT_RE = re.compile(r"(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(\(([^)]*)\))?\s*VALUES\s*(.*)$")
+_INSERT_SEL_RE = re.compile(r"(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(\(([^)]*)\))?\s*(SELECT\s+.*)$")
 _UPDATE_RE = re.compile(
     r"(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+FROM\s+(.*?))?\s+WHERE\s+(.*)$"
 )
@@ -265,11 +266,43 @@ class SltEnv:
         schema = TableSchema(table_name=name, fields=fields)
         self._add_table(schema)
 
-    def _insert(self, m: re.Match) -> None:
-        name = m.group(1)
+    def _resolve_insert_target(self, name: str) -> Table:
+        """Resolve an INSERT target, honoring the `<table>__bulk` write
+        alias (tests/e2e/bulk_load.rs): the reference's bulk alias commits
+        straight to Delta, bypassing WAL + MemBuffer, while the rows stay
+        queryable from the real table. Here the batch `Table.append` IS the
+        direct-commit path (the buffered analog is the streaming ingest),
+        so both names land on the same table — the alias is accepted so
+        bulk-loader clients work unchanged."""
+        if name.endswith("__bulk"):
+            name = name[: -len("__bulk")]
         tbl = self.tables.get(name)
         if tbl is None:
             raise ValueError(f"unknown table {name}")
+        return tbl
+
+    def _insert_select(self, m: re.Match) -> None:
+        """INSERT INTO t [(cols)] SELECT … — the column-oriented bulk path
+        (tests/e2e/insert_unnest_variant.rs): the SELECT usually reads
+        FROM unnest(<array per column>), which the shim lowers to
+        inline(arrays_zip(…)). Column alignment is positional, like PG."""
+        tbl = self._resolve_insert_target(m.group(1))
+        df = self.spark.sql(pg_to_spark_sql(m.group(4).strip().rstrip(";")))
+        cols = (
+            [c.strip() for c in m.group(3).split(",")]
+            if m.group(3)
+            else [f.name for f in tbl.schema.fields][: len(df.columns)]
+        )
+        if len(cols) != len(df.columns):
+            raise ValueError(
+                f"INSERT column count {len(cols)} != SELECT width {len(df.columns)}"
+            )
+        tbl.append(df.toDF(*cols))
+        self._refresh(tbl.schema.table_name)
+
+    def _insert(self, m: re.Match) -> None:
+        tbl = self._resolve_insert_target(m.group(1))
+        name = tbl.schema.table_name
         cols = (
             [c.strip() for c in m.group(3).split(",")]
             if m.group(3)
@@ -367,6 +400,8 @@ class SltEnv:
             self._create_table(m)
         elif m := _INSERT_RE.match(sql):
             self._insert(m)
+        elif m := _INSERT_SEL_RE.match(sql):
+            self._insert_select(m)
         elif m := _UPDATE_RE.match(sql):
             self._update(m)
         elif m := _DELETE_RE.match(sql):
