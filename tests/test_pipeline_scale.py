@@ -127,3 +127,61 @@ class TestConnectedComponents:
         )
         got = {r.n: r.component for r in connected_components(edges).collect()}
         assert got == {i: 1 for i in range(1, 10)}
+
+
+class TestChunkWithOverlap:
+    def test_windows_and_overlap(self, spark):
+        from timefusion_spark.operators.packing import chunk_with_overlap
+
+        words = " ".join(f"w{i}" for i in range(50))
+        df = spark.createDataFrame([(1, words)], "id long, text string").withColumn(
+            "_toks", F.split(F.col("text"), r"\s+")
+        )
+        out = (
+            chunk_with_overlap(df, F.col("_toks"), size=20, stride=15)
+            .select("chunk_index", "chunk_tokens")
+            .collect()
+        )
+        # 50 tokens, size 20, stride 15 → ceil((50-20)/15)+1 = 3 chunks
+        assert [r["chunk_index"] for r in out] == [0, 1, 2]
+        assert out[0]["chunk_tokens"][0] == "w0" and out[0]["chunk_tokens"][-1] == "w19"
+        assert out[1]["chunk_tokens"][0] == "w15"  # 5-token overlap
+        assert out[2]["chunk_tokens"] == [f"w{i}" for i in range(30, 50)]  # short tail
+
+    def test_short_doc_single_chunk(self, spark):
+        from timefusion_spark.operators.packing import chunk_with_overlap
+
+        df = spark.createDataFrame([(1, "a b c")], "id long, text string").withColumn(
+            "_toks", F.split(F.col("text"), r"\s+")
+        )
+        out = chunk_with_overlap(df, F.col("_toks"), size=20, stride=15).collect()
+        assert len(out) == 1 and out[0]["chunk_tokens"] == ["a", "b", "c"]
+
+    def test_exact_size_boundary(self, spark):
+        from timefusion_spark.operators.packing import chunk_with_overlap
+
+        words = " ".join(f"w{i}" for i in range(20))
+        df = spark.createDataFrame([(1, words)], "id long, text string").withColumn(
+            "_toks", F.split(F.col("text"), r"\s+")
+        )
+        assert chunk_with_overlap(df, F.col("_toks"), 20, 15).count() == 1
+
+
+class TestRepetitionSignals:
+    def test_ngrams_and_dup_fraction(self, spark):
+        from timefusion_spark.operators.text_analysis import dup_token_fraction, ngrams
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "x"), (3, "u v w")], "id long, text string"
+        ).withColumn("_toks", F.split(F.col("text"), r"\s+"))
+        out = {
+            r["id"]: (r["g"], round(r["f"], 4))
+            for r in df.select(
+                "id",
+                ngrams(F.col("_toks"), 2).alias("g"),
+                dup_token_fraction(F.col("_toks")).alias("f"),
+            ).collect()
+        }
+        assert out[1] == (["a b", "b a", "a b", "b a"], 0.6)  # 2 distinct of 5
+        assert out[2] == ([], 0.0)  # single token → no bigrams, no repeats
+        assert out[3][0] == ["u v", "v w"]

@@ -73,3 +73,32 @@ def stratified_rank(
         h, key if tiebreak is None else tiebreak
     )
     return df.withColumn("_rk", F.row_number().over(w))
+
+
+def chunk_with_overlap(
+    df: DataFrame, toks_col: Column, size: int, stride: int
+) -> DataFrame:
+    """Sliding-window document chunking: cut a token array into
+    ``size``-token windows advancing by ``stride`` (< size ⇒ overlapping
+    context windows, the standard long-document → training-sample split).
+    The last window is short rather than padded; a document with ≤ size
+    tokens yields exactly one chunk.
+
+    Pure per-row expression work (sequence → transform → posexplode): no
+    shuffle, no UDF — output rows stay in the input partitioning, so at
+    100 TB this is a map-only stage. Pass ``toks_col`` as a staged
+    ATTRIBUTE column (see ngrams note in text_analysis).
+
+    Adds ``chunk_index`` (long, 0-based) and ``chunk_tokens`` (the
+    window's token array)."""
+    n = F.size(toks_col)
+    n_chunks = F.when(n <= size, F.lit(1).cast("long")).otherwise(
+        F.ceil((n - F.lit(size)) / F.lit(float(stride))) + 1
+    )
+    ks = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    chunks = F.transform(
+        ks, lambda k: F.slice(toks_col, (k * stride + 1).cast("int"), size)
+    )
+    return df.select(
+        "*", F.posexplode(chunks).alias("chunk_index", "chunk_tokens")
+    ).withColumn("chunk_index", F.col("chunk_index").cast("long"))

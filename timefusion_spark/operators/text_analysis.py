@@ -65,3 +65,22 @@ def doc_fingerprint(c: Column) -> Column:
     """Deterministic document fingerprint: md5 of normalized text.
     (Content-addressed identity for exact dedup / lineage joins.)"""
     return F.md5(normalize_text(c))
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined token n-grams over an already-staged token
+    array. Pass an ATTRIBUTE column (withColumn the token split first):
+    transform(sequence) re-reads its input per element, so an unstaged
+    split() expression would re-tokenize O(len) times."""
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(count >= 1, F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def dup_token_fraction(toks: Column) -> Column:
+    """Gopher-style repetition signal: fraction of tokens that are repeats
+    of an earlier token (1 - distinct/total). Pure per-row arithmetic."""
+    total = F.size(toks)
+    return F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / total

@@ -232,3 +232,115 @@ def q_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(ta.bpe_ish_token_count(F.col("text"))).alias("total_pieces"))
         .orderBy("source")
     )
+
+
+@query(
+    "q_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents WHERE doc_id < 200
+    ),
+    base AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               ROUND(1 - len(list_distinct(tk))::DOUBLE / len(tk), 4) AS dup_word_frac
+        FROM toks
+    ),
+    bg AS (
+        SELECT doc_id, tk[u.i] || ' ' || tk[u.i + 1] AS g
+        FROM toks CROSS JOIN unnest(generate_series(1, len(tk) - 1)) AS u(i)
+    ),
+    counts AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n FROM counts GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.dup_word_frac, t.top_bigram_n,
+           ROUND(t.top_bigram_n::DOUBLE / (b.n_tokens - 1), 4) AS top_bigram_frac
+    FROM base b JOIN top t USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition quality signals (beyond-reference, "
+    "LLM-pipeline brief; cf. Rae et al. 2021 'massive text' repetition "
+    "filters): per-document duplicate-token fraction (pure per-row "
+    "arithmetic) and most-frequent-bigram count/fraction (explode + "
+    "map-side-combinable count — one shuffle keyed on (doc_id, gram), no "
+    "all-pairs anything). Repetitious machine-generated text scores high "
+    "on both and gets filtered before training.",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.operators.dedup import tokens
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .withColumn("_toks", tokens(F.col("text")))
+    )
+    base = d.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(ta.dup_token_fraction(F.col("_toks")), 4).alias("dup_word_frac"),
+    )
+    top = (
+        d.select("doc_id", F.explode(ta.ngrams(F.col("_toks"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_word_frac",
+            "top_bigram_n",
+            F.round(
+                F.col("top_bigram_n").cast("double") / (F.col("n_tokens") - 1), 4
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_ORACLE_TOKENS} AS tk FROM documents WHERE doc_id < 100
+    ),
+    par AS (
+        SELECT doc_id, tk,
+               CASE WHEN len(tk) <= 20 THEN 1
+                    ELSE CAST(CEIL((len(tk) - 20) / 15.0) AS BIGINT) + 1 END AS nc
+        FROM toks
+    )
+    SELECT doc_id,
+           u.k AS chunk_index,
+           CAST(len(tk[(u.k * 15 + 1):(u.k * 15 + 20)]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(tk[(u.k * 15 + 1):(u.k * 15 + 20)], ' ') AS chunk_text
+    FROM par CROSS JOIN unnest(generate_series(0, nc - 1)) AS u(k)
+    ORDER BY doc_id, chunk_index
+    """,
+    doc="Sliding-window chunking with overlap (beyond-reference, "
+    "LLM-pipeline brief): 20-token windows at stride 15 (5-token overlap "
+    "preserves cross-boundary context), short final window, one chunk for "
+    "short docs — packing.chunk_with_overlap, a map-only "
+    "sequence→transform→posexplode stage with zero shuffle.",
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.operators.dedup import tokens
+    from timefusion_spark.operators.packing import chunk_with_overlap
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .withColumn("_toks", tokens(F.col("text")))
+    )
+    return (
+        chunk_with_overlap(d, F.col("_toks"), size=20, stride=15)
+        .select(
+            "doc_id",
+            "chunk_index",
+            F.size("chunk_tokens").cast("long").alias("n_chunk_tokens"),
+            F.array_join("chunk_tokens", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_index")
+    )
