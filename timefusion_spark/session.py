@@ -40,6 +40,11 @@ def get_spark(app_name: str = "timefusion_spark", cpus: str | int | None = None)
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # µs-typed parquet timestamps (the reference's storage contract).
+        # Spark's INT96 default writes timestamps with NO pushdown-usable
+        # row-group stats — a `ts > now()-1h` scan then reads every row
+        # (the reference's recent_window_pruning.rs over-read bug class).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
     )
     active = SparkSession.getActiveSession()
@@ -61,6 +66,7 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
     ):
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
