@@ -150,3 +150,40 @@ def test_q3_broadcasts_dimension_side(spark, sf_dir):
     df = REGISTRY["q3_shipping_priority"].spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_with_overlap_is_map_only(spark):
+    """Sliding-window chunking must stay a generate/project stage — zero
+    Exchange: at 100 TB an unnecessary shuffle here would dominate."""
+    from timefusion_spark.operators.packing import chunk_with_overlap
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "id long, text string"
+    ).withColumn("_toks", F.split(F.col("text"), r"\s+"))
+    plan = (
+        chunk_with_overlap(df, F.col("_toks"), size=3, stride=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # posexplode, not a UDF
+
+
+def test_repetition_top_bigram_single_shuffle(spark, sf_dir):
+    """The top-bigram signal is explode → two-level agg + a 1:1 join on
+    doc_id: partial aggregation must be map-side (no raw-gram shuffle of
+    the exploded rows beyond the keyed aggregate)."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    plan = (
+        REGISTRY["q_repetition_signals"]
+        .spark_fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial" in plan.lower()  # map-side combine before the exchange
+    assert "Generate" in plan  # bigrams exploded JVM-side, no UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

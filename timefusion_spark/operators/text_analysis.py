@@ -84,3 +84,22 @@ def dup_token_fraction(toks: Column) -> Column:
     of an earlier token (1 - distinct/total). Pure per-row arithmetic."""
     total = F.size(toks)
     return F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / total
+
+
+# PII patterns shared by the redaction operator and its DuckDB oracle —
+# deliberately lookaround-free so Java regex (Spark) and RE2 (DuckDB)
+# agree character-for-character.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def redact_pii(c: Column) -> Column:
+    """Training-data PII scrub: emails → <EMAIL>, IPv4 → <IP>, phone-ish
+    digit runs → <PHONE>. Chained regexp_replace — pure JVM expression,
+    map-only at any scale. Order matters: emails first (their local part
+    contains digits), IPs before phones (so dotted quads never feed the
+    looser digit-run pattern)."""
+    out = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")

@@ -344,3 +344,51 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_index")
     )
+
+
+@query(
+    "q_pii_redaction",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.1 or +1 555-01' || CAST(100 + doc_id % 100 AS VARCHAR) AS t
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS redacted
+    FROM aug
+    ORDER BY doc_id
+    """,
+    doc="PII redaction (beyond-reference, LLM-pipeline brief): emails, "
+    "IPv4 addresses, and phone-like digit runs replaced with typed "
+    "placeholders via chained regexp_replace — a map-only JVM expression "
+    "stage, no UDF, no shuffle. PII is injected deterministically into "
+    "the documents so both engines scrub identical text; patterns are "
+    "lookaround-free so Java regex and RE2 agree. Counts come from "
+    "regexp_count on the raw text, the redacted text is hash-compared.",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 or +1 555-01"), (100 + F.col("doc_id") % 100).cast("string"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(ta.PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("t", F.lit(ta.PII_IPV4)).alias("n_ips"),
+        ta.redact_pii(F.col("t")).alias("redacted"),
+    ).orderBy("doc_id")
