@@ -633,6 +633,106 @@ def _translate_fn_calls(sql: str) -> str:
     return sql.replace("__TOJSON__", "to_json").replace("__ISVNULL__", "is_variant_null")
 
 
+def _find_close_paren(sql: str, open_idx: int) -> int | None:
+    """Index of the ')' balancing the '(' at open_idx (quote-aware)."""
+    depth, j = 0, open_idx
+    while j < len(sql):
+        if sql[j] == "'":
+            mm = re.match(r"'(?:''|[^'])*'", sql[j:])
+            j += len(mm.group(0)) if mm else 1
+            continue
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    return None
+
+
+def _translate_select_list_unnest(sql: str) -> str:
+    """``SELECT unnest(e1) AS c1, unnest(e2) AS c2, …`` (no FROM) →
+    zipped-rows subquery. This is the reference's PRODUCTION enrichment
+    source shape (tests/suite/unnest_optimizer_regression_test.rs quotes
+    it: ``UPDATE … FROM (SELECT unnest($1) AS span_id, unnest($2) AS
+    trace_id, unnest($3) AS tag) u``): PG ≥10 advances parallel
+    set-returning functions in lockstep, padding exhausted ones with
+    NULL — exactly arrays_zip. Only fires when EVERY projection item is
+    an aliased unnest and the statement has no FROM (next token is ')'
+    or end), so ordinary scalar subqueries are untouched."""
+    pat = re.compile(r"\bSELECT\s+", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if m is None:
+            return sql
+        j = m.end()
+        items: list[tuple[str, str]] = []
+        ok = True
+        while True:
+            mu = re.match(r"unnest\s*\(", sql[j:], re.IGNORECASE)
+            if not mu:
+                ok = False
+                break
+            close = _find_close_paren(sql, j + mu.end() - 1)
+            if close is None:
+                ok = False
+                break
+            arg = sql[j + mu.end() : close]
+            ma = re.match(r"\s+AS\s+(\w+)", sql[close + 1 :], re.IGNORECASE)
+            if not ma:
+                ok = False
+                break
+            items.append((arg, ma.group(1)))
+            j = close + 1 + ma.end()
+            mc = re.match(r"\s*,\s*", sql[j:])
+            if mc:
+                j += mc.end()
+                continue
+            break
+        if ok and items and re.match(r"\s*(\)|$)", sql[j:]):
+            cols = ", ".join(a for _, a in items)
+            args = ", ".join(a for a, _ in items)
+            repl = (
+                f"SELECT {cols} FROM (SELECT inline(arrays_zip({args})))"
+                f" AS __unnest_zip({cols})"
+            )
+            sql = sql[: m.start()] + repl + sql[j:]
+            pos = m.start() + len(repl)
+        else:
+            pos = m.end()
+
+
+def _last_clause_keyword(prev: str) -> str | None:
+    """The last SELECT/FROM/WHERE/GROUP/ORDER/HAVING keyword at the SAME
+    paren depth as the end of ``prev`` (quote-aware) — decides whether a
+    trailing comma belongs to a select list or a FROM list."""
+    kw_re = re.compile(r"\b(SELECT|FROM|WHERE|GROUP|ORDER|HAVING)\b", re.IGNORECASE)
+    depth, j, marks = 0, 0, []
+    while j < len(prev):
+        ch = prev[j]
+        if ch == "'":
+            mm = re.match(r"'(?:''|[^'])*'", prev[j:])
+            j += len(mm.group(0)) if mm else 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        else:
+            km = kw_re.match(prev, j)
+            if km:
+                marks.append((depth, km.group(1).upper()))
+                j = km.end()
+                continue
+        j += 1
+    for d, kw in reversed(marks):
+        if d == depth:
+            return kw
+    return None
+
+
 def _translate_unnest(sql: str) -> str:
     """FROM-position ``unnest(a1, a2, …)`` → ``(SELECT inline(arrays_zip(
     a1, a2, …)))`` — the column-oriented bulk-insert source
@@ -653,10 +753,17 @@ def _translate_unnest(sql: str) -> str:
             out.append(sql[i:])
             break
         # FROM-position check: previous non-ws token must end the FROM
-        # introduction (FROM / , / JOIN). Select-list unnest (a PG
-        # set-returning projection) is out of scope — leave it alone.
-        prev = sql[:m.start()].rstrip()
-        if not re.search(r"(?i)(\bFROM|\bJOIN|,)$", prev):
+        # introduction (FROM / JOIN / a comma INSIDE a FROM list — a comma
+        # is ambiguous, so resolve it by the last same-depth clause
+        # keyword). Select-list unnest (a PG set-returning projection) is
+        # handled by _translate_select_list_unnest, not here.
+        prev = sql[: m.start()].rstrip()
+        if prev.endswith(","):
+            if _last_clause_keyword(prev) != "FROM":
+                out.append(sql[i : m.end()])
+                i = m.end()
+                continue
+        elif not re.search(r"(?i)(\bFROM|\bJOIN)$", prev):
             out.append(sql[i : m.end()])
             i = m.end()
             continue
@@ -839,6 +946,7 @@ def pg_to_spark_sql(sql: str) -> str:
     if re.match(r"(?i)^ABORT\b", stripped):
         sql = sql[: len(sql) - len(stripped)] + "ROLLBACK" + stripped[5:]
     sql = _translate_distinct_on(sql)
+    sql = _translate_select_list_unnest(sql)
     sql = _translate_unnest(sql)
     # ARRAY[...] → array(...) BEFORE the cast pass, so ARRAY[..]::VARCHAR[]
     # presents a ')'-terminated operand to the `::` translator.
