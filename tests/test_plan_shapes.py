@@ -132,8 +132,8 @@ def test_time_predicate_pushes_to_parquet_scan(spark, sf_dir):
     load_all()
     df = REGISTRY["q_dashboard_count_window"].spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # events.ts is read as long (nanosAsLong) then converted; the pushed
-    # filter lands on the raw long column.
+    # The pushed filter lands on the raw parquet ts column (long under
+    # nanosAsLong generations, timestamp[us] otherwise).
     assert "PushedFilters: [" in plan
     pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "ts" in pushed and "IsNotNull" in pushed

@@ -18,10 +18,10 @@ _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (column-pruned, pushdown-friendly scan).
 
-    events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-    parquet reader rejects; read it as long (legacy nanosAsLong) and floor
-    to microseconds — the same truncation DuckDB applies, so oracle
-    comparisons line up exactly.
+    events.parquet has stored `ts` as INT64 TIMESTAMP(NANOS) in some
+    testdata generations (Spark's reader rejects it without nanosAsLong)
+    and as TIMESTAMP(MICROS) in others; both are normalized to session-tz
+    TimestampType so oracle comparisons line up exactly either way.
     """
     key = (id(spark), sf_dir, name)
     cached = _CACHE.get(key)
@@ -34,7 +34,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # Testdata generations have stored `ts` as INT64 TIMESTAMP(NANOS)
+        # (read as long under nanosAsLong) or as TIMESTAMP(MICROS) (read as
+        # TIMESTAMP_NTZ). Normalize both to session-tz TimestampType — the
+        # session runs UTC, so the NTZ→TZ cast is value-preserving and every
+        # downstream time function sees the same type either way.
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _CACHE[key] = df
