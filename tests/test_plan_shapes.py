@@ -133,10 +133,17 @@ def test_time_predicate_pushes_to_parquet_scan(spark, sf_dir):
     df = REGISTRY["q_dashboard_count_window"].spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # The pushed filter lands on the raw parquet ts column (long under
-    # nanosAsLong generations, timestamp[us] otherwise).
+    # nanosAsLong generations, timestamp[us] otherwise). The RANGE BOUNDS
+    # must push, not just IsNotNull — for timestamp_ntz generations the
+    # predicate sits above a cast, and only Catalyst's cast-unwrap makes
+    # the bound reach the footer stats; pin that it does.
     assert "PushedFilters: [" in plan
     pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "ts" in pushed and "IsNotNull" in pushed
+    assert "GreaterThan" in pushed or "LessThan" in pushed, (
+        "ts range bound did not reach PushedFilters — row-group pruning lost: "
+        + pushed
+    )
 
 
 def test_q3_broadcasts_dimension_side(spark, sf_dir):

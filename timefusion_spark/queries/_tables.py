@@ -30,20 +30,34 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Also set in session.py's builder; re-asserted here (idempotent,
         # check-first) because the driver may hand us ITS session, built
-        # without the engine's confs.
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # without the engine's confs. ensure_runtime_confs covers BOTH
+        # nanosAsLong and session.timeZone=UTC — the NTZ→timestamp cast
+        # below is only value-preserving under UTC, and the long path's
+        # timestamp_micros is tz-absolute while query literals are
+        # tz-relative, so a non-UTC driver session would skew either path.
+        from timefusion_spark.session import ensure_runtime_confs
+
+        ensure_runtime_confs(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         # Testdata generations have stored `ts` as INT64 TIMESTAMP(NANOS)
         # (read as long under nanosAsLong) or as TIMESTAMP(MICROS) (read as
         # TIMESTAMP_NTZ). Normalize both to session-tz TimestampType — the
         # session runs UTC, so the NTZ→TZ cast is value-preserving and every
-        # downstream time function sees the same type either way.
+        # downstream time function sees the same type either way. Catalyst
+        # unwraps the cast in comparisons, so ts range predicates still
+        # reach parquet as PushedFilters (pinned in test_plan_shapes).
         ts_type = df.schema["ts"].dataType.typeName()
         if ts_type in ("long", "bigint"):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            # Fail fast on an unrecognized testdata generation instead of
+            # letting oracle mismatches surface far downstream.
+            raise TypeError(
+                f"events.ts has unexpected parquet-derived type {ts_type!r}; "
+                "expected long (ns), timestamp_ntz (µs) or timestamp"
+            )
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _CACHE[key] = df
