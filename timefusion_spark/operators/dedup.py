@@ -157,12 +157,26 @@ def token_hashes(c: Column) -> Column:
     return F.transform(tokens(c), lambda x: F.pmod(F.xxhash64(x), F.lit(HASH_PRIME)))
 
 
-def shingle_hashes_from_token_hashes(th: Column, k: int = 3) -> Column:
+def shingle_hashes_from_token_hashes(th: Column | str, k: int = 3) -> Column:
     """Hashes of k-word shingles combined arithmetically from token hashes.
     `th` MUST be a materialized column (see module note) — `element_at` is
     evaluated k times per shingle. Duplicate shingle hashes are left in
     place: MinHash takes a min, so distinctness is irrelevant and skipping
-    array_distinct saves a per-row sort."""
+    array_distinct saves a per-row sort.
+
+    Pass the column NAME (str) in hot paths: the expression is then built
+    as ONE SQL parse JVM-side instead of dozens of py4j round-trips —
+    plan-construction latency is a measured driver-side cost at bench
+    cadence (see module note on expression-size discipline)."""
+    if isinstance(th, str):
+        acc = f"element_at({th}, i)"
+        for j in range(1, k):
+            acc = f"pmod({acc} * 31L + element_at({th}, i + {j}), {HASH_PRIME}L)"
+        return F.expr(
+            f"CASE WHEN size({th}) >= {k} THEN "
+            f"transform(sequence(1, size({th}) - {k - 1}), i -> {acc}) "
+            f"ELSE array(aggregate({th}, 0L, (acc, h) -> pmod(acc * 31L + h, {HASH_PRIME}L))) END"
+        )
     n = F.size(th)
 
     def combine(i: Column) -> Column:
@@ -176,16 +190,25 @@ def shingle_hashes_from_token_hashes(th: Column, k: int = 3) -> Column:
     whole = F.aggregate(
         th,
         F.lit(0).cast("long"),
-        lambda acc, h: F.pmod(acc * F.lit(31) + h, F.lit(HASH_PRIME)),
+        lambda acc, x: F.pmod(acc * F.lit(31) + x, F.lit(HASH_PRIME)),
     )
     return F.when(n >= k, shingled).otherwise(F.array(whole))
 
 
-def minhash_signature_from_hashes(set_hashes: Column, n_hashes: int = 16) -> Column:
+def minhash_signature_from_hashes(set_hashes: Column | str, n_hashes: int = 16) -> Column:
     """MinHash signature (array<long>, len n_hashes) over mod-P element
     hashes. `set_hashes` MUST be a materialized column — it is scanned once
     per hash function (n_hashes single-pass array_min folds over an
-    attribute, the cheapest available shape)."""
+    attribute, the cheapest available shape).
+
+    Pass the column NAME (str) in hot paths: n_hashes transform trees
+    render as ONE SQL parse instead of ~6·n_hashes py4j round-trips."""
+    if isinstance(set_hashes, str):
+        mins = ", ".join(
+            f"array_min(transform({set_hashes}, h -> pmod({a}L * h + {b}L, {HASH_PRIME}L)))"
+            for a, b in MINHASH_SEEDS[:n_hashes]
+        )
+        return F.expr(f"array({mins})")
 
     def permute(a: int, b: int):
         # closure factory: PySpark inspects lambda arity, so default-arg
@@ -235,26 +258,18 @@ def banded_candidate_pairs(
     """
     blk = [F.col("_blk")] if block_col else []
     blk_names = ["_blk"] if block_col else []
+    # Band structs rendered as ONE SQL parse (n_bands nested trees would
+    # otherwise cost hundreds of py4j round-trips at plan-build time).
+    band_structs = ", ".join(
+        f"named_struct('band', {j}, 'key', "
+        f"concat_ws('-', transform(slice(_sig, {j * n_rows + 1}, {n_rows}), "
+        f"x -> cast(x AS string))))"
+        for j in range(n_bands)
+    )
     bands = sigs.select(
         F.struct(F.col("_id").alias("i"), F.col("_sig").alias("s")).alias("m"),
         *blk,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            F.transform(
-                                F.slice("_sig", j * n_rows + 1, n_rows),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("key"),
-                    )
-                    for j in range(n_bands)
-                ]
-            )
-        ).alias("b"),
+        F.expr(f"explode(array({band_structs}))").alias("b"),
     ).select("m", *blk_names, "b.band", "b.key")
 
     buckets = (
@@ -293,10 +308,24 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
 
 
-def simhash32_from_hashes(hashes: Column) -> Column:
+def simhash32_from_hashes(hashes: Column | str) -> Column:
     """32-bit SimHash from a MATERIALIZED distinct-token-hash column: bit j
-    set iff the sum over hashes of (±1 by hash bit j) is positive. 32
-    single-pass folds over an attribute."""
+    set iff the sum over hashes of (±1 by hash bit j) is positive.
+
+    String form (hot path): ONE fold over the hash array carrying a
+    32-slot vote vector (vs 32 separate folds in the Column form — same
+    arithmetic, 32× fewer array traversals), built as a single SQL parse."""
+    if isinstance(hashes, str):
+        return F.expr(
+            "aggregate("
+            "  zip_with("
+            f"   aggregate({hashes}, array_repeat(0L, 32), (acc, h) ->"
+            "      zip_with(acc, sequence(0, 31), (a, j) ->"
+            "        a + (shiftright(h, j) & 1L) * 2L - 1L)),"
+            "   sequence(0, 31),"
+            "   (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)),"
+            "  0L, (a, x) -> a + x)"
+        )
 
     def bit_vote(j: int):
         return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -344,10 +373,10 @@ def minhash_lsh_pairs(
     # next stage scans it many times (module evaluation-count note).
     sigs = (
         df.select(F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th"))
-        .select("_id", shingle_hashes_from_token_hashes(F.col("_th"), shingle_k).alias("_shh"))
+        .select("_id", shingle_hashes_from_token_hashes("_th", shingle_k).alias("_shh"))
         .select(
             "_id",
-            minhash_signature_from_hashes(F.col("_shh"), LSH_BANDS * LSH_ROWS).alias("_sig"),
+            minhash_signature_from_hashes("_shh", LSH_BANDS * LSH_ROWS).alias("_sig"),
         )
     )
     candidates = banded_candidate_pairs(sigs, LSH_BANDS, LSH_ROWS)
@@ -437,7 +466,7 @@ def ngram_jaccard_pairs(
             "_id",
             *blk_names,
             minhash_signature_from_hashes(
-                F.col("_gh"), NGRAM_LSH_BANDS * NGRAM_LSH_ROWS
+                "_gh", NGRAM_LSH_BANDS * NGRAM_LSH_ROWS
             ).alias("_sig"),
         )
     )

@@ -104,7 +104,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.transform(dd.tokens(F.col("text")), dd.poly_hash)).alias("_hs"),
     )
     return staged.select(
-        "doc_id", dd.simhash32_from_hashes(F.col("_hs")).alias("simhash")
+        "doc_id", dd.simhash32_from_hashes("_hs").alias("simhash")
     ).orderBy("doc_id")
 
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timefusion_spark.operators import dedup as dd
 from timefusion_spark.operators import text_analysis as ta
 from timefusion_spark.queries._tables import t
 from timefusion_spark.registry import query
@@ -177,38 +178,66 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = t(spark, sf_dir, "documents")
-    scored = d.select(
+    # SINGLE-PASS plan: one scan, staged token/normalized columns (each
+    # regex split evaluated once per row — quality_score alone would
+    # otherwise re-tokenize 4×), then ONE fp-window + ONE aggregation.
+    # The funnel counts and the post-dedup "kept" totals come out of the
+    # same aggregate: the fp window orders passing docs first, so
+    # `pass AND rn = 1` is exactly "the min-doc_id passing doc of its
+    # fingerprint group" — no second scan, no funnel⋈kept join.
+    staged = d.select(
         "doc_id",
         "source",
-        ta.quality_score(F.col("text")).alias("q"),
-        ta.english_likelihood(F.col("text")).alias("en"),
-        ta.doc_fingerprint(F.col("text")).alias("fp"),
-        ta.token_count(F.col("text")).alias("n_tok"),
+        dd.tokens(F.col("text")).alias("_tk"),
+        dd.normalize_text(F.col("text")).alias("_norm"),
+    ).select(
+        "doc_id",
+        "source",
+        "_tk",
+        "_norm",
+        F.split("_norm", r"\s+").alias("_ntk"),
     )
-    funnel = scored.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count(F.when(F.col("q") >= 0.5, 1)).alias("n_quality"),
-        F.count(F.when((F.col("q") >= 0.5) & (F.col("en") >= 0.05), 1)).alias(
-            "n_english"
+    n_tok = F.size("_tk")
+    atl = F.expr(
+        "aggregate(_tk, 0L, (a, x) -> a + length(x))"
+    ).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter("_ntk", lambda x: x.isin(ta.EN_STOPWORDS))).cast("double")
+        / n_tok
+    )
+    scored = staged.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        (
+            (
+                F.least(n_tok.cast("double") / 50.0, F.lit(1.0))
+                + F.least(stop_ratio * 5.0, F.lit(1.0))
+                + F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+            )
+            / 3.0
+        ).alias("q"),
+        stop_ratio.alias("en"),
+        F.md5("_norm").alias("fp"),
+    )
+    passed = (F.col("q") >= 0.5) & (F.col("en") >= 0.05)
+    ranked = scored.withColumn("_pass", passed).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("fp").orderBy(F.col("_pass").desc(), "doc_id")
         ),
     )
-    filtered = scored.where((F.col("q") >= 0.5) & (F.col("en") >= 0.05))
-    uniq = filtered.withColumn(
-        "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
-    )
-    kept = uniq.where(F.col("rn") == 1).groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_unique"),
-        F.sum("n_tok").alias("total_tokens_kept"),
-    )
+    kept = F.col("_pass") & (F.col("rn") == 1)
     return (
-        funnel.join(kept, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            "n_quality",
-            "n_english",
-            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
-            F.coalesce("total_tokens_kept", F.lit(0)).alias("total_tokens_kept"),
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("q") >= 0.5, 1)).alias("n_quality"),
+            F.count(F.when(F.col("_pass"), 1)).alias("n_english"),
+            F.count(F.when(kept, 1)).alias("n_unique"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0)).alias(
+                "total_tokens_kept"
+            ),
         )
         .orderBy("source")
     )

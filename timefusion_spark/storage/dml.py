@@ -53,19 +53,25 @@ def _require_mor(table: Table) -> None:
 
 
 def _count_and_append(table: Table, new_versions: DataFrame, stamp) -> int:
-    """Materialize the new versions ONCE (persist), count them, append if
-    any. Without the persist the resolve plan — a dedup-window scan of the
-    whole table — would execute twice: once for the count, once for the
-    write (dml.rs materializes the matched set the same way before its
-    version-append)."""
-    new_versions = new_versions.persist()
+    """Append the new versions and count them in the SAME job via an
+    Observation metric: the resolve plan — a dedup-window scan of the
+    whole table — executes exactly once, and no persist/second action is
+    needed (dml.rs materializes the matched set before its version-append;
+    the observe node is the Spark-native way to get the matched count as a
+    side output of the write job itself)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    table.append(new_versions.observe(obs, F.count(F.lit(1)).alias("n")), stamp=stamp)
     try:
-        n = new_versions.count()
-        if n:
-            table.append(new_versions, stamp=stamp)
-        return n
-    finally:
-        new_versions.unpersist()
+        return int(obs.get["n"])
+    except Exception:
+        # AQE's empty-relation propagation removes the CollectMetrics node
+        # when the runtime-materialized matched set is EMPTY (the observe
+        # subtree is replaced by an empty LocalRelation before it can
+        # report), so an unreadable observation means exactly "0 rows
+        # matched" — any non-empty write leaves the node in place.
+        return 0
 
 
 def update(
