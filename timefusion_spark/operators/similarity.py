@@ -202,6 +202,65 @@ def knn_ivf(
     )
 
 
+def knn_ivf_flat(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with a FIXED coarse quantizer (centroids passed in, e.g. a
+    deterministic pick or a previously-trained codebook): one map-only
+    assignment pass, then brute-force cosine inside the `n_probe` probed
+    cells.
+
+    Unlike the k-means variant (knn_ivf) this is fully closed-form, so a
+    SQL oracle can reproduce it exactly. Assignment uses the L2 argmin in
+    its expanded form  ||c||² − 2⟨v,c⟩  (the ||v||² term is constant per
+    row): products and sums only — no sqrt, no division — so both engines
+    agree bit-for-bit. Ties break toward the smallest centroid id.
+
+    Scale shape: centroids ship as plan constants (the broadcast analog);
+    assignment is per-row arithmetic — zero shuffle; the probe filter
+    bounds the brute-force candidate set to ~n_probe/n_cells of the
+    corpus, then TakeOrderedAndProject takes the top-k."""
+    c2 = {cid: sum(float(x) * float(x) for x in cv) for cid, cv in centroids}
+    # Cell-assignment expression as ONE SQL parse: an array of
+    # (distance_score, cid) structs; array_min picks the argmin with the
+    # struct's field order giving the cid tiebreak for free.
+    structs = []
+    for cid, cv in centroids:
+        arr = ", ".join(f"{float(x)!r}D" for x in cv)
+        dot_ = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            "(x, y) -> cast(x AS double) * y), 0.0D, (a, x) -> a + x)"
+        )
+        structs.append(
+            f"named_struct('d', {c2[cid]!r}D - 2.0D * {dot_}, 'cid', {cid})"
+        )
+    cell = F.expr(f"array_min(array({', '.join(structs)})).cid")
+
+    # Probed cells: same score against the query vector, driver-side
+    # (centroids and query are O(1) parameters).
+    qd = [float(x) for x in query_vec]
+    scored = sorted(
+        (c2[cid] - 2.0 * sum(x * y for x, y in zip(qd, map(float, cv))), cid)
+        for cid, cv in centroids
+    )
+    probe = [cid for _, cid in scored[:n_probe]]
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.withColumn("_cell", cell)
+        .where(F.col("_cell").isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_lsh(
     df: DataFrame,
     query_vec: list[float],

@@ -228,6 +228,60 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_ivf_flat",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cent AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+    ),
+    assigned AS (
+        SELECT vec_id, embedding FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_inner_product(c.cv, c.cv)
+                       - 2 * list_inner_product(e.embedding::DOUBLE[], c.cv) ASC,
+                       c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c
+            WHERE e.vec_id <> 0
+        ) WHERE rn = 1 AND cid IN (
+            SELECT cid FROM (
+                SELECT c.cid FROM cent c, q
+                ORDER BY list_inner_product(c.cv, c.cv)
+                         - 2 * list_inner_product(q.qv, c.cv) ASC, c.cid ASC
+                LIMIT 4
+            )
+        )
+    )
+    SELECT vec_id, ROUND(cos_raw, 4) AS cos_sim
+    FROM (
+        SELECT a.vec_id, {_COS.format(a='a.embedding', b='q.qv')} AS cos_raw
+        FROM assigned a, q
+        ORDER BY cos_raw DESC, a.vec_id
+        LIMIT 10
+    )
+    """,
+    doc="IVF ANN with a FIXED deterministic coarse quantizer (centroids = "
+    "vec_ids 1-16): map-only L2-argmin cell assignment (||c||² − 2⟨v,c⟩ — "
+    "no sqrt/division, bit-identical across engines), probe the 4 nearest "
+    "cells, brute-force cosine inside. The fully-oracle-checked twin of "
+    "the k-means IVF path (q_ann_ivf_topk).",
+)
+def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id").between(1, 16))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    qv = _query_vec(spark, sf_dir, 0)
+    top = sim.knn_ivf_flat(e, cents, qv, k=10, n_probe=4)
+    return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query(
     "q_salted_agg",
     oracle="""
     SELECT event_type,
