@@ -421,3 +421,128 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("t", F.lit(ta.PII_IPV4)).alias("n_ips"),
         ta.redact_pii(F.col("t")).alias("redacted"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_vocab_mining",
+    oracle=f"""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(string_split_regex({_ORACLE_NORM}, '\\s+')) AS tok
+        FROM documents
+    )
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 50
+    """,
+    doc="Tokenizer vocabulary mining (LLM-pipeline): corpus-wide token "
+    "frequency over normalized text, top-50 by count. Scale shape: "
+    "explode → map-side-combinable hash aggregate on the token key → "
+    "TakeOrderedAndProject; token skew (stopwords) is exactly what the "
+    "partial aggregation absorbs — the hot key is pre-summed per "
+    "partition before the shuffle.",
+)
+def q_vocab_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(dd.normalize_text(F.col("text")), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(50)
+    )
+
+
+@query(
+    "q_bpe_merge_candidates",
+    oracle=f"""
+    WITH toks AS (SELECT string_split_regex({_ORACLE_NORM}, '\\s+') AS tk FROM documents),
+    pairs AS (
+        SELECT tk[u.i] AS l, tk[u.i + 1] AS r
+        FROM toks CROSS JOIN unnest(generate_series(1, len(tk) - 1)) AS u(i)
+    )
+    SELECT l, r, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY l, r
+    ORDER BY n DESC, l, r
+    LIMIT 20
+    """,
+    doc="BPE merge-candidate mining (tokenizer training, step 1 of each "
+    "merge round): count adjacent-symbol pairs corpus-wide, rank by "
+    "frequency — the argmax pair is the next merge. posexplode over the "
+    "staged token array keeps it one generate + one aggregate; at corpus "
+    "scale the pair key-space is bounded by vocab², and partial "
+    "aggregation collapses the heavy head before the shuffle.",
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    staged = d.select(F.split(dd.normalize_text(F.col("text")), r"\s+").alias("tk"))
+    pairs = staged.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) >= 2 THEN "
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> named_struct('l', element_at(tk, i), 'r', element_at(tk, i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.l", "p.r")
+    return (
+        pairs.groupBy("l", "r")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "l", "r")
+        .limit(20)
+    )
+
+
+@query(
+    "q_decontamination",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, string_split_regex({_ORACLE_NORM}, '\\s+') AS tk FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(tk) - 4),
+                   i -> list_aggregate(tk[i:i+4], 'string_agg', ' ')))) AS g
+        FROM norm WHERE len(tk) >= 5
+    ),
+    bench AS (SELECT doc_id, g FROM sh WHERE doc_id < 10),
+    corpus AS (SELECT doc_id, g FROM sh WHERE doc_id >= 10)
+    SELECT b.doc_id,
+           CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_contaminated
+    FROM bench b JOIN corpus c ON b.g = c.g
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="Train/test decontamination (LLM-pipeline): for each benchmark "
+    "document (doc_id < 10), count corpus documents sharing at least one "
+    "5-word shingle. Scale shape: the benchmark shingle set is tiny and "
+    "BROADCAST — the corpus side streams through a broadcast hash join "
+    "(no corpus shuffle), then a distinct-count per benchmark doc. At "
+    "100 TB the corpus explode stays map-local and only matching "
+    "(bench_doc, corpus_doc) pairs reach the aggregate; production would "
+    "join on shingle hashes rather than strings (same plan shape).",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", F.split(dd.normalize_text(F.col("text")), r"\s+").alias("tk")
+    ).where(F.size("tk") >= 5)
+    sh = staged.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(tk) - 4), "
+                "i -> concat_ws(' ', slice(tk, i, 5))))"
+            )
+        ).alias("g"),
+    )
+    bench = sh.where(F.col("doc_id") < 10).withColumnRenamed("doc_id", "bench_id")
+    corpus = sh.where(F.col("doc_id") >= 10)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("bench_id")
+        .agg(F.countDistinct("doc_id").alias("n_contaminated"))
+        .select(F.col("bench_id").alias("doc_id"), "n_contaminated")
+        .orderBy("doc_id")
+    )

@@ -432,3 +432,57 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return daily.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(rollup_dir, ignore_errors=True)
+
+
+@query(
+    "q_distinct_sketch",
+    oracle="""
+    WITH f AS (
+        SELECT event_type,
+               COUNT(DISTINCT substring(md5(CAST(user_id AS VARCHAR)), 1, 3)) AS filled
+        FROM events GROUP BY event_type
+    ), x AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT f.event_type,
+           CAST(f.filled AS BIGINT) AS filled,
+           ROUND(-4096.0 * ln(1 - f.filled / 4096.0), 2) AS est_distinct,
+           x.exact_distinct
+    FROM f JOIN x ON f.event_type = x.event_type
+    ORDER BY f.event_type
+    """,
+    doc="Mergeable approximate-distinct sketch (linear counting, the "
+    "approx_count_distinct / HLL analog with an engine-portable hash): "
+    "bucket = first 3 hex chars of md5(user_id) → 4096-slot occupancy "
+    "bitmap, estimate = -m·ln(1 - filled/m). Built TWO-STEP to prove the "
+    "mergeable-state roll-up (the reference's t-digest UDAF property, "
+    "functions.rs:1096-1267): partial bucket SETS per (event_type, "
+    "user_id%4 shard) are merged by set-union per event_type — partials "
+    "compose exactly, so the merged estimate equals the single-pass one. "
+    "Exact COUNT(DISTINCT) rides alongside as the error reference.",
+)
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bucket = F.substring(F.md5(F.col("user_id").cast("string")), 1, 3)
+    partial = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("_shard")
+    ).agg(F.collect_set(bucket).alias("_bs"))
+    merged = partial.groupBy("event_type").agg(
+        F.size(F.array_distinct(F.flatten(F.collect_list("_bs")))).cast("bigint").alias("filled")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        merged.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "filled",
+            F.round(-4096.0 * F.log(1 - F.col("filled") / 4096.0), 2).alias(
+                "est_distinct"
+            ),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
