@@ -330,3 +330,70 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_embedding_quantization",
+    oracle="""
+    WITH staged AS (
+        SELECT label,
+               embedding::DOUBLE[] AS v,
+               greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0,
+                        1e-30) AS scale
+        FROM embeddings
+    ), per_vec AS (
+        SELECT label, scale,
+               sqrt(list_sum(list_transform(v,
+                   x -> pow(greatest(-127.0, least(127.0, round(x / scale))) * scale - x, 2))))
+               / sqrt(list_inner_product(v, v)) AS rel_err
+        FROM staged
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(scale), 6) AS avg_scale,
+           ROUND(AVG(rel_err), 6) AS avg_rel_err,
+           ROUND(MAX(rel_err), 6) AS max_rel_err
+    FROM per_vec
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Embedding scalar quantization audit (vector-pipeline op): "
+    "per-vector symmetric int8 quantization (scale = max|x|/127, values "
+    "rounded and clamped to [-127,127]) with the relative L2 "
+    "reconstruction error aggregated per label — the compression/recall "
+    "tradeoff stats a 100 TB embedding store is sized with. Map-only "
+    "per-row arithmetic (scale staged so the division tree is evaluated "
+    "once), then one hash aggregate.",
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    staged = e.select(
+        "label",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
+    ).select(
+        "label",
+        "v",
+        F.expr(
+            "greatest(array_max(transform(v, x -> abs(x))) / 127.0D, 1e-30D)"
+        ).alias("scale"),
+    )
+    per_vec = staged.select(
+        "label",
+        "scale",
+        F.expr(
+            "sqrt(aggregate(transform(v, "
+            "x -> pow(greatest(-127.0D, least(127.0D, round(x / scale))) * scale - x, 2)), "
+            "0.0D, (a, x) -> a + x)) / "
+            "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D, (a, x) -> a + x))"
+        ).alias("rel_err"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.round(F.avg("rel_err"), 6).alias("avg_rel_err"),
+            F.round(F.max("rel_err"), 6).alias("max_rel_err"),
+        )
+        .orderBy("label")
+    )
