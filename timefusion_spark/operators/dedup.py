@@ -142,10 +142,31 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     fewer partitions than the cluster's parallelism (e.g. a single-row-group
     parquet file, which is unsplittable), spread rows first. At real scale
     inputs arrive as many ≥128 MB row groups, the gate is false, and NO
-    shuffle is added — this only rescues the degenerate small-file case."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, 32):
-        return df.repartition(min(target, 32))
+    shuffle is added — this only rescues the degenerate small-file case.
+
+    The gate estimates scan parallelism from the relation's file listing
+    (already cached on the analyzed plan, ~1 ms) instead of
+    `df.rdd.getNumPartitions()`, which converts the whole plan to an RDD
+    (~150 ms of driver latency per fresh DataFrame); the RDD path remains
+    as the fallback for non-local / non-file plans."""
+    import os
+
+    target = min(df.sparkSession.sparkContext.defaultParallelism, 32)
+    try:
+        files = [f for f in df.inputFiles() if f.startswith("file:")]
+        if files:
+            max_bytes = int(
+                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+                .lower()
+                .removesuffix("b")
+            )
+            total = sum(os.path.getsize(f.removeprefix("file:")) for f in files)
+            est = max(len(files), -(-total // max_bytes))
+            return df.repartition(target) if est < target else df
+    except Exception:
+        pass
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
     return df
 
 
