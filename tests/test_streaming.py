@@ -247,3 +247,59 @@ def test_in_stream_dedup_within_watermark(spark, tmp_path, table):
     q.awaitTermination(180)
     assert table.read_raw().count() == 40  # duplicates never landed
     assert table.read().count() == 40
+
+
+def test_windowed_counts_watermark_late_data(spark, tmp_path):
+    """Watermarked tumbling-window rollup (SURVEY §2.10): windows are
+    emitted exactly once when the watermark passes; rows arriving later
+    than the watermark are dropped from their (already-emitted) window."""
+    from timefusion_spark.storage.streaming import windowed_counts
+
+    src = str(tmp_path / "wsrc")
+    ckpt = str(tmp_path / "wckpt")
+    tiles = str(tmp_path / "wtiles")
+
+    def run_batch(name, rows):
+        _write_source_file(src, name, rows)
+        agg = windowed_counts(
+            _stream(spark, src), time_col="timestamp", key_col="project_id",
+            window="5 minutes", watermark="10 minutes",
+        )
+        # append-mode file sink: each finalized tile lands exactly once in
+        # the rollup table (the continuous-aggregate story end-to-end).
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", tiles)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["bucket"].isoformat(), r["project_id"]): r["n"]
+            for r in spark.read.parquet(tiles).collect()
+        }
+
+    # batch 0: 5 rows in 10:00-10:05, 5 in 10:05-10:10 (10:05:00 lands in
+    # the second window), then an event at 11:00 that pushes the watermark
+    # (11:00 - 10 min = 10:50) past both early windows -> they finalize.
+    rows = [
+        {"timestamp": f"2026-01-01 10:0{i}:00", "id": f"a{i}", "value": 1.0, "project_id": "p1"}
+        for i in range(6)
+    ] + [
+        {"timestamp": f"2026-01-01 10:0{5 + i}:30", "id": f"b{i}", "value": 1.0, "project_id": "p1"}
+        for i in range(4)
+    ] + [
+        {"timestamp": "2026-01-01 11:00:00", "id": "late-pusher", "value": 1.0, "project_id": "p1"}
+    ]
+    out = run_batch("w0.json", rows)
+    assert out[("2026-01-01T10:00:00", "p1")] == 5
+    assert out[("2026-01-01T10:05:00", "p1")] == 5
+
+    # batch 1: a LATE row for the already-finalized 10:00 window (beyond
+    # the 10:50 watermark) is dropped — the emitted tile never changes.
+    out2 = run_batch("w1.json", [
+        {"timestamp": "2026-01-01 10:01:30", "id": "too-late", "value": 1.0, "project_id": "p1"}
+    ])
+    assert out2.get(("2026-01-01T10:00:00", "p1"), 5) == 5

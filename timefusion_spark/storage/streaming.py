@@ -111,3 +111,40 @@ def ingest_stream(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_counts(
+    stream: DataFrame,
+    time_col: str = "timestamp",
+    key_col: str | None = None,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the standard Structured
+    Streaming rollup the reference's dashboard count tiles map to at
+    ingest time (a continuously-maintained `time_bucket` COUNT).
+
+    Late data policy: rows later than `watermark` behind the max observed
+    event time are dropped from the aggregation (their window already
+    finalized); in append output mode a window is emitted exactly once,
+    when the watermark passes its end — so a downstream sink (e.g. the
+    rollup table of q_hypertable_rollup) receives each tile exactly once.
+    State is bounded by watermark ÷ window tiles per key."""
+    from pyspark.sql import functions as F
+
+    if not stream.isStreaming:
+        raise ValueError("windowed_counts requires a streaming DataFrame")
+    stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    keys = [F.window(F.col(time_col), window).alias("w")]
+    if key_col:
+        keys.append(F.col(key_col))
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("bucket"),
+            *([key_col] if key_col else []),
+            "n",
+        )
+    )
