@@ -546,3 +546,78 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bench_id").alias("doc_id"), "n_contaminated")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_heavy_hitters_sketch",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex({_ORACLE_NORM}, '\\s+')) AS tok
+        FROM documents
+    ),
+    cm AS (
+        SELECT i, substring(md5(tok || '#' || CAST(i AS VARCHAR)), 1, 2) AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks CROSS JOIN unnest([0, 1, 2, 3]) AS u(i)
+        GROUP BY i, b
+    ),
+    top AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM toks GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10
+    ),
+    probe AS (
+        SELECT t.tok, t.exact_n, u.i,
+               substring(md5(t.tok || '#' || CAST(u.i AS VARCHAR)), 1, 2) AS b
+        FROM top t CROSS JOIN unnest([0, 1, 2, 3]) AS u(i)
+    )
+    SELECT p.tok, p.exact_n,
+           MIN(cm.c) AS est_n,
+           MIN(cm.c) - p.exact_n AS overcount
+    FROM probe p JOIN cm ON p.i = cm.i AND p.b = cm.b
+    GROUP BY p.tok, p.exact_n
+    ORDER BY p.exact_n DESC, p.tok
+    """,
+    doc="Count-min heavy-hitters sketch (mergeable-UDAF family #3, next "
+    "to the histogram percentile digest and the linear-counting distinct "
+    "sketch): 4 hash rows × 256 buckets with an engine-portable salted-md5 "
+    "bucket function; a token's estimate is the MIN over its 4 counters "
+    "(always ≥ exact). Counter tables compose by addition, so partial "
+    "sketches from corpus shards merge exactly — the property that lets a "
+    "1000-executor pass estimate token frequencies in one shuffle of "
+    "4×256 counters instead of a vocab-sized aggregation. Exact counts "
+    "for the top-10 ride alongside as the error reference.",
+)
+def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(dd.normalize_text(F.col("text")), r"\s+")).alias("tok")
+    )
+    salted = toks.select(
+        "tok", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    ).select(
+        "tok",
+        "i",
+        F.substring(F.md5(F.concat(F.col("tok"), F.lit("#"), F.col("i").cast("string"))), 1, 2).alias("b"),
+    )
+    cm = salted.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(10)
+    )
+    probe = top.select(
+        "tok", "exact_n", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    ).select(
+        "tok",
+        "exact_n",
+        "i",
+        F.substring(F.md5(F.concat(F.col("tok"), F.lit("#"), F.col("i").cast("string"))), 1, 2).alias("b"),
+    )
+    return (
+        F.broadcast(probe)
+        .join(cm, ["i", "b"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").alias("est_n"), (F.min("c") - F.col("exact_n")).alias("overcount"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+    )
