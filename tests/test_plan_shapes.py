@@ -194,3 +194,30 @@ def test_repetition_top_bigram_single_shuffle(spark, sf_dir):
     assert "partial" in plan.lower()  # map-side combine before the exchange
     assert "Generate" in plan  # bigrams exploded JVM-side, no UDF
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    """Train/test decontamination: the benchmark shingle set must ship as
+    a broadcast — a shuffle of the corpus-side shingle explosion would
+    dominate at 100 TB."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q_decontamination"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_mining_partial_agg_and_topk(spark, sf_dir):
+    """Vocab mining: token skew is absorbed by map-side partial
+    aggregation (two HashAggregate levels around one Exchange), and the
+    top-k is TakeOrderedAndProject — never a global sort."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q_vocab_mining"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
