@@ -477,3 +477,63 @@ class TestDmlCompression:
         assert all(".zstd." in os.path.basename(f) for f in files), [
             os.path.basename(f) for f in files if ".zstd." not in os.path.basename(f)
         ]
+
+
+class TestContinuousAggregate:
+    """refresh_rollup: incremental continuous-aggregate maintenance — only
+    partitions whose files changed are recomputed, and the rollup always
+    equals a full recompute over the dedup view."""
+
+    @staticmethod
+    def _agg(visible):
+        return visible.groupBy("project_id", "date").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+
+    def _full(self, mor_table):
+        return {
+            (r["project_id"], str(r["date"])): (r["n"], round(r["total"], 6))
+            for r in self._agg(mor_table.read()).collect()
+        }
+
+    def _rollup(self, spark, path):
+        return {
+            (r["project_id"], str(r["date"])): (r["n"], round(r["total"], 6))
+            for r in spark.read.parquet(path).collect()
+        }
+
+    def test_incremental_refresh(self, spark, tmp_path, mor_table):
+        rollup = str(tmp_path / "rollup")
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+
+        refreshed = maintenance.refresh_rollup(mor_table, rollup, self._agg)
+        assert sorted(refreshed) == [("p1", "2026-01-01"), ("p2", "2026-01-02")]
+        assert self._rollup(spark, rollup) == self._full(mor_table)
+
+        # no changes -> no work
+        assert maintenance.refresh_rollup(mor_table, rollup, self._agg) == []
+
+        # touch ONE partition (new row + an UPDATE version-append into p1's
+        # date) -> only that partition is recomputed, result still exact
+        mor_table.append(
+            _rows(spark, [("2026-01-01 12:00:00", "d", 10.0, "p1")]),
+            stamp="2026-02-02 00:00:00",
+        )
+        dml.update(
+            mor_table,
+            {"value": F.col("value") + 100.0},
+            predicate=F.col("id") == "a",
+            stamp="2026-02-03 00:00:00",
+        )
+        refreshed = maintenance.refresh_rollup(mor_table, rollup, self._agg)
+        assert sorted(refreshed) == [("p1", "2026-01-01")]
+        assert self._rollup(spark, rollup) == self._full(mor_table)
+
+    def test_agg_must_retain_partition_columns(self, spark, tmp_path, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        with pytest.raises(ValueError, match="partition columns"):
+            maintenance.refresh_rollup(
+                mor_table,
+                str(tmp_path / "r2"),
+                lambda v: v.groupBy("project_id").agg(F.count(F.lit(1)).alias("n")),
+            )

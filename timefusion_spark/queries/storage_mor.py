@@ -753,3 +753,84 @@ def q_insert_unnest_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_continuous_aggregate",
+    oracle=f"""
+    WITH visible AS (
+        SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
+               CAST(DATE '2026-03-01' + INTERVAL (o_orderkey % 5) DAY AS DATE) AS date,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS value
+        FROM orders
+        WHERE o_orderkey <= {_N} AND o_orderkey % 7 <> 0
+    )
+    SELECT project_id, CAST(date AS VARCHAR) AS date,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM visible
+    GROUP BY project_id, date
+    ORDER BY project_id, date
+    """,
+    doc="Continuous-aggregate maintenance (maintenance.refresh_rollup — "
+    "the scheduled hypertable-rollup job): full refresh after the base "
+    "append, then UPDATE + DELETE version-appends followed by an "
+    "INCREMENTAL refresh that recomputes only the file-signature-stale "
+    "partitions (dynamic partition overwrite of exactly those tiles). "
+    "The served rollup must equal the closed-form post-DML aggregate — "
+    "proving tile-level incremental maintenance is exact under "
+    "merge-on-read (per-partition dedup ≡ global dedup because the "
+    "dedup-key timestamp pins each key's date partition).",
+)
+def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import Table, dml, load_schema, maintenance
+
+    schema = load_schema(os.path.join(_SCHEMA_DIR, "mor_versioned.yaml"))
+    base_dir = tempfile.mkdtemp(prefix="tf_cagg_")
+    try:
+        tbl = Table.create(spark, schema, os.path.join(base_dir, "mor_versioned"))
+        orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= _N)
+        base = orders.select(
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.expr(
+                "timestamp'2026-03-01 00:00:00' + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
+            ).alias("timestamp"),
+            F.col("o_orderstatus").alias("name"),
+            F.col("o_totalprice").alias("value"),
+            F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias("project_id"),
+        )
+        tbl.append(base, stamp="2026-01-01 00:00:00")
+        rollup = os.path.join(base_dir, "rollup")
+
+        def agg(visible):
+            return visible.groupBy("project_id", "date").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+
+        maintenance.refresh_rollup(tbl, rollup, agg)  # full build
+        dml.update(
+            tbl,
+            {"value": F.col("value") + 1000.0},
+            predicate=(F.col("id").cast("bigint") % 10 == 0),
+            stamp="2026-01-02 00:00:00",
+        )
+        dml.delete(
+            tbl,
+            predicate=(F.col("id").cast("bigint") % 7 == 0),
+            stamp="2026-01-03 00:00:00",
+        )
+        refreshed = maintenance.refresh_rollup(tbl, rollup, agg)  # incremental
+        assert refreshed, "DML must have staled at least one partition"
+        out = (
+            spark.read.parquet(rollup)
+            .select(
+                "project_id",
+                F.col("date").cast("string").alias("date"),
+                "n",
+                "total_value",
+            )
+            .orderBy("project_id", "date")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -201,3 +201,96 @@ def json_dumps_sorted(d: dict) -> str:
     import json
 
     return json.dumps(d, sort_keys=True)
+
+
+def refresh_rollup(
+    table: Table,
+    rollup_path: str,
+    agg_fn,
+    policy: str = "keep_greatest",
+) -> list[tuple[str, ...]]:
+    """Incrementally refresh a continuous aggregate (the TimescaleDB
+    continuous-aggregate / reference hypertable-rollup maintenance job,
+    the scheduled counterpart of q_hypertable_rollup's on-demand
+    materialization).
+
+    `agg_fn(visible_rows) -> DataFrame` computes the rollup for a slice of
+    the table; its output MUST retain the table's partition columns — each
+    source partition maps to the same rollup partition, so dynamic
+    partition overwrite replaces exactly the recomputed tiles.
+
+    Staleness is tracked per source partition directory as the set of
+    (file, size, mtime) — a refresh recomputes ONLY partitions whose file
+    signature changed since the last run (state in _refresh_state.json
+    inside the rollup dir; the underscore prefix hides it from readers).
+
+    Correctness under merge-on-read: version-appends never change a row's
+    dedup keys, and `timestamp` (a dedup key) determines `date` — so all
+    versions of a key live in one partition and per-partition dedup equals
+    global dedup; aggregating the dedup view of only the stale partitions
+    is exact.
+
+    At 100 TB this is the difference between an O(changed-partitions)
+    nightly job and an O(table) recompute: the partition predicate prunes
+    the scan to changed dirs, and the overwrite touches only their tiles.
+    Returns the refreshed partition-value tuples."""
+    import json
+
+    parts = table.schema.partitions
+    if not parts:
+        raise ValueError("refresh_rollup requires a partitioned table")
+    state_file = os.path.join(rollup_path, "_refresh_state.json")
+    old_state: dict[str, list] = {}
+    if os.path.exists(state_file):
+        with open(state_file) as fh:
+            old_state = json.load(fh)
+
+    # Signature per partition dir (relative path like project_id=p1/date=...).
+    new_state: dict[str, list] = {}
+    base = table.path
+    for dirpath, _dirs, files in os.walk(base):
+        data = sorted(
+            (f, os.path.getsize(os.path.join(dirpath, f)),
+             os.path.getmtime(os.path.join(dirpath, f)))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+        if data:
+            rel = os.path.relpath(dirpath, base)
+            new_state[rel] = [list(x) for x in data]
+
+    stale = [p for p, sig in new_state.items() if old_state.get(p) != sig]
+    if not stale:
+        return []
+
+    # Partition-value tuples from the dir names (k=v/k=v...).
+    def values(rel: str) -> tuple[str, ...]:
+        return tuple(seg.split("=", 1)[1] for seg in rel.split(os.sep))
+
+    stale_values = [values(p) for p in stale]
+    pred = None
+    for vals in stale_values:
+        conj = None
+        for col, v in zip(parts, vals):
+            c = F.col(col).cast("string") == v
+            conj = c if conj is None else (conj & c)
+        pred = conj if pred is None else (pred | conj)
+
+    from timefusion_spark.storage.table import KEEP_GREATEST
+
+    visible = table._tombstone_filter(
+        table._dedup_view(table.read_raw().where(pred), policy=KEEP_GREATEST if policy == "keep_greatest" else policy)
+    )
+    out = agg_fn(visible)
+    missing = [c for c in parts if c not in out.columns]
+    if missing:
+        raise ValueError(f"agg_fn output must retain partition columns; missing {missing}")
+    (
+        out.write.mode("overwrite")
+        .options(**table._writer_options())
+        .partitionBy(*parts)
+        .parquet(rollup_path)
+    )
+    with open(state_file, "w") as fh:
+        json.dump(new_state, fh, sort_keys=True)
+    return stale_values
