@@ -272,3 +272,30 @@ class TestUnnestBulkPath:
                 "INSERT INTO mor_versioned (id, timestamp) SELECT u.a "
                 "FROM unnest(ARRAY['x']) AS u(a)"
             )
+
+
+class TestExplainSurface:
+    """EXPLAIN over the shim (the pgwire EXPLAIN analog: DataFusion would
+    render its plan; here Catalyst renders its own, one row per line)."""
+
+    def test_explain_returns_plan_rows(self, spark):
+        from timefusion_spark.pgshim import pg_sql
+
+        out = pg_sql(spark, "EXPLAIN SELECT 1 + 1 AS two")
+        assert out.columns == ["QUERY PLAN"]
+        rows = [r[0] for r in out.collect()]
+        assert rows and any("Project" in r or "OneRowRelation" in r for r in rows)
+
+    def test_explain_analyze_executes(self, spark):
+        from timefusion_spark.pgshim import pg_sql
+
+        out = pg_sql(spark, "EXPLAIN ANALYZE SELECT x FROM (VALUES (1), (2)) AS t(x) WHERE x > 1")
+        text = "\n".join(r[0] for r in out.collect())
+        assert "Filter" in text or "LocalTableScan" in text
+
+    def test_explain_translates_pg_dialect(self, spark):
+        from timefusion_spark.pgshim import pg_sql
+
+        # '::' cast + PG synonym must pass through the translator first
+        out = pg_sql(spark, "EXPLAIN SELECT '5'::INT + 1")
+        assert len(out.collect()) >= 1

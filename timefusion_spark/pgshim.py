@@ -1134,6 +1134,17 @@ def pg_sql(spark, sql: str, tables=None):
     admin = _apply_admin_statement(spark, stripped, tables)
     if admin is not None:
         return admin
+    # EXPLAIN [ANALYZE] <query> — the pgwire EXPLAIN surface (DataFusion
+    # renders its plan; here Catalyst renders its own). One row per plan
+    # line, column name matching PG's ('QUERY PLAN').
+    m = re.match(r"(?is)^EXPLAIN(\s+ANALYZE)?\s+(.+)$", stripped)
+    if m:
+        inner = spark.sql(pg_to_spark_sql(_apply_settings_functions(spark, m.group(2))))
+        qe = inner._jdf.queryExecution()
+        text = qe.executedPlan().toString() if m.group(1) else qe.optimizedPlan().toString()
+        return spark.createDataFrame(
+            [(line,) for line in text.rstrip("\n").split("\n")], "`QUERY PLAN` string"
+        )
     if re.search(r"(?i)\bpg_settings\b", sql):
         _ensure_pg_settings_view(spark)
     sql = _apply_settings_functions(spark, sql)
