@@ -221,3 +221,40 @@ def test_vocab_mining_partial_agg_and_topk(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter injection (Spark's semi-join reduction — the
+    engine-level analog of the reference's index-assisted scan pruning):
+    when a selective dimension filter feeds a SHUFFLE join, Catalyst
+    plants bloom_filter_might_contain on the fact side so non-matching
+    fact rows die at the scan. This is exactly the 100 TB fact-fact case
+    (broadcast joins don't need it — the hash table itself filters)."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # local testdata is tiny; at cluster scale the 10 GB default gate
+        # passes on its own
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
