@@ -280,3 +280,43 @@ def knn_lsh(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_brute_force_arrow(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via the ARROW path: mapInPandas partitions stream in as
+    Arrow batches, numpy does one vectorized (rows × dim) @ query matmul
+    per batch, and each partition emits only its local top-k — the global
+    TakeOrderedAndProject merges ≤ k·partitions candidate rows.
+
+    This is the realistic shape for HIGH-dimensional embeddings (≥768
+    dims), where a per-element JVM fold loses to BLAS by an order of
+    magnitude; for the driver-checked query the ids (not the float
+    scores) are the contract, so numpy's pairwise summation vs the JVM's
+    sequential fold cannot flip the result."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+
+    def topk_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            sims = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            order = np.argsort(-sims, kind="stable")[:k]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].iloc[order].to_numpy(), "cos_sim": sims[order]}
+            )
+
+    local = df.select(id_col, vec_col).mapInPandas(
+        topk_batches, schema=f"{id_col} long, cos_sim double"
+    )
+    return local.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

@@ -397,3 +397,41 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_ann_arrow_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id, {_COS.format(a='e.embedding', b='q.qv')} AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank,
+           vec_id
+    FROM scored
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Exact ANN top-k on the ARROW path (§2.11 Pandas-UDF surface): "
+    "mapInPandas streams Arrow batches to numpy, one vectorized matmul "
+    "per batch, per-partition top-k, global TakeOrderedAndProject merge. "
+    "The contract is the RANKED ID LIST (scores stay engine-internal: "
+    "numpy's pairwise summation and the JVM's sequential fold agree to "
+    "~1e-15, which can never flip a rank on real embeddings but is not "
+    "bit-identical — so ids, not floats, are hash-compared).",
+)
+def q_ann_arrow_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir, 0)
+    top = sim.knn_brute_force_arrow(e, qv, k=10)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .cast("bigint")
+        .alias("rank"),
+        "vec_id",
+    )
