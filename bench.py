@@ -30,6 +30,7 @@ HEADLINE = [
     "q_time_bucket_counts",
     "q_error_rate",
     "q_percentile_duration",
+    "q_percentile_tiles",
     "q_recent_events_topk",
     "q_latest_event_per_user",
     "q1_pricing_summary",
@@ -127,7 +128,8 @@ def main() -> int:
                 "baseline_map": {
                     "q_dashboard_count_window": "dashboard count 5-min 207-377ms / 1-h 336-343ms",
                     "q_recent_events_topk": "ORDER BY ts DESC LIMIT 50: 377ms",
-                    "q_percentile_duration": "percentile tiles 3-6h: 5-39s",
+                    "q_percentile_duration": "percentile tiles 3-6h: 5-39s (per-type aggregate form)",
+                    "q_percentile_tiles": "percentile tiles 3-6h: 5-39s (the reference's per-bucket grid shape)",
                     "q_percentile_sketch": "percentile tiles (mergeable sketch path)",
                     "q_mor_merge_on_read": "full insert->UPDATE->DELETE->query lifecycle; ref warm MOR reads 556-741ms + deferred 300s flush",
                     "q_time_bucket_counts": "whole-table 5-min rollup (39k groups; no direct baseline row)",

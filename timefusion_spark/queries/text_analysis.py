@@ -621,3 +621,71 @@ def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("est_n"), (F.min("c") - F.col("exact_n")).alias("overcount"))
         .orderBy(F.col("exact_n").desc(), "tok")
     )
+
+
+# Per-language function-word profiles for multi-language ID. Tiny and
+# hardcoded so the DuckDB oracle mirrors them exactly.
+_LANG_PROFILES = {
+    "de": ["der", "die", "und", "das", "ist", "von", "ein"],
+    "en": ["the", "a", "of", "and", "in", "to", "is"],
+    "es": ["el", "la", "de", "y", "los", "en", "que"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des"],
+}
+
+
+def _langid_case(score):
+    """Shared argmax-with-lexicographic-tiebreak CASE over the 4 language
+    scores; `score` formats a per-language score expression."""
+    s = {lang: score(lang) for lang in _LANG_PROFILES}
+    return (
+        f"CASE WHEN {s['de']} >= {s['en']} AND {s['de']} >= {s['es']} AND {s['de']} >= {s['fr']} THEN 'de' "
+        f"WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['fr']} THEN 'en' "
+        f"WHEN {s['es']} >= {s['fr']} THEN 'es' ELSE 'fr' END"
+    )
+
+
+_LANGID_ORACLE_PRED = _langid_case(
+    lambda l: "len(list_filter(ntk, x -> x IN ("
+    + ", ".join("'" + w + "'" for w in _LANG_PROFILES[l])
+    + ")))"
+)
+
+_LANGID_ORACLE = (
+    "WITH scored AS (SELECT lang, "
+    + _LANGID_ORACLE_PRED
+    + " AS predicted FROM (SELECT lang, string_split_regex("
+    + _ORACLE_NORM
+    + ", '\\s+') AS ntk FROM documents)) "
+    + "SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n FROM scored "
+    + "GROUP BY lang, predicted ORDER BY lang, predicted"
+)
+
+
+@query(
+    "q_langid_multi",
+    oracle=_LANGID_ORACLE,
+    doc="Multi-language ID (argmax over per-language function-word "
+    "profiles, lexicographic tiebreak) with the labeled-vs-predicted "
+    "confusion matrix — the n-gram language classifier shape of a "
+    "training-data pipeline. Map-only per-row scoring over ONE staged "
+    "token array (4 profile scans per row), then a single hash aggregate "
+    "on the (label, prediction) grid.",
+)
+def q_langid_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    staged = d.select(
+        "lang", F.split(dd.normalize_text(F.col("text")), r"\s+").alias("ntk")
+    )
+    pred = F.expr(
+        _langid_case(
+            lambda l: "size(filter(ntk, x -> x IN ("
+            + ", ".join("'" + w + "'" for w in _LANG_PROFILES[l])
+            + ")))"
+        )
+    )
+    return (
+        staged.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )

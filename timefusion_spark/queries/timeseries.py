@@ -486,3 +486,37 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_percentile_tiles",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2
+    ORDER BY bucket, event_type
+    """,
+    doc="Percentile TILES — the reference's actual dashboard shape for its "
+    "5-39 s baseline rows (per-time-bucket latency percentiles over a "
+    "window, docs/2026-08-02 report): time_bucket × event_type grid, p50/"
+    "p95 per tile. One shuffle on the (bucket, type) grid key; the ts "
+    "range predicate prunes row groups at the scan (PushedFilters).",
+)
+def q_percentile_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(
+        (F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-15")
+    )
+    return (
+        ev.groupBy(time_bucket("1 hour", F.col("ts")).alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("bucket", "event_type")
+    )
