@@ -834,3 +834,110 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_streaming_session_windows",
+    oracle="""
+    WITH src AS (
+        SELECT user_id, ts FROM events WHERE event_id <= 3000 AND user_id % 10 = 0
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                         > 1800 * 1000000
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM src
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="STREAMING sessionization via Spark's native session_window (the "
+    "stateful gap-session operator, §2.10): a watermarked streaming "
+    "aggregation over a file source with a 30-minute gap, emitted in "
+    "append mode once sessions close. The oracle is the CLOSED-FORM batch "
+    "sessionization of the same rows — streaming-with-watermark must "
+    "produce byte-identical sessions to the batch lag/cumsum computation. "
+    "(Session merging is Spark-managed state — bounded by the watermark, "
+    "shuffled only on user_id.)",
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base_dir = tempfile.mkdtemp(prefix="tf_sess_")
+    try:
+        ev = (
+            t(spark, sf_dir, "events")
+            .where((F.col("event_id") <= 3000) & (F.col("user_id") % 10 == 0))
+            .select("user_id", "ts")
+        )
+        src = os.path.join(base_dir, "src")
+        # JSON timestamp serialization truncates to milliseconds; ship the
+        # event time as a microsecond epoch long for an exact round-trip.
+        ev.select("user_id", F.unix_micros("ts").alias("ts_us")).coalesce(2).write.json(src)
+        out_dir = os.path.join(base_dir, "sessions")
+        stream = (
+            spark.readStream.schema("user_id long, ts_us long")
+            .json(src)
+            .select("user_id", F.timestamp_micros("ts_us").alias("ts"))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
+        )
+        q = (
+            agg.select("user_id", "n_events", "session_start", "session_end")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # Sessions still open at end-of-stream (beyond the last watermark)
+        # never emit in append mode; run one drain pass with a far-future
+        # row so every session closes, then exclude the sentinel user.
+        spark.createDataFrame(
+            [(int(-1), "2030-01-01 00:00:00")], "user_id long, ts string"
+        ).select(
+            "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+        ).write.mode("append").json(src)
+        stream2 = (
+            spark.readStream.schema("user_id long, ts_us long")
+            .json(src)
+            .select("user_id", F.timestamp_micros("ts_us").alias("ts"))
+        )
+        agg2 = (
+            stream2.withWatermark("ts", "1 minute")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
+        )
+        q2 = (
+            agg2.select("user_id", "n_events", "session_start", "session_end")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(300)
+        out = (
+            spark.read.parquet(out_dir)
+            .where(F.col("user_id") >= 0)
+            .select("user_id", "n_events", "session_start", "session_end")
+            .orderBy("user_id", "session_start")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
