@@ -689,3 +689,42 @@ def q_langid_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "predicted")
     )
+
+
+@query(
+    "q_group_rank_pandas",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS size_rank
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY source, size_rank, doc_id
+    """,
+    doc="Grouped-map applyInPandas (§2.11 — the remaining Pandas-UDF "
+    "extension point next to mapInPandas and applyInPandasWithState): "
+    "per-source ranking computed in pandas on Arrow-shipped group frames. "
+    "Integer output keeps it bit-exact against the window-function "
+    "oracle (ROW_NUMBER over the same unique ordering). Scale shape: one shuffle on the group key, each group "
+    "processed columnar in a single worker pass — the escape hatch for "
+    "per-group logic Spark expressions can't state (here deliberately "
+    "one they CAN, so the oracle pins correctness).",
+)
+def q_group_rank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
+        "doc_id", "source", "n_chars"
+    )
+
+    def rank_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        # positional rank (the (n_chars, doc_id) order is unique, so SQL
+        # ROW_NUMBER over the same ordering is deterministic)
+        pdf["size_rank"] = range(1, len(pdf) + 1)
+        return pdf[["doc_id", "source", "size_rank"]]
+
+    return (
+        d.groupBy("source")
+        .applyInPandas(rank_group, schema="doc_id long, source string, size_rank long")
+        .orderBy("source", "size_rank", "doc_id")
+    )
