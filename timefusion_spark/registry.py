@@ -48,6 +48,7 @@ def load_all() -> None:
         relational,
         similarity,
         slt_parity,
+        sources_q,
         storage_mor,
         text_analysis,
         timeseries,
