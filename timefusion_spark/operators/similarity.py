@@ -320,3 +320,26 @@ def knn_brute_force_arrow(
         topk_batches, schema=f"{id_col} long, cos_sim double"
     )
     return local.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def jl_project(vec_col: str, n_out: int = 16) -> Column:
+    """Johnson-Lindenstrauss random projection to `n_out` dims with
+    deterministic ±1 planes — w(k, d) = +1 iff (A_k·(d+1)) mod 97 < 48,
+    A_k from the shared seed table (the sign-LSH weight scheme, so the
+    DuckDB oracle reproduces projections bit-for-bit).
+
+    Map-only per-row arithmetic (n_out folds over the staged vector) —
+    the standard dimensionality-reduction front of a large-scale ANN
+    stack: project 100 TB of wide embeddings once, run candidate
+    generation in the narrow space, verify survivors in the original.
+    Built as ONE SQL parse (plan-construction discipline, see
+    operators/dedup.py)."""
+    from timefusion_spark.operators.dedup import MINHASH_SEEDS
+
+    seeds = ", ".join(str(MINHASH_SEEDS[k][0]) + "L" for k in range(n_out))
+    return F.expr(
+        f"transform(sequence(0, {n_out - 1}), k -> "
+        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        f"(x, d) -> cast(x AS double) * IF(((element_at(array({seeds}), k + 1) * (cast(d AS bigint) + 1)) % 97) < 48, 1.0D, -1.0D)), "
+        "0.0D, (a, x) -> a + x))"
+    )

@@ -435,3 +435,56 @@ def q_ann_arrow_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
         "vec_id",
     )
+
+
+
+_JL_ORACLE = """
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding::DOUBLE[] AS va, b.embedding::DOUBLE[] AS vb
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 2 = 0 AND a.vec_id < 100
+    ), proj AS (
+        SELECT id_a, id_b, va, vb,
+               list_transform(range(0, 16), k -> list_sum(list_transform(range(1, len(va) + 1),
+                   d -> va[d] * (CASE WHEN (([1107677413, 924961777, 687995087, 421856029, 313514441, 198491317, 754298963, 587322721, 860837971, 239867209, 479001599, 663608941, 104395301, 566492537, 378551453, 941083981][k + 1]::BIGINT * d) % 97) < 48 THEN 1.0 ELSE -1.0 END)))) AS pa,
+               list_transform(range(0, 16), k -> list_sum(list_transform(range(1, len(vb) + 1),
+                   d -> vb[d] * (CASE WHEN (([1107677413, 924961777, 687995087, 421856029, 313514441, 198491317, 754298963, 587322721, 860837971, 239867209, 479001599, 663608941, 104395301, 566492537, 378551453, 941083981][k + 1]::BIGINT * d) % 97) < 48 THEN 1.0 ELSE -1.0 END)))) AS pb
+        FROM pairs
+    )
+    SELECT id_a, id_b,
+           ROUND(list_inner_product(va, vb) / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb))), 4) AS cos_orig,
+           ROUND(list_inner_product(pa, pb) / (sqrt(list_inner_product(pa, pa)) * sqrt(list_inner_product(pb, pb))), 4) AS cos_proj
+    FROM proj
+    ORDER BY id_a
+"""
+
+
+@query(
+    "q_jl_projection",
+    oracle=_JL_ORACLE,
+    doc="Johnson-Lindenstrauss random projection audit (vector-pipeline "
+    "op): project 64-dim embeddings to 16 dims through deterministic "
+    "\u00b11 planes (the shared portable weight scheme) and report original "
+    "vs projected cosine for adjacent-id pairs \u2014 the distortion a "
+    "narrow-space ANN candidate stage would see. Projection is map-only "
+    "per-row arithmetic; both engines fold the same doubles in the same "
+    "order, so even the projected cosines hash-match.",
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    a = e.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 100)).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1).select(
+        "id_a", "id_b", "va", "vb",
+        sim.jl_project("va", 16).alias("pa"),
+        sim.jl_project("vb", 16).alias("pb"),
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(sim.cosine(F.col("va"), F.col("vb")), 4).alias("cos_orig"),
+        F.round(sim.cosine(F.col("pa"), F.col("pb")), 4).alias("cos_proj"),
+    ).orderBy("id_a")
