@@ -941,3 +941,68 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_streaming_windowed_counts",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_id <= 3000
+    GROUP BY 1, 2
+    ORDER BY bucket, event_type
+    """,
+    doc="STREAMING tumbling-window rollup (storage/streaming.py "
+    "windowed_counts — the continuously-maintained dashboard tile): "
+    "watermarked 5-minute windows over a replayed event feed, emitted "
+    "append-mode once finalized, drained with a far-future sentinel so "
+    "every window closes. The emitted tiles must equal the batch "
+    "time_bucket aggregation of the same rows — streaming and batch are "
+    "the same query at different latencies.",
+)
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage.streaming import windowed_counts
+
+    base_dir = tempfile.mkdtemp(prefix="tf_wc_")
+    try:
+        ev = (
+            t(spark, sf_dir, "events")
+            .where(F.col("event_id") <= 3000)
+            .select(F.unix_micros("ts").alias("ts_us"), "event_type")
+        )
+        src = os.path.join(base_dir, "src")
+        ev.coalesce(2).write.json(src)
+        # far-future sentinel: pushes the watermark past every real window
+        spark.createDataFrame(
+            [(int(2_000_000_000_000_000), "__drain__")], "ts_us long, event_type string"
+        ).write.mode("append").json(src)
+        out_dir = os.path.join(base_dir, "tiles")
+        stream = (
+            spark.readStream.schema("ts_us long, event_type string")
+            .json(src)
+            .select(F.timestamp_micros("ts_us").alias("ts"), "event_type")
+        )
+        agg = windowed_counts(
+            stream, time_col="ts", key_col="event_type", window="5 minutes",
+            watermark="1 minute",
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(out_dir)
+            .where(F.col("event_type") != "__drain__")
+            .select("bucket", "event_type", "n")
+            .orderBy("bucket", "event_type")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
