@@ -37,8 +37,88 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+# The driver's correctness gate verifies the FIRST 50 registry entries per
+# round. Registration order (module import order) put simple relational and
+# function shapes there, leaving the engine's hardest surface — storage/MOR,
+# streaming, ANN, percentile sketches, and the six round-1 failures — outside
+# the checked window (VERDICT r4 "driver-gate blind spot"). PRIORITY pins
+# those high-risk queries into the first 50 slots; everything else (almost all
+# of it already driver-certified in rounds 1-4) follows in registration order.
+PRIORITY: tuple[str, ...] = (
+    # storage / MOR / DML / maintenance
+    "q_mor_merge_on_read",
+    "q_mor_keep_first",
+    "q_update_from",
+    "q_maintenance_invariance",
+    "q_stats_introspection",
+    "q_continuous_aggregate",
+    "q_storage_partition_scan",
+    "q_insert_unnest_bulk",
+    "q_snapshot_isolation",
+    "q_otel_dashboard",
+    "q_otel_recent_topk",
+    "q_otel_promoted_columns",
+    "q_otel_metrics_rollup",
+    "q_otel_hash_enrichment",
+    # streaming + custom source
+    "q_streaming_ingest",
+    "q_streaming_session_windows",
+    "q_streaming_windowed_counts",
+    "q_custom_source",
+    # corpus parity + end-to-end pipeline
+    "q_slt_parity",
+    "q_training_pipeline",
+    # the six former round-1 failures
+    "q_token_stats",
+    "q_bpe_ish_tokens",
+    "q_time_bucket_counts",
+    "q_error_rate",
+    "q_moving_avg",
+    "q_sessionization",
+    # similarity / ANN
+    "q_ann_bruteforce_topk",
+    "q_knn_per_label",
+    "q_lsh_bucket_histogram",
+    "q_dedup_embedding_cosine",
+    "q_ann_ivf_topk",
+    "q_ann_ivf_flat",
+    "q_ann_arrow_topk",
+    "q_jl_projection",
+    "q_embedding_stats",
+    "q_embedding_quantization",
+    "q_salted_agg",
+    # percentile family + timeseries operators
+    "q_percentile_duration",
+    "q_percentile_sketch",
+    "q_percentile_tiles",
+    "q_asof_join",
+    "q_hypertable_rollup",
+    "q_latest_event_per_user",
+    "q_recent_events_topk",
+    "q_dashboard_count_window",
+    "q_distinct_sketch",
+    "q_heavy_hitters_sketch",
+    "q_decontamination",
+    "q_group_rank_pandas",
+    # new this round
+    "q_jsonpath_filters",
+)
+
+
+def _reorder() -> None:
+    """Rebuild REGISTRY with PRIORITY names first (skipping any not yet
+    registered), then the remaining entries in registration order."""
+    ordered = {n: REGISTRY[n] for n in PRIORITY if n in REGISTRY}
+    for n, spec in REGISTRY.items():
+        if n not in ordered:
+            ordered[n] = spec
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
 def load_all() -> None:
-    """Import every query module so their registrations run."""
+    """Import every query module so their registrations run, then order the
+    registry so the driver's first-50 gate covers the highest-risk queries."""
     from timefusion_spark.queries import (  # noqa: F401
         dedup_llm,
         functions_pg,
@@ -53,3 +133,5 @@ def load_all() -> None:
         text_analysis,
         timeseries,
     )
+
+    _reorder()
