@@ -120,3 +120,14 @@ def test_nn_per_row_plan_no_cartesian(spark):
     # every reported neighbor shares the label (block respected)
     labels = {r["vec_id"]: r["label"] for r in df.select("vec_id", "label").collect()}
     assert all(labels[r["id_a"]] == labels[r["id_b"]] for r in res)
+
+
+def test_ensure_parallelism_rescues_many_small_files(spark, tmp_path):
+    # Spark bin-packs small files into few scan splits, so "many files" is
+    # NOT "many partitions": 40 tiny parquet files still land in ~1 split.
+    # The gate must see through the packing and add the rescue repartition.
+    p = str(tmp_path / "tiny")
+    spark.range(400).selectExpr("id", "id % 7 AS k").repartition(40).write.parquet(p)
+    df = spark.read.parquet(p)
+    target = min(spark.sparkContext.defaultParallelism, 32)
+    assert D.ensure_parallelism(df).rdd.getNumPartitions() >= target

@@ -299,3 +299,29 @@ class TestExplainSurface:
         # '::' cast + PG synonym must pass through the translator first
         out = pg_sql(spark, "EXPLAIN SELECT '5'::INT + 1")
         assert len(out.collect()) >= 1
+
+    def test_explain_analyze_runs_the_statement(self, spark):
+        from timefusion_spark.pgshim import pg_sql
+
+        spark.range(100).selectExpr("id", "id % 3 AS k").createOrReplaceTempView(
+            "explain_probe"
+        )
+        out = pg_sql(
+            spark, "EXPLAIN ANALYZE SELECT k, COUNT(*) FROM explain_probe GROUP BY k"
+        )
+        text = "\n".join(r[0] for r in out.collect())
+        # The post-execution AQE plan is final — proof the statement ran
+        # (PG ANALYZE semantics) rather than being planned only.
+        assert "isFinalPlan=true" in text
+
+    def test_explain_option_list(self, spark):
+        import pytest
+
+        from timefusion_spark.pgshim import pg_sql
+
+        out = pg_sql(spark, "EXPLAIN (ANALYZE, VERBOSE) SELECT 1 AS one")
+        assert out.columns == ["QUERY PLAN"]
+        with pytest.raises(ValueError, match="FORMAT JSON"):
+            pg_sql(spark, "EXPLAIN (FORMAT JSON) SELECT 1")
+        with pytest.raises(ValueError, match="unsupported EXPLAIN option"):
+            pg_sql(spark, "EXPLAIN (WIBBLE) SELECT 1")

@@ -250,6 +250,17 @@ class TestDML:
         with pytest.raises(ValueError, match="source too large"):
             dml.update_from(mor_table, src, ["id"], {"value": F.col("_src.newval")})
 
+    def test_zero_match_update_delete(self, spark, mor_table):
+        # AQE replaces the empty matched set with an empty LocalRelation,
+        # dropping the CollectMetrics observation — the count must still
+        # come back as exactly 0, with no versions appended.
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        assert dml.update(mor_table, {"value": F.lit(0.0)}, predicate="id='zzz'") == 0
+        assert dml.delete(mor_table, predicate="id='zzz'") == 0
+        assert mor_table.read_raw().count() == 3  # nothing appended
+        vals = {r["id"]: r["value"] for r in mor_table.read().collect()}
+        assert vals == {"a": 1.0, "b": 2.0, "c": 3.0}
+
     def test_dml_requires_version_append(self, spark, tmp_path):
         schema = load_schema_text(MOR_YAML)
         schema.version_append = False
@@ -322,6 +333,27 @@ class TestMaintenance:
         assert order1 == order2
         # clustered: neither plain timestamp-order nor insertion order
         assert order1 != [f"id{i}" for i in range(40)]
+
+    def test_partition_overwrite_safe_under_static_mode(self, spark, mor_table):
+        # A driver-supplied session may carry the static default, under
+        # which mode('overwrite').partitionBy(...) truncates the WHOLE
+        # table dir. The maintenance write sites must pin dynamic locally
+        # (save/restore) so only the rewritten partition is replaced.
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "static")
+        try:
+            maintenance.compact(mor_table, {"project_id": "p1", "date": "2026-01-01"})
+            # p2's partition must survive the p1 rewrite.
+            assert mor_table.read().where("project_id = 'p2'").count() == 1
+            assert mor_table.read().count() == 3
+            assert spark.conf.get(key) == "static"  # restored, not leaked
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
     def test_stats(self, spark, mor_table):
         mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")

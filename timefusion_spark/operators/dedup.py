@@ -151,17 +151,31 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     as the fallback for non-local / non-file plans."""
     import os
 
+    def size_bytes(s: str) -> int:
+        # JavaUtils.byteStringAsBytes subset: bare number = bytes; suffixes
+        # b/k/kb/m/mb/g/gb (conf values arrive in forms like '128m').
+        s = s.strip().lower()
+        mult = 1
+        for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                       ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+            if s.endswith(suf):
+                s, mult = s.removesuffix(suf), m
+                break
+        return int(s) * mult
+
     target = min(df.sparkSession.sparkContext.defaultParallelism, 32)
     try:
         files = [f for f in df.inputFiles() if f.startswith("file:")]
         if files:
-            max_bytes = int(
-                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-                .lower()
-                .removesuffix("b")
-            )
+            conf = df.sparkSession.conf
+            max_bytes = size_bytes(conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+            open_cost = size_bytes(conf.get("spark.sql.files.openCostInBytes", "4194304b"))
             total = sum(os.path.getsize(f.removeprefix("file:")) for f in files)
-            est = max(len(files), -(-total // max_bytes))
+            # Spark PACKS small files into few splits (bin-packing with
+            # per-file cost = size + openCostInBytes), so len(files) is NOT
+            # a lower bound on scan parallelism — 32 tiny files still land
+            # in one split. Mirror the packing estimate instead.
+            est = -(-(total + len(files) * open_cost) // max_bytes)
             return df.repartition(target) if est < target else df
     except Exception:
         pass

@@ -1134,14 +1134,41 @@ def pg_sql(spark, sql: str, tables=None):
     admin = _apply_admin_statement(spark, stripped, tables)
     if admin is not None:
         return admin
-    # EXPLAIN [ANALYZE] <query> — the pgwire EXPLAIN surface (DataFusion
-    # renders its plan; here Catalyst renders its own). One row per plan
-    # line, column name matching PG's ('QUERY PLAN').
-    m = re.match(r"(?is)^EXPLAIN(\s+ANALYZE)?\s+(.+)$", stripped)
+    # EXPLAIN [(options)] [ANALYZE] <query> — the pgwire EXPLAIN surface
+    # (DataFusion renders its plan; here Catalyst renders its own). One row
+    # per plan line, column name matching PG's ('QUERY PLAN').
+    m = re.match(r"(?is)^EXPLAIN(?:\s*\(([^)]*)\))?(\s+ANALYZE)?\s+(.+)$", stripped)
     if m:
-        inner = spark.sql(pg_to_spark_sql(_apply_settings_functions(spark, m.group(2))))
+        analyze = bool(m.group(2))
+        if m.group(1) is not None:
+            # PG option-list form. Supported: ANALYZE [ON|TRUE|OFF|FALSE],
+            # FORMAT TEXT, and the no-op display options. Anything else
+            # (FORMAT JSON/XML/YAML, unknown words) is rejected explicitly
+            # instead of falling into the Spark parser as query text.
+            for opt in m.group(1).split(","):
+                words = opt.strip().upper().split()
+                if not words:
+                    continue
+                name, args = words[0], words[1:]
+                if name == "ANALYZE":
+                    analyze = not args or args[0] in ("ON", "TRUE", "1")
+                elif name == "FORMAT":
+                    if args != ["TEXT"]:
+                        raise ValueError(
+                            f"EXPLAIN (FORMAT {' '.join(args)}) is not supported; only TEXT"
+                        )
+                elif name not in ("VERBOSE", "COSTS", "BUFFERS", "TIMING", "SUMMARY", "SETTINGS"):
+                    raise ValueError(f"unsupported EXPLAIN option {opt.strip()!r}")
+        inner = spark.sql(pg_to_spark_sql(_apply_settings_functions(spark, m.group(3))))
         qe = inner._jdf.queryExecution()
-        text = qe.executedPlan().toString() if m.group(1) else qe.optimizedPlan().toString()
+        if analyze:
+            # PG semantics: ANALYZE EXECUTES the statement (including side
+            # effects) and reports the actual plan — run it, then render the
+            # post-execution (AQE-final) physical plan.
+            inner.collect()
+            text = qe.executedPlan().toString()
+        else:
+            text = qe.optimizedPlan().toString()
         return spark.createDataFrame(
             [(line,) for line in text.rstrip("\n").split("\n")], "`QUERY PLAN` string"
         )

@@ -845,7 +845,7 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged AS (
         SELECT user_id, ts,
                CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
-                         > 1800 * 1000000
+                         >= 1800 * 1000000
                          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM src

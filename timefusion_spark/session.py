@@ -67,6 +67,11 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
+        # Maintenance jobs overwrite single partitions; static mode would
+        # truncate the whole table/rollup directory on a driver-owned
+        # session. The write sites also assert this locally (save/restore),
+        # but a session-level default keeps ad-hoc callers safe too.
+        ("spark.sql.sources.partitionOverwriteMode", "dynamic"),
     ):
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)

@@ -59,8 +59,15 @@ def _count_and_append(table: Table, new_versions: DataFrame, stamp) -> int:
     needed (dml.rs materializes the matched set before its version-append;
     the observe node is the Spark-native way to get the matched count as a
     side output of the write job itself)."""
+    from datetime import datetime, timezone
+
     from pyspark.sql import Observation
 
+    if stamp is None:
+        # Make the engine-owned stamp CONCRETE (instead of the lazy
+        # current_timestamp() default) so the fallback below can identify
+        # this append's rows by their tiebreak value.
+        stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
     obs = Observation()
     table.append(new_versions.observe(obs, F.count(F.lit(1)).alias("n")), stamp=stamp)
     try:
@@ -69,9 +76,19 @@ def _count_and_append(table: Table, new_versions: DataFrame, stamp) -> int:
         # AQE's empty-relation propagation removes the CollectMetrics node
         # when the runtime-materialized matched set is EMPTY (the observe
         # subtree is replaced by an empty LocalRelation before it can
-        # report), so an unreadable observation means exactly "0 rows
-        # matched" — any non-empty write leaves the node in place.
-        return 0
+        # report). But an unreadable observation can ALSO follow a
+        # successful non-empty append (py4j/listener failures), where
+        # returning 0 would misreport a write that happened — so don't
+        # guess: count the appended batch itself by the stamp this call
+        # pinned above (a pushdown-friendly tiebreak-equality scan).
+        tb = table.schema.dedup_tiebreak
+        if isinstance(stamp, str) and tb:
+            return (
+                table.read_raw()
+                .where(F.col(tb) == F.lit(stamp).cast("timestamp"))
+                .count()
+            )
+        raise
 
 
 def update(

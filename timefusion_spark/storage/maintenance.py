@@ -17,9 +17,10 @@ Reference analogs (file:line in /root/reference/src/):
 
 from __future__ import annotations
 
+import contextlib
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timefusion_spark.storage.schema import FieldDef
@@ -32,14 +33,35 @@ def _partition_filter(df: DataFrame, partition_values: dict[str, str]) -> DataFr
     return df
 
 
+@contextlib.contextmanager
+def _dynamic_overwrite(spark: SparkSession):
+    """Pin partitionOverwriteMode=dynamic for the duration of a partition
+    overwrite (save/restore). Under the static default — which a
+    driver-supplied session may carry — mode('overwrite').partitionBy(...)
+    TRUNCATES the whole directory, deleting every partition not present in
+    the written frame; dynamic replaces exactly the written partitions."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def _overwrite_partitions(table: Table, df: DataFrame) -> None:
-    # Dynamic partition overwrite (session conf partitionOverwriteMode=dynamic):
-    # only the partitions present in `df` are replaced — the replaceWhere
-    # analog (database.rs:6344 recompress_partition).
+    # Dynamic partition overwrite: only the partitions present in `df` are
+    # replaced — the replaceWhere analog (database.rs:6344
+    # recompress_partition). The mode is asserted locally, not assumed from
+    # the session builder.
     writer = df.write.mode("overwrite").options(**table._writer_options())
     if table.schema.partitions:
         writer = writer.partitionBy(*table.schema.partitions)
-    writer.parquet(table.path)
+    with _dynamic_overwrite(table.spark):
+        writer.parquet(table.path)
 
 
 def compact(table: Table, partition_values: dict[str, str], target_files: int = 1) -> int:
@@ -285,12 +307,13 @@ def refresh_rollup(
     missing = [c for c in parts if c not in out.columns]
     if missing:
         raise ValueError(f"agg_fn output must retain partition columns; missing {missing}")
-    (
-        out.write.mode("overwrite")
-        .options(**table._writer_options())
-        .partitionBy(*parts)
-        .parquet(rollup_path)
-    )
+    with _dynamic_overwrite(table.spark):
+        (
+            out.write.mode("overwrite")
+            .options(**table._writer_options())
+            .partitionBy(*parts)
+            .parquet(rollup_path)
+        )
     with open(state_file, "w") as fh:
         json.dump(new_state, fh, sort_keys=True)
     return stale_values
