@@ -1006,3 +1006,71 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_snapshot_isolation",
+    oracle=f"""
+    SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_value
+    FROM orders
+    WHERE o_orderkey > 0 AND o_orderkey <= {_N}
+    GROUP BY 1
+    ORDER BY project_id
+    """,
+    doc="Commit-log isolation lifecycle (commitlog.py; database.rs:4776 "
+    "atomic commit, snapshot_cache.rs snapshot reads, "
+    "buffered_write_layer.rs:2211 txn watermark): append a batch under a "
+    "txn id, re-deliver it twice (idempotent skip), freeze a SECOND batch "
+    "mid-commit as a torn write (files moved, commit never published), "
+    "compact a partition and vacuum dead files by manifest diff. The "
+    "aggregate must equal the FIRST batch alone — any torn-write leak, "
+    "double-append, or vacuum over-delete changes the numbers.",
+)
+def q_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import Table, load_schema, maintenance
+
+    schema = load_schema(os.path.join(_SCHEMA_DIR, "mor_versioned.yaml"))
+    base_dir = tempfile.mkdtemp(prefix="tf_snap_")
+    try:
+        tbl = Table.create(spark, schema, os.path.join(base_dir, "snap"))
+        orders = t(spark, sf_dir, "orders")
+
+        def batch(lo: int, hi: int) -> DataFrame:
+            return orders.where((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)).select(
+                F.col("o_orderkey").cast("string").alias("id"),
+                F.expr(
+                    "timestamp'2026-03-01 00:00:00' + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
+                ).alias("timestamp"),
+                F.col("o_orderstatus").alias("name"),
+                F.col("o_totalprice").alias("value"),
+                F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias("project_id"),
+            )
+
+        tbl.append(batch(0, _N), stamp="2026-01-01 00:00:00", txn=("loader", 1))
+        # Re-deliveries of the committed batch: the txn watermark skips both.
+        tbl.append(batch(0, _N), stamp="2026-01-01 00:00:00", txn=("loader", 1))
+        tbl.append(batch(0, _N), stamp="2026-01-01 00:00:00", txn=("loader", 0))
+        # Torn write: a second batch's files land in the partition layout but
+        # its commit is never published — snapshot readers must not see it.
+        tbl._stage_write(
+            tbl.dedup_batch(
+                tbl.stamp_version(tbl.coerce(batch(_N, _N + 200)), "2026-01-01 00:00:00")
+            )
+        )
+        # Physical rewrite + manifest-diff GC under the same snapshot rules.
+        maintenance.compact(tbl, {"project_id": "p1", "date": "2026-03-02"})
+        maintenance.vacuum(tbl)
+        out = (
+            tbl.read()
+            .groupBy("project_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("project_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -1,0 +1,198 @@
+"""Minimal table commit log: atomic commits, snapshot reads, idempotent txns.
+
+The reference's storage contract is Delta-style (file:line in
+/root/reference/src/): atomic multi-file commits (database.rs:4776
+`insert_records_batch`, coalesced commit database.rs:5181), snapshot
+isolation for readers (snapshot_cache.rs:1-10), and idempotent transaction
+versioning for the streaming ingest path (the WAL watermark carried in
+commit metadata, buffered_write_layer.rs:2211). Plain parquet directories
+have none of that: a reader listing the directory mid-append sees a torn
+write, and two writers can interleave arbitrarily.
+
+This module supplies the minimal equivalent as a JSON manifest log:
+
+  <table>/_tf_log/00000000.json            delta commit (add/remove/txn)
+  <table>/_tf_log/00000020.checkpoint.json periodic full-state snapshot
+
+- A commit is one JSON file created by `os.link(tmp, final)` — an atomic
+  create-if-absent on POSIX (and on object stores, the analog is a
+  put-if-absent). Losing the race raises FileExistsError; the writer
+  re-reads the log and retries at the next version. No locks.
+- Readers materialize a snapshot by replaying the log (from the latest
+  checkpoint) and read EXACTLY the live files — uncommitted or replaced
+  files on disk are invisible. Replaced files stay on disk until `vacuum`
+  diff-deletes them, so an in-flight reader of an older snapshot never
+  loses its files (snapshot isolation).
+- A commit may carry `txn = {app_id, version}`; the snapshot exposes the
+  per-app high watermark, which makes re-delivered streaming batches
+  detectable (foreachBatch passes its batch_id as the txn version —
+  exactly Delta's txnAppId/txnVersion idempotence contract).
+
+Log replay is O(commits since checkpoint): a checkpoint is written every
+CHECKPOINT_EVERY commits, so a 100 TB table with years of commits still
+snapshots from one checkpoint file + a bounded delta tail.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+LOG_DIR = "_tf_log"
+CHECKPOINT_EVERY = 20
+
+
+@dataclass
+class Snapshot:
+    """The live state of a table at one log version."""
+
+    version: int
+    # relative file path -> size in bytes, in commit order
+    files: dict[str, int] = field(default_factory=dict)
+    # txn app_id -> highest committed version for that app
+    txns: dict[str, int] = field(default_factory=dict)
+
+
+class CommitLog:
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+        self.log_dir = os.path.join(table_path, LOG_DIR)
+
+    # ── structure ────────────────────────────────────────────────────────
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir)
+
+    def init(self) -> None:
+        """Create the log with an empty version-0 commit."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.commit(add=[], op="create")
+
+    def _entries(self) -> list[str]:
+        if not self.exists():
+            return []
+        return sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json") and not f.startswith(".")
+        )
+
+    def latest_version(self) -> int:
+        """Highest committed version, or -1 for an uninitialized log."""
+        versions = [int(f.split(".")[0]) for f in self._entries()]
+        return max(versions) if versions else -1
+
+    # ── write side ───────────────────────────────────────────────────────
+
+    def commit(
+        self,
+        add: list[tuple[str, int]],
+        remove: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
+        op: str = "append",
+    ) -> int:
+        """Atomically publish one commit; returns its version.
+
+        `add` is [(relative_path, size_bytes)], `remove` is [relative_path].
+        Concurrency: the version file is created with os.link (create-if-
+        absent); a concurrent writer that claimed the same version forces a
+        retry at the next one — optimistic concurrency, the Delta protocol's
+        commit loop."""
+        remove = remove or []
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        try:
+            while True:
+                version = self.latest_version() + 1
+                rec = {
+                    "version": version,
+                    "op": op,
+                    "add": [{"path": p, "size": s} for p, s in add],
+                    "remove": list(remove),
+                }
+                if txn is not None:
+                    rec["txn"] = {"app_id": txn[0], "version": int(txn[1])}
+                with open(tmp, "w") as fh:
+                    json.dump(rec, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                dst = os.path.join(self.log_dir, f"{version:08d}.json")
+                try:
+                    os.link(tmp, dst)
+                except FileExistsError:
+                    continue  # lost the version race — rebuild against the new tip
+                if version > 0 and version % CHECKPOINT_EVERY == 0:
+                    self._write_checkpoint(version)
+                return version
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Materialize the full snapshot at `version` so later readers replay
+        a bounded tail. Best-effort: a failed checkpoint only means longer
+        replays, never wrong answers."""
+        try:
+            snap = self._replay(upto=version)
+            tmp = os.path.join(self.log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "version": version,
+                        "files": [{"path": p, "size": s} for p, s in snap.files.items()],
+                        "txns": snap.txns,
+                    },
+                    fh,
+                )
+            os.replace(tmp, os.path.join(self.log_dir, f"{version:08d}.checkpoint.json"))
+        except OSError:
+            pass
+
+    # ── read side ────────────────────────────────────────────────────────
+
+    def snapshot(self) -> Snapshot:
+        return self._replay(upto=None)
+
+    def _replay(self, upto: int | None) -> Snapshot:
+        files: dict[str, int] = {}
+        txns: dict[str, int] = {}
+        start = 0
+        entries = self._entries()
+        if upto is not None:
+            entries = [e for e in entries if int(e.split(".")[0]) <= upto]
+        checkpoints = [e for e in entries if e.endswith(".checkpoint.json")]
+        if checkpoints:
+            ck = checkpoints[-1]
+            with open(os.path.join(self.log_dir, ck)) as fh:
+                state = json.load(fh)
+            files = {f["path"]: f["size"] for f in state["files"]}
+            txns = dict(state.get("txns", {}))
+            start = state["version"] + 1
+        version = -1
+        for name in entries:
+            if name.endswith(".checkpoint.json"):
+                continue
+            v = int(name.split(".")[0])
+            if v < start:
+                version = max(version, v)
+                continue
+            with open(os.path.join(self.log_dir, name)) as fh:
+                rec = json.load(fh)
+            for p in rec.get("remove", []):
+                files.pop(p, None)
+            for f in rec.get("add", []):
+                files[f["path"]] = f["size"]
+            t = rec.get("txn")
+            if t:
+                txns[t["app_id"]] = max(txns.get(t["app_id"], -1), int(t["version"]))
+            version = v
+        if checkpoints and version < start:
+            version = start - 1
+        return Snapshot(version=version, files=files, txns=txns)
+
+    def txn_version(self, app_id: str) -> int:
+        """Highest committed txn version for `app_id`, or -1."""
+        return self.snapshot().txns.get(app_id, -1)
+
+    def live_paths(self) -> list[str]:
+        """Absolute paths of the current snapshot's files."""
+        return [os.path.join(self.table_path, p) for p in self.snapshot().files]

@@ -55,8 +55,14 @@ def _dynamic_overwrite(spark: SparkSession):
 def _overwrite_partitions(table: Table, df: DataFrame) -> None:
     # Dynamic partition overwrite: only the partitions present in `df` are
     # replaced — the replaceWhere analog (database.rs:6344
-    # recompress_partition). The mode is asserted locally, not assumed from
-    # the session builder.
+    # recompress_partition). Log-tracked tables publish the rewrite as ONE
+    # atomic commit (add staged files, remove the replaced partition's
+    # files) so a concurrent reader sees either the old or the new layout,
+    # never a mix; pre-log tables use Spark's dynamic overwrite, with the
+    # mode asserted locally rather than assumed from the session builder.
+    if table.log.exists():
+        table.overwrite_partitions(df)
+        return
     writer = df.write.mode("overwrite").options(**table._writer_options())
     if table.schema.partitions:
         writer = writer.partitionBy(*table.schema.partitions)
@@ -157,25 +163,48 @@ def zorder_rewrite(
 
 
 def vacuum(table: Table) -> list[str]:
-    """Remove stray non-data files Spark leaves behind (_SUCCESS markers,
-    `.crc` checksums, temporary dirs). Data-file garbage collection is a
-    no-op on plain parquet because dynamic partition overwrite already
-    deletes replaced files; with a Delta log this becomes `VACUUM`."""
+    """VACUUM by manifest diff (database.rs:9514): delete every data file
+    in the table directory that the commit log's current snapshot does NOT
+    reference — files replaced by compaction/dedup/z-order rewrites, or
+    orphaned by a writer that staged but never committed. Also removes the
+    stray non-data files Spark leaves behind (_SUCCESS markers, `.crc`
+    checksums, temporary/staging dirs). Pre-log tables get only the
+    stray-file cleanup (no manifest to diff against).
+
+    At scale this runs with a retention window so readers of older
+    snapshots keep their files; in this single-process engine the snapshot
+    is re-read per query, so immediate collection is safe."""
+    import shutil
+
     removed: list[str] = []
+    live = set(table.log.snapshot().files) if table.log.exists() else None
     for root, dirs, files in os.walk(table.path):
+        rel_root = os.path.relpath(root, table.path)
+        in_log_dir = rel_root.split(os.sep)[0] == "_tf_log"
         for name in files:
+            p = os.path.join(root, name)
             if name == "_SUCCESS" or name.endswith(".crc"):
-                p = os.path.join(root, name)
                 os.remove(p)
                 removed.append(p)
+            elif (
+                live is not None
+                and not in_log_dir
+                and name.endswith(".parquet")
+            ):
+                rel = os.path.relpath(p, table.path).replace(os.sep, "/")
+                if rel not in live:
+                    os.remove(p)
+                    removed.append(p)
         for d in list(dirs):
-            if d.startswith("_temporary"):
-                import shutil
-
+            if d.startswith("_temporary") or d == "_tf_staging":
                 p = os.path.join(root, d)
                 shutil.rmtree(p)
                 dirs.remove(d)
                 removed.append(p)
+    # Prune now-empty partition directories left by manifest-diff deletes.
+    for root, dirs, files in os.walk(table.path, topdown=False):
+        if root != table.path and not dirs and not files:
+            os.rmdir(root)
     return removed
 
 
@@ -197,23 +226,40 @@ def migrate_columns(table: Table, new_fields: list[FieldDef]) -> None:
 
 def stats(table: Table) -> DataFrame:
     """Per-partition introspection (stats_table.rs analog): partition values,
-    file count, bytes, and physical row count from footer-stats COUNT."""
+    file count, bytes. Log-tracked tables report the commit log's LIVE
+    snapshot (sizes come from the manifest — zero filesystem calls, which
+    at object-store scale is the difference between a metadata read and a
+    LIST storm); pre-log tables walk the directory."""
     spark = table.spark
     rows = []
     base = table.path
-    for root, _dirs, files in os.walk(base):
-        data = [f for f in files if f.endswith(".parquet")]
-        if not data:
-            continue
-        rel = os.path.relpath(root, base)
-        parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
-        rows.append(
-            {
-                "partition": json_dumps_sorted(parts),
-                "n_files": len(data),
-                "bytes": sum(os.path.getsize(os.path.join(root, f)) for f in data),
-            }
-        )
+    if table.log.exists():
+        by_dir: dict[str, list[int]] = {}
+        for rel, size in table.log.snapshot().files.items():
+            by_dir.setdefault(os.path.dirname(rel), []).append(size)
+        for d, sizes in by_dir.items():
+            parts = dict(p.split("=", 1) for p in d.split("/") if "=" in p)
+            rows.append(
+                {
+                    "partition": json_dumps_sorted(parts),
+                    "n_files": len(sizes),
+                    "bytes": sum(sizes),
+                }
+            )
+    else:
+        for root, _dirs, files in os.walk(base):
+            data = [f for f in files if f.endswith(".parquet")]
+            if not data:
+                continue
+            rel = os.path.relpath(root, base)
+            parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
+            rows.append(
+                {
+                    "partition": json_dumps_sorted(parts),
+                    "n_files": len(data),
+                    "bytes": sum(os.path.getsize(os.path.join(root, f)) for f in data),
+                }
+            )
     if not rows:
         return spark.createDataFrame([], "partition string, n_files long, bytes long")
     return spark.createDataFrame(rows).select("partition", "n_files", "bytes")
@@ -268,18 +314,27 @@ def refresh_rollup(
             old_state = json.load(fh)
 
     # Signature per partition dir (relative path like project_id=p1/date=...).
+    # Log-tracked tables sign with the LIVE snapshot's (file, size) sets —
+    # part-file names are unique per write, so any data change changes the
+    # signature, and dead files awaiting vacuum don't cause false staleness.
     new_state: dict[str, list] = {}
     base = table.path
-    for dirpath, _dirs, files in os.walk(base):
-        data = sorted(
-            (f, os.path.getsize(os.path.join(dirpath, f)),
-             os.path.getmtime(os.path.join(dirpath, f)))
-            for f in files
-            if not f.startswith(("_", "."))
-        )
-        if data:
-            rel = os.path.relpath(dirpath, base)
-            new_state[rel] = [list(x) for x in data]
+    if table.log.exists():
+        for rel, size in table.log.snapshot().files.items():
+            new_state.setdefault(os.path.dirname(rel), []).append([os.path.basename(rel), size])
+        for sig in new_state.values():
+            sig.sort()
+    else:
+        for dirpath, _dirs, files in os.walk(base):
+            data = sorted(
+                (f, os.path.getsize(os.path.join(dirpath, f)),
+                 os.path.getmtime(os.path.join(dirpath, f)))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+            if data:
+                rel = os.path.relpath(dirpath, base)
+                new_state[rel] = [list(x) for x in data]
 
     stale = [p for p, sig in new_state.items() if old_state.get(p) != sig]
     if not stale:

@@ -22,6 +22,8 @@ replays, its rows re-append, and the dedup read view serves each key once.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
@@ -96,8 +98,17 @@ def ingest_stream(
         stream = stream.withColumn(tc, F.col(tc).cast("timestamp"))
         stream = stream.withWatermark(tc, watermark).dropDuplicatesWithinWatermark(keys)
 
-    def _write_batch(batch: DataFrame, _batch_id: int) -> None:
-        table.append(batch)
+    # Stable per-checkpoint transaction id: a restarted query on the same
+    # checkpoint keeps the same app_id, so a replayed (uncommitted-at-kill)
+    # micro-batch re-appends under its original batch_id and a batch the
+    # table ALREADY committed is skipped — physical exactly-once through
+    # the commit log's txn watermark (Delta txnAppId/txnVersion; the
+    # reference's WAL watermark, buffered_write_layer.rs:2211), on top of
+    # the read-view LWW collapse.
+    app_id = f"ingest:{os.path.abspath(checkpoint_dir)}"
+
+    def _write_batch(batch: DataFrame, batch_id: int) -> None:
+        table.append(batch, txn=(app_id, batch_id))
 
     writer = (
         stream.writeStream.foreachBatch(_write_batch)

@@ -10,25 +10,34 @@ Reference behaviors re-expressed (file:line in /root/reference/src/):
     SURVEY §2.7's ~3,000-LoC-to-20-lines collapse.
   - timestamp→date partition derivation on scan (optimizers/mod.rs:100-150).
 
-Storage is plain partitioned parquet (delta-spark is not available in this
-environment): one directory per table, `partitionBy(project_id, date)`
-directories, a `_tf_schema.json` sidecar carrying the declared TableSchema
-(underscore prefix ⇒ invisible to Spark's parquet scanner). At cluster scale
-the same class works unchanged over an object store path; the Delta upgrade
-point is isolated to `append` / `read_raw`.
+Storage is partitioned parquet plus a JSON commit log (delta-spark is not
+available in this environment, so the Delta contract — atomic multi-file
+commits, snapshot-isolated reads, idempotent txn versions — is supplied by
+`storage/commitlog.py`): one directory per table, `partitionBy(project_id,
+date)` directories, a `_tf_schema.json` sidecar carrying the declared
+TableSchema, and a `_tf_log/` manifest log (underscore prefixes ⇒ invisible
+to Spark's parquet scanner). Writes stage into `_tf_staging/`, move files
+into the partition layout, and publish them with ONE atomic log commit —
+a reader can never observe a torn multi-file write (database.rs:4776
+`insert_records_batch` commit semantics; snapshot_cache.rs reader
+isolation). Pre-log tables (no `_tf_log/`) fall back to directory listing.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timefusion_spark.storage.commitlog import CommitLog
 from timefusion_spark.storage.schema import TableSchema
 
 _SIDECAR = "_tf_schema.json"
+_STAGING = "_tf_staging"
 
 KEEP_GREATEST = "keep_greatest"
 KEEP_FIRST = "keep_first"
@@ -41,6 +50,7 @@ class Table:
         self.spark = spark
         self.schema = schema
         self.path = path
+        self.log = CommitLog(path)
 
     # ── lifecycle ────────────────────────────────────────────────────────
 
@@ -52,7 +62,9 @@ class Table:
             raise FileExistsError(f"table already exists at {path}")
         with open(sidecar, "w") as fh:
             fh.write(schema.to_json())
-        return cls(spark, schema, path)
+        table = cls(spark, schema, path)
+        table.log.init()
+        return table
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> Table:
@@ -167,14 +179,56 @@ class Table:
                 opts[f"parquet.bloom.filter.enabled#{f.name}"] = "true"
         return opts
 
-    def append(self, df: DataFrame, stamp: Column | str | None = None) -> None:
+    def _stage_write(self, batch: DataFrame) -> list[tuple[str, int]]:
+        """Write `batch` through the Spark parquet writer into a private
+        staging directory, then move the produced files into the table's
+        partition layout WITHOUT publishing them. Returns [(relative_path,
+        size)] for the commit. Spark part-file names embed the job UUID, so
+        moved files never collide across concurrent writers."""
+        staging = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
+        writer = batch.write.mode("append").options(**self._writer_options())
+        if self.schema.partitions:
+            writer = writer.partitionBy(*self.schema.partitions)
+        writer.parquet(staging)
+        added: list[tuple[str, int]] = []
+        for root, _dirs, files in os.walk(staging):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel = os.path.relpath(src, staging)
+                dst = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                size = os.path.getsize(src)
+                os.replace(src, dst)
+                added.append((rel.replace(os.sep, "/"), size))
+        shutil.rmtree(staging, ignore_errors=True)
+        return added
+
+    def append(
+        self,
+        df: DataFrame,
+        stamp: Column | str | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """Full write path: coerce → stamp_version → in-batch LWW dedup →
-        sortWithinPartitions(sorting_columns) → partitioned append.
+        sortWithinPartitions(sorting_columns) → staged partitioned write →
+        ONE atomic log commit publishing every file of the batch.
 
         The sorted write is what makes recency top-K cheap at scale: DESC
         timestamp row groups give tight min/max footer stats, so
         `ORDER BY timestamp DESC LIMIT n` prunes to the newest groups
-        (the ordered_union_for_topk.rs effect without a custom rule)."""
+        (the ordered_union_for_topk.rs effect without a custom rule).
+
+        `txn=(app_id, version)` makes the append IDEMPOTENT: if the log
+        already holds a commit for `app_id` at `version` or later, the
+        batch is a re-delivery and is skipped entirely (Delta's
+        txnAppId/txnVersion contract; the reference's WAL watermark,
+        buffered_write_layer.rs:2211). One writer per app_id by
+        construction (Structured Streaming holds the checkpoint lock), so
+        the check-then-commit is race-free."""
+        if txn is not None and self.log.exists() and self.log.txn_version(txn[0]) >= txn[1]:
+            return
         batch = self.dedup_batch(self.stamp_version(self.coerce(df), stamp))
         if self.schema.partitions:
             # One writer task per (project_id, date) hash → one sorted file
@@ -193,20 +247,56 @@ class Table:
             batch = batch.sortWithinPartitions(
                 *[F.col(c) for c in self.schema.partitions], *self._sort_cols()
             )
-        writer = batch.write.mode("append").options(**self._writer_options())
-        if self.schema.partitions:
-            writer = writer.partitionBy(*self.schema.partitions)
-        writer.parquet(self.path)
+        if not self.log.exists():
+            # Pre-log table: legacy direct append (directory-listing reads).
+            writer = batch.write.mode("append").options(**self._writer_options())
+            if self.schema.partitions:
+                writer = writer.partitionBy(*self.schema.partitions)
+            writer.parquet(self.path)
+            return
+        added = self._stage_write(batch)
+        if added or txn is not None:
+            self.log.commit(add=added, txn=txn, op="append")
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Replace exactly the partitions present in `df` (dynamic partition
+        overwrite, the replaceWhere analog — database.rs:6344
+        recompress_partition), as ONE atomic commit: add the staged files,
+        remove every live file under the affected partition directories.
+        Replaced files stay on disk for in-flight readers of older
+        snapshots; `maintenance.vacuum` collects them by manifest diff."""
+        if not self.log.exists():
+            raise ValueError("overwrite_partitions requires a commit log (Table.create)")
+        added = self._stage_write(df)
+        dirs = {os.path.dirname(rel) for rel, _ in added}
+        snap = self.log.snapshot()
+        removed = [p for p in snap.files if os.path.dirname(p) in dirs]
+        self.log.commit(add=added, remove=removed, op="overwrite")
 
     # ── read path ────────────────────────────────────────────────────────
 
     def read_raw(self) -> DataFrame:
-        """All physical row versions (no dedup, no tombstone filter)."""
-        df = (
-            self.spark.read.schema(self.schema.spark_schema)
-            .option("basePath", self.path)
-            .parquet(self.path)
-        )
+        """All physical row versions (no dedup, no tombstone filter), read
+        from the commit log's CURRENT SNAPSHOT — exactly the committed
+        files, never a concurrent writer's in-flight ones. The explicit
+        file list keeps partition-value derivation and pruning (basePath
+        anchors the partition directory parse)."""
+        if self.log.exists():
+            paths = self.log.live_paths()
+            if not paths:
+                empty = self.spark.createDataFrame([], self.schema.spark_schema)
+                return empty.select(*[f.name for f in self.schema.fields])
+            df = (
+                self.spark.read.schema(self.schema.spark_schema)
+                .option("basePath", self.path)
+                .parquet(*paths)
+            )
+        else:
+            df = (
+                self.spark.read.schema(self.schema.spark_schema)
+                .option("basePath", self.path)
+                .parquet(self.path)
+            )
         # Preserve declared column order (partition cols would otherwise
         # migrate to the end of the scan output).
         return df.select(*[f.name for f in self.schema.fields])
