@@ -50,3 +50,72 @@ def test_out_of_range_clamps(spark):
     df = spark.createDataFrame([("g", -5.0), ("g", 500.0)], "g string, v double")
     d = P.percentile_agg(df, ["g"], "v", LO, HI, N).collect()[0]["digest"]
     assert d[0] == 1 and d[N - 1] == 1
+
+
+class TestTDigest:
+    """Rank-based t-digest (functions/tdigest.py): the boundedness contract
+    mirrors functions.rs:1508-1525 (centroid count capped regardless of
+    input size, no range prior), plus merge order-insensitivity and
+    tail accuracy on a heavy-tailed distribution."""
+
+    def test_bounded_state_no_prior(self, spark):
+        from timefusion_spark.functions import tdigest as TD
+
+        # 200k values over an undeclared, heavy-tailed domain (exp growth
+        # to ~1e8): digest size must stay ≤ δ/2 + 2 (k1 scale range).
+        df = spark.range(200_000).select(
+            F.lit("g").alias("g"), F.exp(F.col("id") / 11000.0).alias("v")
+        )
+        d = TD.tdigest_agg(df, ["g"], "v")
+        sz = d.select(F.size("digest").alias("s")).collect()[0]["s"]
+        assert sz <= TD.DELTA // 2 + 2
+        assert sz > 20  # and it's a real multi-centroid summary, not one blob
+
+    def test_quantile_accuracy_rank_error(self, spark):
+        from timefusion_spark.functions import tdigest as TD
+
+        # uniform 0..9999: every quantile's RANK error must be small
+        # (t-digest guarantees rank error ~q(1-q)/δ; assert ≤ 1.5%).
+        df = spark.range(10_000).select(F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+        d = TD.tdigest_agg(df, ["g"], "v")
+        row = TD.with_quantiles(d, {"p50": 0.5, "p95": 0.95, "p99": 0.99}).collect()[0]
+        for name, p in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            rank = row[name] / 9999.0
+            assert abs(rank - p) < 0.015, (name, row[name])
+
+    def test_tail_resolution(self, spark):
+        from timefusion_spark.functions import tdigest as TD
+
+        # Heavy tail: 99% of mass at ~1, 1% spread to 1e6. The asin scale
+        # must keep p999 within 10% relative of the exact value — a
+        # uniform-width histogram over [0, 1e6] would put the entire body
+        # in one bucket and miss by orders of magnitude.
+        df = spark.range(100_000).select(
+            F.lit("g").alias("g"),
+            F.when(F.col("id") % 100 < 99, 1.0 + (F.col("id") % 97) / 97.0)
+            .otherwise((F.col("id") % 1000).cast("double") * 1000.0)
+            .alias("v"),
+        )
+        exact = df.selectExpr("percentile(v, 0.999) AS e").collect()[0]["e"]
+        d = TD.tdigest_agg(df, ["g"], "v")
+        approx = TD.with_quantiles(d, {"p999": 0.999}).collect()[0]["p999"]
+        assert abs(approx - exact) / exact < 0.10, (approx, exact)
+
+    def test_merge_matches_direct_within_resolution(self, spark):
+        from timefusion_spark.functions import tdigest as TD
+
+        df = spark.range(20_000).select(
+            F.lit("g").alias("g"),
+            (F.col("id") % 16).alias("shard"),
+            (F.col("id") % 5000).cast("double").alias("v"),
+        )
+        direct = TD.tdigest_agg(df, ["g"], "v")
+        sharded = TD.tdigest_agg(df, ["g", "shard"], "v")
+        merged = TD.tdigest_merge(sharded, ["g"])
+        qd = TD.with_quantiles(direct, {"p50": 0.5, "p99": 0.99}).collect()[0]
+        qm = TD.with_quantiles(merged, {"p50": 0.5, "p99": 0.99}).collect()[0]
+        for name in ("p50", "p99"):
+            assert abs(qd[name] - qm[name]) / 5000.0 < 0.02, (name, qd[name], qm[name])
+        # merged digest still bounded
+        sz = merged.select(F.size("digest").alias("s")).collect()[0]["s"]
+        assert sz <= TD.DELTA // 2 + 2

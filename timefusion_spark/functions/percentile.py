@@ -21,6 +21,12 @@ one-shot path (SURVEY §2.4); this module is the two-step API parity.
 
 Error bound: ±(hi-lo)/(2·n_buckets) absolute (midpoint read-out), values
 outside [lo, hi) clamp to the edge buckets.
+
+This histogram variant needs the [lo, hi) prior; the PRIMARY two-step
+sketch is functions/tdigest.py — a bounded rank-based t-digest over an
+unbounded domain (the reference's actual state shape), equally
+deterministic and oracle-checkable. Keep this one for fixed-domain tiles
+where equi-width read-out is the desired semantics.
 """
 
 from __future__ import annotations

@@ -220,43 +220,56 @@ def q_percentile_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_percentile_sketch",
-    oracle="""
-    WITH h AS (
-        SELECT event_type,
-               LEAST(GREATEST(CAST(floor(((value - 0.0) / 600.0) * 64) AS INT), 0), 63) AS b,
-               COUNT(*) AS c
-        FROM events GROUP BY 1, 2
-    ), tot AS (SELECT event_type, SUM(c) AS t FROM h GROUP BY 1),
-    cum AS (
-        SELECT h.event_type, b, SUM(c) OVER (PARTITION BY h.event_type ORDER BY b) AS cm, tot.t
-        FROM h JOIN tot ON h.event_type = tot.event_type
+def _tdigest_sketch_oracle() -> str:
+    from timefusion_spark.functions import tdigest as TD
+
+    partial = TD.oracle_compress_sql("pts", ["event_type", "shard"])
+    merged = TD.oracle_compress_sql("cent1", ["event_type"])
+    return f"""
+    WITH pts AS (
+        SELECT event_type, CAST(user_id % 4 AS INT) AS shard,
+               value AS m, CAST(1 AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+    ),
+    cent1 AS ({partial}),
+    cent2 AS ({merged}),
+    q AS (
+        SELECT event_type, m,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY m, c
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS tot
+        FROM cent2
     )
     SELECT event_type,
-           ROUND(CAST(0.0 + (MIN(CASE WHEN cm >= ceil(0.50 * t) THEN b END) + 0.5) * 9.375 AS DOUBLE), 4) AS p50,
-           ROUND(CAST(0.0 + (MIN(CASE WHEN cm >= ceil(0.95 * t) THEN b END) + 0.5) * 9.375 AS DOUBLE), 4) AS p95,
-           ROUND(CAST(0.0 + (MIN(CASE WHEN cm >= ceil(0.99 * t) THEN b END) + 0.5) * 9.375 AS DOUBLE), 4) AS p99
-    FROM cum
+           ROUND(MIN(CASE WHEN cum >= CEIL(0.50 * tot) THEN m END), 4) AS p50,
+           ROUND(MIN(CASE WHEN cum >= CEIL(0.95 * tot) THEN m END), 4) AS p95,
+           ROUND(MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN m END), 4) AS p99
+    FROM q
     GROUP BY event_type
     ORDER BY event_type
-    """,
+    """
+
+
+@query(
+    "q_percentile_sketch",
+    oracle=_tdigest_sketch_oracle(),
     doc="Two-step mergeable percentile sketch (percentile_agg / "
-    "approx_percentile, functions.rs:1096-1267): partial digests built per "
-    "(event_type, user shard), MERGED per event_type, then quantiles read "
-    "from the merged digest — proving the partial-state roll-up the "
-    "reference's t-digest UDAF provides. Oracle mirrors the digest math "
-    "exactly (deterministic histogram sketch, functions/percentile.py).",
+    "approx_percentile, functions.rs:1096-1267): bounded rank-based "
+    "t-digests (k1 asin scale, δ=200 centroid cap — functions.rs:1107) "
+    "built per (event_type, user shard) with NO range prior, MERGED per "
+    "event_type, then quantiles read from the merged digest — the "
+    "partial-state roll-up the reference's t-digest UDAF provides. The "
+    "construction is deterministic (rank-based scale + sorted left-fold "
+    "means, functions/tdigest.py), so the oracle runs the SAME algorithm "
+    "in SQL and the exact-hash gate applies to an approximate sketch.",
 )
 def q_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from timefusion_spark.functions import percentile as P
+    from timefusion_spark.functions import tdigest as TD
 
     ev = t(spark, sf_dir, "events").withColumn("shard", (F.col("user_id") % 4).cast("int"))
-    partials = P.percentile_agg(ev, ["event_type", "shard"], "value", lo=0.0, hi=600.0, n=64)
-    merged = P.merge_digests(partials, ["event_type"])
-    out = P.with_percentiles(
-        merged, {"p50": 0.50, "p95": 0.95, "p99": 0.99}, lo=0.0, hi=600.0, n=64
-    )
+    partials = TD.tdigest_agg(ev, ["event_type", "shard"], "value")
+    merged = TD.tdigest_merge(partials, ["event_type"])
+    out = TD.with_quantiles(merged, {"p50": 0.50, "p95": 0.95, "p99": 0.99})
     return out.select(
         "event_type",
         F.round("p50", 4).alias("p50"),
