@@ -100,21 +100,317 @@ def json_contains(col: Column, key: str) -> Column:
 _SIMPLE_JSONPATH = __import__("re").compile(r"^\$(\.[A-Za-z_][A-Za-z0-9_]*|\[\d+\])*$")
 
 
-def jsonb_path_exists(col: Column, path: str) -> Column:
-    """PG jsonb_path_exists for SIMPLE lax paths ($.a.b[0] grammar): true
-    iff the path resolves to a value. Pure expression — matches the
-    reference's variant_get fast path (functions.rs:1273-1502, which
-    short-circuits simple paths the same way before engaging its full
-    jsonpath engine). Filter expressions (`? (@ > 1)`), wildcards and
-    recursive descent are NOT supported here and raise: a Python-UDF
-    jsonpath engine would put Python in the row path, which this engine
-    bans (SURVEY §2.11); the slt corpus only exercises simple paths."""
-    if not _SIMPLE_JSONPATH.match(path):
-        raise ValueError(f"unsupported jsonpath (simple $.a.b[0] paths only): {path!r}")
-    # JSON null is an existing value for jsonb_path_exists; variant_get
-    # distinguishes it (variant null) from a missing path (SQL NULL).
-    v = F.variant_get(F.try_parse_json(col), path, "variant")
-    return v.isNotNull() | F.is_variant_null(v)
+def jsonb_path_exists(col: Column | str, path: str) -> Column:
+    """PG jsonb_path_exists, lax mode (functions.rs:1273-1502 sql_json_path
+    dialect). Simple `$.a.b[0]` paths take a direct variant_get fast path
+    (the reference short-circuits them the same way). The full dialect —
+    `[*]` wildcards, `?(@ ... )` comparison filters, `like_regex`,
+    `starts with`, `&&`/`||` — compiles to nested higher-order
+    transform/filter expressions over Variant (see jsonpath_exists_sql);
+    no Python in the row path (SURVEY §2.11). Filter paths need the json
+    argument as a column name / SQL expression string (the compiler emits
+    SQL text shared with the pgshim rewrite)."""
+    if _SIMPLE_JSONPATH.match(path):
+        # JSON null is an existing value for jsonb_path_exists; variant_get
+        # distinguishes it (variant null) from a missing path (SQL NULL).
+        v = F.variant_get(F.try_parse_json(col), path, "variant")
+        return v.isNotNull() | F.is_variant_null(v)
+    if not isinstance(col, str):
+        raise ValueError(
+            "jsonpath with wildcards/filters needs the json argument as a "
+            "column name or SQL expression string (the path compiles to SQL text)"
+        )
+    return F.expr(jsonpath_exists_sql(col, path))
+
+
+# ── PG SQL/JSON path compiler (lax mode) ─────────────────────────────────
+#
+# Grammar (the subset the reference's tests exercise — functions.rs:1273-
+# 1502 via the sql_json_path crate, tests/suite/test_postgres_json_
+# functions.rs:118-160, tests/slt/variant_functions.slt:105-150):
+#
+#   path    := '$' step*
+#   step    := '.' key | '[' INT ']' | '[' '*' ']' | '?' '(' pred ')'
+#   pred    := or-chain of: '(' pred ')' | operand cmp literal
+#              | operand 'like_regex' STR ['flag' STR]
+#              | operand 'starts' 'with' STR
+#   operand := '@' ('.' key | '[' INT ']')*
+#   cmp     := == | != | <> | < | <= | > | >=
+#   literal := STR | NUMBER | true | false | null
+#
+# Lax-mode behaviors implemented: member access auto-unwraps arrays;
+# [*] on a scalar wraps it; a missing path yields an empty sequence
+# (filter comparisons against missing → no match). Type strictness rides
+# on to_json(variant): strings compare through their quoted JSON form
+# (a number never equals a string), numbers through try_cast of the
+# unquoted form. Not implemented (raise): recursive descent ($..),
+# .* member wildcard, arithmetic in predicates, exists()/is unknown.
+
+import json as _json
+import re as _re
+
+_JP_TOKENS = _re.compile(
+    r"""\s*(?:
+        (?P<str>"(?:[^"\\]|\\.)*")
+      | (?P<num>-?\d+(?:\.\d+)?)
+      | (?P<op>==|!=|<>|<=|>=|&&|\|\||<|>)
+      | (?P<sym>[$@.\[\]*?()])
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    )""",
+    _re.VERBOSE,
+)
+
+
+def _tokenize_jsonpath(path: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(path):
+        m = _JP_TOKENS.match(path, pos)
+        if not m or m.end() == pos:
+            if path[pos:].strip():
+                raise ValueError(f"bad jsonpath at {path[pos:]!r}")
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        out.append((kind, m.group(kind)))
+    return out
+
+
+class _JsonPathParser:
+    def __init__(self, path: str):
+        self.toks = _tokenize_jsonpath(path)
+        self.i = 0
+        self.path = path
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect(self, val: str):
+        k, v = self._next()
+        if v != val:
+            raise ValueError(f"jsonpath {self.path!r}: expected {val!r}, got {v!r}")
+
+    def parse(self) -> list:
+        self._expect("$")
+        steps = []
+        while self.i < len(self.toks):
+            k, v = self._next()
+            if v == ".":
+                steps.append(("member", self._key()))
+            elif v == "[":
+                k2, v2 = self._next()
+                if v2 == "*":
+                    steps.append(("wild",))
+                elif k2 == "num" and "." not in v2:
+                    steps.append(("index", int(v2)))
+                else:
+                    raise ValueError(f"jsonpath {self.path!r}: bad subscript {v2!r}")
+                self._expect("]")
+            elif v == "?":
+                self._expect("(")
+                steps.append(("filter", self._pred()))
+                self._expect(")")
+            else:
+                raise ValueError(f"jsonpath {self.path!r}: unexpected {v!r}")
+        return steps
+
+    def _key(self) -> str:
+        k, v = self._next()
+        if k == "ident":
+            return v
+        if k == "str":
+            return _json.loads(v)
+        raise ValueError(f"jsonpath {self.path!r}: bad member key {v!r}")
+
+    def _pred(self):
+        left = self._pred_and()
+        while self._peek()[1] == "||":
+            self._next()
+            left = ("or", left, self._pred_and())
+        return left
+
+    def _pred_and(self):
+        left = self._pred_primary()
+        while self._peek()[1] == "&&":
+            self._next()
+            left = ("and", left, self._pred_primary())
+        return left
+
+    def _pred_primary(self):
+        k, v = self._peek()
+        if v == "(":
+            self._next()
+            p = self._pred()
+            self._expect(")")
+            return p
+        accs = self._operand()
+        k, v = self._next()
+        if k == "op" and v not in ("&&", "||"):
+            return ("cmp", accs, v, self._literal())
+        if k == "ident" and v == "like_regex":
+            pat = self._str_literal()
+            flags = ""
+            if self._peek() == ("ident", "flag"):
+                self._next()
+                flags = self._str_literal()
+            return ("like", accs, pat, flags)
+        if k == "ident" and v == "starts":
+            if self._next() != ("ident", "with"):
+                raise ValueError(f"jsonpath {self.path!r}: expected 'starts with'")
+            return ("starts", accs, self._str_literal())
+        raise ValueError(f"jsonpath {self.path!r}: bad predicate near {v!r}")
+
+    def _operand(self):
+        self._expect("@")
+        accs = []
+        while True:
+            k, v = self._peek()
+            if v == ".":
+                self._next()
+                accs.append(("member", self._key()))
+            elif v == "[":
+                self._next()
+                k2, v2 = self._next()
+                if k2 != "num" or "." in v2:
+                    raise ValueError(f"jsonpath {self.path!r}: bad operand subscript")
+                self._expect("]")
+                accs.append(("index", int(v2)))
+            else:
+                return accs
+
+    def _literal(self):
+        k, v = self._next()
+        if k == "str":
+            return _json.loads(v)
+        if k == "num":
+            return float(v)
+        if k == "ident" and v in ("true", "false"):
+            return v == "true"
+        if k == "ident" and v == "null":
+            return None
+        raise ValueError(f"jsonpath {self.path!r}: bad literal {v!r}")
+
+    def _str_literal(self) -> str:
+        k, v = self._next()
+        if k != "str":
+            raise ValueError(f"jsonpath {self.path!r}: expected string, got {v!r}")
+        return _json.loads(v)
+
+
+def _sq(s: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _vkey(key: str) -> str:
+    if "'" in key or "\\" in key:
+        raise ValueError(f"unsupported characters in jsonpath key {key!r}")
+    return f"$['{key}']"
+
+
+_CMP_SQL = {"==": "=", "!=": "!=", "<>": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+
+
+class _SqlEmitter:
+    def __init__(self):
+        self.n = 0
+
+    def var(self) -> str:
+        self.n += 1
+        return f"x{self.n}"
+
+    def unwrap(self, cur: str) -> str:
+        v = self.var()
+        return (
+            f"flatten(transform({cur}, {v} -> "
+            f"coalesce(try_variant_get({v}, '$', 'array<variant>'), array({v}))))"
+        )
+
+    def access(self, x: str, accs: list) -> str:
+        for a in accs:
+            p = _vkey(a[1]) if a[0] == "member" else f"$[{a[1]}]"
+            x = f"try_variant_get({x}, {_sq(p)}, 'variant')"
+        return x
+
+    def pred(self, x: str, p) -> str:
+        kind = p[0]
+        if kind == "or":
+            return f"(({self.pred(x, p[1])}) OR ({self.pred(x, p[2])}))"
+        if kind == "and":
+            return f"(({self.pred(x, p[1])}) AND ({self.pred(x, p[2])}))"
+        e = self.access(x, p[1])
+        tj = f"to_json({e})"
+        if kind == "cmp":
+            op, lit = _CMP_SQL[p[2]], p[3]
+            if lit is None:
+                if op == "=":
+                    return f"is_variant_null({e})"
+                return f"({e} IS NOT NULL AND NOT is_variant_null({e}))"
+            if isinstance(lit, bool):
+                guard = f"{tj} IN ('true', 'false')"
+                return f"({guard} AND {tj} {op} {_sq('true' if lit else 'false')})"
+            if isinstance(lit, float):
+                # integers/floats unify through their JSON normal form
+                return f"try_cast({tj} AS DOUBLE) {op} {lit!r}"
+            # string literal: compare the QUOTED JSON form for equality
+            # (type-strict — a number's to_json never starts with a quote),
+            # the unquoted form for ordering. Unquoting goes through the
+            # variant string cast, gated by the quote guard so its
+            # number→string coercion can never fire.
+            if op in ("=", "!="):
+                return (
+                    f"(startswith({tj}, '\"') AND {tj} {op} {_sq(_json.dumps(lit))})"
+                )
+            s = f"try_variant_get({e}, '$', 'string')"
+            return f"(startswith({tj}, '\"') AND {s} {op} {_sq(lit)})"
+        s = f"try_variant_get({e}, '$', 'string')"
+        if kind == "like":
+            pat = ("(?i)" if "i" in p[3] else "") + p[2]
+            return f"(startswith({tj}, '\"') AND {s} RLIKE {_sq(pat)})"
+        if kind == "starts":
+            return f"(startswith({tj}, '\"') AND startswith({s}, {_sq(p[2])}))"
+        raise AssertionError(kind)
+
+
+def jsonpath_exists_sql(json_expr: str, path: str) -> str:
+    """Compile a PG jsonpath (lax) into a Spark SQL boolean expression over
+    `json_expr` — shared by jsonb_path_exists and the pgshim rewrite.
+    The value set flows as array<variant> through transform/filter/flatten;
+    existence = non-empty at the end. NULL input → NULL (PG semantics)."""
+    steps = _JsonPathParser(path).parse()
+    em = _SqlEmitter()
+    v0 = em.var()
+    cur = f"filter(array(try_parse_json({json_expr})), {v0} -> {v0} IS NOT NULL)"
+    for st in steps:
+        if st[0] == "member":
+            v, w = em.var(), em.var()
+            cur = (
+                f"filter(transform({em.unwrap(cur)}, {v} -> "
+                f"try_variant_get({v}, {_sq(_vkey(st[1]))}, 'variant')), "
+                f"{w} -> {w} IS NOT NULL)"
+            )
+        elif st[0] == "index":
+            v, w = em.var(), em.var()
+            cur = (
+                f"filter(transform({cur}, {v} -> "
+                f"try_variant_get({v}, '$[{st[1]}]', 'variant')), "
+                f"{w} -> {w} IS NOT NULL)"
+            )
+        elif st[0] == "wild":
+            cur = em.unwrap(cur)
+        elif st[0] == "filter":
+            v = em.var()
+            cur = f"filter({cur}, {v} -> ({em.pred(v, st[1])}))"
+        else:
+            raise AssertionError(st)
+    return (
+        f"CASE WHEN ({json_expr}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+        f"ELSE size({cur}) > 0 END"
+    )
 
 
 def json_array_elements(col: Column) -> Column:

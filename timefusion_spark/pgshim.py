@@ -514,26 +514,21 @@ def _translate_fn_calls(sql: str) -> str:
         lambda a: f"__ISVNULL__(try_parse_json({a[0]}))" if len(a) == 1 else None,
     )
 
-    # jsonb_path_exists (functions.rs:1273-1502): simple lax paths via
-    # variant_get (a JSON-null value still EXISTS); one [*] wildcard
-    # supported via an array-any expression.
+    # jsonb_path_exists (functions.rs:1273-1502): the PG SQL/JSON-path lax
+    # dialect — member/index steps, [*] wildcards, ?(@ ...) comparison
+    # filters, like_regex, starts with — compiled to higher-order variant
+    # expressions by functions/json_fns.jsonpath_exists_sql (one compiler
+    # shared with the DataFrame API).
     def _path_exists(a: list[str]) -> str | None:
         if len(a) != 2 or not a[1].strip().startswith("'"):
             return None
-        v, path = a[0], _strip_quotes(a[1].strip())
+        from timefusion_spark.functions.json_fns import jsonpath_exists_sql
+
+        arg = a[1].strip().removesuffix("::jsonpath").rstrip()
+        path = _strip_quotes(arg)
         if not path.startswith("$"):
             return None
-        if "[*]" in path:
-            pre, _, post = path.partition("[*]")
-            arr = f"try_variant_get(try_parse_json({v}), '{pre}', 'array<variant>')"
-            if post:
-                inner = f"try_variant_get(x, '${post}', 'variant')"
-                probe = f"size(filter({arr}, x -> {inner} IS NOT NULL OR is_variant_null({inner}))) > 0"
-            else:
-                probe = f"size({arr}) > 0"
-            return f"coalesce({probe}, false)"
-        g = f"variant_get(try_parse_json({v}), '{path}', 'variant')"
-        return f"({g} IS NOT NULL OR is_variant_null({g}))"
+        return "(" + jsonpath_exists_sql(a[0], path) + ")"
 
     sql = _rewrite_calls(sql, "jsonb_path_exists", _path_exists)
     # percentile two-step (functions.rs:1096-1267): the composed form maps

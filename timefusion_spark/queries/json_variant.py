@@ -198,3 +198,62 @@ def q_sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_id
         """
     )
+
+
+@query(
+    "q_jsonpath_filters",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN k % 7 = 2 OR k % 3 = 2 THEN 1 END) AS BIGINT) AS n_tag2,
+           CAST(COUNT(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_big_k,
+           CAST(COUNT(CASE WHEN event_type ILIKE 'cl%' THEN 1 END) AS BIGINT) AS n_like,
+           CAST(COUNT(CASE WHEN event_type LIKE 'p%' THEN 1 END) AS BIGINT) AS n_api
+    FROM e
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="PG SQL/JSON-path lax dialect (functions.rs:1273-1502; "
+    "tests/suite/test_postgres_json_functions.rs:118-160): [*] wildcards, "
+    "?(@ ...) comparison filters, like_regex with flag, starts with — "
+    "compiled to higher-order variant expressions (functions/json_fns.py "
+    "jsonpath_exists_sql, no UDF). Each event synthesizes a nested JSON "
+    "payload from its columns; the oracle evaluates the equivalent "
+    "closed-form predicates on the raw columns, so every jsonpath feature "
+    "is checked against first-principles SQL.",
+)
+def q_jsonpath_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.functions.json_fns import jsonpath_exists_sql
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col("k"),
+            F.array(
+                F.concat(F.lit("t"), (F.col("k") % 7).cast("string")),
+                F.concat(F.lit("t"), (F.col("k") % 3).cast("string")),
+            ).alias("tags"),
+            F.col("event_type").alias("msg"),
+            F.concat(F.lit("/api/"), F.col("event_type")).alias("path"),
+        )
+    )
+    staged = ev.select("event_type", payload.alias("payload"))
+
+    def hit(path: str):
+        return F.count(F.when(F.expr(jsonpath_exists_sql("payload", path)), 1))
+
+    return (
+        staged.groupBy("event_type")
+        .agg(
+            hit('$.tags[*] ? (@ == "t2")').alias("n_tag2"),
+            hit("$.k ? (@ > 50)").alias("n_big_k"),
+            hit('$.msg ? (@ like_regex "^CL.*" flag "i")').alias("n_like"),
+            hit('$.path ? (@ starts with "/api/p")').alias("n_api"),
+        )
+        .orderBy("event_type")
+    )
