@@ -206,25 +206,43 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ann_ivf_topk",
-    oracle=None,  # k-means is iterative — genuinely non-SQL-expressible;
-    # driver records the rows-only check. Recall vs the exact brute-force
-    # baseline is asserted inside the query itself (top-1 must match).
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND(cos_sim, 4) AS cos_sim, CAST(10 AS BIGINT) AS n_candidates
+    FROM (
+        SELECT e.vec_id, {_COS.format(a='e.embedding', b='q.qv')} AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    ) x
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 1
+    """,
     doc="IVF approximate nearest neighbor: k-means coarse cells (MLlib, "
-    "fixed seed), probe the 4 nearest cells, brute-force cosine inside — "
-    "the data-adaptive counterpart of the sign-LSH bucket path "
-    "(q_lsh_bucket_histogram / q_knn_per_label).",
+    "fixed seed), probe the 6 nearest cells, brute-force cosine inside — "
+    "the data-adaptive counterpart of the sign-LSH bucket path. k-means "
+    "is iterative (non-SQL-expressible), so the oracled contract is the "
+    "RECALL BOUND: the IVF top-10 must contain the exact brute-force "
+    "top-1 (returned with its exact cosine) and yield exactly k "
+    "candidates — if a probe misses the true nearest cell, the row "
+    "vanishes and the gate fails. Exact-result parity for the fixed-"
+    "quantizer variant is q_ann_ivf_flat; raw k-means output recall is "
+    "additionally pinned in tests/test_similarity_ivf.py.",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     qv = _query_vec(spark, sf_dir, 0)
     # Deterministic layout → deterministic k-means (its init samples by
-    # partition structure); recall vs the exact baseline is asserted in
-    # tests/test_similarity_ivf.py on this pinned layout.
+    # partition structure).
     pinned = e.repartition(1).sortWithinPartitions("vec_id")
-    approx = sim.knn_ivf(pinned, qv, k=10, n_probe=6, n_cells=16).select(
-        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    approx = sim.knn_ivf(pinned, qv, k=10, n_probe=6, n_cells=16)
+    exact1 = sim.knn_brute_force(e, qv, k=1)
+    n_cand = approx.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    out = (
+        exact1.join(approx.select("vec_id"), "vec_id", "leftsemi")
+        .select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+        .crossJoin(n_cand)
     )
-    return approx.localCheckpoint(eager=True)
+    return out.localCheckpoint(eager=True)
 
 
 @query(
