@@ -43,7 +43,6 @@ HEADLINE = [
     "q_ann_bruteforce_topk",
     "q_percentile_sketch",
     "q_salted_agg",
-    "q_mor_merge_on_read",
     "q_sessionization",
     "q_training_pipeline",
     "q_hypertable_rollup",
@@ -75,6 +74,7 @@ def main() -> int:
         t(spark, sf_dir, name).selectExpr("count(1)").collect()
 
     timings: dict[str, float] = {}
+    runs_raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
@@ -88,22 +88,36 @@ def main() -> int:
             # queries (table build + DML + view) do their work inside fn(),
             # not just at collect().
             fn(spark, sf_dir).collect()
-            # Two timed runs, best-of kept: the reference's baseline rows
-            # are warm-cache RANGES over repeated runs; min-of-2 reports
-            # the same "warm steady state" and shields the figure from
-            # transient co-tenant load on the bench host.
-            best, n = None, 0
+            # Two timed runs, best-of kept as the headline (the reference's
+            # baseline rows are warm-cache RANGES over repeated runs;
+            # min-of-2 reports the same "warm steady state"); BOTH raw runs
+            # are recorded in `runs` so rounds stay comparable regardless of
+            # the aggregation choice.
+            raws, n = [], 0
             for _ in range(2):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 n = len(df.collect())
-                elapsed = time.perf_counter() - t0
-                best = elapsed if best is None or elapsed < best else best
-            timings[name] = round(best, 4)
+                raws.append(round(time.perf_counter() - t0, 4))
+            runs_raw[name] = raws
+            timings[name] = min(raws)
             print(f"bench {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"bench {name}: ERROR {e}", file=sys.stderr)
             timings[name] = -1.0
+
+    # MOR lifecycle vs read, timed separately: BASELINE.md's 556-741 ms row
+    # is a WARM READ over an already-built MOR table; q_mor_merge_on_read
+    # runs the whole create→insert→UPDATE→DELETE lifecycle inside the query
+    # (VERDICT r4: split so the baseline row compares like-for-like).
+    try:
+        mor = _mor_split_bench(spark, sf_dir)
+        timings.update(mor["best"])
+        runs_raw.update(mor["runs"])
+        for k in ("q_mor_lifecycle", "q_mor_read"):
+            print(f"bench {k}: {timings[k]:.3f}s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench mor-split: ERROR {e}", file=sys.stderr)
 
     # ── The reference's bench contract beyond select wall-times
     # (README.md:284-289: insert throughput, select tail latency,
@@ -130,6 +144,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs_raw,
                 "sf": sf,
                 # BASELINE.md rows each query maps to (reference numbers are
                 # warm-cache, single-node, prod-tenant measurements).
@@ -139,7 +154,8 @@ def main() -> int:
                     "q_percentile_duration": "percentile tiles 3-6h: 5-39s (per-type aggregate form)",
                     "q_percentile_tiles": "percentile tiles 3-6h: 5-39s (the reference's per-bucket grid shape)",
                     "q_percentile_sketch": "percentile tiles (mergeable sketch path)",
-                    "q_mor_merge_on_read": "full insert->UPDATE->DELETE->query lifecycle; ref warm MOR reads 556-741ms + deferred 300s flush",
+                    "q_mor_read": "warm MOR dedup-view read+agg: ref 556-741ms",
+                    "q_mor_lifecycle": "create->insert->UPDATE->DELETE build (no baseline row; ref defers flush 300s)",
                     "q_time_bucket_counts": "whole-table 5-min rollup (39k groups; no direct baseline row)",
                 },
                 "notes": "near-dup/LSH queries are plan-overhead-bound at this sf: "
@@ -172,6 +188,58 @@ def _mor_rows(spark, sf_dir: str, lo: int, hi: int):
         F.col("value").alias("value"),
         F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
     )
+
+
+def _mor_split_bench(spark, sf_dir: str) -> dict:
+    """Time the MOR scenario's two phases separately (VERDICT r4 item 5):
+
+    - q_mor_lifecycle: create → append → UPDATE → DELETE through the real
+      write path (the part the reference defers behind a 300 s flush);
+    - q_mor_read: the keep-greatest dedup view + groupBy read over the
+      ALREADY-BUILT table — the apples-to-apples match for BASELINE.md's
+      warm MOR read row (556-741 ms).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from timefusion_spark.queries.storage_mor import _build_mor_table
+
+    best: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+
+    life_runs = []
+    tbl, base_dir = None, None
+    for _ in range(2):
+        if base_dir is not None:
+            shutil.rmtree(base_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        tbl, base_dir = _build_mor_table(spark, sf_dir)
+        life_runs.append(round(time.perf_counter() - t0, 4))
+    runs["q_mor_lifecycle"] = life_runs
+    best["q_mor_lifecycle"] = min(life_runs)
+
+    def read_once() -> float:
+        t0 = time.perf_counter()
+        (
+            tbl.read()
+            .groupBy("project_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .collect()
+        )
+        return round(time.perf_counter() - t0, 4)
+
+    try:
+        read_once()  # warm (codegen + page cache), matching baseline's warm rows
+        read_runs = [read_once() for _ in range(2)]
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    runs["q_mor_read"] = read_runs
+    best["q_mor_read"] = min(read_runs)
+    return {"best": best, "runs": runs}
 
 
 def _insert_bench(spark, sf_dir: str) -> dict:

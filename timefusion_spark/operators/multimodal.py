@@ -99,25 +99,98 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bmp_header_4x4_24bpp() -> bytes:
+    """54-byte header of a 4×4 uncompressed 24-bpp BMP (pixel data = 48
+    bytes, stride 12 — already 4-byte aligned, so no row padding)."""
+    import struct
+
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + 48, 0, 0, 54)  # file size, reserved, data offset
+        + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 48, 2835, 2835, 0, 0)
+    )
+
+
+def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
+    """REAL media payloads: every row is a valid 4×4 24-bpp BMP whose 48
+    pixel bytes are unhex(repeat(md5_hex(text), 3)) — built entirely with
+    JVM expressions (constant header ++ unhex), decodable by `decode_bmp`,
+    and byte-reproducible by the DuckDB oracle (pixel mean == mean of the
+    16 md5 digest bytes)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("bmp").alias("format"),
+        F.concat(
+            F.lit(_bmp_header_4x4_24bpp()), F.unhex(F.repeat(F.md5("text"), 3))
+        ).alias("payload"),
+        F.struct(
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("fps"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def decode_image(payload: bytes, fmt: str, deterministic_fake: bool = False):
     """Decode an image payload to a pixel array.
 
-    Real codecs (PIL/OpenCV) are not installed in this environment; the
-    real-decode branch is a declared stub. The deterministic fake treats
-    the payload bytes as the 'pixels', which exercises every downstream
-    code path with reproducible numbers."""
+    BMP (uncompressed 24-bpp, the format `synthesize_bmp_media` emits) is
+    decoded for real — pure struct parsing of the BITMAPFILEHEADER /
+    BITMAPINFOHEADER, no codec library — returning an (h, w, 3) uint8 RGB
+    array. Other formats (PNG/JPEG/WAV/MP4) need codec libraries that are
+    not installed here; that branch stays a declared stub. The
+    deterministic fake treats the payload bytes as the 'pixels', which
+    exercises every downstream code path with reproducible numbers."""
     if deterministic_fake:
         import numpy as np
 
         return np.frombuffer(payload, dtype=np.uint8)
+    if fmt == "bmp" or payload[:2] == b"BM":
+        return decode_bmp(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:  # pragma: no cover - env has no PIL
         raise NotImplementedError(
-            "real image decode requires PIL/OpenCV (not in this environment); "
-            "pass deterministic_fake=True for the stubbed decode"
+            f"decode of format {fmt!r} requires PIL/OpenCV (not in this "
+            "environment); BMP decodes natively, or pass "
+            "deterministic_fake=True for the stubbed decode"
         ) from e
-    raise NotImplementedError("real decode path not implemented — fake mode only")
+    raise NotImplementedError("non-BMP decode path not implemented")
+
+
+def decode_bmp(payload: bytes):
+    """Real decode of an uncompressed 24-bpp Windows BMP (BITMAPINFOHEADER)
+    to an (h, w, 3) uint8 RGB array — pure struct parsing, no codec deps.
+
+    Layout (public format): 14-byte file header ('BM', u32 file size, 4
+    reserved, u32 pixel-data offset) + 40-byte info header (u32 size,
+    i32 width, i32 height [positive ⇒ bottom-up row order], u16 planes,
+    u16 bpp, u32 compression). Rows are padded to 4-byte multiples and
+    pixels are stored BGR."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bpp BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    h = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = data.reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR → RGB
 
 
 def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:

@@ -81,6 +81,38 @@ def q_media_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_bmp_decode",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id AS media_id,
+               list_avg(list_transform(range(0, 16), i ->
+                   (strpos('0123456789abcdef', substr(md5(text), 2*i+1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(md5(text), 2*i+2, 1)) - 1)) AS mean_byte
+        FROM documents
+    )
+    SELECT COUNT(*) AS n_decoded,
+           CAST(COUNT(*) * 102 AS BIGINT) AS total_bytes,
+           ROUND(AVG(mean_byte), 4) AS avg_mean_pixel
+    FROM f
+    """,
+    doc="REAL image decode (deterministic_fake=False): every payload is a "
+    "valid 4×4 24-bpp BMP (constant header ++ unhex(repeat(md5,3)) pixel "
+    "bytes, built JVM-side), decoded by pure-struct BMP parsing inside the "
+    "Arrow-batched mapInPandas path (operators/multimodal.py::decode_bmp). "
+    "Oracle: pixel mean == mean of the 16 md5 digest bytes; file size is "
+    "the fixed 54-byte header + 48 pixel bytes.",
+)
+def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_bmp_media(t(spark, sf_dir, "documents"))
+    feats = M.extract_features(media, deterministic_fake=False)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_decoded"),
+        F.sum("size_bytes").alias("total_bytes"),
+        F.round(F.avg("mean_byte"), 4).alias("avg_mean_pixel"),
+    )
+
+
+@query(
     "q_media_frame_sampling",
     oracle="""
     SELECT CAST(SUM(CASE WHEN n_frames > 0

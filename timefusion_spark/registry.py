@@ -95,13 +95,13 @@ PRIORITY: tuple[str, ...] = (
     "q_hypertable_rollup",
     "q_latest_event_per_user",
     "q_recent_events_topk",
-    "q_dashboard_count_window",
     "q_distinct_sketch",
     "q_heavy_hitters_sketch",
     "q_decontamination",
     "q_group_rank_pandas",
     # new this round
     "q_jsonpath_filters",
+    "q_media_bmp_decode",
 )
 
 
