@@ -55,18 +55,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
     ), sh AS (
       SELECT doc_id, {_SHINGLES3} AS shingles FROM tok
+    ), inv AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), siz AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                 / len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+    SELECT id_a, id_b,
+           ROUND(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN siz sa ON sa.doc_id = id_a
+    JOIN siz sb ON sb.doc_id = id_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
     ORDER BY id_a, id_b
     """,
     doc="MinHash(16) + banded LSH(4×4) + exact-jaccard verify ≥0.5 on "
-    "3-word shingles. Oracle = exact all-pairs ground truth: the LSH "
-    "candidates must reach full recall at the planted-dup similarity.",
+    "3-word shingles. Oracle = exact ground truth via an inverted-index "
+    "equi-join (every J>0 pair shares a shingle; |A∩B| falls out of the "
+    "group-by) — sub-quadratic, so the same oracle runs at sf0.1.",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
@@ -120,17 +129,28 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN list_distinct([s[i:i+4] for i in range(1, length(s)-3)])
                   ELSE [s] END AS gs
       FROM nrm
+    ), inv AS (
+      SELECT doc_id, source, unnest(gs) AS g FROM grams
+    ), siz AS (
+      SELECT doc_id, len(gs) AS n FROM grams
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b
+        ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE
-                 / len(list_distinct(a.gs || b.gs)), 4) AS jaccard
-    FROM grams a JOIN grams b ON a.doc_id < b.doc_id AND a.source = b.source
-    WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
-          / len(list_distinct(a.gs || b.gs)) >= 0.6
+    SELECT id_a, id_b,
+           ROUND(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN siz sa ON sa.doc_id = id_a
+    JOIN siz sb ON sb.doc_id = id_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
     ORDER BY id_a, id_b
     """,
     doc="Exact char-5-gram Jaccard near-dup pairs, blocked by source "
-    "(blocking bounds the pair space at scale).",
+    "(blocking bounds the pair space at scale). Oracle = exact ground "
+    "truth via a source-blocked inverted-index equi-join — sub-quadratic, "
+    "so the same oracle runs at sf0.1.",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
