@@ -190,3 +190,30 @@ class TestDmlThroughLog:
         assert vals == {"a": 10.0, "b": 20.0, "c": 3.0}
         assert dml.delete(table, predicate="id='c'") == 1
         assert table.read().count() == 2
+
+
+class TestTimeTravel:
+    def test_version_as_of_reads_old_snapshots(self, spark, table):
+        """v1 = base append, v2 = UPDATE, v3 = DELETE: each snapshot gives a
+        different answer, and old snapshots stay readable after later DML
+        (replaced files survive until vacuum)."""
+        table.append(_rows(spark, BASE))
+        dml.update(table, {"value": F.col("value") * 10}, predicate="project_id = 'p1'")
+        dml.delete(table, predicate="id='c'")
+        assert table.log.latest_version() == 3
+
+        v1 = {r["id"]: r["value"] for r in table.read(version=1).collect()}
+        assert v1 == {"a": 1.0, "b": 2.0, "c": 3.0}
+        v2 = {r["id"]: r["value"] for r in table.read(version=2).collect()}
+        assert v2 == {"a": 10.0, "b": 20.0, "c": 3.0}
+        assert table.read(version=3).count() == 2
+        assert table.read().count() == 2  # current == v3
+
+    def test_version_out_of_range_raises(self, spark, table):
+        table.append(_rows(spark, BASE))
+        with pytest.raises(ValueError, match="out of range"):
+            table.read_raw(version=99).count()
+
+    def test_empty_initial_version_reads_empty(self, spark, table):
+        table.append(_rows(spark, BASE))
+        assert table.read_raw(version=0).count() == 0  # create commit only

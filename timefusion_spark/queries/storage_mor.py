@@ -121,6 +121,57 @@ def q_mor_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_time_travel",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
+             o_totalprice AS v
+      FROM orders WHERE o_orderkey <= {_N}
+    )
+    SELECT 'v1_base' AS snap, project_id, COUNT(*) AS n_live,
+           ROUND(SUM(v), 2) AS total_value
+    FROM base GROUP BY 2
+    UNION ALL
+    SELECT 'v2_updated', project_id, COUNT(*),
+           ROUND(SUM(CASE WHEN k % 10 = 0 THEN v + 1000 ELSE v END), 2)
+    FROM base GROUP BY 2
+    UNION ALL
+    SELECT 'v3_current', project_id, COUNT(*),
+           ROUND(SUM(CASE WHEN k % 10 = 0 THEN v + 1000 ELSE v END), 2)
+    FROM base WHERE k % 7 <> 0 GROUP BY 2
+    ORDER BY snap, project_id
+    """,
+    doc="Time-travel reads over the commit log (VERSION AS OF; Delta "
+    "protocol / snapshot_cache.rs): the same MOR table read at log v1 "
+    "(base rows only), v2 (UPDATE applied, DELETE not yet visible), and "
+    "the current snapshot — three different answers from one table, "
+    "proving snapshot isolation keeps replaced files readable.",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl, base_dir = _build_mor_table(spark, sf_dir)
+    try:
+        # _build_mor_table commits: v0 create, v1 append, v2 UPDATE, v3 DELETE.
+        assert tbl.log.latest_version() == 3
+
+        def agg(df: DataFrame, label: str) -> DataFrame:
+            return df.groupBy("project_id").agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            ).select(F.lit(label).alias("snap"), "project_id", "n_live", "total_value")
+
+        out = (
+            agg(tbl.read(version=1), "v1_base")
+            .unionByName(agg(tbl.read(version=2), "v2_updated"))
+            .unionByName(agg(tbl.read(), "v3_current"))
+            .orderBy("snap", "project_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
     "q_mor_keep_first",
     oracle=f"""
     SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,

@@ -84,7 +84,6 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_ivf_flat",
     "q_ann_arrow_topk",
     "q_jl_projection",
-    "q_embedding_stats",
     "q_embedding_quantization",
     "q_salted_agg",
     # percentile family + timeseries operators
@@ -102,6 +101,7 @@ PRIORITY: tuple[str, ...] = (
     # new this round
     "q_jsonpath_filters",
     "q_media_bmp_decode",
+    "q_time_travel",
 )
 
 

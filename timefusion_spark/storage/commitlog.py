@@ -152,6 +152,16 @@ class CommitLog:
     def snapshot(self) -> Snapshot:
         return self._replay(upto=None)
 
+    def snapshot_at(self, version: int) -> Snapshot:
+        """The table state as of log `version` (time travel / VERSION AS OF).
+        Snapshot isolation makes this exact: files removed after `version`
+        stay on disk until vacuum'd, so an old snapshot's file list remains
+        readable (snapshot_cache.rs reader-isolation contract)."""
+        latest = self.latest_version()
+        if version < 0 or version > latest:
+            raise ValueError(f"version {version} out of range [0, {latest}]")
+        return self._replay(upto=version)
+
     def _replay(self, upto: int | None) -> Snapshot:
         files: dict[str, int] = {}
         txns: dict[str, int] = {}

@@ -275,14 +275,25 @@ class Table:
 
     # ── read path ────────────────────────────────────────────────────────
 
-    def read_raw(self) -> DataFrame:
+    def read_raw(self, version: int | None = None) -> DataFrame:
         """All physical row versions (no dedup, no tombstone filter), read
         from the commit log's CURRENT SNAPSHOT — exactly the committed
         files, never a concurrent writer's in-flight ones. The explicit
         file list keeps partition-value derivation and pruning (basePath
-        anchors the partition directory parse)."""
+        anchors the partition directory parse).
+
+        `version` time-travels: read the snapshot as of that log version
+        (Delta's VERSION AS OF; the reference's snapshot_cache keeps old
+        snapshots readable the same way — replaced files survive on disk
+        until vacuum)."""
+        if version is not None and not self.log.exists():
+            raise ValueError("time travel requires a commit log (Table.create)")
         if self.log.exists():
-            paths = self.log.live_paths()
+            if version is None:
+                paths = self.log.live_paths()
+            else:
+                snap = self.log.snapshot_at(version)
+                paths = [os.path.join(self.path, p) for p in snap.files]
             if not paths:
                 empty = self.spark.createDataFrame([], self.schema.spark_schema)
                 return empty.select(*[f.name for f in self.schema.fields])
@@ -330,14 +341,20 @@ class Table:
             return df
         return df.where(~F.coalesce(F.col(self.schema.tombstone_column), F.lit(False)))
 
-    def read(self, policy: str = KEEP_GREATEST, with_tombstones: bool = False) -> DataFrame:
-        """The merge-on-read view (read_dedup.rs:25-40 + database.rs:12906).
+    def read(
+        self,
+        policy: str = KEEP_GREATEST,
+        with_tombstones: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """The merge-on-read view (read_dedup.rs:25-40 + database.rs:12906),
+        optionally time-traveled to log `version`.
 
         Predicates later placed on this view sit ABOVE the window — exactly
         the reference's rule that filters on version-mutable columns must
         not push below DedupExec (database.rs:12507-12533). Partition-column
         filters still prune the scan (window partition keys are preserved)."""
-        df = self._dedup_view(self.read_raw(), policy)
+        df = self._dedup_view(self.read_raw(version=version), policy)
         return df if with_tombstones else self._tombstone_filter(df)
 
     def scan(
