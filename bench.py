@@ -27,6 +27,7 @@ import time
 
 HEADLINE = [
     "q_dashboard_count_window",
+    "q_dashboard_24h",
     "q_time_bucket_counts",
     "q_error_rate",
     "q_percentile_duration",
@@ -150,6 +151,8 @@ def main() -> int:
                 # warm-cache, single-node, prod-tenant measurements).
                 "baseline_map": {
                     "q_dashboard_count_window": "dashboard count 5-min 207-377ms / 1-h 336-343ms",
+                    "q_dashboard_24h": "24-h window: 12.2s - timeout@95s (pre-optimization)",
+                    "q_salted_agg": "busy-tenant (skew) 1-h count: 4.6-13.3s whale tenants",
                     "q_recent_events_topk": "ORDER BY ts DESC LIMIT 50: 377ms",
                     "q_percentile_duration": "percentile tiles 3-6h: 5-39s (per-type aggregate form)",
                     "q_percentile_tiles": "percentile tiles 3-6h: 5-39s (the reference's per-bucket grid shape)",

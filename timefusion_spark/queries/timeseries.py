@@ -84,6 +84,46 @@ def q_dashboard_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dashboard_24h",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc="The BASELINE 24-h dashboard window (12.2 s - timeout@95 s "
+    "pre-optimization, docs/2026-08-03-overnight-optimization-"
+    "report.md:108,258): hourly tiles over a full day — counts, error "
+    "counts, distinct users, totals — in ONE scan with the 24-h predicate "
+    "pushed to row-group pruning. The reference's hardest latency row; "
+    "here it is a single partial-agg shuffle over 24 bucket keys.",
+)
+def q_dashboard_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    lo, hi = "2024-01-15 00:00:00", "2024-01-16 00:00:00"
+    return (
+        ev.where(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy(time_bucket("1 hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "q_error_rate",
     oracle="""
     SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
