@@ -75,6 +75,47 @@ def stratified_rank(
     return df.withColumn("_rk", F.row_number().over(w))
 
 
+def temperature_mix_rates(
+    df: DataFrame, source_col: str, alpha: float, target_rows: int
+) -> DataFrame:
+    """Temperature-scaled corpus-mixing rates: one row per source with
+    `n_src` and `rate_ppm`, the per-source keep probability (parts per
+    million) such that sampled sources mix in proportion to n^alpha
+    (alpha < 1 upweights small sources — the standard multilingual /
+    multi-corpus mixing rule) with ~`target_rows` total rows kept.
+
+    rate_s = min(1, target_rows · n_s^α / Σ n^α / n_s), published as an
+    integer ppm so the hash filter `poly_hash(key) % 1e6 < rate_ppm` is an
+    exact integer comparison, bit-reproducible across engines and reruns.
+
+    Scale: one map-side-combinable count per source plus a single-row
+    normalization window over |sources| rows — the rates frame is tiny by
+    construction and broadcasts into the sampling join."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_src"))
+    w_raw = F.pow(F.col("n_src").cast("double"), F.lit(float(alpha)))
+    w = counts.withColumn("_w", w_raw).withColumn(
+        "_w_tot", F.sum("_w").over(Window.partitionBy())
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_rows)) * F.col("_w") / F.col("_w_tot") / F.col("n_src"),
+    )
+    return w.withColumn(
+        "rate_ppm", F.round(rate * F.lit(1_000_000)).cast("long")
+    ).drop("_w", "_w_tot")
+
+
+def mix_sample(
+    df: DataFrame, rates: DataFrame, source_col: str, key: Column
+) -> DataFrame:
+    """Apply temperature-mix rates: broadcast-join the tiny rates frame and
+    keep rows whose portable hash lands under the source's rate_ppm. A
+    map-only filter after a broadcast join — zero corpus shuffle."""
+    return df.join(F.broadcast(rates), source_col).where(
+        F.pmod(poly_hash(key), F.lit(1_000_000)) < F.col("rate_ppm")
+    )
+
+
 def chunk_with_overlap(
     df: DataFrame, toks_col: Column, size: int, stride: int
 ) -> DataFrame:

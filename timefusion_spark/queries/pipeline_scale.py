@@ -165,6 +165,60 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_corpus_mixing",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1
+    ), w AS (
+      SELECT source, n_src,
+             pow(n_src, 0.5) AS w_raw,
+             SUM(pow(n_src, 0.5)) OVER () AS w_tot
+      FROM c
+    ), r AS (
+      SELECT source, n_src,
+             CAST(ROUND(LEAST(1.0, 2000 * w_raw / w_tot / n_src) * 1000000)
+                  AS BIGINT) AS rate_ppm
+      FROM w
+    ), keyed AS (
+      SELECT source, CAST(doc_id AS VARCHAR) AS k FROM documents
+    ), s AS (
+      SELECT keyed.source, COUNT(*) AS n_sampled
+      FROM keyed JOIN r ON keyed.source = r.source
+      WHERE {_H.format(s="k")} % 1000000 < r.rate_ppm
+      GROUP BY 1
+    )
+    SELECT r.source, r.n_src, r.rate_ppm,
+           COALESCE(s.n_sampled, 0) AS n_sampled
+    FROM r LEFT JOIN s ON r.source = s.source
+    ORDER BY r.source
+    """,
+    doc="Temperature-scaled corpus mixing (operators/packing.py::"
+    "temperature_mix_rates): per-source keep rates ∝ n^0.5 targeting "
+    "~2000 rows (the standard multilingual upweight-small-sources rule), "
+    "applied as a broadcast join + portable-hash ppm filter — zero corpus "
+    "shuffle, deterministic across engines/reruns. Oracle reproduces the "
+    "rate arithmetic and poly_hash bit-for-bit.",
+)
+def q_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    rates = pk.temperature_mix_rates(d, "source", alpha=0.5, target_rows=2000)
+    sampled = pk.mix_sample(
+        d, rates, "source", F.col("doc_id").cast("string")
+    )
+    picked = sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        rates.join(picked, "source", "left")
+        .select(
+            "source",
+            "n_src",
+            "rate_ppm",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "q_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE tok AS (
