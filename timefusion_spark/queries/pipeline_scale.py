@@ -218,6 +218,98 @@ def q_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared oracle scaffold: exact J≥0.5 near-dup edge set via the
+# sub-quadratic inverted-index equi-join, closed into components with a
+# recursive CTE (used by q_dedup_clusters and q_dedup_canonical).
+_COMPONENTS_CTE = """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {shingles} AS shingles FROM tok
+    ), inv AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), siz AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT ia, ib
+      FROM inter
+      JOIN siz sa ON sa.doc_id = ia
+      JOIN siz sb ON sb.doc_id = ib
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+    ), edges AS (
+      SELECT ia AS a, ib AS b FROM pairs
+      UNION ALL
+      SELECT ib, ia FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT a AS n FROM edges
+    ), reach(n, lab) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.n = e.b
+    ), comp AS (
+      SELECT n, MIN(lab) AS component FROM reach GROUP BY n
+    )
+"""
+
+
+@query(
+    "q_dedup_canonical",
+    oracle=_COMPONENTS_CTE.format(shingles=_SHINGLES3)
+    + """
+    , m AS (
+      SELECT comp.component, comp.n, d.n_chars
+      FROM comp JOIN documents d ON d.doc_id = comp.n
+    ), rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                                   ORDER BY n_chars DESC, n ASC) AS rnk
+      FROM m
+    )
+    SELECT component, COUNT(*) AS n_members,
+           MAX(CASE WHEN rnk = 1 THEN n END) AS survivor_id,
+           MAX(CASE WHEN rnk = 1 THEN n_chars END) AS survivor_chars
+    FROM rk
+    GROUP BY component
+    ORDER BY component
+    """,
+    doc="Canonical-survivor selection per near-dup cluster — the step a "
+    "real dedup pipeline runs after clustering: within each connected "
+    "component keep the best document (longest text, doc_id tiebreak). "
+    "Spark side is components + one broadcast-joined metadata lookup + "
+    "one per-component window; oracle closes the same exact graph and "
+    "ranks with the same deterministic order.",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timefusion_spark.operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    members = comps.join(
+        d.select(F.col("doc_id").alias("n"), "n_chars"), "n"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("n").asc()
+    )
+    ranked = members.withColumn("_rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("_rnk") == 1, F.col("n"))).alias("survivor_id"),
+            F.max(F.when(F.col("_rnk") == 1, F.col("n_chars"))).alias(
+                "survivor_chars"
+            ),
+        )
+        .orderBy("component")
+    )
+
+
 @query(
     "q_dedup_clusters",
     oracle=f"""
