@@ -845,3 +845,174 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking, adapted to the testdata "
+    "columns): correlated EXISTS with an extra non-equi conjunct "
+    "(l_shipdate > o_orderdate) decorrelated into a left-semi join — the "
+    "orders date filter pushes to the scan, the semi join carries the "
+    "residual comparison.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle="""
+    SELECT ROUND(CAST(100.00 * SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END)
+                 / SUM(rev) AS DOUBLE), 4) AS promo_revenue_pct,
+           COUNT(*) AS n
+    FROM (
+      SELECT p_type,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+    ) x
+    """,
+    doc="TPC-H Q14 shape (promotion effect): conditional-aggregate ratio "
+    "over a broadcast lineitem-part join on a one-month window. Decimal "
+    "sums keep both the numerator and denominator order-independent so "
+    "the ratio hashes identically under any partitioning.",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
+        "p_type", rev.alias("rev")
+    )
+    return joined.agg(
+        F.round(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                )
+                / F.sum("rev")
+            ).cast("double"),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q19_disjunctive_join",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue): disjunctive multi-predicate "
+    "join — three OR'd (brand, size, quantity) branches. The equi-key "
+    "(p_partkey = l_partkey) still drives a broadcast hash join; the "
+    "disjunction stays a post-join filter, and per-branch part/lineitem "
+    "range predicates are pushed where single-sided.",
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return j.where(branch).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q22_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity, cntrycode -> "
+    "nationkey): scalar-subquery threshold (avg positive balance, "
+    "broadcast as a 1-row frame) + NOT EXISTS anti join against recent "
+    "orders, grouped per nation.",
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_a"))
+    rich = c.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("_a"))
+    no_orders = rich.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
