@@ -258,3 +258,51 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_thr,
         )
+
+
+def test_dashboard_24h_pushes_time_bounds(spark, sf_dir):
+    """The 24-h dashboard window (the reference's hardest baseline row):
+    both day bounds must reach the parquet scan as PushedFilters."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q_dashboard_24h"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThan" in pushed and "LessThan" in pushed, pushed
+
+
+def test_q19_broadcasts_part_and_keeps_equi_join(spark, sf_dir):
+    """Disjunctive predicates must NOT demote the join to a nested loop:
+    the equi-key (p_partkey = l_partkey) drives a BroadcastHashJoin and
+    the OR branches stay a post-join filter."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q19_disjunctive_join"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_exists_becomes_semi_join(spark, sf_dir):
+    """The EXISTS with a non-equi residual must plan as a *semi* join on
+    the equi key (never a cartesian/nested-loop shape)."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q4_order_priority"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_corpus_mixing_broadcasts_rates(spark, sf_dir):
+    """The tiny rates frame must broadcast into the sampling join — the
+    corpus side is never shuffled."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q_corpus_mixing"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
