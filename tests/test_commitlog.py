@@ -192,6 +192,39 @@ class TestDmlThroughLog:
         assert table.read().count() == 2
 
 
+class TestConcurrentWriters:
+    def test_parallel_appends_both_commit(self, spark, table):
+        """Two writers appending simultaneously: the version race resolves
+        by retry, BOTH batches become visible, and no commit is lost —
+        the optimistic-concurrency contract (database.rs commit loop)."""
+        import threading
+
+        errs = []
+
+        def writer(i: int):
+            try:
+                rows = [
+                    (f"2026-02-0{i + 1} 10:00:00", f"w{i}-{j}", float(j), f"p{i}")
+                    for j in range(20)
+                ]
+                table.append(_rows(spark, rows))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs
+        assert table.read_raw().count() == 40
+        snap = table.log.snapshot()
+        assert table.log.latest_version() == 2  # create + two appends
+        # every committed file exists on disk
+        for rel in snap.files:
+            assert os.path.exists(os.path.join(table.path, rel))
+
+
 class TestTimeTravel:
     def test_version_as_of_reads_old_snapshots(self, spark, table):
         """v1 = base append, v2 = UPDATE, v3 = DELETE: each snapshot gives a
