@@ -63,11 +63,16 @@ def _count_and_append(table: Table, new_versions: DataFrame, stamp) -> int:
 
     from pyspark.sql import Observation
 
+    from timefusion_spark import clock
+
     if stamp is None:
         # Make the engine-owned stamp CONCRETE (instead of the lazy
         # current_timestamp() default) so the fallback below can identify
-        # this append's rows by their tiebreak value.
-        stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
+        # this append's rows by their tiebreak value. Reads the engine
+        # clock, so frozen-clock runs produce reproducible DML stamps.
+        stamp = datetime.fromtimestamp(
+            clock.now_micros() / 1_000_000, tz=timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S.%f")
     obs = Observation()
     table.append(new_versions.observe(obs, F.count(F.lit(1)).alias("n")), stamp=stamp)
     try:

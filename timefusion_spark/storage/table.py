@@ -134,11 +134,17 @@ class Table:
         there, so client-supplied values are always replaced."""
         if not (self.schema.version_append and self.schema.dedup_tiebreak):
             return df
-        col = (
-            F.lit(stamp).cast("timestamp")
-            if isinstance(stamp, str)
-            else (stamp if stamp is not None else F.current_timestamp())
-        )
+        if stamp is None:
+            # Engine clock (clock.rs analog): frozen → deterministic
+            # reproducible stamps; otherwise the session's current time.
+            from timefusion_spark import clock
+
+            stamp = (
+                F.timestamp_micros(F.lit(clock.now_micros()))
+                if clock.is_frozen()
+                else F.current_timestamp()
+            )
+        col = F.lit(stamp).cast("timestamp") if isinstance(stamp, str) else stamp
         return df.withColumn(self.schema.dedup_tiebreak, col)
 
     def dedup_batch(self, df: DataFrame) -> DataFrame:
