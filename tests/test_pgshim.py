@@ -325,3 +325,30 @@ class TestExplainSurface:
             pg_sql(spark, "EXPLAIN (FORMAT JSON) SELECT 1")
         with pytest.raises(ValueError, match="unsupported EXPLAIN option"):
             pg_sql(spark, "EXPLAIN (WIBBLE) SELECT 1")
+
+
+class TestClockFunctions:
+    """functions.rs:505-535: the engine-clock SQL surface through the shim."""
+
+    def teardown_method(self):
+        from timefusion_spark import clock
+
+        clock.clear()
+
+    def test_set_advance_now_roundtrip(self, spark):
+        from timefusion_spark.pgshim import pg_sql
+
+        us = pg_sql(spark, "SELECT timefusion_set_clock('2026-05-01T00:00:00Z') AS t").first()["t"]
+        assert us == 1777593600000000
+        assert pg_sql(spark, "SELECT timefusion_now_micros() AS t").first()["t"] == us
+        t2 = pg_sql(spark, "SELECT timefusion_advance_clock(1500000) AS t").first()["t"]
+        assert t2 == us + 1_500_000
+        assert pg_sql(spark, "SELECT timefusion_now_micros() AS t").first()["t"] == t2
+
+    def test_now_unfrozen_is_wall(self, spark):
+        import datetime as dt
+
+        from timefusion_spark.pgshim import pg_sql
+
+        t = pg_sql(spark, "SELECT timefusion_now_micros() AS t").first()["t"]
+        assert abs(t / 1e6 - dt.datetime.now(dt.timezone.utc).timestamp()) < 60

@@ -1054,6 +1054,33 @@ def _apply_settings_functions(spark, sql: str) -> str:
     return _rewrite_calls(sql, "current_setting", _current_setting)
 
 
+def _apply_clock_functions(sql: str) -> str:
+    """Rewrite the engine-clock SQL functions (functions.rs:505-535:
+    timefusion_set_clock / timefusion_advance_clock / timefusion_now_micros)
+    to eager bigint literals — the same volatile-UDF semantics, resolved
+    once per statement."""
+    from timefusion_spark import clock
+
+    def _set(a: list[str]):
+        if len(a) != 1:
+            return None
+        return str(clock.set_rfc3339(_strip_quotes(a[0]))) + "L"
+
+    def _advance(a: list[str]):
+        if len(a) != 1:
+            return None
+        return str(clock.advance_micros(int(a[0].strip()))) + "L"
+
+    def _now(a: list[str]):
+        if a and a != [""]:
+            return None
+        return str(clock.now_micros()) + "L"
+
+    sql = _rewrite_calls(sql, "timefusion_set_clock", _set)
+    sql = _rewrite_calls(sql, "timefusion_advance_clock", _advance)
+    return _rewrite_calls(sql, "timefusion_now_micros", _now)
+
+
 def _ensure_pg_settings_view(spark) -> None:
     rows = sorted(_settings_for(spark).items())
     spark.createDataFrame(rows, "name string, setting string").createOrReplaceTempView(
@@ -1170,4 +1197,5 @@ def pg_sql(spark, sql: str, tables=None):
     if re.search(r"(?i)\bpg_settings\b", sql):
         _ensure_pg_settings_view(spark)
     sql = _apply_settings_functions(spark, sql)
+    sql = _apply_clock_functions(sql)
     return spark.sql(pg_to_spark_sql(sql))
