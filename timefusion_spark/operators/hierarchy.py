@@ -1,0 +1,81 @@
+"""Hierarchical path aggregation over parent-pointer trees — the
+span-tree analytics an observability engine runs on traces (root-to-node
+path durations, depths, critical paths).
+
+The reference stores parent_id span trees (schemas/otel_logs_and_spans
+parent_id field) and serves flat scans; tree analytics are left to the
+client. Here the path aggregation is a first-class distributed operator.
+
+Algorithm: pointer doubling (path halving). State per node: a jump
+pointer `ptr` (initially the parent) plus the aggregate over the covered
+path segment [node .. ptr). Each round joins the state with itself on
+`ptr = other.node`, composing segments: acc += other.acc, ptr = other.ptr.
+After k rounds every node whose root is within 2^k hops has ptr = NULL
+and acc = the FULL root-to-node path aggregate — O(log depth) shuffled
+self-joins instead of O(depth) sequential ones, which is the difference
+between 6 rounds and 60 at cluster scale for deep traces.
+
+Nodes whose parent chain never reaches a root (orphan subtrees from
+dropped spans) still hold a non-NULL ptr at termination and are marked
+`_reached_root = false` — callers decide whether to drop or surface them
+(the DuckDB recursive-CTE oracle naturally excludes them, so oracle
+queries filter on the flag).
+
+Weights are summed with whatever column type the caller supplies — pass
+DECIMAL for exact (associativity-safe) sums: pointer doubling re-groups
+additions, so float sums could drift by ulps between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def path_to_root(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent_id",
+    weight_col: str = "w",
+    max_depth: int = 64,
+) -> DataFrame:
+    """(id, parent, weight) rows → (id, path_sum, depth, _reached_root):
+    per node, the aggregate along its root-to-node path.
+
+    Rounds = ceil(log2(max_depth)) self-joins; each round is one shuffle
+    on the jump pointer. Lineage is truncated per round (localCheckpoint)
+    so the plan stays O(1) deep like connected_components."""
+    state = nodes.select(
+        F.col(id_col).alias("id"),
+        F.col(parent_col).alias("ptr"),
+        F.col(weight_col).alias("acc"),
+        F.lit(1).cast("long").alias("depth"),
+    ).localCheckpoint(eager=True)
+
+    rounds = max(1, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        if state.where(F.col("ptr").isNotNull()).isEmpty():
+            break
+        s, t = state.alias("s"), state.alias("t")
+        joined = s.join(t, F.col("s.ptr") == F.col("t.id"), "left")
+        state = joined.select(
+            F.col("s.id").alias("id"),
+            # Jump: compose [node..s.ptr) with [s.ptr..t.ptr). A missing
+            # target (orphan pointer) leaves the state unchanged.
+            F.when(F.col("t.id").isNull(), F.col("s.ptr"))
+            .otherwise(F.col("t.ptr"))
+            .alias("ptr"),
+            F.when(F.col("t.id").isNull(), F.col("s.acc"))
+            .otherwise(F.col("s.acc") + F.col("t.acc"))
+            .alias("acc"),
+            F.when(F.col("t.id").isNull(), F.col("s.depth"))
+            .otherwise(F.col("s.depth") + F.col("t.depth"))
+            .alias("depth"),
+        ).localCheckpoint(eager=True)
+
+    return state.select(
+        "id",
+        F.col("acc").alias("path_sum"),
+        "depth",
+        F.col("ptr").isNull().alias("_reached_root"),
+    )

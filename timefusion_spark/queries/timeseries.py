@@ -573,3 +573,77 @@ def q_percentile_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "event_type")
     )
+
+
+@query(
+    "q_trace_critical_path",
+    oracle="""
+    WITH RECURSIVE spans AS (
+      SELECT event_id AS id, event_id // 8 AS trace_id,
+             CASE WHEN event_id % 8 = 0 THEN NULL
+                  ELSE (event_id // 8) * 8 + (event_id % 8 - 1) // 2 END AS parent_id,
+             CAST(value AS DECIMAL(18,4)) AS w
+      FROM events
+    ), paths(id, trace_id, acc, depth) AS (
+      SELECT id, trace_id, w, 1 FROM spans WHERE parent_id IS NULL
+      UNION ALL
+      SELECT c.id, c.trace_id, p.acc + c.w, p.depth + 1
+      FROM spans c JOIN paths p ON c.parent_id = p.id
+    ), leaves AS (
+      SELECT p.* FROM paths p
+      WHERE p.id NOT IN (SELECT parent_id FROM spans WHERE parent_id IS NOT NULL)
+    ), crit AS (
+      SELECT trace_id, MAX(acc) AS critical, MAX(depth) AS depth
+      FROM leaves GROUP BY 1
+    )
+    SELECT trace_id % 10 AS bucket, COUNT(*) AS n_traces,
+           ROUND(CAST(SUM(critical) AS DOUBLE), 2) AS total_critical,
+           CAST(MAX(depth) AS BIGINT) AS max_depth
+    FROM crit GROUP BY 1 ORDER BY bucket
+    """,
+    doc="Trace critical-path analytics over parent-pointer span trees "
+    "(the otel parent_id hierarchy, schemas/otel_logs_and_spans.yaml): "
+    "per trace, the maximum root-to-leaf duration path and tree depth, "
+    "computed by POINTER DOUBLING (operators/hierarchy.py::path_to_root) "
+    "— O(log depth) shuffled self-joins, not O(depth) sequential ones. "
+    "Spans are synthesized deterministically from events as 8-node binary "
+    "trees; decimal weights keep path sums associativity-exact so the "
+    "doubling order matches the oracle's sequential recursion bit-for-bit.",
+)
+def q_trace_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.operators.hierarchy import path_to_root
+
+    ev = t(spark, sf_dir, "events")
+    spans = ev.select(
+        F.col("event_id").alias("id"),
+        F.expr("event_id DIV 8").alias("trace_id"),
+        F.when(F.col("event_id") % 8 == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr("(event_id DIV 8) * 8 + (event_id % 8 - 1) DIV 2")
+        )
+        .alias("parent_id"),
+        F.col("value").cast("decimal(18,4)").alias("w"),
+    )
+    paths = path_to_root(spans, "id", "parent_id", "w", max_depth=8)
+    parents = (
+        spans.where(F.col("parent_id").isNotNull())
+        .select(F.col("parent_id").alias("_pid"))
+        .distinct()
+    )
+    leaves = (
+        paths.where(F.col("_reached_root"))
+        .join(parents, paths["id"] == parents["_pid"], "left_anti")
+        .withColumn("trace_id", F.expr("id DIV 8"))
+    )
+    crit = leaves.groupBy("trace_id").agg(
+        F.max("path_sum").alias("critical"), F.max("depth").alias("depth")
+    )
+    return (
+        crit.groupBy((F.col("trace_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_traces"),
+            F.round(F.sum("critical").cast("double"), 2).alias("total_critical"),
+            F.max("depth").alias("max_depth"),
+        )
+        .orderBy("bucket")
+    )
