@@ -250,3 +250,18 @@ class TestTimeTravel:
     def test_empty_initial_version_reads_empty(self, spark, table):
         table.append(_rows(spark, BASE))
         assert table.read_raw(version=0).count() == 0  # create commit only
+
+
+class TestVacuumRetention:
+    def test_retain_hours_keeps_young_unreferenced_files(self, spark, table):
+        """VACUUM t RETAIN n HOURS: files replaced moments ago survive the
+        retention window (in-flight readers of older snapshots keep their
+        files); retention 0 collects them."""
+        table.append(_rows(spark, BASE))
+        maintenance.compact(table, {"project_id": "p1", "date": "2026-01-01"})
+        removed = maintenance.vacuum(table, retain_hours=1.0)
+        assert not any(p.endswith(".parquet") for p in removed)  # all too young
+        assert table.read().count() == 3
+        removed = maintenance.vacuum(table)  # retention 0 → collect now
+        assert any(p.endswith(".parquet") for p in removed)
+        assert table.read().count() == 3

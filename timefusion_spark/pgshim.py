@@ -1125,7 +1125,7 @@ def _apply_admin_statement(spark, stripped: str, tables):
                 )
         return spark.createDataFrame([(n,)], "files_removed int")
     m = re.match(
-        r"(?is)^VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+\d+\s+HOURS)?$", stripped
+        r"(?is)^VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?$", stripped
     )
     if m:
         tbl = (tables or {}).get(m.group(1))
@@ -1133,7 +1133,9 @@ def _apply_admin_statement(spark, stripped: str, tables):
             raise ValueError(f"VACUUM: unknown table {m.group(1)!r}")
         from timefusion_spark.storage import maintenance
 
-        removed = maintenance.vacuum(tbl)
+        removed = maintenance.vacuum(
+            tbl, retain_hours=float(m.group(2)) if m.group(2) else 0.0
+        )
         return spark.createDataFrame([(len(removed),)], "files_removed int")
     return None
 

@@ -162,7 +162,7 @@ def zorder_rewrite(
     return rows
 
 
-def vacuum(table: Table) -> list[str]:
+def vacuum(table: Table, retain_hours: float = 0.0) -> list[str]:
     """VACUUM by manifest diff (database.rs:9514): delete every data file
     in the table directory that the commit log's current snapshot does NOT
     reference — files replaced by compaction/dedup/z-order rewrites, or
@@ -171,11 +171,15 @@ def vacuum(table: Table) -> list[str]:
     checksums, temporary/staging dirs). Pre-log tables get only the
     stray-file cleanup (no manifest to diff against).
 
-    At scale this runs with a retention window so readers of older
-    snapshots keep their files; in this single-process engine the snapshot
-    is re-read per query, so immediate collection is safe."""
+    `retain_hours` (the PG-surface `VACUUM t RETAIN n HOURS`; Delta's
+    retention contract) keeps unreferenced files younger than the cutoff:
+    readers of recent older snapshots — and writers mid-stage — keep
+    their files for the grace window. 0 collects immediately (safe in a
+    single-process engine where the snapshot is re-read per query)."""
     import shutil
+    import time as _time
 
+    cutoff = _time.time() - retain_hours * 3600.0
     removed: list[str] = []
     live = set(table.log.snapshot().files) if table.log.exists() else None
     for root, dirs, files in os.walk(table.path):
@@ -192,12 +196,17 @@ def vacuum(table: Table) -> list[str]:
                 and name.endswith(".parquet")
             ):
                 rel = os.path.relpath(p, table.path).replace(os.sep, "/")
-                if rel not in live:
+                if rel not in live and os.path.getmtime(p) <= cutoff:
                     os.remove(p)
                     removed.append(p)
         for d in list(dirs):
             if d.startswith("_temporary") or d == "_tf_staging":
                 p = os.path.join(root, d)
+                if os.path.getmtime(p) > cutoff:
+                    # A writer may be mid-stage: leave young staging dirs
+                    # for the retention window.
+                    dirs.remove(d)
+                    continue
                 shutil.rmtree(p)
                 dirs.remove(d)
                 removed.append(p)
