@@ -728,3 +728,48 @@ def q_group_rank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(rank_group, schema="doc_id long, source string, size_rank long")
         .orderBy("source", "size_rank", "doc_id")
     )
+
+
+@query(
+    "q_log_templates",
+    oracle="""
+    WITH tpl AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '[0-9]+', '#', 'g') AS template
+      FROM documents
+    )
+    SELECT md5(template) AS template_id,
+           COUNT(*) AS n,
+           MIN(doc_id) AS first_doc,
+           MIN(length(template)) AS template_len
+    FROM tpl
+    GROUP BY template
+    ORDER BY n DESC, template_id
+    LIMIT 25
+    """,
+    doc="Log-template mining (observability log clustering): lines "
+    "normalize to templates by masking numeric literals, then group — "
+    "the Drain-style template-extraction idea as ONE map-side-combinable "
+    "hash aggregate + top-K, pure expression work (no UDF, no iterative "
+    "tree). Output keys on md5(template) so wide templates hash-compare "
+    "compactly.",
+)
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    template = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[0-9]+", "#")
+    return (
+        d.select(template.alias("template"), "doc_id")
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select(
+            F.md5("template").alias("template_id"),
+            "n",
+            "first_doc",
+            F.length("template").cast("long").alias("template_len"),
+        )
+        .orderBy(F.col("n").desc(), "template_id")
+        .limit(25)
+    )
