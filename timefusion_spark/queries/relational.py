@@ -1016,3 +1016,151 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS revenue,
+           COUNT(*) AS n
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) x
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping): 6-way join with a symmetric "
+    "nation-pair disjunction and per-year rollup. Both nation sides and "
+    "supplier/customer broadcast; lineitem-orders is the only fact-fact "
+    "shuffle.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
+        "n_nationkey", "_nk1"
+    )
+    n2 = n.withColumnRenamed("n_name", "cust_nation").withColumnRenamed(
+        "n_nationkey", "_nk2"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_nk2"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            rev.alias("rev"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT l_year,
+           ROUND(CAST(SUM(CASE WHEN supp_region = 'REGION_1' THEN rev
+                               ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      / SUM(rev) AS DOUBLE), 4) AS mkt_share,
+           COUNT(*) AS n
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS l_year,
+             r.r_name AS supp_region,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    ) x
+    GROUP BY l_year
+    ORDER BY l_year
+    """,
+    doc="TPC-H Q8 shape (national market share): per-year share of one "
+    "supplier region inside an ECONOMY-part order volume — 6-way join, "
+    "conditional-decimal ratio. All dimensions broadcast.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_orderdate")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    shaped = j.select(
+        F.year("o_orderdate").cast("bigint").alias("l_year"),
+        F.col("r_name").alias("supp_region"),
+        rev.alias("rev"),
+    )
+    return (
+        shaped.groupBy("l_year")
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        F.when(F.col("supp_region") == "REGION_1", F.col("rev")).otherwise(
+                            F.lit(0).cast("decimal(18,4)")
+                        )
+                    )
+                    / F.sum("rev")
+                ).cast("double"),
+                4,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_year")
+    )
