@@ -647,3 +647,60 @@ def q_trace_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_funnel_analysis",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+    ), t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY 1
+    ), t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM t1) AS n_viewed,
+           (SELECT COUNT(*) FROM t2) AS n_clicked,
+           (SELECT COUNT(*) FROM t3) AS n_purchased
+    """,
+    doc="Ordered-funnel analysis (view -> click -> purchase strictly in "
+    "time order): ONE shuffle (groupBy user + collect_list) and a single "
+    "sorted fold per user carrying (stage, last_ts) — the sequential "
+    "event-pattern matcher as a pure higher-order expression, vs the "
+    "oracle's three-pass min-chasing formulation. At 100 TB this is one "
+    "pass over events; per-user state is O(1).",
+)
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("_evs")
+    )
+    folded = per_user.select(
+        "user_id",
+        F.expr(
+            """
+            aggregate(
+              _evs,
+              named_struct('stage', 0L, 't', timestamp'1900-01-01 00:00:00'),
+              (a, e) -> CASE
+                WHEN a.stage = 0 AND e.event_type = 'view'
+                  THEN named_struct('stage', 1L, 't', e.ts)
+                WHEN a.stage = 1 AND e.event_type = 'click' AND e.ts > a.t
+                  THEN named_struct('stage', 2L, 't', e.ts)
+                WHEN a.stage = 2 AND e.event_type = 'purchase' AND e.ts > a.t
+                  THEN named_struct('stage', 3L, 't', e.ts)
+                ELSE a END).stage
+            """
+        ).alias("_stage"),
+    )
+    return folded.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("_stage") >= 1, 1)).alias("n_viewed"),
+        F.count(F.when(F.col("_stage") >= 2, 1)).alias("n_clicked"),
+        F.count(F.when(F.col("_stage") >= 3, 1)).alias("n_purchased"),
+    )
