@@ -704,3 +704,64 @@ def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("_stage") >= 2, 1)).alias("n_clicked"),
         F.count(F.when(F.col("_stage") >= 3, 1)).alias("n_purchased"),
     )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS bucket,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT bucket, event_type, n,
+             COUNT(*)  OVER trail AS k,
+             SUM(n)    OVER trail AS s1,
+             SUM(n*n)  OVER trail AS s2
+      FROM b
+      WINDOW trail AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket, n,
+           ROUND((n - CAST(s1 AS DOUBLE) / k)
+                 / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1)), 4) AS z
+    FROM w
+    WHERE k >= 6 AND (s2 - CAST(s1 AS DOUBLE) * s1 / k) > 0
+      AND abs((n - CAST(s1 AS DOUBLE) / k)
+              / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1))) > 2.5
+    ORDER BY event_type, bucket
+    """,
+    doc="Trailing-window z-score anomaly detection on per-bucket event "
+    "counts (the monitoring alert primitive): mean/variance come from "
+    "INTEGER window sums (COUNT/SUM(n)/SUM(n²) over the trailing 12 "
+    "buckets) so the statistics are exact and engine-identical — no "
+    "Welford-vs-naive stddev drift; z is one closed-form double "
+    "expression evaluated identically on both sides. One window shuffle "
+    "on event_type.",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        time_bucket("5 minutes", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    trail = (
+        W.partitionBy("event_type").orderBy("bucket").rowsBetween(-12, -1)
+    )
+    w = b.select(
+        "bucket",
+        "event_type",
+        "n",
+        F.count(F.lit(1)).over(trail).alias("k"),
+        F.sum("n").over(trail).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(trail).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("k")
+    var_num = F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("k")
+    z = (F.col("n") - mu) / F.sqrt(var_num / (F.col("k") - 1))
+    return (
+        w.where((F.col("k") >= 6) & (var_num > 0) & (F.abs(z) > 2.5))
+        .select("event_type", "bucket", "n", F.round(z, 4).alias("z"))
+        .orderBy("event_type", "bucket")
+    )
