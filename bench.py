@@ -47,6 +47,9 @@ HEADLINE = [
     "q_sessionization",
     "q_training_pipeline",
     "q_hypertable_rollup",
+    "q_funnel_analysis",
+    "q_anomaly_zscore",
+    "q_trace_critical_path",
 ]
 
 
@@ -160,6 +163,9 @@ def main() -> int:
                     "q_mor_read": "warm MOR dedup-view read+agg: ref 556-741ms",
                     "q_mor_lifecycle": "create->insert->UPDATE->DELETE build (no baseline row; ref defers flush 300s)",
                     "q_time_bucket_counts": "whole-table 5-min rollup (39k groups; no direct baseline row)",
+                    "q_funnel_analysis": "ordered funnel over full events (no baseline row)",
+                    "q_anomaly_zscore": "trailing z-score anomaly sweep (no baseline row)",
+                    "q_trace_critical_path": "span-tree critical path, pointer doubling (no baseline row)",
                 },
                 "notes": "near-dup/LSH queries are plan-overhead-bound at this sf: "
                 "their reused-plan exec is ~0.1s (measured); wall time is "

@@ -265,3 +265,25 @@ class TestVacuumRetention:
         removed = maintenance.vacuum(table)  # retention 0 → collect now
         assert any(p.endswith(".parquet") for p in removed)
         assert table.read().count() == 3
+
+
+class TestRetentionDrop:
+    def test_drop_partitions_before_is_one_metadata_commit(self, spark, table):
+        """TTL drop: date partitions before the cutoff disappear in ONE
+        remove-only commit (no data rewritten); files stay on disk until
+        vacuum; time travel still sees the pre-drop snapshot."""
+        table.append(_rows(spark, BASE))  # dates 2026-01-01 (a,b), 2026-01-02 (c)
+        v_before = table.log.latest_version()
+        n = maintenance.drop_partitions_before(table, "2026-01-02")
+        assert n >= 1
+        assert table.log.latest_version() == v_before + 1
+        assert {r["id"] for r in table.read().collect()} == {"c"}
+        # pre-drop snapshot still readable (snapshot isolation)
+        assert table.read(version=v_before).count() == 3
+        # nothing matching → no empty commit
+        v = table.log.latest_version()
+        assert maintenance.drop_partitions_before(table, "2026-01-02") == 0
+        assert table.log.latest_version() == v
+        # vacuum collects the dropped files
+        assert any(p.endswith(".parquet") for p in maintenance.vacuum(table))
+        assert {r["id"] for r in table.read().collect()} == {"c"}

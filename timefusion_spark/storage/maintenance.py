@@ -162,6 +162,35 @@ def zorder_rewrite(
     return rows
 
 
+def drop_partitions_before(table: Table, cutoff_date: str) -> int:
+    """Retention / TTL enforcement: drop every `date` partition strictly
+    older than `cutoff_date` as ONE atomic log commit (remove-only) —
+    the observability data-retention primitive. Readers see either all of
+    the expired partitions or none; the dropped files stay on disk for
+    in-flight readers of older snapshots until `vacuum` collects them.
+
+    Metadata-only: no data is read or rewritten — the commit lists the
+    removed files straight from the current snapshot's manifest, so at
+    100 TB this costs one manifest scan regardless of data size. Returns
+    the number of files dropped."""
+    if "date" not in table.schema.partitions:
+        raise ValueError("drop_partitions_before requires a date partition")
+    if not table.log.exists():
+        raise ValueError("drop_partitions_before requires a commit log (Table.create)")
+    snap = table.log.snapshot()
+
+    def part_date(rel: str) -> str | None:
+        for seg in rel.split("/"):
+            if seg.startswith("date="):
+                return seg[len("date="):]
+        return None
+
+    removed = [p for p in snap.files if (d := part_date(p)) is not None and d < cutoff_date]
+    if removed:
+        table.log.commit(add=[], remove=removed, op="retention")
+    return len(removed)
+
+
 def vacuum(table: Table, retain_hours: float = 0.0) -> list[str]:
     """VACUUM by manifest diff (database.rs:9514): delete every data file
     in the table directory that the commit log's current snapshot does NOT
