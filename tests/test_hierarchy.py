@@ -37,3 +37,41 @@ def test_log_rounds_cover_max_depth(spark):
     out = path_to_root(_nodes(spark, rows), max_depth=64)
     deepest = out.where(F.col("id") == 32).first()
     assert deepest["depth"] == 33 and deepest["path_sum"] == 33 and deepest["_reached_root"]
+
+
+def test_random_forests_match_bruteforce(spark):
+    """Property: on random forests (trees + orphan chains), path_to_root
+    equals a driver-side reference walk for every node."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        parent = {}
+        for i in range(1, n):
+            # 10% orphan pointers (to a nonexistent id), else a prior node
+            parent[i] = 1000 + i if rng.random() < 0.1 else rng.randrange(0, i)
+        parent[0] = None
+        w = {i: rng.randrange(1, 9) for i in range(n)}
+        rows = [(i, parent[i], w[i]) for i in range(n)]
+
+        def walk(i):
+            total, depth, seen = 0, 0, set()
+            j = i
+            while j is not None and j in w and j not in seen:
+                seen.add(j)
+                total += w[j]
+                depth += 1
+                j = parent.get(j)
+            return (total, depth, j is None)  # reached root iff chain ended at None
+
+        expected = {i: walk(i) for i in range(n)}
+        out = {
+            r["id"]: (r["path_sum"], r["depth"], r["_reached_root"])
+            for r in path_to_root(_nodes(spark, rows), max_depth=64).collect()
+        }
+        for i in range(n):
+            if expected[i][2]:
+                assert out[i] == expected[i], f"trial {trial} node {i}"
+            else:
+                assert out[i][2] is False, f"trial {trial} node {i} orphan"

@@ -306,3 +306,27 @@ def test_corpus_mixing_broadcasts_rates(spark, sf_dir):
     df = REGISTRY["q_corpus_mixing"].spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_has_single_shuffle(spark, sf_dir):
+    """The funnel fold must ride on ONE groupBy exchange (plus AQE reads)
+    — the sequential matcher adds no joins or extra shuffles."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q_funnel_analysis"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2  # user groupBy + final agg
+    assert "Join" not in plan
+
+
+def test_q7_broadcasts_all_dimensions(spark, sf_dir):
+    """Q7's 6-way join: nation/supplier/customer broadcast; the only
+    sort-merge or shuffled-hash join permitted is lineitem-orders."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q7_volume_shipping"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
