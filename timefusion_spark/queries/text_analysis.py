@@ -773,3 +773,55 @@ def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "template_id")
         .limit(25)
     )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT COUNT(*) AS t FROM toks
+    ), scored AS (
+      SELECT s.source,
+             CAST(-ln(CAST(f.c AS DOUBLE) / tot.t) AS DECIMAL(28,12)) AS nll
+      FROM toks s JOIN freq f ON s.tok = f.tok, tot
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Unigram cross-entropy quality scoring (the KenLM-style "
+    "perplexity-proxy filter at unigram order): corpus token frequencies "
+    "-> per-token -ln p -> per-source average negative log-likelihood. "
+    "Two aggregates and one broadcast join; per-token NLL terms are cast "
+    "to DECIMAL before summing so the aggregation is order-independent "
+    "and engine-identical. At 100 TB the vocab side is bounded (top-V + "
+    "OOV bucket) and broadcasts; the corpus side never shuffles twice.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    freq = freq.withColumn("t", F.sum("c").over(W.partitionBy()))
+    nll = (-F.log(F.col("c").cast("double") / F.col("t"))).cast("decimal(28,12)")
+    scored = toks.join(F.broadcast(freq), "tok").select("source", nll.alias("nll"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 4).alias("avg_nll"),
+        )
+        .orderBy("source")
+    )
