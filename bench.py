@@ -139,6 +139,10 @@ def main() -> int:
         extra["query_under_ingest"] = _query_under_ingest(spark, sf_dir, qs)
     except Exception as e:  # noqa: BLE001
         print(f"bench query-under-ingest: ERROR {e}", file=sys.stderr)
+    try:
+        extra["update_churn"] = _update_churn(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench update-churn: ERROR {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     print(
@@ -197,6 +201,63 @@ def _mor_rows(spark, sf_dir: str, lo: int, hi: int):
         F.col("value").alias("value"),
         F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
     )
+
+
+def _update_churn(spark, sf_dir: str) -> dict:
+    """run_update_bench.sh analog: repeated UPDATE cycles pile up row
+    versions (MOR read amplification), then a dedup sweep + compaction
+    restores read latency. Reports the dedup-view read time after churn
+    vs after maintenance, plus the physical version counts."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timefusion_spark.storage import Table, dml, load_schema, maintenance
+
+    schema_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "timefusion_spark",
+        "schemas",
+        "mor_versioned.yaml",
+    )
+    base = tempfile.mkdtemp(prefix="tf_churn_")
+    try:
+        tbl = Table.create(spark, load_schema(schema_path), os.path.join(base, "t"))
+        tbl.append(_mor_rows(spark, sf_dir, 0, 20_000), stamp="2026-03-01 00:00:00")
+        for i in range(8):
+            dml.update(
+                tbl,
+                {"value": F.col("value") + 1.0},
+                predicate=(F.xxhash64("id") % 10 == i % 10),
+                stamp=f"2026-03-02 {i:02d}:00:00",
+            )
+
+        def read_ms() -> float:
+            t0 = _t.perf_counter()
+            tbl.read().agg(F.count(F.lit(1)), F.sum("value")).collect()
+            return round((_t.perf_counter() - t0) * 1000, 1)
+
+        read_ms()  # warm
+        after_churn = min(read_ms() for _ in range(2))
+        versions_before = tbl.read_raw().count()
+        for r in tbl.read_raw().select("project_id", "date").distinct().collect():
+            maintenance.dedup_sweep(
+                tbl, {"project_id": r["project_id"], "date": str(r["date"])}
+            )
+        maintenance.vacuum(tbl)
+        versions_after = tbl.read_raw().count()
+        read_ms()  # warm post-compaction plan
+        after_compact = min(read_ms() for _ in range(2))
+        return {
+            "versions_after_churn": versions_before,
+            "versions_after_sweep": versions_after,
+            "read_ms_after_churn": after_churn,
+            "read_ms_after_sweep": after_compact,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _mor_split_bench(spark, sf_dir: str) -> dict:
