@@ -50,6 +50,7 @@ HEADLINE = [
     "q_funnel_analysis",
     "q_anomaly_zscore",
     "q_trace_critical_path",
+    "q_json_props_extract",
 ]
 
 

@@ -376,15 +376,22 @@ class _SqlEmitter:
         raise AssertionError(kind)
 
 
-def jsonpath_exists_sql(json_expr: str, path: str) -> str:
+def jsonpath_exists_sql(json_expr: str, path: str, *, variant_input: bool = False) -> str:
     """Compile a PG jsonpath (lax) into a Spark SQL boolean expression over
     `json_expr` — shared by jsonb_path_exists and the pgshim rewrite.
     The value set flows as array<variant> through transform/filter/flatten;
-    existence = non-empty at the end. NULL input → NULL (PG semantics)."""
+    existence = non-empty at the end. NULL input → NULL (PG semantics).
+
+    `variant_input=True` treats `json_expr` as an ALREADY-PARSED Variant
+    column (the reference evaluates jsonb_path_exists directly on Variant
+    columns, functions.rs:1273) — callers evaluating several paths against
+    one payload stage `try_parse_json` once and skip the per-predicate
+    re-parse, which is the dominant cost on JSON-string inputs."""
     steps = _JsonPathParser(path).parse()
     em = _SqlEmitter()
     v0 = em.var()
-    cur = f"filter(array(try_parse_json({json_expr})), {v0} -> {v0} IS NOT NULL)"
+    root = json_expr if variant_input else f"try_parse_json({json_expr})"
+    cur = f"filter(array({root}), {v0} -> {v0} IS NOT NULL)"
     for st in steps:
         if st[0] == "member":
             v, w = em.var(), em.var()

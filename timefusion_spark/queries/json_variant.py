@@ -242,10 +242,17 @@ def q_jsonpath_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("/api/"), F.col("event_type")).alias("path"),
         )
     )
-    staged = ev.select("event_type", payload.alias("payload"))
+    # Parse ONCE into a staged Variant attribute; every path predicate
+    # traverses the same parsed value (variant_input) instead of
+    # re-parsing the JSON string per aggregate.
+    staged = ev.select("event_type", payload.alias("payload")).select(
+        "event_type", F.expr("try_parse_json(payload)").alias("pv")
+    )
 
     def hit(path: str):
-        return F.count(F.when(F.expr(jsonpath_exists_sql("payload", path)), 1))
+        return F.count(
+            F.when(F.expr(jsonpath_exists_sql("pv", path, variant_input=True)), 1)
+        )
 
     return (
         staged.groupBy("event_type")
