@@ -303,3 +303,36 @@ def test_windowed_counts_watermark_late_data(spark, tmp_path):
         {"timestamp": "2026-01-01 10:01:30", "id": "too-late", "value": 1.0, "project_id": "p1"}
     ])
     assert out2.get(("2026-01-01T10:00:00", "p1"), 5) == 5
+
+
+def test_live_rollup_maintained_under_ingest(spark, tmp_path, table):
+    """Continuous aggregate maintained inside the micro-batch loop: after
+    each batch commits, refresh_rollup recomputes only the stale tiles;
+    at stream end the rollup equals a from-scratch batch recompute of the
+    dedup view."""
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    _write_source_file(src, "b0.json", _rows(0, 40))
+    _write_source_file(src, "b1.json", _rows(40, 80))
+    # duplicate redelivery of ids 60-79 (same keys) — LWW collapses them
+    _write_source_file(src, "b2.json", _rows(60, 80))
+
+    def agg(visible):
+        return visible.groupBy("project_id", "date").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+        )
+
+    q = ingest_stream(
+        table, _stream(spark, src), str(tmp_path / "ckpt"), rollup=(rollup, agg)
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["project_id"], str(r["date"])): (r["n"], r["total"])
+        for r in spark.read.parquet(rollup).collect()
+    }
+    want = {
+        (r["project_id"], str(r["date"])): (r["n"], r["total"])
+        for r in agg(table.read()).collect()
+    }
+    assert got == want and got  # live rollup == from-scratch recompute

@@ -68,6 +68,7 @@ def ingest_stream(
     query_name: str | None = None,
     dedup_in_stream: bool = False,
     watermark: str = "10 minutes",
+    rollup: tuple[str, object] | None = None,
 ) -> StreamingQuery:
     """Attach a streaming DataFrame to the table's write path.
 
@@ -109,6 +110,18 @@ def ingest_stream(
 
     def _write_batch(batch: DataFrame, batch_id: int) -> None:
         table.append(batch, txn=(app_id, batch_id))
+        if rollup is not None:
+            # Continuous aggregate maintained LIVE under ingest: after the
+            # batch commits, refresh only the rollup tiles whose source
+            # partitions changed (file-signature staleness) — the
+            # TimescaleDB continuous-aggregate policy running inside the
+            # micro-batch instead of on a schedule. Idempotent with the
+            # txn skip above: a re-delivered batch appends nothing, so no
+            # partition signature changes and the refresh is a no-op.
+            from timefusion_spark.storage import maintenance
+
+            rollup_path, agg_fn = rollup
+            maintenance.refresh_rollup(table, rollup_path, agg_fn)
 
     writer = (
         stream.writeStream.foreachBatch(_write_batch)
