@@ -119,3 +119,31 @@ class TestTDigest:
         # merged digest still bounded
         sz = merged.select(F.size("digest").alias("s")).collect()[0]["s"]
         assert sz <= TD.DELTA // 2 + 2
+
+
+class TestTDigestSharded:
+    def test_sharded_build_matches_direct_quantiles(self, spark):
+        from pyspark.sql import functions as F
+
+        from timefusion_spark.functions import tdigest as TD
+
+        df = spark.range(20_000).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            (F.col("id") / 100.0).alias("v"),
+        )
+        direct = TD.with_quantiles(TD.tdigest_agg(df, ["g"], "v"), {"p50": 0.5, "p99": 0.99})
+        sharded = TD.with_quantiles(
+            TD.tdigest_agg_sharded(df, ["g"], "v", shards=8), {"p50": 0.5, "p99": 0.99}
+        )
+        a = {r["g"]: (r["p50"], r["p99"]) for r in direct.collect()}
+        b = {r["g"]: (r["p50"], r["p99"]) for r in sharded.collect()}
+        # different point groupings → different digests, but quantiles must
+        # agree within t-digest resolution (values span [0, 200)): the k1
+        # scale is COARSE mid-range (middle centroids hold ~2π/δ ≈ 3% of
+        # mass, so p50 can move ~2% of the range) and SHARP at the tails.
+        for g in a:
+            assert abs(a[g][0] - b[g][0]) < 5.0  # p50: mid-range, coarse
+            assert abs(a[g][1] - b[g][1]) < 1.0  # p99: tail, sharp
+        # digest stays bounded after the merge
+        merged = TD.tdigest_agg_sharded(df, ["g"], "v", shards=8).collect()
+        assert all(len(r["digest"]) <= TD.DELTA // 2 + 2 for r in merged)

@@ -114,6 +114,29 @@ def tdigest_agg(
     return _compress(pts, group_cols, delta)
 
 
+def tdigest_agg_sharded(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    shards: int = 32,
+    delta: int = DELTA,
+) -> DataFrame:
+    """Scale-safe digest build: shard each group by a value hash, build
+    per-shard digests in parallel, merge per group — the two-step pattern
+    q_percentile_sketch demonstrates, packaged as one call.
+
+    Use this instead of `tdigest_agg` when |groups| < cores: the plain
+    form's per-group sort window would funnel every value of a group
+    through ONE task (the classic few-groups window skew), while the
+    sharded form's first pass spreads each group over `shards` tasks and
+    the merge pass sorts only ~shards·δ/2 centroids per group."""
+    sharded = df.withColumn(
+        "_tf_shard", F.pmod(F.xxhash64(F.col(value_col)), F.lit(shards))
+    )
+    partials = tdigest_agg(sharded, [*group_cols, "_tf_shard"], value_col, delta)
+    return tdigest_merge(partials.drop("_tf_shard"), group_cols, delta=delta)
+
+
 def tdigest_merge(
     df: DataFrame, group_cols: list[str], digest_col: str = "digest", delta: int = DELTA
 ) -> DataFrame:
