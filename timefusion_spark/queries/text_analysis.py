@@ -825,3 +825,76 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_boilerplate_fraction",
+    oracle="""
+    WITH sents AS (
+      SELECT doc_id, source,
+             list_distinct(list_filter(
+                 string_split_regex(lower(trim(text)), '\\.\\s+'),
+                 s -> length(s) >= 10)) AS ss
+      FROM documents
+    ), flat AS (
+      SELECT doc_id, source, unnest(ss) AS s FROM sents
+    ), df AS (
+      SELECT s, COUNT(DISTINCT doc_id) AS n_docs FROM flat GROUP BY s
+    ), per_doc AS (
+      SELECT f.doc_id, f.source,
+             COUNT(*) AS n_sents,
+             CAST(COUNT(CASE WHEN df.n_docs >= 2 THEN 1 END) AS BIGINT) AS n_boiler
+      FROM flat f JOIN df ON f.s = df.s
+      GROUP BY f.doc_id, f.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_sents) AS BIGINT) AS total_sents,
+           CAST(SUM(n_boiler) AS BIGINT) AS total_boiler,
+           ROUND(SUM(n_boiler)::DOUBLE / SUM(n_sents), 4) AS boiler_frac
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Sub-document (sentence-level) boilerplate detection — the "
+    "boilerplate-stripping pipeline op: sentences shared by ≥2 documents "
+    "are boilerplate; per-source fraction reported. Shape: explode "
+    "distinct sentences, ONE document-frequency aggregate, join back on "
+    "the sentence key, per-doc + per-source rollups — all "
+    "map-side-combinable aggregates; the df join keys on the sentence "
+    "so it shuffles once and never goes all-pairs.",
+)
+def q_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    sents = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\.\s+"),
+                lambda s: F.length(s) >= 10,
+            )
+        ).alias("ss"),
+    )
+    flat = sents.select("doc_id", "source", F.explode("ss").alias("s"))
+    df_counts = flat.groupBy("s").agg(F.countDistinct("doc_id").alias("n_docs"))
+    per_doc = (
+        flat.join(df_counts, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_boiler"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sents").alias("total_sents"),
+            F.sum("n_boiler").alias("total_boiler"),
+            F.round(
+                F.sum("n_boiler").cast("double") / F.sum("n_sents"), 4
+            ).alias("boiler_frac"),
+        )
+        .orderBy("source")
+    )
