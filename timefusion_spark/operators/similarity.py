@@ -202,6 +202,78 @@ def knn_ivf(
     )
 
 
+def l2_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str) -> Column:
+    """Closed-form L2-argmin cell assignment over a fixed centroid set as
+    ONE SQL parse: an array of (distance_score, cid) structs; array_min
+    picks the argmin with the struct's field order giving the cid tiebreak
+    for free. The score is the expanded form  ||c||² − 2⟨v,c⟩  (the ||v||²
+    term is constant per row): products and sums only — no sqrt, no
+    division — so a SQL oracle agrees bit-for-bit. Centroids ship as plan
+    constants (the broadcast analog); evaluation is per-row arithmetic —
+    zero shuffle."""
+    c2 = {cid: sum(float(x) * float(x) for x in cv) for cid, cv in centroids}
+    structs = []
+    for cid, cv in centroids:
+        arr = ", ".join(f"{float(x)!r}D" for x in cv)
+        dot_ = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            "(x, y) -> cast(x AS double) * y), 0.0D, (a, x) -> a + x)"
+        )
+        structs.append(
+            f"named_struct('d', {c2[cid]!r}D - 2.0D * {dot_}, 'cid', {cid})"
+        )
+    return F.expr(f"array_min(array({', '.join(structs)})).cid")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings with a coarse quantizer, then compare pairs ONLY
+    within a cluster — never all-pairs — and drop near-duplicates.
+
+    Spec (deterministic, order-free): a row is DROPPED iff some same-cell
+    row with a smaller id has cosine ≥ threshold to it. This keeps exactly
+    one representative per duplicate chain anchored at the smallest id
+    (long chains can prune slightly more than the paper's ε-ball sweep —
+    the rule is stated so a SQL oracle reproduces it exactly).
+
+    Scale shape: cell assignment is map-only (centroids are plan
+    constants); the self-join shuffles BOTH sides once on `_cell` — the
+    candidate set is Σ |cell|² over cells, the quantizer's job being to
+    keep occupancy bounded (k ∝ corpus size at 100 TB, the paper runs
+    k=50k over 5B embeddings). Returns (id, cell, kept).
+
+    Reference parity: the reference engine has no vector surface; this is
+    LLM-pipeline scope (training-data curation over the embeddings table).
+    """
+    staged = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select(
+        id_col, "_v", l2_cell_expr(centroids, "_v").alias("cell")
+    )
+    a, b = staged.alias("a"), staged.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(cosine(F.col("a._v"), F.col("b._v")) >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return staged.join(
+        dup_ids.withColumn("_dup", F.lit(True)), id_col, "left_outer"
+    ).select(
+        id_col, "cell", F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept")
+    )
+
+
 def knn_ivf_flat(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -227,20 +299,7 @@ def knn_ivf_flat(
     bounds the brute-force candidate set to ~n_probe/n_cells of the
     corpus, then TakeOrderedAndProject takes the top-k."""
     c2 = {cid: sum(float(x) * float(x) for x in cv) for cid, cv in centroids}
-    # Cell-assignment expression as ONE SQL parse: an array of
-    # (distance_score, cid) structs; array_min picks the argmin with the
-    # struct's field order giving the cid tiebreak for free.
-    structs = []
-    for cid, cv in centroids:
-        arr = ", ".join(f"{float(x)!r}D" for x in cv)
-        dot_ = (
-            f"aggregate(zip_with({vec_col}, array({arr}), "
-            "(x, y) -> cast(x AS double) * y), 0.0D, (a, x) -> a + x)"
-        )
-        structs.append(
-            f"named_struct('d', {c2[cid]!r}D - 2.0D * {dot_}, 'cid', {cid})"
-        )
-    cell = F.expr(f"array_min(array({', '.join(structs)})).cid")
+    cell = l2_cell_expr(centroids, vec_col)
 
     # Probed cells: same score against the query vector, driver-side
     # (centroids and query are O(1) parameters).

@@ -103,3 +103,30 @@ def redact_pii(c: Column) -> Column:
     out = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
     out = F.regexp_replace(out, PII_IPV4, "<IP>")
     return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def hashed_linear_logit(toks: Column) -> Column:
+    """fastText-style hashed linear quality model (the CCNet/fastText
+    quality-filter shape, public technique): each token maps to a feature
+    bucket by hash, each bucket carries a weight, the document logit is
+    the mean token weight. Weights here are derived deterministically
+    from the hash (stand-ins for trained parameters — the plumbing is the
+    operator); classification thresholds the logit at 0, which equals
+    sigmoid(logit) >= 0.5 without evaluating exp() (libm vs JVM exp are
+    not bit-identical; the linear part is).
+
+    Portable hash: first 4 hex digits of md5 parsed as an int (0..65535)
+    — Spark conv(hex,16,10) ≡ DuckDB CAST('0x'||hex AS BIGINT). Weight =
+    (h % 1001)/1000 − 0.5 ∈ [−0.5, 0.5].
+
+    `toks` MUST be a materialized token-array column (module note). Pure
+    per-row expression work — map-only at any scale."""
+    w = lambda tok: (
+        (F.conv(F.substring(F.md5(F.lower(tok)), 1, 4), 16, 10).cast("long") % 1001)
+        .cast("double")
+        / 1000.0
+        - 0.5
+    )
+    return F.aggregate(
+        F.transform(toks, w), F.lit(0.0), lambda a, x: a + x
+    ) / F.size(toks)

@@ -506,3 +506,69 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sim.cosine(F.col("va"), F.col("vb")), 4).alias("cos_orig"),
         F.round(sim.cosine(F.col("pa"), F.col("pb")), 4).alias("cos_proj"),
     ).orderBy("id_a")
+
+
+@query(
+    "q_semantic_dedup",
+    oracle="""
+    WITH unitv AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x ->
+                   x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+        FROM embeddings
+    ), base AS (
+        SELECT vec_id, v FROM unitv
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id, v FROM unitv WHERE vec_id % 2 = 0
+    ), cent AS (
+        SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM unitv WHERE vec_id BETWEEN 1 AND 16
+    ), assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+            SELECT b.vec_id, b.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                       list_inner_product(c.cv, c.cv)
+                       - 2 * list_inner_product(b.v, c.cv) ASC,
+                       c.cid ASC) AS rn
+            FROM base b CROSS JOIN cent c
+        ) WHERE rn = 1
+    ), dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_inner_product(a.v, b.v) /
+              (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+              >= 0.999
+    )
+    SELECT s.vec_id, s.cell,
+           s.vec_id NOT IN (SELECT vec_id FROM dups) AS kept
+    FROM assigned s
+    ORDER BY s.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): unit-normalize, "
+    "coarse-quantize into 16 fixed cells (closed-form L2 argmin — "
+    "map-only), compare pairs ONLY within a cell, drop rows with a "
+    "smaller-id same-cell neighbor at cosine ≥0.999. Planted duplicates "
+    "(unit-normalized copies) share cells by construction. The within-"
+    "cell self-join is the paper's Σ|cell|² candidate bound — never "
+    "all-pairs.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    staged = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_raw")
+    ).select("vec_id", "_raw", sim.norm(F.col("_raw")).alias("_n"))
+    unit = staged.select(
+        "vec_id", F.transform("_raw", lambda x: x / F.col("_n")).alias("embedding")
+    )
+    planted = unit.where(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    base = unit.unionByName(planted)
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in unit.where(F.col("vec_id").between(1, 16))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    out = sim.semantic_dedup(base, cents, threshold=0.999)
+    return out.orderBy("vec_id")

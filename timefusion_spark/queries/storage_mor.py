@@ -1125,3 +1125,82 @@ def q_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_streaming_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(v.ts) AS TIMESTAMP) AS first_view
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts < v.ts + INTERVAL 6 HOUR
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND v.event_id <= 3000 AND c.event_id <= 3000
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+    doc="STREAMING stream-stream inner join (storage/streaming.py "
+    "stream_stream_join): view events joined to same-user click events "
+    "within 6 hours, both sides watermarked so join state stays "
+    "bounded, run to completion with availableNow. The emitted pairs "
+    "must equal the batch interval-join of the same rows — streaming "
+    "and batch are the same query at different latencies (§2.10).",
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage.streaming import stream_stream_join
+
+    base_dir = tempfile.mkdtemp(prefix="tf_ssj_")
+    try:
+        ev = (
+            t(spark, sf_dir, "events")
+            .where(F.col("event_id") <= 3000)
+            .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+        )
+        views_src = os.path.join(base_dir, "views")
+        clicks_src = os.path.join(base_dir, "clicks")
+        ev.where(F.col("event_type") == "view").drop("event_type").coalesce(
+            2
+        ).write.json(views_src)
+        ev.where(F.col("event_type") == "click").drop("event_type").coalesce(
+            2
+        ).write.json(clicks_src)
+        views = (
+            spark.readStream.schema("user_id long, ts_us long")
+            .json(views_src)
+            .select("user_id", F.timestamp_micros("ts_us").alias("view_ts"))
+        )
+        clicks = (
+            spark.readStream.schema("user_id long, ts_us long")
+            .json(clicks_src)
+            .select("user_id", F.timestamp_micros("ts_us").alias("click_ts"))
+        )
+        joined = stream_stream_join(
+            views, clicks, key="user_id", left_ts="view_ts",
+            right_ts="click_ts", within="6 hours", watermark="1 minute",
+        )
+        out_dir = os.path.join(base_dir, "pairs")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(out_dir)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.min("view_ts").alias("first_view"),
+            )
+            .orderBy("user_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -898,3 +898,47 @@ def q_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    SELECT doc_id,
+           len({_ORACLE_TOKENS}) AS n_tokens,
+           ROUND(logit, 6) AS logit,
+           CASE WHEN logit > 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM (
+        SELECT doc_id, text,
+               list_sum(list_transform({_ORACLE_TOKENS}, tok ->
+                   (CAST('0x' || substring(md5(lower(tok)), 1, 4) AS BIGINT) % 1001)::DOUBLE
+                   / 1000.0 - 0.5))
+               / len({_ORACLE_TOKENS}) AS logit
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    doc="fastText-style hashed linear quality classifier "
+    "(operators/text_analysis.hashed_linear_logit): md5-bucketed token "
+    "features, mean bucket weight as the document logit, keep/drop at "
+    "logit>0 (≡ sigmoid ≥ 0.5 without a libm exp call). Pure per-row "
+    "expression work — map-only at any scale; the weight table is a "
+    "closed-form function of the hash, standing in for trained "
+    "parameters shipped as a broadcast map.",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.operators.dedup import tokens
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    )
+    scored = d.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        ta.hashed_linear_logit(F.col("_toks")).alias("_logit"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_logit", 6).alias("logit"),
+        F.when(F.col("_logit") > 0, "keep").otherwise("drop").alias("label"),
+    ).orderBy("doc_id")

@@ -64,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "q_streaming_ingest",
     "q_streaming_session_windows",
     "q_streaming_windowed_counts",
+    "q_streaming_stream_join",
     "q_custom_source",
     # corpus parity + end-to-end pipeline
     "q_slt_parity",
@@ -83,8 +84,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_ivf_topk",
     "q_ann_ivf_flat",
     "q_ann_arrow_topk",
-    "q_jl_projection",
-    "q_embedding_quantization",
+    "q_semantic_dedup",
     "q_salted_agg",
     # percentile family + timeseries operators
     "q_percentile_duration",

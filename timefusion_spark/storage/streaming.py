@@ -172,3 +172,49 @@ def windowed_counts(
             "n",
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "10 minutes",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: pair each left event with
+    right events of the same `key` whose time falls in
+    [left_ts, left_ts + within).
+
+    This is the attribution/correlation primitive (view→click,
+    request→error) the reference serves by re-querying flushed batches;
+    in Structured Streaming it runs continuously with BOUNDED state: the
+    watermark on both sides plus the time-range condition let Spark
+    expire buffered rows once no future match is possible (state ≈
+    within + watermark of data per side, independent of stream length).
+    Inner-join matches emit as soon as both sides arrive — no waiting on
+    window finalization.
+
+    Scale shape: both sides shuffle once on `key` into the same join
+    state store partitions; skewed keys behave like any keyed stateful
+    op (salt upstream if one key dominates)."""
+    from pyspark.sql import functions as F
+
+    if not (left.isStreaming and right.isStreaming):
+        raise ValueError("stream_stream_join requires two streaming DataFrames")
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    return lw.join(
+        rw,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            < F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        ),
+    ).select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{left_ts}").alias(left_ts),
+        F.col(f"r.{right_ts}").alias(right_ts),
+    )
