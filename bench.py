@@ -36,6 +36,8 @@ HEADLINE = [
     "q_latest_event_per_user",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q9_profit_by_nation",
+    "q13_customer_distribution",
     "q_window_topk_per_group",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",

@@ -239,11 +239,23 @@ def minhash_signature_from_hashes(set_hashes: Column | str, n_hashes: int = 16) 
     Pass the column NAME (str) in hot paths: n_hashes transform trees
     render as ONE SQL parse instead of ~6·n_hashes py4j round-trips."""
     if isinstance(set_hashes, str):
-        mins = ", ".join(
-            f"array_min(transform({set_hashes}, h -> pmod({a}L * h + {b}L, {HASH_PRIME}L)))"
-            for a, b in MINHASH_SEEDS[:n_hashes]
+        # Nested-loop form: ONE transform over the seed index with the
+        # (a, b) coefficient vectors as literal arrays, instead of
+        # n_hashes unrolled transform trees. Identical values — pmod(a*h
+        # + b, P) per (seed, element) either way — but the Catalyst tree
+        # is O(1) in n_hashes instead of O(n_hashes), which is the
+        # difference between ~0.1 s and multiple seconds of per-query
+        # analysis/optimization on the near-dup pipelines (execution is
+        # the same nested loop after codegen; the constant arrays fold
+        # to literals).
+        a_arr = ", ".join(f"{a}L" for a, b in MINHASH_SEEDS[:n_hashes])
+        b_arr = ", ".join(f"{b}L" for a, b in MINHASH_SEEDS[:n_hashes])
+        return F.expr(
+            f"transform(sequence(0, {n_hashes - 1}), i -> "
+            f"array_min(transform({set_hashes}, h -> "
+            f"pmod(element_at(array({a_arr}), i + 1) * h"
+            f" + element_at(array({b_arr}), i + 1), {HASH_PRIME}L))))"
         )
-        return F.expr(f"array({mins})")
 
     def permute(a: int, b: int):
         # closure factory: PySpark inspects lambda arity, so default-arg
@@ -293,18 +305,19 @@ def banded_candidate_pairs(
     """
     blk = [F.col("_blk")] if block_col else []
     blk_names = ["_blk"] if block_col else []
-    # Band structs rendered as ONE SQL parse (n_bands nested trees would
-    # otherwise cost hundreds of py4j round-trips at plan-build time).
-    band_structs = ", ".join(
-        f"named_struct('band', {j}, 'key', "
-        f"concat_ws('-', transform(slice(_sig, {j * n_rows + 1}, {n_rows}), "
-        f"x -> cast(x AS string))))"
-        for j in range(n_bands)
-    )
+    # Band structs as ONE nested-loop expression (a transform over the
+    # band index) instead of n_bands unrolled struct trees: same values,
+    # O(1) Catalyst tree size — plan analysis/optimization time on the
+    # near-dup pipelines is dominated by tree size, not execution.
     bands = sigs.select(
         F.struct(F.col("_id").alias("i"), F.col("_sig").alias("s")).alias("m"),
         *blk,
-        F.expr(f"explode(array({band_structs}))").alias("b"),
+        F.expr(
+            f"explode(transform(sequence(0, {n_bands - 1}), j -> "
+            f"named_struct('band', j, 'key', "
+            f"concat_ws('-', transform(slice(_sig, j * {n_rows} + 1, {n_rows}), "
+            f"x -> cast(x AS string))))))"
+        ).alias("b"),
     ).select("m", *blk_names, "b.band", "b.key")
 
     buckets = (

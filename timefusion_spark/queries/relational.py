@@ -1474,3 +1474,87 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "supp_name")
         .limit(100)
     )
+
+
+@query(
+    "q_window_rank_family",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           NTILE(4) OVER w AS tile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           FIRST_VALUE(o_orderkey) OVER w AS best_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WHERE o_orderkey <= 500
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, pr, o_orderkey
+    """,
+    doc="Distribution-rank window family (§2.5 completion): NTILE / "
+    "PERCENT_RANK / CUME_DIST / FIRST_VALUE / NTH_VALUE over one "
+    "partitioned order. The ORDER BY carries a unique tiebreak "
+    "(o_orderkey), so every rank value — and NTH_VALUE under the default "
+    "RANGE UNBOUNDED PRECEDING..CURRENT ROW frame, identical in Spark "
+    "and PG/DuckDB — is deterministic. One shuffle on the partition key.",
+)
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("tile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.first("o_orderkey").over(w).alias("best_key"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        )
+        .orderBy("o_orderpriority", "pr", "o_orderkey")
+    )
+
+
+@query(
+    "q_lateral_topk_per_nation",
+    oracle="""
+    SELECT n.n_name AS nation_name, l.o_orderkey AS orderkey,
+           ROUND(l.o_totalprice, 2) AS total_price
+    FROM nation n, LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 2
+    ) l
+    ORDER BY nation_name, total_price DESC, orderkey
+    """,
+    doc="Correlated LATERAL subquery with per-group ORDER BY + LIMIT "
+    "(PG's idiomatic top-N-per-key; SURVEY §2.3 subquery surface): "
+    "expressed through Spark SQL's LATERAL join and decorrelated by "
+    "Catalyst. The oracle runs the identical SQL in DuckDB — both "
+    "engines reduce it to a per-nation top-2.",
+)
+def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("nation", "orders", "customer"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"_lat_{name}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation_name, l.o_orderkey AS orderkey,
+               ROUND(l.o_totalprice, 2) AS total_price
+        FROM _lat_nation n, LATERAL (
+            SELECT o.o_orderkey, o.o_totalprice
+            FROM _lat_orders o
+            JOIN _lat_customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 2
+        ) l
+        ORDER BY nation_name, total_price DESC, orderkey
+        """
+    )

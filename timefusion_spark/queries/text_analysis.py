@@ -942,3 +942,34 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_logit", 6).alias("logit"),
         F.when(F.col("_logit") > 0, "keep").otherwise("drop").alias("label"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_ordered_set_aggs",
+    oracle="""
+    SELECT source,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+           ROUND(median(n_chars), 4) AS median_chars,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4)
+               AS p90_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="PG ordered-set / within-group aggregate parity (§2.9): "
+    "string_agg(DISTINCT .. ORDER BY), median, percentile_cont. Spark "
+    "spellings: array_join(array_sort(collect_set)) — sorted so the "
+    "concatenation is deterministic regardless of partition arrival "
+    "order — and the interpolating percentile() (≡ percentile_cont).",
+)
+def q_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+            F.round(F.median("n_chars"), 4).alias("median_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        )
+        .orderBy("source")
+    )

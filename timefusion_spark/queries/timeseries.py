@@ -765,3 +765,44 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "bucket", "n", F.round(z, 4).alias("z"))
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "q_regression_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(REGR_SLOPE(value, x), 4)     AS slope,
+           ROUND(REGR_INTERCEPT(value, x), 4) AS intercept,
+           ROUND(CORR(value, x), 4)           AS r,
+           CAST(REGR_COUNT(value, x) AS BIGINT) AS n
+    FROM (
+        SELECT event_type, value,
+               CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x
+        FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="PG bivariate regression aggregates (regr_slope / regr_intercept "
+    "/ corr / regr_count — the PG §2.9 statistical-aggregate surface): "
+    "value regressed on hour-of-day per event type. Spark's built-in "
+    "regr_* aggregates are partial/final merged (map-side combine); "
+    "display rounding at 1e-4 absorbs the merge-order float drift "
+    "between engines.",
+)
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.hour("ts").cast("double").alias("x"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("value", "x"), 4).alias("slope"),
+            F.round(F.regr_intercept("value", "x"), 4).alias("intercept"),
+            F.round(F.corr("value", "x"), 4).alias("r"),
+            F.regr_count("value", "x").cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
