@@ -352,3 +352,46 @@ class TestClockFunctions:
 
         t = pg_sql(spark, "SELECT timefusion_now_micros() AS t").first()["t"]
         assert abs(t / 1e6 - dt.datetime.now(dt.timezone.utc).timestamp()) < 60
+
+
+class TestVariantPretty:
+    """variant_pretty prints DataFusion-variant Debug tags for the scalar
+    cases the slt corpus pins (variant_functions.slt:100); unpinned shapes
+    fall back to canonical JSON."""
+
+    @pytest.mark.parametrize(
+        "expr,expected",
+        [
+            ("variant_pretty(json_to_variant('123'))", "Int8(123)"),
+            ("variant_pretty(json_to_variant('-128'))", "Int8(-128)"),
+            ("variant_pretty(json_to_variant('300'))", "Int16(300)"),
+            ("variant_pretty(json_to_variant('70000'))", "Int32(70000)"),
+            ("variant_pretty(json_to_variant('3000000000'))", "Int64(3000000000)"),
+            ("variant_pretty(json_to_variant('\"ab\"'))", 'String("ab")'),
+            ("variant_pretty(json_to_variant('1.5'))", "1.5"),
+            ("variant_pretty(json_to_variant('[1, 2]'))", "[1,2]"),
+        ],
+    )
+    def test_scalar_tags(self, spark, expr, expected):
+        assert pg_sql(spark, f"SELECT {expr} AS v").first()["v"] == expected
+
+
+class TestQualifiedStarInCall:
+    def test_jsonb_build_array_sub_star(self, spark):
+        """json_functions.slt:212 — the qualified wildcard inside a
+        function call expands to the derived relation's columns at bind
+        time (LIMIT-0 schema probe), so no client-side column count is
+        needed."""
+        out = pg_sql(
+            spark,
+            "SELECT jsonb_build_array(sub.*) AS j FROM "
+            "(SELECT 1 AS a, 'x' AS b, 2.5 AS c) sub",
+        ).first()["j"]
+        assert out == '[1,"x",2.5]'
+
+    def test_non_matching_shapes_untouched(self, spark):
+        """A bare SELECT * (no qualified star in a call) is unchanged."""
+        from timefusion_spark.pgshim import expand_qualified_star_in_calls
+
+        sql = "SELECT * FROM (SELECT 1 AS a) sub"
+        assert expand_qualified_star_in_calls(spark, sql) == sql

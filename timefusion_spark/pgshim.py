@@ -489,6 +489,29 @@ def _translate_fn_calls(sql: str) -> str:
     sql = _rewrite_calls(
         sql, "json_to_variant", lambda a: f"({a[0]})" if len(a) == 1 else None
     )
+    # variant_pretty: DataFusion-variant's Debug rendering of the decoded
+    # scalar (variant_functions.slt:100 pins `Int8(123)`). Integers print
+    # with the narrowest Rust width tag (Int8/Int16/Int32/Int64 — the
+    # decoder picks the smallest fitting type), strings as String("…")
+    # (the JSON rendering already carries the quotes); everything else —
+    # floats, bools, arrays, objects, whose internal tags the corpus does
+    # not pin — falls back to the canonical JSON text.
+    def _variant_pretty(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        j = f"coalesce(to_json(try_parse_json({a[0]})), 'null')"
+        b = f"try_cast({j} AS bigint)"
+        return (
+            f"(CASE WHEN {b} IS NOT NULL AND NOT contains({j}, '.') THEN"
+            f" CASE WHEN {b} BETWEEN -128 AND 127 THEN concat('Int8(', {j}, ')')"
+            f" WHEN {b} BETWEEN -32768 AND 32767 THEN concat('Int16(', {j}, ')')"
+            f" WHEN {b} BETWEEN -2147483648 AND 2147483647 THEN concat('Int32(', {j}, ')')"
+            f" ELSE concat('Int64(', {j}, ')') END"
+            f" WHEN startswith({j}, '\"') THEN concat('String(', {j}, ')')"
+            f" ELSE {j} END)"
+        )
+
+    sql = _rewrite_calls(sql, "variant_pretty", _variant_pretty)
     # variant_to_json renders a missing/NULL variant as JSON 'null' (the
     # DataFusion-variant behavior the slt corpus pins).
     sql = _rewrite_calls(
@@ -1140,6 +1163,48 @@ def _apply_admin_statement(spark, stripped: str, tables):
     return None
 
 
+def expand_qualified_star_in_calls(spark, sql: str) -> str:
+    """PG parity: a qualified wildcard inside a FUNCTION call —
+    `SELECT jsonb_build_array(sub.*) FROM (…) sub` — expands to the
+    qualifier's columns (json_functions.slt:212; pgwire resolves it at
+    bind time with the derived schema). A text-only shim can't know that
+    schema, so this probes the derived relation with a LIMIT-0 analysis
+    pass (schema only — nothing executes) and splices the column list
+    into the call. Only the `FROM (subquery) qual` shape is handled;
+    anything else passes through unchanged."""
+    m = re.search(r"\(\s*([A-Za-z_]\w*)\s*\.\s*\*\s*\)", sql)
+    if not m:
+        return sql
+    qual = m.group(1)
+    fm = re.search(r"(?is)\bFROM\s*\(", sql)
+    if not fm:
+        return sql
+    start = fm.end() - 1
+    depth, end = 0, None
+    for i in range(start, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    if end is None:
+        return sql
+    am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", sql[end + 1 :], re.IGNORECASE)
+    if am is None or am.group(1).lower() != qual.lower():
+        return sql
+    inner = sql[start + 1 : end]
+    try:
+        cols = spark.sql(
+            pg_to_spark_sql(f"SELECT * FROM ({inner}) __star_probe LIMIT 0")
+        ).columns
+    except Exception:
+        return sql
+    expansion = ", ".join(f"{qual}.{c}" for c in cols)
+    return sql[: m.start()] + "(" + expansion + ")" + sql[m.end() :]
+
+
 def pg_sql(spark, sql: str, tables=None):
     """Run a PG-dialect statement through the shim on a SparkSession.
 
@@ -1200,4 +1265,5 @@ def pg_sql(spark, sql: str, tables=None):
         _ensure_pg_settings_view(spark)
     sql = _apply_settings_functions(spark, sql)
     sql = _apply_clock_functions(sql)
+    sql = expand_qualified_star_in_calls(spark, sql)
     return spark.sql(pg_to_spark_sql(sql))

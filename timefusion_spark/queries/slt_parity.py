@@ -3,7 +3,7 @@
 Runs every /root/reference/tests/slt/*.slt file through the engine's
 sqllogictest runner (timefusion_spark/slt.py) and returns one row per
 file: (file, records, passed). The oracle pins the expected counts —
-all records pass (modulo the three documented skips in slt.SKIPS) — so
+all records pass (modulo the one documented skip in slt.SKIPS) — so
 any regression in the PG shim, the storage write path, DML, or the MOR
 read views turns this row red in CORRECTNESS.
 
@@ -52,7 +52,8 @@ _ORACLE = "SELECT * FROM (VALUES " + ", ".join(
     "tests/suite/sqllogictest.rs) executed end-to-end on this engine: "
     "INSERT/UPDATE/DELETE through the storage core, queries through the "
     "PG shim over MOR read views. Expected counts are pinned; passed "
-    "includes the three documented skips (slt.SKIPS).",
+    "includes the one documented skip (slt.SKIPS: PG's verbatim "
+    "json-text slicing).",
 )
 def q_slt_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timefusion_spark.slt import SKIPS, run_file

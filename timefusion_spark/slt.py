@@ -411,7 +411,10 @@ class SltEnv:
             self.spark.sql(pg_to_spark_sql(sql)).collect()
 
     def run_query(self, sql: str):
-        return self.spark.sql(pg_to_spark_sql(sql.strip().rstrip(";"))).collect()
+        from timefusion_spark.pgshim import expand_qualified_star_in_calls
+
+        s = expand_qualified_star_in_calls(self.spark, sql.strip().rstrip(";"))
+        return self.spark.sql(pg_to_spark_sql(s)).collect()
 
 
 @dataclass
@@ -424,13 +427,7 @@ class RecordResult:
 # (file, record start line) -> reason. Genuinely out-of-scope records only;
 # every skip carries its reason and shows up in test output.
 SKIPS: dict[str, dict[int, str]] = {
-    "json_functions.slt": {
-        212: "jsonb_build_array(sub.*): star-expansion inside a rewritten "
-        "call needs bind-time schema; out of the text-shim's scope",
-    },
     "variant_functions.slt": {
-        100: "variant_pretty prints DataFusion-variant's internal type tags "
-        "(Int8(123)) — engine-internal debug format, not a semantic surface",
         266: "PG json text operators slice the source document verbatim "
         "('[10, 20, 30]' keeps spaces); this engine re-renders extracted "
         "JSON canonically — documented divergence",
