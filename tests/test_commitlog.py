@@ -287,3 +287,38 @@ class TestRetentionDrop:
         # vacuum collects the dropped files
         assert any(p.endswith(".parquet") for p in maintenance.vacuum(table))
         assert {r["id"] for r in table.read().collect()} == {"c"}
+
+
+class TestChangeFeed:
+    def test_changes_tag_commits_and_types(self, spark, table):
+        table.append(_rows(spark, BASE))                      # v1
+        dml.update(table, {"value": F.col("value") * 10},
+                   predicate="project_id = 'p1'", stamp="2026-01-02 00:00:00")  # v2
+        dml.delete(table, predicate="id='c'", stamp="2026-01-03 00:00:00")      # v3
+        ch = table.read_changes(0).select(
+            "_commit_version", "_change_type", "id", "value"
+        ).collect()
+        by_v = {}
+        for r in ch:
+            by_v.setdefault(r["_commit_version"], []).append(r)
+        assert sorted(r["id"] for r in by_v[1]) == ["a", "b", "c"]
+        assert all(r["_change_type"] == "upsert" for r in by_v[1])
+        assert sorted((r["id"], r["value"]) for r in by_v[2]) == [("a", 10.0), ("b", 20.0)]
+        assert [(r["id"], r["_change_type"]) for r in by_v[3]] == [("c", "delete")]
+
+    def test_incremental_cursor_contract(self, spark, table):
+        table.append(_rows(spark, BASE))                      # v1
+        cursor = table.log.latest_version()
+        assert table.read_changes(cursor).count() == 0        # nothing new
+        dml.delete(table, predicate="id='a'", stamp="2026-01-02 00:00:00")  # v2
+        fresh = table.read_changes(cursor)
+        assert [(r["id"], r["_change_type"]) for r in fresh.collect()] == [
+            ("a", "delete")
+        ]
+
+    def test_bad_range_raises(self, spark, table):
+        table.append(_rows(spark, BASE))
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            table.read_changes(0, to_version=99)

@@ -1204,3 +1204,48 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_table_changes",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
+             o_totalprice AS v
+      FROM orders WHERE o_orderkey <= {_N}
+    )
+    SELECT CAST(2 AS BIGINT) AS _commit_version, 'upsert' AS _change_type,
+           project_id, COUNT(*) AS n_changes,
+           ROUND(SUM(v + 1000), 2) AS total_value
+    FROM base WHERE k % 10 = 0 GROUP BY project_id
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'delete', project_id, COUNT(*),
+           ROUND(SUM(CASE WHEN k % 10 = 0 THEN v + 1000 ELSE v END), 2)
+    FROM base WHERE k % 7 = 0 GROUP BY project_id
+    ORDER BY _commit_version, project_id
+    """,
+    doc="Change-data-feed read (Delta CDF table_changes analog; the "
+    "reference's WAL-tailing subscriber contract): Table.read_changes "
+    "over (v1, v3] returns exactly the row versions each commit added — "
+    "the v2 UPDATE post-images as upserts and the v3 tombstones as "
+    "deletes (carrying the pre-delete winning values) — tagged with "
+    "_commit_version/_change_type. O(changed files) I/O: the feed reads "
+    "only files the polled commits added, never the table.",
+)
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl, base_dir = _build_mor_table(spark, sf_dir)
+    try:
+        # v0 create, v1 append, v2 UPDATE (%10 → +1000), v3 DELETE (%7).
+        changes = tbl.read_changes(1)
+        out = (
+            changes.groupBy("_commit_version", "_change_type", "project_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_changes"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("_commit_version", "project_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

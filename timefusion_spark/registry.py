@@ -97,11 +97,11 @@ PRIORITY: tuple[str, ...] = (
     "q_distinct_sketch",
     "q_heavy_hitters_sketch",
     "q_decontamination",
-    "q_group_rank_pandas",
     # new this round
     "q_jsonpath_filters",
     "q_media_bmp_decode",
     "q_time_travel",
+    "q_table_changes",
 )
 
 

@@ -203,6 +203,15 @@ class CommitLog:
         """Highest committed txn version for `app_id`, or -1."""
         return self.snapshot().txns.get(app_id, -1)
 
+    def entry(self, version: int) -> dict:
+        """One commit record verbatim (op, add, remove, txn). Per-version
+        files are never garbage-collected by checkpointing — checkpoints
+        only bound replay — so any committed version's record is
+        readable until the log itself is deleted."""
+        path = os.path.join(self.log_dir, f"{version:08d}.json")
+        with open(path) as fh:
+            return json.load(fh)
+
     def live_paths(self) -> list[str]:
         """Absolute paths of the current snapshot's files."""
         return [os.path.join(self.table_path, p) for p in self.snapshot().files]
