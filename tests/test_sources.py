@@ -55,3 +55,83 @@ def test_stream_reader_delivers_all_rows_once(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 400
     assert out.select("event_id").distinct().count() == 400  # no duplicates
+
+
+class TestChangeFeedSource:
+    """tf_changes: the commit log tailed as a stream (offsets = versions)."""
+
+    YAML = """
+table_name: t
+partitions: [project_id, date]
+time_column: timestamp
+dedup_keys: [timestamp, id]
+dedup_tiebreak: updated_at
+tombstone_column: deleted
+version_append: true
+fields:
+  - {name: date, data_type: Date32, nullable: false}
+  - {name: timestamp, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: value, data_type: Float64, nullable: true}
+  - {name: project_id, data_type: Utf8, nullable: true}
+  - {name: updated_at, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: true}
+  - {name: deleted, data_type: Boolean, nullable: true}
+"""
+
+    def _mk(self, spark, tmp_path):
+        from timefusion_spark.storage.schema import load_schema_text
+        from timefusion_spark.storage.table import Table
+
+        register_sources(spark)
+        tbl = Table.create(spark, load_schema_text(self.YAML), str(tmp_path / "t"))
+        rows = spark.createDataFrame(
+            [
+                ("2026-01-01 10:00:00", "a", 1.0, "p1"),
+                ("2026-01-02 09:00:00", "c", 3.0, "p2"),
+            ],
+            "timestamp string, id string, value double, project_id string",
+        )
+        tbl.append(rows)
+        return tbl
+
+    def _drain(self, spark, tbl, out, ckpt):
+        q = (
+            spark.readStream.format("tf_changes")
+            .option("path", tbl.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    def test_stream_equals_batch_change_feed(self, spark, tmp_path):
+        from timefusion_spark.storage import dml
+        from pyspark.sql import functions as F
+
+        tbl = self._mk(spark, tmp_path)
+        dml.update(tbl, {"value": F.col("value") * 10}, predicate="id='a'",
+                   stamp="2026-01-02 00:00:00")
+        dml.delete(tbl, predicate="id='c'", stamp="2026-01-03 00:00:00")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._drain(spark, tbl, out, ckpt)
+        cols = ["id", "value", "_commit_version", "_change_type"]
+        got = spark.read.parquet(out).select(*cols).orderBy("_commit_version", "id")
+        want = tbl.read_changes(0).select(*cols).orderBy("_commit_version", "id")
+        assert got.collect() == want.collect()
+
+    def test_checkpoint_resume_sees_only_new_commits(self, spark, tmp_path):
+        from timefusion_spark.storage import dml
+
+        tbl = self._mk(spark, tmp_path)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._drain(spark, tbl, out, ckpt)             # drains v1
+        n1 = spark.read.parquet(out).count()
+        dml.delete(tbl, predicate="id='a'", stamp="2026-01-02 00:00:00")  # v2
+        self._drain(spark, tbl, out, ckpt)             # resumes from ckpt
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == n1 + 1                     # exactly the new tombstone
+        new = [r for r in rows if r["_commit_version"] == 2]
+        assert [(r["id"], r["_change_type"]) for r in new] == [("a", "delete")]

@@ -1249,3 +1249,66 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_streaming_changefeed",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
+             o_totalprice AS v
+      FROM orders WHERE o_orderkey <= {_N}
+    )
+    SELECT CAST(1 AS BIGINT) AS _commit_version, 'upsert' AS _change_type,
+           project_id, COUNT(*) AS n_changes, ROUND(SUM(v), 2) AS total_value
+    FROM base GROUP BY project_id
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'upsert', project_id, COUNT(*),
+           ROUND(SUM(v + 1000), 2)
+    FROM base WHERE k % 10 = 0 GROUP BY project_id
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'delete', project_id, COUNT(*),
+           ROUND(SUM(CASE WHEN k % 10 = 0 THEN v + 1000 ELSE v END), 2)
+    FROM base WHERE k % 7 = 0 GROUP BY project_id
+    ORDER BY _commit_version, project_id
+    """,
+    doc="STREAMING change-feed tail (sources/changefeed.py tf_changes): "
+    "the commit log consumed as a stream whose micro-batch offsets ARE "
+    "log versions — the Spark-native form of the reference's WAL-tailing "
+    "subscriber contract. The drained stream must equal the batch "
+    "read_changes of the same range: v1 base inserts, v2 UPDATE "
+    "post-images, v3 tombstones, each tagged with its commit. Workers "
+    "read the added files directly via Arrow (one input partition per "
+    "file); the driver lists only log metadata.",
+)
+def q_streaming_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.sources import register_sources
+
+    register_sources(spark)
+    tbl, base_dir = _build_mor_table(spark, sf_dir)
+    try:
+        out_dir = os.path.join(base_dir, "feed_out")
+        q = (
+            spark.readStream.format("tf_changes")
+            .option("path", tbl.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(base_dir, "feed_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(out_dir)
+            .groupBy("_commit_version", "_change_type", "project_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_changes"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("_commit_version", "project_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

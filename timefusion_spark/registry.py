@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "q_streaming_session_windows",
     "q_streaming_windowed_counts",
     "q_streaming_stream_join",
+    "q_streaming_changefeed",
     "q_custom_source",
     # corpus parity + end-to-end pipeline
     "q_slt_parity",
@@ -96,7 +97,6 @@ PRIORITY: tuple[str, ...] = (
     "q_recent_events_topk",
     "q_distinct_sketch",
     "q_heavy_hitters_sketch",
-    "q_decontamination",
     # new this round
     "q_jsonpath_filters",
     "q_media_bmp_decode",

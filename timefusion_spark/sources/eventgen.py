@@ -118,4 +118,7 @@ class EventGenDataSource(DataSource):
 
 def register_sources(spark) -> None:
     """Idempotently register the engine's Python data sources."""
+    from timefusion_spark.sources.changefeed import ChangeFeedDataSource
+
     spark.dataSource.register(EventGenDataSource)
+    spark.dataSource.register(ChangeFeedDataSource)
