@@ -395,3 +395,34 @@ class TestQualifiedStarInCall:
 
         sql = "SELECT * FROM (SELECT 1 AS a) sub"
         assert expand_qualified_star_in_calls(spark, sql) == sql
+
+
+class TestInformationSchema:
+    """database.rs:2988 enables DataFusion's information_schema; the shim
+    serves the same introspection over the session's registered tables."""
+
+    def test_tables_and_columns(self, spark):
+        spark.createDataFrame([(1, "x")], "a int, b string").createOrReplaceTempView(
+            "_is_demo"
+        )
+        try:
+            tabs = pg_sql(
+                spark,
+                "SELECT table_name, table_type FROM information_schema.tables "
+                "WHERE table_name = '_is_demo'",
+            ).collect()
+            assert [(r["table_name"], r["table_type"]) for r in tabs] == [
+                ("_is_demo", "VIEW")
+            ]
+            cols = pg_sql(
+                spark,
+                "SELECT column_name, ordinal_position, data_type, is_nullable "
+                "FROM information_schema.columns WHERE table_name = '_is_demo' "
+                "ORDER BY ordinal_position",
+            ).collect()
+            assert [tuple(r) for r in cols] == [
+                ("a", 1, "int", "YES"),
+                ("b", 2, "string", "YES"),
+            ]
+        finally:
+            spark.catalog.dropTempView("_is_demo")

@@ -1163,6 +1163,54 @@ def _apply_admin_statement(spark, stripped: str, tables):
     return None
 
 
+def _ensure_information_schema(spark) -> None:
+    """Materialize `information_schema.tables` / `.columns` over the
+    session's registered tables (database.rs:2988 turns on DataFusion's
+    information_schema; BI clients and monoscope's introspection queries
+    read it). Spark has no dotted view names, so the shim rewrites the
+    qualified references to these temp views, rebuilt on each use (table
+    registration is session-local and cheap to list)."""
+    from pyspark.sql import types as T
+
+    tabs = [t.name for t in spark.catalog.listTables() if not t.name.startswith("__")]
+    t_rows, c_rows = [], []
+    for name in tabs:
+        t_rows.append(("datafusion", "public", name, "VIEW"))
+        try:
+            schema = spark.table(name).schema
+        except Exception:  # noqa: BLE001 — dropped concurrently
+            continue
+        for i, f in enumerate(schema.fields, start=1):
+            c_rows.append(
+                (
+                    "datafusion", "public", name, f.name, i,
+                    f.dataType.simpleString(),
+                    "YES" if f.nullable else "NO",
+                )
+            )
+    spark.createDataFrame(
+        t_rows,
+        T.StructType([
+            T.StructField("table_catalog", T.StringType()),
+            T.StructField("table_schema", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("table_type", T.StringType()),
+        ]),
+    ).createOrReplaceTempView("__info_schema_tables")
+    spark.createDataFrame(
+        c_rows,
+        T.StructType([
+            T.StructField("table_catalog", T.StringType()),
+            T.StructField("table_schema", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("column_name", T.StringType()),
+            T.StructField("ordinal_position", T.IntegerType()),
+            T.StructField("data_type", T.StringType()),
+            T.StructField("is_nullable", T.StringType()),
+        ]),
+    ).createOrReplaceTempView("__info_schema_columns")
+
+
 def expand_qualified_star_in_calls(spark, sql: str) -> str:
     """PG parity: a qualified wildcard inside a FUNCTION call —
     `SELECT jsonb_build_array(sub.*) FROM (…) sub` — expands to the
@@ -1265,5 +1313,12 @@ def pg_sql(spark, sql: str, tables=None):
         _ensure_pg_settings_view(spark)
     sql = _apply_settings_functions(spark, sql)
     sql = _apply_clock_functions(sql)
+    if re.search(r"(?i)\binformation_schema\s*\.\s*(tables|columns)\b", sql):
+        _ensure_information_schema(spark)
+        sql = re.sub(
+            r"(?i)\binformation_schema\s*\.\s*(tables|columns)\b",
+            lambda m: f"__info_schema_{m.group(1).lower()}",
+            sql,
+        )
     sql = expand_qualified_star_in_calls(spark, sql)
     return spark.sql(pg_to_spark_sql(sql))

@@ -195,3 +195,36 @@ def q_json_get_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", k.alias("k_text"), k.cast("bigint").alias("k_int")
     ).orderBy("event_id")
+
+
+@query(
+    "q_information_schema",
+    oracle="""
+    SELECT table_name, column_name, CAST(ordinal_position AS INT) AS ordinal_position
+    FROM information_schema.columns
+    WHERE table_name IN ('region', 'nation', 'orders', 'documents', 'embeddings')
+    ORDER BY table_name, ordinal_position
+    """,
+    doc="information_schema introspection parity (database.rs:2988 turns "
+    "on DataFusion's information_schema; BI clients read it): the shim's "
+    "synthesized information_schema.columns over the session's registered "
+    "tables must list the same (table, column, position) rows DuckDB's "
+    "NATIVE information_schema reports for the identical view set — two "
+    "independent catalog implementations agreeing on the same relations. "
+    "Types are dialect-specific and deliberately excluded.",
+)
+def q_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.pgshim import pg_sql
+
+    names = ["region", "nation", "orders", "documents", "embeddings"]
+    for name in names:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    quoted = ", ".join(f"'{n}'" for n in names)
+    out = pg_sql(
+        spark,
+        "SELECT table_name, column_name, ordinal_position "
+        "FROM information_schema.columns "
+        f"WHERE table_name IN ({quoted}) "
+        "ORDER BY table_name, ordinal_position",
+    )
+    return out.localCheckpoint(eager=True)
