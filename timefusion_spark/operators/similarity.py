@@ -202,15 +202,14 @@ def knn_ivf(
     )
 
 
-def l2_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str) -> Column:
-    """Closed-form L2-argmin cell assignment over a fixed centroid set as
-    ONE SQL parse: an array of (distance_score, cid) structs; array_min
-    picks the argmin with the struct's field order giving the cid tiebreak
-    for free. The score is the expanded form  ||c||² − 2⟨v,c⟩  (the ||v||²
-    term is constant per row): products and sums only — no sqrt, no
-    division — so a SQL oracle agrees bit-for-bit. Centroids ship as plan
-    constants (the broadcast analog); evaluation is per-row arithmetic —
-    zero shuffle."""
+def _l2_struct_exprs(
+    centroids: list[tuple[int, list[float]]], vec_col: str
+) -> list[str]:
+    """Per-centroid (distance_score, cid) struct expressions. The score is
+    the expanded form  ||c||² − 2⟨v,c⟩  (the ||v||² term is constant per
+    row): products and sums only — no sqrt, no division — so a SQL oracle
+    agrees bit-for-bit. Centroids ship as plan constants (the broadcast
+    analog); evaluation is per-row arithmetic — zero shuffle."""
     c2 = {cid: sum(float(x) * float(x) for x in cv) for cid, cv in centroids}
     structs = []
     for cid, cv in centroids:
@@ -222,7 +221,85 @@ def l2_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str) -> Colu
         structs.append(
             f"named_struct('d', {c2[cid]!r}D - 2.0D * {dot_}, 'cid', {cid})"
         )
+    return structs
+
+
+def l2_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str) -> Column:
+    """Closed-form L2-argmin cell assignment over a fixed centroid set as
+    ONE SQL parse: array_min over the (distance_score, cid) structs picks
+    the argmin with the struct's field order giving the cid tiebreak for
+    free."""
+    structs = _l2_struct_exprs(centroids, vec_col)
     return F.expr(f"array_min(array({', '.join(structs)})).cid")
+
+
+def l2_probes_expr(
+    centroids: list[tuple[int, list[float]]], vec_col: str, n_probe: int
+) -> Column:
+    """The row's `n_probe` nearest cells (array<int>, nearest first):
+    sort the same (distance_score, cid) structs and slice. The row's own
+    cell is always probes[0], so probe-joins never miss the home cell."""
+    structs = _l2_struct_exprs(centroids, vec_col)
+    return F.expr(
+        f"transform(slice(array_sort(array({', '.join(structs)})), 1, {n_probe}),"
+        " s -> s.cid)"
+    )
+
+
+def knn_join(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF k-NN JOIN: top-k cosine neighbors for EVERY row (not one
+    query), probe-limited — the all-pairs companion of knn_ivf_flat and
+    the shape batch retrieval / hard-negative mining / kNN-graph
+    construction need.
+
+    Scale shape: cell assignment and per-row probe lists are map-only
+    expressions; the ONE shuffle is the equi-join of exploded probes
+    against cell assignments (candidates per row ≈ occupancy of n_probe
+    cells, never the corpus); per-query top-k is a window over the
+    candidate set. Each (a, b) pair arises at most once — b lives in
+    exactly one cell. Deterministic: cosine ties break by neighbor id,
+    centroid-distance ties by cid. Returns (id, neighbor_id, cos_sim,
+    rank) with rank 1..k."""
+    from pyspark.sql import Window as W
+
+    staged = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select(
+        id_col,
+        "_v",
+        l2_cell_expr(centroids, "_v").alias("_cell"),
+        l2_probes_expr(centroids, "_v", n_probe).alias("_probes"),
+    )
+    a = staged.select(
+        F.col(id_col).alias("_a_id"),
+        F.col("_v").alias("_va"),
+        F.explode("_probes").alias("_probe"),
+    )
+    b = staged.select(
+        F.col(id_col).alias("_b_id"), F.col("_v").alias("_vb"), "_cell"
+    )
+    scored = (
+        a.join(b, (F.col("_probe") == F.col("_cell")) & (F.col("_a_id") != F.col("_b_id")))
+        .select("_a_id", "_b_id", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+    )
+    w = W.partitionBy("_a_id").orderBy(F.col("cos_sim").desc(), F.col("_b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_a_id").alias(id_col),
+            F.col("_b_id").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+    )
 
 
 def semantic_dedup(

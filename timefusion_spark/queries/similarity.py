@@ -572,3 +572,60 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = sim.semantic_dedup(base, cents, threshold=0.999)
     return out.orderBy("vec_id")
+
+
+@query(
+    "q_ann_knn_join",
+    oracle="""
+    WITH staged AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+        SELECT CAST(vec_id AS INT) AS cid, v AS cv,
+               list_inner_product(v, v) AS c2
+        FROM staged WHERE vec_id BETWEEN 1 AND 16
+    ), scored_cells AS (
+        SELECT s.vec_id, s.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+                   c.c2 - 2 * list_inner_product(s.v, c.cv) ASC, c.cid ASC) AS rn
+        FROM staged s CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, v, cid AS cell FROM scored_cells WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id, v, cid AS probe FROM scored_cells WHERE rn <= 4
+    ), cand AS (
+        SELECT p.vec_id AS a_id, b.vec_id AS b_id,
+               list_inner_product(p.v, b.v) /
+               (sqrt(list_inner_product(p.v, p.v)) * sqrt(list_inner_product(b.v, b.v)))
+                   AS cos_raw
+        FROM probes p JOIN assigned b
+          ON b.cell = p.probe AND b.vec_id <> p.vec_id
+    )
+    SELECT a_id AS vec_id, b_id AS neighbor_id,
+           ROUND(cos_raw, 4) AS cos_sim, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT a_id, b_id, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY a_id
+                   ORDER BY cos_raw DESC, b_id ASC) AS rnk
+        FROM cand
+    ) WHERE rnk <= 5
+    ORDER BY vec_id, rank
+    """,
+    doc="IVF k-NN JOIN (operators/similarity.knn_join): top-5 cosine "
+    "neighbors for EVERY vector, probing each row's 4 nearest of 16 "
+    "fixed cells — the kNN-graph / hard-negative-mining shape. One "
+    "shuffle (exploded probes ⋈ cell assignments), candidates bounded by "
+    "probed-cell occupancy, per-query window top-k. The oracle replays "
+    "the identical closed-form assignment + probe + rank pipeline.",
+)
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in e.where(F.col("vec_id").between(1, 16))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    out = sim.knn_join(e, cents, k=5, n_probe=4)
+    return out.select(
+        "vec_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    ).orderBy("vec_id", "rank")

@@ -85,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_ivf_topk",
     "q_ann_ivf_flat",
     "q_ann_arrow_topk",
+    "q_ann_knn_join",
     "q_semantic_dedup",
     "q_salted_agg",
     # percentile family + timeseries operators
@@ -96,7 +97,6 @@ PRIORITY: tuple[str, ...] = (
     "q_latest_event_per_user",
     "q_recent_events_topk",
     "q_distinct_sketch",
-    "q_heavy_hitters_sketch",
     # new this round
     "q_jsonpath_filters",
     "q_media_bmp_decode",
