@@ -176,8 +176,13 @@ def main() -> int:
                 },
                 "notes": "near-dup/LSH queries are plan-overhead-bound at this sf: "
                 "their reused-plan exec is ~0.1s (measured); wall time is "
-                "dominated by per-query Catalyst/codegen on ~1k-node "
-                "expression trees, which amortizes to noise at cluster scale.",
+                "dominated by per-query whole-stage-codegen compile + JIT "
+                "(analysis/optimization is ~0.6s after the round-5 "
+                "nested-expression collapse), which amortizes to noise at "
+                "cluster scale. Round-over-round comparison caveat: untouched "
+                "control queries (q1, q_dashboard_count_window) run ~1.3-1.4x "
+                "slower on the round-5 box than round-4's at identical plans — "
+                "scale per-query deltas by that environment factor.",
                 **extra,
             }
         )

@@ -1558,3 +1558,57 @@ def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation_name, total_price DESC, orderkey
         """
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH vol AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS v
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(v.v) AS DOUBLE), 2) AS total_volume
+    FROM vol v JOIN supplier s ON s.s_suppkey = v.l_suppkey
+    GROUP BY s.s_nationkey
+    HAVING SUM(v.v) > (SELECT SUM(v) * 0.03 FROM vol)
+    ORDER BY total_volume DESC, nationkey
+    """,
+    doc="TPC-H Q11 shape (important stock, adapted: no partsupp in the "
+    "driver testdata, so the volume base is lineitem price×quantity per "
+    "supplier — the HAVING-against-a-global-scalar-subquery shape is "
+    "unchanged): groups survive only if their sum exceeds a fraction of "
+    "the WHOLE table's sum. Spark-first: the global total is a 1-row "
+    "aggregate broadcast into the HAVING filter — the per-group and "
+    "global aggregates share one shuffled base. Exact decimal sums make "
+    "the threshold comparison order-independent.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    vol = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(18,2)")
+        ).alias("v")
+    )
+    total = vol.agg((F.sum("v") * F.lit(0.03)).alias("_thresh"))
+    grouped = (
+        vol.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("v").alias("_vol"),
+        )
+    )
+    return (
+        grouped.join(F.broadcast(total), F.col("_vol") > F.col("_thresh"))
+        .select(
+            "nationkey",
+            "n_suppliers",
+            F.round(F.col("_vol").cast("double"), 2).alias("total_volume"),
+        )
+        .orderBy(F.col("total_volume").desc(), "nationkey")
+    )
