@@ -118,29 +118,49 @@ def sign_lsh_bucket(vec: Column, n_planes: int = 6) -> Column:
     component for dimension d is a deterministic pseudo-random ±1 weight
     derived from (seed_i, d). Bucket computation is per-row arithmetic.
 
-    (Perf note: shipping precomputed weights as array literals was tried
-    and is a trap — `F.lit(list)` builds a per-row CreateArray of one node
-    per element, ~7× slower than this inline modular arithmetic.)"""
+    (Perf notes: shipping precomputed per-DIMENSION weights as array
+    literals was tried and is a trap — `F.lit(list)` builds a per-row
+    CreateArray of one node per element, ~7× slower than the inline
+    modular arithmetic. The 6-element SEED array below is different: it
+    constant-folds to one Literal. The plane loop is a nested fold over
+    the plane index rather than n_planes unrolled projection trees —
+    identical per-plane arithmetic, O(1) Catalyst tree size; plan
+    analysis time, not execution, dominates these queries at bench
+    scale.)"""
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
-    bucket = F.lit(0).cast("long")
-    for i in range(n_planes):
-        seed = SIGN_LSH_SEEDS[i % len(SIGN_LSH_SEEDS)]
-        # weight(d) = +1 if ((seed * (d+1)) mod 97) < 48 else -1
-        proj = F.aggregate(
+    seeds = F.array(
+        *[
+            F.lit(SIGN_LSH_SEEDS[i % len(SIGN_LSH_SEEDS)]).cast("long")
+            for i in range(n_planes)
+        ]
+    )
+
+    def proj(i: Column) -> Column:
+        # weight(d) = +1 if ((seed_i * (d+1)) mod 97) < 48 else -1
+        seed = F.element_at(seeds, i.cast("int") + 1)
+        return F.aggregate(
             F.zip_with(
                 vec,
                 idx,
                 lambda x, d: x.cast("double")
-                * F.when(
-                    ((F.lit(seed).cast("long") * (d.cast("long") + 1)) % 97) < 48,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
+                * F.when(((seed * (d.cast("long") + 1)) % 97) < 48, F.lit(1.0))
+                .otherwise(F.lit(-1.0)),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            # 1 << i as exact arithmetic (shiftleft needs a literal bit
+            # count): 2.0^i is integer-exact far past 6 planes.
+            proj(i) > 0,
+            F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
 
 
 def ivf_assign(
