@@ -426,3 +426,34 @@ class TestInformationSchema:
             ]
         finally:
             spark.catalog.dropTempView("_is_demo")
+
+
+class TestOrderedAggregates:
+    """PG array_agg/string_agg(e ORDER BY k [DESC]) forms: the order key
+    rides inside the collected element (struct sort), giving PG's order
+    plus a deterministic tiebreak where PG leaves ties unspecified."""
+
+    @pytest.mark.parametrize(
+        "sql,expected",
+        [
+            ("SELECT array_agg(x ORDER BY x DESC) AS a FROM (VALUES (1),(3),(2)) t(x)",
+             [3, 2, 1]),
+            ("SELECT array_agg(v ORDER BY k) AS a FROM (VALUES (2,'b'),(1,'a')) t(k, v)",
+             ["a", "b"]),
+            ("SELECT array_agg(v ORDER BY k DESC) AS a FROM (VALUES (2,'b'),(1,'a')) t(k, v)",
+             ["b", "a"]),
+            ("SELECT array_agg(DISTINCT x ORDER BY x) AS a FROM (VALUES (2),(1),(2)) t(x)",
+             [1, 2]),
+            ("SELECT string_agg(v, ',' ORDER BY k) AS a FROM (VALUES (2,'b'),(1,'a')) t(k, v)",
+             "a,b"),
+            ("SELECT string_agg(DISTINCT v, '-' ORDER BY v DESC) AS a FROM (VALUES ('x'),('y'),('x')) t(v)",
+             "y-x"),
+        ],
+    )
+    def test_ordered_forms(self, spark, sql, expected):
+        assert pg_sql(spark, sql).first()["a"] == expected
+
+    def test_plain_array_agg_untouched(self, spark):
+        assert pg_sql(
+            spark, "SELECT array_agg(x) AS a FROM (VALUES (1),(3)) t(x)"
+        ).first()["a"] == [1, 3]

@@ -446,6 +446,51 @@ def _translate_fn_calls(sql: str) -> str:
     functions.rs:395-450 semantics: json_to_variant is the identity on
     JSON text, variant_to_json canonicalizes, variant_get extracts a
     sub-document as JSON text."""
+    # PG ordered-aggregate forms: array_agg/string_agg(e ORDER BY k [DESC]).
+    # Spark has no per-aggregate ORDER BY, so the order key rides inside the
+    # collected element — struct sorting gives (key, value) order, which is
+    # PG's order plus a deterministic value tiebreak where PG leaves ties
+    # unspecified. DISTINCT requires key == expr (the PG rule) and maps to
+    # sort_array(collect_set).
+    def _ordered_collect(e: str, k: str, direction: str, distinct: bool) -> str | None:
+        coll = "collect_set" if distinct else "collect_list"
+        if k == e:
+            asc = "" if direction == "ASC" else ", false"
+            return f"sort_array({coll}({e}){asc})"
+        if distinct:
+            return None  # PG: DISTINCT requires ORDER BY expr == the argument
+        arr = f"transform(array_sort({coll}(named_struct('_o', {k}, '_x', {e}))), s -> s._x)"
+        return f"reverse({arr})" if direction == "DESC" else arr
+
+    _ORD = r"(?is)^\s*(DISTINCT\s+)?(.*?)\s+ORDER\s+BY\s+(.+?)(?:\s+(ASC|DESC))?\s*$"
+
+    def _ordered_array_agg(a: list[str]) -> str | None:
+        if len(a) != 1 or not re.search(r"(?i)\bORDER\s+BY\b", a[0]):
+            return None
+        m = re.match(_ORD, a[0])
+        if not m:
+            return None
+        return _ordered_collect(
+            m.group(2).strip(), m.group(3).strip(), (m.group(4) or "ASC").upper(),
+            bool(m.group(1)),
+        )
+
+    def _ordered_string_agg(a: list[str]) -> str | None:
+        # string_agg(e, sep ORDER BY k): the split puts ORDER BY in arg 2.
+        if len(a) != 2 or not re.search(r"(?i)\bORDER\s+BY\b", a[1]):
+            return None
+        m = re.match(r"(?is)^\s*(.+?)\s+ORDER\s+BY\s+(.+?)(?:\s+(ASC|DESC))?\s*$", a[1])
+        if not m:
+            return None
+        dm = re.match(r"(?is)^\s*DISTINCT\s+(.*)$", a[0])
+        arr = _ordered_collect(
+            (dm.group(1) if dm else a[0]).strip(), m.group(2).strip(),
+            (m.group(3) or "ASC").upper(), bool(dm),
+        )
+        return None if arr is None else f"array_join({arr}, {m.group(1).strip()})"
+
+    sql = _rewrite_calls(sql, "array_agg", _ordered_array_agg)
+    sql = _rewrite_calls(sql, "string_agg", _ordered_string_agg)
     # to_char(ts, 'fmt') — PG format tokens (functions.rs:537-775).
     sql = _rewrite_calls(
         sql,
