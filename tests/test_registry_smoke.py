@@ -87,3 +87,23 @@ def test_columns_match_oracle(spark_dfs, oracles, duck):
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: {e}")
     assert not failures, "\n".join(failures)
+
+
+def test_no_plan_antipatterns(spark_dfs):
+    """Scale-discipline sweep over EVERY registered query's physical plan:
+    no row-at-a-time Python UDFs (BatchEvalPython — Arrow paths only), no
+    CartesianProduct, and no BroadcastNestedLoopJoin outside the two
+    scalar-threshold queries whose non-equi join against a 1-ROW broadcast
+    aggregate is the intended plan (the PG scalar-subquery shape)."""
+    ONE_ROW_THRESHOLD_JOINS = {"q22_sales_opportunity", "q11_important_stock"}
+    dfs, errors = spark_dfs
+    bad = [f"{n}: build error {e}" for n, e in errors.items()]
+    for name, df in dfs.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            bad.append(f"{name}: row-at-a-time Python UDF in plan")
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct in plan")
+        if "BroadcastNestedLoopJoin" in plan and name not in ONE_ROW_THRESHOLD_JOINS:
+            bad.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not bad, "\n".join(bad)
