@@ -457,3 +457,56 @@ class TestOrderedAggregates:
         assert pg_sql(
             spark, "SELECT array_agg(x) AS a FROM (VALUES (1),(3)) t(x)"
         ).first()["a"] == [1, 3]
+
+
+class TestTableChangesSql:
+    """table_changes('t', from [, to]) — the Delta-SQL CDF table function
+    over the commit log, usable inside any SELECT."""
+
+    def test_table_changes_function(self, spark, tmp_path):
+        from timefusion_spark.storage import dml
+        from timefusion_spark.storage.schema import load_schema_text
+        from timefusion_spark.storage.table import Table
+        from pyspark.sql import functions as F
+
+        yaml = """
+table_name: t
+partitions: [project_id, date]
+time_column: timestamp
+dedup_keys: [timestamp, id]
+dedup_tiebreak: updated_at
+tombstone_column: deleted
+version_append: true
+fields:
+  - {name: date, data_type: Date32, nullable: false}
+  - {name: timestamp, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: value, data_type: Float64, nullable: true}
+  - {name: project_id, data_type: Utf8, nullable: true}
+  - {name: updated_at, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: true}
+  - {name: deleted, data_type: Boolean, nullable: true}
+"""
+        tbl = Table.create(spark, load_schema_text(yaml), str(tmp_path / "t"))
+        tbl.append(
+            spark.createDataFrame(
+                [("2026-01-01 10:00:00", "a", 1.0, "p1"),
+                 ("2026-01-01 11:00:00", "b", 2.0, "p1")],
+                "timestamp string, id string, value double, project_id string",
+            )
+        )                                                                # v1
+        dml.delete(tbl, predicate="id='b'", stamp="2026-01-02 00:00:00")  # v2
+        rows = pg_sql(
+            spark,
+            "SELECT _change_type, COUNT(*) AS n FROM table_changes('t', 0) "
+            "GROUP BY _change_type ORDER BY _change_type",
+            tables={"t": tbl},
+        ).collect()
+        assert [(r["_change_type"], r["n"]) for r in rows] == [
+            ("delete", 1), ("upsert", 2),
+        ]
+        only_v2 = pg_sql(
+            spark,
+            "SELECT id FROM table_changes('t', 1, 2)",
+            tables={"t": tbl},
+        ).collect()
+        assert [r["id"] for r in only_v2] == ["b"]

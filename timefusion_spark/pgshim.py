@@ -1316,6 +1316,27 @@ def pg_sql(spark, sql: str, tables=None):
     admin = _apply_admin_statement(spark, stripped, tables)
     if admin is not None:
         return admin
+    # table_changes('t', from [, to]) — the Delta-SQL change-data-feed
+    # table function, served from the commit log (Table.read_changes).
+    # Each call materializes as a temp view so the surrounding SQL can
+    # select/filter/join it like any relation.
+    def _table_changes(m: "re.Match[str]") -> str:
+        name = m.group(1)
+        tbl = (tables or {}).get(name)
+        if tbl is None:
+            raise ValueError(f"table_changes: unknown table {name!r}")
+        lo = int(m.group(2))
+        hi = int(m.group(3)) if m.group(3) else None
+        view = f"__tf_changes_{name}_{lo}_{hi if hi is not None else 'tip'}"
+        tbl.read_changes(lo, hi).createOrReplaceTempView(view)
+        return view
+
+    sql = re.sub(
+        r"(?is)\btable_changes\s*\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+        _table_changes,
+        sql,
+    )
+    stripped = sql.strip().rstrip(";").strip()
     # EXPLAIN [(options)] [ANALYZE] <query> — the pgwire EXPLAIN surface
     # (DataFusion renders its plan; here Catalyst renders its own). One row
     # per plan line, column name matching PG's ('QUERY PLAN').
