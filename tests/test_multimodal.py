@@ -94,3 +94,40 @@ def test_metadata_query_prunes_payload(docs):
         .toString()
     )
     assert "payload" not in plan  # pruned: the binary column is never built/read
+
+
+class TestWavDecode:
+    def test_roundtrip_and_chunk_walk(self, spark):
+        """decode_wav must parse the canonical layout AND skip unknown
+        chunks (a general RIFF reader contract), including odd-sized
+        chunks (word alignment)."""
+        import struct
+
+        import numpy as np
+
+        from timefusion_spark.operators.multimodal import decode_wav
+
+        samples = np.arange(-4, 4, dtype="<i2")
+        data = samples.tobytes()
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        junk = b"LIST" + struct.pack("<I", 5) + b"junk\x00" + b"\x00"  # odd + pad
+        body = fmt + junk + b"data" + struct.pack("<I", len(data)) + data
+        payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        out, rate = decode_wav(payload)
+        assert rate == 8000
+        assert np.array_equal(out, samples)
+
+    def test_rejects_non_wav_and_stereo(self, spark):
+        import struct
+
+        import pytest as _pt
+
+        from timefusion_spark.operators.multimodal import decode_wav
+
+        with _pt.raises(ValueError):
+            decode_wav(b"notawave")
+        stereo_fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        body = stereo_fmt + b"data" + struct.pack("<I", 0)
+        payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        with _pt.raises(NotImplementedError):
+            decode_wav(payload)

@@ -232,3 +232,113 @@ def frame_sample_indices(meta: "F.Column", every_n: int = 30) -> "F.Column":
     return F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_n))).otherwise(
         F.array().cast("array<int>")
     )
+
+
+def _wav_header_32x16k() -> bytes:
+    """44-byte canonical RIFF/WAVE header for 32 mono 16-bit PCM samples at
+    16 kHz (data chunk = 64 bytes). Public format: RIFF size = 36 + data,
+    fmt chunk (PCM=1, channels, rate, byte rate, block align, bits),
+    then the data chunk header."""
+    import struct
+
+    n_bytes = 64
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n_bytes)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data"
+        + struct.pack("<I", n_bytes)
+    )
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """REAL audio payloads: every row is a valid RIFF/WAVE file of 32 mono
+    int16 samples whose 64 data bytes are unhex(repeat(md5_hex(text), 4))
+    — constant header ++ unhex, all JVM expressions, decodable by
+    `decode_wav` and byte-reproducible by a SQL oracle (sample i is the
+    little-endian pair of digest bytes (2i mod 16, (2i+1) mod 16))."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("wav").alias("format"),
+        F.concat(
+            F.lit(_wav_header_32x16k()), F.unhex(F.repeat(F.md5("text"), 4))
+        ).alias("payload"),
+    )
+
+
+def decode_wav(payload: bytes):
+    """Real decode of a RIFF/WAVE file with 16-bit PCM mono samples —
+    pure struct parsing, no codec deps. Walks the chunk list (a general
+    reader must skip unknown chunks to find 'fmt ' and 'data'). Returns
+    (samples int16 ndarray, sample_rate)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_code != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only mono 16-bit PCM supported (fmt={fmt_code}, "
+                    f"ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, n_samples int, sample_rate int, duration_ms double, rms double"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode via mapInPandas: parse each WAV,
+    emit (media_id, n_samples, sample_rate, duration_ms, rms). The RMS
+    sums squared int16 samples in exact int64 before one float divide +
+    sqrt, so a SQL oracle reproduces it bit-for-bit. Scan → mapInPandas,
+    no shuffle."""
+    from typing import Iterator
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav(p)
+                sq = int((samples.astype("int64") ** 2).sum())
+                n = len(samples)
+                rows.append(
+                    (
+                        mid,
+                        n,
+                        rate,
+                        n * 1000.0 / rate,
+                        math.sqrt(sq / n) if n else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_rate", "duration_ms", "rms"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batches, AUDIO_FEATURE_SCHEMA
+    )

@@ -137,3 +137,48 @@ def q_media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("total_sampled_frames"),
         F.count(F.lit(1)).alias("n_videos"),
     )
+
+
+@query(
+    "q_media_wav_decode",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), j ->
+                   CAST('0x' || substr(md5(text), 2*j + 1, 2) AS BIGINT)) AS b
+        FROM documents
+    ), v AS (
+        SELECT doc_id,
+               list_transform(range(0, 32), i ->
+                   CASE WHEN b[(2*i) % 16 + 1] + 256 * b[(2*i + 1) % 16 + 1] >= 32768
+                        THEN b[(2*i) % 16 + 1] + 256 * b[(2*i + 1) % 16 + 1] - 65536
+                        ELSE b[(2*i) % 16 + 1] + 256 * b[(2*i + 1) % 16 + 1] END) AS s
+        FROM d
+    )
+    SELECT doc_id AS media_id,
+           CAST(32 AS INT) AS n_samples,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(2.0 AS DOUBLE) AS duration_ms,
+           ROUND(sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE) / 32), 4)
+               AS rms
+    FROM v
+    ORDER BY media_id
+    """,
+    doc="REAL audio decode: every payload is a valid RIFF/WAVE file (32 "
+    "mono int16 PCM samples at 16 kHz; constant header ++ "
+    "unhex(repeat(md5,4)) data bytes, built JVM-side), chunk-walked and "
+    "decoded by pure struct parsing inside the Arrow-batched mapInPandas "
+    "path (operators/multimodal.py::decode_wav). RMS sums squared int16 "
+    "samples in exact int64 before one float divide + sqrt, so the "
+    "little-endian byte-pair oracle reproduces it bit-for-bit.",
+)
+def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_wav_media(t(spark, sf_dir, "documents"))
+    feats = M.extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        "duration_ms",
+        F.round("rms", 4).alias("rms"),
+    ).orderBy("media_id")
