@@ -107,3 +107,17 @@ def test_no_plan_antipatterns(spark_dfs):
         if "BroadcastNestedLoopJoin" in plan and name not in ONE_ROW_THRESHOLD_JOINS:
             bad.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not bad, "\n".join(bad)
+
+
+def test_priority_window_is_exactly_the_driver_gate(qs):
+    """The driver certifies the FIRST 50 registry entries. PRIORITY must
+    stay exactly 50 resolvable names so every slot of that window is a
+    deliberately-chosen high-risk query — a silent shrink (typo, renamed
+    query) would hand window slots back to registration order."""
+    from timefusion_spark.registry import PRIORITY
+
+    assert len(PRIORITY) == 50
+    assert len(set(PRIORITY)) == 50
+    missing = [n for n in PRIORITY if n not in qs]
+    assert not missing, f"PRIORITY names not in registry: {missing}"
+    assert list(qs)[:50] == list(PRIORITY)

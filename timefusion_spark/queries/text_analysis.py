@@ -973,3 +973,54 @@ def q_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tk
+      FROM documents
+    ), freq AS (
+      SELECT tk, COUNT(*) AS f FROM tok WHERE tk <> '' GROUP BY tk
+    ), ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tk ASC) AS r FROM freq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           ROUND(REGR_SLOPE(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+               AS zipf_slope,
+           ROUND(CORR(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+               AS log_log_corr
+    FROM ranked WHERE r <= 200
+    """,
+    doc="Corpus Zipf-law fit: token frequencies ranked (deterministic "
+    "tiebreak on the token), then the log-log slope and correlation via "
+    "the regression aggregates — a Zipfian corpus shows slope ≈ -1. "
+    "Composes the vocab-mining shuffle (one hash aggregate on token) "
+    "with a top-200 rank window over the tiny distinct-token relation; "
+    "the heavy relation never sorts globally.",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from timefusion_spark.operators.dedup import normalize_text
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tk")
+    ).where(F.col("tk") != "")
+    freq = toks.groupBy("tk").agg(F.count(F.lit(1)).alias("f"))
+    # top-200 via orderBy+limit (TakeOrderedAndProject — per-partition
+    # top-k then merge, never a global sort of the vocab); the rank
+    # window then runs over just those 200 rows.
+    top = freq.orderBy(F.col("f").desc(), F.col("tk").asc()).limit(200)
+    ranked = top.withColumn(
+        "r", F.row_number().over(W.orderBy(F.col("f").desc(), F.col("tk").asc()))
+    )
+    lf, lr = F.log(F.col("f").cast("double")), F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.corr(lf, lr), 4).alias("log_log_corr"),
+    )
