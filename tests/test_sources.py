@@ -135,3 +135,33 @@ fields:
         assert len(rows) == n1 + 1                     # exactly the new tombstone
         new = [r for r in rows if r["_commit_version"] == 2]
         assert [(r["id"], r["_change_type"]) for r in new] == [("a", "delete")]
+
+
+class TestChangeFeedBackpressure(TestChangeFeedSource):
+    def test_max_versions_bounds_steady_state_advance(self, spark, tmp_path):
+        """maxVersionsPerTrigger caps how far successive polls advance: the
+        first poll is the uncapped catch-up (Spark asks for the latest
+        offset before revealing the committed start, so a lower answer
+        would plan a backward batch), every later poll moves at most K
+        commits past the furthest offset already handed out."""
+        from timefusion_spark.sources.changefeed import _ChangeFeedStreamReader
+        from timefusion_spark.storage import dml
+
+        tbl = self._mk(spark, tmp_path)                 # commits v0 (create) + v1
+        reader = _ChangeFeedStreamReader(
+            {"path": tbl.path, "maxVersionsPerTrigger": "1"}
+        )
+        assert reader.latestOffset()["version"] == 1    # catch-up to tip
+        for i, vid in enumerate(("a", "c")):
+            dml.delete(tbl, predicate=f"id='{vid}'",
+                       stamp=f"2026-01-0{2+i} 00:00:00")  # v2, v3
+        assert reader.latestOffset()["version"] == 2    # +1, not tip (3)
+        assert reader.latestOffset()["version"] == 3    # +1 → tip
+        assert reader.latestOffset()["version"] == 3    # at tip, stays
+
+    def test_uncapped_reader_tracks_tip(self, spark, tmp_path):
+        from timefusion_spark.sources.changefeed import _ChangeFeedStreamReader
+
+        tbl = self._mk(spark, tmp_path)
+        reader = _ChangeFeedStreamReader({"path": tbl.path})
+        assert reader.latestOffset()["version"] == 1

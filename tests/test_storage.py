@@ -605,3 +605,34 @@ class TestTenantFileIsolation:
             assert all(f"project_id={tenant}" in f for f in files), (
                 tenant, [f for f in files if f"project_id={tenant}" not in f],
             )
+
+
+class TestConsolidate:
+    def test_consolidates_only_small_file_partitions(self, spark, mor_table):
+        from timefusion_spark.storage import maintenance
+
+        # 5 tiny appends → 5 files per touched partition dir.
+        for i in range(5):
+            mor_table.append(
+                _rows(spark, [("2026-01-01 10:00:0%d" % i, f"k{i}", float(i), "p1")]),
+                stamp="2026-02-01 00:00:0%d" % i,
+            )
+        before = {d: len(s) for d, s in _files_by_dir(mor_table).items()}
+        assert max(before.values()) >= 5
+        total_rows = mor_table.read_raw().count()
+        done = maintenance.consolidate(mor_table, target_file_bytes=1 << 20)
+        assert done, "small-file partition not selected"
+        after = _files_by_dir(mor_table)
+        assert all(len(s) == 1 for d, s in after.items() if d in done)
+        assert mor_table.read_raw().count() == total_rows
+        # Healthy layout → metadata-only no-op on the second pass.
+        assert maintenance.consolidate(mor_table, target_file_bytes=1 << 20, min_files=2) == []
+
+
+def _files_by_dir(table):
+    import os as _os
+
+    by_dir = {}
+    for rel, size in table.log.snapshot().files.items():
+        by_dir.setdefault(_os.path.dirname(rel), []).append(size)
+    return by_dir

@@ -17,6 +17,7 @@ log already is the change stream.
 Usage:
     spark.readStream.format("tf_changes").option("path", table_path)
          [.option("startingVersion", N)]  # default 0 → everything after create
+         [.option("maxVersionsPerTrigger", K)]  # steady-state batch cap
 """
 
 from __future__ import annotations
@@ -62,6 +63,11 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("tf_changes requires option 'path'")
         self.start_version = int(options.get("startingVersion", 0))
+        # Backpressure (the reference's gRPC mem-pressure RETRY analog,
+        # Spark's maxOffsetsPerTrigger idiom): cap how many commits one
+        # micro-batch may advance, so a consumer restarting far behind the
+        # tip drains in bounded batches instead of one giant catch-up.
+        self.max_versions = int(options.get("maxVersionsPerTrigger", 0)) or None
         with open(os.path.join(self.path, _SIDECAR)) as fh:
             sc = json.load(fh)
         self.fields = [(f["name"], f["data_type"]) for f in sc["fields"]]
@@ -77,10 +83,25 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         entries = _log_entries(os.path.join(self.path, _LOG_DIR))
         tip = max((int(e.split(".")[0]) for e in entries), default=-1)
-        return {"version": max(tip, self.start_version)}
+        tip = max(tip, self.start_version)
+        if self.max_versions is not None:
+            # The cap bounds the STEADY-STATE advance: each poll after the
+            # first moves at most max_versions past the furthest offset
+            # this reader has handed out or seen executing. The FIRST poll
+            # of a (re)started query is deliberately uncapped — Spark asks
+            # for the latest offset before revealing the committed start,
+            # and returning anything below that start would plan a
+            # backward batch and regress the checkpoint. (availableNow
+            # batches the whole catch-up as one batch regardless.)
+            base = getattr(self, "_last", None)
+            if base is not None:
+                tip = min(max(tip, base), base + self.max_versions)
+        self._last = max(getattr(self, "_last", None) or tip, tip)
+        return {"version": tip}
 
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
+        self._last = max(getattr(self, "_last", None) or lo, hi)
         out = []
         log_dir = os.path.join(self.path, _LOG_DIR)
         order = [n for n, _ in self.fields]
@@ -149,7 +170,7 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             yield batch
 
     def commit(self, end):
-        pass
+        self._last = max(getattr(self, "_last", None) or 0, end["version"])
 
 
 class ChangeFeedDataSource(DataSource):

@@ -87,6 +87,39 @@ def compact(table: Table, partition_values: dict[str, str], target_files: int = 
     return rows
 
 
+def consolidate(
+    table: Table,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 4,
+) -> list[str]:
+    """Leveled small-file consolidation (database.rs:6590-6736 consolidate
+    / main.rs --consolidate): pick every partition whose live file count
+    is ≥ `min_files` AND whose average live file is under half the
+    target, and compact each into ceil(bytes/target) sorted files.
+
+    Candidate selection is PURE MANIFEST METADATA — file counts and sizes
+    come from the commit log snapshot, zero filesystem LISTs and zero
+    data reads for partitions already healthy. At object-store scale
+    that's the difference between a nightly metadata scan and an
+    O(table) crawl; each unhealthy partition then rewrites as one atomic
+    commit. Returns the partition directories consolidated."""
+    if not table.log.exists():
+        raise ValueError("consolidate requires a commit log (Table.create)")
+    by_dir: dict[str, list[int]] = {}
+    for rel, size in table.log.snapshot().files.items():
+        by_dir.setdefault(os.path.dirname(rel), []).append(size)
+    done = []
+    for d, sizes in sorted(by_dir.items()):
+        total = sum(sizes)
+        if len(sizes) < min_files or total / len(sizes) >= target_file_bytes / 2:
+            continue
+        parts = dict(p.split("=", 1) for p in d.split("/") if "=" in p)
+        n_out = max(1, -(-total // target_file_bytes))
+        compact(table, parts, target_files=n_out)
+        done.append(d)
+    return done
+
+
 def dedup_sweep(table: Table, partition_values: dict[str, str]) -> int:
     """Physical duplicate removal: rewrite one partition keeping only the
     winning version per dedup key (database.rs:6737). Tombstone WINNERS are
