@@ -806,3 +806,148 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_gapfill_locf",
+    oracle="""
+    WITH actual AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS v
+        FROM events
+        GROUP BY 1, 2
+    ), grid AS (
+        SELECT t.event_type, g.bucket
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                          TIMESTAMP '2024-01-30 23:00:00',
+                                          INTERVAL 1 HOUR)) AS bucket
+        ) g
+    ), joined AS (
+        SELECT g.event_type, g.bucket,
+               COALESCE(a.n_events, 0) AS n_events, a.v
+        FROM grid g LEFT JOIN actual a
+          ON a.event_type = g.event_type AND a.bucket = g.bucket
+    ), w AS (
+        SELECT event_type, bucket, n_events, v,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN epoch(bucket) END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_e,
+               FIRST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL THEN epoch(bucket) END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_e
+        FROM joined
+    )
+    SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket, n_events,
+           FLOOR(prev_v * 10000 + 0.5) / 10000 AS locf,
+           FLOOR((CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                   prev_v + (next_v - prev_v) * (epoch(bucket) - prev_e)
+                          / (next_e - prev_e)
+               ELSE COALESCE(prev_v, next_v) END) * 10000 + 0.5) / 10000 AS interp,
+           (v IS NULL) AS was_gap
+    FROM w
+    ORDER BY event_type, bucket
+    """,
+    doc="time_bucket_gapfill + locf + linear interpolate (the public "
+    "TimescaleDB gapfill surface; beyond-reference timeseries): the full "
+    "hourly grid per series is generated map-only (sequence + explode "
+    "over literal bounds — no data pass to discover it), left-joined to "
+    "the bucket aggregate, then LOCF and two-sided linear interpolation "
+    "ride ignore-nulls window frames — one shuffle on the series key. "
+    "Bucket means stay UNROUNDED until output (exact decimal sums + one "
+    "correctly-rounded division): pre-rounding them to 4 decimals would "
+    "put midpoint interpolations exactly on round-half boundaries, where "
+    "engine ROUND implementations disagree.",
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    actual = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v"),
+        )
+    )
+    hours = F.sequence(
+        F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        F.lit("2024-01-30 23:00:00").cast("timestamp"),
+        F.expr("INTERVAL 1 HOUR"),
+    )
+    grid = (
+        ev.select("event_type").distinct()
+        .select("event_type", F.explode(hours).alias("bucket"))
+    )
+    joined = grid.join(actual, ["event_type", "bucket"], "left_outer").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "v",
+    )
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    e = F.unix_timestamp("bucket")
+    marked = joined.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(F.when(F.col("v").isNotNull(), e), ignorenulls=True)
+        .over(wp)
+        .alias("prev_e"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(F.when(F.col("v").isNotNull(), e), ignorenulls=True)
+        .over(wn)
+        .alias("next_e"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (e.cast("double") - F.col("prev_e"))
+            / (F.col("next_e") - F.col("prev_e")),
+        )
+        .otherwise(F.coalesce("prev_v", "next_v"))
+    )
+    # Explicit half-up rounding as floor(x*1e4 + 0.5)/1e4: every step is a
+    # correctly-rounded double op, identical across engines — the built-in
+    # ROUND()s disagree exactly at the half-step boundaries that midpoint
+    # interpolation of 2-decimal inputs produces.
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    return marked.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        r4(F.col("prev_v")).alias("locf"),
+        r4(interp).alias("interp"),
+        F.col("v").isNull().alias("was_gap"),
+    ).orderBy("event_type", "bucket")
