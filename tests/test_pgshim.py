@@ -188,6 +188,21 @@ fields:
         assert out["files_removed"] >= 1
         assert admin_table.read().count() == before  # visible state preserved
 
+    def test_bare_optimize_consolidates_small_files(self, spark, admin_table):
+        """OPTIMIZE without WHERE = metadata-driven consolidation: the
+        two-file partition collapses to one file; a second run is a
+        metadata-only no-op (0 partitions selected)."""
+        before = admin_table.read().count()
+        out = pg_sql(
+            spark, "OPTIMIZE admin_t", tables={"admin_t": admin_table}
+        ).collect()[0]
+        assert out["files_removed"] == 1  # one unhealthy partition rewritten
+        assert admin_table.read().count() == before
+        again = pg_sql(
+            spark, "OPTIMIZE admin_t", tables={"admin_t": admin_table}
+        ).collect()[0]
+        assert again["files_removed"] == 0
+
     def test_vacuum_counts_strays(self, spark, admin_table, tmp_path):
         import os
 

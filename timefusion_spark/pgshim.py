@@ -1184,13 +1184,14 @@ def _apply_admin_statement(spark, stripped: str, tables):
         if parts:
             n = maintenance.compact(tbl, parts)
         else:
-            n = 0
-            for r in (
-                tbl.read_raw().select(*tbl.schema.partitions).distinct().collect()
-            ):
-                n += maintenance.compact(
-                    tbl, {c: str(r[c]) for c in tbl.schema.partitions}
-                )
+            # Bare OPTIMIZE = the reference's `optimize --consolidate` CLI:
+            # metadata-driven leveled consolidation — only partitions whose
+            # manifest shows unhealthy small files rewrite; healthy ones
+            # cost zero I/O (vs compacting every partition, O(table)).
+            # min_files=2: an explicit OPTIMIZE should merge any split
+            # partition (the background job's default of 4 is for
+            # unattended sweeps that shouldn't churn mildly-split dirs).
+            n = len(maintenance.consolidate(tbl, min_files=2))
         return spark.createDataFrame([(n,)], "files_removed int")
     m = re.match(
         r"(?is)^VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?$", stripped

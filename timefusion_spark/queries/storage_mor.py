@@ -523,6 +523,9 @@ def q_maintenance_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         maintenance.compact(tbl, {"project_id": parts[0][0], "date": parts[0][1]})
         for pid, d in parts[1:3]:
             maintenance.dedup_sweep(tbl, {"project_id": pid, "date": d})
+        # Metadata-driven leveled consolidation across whatever small-file
+        # partitions the build left behind — also state-invariant.
+        maintenance.consolidate(tbl, target_file_bytes=1 << 20)
         maintenance.vacuum(tbl)
         maintenance.migrate_columns(tbl, [FieldDef("note", "Utf8", nullable=True)])
         from timefusion_spark.storage import Table
