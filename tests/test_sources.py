@@ -165,3 +165,21 @@ class TestChangeFeedBackpressure(TestChangeFeedSource):
         tbl = self._mk(spark, tmp_path)
         reader = _ChangeFeedStreamReader({"path": tbl.path})
         assert reader.latestOffset()["version"] == 1
+
+
+class TestChangeFeedSchemaWidening(TestChangeFeedSource):
+    def test_feed_reads_files_predating_migrate_columns(self, spark, tmp_path):
+        """Files written before a migrate_columns widening lack the new
+        column; the feed must fill typed NULLs (the batch read path's
+        parquet missing-column semantics), not crash in the Arrow
+        reader."""
+        from timefusion_spark.storage import maintenance
+        from timefusion_spark.storage.schema import FieldDef
+
+        tbl = self._mk(spark, tmp_path)                 # v1, pre-widening
+        maintenance.migrate_columns(tbl, [FieldDef("note", "Utf8", nullable=True)])
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._drain(spark, tbl, out, ckpt)
+        got = spark.read.parquet(out)
+        assert got.count() == 2
+        assert got.where("note IS NULL").count() == 2

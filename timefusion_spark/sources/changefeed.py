@@ -38,13 +38,14 @@ _SIDECAR = "_tf_schema.json"
 class _FilePartition(InputPartition):
     def __init__(self, abs_path: str, rel_path: str, version: int,
                  tombstone_col: str | None, part_types: dict[str, str],
-                 field_order: list[str]):
+                 field_order: list[str], arrow_types: dict):
         self.abs_path = abs_path
         self.rel_path = rel_path
         self.version = version
         self.tombstone_col = tombstone_col
         self.part_types = part_types
         self.field_order = field_order
+        self.arrow_types = arrow_types
 
 
 def _log_entries(log_dir: str) -> list[str]:
@@ -75,6 +76,17 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         self.tombstone_col = sc.get("tombstone_column")
         self.part_types = {
             name: dt for name, dt in self.fields if name in self.partitions_cols
+        }
+        # Declared-field Arrow types (picklable), so workers can fill a
+        # column that predates a migrate-columns widening with typed nulls
+        # — an old file simply lacks the new column (parquet
+        # missing-column semantics).
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from timefusion_spark.storage.schema import parse_data_type
+
+        self.arrow_types = {
+            name: to_arrow_type(parse_data_type(dt)) for name, dt in self.fields
         }
 
     def initialOffset(self):
@@ -114,13 +126,14 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
                     _FilePartition(
                         os.path.join(self.path, f["path"]), f["path"], v,
                         self.tombstone_col, self.part_types, order,
+                        self.arrow_types,
                     )
                 )
         # Spark requires ≥1 partition per batch; an empty range yields an
         # empty file list — return a sentinel that reads nothing.
         return out or [
             _FilePartition("", "", -1, self.tombstone_col, self.part_types,
-                           [n for n, _ in self.fields])
+                           [n for n, _ in self.fields], self.arrow_types)
         ]
 
     def read(self, partition: _FilePartition):
@@ -150,8 +163,12 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
                     arr = pa.array([dt.date.fromisoformat(v)] * n, pa.date32())
                 else:
                     arr = pa.array([v] * n, pa.string())
-            else:
+            elif name in tbl.column_names:
                 arr = tbl.column(name).combine_chunks()
+            else:
+                # Column added by migrate_columns after this file was
+                # written: reads as typed NULLs, like the batch path.
+                arr = pa.nulls(n, type=partition.arrow_types[name])
             cols.append(arr)
         names = list(partition.field_order)
         cols.append(pa.array([partition.version] * n, pa.int64()))
