@@ -322,3 +322,39 @@ class TestChangeFeed:
 
         with _pt.raises(ValueError):
             table.read_changes(0, to_version=99)
+
+
+class TestChangeFeedDataChange:
+    def test_rewrite_commits_do_not_reappear_in_feed(self, spark, table):
+        """Compaction rewrites the same visible rows into new files — the
+        Delta CDF dataChange=false rule: a feed consumer polling past a
+        compaction commit must receive NOTHING new."""
+        from timefusion_spark.storage import maintenance
+
+        table.append(_rows(spark, BASE))                               # v1
+        dml.delete(table, predicate="id='c'", stamp="2026-01-02 00:00:00")  # v2
+        cursor = table.log.latest_version()
+        # Rewrite commits: compact p1's partition + consolidate + vacuum.
+        maintenance.compact(table, {"project_id": "p1", "date": "2026-01-01"})
+        maintenance.consolidate(table, target_file_bytes=1 << 20, min_files=2)
+        maintenance.vacuum(table)
+        assert table.log.latest_version() > cursor
+        assert table.read_changes(cursor).count() == 0
+
+    def test_history_replay_survives_rewrites_until_vacuum(self, spark, table):
+        """Historical feed reads stay valid across rewrite commits
+        (snapshot isolation keeps replaced files on disk) and are
+        invalidated by vacuum — Delta's CDF-retention rule."""
+        from pyspark.errors import AnalysisException
+
+        from timefusion_spark.storage import maintenance
+
+        table.append(_rows(spark, BASE))                               # v1
+        dml.delete(table, predicate="id='c'", stamp="2026-01-02 00:00:00")  # v2
+        maintenance.compact(table, {"project_id": "p1", "date": "2026-01-01"})
+        ch = table.read_changes(0)
+        assert ch.count() == 4  # 3 base upserts + 1 tombstone, no replays
+        assert ch.where("_change_type = 'delete'").count() == 1
+        maintenance.vacuum(table)
+        with pytest.raises(AnalysisException):
+            table.read_changes(0).count()

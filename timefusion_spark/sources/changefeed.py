@@ -121,6 +121,11 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             entry = os.path.join(log_dir, f"{v:08d}.json")
             with open(entry) as fh:
                 rec = json.load(fh)
+            # Rewrite/retention commits carry no logical change (see
+            # Table.read_changes — the Delta CDF dataChange=false rule);
+            # only append commits ship to the feed.
+            if rec.get("op") != "append":
+                continue
             for f in rec.get("add", []):
                 out.append(
                     _FilePartition(

@@ -337,7 +337,13 @@ class Table:
 
         Incremental consumers poll: `read_changes(last_seen)` then
         remember `log.latest_version()` — the same cursor contract as the
-        reference's WAL-tailing subscribers (buffered_write_layer.rs)."""
+        reference's WAL-tailing subscribers (buffered_write_layer.rs).
+
+        Retention: historical ranges stay readable across rewrite commits
+        (snapshot isolation keeps replaced files on disk) until `vacuum`
+        collects them — Delta's CDF-retention rule; a consumer further
+        behind than the vacuum horizon gets a missing-file error, not
+        silent gaps."""
         if not self.log.exists():
             raise ValueError("read_changes requires a commit log (Table.create)")
         latest = self.log.latest_version()
@@ -355,9 +361,17 @@ class Table:
         )
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
+            entry = self.log.entry(v)
+            # Only APPEND commits carry logical changes. Rewrite commits
+            # (compaction / consolidation / z-order / dedup sweep, op
+            # 'overwrite') re-add the same visible rows in new files — the
+            # Delta CDF dataChange=false rule — and retention drops age
+            # data out without a logical delete event (Delta VACUUM
+            # semantics): a feed consumer must see neither.
+            if entry.get("op") != "append":
+                continue
             added = [
-                os.path.join(self.path, f["path"])
-                for f in self.log.entry(v).get("add", [])
+                os.path.join(self.path, f["path"]) for f in entry.get("add", [])
             ]
             if not added:
                 continue
