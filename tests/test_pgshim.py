@@ -525,3 +525,20 @@ fields:
             tables={"t": tbl},
         ).collect()
         assert [r["id"] for r in only_v2] == ["b"]
+
+
+class TestShowTables:
+    def test_show_tables_lists_catalog_not_a_setting(self, spark):
+        """SHOW TABLES is DataFusion's catalog listing — it must not fall
+        into the generic settings SHOW (which would fabricate a variable
+        named 'tables')."""
+        spark.createDataFrame([(1,)], "a int").createOrReplaceTempView("_st_demo")
+        try:
+            rows = pg_sql(spark, "SHOW TABLES").collect()
+            names = [r["table_name"] for r in rows]
+            assert "_st_demo" in names
+            assert rows[0].__fields__ == [
+                "table_catalog", "table_schema", "table_name", "table_type",
+            ]
+        finally:
+            spark.catalog.dropTempView("_st_demo")

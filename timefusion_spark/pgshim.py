@@ -1082,6 +1082,15 @@ def _apply_settings_statement(spark, stripped: str):
     m = re.match(r"(?is)^SHOW\s+TIME\s+ZONE$", stripped)
     if m:
         return spark.createDataFrame([(st["timezone"],)], "TimeZone string")
+    if re.match(r"(?is)^SHOW\s+TABLES$", stripped):
+        # DataFusion's SHOW TABLES catalog listing (enabled by
+        # information_schema, database.rs:2988) — NOT a settings variable
+        # named 'tables', which the generic SHOW below would fabricate.
+        _ensure_information_schema(spark)
+        return spark.sql(
+            "SELECT table_catalog, table_schema, table_name, table_type "
+            "FROM __info_schema_tables ORDER BY table_name"
+        )
     m = re.match(r"(?is)^SHOW\s+ALL$", stripped)
     if m:
         rows = sorted(st.items())
