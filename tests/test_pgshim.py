@@ -542,3 +542,23 @@ class TestShowTables:
             ]
         finally:
             spark.catalog.dropTempView("_st_demo")
+
+
+class TestTransactionVerbs:
+    """Every pgwire client library emits BEGIN/COMMIT/ROLLBACK; the engine
+    is auto-commit (each statement's commit-log publish is atomic), so the
+    verbs complete as no-ops and DISCARD resets session settings."""
+
+    @pytest.mark.parametrize(
+        "stmt",
+        ["BEGIN", "BEGIN TRANSACTION ISOLATION LEVEL READ COMMITTED", "COMMIT",
+         "ROLLBACK WORK", "ABORT", "END", "START TRANSACTION"],
+    )
+    def test_txn_verbs_complete(self, spark, stmt):
+        assert pg_sql(spark, stmt).count() == 0  # command-complete frame
+
+    def test_discard_all_resets_settings(self, spark):
+        pg_sql(spark, "SET application_name = 'probe'")
+        assert pg_sql(spark, "SHOW application_name").first()[0] == "probe"
+        pg_sql(spark, "DISCARD ALL")
+        assert pg_sql(spark, "SHOW application_name").first()[0] == ""

@@ -1062,6 +1062,20 @@ def _apply_settings_statement(spark, stripped: str):
     """Handle SET / RESET / SHOW statements. Returns a DataFrame for SHOW,
     True for a handled side-effect statement, None if not a settings
     statement."""
+    # Transaction verbs: every pgwire client library emits these (psycopg2
+    # sends BEGIN on the first statement unless autocommit). The engine is
+    # auto-commit — each statement's commit-log publish is already atomic —
+    # so they complete as no-ops, exactly how the reference's pgwire layer
+    # acks them. DISCARD resets session state (settings) per PG semantics.
+    if re.match(
+        r"(?is)^(BEGIN|END|COMMIT|ROLLBACK|ABORT|START\s+TRANSACTION)"
+        r"(\s+(WORK|TRANSACTION))?(\s+.*)?$",
+        stripped,
+    ):
+        return True
+    if re.match(r"(?is)^DISCARD\s+(ALL|PLANS|SEQUENCES|TEMP|TEMPORARY)$", stripped):
+        _SESSION_SETTINGS.pop(id(spark), None)
+        return True
     st = _settings_for(spark)
     m = re.match(r"(?is)^SET\s+(?:SESSION\s+|LOCAL\s+)?TIME\s+ZONE\s+(.+)$", stripped)
     if m:
