@@ -562,3 +562,36 @@ class TestTransactionVerbs:
         assert pg_sql(spark, "SHOW application_name").first()[0] == "probe"
         pg_sql(spark, "DISCARD ALL")
         assert pg_sql(spark, "SHOW application_name").first()[0] == ""
+
+
+class TestStandardSqlSpellings:
+    """SQL-standard spellings PG accepts that Spark's parser lacks."""
+
+    @pytest.mark.parametrize(
+        "sql,expected",
+        [
+            ("SELECT x FROM (VALUES (1),(2),(3)) t(x) ORDER BY x "
+             "FETCH FIRST 2 ROWS ONLY", [1, 2]),
+            ("SELECT x FROM (VALUES (1),(2)) t(x) ORDER BY x "
+             "FETCH NEXT 1 ROW ONLY", [1]),
+            ("SELECT x FROM (VALUES (1),(2)) t(x) ORDER BY x "
+             "FETCH FIRST ROW ONLY", [1]),
+        ],
+    )
+    def test_fetch_first(self, spark, sql, expected):
+        assert [r[0] for r in pg_sql(spark, sql).collect()] == expected
+
+    @pytest.mark.parametrize(
+        "expr,expected",
+        [
+            ("'abc' SIMILAR TO 'a%'", True),
+            ("'abc' SIMILAR TO '_b_'", True),
+            ("'abc' SIMILAR TO 'a.c'", False),   # dot is LITERAL in SQL regex
+            ("'a.c' SIMILAR TO 'a.c'", True),
+            ("'xbc' SIMILAR TO '(x|y)%'", True),
+            ("'abc' NOT SIMILAR TO '(x|y)%'", True),
+            ("'ab' SIMILAR TO 'a[bc]'", True),
+        ],
+    )
+    def test_similar_to(self, spark, expr, expected):
+        assert pg_sql(spark, f"SELECT {expr} AS v").first()["v"] is expected

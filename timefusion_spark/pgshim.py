@@ -928,7 +928,51 @@ def _translate_distinct_on(sql: str) -> str:
     )
 
 
+def _similar_to_regex(pat: str) -> str:
+    """SQL SIMILAR TO pattern → anchored Java regex: % → .*, _ → . ;
+    regex metacharacters that are LITERAL in SQL regex syntax (., ^, $)
+    are escaped; the SQL-regex operators (| * + ? {} () []) pass
+    through. Bracket expressions keep their contents verbatim."""
+    out, i, in_br = [], 0, False
+    while i < len(pat):
+        ch = pat[i]
+        if in_br:
+            out.append(ch)
+            if ch == "]":
+                in_br = False
+        elif ch == "[":
+            out.append(ch)
+            in_br = True
+        elif ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch in ".^$":
+            # Doubled: this replacement lands AFTER the token pass that
+            # normalizes backslashes for Spark's string parser, so the
+            # regex escape must survive one level of string-literal
+            # unescaping. (User backslashes were already normalized
+            # upstream and pass through untouched.)
+            out.append("\\\\" + ch)
+        else:
+            out.append(ch)
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
+
+
 def _translate_misc(sql: str) -> str:
+    # FETCH FIRST/NEXT n ROWS ONLY (SQL-standard LIMIT spelling) → LIMIT n
+    sql = re.sub(
+        r"(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)?\s*ROWS?\s+ONLY\b",
+        lambda m: f"LIMIT {m.group(1) or 1}",
+        sql,
+    )
+    # x [NOT] SIMILAR TO 'pat' → x [NOT] RLIKE '^(?:converted)$'
+    sql = re.sub(
+        r"(?is)\b(NOT\s+)?SIMILAR\s+TO\s+'((?:''|[^'])*)'",
+        lambda m: f"{m.group(1) or ''}RLIKE '{_similar_to_regex(m.group(2))}'",
+        sql,
+    )
     # lit = ANY(col) → array_contains(col, lit)
     sql = re.sub(
         r"('(?:''|[^'])*'|[A-Za-z_][\w\.]*|\d+)\s*=\s*ANY\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\)",
