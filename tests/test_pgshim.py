@@ -595,3 +595,31 @@ class TestStandardSqlSpellings:
     )
     def test_similar_to(self, spark, expr, expected):
         assert pg_sql(spark, f"SELECT {expr} AS v").first()["v"] is expected
+
+
+class TestDashboardFunctionSurface:
+    """PG functions common in observability dashboards that Spark lacks
+    or spells differently."""
+
+    @pytest.mark.parametrize(
+        "sql,check",
+        [
+            ("SELECT gen_random_uuid() AS v", lambda v: len(v) == 36),
+            ("SELECT EXTRACT(EPOCH FROM TIMESTAMP '2024-01-01 00:00:00') AS v",
+             lambda v: v == 1704067200.0),
+            ("SELECT EXTRACT(hour FROM TIMESTAMP '2024-01-01 05:00:00') AS v",
+             lambda v: v == 5),  # non-EPOCH fields pass through untouched
+            ("SELECT age(TIMESTAMP '2024-01-02 00:00:00', "
+             "TIMESTAMP '2024-01-01 00:00:00') AS v",
+             lambda v: v.days == 1),
+            ("SELECT regexp_replace('aaa', 'a', 'b', 'g') AS v",
+             lambda v: v == "bbb"),
+            ("SELECT regexp_replace('AAA', 'a', 'b', 'gi') AS v",
+             lambda v: v == "bbb"),
+            ("SELECT CAST('2024-01-01 10:00:00' AS TIMESTAMP) "
+             "AT TIME ZONE 'America/New_York' AS v",
+             lambda v: v.hour == 5),
+        ],
+    )
+    def test_functions(self, spark, sql, check):
+        assert check(pg_sql(spark, sql).first()["v"])

@@ -961,6 +961,56 @@ def _similar_to_regex(pat: str) -> str:
 
 
 def _translate_misc(sql: str) -> str:
+    # gen_random_uuid() → uuid()  (pgcrypto's UUID generator)
+    sql = re.sub(r"(?i)\bgen_random_uuid\s*\(\s*\)", "uuid()", sql)
+    # EXTRACT(EPOCH FROM x) → seconds-since-epoch double with µs preserved
+    # (functions.rs:939-967; Spark's EXTRACT has no EPOCH field).
+    def _extract_epoch(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        m = re.match(r"(?is)^\s*EPOCH\s+FROM\s+(.+)$", a[0])
+        if not m:
+            return None
+        return f"(cast(unix_micros({m.group(1).strip()}) AS double) / 1000000.0)"
+
+    sql = _rewrite_calls(sql, "EXTRACT", _extract_epoch)
+    # age(a[, b]) → timestamp subtraction (PG returns an interval; the
+    # one-arg form measures from now()).
+    def _age(a: list[str]) -> str | None:
+        if len(a) == 2:
+            return f"(({a[0].strip()}) - ({a[1].strip()}))"
+        if len(a) == 1:
+            return f"(current_timestamp() - ({a[0].strip()}))"
+        return None
+
+    sql = _rewrite_calls(sql, "age", _age)
+    # regexp_replace(s, p, r, 'flags'): PG flags — 'g' is Spark's default
+    # (global) and drops; 'i' folds into the pattern as (?i).
+    def _regexp_flags(a: list[str]) -> str | None:
+        if len(a) != 4 or not a[3].strip().startswith("'"):
+            return None
+        flags = _strip_quotes(a[3].strip())
+        if not set(flags) <= {"g", "i"}:
+            return None
+        pat = a[1].strip()
+        if "i" in flags and pat.startswith("'"):
+            pat = f"'(?i){pat[1:-1]}'"
+        return f"regexp_replace({a[0].strip()}, {pat}, {a[2].strip()})"
+
+    sql = _rewrite_calls(sql, "regexp_replace", _regexp_flags)
+    # x AT TIME ZONE 'z' → at-timezone shift (functions.rs:777-818: render
+    # the UTC-stored instant as z-local wall-clock). The operand is the
+    # token-unit to the left (cast/paren/identifier/literal).
+    def _at_tz(m: "re.Match[str]") -> str:
+        return f"from_utc_timestamp({m.group(1)}, {m.group(2)})"
+
+    sql = re.sub(
+        r"((?:CAST\s*\([^()]*\)|[A-Za-z_][\w\.]*\s*\([^()]*\)|[A-Za-z_][\w\.]*|"
+        r"'[^']*'|\([^()]*\)))\s+AT\s+TIME\s+ZONE\s+('[^']*')",
+        _at_tz,
+        sql,
+        flags=re.IGNORECASE,
+    )
     # FETCH FIRST/NEXT n ROWS ONLY (SQL-standard LIMIT spelling) → LIMIT n
     sql = re.sub(
         r"(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)?\s*ROWS?\s+ONLY\b",
