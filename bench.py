@@ -53,6 +53,9 @@ HEADLINE = [
     "q_anomaly_zscore",
     "q_trace_critical_path",
     "q_json_props_extract",
+    "q_ann_knn_join",
+    "q_semantic_dedup",
+    "q_gapfill_locf",
 ]
 
 

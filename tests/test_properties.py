@@ -131,3 +131,36 @@ def test_keep_greatest_view_matches_model(spark, tmp_path_factory, rows):
 
     got = {r["id"]: r["value"] for r in tbl.read().collect()}
     assert got == expected
+
+
+class TestSimilarToCompiler:
+    """Property: the shim's SIMILAR TO → Java-regex compiler agrees with a
+    reference implementation built on Python's re over the SQL-wildcard
+    subset (%, _, literal text incl. regex metachars)."""
+
+    @given(
+        st.text(
+            alphabet="abcxyz.%_^$ ",
+            min_size=0,
+            max_size=12,
+        ),
+        st.text(alphabet="abcxyz. ", min_size=0, max_size=12),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_wildcard_subset_matches_python_reference(self, pattern, candidate):
+        import re as _re
+
+        from timefusion_spark.pgshim import _similar_to_regex
+
+        # Reference semantics: % = any run, _ = any char, everything else
+        # literal (the subset without SQL-regex operators).
+        ref = "".join(
+            ".*" if ch == "%" else "." if ch == "_" else _re.escape(ch)
+            for ch in pattern
+        )
+        want = _re.fullmatch(ref, candidate) is not None
+        compiled = _similar_to_regex(pattern)
+        # The shim emits doubled escapes for the Spark string-literal
+        # layer; undo that one level to get the raw Java/Python regex.
+        got = _re.fullmatch(compiled.replace("\\\\", "\\"), candidate) is not None
+        assert got == want

@@ -222,26 +222,32 @@ def knn_ivf(
     )
 
 
-def _l2_struct_exprs(
-    centroids: list[tuple[int, list[float]]], vec_col: str
-) -> list[str]:
-    """Per-centroid (distance_score, cid) struct expressions. The score is
-    the expanded form  ||c||² − 2⟨v,c⟩  (the ||v||² term is constant per
-    row): products and sums only — no sqrt, no division — so a SQL oracle
-    agrees bit-for-bit. Centroids ship as plan constants (the broadcast
-    analog); evaluation is per-row arithmetic — zero shuffle."""
-    c2 = {cid: sum(float(x) * float(x) for x in cv) for cid, cv in centroids}
-    structs = []
-    for cid, cv in centroids:
-        arr = ", ".join(f"{float(x)!r}D" for x in cv)
-        dot_ = (
-            f"aggregate(zip_with({vec_col}, array({arr}), "
-            "(x, y) -> cast(x AS double) * y), 0.0D, (a, x) -> a + x)"
-        )
-        structs.append(
-            f"named_struct('d', {c2[cid]!r}D - 2.0D * {dot_}, 'cid', {cid})"
-        )
-    return structs
+def _l2_scores_expr(centroids: list[tuple[int, list[float]]], vec_col: str) -> str:
+    """All-centroid (distance_score, cid) structs as ONE nested-loop
+    expression: a transform over the centroid index with the centroid
+    matrix, squared norms, and cids as constant-folded 2-D/1-D literal
+    arrays. The score is the expanded form  ||c||² − 2⟨v,c⟩  (the ||v||²
+    term is constant per row): products and sums only — no sqrt, no
+    division — so a SQL oracle agrees bit-for-bit. One lambda tree
+    regardless of centroid count (k unrolled per-centroid fold trees cost
+    seconds of per-query Catalyst analysis/codegen — the dominant wall
+    time at bench scale); centroids ship as plan constants (the broadcast
+    analog) and evaluation stays per-row arithmetic — zero shuffle."""
+    cids = ", ".join(str(cid) for cid, _ in centroids)
+    mats = ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in cv) + ")" for _, cv in centroids
+    )
+    c2s = ", ".join(
+        f"{sum(float(x) * float(x) for x in cv)!r}D" for _, cv in centroids
+    )
+    n = len(centroids)
+    return (
+        f"transform(sequence(0, {n - 1}), i -> named_struct("
+        f"'d', element_at(array({c2s}), i + 1) - 2.0D * "
+        f"aggregate(zip_with({vec_col}, element_at(array({mats}), i + 1), "
+        f"(x, y) -> cast(x AS double) * y), 0.0D, (a, x) -> a + x), "
+        f"'cid', element_at(array({cids}), i + 1)))"
+    )
 
 
 def l2_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str) -> Column:
@@ -249,8 +255,7 @@ def l2_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str) -> Colu
     ONE SQL parse: array_min over the (distance_score, cid) structs picks
     the argmin with the struct's field order giving the cid tiebreak for
     free."""
-    structs = _l2_struct_exprs(centroids, vec_col)
-    return F.expr(f"array_min(array({', '.join(structs)})).cid")
+    return F.expr(f"array_min({_l2_scores_expr(centroids, vec_col)}).cid")
 
 
 def l2_probes_expr(
@@ -259,10 +264,9 @@ def l2_probes_expr(
     """The row's `n_probe` nearest cells (array<int>, nearest first):
     sort the same (distance_score, cid) structs and slice. The row's own
     cell is always probes[0], so probe-joins never miss the home cell."""
-    structs = _l2_struct_exprs(centroids, vec_col)
     return F.expr(
-        f"transform(slice(array_sort(array({', '.join(structs)})), 1, {n_probe}),"
-        " s -> s.cid)"
+        f"transform(slice(array_sort({_l2_scores_expr(centroids, vec_col)}),"
+        f" 1, {n_probe}), s -> s.cid)"
     )
 
 
@@ -289,25 +293,35 @@ def knn_join(
     rank) with rank 1..k."""
     from pyspark.sql import Window as W
 
+    cent = _centroid_frame(df.sparkSession, centroids)
     staged = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).select(
-        id_col,
-        "_v",
-        l2_cell_expr(centroids, "_v").alias("_cell"),
-        l2_probes_expr(centroids, "_v", n_probe).alias("_probes"),
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        # Norms staged once per ROW — candidate pairs pay one dot product.
+        norm(F.col(vec_col).cast("array<double>")).alias("_nrm"),
     )
-    a = staged.select(
+    ranked = _assign_cells(staged, cent, rank_limit=n_probe)
+    a = ranked.select(
         F.col(id_col).alias("_a_id"),
         F.col("_v").alias("_va"),
-        F.explode("_probes").alias("_probe"),
+        F.col("_nrm").alias("_na"),
+        F.col("cid").alias("_probe"),
     )
-    b = staged.select(
-        F.col(id_col).alias("_b_id"), F.col("_v").alias("_vb"), "_cell"
+    b = ranked.where(F.col("_crank") == 1).select(
+        F.col(id_col).alias("_b_id"),
+        F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        F.col("cid").alias("_cell"),
     )
     scored = (
         a.join(b, (F.col("_probe") == F.col("_cell")) & (F.col("_a_id") != F.col("_b_id")))
-        .select("_a_id", "_b_id", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .select(
+            "_a_id",
+            "_b_id",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cos_sim"
+            ),
+        )
     )
     w = W.partitionBy("_a_id").orderBy(F.col("cos_sim").desc(), F.col("_b_id"))
     return (
@@ -319,6 +333,42 @@ def knn_join(
             "cos_sim",
             "rank",
         )
+    )
+
+
+def _centroid_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Centroids as a DATA-side frame (cid, cv, ||c||²) for broadcast
+    assignment joins. Shipping centroids as plan literals is the right
+    call for a single small expression (knn_ivf_flat), but a query that
+    re-projects the vectors across unions/joins inlines the k×d literal
+    into every branch — a 16×64 codebook ballooned one plan to 230 KB and
+    its per-stage codegen to ~25 s. A k-row broadcast keeps the plan O(1)
+    and is also the only shape that survives real codebooks (SemDeDup
+    runs k≈50k — far past any literal budget)."""
+    rows = [
+        (int(cid), [float(x) for x in cv], float(sum(float(x) * float(x) for x in cv)))
+        for cid, cv in centroids
+    ]
+    return spark.createDataFrame(rows, "cid int, cv array<double>, c2 double")
+
+
+def _assign_cells(
+    staged: DataFrame, cent: DataFrame, rank_limit: int
+) -> DataFrame:
+    """Broadcast-expand rows × centroids, score d = ||c||² − 2⟨v,c⟩ (the
+    ||v||² term is rank-constant), rank per row by (d, cid) — rows with
+    `_crank` 1..rank_limit are the nearest cells, `_crank` = 1 the home
+    cell. One shuffle on the row id; candidates per row = k."""
+    from pyspark.sql import Window as W
+
+    scored = staged.join(F.broadcast(cent)).withColumn(
+        "_d", F.col("c2") - 2.0 * dot(F.col("_v"), F.col("cv"))
+    )
+    w = W.partitionBy(staged.columns[0]).orderBy(F.col("_d"), F.col("cid"))
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .where(F.col("_crank") <= rank_limit)
+        .drop("cv", "c2", "_d")
     )
 
 
@@ -348,19 +398,30 @@ def semantic_dedup(
     Reference parity: the reference engine has no vector surface; this is
     LLM-pipeline scope (training-data curation over the embeddings table).
     """
-    staged = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).select(
-        id_col, "_v", l2_cell_expr(centroids, "_v").alias("cell")
-    )
+    cent = _centroid_frame(df.sparkSession, centroids)
+    staged = _assign_cells(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            # Norms staged once per ROW: the within-cell pair expansion
+            # then pays one dot product per pair instead of dot + two
+            # norm folds.
+            norm(F.col(vec_col).cast("array<double>")).alias("_nrm"),
+        ),
+        cent,
+        rank_limit=1,
+    ).withColumnRenamed("cid", "cell").drop("_crank")
     a, b = staged.alias("a"), staged.alias("b")
+    pair_cos = dot(F.col("a._v"), F.col("b._v")) / (
+        F.col("a._nrm") * F.col("b._nrm")
+    )
     dup_ids = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .where(cosine(F.col("a._v"), F.col("b._v")) >= threshold)
+        .where(pair_cos >= threshold)
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )

@@ -582,7 +582,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cent AS (
         SELECT CAST(vec_id AS INT) AS cid, v AS cv,
                list_inner_product(v, v) AS c2
-        FROM staged WHERE vec_id BETWEEN 1 AND 16
+        FROM staged WHERE vec_id BETWEEN 1 AND 64
     ), scored_cells AS (
         SELECT s.vec_id, s.v, c.cid,
                ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
@@ -611,7 +611,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY vec_id, rank
     """,
     doc="IVF k-NN JOIN (operators/similarity.knn_join): top-5 cosine "
-    "neighbors for EVERY vector, probing each row's 4 nearest of 16 "
+    "neighbors for EVERY vector, probing each row's 4 nearest of 64 "
     "fixed cells — the kNN-graph / hard-negative-mining shape. One "
     "shuffle (exploded probes ⋈ cell assignments), candidates bounded by "
     "probed-cell occupancy, per-query window top-k. The oracle replays "
@@ -621,7 +621,7 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     cents = [
         (int(r[0]), list(r[1]))
-        for r in e.where(F.col("vec_id").between(1, 16))
+        for r in e.where(F.col("vec_id").between(1, 64))
         .select("vec_id", "embedding")
         .collect()
     ]
