@@ -92,10 +92,17 @@ def test_columns_match_oracle(spark_dfs, oracles, duck):
 def test_no_plan_antipatterns(spark_dfs):
     """Scale-discipline sweep over EVERY registered query's physical plan:
     no row-at-a-time Python UDFs (BatchEvalPython — Arrow paths only), no
-    CartesianProduct, and no BroadcastNestedLoopJoin outside the two
-    scalar-threshold queries whose non-equi join against a 1-ROW broadcast
-    aggregate is the intended plan (the PG scalar-subquery shape)."""
-    ONE_ROW_THRESHOLD_JOINS = {"q22_sales_opportunity", "q11_important_stock"}
+    CartesianProduct, and no BroadcastNestedLoopJoin outside the queries
+    where a TINY broadcast side makes it the intended plan: the
+    scalar-threshold joins (non-equi against a 1-row aggregate — the PG
+    scalar-subquery shape) and the ANN fan-out operators (unconditioned
+    expansion against a k-row centroid codebook)."""
+    ALLOWED_TINY_BROADCAST = {
+        "q22_sales_opportunity",
+        "q11_important_stock",
+        "q_semantic_dedup",
+        "q_ann_knn_join",
+    }
     dfs, errors = spark_dfs
     bad = [f"{n}: build error {e}" for n, e in errors.items()]
     for name, df in dfs.items():
@@ -104,7 +111,7 @@ def test_no_plan_antipatterns(spark_dfs):
             bad.append(f"{name}: row-at-a-time Python UDF in plan")
         if "CartesianProduct" in plan:
             bad.append(f"{name}: CartesianProduct in plan")
-        if "BroadcastNestedLoopJoin" in plan and name not in ONE_ROW_THRESHOLD_JOINS:
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_TINY_BROADCAST:
             bad.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not bad, "\n".join(bad)
 
