@@ -151,45 +151,74 @@ def main() -> int:
         print(f"bench update-churn: ERROR {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
-    print(
-        json.dumps(
+
+    # Full detail (raw runs, baseline row mapping, sub-bench detail, caveats)
+    # goes to a SIDE FILE — the driver captures only the last ~2,000 chars of
+    # stdout and parses the final JSON line from it, so that line must stay
+    # compact (round-5 lesson: BENCH_r05 came back parsed=null because this
+    # line outgrew the capture window).
+    notes = {
+        "runs": runs_raw,
+        # BASELINE.md rows each query maps to (reference numbers are
+        # warm-cache, single-node, prod-tenant measurements).
+        "baseline_map": {
+            "q_dashboard_count_window": "dashboard count 5-min 207-377ms / 1-h 336-343ms",
+            "q_dashboard_24h": "24-h window: 12.2s - timeout@95s (pre-optimization)",
+            "q_salted_agg": "busy-tenant (skew) 1-h count: 4.6-13.3s whale tenants",
+            "q_recent_events_topk": "ORDER BY ts DESC LIMIT 50: 377ms",
+            "q_percentile_duration": "percentile tiles 3-6h: 5-39s (per-type aggregate form)",
+            "q_percentile_tiles": "percentile tiles 3-6h: 5-39s (the reference's per-bucket grid shape)",
+            "q_percentile_sketch": "percentile tiles (mergeable sketch path)",
+            "q_mor_read": "warm MOR dedup-view read+agg: ref 556-741ms",
+            "q_mor_lifecycle": "create->insert->UPDATE->DELETE build (no baseline row; ref defers flush 300s)",
+            "q_time_bucket_counts": "whole-table 5-min rollup (39k groups; no direct baseline row)",
+            "q_funnel_analysis": "ordered funnel over full events (no baseline row)",
+            "q_anomaly_zscore": "trailing z-score anomaly sweep (no baseline row)",
+            "q_trace_critical_path": "span-tree critical path, pointer doubling (no baseline row)",
+        },
+        "notes": "near-dup/LSH queries are plan-overhead-bound at this sf: "
+        "their reused-plan exec is ~0.1s (measured); wall time is dominated "
+        "by per-query Catalyst analysis + whole-stage-codegen compile, which "
+        "amortizes to noise at cluster scale. Compare rounds via the "
+        "untouched control queries (q1, q_dashboard_count_window) to factor "
+        "out box speed.",
+        **extra,
+    }
+    try:
+        notes_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_NOTES.json"
+        )
+        with open(notes_path, "w") as f:
+            json.dump(notes, f, indent=1)
+        print(f"bench detail -> {notes_path}", file=sys.stderr)
+    except OSError as e:
+        print(f"bench detail write failed: {e}", file=sys.stderr)
+
+    # ONE compact JSON line (driver contract). Keep well under ~1.5 KB.
+    line = json.dumps(
+        {
+            "metric": "headline_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf,
+            "insert": extra.get("insert"),
+            "select_latency_ms": extra.get("select_latency_ms"),
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1500:  # drop optional fields before breaking the contract
+        line = json.dumps(
             {
                 "metric": "headline_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "runs": runs_raw,
+                "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": sf,
-                # BASELINE.md rows each query maps to (reference numbers are
-                # warm-cache, single-node, prod-tenant measurements).
-                "baseline_map": {
-                    "q_dashboard_count_window": "dashboard count 5-min 207-377ms / 1-h 336-343ms",
-                    "q_dashboard_24h": "24-h window: 12.2s - timeout@95s (pre-optimization)",
-                    "q_salted_agg": "busy-tenant (skew) 1-h count: 4.6-13.3s whale tenants",
-                    "q_recent_events_topk": "ORDER BY ts DESC LIMIT 50: 377ms",
-                    "q_percentile_duration": "percentile tiles 3-6h: 5-39s (per-type aggregate form)",
-                    "q_percentile_tiles": "percentile tiles 3-6h: 5-39s (the reference's per-bucket grid shape)",
-                    "q_percentile_sketch": "percentile tiles (mergeable sketch path)",
-                    "q_mor_read": "warm MOR dedup-view read+agg: ref 556-741ms",
-                    "q_mor_lifecycle": "create->insert->UPDATE->DELETE build (no baseline row; ref defers flush 300s)",
-                    "q_time_bucket_counts": "whole-table 5-min rollup (39k groups; no direct baseline row)",
-                    "q_funnel_analysis": "ordered funnel over full events (no baseline row)",
-                    "q_anomaly_zscore": "trailing z-score anomaly sweep (no baseline row)",
-                    "q_trace_critical_path": "span-tree critical path, pointer doubling (no baseline row)",
-                },
-                "notes": "near-dup/LSH queries are plan-overhead-bound at this sf: "
-                "their reused-plan exec is ~0.1s (measured); wall time is "
-                "dominated by per-query whole-stage-codegen compile + JIT "
-                "(analysis/optimization is ~0.6s after the round-5 "
-                "nested-expression collapse), which amortizes to noise at "
-                "cluster scale. Round-over-round comparison caveat: untouched "
-                "control queries (q1, q_dashboard_count_window) run ~1.3-1.4x "
-                "slower on the round-5 box than round-4's at identical plans — "
-                "scale per-query deltas by that environment factor.",
-                **extra,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+    print(line)
     return 0
 
 
@@ -362,17 +391,26 @@ def _insert_bench(spark, sf_dir: str) -> dict:
 
 def _select_latency(spark, sf_dir: str, qs) -> dict:
     """Tail latency of the dashboard-count query (run_select_bench.sh
-    analog): 12 consecutive fresh runs, p50/p95."""
+    analog): 100 consecutive fresh runs so p95 is a real quantile, not a
+    single straggler (VERDICT r5 item 7). Reports p50/p95/p99 plus a
+    trimmed max (drop the single worst run)."""
     import time as _t
 
     fn = qs["q_dashboard_count_window"]
     lat = []
-    for _ in range(12):
+    for _ in range(100):
         t0 = _t.perf_counter()
         fn(spark, sf_dir).collect()
         lat.append((_t.perf_counter() - t0) * 1000)
     lat.sort()
-    return {"p50": round(lat[len(lat) // 2], 1), "p95": round(lat[int(len(lat) * 0.95)], 1)}
+    n = len(lat)
+    return {
+        "p50": round(lat[n // 2], 1),
+        "p95": round(lat[min(n - 1, int(n * 0.95))], 1),
+        "p99": round(lat[min(n - 1, int(n * 0.99))], 1),
+        "trimmed_max": round(lat[-2], 1),
+        "n": n,
+    }
 
 
 def _query_under_ingest(spark, sf_dir: str, qs) -> dict:
