@@ -463,6 +463,17 @@ class TestOrderedAggregates:
              "a,b"),
             ("SELECT string_agg(DISTINCT v, '-' ORDER BY v DESC) AS a FROM (VALUES ('x'),('y'),('x')) t(v)",
              "y-x"),
+            # NULL elements survive in BOTH ordered forms (PG array_agg
+            # keeps NULLs; ASC places them LAST, DESC FIRST)
+            ("SELECT array_agg(x ORDER BY x) AS a "
+             "FROM (VALUES (2),(NULL),(1)) t(x)",
+             [1, 2, None]),
+            ("SELECT array_agg(x ORDER BY x DESC) AS a "
+             "FROM (VALUES (2),(NULL),(1)) t(x)",
+             [None, 2, 1]),
+            ("SELECT array_agg(v ORDER BY k) AS a "
+             "FROM (VALUES (2,CAST(NULL AS STRING)),(1,'a')) t(k, v)",
+             ["a", None]),
         ],
     )
     def test_ordered_forms(self, spark, sql, expected):
@@ -563,6 +574,34 @@ class TestTransactionVerbs:
         pg_sql(spark, "DISCARD ALL")
         assert pg_sql(spark, "SHOW application_name").first()[0] == ""
 
+    @pytest.mark.parametrize(
+        "stmt",
+        [
+            "ROLLBACK TO SAVEPOINT s1",
+            "COMMIT PREPARED 'x'",
+            "BEGIN ; DELETE FROM t",
+            "ROLLBACK AND RELEASE",
+        ],
+    )
+    def test_unknown_txn_suffixes_raise(self, spark, stmt):
+        """Arbitrary trailing text must NOT be acked as a no-op — the
+        client would believe work executed (pgwire_handlers.rs:648 passes
+        unknown statements through; it never swallows them)."""
+        with pytest.raises(Exception):
+            pg_sql(spark, stmt)
+
+    @pytest.mark.parametrize(
+        "stmt",
+        [
+            "BEGIN READ ONLY",
+            "START TRANSACTION ISOLATION LEVEL SERIALIZABLE, READ WRITE",
+            "COMMIT AND NO CHAIN",
+            "BEGIN NOT DEFERRABLE",
+        ],
+    )
+    def test_known_txn_modifiers_ack(self, spark, stmt):
+        assert pg_sql(spark, stmt).count() == 0
+
 
 class TestStandardSqlSpellings:
     """SQL-standard spellings PG accepts that Spark's parser lacks."""
@@ -591,6 +630,12 @@ class TestStandardSqlSpellings:
             ("'xbc' SIMILAR TO '(x|y)%'", True),
             ("'abc' NOT SIMILAR TO '(x|y)%'", True),
             ("'ab' SIMILAR TO 'a[bc]'", True),
+            # SQL escapes: \% and \_ are LITERAL wildcards (PG rule)
+            (r"'50%' SIMILAR TO '__\%'", True),
+            (r"'50x' SIMILAR TO '__\%'", False),
+            (r"'a_c' SIMILAR TO 'a\_c'", True),
+            (r"'abc' SIMILAR TO 'a\_c'", False),
+            (r"'a|b' SIMILAR TO 'a\|b'", True),
         ],
     )
     def test_similar_to(self, spark, expr, expected):

@@ -374,3 +374,84 @@ def test_q13_left_join_keeps_join_side_predicate(spark, sf_dir):
     # zero-order customers exist in every sf: the c_count=0 bucket is
     # non-empty, which only a true outer join produces.
     assert df.where(F.col("c_count") == 0).count() >= 0  # schema sanity
+
+
+def test_variant_storage_no_json_reparse_on_dashboard_path(spark, tmp_path):
+    """Physical VariantType storage (functions.rs:364-369 parity): a
+    dashboard aggregate over the otel table must neither decode the
+    Variant columns (column pruning drops them from ReadSchema) nor stage
+    any JSON re-parse (no try_parse_json / get_json_object anywhere in the
+    plan) — the round-5 JSON-text fallback paid that parse on every query."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from timefusion_spark.storage import Table, load_schema
+
+    schema_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "timefusion_spark",
+        "schemas",
+        "otel_logs_and_spans.yaml",
+    )
+    schema = load_schema(schema_path)
+    assert schema.spark_schema["attributes"].dataType.typeName() == "variant"
+    tbl = Table.create(spark, schema, str(tmp_path / "otel"))
+    rows = spark.range(100).select(
+        F.col("id").cast("string").alias("id"),
+        F.lit("2026-03-01 00:00:00").cast("timestamp").alias("timestamp"),
+        F.concat(F.lit("n"), (F.col("id") % 3).cast("string")).alias("name"),
+        F.lit("p1").alias("project_id"),
+        F.array(F.lit("s")).alias("summary"),
+        F.to_json(F.struct(F.col("id").alias("k"))).alias("attributes"),
+    )
+    tbl.append(rows, stamp="2026-03-06 00:00:00")
+    df = tbl.scan(project_id="p1").groupBy("name").agg(F.count(F.lit(1)).alias("n"))
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "try_parse_json" not in plan and "get_json_object" not in plan
+    # the scan's read schema must NOT materialize the variant payloads
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "attributes" not in scan_line.split("ReadSchema")[1].replace(
+        "attributes___http___response___status_code", ""
+    )
+    assert "body" not in scan_line.split("ReadSchema")[1]
+    # and the stored files really are variant-typed
+    raw = tbl.read_raw()
+    assert raw.schema["attributes"].dataType.typeName() == "variant"
+
+
+def test_variant_extraction_traverses_binary_not_text(spark, tmp_path):
+    """A query extracting from a stored Variant column binds variant_get on
+    the VariantType scan output directly — no cast to string, no JSON
+    tokenizer in the plan (the 100-TB CPU line the JSON-text fallback
+    paid)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from timefusion_spark.storage import Table, load_schema
+
+    schema_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "timefusion_spark",
+        "schemas",
+        "otel_logs_and_spans.yaml",
+    )
+    tbl = Table.create(spark, load_schema(schema_path), str(tmp_path / "otel"))
+    rows = spark.range(50).select(
+        F.col("id").cast("string").alias("id"),
+        F.lit("2026-03-01 00:00:00").cast("timestamp").alias("timestamp"),
+        F.lit("n").alias("name"),
+        F.lit("p1").alias("project_id"),
+        F.array(F.lit("s")).alias("summary"),
+        F.to_json(F.struct((F.col("id") % 5).alias("k"))).alias("attributes"),
+    )
+    tbl.append(rows, stamp="2026-03-06 00:00:00")
+    out = tbl.read().select(
+        F.variant_get("attributes", "$.k", "long").alias("k")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "variant_get" in plan
+    assert "try_parse_json" not in plan
+    assert out.where(F.col("k") == 4).count() == 10

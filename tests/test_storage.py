@@ -410,10 +410,14 @@ class TestReferenceSchemas:
         tbl.append(row, stamp="2026-03-01 12:00:01")
         out = tbl.read()
         assert len(out.columns) == 91
-        got = out.select("id", "name", "project_id", "attributes").collect()[0]
+        got = out.select(
+            "id", "name", "project_id", F.to_json("attributes").alias("attributes")
+        ).collect()[0]
         assert got["id"] == "id1" and got["project_id"] == "p1"
-        # Variant column canonicalized to JSON text by coerce
+        # Variant column stored as physical VariantType; to_json renders
+        # the canonical text form
         assert got["attributes"] == '{"http":{"status":200}}'
+        assert out.schema["attributes"].dataType.typeName() == "variant"
 
 
 class TestRecentWindowPruning:

@@ -197,6 +197,64 @@ def _strip_quotes(s: str) -> str:
     return s[1:-1].replace("''", "'") if s.startswith("'") else s
 
 
+# ── Variant-typed columns ─────────────────────────────────────────────────
+#
+# Storage tables persist Variant fields as physical Spark VariantType
+# (functions.rs:364-369 parity). The SQL rewriter has no resolver, so the
+# storage layer registers the NAMES of Variant-declared columns; a JSON
+# operator whose base is such a column traverses the stored Variant binary
+# directly instead of staging try_parse_json over text (the reference's
+# DF54 regression — variant_column.slt — was exactly `->`/`->>` failing to
+# bind on Variant COLUMNS while working on Utf8 ones).
+
+_VARIANT_COLS: set[str] = set()
+
+_BARE_IDENT_RE = re.compile(r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)")
+
+
+def register_variant_columns(names) -> None:
+    """Record column names that are VariantType in registered table views
+    (called by the slt env / storage registration paths)."""
+    _VARIANT_COLS.update(n.lower() for n in names)
+
+
+def _variant_producing(x: str) -> str | None:
+    """If `x` already evaluates to a Variant — a registered Variant column
+    or a reference-style 2-arg variant_get over one — return an expression
+    for it (3-arg Spark variant_get form, which the later variant_get
+    rewrite pass leaves untouched). None ⇒ treat as JSON text."""
+    x = x.strip()
+    m = _BARE_IDENT_RE.fullmatch(x)
+    if m:
+        return f"({x})" if m.group(1).lower() in _VARIANT_COLS else None
+    m = re.match(r"(?is)^variant_get\s*\((.*)\)$", x)
+    if m:
+        args = _split_args(m.group(1))
+        if len(args) == 2 and args[1].startswith("'"):
+            inner = _variant_producing(args[0]) or f"try_parse_json({args[0]})"
+            return f"variant_get({inner}, '{_variant_path(args[1])}', 'variant')"
+    return None
+
+
+def _as_variant(x: str) -> str:
+    """Stage expression `x` as a Variant: pass-through for Variant-typed
+    inputs, parse-once for JSON text."""
+    return _variant_producing(x) or f"try_parse_json({x})"
+
+
+def _variant_pg_text(v: str) -> str:
+    """PG `->>` text rendering of a Variant expression (json_to_pg_text,
+    functions.rs:256-303): JSON null → SQL NULL, string unquoted,
+    number/bool literal text, object/array their JSON text. Missing path
+    (SQL NULL variant) falls through every branch to NULL."""
+    return (
+        f"(CASE WHEN __ISVNULL__({v}) THEN CAST(NULL AS STRING)"
+        f" WHEN startswith(__TOJSON__({v}), '\"')"
+        f" THEN try_variant_get({v}, '$', 'string')"
+        f" ELSE __TOJSON__({v}) END)"
+    )
+
+
 def _translate_arrows(toks: list[str]) -> list[str]:
     """Collapse `base -> 'a' -> 2 ->> 'b'` chains into one Variant path
     extraction (functions.rs:94-254 semantics: `->` JSON rendering, final
@@ -240,17 +298,52 @@ def _translate_arrows(toks: list[str]) -> list[str]:
                     break
             jpath = "$" + "".join(path)
             del out[lstart:]
+            vbase = _variant_producing(base)
             if op == "->>":
-                out.append(f"get_json_object({base}, '{jpath}')")
+                if vbase is None:
+                    out.append(f"get_json_object({base}, '{jpath}')")
+                else:
+                    out.append(
+                        _variant_pg_text(f"variant_get({vbase}, '{jpath}', 'variant')")
+                    )
             else:
                 # __TOJSON__ sentinel: keep the user-facing to_json rewrite
                 # pass from re-wrapping this engine-generated call.
                 out.append(
-                    f"__TOJSON__(variant_get(try_parse_json({base}), '{jpath}', 'variant'))"
+                    f"__TOJSON__(variant_get({vbase or f'try_parse_json({base})'},"
+                    f" '{jpath}', 'variant'))"
                 )
             continue
         out.append(toks[i])
         i += 1
+    return out
+
+
+def _translate_variant_compare(toks: list[str]) -> list[str]:
+    """Variant column compared against JSON-text literals (`body IN
+    ('"a"', '"b"')`, `body = '…'` — variant_column.slt:145 'exercises
+    coercion'): compare through the canonical JSON text, since Spark
+    defines no ordering on VARIANT. Runs AFTER the arrow pass, so any
+    remaining bare Variant identifier adjacent to a comparison/IN is a
+    genuine variant-vs-text compare."""
+    cmp_ops = {"=", "!=", "<>", "<", "<=", ">", ">="}
+    out = list(toks)
+    for i, tok in enumerate(out):
+        if tok.lower() not in _VARIANT_COLS or not _BARE_IDENT_RE.fullmatch(tok):
+            continue
+        p = _prev_idx(out, i)
+        n = _next_idx(out, i)
+        prev = out[p] if p >= 0 else ""
+        nxt = out[n] if n < len(out) else ""
+        if prev == "." or nxt == "(" or prev.endswith("."):
+            continue  # qualified tail / function name
+        if (
+            nxt in cmp_ops
+            or nxt.upper() in ("IN", "LIKE")
+            or prev in cmp_ops
+            or prev.upper() == "IN"
+        ):
+            out[i] = f"__TOJSON__({tok})"
     return out
 
 
@@ -453,13 +546,22 @@ def _translate_fn_calls(sql: str) -> str:
     # unspecified. DISTINCT requires key == expr (the PG rule) and maps to
     # sort_array(collect_set).
     def _ordered_collect(e: str, k: str, direction: str, distinct: bool) -> str | None:
-        coll = "collect_set" if distinct else "collect_list"
-        if k == e:
-            asc = "" if direction == "ASC" else ", false"
-            return f"sort_array({coll}({e}){asc})"
         if distinct:
-            return None  # PG: DISTINCT requires ORDER BY expr == the argument
-        arr = f"transform(array_sort({coll}(named_struct('_o', {k}, '_x', {e}))), s -> s._x)"
+            if k != e:
+                return None  # PG: DISTINCT requires ORDER BY expr == the argument
+            # collect_set drops NULL elements — documented divergence (PG
+            # DISTINCT keeps one NULL); order itself is exact.
+            asc = "" if direction == "ASC" else ", false"
+            return f"sort_array(collect_set({e}){asc})"
+        # Both the key==expr and key!=expr forms ride the SAME struct sort,
+        # so NULL elements survive in both (collect_list would drop a bare
+        # NULL element, but not a struct with NULL fields). The leading
+        # IS-NULL flag pins PG's null placement: ASC → NULLS LAST,
+        # DESC (reverse) → NULLS FIRST.
+        arr = (
+            f"transform(array_sort(collect_list("
+            f"named_struct('_n', ({k}) IS NULL, '_o', {k}, '_x', {e}))), s -> s._x)"
+        )
         return f"reverse({arr})" if direction == "DESC" else arr
 
     _ORD = r"(?is)^\s*(DISTINCT\s+)?(.*?)\s+ORDER\s+BY\s+(.+?)(?:\s+(ASC|DESC))?\s*$"
@@ -544,7 +646,7 @@ def _translate_fn_calls(sql: str) -> str:
     def _variant_pretty(a: list[str]) -> str | None:
         if len(a) != 1:
             return None
-        j = f"coalesce(to_json(try_parse_json({a[0]})), 'null')"
+        j = f"coalesce(to_json({_as_variant(a[0])}), 'null')"
         b = f"try_cast({j} AS bigint)"
         return (
             f"(CASE WHEN {b} IS NOT NULL AND NOT contains({j}, '.') THEN"
@@ -563,14 +665,14 @@ def _translate_fn_calls(sql: str) -> str:
         sql,
         "variant_to_json",
         lambda a: (
-            f"coalesce(to_json(try_parse_json({a[0]})), 'null')" if len(a) == 1 else None
+            f"coalesce(to_json({_as_variant(a[0])}), 'null')" if len(a) == 1 else None
         ),
     )
     sql = _rewrite_calls(
         sql,
         "variant_get",
         lambda a: (
-            f"to_json(variant_get(try_parse_json({a[0]}), '{_variant_path(a[1])}', 'variant'))"
+            f"to_json(variant_get({_as_variant(a[0])}, '{_variant_path(a[1])}', 'variant'))"
             if len(a) == 2 and a[1].strip().startswith("'")
             else None
         ),
@@ -579,7 +681,7 @@ def _translate_fn_calls(sql: str) -> str:
     sql = _rewrite_calls(
         sql,
         "is_variant_null",
-        lambda a: f"__ISVNULL__(try_parse_json({a[0]}))" if len(a) == 1 else None,
+        lambda a: f"__ISVNULL__({_as_variant(a[0])})" if len(a) == 1 else None,
     )
 
     # jsonb_path_exists (functions.rs:1273-1502): the PG SQL/JSON-path lax
@@ -596,7 +698,10 @@ def _translate_fn_calls(sql: str) -> str:
         path = _strip_quotes(arg)
         if not path.startswith("$"):
             return None
-        return "(" + jsonpath_exists_sql(a[0], path) + ")"
+        vexpr = _variant_producing(a[0])
+        return "(" + jsonpath_exists_sql(
+            vexpr or a[0], path, variant_input=vexpr is not None
+        ) + ")"
 
     sql = _rewrite_calls(sql, "jsonb_path_exists", _path_exists)
     # percentile two-step (functions.rs:1096-1267): the composed form maps
@@ -930,16 +1035,41 @@ def _translate_distinct_on(sql: str) -> str:
 
 def _similar_to_regex(pat: str) -> str:
     """SQL SIMILAR TO pattern → anchored Java regex: % → .*, _ → . ;
-    regex metacharacters that are LITERAL in SQL regex syntax (., ^, $)
-    are escaped; the SQL-regex operators (| * + ? {} () []) pass
-    through. Bracket expressions keep their contents verbatim."""
-    out, i, in_br = [], 0, False
+    `\\%` / `\\_` (SQL escapes) are LITERAL wildcards; regex
+    metacharacters that are LITERAL in SQL regex syntax (., ^, $) are
+    escaped; the SQL-regex operators (| * + ? {} () []) pass through.
+    Bracket expressions keep their contents verbatim.
+
+    This replacement lands AFTER the token pass that DOUBLES backslashes
+    for Spark's string parser, so (a) each original pattern backslash
+    arrives as two chars, and (b) every regex escape emitted here must
+    itself be doubled to survive one level of string-literal unescaping."""
+
+    def orig(i: int) -> tuple[str, int]:
+        # one ORIGINAL pattern char (collapsing the token-pass doubling)
+        if pat[i] == "\\" and i + 1 < len(pat) and pat[i + 1] == "\\":
+            return "\\", i + 2
+        return pat[i], i + 1
+
+    def emit_literal(ch: str) -> str:
+        if ch == "\\":
+            return "\\\\\\\\"  # regex \\ , doubled
+        if ch in ".^$|*+?{}()[]":
+            return "\\\\" + ch  # regex \<ch> , doubled
+        return ch
+
+    out: list[str] = []
+    i, in_br = 0, False
     while i < len(pat):
-        ch = pat[i]
+        ch, i = orig(i)
         if in_br:
-            out.append(ch)
+            out.append("\\\\" if ch == "\\" else ch)
             if ch == "]":
                 in_br = False
+        elif ch == "\\" and i < len(pat):
+            # SQL escape: next char is literal (PG \% and \_ wildcards)
+            lit, i = orig(i)
+            out.append(emit_literal(lit))
         elif ch == "[":
             out.append(ch)
             in_br = True
@@ -948,15 +1078,11 @@ def _similar_to_regex(pat: str) -> str:
         elif ch == "_":
             out.append(".")
         elif ch in ".^$":
-            # Doubled: this replacement lands AFTER the token pass that
-            # normalizes backslashes for Spark's string parser, so the
-            # regex escape must survive one level of string-literal
-            # unescaping. (User backslashes were already normalized
-            # upstream and pass through untouched.)
             out.append("\\\\" + ch)
+        elif ch == "\\":
+            out.append("\\\\\\\\")  # trailing lone backslash: literal
         else:
             out.append(ch)
-        i += 1
     return "^(?:" + "".join(out) + ")$"
 
 
@@ -1117,6 +1243,7 @@ def pg_to_spark_sql(sql: str) -> str:
         t if not t.startswith("'") else t.replace("\\", "\\\\") for t in toks
     ]
     toks = _translate_arrows(toks)
+    toks = _translate_variant_compare(toks)
     toks = _translate_casts(toks)
     return _translate_fn_calls(_translate_misc("".join(toks)))
 
@@ -1161,12 +1288,24 @@ def _apply_settings_statement(spark, stripped: str):
     # auto-commit — each statement's commit-log publish is already atomic —
     # so they complete as no-ops, exactly how the reference's pgwire layer
     # acks them. DISCARD resets session state (settings) per PG semantics.
-    if re.match(
-        r"(?is)^(BEGIN|END|COMMIT|ROLLBACK|ABORT|START\s+TRANSACTION)"
-        r"(\s+(WORK|TRANSACTION))?(\s+.*)?$",
-        stripped,
-    ):
-        return True
+    if re.match(r"(?is)^(BEGIN|END|COMMIT|ROLLBACK|ABORT|START\s+TRANSACTION)\b", stripped):
+        # Only KNOWN transaction modifiers may trail the verb; anything else
+        # (SAVEPOINT forms, COMMIT PREPARED, a compound `BEGIN ; DELETE …`)
+        # must NOT be silently acked as a no-op — the client would believe
+        # work executed (pgwire_handlers.rs:648 only aliases ABORT→ROLLBACK
+        # and passes statements through).
+        modifier = (
+            r"(WORK|TRANSACTION|AND\s+(NO\s+)?CHAIN|READ\s+(ONLY|WRITE)|"
+            r"(NOT\s+)?DEFERRABLE|ISOLATION\s+LEVEL\s+(SERIALIZABLE|"
+            r"REPEATABLE\s+READ|READ\s+(COMMITTED|UNCOMMITTED)))"
+        )
+        if re.match(
+            r"(?is)^(BEGIN|END|COMMIT|ROLLBACK|ABORT|START\s+TRANSACTION)"
+            rf"(\s*,?\s+{modifier})*\s*$",
+            stripped,
+        ):
+            return True
+        raise ValueError(f"unsupported transaction statement: {stripped!r}")
     if re.match(r"(?is)^DISCARD\s+(ALL|PLANS|SEQUENCES|TEMP|TEMPORARY)$", stripped):
         _SESSION_SETTINGS.pop(id(spark), None)
         return True
@@ -1298,8 +1437,12 @@ def _apply_admin_statement(spark, stripped: str, tables):
             km = re.match(r"\s*([A-Za-z_][\w]*)\s*=\s*'([^']*)'\s*", frag)
             if km:
                 parts[km.group(1)] = km.group(2)
+        # Both OPTIMIZE forms report the SAME metric: live-file delta from
+        # the commit-log manifest (files before − files after), i.e. files
+        # actually removed by the rewrite — not rows, not partition counts.
+        before = len(tbl.log.snapshot().files) if tbl.log.exists() else None
         if parts:
-            n = maintenance.compact(tbl, parts)
+            maintenance.compact(tbl, parts)
         else:
             # Bare OPTIMIZE = the reference's `optimize --consolidate` CLI:
             # metadata-driven leveled consolidation — only partitions whose
@@ -1308,7 +1451,12 @@ def _apply_admin_statement(spark, stripped: str, tables):
             # min_files=2: an explicit OPTIMIZE should merge any split
             # partition (the background job's default of 4 is for
             # unattended sweeps that shouldn't churn mildly-split dirs).
-            n = len(maintenance.consolidate(tbl, min_files=2))
+            maintenance.consolidate(tbl, min_files=2)
+        n = (
+            before - len(tbl.log.snapshot().files)
+            if before is not None
+            else 0
+        )
         return spark.createDataFrame([(n,)], "files_removed int")
     m = re.match(
         r"(?is)^VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?$", stripped

@@ -116,6 +116,13 @@ def fmt_value(v, tchar: str) -> str:
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(fmt_value(x, tchar) for x in v) + "]"
+    from pyspark.sql.types import VariantVal
+
+    if isinstance(v, VariantVal):
+        # Auto variant_to_json at the wire (the reference renders Variant
+        # columns as canonical JSON text over pgwire — variant_column.slt,
+        # so string scalars keep their JSON quotes).
+        return v.toJson()
     s = str(v)
     return s if s != "" else "(empty)"
 
@@ -231,6 +238,13 @@ class SltEnv:
             self.spark, schema, os.path.join(self.base_dir, schema.table_name)
         )
         self.tables[schema.table_name] = tbl
+        # Tell the SQL rewriter which columns are VariantType so `->`/`->>`
+        # / variant_get bind on the stored Variant binary directly.
+        from timefusion_spark.pgshim import register_variant_columns
+
+        register_variant_columns(
+            f.name for f in schema.fields if f.data_type == "Variant"
+        )
         self._refresh(schema.table_name)
 
     def _refresh(self, name: str) -> None:

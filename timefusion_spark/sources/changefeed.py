@@ -85,6 +85,16 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
 
         from timefusion_spark.storage.schema import parse_data_type
 
+        if any(dt == "Variant" for _, dt in self.fields):
+            # The worker decode path reads files with pyarrow, which cannot
+            # decode Spark's Parquet VARIANT logical type in this
+            # environment. Batch consumers use Table.read_changes (Spark's
+            # own reader handles Variant); the stream source rejects such
+            # tables up front instead of failing mid-batch.
+            raise ValueError(
+                "tf_changes cannot stream tables with Variant columns; "
+                "use Table.read_changes polling instead"
+            )
         self.arrow_types = {
             name: to_arrow_type(parse_data_type(dt)) for name, dt in self.fields
         }
@@ -163,11 +173,17 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         cols = []
         for name in partition.field_order:
             if name in part_vals:
-                v, dt_name = part_vals[name], partition.part_types.get(name, "")
-                if dt_name.startswith("Date"):
-                    arr = pa.array([dt.date.fromisoformat(v)] * n, pa.date32())
+                # Reconstruct the partition constant THROUGH the declared
+                # arrow type (not a date32-or-string special case), so an
+                # int/float-partitioned table emits arrays matching the
+                # stream's declared schema — same casting rule as the batch
+                # read path.
+                v = part_vals[name]
+                typ = partition.arrow_types[name]
+                if pa.types.is_date(typ):
+                    arr = pa.array([dt.date.fromisoformat(v)] * n, typ)
                 else:
-                    arr = pa.array([v] * n, pa.string())
+                    arr = pc.cast(pa.array([v] * n, pa.string()), typ)
             elif name in tbl.column_names:
                 arr = tbl.column(name).combine_chunks()
             else:

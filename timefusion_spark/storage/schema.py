@@ -11,9 +11,11 @@ Type mapping (schema_loader.rs arrow types → Spark):
   Utf8→string, Int32→int, Int64→long, Float64→double, Boolean→boolean,
   Date32→date, Timestamp(Microsecond, Some("UTC"))→timestamp (session tz is
   UTC, µs precision — exact), List(T)→array<T>, Binary→binary,
-  Variant→string carrying JSON text (the reference's Parquet-Variant binary
-  has no stable Spark 4.1 writer surface; JSON-string + get_json_object /
-  from_json is the documented fallback, SURVEY §1.2).
+  Variant→Spark VariantType stored as Parquet VARIANT binary — the same
+  physical layout as the reference (functions.rs:364-369, Cargo.toml
+  parquet-variant): queries traverse the pre-parsed binary directly
+  (variant_get), no per-query JSON re-tokenization. JSON-text rendering
+  happens only at output edges (to_json / the slt wire format).
 """
 
 from __future__ import annotations
@@ -38,8 +40,8 @@ _PRIMITIVES = {
     "Date32": T.DateType(),
     "Binary": T.BinaryType(),
     "LargeBinary": T.BinaryType(),
-    # Variant: JSON-text fallback (see module docstring).
-    "Variant": T.StringType(),
+    # Variant: physical Spark VariantType (see module docstring).
+    "Variant": T.VariantType(),
 }
 
 _TS_RE = re.compile(r"Timestamp\((\w+)(?:,.*)?\)")

@@ -91,17 +91,32 @@ class Table:
                 f"batch shares no columns with {self.schema.table_name}: "
                 f"{sorted(incoming)}"
             )
+        import pyspark.sql.types as ST
+
+        in_types = {fd.name: fd.dataType for fd in df.schema.fields}
         cols: list[Column] = []
         for f in self.schema.fields:
             target = f.to_spark().dataType
             if f.name in incoming:
-                c = F.col(f.name).cast(target)
                 if f.data_type == "Variant":
-                    # Variant fields store canonical JSON text (sorted keys,
-                    # no whitespace) — the text rendering of the reference's
-                    # Parquet-Variant binary, so SELECT/equality/LIKE see the
-                    # same canonical form Variant output would produce.
-                    c = F.coalesce(F.to_json(F.try_parse_json(c)), c)
+                    # Physical Variant storage (functions.rs:364-369): JSON
+                    # text parses ONCE at insert into the Variant binary;
+                    # unparseable text degrades to a variant string (the
+                    # cast), matching the reference's insert coercion.
+                    # Already-variant input passes through; any other type
+                    # casts to variant directly (no text round-trip).
+                    src = in_types.get(f.name)
+                    if isinstance(src, ST.VariantType):
+                        c = F.col(f.name)
+                    elif isinstance(src, ST.StringType):
+                        c = F.coalesce(
+                            F.try_parse_json(F.col(f.name)),
+                            F.col(f.name).cast(target),
+                        )
+                    else:
+                        c = F.col(f.name).cast(target)
+                else:
+                    c = F.col(f.name).cast(target)
                 if not f.nullable and f.name != "date":
                     # Required-field enforcement (insert_coerce.rs rejects
                     # NULL in non-nullable declared columns at insert time).
@@ -181,7 +196,10 @@ class Table:
         # yaml `bloom_filter: true` fields).
         opts: dict[str, str] = {"compression": "zstd"}
         for f in self.schema.fields:
-            if f.bloom_filter:
+            # No bloom filters on Variant columns: the physical layout is a
+            # binary pair, not a hashable scalar (the reference's yaml only
+            # marks id-like Utf8 columns anyway).
+            if f.bloom_filter and f.data_type != "Variant":
                 opts[f"parquet.bloom.filter.enabled#{f.name}"] = "true"
         return opts
 
