@@ -358,3 +358,122 @@ class TestChangeFeedDataChange:
         maintenance.vacuum(table)
         with pytest.raises(AnalysisException):
             table.read_changes(0).count()
+
+
+class TestCommitGroups:
+    """Coalesced multi-table commit (database.rs:5181): per-table commits
+    stage invisibly inside a group; ONE marker publish makes every table's
+    batch visible atomically. A torn write (coordinator crash before
+    publish) is never observable."""
+
+    @pytest.fixture()
+    def two_tables(self, spark, tmp_path):
+        a = Table.create(spark, load_schema_text(YAML.replace("table_name: t", "table_name: a")), str(tmp_path / "a"))
+        b = Table.create(spark, load_schema_text(YAML.replace("table_name: t", "table_name: b")), str(tmp_path / "b"))
+        return a, b
+
+    def test_group_publish_makes_both_visible_atomically(self, spark, tmp_path, two_tables):
+        from timefusion_spark.storage.commitlog import CommitGroup
+
+        a, b = two_tables
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g)
+        b.append(_rows(spark, BASE[:1]), stamp="2026-01-01 00:00:00", group=g)
+        # phase 1: both committed but INVISIBLE
+        assert a.read().count() == 0 and b.read().count() == 0
+        g.publish()
+        # phase 2: both visible at once
+        assert a.read().count() == 3 and b.read().count() == 1
+
+    def test_torn_multi_table_write_invisible(self, spark, tmp_path, two_tables):
+        """Coordinator crashes after table A's commit, before the marker:
+        NO reader surface (scan, count, change feed, time travel) observes
+        A's rows — the write is torn but never torn-VISIBLE."""
+        from timefusion_spark.storage.commitlog import CommitGroup
+
+        a, b = two_tables
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g)
+        # crash here: g.publish() never runs
+        assert a.read().count() == 0
+        assert a.count() == 0
+        assert a.read_changes(0).count() == 0
+        assert len(a.log.snapshot().files) == 0
+        # a later NON-group append publishes normally and alone
+        a.append(_rows(spark, BASE[:1]), stamp="2026-01-02 00:00:00")
+        assert a.read().count() == 1
+
+    def test_pending_group_txn_not_counted(self, spark, tmp_path, two_tables):
+        """A pending group commit's txn watermark is ignored, so the
+        replayed streaming batch re-appends instead of being skipped (the
+        lost-write trap of counting invisible commits as delivered)."""
+        from timefusion_spark.storage.commitlog import CommitGroup
+
+        a, _ = two_tables
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), txn=("app", 7), group=g)  # never published
+        assert a.log.txn_version("app") == -1
+        # replay delivers the same batch under a new group; it must land
+        g2 = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), txn=("app", 7), group=g2)
+        g2.publish()
+        assert a.read().count() == 3
+        assert a.log.txn_version("app") == 7
+
+    def test_checkpoint_defers_over_pending_group(self, spark, tmp_path, two_tables):
+        """A checkpoint never bakes in a pending group's absence: the
+        checkpoint write is deferred while an unpublished group commit is
+        in range, and the state is correct once the marker appears."""
+        from timefusion_spark.storage.commitlog import CHECKPOINT_EVERY, CommitGroup
+
+        a, _ = two_tables
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g)
+        # drive the log past a checkpoint boundary with small commits
+        for i in range(CHECKPOINT_EVERY + 1):
+            a.log.commit(add=[], op="append", txn=("filler", i))
+        import os as _os
+
+        cks = [f for f in _os.listdir(a.log.log_dir) if f.endswith(".checkpoint.json")]
+        assert cks == []  # deferred, not written with the group pending
+        g.publish()
+        a.log.commit(add=[], op="append", txn=("filler", 999))
+        assert a.read().count() == 3
+
+    def test_multi_table_streaming_ingest_coalesced(self, spark, tmp_path, two_tables):
+        """ingest_stream_multi: one micro-batch routes to two tables and
+        commits as one group; both tables see every batch, and each
+        table's commit entries carry the group id."""
+        import json as _json
+        import os as _os
+
+        from timefusion_spark.storage.streaming import ingest_stream_multi
+
+        a, b = two_tables
+        src = str(tmp_path / "src")
+        _rows(spark, BASE).coalesce(1).write.mode("overwrite").json(src)
+        stream = spark.readStream.schema(
+            "timestamp string, id string, value double, project_id string"
+        ).json(src)
+        q = ingest_stream_multi(
+            {
+                "a": (a, lambda df: df),
+                "b": (b, lambda df: df.where("project_id = 'p1'")),
+            },
+            stream,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        assert a.read().count() == 3
+        assert b.read().count() == 2
+        groups = set()
+        for tbl in (a, b):
+            for name in sorted(_os.listdir(tbl.log.log_dir)):
+                if not name.endswith(".json") or name.endswith(".checkpoint.json"):
+                    continue
+                with open(_os.path.join(tbl.log.log_dir, name)) as fh:
+                    rec = _json.load(fh)
+                if rec.get("group"):
+                    groups.add((tbl.schema.table_name, rec["group"]["id"]))
+        ids = {gid for _, gid in groups}
+        assert len(ids) == 1  # one shared group across both tables

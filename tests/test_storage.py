@@ -640,3 +640,115 @@ def _files_by_dir(table):
     for rel, size in table.log.snapshot().files.items():
         by_dir.setdefault(_os.path.dirname(rel), []).append(size)
     return by_dir
+
+
+PLAIN_YAML = """
+table_name: plain
+partitions: [project_id, date]
+time_column: timestamp
+sorting_columns:
+  - {name: timestamp, descending: true, nulls_first: true}
+fields:
+  - {name: date, data_type: Date32, nullable: false}
+  - {name: timestamp, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: value, data_type: Float64, nullable: true}
+  - {name: project_id, data_type: Utf8, nullable: true}
+"""
+
+
+@pytest.fixture()
+def plain_table(spark, tmp_path):
+    """Non-version_append table: DML routes to the in-place Delta-leg path
+    (dml.rs:958-1004 perform_delta_merge_update)."""
+    tbl = Table.create(spark, load_schema_text(PLAIN_YAML), str(tmp_path / "pt"))
+    tbl.append(_rows(spark, BASE))
+    return tbl
+
+
+class TestInPlaceDml:
+    """In-place UPDATE/DELETE/UPDATE…FROM for tables WITHOUT version_append
+    (database.rs:2056-2064 routing): atomic partition overwrite, no row
+    versions, snapshot isolation for readers on older log versions."""
+
+    def test_update_rewrites_matched_rows(self, spark, plain_table):
+        n = dml.update(
+            plain_table, {"value": F.col("value") + 10.0}, predicate=(F.col("id") == "a")
+        )
+        assert n == 1
+        got = {r["id"]: r["value"] for r in plain_table.read().collect()}
+        assert got == {"a": 11.0, "b": 2.0, "c": 3.0}
+        # physical row count unchanged — no appended versions
+        assert plain_table.read_raw().count() == 3
+
+    def test_update_touches_only_affected_partitions(self, spark, plain_table):
+        """The rewrite must not touch partitions without matched rows: the
+        (p2, 2026-01-02) directory's file set is bit-identical after an
+        update that matches only p1 rows."""
+        snap_before = plain_table.log.snapshot().files
+        p2_before = {p for p in snap_before if "project_id=p2" in p}
+        dml.update(
+            plain_table, {"value": F.lit(99.0)}, predicate=(F.col("project_id") == "p1")
+        )
+        snap_after = plain_table.log.snapshot().files
+        p2_after = {p for p in snap_after if "project_id=p2" in p}
+        assert p2_before == p2_after  # untouched partition kept its files
+        p1_after = {p for p in snap_after if "project_id=p1" in p}
+        assert p1_after.isdisjoint(snap_before)  # p1 rewrote
+
+    def test_delete_removes_rows_physically(self, spark, plain_table):
+        n = dml.delete(plain_table, predicate=(F.col("value") >= 2.0))
+        assert n == 2
+        assert [r["id"] for r in plain_table.read().collect()] == ["a"]
+        assert plain_table.read_raw().count() == 1  # physically gone
+
+    def test_delete_emptying_a_partition_clears_its_files(self, spark, plain_table):
+        """A DELETE matching every row of a partition stages no replacement
+        file there — the old files must still leave the manifest."""
+        n = dml.delete(plain_table, predicate=(F.col("project_id") == "p2"))
+        assert n == 1
+        assert plain_table.read().where(F.col("project_id") == "p2").count() == 0
+        assert not any(
+            "project_id=p2" in p for p in plain_table.log.snapshot().files
+        )
+
+    def test_snapshot_isolation_across_inplace_dml(self, spark, plain_table):
+        v0 = plain_table.log.latest_version()
+        dml.update(plain_table, {"value": F.lit(0.0)}, predicate=F.lit(True))
+        old = plain_table.read(version=v0)
+        assert sorted(r["value"] for r in old.collect()) == [1.0, 2.0, 3.0]
+        assert sorted(r["value"] for r in plain_table.read().collect()) == [0.0, 0.0, 0.0]
+
+    def test_update_from_broadcast_merge(self, spark, plain_table):
+        src = spark.createDataFrame([("a", 100.0), ("c", 300.0)], "id string, adj double")
+        n = dml.update_from(
+            plain_table, src, ["id"], {"value": F.col("_tgt.value") + F.col("_src.adj")}
+        )
+        assert n == 2
+        got = {r["id"]: r["value"] for r in plain_table.read().collect()}
+        assert got == {"a": 101.0, "b": 2.0, "c": 303.0}
+
+    def test_update_from_with_target_predicate(self, spark, plain_table):
+        src = spark.createDataFrame([("a", 1.0), ("b", 1.0)], "id string, adj double")
+        n = dml.update_from(
+            plain_table, src, ["id"],
+            {"value": F.col("_tgt.value") + F.col("_src.adj")},
+            predicate=(F.col("value") >= 2.0),
+        )
+        assert n == 1  # only b passes the target filter
+        got = {r["id"]: r["value"] for r in plain_table.read().collect()}
+        assert got == {"a": 1.0, "b": 3.0, "c": 3.0}
+
+    def test_noop_update_commits_nothing(self, spark, plain_table):
+        v0 = plain_table.log.latest_version()
+        n = dml.update(plain_table, {"value": F.lit(1.0)}, predicate=(F.col("id") == "zz"))
+        assert n == 0
+        assert plain_table.log.latest_version() == v0
+
+    def test_mor_table_still_version_appends(self, spark, mor_table):
+        mor_table.append(_rows(spark, BASE), stamp="2026-01-01 12:00:00")
+        dml.update(
+            mor_table, {"value": F.lit(5.0)}, predicate=(F.col("id") == "a"),
+            stamp="2026-01-02 00:00:00",
+        )
+        assert mor_table.read_raw().count() == 4  # version appended, not rewritten

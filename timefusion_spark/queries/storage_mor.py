@@ -679,6 +679,90 @@ def q_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_update_inplace",
+    oracle="""
+    SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
+           COUNT(*) AS n_live,
+           ROUND(SUM(o_totalprice
+                 + CASE WHEN o_orderkey % 10 = 0 THEN 500 ELSE 0 END
+                 + CASE WHEN o_orderkey % 9 = 0 THEN o_orderkey * 0.01 ELSE 0 END), 2)
+             AS total_value
+    FROM orders
+    WHERE o_orderkey <= 1200 AND o_orderkey % 7 <> 0
+    GROUP BY 1
+    ORDER BY project_id
+    """,
+    doc="In-place (non-version-append) DML — the reference's Delta-leg "
+    "path (dml.rs:958-1004 perform_delta_merge_update, "
+    "database.rs:2056-2064): UPDATE, UPDATE…FROM a broadcast source, and "
+    "DELETE each read only the affected partitions, apply the mutation, "
+    "and publish ONE atomic partition-overwrite commit. No tombstones, no "
+    "row versions — the physical table IS the visible state; snapshot "
+    "readers on older log versions keep the pre-DML files.",
+)
+def q_update_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import Table, dml
+    from timefusion_spark.storage.schema import FieldDef, SortingColumnDef, TableSchema
+
+    schema = TableSchema(
+        table_name="inplace_events",
+        fields=[
+            FieldDef("id", "Utf8", False),
+            FieldDef("timestamp", 'Timestamp(Microsecond, Some("UTC"))', False),
+            FieldDef("name", "Utf8"),
+            FieldDef("value", "Float64"),
+            FieldDef("project_id", "Utf8", False),
+            FieldDef("date", "Date32", False),
+        ],
+        partitions=["project_id", "date"],
+        sorting_columns=[SortingColumnDef("timestamp", descending=True)],
+        time_column="timestamp",
+    )
+    base_dir = tempfile.mkdtemp(prefix="tf_inplace_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "t"))
+    try:
+        orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1200)
+        base = orders.select(
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.expr(
+                "timestamp'2026-03-01 00:00:00'"
+                " + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
+            ).alias("timestamp"),
+            F.col("o_orderstatus").alias("name"),
+            F.col("o_totalprice").alias("value"),
+            F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias(
+                "project_id"
+            ),
+        )
+        tbl.append(base)
+        key = F.col("id").cast("bigint")
+        # in-place UPDATE: rewrite only the partitions holding matched rows
+        dml.update(tbl, {"value": F.col("value") + 500.0}, predicate=(key % 10 == 0))
+        # in-place UPDATE…FROM: broadcast-merge the adjustment source
+        src = orders.where(F.col("o_orderkey") % 9 == 0).select(
+            F.col("o_orderkey").cast("string").alias("id"),
+            (F.col("o_orderkey") * 0.01).alias("adj"),
+        )
+        dml.update_from(
+            tbl, src, ["id"], {"value": F.col("_tgt.value") + F.col("_src.adj")}
+        )
+        # in-place DELETE: physically removes the rows (no tombstones here)
+        dml.delete(tbl, predicate=(key % 7 == 0))
+        out = (
+            tbl.read()
+            .groupBy("project_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("project_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
     "q_otel_hash_enrichment",
     oracle="""
     SELECT 'err_' || CAST(event_id % 7 AS VARCHAR) AS tag,

@@ -70,9 +70,11 @@ PRIORITY: tuple[str, ...] = (
     # corpus parity + end-to-end pipeline
     "q_slt_parity",
     "q_training_pipeline",
-    # the six former round-1 failures
-    "q_token_stats",
-    "q_bpe_ish_tokens",
+    # new/changed this round (rotated in; the two rotated-out former
+    # round-1 failures q_token_stats / q_bpe_ish_tokens are multi-round
+    # certified and unchanged)
+    "q_update_inplace",
+    "q_variant_family",
     "q_time_bucket_counts",
     "q_error_rate",
     "q_moving_avg",

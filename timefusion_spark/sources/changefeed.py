@@ -106,6 +106,30 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         entries = _log_entries(os.path.join(self.path, _LOG_DIR))
         tip = max((int(e.split(".")[0]) for e in entries), default=-1)
         tip = max(tip, self.start_version)
+        # A PENDING coalesced commit (group marker not yet published) must
+        # not be skipped over: cap the tip just below it so the batch that
+        # includes it plans only after publish. A pending entry older than
+        # the grace window is an aborted coordinator — treated as invisible
+        # forever (partitions() skips it) so the feed never stalls on it.
+        import time as _time
+
+        # Like the max_versions cap below, only applied in steady state —
+        # the first poll of a (re)started query must not plan a batch
+        # below the committed checkpoint offset.
+        base = getattr(self, "_last", None)
+        scan_from = (base + 1) if base is not None else (tip + 1)
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        for v in range(scan_from, tip + 1):
+            p = os.path.join(log_dir, f"{v:08d}.json")
+            if not os.path.exists(p):
+                continue
+            with open(p) as fh:
+                rec = json.load(fh)
+            g = rec.get("group")
+            if g is not None and not os.path.exists(g["marker"]):
+                if _time.time() - os.path.getmtime(p) < 60.0:
+                    tip = v - 1
+                    break
         if self.max_versions is not None:
             # The cap bounds the STEADY-STATE advance: each poll after the
             # first moves at most max_versions past the furthest offset
@@ -133,8 +157,12 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
                 rec = json.load(fh)
             # Rewrite/retention commits carry no logical change (see
             # Table.read_changes — the Delta CDF dataChange=false rule);
-            # only append commits ship to the feed.
+            # only append commits ship to the feed. Pending/aborted
+            # coalesced commits (unpublished group marker) are invisible.
             if rec.get("op") != "append":
+                continue
+            g = rec.get("group")
+            if g is not None and not os.path.exists(g["marker"]):
                 continue
             for f in rec.get("add", []):
                 out.append(

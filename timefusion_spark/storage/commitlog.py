@@ -44,6 +44,53 @@ LOG_DIR = "_tf_log"
 CHECKPOINT_EVERY = 20
 
 
+class CommitGroup:
+    """Coalesced multi-table commit (database.rs:5181 — the reference's
+    flush path commits several tables' buckets as ONE transaction).
+
+    Two-phase: each participating table writes its commit entry carrying a
+    reference to this group's MARKER path (phase 1 — the entry is invisible
+    to readers while the marker is absent), then `publish()` creates the
+    marker with one atomic create-if-absent (phase 2 — every participating
+    entry becomes visible at once). A coordinator crash between phases
+    leaves only invisible entries: readers never observe a torn multi-table
+    write, replayed streaming batches re-append under a fresh group (the
+    pending entries' txn watermarks are ignored too), and the orphaned
+    staged files are vacuum's to collect.
+
+    Markers are tiny immortal files — they must outlive every log replay
+    that can reach their commits (time travel below a checkpoint replays
+    from scratch), so nothing deletes them."""
+
+    def __init__(self, marker_dir: str):
+        os.makedirs(marker_dir, exist_ok=True)
+        self.id = uuid.uuid4().hex
+        self.marker = os.path.abspath(os.path.join(marker_dir, f"{self.id}.group"))
+        self._published = False
+
+    def publish(self) -> None:
+        """Atomically make every commit of this group visible."""
+        tmp = self.marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(self.id)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, self.marker)
+        except FileExistsError as e:  # a group id is never reused
+            raise RuntimeError(f"commit group {self.id} already published") from e
+        finally:
+            os.remove(tmp)
+        self._published = True
+
+
+def _group_visible(rec: dict) -> bool:
+    """A commit entry referencing an UNPUBLISHED group is invisible: its
+    files, removes and txn watermark all stay out of the snapshot."""
+    g = rec.get("group")
+    return g is None or os.path.exists(g["marker"])
+
+
 @dataclass
 class Snapshot:
     """The live state of a table at one log version."""
@@ -90,6 +137,7 @@ class CommitLog:
         remove: list[str] | None = None,
         txn: tuple[str, int] | None = None,
         op: str = "append",
+        group: CommitGroup | None = None,
     ) -> int:
         """Atomically publish one commit; returns its version.
 
@@ -97,7 +145,10 @@ class CommitLog:
         Concurrency: the version file is created with os.link (create-if-
         absent); a concurrent writer that claimed the same version forces a
         retry at the next one — optimistic concurrency, the Delta protocol's
-        commit loop."""
+        commit loop.
+
+        With `group`, the commit stays INVISIBLE until the group's marker
+        publishes (coalesced multi-table commit — see CommitGroup)."""
         remove = remove or []
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         try:
@@ -111,6 +162,8 @@ class CommitLog:
                 }
                 if txn is not None:
                     rec["txn"] = {"app_id": txn[0], "version": int(txn[1])}
+                if group is not None:
+                    rec["group"] = {"id": group.id, "marker": group.marker}
                 with open(tmp, "w") as fh:
                     json.dump(rec, fh)
                     fh.flush()
@@ -132,6 +185,20 @@ class CommitLog:
         a bounded tail. Best-effort: a failed checkpoint only means longer
         replays, never wrong answers."""
         try:
+            # A checkpoint bakes visibility decisions in: an unpublished
+            # group commit inside the range would be frozen as "absent"
+            # even if its marker appears a moment later. Defer the
+            # checkpoint instead (retried at the next boundary) — replays
+            # just stay a little longer until then.
+            for name in self._entries():
+                if name.endswith(".checkpoint.json"):
+                    continue
+                if int(name.split(".")[0]) > version:
+                    continue
+                with open(os.path.join(self.log_dir, name)) as fh:
+                    rec = json.load(fh)
+                if not _group_visible(rec):
+                    return
             snap = self._replay(upto=version)
             tmp = os.path.join(self.log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
@@ -187,6 +254,12 @@ class CommitLog:
                 continue
             with open(os.path.join(self.log_dir, name)) as fh:
                 rec = json.load(fh)
+            if not _group_visible(rec):
+                # pending/aborted coalesced commit: contributes nothing —
+                # not even its txn watermark, so a replayed streaming batch
+                # re-appends instead of being skipped as a re-delivery.
+                version = v
+                continue
             for p in rec.get("remove", []):
                 files.pop(p, None)
             for f in rec.get("add", []):

@@ -1,10 +1,19 @@
-"""DML over merge-on-read tables: UPDATE / DELETE / UPDATE…FROM.
+"""DML: UPDATE / DELETE / UPDATE…FROM, routed by table configuration.
 
 Version-append semantics (dml.rs:765-914 `perform_version_append`): an
 UPDATE or DELETE rewrites nothing — it resolves the currently-visible rows
 from the dedup view, applies the assignments (or sets the tombstone), stamps
 a fresh tiebreak, and APPENDS complete row versions. The read view's
 keep-greatest window makes the new versions win.
+
+In-place semantics (dml.rs:958-1004 `perform_delta_merge_update`,
+database.rs:2056-2064): tables WITHOUT `version_append` take the Delta-leg
+path — read exactly the affected partitions, apply the mutation, and
+atomically overwrite those partitions in one commit. Readers on an older
+snapshot are unaffected (replaced files survive on disk until vacuum), and
+the rewrite touches only partitions that contain matched rows — a
+predicate that prunes to one (project, day) rewrites one directory, never
+the table.
 
 The reference's derived date-bound clamp (optimizers/mod.rs:141-150) is the
 `ts_lo`/`ts_hi` parameters — they bound both the time column and the `date`
@@ -43,13 +52,81 @@ def _resolve(
     return df
 
 
-def _require_mor(table: Table) -> None:
-    if not table.schema.version_append:
-        raise ValueError(
-            f"{table.schema.table_name}: DML requires version_append "
-            "(in-place parquet mutation is not transactional; the reference's "
-            "in-place path is Delta MERGE, unavailable here)"
+def _dml_condition(
+    table: Table,
+    predicate: Column | str | None,
+    project_id: str | None,
+    ts_lo: str | None,
+    ts_hi: str | None,
+) -> Column:
+    """The DML match condition as one boolean column (NULL ⇒ not matched),
+    including the derived date-partition bounds so both the matched-set
+    scan and the rewrite read prune partitions."""
+    conds: list[Column] = []
+    if predicate is not None:
+        conds.append(F.expr(predicate) if isinstance(predicate, str) else predicate)
+    if project_id is not None:
+        conds.append(F.col("project_id") == project_id)
+    tc = table.schema.time_column
+    has_date = "date" in table.schema.partitions
+    if ts_lo is not None:
+        conds.append(F.col(tc) >= F.lit(ts_lo).cast("timestamp"))
+        if has_date:
+            conds.append(F.col("date") >= F.lit(ts_lo).cast("timestamp").cast("date"))
+    if ts_hi is not None:
+        conds.append(F.col(tc) < F.lit(ts_hi).cast("timestamp"))
+        if has_date:
+            conds.append(F.col("date") <= F.lit(ts_hi).cast("timestamp").cast("date"))
+    out = None
+    for c in conds:
+        out = c if out is None else (out & c)
+    return F.lit(True) if out is None else out
+
+
+def _inplace_rewrite(table: Table, pred: Column, transform) -> int:
+    """Shared in-place DML engine (perform_delta_merge_update analog,
+    dml.rs:958-1004): find the partitions holding matched rows, read ONLY
+    those, apply `transform(partition_df)`, and publish one atomic
+    partition-overwrite commit. Returns the matched-row count.
+
+    Scale shape: the matched-partition discovery collects partition VALUES
+    only (bounded by partition count, never row data); the rewrite reads
+    and writes exactly the affected directories. Snapshot isolation comes
+    from the commit log — replaced files stay on disk for older readers."""
+    raw = table.read_raw()
+    matched = raw.where(pred)
+    parts = table.schema.partitions
+    if parts:
+        vals = matched.select(*parts).distinct().collect()
+        if not vals:
+            return 0
+        pf = None
+        for row in vals:
+            conj = None
+            for c in parts:
+                eq = F.col(c) == F.lit(row[c])
+                conj = eq if conj is None else (conj & eq)
+            pf = conj if pf is None else (pf | conj)
+        affected = raw.where(pf)
+        dirs = ["/".join(f"{c}={row[c]}" for c in parts) for row in vals]
+        n = matched.count()
+    else:
+        n = matched.count()
+        if n == 0:
+            return 0
+        affected = raw
+        dirs = [""]
+    out = transform(affected)
+    if parts:
+        # one writer task per partition dir → one rewritten file per dir
+        # (same layout rule as Table.append)
+        out = out.repartition(*[F.col(c) for c in parts])
+    if table.schema.sorting_columns:
+        out = out.sortWithinPartitions(
+            *[F.col(c) for c in parts], *table._sort_cols()
         )
+    table.overwrite_partitions(out, dirs=dirs)
+    return n
 
 
 def _count_and_append(table: Table, new_versions: DataFrame, stamp) -> int:
@@ -105,8 +182,27 @@ def update(
     ts_hi: str | None = None,
     stamp: Column | str | None = None,
 ) -> int:
-    """UPDATE table SET assignments WHERE predicate → rows updated."""
-    _require_mor(table)
+    """UPDATE table SET assignments WHERE predicate → rows updated.
+
+    Routed by table configuration (database.rs:2056-2064): version_append
+    tables append new row versions; others rewrite the affected partitions
+    in place."""
+    if not table.schema.version_append:
+        pred = _dml_condition(table, predicate, project_id, ts_lo, ts_hi)
+
+        def apply_update(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.when(pred, assignments[f.name].cast(f.to_spark().dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in table.schema.fields
+                ]
+            )
+
+        return _inplace_rewrite(table, pred, apply_update)
     matched = _resolve(table, predicate, project_id, ts_lo, ts_hi)
     new_versions = matched.withColumns(assignments)
     return _count_and_append(table, new_versions, stamp)
@@ -120,8 +216,15 @@ def delete(
     ts_hi: str | None = None,
     stamp: Column | str | None = None,
 ) -> int:
-    """DELETE FROM table WHERE predicate → rows deleted (tombstone append)."""
-    _require_mor(table)
+    """DELETE FROM table WHERE predicate → rows deleted (tombstone append
+    on version_append tables; physical partition rewrite otherwise)."""
+    if not table.schema.version_append:
+        pred = _dml_condition(table, predicate, project_id, ts_lo, ts_hi)
+        # Keep rows where the predicate is NOT TRUE (NULL ⇒ not matched,
+        # so the row survives — PG DELETE semantics).
+        return _inplace_rewrite(
+            table, pred, lambda df: df.where(~F.coalesce(pred, F.lit(False)))
+        )
     tomb = table.schema.tombstone_column
     assert tomb is not None  # guaranteed by version_append validation
     matched = _resolve(table, predicate, project_id, ts_lo, ts_hi)
@@ -148,11 +251,81 @@ def update_from(
     Assignment columns may reference ``source.<col>`` via the aliased side
     (`F.col("_src.<col>")`). The source is guarded to
     MAX_UPDATE_SOURCE_ROWS and broadcast — at 100 TB target-side scale the
-    join stays a broadcast hash join with zero target shuffle."""
-    _require_mor(table)
+    join stays a broadcast hash join with zero target shuffle.
+
+    Non-version_append tables take the in-place MERGE path
+    (dml.rs:958-1004): affected partitions LEFT-join the broadcast source
+    and rewrite atomically; unmatched rows pass through unchanged."""
     n_src = source.count()
     if n_src > MAX_UPDATE_SOURCE_ROWS:
         raise ValueError(f"UPDATE…FROM source too large: {n_src} > {MAX_UPDATE_SOURCE_ROWS}")
+    if not table.schema.version_append:
+        pred = _dml_condition(table, predicate, project_id, ts_lo, ts_hi)
+        src_flagged = F.broadcast(
+            source.withColumn("_tf_m", F.lit(True)).alias("_src")
+        )
+
+        def cond_for(tgt_alias: str) -> Column:
+            c = None
+            for k in join_keys:
+                eq = F.col(f"{tgt_alias}.{k}") == F.col(f"_src.{k}")
+                c = eq if c is None else (c & eq)
+            return c
+
+        # The target-only predicate is evaluated BEFORE the join (flag
+        # column), so bare column names in it can never collide with
+        # same-named source columns; `hit` = source match AND target filter.
+        def apply_merge(df: DataFrame) -> DataFrame:
+            flagged = df.withColumn("_tf_p", F.coalesce(pred, F.lit(False)))
+            joined = flagged.alias("_tgt").join(src_flagged, cond_for("_tgt"), "left")
+            hit = F.col("_tf_m").isNotNull() & F.col("_tgt._tf_p")
+            return joined.select(
+                *[
+                    F.when(hit, assignments[f.name].cast(f.to_spark().dataType))
+                    .otherwise(F.col(f"_tgt.{f.name}"))
+                    .alias(f.name)
+                    if f.name in assignments
+                    else F.col(f"_tgt.{f.name}").alias(f.name)
+                    for f in table.schema.fields
+                ]
+            )
+
+        raw = table.read_raw().withColumn("_tf_p", F.coalesce(pred, F.lit(False)))
+        matched_pred_df = (
+            raw.alias("_tgt")
+            .join(src_flagged, cond_for("_tgt"), "left")
+            .where(F.col("_tf_m").isNotNull() & F.col("_tgt._tf_p"))
+        )
+        parts = table.schema.partitions
+        if parts:
+            vals = matched_pred_df.select(*parts).distinct().collect()
+            if not vals:
+                return 0
+            pf = None
+            for row in vals:
+                conj = None
+                for c in parts:
+                    eq = F.col(c) == F.lit(row[c])
+                    conj = eq if conj is None else (conj & eq)
+                pf = conj if pf is None else (pf | conj)
+            affected = table.read_raw().where(pf)
+            dirs = ["/".join(f"{c}={row[c]}" for c in parts) for row in vals]
+            n = matched_pred_df.count()
+        else:
+            n = matched_pred_df.count()
+            if n == 0:
+                return 0
+            affected = table.read_raw()
+            dirs = [""]
+        out = apply_merge(affected)
+        if parts:
+            out = out.repartition(*[F.col(c) for c in parts])
+        if table.schema.sorting_columns:
+            out = out.sortWithinPartitions(
+                *[F.col(c) for c in parts], *table._sort_cols()
+            )
+        table.overwrite_partitions(out, dirs=dirs)
+        return n
     target = _resolve(table, predicate, project_id, ts_lo, ts_hi).alias("_tgt")
     src = F.broadcast(source.alias("_src"))
     cond = None

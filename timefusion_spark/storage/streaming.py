@@ -137,6 +137,57 @@ def ingest_stream(
     return writer.start()
 
 
+def ingest_stream_multi(
+    routes: dict[str, tuple[Table, object]],
+    stream: DataFrame,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """One micro-batch feeding SEVERAL tables as ONE coalesced commit —
+    the reference's flush path (database.rs:5181 commits multiple tables'
+    buckets in a single transaction).
+
+    `routes` maps a route name → (table, selector) where `selector(batch)`
+    returns that table's slice of the micro-batch (e.g. a filter +
+    projection). Per batch: every table's files stage and commit PENDING
+    inside a shared CommitGroup, then the group marker publishes with one
+    atomic create — a reader (batch scan, time travel, or change feed)
+    either sees the batch in ALL tables or in NONE. A crash between any
+    two table commits leaves only invisible entries; the replayed batch
+    re-appends cleanly because pending commits' txn watermarks are ignored
+    on replay."""
+    if not stream.isStreaming:
+        raise ValueError("ingest_stream_multi requires a streaming DataFrame")
+    from timefusion_spark.storage.commitlog import CommitGroup
+
+    app_base = f"ingest:{os.path.abspath(checkpoint_dir)}"
+    group_dir = os.path.join(os.path.abspath(checkpoint_dir), "_tf_groups")
+
+    def _write_batch(batch: DataFrame, batch_id: int) -> None:
+        group = CommitGroup(group_dir)
+        for name, (table, selector) in routes.items():
+            table.append(
+                selector(batch),
+                txn=(f"{app_base}:{name}", batch_id),
+                group=group,
+            )
+        group.publish()
+
+    writer = (
+        stream.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_counts(
     stream: DataFrame,
     time_col: str = "timestamp",

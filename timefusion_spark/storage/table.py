@@ -234,6 +234,7 @@ class Table:
         df: DataFrame,
         stamp: Column | str | None = None,
         txn: tuple[str, int] | None = None,
+        group=None,
     ) -> None:
         """Full write path: coerce → stamp_version → in-batch LWW dedup →
         sortWithinPartitions(sorting_columns) → staged partitioned write →
@@ -250,7 +251,11 @@ class Table:
         txnAppId/txnVersion contract; the reference's WAL watermark,
         buffered_write_layer.rs:2211). One writer per app_id by
         construction (Structured Streaming holds the checkpoint lock), so
-        the check-then-commit is race-free."""
+        the check-then-commit is race-free.
+
+        `group` (a commitlog.CommitGroup) stages this append inside a
+        coalesced multi-table commit: invisible until the group publishes
+        (database.rs:5181 — one transaction across several tables)."""
         if txn is not None and self.log.exists() and self.log.txn_version(txn[0]) >= txn[1]:
             return
         batch = self.dedup_batch(self.stamp_version(self.coerce(df), stamp))
@@ -280,21 +285,28 @@ class Table:
             return
         added = self._stage_write(batch)
         if added or txn is not None:
-            self.log.commit(add=added, txn=txn, op="append")
+            self.log.commit(add=added, txn=txn, op="append", group=group)
 
-    def overwrite_partitions(self, df: DataFrame) -> None:
+    def overwrite_partitions(self, df: DataFrame, dirs: list[str] | None = None) -> None:
         """Replace exactly the partitions present in `df` (dynamic partition
         overwrite, the replaceWhere analog — database.rs:6344
         recompress_partition), as ONE atomic commit: add the staged files,
         remove every live file under the affected partition directories.
         Replaced files stay on disk for in-flight readers of older
-        snapshots; `maintenance.vacuum` collects them by manifest diff."""
+        snapshots; `maintenance.vacuum` collects them by manifest diff.
+
+        `dirs` names ADDITIONAL partition directories to clear even when
+        `df` writes nothing into them — a DELETE that empties a partition
+        stages zero files there, but its old files must still leave the
+        manifest (the in-place DML path passes the affected set explicitly)."""
         if not self.log.exists():
             raise ValueError("overwrite_partitions requires a commit log (Table.create)")
         added = self._stage_write(df)
-        dirs = {os.path.dirname(rel) for rel, _ in added}
+        affected = {os.path.dirname(rel) for rel, _ in added}
+        if dirs is not None:
+            affected |= set(dirs)
         snap = self.log.snapshot()
-        removed = [p for p in snap.files if os.path.dirname(p) in dirs]
+        removed = [p for p in snap.files if os.path.dirname(p) in affected]
         self.log.commit(add=added, remove=removed, op="overwrite")
 
     # ── read path ────────────────────────────────────────────────────────
@@ -380,6 +392,10 @@ class Table:
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             entry = self.log.entry(v)
+            from timefusion_spark.storage.commitlog import _group_visible
+
+            if not _group_visible(entry):
+                continue  # pending/aborted coalesced commit: no change yet
             # Only APPEND commits carry logical changes. Rewrite commits
             # (compaction / consolidation / z-order / dedup sweep, op
             # 'overwrite') re-add the same visible rows in new files — the
