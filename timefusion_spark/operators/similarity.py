@@ -168,21 +168,38 @@ def ivf_assign(
     vec_col: str = "embedding",
     k: int = 16,
     seed: int = 7,
+    max_fit_rows: int = 1_000_000,
 ):
     """IVF coarse quantizer: k-means centroids (fixed seed → deterministic
     given the data) and per-row cell assignment. Returns (centroids,
     assigned_df with `_cell`).
 
-    Scale shape: training samples/iterates on the cluster (MLlib KMeans);
-    assignment is one map-side pass. The cell id then serves as the
-    partition/shuffle key for probe-limited search — the IVF counterpart
-    of the sign-LSH bucket (same candidate-bounding role, data-adaptive
-    cells instead of fixed hyperplanes)."""
+    Scale shape — the 100-TB-appropriate training split: the k-means FIT
+    runs on a deterministic hash-sample bounded by `max_fit_rows` (a
+    quantizer needs a representative sample, not the corpus — SemDeDup
+    trains its k=50k codebook on a fraction of 5B embeddings), while the
+    ASSIGNMENT is one map-side pass over the FULL corpus. The sample is
+    keyed on xxhash64 of the vector itself, so it is stable across runs
+    and across partitionings — no sampling RNG, no driver collect. The
+    cell id then serves as the partition/shuffle key for probe-limited
+    search — the IVF counterpart of the sign-LSH bucket (same
+    candidate-bounding role, data-adaptive cells instead of fixed
+    hyperplanes)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     withvec = df.withColumn("_vec", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=k, seed=seed, featuresCol="_vec", predictionCol="_cell").fit(withvec)
+    fit_input = withvec
+    n = withvec.count()
+    if n > max_fit_rows:
+        # deterministic hash-sample: keep ≈ max_fit_rows rows
+        denom = 1_000_000
+        keep = max(1, int(denom * max_fit_rows / n))
+        fit_input = withvec.where(
+            F.pmod(F.xxhash64(F.col(vec_col).cast("array<double>")), F.lit(denom)) < keep
+        )
+    model = KMeans(k=k, seed=seed, featuresCol="_vec", predictionCol="_cell").fit(fit_input)
+    # full-corpus assignment stays map-side (model broadcast by MLlib)
     assigned = model.transform(withvec).drop("_vec")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return centroids, assigned
@@ -272,7 +289,7 @@ def l2_probes_expr(
 
 def knn_join(
     df: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: "list[tuple[int, list[float]]] | DataFrame",
     k: int = 5,
     n_probe: int = 4,
     id_col: str = "vec_id",
@@ -290,10 +307,24 @@ def knn_join(
     candidate set. Each (a, b) pair arises at most once — b lives in
     exactly one cell. Deterministic: cosine ties break by neighbor id,
     centroid-distance ties by cid. Returns (id, neighbor_id, cos_sim,
-    rank) with rank 1..k."""
+    rank) with rank 1..k.
+
+    `centroids` is a [(cid, vector)] list OR a codebook DataFrame with
+    columns (cid int, cv array<double>[, c2 double]) — the cluster-scale
+    path loads a PERSISTED trained codebook table and broadcasts it, so
+    k≈50k codebooks (SemDeDup scale) never touch the driver as Python
+    objects. Probe-join parallelism is O(k) tasks — size k to the
+    cluster (a k=16 codebook caps the join at 16 tasks at any corpus
+    size; k≥1024 keeps a 1000-executor cluster busy)."""
     from pyspark.sql import Window as W
 
-    cent = _centroid_frame(df.sparkSession, centroids)
+    if isinstance(centroids, DataFrame):
+        cent = centroids
+        if "c2" not in cent.columns:
+            cent = cent.withColumn("c2", dot(F.col("cv"), F.col("cv")))
+        cent = cent.select("cid", "cv", "c2")
+    else:
+        cent = _centroid_frame(df.sparkSession, centroids)
     staged = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),

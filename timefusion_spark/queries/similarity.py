@@ -629,3 +629,92 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
     ).orderBy("vec_id", "rank")
+
+
+@query(
+    "q_ann_knn_join_large",
+    oracle="""
+    WITH staged AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+        SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM staged WHERE vec_id <= 512
+        UNION ALL
+        SELECT CAST(vec_id + 512 AS INT) AS cid, list_transform(v, x -> -x) AS cv
+        FROM staged WHERE vec_id <= 512
+    ), scored_cells AS (
+        SELECT s.vec_id, s.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+                   list_inner_product(c.cv, c.cv)
+                   - 2 * list_inner_product(s.v, c.cv) ASC, c.cid ASC) AS rn
+        FROM staged s CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, v, cid AS cell FROM scored_cells WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id, v, cid AS probe FROM scored_cells WHERE rn <= 4
+    ), cand AS (
+        SELECT p.vec_id AS a_id, b.vec_id AS b_id,
+               list_inner_product(p.v, b.v) /
+               (sqrt(list_inner_product(p.v, p.v)) * sqrt(list_inner_product(b.v, b.v)))
+                   AS cos_raw
+        FROM probes p JOIN assigned b
+          ON b.cell = p.probe AND b.vec_id <> p.vec_id
+    )
+    SELECT a_id AS vec_id, b_id AS neighbor_id,
+           ROUND(cos_raw, 4) AS cos_sim, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT a_id, b_id, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY a_id
+                   ORDER BY cos_raw DESC, b_id ASC) AS rnk
+        FROM cand
+    ) WHERE rnk <= 5
+    ORDER BY vec_id, rank
+    """,
+    doc="Cluster-scale IVF k-NN JOIN: a ~1024-cell codebook PERSISTED as a "
+    "storage table (never a Python list on the driver), loaded and "
+    "broadcast at query time — the SemDeDup-scale shape (the paper runs "
+    "k=50k; a codebook that size only works as broadcast DATA). "
+    "Probe-join parallelism is O(k) tasks, so k≥1024 keeps a "
+    "1000-executor cluster busy where the 64-cell variant would cap at "
+    "64 tasks. Cells are data-derived closed-form (embeddings 1..512 "
+    "plus their negations) so the DuckDB oracle reproduces assignment, "
+    "probing and ranking exactly; the TRAINED-codebook twin of this path "
+    "(sampled k-means fit → persist → load) is pinned by "
+    "tests/test_similarity_ivf.py.",
+)
+def q_ann_knn_join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from timefusion_spark.storage import Table
+    from timefusion_spark.storage.schema import FieldDef, TableSchema
+
+    e = t(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") <= 512).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    codebook = base.unionByName(
+        base.select(
+            (F.col("cid") + 512).alias("cid"),
+            F.transform("cv", lambda x: -x).alias("cv"),
+        )
+    )
+    schema = TableSchema(
+        table_name="ivf_codebook",
+        fields=[FieldDef("cid", "Int32", False), FieldDef("cv", "List(Float64)", False)],
+        partitions=[],
+        time_column="cid",
+    )
+    base_dir = tempfile.mkdtemp(prefix="tf_codebook_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "codebook"))
+    try:
+        tbl.append(codebook)  # persist: the codebook lives as table files
+        loaded = tbl.read()  # load at query time — not a driver-side list
+        out = sim.knn_join(e, F.broadcast(loaded), k=5, n_probe=4)
+        res = out.select(
+            "vec_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+        ).orderBy("vec_id", "rank")
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

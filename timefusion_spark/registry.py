@@ -88,6 +88,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_ivf_flat",
     "q_ann_arrow_topk",
     "q_ann_knn_join",
+    "q_ann_knn_join_large",
     "q_semantic_dedup",
     "q_salted_agg",
     # percentile family + timeseries operators
@@ -98,7 +99,6 @@ PRIORITY: tuple[str, ...] = (
     "q_hypertable_rollup",
     "q_latest_event_per_user",
     "q_recent_events_topk",
-    "q_distinct_sketch",
     # new this round
     "q_jsonpath_filters",
     "q_media_bmp_decode",

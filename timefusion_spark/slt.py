@@ -442,9 +442,13 @@ class RecordResult:
 # every skip carries its reason and shows up in test output.
 SKIPS: dict[str, dict[int, str]] = {
     "variant_functions.slt": {
-        266: "PG json text operators slice the source document verbatim "
-        "('[10, 20, 30]' keeps spaces); this engine re-renders extracted "
-        "JSON canonically — documented divergence",
+        266: "PERMANENT documented divergence (SURVEY §7.2, COVERAGE §5): "
+        "PG json text operators on JSON STRINGS slice the source document "
+        "verbatim ('[10, 20, 30]' keeps spaces — functions.rs:261-262 "
+        "appends the raw upstream slice); this engine re-renders extracted "
+        "JSON canonically (a verbatim slicer needs a row-path Python UDF, "
+        "banned). Whitespace-only; Variant COLUMNS render canonically in "
+        "both engines.",
     },
 }
 
