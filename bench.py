@@ -54,8 +54,10 @@ HEADLINE = [
     "q_trace_critical_path",
     "q_json_props_extract",
     "q_ann_knn_join",
+    "q_ann_knn_join_large",
     "q_semantic_dedup",
     "q_gapfill_locf",
+    "q_update_inplace",
 ]
 
 

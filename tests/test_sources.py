@@ -183,3 +183,74 @@ class TestChangeFeedSchemaWidening(TestChangeFeedSource):
         got = spark.read.parquet(out)
         assert got.count() == 2
         assert got.where("note IS NULL").count() == 2
+
+
+class TestChangeFeedPartitionTypes:
+    """Partition constants reconstructed from k=v dir segments must cast
+    through the DECLARED arrow type — an Int32-partitioned table's stream
+    schema would otherwise mismatch (string arrays vs int column)."""
+
+    YAML = """
+table_name: t
+partitions: [bucket]
+time_column: timestamp
+fields:
+  - {name: bucket, data_type: Int32, nullable: false}
+  - {name: timestamp, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: value, data_type: Float64, nullable: true}
+"""
+
+    def test_int_partition_streams_typed(self, spark, tmp_path):
+        from timefusion_spark.storage.schema import load_schema_text
+        from timefusion_spark.storage.table import Table
+
+        register_sources(spark)
+        tbl = Table.create(spark, load_schema_text(self.YAML), str(tmp_path / "t"))
+        rows = spark.createDataFrame(
+            [(7, "2026-01-01 10:00:00", "a", 1.0), (9, "2026-01-01 11:00:00", "b", 2.0)],
+            "bucket int, timestamp string, id string, value double",
+        )
+        tbl.append(rows)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            spark.readStream.format("tf_changes")
+            .option("path", tbl.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        got = spark.read.parquet(out)
+        assert got.schema["bucket"].dataType.typeName() == "integer"
+        assert sorted(r["bucket"] for r in got.select("bucket").collect()) == [7, 9]
+
+    def test_variant_table_rejected_upfront(self, spark, tmp_path):
+        """tf_changes cannot decode Spark VARIANT parquet via pyarrow —
+        the reader must reject such tables at construction with a clear
+        error, not fail mid-batch."""
+        import pytest as _pytest
+
+        from timefusion_spark.storage import Table, load_schema
+        import os as _os
+
+        register_sources(spark)
+        schema_path = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "timefusion_spark", "schemas", "otel_logs_and_spans.yaml",
+        )
+        tbl = Table.create(spark, load_schema(schema_path), str(tmp_path / "otel"))
+        q = (
+            spark.readStream.format("tf_changes")
+            .option("path", tbl.path)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+        )
+        with _pytest.raises(Exception, match="[Vv]ariant"):
+            qq = q.start()
+            qq.awaitTermination(60)

@@ -261,12 +261,18 @@ class TestDML:
         vals = {r["id"]: r["value"] for r in mor_table.read().collect()}
         assert vals == {"a": 1.0, "b": 2.0, "c": 3.0}
 
-    def test_dml_requires_version_append(self, spark, tmp_path):
+    def test_dml_routes_by_table_config(self, spark, tmp_path):
+        """database.rs:2056-2064 routing: the SAME dml.update call
+        version-appends on a version_append table but rewrites in place on
+        a plain one (no new row versions) — see TestInPlaceDml for the
+        in-place semantics."""
         schema = load_schema_text(MOR_YAML)
         schema.version_append = False
         t = Table.create(spark, schema, str(tmp_path / "plain"))
-        with pytest.raises(ValueError, match="version_append"):
-            dml.update(t, {"value": F.lit(0.0)})
+        t.append(_rows(spark, BASE))
+        n = dml.update(t, {"value": F.lit(0.0)}, predicate="id='a'")
+        assert n == 1
+        assert t.read_raw().count() == 3  # rewritten, not version-appended
 
 
 class TestMaintenance:
