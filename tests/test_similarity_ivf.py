@@ -148,9 +148,22 @@ def test_knn_join_large_plan_broadcast_and_cell_parallelism(spark, sf_dir):
     )
     out = sim.knn_join(e, F.broadcast(codebook), k=5, n_probe=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastExchange" in plan  # codebook ships as broadcast data
     # the probe join is an equi-join (hash/merge), never a corpus BNLJ
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the assignment subtree (materialized once via localCheckpoint, so it
+    # sits below the outer plan) ships the codebook as broadcast data and
+    # caps the per-key shuffle with a map-side partial group limit
+    staged = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("_v"),
+        sim.norm(F.col("embedding").cast("array<double>")).alias("_nrm"),
+    )
+    cent = F.broadcast(codebook.withColumn("c2", sim.dot(F.col("cv"), F.col("cv"))))
+    inner = sim._assign_cells(staged, cent, rank_limit=4)
+    iplan = inner._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in iplan  # codebook ships as broadcast data
+    assert "WindowGroupLimit" in iplan  # map-side partial top-n before the shuffle
     # cell-key cardinality: parallelism O(k), k > 32
     n_cells = codebook.select("cid").distinct().count()
     assert n_cells >= 1000

@@ -331,7 +331,16 @@ def knn_join(
         # Norms staged once per ROW — candidate pairs pay one dot product.
         norm(F.col(vec_col).cast("array<double>")).alias("_nrm"),
     )
-    ranked = _assign_cells(staged, cent, rank_limit=n_probe)
+    # Both join sides derive from the SAME assignment (probes = rank ≤
+    # n_probe, build side = rank 1). Catalyst does not dedupe common
+    # subplans, so without materialization the k-dot-products-per-row
+    # assignment executes TWICE (measured 2× wall on a 1024-cell
+    # codebook). localCheckpoint computes it once and both sides read the
+    # materialized partitions — the cache/persist idiom of a cluster
+    # deployment.
+    ranked = _assign_cells(staged, cent, rank_limit=n_probe).localCheckpoint(
+        eager=False
+    )
     a = ranked.select(
         F.col(id_col).alias("_a_id"),
         F.col("_v").alias("_va"),
@@ -392,7 +401,13 @@ def _assign_cells(
     cell. One shuffle on the row id; candidates per row = k."""
     from pyspark.sql import Window as W
 
-    scored = staged.join(F.broadcast(cent)).withColumn(
+    from timefusion_spark.operators.dedup import ensure_parallelism
+
+    # The expansion-side work is rows × k dot products; a small single-file
+    # scan would otherwise run it as ONE task (measured: the 1024-cell
+    # assignment pinned one core while 31 idled). At corpus scale the scan
+    # already has many partitions and this is a no-op.
+    scored = ensure_parallelism(staged).join(F.broadcast(cent)).withColumn(
         "_d", F.col("c2") - 2.0 * dot(F.col("_v"), F.col("cv"))
     )
     w = W.partitionBy(staged.columns[0]).orderBy(F.col("_d"), F.col("cid"))
@@ -430,18 +445,25 @@ def semantic_dedup(
     LLM-pipeline scope (training-data curation over the embeddings table).
     """
     cent = _centroid_frame(df.sparkSession, centroids)
-    staged = _assign_cells(
-        df.select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("_v"),
-            # Norms staged once per ROW: the within-cell pair expansion
-            # then pays one dot product per pair instead of dot + two
-            # norm folds.
-            norm(F.col(vec_col).cast("array<double>")).alias("_nrm"),
-        ),
-        cent,
-        rank_limit=1,
-    ).withColumnRenamed("cid", "cell").drop("_crank")
+    staged = (
+        _assign_cells(
+            df.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+                # Norms staged once per ROW: the within-cell pair expansion
+                # then pays one dot product per pair instead of dot + two
+                # norm folds.
+                norm(F.col(vec_col).cast("array<double>")).alias("_nrm"),
+            ),
+            cent,
+            rank_limit=1,
+        )
+        .withColumnRenamed("cid", "cell")
+        .drop("_crank")
+        # materialize once: the self-join's two sides would otherwise each
+        # recompute the k-dots-per-row assignment (see knn_join)
+        .localCheckpoint(eager=False)
+    )
     a, b = staged.alias("a"), staged.alias("b")
     pair_cos = dot(F.col("a._v"), F.col("b._v")) / (
         F.col("a._nrm") * F.col("b._nrm")
