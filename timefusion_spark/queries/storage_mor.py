@@ -271,6 +271,101 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_streaming_multi_table",
+    oracle="""
+    SELECT route, project_id, n, total_value FROM (
+        SELECT 'all' AS route,
+               'p' || CAST(user_id % 3 AS VARCHAR) AS project_id,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM events WHERE event_id <= 2000
+        GROUP BY 2
+        UNION ALL
+        SELECT 'clicks' AS route,
+               'p' || CAST(user_id % 3 AS VARCHAR) AS project_id,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM events WHERE event_id <= 2000 AND event_type = 'click'
+        GROUP BY 2
+    ) ORDER BY route, project_id
+    """,
+    doc="Coalesced multi-table streaming ingest (database.rs:5181 — the "
+    "flush path commits several tables' buckets as ONE transaction): one "
+    "micro-batch stream routes into TWO storage tables via "
+    "ingest_stream_multi; each batch's per-table commits stage invisibly "
+    "inside a CommitGroup and publish with one atomic marker, so readers "
+    "see a batch in ALL tables or in NONE. The query verifies both "
+    "tables' visible state against the closed-form split, and asserts "
+    "every data commit in both logs carries a group id.",
+)
+def q_streaming_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from timefusion_spark.storage import Table, load_schema
+    from timefusion_spark.storage.streaming import ingest_stream_multi
+
+    schema = load_schema(os.path.join(_SCHEMA_DIR, "mor_versioned.yaml"))
+    base_dir = tempfile.mkdtemp(prefix="tf_multi_")
+    t_all = Table.create(spark, schema, os.path.join(base_dir, "t_all"))
+    clicks_schema = load_schema(os.path.join(_SCHEMA_DIR, "mor_versioned.yaml"))
+    clicks_schema.table_name = "t_clicks"
+    t_clicks = Table.create(spark, clicks_schema, os.path.join(base_dir, "t_clicks"))
+    try:
+        ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
+        rows = ev.select(
+            F.col("event_id").cast("string").alias("id"),
+            F.expr(
+                "timestamp'2026-03-01 00:00:00'"
+                " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
+            ).alias("timestamp"),
+            F.col("event_type").alias("name"),
+            F.col("value").alias("value"),
+            F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
+        )
+        src = os.path.join(base_dir, "src")
+        rows.coalesce(2).write.json(src)
+        stream = spark.readStream.schema(
+            "id string, timestamp timestamp, name string, value double, project_id string"
+        ).option("maxFilesPerTrigger", 1).json(src)
+        q = ingest_stream_multi(
+            {
+                "all": (t_all, lambda df: df),
+                "clicks": (t_clicks, lambda df: df.where(F.col("name") == "click")),
+            },
+            stream,
+            os.path.join(base_dir, "ckpt"),
+        )
+        q.awaitTermination(300)
+        # every data commit in BOTH logs is group-stamped (coalesced)
+        for tbl in (t_all, t_clicks):
+            for name in sorted(os.listdir(tbl.log.log_dir)):
+                if not name.endswith(".json") or name.endswith(".checkpoint.json"):
+                    continue
+                with open(os.path.join(tbl.log.log_dir, name)) as fh:
+                    rec = _json.load(fh)
+                if rec.get("op") == "append" and rec.get("add"):
+                    assert rec.get("group"), f"{tbl.schema.table_name} {name} not grouped"
+
+        def agg(tbl: Table, route: str) -> DataFrame:
+            return (
+                tbl.read()
+                .groupBy("project_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("value"), 2).alias("total_value"),
+                )
+                .select(F.lit(route).alias("route"), "project_id", "n", "total_value")
+            )
+
+        out = (
+            agg(t_all, "all")
+            .unionByName(agg(t_clicks, "clicks"))
+            .orderBy("route", "project_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
     "q_otel_dashboard",
     oracle="""
     SELECT event_type AS name, COUNT(*) AS n

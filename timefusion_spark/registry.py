@@ -60,10 +60,12 @@ PRIORITY: tuple[str, ...] = (
     "q_otel_promoted_columns",
     "q_otel_metrics_rollup",
     "q_otel_hash_enrichment",
-    # streaming + custom source
+    # streaming + custom source (q_streaming_windowed_counts rotated out —
+    # multi-round certified pure built-in windowed agg; the coalesced
+    # multi-table ingest is the new high-risk surface)
     "q_streaming_ingest",
+    "q_streaming_multi_table",
     "q_streaming_session_windows",
-    "q_streaming_windowed_counts",
     "q_streaming_stream_join",
     "q_streaming_changefeed",
     "q_custom_source",
