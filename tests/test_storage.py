@@ -758,3 +758,90 @@ class TestInPlaceDml:
             stamp="2026-01-02 00:00:00",
         )
         assert mor_table.read_raw().count() == 4  # version appended, not rewritten
+
+
+class TestDeletionVectors:
+    """Deletion-vector DML (deletion_vectors.rs analog): UPDATE/DELETE
+    mask matched rows with (file, row-position) entries instead of
+    rewriting files — the original parquet stays LIVE in the manifest, an
+    UPDATE appends only the rewritten rows, and every read surface
+    (scan, count, time travel) applies the mask."""
+
+    def _data_files(self, tbl):
+        from timefusion_spark.storage.table import DV_DIR
+
+        snap = tbl.log.snapshot().files
+        return (
+            {p for p in snap if not p.startswith(DV_DIR + "/")},
+            {p for p in snap if p.startswith(DV_DIR + "/")},
+        )
+
+    def test_dv_update_masks_without_rewriting(self, spark, plain_table):
+        data_before, dv_before = self._data_files(plain_table)
+        assert dv_before == set()
+        n = dml.update(
+            plain_table,
+            {"value": F.col("value") + 10.0},
+            predicate=(F.col("id") == "a"),
+            deletion_vectors=True,
+        )
+        assert n == 1
+        data_after, dv_after = self._data_files(plain_table)
+        # originals still live (masked, not rewritten); one rewrite file added
+        assert data_before <= data_after
+        assert len(dv_after) == 1
+        got = {r["id"]: r["value"] for r in plain_table.read().collect()}
+        assert got == {"a": 11.0, "b": 2.0, "c": 3.0}
+        assert plain_table.count() == 3
+
+    def test_dv_delete_masks_rows(self, spark, plain_table):
+        data_before, _ = self._data_files(plain_table)
+        n = dml.delete(
+            plain_table, predicate=(F.col("value") >= 2.0), deletion_vectors=True
+        )
+        assert n == 2
+        data_after, dv_after = self._data_files(plain_table)
+        assert data_after == data_before  # zero data files rewritten
+        assert len(dv_after) == 1
+        assert [r["id"] for r in plain_table.read().collect()] == ["a"]
+        assert plain_table.count() == 1
+
+    def test_dv_snapshot_isolation_and_atomicity(self, spark, plain_table):
+        v0 = plain_table.log.latest_version()
+        dml.update(
+            plain_table,
+            {"value": F.lit(0.0)},
+            predicate=F.lit(True),
+            deletion_vectors=True,
+        )
+        # one commit: mask + rewrite switch together
+        assert plain_table.log.latest_version() == v0 + 1
+        old = plain_table.read(version=v0)
+        assert sorted(r["value"] for r in old.collect()) == [1.0, 2.0, 3.0]
+        assert sorted(r["value"] for r in plain_table.read().collect()) == [0.0, 0.0, 0.0]
+
+    def test_dv_noop_commits_nothing(self, spark, plain_table):
+        v0 = plain_table.log.latest_version()
+        n = dml.delete(
+            plain_table, predicate=(F.col("id") == "zz"), deletion_vectors=True
+        )
+        assert n == 0
+        assert plain_table.log.latest_version() == v0
+
+    def test_compaction_materializes_the_mask(self, spark, plain_table):
+        from timefusion_spark.storage import maintenance
+
+        dml.delete(plain_table, predicate=(F.col("id") == "a"), deletion_vectors=True)
+        maintenance.compact(plain_table, {"project_id": "p1", "date": "2026-01-01"})
+        assert {r["id"] for r in plain_table.read().collect()} == {"b", "c"}
+        # masked row is physically gone from the rewritten partition
+        data, _ = self._data_files(plain_table)
+        raw_p1 = spark.read.parquet(
+            *[f"{plain_table.path}/{p}" for p in data if "project_id=p1" in p]
+        )
+        assert {r["id"] for r in raw_p1.collect()} == {"b"}
+
+    def test_stacked_dvs_apply_together(self, spark, plain_table):
+        dml.delete(plain_table, predicate=(F.col("id") == "a"), deletion_vectors=True)
+        dml.delete(plain_table, predicate=(F.col("id") == "b"), deletion_vectors=True)
+        assert [r["id"] for r in plain_table.read().collect()] == ["c"]

@@ -858,6 +858,91 @@ def q_update_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_deletion_vectors",
+    oracle="""
+    SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
+           COUNT(*) AS n_live,
+           ROUND(SUM(o_totalprice
+                 + CASE WHEN o_orderkey % 10 = 0 THEN 500 ELSE 0 END), 2)
+             AS total_value
+    FROM orders
+    WHERE o_orderkey <= 1200 AND o_orderkey % 7 <> 0
+    GROUP BY 1
+    ORDER BY project_id
+    """,
+    doc="Deletion-vector DML (tests/e2e/deletion_vectors.rs): UPDATE masks "
+    "the matched rows with (file, row-position) entries and appends ONLY "
+    "their rewritten copies; DELETE masks without writing data at all. "
+    "The original parquet files stay LIVE in the manifest (asserted "
+    "in-query), reads apply the mask as a broadcast anti-join on "
+    "_metadata coordinates — O(matched rows) written per DML instead of "
+    "O(affected partitions). Same closed-form visible state as the "
+    "partition-rewrite path (q_update_inplace's oracle family).",
+)
+def q_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import Table, dml
+    from timefusion_spark.storage.schema import FieldDef, SortingColumnDef, TableSchema
+    from timefusion_spark.storage.table import DV_DIR
+
+    schema = TableSchema(
+        table_name="dv_events",
+        fields=[
+            FieldDef("id", "Utf8", False),
+            FieldDef("timestamp", 'Timestamp(Microsecond, Some("UTC"))', False),
+            FieldDef("name", "Utf8"),
+            FieldDef("value", "Float64"),
+            FieldDef("project_id", "Utf8", False),
+            FieldDef("date", "Date32", False),
+        ],
+        partitions=["project_id", "date"],
+        sorting_columns=[SortingColumnDef("timestamp", descending=True)],
+        time_column="timestamp",
+    )
+    base_dir = tempfile.mkdtemp(prefix="tf_dv_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "t"))
+    try:
+        orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1200)
+        base = orders.select(
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.expr(
+                "timestamp'2026-03-01 00:00:00'"
+                " + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
+            ).alias("timestamp"),
+            F.col("o_orderstatus").alias("name"),
+            F.col("o_totalprice").alias("value"),
+            F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias(
+                "project_id"
+            ),
+        )
+        tbl.append(base)
+        snap0 = set(tbl.log.snapshot().files)
+        key = F.col("id").cast("bigint")
+        dml.update(
+            tbl,
+            {"value": F.col("value") + 500.0},
+            predicate=(key % 10 == 0),
+            deletion_vectors=True,
+        )
+        dml.delete(tbl, predicate=(key % 7 == 0), deletion_vectors=True)
+        snap1 = set(tbl.log.snapshot().files)
+        # every original data file is still LIVE — masked, never rewritten
+        assert snap0 <= snap1, "DV DML must not remove/rewrite original files"
+        assert sum(1 for p in snap1 if p.startswith(DV_DIR + "/")) == 2
+        out = (
+            tbl.read()
+            .groupBy("project_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("project_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
     "q_otel_hash_enrichment",
     oracle="""
     SELECT 'err_' || CAST(event_id % 7 AS VARCHAR) AS tag,

@@ -27,6 +27,9 @@ source is broadcast (it is small by contract).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -81,6 +84,83 @@ def _dml_condition(
     for c in conds:
         out = c if out is None else (out & c)
     return F.lit(True) if out is None else out
+
+
+def _dv_dml(
+    table: Table,
+    pred: Column,
+    assignments: dict[str, Column] | None,
+) -> int:
+    """Deletion-vector DML (deletion_vectors.rs analog): mask the matched
+    rows with (file, row-position) deletion entries instead of rewriting
+    their files — the original parquet stays live in the manifest; an
+    UPDATE additionally appends ONLY the rewritten rows as a new file.
+    Everything publishes as ONE atomic commit (DV file + rewrite file),
+    so readers see the old rows and the new rows switch together.
+
+    Cost model at scale: O(matched rows) written, zero partition
+    rewrites — the sparse-update shape (a 10-row UPDATE against a 1 TB
+    partition writes ~10 rows + a KB-sized DV), vs the in-place path's
+    O(affected partitions). Reads pay one broadcast anti-join against
+    the DV set until a compaction materializes it."""
+    import uuid as _uuid
+
+    from timefusion_spark.storage.table import DV_DIR
+
+    if table.schema.version_append:
+        raise ValueError("deletion vectors apply to non-version_append tables")
+    if not table.log.exists():
+        raise ValueError("deletion vectors require a commit log (Table.create)")
+    raw = table.read_raw()
+    matched = table.read_raw(_dv_coords=True).where(pred)
+    # Stage the DV file (tiny: matched-row coordinates only).
+    stage = os.path.join(table.path, "_tf_staging", _uuid.uuid4().hex)
+    matched.select("_tf_dv_file", "_tf_dv_pos").coalesce(1).write.parquet(stage)
+    added: list[tuple[str, int]] = []
+    os.makedirs(os.path.join(table.path, DV_DIR), exist_ok=True)
+    n = 0
+    for name in os.listdir(stage):
+        if not name.endswith(".parquet"):
+            continue
+        rel = f"{DV_DIR}/{_uuid.uuid4().hex}.parquet"
+        src = os.path.join(stage, name)
+        size = os.path.getsize(src)
+        os.replace(src, os.path.join(table.path, rel))
+        added.append((rel, size))
+    shutil.rmtree(stage, ignore_errors=True)
+    # Count the masked rows from the staged DV itself (no second scan of
+    # the table): read the moved file back.
+    if added:
+        n = (
+            table.spark.read.parquet(
+                *[os.path.join(table.path, p) for p, _ in added]
+            ).count()
+        )
+    if n == 0:
+        # nothing matched: drop the empty DV file, commit nothing
+        for rel, _ in added:
+            os.remove(os.path.join(table.path, rel))
+        return 0
+    if assignments is not None:
+        rewritten = raw.where(pred).select(
+            *[
+                assignments[f.name].cast(f.to_spark().dataType).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in table.schema.fields
+            ]
+        )
+        if table.schema.partitions:
+            rewritten = rewritten.repartition(
+                *[F.col(c) for c in table.schema.partitions]
+            )
+        if table.schema.sorting_columns:
+            rewritten = rewritten.sortWithinPartitions(
+                *[F.col(c) for c in table.schema.partitions], *table._sort_cols()
+            )
+        added += table._stage_write(rewritten)
+    table.log.commit(add=added, op="dml")
+    return n
 
 
 def _inplace_rewrite(table: Table, pred: Column, transform) -> int:
@@ -181,14 +261,19 @@ def update(
     ts_lo: str | None = None,
     ts_hi: str | None = None,
     stamp: Column | str | None = None,
+    deletion_vectors: bool = False,
 ) -> int:
     """UPDATE table SET assignments WHERE predicate → rows updated.
 
     Routed by table configuration (database.rs:2056-2064): version_append
     tables append new row versions; others rewrite the affected partitions
-    in place."""
+    in place — or, with `deletion_vectors=True`, mask the matched rows and
+    append only their rewritten copies (deletion_vectors.rs: the
+    sparse-update shape; O(matched) written, zero partition rewrites)."""
     if not table.schema.version_append:
         pred = _dml_condition(table, predicate, project_id, ts_lo, ts_hi)
+        if deletion_vectors:
+            return _dv_dml(table, pred, assignments)
 
         def apply_update(df: DataFrame) -> DataFrame:
             return df.select(
@@ -215,11 +300,15 @@ def delete(
     ts_lo: str | None = None,
     ts_hi: str | None = None,
     stamp: Column | str | None = None,
+    deletion_vectors: bool = False,
 ) -> int:
     """DELETE FROM table WHERE predicate → rows deleted (tombstone append
-    on version_append tables; physical partition rewrite otherwise)."""
+    on version_append tables; physical partition rewrite otherwise, or a
+    deletion-vector mask with `deletion_vectors=True`)."""
     if not table.schema.version_append:
         pred = _dml_condition(table, predicate, project_id, ts_lo, ts_hi)
+        if deletion_vectors:
+            return _dv_dml(table, pred, None)
         # Keep rows where the predicate is NOT TRUE (NULL ⇒ not matched,
         # so the row survives — PG DELETE semantics).
         return _inplace_rewrite(

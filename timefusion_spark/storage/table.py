@@ -38,6 +38,7 @@ from timefusion_spark.storage.schema import TableSchema
 
 _SIDECAR = "_tf_schema.json"
 _STAGING = "_tf_staging"
+DV_DIR = "_tf_dv"
 
 KEEP_GREATEST = "keep_greatest"
 KEEP_FIRST = "keep_first"
@@ -311,7 +312,7 @@ class Table:
 
     # ── read path ────────────────────────────────────────────────────────
 
-    def read_raw(self, version: int | None = None) -> DataFrame:
+    def read_raw(self, version: int | None = None, _dv_coords: bool = False) -> DataFrame:
         """All physical row versions (no dedup, no tombstone filter), read
         from the commit log's CURRENT SNAPSHOT — exactly the committed
         files, never a concurrent writer's in-flight ones. The explicit
@@ -324,20 +325,51 @@ class Table:
         until vacuum)."""
         if version is not None and not self.log.exists():
             raise ValueError("time travel requires a commit log (Table.create)")
+        cols = [f.name for f in self.schema.fields]
         if self.log.exists():
             if version is None:
-                paths = self.log.live_paths()
+                snap_files = list(self.log.snapshot().files)
             else:
-                snap = self.log.snapshot_at(version)
-                paths = [os.path.join(self.path, p) for p in snap.files]
-            if not paths:
+                snap_files = list(self.log.snapshot_at(version).files)
+            data_rel = [p for p in snap_files if not p.startswith(DV_DIR + "/")]
+            dv_rel = [p for p in snap_files if p.startswith(DV_DIR + "/")]
+            if not data_rel:
                 empty = self.spark.createDataFrame([], self.schema.spark_schema)
-                return empty.select(*[f.name for f in self.schema.fields])
+                return empty.select(*cols)
             df = (
                 self.spark.read.schema(self.schema.spark_schema)
                 .option("basePath", self.path)
-                .parquet(*paths)
+                .parquet(*[os.path.join(self.path, p) for p in data_rel])
             )
+            if dv_rel or _dv_coords:
+                # Physical row coordinates (file rel-path, row position).
+                # `_metadata` is a scan pseudo-column — it must be
+                # projected HERE, directly over the relation; it does not
+                # survive joins.
+                prefix = "file:" + os.path.abspath(self.path) + "/"
+                df = df.withColumns(
+                    {
+                        "_tf_dv_file": F.replace(
+                            F.col("_metadata.file_path"), F.lit(prefix), F.lit("")
+                        ),
+                        "_tf_dv_pos": F.col("_metadata.row_index"),
+                    }
+                )
+            if dv_rel:
+                # Deletion-vector mask (deletion_vectors.rs analog): DV
+                # files are (file rel-path, row position) pairs; masked
+                # rows vanish from every read surface via a broadcast
+                # ANTI-join on the coordinates — the original parquet
+                # stays live, reads pay one small hash-probe per row
+                # instead of a partition rewrite.
+                dv = self.spark.read.parquet(
+                    *[os.path.join(self.path, p) for p in dv_rel]
+                ).select("_tf_dv_file", "_tf_dv_pos")
+                df = df.join(
+                    F.broadcast(dv), ["_tf_dv_file", "_tf_dv_pos"], "left_anti"
+                )
+            if _dv_coords:
+                return df.select("_tf_dv_file", "_tf_dv_pos", *cols)
         else:
             df = (
                 self.spark.read.schema(self.schema.spark_schema)
@@ -346,7 +378,7 @@ class Table:
             )
         # Preserve declared column order (partition cols would otherwise
         # migrate to the end of the scan output).
-        return df.select(*[f.name for f in self.schema.fields])
+        return df.select(*cols)
 
     def read_changes(
         self, from_version: int, to_version: int | None = None
