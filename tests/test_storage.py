@@ -845,3 +845,24 @@ class TestDeletionVectors:
         dml.delete(plain_table, predicate=(F.col("id") == "a"), deletion_vectors=True)
         dml.delete(plain_table, predicate=(F.col("id") == "b"), deletion_vectors=True)
         assert [r["id"] for r in plain_table.read().collect()] == ["c"]
+
+    def test_dv_sweep_drops_orphaned_entries(self, spark, plain_table):
+        """After compaction materializes the mask, the DV entries reference
+        dead files; dv_sweep drops them (and removes empty DV files) so
+        reads stop paying the anti-join for nothing."""
+        from timefusion_spark.storage import maintenance
+        from timefusion_spark.storage.table import DV_DIR
+
+        dml.delete(plain_table, predicate=(F.col("id") == "a"), deletion_vectors=True)
+        dml.delete(plain_table, predicate=(F.col("id") == "c"), deletion_vectors=True)
+        # compact only p1: a's DV entry orphans; c's (in p2) stays needed
+        maintenance.compact(plain_table, {"project_id": "p1", "date": "2026-01-01"})
+        dropped = maintenance.dv_sweep(plain_table)
+        assert dropped == 1  # a's entry gone, c's kept
+        assert [r["id"] for r in plain_table.read().collect()] == ["b"]
+        # second sweep is a no-op; c's DV entry must survive (still needed)
+        assert maintenance.dv_sweep(plain_table) == 0
+        assert any(
+            p.startswith(DV_DIR + "/") for p in plain_table.log.snapshot().files
+        )
+        assert [r["id"] for r in plain_table.read().collect()] == ["b"]

@@ -336,3 +336,46 @@ def test_live_rollup_maintained_under_ingest(spark, tmp_path, table):
         for r in agg(table.read()).collect()
     }
     assert got == want and got  # live rollup == from-scratch recompute
+
+
+def test_streaming_ingest_parses_variant_once(spark, tmp_path):
+    """Streaming ingest into a Variant-columned table: the foreachBatch
+    write path parses incoming JSON text into the stored Variant binary
+    (same coerce as batch), and the read view serves typed traversal."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from timefusion_spark.storage import Table, load_schema
+    from timefusion_spark.storage.streaming import ingest_stream
+
+    schema_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "timefusion_spark", "schemas", "otel_logs_and_spans.yaml",
+    )
+    tbl = Table.create(spark, load_schema(schema_path), str(tmp_path / "otel"))
+    rows = spark.range(20).select(
+        F.col("id").cast("string").alias("id"),
+        F.lit("2026-03-01 00:00:00").alias("timestamp"),
+        F.lit("n").alias("name"),
+        F.lit("p1").alias("project_id"),
+        F.lit("s").alias("summary_raw"),
+        F.to_json(F.struct((F.col("id") % 4).alias("k"))).alias("attributes"),
+    )
+    src = str(tmp_path / "src")
+    rows.coalesce(1).write.json(src)
+    stream = (
+        spark.readStream.schema(
+            "id string, timestamp string, name string, project_id string,"
+            " summary_raw string, attributes string"
+        )
+        .json(src)
+        .withColumn("summary", F.array(F.col("summary_raw")))
+        .drop("summary_raw")
+    )
+    q = ingest_stream(tbl, stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+    out = tbl.read()
+    assert out.schema["attributes"].dataType.typeName() == "variant"
+    got = out.select(F.variant_get("attributes", "$.k", "long").alias("k"))
+    assert got.where(F.col("k") == 3).count() == 5

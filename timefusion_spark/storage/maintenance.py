@@ -120,6 +120,47 @@ def consolidate(
     return done
 
 
+def dv_sweep(table: Table) -> int:
+    """Deletion-vector housekeeping: drop DV entries whose data file is no
+    longer live (a compaction/consolidation already materialized the mask
+    and removed the file from the manifest — the entries then match
+    nothing and are pure read-side overhead). The surviving entries
+    rewrite into one consolidated DV file, published as ONE commit (add
+    new, remove old); an all-orphan set removes the DV files outright.
+    Returns the number of entries dropped."""
+    import uuid as _uuid
+
+    from timefusion_spark.storage.table import DV_DIR
+
+    snap = table.log.snapshot()
+    dv_rel = [p for p in snap.files if p.startswith(DV_DIR + "/")]
+    if not dv_rel:
+        return 0
+    data_live = [p for p in snap.files if not p.startswith(DV_DIR + "/")]
+    dv = table.spark.read.parquet(
+        *[os.path.join(table.path, p) for p in dv_rel]
+    ).select("_tf_dv_file", "_tf_dv_pos")
+    keep = dv.where(F.col("_tf_dv_file").isin(data_live))
+    n_before, n_after = dv.count(), keep.count()
+    if n_after == n_before:
+        return 0
+    if n_after == 0:
+        table.log.commit(add=[], remove=dv_rel, op="overwrite")
+        return n_before
+    rel = f"{DV_DIR}/{_uuid.uuid4().hex}.parquet"
+    stage = os.path.join(table.path, "_tf_staging", _uuid.uuid4().hex)
+    keep.coalesce(1).write.parquet(stage)
+    part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+    src = os.path.join(stage, part)
+    size = os.path.getsize(src)
+    os.replace(src, os.path.join(table.path, rel))
+    import shutil as _shutil
+
+    _shutil.rmtree(stage, ignore_errors=True)
+    table.log.commit(add=[(rel, size)], remove=dv_rel, op="overwrite")
+    return n_before - n_after
+
+
 def dedup_sweep(table: Table, partition_values: dict[str, str]) -> int:
     """Physical duplicate removal: rewrite one partition keeping only the
     winning version per dedup key (database.rs:6737). Tombstone WINNERS are
