@@ -318,13 +318,7 @@ def knn_join(
     size; k≥1024 keeps a 1000-executor cluster busy)."""
     from pyspark.sql import Window as W
 
-    if isinstance(centroids, DataFrame):
-        cent = centroids
-        if "c2" not in cent.columns:
-            cent = cent.withColumn("c2", dot(F.col("cv"), F.col("cv")))
-        cent = cent.select("cid", "cv", "c2")
-    else:
-        cent = _centroid_frame(df.sparkSession, centroids)
+    cent = _as_centroid_frame(df.sparkSession, centroids)
     staged = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -376,6 +370,20 @@ def knn_join(
     )
 
 
+def _as_centroid_frame(spark, centroids) -> DataFrame:
+    """Normalize a codebook argument — [(cid, vector)] list or a DataFrame
+    with (cid, cv[, c2]) — into the broadcastable (cid, cv, c2) frame.
+    Passing a DataFrame keeps the codebook fully lazy: no collect job, no
+    driver materialization (a 64-row centroid collect costs a whole Spark
+    job of DataFrame-build latency per query)."""
+    if isinstance(centroids, DataFrame):
+        cent = centroids
+        if "c2" not in cent.columns:
+            cent = cent.withColumn("c2", dot(F.col("cv"), F.col("cv")))
+        return cent.select("cid", "cv", "c2")
+    return _centroid_frame(spark, centroids)
+
+
 def _centroid_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """Centroids as a DATA-side frame (cid, cv, ||c||²) for broadcast
     assignment joins. Shipping centroids as plan literals is the right
@@ -420,7 +428,7 @@ def _assign_cells(
 
 def semantic_dedup(
     df: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: "list[tuple[int, list[float]]] | DataFrame",
     threshold: float = 0.999,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -444,7 +452,7 @@ def semantic_dedup(
     Reference parity: the reference engine has no vector surface; this is
     LLM-pipeline scope (training-data curation over the embeddings table).
     """
-    cent = _centroid_frame(df.sparkSession, centroids)
+    cent = _as_centroid_frame(df.sparkSession, centroids)
     staged = (
         _assign_cells(
             df.select(

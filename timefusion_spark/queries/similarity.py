@@ -564,13 +564,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )
     base = unit.unionByName(planted)
-    cents = [
-        (int(r[0]), list(r[1]))
-        for r in unit.where(F.col("vec_id").between(1, 16))
-        .select("vec_id", "embedding")
-        .collect()
-    ]
-    out = sim.semantic_dedup(base, cents, threshold=0.999)
+    # codebook stays a LAZY frame — no collect job on the query path
+    cents = unit.where(F.col("vec_id").between(1, 16)).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = sim.semantic_dedup(base, F.broadcast(cents), threshold=0.999)
     return out.orderBy("vec_id")
 
 
@@ -619,13 +617,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    cents = [
-        (int(r[0]), list(r[1]))
-        for r in e.where(F.col("vec_id").between(1, 64))
-        .select("vec_id", "embedding")
-        .collect()
-    ]
-    out = sim.knn_join(e, cents, k=5, n_probe=4)
+    # codebook stays a LAZY frame — no collect job on the query path
+    cents = e.where(F.col("vec_id").between(1, 64)).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    out = sim.knn_join(e, F.broadcast(cents), k=5, n_probe=4)
     return out.select(
         "vec_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
     ).orderBy("vec_id", "rank")
