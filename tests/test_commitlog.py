@@ -477,3 +477,121 @@ class TestCommitGroups:
                     groups.add((tbl.schema.table_name, rec["group"]["id"]))
         ids = {gid for _, gid in groups}
         assert len(ids) == 1  # one shared group across both tables
+
+
+class TestGroupDurabilityAndAbort:
+    """Round-7 hardening: group visibility is self-contained per table
+    (confirmation records under the table's own log dir), and
+    pending-group resolution is a definitive arbiter — publish and abort
+    race through ONE atomic create, so whichever settles first wins
+    forever and the loser fails loudly."""
+
+    @pytest.fixture()
+    def two_tables(self, spark, tmp_path):
+        a = Table.create(spark, load_schema_text(YAML.replace("table_name: t", "table_name: a")), str(tmp_path / "a"))
+        b = Table.create(spark, load_schema_text(YAML.replace("table_name: t", "table_name: b")), str(tmp_path / "b"))
+        return a, b
+
+    def test_marker_dir_deleted_after_publish_stays_visible(self, spark, tmp_path, two_tables):
+        """Deleting/resetting the coordinator's marker dir (a routine
+        stream-checkpoint reset) must NOT retroactively hide published
+        group commits — visibility lives in each table's own log."""
+        import shutil
+
+        from timefusion_spark.storage.commitlog import CommitGroup
+
+        a, b = two_tables
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g)
+        b.append(_rows(spark, BASE[:1]), stamp="2026-01-01 00:00:00", group=g)
+        g.publish()
+        shutil.rmtree(str(tmp_path / "groups"))
+        assert a.read().count() == 3 and b.read().count() == 1
+        assert a.read_changes(0).count() == 3
+
+    def test_table_moved_after_publish_stays_visible(self, spark, tmp_path, two_tables):
+        """Relocating a table directory (deployment move/copy) keeps every
+        published group commit visible: no absolute-path dependence."""
+        import shutil
+
+        from timefusion_spark.storage.commitlog import CommitGroup
+
+        a, _ = two_tables
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g)
+        g.publish()
+        shutil.rmtree(str(tmp_path / "groups"))  # coordinator gone too
+        moved = str(tmp_path / "a_moved")
+        shutil.move(a.path, moved)
+        reopened = Table.open(spark, moved)
+        assert reopened.read().count() == 3
+
+    def test_abort_is_definitive_late_publish_fails(self, spark, tmp_path, two_tables):
+        from timefusion_spark.storage.commitlog import CommitGroup, abort_group
+
+        a, _ = two_tables
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g)
+        rec = a.log.entry(a.log.latest_version())
+        assert abort_group(rec["group"], a.log.log_dir) == "aborted"
+        with pytest.raises(RuntimeError, match="aborted"):
+            g.publish()
+        assert a.read().count() == 0  # invisible forever
+
+    def test_publish_wins_race_over_abort(self, spark, tmp_path, two_tables):
+        from timefusion_spark.storage.commitlog import CommitGroup, abort_group
+
+        a, _ = two_tables
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g)
+        g.publish()
+        rec = a.log.entry(a.log.latest_version())
+        assert abort_group(rec["group"], a.log.log_dir) == "published"
+        assert a.read().count() == 3  # abort lost: still visible
+
+    def test_checkpoint_ages_out_pending_group(self, spark, tmp_path, two_tables):
+        """A crashed coordinator (pending > ABORT_AFTER_SECONDS) no longer
+        disables checkpointing forever: the checkpoint writer settles the
+        group as aborted and proceeds, and a late publish() raises."""
+        import time
+
+        from timefusion_spark.storage.commitlog import CHECKPOINT_EVERY, CommitGroup
+
+        a, _ = two_tables
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g)
+        v = a.log.latest_version()
+        entry_path = os.path.join(a.log.log_dir, f"{v:08d}.json")
+        old = time.time() - 3600
+        os.utime(entry_path, (old, old))  # age the pending entry
+        for i in range(CHECKPOINT_EVERY + 1):
+            a.log.commit(add=[], op="append", txn=("filler", i))
+        cks = [f for f in os.listdir(a.log.log_dir) if f.endswith(".checkpoint.json")]
+        assert cks  # checkpoint written despite the torn group
+        with pytest.raises(RuntimeError, match="aborted"):
+            g.publish()
+        assert a.read().count() == 0
+
+    def test_snapshot_at_read_time_resolution(self, spark, tmp_path, two_tables):
+        """Pinned time-travel semantics under coalesced commits: group
+        visibility resolves at READ time. snapshot_at(v) excludes a
+        pending group's files; the SAME version re-read after publish
+        includes them; after a definitive abort it excludes them forever."""
+        from timefusion_spark.storage.commitlog import CommitGroup, abort_group
+
+        a, b = two_tables
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g)
+        v = a.log.latest_version()
+        a.append(_rows(spark, [("2026-01-03 10:00:00", "z", 9.0, "p1")]), stamp="2026-01-02 00:00:00")
+        later = a.log.latest_version()
+        assert len(a.log.snapshot_at(v).files) == 0          # pending: absent
+        assert len(a.log.snapshot_at(later).files) == 1      # only the solo append
+        g.publish()
+        assert len(a.log.snapshot_at(v).files) > 0           # same v, now present
+        # and an aborted group stays absent at every version forever
+        g2 = CommitGroup(str(tmp_path / "groups"))
+        b.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g2)
+        v2 = b.log.latest_version()
+        abort_group(b.log.entry(v2)["group"], b.log.log_dir)
+        assert len(b.log.snapshot_at(v2).files) == 0

@@ -228,11 +228,14 @@ fields:
         assert got.schema["bucket"].dataType.typeName() == "integer"
         assert sorted(r["bucket"] for r in got.select("bucket").collect()) == [7, 9]
 
-    def test_variant_table_rejected_upfront(self, spark, tmp_path):
-        """tf_changes cannot decode Spark VARIANT parquet via pyarrow —
-        the reader must reject such tables at construction with a clear
-        error, not fail mid-batch."""
-        import pytest as _pytest
+    def test_variant_table_streams(self, spark, tmp_path):
+        """tf_changes over a Variant-typed table (the flagship otel schema
+        carries 7 Variant columns — the reference's WAL tail serves them,
+        wal.rs:142-160): the engine stores Variant UNSHREDDED and the
+        stream worker decodes the (value, metadata) binary pair via
+        DuckDB, so the drained stream's variant values must equal the
+        batch change feed's — including SQL NULL variants."""
+        from pyspark.sql import functions as F
 
         from timefusion_spark.storage import Table, load_schema
         import os as _os
@@ -243,14 +246,38 @@ fields:
             "timefusion_spark", "schemas", "otel_logs_and_spans.yaml",
         )
         tbl = Table.create(spark, load_schema(schema_path), str(tmp_path / "otel"))
+        rows = spark.createDataFrame(
+            [
+                ("1", "2026-01-01 10:00:00", "a", "p1", '{"k": 7, "s": "x"}'),
+                ("2", "2026-01-01 11:00:00", "b", "p1", '{"k": 9}'),
+                ("3", "2026-01-02 09:00:00", "c", "p2", None),
+            ],
+            "id string, timestamp string, name string, project_id string, attributes string",
+        ).withColumn("summary", F.array(F.col("name")))
+        tbl.append(rows, stamp="2026-01-03 00:00:00")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
         q = (
             spark.readStream.format("tf_changes")
             .option("path", tbl.path)
             .load()
-            .writeStream.format("noop")
-            .option("checkpointLocation", str(tmp_path / "ck"))
+            .select(
+                "id",
+                F.expr("variant_get(attributes, '$.k', 'int')").alias("k"),
+                F.expr("to_json(attributes)").alias("j"),
+                F.col("attributes").isNull().alias("attr_null"),
+                "_commit_version",
+                "_change_type",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
+            .start()
         )
-        with _pytest.raises(Exception, match="[Vv]ariant"):
-            qq = q.start()
-            qq.awaitTermination(60)
+        q.awaitTermination(240)
+        got = {r["id"]: r for r in spark.read.parquet(out).collect()}
+        assert len(got) == 3
+        assert got["1"]["k"] == 7 and got["1"]["j"] == '{"k":7,"s":"x"}'
+        assert got["2"]["k"] == 9
+        assert got["3"]["attr_null"] and got["3"]["j"] is None
+        assert all(r["_change_type"] == "upsert" for r in got.values())

@@ -38,7 +38,8 @@ _SIDECAR = "_tf_schema.json"
 class _FilePartition(InputPartition):
     def __init__(self, abs_path: str, rel_path: str, version: int,
                  tombstone_col: str | None, part_types: dict[str, str],
-                 field_order: list[str], arrow_types: dict):
+                 field_order: list[str], arrow_types: dict,
+                 variant_cols: tuple[str, ...] = ()):
         self.abs_path = abs_path
         self.rel_path = rel_path
         self.version = version
@@ -46,6 +47,56 @@ class _FilePartition(InputPartition):
         self.part_types = part_types
         self.field_order = field_order
         self.arrow_types = arrow_types
+        self.variant_cols = variant_cols
+
+
+def _read_data_file(path: str, variant_cols: tuple[str, ...], arrow_types: dict):
+    """Worker-side file decode. Plain tables read via pyarrow; tables with
+    Variant columns read via DuckDB's parquet reader (this container's
+    pyarrow rejects the VARIANT logical type at the footer). The engine
+    writes Variant UNSHREDDED, so DuckDB surfaces each variant column as
+    struct<metadata: binary, value: binary> — reordered to (value,
+    metadata) those two binaries ARE Spark's Arrow encoding for
+    VariantType, no re-encoding needed. Non-variant columns normalize to
+    the declared Arrow types (DuckDB may drop the UTC timezone label)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not variant_cols:
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path)
+    import duckdb
+
+    quoted = path.replace("'", "''")
+    tbl = duckdb.connect().execute(f"select * from read_parquet('{quoted}')").arrow()
+    cols, names = [], []
+    for name in tbl.column_names:
+        arr = tbl.column(name).combine_chunks()
+        if name in variant_cols:
+            sub = {arr.type.field(i).name for i in range(arr.type.num_fields)}
+            if "typed_value" in sub:
+                raise ValueError(
+                    f"{path}: variant column '{name}' is SHREDDED "
+                    "(typed_value present) — the change-feed stream decodes "
+                    "only the engine's unshredded variant layout; rewrite "
+                    "the file through the table's own write path"
+                )
+            typ = pa.struct([
+                pa.field("value", pa.binary(), nullable=False),
+                pa.field("metadata", pa.binary(), nullable=False),
+            ])
+            arr = pa.StructArray.from_arrays(
+                [arr.field("value").cast(pa.binary()),
+                 arr.field("metadata").cast(pa.binary())],
+                fields=[typ.field(0), typ.field(1)],
+                mask=arr.is_null(),
+            )
+        elif name in arrow_types and arr.type != arrow_types[name]:
+            arr = pc.cast(arr, arrow_types[name])
+        cols.append(arr)
+        names.append(name)
+    return pa.table(dict(zip(names, cols)))
 
 
 def _log_entries(log_dir: str) -> list[str]:
@@ -85,16 +136,15 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
 
         from timefusion_spark.storage.schema import parse_data_type
 
-        if any(dt == "Variant" for _, dt in self.fields):
-            # The worker decode path reads files with pyarrow, which cannot
-            # decode Spark's Parquet VARIANT logical type in this
-            # environment. Batch consumers use Table.read_changes (Spark's
-            # own reader handles Variant); the stream source rejects such
-            # tables up front instead of failing mid-batch.
-            raise ValueError(
-                "tf_changes cannot stream tables with Variant columns; "
-                "use Table.read_changes polling instead"
-            )
+        # Variant tables ARE streamable (the flagship otel schemas carry 7
+        # Variant columns — the reference's WAL tail serves them too,
+        # wal.rs:142-160): the engine stores Variant UNSHREDDED (plain
+        # metadata/value binary pair, `table._unshredded_variants`), and
+        # the worker decode path reads such files with DuckDB's parquet
+        # reader (this container's pyarrow rejects the VARIANT logical
+        # type at the footer), handing back exactly the two binaries that
+        # form Spark's Arrow encoding for VariantType.
+        self.variant_cols = tuple(n for n, dt in self.fields if dt == "Variant")
         self.arrow_types = {
             name: to_arrow_type(parse_data_type(dt)) for name, dt in self.fields
         }
@@ -106,12 +156,20 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         entries = _log_entries(os.path.join(self.path, _LOG_DIR))
         tip = max((int(e.split(".")[0]) for e in entries), default=-1)
         tip = max(tip, self.start_version)
-        # A PENDING coalesced commit (group marker not yet published) must
-        # not be skipped over: cap the tip just below it so the batch that
-        # includes it plans only after publish. A pending entry older than
-        # the grace window is an aborted coordinator — treated as invisible
-        # forever (partitions() skips it) so the feed never stalls on it.
+        # A PENDING coalesced commit (group resolution not yet settled)
+        # must not be skipped over: cap the tip just below it so the batch
+        # that includes it plans only after publish. A pending entry older
+        # than ABORT_AFTER_SECONDS is settled as ABORTED first — the
+        # atomic arbiter makes a late publish() fail instead of
+        # resurrecting rows this feed has permanently advanced past — so
+        # the skip is definitive, never a silent data loss.
         import time as _time
+
+        from timefusion_spark.storage.commitlog import (
+            ABORT_AFTER_SECONDS,
+            _group_state,
+            abort_group,
+        )
 
         # Like the max_versions cap below, only applied in steady state —
         # the first poll of a (re)started query must not plan a batch
@@ -125,11 +183,12 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
                 continue
             with open(p) as fh:
                 rec = json.load(fh)
-            g = rec.get("group")
-            if g is not None and not os.path.exists(g["marker"]):
-                if _time.time() - os.path.getmtime(p) < 60.0:
+            state = _group_state(rec, log_dir)
+            if state == "pending":
+                if _time.time() - os.path.getmtime(p) < ABORT_AFTER_SECONDS:
                     tip = v - 1
                     break
+                abort_group(rec["group"], log_dir)
         if self.max_versions is not None:
             # The cap bounds the STEADY-STATE advance: each poll after the
             # first moves at most max_versions past the furthest offset
@@ -158,25 +217,27 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             # Rewrite/retention commits carry no logical change (see
             # Table.read_changes — the Delta CDF dataChange=false rule);
             # only append commits ship to the feed. Pending/aborted
-            # coalesced commits (unpublished group marker) are invisible.
+            # coalesced commits (unsettled group resolution) are invisible.
             if rec.get("op") != "append":
                 continue
-            g = rec.get("group")
-            if g is not None and not os.path.exists(g["marker"]):
+            from timefusion_spark.storage.commitlog import _group_visible
+
+            if not _group_visible(rec, log_dir):
                 continue
             for f in rec.get("add", []):
                 out.append(
                     _FilePartition(
                         os.path.join(self.path, f["path"]), f["path"], v,
                         self.tombstone_col, self.part_types, order,
-                        self.arrow_types,
+                        self.arrow_types, self.variant_cols,
                     )
                 )
         # Spark requires ≥1 partition per batch; an empty range yields an
         # empty file list — return a sentinel that reads nothing.
         return out or [
             _FilePartition("", "", -1, self.tombstone_col, self.part_types,
-                           [n for n, _ in self.fields], self.arrow_types)
+                           [n for n, _ in self.fields], self.arrow_types,
+                           self.variant_cols)
         ]
 
     def read(self, partition: _FilePartition):
@@ -186,9 +247,9 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
 
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
-        tbl = pq.read_table(partition.abs_path)
+        tbl = _read_data_file(partition.abs_path, partition.variant_cols,
+                              partition.arrow_types)
         n = tbl.num_rows
         # Partition columns live in the directory name (k=v segments), not
         # in the file — reconstruct them as constant columns, typed per the

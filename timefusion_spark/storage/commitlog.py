@@ -41,7 +41,54 @@ import uuid
 from dataclasses import dataclass, field
 
 LOG_DIR = "_tf_log"
+GROUPS_SUBDIR = "_groups"
 CHECKPOINT_EVERY = 20
+# A pending coalesced commit older than this is treated as a crashed
+# coordinator: readers (change-feed tail, checkpoint writer) may abort it
+# DEFINITIVELY — the abort is settled by the same atomic create that
+# settles publish, so a slow coordinator's late publish() fails loudly
+# instead of racing visibility decisions already baked elsewhere.
+ABORT_AFTER_SECONDS = 60.0
+
+
+def _settle(marker: str, state: str) -> str:
+    """Settle a group's resolution file to `state` with one atomic
+    create-if-absent; returns the ACTUAL settled state (the winner of a
+    publish-vs-abort race). The file's content IS the resolution — a
+    legacy marker holding the group id reads as 'published'."""
+    tmp = f"{marker}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(state)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, marker)
+        return state
+    except FileExistsError:
+        with open(marker) as fh:
+            return "aborted" if fh.read().strip() == "aborted" else "published"
+    finally:
+        os.remove(tmp)
+
+
+def _local_group_record(log_dir: str, gid: str) -> str | None:
+    """A table-local confirmation of a group's resolution, or None."""
+    base = os.path.join(log_dir, GROUPS_SUBDIR, gid)
+    if os.path.exists(base + ".published"):
+        return "published"
+    if os.path.exists(base + ".aborted"):
+        return "aborted"
+    return None
+
+
+def _write_local_group_record(log_dir: str, gid: str, state: str) -> None:
+    d = os.path.join(log_dir, GROUPS_SUBDIR)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{gid}.{state}")
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(state)
+    os.replace(tmp, path)
 
 
 class CommitGroup:
@@ -49,46 +96,93 @@ class CommitGroup:
     flush path commits several tables' buckets as ONE transaction).
 
     Two-phase: each participating table writes its commit entry carrying a
-    reference to this group's MARKER path (phase 1 — the entry is invisible
-    to readers while the marker is absent), then `publish()` creates the
-    marker with one atomic create-if-absent (phase 2 — every participating
-    entry becomes visible at once). A coordinator crash between phases
-    leaves only invisible entries: readers never observe a torn multi-table
-    write, replayed streaming batches re-append under a fresh group (the
-    pending entries' txn watermarks are ignored too), and the orphaned
-    staged files are vacuum's to collect.
+    reference to this group's RESOLUTION path (phase 1 — the entry is
+    invisible to readers while the resolution is absent), then `publish()`
+    settles the resolution with one atomic create-if-absent (phase 2 —
+    every participating entry becomes visible at once). A coordinator
+    crash between phases leaves only invisible entries: readers never
+    observe a torn multi-table write, replayed streaming batches re-append
+    under a fresh group (the pending entries' txn watermarks are ignored
+    too), and the orphaned staged files are vacuum's to collect.
 
-    Markers are tiny immortal files — they must outlive every log replay
-    that can reach their commits (time travel below a checkpoint replays
-    from scratch), so nothing deletes them."""
+    Durability is SELF-CONTAINED per table: publish() also drops a tiny
+    `_tf_log/_groups/<gid>.published` confirmation into every
+    participating table's own log dir, so a table's visibility never
+    depends on the coordinator's marker directory (a streaming checkpoint
+    that may be reset or relocated) once publish returns — moving or
+    copying the table directory keeps every published group visible. The
+    shared resolution file only arbitrates the crash window between the
+    settle and the confirmations.
+
+    The resolution is an ARBITER, not just a flag: a reader that finds a
+    pending group older than ABORT_AFTER_SECONDS may settle it to
+    'aborted' (abort_group), after which a late publish() raises instead
+    of resurrecting rows past visibility decisions already made."""
 
     def __init__(self, marker_dir: str):
         os.makedirs(marker_dir, exist_ok=True)
         self.id = uuid.uuid4().hex
         self.marker = os.path.abspath(os.path.join(marker_dir, f"{self.id}.group"))
         self._published = False
+        self._log_dirs: list[str] = []
+
+    def register(self, log_dir: str) -> None:
+        """Called by CommitLog.commit: record the participant so publish()
+        can confirm locally in its log dir."""
+        if log_dir not in self._log_dirs:
+            self._log_dirs.append(log_dir)
 
     def publish(self) -> None:
         """Atomically make every commit of this group visible."""
-        tmp = self.marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(self.id)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, self.marker)
-        except FileExistsError as e:  # a group id is never reused
-            raise RuntimeError(f"commit group {self.id} already published") from e
-        finally:
-            os.remove(tmp)
+        if self._published:
+            raise RuntimeError(f"commit group {self.id} already published")
+        state = _settle(self.marker, "published")
+        if state != "published":
+            raise RuntimeError(
+                f"commit group {self.id} was aborted (pending past "
+                f"ABORT_AFTER_SECONDS); its commits are permanently invisible"
+            )
+        for ld in self._log_dirs:
+            _write_local_group_record(ld, self.id, "published")
         self._published = True
 
 
-def _group_visible(rec: dict) -> bool:
+def abort_group(group_ref: dict, log_dir: str | None = None) -> str:
+    """Definitively settle a pending group (from a commit record's `group`
+    dict) as aborted; returns the actual settled state — 'published' if
+    the coordinator won the race, in which case nothing is aborted. The
+    caller's table-local record is written either way so the table stays
+    self-contained."""
+    marker = group_ref["marker"]
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    state = _settle(marker, "aborted")
+    if log_dir is not None:
+        _write_local_group_record(log_dir, group_ref["id"], state)
+    return state
+
+
+def _group_state(rec: dict, log_dir: str | None = None) -> str:
+    """'published' | 'aborted' | 'pending' for a commit record's group
+    (records without a group are trivially 'published'). Checks the
+    table-local confirmation first — self-contained visibility — then the
+    shared resolution file."""
+    g = rec.get("group")
+    if g is None:
+        return "published"
+    if log_dir is not None:
+        local = _local_group_record(log_dir, g["id"])
+        if local is not None:
+            return local
+    if os.path.exists(g["marker"]):
+        with open(g["marker"]) as fh:
+            return "aborted" if fh.read().strip() == "aborted" else "published"
+    return "pending"
+
+
+def _group_visible(rec: dict, log_dir: str | None = None) -> bool:
     """A commit entry referencing an UNPUBLISHED group is invisible: its
     files, removes and txn watermark all stay out of the snapshot."""
-    g = rec.get("group")
-    return g is None or os.path.exists(g["marker"])
+    return _group_state(rec, log_dir) == "published"
 
 
 @dataclass
@@ -173,6 +267,8 @@ class CommitLog:
                     os.link(tmp, dst)
                 except FileExistsError:
                     continue  # lost the version race — rebuild against the new tip
+                if group is not None:
+                    group.register(self.log_dir)
                 if version > 0 and version % CHECKPOINT_EVERY == 0:
                     self._write_checkpoint(version)
                 return version
@@ -187,18 +283,29 @@ class CommitLog:
         try:
             # A checkpoint bakes visibility decisions in: an unpublished
             # group commit inside the range would be frozen as "absent"
-            # even if its marker appears a moment later. Defer the
-            # checkpoint instead (retried at the next boundary) — replays
-            # just stay a little longer until then.
+            # even if its marker appears a moment later. A YOUNG pending
+            # group defers the checkpoint (retried at the next boundary);
+            # one older than ABORT_AFTER_SECONDS is a crashed coordinator —
+            # settle it as aborted DEFINITIVELY (a late publish then fails
+            # loudly) so a single torn group can never disable
+            # checkpointing forever and let the replay tail grow unbounded.
+            import time as _time
+
             for name in self._entries():
                 if name.endswith(".checkpoint.json"):
                     continue
                 if int(name.split(".")[0]) > version:
                     continue
-                with open(os.path.join(self.log_dir, name)) as fh:
+                path = os.path.join(self.log_dir, name)
+                with open(path) as fh:
                     rec = json.load(fh)
-                if not _group_visible(rec):
-                    return
+                state = _group_state(rec, self.log_dir)
+                if state == "pending":
+                    if _time.time() - os.path.getmtime(path) < ABORT_AFTER_SECONDS:
+                        return  # young: defer, don't bake
+                    state = abort_group(rec["group"], self.log_dir)
+                    if state == "pending":  # unreachable; defensive
+                        return
             snap = self._replay(upto=version)
             tmp = os.path.join(self.log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
@@ -223,7 +330,16 @@ class CommitLog:
         """The table state as of log `version` (time travel / VERSION AS OF).
         Snapshot isolation makes this exact: files removed after `version`
         stay on disk until vacuum'd, so an old snapshot's file list remains
-        readable (snapshot_cache.rs reader-isolation contract)."""
+        readable (snapshot_cache.rs reader-isolation contract).
+
+        Coalesced-commit semantics (pinned, tested in TestCommitGroups):
+        group visibility is resolved at READ time — a commit whose group
+        is still pending when `snapshot_at` runs is absent from the
+        result, and the SAME version re-read after the group publishes
+        includes it. The non-monotonic window is bounded: past
+        ABORT_AFTER_SECONDS any reader settles the group definitively
+        (published xor aborted, arbitrated by one atomic create), after
+        which every future read of every version agrees forever."""
         latest = self.latest_version()
         if version < 0 or version > latest:
             raise ValueError(f"version {version} out of range [0, {latest}]")
@@ -254,7 +370,7 @@ class CommitLog:
                 continue
             with open(os.path.join(self.log_dir, name)) as fh:
                 rec = json.load(fh)
-            if not _group_visible(rec):
+            if not _group_visible(rec, self.log_dir):
                 # pending/aborted coalesced commit: contributes nothing —
                 # not even its txn watermark, so a replayed streaming batch
                 # re-appends instead of being skipped as a re-delivery.

@@ -43,6 +43,37 @@ DV_DIR = "_tf_dv"
 KEEP_GREATEST = "keep_greatest"
 KEEP_FIRST = "keep_first"
 
+_SHRED_KEY = "spark.sql.variant.writeShredding.enabled"
+
+
+class _unshredded_variants:
+    """Write Variant columns as the plain Parquet VARIANT binary pair
+    (metadata, value) instead of Spark's inferred shredded layout — the
+    reference's physical form (functions.rs:364-369 stores the VARIANT
+    binary directly). Unshredded files are the engine's storage contract:
+    the change-feed stream source decodes them engine-independently
+    worker-side (DuckDB's parquet reader hands back the two binaries,
+    which ARE Spark's Arrow encoding for VariantType), whereas a shredded
+    typed_value tree would need a full variant re-encoder outside the JVM.
+    Scoped per write job; restores the session value on exit."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        try:
+            self.old = self.spark.conf.get(_SHRED_KEY)
+        except Exception:
+            self.old = None
+        self.spark.conf.set(_SHRED_KEY, "false")
+
+    def __exit__(self, *exc):
+        if self.old is None:
+            self.spark.conf.unset(_SHRED_KEY)
+        else:
+            self.spark.conf.set(_SHRED_KEY, self.old)
+        return False
+
 
 class Table:
     """One partitioned table. Construct via :meth:`create` or :meth:`open`."""
@@ -214,7 +245,8 @@ class Table:
         writer = batch.write.mode("append").options(**self._writer_options())
         if self.schema.partitions:
             writer = writer.partitionBy(*self.schema.partitions)
-        writer.parquet(staging)
+        with _unshredded_variants(self.spark):
+            writer.parquet(staging)
         added: list[tuple[str, int]] = []
         for root, _dirs, files in os.walk(staging):
             for name in files:
@@ -282,7 +314,8 @@ class Table:
             writer = batch.write.mode("append").options(**self._writer_options())
             if self.schema.partitions:
                 writer = writer.partitionBy(*self.schema.partitions)
-            writer.parquet(self.path)
+            with _unshredded_variants(self.spark):
+                writer.parquet(self.path)
             return
         added = self._stage_write(batch)
         if added or txn is not None:
@@ -426,7 +459,7 @@ class Table:
             entry = self.log.entry(v)
             from timefusion_spark.storage.commitlog import _group_visible
 
-            if not _group_visible(entry):
+            if not _group_visible(entry, self.log.log_dir):
                 continue  # pending/aborted coalesced commit: no change yet
             # Only APPEND commits carry logical changes. Rewrite commits
             # (compaction / consolidation / z-order / dedup sweep, op
