@@ -866,3 +866,101 @@ class TestDeletionVectors:
             p.startswith(DV_DIR + "/") for p in plain_table.log.snapshot().files
         )
         assert [r["id"] for r in plain_table.read().collect()] == ["b"]
+
+
+class TestInPlaceDmlPartitionEdgeCases:
+    """Round-7 hardening (VERDICT r6 #4): in-place DML partition matching
+    must be NULL-safe (eqNullSafe, __HIVE_DEFAULT_PARTITION__) and
+    escape-aware (Spark %XX-escapes spaces, '%', ':' … in partition dir
+    names) — affected directories derive from unescaping the manifest's
+    own names, never from f-string formatting."""
+
+    EDGE_YAML = """
+table_name: edge
+partitions: [tenant]
+time_column: timestamp
+fields:
+  - {name: tenant, data_type: Utf8, nullable: true}
+  - {name: timestamp, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: value, data_type: Float64, nullable: true}
+"""
+
+    @pytest.fixture()
+    def edge_table(self, spark, tmp_path):
+        tbl = Table.create(spark, load_schema_text(self.EDGE_YAML), str(tmp_path / "edge"))
+        rows = spark.createDataFrame(
+            [
+                ("a b:c%d", "2026-01-01 10:00:00", "a", 1.0),
+                ("plain", "2026-01-01 11:00:00", "b", 2.0),
+                (None, "2026-01-02 09:00:00", "c", 3.0),
+            ],
+            "tenant string, timestamp string, id string, value double",
+        )
+        tbl.append(rows)
+        return tbl
+
+    def test_update_matches_special_char_partition(self, spark, edge_table):
+        n = dml.update(
+            edge_table, {"value": F.lit(99.0)}, predicate=(F.col("tenant") == "a b:c%d")
+        )
+        assert n == 1
+        got = {r["id"]: r["value"] for r in edge_table.read().collect()}
+        assert got == {"a": 99.0, "b": 2.0, "c": 3.0}
+
+    def test_update_matches_null_partition(self, spark, edge_table):
+        n = dml.update(
+            edge_table, {"value": F.lit(77.0)}, predicate=F.col("tenant").isNull()
+        )
+        assert n == 1
+        got = {r["id"]: r["value"] for r in edge_table.read().collect()}
+        assert got == {"a": 1.0, "b": 2.0, "c": 77.0}
+
+    def test_delete_emptying_null_and_escaped_partitions(self, spark, edge_table):
+        n = dml.delete(edge_table, predicate=(F.col("id") != "b"))
+        assert n == 2
+        assert [r["id"] for r in edge_table.read().collect()] == ["b"]
+        # both emptied dirs (escaped + NULL sentinel) left the manifest
+        live = set(edge_table.log.snapshot().files)
+        assert all("tenant=plain" in p for p in live)
+
+    def test_untouched_partition_files_survive_bitwise(self, spark, edge_table):
+        before = {p for p in edge_table.log.snapshot().files if "tenant=plain" in p}
+        dml.update(edge_table, {"value": F.lit(5.0)}, predicate=F.col("tenant").isNull())
+        after = {p for p in edge_table.log.snapshot().files if "tenant=plain" in p}
+        assert before == after
+
+    def test_update_from_duplicate_source_keys_raises(self, spark, edge_table):
+        src = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0)], "id string, adj double"
+        )
+        with pytest.raises(ValueError, match="duplicate join keys"):
+            dml.update_from(
+                edge_table, src, ["id"], {"value": F.col("_src.adj")}
+            )
+
+
+class TestConsolidateSkipsDvDir:
+    def test_many_dv_files_never_trigger_full_table_rewrite(self, spark, tmp_path):
+        """ADVICE r6: _tf_dv/ parsing to an empty partition dict made
+        consolidate() run compact(table, {}) — a silent FULL-TABLE
+        rewrite repeating every sweep. DV files must be invisible to the
+        data-partition candidate scan (dv_sweep owns them)."""
+        tbl = Table.create(spark, load_schema_text(PLAIN_YAML), str(tmp_path / "pt"))
+        tbl.append(_rows(spark, BASE))
+        # accumulate ≥ min_files tiny DV files via repeated sparse deletes
+        for vid in ["a", "b", "c"]:
+            dml.delete(tbl, predicate=(F.col("id") == vid), deletion_vectors=True)
+        from timefusion_spark.storage.table import DV_DIR
+
+        snap = tbl.log.snapshot().files
+        dv_files = [p for p in snap if p.startswith(DV_DIR + "/")]
+        data_before = sorted(p for p in snap if not p.startswith(DV_DIR + "/"))
+        assert len(dv_files) >= 3
+        done = maintenance.consolidate(tbl, min_files=2)
+        assert done == []  # no data partition was unhealthy
+        snap_after = tbl.log.snapshot().files
+        data_after = sorted(
+            p for p in snap_after if not p.startswith(DV_DIR + "/")
+        )
+        assert data_before == data_after  # zero data files rewritten

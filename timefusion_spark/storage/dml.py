@@ -39,6 +39,60 @@ from timefusion_spark.storage.table import Table
 # above this; same guard here since we broadcast it.
 MAX_UPDATE_SOURCE_ROWS = 1_000_000
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_partition_value(s: str) -> str | None:
+    """Invert the Hive/Spark partition-path escaping (%XX hex escapes for
+    control chars and `\"#%'*/:=?\\{[]^`; the NULL sentinel directory).
+    Unescaping is deterministic, so matching manifest directory names this
+    way never has to reproduce the writer's escape set exactly."""
+    if s == _HIVE_NULL:
+        return None
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _partition_selection(table: Table, vals) -> tuple[Column, list[str]]:
+    """From the distinct partition-value rows of the matched set, build
+    (a) a NULL-SAFE partition filter for the rewrite read and (b) the
+    affected directory names — derived by unescaping the MANIFEST's live
+    directory names and matching values, never by re-implementing the
+    writer's path escaping (VERDICT r6 #4: `f\"{c}={v}\"` breaks on NULLs,
+    spaces, `%`, `:`…)."""
+    parts = table.schema.partitions
+    pf = None
+    for row in vals:
+        conj = None
+        for c in parts:
+            eq = F.col(c).eqNullSafe(F.lit(row[c]))
+            conj = eq if conj is None else (conj & eq)
+        pf = conj if pf is None else (pf | conj)
+    want = {
+        tuple(None if row[c] is None else str(row[c]) for c in parts) for row in vals
+    }
+    dirs: list[str] = []
+    for d in {os.path.dirname(rel) for rel in table.log.snapshot().files}:
+        segs = dict(seg.split("=", 1) for seg in d.split("/") if "=" in seg)
+        key = tuple(
+            _unescape_partition_value(segs[c]) if c in segs else None for c in parts
+        )
+        if key in want:
+            dirs.append(d)
+    return pf, dirs
+
 
 def _resolve(
     table: Table,
@@ -180,15 +234,8 @@ def _inplace_rewrite(table: Table, pred: Column, transform) -> int:
         vals = matched.select(*parts).distinct().collect()
         if not vals:
             return 0
-        pf = None
-        for row in vals:
-            conj = None
-            for c in parts:
-                eq = F.col(c) == F.lit(row[c])
-                conj = eq if conj is None else (conj & eq)
-            pf = conj if pf is None else (pf | conj)
+        pf, dirs = _partition_selection(table, vals)
         affected = raw.where(pf)
-        dirs = ["/".join(f"{c}={row[c]}" for c in parts) for row in vals]
         n = matched.count()
     else:
         n = matched.count()
@@ -349,6 +396,19 @@ def update_from(
     if n_src > MAX_UPDATE_SOURCE_ROWS:
         raise ValueError(f"UPDATE…FROM source too large: {n_src} > {MAX_UPDATE_SOURCE_ROWS}")
     if not table.schema.version_append:
+        # Duplicate join keys in the source would MULTIPLY matching target
+        # rows through the left join — the in-place rewrite would publish
+        # physically duplicated data (the MOR path tolerates duplicates
+        # because LWW dedup keeps one winner; this path has no such net).
+        # Same contract as Delta MERGE's multiple-source-match error.
+        n_keys = source.select(*join_keys).distinct().count()
+        if n_keys != n_src:
+            raise ValueError(
+                f"UPDATE…FROM source has duplicate join keys "
+                f"({n_src} rows, {n_keys} distinct {join_keys}): an in-place "
+                "merge would duplicate matched target rows; de-duplicate the "
+                "source first"
+            )
         pred = _dml_condition(table, predicate, project_id, ts_lo, ts_hi)
         src_flagged = F.broadcast(
             source.withColumn("_tf_m", F.lit(True)).alias("_src")
@@ -390,15 +450,8 @@ def update_from(
             vals = matched_pred_df.select(*parts).distinct().collect()
             if not vals:
                 return 0
-            pf = None
-            for row in vals:
-                conj = None
-                for c in parts:
-                    eq = F.col(c) == F.lit(row[c])
-                    conj = eq if conj is None else (conj & eq)
-                pf = conj if pf is None else (pf | conj)
+            pf, dirs = _partition_selection(table, vals)
             affected = table.read_raw().where(pf)
-            dirs = ["/".join(f"{c}={row[c]}" for c in parts) for row in vals]
             n = matched_pred_df.count()
         else:
             n = matched_pred_df.count()

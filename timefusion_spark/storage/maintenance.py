@@ -105,9 +105,18 @@ def consolidate(
     commit. Returns the partition directories consolidated."""
     if not table.log.exists():
         raise ValueError("consolidate requires a commit log (Table.create)")
+    from timefusion_spark.storage.table import DV_DIR
+
     by_dir: dict[str, list[int]] = {}
     for rel, size in table.log.snapshot().files.items():
-        by_dir.setdefault(os.path.dirname(rel), []).append(size)
+        d = os.path.dirname(rel)
+        if d == DV_DIR or d.startswith(DV_DIR + "/"):
+            # Deletion-vector files are NOT data partitions: their dir
+            # parses to an empty partition dict, so treating them as a
+            # candidate would trigger compact(table, {}) — a silent
+            # FULL-TABLE rewrite. DV accumulation is dv_sweep's job.
+            continue
+        by_dir.setdefault(d, []).append(size)
     done = []
     for d, sizes in sorted(by_dir.items()):
         total = sum(sizes)
