@@ -1,0 +1,158 @@
+"""DML coalescer: grouping, window widening, duplicate-key round splits,
+quarantine parking and redrive (/root/reference/src/dml_coalescer.rs:1-36,
+main.rs:155-174)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from timefusion_spark.storage import Table, coalescer, dml, load_schema_text, maintenance
+
+PLAIN_YAML = """
+table_name: pt
+partitions: [project_id, date]
+time_column: timestamp
+fields:
+  - {name: date, data_type: Date32, nullable: false}
+  - {name: timestamp, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: value, data_type: Float64, nullable: true}
+  - {name: project_id, data_type: Utf8, nullable: true}
+"""
+
+ROWS = [
+    ("2026-01-01 10:00:00", "a", 1.0, "p1"),
+    ("2026-01-01 11:00:00", "b", 2.0, "p1"),
+    ("2026-01-02 09:00:00", "c", 3.0, "p2"),
+    ("2026-01-03 09:30:00", "d", 4.0, "p2"),
+]
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    tbl = Table.create(spark, load_schema_text(PLAIN_YAML), str(tmp_path / "pt"))
+    tbl.append(
+        spark.createDataFrame(
+            ROWS, "timestamp string, id string, value double, project_id string"
+        )
+    )
+    return tbl
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, "id string, adj double")
+
+
+class TestCoalescing:
+    def test_compatible_statements_share_a_group(self, spark, table):
+        c = coalescer.DmlCoalescer()
+        add = {"value": "_tgt.value + _src.adj"}
+        c.enqueue(table, _src(spark, [("a", 10.0)]), ["id"], add)
+        c.enqueue(table, _src(spark, [("b", 20.0)]), ["id"], add)
+        # different assignments → separate group
+        c.enqueue(table, _src(spark, [("c", 100.0)]), ["id"], {"value": "_src.adj"})
+        assert c.pending() == 3
+        stats = c.drain()
+        assert stats["groups"] == 2 and stats["quarantined"] == 0
+        assert stats["rows_updated"] == 3
+        got = {r["id"]: r["value"] for r in table.read().collect()}
+        assert got == {"a": 11.0, "b": 22.0, "c": 100.0, "d": 4.0}
+
+    def test_duplicate_keys_split_into_ordered_rounds(self, spark, table):
+        """Two payloads for one key cannot share a merge (duplicate source
+        matches); the drained group applies them as ordered rounds, so
+        the net effect equals sequential statement execution."""
+        c = coalescer.DmlCoalescer()
+        add = {"value": "_tgt.value + _src.adj"}
+        c.enqueue(table, _src(spark, [("a", 10.0), ("b", 5.0)]), ["id"], add)
+        c.enqueue(table, _src(spark, [("a", 100.0)]), ["id"], add)
+        stats = c.drain()
+        assert stats["groups"] == 1 and stats["rounds"] == 2
+        assert stats["rows_updated"] == 3  # a twice, b once
+        got = {r["id"]: r["value"] for r in table.read().collect()}
+        assert got["a"] == 111.0 and got["b"] == 7.0
+
+    def test_time_windows_widen_to_union(self, spark, table):
+        """Per-statement timestamp windows widen to the covering range —
+        both statements' target rows update even though each window alone
+        excludes the other's row."""
+        c = coalescer.DmlCoalescer()
+        add = {"value": "_tgt.value + _src.adj"}
+        c.enqueue(
+            table, _src(spark, [("a", 10.0)]), ["id"], add,
+            ts_lo="2026-01-01 00:00:00", ts_hi="2026-01-02 00:00:00",
+        )
+        c.enqueue(
+            table, _src(spark, [("d", 40.0)]), ["id"], add,
+            ts_lo="2026-01-03 00:00:00", ts_hi="2026-01-04 00:00:00",
+        )
+        stats = c.drain()
+        assert stats["groups"] == 1
+        got = {r["id"]: r["value"] for r in table.read().collect()}
+        assert got["a"] == 11.0 and got["d"] == 44.0
+        # rows inside the widened window but matching no source key are untouched
+        assert got["b"] == 2.0 and got["c"] == 3.0
+
+    def test_queue_empties_after_drain(self, spark, table):
+        c = coalescer.DmlCoalescer()
+        c.enqueue(table, _src(spark, [("a", 1.0)]), ["id"], {"value": "_src.adj"})
+        c.drain()
+        assert c.pending() == 0
+        assert c.drain()["groups"] == 0
+
+    def test_non_string_assignment_rejected(self, spark, table):
+        c = coalescer.DmlCoalescer()
+        with pytest.raises(TypeError, match="SQL string"):
+            c.enqueue(table, _src(spark, [("a", 1.0)]), ["id"], {"value": F.lit(1.0)})
+
+
+class TestQuarantineRedrive:
+    def test_failed_group_parks_and_redrives(self, spark, table, monkeypatch):
+        """A group exhausting its drain attempts parks under
+        _tf_quarantine/dml (never dropped — there is no newer copy to
+        converge from); redrive replays it once the fault clears."""
+        calls = {"n": 0}
+        real = dml.update_from
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            raise RuntimeError("injected OCC storm")
+
+        monkeypatch.setattr(dml, "update_from", flaky)
+        c = coalescer.DmlCoalescer(max_drain_attempts=2)
+        c.enqueue(
+            table, _src(spark, [("a", 10.0)]), ["id"],
+            {"value": "_tgt.value + _src.adj"},
+        )
+        stats = c.drain()
+        assert stats["quarantined"] == 1 and calls["n"] == 2
+        qroot = os.path.join(table.path, coalescer.QUARANTINE_DIR)
+        assert len(os.listdir(qroot)) == 1
+        # dry run counts without replaying
+        assert coalescer.redrive(table, dry_run=True) == (0, 1)
+        assert {r["id"]: r["value"] for r in table.read().collect()}["a"] == 1.0
+        # fault cleared → redrive recovers and removes the parked entry
+        monkeypatch.setattr(dml, "update_from", real)
+        assert maintenance.redrive_dml(table) == (1, 0)
+        assert os.listdir(qroot) == []
+        assert {r["id"]: r["value"] for r in table.read().collect()}["a"] == 11.0
+
+    def test_redrive_failure_stays_parked_with_attempts(self, spark, table, monkeypatch):
+        def boom(*a, **kw):
+            raise RuntimeError("still failing")
+
+        monkeypatch.setattr(dml, "update_from", boom)
+        c = coalescer.DmlCoalescer(max_drain_attempts=1)
+        c.enqueue(table, _src(spark, [("b", 1.0)]), ["id"], {"value": "_src.adj"})
+        assert c.drain()["quarantined"] == 1
+        assert coalescer.redrive(table) == (0, 1)
+        qroot = os.path.join(table.path, coalescer.QUARANTINE_DIR)
+        gid = os.listdir(qroot)[0]
+        import json
+
+        with open(os.path.join(qroot, gid, "meta.json")) as fh:
+            meta = json.load(fh)
+        assert meta["attempts"] == 1 and "still failing" in meta["error"]

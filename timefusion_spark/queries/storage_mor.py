@@ -1579,3 +1579,199 @@ def q_streaming_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_dml_coalesced",
+    oracle="""
+    SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS project_id,
+           CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderstatus)
+                ELSE o_orderstatus END AS name,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice
+                 + CASE WHEN o_orderkey % 10 = 0 THEN 500 ELSE 0 END
+                 + CASE WHEN o_orderkey % 15 = 0 THEN o_orderkey * 0.01 ELSE 0 END), 2)
+             AS total_value
+    FROM orders
+    WHERE o_orderkey <= 1500
+    GROUP BY 1, 2
+    ORDER BY project_id, name
+    """,
+    doc="DML coalescer (dml_coalescer.rs:1-36 + redrive main.rs:155-174): "
+    "four UPDATE…FROM statements enqueue and drain as TWO coalesced "
+    "groups — statements sharing (table, join keys, assignments, "
+    "residual predicate) merge, their time windows widen to the union, "
+    "and duplicate source keys (o_orderkey % 30: hit by both additive "
+    "statements) split into ordered ROUNDS because one merge forbids "
+    "duplicate source matches. O(statements) partition rewrites become "
+    "O(groups): the high-rate enrichment-tagging shape (~1.4k stmts/hr "
+    "in the reference) at bounded merge cost. Round/group counts are "
+    "asserted in-query; quarantine+redrive covered by tests/test_coalescer.py.",
+)
+def q_dml_coalesced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import Table, coalescer
+    from timefusion_spark.storage.schema import FieldDef, SortingColumnDef, TableSchema
+
+    schema = TableSchema(
+        table_name="coalesced_events",
+        fields=[
+            FieldDef("id", "Utf8", False),
+            FieldDef("timestamp", 'Timestamp(Microsecond, Some("UTC"))', False),
+            FieldDef("name", "Utf8"),
+            FieldDef("value", "Float64"),
+            FieldDef("project_id", "Utf8", False),
+            FieldDef("date", "Date32", False),
+        ],
+        partitions=["project_id", "date"],
+        sorting_columns=[SortingColumnDef("timestamp", descending=True)],
+        time_column="timestamp",
+    )
+    base_dir = tempfile.mkdtemp(prefix="tf_coalesce_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "t"))
+    try:
+        orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1500)
+        base = orders.select(
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.expr(
+                "timestamp'2026-03-01 00:00:00'"
+                " + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
+            ).alias("timestamp"),
+            F.col("o_orderstatus").alias("name"),
+            F.col("o_totalprice").alias("value"),
+            F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias(
+                "project_id"
+            ),
+        )
+        tbl.append(base)
+        k = F.col("o_orderkey")
+        c = coalescer.DmlCoalescer()
+        add = {"value": "_tgt.value + _src.adj"}
+        # two additive enrichment statements → ONE group, two rounds for
+        # the %30 keys both sources carry
+        c.enqueue(
+            tbl,
+            orders.where(k % 10 == 0).select(
+                k.cast("string").alias("id"), F.lit(500.0).alias("adj")
+            ),
+            ["id"], add,
+        )
+        c.enqueue(
+            tbl,
+            orders.where(k % 15 == 0).select(
+                k.cast("string").alias("id"), (k * 0.01).alias("adj")
+            ),
+            ["id"], add,
+        )
+        # two name-tagging statements → a SECOND group (different assignments)
+        upper = {"name": "upper(_tgt.name)"}
+        c.enqueue(
+            tbl,
+            orders.where((k % 2 == 0) & (k % 4 == 0)).select(
+                k.cast("string").alias("id"), F.lit(0.0).alias("adj")
+            ),
+            ["id"], upper,
+        )
+        c.enqueue(
+            tbl,
+            orders.where((k % 2 == 0) & (k % 4 != 0)).select(
+                k.cast("string").alias("id"), F.lit(0.0).alias("adj")
+            ),
+            ["id"], upper,
+        )
+        stats = c.drain()
+        assert stats["groups"] == 2, stats
+        assert stats["rounds"] == 3, stats  # additive: 2 rounds; upper: 1
+        assert stats["quarantined"] == 0, stats
+        out = (
+            tbl.read()
+            .groupBy("project_id", "name")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("project_id", "name")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_streaming_changefeed_variant",
+    oracle="""
+    SELECT v AS _commit_version,
+           'p' || CAST(user_id % 3 AS VARCHAR) AS project_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM (
+      SELECT *, CAST(CASE WHEN event_id <= 1200 THEN 1 ELSE 2 END AS BIGINT) AS v
+      FROM events WHERE event_id <= 2000
+    )
+    GROUP BY 1, 2
+    ORDER BY _commit_version, project_id
+    """,
+    doc="Streaming change-feed over a VARIANT-typed table — the flagship "
+    "otel_logs_and_spans schema (7 Variant columns; the reference's WAL "
+    "tail serves these tables, wal.rs:142-160). The engine stores Variant "
+    "unshredded, the stream worker decodes the (value, metadata) binary "
+    "pair via DuckDB's parquet reader, and variant_get over the DRAINED "
+    "stream proves the binaries round-trip: per-commit per-project sums "
+    "of attributes.k equal DuckDB's JSON reading of the raw source.",
+)
+def q_streaming_changefeed_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.sources import register_sources
+    from timefusion_spark.storage import Table, load_schema
+
+    register_sources(spark)
+    schema = load_schema(_otel_schema_path())
+    base_dir = tempfile.mkdtemp(prefix="tf_cfv_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "otel"))
+    try:
+        ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
+
+        def rows(df):
+            return df.select(
+                F.col("event_id").cast("string").alias("id"),
+                F.expr(
+                    "timestamp'2026-03-01 00:00:00'"
+                    " + make_interval(0,0,0,0,0,0,cast(event_id % 86400 as int))"
+                ).alias("timestamp"),
+                F.col("event_type").alias("name"),
+                F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias(
+                    "project_id"
+                ),
+                F.col("props").alias("attributes"),
+                F.array(F.col("event_type")).alias("summary"),
+            )
+
+        tbl.append(rows(ev.where(F.col("event_id") <= 1200)),
+                   stamp="2026-03-06 00:00:00")                       # v1
+        tbl.append(rows(ev.where(F.col("event_id") > 1200)),
+                   stamp="2026-03-06 00:00:01")                       # v2
+        out_dir = os.path.join(base_dir, "feed_out")
+        q = (
+            spark.readStream.format("tf_changes")
+            .option("path", tbl.path)
+            .load()
+            .select(
+                "project_id",
+                F.expr("variant_get(attributes, '$.k', 'long')").alias("k"),
+                "_commit_version",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(base_dir, "feed_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(out_dir)
+            .groupBy("_commit_version", "project_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+            .orderBy("_commit_version", "project_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

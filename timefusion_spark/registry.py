@@ -72,13 +72,14 @@ PRIORITY: tuple[str, ...] = (
     # corpus parity + end-to-end pipeline
     "q_slt_parity",
     "q_training_pipeline",
-    # new/changed this round (rotated in; the two rotated-out former
-    # round-1 failures q_token_stats / q_bpe_ish_tokens are multi-round
-    # certified and unchanged)
+    # new/changed round 6-7 (rotated in; rotated out across rounds:
+    # q_token_stats / q_bpe_ish_tokens / q_distinct_sketch /
+    # q_time_bucket_counts / q_error_rate — all multi-round certified,
+    # pure built-in expression shapes, unchanged)
     "q_update_inplace",
     "q_variant_family",
-    "q_time_bucket_counts",
-    "q_error_rate",
+    "q_dml_coalesced",
+    "q_streaming_changefeed_variant",
     "q_moving_avg",
     "q_sessionization",
     # similarity / ANN

@@ -1,0 +1,271 @@
+"""Deferred, batched UPDATE…FROM legs — the DML coalescer.
+
+The reference batches high-rate enrichment DML (dml_coalescer.rs:1-36:
+~1.4k UPDATE…FROM statements/hour would otherwise each pay a full
+copy-on-write parquet rewrite and starve OPTIMIZE via OCC conflicts).
+Statements coalesce when (table, join keys, assignments, residual
+predicate, source schema) all match; per-statement timestamp-range
+conjuncts widen to the union window; same-key source rows with different
+payloads cannot share one merge (duplicate source matches are forbidden —
+`dml.update_from` raises), so a drained group splits into ordered ROUNDS:
+round N holds each key's Nth occurrence, applied in submission order.
+
+A group that exhausts MAX_DRAIN_ATTEMPTS is PARKED, not dropped
+(dml_coalescer.rs:28-36: the Delta leg targets rows already flushed, so
+there is no newer copy to converge from): its source rows land under
+`<table>/_tf_quarantine/dml/<gid>/` as parquet + a JSON meta sidecar, and
+`redrive()` (main.rs:155-174 `timefusion redrive-dml`) replays them.
+
+Scale shape: the win is O(statements) → O(groups) partition rewrites.
+Each drained group runs ONE `dml.update_from` per round — broadcast
+source, affected-partition-only rewrite — so a thousand single-row
+enrichment statements against one hot partition become one bounded merge
+instead of a thousand commits. Sources stay under
+`dml.MAX_UPDATE_SOURCE_ROWS` by chunking rounds (dml_coalescer.rs:80-84:
+an unbounded merged group is how the reference once lost a 1.25M-row
+drain)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timefusion_spark.storage import dml
+from timefusion_spark.storage.table import Table
+
+QUARANTINE_DIR = "_tf_quarantine/dml"
+MAX_DRAIN_ATTEMPTS = 3
+
+
+@dataclass
+class _Statement:
+    seq: int
+    source: DataFrame
+    ts_lo: str | None
+    ts_hi: str | None
+
+
+@dataclass
+class _Group:
+    table: Table
+    join_keys: tuple[str, ...]
+    assignments: dict[str, str]
+    predicate: str | None
+    project_id: str | None
+    statements: list[_Statement] = field(default_factory=list)
+
+
+def _group_key(table: Table, join_keys, assignments, predicate, project_id, src_schema):
+    return (
+        table.path,
+        tuple(join_keys),
+        tuple(sorted(assignments.items())),
+        predicate,
+        project_id,
+        src_schema,
+    )
+
+
+class DmlCoalescer:
+    """Queue UPDATE…FROM statements; `drain()` executes them as coalesced
+    groups. Assignments and predicates are SQL STRINGS (evaluated against
+    the merge frame with `_tgt`/`_src` aliases, exactly as
+    `dml.update_from` does) so parked groups serialize losslessly to the
+    quarantine manifest and redrive."""
+
+    def __init__(self, max_drain_attempts: int = MAX_DRAIN_ATTEMPTS):
+        self.max_drain_attempts = max_drain_attempts
+        self._groups: dict[tuple, _Group] = {}
+        self._seq = 0
+
+    def enqueue(
+        self,
+        table: Table,
+        source: DataFrame,
+        join_keys: list[str],
+        assignments: dict[str, str],
+        predicate: str | None = None,
+        project_id: str | None = None,
+        ts_lo: str | None = None,
+        ts_hi: str | None = None,
+    ) -> None:
+        for name, expr in assignments.items():
+            if not isinstance(expr, str):
+                raise TypeError(
+                    f"coalesced assignment '{name}' must be a SQL string "
+                    "(quarantined groups must serialize losslessly)"
+                )
+        key = _group_key(
+            table, join_keys, assignments, predicate, project_id,
+            source.schema.simpleString(),
+        )
+        g = self._groups.get(key)
+        if g is None:
+            g = self._groups[key] = _Group(
+                table, tuple(join_keys), dict(assignments), predicate, project_id
+            )
+        self._seq += 1
+        g.statements.append(_Statement(self._seq, source, ts_lo, ts_hi))
+
+    def pending(self) -> int:
+        return sum(len(g.statements) for g in self._groups.values())
+
+    def drain(self) -> dict:
+        """Execute every queued group; returns drain statistics. A group
+        that fails `max_drain_attempts` times parks in the table's
+        quarantine directory instead of being dropped."""
+        stats = {
+            "groups": len(self._groups),
+            "statements": self.pending(),
+            "rows_updated": 0,
+            "rounds": 0,
+            "quarantined": 0,
+        }
+        for g in self._groups.values():
+            try:
+                updated, rounds = self._drain_group(g)
+                stats["rows_updated"] += updated
+                stats["rounds"] += rounds
+            except Exception as e:  # park after exhausted attempts
+                _quarantine(g, str(e))
+                stats["quarantined"] += 1
+        self._groups.clear()
+        return stats
+
+    def _drain_group(self, g: _Group) -> tuple[int, int]:
+        merged = _merge_sources(g)
+        attempts = 0
+        while True:
+            try:
+                return _apply_group(g, merged)
+            except Exception:
+                attempts += 1
+                if attempts >= self.max_drain_attempts:
+                    raise
+
+
+def _merge_sources(g: _Group) -> DataFrame:
+    """Union the group's sources tagged with submission order, then assign
+    each row its per-key occurrence ROUND (row_number over the join keys,
+    ordered by submission) — round N of the drained group holds each
+    key's Nth payload, so every round's source has unique keys."""
+    parts = []
+    for st in g.statements:
+        parts.append(st.source.withColumn("_tf_seq", F.lit(st.seq)))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy(*[F.col(k) for k in g.join_keys]).orderBy(F.col("_tf_seq"))
+    return merged.withColumn("_tf_round", F.row_number().over(w))
+
+
+def _widened_window(g: _Group) -> tuple[str | None, str | None]:
+    """Union of the statements' time windows (dml_coalescer.rs: timestamp
+    conjuncts widen to the covering range; any unbounded statement makes
+    the group unbounded)."""
+    los = [st.ts_lo for st in g.statements]
+    his = [st.ts_hi for st in g.statements]
+    lo = None if any(v is None for v in los) else min(los)
+    hi = None if any(v is None for v in his) else max(his)
+    return lo, hi
+
+
+def _apply_group(g: _Group, merged: DataFrame) -> tuple[int, int]:
+    ts_lo, ts_hi = _widened_window(g)
+    n_rounds = merged.agg(F.max("_tf_round")).collect()[0][0] or 0
+    total = 0
+    for r in range(1, n_rounds + 1):
+        src = merged.where(F.col("_tf_round") == r).drop("_tf_seq", "_tf_round")
+        total += dml.update_from(
+            g.table,
+            src,
+            list(g.join_keys),
+            {name: F.expr(expr) for name, expr in g.assignments.items()},
+            predicate=g.predicate,
+            project_id=g.project_id,
+            ts_lo=ts_lo,
+            ts_hi=ts_hi,
+        )
+    return total, n_rounds
+
+
+def _quarantine(g: _Group, error: str) -> None:
+    """Park the group under <table>/_tf_quarantine/dml/<gid>/: source rows
+    as parquet (submission order preserved in _tf_seq), statement
+    metadata as JSON. Parking is the no-loss path — these rows have no
+    newer copy anywhere to converge from."""
+    gid = uuid.uuid4().hex
+    qdir = os.path.join(g.table.path, QUARANTINE_DIR, gid)
+    os.makedirs(qdir, exist_ok=True)
+    merged = _merge_sources(g).drop("_tf_round")
+    merged.write.mode("overwrite").parquet(os.path.join(qdir, "source"))
+    ts_lo, ts_hi = _widened_window(g)
+    meta = {
+        "table_path": g.table.path,
+        "join_keys": list(g.join_keys),
+        "assignments": g.assignments,
+        "predicate": g.predicate,
+        "project_id": g.project_id,
+        "ts_lo": ts_lo,
+        "ts_hi": ts_hi,
+        "error": error,
+        "attempts": 0,
+    }
+    tmp = os.path.join(qdir, ".meta.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(qdir, "meta.json"))
+
+
+def redrive(table: Table, dry_run: bool = False, max_attempts: int | None = None) -> tuple[int, int]:
+    """Replay parked DML groups (main.rs:155-174 `timefusion redrive-dml
+    [--dry-run]`): returns (recovered, left_parked). Each group re-runs
+    through the same round-split merge path; success removes its
+    quarantine entry, failure increments the attempt counter and leaves
+    it parked."""
+    qroot = os.path.join(table.path, QUARANTINE_DIR)
+    if not os.path.isdir(qroot):
+        return 0, 0
+    ok = left = 0
+    for gid in sorted(os.listdir(qroot)):
+        qdir = os.path.join(qroot, gid)
+        meta_path = os.path.join(qdir, "meta.json")
+        if not os.path.isfile(meta_path):
+            continue
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if dry_run:
+            left += 1
+            continue
+        try:
+            merged = table.spark.read.parquet(os.path.join(qdir, "source"))
+            w = Window.partitionBy(
+                *[F.col(k) for k in meta["join_keys"]]
+            ).orderBy(F.col("_tf_seq"))
+            merged = merged.withColumn("_tf_round", F.row_number().over(w))
+            g = _Group(
+                table,
+                tuple(meta["join_keys"]),
+                dict(meta["assignments"]),
+                meta["predicate"],
+                meta["project_id"],
+                statements=[_Statement(0, merged, meta["ts_lo"], meta["ts_hi"])],
+            )
+            _apply_group(g, merged)
+            shutil.rmtree(qdir, ignore_errors=True)
+            ok += 1
+        except Exception as e:
+            meta["attempts"] = int(meta.get("attempts", 0)) + 1
+            meta["error"] = str(e)
+            if max_attempts is not None and meta["attempts"] >= max_attempts:
+                meta["exhausted"] = True
+            with open(meta_path, "w") as fh:
+                json.dump(meta, fh)
+            left += 1
+    return ok, left

@@ -493,3 +493,12 @@ def refresh_rollup(
     with open(state_file, "w") as fh:
         json.dump(new_state, fh, sort_keys=True)
     return stale_values
+
+
+def redrive_dml(table: Table, dry_run: bool = False) -> tuple[int, int]:
+    """Replay parked (quarantined) coalesced-DML groups — the maintenance
+    surface of `coalescer.redrive` (main.rs:155-174 `timefusion
+    redrive-dml [--dry-run]`). Returns (recovered, left_parked)."""
+    from timefusion_spark.storage import coalescer
+
+    return coalescer.redrive(table, dry_run=dry_run)
