@@ -61,6 +61,19 @@ HEADLINE = [
 ]
 
 
+def _settle(raws: list[float], run_once) -> float:
+    """min-of-N headline, except: if the recorded runs diverge by >3×
+    (cold page cache / codegen on the first), one extra run breaks the tie
+    and the MEDIAN is reported instead — a headline should never rest on
+    the better of two runs that disagree by an order of magnitude
+    (VERDICT r6 ask #5). `run_once` must append nothing; its return value
+    is appended here so `raws` ends up holding every raw run."""
+    if max(raws) > 3.0 * max(min(raws), 1e-9):
+        raws.append(run_once())
+        return sorted(raws)[len(raws) // 2]
+    return min(raws)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -102,17 +115,25 @@ def main() -> int:
             fn(spark, sf_dir).collect()
             # Two timed runs, best-of kept as the headline (the reference's
             # baseline rows are warm-cache RANGES over repeated runs;
-            # min-of-2 reports the same "warm steady state"); BOTH raw runs
+            # min-of-2 reports the same "warm steady state"); ALL raw runs
             # are recorded in `runs` so rounds stay comparable regardless of
-            # the aggregation choice.
+            # the aggregation choice. If the two runs disagree by >3× (cold
+            # page cache / codegen on the first), a third run breaks the tie
+            # and the MEDIAN becomes the headline — a headline should never
+            # rest on the better of two runs that diverge by an order of
+            # magnitude (VERDICT r6 ask #5).
             raws, n = [], 0
-            for _ in range(2):
+
+            def run_once() -> float:
+                nonlocal n
                 t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                n = len(df.collect())
-                raws.append(round(time.perf_counter() - t0, 4))
+                n = len(fn(spark, sf_dir).collect())
+                return round(time.perf_counter() - t0, 4)
+
+            for _ in range(2):
+                raws.append(run_once())
+            timings[name] = _settle(raws, run_once)
             runs_raw[name] = raws
-            timings[name] = min(raws)
             print(f"bench {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"bench {name}: ERROR {e}", file=sys.stderr)
@@ -322,14 +343,19 @@ def _mor_split_bench(spark, sf_dir: str) -> dict:
 
     life_runs = []
     tbl, base_dir = None, None
-    for _ in range(2):
+
+    def life_once() -> float:
+        nonlocal tbl, base_dir
         if base_dir is not None:
             shutil.rmtree(base_dir, ignore_errors=True)
         t0 = time.perf_counter()
         tbl, base_dir = _build_mor_table(spark, sf_dir)
-        life_runs.append(round(time.perf_counter() - t0, 4))
+        return round(time.perf_counter() - t0, 4)
+
+    for _ in range(2):
+        life_runs.append(life_once())
     runs["q_mor_lifecycle"] = life_runs
-    best["q_mor_lifecycle"] = min(life_runs)
+    best["q_mor_lifecycle"] = _settle(life_runs, life_once)
 
     def read_once() -> float:
         t0 = time.perf_counter()
@@ -347,10 +373,10 @@ def _mor_split_bench(spark, sf_dir: str) -> dict:
     try:
         read_once()  # warm (codegen + page cache), matching baseline's warm rows
         read_runs = [read_once() for _ in range(2)]
+        best["q_mor_read"] = _settle(read_runs, read_once)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     runs["q_mor_read"] = read_runs
-    best["q_mor_read"] = min(read_runs)
     return {"best": best, "runs": runs}
 
 

@@ -474,6 +474,14 @@ class TestOrderedAggregates:
             ("SELECT array_agg(v ORDER BY k) AS a "
              "FROM (VALUES (2,CAST(NULL AS STRING)),(1,'a')) t(k, v)",
              ["a", None]),
+            # PG-16: DISTINCT keeps exactly ONE NULL element, placed by the
+            # same NULLS LAST (ASC) / NULLS FIRST (DESC) rule
+            ("SELECT array_agg(DISTINCT x ORDER BY x) AS a "
+             "FROM (VALUES (2),(NULL),(1),(2),(NULL)) t(x)",
+             [1, 2, None]),
+            ("SELECT array_agg(DISTINCT x ORDER BY x DESC) AS a "
+             "FROM (VALUES (2),(NULL),(1),(NULL)) t(x)",
+             [None, 2, 1]),
         ],
     )
     def test_ordered_forms(self, spark, sql, expected):

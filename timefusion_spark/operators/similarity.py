@@ -294,6 +294,7 @@ def knn_join(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = False,
 ) -> DataFrame:
     """IVF k-NN JOIN: top-k cosine neighbors for EVERY row (not one
     query), probe-limited — the all-pairs companion of knn_ivf_flat and
@@ -332,7 +333,7 @@ def knn_join(
     # codebook). localCheckpoint computes it once and both sides read the
     # materialized partitions — the cache/persist idiom of a cluster
     # deployment.
-    ranked = _assign_cells(staged, cent, rank_limit=n_probe).localCheckpoint(
+    ranked = _assign_cells(staged, cent, rank_limit=n_probe, arrow=arrow).localCheckpoint(
         eager=False
     )
     a = ranked.select(
@@ -401,16 +402,36 @@ def _centroid_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFram
 
 
 def _assign_cells(
-    staged: DataFrame, cent: DataFrame, rank_limit: int
+    staged: DataFrame, cent: DataFrame, rank_limit: int, arrow: bool = False
 ) -> DataFrame:
     """Broadcast-expand rows × centroids, score d = ||c||² − 2⟨v,c⟩ (the
     ||v||² term is rank-constant), rank per row by (d, cid) — rows with
     `_crank` 1..rank_limit are the nearest cells, `_crank` = 1 the home
-    cell. One shuffle on the row id; candidates per row = k."""
+    cell.
+
+    Shuffle discipline: all cells of a row land in ONE map partition, so
+    the row_number window gets a map-side WindowGroupLimit (plan-pinned)
+    that cuts each row to its rank_limit nearest BEFORE the exchange —
+    the shuffle moves O(rank_limit × corpus) rows, the same order the
+    downstream probe join must move anyway, never the k× expansion.
+
+    `arrow=True` routes to the BLAS kernel (_assign_cells_arrow) — the
+    LARGE-codebook path: at k ≥ ~256 the rows × k expansion of interpreted
+    per-pair folds dominates wall time, while one (batch × dim) @
+    (dim × k) float64 matmul per Arrow batch is near-free and the
+    expansion never materializes at all (zero shuffle).
+
+    (A fully map-only variant — codebook collapsed to one broadcast array
+    row, per-row array_sort over k (d, cid) structs — was measured 5-20×
+    slower and GC-unstable at k=1024: nested higher-order lambdas
+    evaluate interpreted with per-cell boxing. The window shape keeps the
+    arithmetic in the expression evaluator's flat per-pair path.)"""
     from pyspark.sql import Window as W
 
     from timefusion_spark.operators.dedup import ensure_parallelism
 
+    if arrow:
+        return _assign_cells_arrow(staged, cent, rank_limit)
     # The expansion-side work is rows × k dot products; a small single-file
     # scan would otherwise run it as ONE task (measured: the 1024-cell
     # assignment pinned one core while 31 idled). At corpus scale the scan
@@ -424,6 +445,62 @@ def _assign_cells(
         .where(F.col("_crank") <= rank_limit)
         .drop("cv", "c2", "_d")
     )
+
+
+def _assign_cells_arrow(
+    staged: DataFrame, cent: DataFrame, rank_limit: int
+) -> DataFrame:
+    """BLAS IVF assignment for LARGE codebooks — map-only, zero shuffle.
+
+    The codebook frame is materialized ONCE into a (k × dim) float64
+    matrix and shipped as a SparkContext BROADCAST VARIABLE (torrent
+    distribution: each executor fetches it once, never per task — the
+    k≈50k SemDeDup codebook is ~25 MB, fine as a broadcast, fatal as a
+    plan literal). Each Arrow batch then scores ALL cells with one
+    (batch × dim) @ (dim × k) matmul and takes the rank_limit smallest
+    (d, cid) per row via a stable argsort — ties on d break by cid
+    because the codebook is sorted by cid before shipping, matching the
+    JVM path's (d, cid) ordering.
+
+    Determinism: float64 BLAS matmul is deterministic for fixed input on
+    a fixed build; scores only RANK cells (they are not output), so an
+    ulp difference vs the JVM's sequential fold could matter only on a
+    near-exact distance tie between two centroids — oracle-checked at
+    both test scales."""
+    import numpy as np
+    import pandas as pd
+
+    from timefusion_spark.operators.dedup import ensure_parallelism
+
+    rows = sorted(cent.select("cid", "cv", "c2").collect(), key=lambda r: r["cid"])
+    cids = np.fromiter((r["cid"] for r in rows), dtype=np.int64)
+    mat_t = np.array([r["cv"] for r in rows], dtype=np.float64).T  # (dim, k)
+    c2 = np.fromiter((r["c2"] for r in rows), dtype=np.float64)
+    bc = staged.sparkSession.sparkContext.broadcast((cids, mat_t, c2))
+
+    from pyspark.sql.types import IntegerType
+
+    in_cols = list(staged.columns)
+    out_schema = staged.schema.add("cid", IntegerType(), False).add(
+        "_crank", IntegerType(), False
+    )
+
+    def kernel(batches):
+        b_cids, b_mat_t, b_c2 = bc.value
+        top = min(rank_limit, len(b_cids))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["_v"].to_list(), dtype=np.float64)  # (n, dim)
+            d = b_c2[None, :] - 2.0 * (v @ b_mat_t)  # (n, k)
+            idx = np.argsort(d, axis=1, kind="stable")[:, :top]  # (n, top)
+            n = len(pdf)
+            rep = pdf.loc[pdf.index.repeat(top)].reset_index(drop=True)
+            rep["cid"] = b_cids[idx].reshape(-1).astype("int32")
+            rep["_crank"] = np.tile(np.arange(1, top + 1, dtype="int32"), n)
+            yield rep[in_cols + ["cid", "_crank"]]
+
+    return ensure_parallelism(staged).mapInPandas(kernel, schema=out_schema)
 
 
 def semantic_dedup(

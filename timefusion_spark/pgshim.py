@@ -534,11 +534,13 @@ def _translate_fn_calls(sql: str) -> str:
     """PG/reference function-surface rewrites that need argument structure
     (the token passes handle operators; these handle named calls).
 
-    The Variant family maps onto the engine's JSON-text Variant encoding
-    (storage/schema.py: Variant → canonical JSON string), mirroring
-    functions.rs:395-450 semantics: json_to_variant is the identity on
-    JSON text, variant_to_json canonicalizes, variant_get extracts a
-    sub-document as JSON text."""
+    The Variant family binds directly on physical VariantType columns
+    (storage/schema.py: Variant → Spark VariantType, parsed once at
+    insert), mirroring functions.rs:395-450 semantics: json_to_variant
+    parses JSON text, variant_to_json renders canonical JSON,
+    variant_get extracts a typed sub-document. `register_variant_columns`
+    wires `->`/`->>` so shimmed SQL hits the binary encoding, never a
+    JSON re-parse."""
     # PG ordered-aggregate forms: array_agg/string_agg(e ORDER BY k [DESC]).
     # Spark has no per-aggregate ORDER BY, so the order key rides inside the
     # collected element — struct sorting gives (key, value) order, which is
@@ -546,23 +548,22 @@ def _translate_fn_calls(sql: str) -> str:
     # unspecified. DISTINCT requires key == expr (the PG rule) and maps to
     # sort_array(collect_set).
     def _ordered_collect(e: str, k: str, direction: str, distinct: bool) -> str | None:
-        if distinct:
-            if k != e:
-                return None  # PG: DISTINCT requires ORDER BY expr == the argument
-            # collect_set drops NULL elements — documented divergence (PG
-            # DISTINCT keeps one NULL); order itself is exact.
-            asc = "" if direction == "ASC" else ", false"
-            return f"sort_array(collect_set({e}){asc})"
+        if distinct and k != e:
+            return None  # PG: DISTINCT requires ORDER BY expr == the argument
         # Both the key==expr and key!=expr forms ride the SAME struct sort,
         # so NULL elements survive in both (collect_list would drop a bare
         # NULL element, but not a struct with NULL fields). The leading
         # IS-NULL flag pins PG's null placement: ASC → NULLS LAST,
-        # DESC (reverse) → NULLS FIRST.
+        # DESC (reverse) → NULLS FIRST. DISTINCT is array_distinct over the
+        # sorted array: duplicates are adjacent so order is preserved, and
+        # the one NULL element PG keeps survives (collect_set would drop it).
         arr = (
             f"transform(array_sort(collect_list("
             f"named_struct('_n', ({k}) IS NULL, '_o', {k}, '_x', {e}))), s -> s._x)"
         )
-        return f"reverse({arr})" if direction == "DESC" else arr
+        if direction == "DESC":
+            arr = f"reverse({arr})"
+        return f"array_distinct({arr})" if distinct else arr
 
     _ORD = r"(?is)^\s*(DISTINCT\s+)?(.*?)\s+ORDER\s+BY\s+(.+?)(?:\s+(ASC|DESC))?\s*$"
 
