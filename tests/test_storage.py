@@ -964,3 +964,72 @@ class TestConsolidateSkipsDvDir:
             p for p in snap_after if not p.startswith(DV_DIR + "/")
         )
         assert data_before == data_after  # zero data files rewritten
+
+
+class TestCountIndex:
+    """Logical-count-index analog (count_pushdown.rs gating + metadata-
+    served time-range counts): per-file (rows, tmin, tmax) stats recorded
+    in commit records at write time; count_range answers wholly-covered
+    files from the log and scans only boundary/stat-less files."""
+
+    def test_metadata_fast_path_and_boundaries(self, spark, tmp_path):
+        tbl = Table.create(spark, load_schema_text(PLAIN_YAML), str(tmp_path / "t"))
+        for day, n in (("2026-01-01", 3), ("2026-01-02", 4), ("2026-01-03", 5)):
+            tbl.append(
+                _rows(
+                    spark,
+                    [(f"{day} 0{i}:00:00", f"{day}-{i}", 1.0, "p1") for i in range(n)],
+                )
+            )
+        # whole middle day from metadata; no file scanned
+        n, info = tbl.count_range("2026-01-02", "2026-01-03", detail=True)
+        assert n == 4
+        assert not info["declined"]
+        assert info["metadata_files"] >= 1 and info["scanned_files"] == 0
+        # half-open boundary inside day 1: that file scans, day 2 is
+        # metadata, day 3 untouched
+        n, info = tbl.count_range("2026-01-01 00:30:00", "2026-01-03", detail=True)
+        assert n == 2 + 4
+        assert info["scanned_files"] == 1
+        assert info["metadata_files"] >= 1
+        # empty far-future window: zero I/O
+        n, info = tbl.count_range("2030-01-01", "2030-02-01", detail=True)
+        assert n == 0 and info["scanned_files"] == 0 and info["metadata_files"] == 0
+
+    def test_declines_on_dedup_tombstone_and_dv(self, spark, tmp_path, mor_table):
+        # dedup/tombstone table: count through the read view (LWW winners)
+        mor_table.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00")
+        mor_table.append(_rows(spark, BASE), stamp="2026-01-02 00:00:00")  # dupes
+        n, info = mor_table.count_range("2026-01-01", "2026-01-03", detail=True)
+        assert info["declined"]
+        assert n == len(BASE)  # duplicates collapse; raw metadata would say 6
+        # deletion vectors on a plain table: masked rows must not count
+        tbl = Table.create(spark, load_schema_text(PLAIN_YAML), str(tmp_path / "pt"))
+        tbl.append(_rows(spark, BASE))
+        dml.delete(tbl, predicate=(F.col("id") == "a"), deletion_vectors=True)
+        n, info = tbl.count_range("2026-01-01", "2026-01-03", detail=True)
+        assert info["declined"]
+        assert n == len(BASE) - 1
+
+    def test_stats_survive_checkpoint_and_removal(self, spark, tmp_path):
+        from timefusion_spark.storage.commitlog import CHECKPOINT_EVERY
+
+        tbl = Table.create(spark, load_schema_text(PLAIN_YAML), str(tmp_path / "t"))
+        for i in range(CHECKPOINT_EVERY + 1):
+            tbl.append(
+                _rows(spark, [(f"2026-01-01 {i:02d}:00:00", f"r{i}", 1.0, "p1")])
+            )
+        assert any(
+            f.endswith(".checkpoint.json")
+            for f in os.listdir(os.path.join(tbl.path, "_tf_log"))
+        )
+        snap = tbl.log.snapshot()
+        data_files = [p for p in snap.files if p.endswith(".parquet")]
+        assert all(p in snap.stats for p in data_files)  # baked through ckpt
+        n, info = tbl.count_range("2026-01-01", "2026-01-02", detail=True)
+        assert n == CHECKPOINT_EVERY + 1 and info["scanned_files"] == 0
+        # compaction rewrites files; stats of removed files drop out and
+        # the count stays exact (rewritten file re-records its own stats)
+        maintenance.compact(tbl, {"project_id": "p1", "date": "2026-01-01"})
+        n2 = tbl.count_range("2026-01-01", "2026-01-02")
+        assert n2 == n

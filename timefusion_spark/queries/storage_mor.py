@@ -1775,3 +1775,80 @@ def q_streaming_changefeed_variant(spark: SparkSession, sf_dir: str) -> DataFram
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_count_index",
+    oracle="""
+    SELECT 'window' AS scope, COUNT(*) AS n FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-22 00:00:00'
+    UNION ALL
+    SELECT 'empty' AS scope, 0 AS n
+    UNION ALL
+    SELECT 'all' AS scope, COUNT(*) AS n FROM events
+    ORDER BY scope
+    """,
+    doc="Logical count index analog (count_pushdown.rs gating + the "
+    "reference's metadata-served dashboard counts): every append records "
+    "per-file row counts and time-column min/max in the commit log (the "
+    "Delta add-action stats idiom); COUNT(*) over a time range then "
+    "answers files wholly inside the window from the LOG ALONE and scans "
+    "only boundary files with the predicate pushed down. The query "
+    "ingests events as one file per week, counts a window that covers "
+    "two weeks exactly and one partially, and asserts in-query that at "
+    "least one file was answered from metadata, at least one was "
+    "scanned, and wholly-outside files were neither. Decline-on-doubt "
+    "(dedup keys / tombstones / deletion vectors -> full view count) is "
+    "pinned by tests/test_storage.py::TestCountIndex.",
+)
+def q_count_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.storage import Table
+    from timefusion_spark.storage.schema import FieldDef, TableSchema
+
+    schema = TableSchema(
+        table_name="events_plain",
+        fields=[
+            FieldDef("event_id", "Int64", False),
+            FieldDef("ts", 'Timestamp(Microsecond, Some("UTC"))', False),
+            FieldDef("value", "Float64", True),
+        ],
+        partitions=[],
+        time_column="ts",
+    )
+    base_dir = tempfile.mkdtemp(prefix="tf_countidx_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "t"))
+    try:
+        ev = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+        # one append (= one file) per ISO week of the January 2024 corpus,
+        # so the window below covers some files wholly and one partially
+        for wk_lo, wk_hi in (
+            ("2024-01-01", "2024-01-08"),
+            ("2024-01-08", "2024-01-15"),
+            ("2024-01-15", "2024-01-22"),
+            ("2024-01-22", "2024-02-01"),
+        ):
+            batch = ev.where(
+                (F.col("ts") >= F.lit(wk_lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(wk_hi).cast("timestamp"))
+            ).coalesce(1)
+            tbl.append(batch)
+        n, info = tbl.count_range(
+            "2024-01-10 00:00:00", "2024-01-22 00:00:00", detail=True
+        )
+        # the fast path actually engaged: week-3 served from the log, the
+        # straddling week-2 file scanned, weeks 1/4 touched not at all
+        assert not info["declined"], info
+        assert info["metadata_files"] >= 1, info
+        assert 1 <= info["scanned_files"] < info["files"], info
+        n_empty, info_empty = tbl.count_range(
+            "2030-01-01", "2030-02-01", detail=True
+        )
+        assert n_empty == 0 and info_empty["scanned_files"] == 0, info_empty
+        n_all = tbl.count_range("2020-01-01", "2030-01-01")
+        return spark.createDataFrame(
+            [("all", n_all), ("empty", n_empty), ("window", n)],
+            "scope string, n bigint",
+        ).orderBy("scope")
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

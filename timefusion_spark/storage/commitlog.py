@@ -194,6 +194,12 @@ class Snapshot:
     files: dict[str, int] = field(default_factory=dict)
     # txn app_id -> highest committed version for that app
     txns: dict[str, int] = field(default_factory=dict)
+    # relative file path -> write-time file statistics ({"rows": int,
+    # "tmin": iso, "tmax": iso}) for files whose writer recorded them —
+    # the Delta add-action stats idiom backing the logical count index
+    # (count_range answers fully-covered files from here, scanning only
+    # boundary files). Absent entries mean "unknown": always safe.
+    stats: dict[str, dict] = field(default_factory=dict)
 
 
 class CommitLog:
@@ -235,7 +241,8 @@ class CommitLog:
     ) -> int:
         """Atomically publish one commit; returns its version.
 
-        `add` is [(relative_path, size_bytes)], `remove` is [relative_path].
+        `add` is [(relative_path, size_bytes)] or [(relative_path,
+        size_bytes, stats_dict_or_None)], `remove` is [relative_path].
         Concurrency: the version file is created with os.link (create-if-
         absent); a concurrent writer that claimed the same version forces a
         retry at the next one — optimistic concurrency, the Delta protocol's
@@ -248,10 +255,16 @@ class CommitLog:
         try:
             while True:
                 version = self.latest_version() + 1
+                adds = []
+                for entry in add:
+                    p, sz, st = entry if len(entry) == 3 else (*entry, None)
+                    adds.append(
+                        {"path": p, "size": sz, **({"stats": st} if st else {})}
+                    )
                 rec = {
                     "version": version,
                     "op": op,
-                    "add": [{"path": p, "size": s} for p, s in add],
+                    "add": adds,
                     "remove": list(remove),
                 }
                 if txn is not None:
@@ -312,7 +325,18 @@ class CommitLog:
                 json.dump(
                     {
                         "version": version,
-                        "files": [{"path": p, "size": s} for p, s in snap.files.items()],
+                        "files": [
+                            {
+                                "path": p,
+                                "size": s,
+                                **(
+                                    {"stats": snap.stats[p]}
+                                    if p in snap.stats
+                                    else {}
+                                ),
+                            }
+                            for p, s in snap.files.items()
+                        ],
                         "txns": snap.txns,
                     },
                     fh,
@@ -348,6 +372,7 @@ class CommitLog:
     def _replay(self, upto: int | None) -> Snapshot:
         files: dict[str, int] = {}
         txns: dict[str, int] = {}
+        stats: dict[str, dict] = {}
         start = 0
         entries = self._entries()
         if upto is not None:
@@ -358,6 +383,7 @@ class CommitLog:
             with open(os.path.join(self.log_dir, ck)) as fh:
                 state = json.load(fh)
             files = {f["path"]: f["size"] for f in state["files"]}
+            stats = {f["path"]: f["stats"] for f in state["files"] if f.get("stats")}
             txns = dict(state.get("txns", {}))
             start = state["version"] + 1
         version = -1
@@ -378,15 +404,18 @@ class CommitLog:
                 continue
             for p in rec.get("remove", []):
                 files.pop(p, None)
+                stats.pop(p, None)
             for f in rec.get("add", []):
                 files[f["path"]] = f["size"]
+                if f.get("stats"):
+                    stats[f["path"]] = f["stats"]
             t = rec.get("txn")
             if t:
                 txns[t["app_id"]] = max(txns.get(t["app_id"], -1), int(t["version"]))
             version = v
         if checkpoints and version < start:
             version = start - 1
-        return Snapshot(version=version, files=files, txns=txns)
+        return Snapshot(version=version, files=files, txns=txns, stats=stats)
 
     def txn_version(self, app_id: str) -> int:
         """Highest committed txn version for `app_id`, or -1."""

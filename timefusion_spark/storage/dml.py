@@ -187,12 +187,12 @@ def _dv_dml(
     if added:
         n = (
             table.spark.read.parquet(
-                *[os.path.join(table.path, p) for p, _ in added]
+                *[os.path.join(table.path, p) for p, *_ in added]
             ).count()
         )
     if n == 0:
         # nothing matched: drop the empty DV file, commit nothing
-        for rel, _ in added:
+        for rel, *_ in added:
             os.remove(os.path.join(table.path, rel))
         return 0
     if assignments is not None:

@@ -46,6 +46,57 @@ KEEP_FIRST = "keep_first"
 _SHRED_KEY = "spark.sql.variant.writeShredding.enabled"
 
 
+def _parquet_file_stats(path: str, time_col: str | None) -> dict | None:
+    """Write-time per-file statistics for the commit record — the Delta
+    add-action `stats` idiom: row count plus min/max of the table's time
+    column, read from the footer of the parquet file the writer just
+    produced (a local metadata read, no data pages). Powers
+    Table.count_range, the analog of the reference's logical count index
+    (count_pushdown.rs decline-on-doubt + the time-bounded count path):
+    files wholly inside a queried window are answered from the log alone.
+
+    Returns None when the footer cannot be read (this container's pyarrow
+    cannot parse Spark VARIANT logical types) or min/max are unavailable —
+    absent stats only ever mean a wider scan, never a wrong count."""
+    import datetime as _dt
+
+    try:
+        import pyarrow.parquet as _pq
+
+        md = _pq.ParquetFile(path).metadata
+        st: dict = {"rows": int(md.num_rows)}
+        if time_col is not None:
+            idx = next(
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == time_col
+                ),
+                None,
+            )
+            mins: list = []
+            maxs: list = []
+            if idx is not None:
+                for rg in range(md.num_row_groups):
+                    cstat = md.row_group(rg).column(idx).statistics
+                    if cstat is None or not cstat.has_min_max:
+                        mins = []
+                        break
+                    mins.append(cstat.min)
+                    maxs.append(cstat.max)
+            if mins and all(isinstance(v, _dt.datetime) for v in mins + maxs):
+                def _iso(v: _dt.datetime) -> str:
+                    if v.tzinfo is not None:
+                        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    return v.isoformat(sep=" ", timespec="microseconds")
+
+                st["tmin"] = _iso(min(mins))
+                st["tmax"] = _iso(max(maxs))
+        return st
+    except Exception:  # noqa: BLE001 — unreadable footer == no stats
+        return None
+
+
 class _unshredded_variants:
     """Write Variant columns as the plain Parquet VARIANT binary pair
     (metadata, value) instead of Spark's inferred shredded layout — the
@@ -235,19 +286,21 @@ class Table:
                 opts[f"parquet.bloom.filter.enabled#{f.name}"] = "true"
         return opts
 
-    def _stage_write(self, batch: DataFrame) -> list[tuple[str, int]]:
+    def _stage_write(self, batch: DataFrame) -> list[tuple[str, int, dict | None]]:
         """Write `batch` through the Spark parquet writer into a private
         staging directory, then move the produced files into the table's
         partition layout WITHOUT publishing them. Returns [(relative_path,
-        size)] for the commit. Spark part-file names embed the job UUID, so
-        moved files never collide across concurrent writers."""
+        size, stats)] for the commit — stats is the per-file footer summary
+        (_parquet_file_stats) the count index reads, or None. Spark
+        part-file names embed the job UUID, so moved files never collide
+        across concurrent writers."""
         staging = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
         writer = batch.write.mode("append").options(**self._writer_options())
         if self.schema.partitions:
             writer = writer.partitionBy(*self.schema.partitions)
         with _unshredded_variants(self.spark):
             writer.parquet(staging)
-        added: list[tuple[str, int]] = []
+        added: list[tuple[str, int, dict | None]] = []
         for root, _dirs, files in os.walk(staging):
             for name in files:
                 if not name.endswith(".parquet"):
@@ -258,7 +311,8 @@ class Table:
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 size = os.path.getsize(src)
                 os.replace(src, dst)
-                added.append((rel.replace(os.sep, "/"), size))
+                stats = _parquet_file_stats(dst, self.schema.time_column)
+                added.append((rel.replace(os.sep, "/"), size, stats))
         shutil.rmtree(staging, ignore_errors=True)
         return added
 
@@ -336,7 +390,7 @@ class Table:
         if not self.log.exists():
             raise ValueError("overwrite_partitions requires a commit log (Table.create)")
         added = self._stage_write(df)
-        affected = {os.path.dirname(rel) for rel, _ in added}
+        affected = {os.path.dirname(rel) for rel, *_ in added}
         if dirs is not None:
             affected |= set(dirs)
         snap = self.log.snapshot()
@@ -587,3 +641,83 @@ class Table:
         if self.schema.dedup_keys or self.schema.tombstone_column:
             return self.read().count()
         return self.read_raw().count()
+
+    def count_range(self, lo, hi, detail: bool = False):
+        """COUNT(*) over `lo <= time_column < hi` — the analog of the
+        reference's logical count index (the dashboard-count fast path:
+        count_pushdown.rs gating + time-bounded counts served from
+        metadata). Files wholly inside the window contribute their
+        commit-record row counts with ZERO data I/O; only files straddling
+        a boundary are scanned (with the range predicate pushed down), and
+        files with no recorded stats scan too.
+
+        Decline-on-doubt, same rule as count(): a table whose visible rows
+        are not the raw scan (dedup keys, tombstones, deletion vectors)
+        counts through the full read view instead — correct first, fast
+        when provably safe.
+
+        `lo`/`hi` accept datetimes or ISO strings (naive = UTC); `hi` is
+        exclusive. With detail=True returns (count, info) where info
+        reports how many files were answered from metadata vs scanned."""
+        import datetime as _dt
+
+        def _ts(v):
+            if isinstance(v, str):
+                v = _dt.datetime.fromisoformat(v)
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v
+
+        lo_ts, hi_ts = _ts(lo), _ts(hi)
+        tc = self.schema.time_column
+        snap = self.log.snapshot()
+        has_dv = any(p.startswith(DV_DIR + "/") for p in snap.files)
+        if self.schema.dedup_keys or self.schema.tombstone_column or has_dv:
+            n = (
+                self.read()
+                .where((F.col(tc) >= F.lit(lo_ts)) & (F.col(tc) < F.lit(hi_ts)))
+                .count()
+            )
+            info = {
+                "declined": True,
+                "files": len(snap.files),
+                "metadata_files": 0,
+                "scanned_files": len(snap.files),
+            }
+            return (n, info) if detail else n
+
+        meta_rows = 0
+        meta_files = 0
+        boundary: list[str] = []
+        for rel in snap.files:
+            st = snap.stats.get(rel)
+            if st is None or "tmin" not in st or "tmax" not in st:
+                boundary.append(rel)
+                continue
+            tmin, tmax = _ts(st["tmin"]), _ts(st["tmax"])
+            if tmax < lo_ts or tmin >= hi_ts:
+                continue  # wholly outside: zero rows, zero I/O
+            if tmin >= lo_ts and tmax < hi_ts:
+                meta_rows += int(st["rows"])  # wholly inside: count from log
+                meta_files += 1
+            else:
+                boundary.append(rel)
+        scanned = 0
+        if boundary:
+            df = self.spark.read.parquet(
+                *[os.path.join(self.path, p) for p in boundary]
+            )
+            scanned = df.where(
+                (F.col(tc) >= F.lit(lo_ts)) & (F.col(tc) < F.lit(hi_ts))
+            ).count()
+        n = meta_rows + scanned
+        if not detail:
+            return n
+        return n, {
+            "declined": False,
+            "files": len(snap.files),
+            "metadata_files": meta_files,
+            "scanned_files": len(boundary),
+            "metadata_rows": meta_rows,
+            "scanned_rows": scanned,
+        }
