@@ -27,6 +27,16 @@ from timefusion_spark.pgshim import pg_sql, pg_to_spark_sql
             "SELECT get_json_object(props, '$.a.b') FROM t",
         ),
         ("SELECT j -> 0 ->> 'x' FROM t", "SELECT get_json_object(j, '$[0].x') FROM t"),
+        # a ::jsonb cast on the arrow operand binds tighter than the arrow
+        # (PG precedence) and drops out — JSON stays a string here
+        (
+            "SELECT '{\"a\": 3}'::jsonb ->> 'a' AS v",
+            "SELECT get_json_object('{\"a\": 3}', '$.a') AS v",
+        ),
+        (
+            "SELECT doc::jsonb -> 'a' ->> 'b' FROM t",
+            "SELECT get_json_object(doc, '$.a.b') FROM t",
+        ),
         # :: casts
         ("SELECT x::int8 FROM t", "SELECT CAST(x AS BIGINT) FROM t"),
         ("SELECT x::text FROM t", "SELECT CAST(x AS STRING) FROM t"),

@@ -1,0 +1,241 @@
+"""pgwire front door: a raw PG v3 wire client (no libpq in this
+container) drives the server end to end — startup handshake, simple
+queries through the full PG shim, storage DDL/DML through the slt
+runner's write path, error recovery, multi-statement, SSLRequest."""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import pytest
+
+from timefusion_spark.server import PgWireServer
+
+
+class WireClient:
+    """Just enough libpq to talk to the server."""
+
+    def __init__(self, port: int):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+
+    # framing ------------------------------------------------------------
+    def _recv_exact(self, n: int) -> bytes:
+        data = b""
+        while len(data) < n:
+            chunk = self.sock.recv(n - len(data))
+            assert chunk, "server closed"
+            data += chunk
+        return data
+
+    def recv_msg(self) -> tuple[bytes, bytes]:
+        tag = self._recv_exact(1)
+        (length,) = struct.unpack("!i", self._recv_exact(4))
+        return tag, self._recv_exact(length - 4)
+
+    def until_ready(self) -> list[tuple[bytes, bytes]]:
+        msgs = []
+        while True:
+            tag, payload = self.recv_msg()
+            msgs.append((tag, payload))
+            if tag == b"Z":
+                return msgs
+
+    # protocol -----------------------------------------------------------
+    def startup(self, ssl_probe: bool = False) -> list[tuple[bytes, bytes]]:
+        if ssl_probe:
+            self.sock.sendall(struct.pack("!ii", 8, 80877103))
+            assert self._recv_exact(1) == b"N"  # no TLS; fall back to clear
+        params = b"user\x00tester\x00database\x00tf\x00\x00"
+        payload = struct.pack("!i", 196608) + params
+        self.sock.sendall(struct.pack("!i", len(payload) + 4) + payload)
+        msgs = self.until_ready()
+        assert msgs[0][0] == b"R" and struct.unpack("!i", msgs[0][1])[0] == 0
+        return msgs
+
+    def query(self, sql: str) -> list[tuple[bytes, bytes]]:
+        body = sql.encode() + b"\x00"
+        self.sock.sendall(b"Q" + struct.pack("!i", len(body) + 4) + body)
+        return self.until_ready()
+
+    def close(self) -> None:
+        self.sock.sendall(b"X" + struct.pack("!i", 4))
+        self.sock.close()
+
+
+def rows_of(msgs) -> list[list[str | None]]:
+    out = []
+    for tag, payload in msgs:
+        if tag != b"D":
+            continue
+        (n,) = struct.unpack("!h", payload[:2])
+        vals, off = [], 2
+        for _ in range(n):
+            (ln,) = struct.unpack("!i", payload[off : off + 4])
+            off += 4
+            if ln == -1:
+                vals.append(None)
+            else:
+                vals.append(payload[off : off + ln].decode())
+                off += ln
+        out.append(vals)
+    return out
+
+
+def row_desc_of(msgs) -> list[tuple[str, int]]:
+    for tag, payload in msgs:
+        if tag != b"T":
+            continue
+        (n,) = struct.unpack("!h", payload[:2])
+        off, fields = 2, []
+        for _ in range(n):
+            end = payload.index(b"\x00", off)
+            name = payload[off:end].decode()
+            _tbl, _att, oid, _len, _mod, _fmt = struct.unpack(
+                "!ihihih", payload[end + 1 : end + 19]
+            )
+            fields.append((name, oid))
+            off = end + 19
+        return fields
+    return []
+
+
+def tags_of(msgs) -> list[bytes]:
+    return [t for t, _ in msgs]
+
+
+def command_tags(msgs) -> list[str]:
+    return [p.rstrip(b"\x00").decode() for t, p in msgs if t == b"C"]
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    srv = PgWireServer(spark, base_dir=str(tmp_path_factory.mktemp("pgwire"))).start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture()
+def client(server):
+    c = WireClient(server.port)
+    c.startup()
+    yield c
+    c.close()
+
+
+class TestHandshake:
+    def test_ssl_probe_then_startup(self, server):
+        c = WireClient(server.port)
+        msgs = c.startup(ssl_probe=True)
+        assert any(t == b"S" for t, _ in msgs)  # ParameterStatus
+        assert any(t == b"K" for t, _ in msgs)  # BackendKeyData
+        c.close()
+
+
+class TestSimpleQuery:
+    def test_select_literal(self, client):
+        msgs = client.query("SELECT 1 + 1 AS x")
+        assert row_desc_of(msgs) == [("x", 23)]  # int4
+        assert rows_of(msgs) == [["2"]]
+        assert command_tags(msgs) == ["SELECT 1"]
+
+    def test_pg_dialect_through_shim(self, client):
+        msgs = client.query(
+            "SELECT ('{\"a\": {\"b\": 7}}'::jsonb -> 'a' ->> 'b')::int AS v"
+        )
+        assert rows_of(msgs) == [["7"]]
+
+    def test_types_and_nulls(self, client):
+        msgs = client.query(
+            "SELECT CAST(1 AS BIGINT) AS i8, 1.5 AS f8, true AS b, "
+            "CAST(NULL AS STRING) AS s, DATE '2026-01-02' AS d, "
+            "TIMESTAMP '2026-01-02 03:04:05' AS ts, ARRAY(1, 2, 3) AS arr"
+        )
+        desc = dict(row_desc_of(msgs))
+        assert desc["i8"] == 20 and desc["b"] == 16 and desc["d"] == 1082
+        assert desc["ts"] == 1114
+        [[i8, f8, b, s, d, ts, arr]] = rows_of(msgs)
+        assert (i8, b, s, d) == ("1", "t", None, "2026-01-02")
+        assert ts == "2026-01-02 03:04:05"
+        assert arr == "{1,2,3}"
+
+    def test_multi_statement(self, client):
+        msgs = client.query("SELECT 1 AS a; SELECT 2 AS b")
+        assert command_tags(msgs) == ["SELECT 1", "SELECT 1"]
+        assert rows_of(msgs) == [["1"], ["2"]]
+
+    def test_set_show(self, client):
+        msgs = client.query("SET statement_timeout = '5s'")
+        assert command_tags(msgs) == ["SET"]
+        assert b"T" not in tags_of(msgs)  # no result set for SET
+        msgs = client.query("SHOW statement_timeout")
+        assert rows_of(msgs) == [["5s"]]
+
+    def test_error_then_recovery(self, client):
+        msgs = client.query("SELECT * FROM no_such_table_xyz")
+        assert b"E" in tags_of(msgs)
+        assert tags_of(msgs)[-1] == b"Z"  # still ready
+        assert rows_of(client.query("SELECT 3 AS x")) == [["3"]]
+
+    def test_error_aborts_rest_of_multi(self, client):
+        msgs = client.query("SELECT bogus_fn_xyz(); SELECT 9 AS x")
+        assert b"E" in tags_of(msgs)
+        assert rows_of(msgs) == []  # second statement never ran
+
+    def test_empty_query(self, client):
+        msgs = client.query("   ")
+        assert tags_of(msgs)[0] == b"I"  # EmptyQueryResponse
+
+    def test_extended_protocol_rejected_cleanly(self, server):
+        c = WireClient(server.port)
+        c.startup()
+        # Parse + Sync (libpq extended preamble)
+        body = b"\x00stmt\x00SELECT 1\x00" + struct.pack("!h", 0)
+        c.sock.sendall(b"P" + struct.pack("!i", len(body) + 4) + body)
+        c.sock.sendall(b"S" + struct.pack("!i", 4))
+        msgs = c.until_ready()
+        assert b"E" in tags_of(msgs)
+        # connection still usable on the simple path
+        assert rows_of(c.query("SELECT 4 AS x")) == [["4"]]
+        c.close()
+
+
+class TestStorageOverTheWire:
+    def test_create_insert_update_select(self, client):
+        client.query(
+            "CREATE TABLE wire_t (ts TIMESTAMP, id TEXT, val DOUBLE, "
+            "project_id TEXT)"
+        )
+        msgs = client.query(
+            "INSERT INTO wire_t VALUES "
+            "('2026-01-01 10:00:00', 'a', 1.5, 'p1'), "
+            "('2026-01-01 11:00:00', 'b', 2.5, 'p1')"
+        )
+        assert any(t.startswith("INSERT") for t in command_tags(msgs))
+        msgs = client.query(
+            "UPDATE wire_t SET val = 9.0 WHERE id = 'a'"
+        )
+        assert command_tags(msgs) == ["UPDATE"]
+        msgs = client.query(
+            "SELECT id, val FROM wire_t ORDER BY id"
+        )
+        assert rows_of(msgs) == [["a", "9.0"], ["b", "2.5"]]
+        client.query("DROP TABLE wire_t")
+
+    def test_concurrent_connections(self, server):
+        import threading
+
+        results = {}
+
+        def run(i):
+            c = WireClient(server.port)
+            c.startup()
+            results[i] = rows_of(c.query(f"SELECT {i} * 10 AS x"))
+            c.close()
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results == {i: [[str(i * 10)]] for i in range(4)}

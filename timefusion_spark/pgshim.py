@@ -152,6 +152,15 @@ def _operand_left(toks: list[str], i: int) -> tuple[int, str] | None:
     if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_\.]*", "".join(toks[start : j + 1])) or toks[
         j
     ].startswith("'"):
+        # extend through `expr::type` chains: PG's cast binds tighter than
+        # `->`/`->>`, so in `'{"a":3}'::jsonb ->> 'a'` the arrow's operand
+        # is the WHOLE cast, not the bare type token (the cast pass runs
+        # after the arrow pass and still sees the inline `::`)
+        p = _prev_idx(toks, start)
+        if p >= 0 and toks[p] == "::":
+            inner = _operand_left(toks, p)
+            if inner is not None:
+                return (inner[0], "".join(toks[inner[0] : j + 1]))
         return (start, "".join(toks[start : j + 1]))
     return None
 
@@ -298,6 +307,10 @@ def _translate_arrows(toks: list[str]) -> list[str]:
                     break
             jpath = "$" + "".join(path)
             del out[lstart:]
+            # a trailing ::json/::jsonb cast on the operand is a no-op here
+            # (JSON stays a string in this engine) and must not leak into
+            # the emitted call as an un-translatable inline cast
+            base = re.sub(r"(?is)\s*::\s*jsonb?$", "", base)
             vbase = _variant_producing(base)
             if op == "->>":
                 if vbase is None:

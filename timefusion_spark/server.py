@@ -1,0 +1,428 @@
+"""Minimal PostgreSQL wire-protocol (v3) server over the PG shim.
+
+The reference IS a pgwire server — any psql/libpq client connects and
+runs SQL (`pgwire_handlers.rs` `serve_with_listener`, started
+`main.rs:432-441`; per-connection task, simple-path `do_query`). This
+module provides the same front door for the Spark engine: a TCP server
+speaking the simple-query protocol, executing every statement through
+`pgshim.pg_sql` (synonym rewrites, admin-verb interception, settings,
+`->`/`->>`, table_changes — the whole shim surface) and encoding result
+rows in PG text format with proper type OIDs.
+
+Scope (deliberate):
+- Simple query protocol only ('Q'). psql and libpq's PQexec use exactly
+  this path; the extended protocol (Parse/Bind) returns a clean
+  ErrorResponse naming the limitation instead of hanging the client.
+  (The reference's extended path exists mainly for parameter binding —
+  `pgwire_early_bind.rs` — which the shim surface does not need.)
+- Trust auth (AuthenticationOk unconditionally), matching the
+  reference's default dev posture.
+- SSLRequest answered with 'N' (no TLS) so clients fall back to clear.
+
+Concurrency: one OS thread per connection (socketserver.ThreadingMixIn);
+all connections share the one SparkSession — the reference likewise runs
+every connection against a single shared SessionContext
+(`database.rs:3221-3226`). Spark's SQL entry points are thread-safe.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import datetime as dt
+import decimal
+import re
+import socket
+import socketserver
+import struct
+import threading
+
+from pyspark.sql import types as T
+
+# ── PG type OIDs (pg_type.dat, public constants) ─────────────────────────
+_OID_BOOL = 16
+_OID_BYTEA = 17
+_OID_INT8 = 20
+_OID_INT2 = 21
+_OID_INT4 = 23
+_OID_TEXT = 25
+_OID_JSON = 114
+_OID_FLOAT4 = 700
+_OID_FLOAT8 = 701
+_OID_DATE = 1082
+_OID_TIMESTAMP = 1114
+_OID_NUMERIC = 1700
+
+
+def _oid_for(dtype: T.DataType) -> int:
+    if isinstance(dtype, T.BooleanType):
+        return _OID_BOOL
+    if isinstance(dtype, T.BinaryType):
+        return _OID_BYTEA
+    if isinstance(dtype, (T.ByteType, T.ShortType)):
+        return _OID_INT2
+    if isinstance(dtype, T.IntegerType):
+        return _OID_INT4
+    if isinstance(dtype, T.LongType):
+        return _OID_INT8
+    if isinstance(dtype, T.FloatType):
+        return _OID_FLOAT4
+    if isinstance(dtype, T.DoubleType):
+        return _OID_FLOAT8
+    if isinstance(dtype, T.DecimalType):
+        return _OID_NUMERIC
+    if isinstance(dtype, T.DateType):
+        return _OID_DATE
+    if isinstance(dtype, T.TimestampType):
+        return _OID_TIMESTAMP
+    if isinstance(dtype, (T.StructType, T.MapType)) or dtype.typeName() == "variant":
+        return _OID_JSON
+    return _OID_TEXT  # strings, arrays (rendered as PG array literals)
+
+
+def _pg_text(v, dtype: T.DataType | None = None) -> str | None:
+    """Render one value the way PG's text protocol does."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, (bytes, bytearray)):
+        return "\\x" + bytes(v).hex()
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v in (float("inf"), float("-inf")):
+            return "Infinity" if v > 0 else "-Infinity"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        out = v.isoformat(sep=" ")
+        return out
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        elem = dtype.elementType if isinstance(dtype, T.ArrayType) else None
+        return "{" + ",".join(_pg_array_elem(x, elem) for x in v) + "}"
+    if isinstance(v, dict):
+        import json as _json
+
+        return _json.dumps(v, separators=(", ", ": "))
+    if hasattr(v, "asDict"):  # Row
+        import json as _json
+
+        return _json.dumps(v.asDict(recursive=True), separators=(", ", ": "))
+    return str(v)
+
+
+def _pg_array_elem(v, dtype) -> str:
+    if v is None:
+        return "NULL"
+    s = _pg_text(v, dtype)
+    if s is None:
+        return "NULL"
+    if s == "" or re.search(r'[{},"\\\s]', s) or s.upper() == "NULL":
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return s
+
+
+def _split_statements(sql: str) -> list[str]:
+    """Split a simple-query payload on top-level semicolons (outside
+    single/double quotes and dollar-quoted strings)."""
+    out, buf = [], []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if c == '"':
+            j = sql.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            buf.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if c == "$":
+            m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
+            if m:
+                tag = m.group(0)
+                j = sql.find(tag, i + len(tag))
+                j = n - len(tag) if j < 0 else j
+                buf.append(sql[i : j + len(tag)])
+                i = j + len(tag)
+                continue
+        if c == ";":
+            out.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    out.append("".join(buf))
+    return [s.strip() for s in out if s.strip()]
+
+
+_NO_RESULTSET = re.compile(
+    r"(?is)^\s*(SET|RESET|BEGIN|START\s+TRANSACTION|COMMIT|END|ROLLBACK|ABORT"
+    r"|DISCARD|FLUSH|OPTIMIZE|VACUUM|INSERT|CREATE|DEALLOCATE)\b"
+)
+
+
+def _command_tag(stmt: str, n_rows: int) -> str:
+    verb = stmt.split(None, 1)[0].upper() if stmt.split() else ""
+    if verb == "SELECT" or verb == "WITH" or verb == "EXPLAIN" or verb == "SHOW":
+        return f"SELECT {n_rows}"
+    if verb == "INSERT":
+        return f"INSERT 0 {n_rows}"
+    if verb in ("BEGIN", "START"):
+        return "BEGIN"
+    if verb in ("END",):
+        return "COMMIT"
+    if verb == "ABORT":
+        return "ROLLBACK"
+    return verb or "OK"
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    # ── low-level framing ────────────────────────────────────────────────
+    def _recv_exact(self, n: int) -> bytes:
+        data = b""
+        while len(data) < n:
+            chunk = self.request.recv(n - len(data))
+            if not chunk:
+                raise ConnectionError("client closed")
+            data += chunk
+        return data
+
+    def _send(self, tag: bytes, payload: bytes = b"") -> None:
+        self.request.sendall(tag + struct.pack("!i", len(payload) + 4) + payload)
+
+    def _send_error(self, message: str, code: str = "XX000") -> None:
+        fields = b"SERROR\x00" + b"C" + code.encode() + b"\x00" + b"M" + message.encode() + b"\x00\x00"
+        self._send(b"E", fields)
+
+    def _ready(self) -> None:
+        self._send(b"Z", b"I")
+
+    # ── protocol ─────────────────────────────────────────────────────────
+    def handle(self) -> None:  # noqa: C901 — the protocol state machine
+        try:
+            if not self._startup():
+                return
+            while True:
+                tag = self.request.recv(1)
+                if not tag or tag == b"X":  # Terminate / EOF
+                    return
+                (length,) = struct.unpack("!i", self._recv_exact(4))
+                payload = self._recv_exact(length - 4)
+                if tag == b"Q":
+                    self._simple_query(payload.rstrip(b"\x00").decode("utf-8"))
+                elif tag in (b"P", b"B", b"D", b"E", b"C", b"H", b"F"):
+                    self._send_error(
+                        "extended query protocol is not supported; use the "
+                        "simple query protocol (psql / PQexec)",
+                        code="0A000",
+                    )
+                    # swallow messages until Sync, then recover
+                    while tag != b"S":
+                        tag = self.request.recv(1)
+                        if not tag or tag == b"X":
+                            return
+                        (length,) = struct.unpack("!i", self._recv_exact(4))
+                        self._recv_exact(length - 4)
+                    self._ready()
+                elif tag == b"S":  # stray Sync
+                    self._ready()
+                # anything else: ignore (per-protocol NoticeResponse optional)
+        except (ConnectionError, OSError):
+            pass
+
+    def _startup(self) -> bool:
+        while True:
+            (length,) = struct.unpack("!i", self._recv_exact(4))
+            payload = self._recv_exact(length - 4)
+            (code,) = struct.unpack("!i", payload[:4])
+            if code == 80877103:  # SSLRequest
+                self.request.sendall(b"N")
+                continue
+            if code == 80877102:  # CancelRequest — no-op, close
+                return False
+            if code == 196608:  # protocol 3.0
+                break
+            self._send_error(f"unsupported protocol code {code}", code="08P01")
+            return False
+        self._send(b"R", struct.pack("!i", 0))  # AuthenticationOk (trust)
+        for k, v in (
+            ("server_version", "16.0 (timefusion-spark)"),
+            ("server_encoding", "UTF8"),
+            ("client_encoding", "UTF8"),
+            ("DateStyle", "ISO, MDY"),
+            ("integer_datetimes", "on"),
+            ("standard_conforming_strings", "on"),
+        ):
+            self._send(b"S", k.encode() + b"\x00" + v.encode() + b"\x00")
+        self._send(b"K", struct.pack("!ii", 0, 0))  # BackendKeyData (no cancel)
+        self._ready()
+        return True
+
+    def _simple_query(self, sql: str) -> None:
+        from timefusion_spark.pgshim import pg_sql
+
+        stmts = _split_statements(sql)
+        if not stmts:
+            self._send(b"I")  # EmptyQueryResponse
+            self._ready()
+            return
+        for stmt in stmts:
+            try:
+                if self.server.runner is not None and _is_storage_stmt(stmt):
+                    # storage DDL/DML (CREATE TABLE / INSERT / UPDATE /
+                    # DELETE / DROP) rides the slt runner's real write
+                    # path — the pgwire INSERT sink of the reference
+                    with self.server.lock:
+                        self.server.runner.run_statement(stmt)
+                    self._send(b"C", _command_tag(stmt, 0).encode() + b"\x00")
+                    continue
+                df = pg_sql(self.server.spark, stmt, tables=self.server.tables)
+                if _NO_RESULTSET.match(stmt):
+                    # command statements complete without a result set
+                    # (the shim returns an empty status frame for them)
+                    n = 0 if _is_status_frame(df) else df.count()
+                    self._send(b"C", _command_tag(stmt, n).encode() + b"\x00")
+                    continue
+                rows = df.collect()
+                fields = df.schema.fields
+                desc = struct.pack("!h", len(fields))
+                for f in fields:
+                    desc += (
+                        f.name.encode() + b"\x00"
+                        + struct.pack(
+                            "!ihihih",
+                            0,  # table oid
+                            0,  # column attnum
+                            _oid_for(f.dataType),
+                            -1,  # typlen
+                            -1,  # atttypmod
+                            0,  # text format
+                        )
+                    )
+                self._send(b"T", desc)
+                for row in rows:
+                    body = struct.pack("!h", len(fields))
+                    for f, v in zip(fields, row):
+                        s = _pg_text(v, f.dataType)
+                        if s is None:
+                            body += struct.pack("!i", -1)
+                        else:
+                            b = s.encode("utf-8")
+                            body += struct.pack("!i", len(b)) + b
+                    self._send(b"D", body)
+                self._send(b"C", _command_tag(stmt, len(rows)).encode() + b"\x00")
+            except Exception as e:  # noqa: BLE001 — every error goes on the wire
+                self._send_error(str(e).split("\n", 1)[0][:500] or type(e).__name__)
+                break  # PG aborts the rest of a multi-statement on error
+        self._ready()
+
+
+def _is_status_frame(df) -> bool:
+    return [f.name for f in df.schema.fields] == ["status"] and df.isEmpty()
+
+
+class _TCPServer(socketserver.ThreadingMixIn, socketserver.TCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+def _is_storage_stmt(stmt: str) -> bool:
+    from timefusion_spark import slt as _slt
+
+    return any(
+        r.match(stmt)
+        for r in (
+            _slt._CREATE_RE,
+            _slt._INSERT_RE,
+            _slt._INSERT_SEL_RE,
+            _slt._UPDATE_RE,
+            _slt._DELETE_RE,
+            _slt._DROP_RE,
+        )
+    )
+
+
+class PgWireServer:
+    """`serve_with_listener` analog: listen, accept, answer psql clients.
+
+    With `base_dir` (or an explicit `runner`) the server also accepts
+    storage DDL/DML — CREATE TABLE / INSERT / UPDATE / DELETE run through
+    the slt runner's real write path (coerce → stamp → LWW dedup → sorted
+    write), so a psql session can create a table, ingest rows and query
+    the merge-on-read view end to end, exactly the reference's front
+    door. The runner's table registry also feeds the shim's admin verbs
+    (FLUSH / OPTIMIZE / VACUUM) and `table_changes`.
+
+    >>> srv = PgWireServer(spark, base_dir="/tmp/tf").start()
+    >>> # psql -h 127.0.0.1 -p srv.port -c "SELECT 1"
+    >>> srv.stop()
+    """
+
+    def __init__(
+        self,
+        spark,
+        tables=None,
+        base_dir: str | None = None,
+        runner=None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        if runner is None and base_dir is not None:
+            from timefusion_spark.slt import SltEnv
+
+            runner = SltEnv(spark, base_dir)
+        self._server = _TCPServer((host, port), _Handler)
+        self._server.spark = spark
+        self._server.runner = runner
+        self._server.tables = runner.tables if runner is not None else tables
+        self._server.lock = threading.Lock()
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    def start(self) -> "PgWireServer":
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="pgwire", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+
+@contextlib.contextmanager
+def serve(spark, tables=None, host: str = "127.0.0.1", port: int = 0):
+    srv = PgWireServer(spark, tables=tables, host=host, port=port).start()
+    try:
+        yield srv
+    finally:
+        srv.stop()
+
+
+def _connect_for_tests(port: int, host: str = "127.0.0.1") -> socket.socket:
+    """Tiny helper for the test client (no libpq in this container)."""
+    s = socket.create_connection((host, port), timeout=30)
+    return s
