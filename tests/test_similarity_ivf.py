@@ -153,8 +153,8 @@ def test_knn_join_large_plan_broadcast_and_cell_parallelism(spark, sf_dir):
     # the probe join is an equi-join (hash/merge), never a corpus BNLJ
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # the Arrow assignment subtree (hidden behind the checkpoint's
-    # ExistingRDD scan in the outer plan) is a map-only MapInPandas —
+    # the Arrow assignment subtree (cached once via persist, shared by
+    # both probe-join sides) is a map-only MapInPandas —
     # the rows × k expansion never materializes, no exchange over the
     # corpus, no row-at-a-time Python
     staged = e.select(

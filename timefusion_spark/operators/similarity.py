@@ -330,12 +330,13 @@ def knn_join(
     # n_probe, build side = rank 1). Catalyst does not dedupe common
     # subplans, so without materialization the k-dot-products-per-row
     # assignment executes TWICE (measured 2× wall on a 1024-cell
-    # codebook). localCheckpoint computes it once and both sides read the
-    # materialized partitions — the cache/persist idiom of a cluster
-    # deployment.
-    ranked = _assign_cells(staged, cent, rank_limit=n_probe, arrow=arrow).localCheckpoint(
-        eager=False
-    )
+    # codebook). persist() computes it once into the block cache shared
+    # by both sides — and, unlike localCheckpoint(eager=False), defers
+    # the toRdd physical-planning work that cost ~1-2 s of DRIVER time
+    # per query build (measured; the cache idiom of a cluster
+    # deployment either way). Entries are MEMORY_AND_DISK and evict LRU,
+    # so repeated invocations cannot pin unbounded memory.
+    ranked = _assign_cells(staged, cent, rank_limit=n_probe, arrow=arrow).persist()
     a = ranked.select(
         F.col(id_col).alias("_a_id"),
         F.col("_v").alias("_va"),
@@ -545,9 +546,10 @@ def semantic_dedup(
         )
         .withColumnRenamed("cid", "cell")
         .drop("_crank")
-        # materialize once: the self-join's two sides would otherwise each
-        # recompute the k-dots-per-row assignment (see knn_join)
-        .localCheckpoint(eager=False)
+        # materialize once into the block cache: the self-join's two sides
+        # would otherwise each recompute the k-dots-per-row assignment
+        # (see knn_join for why persist beats localCheckpoint here)
+        .persist()
     )
     a, b = staged.alias("a"), staged.alias("b")
     pair_cos = dot(F.col("a._v"), F.col("b._v")) / (

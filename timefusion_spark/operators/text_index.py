@@ -1,0 +1,96 @@
+"""Inverted trigram index for text_match — the tantivy-sidecar analog.
+
+The reference accelerates `text_match` with a tantivy index sidecar
+(`tantivy_index/`, TantivyPredicateRewriter) and keeps the AND-of-tokens
+substring scan as the correctness fallback (`tantivy_index/udf.rs:1-60`).
+A token-inverted index cannot serve that contract exactly — substring
+matches cross token boundaries — so this engine uses the pg_trgm design
+instead (PostgreSQL's public trigram-index approach for `ILIKE '%…%'`):
+
+- index: every distinct 3-gram of `lower(text)` → one (id, gram) row;
+- search: a document can contain token `t` only if it contains ALL
+  trigrams of `t`, so candidates are an equi-join against the query's
+  trigram literals with a HAVING count(distinct gram) = |grams(t)| gate,
+  intersected across tokens;
+- verify: the exact `text_match` predicate re-checks every candidate —
+  the index can only over-select, never under-select, so the indexed
+  path returns byte-identical results to the scan path at any scale.
+
+Scale shape: the index build is map (per-row gram expansion) + one
+distinct shuffle on (id, gram); at corpus scale the index persists as a
+storage table bucketed by gram so a search touches only the query's gram
+partitions. Search-side work is bounded by the candidates of the rarest
+trigram — the pg_trgm property that makes `%substring%` queries cheap on
+tables where a scan is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from timefusion_spark.functions.text import text_match
+
+
+def _gram_expr(text_col: str) -> Column:
+    """All distinct 3-grams of lower(text) as an array — one pass, JVM
+    expression only (sequence + transform + substring)."""
+    lowered = f"lower({text_col})"
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length({lowered}) - 2, 1)),"
+        f" i -> substring({lowered}, i, 3)))"
+    )
+
+
+def trigram_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, gram) inverted index over `text_col`. Build = map + explode +
+    one distinct shuffle. Texts shorter than 3 chars produce no entries —
+    harmless, because only tokens of ≥ 3 chars ever probe the index and
+    no such token can match a shorter text."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(_gram_expr(text_col)).alias("gram")
+        )
+        .where(F.length("gram") == 3)
+        .distinct()
+    )
+
+
+def query_trigrams(token: str) -> list[str]:
+    return [token[i : i + 3] for i in range(len(token) - 2)]
+
+
+def trigram_search(
+    docs: DataFrame,
+    index: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents matching text_match(text, query), served index-first.
+
+    Per qualifying token (≥ 3 chars): candidates = ids holding ALL of the
+    token's trigrams (equi-join on gram literals, HAVING-count gate);
+    token candidate sets intersect. Tokens under 3 chars cannot be pruned
+    by a trigram index and fall through to the verify stage. The final
+    text_match verify makes the result EXACTLY the scan path's — the
+    index only prunes."""
+    tokens = [tok for tok in query.lower().split() if tok]
+    cand: DataFrame | None = None
+    for tok in tokens:
+        grams = sorted(set(query_trigrams(tok)))
+        if not grams:
+            continue  # short token: verify-stage only
+        c = (
+            index.where(F.col("gram").isin(grams))
+            .groupBy(id_col)
+            .agg(F.count_distinct("gram").alias("_ng"))
+            .where(F.col("_ng") == len(grams))
+            .select(id_col)
+        )
+        cand = c if cand is None else cand.join(c, id_col)
+    pruned = docs if cand is None else docs.join(cand, id_col, "left_semi")
+    return pruned.where(text_match(F.col(text_col), query))

