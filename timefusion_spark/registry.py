@@ -80,8 +80,6 @@ PRIORITY: tuple[str, ...] = (
     "q_variant_family",
     "q_dml_coalesced",
     "q_streaming_changefeed_variant",
-    "q_moving_avg",
-    "q_sessionization",
     # similarity / ANN
     "q_ann_bruteforce_topk",
     "q_knn_per_label",
@@ -102,7 +100,12 @@ PRIORITY: tuple[str, ...] = (
     "q_hypertable_rollup",
     "q_latest_event_per_user",
     "q_recent_events_topk",
-    # new this round
+    # new round 7 (rotated in; rotated out: q_moving_avg /
+    # q_sessionization — multi-round certified, pure built-in window
+    # shapes, unchanged; the count index and the trigram-indexed search
+    # are the new high-risk storage/accelerator surfaces)
+    "q_count_index",
+    "q_text_search_indexed",
     "q_jsonpath_filters",
     "q_media_bmp_decode",
     "q_time_travel",
