@@ -58,6 +58,10 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_gapfill_locf",
     "q_update_inplace",
+    # round 7: the two new accelerator surfaces — metadata-served
+    # time-range counts (count index) and trigram-indexed text search
+    "q_count_index",
+    "q_text_search_indexed",
 ]
 
 

@@ -1029,7 +1029,8 @@ class TestCountIndex:
         n, info = tbl.count_range("2026-01-01", "2026-01-02", detail=True)
         assert n == CHECKPOINT_EVERY + 1 and info["scanned_files"] == 0
         # compaction rewrites files; stats of removed files drop out and
-        # the count stays exact (rewritten file re-records its own stats)
+        # the rewritten file re-records its own footer stats through
+        # _stage_write, so the metadata path still serves with zero scans
         maintenance.compact(tbl, {"project_id": "p1", "date": "2026-01-01"})
-        n2 = tbl.count_range("2026-01-01", "2026-01-02")
-        assert n2 == n
+        n2, info2 = tbl.count_range("2026-01-01", "2026-01-02", detail=True)
+        assert n2 == n and info2["scanned_files"] == 0
