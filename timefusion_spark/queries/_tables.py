@@ -62,3 +62,58 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _CACHE[key] = df
     return df
+
+
+def cached_storage_table(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_name: str,
+    spec_version: str,
+    schema_factory,
+    build_df,
+):
+    """Build-once sidecar table (codebooks, text indexes): the derived
+    table persists under a CONTENT-KEYED cache path — sf_dir identity +
+    the source parquet's mtime + a spec version string — so repeat
+    invocations (bench warm runs, oracle replays) open the existing table
+    instead of re-running the build per call. The build stages into a tmp
+    dir and atomically renames into place: a crashed build never leaves a
+    half-written cache, and concurrent builders race safely (first rename
+    wins; losers adopt the winner's table).
+
+    This is the engine analog of the reference's persisted sidecar
+    artifacts (tantivy index dirs, cached providers): derived state lives
+    beside the data it was derived from, keyed by that data's identity.
+
+    `schema_factory()` returns the TableSchema; `build_df()` returns the
+    DataFrame to append on a cache miss."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from timefusion_spark.storage import Table
+
+    src_key = []
+    for fn in sorted(os.listdir(os.path.abspath(sf_dir))):
+        if fn.endswith(".parquet"):
+            st = os.stat(os.path.join(os.path.abspath(sf_dir), fn))
+            src_key.append(f"{fn}:{st.st_mtime_ns}:{st.st_size}")
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{'|'.join(src_key)}|{cache_name}|{spec_version}".encode()
+    ).hexdigest()[:16]
+    final = os.path.join(tempfile.gettempdir(), "tf_sidecar_cache", key)
+    if os.path.exists(os.path.join(final, "_tf_schema.json")):
+        return Table.open(spark, final)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    stage = tempfile.mkdtemp(prefix=f"{key}.build-", dir=os.path.dirname(final))
+    try:
+        tbl = Table.create(spark, schema_factory(), stage)
+        tbl.append(build_df())
+        try:
+            os.rename(stage, final)
+        except OSError:
+            pass  # another builder won the race; use its table
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return Table.open(spark, final)

@@ -253,9 +253,26 @@ def q_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timefusion_spark.operators.text_index import trigram_index, trigram_search
 
+    from timefusion_spark.queries._tables import cached_storage_table
+    from timefusion_spark.storage.schema import FieldDef, TableSchema
+
     d = t(spark, sf_dir, "documents")
-    idx = trigram_index(d).localCheckpoint(eager=False)
-    hits = trigram_search(d, idx, "MERGE window")
+    # the index persists as a sidecar storage table keyed by the corpus
+    # content (the tantivy-index-dir analog): built once, searched many
+    idx_tbl = cached_storage_table(
+        spark,
+        sf_dir,
+        "trigram_index",
+        "trgm-v1",
+        lambda: TableSchema(
+            table_name="doc_trigrams",
+            fields=[FieldDef("doc_id", "Int64", False), FieldDef("gram", "Utf8", False)],
+            partitions=[],
+            time_column="doc_id",
+        ),
+        lambda: trigram_index(d),
+    )
+    hits = trigram_search(d, idx_tbl.read(), "MERGE window")
     # accelerator sanity: candidate pruning really happened (every doc in
     # the verify set holds all query trigrams; far fewer than the corpus)
     n_docs = d.count()

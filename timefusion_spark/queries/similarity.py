@@ -691,57 +691,35 @@ def q_ann_knn_join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _codebook_table(spark: SparkSession, sf_dir: str):
-    """Build-once codebook: the 1024-cell codebook table is persisted under
-    a CONTENT-KEYED cache path (sf_dir identity + embeddings file mtime), so
-    repeat invocations — bench warm runs, oracle replays — reuse the table
-    files instead of re-running create/append per call (VERDICT r6 ask #7;
-    the per-call rebuild was ~1 s of pure setup inside the timed query).
-    The build stages into a tmp dir and atomically renames into place, so a
-    crashed build never leaves a half-written cache and concurrent builders
-    race safely (first rename wins; losers adopt the winner's table)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
-    from timefusion_spark.storage import Table
+    """Build-once codebook: persisted under a content-keyed cache path via
+    cached_storage_table (VERDICT r6 ask #7 — the per-call create/append
+    was ~1 s of pure setup inside the timed query)."""
+    from timefusion_spark.queries._tables import cached_storage_table
     from timefusion_spark.storage.schema import FieldDef, TableSchema
 
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    try:
-        mtime = str(os.stat(src).st_mtime_ns)
-    except OSError:
-        mtime = "0"
-    key = hashlib.sha1(f"{src}|{mtime}|neg512-v1".encode()).hexdigest()[:16]
-    final = os.path.join(tempfile.gettempdir(), "tf_codebook_cache", key)
-    if os.path.exists(os.path.join(final, "_tf_schema.json")):
-        return Table.open(spark, final)
-
-    base = t(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 512).select(
-        F.col("vec_id").cast("int").alias("cid"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    )
-    codebook = base.unionByName(
-        base.select(
-            (F.col("cid") + 512).alias("cid"),
-            F.transform("cv", lambda x: -x).alias("cv"),
+    def schema():
+        return TableSchema(
+            table_name="ivf_codebook",
+            fields=[
+                FieldDef("cid", "Int32", False),
+                FieldDef("cv", "List(Float64)", False),
+            ],
+            partitions=[],
+            time_column="cid",
         )
+
+    def build():
+        base = t(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 512).select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+        return base.unionByName(
+            base.select(
+                (F.col("cid") + 512).alias("cid"),
+                F.transform("cv", lambda x: -x).alias("cv"),
+            )
+        )
+
+    return cached_storage_table(
+        spark, sf_dir, "ivf_codebook", "neg512-v1", schema, build
     )
-    schema = TableSchema(
-        table_name="ivf_codebook",
-        fields=[FieldDef("cid", "Int32", False), FieldDef("cv", "List(Float64)", False)],
-        partitions=[],
-        time_column="cid",
-    )
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    stage = tempfile.mkdtemp(prefix=f"{key}.build-", dir=os.path.dirname(final))
-    try:
-        tbl = Table.create(spark, schema, stage)
-        tbl.append(codebook)  # persist: the codebook lives as table files
-        try:
-            os.rename(stage, final)
-        except OSError:
-            pass  # another builder won the race; use its table
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-    return Table.open(spark, final)
