@@ -186,15 +186,56 @@ class TestSimpleQuery:
         msgs = client.query("   ")
         assert tags_of(msgs)[0] == b"I"  # EmptyQueryResponse
 
-    def test_extended_protocol_rejected_cleanly(self, server):
+    def _ext(self, c, *messages):
+        """Send extended-protocol messages then Sync; return all messages
+        up to ReadyForQuery."""
+        for tag, body in messages:
+            c.sock.sendall(tag + struct.pack("!i", len(body) + 4) + body)
+        c.sock.sendall(b"S" + struct.pack("!i", 4))
+        return c.until_ready()
+
+    def test_extended_protocol_parse_bind_execute(self, server):
         c = WireClient(server.port)
         c.startup()
-        # Parse + Sync (libpq extended preamble)
-        body = b"\x00stmt\x00SELECT 1\x00" + struct.pack("!h", 0)
-        c.sock.sendall(b"P" + struct.pack("!i", len(body) + 4) + body)
-        c.sock.sendall(b"S" + struct.pack("!i", 4))
-        msgs = c.until_ready()
-        assert b"E" in tags_of(msgs)
+        parse = b"\x00" + b"SELECT $1::int + $2::int AS total, $3 AS who\x00" + struct.pack("!h", 0)
+        bind = (
+            b"\x00\x00"  # unnamed portal, unnamed statement
+            + struct.pack("!h", 1)
+            + struct.pack("!h", 0)  # one format code: text
+            + struct.pack("!h", 3)
+            + struct.pack("!i", 1) + b"2"
+            + struct.pack("!i", 2) + b"40"
+            + struct.pack("!i", -1)  # NULL param
+            + struct.pack("!h", 0)  # no result format codes
+        )
+        describe = b"P\x00"
+        execute = b"\x00" + struct.pack("!i", 0)
+        msgs = self._ext(c, (b"P", parse), (b"B", bind), (b"D", describe), (b"E", execute))
+        assert b"1" in tags_of(msgs)  # ParseComplete
+        assert b"2" in tags_of(msgs)  # BindComplete
+        assert [n for n, _ in row_desc_of(msgs)] == ["total", "who"]
+        assert rows_of(msgs) == [["42", None]]
+        assert command_tags(msgs) == ["SELECT 1"]
+        # rebind the same named statement with different params
+        parse2 = b"s1\x00" + b"SELECT upper($1) AS u\x00" + struct.pack("!h", 0)
+        bind2 = (
+            b"\x00s1\x00" + struct.pack("!h", 1) + struct.pack("!h", 0)
+            + struct.pack("!h", 1) + struct.pack("!i", 4) + b"it''"
+            + struct.pack("!h", 0)
+        )
+        msgs = self._ext(c, (b"P", parse2), (b"B", bind2), (b"D", describe), (b"E", execute))
+        assert rows_of(msgs) == [["IT''"]]  # quote-escaping round-trips
+        c.close()
+
+    def test_extended_protocol_error_skips_to_sync(self, server):
+        c = WireClient(server.port)
+        c.startup()
+        bind = b"\x00missing\x00" + struct.pack("!hhh", 0, 0, 0)
+        execute = b"\x00" + struct.pack("!i", 0)
+        msgs = self._ext(c, (b"B", bind), (b"E", execute))
+        assert b"E" in tags_of(msgs)  # one error for the Bind...
+        assert tags_of(msgs).count(b"E") == 1  # ...Execute was discarded
+        assert tags_of(msgs)[-1] == b"Z"
         # connection still usable on the simple path
         assert rows_of(c.query("SELECT 4 AS x")) == [["4"]]
         c.close()

@@ -9,12 +9,14 @@ speaking the simple-query protocol, executing every statement through
 `->`/`->>`, table_changes — the whole shim surface) and encoding result
 rows in PG text format with proper type OIDs.
 
-Scope (deliberate):
-- Simple query protocol only ('Q'). psql and libpq's PQexec use exactly
-  this path; the extended protocol (Parse/Bind) returns a clean
-  ErrorResponse naming the limitation instead of hanging the client.
-  (The reference's extended path exists mainly for parameter binding —
-  `pgwire_early_bind.rs` — which the shim surface does not need.)
+Scope:
+- Simple query protocol ('Q') — psql / PQexec.
+- Extended protocol (Parse/Bind/Describe/Execute/Close/Sync) — the
+  libpq-driver path: text-format parameters bind into `$n` placeholders
+  as quoted literals before translation (the reference's extended path
+  exists for exactly this binding step, `pgwire_early_bind.rs`); errors
+  inside a batch discard messages until Sync, PG's documented behavior.
+  Binary parameter format is rejected with a clear error.
 - Trust auth (AuthenticationOk unconditionally), matching the
   reference's default dev posture.
 - SSLRequest answered with 'N' (no TLS) so clients fall back to clear.
@@ -227,25 +229,179 @@ class _Handler(socketserver.BaseRequestHandler):
                 payload = self._recv_exact(length - 4)
                 if tag == b"Q":
                     self._simple_query(payload.rstrip(b"\x00").decode("utf-8"))
-                elif tag in (b"P", b"B", b"D", b"E", b"C", b"H", b"F"):
-                    self._send_error(
-                        "extended query protocol is not supported; use the "
-                        "simple query protocol (psql / PQexec)",
-                        code="0A000",
-                    )
-                    # swallow messages until Sync, then recover
-                    while tag != b"S":
-                        tag = self.request.recv(1)
-                        if not tag or tag == b"X":
-                            return
-                        (length,) = struct.unpack("!i", self._recv_exact(4))
-                        self._recv_exact(length - 4)
-                    self._ready()
-                elif tag == b"S":  # stray Sync
+                elif tag == b"P":
+                    self._guarded(self._parse, payload)
+                elif tag == b"B":
+                    self._guarded(self._bind, payload)
+                elif tag == b"D":
+                    self._guarded(self._describe, payload)
+                elif tag == b"E":
+                    self._guarded(self._execute, payload)
+                elif tag == b"C":
+                    self._guarded(self._close_msg, payload)
+                elif tag == b"H":  # Flush — responses are sent eagerly
+                    pass
+                elif tag == b"F":
+                    self._send_error("FunctionCall is not supported", code="0A000")
+                    self._skip_phase = True
+                elif tag == b"S":  # Sync: end of the extended batch
+                    self._skip_phase = False
                     self._ready()
                 # anything else: ignore (per-protocol NoticeResponse optional)
         except (ConnectionError, OSError):
             pass
+
+    # ── result encoding (shared by the simple and extended paths) ────────
+    @staticmethod
+    def _row_description(fields) -> bytes:
+        desc = struct.pack("!h", len(fields))
+        for f in fields:
+            desc += f.name.encode() + b"\x00" + struct.pack(
+                "!ihihih",
+                0,  # table oid
+                0,  # column attnum
+                _oid_for(f.dataType),
+                -1,  # typlen
+                -1,  # atttypmod
+                0,  # text format
+            )
+        return desc
+
+    @staticmethod
+    def _data_row(fields, row) -> bytes:
+        body = struct.pack("!h", len(fields))
+        for f, v in zip(fields, row):
+            s = _pg_text(v, f.dataType)
+            if s is None:
+                body += struct.pack("!i", -1)
+            else:
+                b = s.encode("utf-8")
+                body += struct.pack("!i", len(b)) + b
+        return body
+
+    # ── extended protocol (Parse/Bind/Describe/Execute — libpq drivers) ──
+    # After an error inside an extended batch, PG discards messages until
+    # Sync; _skip_phase implements exactly that.
+
+    def _guarded(self, fn, payload: bytes) -> None:
+        if getattr(self, "_skip_phase", False):
+            return
+        try:
+            fn(payload)
+        except Exception as e:  # noqa: BLE001 — every error goes on the wire
+            self._send_error(str(e).split("\n", 1)[0][:500] or type(e).__name__)
+            self._skip_phase = True
+
+    @staticmethod
+    def _cstr(payload: bytes, off: int) -> tuple[str, int]:
+        end = payload.index(b"\x00", off)
+        return payload[off:end].decode("utf-8"), end + 1
+
+    def _parse(self, payload: bytes) -> None:
+        name, off = self._cstr(payload, 0)
+        sql, off = self._cstr(payload, off)
+        (n_types,) = struct.unpack("!h", payload[off : off + 2])
+        # declared parameter-type OIDs are accepted and ignored — values
+        # arrive in text format and the shim's SQL casts type them
+        if not hasattr(self, "_prepared"):
+            self._prepared: dict[str, str] = {}
+            self._portals: dict[str, str] = {}
+        self._prepared[name] = sql
+        self._send(b"1")  # ParseComplete
+
+    def _bind(self, payload: bytes) -> None:
+        portal, off = self._cstr(payload, 0)
+        stmt, off = self._cstr(payload, off)
+        (n_fmt,) = struct.unpack("!h", payload[off : off + 2])
+        off += 2
+        fmts = struct.unpack(f"!{n_fmt}h", payload[off : off + 2 * n_fmt])
+        off += 2 * n_fmt
+        (n_params,) = struct.unpack("!h", payload[off : off + 2])
+        off += 2
+        params: list[str | None] = []
+        for i in range(n_params):
+            (ln,) = struct.unpack("!i", payload[off : off + 4])
+            off += 4
+            if ln == -1:
+                params.append(None)
+                continue
+            raw = payload[off : off + ln]
+            off += ln
+            fmt = fmts[i] if i < len(fmts) else (fmts[0] if len(fmts) == 1 else 0)
+            if fmt != 0:
+                raise ValueError("binary parameter format is not supported")
+            params.append(raw.decode("utf-8"))
+        sql = self._prepared_sql(stmt)
+        if not hasattr(self, "_portals"):
+            self._portals = {}
+        self._portals[portal] = _substitute_params(sql, params)
+        self._send(b"2")  # BindComplete
+
+    def _prepared_sql(self, stmt: str) -> str:
+        store = getattr(self, "_prepared", {})
+        if stmt not in store:
+            raise ValueError(f"prepared statement {stmt!r} does not exist")
+        return store[stmt]
+
+    def _describe(self, payload: bytes) -> None:
+        kind = payload[0:1]
+        name, _ = self._cstr(payload, 1)
+        if kind == b"S":
+            sql = self._prepared_sql(name)
+            n = len(re.findall(r"\$\d+", sql))
+            self._send(b"t", struct.pack("!h", n) + b"".join(
+                struct.pack("!i", _OID_TEXT) for _ in range(n)
+            ))
+            # RowDescription for the statement would need a parameter-less
+            # plan; drivers accept NoData and re-describe the portal
+            self._send(b"n")
+            return
+        sql = self._portals.get(name) if hasattr(self, "_portals") else None
+        if sql is None:
+            raise ValueError(f"portal {name!r} does not exist")
+        if _NO_RESULTSET.match(sql) or (
+            self.server.runner is not None and _is_storage_stmt(sql)
+        ):
+            self._send(b"n")  # NoData
+        else:
+            self._send(b"T", self._row_description(self._run(sql).schema.fields))
+
+    def _execute(self, payload: bytes) -> None:
+        from timefusion_spark.pgshim import pg_sql  # noqa: F401 — via _run
+
+        portal, off = self._cstr(payload, 0)
+        sql = self._portals.get(portal) if hasattr(self, "_portals") else None
+        if sql is None:
+            raise ValueError(f"portal {portal!r} does not exist")
+        if self.server.runner is not None and _is_storage_stmt(sql):
+            with self.server.lock:
+                self.server.runner.run_statement(sql)
+            self._send(b"C", _command_tag(sql, 0).encode() + b"\x00")
+            return
+        df = self._run(sql)
+        if _NO_RESULTSET.match(sql):
+            n = 0 if _is_status_frame(df) else df.count()
+            self._send(b"C", _command_tag(sql, n).encode() + b"\x00")
+            return
+        rows = df.collect()
+        fields = df.schema.fields
+        for row in rows:
+            self._send(b"D", self._data_row(fields, row))
+        self._send(b"C", _command_tag(sql, len(rows)).encode() + b"\x00")
+
+    def _close_msg(self, payload: bytes) -> None:
+        kind = payload[0:1]
+        name, _ = self._cstr(payload, 1)
+        if kind == b"S":
+            getattr(self, "_prepared", {}).pop(name, None)
+        else:
+            getattr(self, "_portals", {}).pop(name, None)
+        self._send(b"3")  # CloseComplete
+
+    def _run(self, sql: str):
+        from timefusion_spark.pgshim import pg_sql
+
+        return pg_sql(self.server.spark, sql, tables=self.server.tables)
 
     def _startup(self) -> bool:
         while True:
@@ -302,31 +458,9 @@ class _Handler(socketserver.BaseRequestHandler):
                     continue
                 rows = df.collect()
                 fields = df.schema.fields
-                desc = struct.pack("!h", len(fields))
-                for f in fields:
-                    desc += (
-                        f.name.encode() + b"\x00"
-                        + struct.pack(
-                            "!ihihih",
-                            0,  # table oid
-                            0,  # column attnum
-                            _oid_for(f.dataType),
-                            -1,  # typlen
-                            -1,  # atttypmod
-                            0,  # text format
-                        )
-                    )
-                self._send(b"T", desc)
+                self._send(b"T", self._row_description(fields))
                 for row in rows:
-                    body = struct.pack("!h", len(fields))
-                    for f, v in zip(fields, row):
-                        s = _pg_text(v, f.dataType)
-                        if s is None:
-                            body += struct.pack("!i", -1)
-                        else:
-                            b = s.encode("utf-8")
-                            body += struct.pack("!i", len(b)) + b
-                    self._send(b"D", body)
+                    self._send(b"D", self._data_row(fields, row))
                 self._send(b"C", _command_tag(stmt, len(rows)).encode() + b"\x00")
             except Exception as e:  # noqa: BLE001 — every error goes on the wire
                 self._send_error(str(e).split("\n", 1)[0][:500] or type(e).__name__)
@@ -341,6 +475,47 @@ def _is_status_frame(df) -> bool:
 class _TCPServer(socketserver.ThreadingMixIn, socketserver.TCPServer):
     allow_reuse_address = True
     daemon_threads = True
+
+
+def _substitute_params(sql: str, params: list[str | None]) -> str:
+    """Inline text-format parameters into `$n` placeholders as quoted SQL
+    literals (NULL for absent values). Placeholders inside single-quoted
+    strings and dollar-quoted bodies are left alone — the same scanning
+    rules as _split_statements. The shim's `::` casts and Spark's implicit
+    coercions type the literal, mirroring how the reference's extended
+    path binds text params before planning (pgwire_early_bind.rs)."""
+
+    def lit(i: int) -> str:
+        if i < 1 or i > len(params):
+            raise ValueError(f"there is no parameter ${i}")
+        v = params[i - 1]
+        return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            m = re.match(r"'(?:''|[^'])*'?", sql[i:])
+            out.append(m.group(0))
+            i += len(m.group(0))
+            continue
+        if c == "$":
+            m = re.match(r"\$(\d+)", sql[i:])
+            if m:
+                out.append(lit(int(m.group(1))))
+                i += len(m.group(0))
+                continue
+            m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
+            if m:  # dollar-quoted body: copy verbatim through its end tag
+                tag = m.group(0)
+                j = sql.find(tag, i + len(tag))
+                j = n if j < 0 else j + len(tag)
+                out.append(sql[i:j])
+                i = j
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _is_storage_stmt(stmt: str) -> bool:
