@@ -686,3 +686,65 @@ class TestDashboardFunctionSurface:
     )
     def test_functions(self, spark, sql, check):
         assert check(pg_sql(spark, sql).first()["v"])
+
+
+class TestCountRangeSql:
+    """SELECT COUNT(*) FROM t WHERE ts >= '…' AND ts < '…' on a registered
+    storage table routes to Table.count_range (the count-index
+    interception, count_pushdown.rs analog); any other shape plans
+    normally."""
+
+    @pytest.fixture()
+    def plain_tbl(self, spark, tmp_path):
+        from timefusion_spark.storage import Table
+        from timefusion_spark.storage.schema import FieldDef, TableSchema
+
+        schema = TableSchema(
+            table_name="evp",
+            fields=[
+                FieldDef("id", "Int64", False),
+                FieldDef("ts", 'Timestamp(Microsecond, Some("UTC"))', False),
+            ],
+            partitions=[],
+            time_column="ts",
+        )
+        tbl = Table.create(spark, schema, str(tmp_path / "evp"))
+        for day in ("2026-01-01", "2026-01-02", "2026-01-03"):
+            tbl.append(
+                spark.createDataFrame(
+                    [(i, f"{day} 0{i}:00:00") for i in range(3)], "id long, ts string"
+                )
+            )
+        return tbl
+
+    def test_intercepted_and_exact(self, spark, plain_tbl):
+        out = pg_sql(
+            spark,
+            "SELECT COUNT(*) FROM evp "
+            "WHERE ts >= '2026-01-02 00:00:00' AND ts < '2026-01-03 00:00:00'",
+            tables={"evp": plain_tbl},
+        )
+        assert out.columns == ["count"]
+        assert out.first()["count"] == 3
+        # TIMESTAMP keyword + alias form
+        out = pg_sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM evp "
+            "WHERE ts >= TIMESTAMP '2026-01-01' AND ts < TIMESTAMP '2026-01-04'",
+            tables={"evp": plain_tbl},
+        )
+        assert out.columns == ["n"] and out.first()["n"] == 9
+
+    def test_non_matching_shapes_pass_through(self, spark, plain_tbl):
+        # wrong column → not intercepted; planned as normal SQL against a
+        # temp view of the same data
+        plain_tbl.read().createOrReplaceTempView("evp")
+        try:
+            out = pg_sql(
+                spark,
+                "SELECT COUNT(*) AS n FROM evp WHERE id >= '0' AND id < '2'",
+                tables={"evp": plain_tbl},
+            )
+            assert out.first()["n"] == 6
+        finally:
+            spark.catalog.dropTempView("evp")

@@ -78,3 +78,19 @@ class TestTrigramIndex:
             .where(F.col("ng") == len(grams))
         )
         assert cand.count() == 1  # only doc 4 survives candidate generation
+
+    def test_search_plan_is_equi_join_only(self, docs):
+        """Scale pin: candidate generation is equi-joins on gram literals
+        (hash/merge), the verify is a semi-join on id — never a
+        cartesian/BNLJ over the corpus, no row-path Python."""
+        idx = trigram_index(docs)
+        out = trigram_search(docs, idx, "spark merge")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert (
+            "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan
+        )

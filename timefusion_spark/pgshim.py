@@ -1426,6 +1426,34 @@ def _ensure_pg_settings_view(spark) -> None:
     )
 
 
+_COUNT_RANGE_RE = re.compile(
+    r"(?is)^SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(\w+))?\s+"
+    r"FROM\s+([A-Za-z_]\w*)\s+WHERE\s+"
+    r"(\w+)\s*>=\s*(?:TIMESTAMP\s*)?'([^']+)'\s+AND\s+"
+    r"\3\s*<\s*(?:TIMESTAMP\s*)?'([^']+)'\s*$"
+)
+
+
+def _apply_count_statement(spark, stripped: str, tables):
+    """Time-range COUNT(*) pushdown — the reference's count-index
+    interception (count_pushdown.rs try_count_pushdown + the logical
+    count index): `SELECT COUNT(*) FROM t WHERE ts >= '…' AND ts < '…'`
+    on a registered storage table routes to Table.count_range, which
+    serves fully-covered files from commit-log stats and scans only
+    boundaries. Only the exact half-open two-bound shape on the table's
+    declared time column is intercepted; anything else plans normally
+    (decline-on-doubt lives inside count_range itself)."""
+    m = _COUNT_RANGE_RE.match(stripped)
+    if not m:
+        return None
+    alias, name, col, lo, hi = m.groups()
+    tbl = (tables or {}).get(name)
+    if tbl is None or col != tbl.schema.time_column:
+        return None
+    n = tbl.count_range(lo, hi)
+    return spark.createDataFrame([(n,)], f"{alias or 'count'} bigint")
+
+
 def _apply_admin_statement(spark, stripped: str, tables):
     """Admin verbs the reference intercepts before planning
     (pgwire_handlers.rs:634-640,768: FLUSH / OPTIMIZE / VACUUM).
@@ -1596,6 +1624,9 @@ def pg_sql(spark, sql: str, tables=None):
     admin = _apply_admin_statement(spark, stripped, tables)
     if admin is not None:
         return admin
+    counted = _apply_count_statement(spark, stripped, tables)
+    if counted is not None:
+        return counted
     # table_changes('t', from [, to]) — the Delta-SQL change-data-feed
     # table function, served from the commit log (Table.read_changes).
     # Each call materializes as a temp view so the surrounding SQL can
