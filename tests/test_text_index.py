@@ -35,7 +35,10 @@ class TestTrigramIndex:
 
     def test_index_shape(self, docs):
         idx = trigram_index(docs)
-        assert idx.columns == ["doc_id", "gram"]
+        assert idx.columns == ["doc_id", "gram", "gbucket"]
+        assert idx.where(
+            (F.col("gbucket") < 0) | (F.col("gbucket") >= 64)
+        ).count() == 0
         assert idx.where(F.length("gram") != 3).count() == 0
         assert idx.where(F.col("doc_id") == 6).count() == 0  # too short
         assert idx.where(F.col("doc_id") == 7).count() == 0  # NULL text

@@ -43,20 +43,34 @@ def _gram_expr(text_col: str) -> Column:
     )
 
 
+N_GRAM_BUCKETS = 64
+
+
+def gram_bucket(gram: Column) -> Column:
+    """Stable partition bucket for a gram (xxhash64 → 0..N_GRAM_BUCKETS-1).
+    The index table partitions on this, so a search whose query grams are
+    known literals prunes to O(query grams) partitions instead of
+    scanning the whole index — the property that keeps a 100-TB corpus's
+    index probe-able."""
+    return F.pmod(F.xxhash64(gram), F.lit(N_GRAM_BUCKETS)).cast("int")
+
+
 def trigram_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, gram) inverted index over `text_col`. Build = map + explode +
-    one distinct shuffle. Texts shorter than 3 chars produce no entries —
-    harmless, because only tokens of ≥ 3 chars ever probe the index and
-    no such token can match a shorter text."""
-    return (
+    """(id, gram, gbucket) inverted index over `text_col`. Build = map +
+    explode + one distinct shuffle; `gbucket` is the partition column for
+    the persisted sidecar table (see gram_bucket). Texts shorter than 3
+    chars produce no entries — harmless, because only tokens of ≥ 3 chars
+    ever probe the index and no such token can match a shorter text."""
+    grams = (
         docs.select(
             F.col(id_col), F.explode(_gram_expr(text_col)).alias("gram")
         )
         .where(F.length("gram") == 3)
         .distinct()
     )
+    return grams.withColumn("gbucket", gram_bucket(F.col("gram")))
 
 
 def query_trigrams(token: str) -> list[str]:
@@ -84,9 +98,19 @@ def trigram_search(
         grams = sorted(set(query_trigrams(tok)))
         if not grams:
             continue  # short token: verify-stage only
+        probe = index.where(F.col("gram").isin(grams))
+        if "gbucket" in index.columns:
+            # partition pruning: gram_bucket(lit) is a foldable expression
+            # (xxhash64 of a constant), so Catalyst folds each equality to
+            # a literal and the partition filter prunes the bucketed index
+            # to O(|query grams|) partitions before any I/O
+            bucket_pred = None
+            for g in grams:
+                eq = F.col("gbucket") == gram_bucket(F.lit(g))
+                bucket_pred = eq if bucket_pred is None else (bucket_pred | eq)
+            probe = probe.where(bucket_pred)
         c = (
-            index.where(F.col("gram").isin(grams))
-            .groupBy(id_col)
+            probe.groupBy(id_col)
             .agg(F.count_distinct("gram").alias("_ng"))
             .where(F.col("_ng") == len(grams))
             .select(id_col)

@@ -263,11 +263,17 @@ def q_text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "trigram_index",
-        "trgm-v1",
+        "trgm-v2",
         lambda: TableSchema(
             table_name="doc_trigrams",
-            fields=[FieldDef("doc_id", "Int64", False), FieldDef("gram", "Utf8", False)],
-            partitions=[],
+            fields=[
+                FieldDef("doc_id", "Int64", False),
+                FieldDef("gram", "Utf8", False),
+                FieldDef("gbucket", "Int32", False),
+            ],
+            # partitioned by the gram hash-bucket: a search's partition
+            # filter folds to literals and prunes to O(query grams) dirs
+            partitions=["gbucket"],
             time_column="doc_id",
         ),
         lambda: trigram_index(d),
