@@ -164,3 +164,71 @@ class TestSimilarToCompiler:
         # layer; undo that one level to get the raw Java/Python regex.
         got = _re.fullmatch(compiled.replace("\\\\", "\\"), candidate) is not None
         assert got == want
+
+
+class TestWireParsingProperties:
+    """Properties of the pgwire server's SQL scanners: statement splitting
+    and $n parameter substitution must respect string/dollar-quoting for
+    ANY input — a malformed split corrupts user SQL silently."""
+
+    @given(
+        st.lists(
+            st.text(alphabet="abc;'$1 ", min_size=1, max_size=12).filter(
+                lambda s: s.strip()
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_split_never_breaks_inside_quotes(self, fragments):
+        from timefusion_spark.server import _split_statements
+
+        # embed each fragment inside a single-quoted literal (quotes
+        # doubled), join with semicolons: the split must return exactly
+        # one statement per fragment, with the literal intact
+        stmts = [f"SELECT '{f.replace(chr(39), chr(39) * 2)}'" for f in fragments]
+        out = _split_statements("; ".join(stmts))
+        assert out == stmts
+
+    @given(st.text(alphabet="ab'$12; ", max_size=24))
+    @settings(max_examples=300, deadline=None)
+    def test_split_concat_preserves_content(self, sql):
+        """Splitting then rejoining loses only separators/whitespace, never
+        statement text: every non-semicolon char run survives."""
+        from timefusion_spark.server import _split_statements
+
+        out = _split_statements(sql)
+        # every returned piece is a substring of the input
+        for piece in out:
+            assert piece in sql
+
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.text(alphabet="ab'c%3", max_size=8)),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_param_substitution_quotes_and_nulls(self, params):
+        from timefusion_spark.server import _substitute_params
+
+        sql = "SELECT " + ", ".join(f"${i+1}" for i in range(len(params)))
+        out = _substitute_params(sql, params)
+        for v in params:
+            if v is None:
+                assert "NULL" in out
+            else:
+                assert "'" + v.replace("'", "''") + "'" in out
+        assert "$" not in out  # every placeholder consumed
+
+    @given(st.text(alphabet="ab$12'", max_size=16))
+    @settings(max_examples=200, deadline=None)
+    def test_placeholders_inside_literals_untouched(self, body):
+        from timefusion_spark.server import _substitute_params
+
+        lit = "'" + body.replace("'", "''") + "'"
+        sql = f"SELECT {lit}, $1"
+        out = _substitute_params(sql, ["x"])
+        assert out == f"SELECT {lit}, 'x'"
