@@ -748,3 +748,24 @@ class TestCountRangeSql:
             assert out.first()["n"] == 6
         finally:
             spark.catalog.dropTempView("evp")
+
+
+class TestTranslationCache:
+    """plan_cache.rs analog at the rewrite layer: repeated statements hit
+    the memo; registering new Variant columns invalidates it (a cached
+    translation bound on the old column set must not serve)."""
+
+    def test_hit_and_variant_invalidation(self):
+        import uuid
+
+        from timefusion_spark import pgshim
+
+        col = f"vc_{uuid.uuid4().hex[:8]}"
+        sql = f"SELECT {col} ->> 'k' FROM t"
+        before = pg_to_spark_sql(sql)
+        assert "get_json_object" in before  # plain-string arrow path
+        assert pg_to_spark_sql(sql) is before or pg_to_spark_sql(sql) == before
+        assert (sql, pgshim._VARIANT_GEN) in pgshim._TRANSLATION_CACHE
+        pgshim.register_variant_columns([col])
+        after = pg_to_spark_sql(sql)
+        assert "variant_get" in after  # re-translated against the new set

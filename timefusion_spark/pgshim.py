@@ -223,8 +223,14 @@ _BARE_IDENT_RE = re.compile(r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)")
 
 def register_variant_columns(names) -> None:
     """Record column names that are VariantType in registered table views
-    (called by the slt env / storage registration paths)."""
+    (called by the slt env / storage registration paths). Bumps the
+    translation-cache generation: cached translations bound on the OLD
+    column set must not serve afterwards."""
+    global _VARIANT_GEN
+    before = len(_VARIANT_COLS)
     _VARIANT_COLS.update(n.lower() for n in names)
+    if len(_VARIANT_COLS) != before:
+        _VARIANT_GEN += 1
 
 
 def _variant_producing(x: str) -> str | None:
@@ -1237,8 +1243,31 @@ def _translate_misc(sql: str) -> str:
     return sql
 
 
+# Translation cache — the analog of the reference's PlanCacheHook
+# (plan_cache.rs:1-31, an LRU of parsed plans keyed on canonical SQL): the
+# token-pass translation is pure given (sql, variant-column generation), so
+# a repeated dashboard statement pays the regex/token passes once per
+# session instead of per execution. Catalyst's own analysis still runs per
+# statement — this caches the REWRITE layer, the part the engine owns.
+_TRANSLATION_CACHE: dict[tuple[str, int], str] = {}
+_TRANSLATION_CACHE_MAX = 4096
+_VARIANT_GEN = 0
+
+
 def pg_to_spark_sql(sql: str) -> str:
     """Translate a PG-dialect SQL string to Spark SQL text."""
+    key = (sql, _VARIANT_GEN)
+    hit = _TRANSLATION_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _pg_to_spark_sql_uncached(sql)
+    if len(_TRANSLATION_CACHE) >= _TRANSLATION_CACHE_MAX:
+        _TRANSLATION_CACHE.clear()  # simple bound; refill is cheap
+    _TRANSLATION_CACHE[key] = out
+    return out
+
+
+def _pg_to_spark_sql_uncached(sql: str) -> str:
     stripped = sql.lstrip()
     if re.match(r"(?i)^ABORT\b", stripped):
         sql = sql[: len(sql) - len(stripped)] + "ROLLBACK" + stripped[5:]
