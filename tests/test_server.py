@@ -280,3 +280,78 @@ class TestStorageOverTheWire:
         for t in threads:
             t.join()
         assert results == {i: [[str(i * 10)]] for i in range(4)}
+
+
+class TestRestartPersistence:
+    """`python -m timefusion_spark.server` over an existing --base-dir must
+    re-attach its own data: default schemas attach-or-create, and tables a
+    previous process created via CREATE TABLE are remounted
+    (slt.SltEnv.mount_existing). Reference parity: startup mounts every
+    table the store already holds (database.rs register_project_tables)."""
+
+    def test_restart_remounts_created_tables(self, spark, tmp_path):
+        from timefusion_spark.slt import SltEnv
+
+        base = str(tmp_path / "srv_data")
+        srv1 = PgWireServer(spark, base_dir=base).start()
+        c1 = WireClient(srv1.port)
+        c1.startup()
+        c1.query(
+            "CREATE TABLE survivor (ts TIMESTAMP, id TEXT, val DOUBLE, "
+            "project_id TEXT)"
+        )
+        c1.query(
+            "INSERT INTO survivor VALUES ('2026-01-01 10:00:00', 'a', 1.5, 'p1')"
+        )
+        c1.close()
+        srv1.stop()
+
+        # second process: same dir, fresh SltEnv + mount_existing
+        runner = SltEnv(spark, base)
+        assert "survivor" in runner.mount_existing()
+        srv2 = PgWireServer(spark, runner=runner).start()
+        c2 = WireClient(srv2.port)
+        c2.startup()
+        assert rows_of(c2.query("SELECT id, val FROM survivor")) == [["a", "1.5"]]
+        # the default otel table also attached (not FileExistsError'd)
+        assert "otel_logs_and_spans" in runner.tables
+        c2.close()
+        srv2.stop()
+
+    def test_cli_main_ephemeral_port(self, spark, tmp_path, capsys):
+        """main() parses args, mounts, prints the listen line. Run with
+        port 0 and shut down immediately via a crafted serve_forever."""
+        import threading
+
+        import timefusion_spark.server as srv_mod
+
+        started = threading.Event()
+        # drive main() in a thread; stop it by shutting the server down
+        holder = {}
+        orig_serve = srv_mod._TCPServer.serve_forever
+
+        def serve_capture(self, *a, **k):
+            holder["server"] = self
+            started.set()
+            return orig_serve(self, *a, **k)
+
+        srv_mod._TCPServer.serve_forever = serve_capture
+        try:
+            t = threading.Thread(
+                target=srv_mod.main,
+                args=(["--base-dir", str(tmp_path / "cli"), "--host",
+                       "127.0.0.1", "--port", "0"],),
+                daemon=True,
+            )
+            t.start()
+            assert started.wait(timeout=120)
+            port = holder["server"].server_address[1]
+            c = WireClient(port)
+            c.startup()
+            assert rows_of(c.query("SELECT 41 + 1 AS x")) == [["42"]]
+            c.close()
+        finally:
+            if "server" in holder:
+                holder["server"].shutdown()
+            srv_mod._TCPServer.serve_forever = orig_serve
+            t.join(timeout=10)

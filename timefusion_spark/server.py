@@ -601,3 +601,62 @@ def _connect_for_tests(port: int, host: str = "127.0.0.1") -> socket.socket:
     """Tiny helper for the test client (no libpq in this container)."""
     s = socket.create_connection((host, port), timeout=30)
     return s
+
+
+def main(argv: list[str] | None = None) -> int:
+    """`python -m timefusion_spark.server` — the reference's front door
+    (`main.rs:201-202` binds the pgwire listener on cfg.core.pgwire_port;
+    startup mounts every table the store already holds). Attaches the
+    engine's default schemas plus any table directories a previous process
+    created under --base-dir, then serves psql/libpq clients until SIGINT.
+    """
+    import argparse
+    import os
+
+    parser = argparse.ArgumentParser(
+        prog="python -m timefusion_spark.server",
+        description="PostgreSQL wire-protocol server over the Spark engine",
+    )
+    parser.add_argument(
+        "--base-dir",
+        default=os.environ.get("TIMEFUSION_DATA_DIR", "./tf_data"),
+        help="table storage root (mounts existing tables; default ./tf_data "
+        "or $TIMEFUSION_DATA_DIR)",
+    )
+    parser.add_argument("--host", default="0.0.0.0", help="listen address")
+    parser.add_argument(
+        "--port",
+        type=int,
+        default=int(os.environ.get("PGWIRE_PORT", "5432")),
+        help="listen port (default 5432 or $PGWIRE_PORT; 0 = ephemeral)",
+    )
+    parser.add_argument(
+        "--cpus", default=None, help="local[N] core count (default $SPARK_GRAFT_CPUS)"
+    )
+    args = parser.parse_args(argv)
+
+    from timefusion_spark.session import get_spark
+    from timefusion_spark.slt import SltEnv
+
+    spark = get_spark("timefusion-pgwire", cpus=args.cpus)
+    runner = SltEnv(spark, args.base_dir)
+    mounted = runner.mount_existing()
+    srv = PgWireServer(spark, runner=runner, host=args.host, port=args.port)
+    names = sorted(runner.tables)
+    print(
+        f"timefusion-spark pgwire listening on {args.host}:{srv.port} — "
+        f"{len(names)} tables ({', '.join(names)})"
+        + (f"; remounted: {', '.join(mounted)}" if mounted else ""),
+        flush=True,
+    )
+    try:
+        srv._server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv._server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -234,9 +234,16 @@ class SltEnv:
             self._add_table(schema)
 
     def _add_table(self, schema: TableSchema) -> None:
-        tbl = Table.create(
-            self.spark, schema, os.path.join(self.base_dir, schema.table_name)
-        )
+        # Attach-or-create: a restarted server (python -m timefusion_spark
+        # .server over the same --base-dir) re-attaches its own data instead
+        # of failing on the existing sidecar — the reference likewise mounts
+        # whatever tables the object store already holds at startup
+        # (database.rs register_project_tables on boot).
+        path = os.path.join(self.base_dir, schema.table_name)
+        if os.path.exists(os.path.join(path, "_tf_schema.json")):
+            tbl = Table.open(self.spark, path)
+        else:
+            tbl = Table.create(self.spark, schema, path)
         self.tables[schema.table_name] = tbl
         # Tell the SQL rewriter which columns are VariantType so `->`/`->>`
         # / variant_get bind on the stored Variant binary directly.
@@ -260,6 +267,31 @@ class SltEnv:
             ]
             df = df.select(*vis)
         df.createOrReplaceTempView(name)
+
+    def mount_existing(self) -> list[str]:
+        """Mount every table directory under base_dir not yet registered
+        (dirs carrying a `_tf_schema.json` sidecar) — tables a previous
+        server process created via CREATE TABLE survive a restart. Returns
+        the newly mounted names."""
+        from timefusion_spark.pgshim import register_variant_columns
+
+        mounted: list[str] = []
+        if not os.path.isdir(self.base_dir):
+            return mounted
+        for entry in sorted(os.listdir(self.base_dir)):
+            path = os.path.join(self.base_dir, entry)
+            if entry in self.tables or not os.path.isdir(path):
+                continue
+            if not os.path.exists(os.path.join(path, "_tf_schema.json")):
+                continue
+            tbl = Table.open(self.spark, path)
+            self.tables[tbl.schema.table_name] = tbl
+            register_variant_columns(
+                f.name for f in tbl.schema.fields if f.data_type == "Variant"
+            )
+            self._refresh(tbl.schema.table_name)
+            mounted.append(tbl.schema.table_name)
+        return mounted
 
     # ---- statements
 
