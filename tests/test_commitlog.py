@@ -595,3 +595,62 @@ class TestGroupDurabilityAndAbort:
         v2 = b.log.latest_version()
         abort_group(b.log.entry(v2)["group"], b.log.log_dir)
         assert len(b.log.snapshot_at(v2).files) == 0
+
+
+class TestIncludeGroupReads:
+    """`snapshot(include_group=gid)` — the read-your-own-writes view of an
+    open explicit transaction (the pgwire BEGIN…COMMIT surface): the
+    group's owner sees its PENDING commits, nobody else does, and an
+    ABORTED group's commits stay invisible even to their owner."""
+
+    @pytest.fixture()
+    def two_tables(self, spark, tmp_path):
+        a = Table.create(spark, load_schema_text(YAML.replace("table_name: t", "table_name: a")), str(tmp_path / "a"))
+        b = Table.create(spark, load_schema_text(YAML.replace("table_name: t", "table_name: b")), str(tmp_path / "b"))
+        return a, b
+
+    def test_owner_sees_pending_others_do_not(self, spark, tmp_path, two_tables):
+        from timefusion_spark.storage.commitlog import CommitGroup
+
+        a, b = two_tables
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g)
+        # plain snapshot: invisible
+        assert len(a.log.snapshot().files) == 0
+        # the owner's view includes the pending commit
+        own = a.log.snapshot(include_group=g.id)
+        assert len(own.files) > 0
+        assert a.read(include_group=g.id).count() == 3
+        # a DIFFERENT group id sees nothing
+        assert len(a.log.snapshot(include_group="someother").files) == 0
+        # after publish, include_group is a no-op (already visible)
+        g.publish()
+        assert a.read().count() == 3
+        assert a.read(include_group=g.id).count() == 3
+
+    def test_aborted_group_invisible_even_to_owner(self, spark, tmp_path, two_tables):
+        from timefusion_spark.storage.commitlog import CommitGroup, abort_group
+
+        a, _ = two_tables
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g)
+        assert a.read(include_group=g.id).count() == 3
+        assert abort_group({"id": g.id, "marker": g.marker}, a.log.log_dir) == "aborted"
+        # the dead transaction's rows are gone from its own view too
+        assert a.read(include_group=g.id).count() == 0
+        with pytest.raises(RuntimeError):
+            g.publish()
+
+    def test_mixed_published_and_pending(self, spark, tmp_path, two_tables):
+        """The owner's view = committed state + its own staged commits,
+        LWW-merged exactly like a post-commit read would be."""
+        from timefusion_spark.storage.commitlog import CommitGroup
+
+        a, _ = two_tables
+        a.append(_rows(spark, BASE[:1]), stamp="2026-01-01 00:00:00")
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE[1:]), stamp="2026-01-02 00:00:00", group=g)
+        assert a.read().count() == 1
+        assert a.read(include_group=g.id).count() == 3
+        g.publish()
+        assert a.read().count() == 3

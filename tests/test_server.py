@@ -355,3 +355,157 @@ class TestRestartPersistence:
                 holder["server"].shutdown()
             srv_mod._TCPServer.serve_forever = orig_serve
             t.join(timeout=10)
+
+
+class TestTransactions:
+    """Real BEGIN…COMMIT/ROLLBACK over the wire, backed by commit groups
+    (beyond the reference, whose pgwire layer acks transaction verbs as
+    autocommit no-ops — pgwire_handlers.rs:648): staged INSERTs are
+    invisible to other connections until COMMIT publishes them atomically
+    across every touched table; ROLLBACK (or a dropped connection) settles
+    the group aborted; in-txn SELECTs read their own writes; any in-block
+    error fails the block with PG 25P02 semantics."""
+
+    CREATE_A = (
+        "CREATE TABLE txn_a (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+    )
+    CREATE_B = (
+        "CREATE TABLE txn_b (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+    )
+    INS_A = "INSERT INTO txn_a VALUES ('2026-01-01 10:00:00', 'a1', 1.0, 'p1')"
+    INS_B = "INSERT INTO txn_b VALUES ('2026-01-01 11:00:00', 'b1', 2.0, 'p1')"
+
+    @pytest.fixture()
+    def srv(self, spark, tmp_path):
+        server = PgWireServer(spark, base_dir=str(tmp_path / "txn_data")).start()
+        yield server
+        server.stop()
+
+    @staticmethod
+    def _connect(srv):
+        c = WireClient(srv.port)
+        c.startup()
+        return c
+
+    @staticmethod
+    def _ready_status(msgs) -> bytes:
+        tag, payload = msgs[-1]
+        assert tag == b"Z"
+        return payload
+
+    def _count(self, client, table) -> int:
+        rows = rows_of(client.query(f"SELECT count(*) AS n FROM {table}"))
+        return int(rows[0][0])
+
+    def test_atomic_multi_table_commit_and_read_your_writes(self, srv):
+        c1, c2 = self._connect(srv), self._connect(srv)
+        c1.query(self.CREATE_A)
+        c1.query(self.CREATE_B)
+        msgs = c1.query("BEGIN")
+        assert command_tags(msgs) == ["BEGIN"]
+        assert self._ready_status(msgs) == b"T"
+        c1.query(self.INS_A)
+        c1.query(self.INS_B)
+        # other connections see NOTHING while the block is open
+        assert self._count(c2, "txn_a") == 0
+        assert self._count(c2, "txn_b") == 0
+        # the owner reads its own staged writes (overlay views)
+        assert self._count(c1, "txn_a") == 1
+        assert rows_of(c1.query("SELECT id FROM txn_b WHERE val > 1"))[0] == ["b1"]
+        msgs = c1.query("COMMIT")
+        assert command_tags(msgs) == ["COMMIT"]
+        assert self._ready_status(msgs) == b"I"
+        # both tables became visible in one atomic step
+        assert self._count(c2, "txn_a") == 1
+        assert self._count(c2, "txn_b") == 1
+        c1.close()
+        c2.close()
+
+    def test_rollback_discards_everything(self, srv):
+        c = self._connect(srv)
+        c.query(self.CREATE_A)
+        c.query("BEGIN")
+        c.query(self.INS_A)
+        assert self._count(c, "txn_a") == 1  # visible to the owner…
+        msgs = c.query("ROLLBACK")
+        assert command_tags(msgs) == ["ROLLBACK"]
+        assert self._ready_status(msgs) == b"I"
+        assert self._count(c, "txn_a") == 0  # …and to nobody after abort
+        c.close()
+
+    def test_failed_block_pg_25P02(self, srv):
+        c = self._connect(srv)
+        c.query(self.CREATE_A)
+        msgs = c.query("BEGIN")
+        assert self._ready_status(msgs) == b"T"
+        msgs = c.query("SELECT nonexistent_fn_xyz(1)")
+        assert self._ready_status(msgs) == b"E"  # block failed
+        # every statement until the block ends answers 25P02
+        msgs = c.query("SELECT 1")
+        err = [p for t, p in msgs if t == b"E"]
+        assert err and b"25P02" in err[0]
+        # COMMIT of a failed block performs (and reports) a rollback
+        msgs = c.query("COMMIT")
+        assert command_tags(msgs) == ["ROLLBACK"]
+        assert self._ready_status(msgs) == b"I"
+        assert rows_of(c.query("SELECT 1 AS x")) == [["1"]]
+        c.close()
+
+    def test_insert_then_error_then_commit_rolls_back(self, srv):
+        c, c2 = self._connect(srv), self._connect(srv)
+        c.query(self.CREATE_A)
+        c.query("BEGIN")
+        c.query(self.INS_A)
+        c.query("SELECT nonexistent_fn_xyz(1)")  # fails the block
+        msgs = c.query("COMMIT")
+        assert command_tags(msgs) == ["ROLLBACK"]
+        assert self._count(c2, "txn_a") == 0  # the staged insert died too
+        c.close()
+        c2.close()
+
+    def test_ddl_and_dml_rejected_inside_block(self, srv):
+        c = self._connect(srv)
+        c.query(self.CREATE_A)
+        c.query(self.INS_A)  # autocommit row
+        c.query("BEGIN")
+        msgs = c.query(self.CREATE_B)
+        err = [p for t, p in msgs if t == b"E"]
+        assert err and b"not supported inside an explicit transaction" in err[0]
+        c.query("ROLLBACK")
+        msgs = c.query("BEGIN")
+        msgs = c.query("UPDATE txn_a SET val = 9 WHERE id = 'a1'")
+        err = [p for t, p in msgs if t == b"E"]
+        assert err and b"not supported inside an explicit transaction" in err[0]
+        c.query("ROLLBACK")
+        c.close()
+
+    def test_dropped_connection_aborts(self, srv):
+        import time
+
+        c = self._connect(srv)
+        c.query(self.CREATE_A)
+        c.query("BEGIN")
+        c.query(self.INS_A)
+        c.sock.close()  # abrupt: no Terminate, no COMMIT
+        c2 = self._connect(srv)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if self._count(c2, "txn_a") == 0:
+                break
+            time.sleep(0.2)
+        assert self._count(c2, "txn_a") == 0
+        # and the table still works for new autocommit writes
+        c2.query(self.INS_A.replace("'a1'", "'a2'"))
+        assert self._count(c2, "txn_a") == 1
+        c2.close()
+
+    def test_empty_and_nested_begin(self, srv):
+        c = self._connect(srv)
+        msgs = c.query("BEGIN")
+        msgs = c.query("BEGIN")  # PG warns and leaves the block open
+        assert command_tags(msgs) == ["BEGIN"]
+        assert self._ready_status(msgs) == b"T"
+        msgs = c.query("COMMIT")  # empty transaction commits as a no-op
+        assert command_tags(msgs) == ["COMMIT"]
+        assert self._ready_status(msgs) == b"I"
+        c.close()

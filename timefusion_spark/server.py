@@ -174,6 +174,58 @@ def _split_statements(sql: str) -> list[str]:
     return [s.strip() for s in out if s.strip()]
 
 
+_TXN_VERB_RE = re.compile(r"(?is)^\s*(BEGIN|START\s+TRANSACTION|COMMIT|END|ROLLBACK|ABORT)\b")
+
+
+def _rewrite_idents(sql: str, mapping: dict[str, str]) -> str:
+    """Replace unquoted whole-word table identifiers with their
+    transaction-overlay view names (read-your-own-writes SELECTs inside
+    BEGIN…COMMIT). Quote-aware — single-, double- and dollar-quoted
+    regions pass through verbatim, so literals and quoted identifiers are
+    never touched; a word preceded by `.` is a column reference behind a
+    qualifier and is left alone (a word FOLLOWED by `.` is the qualifier
+    itself and IS rewritten, so `t.col` tracks `FROM t`)."""
+    if not mapping:
+        return sql
+    low = {k.lower(): v for k, v in mapping.items()}
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            m = re.match(r"'(?:''|[^'])*'", sql[i:])
+            frag = m.group(0) if m else sql[i:]
+            out.append(frag)
+            i += len(frag)
+            continue
+        if c == '"':
+            j = sql.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if c == "$":
+            m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
+            if m:
+                tag = m.group(0)
+                j = sql.find(tag, i + len(tag))
+                j = n - len(tag) if j < 0 else j
+                out.append(sql[i : j + len(tag)])
+                i = j + len(tag)
+                continue
+        if c.isalpha() or c == "_":
+            m = re.match(r"[A-Za-z_]\w*", sql[i:])
+            word = m.group(0)
+            prev = sql[i - 1] if i else " "
+            repl = low.get(word.lower())
+            out.append(repl if repl is not None and prev != "." else word)
+            i += len(word)
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 _NO_RESULTSET = re.compile(
     r"(?is)^\s*(SET|RESET|BEGIN|START\s+TRANSACTION|COMMIT|END|ROLLBACK|ABORT"
     r"|DISCARD|FLUSH|OPTIMIZE|VACUUM|INSERT|CREATE|DEALLOCATE)\b"
@@ -214,10 +266,15 @@ class _Handler(socketserver.BaseRequestHandler):
         self._send(b"E", fields)
 
     def _ready(self) -> None:
-        self._send(b"Z", b"I")
+        # ReadyForQuery carries the true transaction status: I idle,
+        # T in an open transaction block, E in a failed one (PG protocol).
+        txn = getattr(self, "_txn", None)
+        status = b"I" if txn is None else (b"E" if txn.failed else b"T")
+        self._send(b"Z", status)
 
     # ── protocol ─────────────────────────────────────────────────────────
     def handle(self) -> None:  # noqa: C901 — the protocol state machine
+        self._txn = None
         try:
             if not self._startup():
                 return
@@ -250,6 +307,18 @@ class _Handler(socketserver.BaseRequestHandler):
                 # anything else: ignore (per-protocol NoticeResponse optional)
         except (ConnectionError, OSError):
             pass
+        finally:
+            # A dropped connection mid-transaction rolls back: the group is
+            # settled ABORTED definitively, so nothing the client staged
+            # can ever become visible (PG disconnect semantics).
+            txn, self._txn = self._txn, None
+            if txn is not None and self.server.runner is not None:
+                try:
+                    with self.server.lock:
+                        self.server.runner.rollback_txn(txn)
+                    self.server.runner.drop_txn_views(txn)
+                except Exception:  # noqa: BLE001 — teardown must not raise
+                    pass
 
     # ── result encoding (shared by the simple and extended paths) ────────
     @staticmethod
@@ -289,7 +358,11 @@ class _Handler(socketserver.BaseRequestHandler):
         try:
             fn(payload)
         except Exception as e:  # noqa: BLE001 — every error goes on the wire
-            self._send_error(str(e).split("\n", 1)[0][:500] or type(e).__name__)
+            msg = str(e).split("\n", 1)[0][:500] or type(e).__name__
+            code = "25P02" if msg.startswith("current transaction is aborted") else "XX000"
+            self._send_error(msg, code=code)
+            if self._txn is not None:
+                self._txn.failed = True  # PG: any in-block error fails it
             self._skip_phase = True
 
     @staticmethod
@@ -373,9 +446,12 @@ class _Handler(socketserver.BaseRequestHandler):
         sql = self._portals.get(portal) if hasattr(self, "_portals") else None
         if sql is None:
             raise ValueError(f"portal {portal!r} does not exist")
+        if self._handle_txn_verb(sql):
+            return
+        self._check_txn_failed()
         if self.server.runner is not None and _is_storage_stmt(sql):
             with self.server.lock:
-                self.server.runner.run_statement(sql)
+                self.server.runner.run_statement(sql, txn=self._txn)
             self._send(b"C", _command_tag(sql, 0).encode() + b"\x00")
             return
         df = self._run(sql)
@@ -401,7 +477,84 @@ class _Handler(socketserver.BaseRequestHandler):
     def _run(self, sql: str):
         from timefusion_spark.pgshim import pg_sql
 
+        # Read-your-own-writes: inside an open transaction that has staged
+        # INSERTs, table references resolve to overlay views that include
+        # the txn's pending group (unique per-group view names — invisible
+        # to every other connection).
+        txn = getattr(self, "_txn", None)
+        if txn is not None and txn.tables and self.server.runner is not None:
+            with self.server.lock:
+                mapping = self.server.runner.register_txn_views(txn)
+            sql = _rewrite_idents(sql, mapping)
         return pg_sql(self.server.spark, sql, tables=self.server.tables)
+
+    # ── explicit transactions (BEGIN / COMMIT / ROLLBACK) ────────────────
+    #
+    # The reference's pgwire layer acks transaction verbs as autocommit
+    # no-ops (pgwire_handlers.rs:648 aliases ABORT→ROLLBACK and passes
+    # them through). This server goes further: BEGIN opens a REAL
+    # transaction backed by a commit group (storage/commitlog.py) —
+    # INSERTs stage invisibly, COMMIT publishes them atomically across
+    # every touched table, ROLLBACK (or a dropped connection) settles the
+    # group aborted so a racing publish fails loudly. In-txn SELECTs read
+    # their own staged writes via overlay views; DDL and UPDATE/DELETE
+    # inside a block are refused (their commits are not group-staged).
+    # After any in-txn error the block enters the PG failed state: every
+    # statement but COMMIT/ROLLBACK answers 25P02, and COMMIT of a failed
+    # block rolls back (returning the ROLLBACK tag, exactly like PG).
+
+    def _handle_txn_verb(self, stmt: str) -> bool:
+        """Intercept a transaction-control statement; True if handled."""
+        m = _TXN_VERB_RE.match(stmt)
+        if m is None:
+            return False
+        # Modifier validation rides the shim's own rule (raises on
+        # SAVEPOINT forms, COMMIT PREPARED, compound statements, …).
+        from timefusion_spark.pgshim import _apply_settings_statement
+
+        _apply_settings_statement(self.server.spark, stmt.strip().rstrip(";").strip())
+        verb = re.sub(r"\s+", " ", m.group(1).upper())
+        runner = self.server.runner
+        if verb in ("BEGIN", "START TRANSACTION"):
+            if runner is not None and self._txn is None:
+                self._txn = runner.begin_txn()
+            # BEGIN inside an open block: PG warns and leaves it open.
+            self._send(b"C", b"BEGIN\x00")
+            return True
+        txn, self._txn = self._txn, None
+        if verb in ("COMMIT", "END"):
+            tag = b"COMMIT"
+            if txn is not None and runner is not None:
+                try:
+                    if txn.failed:
+                        # PG: COMMIT of a failed block performs a rollback
+                        # and reports it in the command tag.
+                        with self.server.lock:
+                            runner.rollback_txn(txn)
+                        tag = b"ROLLBACK"
+                    else:
+                        with self.server.lock:
+                            runner.commit_txn(txn)
+                finally:
+                    runner.drop_txn_views(txn)
+            self._send(b"C", tag + b"\x00")
+            return True
+        # ROLLBACK / ABORT
+        if txn is not None and runner is not None:
+            try:
+                with self.server.lock:
+                    runner.rollback_txn(txn)
+            finally:
+                runner.drop_txn_views(txn)
+        self._send(b"C", b"ROLLBACK\x00")
+        return True
+
+    def _check_txn_failed(self) -> None:
+        if self._txn is not None and self._txn.failed:
+            raise ValueError(
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block"
+            )
 
     def _startup(self) -> bool:
         while True:
@@ -441,15 +594,20 @@ class _Handler(socketserver.BaseRequestHandler):
             return
         for stmt in stmts:
             try:
+                if self._handle_txn_verb(stmt):
+                    continue
+                self._check_txn_failed()
                 if self.server.runner is not None and _is_storage_stmt(stmt):
                     # storage DDL/DML (CREATE TABLE / INSERT / UPDATE /
                     # DELETE / DROP) rides the slt runner's real write
-                    # path — the pgwire INSERT sink of the reference
+                    # path — the pgwire INSERT sink of the reference;
+                    # inside BEGIN…COMMIT the INSERT stages under the
+                    # transaction's commit group
                     with self.server.lock:
-                        self.server.runner.run_statement(stmt)
+                        self.server.runner.run_statement(stmt, txn=self._txn)
                     self._send(b"C", _command_tag(stmt, 0).encode() + b"\x00")
                     continue
-                df = pg_sql(self.server.spark, stmt, tables=self.server.tables)
+                df = self._run(stmt)
                 if _NO_RESULTSET.match(stmt):
                     # command statements complete without a result set
                     # (the shim returns an empty status frame for them)
@@ -463,7 +621,14 @@ class _Handler(socketserver.BaseRequestHandler):
                     self._send(b"D", self._data_row(fields, row))
                 self._send(b"C", _command_tag(stmt, len(rows)).encode() + b"\x00")
             except Exception as e:  # noqa: BLE001 — every error goes on the wire
-                self._send_error(str(e).split("\n", 1)[0][:500] or type(e).__name__)
+                msg = str(e).split("\n", 1)[0][:500] or type(e).__name__
+                code = "25P02" if msg.startswith("current transaction is aborted") else "XX000"
+                self._send_error(msg, code=code)
+                if self._txn is not None:
+                    # any error inside a transaction block fails the block
+                    # (PG 25P02): only COMMIT/ROLLBACK are accepted until
+                    # the client ends it
+                    self._txn.failed = True
                 break  # PG aborts the rest of a multi-statement on error
         self._ready()
 

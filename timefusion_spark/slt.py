@@ -221,6 +221,28 @@ def _split_top(text: str, sep: str = ",") -> list[str]:
     return out
 
 
+@dataclass
+class TxnState:
+    """One open explicit transaction (BEGIN … COMMIT/ROLLBACK): the commit
+    group its INSERTs stage under, the tables it has touched (their views
+    need a read-your-writes overlay and a post-commit refresh), and the
+    PG failed flag — after any in-transaction error, every statement but
+    COMMIT/ROLLBACK is refused until the block ends (PG 25P02 semantics)."""
+
+    group: object
+    tables: set = field(default_factory=set)
+    failed: bool = False
+
+
+def _reject_in_txn(txn: "TxnState | None", what: str) -> None:
+    if txn is not None:
+        raise ValueError(
+            f"{what} is not supported inside an explicit transaction "
+            "(only INSERT and SELECT are transactional; run it outside "
+            "BEGIN…COMMIT)"
+        )
+
+
 class SltEnv:
     """One execution environment: the engine tables + views for a file."""
 
@@ -267,6 +289,29 @@ class SltEnv:
             ]
             df = df.select(*vis)
         df.createOrReplaceTempView(name)
+
+    def register_txn_views(self, txn: "TxnState") -> dict[str, str]:
+        """Read-your-own-writes overlays: for each table the transaction
+        touched, register a uniquely-named temp view whose snapshot
+        ADDITIONALLY includes the txn's own pending group commits
+        (Table.read include_group). The overlay names embed the group id,
+        so no other connection can ever resolve them; the committed-state
+        views under the real table names are untouched. Returns
+        {table_name: overlay_view_name} for the caller's identifier
+        rewrite."""
+        mapping: dict[str, str] = {}
+        for name in sorted(txn.tables):
+            tbl = self.tables.get(name)
+            if tbl is None:
+                continue
+            view = f"__tf_txn_{txn.group.id[:12]}_{name}"
+            tbl.read(include_group=txn.group.id).createOrReplaceTempView(view)
+            mapping[name] = view
+        return mapping
+
+    def drop_txn_views(self, txn: "TxnState") -> None:
+        for name in sorted(txn.tables):
+            self.spark.catalog.dropTempView(f"__tf_txn_{txn.group.id[:12]}_{name}")
 
     def mount_existing(self) -> list[str]:
         """Mount every table directory under base_dir not yet registered
@@ -327,7 +372,19 @@ class SltEnv:
             raise ValueError(f"unknown table {name}")
         return tbl
 
-    def _insert_select(self, m: re.Match) -> None:
+    def _append(self, tbl: Table, df: DataFrame, txn: "TxnState | None") -> None:
+        """One INSERT's landing: autocommit publishes immediately and
+        refreshes the view; inside an explicit transaction the append
+        stages under the txn's commit group (invisible everywhere until
+        commit_txn) and the view refresh waits for the commit."""
+        if txn is None:
+            tbl.append(df)
+            self._refresh(tbl.schema.table_name)
+        else:
+            tbl.append(df, group=txn.group)
+            txn.tables.add(tbl.schema.table_name)
+
+    def _insert_select(self, m: re.Match, txn: "TxnState | None" = None) -> None:
         """INSERT INTO t [(cols)] SELECT … — the column-oriented bulk path
         (tests/e2e/insert_unnest_variant.rs): the SELECT usually reads
         FROM unnest(<array per column>), which the shim lowers to
@@ -343,10 +400,9 @@ class SltEnv:
             raise ValueError(
                 f"INSERT column count {len(cols)} != SELECT width {len(df.columns)}"
             )
-        tbl.append(df.toDF(*cols))
-        self._refresh(tbl.schema.table_name)
+        self._append(tbl, df.toDF(*cols), txn)
 
-    def _insert(self, m: re.Match) -> None:
+    def _insert(self, m: re.Match, txn: "TxnState | None" = None) -> None:
         tbl = self._resolve_insert_target(m.group(1))
         name = tbl.schema.table_name
         cols = (
@@ -360,8 +416,7 @@ class SltEnv:
         df = self.spark.sql(
             f"SELECT * FROM VALUES {values_text}\nAS __ins({', '.join(cols)})"
         )
-        tbl.append(df)
-        self._refresh(name)
+        self._append(tbl, df, txn)
 
     def _source_alias(self, from_text: str) -> tuple[DataFrame, str]:
         m = re.match(r"(?s)^\s*\((.*)\)\s*(?:AS\s+)?(\w+)\s*$", from_text.strip())
@@ -434,27 +489,79 @@ class SltEnv:
 
     # ---- entry points
 
-    def run_statement(self, sql: str) -> None:
+    def run_statement(self, sql: str, txn: "TxnState | None" = None) -> None:
+        """Execute one storage statement. With `txn` (an open explicit
+        transaction from begin_txn), INSERTs stage inside the transaction's
+        commit group — invisible to every reader until commit_txn publishes
+        them atomically; DDL and UPDATE/DELETE are rejected inside an
+        explicit transaction (their commits are not group-staged: an
+        in-place rewrite or version-append publishes immediately, which
+        would break the all-or-nothing contract)."""
         sql = sql.strip().rstrip(";")
         if m := _DROP_RE.match(sql):
+            _reject_in_txn(txn, "DROP TABLE")
             name = m.group(1)
             if name not in self.tables and "IF EXISTS" not in sql.upper():
                 raise ValueError(f"unknown table {name}")
             self.tables.pop(name, None)
             self.spark.catalog.dropTempView(name)
         elif m := _CREATE_RE.match(sql):
+            _reject_in_txn(txn, "CREATE TABLE")
             self._create_table(m)
         elif m := _INSERT_RE.match(sql):
-            self._insert(m)
+            self._insert(m, txn)
         elif m := _INSERT_SEL_RE.match(sql):
-            self._insert_select(m)
+            self._insert_select(m, txn)
         elif m := _UPDATE_RE.match(sql):
+            _reject_in_txn(txn, "UPDATE")
             self._update(m)
         elif m := _DELETE_RE.match(sql):
+            _reject_in_txn(txn, "DELETE")
             self._delete(m)
         else:
             # plain SQL statement (SELECT used as a probe, etc.)
             self.spark.sql(pg_to_spark_sql(sql)).collect()
+
+    # ---- explicit transactions (the pgwire BEGIN/COMMIT/ROLLBACK surface)
+
+    def begin_txn(self) -> "TxnState":
+        """Open an explicit transaction: one commit group whose marker
+        lives under the engine's own base dir (durable with the data, not
+        with any checkpoint). Staged INSERTs are invisible until
+        commit_txn; the group's atomic publish-vs-abort resolution makes
+        COMMIT all-or-nothing across every touched table. A transaction
+        left pending past commitlog.ABORT_AFTER_SECONDS may be settled
+        aborted by concurrent maintenance (checkpoint writer / change-feed
+        ager) — its COMMIT then raises, like a lock-timeout abort; nothing
+        is ever partially published."""
+        from timefusion_spark.storage.commitlog import CommitGroup
+
+        return TxnState(
+            group=CommitGroup(os.path.join(self.base_dir, "_tf_txn")),
+        )
+
+    def commit_txn(self, txn: "TxnState") -> None:
+        """Publish every staged insert of the transaction atomically, then
+        refresh the touched views. Raises if the group was aborted (by
+        ROLLBACK racing, or by the pending-group ager) — in which case
+        nothing became visible."""
+        if txn.tables:
+            txn.group.publish()
+            for name in txn.tables:
+                if name in self.tables:
+                    self._refresh(name)
+
+    def rollback_txn(self, txn: "TxnState") -> None:
+        """Definitively abort: settle the group's resolution as aborted so
+        even a racing publish fails loudly. Staged files stay on disk for
+        vacuum to collect; no reader ever saw them."""
+        from timefusion_spark.storage.commitlog import abort_group
+
+        if txn.tables:
+            ref = {"id": txn.group.id, "marker": txn.group.marker}
+            log_dirs = list(getattr(txn.group, "_log_dirs", [])) or [None]
+            for ld in log_dirs:
+                abort_group(ref, ld)
 
     def run_query(self, sql: str):
         from timefusion_spark.pgshim import expand_qualified_star_in_calls

@@ -347,8 +347,14 @@ class CommitLog:
 
     # ── read side ────────────────────────────────────────────────────────
 
-    def snapshot(self) -> Snapshot:
-        return self._replay(upto=None)
+    def snapshot(self, include_group: str | None = None) -> Snapshot:
+        """Current state. `include_group` additionally treats PENDING
+        commits of that group id as visible — the read-your-own-writes
+        view of an open interactive transaction (the group's owner sees
+        its staged commits; everyone else sees them only after publish).
+        Commits of an ABORTED group stay invisible even to their owner:
+        the transaction is dead, its COMMIT will raise."""
+        return self._replay(upto=None, include_group=include_group)
 
     def snapshot_at(self, version: int) -> Snapshot:
         """The table state as of log `version` (time travel / VERSION AS OF).
@@ -369,7 +375,9 @@ class CommitLog:
             raise ValueError(f"version {version} out of range [0, {latest}]")
         return self._replay(upto=version)
 
-    def _replay(self, upto: int | None) -> Snapshot:
+    def _replay(
+        self, upto: int | None, include_group: str | None = None
+    ) -> Snapshot:
         files: dict[str, int] = {}
         txns: dict[str, int] = {}
         stats: dict[str, dict] = {}
@@ -396,7 +404,15 @@ class CommitLog:
                 continue
             with open(os.path.join(self.log_dir, name)) as fh:
                 rec = json.load(fh)
-            if not _group_visible(rec, self.log_dir):
+            visible = _group_visible(rec, self.log_dir)
+            if not visible and include_group is not None:
+                g = rec.get("group")
+                visible = (
+                    g is not None
+                    and g.get("id") == include_group
+                    and _group_state(rec, self.log_dir) == "pending"
+                )
+            if not visible:
                 # pending/aborted coalesced commit: contributes nothing —
                 # not even its txn watermark, so a replayed streaming batch
                 # re-appends instead of being skipped as a re-delivery.

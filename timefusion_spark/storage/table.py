@@ -399,7 +399,12 @@ class Table:
 
     # ── read path ────────────────────────────────────────────────────────
 
-    def read_raw(self, version: int | None = None, _dv_coords: bool = False) -> DataFrame:
+    def read_raw(
+        self,
+        version: int | None = None,
+        _dv_coords: bool = False,
+        include_group: str | None = None,
+    ) -> DataFrame:
         """All physical row versions (no dedup, no tombstone filter), read
         from the commit log's CURRENT SNAPSHOT — exactly the committed
         files, never a concurrent writer's in-flight ones. The explicit
@@ -415,7 +420,9 @@ class Table:
         cols = [f.name for f in self.schema.fields]
         if self.log.exists():
             if version is None:
-                snap_files = list(self.log.snapshot().files)
+                # include_group = read-your-own-writes for an open
+                # interactive transaction (see CommitLog.snapshot)
+                snap_files = list(self.log.snapshot(include_group=include_group).files)
             else:
                 snap_files = list(self.log.snapshot_at(version).files)
             data_rel = [p for p in snap_files if not p.startswith(DV_DIR + "/")]
@@ -581,6 +588,7 @@ class Table:
         policy: str = KEEP_GREATEST,
         with_tombstones: bool = False,
         version: int | None = None,
+        include_group: str | None = None,
     ) -> DataFrame:
         """The merge-on-read view (read_dedup.rs:25-40 + database.rs:12906),
         optionally time-traveled to log `version`.
@@ -589,7 +597,9 @@ class Table:
         the reference's rule that filters on version-mutable columns must
         not push below DedupExec (database.rs:12507-12533). Partition-column
         filters still prune the scan (window partition keys are preserved)."""
-        df = self._dedup_view(self.read_raw(version=version), policy)
+        df = self._dedup_view(
+            self.read_raw(version=version, include_group=include_group), policy
+        )
         return df if with_tombstones else self._tombstone_filter(df)
 
     def scan(
