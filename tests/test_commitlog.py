@@ -654,3 +654,46 @@ class TestIncludeGroupReads:
         assert a.read(include_group=g.id).count() == 3
         g.publish()
         assert a.read().count() == 3
+
+
+class TestManyConcurrentLogWriters:
+    def test_eight_writers_no_lost_commits(self, tmp_path):
+        """8 threads × 10 commits racing the create-if-absent version claim
+        on one raw CommitLog: every commit lands (no lost updates), the
+        version sequence is contiguous, and replay retains every add —
+        the optimistic-concurrency loop under real contention."""
+        import threading
+
+        from timefusion_spark.storage.commitlog import CommitLog
+
+        log = CommitLog(str(tmp_path / "t"))
+        log.init()
+        errs: list[Exception] = []
+
+        def writer(w: int):
+            try:
+                for j in range(10):
+                    log.commit(add=[(f"part/w{w}-{j}.parquet", 1)])
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=writer, args=(w,)) for w in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs
+        assert log.latest_version() == 80  # create + 80 commits
+        snap = log.snapshot()
+        assert len(snap.files) == 80
+        assert snap.version == 80
+        # contiguous versions: every one of 0..80 has exactly one record
+        import os as _os
+
+        versions = sorted(
+            int(f.split(".")[0])
+            for f in _os.listdir(log.log_dir)
+            if f.endswith(".json") and not f.endswith(".checkpoint.json")
+            and not f.startswith(".")
+        )
+        assert versions == list(range(81))

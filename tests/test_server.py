@@ -509,3 +509,56 @@ class TestTransactions:
         assert command_tags(msgs) == ["COMMIT"]
         assert self._ready_status(msgs) == b"I"
         c.close()
+
+
+class TestConcurrentTransactions:
+    """Two connections, two simultaneous open blocks on the SAME table:
+    each stages under its own commit group, each sees only its own rows
+    plus committed state, and the commits land independently."""
+
+    CREATE_A = TestTransactions.CREATE_A
+    INS_A = TestTransactions.INS_A
+
+    @pytest.fixture()
+    def srv(self, spark, tmp_path):
+        server = PgWireServer(spark, base_dir=str(tmp_path / "ctxn_data")).start()
+        yield server
+        server.stop()
+
+    _connect = staticmethod(TestTransactions._connect)
+
+    def test_two_open_blocks_isolated_then_both_commit(self, srv):
+        c1, c2 = self._connect(srv), self._connect(srv)
+        c1.query(self.CREATE_A)
+        c1.query("BEGIN")
+        c2.query("BEGIN")
+        c1.query(self.INS_A)
+        c2.query(self.INS_A.replace("'a1'", "'a2'"))
+        # each owner sees exactly its own staged row
+        assert rows_of(c1.query("SELECT id FROM txn_a ORDER BY id")) == [["a1"]]
+        assert rows_of(c2.query("SELECT id FROM txn_a ORDER BY id")) == [["a2"]]
+        c1.query("COMMIT")
+        # c2's block still open: sees committed a1 + its own staged a2
+        assert rows_of(c2.query("SELECT id FROM txn_a ORDER BY id")) == [
+            ["a1"], ["a2"],
+        ]
+        c2.query("COMMIT")
+        assert rows_of(c1.query("SELECT id FROM txn_a ORDER BY id")) == [
+            ["a1"], ["a2"],
+        ]
+        c1.close()
+        c2.close()
+
+    def test_one_commits_one_rolls_back(self, srv):
+        c1, c2 = self._connect(srv), self._connect(srv)
+        c1.query(self.CREATE_A)
+        c1.query("BEGIN")
+        c2.query("BEGIN")
+        c1.query(self.INS_A)
+        c2.query(self.INS_A.replace("'a1'", "'a2'"))
+        c1.query("COMMIT")
+        c2.query("ROLLBACK")
+        for c in (c1, c2):
+            assert rows_of(c.query("SELECT id FROM txn_a ORDER BY id")) == [["a1"]]
+        c1.close()
+        c2.close()
