@@ -1852,3 +1852,86 @@ def q_count_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("scope")
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_txn_atomic_commit",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= {_N}
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+    doc="Explicit-transaction lifecycle over the engine's own statement "
+    "path (the pgwire BEGIN…COMMIT surface; beyond the reference, whose "
+    "pgwire layer acks transaction verbs as autocommit no-ops — "
+    "pgwire_handlers.rs:648): txn 1 stages half the orders subset and "
+    "COMMITs (atomic group publish); txn 2 stages poison rows that would "
+    "change every aggregate and ROLLs BACK (definitive group abort); "
+    "txn 3 stages the other half with read-your-own-writes asserted "
+    "mid-flight (owner sees staged + committed, plain readers see "
+    "committed only) and COMMITs. The final per-status aggregate equals "
+    "the plain orders subset — any torn publish, rollback leak, or "
+    "read-your-writes contamination of committed state changes the "
+    "numbers.",
+)
+def q_txn_atomic_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.slt import SltEnv
+
+    base_dir = tempfile.mkdtemp(prefix="tf_txnq_")
+    try:
+        env = SltEnv(spark, base_dir)
+        env.run_statement(
+            "CREATE TABLE txn_t (ts TIMESTAMP, id TEXT, status TEXT, "
+            "val DOUBLE, project_id TEXT)"
+        )
+        t(spark, sf_dir, "orders").createOrReplaceTempView("__txn_src")
+        mid = _N // 2
+        ins = (
+            "INSERT INTO txn_t SELECT "
+            "timestamp '2026-03-01 00:00:00', CAST(o_orderkey AS STRING), "
+            "o_orderstatus, o_totalprice, 'p1' FROM __txn_src "
+            "WHERE o_orderkey > {lo} AND o_orderkey <= {hi}"
+        )
+        tbl = env.tables["txn_t"]
+
+        # txn 1: first half, atomic commit
+        txn1 = env.begin_txn()
+        env.run_statement(ins.format(lo=0, hi=mid), txn=txn1)
+        assert tbl.read().count() == 0  # staged, invisible
+        env.commit_txn(txn1)
+        committed = tbl.read().count()
+        assert committed > 0
+
+        # txn 2: poison rows (same keys, wild values) — rolled back
+        txn2 = env.begin_txn()
+        env.run_statement(
+            "INSERT INTO txn_t SELECT timestamp '2026-03-02 00:00:00', "
+            "CAST(o_orderkey AS STRING), 'XX', 1e9, 'p1' FROM __txn_src "
+            f"WHERE o_orderkey <= {_N}",
+            txn=txn2,
+        )
+        assert tbl.read().count() == committed  # plain readers: unchanged
+        env.rollback_txn(txn2)
+
+        # txn 3: second half; read-your-own-writes asserted mid-flight
+        txn3 = env.begin_txn()
+        env.run_statement(ins.format(lo=mid, hi=_N), txn=txn3)
+        own = tbl.read(include_group=txn3.group.id).count()
+        assert own > committed, (own, committed)  # owner: staged + committed
+        assert tbl.read().count() == committed  # others: committed only
+        env.commit_txn(txn3)
+
+        out = (
+            tbl.read()
+            .groupBy(F.col("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("val"), 2).alias("total"),
+            )
+            .orderBy("status")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -98,8 +98,12 @@ PRIORITY: tuple[str, ...] = (
     "q_percentile_tiles",
     "q_asof_join",
     "q_hypertable_rollup",
-    "q_latest_event_per_user",
     "q_recent_events_topk",
+    # round 7 late addition: the explicit-transaction lifecycle (commit-
+    # group staging, atomic publish, definitive rollback, read-your-own-
+    # writes) — brand-new code path; rotated out: q_latest_event_per_user
+    # (multi-round certified, pure built-in window shape, unchanged)
+    "q_txn_atomic_commit",
     # new round 7 (rotated in; rotated out: q_moving_avg /
     # q_sessionization — multi-round certified, pure built-in window
     # shapes, unchanged; the count index and the trigram-indexed search
