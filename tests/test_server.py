@@ -562,3 +562,26 @@ class TestConcurrentTransactions:
             assert rows_of(c.query("SELECT id FROM txn_a ORDER BY id")) == [["a1"]]
         c1.close()
         c2.close()
+
+
+class TestAdminVerbsInTxn:
+    """VACUUM/OPTIMIZE/FLUSH commit immediately (not group-staged), so —
+    exactly like PG's VACUUM — they are refused inside a transaction
+    block (and still work outside one)."""
+
+    def test_vacuum_refused_inside_block(self, spark, tmp_path):
+        srv = PgWireServer(spark, base_dir=str(tmp_path / "adm_data")).start()
+        try:
+            c = WireClient(srv.port)
+            c.startup()
+            c.query(TestTransactions.CREATE_A)
+            c.query("BEGIN")
+            msgs = c.query("VACUUM txn_a")
+            err = [p for t, p in msgs if t == b"E"]
+            assert err and b"cannot run inside a transaction block" in err[0]
+            c.query("ROLLBACK")
+            msgs = c.query("VACUUM txn_a")  # outside a block: fine
+            assert not [p for t, p in msgs if t == b"E"]
+            c.close()
+        finally:
+            srv.stop()

@@ -175,6 +175,7 @@ def _split_statements(sql: str) -> list[str]:
 
 
 _TXN_VERB_RE = re.compile(r"(?is)^\s*(BEGIN|START\s+TRANSACTION|COMMIT|END|ROLLBACK|ABORT)\b")
+_ADMIN_VERB_RE = re.compile(r"(?is)^\s*(VACUUM|OPTIMIZE|FLUSH)\b")
 
 
 def _rewrite_idents(sql: str, mapping: dict[str, str]) -> str:
@@ -449,6 +450,7 @@ class _Handler(socketserver.BaseRequestHandler):
         if self._handle_txn_verb(sql):
             return
         self._check_txn_failed()
+        self._check_txn_allowed(sql)
         if self.server.runner is not None and _is_storage_stmt(sql):
             with self.server.lock:
                 self.server.runner.run_statement(sql, txn=self._txn)
@@ -550,10 +552,22 @@ class _Handler(socketserver.BaseRequestHandler):
         return True
 
     def _check_txn_failed(self) -> None:
-        if self._txn is not None and self._txn.failed:
+        if self._txn is None:
+            return
+        if self._txn.failed:
             raise ValueError(
                 "current transaction is aborted, commands ignored until "
                 "end of transaction block"
+            )
+
+    def _check_txn_allowed(self, stmt: str) -> None:
+        """Maintenance verbs commit immediately (their rewrites are not
+        group-staged), so PG-style they cannot run inside a transaction
+        block (PG raises 25001 for VACUUM the same way)."""
+        if self._txn is not None and _ADMIN_VERB_RE.match(stmt):
+            raise ValueError(
+                f"{stmt.split(None, 1)[0].upper()} cannot run inside a "
+                "transaction block"
             )
 
     def _startup(self) -> bool:
@@ -597,6 +611,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 if self._handle_txn_verb(stmt):
                     continue
                 self._check_txn_failed()
+                self._check_txn_allowed(stmt)
                 if self.server.runner is not None and _is_storage_stmt(stmt):
                     # storage DDL/DML (CREATE TABLE / INSERT / UPDATE /
                     # DELETE / DROP) rides the slt runner's real write
