@@ -232,3 +232,59 @@ class TestWireParsingProperties:
         sql = f"SELECT {lit}, $1"
         out = _substitute_params(sql, ["x"])
         assert out == f"SELECT {lit}, 'x'"
+
+
+class TestRewriteIdents:
+    """Property tests for the transaction view-overlay identifier rewrite
+    (server._rewrite_idents): quoted regions are inviolable, non-table
+    words never change, and the rewrite is a fixpoint of itself when the
+    mapping's values don't collide with its keys."""
+
+    @given(st.text(alphabet="abcdef eventsx.,'\"$;()", max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def test_empty_mapping_is_identity(self, sql):
+        from timefusion_spark.server import _rewrite_idents
+
+        assert _rewrite_idents(sql, {}) == sql
+
+    @given(st.text(alphabet="abxy _.,'()=", max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_nonmatching_words_untouched(self, sql):
+        from timefusion_spark.server import _rewrite_idents
+
+        assert _rewrite_idents(sql, {"zzz_table": "__v"}) == sql
+
+    @given(st.text(alphabet="abc events'%_", max_size=20))
+    @settings(max_examples=300, deadline=None)
+    def test_single_quoted_literals_inviolable(self, body):
+        from timefusion_spark.server import _rewrite_idents
+
+        lit = "'" + body.replace("'", "''") + "'"
+        sql = f"SELECT {lit} FROM events"
+        out = _rewrite_idents(sql, {"events": "__v_events"})
+        assert out == f"SELECT {lit} FROM __v_events"
+
+    @given(st.text(alphabet="abc events ._", max_size=30))
+    @settings(max_examples=300, deadline=None)
+    def test_rewrite_is_idempotent_on_disjoint_names(self, sql):
+        """Values never collide with keys, so rewriting twice == once."""
+        from timefusion_spark.server import _rewrite_idents
+
+        m = {"events": "__v_events", "abc": "__v_abc"}
+        once = _rewrite_idents(sql, m)
+        assert _rewrite_idents(once, m) == once
+
+    @given(
+        st.lists(
+            st.sampled_from(["events", "docs", "col", "x"]), min_size=1, max_size=6
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_qualified_column_refs_keep_qualifier_semantics(self, words):
+        """`w.c` rewrites w (the relation qualifier) but never c."""
+        from timefusion_spark.server import _rewrite_idents
+
+        sql = " ".join(f"{w}.events" for w in words)
+        out = _rewrite_idents(sql, {"events": "__v"})
+        # events AFTER a dot is a column ref — must survive verbatim
+        assert ".events" in out and ".__v" not in out
