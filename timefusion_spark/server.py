@@ -176,6 +176,12 @@ def _split_statements(sql: str) -> list[str]:
 
 _TXN_VERB_RE = re.compile(r"(?is)^\s*(BEGIN|START\s+TRANSACTION|COMMIT|END|ROLLBACK|ABORT)\b")
 _ADMIN_VERB_RE = re.compile(r"(?is)^\s*(VACUUM|OPTIMIZE|FLUSH)\b")
+_SAVEPOINT_RE = re.compile(r"(?is)^\s*SAVEPOINT\s+([A-Za-z_]\w*)\s*;?\s*$")
+_ROLLBACK_TO_RE = re.compile(
+    r"(?is)^\s*ROLLBACK\s+(?:WORK\s+|TRANSACTION\s+)?TO\s+(?:SAVEPOINT\s+)?"
+    r"([A-Za-z_]\w*)\s*;?\s*$"
+)
+_RELEASE_RE = re.compile(r"(?is)^\s*RELEASE\s+(?:SAVEPOINT\s+)?([A-Za-z_]\w*)\s*;?\s*$")
 
 
 def _rewrite_idents(sql: str, mapping: dict[str, str]) -> str:
@@ -229,7 +235,7 @@ def _rewrite_idents(sql: str, mapping: dict[str, str]) -> str:
 
 _NO_RESULTSET = re.compile(
     r"(?is)^\s*(SET|RESET|BEGIN|START\s+TRANSACTION|COMMIT|END|ROLLBACK|ABORT"
-    r"|DISCARD|FLUSH|OPTIMIZE|VACUUM|INSERT|CREATE|DEALLOCATE)\b"
+    r"|SAVEPOINT|RELEASE|DISCARD|FLUSH|OPTIMIZE|VACUUM|INSERT|CREATE|DEALLOCATE)\b"
 )
 
 
@@ -507,6 +513,8 @@ class _Handler(socketserver.BaseRequestHandler):
 
     def _handle_txn_verb(self, stmt: str) -> bool:
         """Intercept a transaction-control statement; True if handled."""
+        if self._handle_savepoint_verb(stmt):
+            return True
         m = _TXN_VERB_RE.match(stmt)
         if m is None:
             return False
@@ -550,6 +558,42 @@ class _Handler(socketserver.BaseRequestHandler):
                 runner.drop_txn_views(txn)
         self._send(b"C", b"ROLLBACK\x00")
         return True
+
+    def _handle_savepoint_verb(self, stmt: str) -> bool:
+        """SAVEPOINT / ROLLBACK TO [SAVEPOINT] / RELEASE [SAVEPOINT] — the
+        PG nested-transaction surface (psycopg2's with-block emulation).
+        Savepoints ride abort-only segment guards on the commit log:
+        ROLLBACK TO settles the segments at-and-after the savepoint
+        aborted (their staged commits die forever) and — per PG — clears
+        the block's failed state; COMMIT remains one atomic umbrella
+        publish."""
+        runner = self.server.runner
+        if m := _SAVEPOINT_RE.match(stmt):
+            self._require_block("SAVEPOINT")
+            self._check_txn_failed()
+            with self.server.lock:
+                runner.savepoint(self._txn, m.group(1))
+            self._send(b"C", b"SAVEPOINT\x00")
+            return True
+        if m := _ROLLBACK_TO_RE.match(stmt):
+            self._require_block("ROLLBACK TO SAVEPOINT")
+            with self.server.lock:
+                runner.rollback_to_savepoint(self._txn, m.group(1))
+            self._txn.failed = False  # PG: rollback-to recovers the block
+            self._send(b"C", b"ROLLBACK\x00")
+            return True
+        if m := _RELEASE_RE.match(stmt):
+            self._require_block("RELEASE SAVEPOINT")
+            self._check_txn_failed()
+            with self.server.lock:
+                runner.release_savepoint(self._txn, m.group(1))
+            self._send(b"C", b"RELEASE\x00")
+            return True
+        return False
+
+    def _require_block(self, what: str) -> None:
+        if self._txn is None or self.server.runner is None:
+            raise ValueError(f"{what} can only be used in transaction blocks")
 
     def _check_txn_failed(self) -> None:
         if self._txn is None:

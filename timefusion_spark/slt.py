@@ -232,6 +232,16 @@ class TxnState:
     group: object
     tables: set = field(default_factory=set)
     failed: bool = False
+    # SAVEPOINT machinery: each savepoint opens a SEGMENT (an abort-only
+    # gate every later INSERT's commit carries). ROLLBACK TO settles the
+    # segments at-and-after the savepoint 'aborted' — their commits die
+    # forever — while COMMIT remains ONE atomic umbrella publish.
+    segments: list = field(default_factory=list)
+    savepoints: dict = field(default_factory=dict)  # name -> segment index
+
+    @property
+    def current_segment(self):
+        return self.segments[-1] if self.segments else None
 
 
 def _reject_in_txn(txn: "TxnState | None", what: str) -> None:
@@ -381,7 +391,7 @@ class SltEnv:
             tbl.append(df)
             self._refresh(tbl.schema.table_name)
         else:
-            tbl.append(df, group=txn.group)
+            tbl.append(df, group=txn.group, segment=txn.current_segment)
             txn.tables.add(tbl.schema.table_name)
 
     def _insert_select(self, m: re.Match, txn: "TxnState | None" = None) -> None:
@@ -539,6 +549,46 @@ class SltEnv:
         return TxnState(
             group=CommitGroup(os.path.join(self.base_dir, "_tf_txn")),
         )
+
+    def savepoint(self, txn: "TxnState", name: str) -> None:
+        """SAVEPOINT name: statements from here stage under a fresh
+        abort-only segment; a later savepoint with the same name shadows
+        this one (PG semantics)."""
+        from timefusion_spark.storage.commitlog import CommitGroup
+
+        txn.segments.append(CommitGroup(os.path.join(self.base_dir, "_tf_txn")))
+        txn.savepoints[name.lower()] = len(txn.segments) - 1
+
+    def rollback_to_savepoint(self, txn: "TxnState", name: str) -> None:
+        """ROLLBACK TO [SAVEPOINT] name: definitively abort every segment
+        opened at or after the savepoint — their staged commits become
+        permanently invisible (even to the owner) — then reopen a fresh
+        segment under the SAME savepoint name (PG keeps the savepoint
+        usable after a rollback-to). Inner savepoints are destroyed."""
+        from timefusion_spark.storage.commitlog import CommitGroup, abort_group
+
+        idx = txn.savepoints.get(name.lower())
+        if idx is None:
+            raise ValueError(f'savepoint "{name}" does not exist')
+        for seg in txn.segments[idx:]:
+            ref = {"id": seg.id, "marker": seg.marker}
+            log_dirs = list(getattr(seg, "_log_dirs", [])) or [None]
+            for ld in log_dirs:
+                abort_group(ref, ld)
+        del txn.segments[idx:]
+        txn.savepoints = {n: i for n, i in txn.savepoints.items() if i < idx}
+        txn.segments.append(CommitGroup(os.path.join(self.base_dir, "_tf_txn")))
+        txn.savepoints[name.lower()] = len(txn.segments) - 1
+
+    def release_savepoint(self, txn: "TxnState", name: str) -> None:
+        """RELEASE [SAVEPOINT] name: the savepoint (and inner ones) stop
+        being rollback targets; nothing is aborted — already-staged
+        commits keep their segment guards, which absent an abort read as
+        visible, so release costs nothing."""
+        idx = txn.savepoints.get(name.lower())
+        if idx is None:
+            raise ValueError(f'savepoint "{name}" does not exist')
+        txn.savepoints = {n: i for n, i in txn.savepoints.items() if i < idx}
 
     def commit_txn(self, txn: "TxnState") -> None:
         """Publish every staged insert of the transaction atomically, then

@@ -161,6 +161,25 @@ def abort_group(group_ref: dict, log_dir: str | None = None) -> str:
     return state
 
 
+def _segment_ok(rec: dict, log_dir: str | None = None) -> bool:
+    """Segment guards are ABORT-ONLY gates (the SAVEPOINT mechanism): a
+    commit entry carrying one is visible unless that segment was settled
+    'aborted' (ROLLBACK TO SAVEPOINT). An absent marker means the segment
+    was never rolled back — no publish step exists, so COMMIT stays ONE
+    atomic umbrella-group publish with no multi-marker crash window."""
+    s = rec.get("segment")
+    if s is None:
+        return True
+    if log_dir is not None:
+        local = _local_group_record(log_dir, s["id"])
+        if local is not None:
+            return local != "aborted"
+    if os.path.exists(s["marker"]):
+        with open(s["marker"]) as fh:
+            return fh.read().strip() != "aborted"
+    return True
+
+
 def _group_state(rec: dict, log_dir: str | None = None) -> str:
     """'published' | 'aborted' | 'pending' for a commit record's group
     (records without a group are trivially 'published'). Checks the
@@ -181,8 +200,10 @@ def _group_state(rec: dict, log_dir: str | None = None) -> str:
 
 def _group_visible(rec: dict, log_dir: str | None = None) -> bool:
     """A commit entry referencing an UNPUBLISHED group is invisible: its
-    files, removes and txn watermark all stay out of the snapshot."""
-    return _group_state(rec, log_dir) == "published"
+    files, removes and txn watermark all stay out of the snapshot. An
+    entry whose SEGMENT guard was aborted (rolled-back savepoint) is
+    invisible forever, even after its group publishes."""
+    return _group_state(rec, log_dir) == "published" and _segment_ok(rec, log_dir)
 
 
 @dataclass
@@ -238,6 +259,7 @@ class CommitLog:
         txn: tuple[str, int] | None = None,
         op: str = "append",
         group: CommitGroup | None = None,
+        segment: CommitGroup | None = None,
     ) -> int:
         """Atomically publish one commit; returns its version.
 
@@ -249,7 +271,10 @@ class CommitLog:
         commit loop.
 
         With `group`, the commit stays INVISIBLE until the group's marker
-        publishes (coalesced multi-table commit — see CommitGroup)."""
+        publishes (coalesced multi-table commit — see CommitGroup). With
+        `segment` (a second CommitGroup used as an ABORT-ONLY gate), the
+        commit additionally dies forever if that segment is settled
+        aborted — the SAVEPOINT mechanism (see _segment_ok)."""
         remove = remove or []
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         try:
@@ -271,6 +296,8 @@ class CommitLog:
                     rec["txn"] = {"app_id": txn[0], "version": int(txn[1])}
                 if group is not None:
                     rec["group"] = {"id": group.id, "marker": group.marker}
+                if segment is not None:
+                    rec["segment"] = {"id": segment.id, "marker": segment.marker}
                 with open(tmp, "w") as fh:
                     json.dump(rec, fh)
                     fh.flush()
@@ -282,6 +309,8 @@ class CommitLog:
                     continue  # lost the version race — rebuild against the new tip
                 if group is not None:
                     group.register(self.log_dir)
+                if segment is not None:
+                    segment.register(self.log_dir)
                 if version > 0 and version % CHECKPOINT_EVERY == 0:
                     self._write_checkpoint(version)
                 return version
@@ -411,6 +440,7 @@ class CommitLog:
                     g is not None
                     and g.get("id") == include_group
                     and _group_state(rec, self.log_dir) == "pending"
+                    and _segment_ok(rec, self.log_dir)
                 )
             if not visible:
                 # pending/aborted coalesced commit: contributes nothing —

@@ -322,6 +322,7 @@ class Table:
         stamp: Column | str | None = None,
         txn: tuple[str, int] | None = None,
         group=None,
+        segment=None,
     ) -> None:
         """Full write path: coerce → stamp_version → in-batch LWW dedup →
         sortWithinPartitions(sorting_columns) → staged partitioned write →
@@ -373,7 +374,7 @@ class Table:
             return
         added = self._stage_write(batch)
         if added or txn is not None:
-            self.log.commit(add=added, txn=txn, op="append", group=group)
+            self.log.commit(add=added, txn=txn, op="append", group=group, segment=segment)
 
     def overwrite_partitions(self, df: DataFrame, dirs: list[str] | None = None) -> None:
         """Replace exactly the partitions present in `df` (dynamic partition
