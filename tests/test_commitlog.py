@@ -572,6 +572,44 @@ class TestGroupDurabilityAndAbort:
             g.publish()
         assert a.read().count() == 0
 
+    def test_per_group_abort_threshold_and_heartbeat(self, spark, tmp_path, two_tables):
+        """The pending-group ager honors each group's DECLARED abort_after
+        (carried in the commit record): an interactive group aged well past
+        the 60 s streaming crash-arbiter is deferred, not aborted, by the
+        checkpoint boundary — and heartbeat() refreshes its pending age so
+        a live coordinator can stay open indefinitely. Streaming groups
+        (default threshold) keep the tight arbiter, per
+        test_checkpoint_ages_out_pending_group."""
+        import time
+
+        from timefusion_spark.storage.commitlog import (
+            CHECKPOINT_EVERY,
+            INTERACTIVE_ABORT_AFTER_SECONDS,
+            CommitGroup,
+            _group_state,
+        )
+
+        a, _ = two_tables
+        g = CommitGroup(
+            str(tmp_path / "groups"), abort_after=INTERACTIVE_ABORT_AFTER_SECONDS
+        )
+        a.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g)
+        v = a.log.latest_version()
+        rec = a.log.entry(v)
+        assert rec["group"]["abort_after"] == INTERACTIVE_ABORT_AFTER_SECONDS
+        path = os.path.join(a.log.log_dir, f"{v:08d}.json")
+        old = time.time() - 3600  # far past the streaming threshold
+        os.utime(path, (old, old))
+        for i in range(CHECKPOINT_EVERY + 1):
+            a.log.commit(add=[], op="append", txn=("filler", i))
+        # checkpoint writer deferred instead of aborting the young-for-its-
+        # threshold interactive group
+        assert _group_state(a.log.entry(v), a.log.log_dir) == "pending"
+        g.heartbeat()
+        assert os.path.getmtime(path) > old + 1
+        g.publish()
+        assert a.read().count() == 3
+
     def test_snapshot_at_read_time_resolution(self, spark, tmp_path, two_tables):
         """Pinned time-travel semantics under coalesced commits: group
         visibility resolves at READ time. snapshot_at(v) excludes a

@@ -421,6 +421,47 @@ class TestTransactions:
         c1.close()
         c2.close()
 
+    def test_slow_interactive_txn_survives_agers(self, srv):
+        """A wire transaction whose client pauses past the STREAMING
+        crash-arbiter threshold (simulated by backdating the staged commit
+        record's mtime past ABORT_AFTER_SECONDS) is NOT aborted by a
+        change-feed poll or a checkpoint boundary: interactive groups
+        declare INTERACTIVE_ABORT_AFTER_SECONDS and heartbeat on every
+        statement, so COMMIT still publishes — PG has no default
+        idle-in-transaction timeout."""
+        import os
+        import time
+
+        from timefusion_spark.sources.changefeed import _ChangeFeedStreamReader
+        from timefusion_spark.storage.commitlog import (
+            ABORT_AFTER_SECONDS,
+            _group_state,
+        )
+
+        c = self._connect(srv)
+        c.query(self.CREATE_A)
+        runner = srv._server.runner
+        tbl = runner.tables["txn_a"]
+        reader = _ChangeFeedStreamReader({"path": tbl.path})
+        reader.latestOffset()  # prime the steady-state scan window
+        c.query("BEGIN")
+        c.query(self.INS_A)
+        v = tbl.log.latest_version()
+        assert tbl.log.entry(v).get("group") is not None
+        path = os.path.join(tbl.log.log_dir, f"{v:08d}.json")
+        old = time.time() - ABORT_AFTER_SECONDS * 3  # "client thinks a while"
+        os.utime(path, (old, old))
+        reader.latestOffset()  # change-feed poll runs the ager…
+        tbl.log._write_checkpoint(tbl.log.latest_version())  # …and a boundary
+        assert _group_state(tbl.log.entry(v), tbl.log.log_dir) == "pending"
+        # the next statement heartbeats the staged record back to fresh
+        assert self._count(c, "txn_a") == 1
+        assert os.path.getmtime(path) > old + 1
+        msgs = c.query("COMMIT")
+        assert command_tags(msgs) == ["COMMIT"]
+        assert self._count(c, "txn_a") == 1
+        c.close()
+
     def test_rollback_discards_everything(self, srv):
         c = self._connect(srv)
         c.query(self.CREATE_A)

@@ -309,6 +309,7 @@ class SltEnv:
         views under the real table names are untouched. Returns
         {table_name: overlay_view_name} for the caller's identifier
         rewrite."""
+        txn.group.heartbeat()  # in-txn reads also count as liveness
         mapping: dict[str, str] = {}
         for name in sorted(txn.tables):
             tbl = self.tables.get(name)
@@ -391,6 +392,7 @@ class SltEnv:
             tbl.append(df)
             self._refresh(tbl.schema.table_name)
         else:
+            txn.group.heartbeat()  # active coordinator: refresh pending age
             tbl.append(df, group=txn.group, segment=txn.current_segment)
             txn.tables.add(tbl.schema.table_name)
 
@@ -539,15 +541,27 @@ class SltEnv:
         lives under the engine's own base dir (durable with the data, not
         with any checkpoint). Staged INSERTs are invisible until
         commit_txn; the group's atomic publish-vs-abort resolution makes
-        COMMIT all-or-nothing across every touched table. A transaction
-        left pending past commitlog.ABORT_AFTER_SECONDS may be settled
-        aborted by concurrent maintenance (checkpoint writer / change-feed
-        ager) — its COMMIT then raises, like a lock-timeout abort; nothing
-        is ever partially published."""
-        from timefusion_spark.storage.commitlog import CommitGroup
+        COMMIT all-or-nothing across every touched table.
+
+        Lifetime: interactive groups declare commitlog.INTERACTIVE_ABORT_
+        AFTER_SECONDS (a day) instead of the 60 s streaming crash-arbiter,
+        and every statement the transaction runs heartbeats the staged
+        commit records — so a client that stages an INSERT and thinks for
+        minutes is never aborted by a concurrent change-feed poll or
+        checkpoint boundary (PG's idle-in-transaction timeout defaults to
+        disabled). Only a coordinator whose heartbeats stopped for the
+        full threshold ages out; its COMMIT then raises, like a
+        lock-timeout abort — nothing is ever partially published."""
+        from timefusion_spark.storage.commitlog import (
+            INTERACTIVE_ABORT_AFTER_SECONDS,
+            CommitGroup,
+        )
 
         return TxnState(
-            group=CommitGroup(os.path.join(self.base_dir, "_tf_txn")),
+            group=CommitGroup(
+                os.path.join(self.base_dir, "_tf_txn"),
+                abort_after=INTERACTIVE_ABORT_AFTER_SECONDS,
+            ),
         )
 
     def savepoint(self, txn: "TxnState", name: str) -> None:

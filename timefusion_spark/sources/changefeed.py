@@ -159,14 +159,17 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         # A PENDING coalesced commit (group resolution not yet settled)
         # must not be skipped over: cap the tip just below it so the batch
         # that includes it plans only after publish. A pending entry older
-        # than ABORT_AFTER_SECONDS is settled as ABORTED first — the
-        # atomic arbiter makes a late publish() fail instead of
-        # resurrecting rows this feed has permanently advanced past — so
-        # the skip is definitive, never a silent data loss.
+        # than ITS GROUP'S declared abort_after (60 s for streaming
+        # coordinators; a heartbeat-refreshed day for interactive pgwire
+        # transactions, which this poll therefore never ages out while the
+        # client is alive) is settled as ABORTED first — the atomic
+        # arbiter makes a late publish() fail instead of resurrecting rows
+        # this feed has permanently advanced past — so the skip is
+        # definitive, never a silent data loss.
         import time as _time
 
         from timefusion_spark.storage.commitlog import (
-            ABORT_AFTER_SECONDS,
+            _group_abort_after,
             _group_state,
             abort_group,
         )
@@ -185,7 +188,7 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
                 rec = json.load(fh)
             state = _group_state(rec, log_dir)
             if state == "pending":
-                if _time.time() - os.path.getmtime(p) < ABORT_AFTER_SECONDS:
+                if _time.time() - os.path.getmtime(p) < _group_abort_after(rec):
                     tip = v - 1
                     break
                 abort_group(rec["group"], log_dir)

@@ -48,7 +48,30 @@ CHECKPOINT_EVERY = 20
 # DEFINITIVELY — the abort is settled by the same atomic create that
 # settles publish, so a slow coordinator's late publish() fails loudly
 # instead of racing visibility decisions already baked elsewhere.
+#
+# The threshold is PER GROUP: each commit record's `group` dict carries the
+# `abort_after` its coordinator declared (this module default when absent).
+# Streaming coordinators keep the tight 60 s crash-arbiter; INTERACTIVE
+# transactions (pgwire BEGIN…COMMIT, slt begin_txn) declare the much longer
+# idle threshold below AND heartbeat their staged records' mtime on every
+# statement, so a client that stages an INSERT and thinks for a minute is
+# never aborted by a concurrent change-feed poll or checkpoint boundary —
+# PG has no default idle-in-transaction timeout (idle_in_transaction_
+# session_timeout defaults to 0 = disabled); only a coordinator whose
+# heartbeats STOPPED for a full day ages out.
 ABORT_AFTER_SECONDS = 60.0
+INTERACTIVE_ABORT_AFTER_SECONDS = 86400.0
+
+
+def _group_abort_after(rec: dict) -> float:
+    """The pending-age threshold the commit record's coordinator declared
+    (module default for records written before per-group thresholds, and
+    for hand-built group refs in tests)."""
+    g = rec.get("group") or {}
+    try:
+        return float(g.get("abort_after", ABORT_AFTER_SECONDS))
+    except (TypeError, ValueError):
+        return ABORT_AFTER_SECONDS
 
 
 def _settle(marker: str, state: str) -> str:
@@ -115,22 +138,46 @@ class CommitGroup:
     settle and the confirmations.
 
     The resolution is an ARBITER, not just a flag: a reader that finds a
-    pending group older than ABORT_AFTER_SECONDS may settle it to
-    'aborted' (abort_group), after which a late publish() raises instead
-    of resurrecting rows past visibility decisions already made."""
+    pending group older than the group's declared `abort_after` (module
+    default ABORT_AFTER_SECONDS) may settle it to 'aborted' (abort_group),
+    after which a late publish() raises instead of resurrecting rows past
+    visibility decisions already made. A long-lived coordinator (an
+    interactive transaction) declares a long threshold AND calls
+    heartbeat() while alive, so only genuinely dead coordinators age out."""
 
-    def __init__(self, marker_dir: str):
+    def __init__(self, marker_dir: str, abort_after: float | None = None):
         os.makedirs(marker_dir, exist_ok=True)
         self.id = uuid.uuid4().hex
         self.marker = os.path.abspath(os.path.join(marker_dir, f"{self.id}.group"))
+        self.abort_after = (
+            ABORT_AFTER_SECONDS if abort_after is None else float(abort_after)
+        )
         self._published = False
         self._log_dirs: list[str] = []
+        self._records: list[str] = []
 
     def register(self, log_dir: str) -> None:
         """Called by CommitLog.commit: record the participant so publish()
         can confirm locally in its log dir."""
         if log_dir not in self._log_dirs:
             self._log_dirs.append(log_dir)
+
+    def note_record(self, path: str) -> None:
+        """Called by CommitLog.commit with the staged commit record's path
+        so heartbeat() can refresh its pending age."""
+        self._records.append(path)
+
+    def heartbeat(self) -> None:
+        """Refresh every staged commit record's mtime: the pending-group
+        agers (checkpoint writer, change-feed poll) measure a group's age
+        from its records' mtime, so a coordinator that heartbeats on every
+        statement is never mistaken for a crash, however long the client
+        thinks between statements."""
+        for p in self._records:
+            try:
+                os.utime(p)
+            except OSError:
+                pass  # record checkpointed away or log deleted — harmless
 
     def publish(self) -> None:
         """Atomically make every commit of this group visible."""
@@ -295,7 +342,11 @@ class CommitLog:
                 if txn is not None:
                     rec["txn"] = {"app_id": txn[0], "version": int(txn[1])}
                 if group is not None:
-                    rec["group"] = {"id": group.id, "marker": group.marker}
+                    rec["group"] = {
+                        "id": group.id,
+                        "marker": group.marker,
+                        "abort_after": group.abort_after,
+                    }
                 if segment is not None:
                     rec["segment"] = {"id": segment.id, "marker": segment.marker}
                 with open(tmp, "w") as fh:
@@ -309,6 +360,7 @@ class CommitLog:
                     continue  # lost the version race — rebuild against the new tip
                 if group is not None:
                     group.register(self.log_dir)
+                    group.note_record(dst)
                 if segment is not None:
                     segment.register(self.log_dir)
                 if version > 0 and version % CHECKPOINT_EVERY == 0:
@@ -327,8 +379,10 @@ class CommitLog:
             # group commit inside the range would be frozen as "absent"
             # even if its marker appears a moment later. A YOUNG pending
             # group defers the checkpoint (retried at the next boundary);
-            # one older than ABORT_AFTER_SECONDS is a crashed coordinator —
-            # settle it as aborted DEFINITIVELY (a late publish then fails
+            # one older than ITS OWN declared abort_after (60 s for
+            # streaming coordinators, a heartbeat-refreshed day for
+            # interactive transactions) is a crashed coordinator — settle
+            # it as aborted DEFINITIVELY (a late publish then fails
             # loudly) so a single torn group can never disable
             # checkpointing forever and let the replay tail grow unbounded.
             import time as _time
@@ -343,7 +397,7 @@ class CommitLog:
                     rec = json.load(fh)
                 state = _group_state(rec, self.log_dir)
                 if state == "pending":
-                    if _time.time() - os.path.getmtime(path) < ABORT_AFTER_SECONDS:
+                    if _time.time() - os.path.getmtime(path) < _group_abort_after(rec):
                         return  # young: defer, don't bake
                     state = abort_group(rec["group"], self.log_dir)
                     if state == "pending":  # unreachable; defensive
