@@ -1011,6 +1011,53 @@ class TestCountIndex:
         assert info["declined"]
         assert n == len(BASE) - 1
 
+    def test_null_timestamps_never_counted_from_metadata(self, spark, tmp_path):
+        """ADVICE r7: parquet min/max stats exclude NULLs but the footer
+        row count includes them, so a NULL-timestamp row inside a
+        'wholly covered' file was silently counted even though the SQL
+        predicate filters it. Files whose footer shows (or cannot rule
+        out) nulls in the time column must record no tmin/tmax and take
+        the boundary-scan path, where the predicate excludes NULLs.
+        (A non-nullable time column rejects the NULL at append time — this
+        covers tables that DECLARE it nullable.)"""
+        yaml = PLAIN_YAML.replace(
+            "{name: timestamp, data_type: 'Timestamp(Microsecond, Some(\"UTC\"))', "
+            "nullable: false}",
+            "{name: timestamp, data_type: 'Timestamp(Microsecond, Some(\"UTC\"))', "
+            "nullable: true}",
+        )
+        assert yaml != PLAIN_YAML
+        tbl = Table.create(spark, load_schema_text(yaml), str(tmp_path / "t"))
+        tbl.append(
+            _rows(
+                spark,
+                [
+                    ("2026-01-02 10:00:00", "a", 1.0, "p1"),
+                    ("2026-01-02 11:00:00", "b", 2.0, "p1"),
+                    (None, "n", 3.0, "p1"),
+                ],
+            )
+        )
+        snap = tbl.log.snapshot()
+        null_file_stats = [
+            st
+            for p, st in snap.stats.items()
+            if p.endswith(".parquet")
+        ]
+        # at least the NULL-bearing file must carry rows-only stats
+        assert any("tmin" not in st for st in null_file_stats)
+        n, info = tbl.count_range("2026-01-01", "2026-01-03", detail=True)
+        assert n == 2  # NULL-ts row excluded, exactly like the SQL predicate
+        assert not info["declined"]
+        assert info["scanned_files"] >= 1  # boundary-scan path engaged
+        # oracle: the same predicate through the read view
+        assert (
+            tbl.read()
+            .where("timestamp >= '2026-01-01' AND timestamp < '2026-01-03'")
+            .count()
+            == 2
+        )
+
     def test_stats_survive_checkpoint_and_removal(self, spark, tmp_path):
         from timefusion_spark.storage.commitlog import CHECKPOINT_EVERY
 

@@ -82,6 +82,17 @@ def _parquet_file_stats(path: str, time_col: str | None) -> dict | None:
                     if cstat is None or not cstat.has_min_max:
                         mins = []
                         break
+                    # Parquet min/max EXCLUDE nulls, but the file's footer
+                    # row count includes them — a NULL-timestamp row would
+                    # be silently counted by count_range's wholly-inside
+                    # fast path while the SQL predicate `ts >= lo AND
+                    # ts < hi` filters it out. Record tmin/tmax only when
+                    # the footer PROVES zero nulls; otherwise the file
+                    # always takes the boundary-scan path (decline-on-
+                    # doubt: unknown null_count declines too).
+                    if not cstat.has_null_count or cstat.null_count > 0:
+                        mins = []
+                        break
                     mins.append(cstat.min)
                     maxs.append(cstat.max)
             if mins and all(isinstance(v, _dt.datetime) for v in mins + maxs):
