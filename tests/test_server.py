@@ -357,6 +357,32 @@ class TestRestartPersistence:
             t.join(timeout=10)
 
 
+class TestCreateOverExistingSidecar:
+    def test_create_with_different_schema_raises(self, spark, tmp_path):
+        """ADVICE r7: a user-issued CREATE TABLE over a reused base dir
+        must not silently attach an existing sidecar with DIFFERENT
+        columns (PG raises 'relation already exists'); the idempotent
+        same-schema re-create still attaches for restart ergonomics."""
+        from timefusion_spark.slt import SltEnv
+
+        base = str(tmp_path / "d")
+        env1 = SltEnv(spark, base)
+        create = "CREATE TABLE ct (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+        env1.run_statement(create)
+        env1.run_statement(
+            "INSERT INTO ct VALUES ('2026-01-01 10:00:00','a',1.0,'p1')"
+        )
+        # a fresh env over the same base dir, different columns: refuse
+        env2 = SltEnv(spark, base)
+        with pytest.raises(ValueError, match="different schema"):
+            env2.run_statement("CREATE TABLE ct (id BIGINT, name TEXT)")
+        assert "ct" not in env2.tables
+        # same columns: attach, data preserved
+        env3 = SltEnv(spark, base)
+        env3.run_statement(create)
+        assert len(env3.run_query("SELECT id FROM ct")) == 1
+
+
 class TestTransactions:
     """Real BEGIN…COMMIT/ROLLBACK over the wire, backed by commit groups
     (beyond the reference, whose pgwire layer acks transaction verbs as

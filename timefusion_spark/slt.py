@@ -265,15 +265,29 @@ class SltEnv:
             schema = load_schema(os.path.join(_SCHEMA_DIR, yaml_name))
             self._add_table(schema)
 
-    def _add_table(self, schema: TableSchema) -> None:
+    def _add_table(self, schema: TableSchema, from_create: bool = False) -> None:
         # Attach-or-create: a restarted server (python -m timefusion_spark
         # .server over the same --base-dir) re-attaches its own data instead
         # of failing on the existing sidecar — the reference likewise mounts
         # whatever tables the object store already holds at startup
-        # (database.rs register_project_tables on boot).
+        # (database.rs register_project_tables on boot). A user-issued
+        # CREATE TABLE (from_create) only re-attaches when the requested
+        # columns MATCH the sidecar: silently adopting a stale definition
+        # would make later INSERTs coerce against columns the user never
+        # asked for (PG raises 'relation already exists'; we accept the
+        # idempotent same-schema re-create for restart ergonomics).
         path = os.path.join(self.base_dir, schema.table_name)
         if os.path.exists(os.path.join(path, "_tf_schema.json")):
             tbl = Table.open(self.spark, path)
+            if from_create:
+                want = [(f.name, f.data_type) for f in schema.fields]
+                have = [(f.name, f.data_type) for f in tbl.schema.fields]
+                if want != have:
+                    raise ValueError(
+                        f'relation "{schema.table_name}" already exists on disk '
+                        f"with a different schema (existing {have}, requested "
+                        f"{want}); DROP TABLE it or reuse the existing columns"
+                    )
         else:
             tbl = Table.create(self.spark, schema, path)
         self.tables[schema.table_name] = tbl
@@ -366,7 +380,7 @@ class SltEnv:
             ctype = " ".join(parts[1:]).lower().split("(")[0].strip() or "text"
             fields.append(FieldDef(cname, _PG_COLTYPE.get(ctype, "Utf8"), True))
         schema = TableSchema(table_name=name, fields=fields)
-        self._add_table(schema)
+        self._add_table(schema, from_create=True)
 
     def _resolve_insert_target(self, name: str) -> Table:
         """Resolve an INSERT target, honoring the `<table>__bulk` write
