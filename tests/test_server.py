@@ -186,6 +186,31 @@ class TestSimpleQuery:
         msgs = client.query("   ")
         assert tags_of(msgs)[0] == b"I"  # EmptyQueryResponse
 
+    def test_comments_do_not_split_statements(self, client):
+        """A semicolon inside `--` or /* */ is text, not a separator; a
+        comment-only statement is empty (PG behavior); PG block comments
+        nest."""
+        msgs = client.query("SELECT 1 AS a -- trailing; not a separator")
+        assert rows_of(msgs) == [["1"]]
+        assert command_tags(msgs) == ["SELECT 1"]
+        msgs = client.query("/* lead; */ SELECT 2 AS b; -- tail; only")
+        assert rows_of(msgs) == [["2"]]
+        assert command_tags(msgs) == ["SELECT 1"]
+        msgs = client.query("SELECT /* outer; /* inner; */ still; */ 3 AS c")
+        assert rows_of(msgs) == [["3"]]
+        msgs = client.query("-- nothing here; at all")
+        assert tags_of(msgs)[0] == b"I"  # comment-only == empty query
+
+    def test_rewrite_idents_skips_comments(self):
+        from timefusion_spark.server import _rewrite_idents
+
+        sql = "SELECT * FROM t -- t stays prose\n/* t too */ WHERE x = 't'"
+        out = _rewrite_idents(sql, {"t": "v"})
+        assert "FROM v" in out
+        assert "-- t stays prose" in out
+        assert "/* t too */" in out
+        assert "= 't'" in out
+
     def _ext(self, c, *messages):
         """Send extended-protocol messages then Sync; return all messages
         up to ReadyForQuery."""
@@ -225,6 +250,106 @@ class TestSimpleQuery:
         )
         msgs = self._ext(c, (b"P", parse2), (b"B", bind2), (b"D", describe), (b"E", execute))
         assert rows_of(msgs) == [["IT''"]]  # quote-escaping round-trips
+        c.close()
+
+    def test_binary_params_match_text_mode(self, server):
+        """Binary-format parameters for the OIDs JDBC/psycopg3 send binary
+        by default (int4/int8/float8/bool/timestamp/date) decode through
+        the declared Parse OIDs and produce the SAME rows as text-mode
+        binding; formats can mix per parameter."""
+        import datetime as dt
+
+        c = WireClient(server.port)
+        c.startup()
+        sql = (
+            b"SELECT $1::int + 0 AS i, $2::double AS f, $3::timestamp AS ts, "
+            b"$4::boolean AS b, $5::date AS d, $6::bigint AS big, $7 AS t\x00"
+        )
+        oids = (23, 701, 1114, 16, 1082, 20, 25)
+        parse = b"bin\x00" + sql + struct.pack("!h", len(oids)) + b"".join(
+            struct.pack("!i", o) for o in oids
+        )
+        delta = dt.datetime(2026, 1, 2, 3, 4, 5) - dt.datetime(2000, 1, 1)
+        ts_us = (delta.days * 86400 + delta.seconds) * 10**6
+        days = (dt.date(2026, 1, 2) - dt.date(2000, 1, 1)).days
+        vals = [
+            struct.pack("!i", 7),
+            struct.pack("!d", 2.5),
+            struct.pack("!q", ts_us),
+            b"\x01",
+            struct.pack("!i", days),
+            struct.pack("!q", 123456789012),
+            b"mixed",  # text format for the last one
+        ]
+        bind = (
+            b"\x00bin\x00"
+            + struct.pack("!h", 7)
+            + struct.pack("!7h", 1, 1, 1, 1, 1, 1, 0)
+            + struct.pack("!h", 7)
+            + b"".join(struct.pack("!i", len(v)) + v for v in vals)
+            + struct.pack("!h", 0)
+        )
+        execute = b"\x00" + struct.pack("!i", 0)
+        msgs = self._ext(c, (b"P", parse), (b"B", bind), (b"D", b"P\x00"), (b"E", execute))
+        assert b"E" not in tags_of(msgs), msgs
+        [row] = rows_of(msgs)
+        # oracle: the same values bound in TEXT format
+        text_vals = [b"7", b"2.5", b"2026-01-02 03:04:05", b"true",
+                     b"2026-01-02", b"123456789012", b"mixed"]
+        bind_t = (
+            b"\x00bin\x00"
+            + struct.pack("!h", 1) + struct.pack("!h", 0)
+            + struct.pack("!h", 7)
+            + b"".join(struct.pack("!i", len(v)) + v for v in text_vals)
+            + struct.pack("!h", 0)
+        )
+        msgs_t = self._ext(c, (b"B", bind_t), (b"E", execute))
+        assert rows_of(msgs_t) == [row]
+        c.close()
+
+    def test_binary_param_unsupported_oid_clear_error(self, server):
+        c = WireClient(server.port)
+        c.startup()
+        parse = b"\x00" + b"SELECT $1 AS x\x00" + struct.pack("!hi", 1, 1700)  # numeric
+        bind = (
+            b"\x00\x00" + struct.pack("!hh", 1, 1) + struct.pack("!h", 1)
+            + struct.pack("!i", 2) + b"\x00\x01" + struct.pack("!h", 0)
+        )
+        msgs = self._ext(c, (b"P", parse), (b"B", bind))
+        errs = [p for t, p in msgs if t == b"E"]
+        assert errs and b"binary parameter format is not supported" in errs[0]
+        c.close()
+
+    def test_binary_result_format_rejected(self, server):
+        """A client requesting binary RESULT columns must get a clear
+        error, not text rows it would misparse as binary garbage."""
+        c = WireClient(server.port)
+        c.startup()
+        parse = b"\x00" + b"SELECT 1 AS x\x00" + struct.pack("!h", 0)
+        bind = (
+            b"\x00\x00" + struct.pack("!hh", 0, 0)
+            + struct.pack("!h", 1) + struct.pack("!h", 1)  # one result fmt: binary
+        )
+        msgs = self._ext(c, (b"P", parse), (b"B", bind))
+        errs = [p for t, p in msgs if t == b"E"]
+        assert errs and b"binary result format is not supported" in errs[0]
+        c.close()
+
+    def test_describe_reports_distinct_param_count(self, server):
+        """ParameterDescription counts DISTINCT placeholder indices outside
+        quoted regions: `$1 + $1` with a '$2' in a string literal is ONE
+        parameter, reported with its declared OID."""
+        c = WireClient(server.port)
+        c.startup()
+        sql = b"SELECT $1::int + $1::int AS a, '$2 is text' AS s\x00"
+        parse = b"dp\x00" + sql + struct.pack("!hi", 1, 23)
+        msgs = self._ext(c, (b"P", parse), (b"D", b"Sdp\x00"))
+        pdesc = [p for t, p in msgs if t == b"t"]
+        assert pdesc, msgs
+        (n,) = struct.unpack("!h", pdesc[0][:2])
+        assert n == 1
+        (oid,) = struct.unpack("!i", pdesc[0][2:6])
+        assert oid == 23
         c.close()
 
     def test_extended_protocol_error_skips_to_sync(self, server):

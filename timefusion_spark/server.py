@@ -16,7 +16,11 @@ Scope:
   as quoted literals before translation (the reference's extended path
   exists for exactly this binding step, `pgwire_early_bind.rs`); errors
   inside a batch discard messages until Sync, PG's documented behavior.
-  Binary parameter format is rejected with a clear error.
+  BINARY-format parameters are decoded for the common OIDs JDBC/psycopg3
+  send binary by default (int2/4/8, float4/8, bool, text/varchar,
+  timestamp[tz], date — public PG binary wire formats) and bind through
+  the same text-literal path; other OIDs, and binary RESULT formats, are
+  rejected with a clear error rather than misparsed.
 - Trust auth (AuthenticationOk unconditionally), matching the
   reference's default dev posture.
 - SSLRequest answered with 'N' (no TLS) so clients fall back to clear.
@@ -52,7 +56,10 @@ _OID_FLOAT4 = 700
 _OID_FLOAT8 = 701
 _OID_DATE = 1082
 _OID_TIMESTAMP = 1114
+_OID_TIMESTAMPTZ = 1184
 _OID_NUMERIC = 1700
+_OID_VARCHAR = 1043
+_OID_UNKNOWN = 0
 
 
 def _oid_for(dtype: T.DataType) -> int:
@@ -129,46 +136,69 @@ def _pg_array_elem(v, dtype) -> str:
     return s
 
 
+def _skip_region(sql: str, i: int) -> tuple[int, bool] | None:
+    """If sql[i] opens a quoted or comment region, return (one past its
+    end, is_comment) — clamped to len(sql) for unterminated regions;
+    else None. Regions: '…' (with '' escapes), "…" identifiers, $tag$…$tag$
+    bodies, `--` line comments and NESTING /* */ block comments (PG block
+    comments nest, unlike C). Every protocol scanner (statement splitter,
+    identifier rewriter, parameter binder/counter) passes these through
+    without interpreting their contents."""
+    n = len(sql)
+    c = sql[i]
+    if c == "'":
+        m = re.match(r"'(?:''|[^'])*'", sql[i:])
+        return (i + len(m.group(0)) if m else n, False)
+    if c == '"':
+        j = sql.find('"', i + 1)
+        return (n if j < 0 else j + 1, False)
+    if c == "$":
+        m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
+        if m:
+            tag = m.group(0)
+            j = sql.find(tag, i + len(tag))
+            return (n if j < 0 else j + len(tag), False)
+        return None
+    if c == "-" and sql[i : i + 2] == "--":
+        j = sql.find("\n", i)
+        return (n if j < 0 else j + 1, True)
+    if c == "/" and sql[i : i + 2] == "/*":
+        depth, j = 1, i + 2
+        while j < n and depth:
+            if sql[j : j + 2] == "/*":
+                depth += 1
+                j += 2
+            elif sql[j : j + 2] == "*/":
+                depth -= 1
+                j += 2
+            else:
+                j += 1
+        return (j, True)
+    return None
+
+
 def _split_statements(sql: str) -> list[str]:
-    """Split a simple-query payload on top-level semicolons (outside
-    single/double quotes and dollar-quoted strings)."""
+    """Split a simple-query payload on top-level semicolons — outside
+    single/double quotes, dollar-quoted strings, `--` line comments and
+    /* */ block comments (a semicolon inside a comment is text, not a
+    separator). Comments are replaced by one space so verb-detection
+    regexes see the statement head and comment-only payloads come out
+    empty, exactly PG's behavior for a comment-only simple query."""
     out, buf = [], []
     i, n = 0, len(sql)
     while i < n:
-        c = sql[i]
-        if c == "'":
-            j = i + 1
-            while j < n:
-                if sql[j] == "'":
-                    if j + 1 < n and sql[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
-            buf.append(sql[i : j + 1])
-            i = j + 1
+        reg = _skip_region(sql, i)
+        if reg is not None:
+            j, is_comment = reg
+            buf.append(" " if is_comment else sql[i:j])
+            i = j
             continue
-        if c == '"':
-            j = sql.find('"', i + 1)
-            j = n - 1 if j < 0 else j
-            buf.append(sql[i : j + 1])
-            i = j + 1
-            continue
-        if c == "$":
-            m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
-            if m:
-                tag = m.group(0)
-                j = sql.find(tag, i + len(tag))
-                j = n - len(tag) if j < 0 else j
-                buf.append(sql[i : j + len(tag)])
-                i = j + len(tag)
-                continue
-        if c == ";":
+        if sql[i] == ";":
             out.append("".join(buf))
             buf = []
             i += 1
             continue
-        buf.append(c)
+        buf.append(sql[i])
         i += 1
     out.append("".join(buf))
     return [s.strip() for s in out if s.strip()]
@@ -189,9 +219,11 @@ def _rewrite_idents(sql: str, mapping: dict[str, str]) -> str:
     transaction-overlay view names (read-your-own-writes SELECTs inside
     BEGIN…COMMIT). Quote-aware — single-, double- and dollar-quoted
     regions pass through verbatim, so literals and quoted identifiers are
-    never touched; a word preceded by `.` is a column reference behind a
-    qualifier and is left alone (a word FOLLOWED by `.` is the qualifier
-    itself and IS rewritten, so `t.col` tracks `FROM t`)."""
+    never touched; comments pass through verbatim (a table name inside a
+    `--` or /* */ comment is prose, not a reference); a word preceded by
+    `.` is a column reference behind a qualifier and is left alone (a word
+    FOLLOWED by `.` is the qualifier itself and IS rewritten, so `t.col`
+    tracks `FROM t`)."""
     if not mapping:
         return sql
     low = {k.lower(): v for k, v in mapping.items()}
@@ -199,27 +231,11 @@ def _rewrite_idents(sql: str, mapping: dict[str, str]) -> str:
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "'":
-            m = re.match(r"'(?:''|[^'])*'", sql[i:])
-            frag = m.group(0) if m else sql[i:]
-            out.append(frag)
-            i += len(frag)
+        reg = _skip_region(sql, i)
+        if reg is not None:
+            out.append(sql[i : reg[0]])
+            i = reg[0]
             continue
-        if c == '"':
-            j = sql.find('"', i + 1)
-            j = n - 1 if j < 0 else j
-            out.append(sql[i : j + 1])
-            i = j + 1
-            continue
-        if c == "$":
-            m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
-            if m:
-                tag = m.group(0)
-                j = sql.find(tag, i + len(tag))
-                j = n - len(tag) if j < 0 else j
-                out.append(sql[i : j + len(tag)])
-                i = j + len(tag)
-                continue
         if c.isalpha() or c == "_":
             m = re.match(r"[A-Za-z_]\w*", sql[i:])
             word = m.group(0)
@@ -381,12 +397,15 @@ class _Handler(socketserver.BaseRequestHandler):
         name, off = self._cstr(payload, 0)
         sql, off = self._cstr(payload, off)
         (n_types,) = struct.unpack("!h", payload[off : off + 2])
-        # declared parameter-type OIDs are accepted and ignored — values
-        # arrive in text format and the shim's SQL casts type them
+        off += 2
+        # declared parameter-type OIDs: text-format values bind as quoted
+        # literals regardless (the shim's SQL casts type them), but
+        # BINARY-format values need the OID to pick the wire decoder
+        oids = list(struct.unpack(f"!{n_types}i", payload[off : off + 4 * n_types]))
         if not hasattr(self, "_prepared"):
-            self._prepared: dict[str, str] = {}
+            self._prepared: dict[str, tuple[str, list[int]]] = {}
             self._portals: dict[str, str] = {}
-        self._prepared[name] = sql
+        self._prepared[name] = (sql, oids)
         self._send(b"1")  # ParseComplete
 
     def _bind(self, payload: bytes) -> None:
@@ -398,6 +417,7 @@ class _Handler(socketserver.BaseRequestHandler):
         off += 2 * n_fmt
         (n_params,) = struct.unpack("!h", payload[off : off + 2])
         off += 2
+        sql, oids = self._prepared_entry(stmt)
         params: list[str | None] = []
         for i in range(n_params):
             (ln,) = struct.unpack("!i", payload[off : off + 4])
@@ -408,29 +428,54 @@ class _Handler(socketserver.BaseRequestHandler):
             raw = payload[off : off + ln]
             off += ln
             fmt = fmts[i] if i < len(fmts) else (fmts[0] if len(fmts) == 1 else 0)
-            if fmt != 0:
-                raise ValueError("binary parameter format is not supported")
-            params.append(raw.decode("utf-8"))
-        sql = self._prepared_sql(stmt)
+            if fmt == 0:
+                params.append(raw.decode("utf-8"))
+            else:
+                oid = oids[i] if i < len(oids) else _OID_UNKNOWN
+                params.append(_decode_binary_param(oid, raw))
+        # result-column format codes: binary RESULTS are not implemented —
+        # silently sending text rows to a client that asked for binary
+        # would be misparsed as garbage, so refuse as clearly as an
+        # unsupported binary parameter type (psycopg3 binary=True, JDBC
+        # binaryTransfer fall back or surface the error).
+        (n_rfmt,) = struct.unpack("!h", payload[off : off + 2])
+        off += 2
+        rfmts = struct.unpack(f"!{n_rfmt}h", payload[off : off + 2 * n_rfmt])
+        if any(f != 0 for f in rfmts):
+            raise ValueError(
+                "binary result format is not supported; request text results"
+            )
         if not hasattr(self, "_portals"):
             self._portals = {}
         self._portals[portal] = _substitute_params(sql, params)
         self._send(b"2")  # BindComplete
 
-    def _prepared_sql(self, stmt: str) -> str:
+    def _prepared_entry(self, stmt: str) -> tuple[str, list[int]]:
         store = getattr(self, "_prepared", {})
         if stmt not in store:
             raise ValueError(f"prepared statement {stmt!r} does not exist")
         return store[stmt]
 
+    def _prepared_sql(self, stmt: str) -> str:
+        return self._prepared_entry(stmt)[0]
+
     def _describe(self, payload: bytes) -> None:
         kind = payload[0:1]
         name, _ = self._cstr(payload, 1)
         if kind == b"S":
-            sql = self._prepared_sql(name)
-            n = len(re.findall(r"\$\d+", sql))
+            sql, oids = self._prepared_entry(name)
+            # DISTINCT placeholder indices outside quoted regions and
+            # comments: `a = $1 OR b = $1` is ONE parameter, and a `$2`
+            # inside a string literal is none — drivers validate bind
+            # arity against this count. Report the declared OID when the
+            # client sent one, TEXT otherwise.
+            n = max(_param_indices(sql), default=0)
             self._send(b"t", struct.pack("!h", n) + b"".join(
-                struct.pack("!i", _OID_TEXT) for _ in range(n)
+                struct.pack(
+                    "!i",
+                    oids[i] if i < len(oids) and oids[i] else _OID_TEXT,
+                )
+                for i in range(n)
             ))
             # RowDescription for the statement would need a parameter-less
             # plan; drivers accept NoData and re-describe the portal
@@ -704,10 +749,10 @@ class _TCPServer(socketserver.ThreadingMixIn, socketserver.TCPServer):
 def _substitute_params(sql: str, params: list[str | None]) -> str:
     """Inline text-format parameters into `$n` placeholders as quoted SQL
     literals (NULL for absent values). Placeholders inside single-quoted
-    strings and dollar-quoted bodies are left alone — the same scanning
-    rules as _split_statements. The shim's `::` casts and Spark's implicit
-    coercions type the literal, mirroring how the reference's extended
-    path binds text params before planning (pgwire_early_bind.rs)."""
+    strings, dollar-quoted bodies and comments are left alone — the same
+    scanning rules as _split_statements. The shim's `::` casts and Spark's
+    implicit coercions type the literal, mirroring how the reference's
+    extended path binds text params before planning (pgwire_early_bind.rs)."""
 
     def lit(i: int) -> str:
         if i < 1 or i > len(params):
@@ -718,28 +763,77 @@ def _substitute_params(sql: str, params: list[str | None]) -> str:
     out, i, n = [], 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "'":
-            m = re.match(r"'(?:''|[^'])*'?", sql[i:])
-            out.append(m.group(0))
-            i += len(m.group(0))
-            continue
         if c == "$":
             m = re.match(r"\$(\d+)", sql[i:])
             if m:
                 out.append(lit(int(m.group(1))))
                 i += len(m.group(0))
                 continue
-            m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
-            if m:  # dollar-quoted body: copy verbatim through its end tag
-                tag = m.group(0)
-                j = sql.find(tag, i + len(tag))
-                j = n if j < 0 else j + len(tag)
-                out.append(sql[i:j])
-                i = j
-                continue
+        reg = _skip_region(sql, i)
+        if reg is not None:
+            out.append(sql[i : reg[0]])
+            i = reg[0]
+            continue
         out.append(c)
         i += 1
     return "".join(out)
+
+
+def _param_indices(sql: str) -> set[int]:
+    """Distinct `$n` placeholder indices OUTSIDE quoted regions and
+    comments — the arity ParameterDescription must report. A reused
+    placeholder (`a = $1 OR b = $1`) counts once; a `$2` inside a string
+    literal counts zero (drivers like JDBC/npgsql validate bind arity
+    against this count)."""
+    ids: set[int] = set()
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "$":
+            m = re.match(r"\$(\d+)", sql[i:])
+            if m:
+                ids.add(int(m.group(1)))
+                i += len(m.group(0))
+                continue
+        reg = _skip_region(sql, i)
+        if reg is not None:
+            i = reg[0]
+            continue
+        i += 1
+    return ids
+
+
+_PG_TS_EPOCH = dt.datetime(2000, 1, 1)
+_PG_DATE_EPOCH = dt.date(2000, 1, 1)
+
+
+def _decode_binary_param(oid: int, raw: bytes) -> str:
+    """Decode one binary-format (format code 1) parameter into its PG
+    TEXT representation, so it binds through the same quoted-literal path
+    as text-mode parameters — JDBC and psycopg3 send these types binary
+    by default. Wire encodings are the public PG binary formats:
+    network-order integers/floats, µs-since-2000-01-01 timestamps,
+    days-since-2000-01-01 dates."""
+    if oid in (_OID_INT2, _OID_INT4, _OID_INT8):
+        fmt = {_OID_INT2: "!h", _OID_INT4: "!i", _OID_INT8: "!q"}[oid]
+        return str(struct.unpack(fmt, raw)[0])
+    if oid == _OID_FLOAT4:
+        return repr(struct.unpack("!f", raw)[0])
+    if oid == _OID_FLOAT8:
+        return repr(struct.unpack("!d", raw)[0])
+    if oid == _OID_BOOL:
+        return "true" if raw != b"\x00" else "false"
+    if oid in (_OID_TEXT, _OID_VARCHAR, _OID_UNKNOWN, _OID_JSON):
+        return raw.decode("utf-8")
+    if oid in (_OID_TIMESTAMP, _OID_TIMESTAMPTZ):
+        us = struct.unpack("!q", raw)[0]
+        return (_PG_TS_EPOCH + dt.timedelta(microseconds=us)).isoformat(sep=" ")
+    if oid == _OID_DATE:
+        days = struct.unpack("!i", raw)[0]
+        return (_PG_DATE_EPOCH + dt.timedelta(days=days)).isoformat()
+    raise ValueError(
+        f"binary parameter format is not supported for type OID {oid}; "
+        "send this parameter in text format"
+    )
 
 
 def _is_storage_stmt(stmt: str) -> bool:
