@@ -482,6 +482,146 @@ class TestRestartPersistence:
             t.join(timeout=10)
 
 
+def copy_payload(client: WireClient, sql: str, data: bytes, chunk: int = 65536,
+                 fail: str | None = None):
+    """Drive the COPY-in subprotocol: Query → CopyInResponse → CopyData
+    chunks → CopyDone (or CopyFail); returns messages up to ReadyForQuery."""
+    body = sql.encode() + b"\x00"
+    client.sock.sendall(b"Q" + struct.pack("!i", len(body) + 4) + body)
+    tag, payload = client.recv_msg()
+    assert tag == b"G", (tag, payload)  # CopyInResponse
+    assert payload[0] == 0  # overall text format
+    for i in range(0, len(data), chunk):
+        d = data[i : i + chunk]
+        client.sock.sendall(b"d" + struct.pack("!i", len(d) + 4) + d)
+    if fail is not None:
+        fb = fail.encode() + b"\x00"
+        client.sock.sendall(b"f" + struct.pack("!i", len(fb) + 4) + fb)
+    else:
+        client.sock.sendall(b"c" + struct.pack("!i", 4))
+    return client.until_ready()
+
+
+class TestCopyIn:
+    """COPY table FROM STDIN — the bulk network-ingest entry point (the
+    reference's gRPC ingest analog, grpc_handlers.rs:1-110): text and CSV
+    formats, bounded chunked flushes, whole-COPY atomicity via a commit
+    group, CopyFail/parse-error rollback, COPY inside BEGIN…COMMIT."""
+
+    def test_text_format_nulls_and_escapes(self, client):
+        client.query(
+            "CREATE TABLE cp_t (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+        )
+        data = (
+            "2026-01-01 10:00:00\ta\t1.5\tp1\n"
+            "2026-01-01 11:00:00\twith\\ttab\t\\N\tp1\n"
+        ).encode()
+        msgs = copy_payload(client, "COPY cp_t FROM STDIN", data)
+        assert command_tags(msgs) == ["COPY 2"]
+        rows = rows_of(client.query("SELECT id, val FROM cp_t ORDER BY id"))
+        assert rows == [["a", "1.5"], ["with\ttab", None]]
+        client.query("DROP TABLE cp_t")
+
+    def test_csv_header_quotes_and_embedded_newline(self, client):
+        client.query(
+            "CREATE TABLE cp_c (ts TIMESTAMP, id TEXT, note TEXT, project_id TEXT)"
+        )
+        data = (
+            'ts,id,note,project_id\n'
+            '2026-01-01 10:00:00,a,"comma, and\nnewline",p1\n'
+            '2026-01-01 11:00:00,b,"",p1\n'       # quoted empty = empty string
+            "2026-01-01 12:00:00,c,,p1\n"          # unquoted empty = NULL
+        ).encode()
+        msgs = copy_payload(
+            client, "COPY cp_c FROM STDIN WITH (FORMAT csv, HEADER)", data
+        )
+        assert command_tags(msgs) == ["COPY 3"]
+        rows = rows_of(client.query("SELECT id, note FROM cp_c ORDER BY id"))
+        assert rows == [["a", "comma, and\nnewline"], ["b", ""], ["c", None]]
+        client.query("DROP TABLE cp_c")
+
+    def test_bulk_100k_chunked_flush_and_oracle_count(self, server, monkeypatch):
+        """≥100k rows stream in ack-paced TCP chunks; the handler flushes
+        every COPY_CHUNK_ROWS so memory stays bounded (multiple staged
+        commits prove the incremental flush), yet CopyDone publishes them
+        as ONE atomic group; count matches the generator oracle."""
+        import timefusion_spark.server as server_mod
+
+        monkeypatch.setattr(server_mod, "COPY_CHUNK_ROWS", 20_000)
+        c = WireClient(server.port)
+        c.startup()
+        c.query(
+            "CREATE TABLE cp_bulk (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+        )
+        n = 100_000
+        data = "".join(
+            f"2026-01-01 {i % 24:02d}:{i % 60:02d}:00\tr{i}\t{i}.5\tp{i % 4}\n"
+            for i in range(n)
+        ).encode()
+        msgs = copy_payload(c, "COPY cp_bulk FROM STDIN", data)
+        assert command_tags(msgs) == [f"COPY {n}"]
+        tbl = server._server.runner.tables["cp_bulk"]
+        appends = [
+            v
+            for v in range(tbl.log.latest_version() + 1)
+            if tbl.log.entry(v)["op"] == "append" and tbl.log.entry(v).get("group")
+        ]
+        assert len(appends) >= n // 20_000  # chunked, not one giant buffer
+        rows = rows_of(c.query("SELECT count(*) AS n, sum(val) AS s FROM cp_bulk"))
+        assert int(rows[0][0]) == n
+        assert float(rows[0][1]) == sum(i + 0.5 for i in range(n))
+        c.query("DROP TABLE cp_bulk")
+        c.close()
+
+    def test_copyfail_and_parse_error_publish_nothing(self, server, monkeypatch):
+        """PG COPY is all-or-nothing: chunks flushed before a CopyFail or
+        a malformed row must never become visible."""
+        import timefusion_spark.server as server_mod
+
+        monkeypatch.setattr(server_mod, "COPY_CHUNK_ROWS", 10)
+        c = WireClient(server.port)
+        c.startup()
+        c.query(
+            "CREATE TABLE cp_f (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+        )
+        good = "".join(
+            f"2026-01-01 10:00:{i:02d}\tg{i}\t1.0\tp1\n" for i in range(25)
+        ).encode()
+        msgs = copy_payload(c, "COPY cp_f FROM STDIN", good, fail="client changed its mind")
+        errs = [p for t, p in msgs if t == b"E"]
+        assert errs and b"COPY aborted by client" in errs[0]
+        assert rows_of(c.query("SELECT count(*) AS n FROM cp_f")) == [["0"]]
+        # malformed row (wrong field count) after two full chunks
+        bad = good + b"only-one-field\n"
+        msgs = copy_payload(c, "COPY cp_f FROM STDIN", bad)
+        errs = [p for t, p in msgs if t == b"E"]
+        assert errs and b"fields" in errs[0]
+        assert rows_of(c.query("SELECT count(*) AS n FROM cp_f")) == [["0"]]
+        c.query("DROP TABLE cp_f")
+        c.close()
+
+    def test_copy_inside_transaction_block(self, server):
+        c1 = WireClient(server.port)
+        c1.startup()
+        c2 = WireClient(server.port)
+        c2.startup()
+        c1.query(
+            "CREATE TABLE cp_txn (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+        )
+        c1.query("BEGIN")
+        data = b"2026-01-01 10:00:00\ta\t1.0\tp1\n2026-01-01 11:00:00\tb\t2.0\tp1\n"
+        msgs = copy_payload(c1, "COPY cp_txn FROM STDIN", data)
+        assert command_tags(msgs) == ["COPY 2"]
+        # staged: owner sees them, others don't
+        assert rows_of(c1.query("SELECT count(*) AS n FROM cp_txn")) == [["2"]]
+        assert rows_of(c2.query("SELECT count(*) AS n FROM cp_txn")) == [["0"]]
+        c1.query("COMMIT")
+        assert rows_of(c2.query("SELECT count(*) AS n FROM cp_txn")) == [["2"]]
+        c1.query("DROP TABLE cp_txn")
+        c1.close()
+        c2.close()
+
+
 class TestCreateOverExistingSidecar:
     def test_create_with_different_schema_raises(self, spark, tmp_path):
         """ADVICE r7: a user-issued CREATE TABLE over a reused base dir

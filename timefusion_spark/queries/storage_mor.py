@@ -1935,3 +1935,118 @@ def q_txn_atomic_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+@query(
+    "q_copy_ingest",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey <= {_N}
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+    doc="Bulk network ingest through the pgwire COPY FROM STDIN "
+    "subprotocol — the reference's gRPC ingest entry point re-expressed "
+    "as PG's own bulk protocol (proto/timefusion.proto:12-33, "
+    "grpc_handlers.rs:1-110 seq-acked backpressure → TCP receive window "
+    "+ bounded COPY_CHUNK_ROWS flushes): a raw wire client streams the "
+    "orders subset as tab-delimited CopyData chunks into a live server; "
+    "the handler flushes every 500 rows (multiple staged commits assert "
+    "the bounded-memory path) yet CopyDone publishes ONE atomic commit "
+    "group. The per-status aggregate over the engine's read view equals "
+    "the source subset — any dropped chunk, double flush, or torn "
+    "publish changes the numbers.",
+)
+def q_copy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import socket
+    import struct
+
+    import timefusion_spark.server as server_mod
+    from timefusion_spark.server import PgWireServer
+
+    base_dir = tempfile.mkdtemp(prefix="tf_copyq_")
+    old_chunk = server_mod.COPY_CHUNK_ROWS
+    srv = None
+    try:
+        server_mod.COPY_CHUNK_ROWS = 500  # force the chunked-flush path
+        srv = PgWireServer(spark, base_dir=base_dir).start()
+
+        rows = (
+            t(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") <= _N)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .collect()  # wire-client payload construction (client side)
+        )
+        payload = "".join(
+            f"2026-03-01 00:00:00\t{r.o_orderkey}\t{r.o_orderstatus}\t"
+            f"{r.o_totalprice}\tp1\n"
+            for r in rows
+        ).encode()
+
+        def recv_exact(sock, k: int) -> bytes:
+            data = b""
+            while len(data) < k:
+                chunk = sock.recv(k - len(data))
+                if not chunk:
+                    raise ConnectionError("server closed")
+                data += chunk
+            return data
+
+        def until_ready(sock):
+            msgs = []
+            while True:
+                tag = recv_exact(sock, 1)
+                (ln,) = struct.unpack("!i", recv_exact(sock, 4))
+                msgs.append((tag, recv_exact(sock, ln - 4)))
+                if tag == b"Z":
+                    return msgs
+
+        sock = socket.create_connection(("127.0.0.1", srv.port), timeout=120)
+        start = struct.pack("!i", 196608) + b"user\x00q\x00\x00"
+        sock.sendall(struct.pack("!i", len(start) + 4) + start)
+        until_ready(sock)
+        q = (
+            "CREATE TABLE copy_t (ts TIMESTAMP, id TEXT, status TEXT, "
+            "val DOUBLE, project_id TEXT)"
+        ).encode() + b"\x00"
+        sock.sendall(b"Q" + struct.pack("!i", len(q) + 4) + q)
+        until_ready(sock)
+        q = b"COPY copy_t FROM STDIN\x00"
+        sock.sendall(b"Q" + struct.pack("!i", len(q) + 4) + q)
+        tag = recv_exact(sock, 1)
+        (ln,) = struct.unpack("!i", recv_exact(sock, 4))
+        recv_exact(sock, ln - 4)
+        assert tag == b"G", tag  # CopyInResponse
+        for i in range(0, len(payload), 65536):  # ack-paced TCP chunks
+            d = payload[i : i + 65536]
+            sock.sendall(b"d" + struct.pack("!i", len(d) + 4) + d)
+        sock.sendall(b"c" + struct.pack("!i", 4))
+        msgs = until_ready(sock)
+        tags = [p.rstrip(b"\x00").decode() for tg, p in msgs if tg == b"C"]
+        assert tags == [f"COPY {len(rows)}"], tags
+        sock.sendall(b"X" + struct.pack("!i", 4))
+        sock.close()
+
+        tbl = srv._server.runner.tables["copy_t"]
+        grouped = [
+            v
+            for v in range(tbl.log.latest_version() + 1)
+            if tbl.log.entry(v)["op"] == "append" and tbl.log.entry(v).get("group")
+        ]
+        assert len(grouped) >= _N // 500, grouped  # bounded chunked flushes
+
+        out = (
+            tbl.read()
+            .groupBy(F.col("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("val"), 2).alias("total"),
+            )
+            .orderBy("status")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        server_mod.COPY_CHUNK_ROWS = old_chunk
+        if srv is not None:
+            srv.stop()
+        shutil.rmtree(base_dir, ignore_errors=True)

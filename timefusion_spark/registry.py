@@ -80,10 +80,14 @@ PRIORITY: tuple[str, ...] = (
     "q_variant_family",
     "q_dml_coalesced",
     "q_streaming_changefeed_variant",
+    # new round 8: bulk network ingest over the wire (COPY FROM STDIN —
+    # the gRPC ingest-endpoint analog; chunked flushes + atomic group
+    # publish). Rotated out: q_lsh_bucket_histogram (multi-round
+    # certified, pure built-in histogram shape, unchanged).
+    "q_copy_ingest",
     # similarity / ANN
     "q_ann_bruteforce_topk",
     "q_knn_per_label",
-    "q_lsh_bucket_histogram",
     "q_dedup_embedding_cosine",
     "q_ann_ivf_topk",
     "q_ann_ivf_flat",

@@ -205,6 +205,80 @@ def _split_statements(sql: str) -> list[str]:
 
 
 _TXN_VERB_RE = re.compile(r"(?is)^\s*(BEGIN|START\s+TRANSACTION|COMMIT|END|ROLLBACK|ABORT)\b")
+_COPY_RE = re.compile(r"(?is)^\s*COPY\s+(\w+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN\s*(.*)$")
+# Rows buffered per flush during COPY FROM STDIN: bounds driver memory to
+# one chunk however large the upload — each full chunk lands through the
+# storage write path while the client keeps streaming (the TCP receive
+# window is the protocol-level backpressure, the analog of the reference's
+# seq-acked gRPC ingest flow control, grpc_handlers.rs:24-27).
+COPY_CHUNK_ROWS = 50_000
+
+
+def _unescape_copy_text(field: str) -> str:
+    """PG COPY text-format backslash escapes (the public COPY spec)."""
+    if "\\" not in field:
+        return field
+    out, i, n = [], 0, len(field)
+    esc = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f", "v": "\v", "\\": "\\"}
+    while i < n:
+        c = field[i]
+        if c == "\\" and i + 1 < n:
+            out.append(esc.get(field[i + 1], field[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _parse_csv_fields(line: str, delim: str, null_s: str) -> list[str | None]:
+    """One CSV record → fields, PG rules: doubled-quote escapes, and only
+    UNQUOTED fields matching the NULL string (default empty) are NULL —
+    a quoted empty string stays an empty string."""
+    fields: list[str | None] = []
+    i, n = 0, len(line)
+    while True:
+        quoted = False
+        val: list[str] = []
+        if i < n and line[i] == '"':
+            quoted = True
+            i += 1
+            while i < n:
+                if line[i] == '"':
+                    if i + 1 < n and line[i + 1] == '"':
+                        val.append('"')
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                val.append(line[i])
+                i += 1
+        while i < n and line[i] != delim:
+            val.append(line[i])
+            i += 1
+        s = "".join(val)
+        fields.append(None if (not quoted and s == null_s) else s)
+        if i < n and line[i] == delim:
+            i += 1
+            continue
+        break
+    return fields
+
+
+def _split_copy_lines(buf: bytes, csv_mode: bool) -> tuple[list[bytes], bytes]:
+    """Split buffered CopyData bytes into complete records plus the
+    trailing remainder. CSV quoted fields may contain newlines, so record
+    boundaries are newlines at even quote parity (doubled-quote escapes
+    toggle twice, preserving parity)."""
+    lines: list[bytes] = []
+    start, inq = 0, False
+    for i, b in enumerate(buf):
+        if csv_mode and b == 0x22:  # '"'
+            inq = not inq
+        elif b == 0x0A and not inq:  # '\n'
+            lines.append(buf[start:i])
+            start = i + 1
+    return lines, buf[start:]
 _ADMIN_VERB_RE = re.compile(r"(?is)^\s*(VACUUM|OPTIMIZE|FLUSH)\b")
 _SAVEPOINT_RE = re.compile(r"(?is)^\s*SAVEPOINT\s+([A-Za-z_]\w*)\s*;?\s*$")
 _ROLLBACK_TO_RE = re.compile(
@@ -659,6 +733,125 @@ class _Handler(socketserver.BaseRequestHandler):
                 "transaction block"
             )
 
+    # ── COPY FROM STDIN (bulk network ingest) ────────────────────────────
+    #
+    # The reference's fourth entry point is a network bulk-ingest endpoint
+    # (proto/timefusion.proto:12-33, grpc_handlers.rs:1-110 with seq-acked
+    # backpressure). Here the same front door is PG's own bulk protocol:
+    # COPY table FROM STDIN (text or CSV) feeds Table.append in bounded
+    # chunks — memory never exceeds one COPY_CHUNK_ROWS batch, and the TCP
+    # receive window paces the client exactly like the seq-ack scheme.
+    # Atomicity matches PG: the whole COPY stages under ONE commit group
+    # (the open transaction's, or a per-COPY ephemeral one), so a mid-copy
+    # failure or CopyFail publishes nothing.
+
+    def _copy_in(self, m: re.Match) -> None:
+        runner = self.server.runner
+        if runner is None:
+            raise ValueError("COPY FROM STDIN requires a storage runner")
+        table = m.group(1)
+        cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        opts = m.group(3) or ""
+        fmt_csv = re.search(r"(?i)\bcsv\b", opts) is not None
+        header = fmt_csv and re.search(r"(?i)\bheader\b", opts) is not None
+        dm = re.search(r"(?i)\bDELIMITER\s+E?'(.*?)'", opts)
+        delim = dm.group(1).replace("\\t", "\t") if dm else ("," if fmt_csv else "\t")
+        nm = re.search(r"(?i)\bNULL\s+'(.*?)'", opts)
+        null_s = nm.group(1) if nm else ("" if fmt_csv else "\\N")
+        # validate the target BEFORE entering copy mode, so an unknown
+        # table errors normally instead of mid-subprotocol
+        with self.server.lock:
+            tbl = runner._resolve_insert_target(table)
+        ncols = len(cols) if cols else len(tbl.schema.fields)
+        own_txn = self._txn is None
+        txn = runner.begin_txn() if own_txn else self._txn
+        self._send(
+            b"G",
+            struct.pack("!bh", 0, ncols) + struct.pack(f"!{ncols}h", *([0] * ncols)),
+        )
+        buf = b""
+        pending: list[list[str | None]] = []
+        total = 0
+        failed: str | None = None
+        skip_header = header
+
+        def parse_line(raw: bytes) -> list[str | None] | None:
+            line = raw.decode("utf-8").rstrip("\r")
+            if not fmt_csv and line == "\\.":  # legacy end-of-data marker
+                return None
+            if fmt_csv:
+                return _parse_csv_fields(line, delim, null_s)
+            return [
+                None if f == null_s else _unescape_copy_text(f)
+                for f in line.split(delim)
+            ]
+
+        def flush() -> None:
+            nonlocal pending, total
+            if not pending:
+                return
+            with self.server.lock:
+                total += runner.copy_rows(table, cols, pending, txn=txn)
+            pending = []
+
+        while True:
+            tag = self.request.recv(1)
+            if not tag:
+                raise ConnectionError("client closed during COPY")
+            (length,) = struct.unpack("!i", self._recv_exact(4))
+            payload = self._recv_exact(length - 4)
+            if tag == b"d":  # CopyData
+                if failed is not None:
+                    continue  # drain to CopyDone, then report the error
+                buf += payload
+                lines, buf = _split_copy_lines(buf, fmt_csv)
+                try:
+                    for raw in lines:
+                        if skip_header:
+                            skip_header = False
+                            continue
+                        fields = parse_line(raw)
+                        if fields is None:
+                            continue
+                        pending.append(fields)
+                        if len(pending) >= COPY_CHUNK_ROWS:
+                            flush()
+                except Exception as e:  # noqa: BLE001 — report after drain
+                    failed = str(e).split("\n", 1)[0][:500]
+            elif tag == b"c":  # CopyDone
+                if failed is None and buf.strip():
+                    try:
+                        fields = parse_line(buf)
+                        if fields is not None and not skip_header:
+                            pending.append(fields)
+                    except Exception as e:  # noqa: BLE001
+                        failed = str(e).split("\n", 1)[0][:500]
+                if failed is None:
+                    try:
+                        flush()
+                    except Exception as e:  # noqa: BLE001
+                        failed = str(e).split("\n", 1)[0][:500]
+                break
+            elif tag == b"f":  # CopyFail
+                failed = "COPY aborted by client: " + payload.rstrip(b"\x00").decode(
+                    "utf-8", "replace"
+                )
+                break
+            elif tag == b"X":
+                raise ConnectionError("client terminated during COPY")
+            # Flush/Sync mid-copy: ignore, per protocol
+        if failed is not None:
+            if own_txn:
+                with self.server.lock:
+                    runner.rollback_txn(txn)
+                runner.drop_txn_views(txn)
+            raise ValueError(failed)  # fails the outer block if one is open
+        if own_txn:
+            with self.server.lock:
+                runner.commit_txn(txn)  # atomic publish of every chunk
+            runner.drop_txn_views(txn)
+        self._send(b"C", f"COPY {total}".encode() + b"\x00")
+
     def _startup(self) -> bool:
         while True:
             (length,) = struct.unpack("!i", self._recv_exact(4))
@@ -701,6 +894,9 @@ class _Handler(socketserver.BaseRequestHandler):
                     continue
                 self._check_txn_failed()
                 self._check_txn_allowed(stmt)
+                if m := _COPY_RE.match(stmt):
+                    self._copy_in(m)
+                    continue
                 if self.server.runner is not None and _is_storage_stmt(stmt):
                     # storage DDL/DML (CREATE TABLE / INSERT / UPDATE /
                     # DELETE / DROP) rides the slt runner's real write

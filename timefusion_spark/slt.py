@@ -444,6 +444,37 @@ class SltEnv:
         )
         self._append(tbl, df, txn)
 
+    def copy_rows(
+        self,
+        table: str,
+        cols: list[str] | None,
+        rows: list[list[str | None]],
+        txn: "TxnState | None" = None,
+    ) -> int:
+        """One COPY FROM STDIN chunk's landing (the bulk network-ingest
+        path — the reference's gRPC ingest endpoint analog,
+        grpc_handlers.rs:24-27): rows arrive as text-format field lists
+        (None = NULL) and ride the same coerce → stamp → dedup → sorted
+        write path as INSERT; Table.coerce casts the strings to the
+        declared types. With `txn` (the wire handler passes either the
+        open interactive transaction or a per-COPY ephemeral one), the
+        chunk stages under the txn's commit group, keeping the whole COPY
+        atomic across its chunked flushes."""
+        tbl = self._resolve_insert_target(table)
+        names = cols or [f.name for f in tbl.schema.fields]
+        width = len(names)
+        for i, r in enumerate(rows):
+            if len(r) != width:
+                raise ValueError(
+                    f"COPY row {i + 1} of chunk has {len(r)} fields, "
+                    f"expected {width} ({', '.join(names)})"
+                )
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType([StructField(n, StringType(), True) for n in names])
+        self._append(tbl, self.spark.createDataFrame(rows, schema), txn)
+        return len(rows)
+
     def _source_alias(self, from_text: str) -> tuple[DataFrame, str]:
         m = re.match(r"(?s)^\s*\((.*)\)\s*(?:AS\s+)?(\w+)\s*$", from_text.strip())
         if not m:
