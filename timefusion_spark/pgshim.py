@@ -218,19 +218,47 @@ def _strip_quotes(s: str) -> str:
 
 _VARIANT_COLS: set[str] = set()
 
+# Per-SparkSession variant registrations (weak keys: a dropped session
+# drops its registrations). Two sessions in one process may register
+# DIFFERENT Variant column sets — each session's translations see the
+# global set plus its own, never another session's (the r7 staleness
+# finding: a process-global generation let session A's cached translation
+# serve session B).
+import threading as _threading
+import weakref as _weakref
+
+_SESSION_VARIANT_COLS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_ACTIVE_VARIANT = _threading.local()
+
 _BARE_IDENT_RE = re.compile(r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)")
 
 
-def register_variant_columns(names) -> None:
+def register_variant_columns(names, spark=None) -> None:
     """Record column names that are VariantType in registered table views
-    (called by the slt env / storage registration paths). Bumps the
-    translation-cache generation: cached translations bound on the OLD
-    column set must not serve afterwards."""
-    global _VARIANT_GEN
-    before = len(_VARIANT_COLS)
-    _VARIANT_COLS.update(n.lower() for n in names)
-    if len(_VARIANT_COLS) != before:
-        _VARIANT_GEN += 1
+    (called by the slt env / storage registration paths). With `spark`,
+    the registration is scoped to that session; without, it is global
+    (legacy callers / single-session processes). The translation cache
+    needs no invalidation hook: its key embeds the resolved column set."""
+    target = _VARIANT_COLS
+    if spark is not None:
+        target = _SESSION_VARIANT_COLS.setdefault(spark, set())
+    target.update(n.lower() for n in names)
+
+
+def _variant_cols_for(spark=None) -> frozenset[str]:
+    """The Variant column set active for a translation: global
+    registrations plus the session's own."""
+    if spark is None:
+        return frozenset(_VARIANT_COLS)
+    return frozenset(_VARIANT_COLS | _SESSION_VARIANT_COLS.get(spark, set()))
+
+
+def _active_variant_cols() -> frozenset[str]:
+    """The set the CURRENT translation runs under (thread-local, bound by
+    pg_to_spark_sql); falls back to the global set for direct calls into
+    the rewrite helpers."""
+    cols = getattr(_ACTIVE_VARIANT, "cols", None)
+    return frozenset(_VARIANT_COLS) if cols is None else cols
 
 
 def _variant_producing(x: str) -> str | None:
@@ -241,7 +269,7 @@ def _variant_producing(x: str) -> str | None:
     x = x.strip()
     m = _BARE_IDENT_RE.fullmatch(x)
     if m:
-        return f"({x})" if m.group(1).lower() in _VARIANT_COLS else None
+        return f"({x})" if m.group(1).lower() in _active_variant_cols() else None
     m = re.match(r"(?is)^variant_get\s*\((.*)\)$", x)
     if m:
         args = _split_args(m.group(1))
@@ -348,7 +376,7 @@ def _translate_variant_compare(toks: list[str]) -> list[str]:
     cmp_ops = {"=", "!=", "<>", "<", "<=", ">", ">="}
     out = list(toks)
     for i, tok in enumerate(out):
-        if tok.lower() not in _VARIANT_COLS or not _BARE_IDENT_RE.fullmatch(tok):
+        if tok.lower() not in _active_variant_cols() or not _BARE_IDENT_RE.fullmatch(tok):
             continue
         p = _prev_idx(out, i)
         n = _next_idx(out, i)
@@ -1245,22 +1273,34 @@ def _translate_misc(sql: str) -> str:
 
 # Translation cache — the analog of the reference's PlanCacheHook
 # (plan_cache.rs:1-31, an LRU of parsed plans keyed on canonical SQL): the
-# token-pass translation is pure given (sql, variant-column generation), so
-# a repeated dashboard statement pays the regex/token passes once per
+# token-pass translation is pure given (sql, resolved variant-column set),
+# so a repeated dashboard statement pays the regex/token passes once per
 # session instead of per execution. Catalyst's own analysis still runs per
 # statement — this caches the REWRITE layer, the part the engine owns.
-_TRANSLATION_CACHE: dict[tuple[str, int], str] = {}
+# The key EMBEDS the variant-column set a translation was produced under
+# (global ∪ session registrations), so two sessions with different
+# registrations can never replay each other's translations and no
+# generation counter or invalidation hook is needed.
+_TRANSLATION_CACHE: dict[tuple[str, frozenset[str]], str] = {}
 _TRANSLATION_CACHE_MAX = 4096
-_VARIANT_GEN = 0
 
 
-def pg_to_spark_sql(sql: str) -> str:
-    """Translate a PG-dialect SQL string to Spark SQL text."""
-    key = (sql, _VARIANT_GEN)
+def pg_to_spark_sql(sql: str, spark=None) -> str:
+    """Translate a PG-dialect SQL string to Spark SQL text. With `spark`,
+    the translation binds Variant operators against that session's
+    registered Variant columns (plus global registrations); without, the
+    global set alone."""
+    cols = _variant_cols_for(spark)
+    key = (sql, cols)
     hit = _TRANSLATION_CACHE.get(key)
     if hit is not None:
         return hit
-    out = _pg_to_spark_sql_uncached(sql)
+    prev = getattr(_ACTIVE_VARIANT, "cols", None)
+    _ACTIVE_VARIANT.cols = cols
+    try:
+        out = _pg_to_spark_sql_uncached(sql)
+    finally:
+        _ACTIVE_VARIANT.cols = prev
     if len(_TRANSLATION_CACHE) >= _TRANSLATION_CACHE_MAX:
         _TRANSLATION_CACHE.clear()  # simple bound; refill is cheap
     _TRANSLATION_CACHE[key] = out
@@ -1627,7 +1667,7 @@ def expand_qualified_star_in_calls(spark, sql: str) -> str:
     inner = sql[start + 1 : end]
     try:
         cols = spark.sql(
-            pg_to_spark_sql(f"SELECT * FROM ({inner}) __star_probe LIMIT 0")
+            pg_to_spark_sql(f"SELECT * FROM ({inner}) __star_probe LIMIT 0", spark)
         ).columns
     except Exception:
         return sql
@@ -1702,7 +1742,7 @@ def pg_sql(spark, sql: str, tables=None):
                         )
                 elif name not in ("VERBOSE", "COSTS", "BUFFERS", "TIMING", "SUMMARY", "SETTINGS"):
                     raise ValueError(f"unsupported EXPLAIN option {opt.strip()!r}")
-        inner = spark.sql(pg_to_spark_sql(_apply_settings_functions(spark, m.group(3))))
+        inner = spark.sql(pg_to_spark_sql(_apply_settings_functions(spark, m.group(3)), spark))
         qe = inner._jdf.queryExecution()
         if analyze:
             # PG semantics: ANALYZE EXECUTES the statement (including side
@@ -1727,4 +1767,4 @@ def pg_sql(spark, sql: str, tables=None):
             sql,
         )
     sql = expand_qualified_star_in_calls(spark, sql)
-    return spark.sql(pg_to_spark_sql(sql))
+    return spark.sql(pg_to_spark_sql(sql, spark))

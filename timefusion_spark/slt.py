@@ -296,7 +296,8 @@ class SltEnv:
         from timefusion_spark.pgshim import register_variant_columns
 
         register_variant_columns(
-            f.name for f in schema.fields if f.data_type == "Variant"
+            (f.name for f in schema.fields if f.data_type == "Variant"),
+            spark=self.spark,
         )
         self._refresh(schema.table_name)
 
@@ -357,7 +358,8 @@ class SltEnv:
             tbl = Table.open(self.spark, path)
             self.tables[tbl.schema.table_name] = tbl
             register_variant_columns(
-                f.name for f in tbl.schema.fields if f.data_type == "Variant"
+                (f.name for f in tbl.schema.fields if f.data_type == "Variant"),
+                spark=self.spark,
             )
             self._refresh(tbl.schema.table_name)
             mounted.append(tbl.schema.table_name)
@@ -416,7 +418,7 @@ class SltEnv:
         FROM unnest(<array per column>), which the shim lowers to
         inline(arrays_zip(…)). Column alignment is positional, like PG."""
         tbl = self._resolve_insert_target(m.group(1))
-        df = self.spark.sql(pg_to_spark_sql(m.group(4).strip().rstrip(";")))
+        df = self.spark.sql(pg_to_spark_sql(m.group(4).strip().rstrip(";"), self.spark))
         cols = (
             [c.strip() for c in m.group(3).split(",")]
             if m.group(3)
@@ -436,7 +438,7 @@ class SltEnv:
             if m.group(3)
             else [f.name for f in tbl.schema.fields]
         )
-        values_text = pg_to_spark_sql(m.group(4).strip().rstrip(";"))
+        values_text = pg_to_spark_sql(m.group(4).strip().rstrip(";"), self.spark)
         # newline before the alias: the last VALUES line may end in a
         # `-- comment` that would otherwise swallow it
         df = self.spark.sql(
@@ -479,7 +481,7 @@ class SltEnv:
         m = re.match(r"(?s)^\s*\((.*)\)\s*(?:AS\s+)?(\w+)\s*$", from_text.strip())
         if not m:
             raise ValueError(f"unsupported UPDATE…FROM source: {from_text!r}")
-        src = self.spark.sql(pg_to_spark_sql(m.group(1)))
+        src = self.spark.sql(pg_to_spark_sql(m.group(1), self.spark))
         return src, m.group(2)
 
     def _update(self, m: re.Match) -> None:
@@ -494,13 +496,13 @@ class SltEnv:
 
         if from_text is None:
             assigns = {
-                c: F.expr(pg_to_spark_sql(re.sub(rf"\b{name}\.", "", e)))
+                c: F.expr(pg_to_spark_sql(re.sub(rf"\b{name}\.", "", e), self.spark))
                 for c, e in assigns_raw.items()
             }
             dml.update(
                 tbl,
                 assigns,
-                predicate=pg_to_spark_sql(re.sub(rf"\b{name}\.", "", where_text)),
+                predicate=pg_to_spark_sql(re.sub(rf"\b{name}\.", "", where_text), self.spark),
             )
         else:
             src, alias = self._source_alias(from_text)
@@ -527,11 +529,12 @@ class SltEnv:
             for c, e in assigns_raw.items():
                 e2 = re.sub(rf"\b{name}\.", "_tgt.", e)
                 e2 = re.sub(rf"\b{alias}\.", "_src.", e2)
-                assigns[c] = F.expr(pg_to_spark_sql(e2))
+                assigns[c] = F.expr(pg_to_spark_sql(e2, self.spark))
             predicate = None
             if target_conj:
                 predicate = pg_to_spark_sql(
-                    re.sub(rf"\b{name}\.", "", " AND ".join(target_conj))
+                    re.sub(rf"\b{name}\.", "", " AND ".join(target_conj)),
+                    self.spark,
                 )
             dml.update_from(tbl, src, join_keys, assigns, predicate=predicate)
         self._refresh(name)
@@ -541,7 +544,7 @@ class SltEnv:
         tbl = self.tables.get(name)
         if tbl is None:
             raise ValueError(f"unknown table {name}")
-        dml.delete(tbl, predicate=pg_to_spark_sql(where_text) if where_text else None)
+        dml.delete(tbl, predicate=pg_to_spark_sql(where_text, self.spark) if where_text else None)
         self._refresh(name)
 
     # ---- entry points
@@ -577,7 +580,7 @@ class SltEnv:
             self._delete(m)
         else:
             # plain SQL statement (SELECT used as a probe, etc.)
-            self.spark.sql(pg_to_spark_sql(sql)).collect()
+            self.spark.sql(pg_to_spark_sql(sql, self.spark)).collect()
 
     # ---- explicit transactions (the pgwire BEGIN/COMMIT/ROLLBACK surface)
 
@@ -676,7 +679,7 @@ class SltEnv:
         from timefusion_spark.pgshim import expand_qualified_star_in_calls
 
         s = expand_qualified_star_in_calls(self.spark, sql.strip().rstrip(";"))
-        return self.spark.sql(pg_to_spark_sql(s)).collect()
+        return self.spark.sql(pg_to_spark_sql(s, self.spark)).collect()
 
 
 @dataclass
