@@ -96,6 +96,34 @@ class TestCoalescing:
         # rows inside the widened window but matching no source key are untouched
         assert got["b"] == 2.0 and got["c"] == 3.0
 
+    def test_widened_window_parses_before_compare(self):
+        """Mixed-format timestamp literals must widen by INSTANT, not by
+        string order: '2024-01-02T08' sorts lexicographically above
+        '2024-01-02 09' ('T' > ' '), so a string max would NARROW the
+        window and silently skip rows. Unparseable literals make the
+        bound unbounded (widening is safe; narrowing is not)."""
+        from timefusion_spark.storage.coalescer import (
+            _Group,
+            _Statement,
+            _widened_window,
+        )
+
+        g = _Group(
+            table=None, join_keys=("id",), assignments={}, predicate=None,
+            project_id=None,
+        )
+        g.statements = [
+            _Statement(1, None, "2024-01-02 00:00:00", "2024-01-02T08:00:00"),
+            _Statement(2, None, "2024-01-02", "2024-01-02 09:00:00"),
+        ]
+        lo, hi = _widened_window(g)
+        assert hi == "2024-01-02 09:00:00"  # instant max, not string max
+        assert lo in ("2024-01-02", "2024-01-02 00:00:00")  # same instant
+        g.statements.append(_Statement(3, None, "not-a-time", "2024-01-03"))
+        lo, hi = _widened_window(g)
+        assert lo is None  # unparseable → unbounded, never mis-ordered
+        assert hi == "2024-01-03"
+
     def test_queue_empties_after_drain(self, spark, table):
         c = coalescer.DmlCoalescer()
         c.enqueue(table, _src(spark, [("a", 1.0)]), ["id"], {"value": "_src.adj"})

@@ -168,11 +168,29 @@ def _merge_sources(g: _Group) -> DataFrame:
 def _widened_window(g: _Group) -> tuple[str | None, str | None]:
     """Union of the statements' time windows (dml_coalescer.rs: timestamp
     conjuncts widen to the covering range; any unbounded statement makes
-    the group unbounded)."""
+    the group unbounded). Bounds compare as PARSED datetimes, not strings:
+    two renderings of one instant ('2024-01-02' vs '2024-01-02 00:00:00')
+    or a non-zero-padded literal would mis-order lexicographically, and a
+    window that NARROWS silently drops rows from the mutation (widening
+    too far is merely slower — never wrong). Any unparseable literal
+    makes the group unbounded, same decline-on-doubt direction."""
+    import datetime as _dt
+
+    def _parse(v: str) -> "_dt.datetime | None":
+        try:
+            return _dt.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+
     los = [st.ts_lo for st in g.statements]
     his = [st.ts_hi for st in g.statements]
-    lo = None if any(v is None for v in los) else min(los)
-    hi = None if any(v is None for v in his) else max(his)
+    lo = hi = None
+    if not any(v is None for v in los):
+        parsed = [(_parse(v), v) for v in los]
+        lo = None if any(p is None for p, _ in parsed) else min(parsed)[1]
+    if not any(v is None for v in his):
+        parsed = [(_parse(v), v) for v in his]
+        hi = None if any(p is None for p, _ in parsed) else max(parsed)[1]
     return lo, hi
 
 
