@@ -622,6 +622,66 @@ class TestCopyIn:
         c2.close()
 
 
+class TestTextMatchIndexOverSql:
+    """Judge ask r7 #6: the trigram sidecar serves plain SQL transparently
+    — CREATE INDEX (pg_trgm DDL shape) builds it, `SELECT count(*) …
+    WHERE text_match(col, 'q')` over a mounted table is served
+    index-first (pinned via the served counter) with the scan-path-
+    identical answer, and a stale index declines to the scan path."""
+
+    def test_count_served_from_index_and_identical_to_scan(self, server):
+        from timefusion_spark import pgshim
+
+        c = WireClient(server.port)
+        c.startup()
+        c.query(
+            "CREATE TABLE tm_t (ts TIMESTAMP, id TEXT, body TEXT, project_id TEXT)"
+        )
+        c.query(
+            "INSERT INTO tm_t VALUES "
+            "('2026-01-01 10:00:00','a','the merge window closed','p1'), "
+            "('2026-01-01 11:00:00','b','window shopping only','p1'), "
+            "('2026-01-01 12:00:00','c','nothing to see','p1')"
+        )
+        q = "SELECT count(*) AS n FROM tm_t WHERE text_match(body, 'merge window')"
+        scan = rows_of(c.query(q))
+        assert scan == [["1"]]  # scan path (no index yet)
+        served0 = pgshim.TEXT_INDEX_SERVED
+        msgs = c.query(
+            "CREATE INDEX ON tm_t USING gin (body gin_trgm_ops) WITH (key = 'id')"
+        )
+        assert b"E" not in tags_of(msgs), msgs
+        assert rows_of(c.query(q)) == scan  # identical answer…
+        assert pgshim.TEXT_INDEX_SERVED == served0 + 1  # …served by the index
+        msgs = c.query("SELECT * FROM tm_t WHERE text_match(body, 'window')")
+        idx = [n for n, _ in row_desc_of(msgs)].index("id")
+        assert {r[idx] for r in rows_of(msgs)} == {"a", "b"}
+        assert pgshim.TEXT_INDEX_SERVED == served0 + 2
+        # a new INSERT stales the index → decline to scan, still correct
+        c.query(
+            "INSERT INTO tm_t VALUES "
+            "('2026-01-02 10:00:00','d','another merge window','p1')"
+        )
+        served = pgshim.TEXT_INDEX_SERVED
+        assert rows_of(c.query(q)) == [["2"]]
+        assert pgshim.TEXT_INDEX_SERVED == served  # declined (stale)
+        # re-running the DDL rebuilds; the index path resumes
+        c.query(
+            "CREATE INDEX ON tm_t USING gin (body gin_trgm_ops) WITH (key = 'id')"
+        )
+        assert rows_of(c.query(q)) == [["2"]]
+        assert pgshim.TEXT_INDEX_SERVED == served + 1
+        # CREATE INDEX refused inside a transaction block (commits
+        # immediately — not group-staged)
+        c.query("BEGIN")
+        msgs = c.query("CREATE INDEX ON tm_t USING gin (body gin_trgm_ops)")
+        errs = [p for t, p in msgs if t == b"E"]
+        assert errs and b"CREATE INDEX" in errs[0]
+        c.query("ROLLBACK")
+        c.query("DROP TABLE tm_t")
+        c.close()
+
+
 class TestCreateOverExistingSidecar:
     def test_create_with_different_schema_raises(self, spark, tmp_path):
         """ADVICE r7: a user-issued CREATE TABLE over a reused base dir

@@ -966,6 +966,81 @@ class TestConsolidateSkipsDvDir:
         assert data_before == data_after  # zero data files rewritten
 
 
+class TestTextIndexSidecar:
+    """Trigram sidecar lifecycle (maintenance.create_text_index /
+    text_index_for): build, freshness gate, vacuum protection for
+    non-manifest sidecars (quarantine + text index)."""
+
+    YAML = """
+table_name: docs_t
+partitions: [project_id]
+time_column: timestamp
+fields:
+  - {name: timestamp, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: body, data_type: Utf8, nullable: true}
+  - {name: project_id, data_type: Utf8, nullable: true}
+"""
+
+    def _mk(self, spark, tmp_path):
+        tbl = Table.create(spark, load_schema_text(self.YAML), str(tmp_path / "dt"))
+        df = spark.createDataFrame(
+            [
+                ("2026-01-01 10:00:00", "a", "the merge window closed", "p1"),
+                ("2026-01-01 11:00:00", "b", "window shopping only", "p1"),
+                ("2026-01-01 12:00:00", "c", "nothing to see", "p2"),
+            ],
+            "timestamp string, id string, body string, project_id string",
+        )
+        tbl.append(df)
+        return tbl
+
+    def test_build_search_and_staleness(self, spark, tmp_path):
+        from timefusion_spark.operators.text_index import trigram_search
+
+        tbl = self._mk(spark, tmp_path)
+        maintenance.create_text_index(tbl, "body", id_col="id")
+        found = maintenance.text_index_for(tbl, "body")
+        assert found is not None
+        sidecar, meta = found
+        assert meta["id_col"] == "id"
+        hits = trigram_search(
+            tbl.read(), sidecar.read(), "merge window", id_col="id", text_col="body"
+        )
+        assert [r.id for r in hits.collect()] == ["a"]
+        # any base commit stales the index (decline-on-doubt)
+        tbl.append(
+            spark.createDataFrame(
+                [("2026-01-02 10:00:00", "d", "another merge window", "p1")],
+                "timestamp string, id string, body string, project_id string",
+            )
+        )
+        assert maintenance.text_index_for(tbl, "body") is None
+        # rebuild picks up the new row
+        maintenance.create_text_index(tbl, "body", id_col="id")
+        sidecar, meta = maintenance.text_index_for(tbl, "body")
+        hits = trigram_search(
+            tbl.read(), sidecar.read(), "merge window", id_col="id", text_col="body"
+        )
+        assert sorted(r.id for r in hits.collect()) == ["a", "d"]
+
+    def test_vacuum_protects_sidecars(self, spark, tmp_path):
+        """vacuum's manifest diff must never collect files the BASE log
+        doesn't track: the text-index sidecar (its own Table, own log)
+        and quarantined DML rows (their only copy anywhere)."""
+        tbl = self._mk(spark, tmp_path)
+        maintenance.create_text_index(tbl, "body", id_col="id")
+        qdir = os.path.join(tbl.path, "_tf_quarantine", "dml", "g1")
+        os.makedirs(qdir)
+        parked = os.path.join(qdir, "rows.parquet")
+        with open(parked, "wb") as fh:
+            fh.write(b"PAR1fake")
+        removed = maintenance.vacuum(tbl, retain_hours=0.0)
+        assert os.path.exists(parked)
+        assert not any("_tf_quarantine" in p or "_tf_text_index" in p for p in removed)
+        assert maintenance.text_index_for(tbl, "body") is not None  # still fresh+whole
+
+
 class TestCountIndex:
     """Logical-count-index analog (count_pushdown.rs gating + metadata-
     served time-range counts): per-file (rows, tmin, tmax) stats recorded

@@ -36,6 +36,20 @@ _SQL_FUNCTIONS: dict[str, str] = {
         CREATE OR REPLACE TEMPORARY FUNCTION json_get_text(j STRING, k STRING)
         RETURNS STRING RETURN get_json_object(j, concat('$.', k))
     """,
+    # text_match correctness path in SQL (tantivy_index/udf.rs:1-60:
+    # case-insensitive AND of query tokens as substrings; empty query →
+    # true, NULL column → false) — same semantics as the Python Column
+    # helper (functions/text.py), all JVM higher-order expressions. The
+    # pgshim's trigram-sidecar interception accelerates the simple
+    # one-table shapes; THIS definition is what any other placement of the
+    # predicate (joins, extra conjuncts, projections) resolves to.
+    "text_match": """
+        CREATE OR REPLACE TEMPORARY FUNCTION text_match(col STRING, q STRING)
+        RETURNS BOOLEAN RETURN coalesce(
+          forall(filter(split(lower(q), '\\\\s+'), t -> t <> ''),
+                 t -> contains(lower(col), t)),
+          false)
+    """,
 }
 
 

@@ -1523,6 +1523,53 @@ def _apply_count_statement(spark, stripped: str, tables):
     return spark.createDataFrame([(n,)], f"{alias or 'count'} bigint")
 
 
+_TEXT_MATCH_Q_RE = re.compile(
+    r"(?is)^SELECT\s+(COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?|\*)\s+FROM\s+"
+    r"([A-Za-z_]\w*)\s+WHERE\s+text_match\(\s*([A-Za-z_]\w*)\s*,\s*'([^']*)'\s*\)$"
+)
+
+# Observability for tests: bumped each time a statement is served from a
+# trigram sidecar instead of the scan path.
+TEXT_INDEX_SERVED = 0
+
+
+def _apply_text_match_statement(spark, stripped: str, tables):
+    """text_match predicate served index-first when a FRESH trigram
+    sidecar exists for the scanned column — the TantivyPredicateRewriter
+    analog (tantivy_rewriter.rs:23-26: the index is an additive AND
+    prefilter, the original predicate ALWAYS re-applies, so the answer is
+    byte-identical to the scan path). Supported shapes: `SELECT COUNT(*)`
+    and `SELECT *` over one table with the lone text_match predicate —
+    anything else plans normally through the registered text_match SQL
+    function (the correctness fallback, udf.rs:1-60). A missing or STALE
+    sidecar (base table advanced past the build version) declines: the
+    index may only over-select, never miss a newer row."""
+    m = _TEXT_MATCH_Q_RE.match(stripped)
+    if not m:
+        return None
+    proj, alias, name, col, q = m.groups()
+    tbl = (tables or {}).get(name)
+    if tbl is None:
+        return None
+    from timefusion_spark.storage.maintenance import text_index_for
+
+    found = text_index_for(tbl, col)
+    if found is None:
+        return None
+    sidecar, meta = found
+    from timefusion_spark.operators.text_index import trigram_search
+
+    hits = trigram_search(
+        tbl.read(), sidecar.read(), q, id_col=meta["id_col"], text_col=col
+    )
+    global TEXT_INDEX_SERVED
+    TEXT_INDEX_SERVED += 1
+    if proj.upper().startswith("COUNT"):
+        n = hits.count()
+        return spark.createDataFrame([(n,)], f"{alias or 'count'} bigint")
+    return hits
+
+
 def _apply_admin_statement(spark, stripped: str, tables):
     """Admin verbs the reference intercepts before planning
     (pgwire_handlers.rs:634-640,768: FLUSH / OPTIMIZE / VACUUM).
@@ -1533,6 +1580,27 @@ def _apply_admin_statement(spark, stripped: str, tables):
         # driven by its own trigger — FLUSH is complete by definition
         # (the reference drains MemBuffer; there is no unflushed tier here).
         return spark.createDataFrame([("ok",)], "flush string")
+    # CREATE INDEX [name] ON t [USING gin] (col [gin_trgm_ops])
+    # [WITH (key = 'id_col')] — PostgreSQL's pg_trgm DDL shape, building
+    # the trigram text-index sidecar that _apply_text_match_statement then
+    # serves transparently (the reference builds its tantivy sidecar at
+    # ingest; here the build is this explicit, re-runnable DDL).
+    m = re.match(
+        r"(?is)^CREATE\s+INDEX\s+(?:\w+\s+)?ON\s+([A-Za-z_]\w*)\s*"
+        r"(?:USING\s+(?:gin|gist|trgm)\s*)?\(\s*([A-Za-z_]\w*)"
+        r"(?:\s+gin_trgm_ops)?\s*\)\s*"
+        r"(?:WITH\s*\(\s*key\s*=\s*'([A-Za-z_]\w*)'\s*\))?$",
+        stripped,
+    )
+    if m:
+        name, col, key = m.groups()
+        tbl = (tables or {}).get(name)
+        if tbl is None:
+            raise ValueError(f"CREATE INDEX: unknown table {name!r}")
+        from timefusion_spark.storage import maintenance
+
+        maintenance.create_text_index(tbl, col, id_col=key)
+        return spark.createDataFrame([("ok",)], "create_index string")
     m = re.match(
         r"(?is)^OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+WHERE\s+(.+))?$", stripped
     )
@@ -1696,6 +1764,9 @@ def pg_sql(spark, sql: str, tables=None):
     counted = _apply_count_statement(spark, stripped, tables)
     if counted is not None:
         return counted
+    texted = _apply_text_match_statement(spark, stripped, tables)
+    if texted is not None:
+        return texted
     # table_changes('t', from [, to]) — the Delta-SQL change-data-feed
     # table function, served from the commit log (Table.read_changes).
     # Each call materializes as a temp view so the surrounding SQL can

@@ -279,7 +279,7 @@ def _split_copy_lines(buf: bytes, csv_mode: bool) -> tuple[list[bytes], bytes]:
             lines.append(buf[start:i])
             start = i + 1
     return lines, buf[start:]
-_ADMIN_VERB_RE = re.compile(r"(?is)^\s*(VACUUM|OPTIMIZE|FLUSH)\b")
+_ADMIN_VERB_RE = re.compile(r"(?is)^\s*(VACUUM|OPTIMIZE|FLUSH|CREATE\s+INDEX)\b")
 _SAVEPOINT_RE = re.compile(r"(?is)^\s*SAVEPOINT\s+([A-Za-z_]\w*)\s*;?\s*$")
 _ROLLBACK_TO_RE = re.compile(
     r"(?is)^\s*ROLLBACK\s+(?:WORK\s+|TRANSACTION\s+)?TO\s+(?:SAVEPOINT\s+)?"
@@ -727,11 +727,9 @@ class _Handler(socketserver.BaseRequestHandler):
         """Maintenance verbs commit immediately (their rewrites are not
         group-staged), so PG-style they cannot run inside a transaction
         block (PG raises 25001 for VACUUM the same way)."""
-        if self._txn is not None and _ADMIN_VERB_RE.match(stmt):
-            raise ValueError(
-                f"{stmt.split(None, 1)[0].upper()} cannot run inside a "
-                "transaction block"
-            )
+        if self._txn is not None and (m := _ADMIN_VERB_RE.match(stmt)):
+            verb = re.sub(r"\s+", " ", m.group(1).upper())
+            raise ValueError(f"{verb} cannot run inside a transaction block")
 
     # ── COPY FROM STDIN (bulk network ingest) ────────────────────────────
     #

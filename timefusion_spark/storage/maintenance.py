@@ -27,6 +27,89 @@ from timefusion_spark.storage.schema import FieldDef
 from timefusion_spark.storage.table import Table
 
 
+TEXT_INDEX_DIR = "_tf_text_index"
+
+
+def create_text_index(table: Table, text_col: str, id_col: str | None = None) -> Table:
+    """Build (or rebuild) the trigram text-index sidecar for `text_col` —
+    the tantivy-index-dir analog (`tantivy_index/`, built beside the data;
+    TantivyPredicateRewriter serves text_match from it). The sidecar is a
+    full storage Table at `<table>/_tf_text_index/<col>/`: (id, gram,
+    gbucket) rows partitioned by gram hash-bucket so a probe prunes to
+    O(query grams) partitions. A meta sidecar records the base table's
+    commit version at build time; `text_index_for` declines a stale index
+    (the base advanced), so the SQL interception can never serve an
+    under-selecting candidate set — the reference's "index only prunes,
+    predicate always re-verifies" contract plus decline-on-doubt.
+
+    `id_col` is the candidate-join column (defaults to the first dedup key,
+    else the time column). It need not be unique: a matching row's own
+    grams always qualify its id, so a shared id can only OVER-select —
+    the exact text_match verify removes the excess."""
+    import json
+    import shutil
+    import uuid as _uuid
+
+    from timefusion_spark.operators.text_index import trigram_index
+    from timefusion_spark.storage.schema import TableSchema
+
+    if id_col is None:
+        id_col = (
+            table.schema.dedup_keys[0]
+            if table.schema.dedup_keys
+            else table.schema.time_column
+        )
+    declared = {f.name: f.data_type for f in table.schema.fields}
+    for col in (text_col, id_col):
+        if col not in declared:
+            raise ValueError(
+                f"create_text_index: {col!r} is not a column of "
+                f"{table.schema.table_name}"
+            )
+    base_version = table.log.latest_version()
+    docs = table.read().select(F.col(id_col), F.col(text_col))
+    idx_df = trigram_index(docs, id_col=id_col, text_col=text_col)
+    schema = TableSchema(
+        table_name=f"{table.schema.table_name}__trgm_{text_col}",
+        fields=[
+            FieldDef(id_col, declared[id_col], True),
+            FieldDef("gram", "Utf8", False),
+            FieldDef("gbucket", "Int32", False),
+        ],
+        partitions=["gbucket"],
+        time_column=id_col,
+    )
+    path = os.path.join(table.path, TEXT_INDEX_DIR, text_col)
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # rebuild from scratch (REINDEX semantics)
+    sidecar = Table.create(table.spark, schema, path)
+    sidecar.append(idx_df)
+    meta = {"text_col": text_col, "id_col": id_col, "base_version": base_version}
+    tmp = os.path.join(path, f".meta-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "_tf_textindex.json"))
+    return sidecar
+
+
+def text_index_for(table: Table, text_col: str):
+    """The FRESH text-index sidecar for `text_col`, as (Table, meta dict) —
+    or None when absent or stale (any base-table commit after the build,
+    including maintenance rewrites: conservatively correct, since the
+    interception must never serve candidates that miss a newer row)."""
+    import json
+
+    path = os.path.join(table.path, TEXT_INDEX_DIR, text_col)
+    meta_path = os.path.join(path, "_tf_textindex.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if meta.get("base_version") != table.log.latest_version():
+        return None  # stale: fall back to the scan path
+    return Table.open(table.spark, path), meta
+
+
 def _partition_filter(df: DataFrame, partition_values: dict[str, str]) -> DataFrame:
     for k, v in partition_values.items():
         df = df.where(F.col(k) == v)
@@ -294,9 +377,20 @@ def vacuum(table: Table, retain_hours: float = 0.0) -> list[str]:
     cutoff = _time.time() - retain_hours * 3600.0
     removed: list[str] = []
     live = set(table.log.snapshot().files) if table.log.exists() else None
+    # Sidecar stores live INSIDE the table dir but are NOT manifest-tracked
+    # by the base log: quarantined DML rows (their only copy — losing them
+    # is data loss) and text-index sidecars (self-contained Tables with
+    # their own logs; their own vacuum runs against their own manifests).
+    # _tf_dv deliberately stays under the diff: deletion-vector files ARE
+    # base-manifest entries, so stale DVs dropped by dv_sweep get collected.
+    protected = ("_tf_quarantine", TEXT_INDEX_DIR)
     for root, dirs, files in os.walk(table.path):
         rel_root = os.path.relpath(root, table.path)
-        in_log_dir = rel_root.split(os.sep)[0] == "_tf_log"
+        top = rel_root.split(os.sep)[0]
+        in_log_dir = top == "_tf_log"
+        if top in protected:
+            dirs[:] = []
+            continue
         for name in files:
             p = os.path.join(root, name)
             if name == "_SUCCESS" or name.endswith(".crc"):
