@@ -5,6 +5,8 @@ runner's write path, error recovery, multi-statement, SSLRequest."""
 
 from __future__ import annotations
 
+import os
+import re
 import socket
 import struct
 
@@ -620,6 +622,102 @@ class TestCopyIn:
         c1.query("DROP TABLE cp_txn")
         c1.close()
         c2.close()
+
+
+class TestMetricsEndpoint:
+    """metrics.rs analog: GET /metrics renders Prometheus text exposition
+    from the commit-log manifests; commit counters advance scrape-over-
+    scrape while a streaming ingest runs."""
+
+    def test_scrape_advances_during_streaming_ingest(self, spark, tmp_path):
+        import json as _json
+        import re as _re
+        import time
+        import urllib.request
+
+        from timefusion_spark.storage.streaming import ingest_stream
+
+        srv = PgWireServer(
+            spark, base_dir=str(tmp_path / "m"), metrics_port=0
+        ).start()
+        try:
+            c = WireClient(srv.port)
+            c.startup()
+            c.query(
+                "CREATE TABLE mt (ts TIMESTAMP, id TEXT, val DOUBLE, "
+                "project_id TEXT)"
+            )
+
+            def scrape() -> str:
+                url = f"http://127.0.0.1:{srv.metrics_port}/metrics"
+                with urllib.request.urlopen(url, timeout=30) as r:
+                    assert r.headers["Content-Type"].startswith("text/plain")
+                    return r.read().decode()
+
+            def commits(body: str) -> int:
+                m = _re.search(
+                    r'timefusion_table_commits_total\{table="mt"\} (\d+)', body
+                )
+                assert m, body
+                return int(m.group(1))
+
+            body = scrape()
+            assert "timefusion_up 1" in body
+            assert 'timefusion_table_live_files{table="mt"}' in body
+            c0 = commits(body)
+
+            src = str(tmp_path / "src")
+            os.makedirs(src)
+
+            def feed(name: str, lo: int, hi: int) -> None:
+                with open(os.path.join(src, name), "w") as fh:
+                    for i in range(lo, hi):
+                        fh.write(
+                            _json.dumps(
+                                {
+                                    "ts": f"2026-01-01 10:{i % 60:02d}:00",
+                                    "id": f"r{i}",
+                                    "val": float(i),
+                                    "project_id": "p1",
+                                }
+                            )
+                            + "\n"
+                        )
+
+            feed("a.json", 0, 20)
+            stream = (
+                spark.readStream.schema(
+                    "ts string, id string, val double, project_id string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .json(src)
+            )
+            tbl = srv._server.runner.tables["mt"]
+            q = ingest_stream(tbl, stream, str(tmp_path / "ckpt"), trigger_seconds=1)
+            try:
+                deadline = time.time() + 60
+                while commits(scrape()) <= c0:  # ingest running: counter moves
+                    assert time.time() < deadline, "first batch never committed"
+                    time.sleep(0.3)
+                c1 = commits(scrape())
+                feed("b.json", 20, 40)  # more data mid-stream
+                while commits(scrape()) <= c1:
+                    assert time.time() < deadline, "second batch never committed"
+                    time.sleep(0.3)
+            finally:
+                q.stop()
+            assert int(
+                re.search(
+                    r'timefusion_table_stat_rows\{table="mt"\} (\d+)', scrape()
+                ).group(1)
+            ) == 40
+            # the wire SELECT sees the externally-ingested rows without any
+            # manual refresh (refresh_stale runs per statement)
+            assert rows_of(c.query("SELECT count(*) AS n FROM mt")) == [["40"]]
+            c.query("DROP TABLE mt")
+            c.close()
+        finally:
+            srv.stop()
 
 
 class TestTextMatchIndexOverSql:

@@ -609,6 +609,11 @@ class _Handler(socketserver.BaseRequestHandler):
         # the txn's pending group (unique per-group view names — invisible
         # to every other connection).
         txn = getattr(self, "_txn", None)
+        if self.server.runner is not None:
+            # external commits (streaming ingest, another process on the
+            # same store) become visible to this statement
+            with self.server.lock:
+                self.server.runner.refresh_stale()
         if txn is not None and txn.tables and self.server.runner is not None:
             with self.server.lock:
                 mapping = self.server.runner.register_txn_views(txn)
@@ -1046,6 +1051,103 @@ def _is_storage_stmt(stmt: str) -> bool:
     )
 
 
+def _render_metrics(tables) -> str:
+    """Prometheus text exposition (format 0.0.4) of every mounted table's
+    commit-log manifest view: commits, live files/bytes, manifest-known
+    rows. All numbers come from the log snapshot — cheap local metadata
+    reads, no Spark job per scrape, so any scrape cadence is safe."""
+    commits: list[str] = []
+    files: list[str] = []
+    sizes: list[str] = []
+    rows: list[str] = []
+    for name in sorted(tables or {}):
+        tbl = tables[name]
+        try:
+            snap = tbl.log.snapshot()
+        except OSError:
+            continue
+        lbl = '{table="' + name + '"}'
+        commits.append(f"timefusion_table_commits_total{lbl} {snap.version + 1}")
+        files.append(f"timefusion_table_live_files{lbl} {len(snap.files)}")
+        sizes.append(f"timefusion_table_live_bytes{lbl} {sum(snap.files.values())}")
+        known = sum(
+            int(st["rows"]) for st in snap.stats.values() if st.get("rows") is not None
+        )
+        rows.append(f"timefusion_table_stat_rows{lbl} {known}")
+    out: list[str] = []
+    for mname, help_, mtype, samples in (
+        ("timefusion_table_commits_total", "Commit-log entries (version tip + 1)",
+         "counter", commits),
+        ("timefusion_table_live_files", "Files in the current snapshot",
+         "gauge", files),
+        ("timefusion_table_live_bytes", "Bytes across the current snapshot's files",
+         "gauge", sizes),
+        ("timefusion_table_stat_rows", "Rows per manifest write-time stats "
+         "(files without recorded stats contribute 0)", "gauge", rows),
+    ):
+        out.append(f"# HELP {mname} {help_}")
+        out.append(f"# TYPE {mname} {mtype}")
+        out.extend(samples)
+    out.append("# HELP timefusion_up 1 while the server is answering")
+    out.append("# TYPE timefusion_up gauge")
+    out.append("timefusion_up 1")
+    return "\n".join(out) + "\n"
+
+
+class MetricsServer:
+    """`metrics.rs` analog (the reference's Prometheus scrape endpoint):
+    a tiny HTTP server answering GET /metrics with the text exposition
+    rendered by `_render_metrics`. Shares the pgwire server's table
+    registry, so streaming ingest / wire commits show up scrape-over-
+    scrape as advancing commit counters."""
+
+    def __init__(self, tables, host: str = "127.0.0.1", port: int = 0):
+        import http.server
+
+        outer_tables = tables
+
+        class _MetricsHandler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 — http.server API
+                if self.path.split("?")[0].rstrip("/") not in ("", "/metrics"):
+                    self.send_error(404)
+                    return
+                body = _render_metrics(outer_tables).encode("utf-8")
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):  # quiet scrapes
+                pass
+
+        class _HTTP(http.server.ThreadingHTTPServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        self._server = _HTTP((host, port), _MetricsHandler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    def start(self) -> "MetricsServer":
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="tf-metrics", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+
 class PgWireServer:
     """`serve_with_listener` analog: listen, accept, answer psql clients.
 
@@ -1070,6 +1172,7 @@ class PgWireServer:
         runner=None,
         host: str = "127.0.0.1",
         port: int = 0,
+        metrics_port: int | None = None,
     ):
         if runner is None and base_dir is not None:
             from timefusion_spark.slt import SltEnv
@@ -1081,16 +1184,29 @@ class PgWireServer:
         self._server.tables = runner.tables if runner is not None else tables
         self._server.lock = threading.Lock()
         self._thread: threading.Thread | None = None
+        # metrics.rs analog: GET /metrics beside the pgwire port (None =
+        # disabled; 0 = ephemeral)
+        self._metrics: MetricsServer | None = None
+        if metrics_port is not None:
+            self._metrics = MetricsServer(
+                self._server.tables, host=host, port=metrics_port
+            )
 
     @property
     def port(self) -> int:
         return self._server.server_address[1]
+
+    @property
+    def metrics_port(self) -> int | None:
+        return self._metrics.port if self._metrics is not None else None
 
     def start(self) -> "PgWireServer":
         self._thread = threading.Thread(
             target=self._server.serve_forever, name="pgwire", daemon=True
         )
         self._thread.start()
+        if self._metrics is not None:
+            self._metrics.start()
         return self
 
     def stop(self) -> None:
@@ -1098,6 +1214,8 @@ class PgWireServer:
         self._server.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        if self._metrics is not None:
+            self._metrics.stop()
 
 
 @contextlib.contextmanager
@@ -1145,6 +1263,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--cpus", default=None, help="local[N] core count (default $SPARK_GRAFT_CPUS)"
     )
+    parser.add_argument(
+        "--metrics-port",
+        type=int,
+        default=None,
+        help="serve Prometheus text metrics on GET /metrics at this port "
+        "(0 = ephemeral; omit to disable)",
+    )
     args = parser.parse_args(argv)
 
     from timefusion_spark.session import get_spark
@@ -1153,12 +1278,25 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("timefusion-pgwire", cpus=args.cpus)
     runner = SltEnv(spark, args.base_dir)
     mounted = runner.mount_existing()
-    srv = PgWireServer(spark, runner=runner, host=args.host, port=args.port)
+    srv = PgWireServer(
+        spark,
+        runner=runner,
+        host=args.host,
+        port=args.port,
+        metrics_port=args.metrics_port,
+    )
+    if srv._metrics is not None:
+        srv._metrics.start()
     names = sorted(runner.tables)
     print(
         f"timefusion-spark pgwire listening on {args.host}:{srv.port} — "
         f"{len(names)} tables ({', '.join(names)})"
-        + (f"; remounted: {', '.join(mounted)}" if mounted else ""),
+        + (f"; remounted: {', '.join(mounted)}" if mounted else "")
+        + (
+            f"; metrics on http://{args.host}:{srv.metrics_port}/metrics"
+            if srv.metrics_port is not None
+            else ""
+        ),
         flush=True,
     )
     try:

@@ -260,6 +260,10 @@ class SltEnv:
         self.spark = spark
         self.base_dir = base_dir
         self.tables: dict[str, Table] = {}
+        # commit-log version each table's SQL view was registered at —
+        # refresh_stale() compares against the live tip so external
+        # writers become visible without a manual refresh
+        self._view_versions: dict[str, int] = {}
         register_all(spark)
         for yaml_name in ("otel_logs_and_spans.yaml", "mor_versioned.yaml"):
             schema = load_schema(os.path.join(_SCHEMA_DIR, yaml_name))
@@ -314,6 +318,25 @@ class SltEnv:
             ]
             df = df.select(*vis)
         df.createOrReplaceTempView(name)
+        self._view_versions[name] = (
+            tbl.log.latest_version() if tbl.log.exists() else -1
+        )
+
+    def refresh_stale(self) -> list[str]:
+        """Re-register the SQL view of every table whose commit log
+        advanced past the version its view captured — commits from
+        EXTERNAL writers (a streaming ingest, another process over the
+        same store) become visible to the next statement, matching the
+        reference's always-live snapshot listing. Cost per call is one
+        log-dir listing per table; runner-mediated writes refresh eagerly
+        so this is a no-op on the common path."""
+        refreshed: list[str] = []
+        for name, tbl in self.tables.items():
+            tip = tbl.log.latest_version() if tbl.log.exists() else -1
+            if self._view_versions.get(name) != tip:
+                self._refresh(name)
+                refreshed.append(name)
+        return refreshed
 
     def register_txn_views(self, txn: "TxnState") -> dict[str, str]:
         """Read-your-own-writes overlays: for each table the transaction
@@ -678,6 +701,7 @@ class SltEnv:
     def run_query(self, sql: str):
         from timefusion_spark.pgshim import expand_qualified_star_in_calls
 
+        self.refresh_stale()
         s = expand_qualified_star_in_calls(self.spark, sql.strip().rstrip(";"))
         return self.spark.sql(pg_to_spark_sql(s, self.spark)).collect()
 
