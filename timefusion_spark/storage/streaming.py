@@ -151,12 +151,17 @@ def ingest_stream_multi(
     `routes` maps a route name → (table, selector) where `selector(batch)`
     returns that table's slice of the micro-batch (e.g. a filter +
     projection). Per batch: every table's files stage and commit PENDING
-    inside a shared CommitGroup, then the group marker publishes with one
-    atomic create — a reader (batch scan, time travel, or change feed)
-    either sees the batch in ALL tables or in NONE. A crash between any
-    two table commits leaves only invisible entries; the replayed batch
-    re-appends cleanly because pending commits' txn watermarks are ignored
-    on replay."""
+    inside a shared CommitGroup, then the group resolution settles with
+    one atomic create — a reader (batch scan, time travel, or change
+    feed) either sees the batch in ALL tables or in NONE. Durability is
+    TABLE-LOCAL: publish() drops a `_tf_log/_groups/<gid>.published`
+    confirmation into every participating table's own log dir, so
+    visibility never depends on the coordinator's marker directory — it
+    lives under the checkpoint dir purely as scratch for the settle race,
+    and resetting or relocating the checkpoint cannot un-publish
+    anything. A crash between any two table commits leaves only invisible
+    entries; the replayed batch re-appends cleanly because pending
+    commits' txn watermarks are ignored on replay."""
     if not stream.isStreaming:
         raise ValueError("ingest_stream_multi requires a streaming DataFrame")
     from timefusion_spark.storage.commitlog import CommitGroup
