@@ -602,6 +602,27 @@ class TestCopyIn:
         c.query("DROP TABLE cp_f")
         c.close()
 
+    def test_copy_rejected_on_extended_protocol(self, server):
+        """Drivers issue COPY via simple Query; an extended-protocol
+        Execute of a COPY portal gets a clear error, not a translation
+        failure mid-subprotocol."""
+        c = WireClient(server.port)
+        c.startup()
+        c.query(
+            "CREATE TABLE cp_x (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+        )
+        parse = b"\x00" + b"COPY cp_x FROM STDIN\x00" + struct.pack("!h", 0)
+        bind = b"\x00\x00" + struct.pack("!hhh", 0, 0, 0)
+        execute = b"\x00" + struct.pack("!i", 0)
+        for tag, body in ((b"P", parse), (b"B", bind), (b"D", b"P\x00"), (b"E", execute)):
+            c.sock.sendall(tag + struct.pack("!i", len(body) + 4) + body)
+        c.sock.sendall(b"S" + struct.pack("!i", 4))
+        msgs = c.until_ready()
+        errs = [p for t, p in msgs if t == b"E"]
+        assert errs and b"simple query protocol" in errs[0]
+        c.query("DROP TABLE cp_x")
+        c.close()
+
     def test_copy_inside_transaction_block(self, server):
         c1 = WireClient(server.port)
         c1.startup()

@@ -2033,7 +2033,9 @@ def q_copy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             for v in range(tbl.log.latest_version() + 1)
             if tbl.log.entry(v)["op"] == "append" and tbl.log.entry(v).get("group")
         ]
-        assert len(grouped) >= _N // 500, grouped  # bounded chunked flushes
+        # bounded chunked flushes: one staged commit per 500-row chunk of
+        # whatever the sf actually supplied
+        assert len(grouped) >= max(1, len(rows) // 500), (len(rows), grouped)
 
         out = (
             tbl.read()

@@ -558,8 +558,10 @@ class _Handler(socketserver.BaseRequestHandler):
         sql = self._portals.get(name) if hasattr(self, "_portals") else None
         if sql is None:
             raise ValueError(f"portal {name!r} does not exist")
-        if _NO_RESULTSET.match(sql) or (
-            self.server.runner is not None and _is_storage_stmt(sql)
+        if (
+            _NO_RESULTSET.match(sql)
+            or _COPY_RE.match(sql)
+            or (self.server.runner is not None and _is_storage_stmt(sql))
         ):
             self._send(b"n")  # NoData
         else:
@@ -576,6 +578,13 @@ class _Handler(socketserver.BaseRequestHandler):
             return
         self._check_txn_failed()
         self._check_txn_allowed(sql)
+        if _COPY_RE.match(sql):
+            # the COPY-in subprotocol interleaves with the extended
+            # message flow; PG drivers issue COPY via simple Query
+            raise ValueError(
+                "COPY FROM STDIN is supported only via the simple query "
+                "protocol"
+            )
         if self.server.runner is not None and _is_storage_stmt(sql):
             with self.server.lock:
                 self.server.runner.run_statement(sql, txn=self._txn)
