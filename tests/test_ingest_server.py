@@ -1,0 +1,215 @@
+"""Arrow-IPC ingest listener: the gRPC ingest-endpoint analog
+(proto/timefusion.proto:12-33, grpc_handlers.rs:1-110) — seq-acked
+batches, ack-after-durable, txn-watermark replay idempotence."""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+
+import pyarrow as pa
+import pyarrow.ipc as ipc
+import pytest
+
+from timefusion_spark.ingest_server import ArrowIngestServer
+from timefusion_spark.storage import Table, load_schema_text
+
+YAML = """
+table_name: ing_t
+partitions: [project_id]
+time_column: timestamp
+sorting_columns:
+  - {name: timestamp, descending: true, nulls_first: true}
+fields:
+  - {name: timestamp, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: value, data_type: Float64, nullable: true}
+  - {name: project_id, data_type: Utf8, nullable: true}
+"""
+
+
+def _batch(lo: int, hi: int) -> pa.RecordBatch:
+    return pa.RecordBatch.from_pydict(
+        {
+            "timestamp": [f"2026-01-01 10:{i % 60:02d}:00" for i in range(lo, hi)],
+            "id": [f"r{i}" for i in range(lo, hi)],
+            "value": [float(i) for i in range(lo, hi)],
+            "project_id": ["p1" for _ in range(lo, hi)],
+        }
+    )
+
+
+class _SockSink:
+    """File-like over a socket for pyarrow's stream writer."""
+
+    closed = False
+
+    def __init__(self, sock):
+        self.sock = sock
+
+    def write(self, data) -> int:
+        self.sock.sendall(data)
+        return len(data)
+
+    def writable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return False
+
+    def seekable(self) -> bool:
+        return False
+
+    def tell(self) -> int:
+        return 0
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def _recv_exact(sock, n: int) -> bytes:
+    data = b""
+    while len(data) < n:
+        chunk = sock.recv(n - len(data))
+        assert chunk, "server closed"
+        data += chunk
+    return data
+
+
+def _read_frame(sock):
+    tag = _recv_exact(sock, 1)
+    if tag in (b"A", b"F"):
+        return tag, struct.unpack("!Q", _recv_exact(sock, 8))[0]
+    assert tag == b"E", tag
+    (ln,) = struct.unpack("!I", _recv_exact(sock, 4))
+    return tag, _recv_exact(sock, ln).decode()
+
+
+def _send_stream(port, table, batches, app_id=None):
+    """Drive the protocol with a per-batch ack window of 1 (strictest
+    backpressure): send a batch, wait for its durable ack. Returns
+    (acks, final_frame)."""
+    sock = socket.create_connection(("127.0.0.1", port), timeout=120)
+    header = json.dumps(
+        {"table": table, **({"app_id": app_id} if app_id else {})}
+    ).encode()
+    sock.sendall(struct.pack("!I", len(header)) + header)
+    acks = []
+    final = None
+    try:
+        writer = ipc.new_stream(_SockSink(sock), batches[0].schema)
+        for b in batches:
+            writer.write_batch(b)
+            tag, val = _read_frame(sock)
+            if tag == b"E":
+                return acks, (tag, val)
+            assert tag == b"A"
+            acks.append(val)
+        writer.close()  # end-of-stream marker
+        final = _read_frame(sock)
+    finally:
+        sock.close()
+    return acks, final
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return Table.create(spark, load_schema_text(YAML), str(tmp_path / "ing_t"))
+
+
+@pytest.fixture()
+def srv(spark, table):
+    s = ArrowIngestServer(spark, {"ing_t": table}).start()
+    yield s
+    s.stop()
+
+
+def test_batches_ack_after_durable(spark, table, srv):
+    acks, final = _send_stream(
+        srv.port, "ing_t", [_batch(0, 10), _batch(10, 25), _batch(25, 30)]
+    )
+    assert acks == [1, 2, 3]
+    assert final == (b"F", 30)
+    assert table.read().count() == 30
+    # each acked batch was its own atomic commit (ack == durable)
+    appends = [
+        v
+        for v in range(table.log.latest_version() + 1)
+        if table.log.entry(v)["op"] == "append" and table.log.entry(v)["add"]
+    ]
+    assert len(appends) == 3
+    vals = {r.id: r.value for r in table.read().collect()}
+    assert vals["r7"] == 7.0 and vals["r29"] == 29.0
+
+
+def test_reconnect_replay_is_idempotent(spark, table, srv):
+    """A client resending from before its last ack (the reconnect story)
+    must not duplicate rows: txn=(app_id, seq) watermarks skip replayed
+    batches, exactly the WAL-watermark contract."""
+    b1, b2, b3 = _batch(0, 10), _batch(10, 20), _batch(20, 30)
+    acks, final = _send_stream(srv.port, "ing_t", [b1, b2], app_id="client-A")
+    assert acks == [1, 2] and final == (b"F", 20)
+    # reconnect: client conservatively resends everything plus new data
+    acks, final = _send_stream(srv.port, "ing_t", [b1, b2, b3], app_id="client-A")
+    assert acks == [1, 2, 3]
+    assert table.read().count() == 30  # replays skipped, b3 landed once
+
+
+def test_unknown_table_and_bad_header(spark, srv):
+    sock = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+    header = json.dumps({"table": "nope"}).encode()
+    sock.sendall(struct.pack("!I", len(header)) + header)
+    tag, msg = _read_frame(sock)
+    assert tag == b"E" and "unknown table" in msg
+    sock.close()
+    sock = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+    sock.sendall(struct.pack("!I", 3) + b"{{{")
+    tag, msg = _read_frame(sock)
+    assert tag == b"E" and "bad ingest header" in msg
+    sock.close()
+
+
+def test_failed_batch_not_acked_prior_batches_durable(spark, table, srv):
+    bad = pa.RecordBatch.from_pydict(
+        {
+            "timestamp": ["2026-01-01 10:00:00", None],  # NULL in non-nullable
+            "id": ["x1", "x2"],
+            "value": [1.0, 2.0],
+            "project_id": ["p1", "p1"],
+        }
+    )
+    acks, final = _send_stream(srv.port, "ing_t", [_batch(0, 5), bad])
+    assert acks == [1]  # first batch durable and acked
+    assert final[0] == b"E" and "append failed at seq 2" in final[1]
+    assert table.read().count() == 5  # the failed batch left nothing
+
+
+def test_wire_created_table_is_ingestable_and_visible(spark, tmp_path):
+    """End-to-end with the pgwire server: a table created over psql wire,
+    bulk-ingested over the Arrow socket, is immediately visible to the
+    next wire SELECT (refresh_stale)."""
+    from timefusion_spark.server import PgWireServer
+
+    from tests.test_server import WireClient, rows_of
+
+    pg = PgWireServer(spark, base_dir=str(tmp_path / "d")).start()
+    ing = ArrowIngestServer(spark, pg._server.runner.tables).start()
+    try:
+        c = WireClient(pg.port)
+        c.startup()
+        c.query(
+            "CREATE TABLE wa_t (timestamp TIMESTAMP, id TEXT, value DOUBLE, "
+            "project_id TEXT)"
+        )
+        acks, final = _send_stream(ing.port, "wa_t", [_batch(0, 40)])
+        assert acks == [1] and final == (b"F", 40)
+        assert rows_of(c.query("SELECT count(*) AS n FROM wa_t")) == [["40"]]
+        c.query("DROP TABLE wa_t")
+        c.close()
+    finally:
+        ing.stop()
+        pg.stop()

@@ -2052,3 +2052,161 @@ def q_copy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         if srv is not None:
             srv.stop()
         shutil.rmtree(base_dir, ignore_errors=True)
+
+@query(
+    "q_arrow_ingest",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey <= {_N} AND o_orderkey % 2 = 1
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+    doc="Arrow-IPC network bulk ingest — the reference's gRPC ingest "
+    "endpoint re-expressed over the public Arrow stream format "
+    "(proto/timefusion.proto:12-33 WriteRequest/Ack, grpc_handlers.rs "
+    "seq-acked flow control): a wire client streams the odd-key orders "
+    "subset as record batches with an ack window of 1; the server "
+    "commits each batch atomically through the full write path and acks "
+    "ONLY after the commit (ack == durable), then the client deliberately "
+    "REPLAYS the first batch under the same app_id — the commit log's "
+    "txn watermark must skip it (WAL-watermark idempotence, "
+    "buffered_write_layer.rs:2211). The per-status aggregate equals the "
+    "source subset: a dropped batch, a double-applied replay, or an "
+    "early ack before durability all change the numbers.",
+)
+def q_arrow_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.ingest_server import ArrowIngestServer
+    from timefusion_spark.storage import Table, load_schema_text
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    import json as _json
+    import socket as _socket
+    import struct as _struct
+
+    yaml = """
+table_name: arrow_t
+partitions: [project_id]
+time_column: ts
+fields:
+  - {name: ts, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: status, data_type: Utf8, nullable: true}
+  - {name: val, data_type: Float64, nullable: true}
+  - {name: project_id, data_type: Utf8, nullable: true}
+"""
+    base_dir = tempfile.mkdtemp(prefix="tf_arrowq_")
+    srv = None
+    try:
+        tbl = Table.create(
+            spark, load_schema_text(yaml), os.path.join(base_dir, "arrow_t")
+        )
+        srv = ArrowIngestServer(spark, {"arrow_t": tbl}).start()
+        rows = (
+            t(spark, sf_dir, "orders")
+            .where((F.col("o_orderkey") <= _N) & (F.col("o_orderkey") % 2 == 1))
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .collect()  # wire-client payload construction (client side)
+        )
+
+        def batch(chunk):
+            return pa.RecordBatch.from_pydict(
+                {
+                    "ts": ["2026-03-01 00:00:00"] * len(chunk),
+                    "id": [str(r.o_orderkey) for r in chunk],
+                    "status": [r.o_orderstatus for r in chunk],
+                    "val": [float(r.o_totalprice) for r in chunk],
+                    "project_id": ["p1"] * len(chunk),
+                }
+            )
+
+        size = max(1, len(rows) // 4)
+        batches = [batch(rows[i : i + size]) for i in range(0, len(rows), size)]
+        batches.append(batches[0])  # deliberate replay of seq-1 content…
+
+        class _Sink:
+            closed = False
+
+            def __init__(self, s):
+                self.s = s
+
+            def write(self, d):
+                self.s.sendall(d)
+                return len(d)
+
+            def writable(self):
+                return True
+
+            def readable(self):
+                return False
+
+            def seekable(self):
+                return False
+
+            def tell(self):
+                return 0
+
+            def flush(self):
+                pass
+
+            def close(self):
+                pass
+
+        def recv_exact(s, k):
+            d = b""
+            while len(d) < k:
+                c = s.recv(k - len(d))
+                if not c:
+                    raise ConnectionError("server closed")
+                d += c
+            return d
+
+        # stream 1: all data batches, ack window 1 (strict backpressure)
+        sock = _socket.create_connection(("127.0.0.1", srv.port), timeout=120)
+        header = _json.dumps({"table": "arrow_t", "app_id": "q_arrow"}).encode()
+        sock.sendall(_struct.pack("!I", len(header)) + header)
+        writer = ipc.new_stream(_Sink(sock), batches[0].schema)
+        acks = []
+        for b in batches[:-1]:
+            writer.write_batch(b)
+            tag = recv_exact(sock, 1)
+            assert tag == b"A", tag
+            acks.append(_struct.unpack("!Q", recv_exact(sock, 8))[0])
+        writer.close()
+        tag = recv_exact(sock, 1)
+        assert tag == b"F", tag
+        total = _struct.unpack("!Q", recv_exact(sock, 8))[0]
+        sock.close()
+        assert acks == list(range(1, len(batches))), acks
+        assert total == len(rows), (total, len(rows))
+
+        # stream 2: reconnect REPLAY — first batch again under the same
+        # app_id; the txn watermark must skip it (ack still arrives)
+        sock = _socket.create_connection(("127.0.0.1", srv.port), timeout=120)
+        sock.sendall(_struct.pack("!I", len(header)) + header)
+        writer = ipc.new_stream(_Sink(sock), batches[0].schema)
+        writer.write_batch(batches[0])
+        assert recv_exact(sock, 1) == b"A"
+        recv_exact(sock, 8)
+        writer.close()
+        recv_exact(sock, 9)
+        sock.close()
+
+        n_after = tbl.read().count()
+        assert n_after == len(rows), (n_after, len(rows))  # replay skipped
+
+        out = (
+            tbl.read()
+            .groupBy(F.col("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("val"), 2).alias("total"),
+            )
+            .orderBy("status")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        if srv is not None:
+            srv.stop()
+        shutil.rmtree(base_dir, ignore_errors=True)

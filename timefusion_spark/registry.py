@@ -80,13 +80,15 @@ PRIORITY: tuple[str, ...] = (
     "q_variant_family",
     "q_dml_coalesced",
     "q_streaming_changefeed_variant",
-    # new round 8: bulk network ingest over the wire (COPY FROM STDIN —
-    # the gRPC ingest-endpoint analog; chunked flushes + atomic group
-    # publish). Rotated out: q_lsh_bucket_histogram (multi-round
-    # certified, pure built-in histogram shape, unchanged).
+    # new round 8: bulk network ingest entry points — COPY FROM STDIN
+    # (chunked flushes + atomic group publish) and the Arrow-IPC
+    # seq-acked listener (ack == durable, txn-watermark replay skip);
+    # together the gRPC ingest-endpoint analog. Rotated out:
+    # q_lsh_bucket_histogram and q_ann_bruteforce_topk (multi-round
+    # certified, pure built-in shapes, unchanged).
     "q_copy_ingest",
+    "q_arrow_ingest",
     # similarity / ANN
-    "q_ann_bruteforce_topk",
     "q_knn_per_label",
     "q_dedup_embedding_cosine",
     "q_ann_ivf_topk",

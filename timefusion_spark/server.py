@@ -1182,6 +1182,7 @@ class PgWireServer:
         host: str = "127.0.0.1",
         port: int = 0,
         metrics_port: int | None = None,
+        arrow_port: int | None = None,
     ):
         if runner is None and base_dir is not None:
             from timefusion_spark.slt import SltEnv
@@ -1200,6 +1201,15 @@ class PgWireServer:
             self._metrics = MetricsServer(
                 self._server.tables, host=host, port=metrics_port
             )
+        # gRPC-ingest analog: Arrow-IPC seq-acked bulk ingest socket
+        # sharing the live table registry (None = disabled; 0 = ephemeral)
+        self._arrow = None
+        if arrow_port is not None:
+            from timefusion_spark.ingest_server import ArrowIngestServer
+
+            self._arrow = ArrowIngestServer(
+                spark, lambda: self._server.tables or {}, host=host, port=arrow_port
+            )
 
     @property
     def port(self) -> int:
@@ -1209,6 +1219,10 @@ class PgWireServer:
     def metrics_port(self) -> int | None:
         return self._metrics.port if self._metrics is not None else None
 
+    @property
+    def arrow_port(self) -> int | None:
+        return self._arrow.port if self._arrow is not None else None
+
     def start(self) -> "PgWireServer":
         self._thread = threading.Thread(
             target=self._server.serve_forever, name="pgwire", daemon=True
@@ -1216,6 +1230,8 @@ class PgWireServer:
         self._thread.start()
         if self._metrics is not None:
             self._metrics.start()
+        if self._arrow is not None:
+            self._arrow.start()
         return self
 
     def stop(self) -> None:
@@ -1225,6 +1241,8 @@ class PgWireServer:
             self._thread.join(timeout=5)
         if self._metrics is not None:
             self._metrics.stop()
+        if self._arrow is not None:
+            self._arrow.stop()
 
 
 @contextlib.contextmanager
@@ -1279,6 +1297,13 @@ def main(argv: list[str] | None = None) -> int:
         help="serve Prometheus text metrics on GET /metrics at this port "
         "(0 = ephemeral; omit to disable)",
     )
+    parser.add_argument(
+        "--arrow-port",
+        type=int,
+        default=None,
+        help="serve the Arrow-IPC seq-acked bulk-ingest socket at this "
+        "port (0 = ephemeral; omit to disable)",
+    )
     args = parser.parse_args(argv)
 
     from timefusion_spark.session import get_spark
@@ -1293,9 +1318,12 @@ def main(argv: list[str] | None = None) -> int:
         host=args.host,
         port=args.port,
         metrics_port=args.metrics_port,
+        arrow_port=args.arrow_port,
     )
     if srv._metrics is not None:
         srv._metrics.start()
+    if srv._arrow is not None:
+        srv._arrow.start()
     names = sorted(runner.tables)
     print(
         f"timefusion-spark pgwire listening on {args.host}:{srv.port} — "
@@ -1304,6 +1332,11 @@ def main(argv: list[str] | None = None) -> int:
         + (
             f"; metrics on http://{args.host}:{srv.metrics_port}/metrics"
             if srv.metrics_port is not None
+            else ""
+        )
+        + (
+            f"; arrow ingest on {args.host}:{srv.arrow_port}"
+            if srv.arrow_port is not None
             else ""
         ),
         flush=True,
