@@ -932,6 +932,37 @@ class TestTransactions:
         assert self._count(c, "txn_a") == 1
         c.close()
 
+    def test_idle_in_transaction_timeout_setting(self, srv):
+        """PG's idle_in_transaction_session_timeout (default 0 =
+        disabled): when set, a wire BEGIN declares it as the group's
+        abort threshold — an idle block past the timeout is definitively
+        aborted by the agers and its COMMIT fails loudly."""
+        import time
+
+        from timefusion_spark.storage.commitlog import _group_state
+
+        c = self._connect(srv)
+        c.query(self.CREATE_A)
+        c.query("SET idle_in_transaction_session_timeout = 90000")
+        try:
+            c.query("BEGIN")
+            c.query(self.INS_A)
+            tbl = srv._server.runner.tables["txn_a"]
+            v = tbl.log.latest_version()
+            assert tbl.log.entry(v)["group"]["abort_after"] == 90.0
+            path = os.path.join(tbl.log.log_dir, f"{v:08d}.json")
+            old = time.time() - 120  # idle past the declared timeout
+            os.utime(path, (old, old))
+            tbl.log._write_checkpoint(tbl.log.latest_version())
+            assert _group_state(tbl.log.entry(v), tbl.log.log_dir) == "aborted"
+            msgs = c.query("COMMIT")
+            errs = [p for t, p in msgs if t == b"E"]
+            assert errs and b"aborted" in errs[0]  # fail-loud, nothing published
+            assert self._count(c, "txn_a") == 0
+        finally:
+            c.query("RESET idle_in_transaction_session_timeout")
+            c.close()
+
     def test_rollback_discards_everything(self, srv):
         c = self._connect(srv)
         c.query(self.CREATE_A)

@@ -1346,6 +1346,11 @@ _DEFAULT_SETTINGS: dict[str, str] = {
     "application_name": "",
     "client_encoding": "UTF8",
     "standard_conforming_strings": "on",
+    # PG default: disabled. When set (ms), a wire BEGIN declares it as
+    # the transaction's pending-group abort threshold, so an idle-in-
+    # transaction session ages out on the PG-documented knob instead of
+    # the engine's day-long interactive default (server.py BEGIN path).
+    "idle_in_transaction_session_timeout": "0",
 }
 
 _SESSION_SETTINGS: dict[int, dict[str, str]] = {}

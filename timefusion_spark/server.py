@@ -660,7 +660,23 @@ class _Handler(socketserver.BaseRequestHandler):
         runner = self.server.runner
         if verb in ("BEGIN", "START TRANSACTION"):
             if runner is not None and self._txn is None:
-                self._txn = runner.begin_txn()
+                # idle_in_transaction_session_timeout (PG knob, default 0
+                # = disabled): when the session set it, the transaction's
+                # pending-group abort threshold IS that timeout — an idle
+                # block ages out on the user's schedule instead of the
+                # day-long interactive default.
+                from timefusion_spark.pgshim import _settings_for
+
+                raw = _settings_for(self.server.spark).get(
+                    "idle_in_transaction_session_timeout", "0"
+                )
+                try:
+                    timeout_ms = int(float(raw))
+                except ValueError:
+                    timeout_ms = 0
+                self._txn = runner.begin_txn(
+                    abort_after=timeout_ms / 1000.0 if timeout_ms > 0 else None
+                )
             # BEGIN inside an open block: PG warns and leaves it open.
             self._send(b"C", b"BEGIN\x00")
             return True

@@ -607,7 +607,7 @@ class SltEnv:
 
     # ---- explicit transactions (the pgwire BEGIN/COMMIT/ROLLBACK surface)
 
-    def begin_txn(self) -> "TxnState":
+    def begin_txn(self, abort_after: float | None = None) -> "TxnState":
         """Open an explicit transaction: one commit group whose marker
         lives under the engine's own base dir (durable with the data, not
         with any checkpoint). Staged INSERTs are invisible until
@@ -631,7 +631,11 @@ class SltEnv:
         return TxnState(
             group=CommitGroup(
                 os.path.join(self.base_dir, "_tf_txn"),
-                abort_after=INTERACTIVE_ABORT_AFTER_SECONDS,
+                abort_after=(
+                    INTERACTIVE_ABORT_AFTER_SECONDS
+                    if abort_after is None
+                    else abort_after
+                ),
             ),
         )
 
