@@ -322,17 +322,65 @@ class TestSimpleQuery:
         assert errs and b"binary parameter format is not supported" in errs[0]
         c.close()
 
-    def test_binary_result_format_rejected(self, server):
-        """A client requesting binary RESULT columns must get a clear
-        error, not text rows it would misparse as binary garbage."""
+    def test_binary_results_for_common_oids(self, server):
+        """Binary RESULT format (psycopg3 binary=True, JDBC binary
+        transfer): int/float/bool/date/timestamp columns encode in PG's
+        binary wire formats; RowDescription reports the per-column format
+        codes; NULLs stay -1."""
+        import datetime as dt
+
         c = WireClient(server.port)
         c.startup()
-        parse = b"\x00" + b"SELECT 1 AS x\x00" + struct.pack("!h", 0)
+        sql = (
+            b"SELECT 7 AS i, CAST(2.5 AS DOUBLE) AS f, true AS b, "
+            b"CAST('2026-01-02' AS DATE) AS d, "
+            b"CAST('2026-01-02 03:04:05' AS TIMESTAMP) AS ts, "
+            b"CAST(NULL AS BIGINT) AS z\x00"
+        )
+        parse = b"\x00" + sql + struct.pack("!h", 0)
         bind = (
             b"\x00\x00" + struct.pack("!hh", 0, 0)
-            + struct.pack("!h", 1) + struct.pack("!h", 1)  # one result fmt: binary
+            + struct.pack("!hh", 1, 1)  # ONE result format code: binary for all
         )
-        msgs = self._ext(c, (b"P", parse), (b"B", bind))
+        execute = b"\x00" + struct.pack("!i", 0)
+        msgs = self._ext(c, (b"P", parse), (b"B", bind), (b"D", b"P\x00"), (b"E", execute))
+        assert b"E" not in tags_of(msgs), msgs
+        # RowDescription format codes are all binary
+        tdesc = [p for t, p in msgs if t == b"T"][0]
+        assert tdesc[-2:] == struct.pack("!h", 1)
+        [drow] = [p for t, p in msgs if t == b"D"]
+        (n,) = struct.unpack("!h", drow[:2])
+        assert n == 6
+        vals, off = [], 2
+        for _ in range(n):
+            (ln,) = struct.unpack("!i", drow[off : off + 4])
+            off += 4
+            if ln == -1:
+                vals.append(None)
+            else:
+                vals.append(drow[off : off + ln])
+                off += ln
+        assert struct.unpack("!i", vals[0])[0] == 7
+        assert struct.unpack("!d", vals[1])[0] == 2.5
+        assert vals[2] == b"\x01"
+        days = (dt.date(2026, 1, 2) - dt.date(2000, 1, 1)).days
+        assert struct.unpack("!i", vals[3])[0] == days
+        delta = dt.datetime(2026, 1, 2, 3, 4, 5) - dt.datetime(2000, 1, 1)
+        assert struct.unpack("!q", vals[4])[0] == (
+            delta.days * 86400 + delta.seconds
+        ) * 10**6
+        assert vals[5] is None
+        c.close()
+
+    def test_binary_result_unsupported_oid_clear_error(self, server):
+        """NUMERIC's base-10000 binary format is not implemented: a client
+        requesting it binary gets a clear error, never misparsable bytes."""
+        c = WireClient(server.port)
+        c.startup()
+        parse = b"\x00" + b"SELECT CAST(1.5 AS DECIMAL(10,2)) AS x\x00" + struct.pack("!h", 0)
+        bind = b"\x00\x00" + struct.pack("!hh", 0, 0) + struct.pack("!hh", 1, 1)
+        execute = b"\x00" + struct.pack("!i", 0)
+        msgs = self._ext(c, (b"P", parse), (b"B", bind), (b"E", execute))
         errs = [p for t, p in msgs if t == b"E"]
         assert errs and b"binary result format is not supported" in errs[0]
         c.close()

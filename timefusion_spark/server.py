@@ -19,8 +19,11 @@ Scope:
   BINARY-format parameters are decoded for the common OIDs JDBC/psycopg3
   send binary by default (int2/4/8, float4/8, bool, text/varchar,
   timestamp[tz], date — public PG binary wire formats) and bind through
-  the same text-literal path; other OIDs, and binary RESULT formats, are
-  rejected with a clear error rather than misparsed.
+  the same text-literal path; binary RESULT formats encode the same OID
+  set (plus bytea; text/json binary IS the utf-8 text) with per-column
+  format codes honored in RowDescription and DataRow. Unsupported binary
+  OIDs (numeric's base-10000 digits, array headers) error clearly on
+  both directions rather than misparse.
 - Trust auth (AuthenticationOk unconditionally), matching the
   reference's default dev posture.
 - SSLRequest answered with 'N' (no TLS) so clients fall back to clear.
@@ -419,9 +422,9 @@ class _Handler(socketserver.BaseRequestHandler):
 
     # ── result encoding (shared by the simple and extended paths) ────────
     @staticmethod
-    def _row_description(fields) -> bytes:
+    def _row_description(fields, rfmts: tuple[int, ...] = ()) -> bytes:
         desc = struct.pack("!h", len(fields))
-        for f in fields:
+        for i, f in enumerate(fields):
             desc += f.name.encode() + b"\x00" + struct.pack(
                 "!ihihih",
                 0,  # table oid
@@ -429,19 +432,22 @@ class _Handler(socketserver.BaseRequestHandler):
                 _oid_for(f.dataType),
                 -1,  # typlen
                 -1,  # atttypmod
-                0,  # text format
+                _result_fmt(rfmts, i),
             )
         return desc
 
     @staticmethod
-    def _data_row(fields, row) -> bytes:
+    def _data_row(fields, row, rfmts: tuple[int, ...] = ()) -> bytes:
         body = struct.pack("!h", len(fields))
-        for f, v in zip(fields, row):
-            s = _pg_text(v, f.dataType)
-            if s is None:
+        for i, (f, v) in enumerate(zip(fields, row)):
+            if _result_fmt(rfmts, i) == 1:
+                b = _pg_binary(v, f.dataType)
+            else:
+                s = _pg_text(v, f.dataType)
+                b = s.encode("utf-8") if s is not None else None
+            if b is None:
                 body += struct.pack("!i", -1)
             else:
-                b = s.encode("utf-8")
                 body += struct.pack("!i", len(b)) + b
         return body
 
@@ -507,21 +513,20 @@ class _Handler(socketserver.BaseRequestHandler):
             else:
                 oid = oids[i] if i < len(oids) else _OID_UNKNOWN
                 params.append(_decode_binary_param(oid, raw))
-        # result-column format codes: binary RESULTS are not implemented —
-        # silently sending text rows to a client that asked for binary
-        # would be misparsed as garbage, so refuse as clearly as an
-        # unsupported binary parameter type (psycopg3 binary=True, JDBC
-        # binaryTransfer fall back or surface the error).
+        # result-column format codes (PG rules: empty = all text, one code
+        # = all columns, else positional). Binary results encode through
+        # _pg_binary for the simple public wire formats; a column whose
+        # binary format this server does not implement (numeric, arrays)
+        # errors clearly at execute time instead of sending bytes the
+        # client would misparse.
         (n_rfmt,) = struct.unpack("!h", payload[off : off + 2])
         off += 2
         rfmts = struct.unpack(f"!{n_rfmt}h", payload[off : off + 2 * n_rfmt])
-        if any(f != 0 for f in rfmts):
-            raise ValueError(
-                "binary result format is not supported; request text results"
-            )
+        if any(f not in (0, 1) for f in rfmts):
+            raise ValueError(f"unknown result format code in {list(rfmts)}")
         if not hasattr(self, "_portals"):
             self._portals = {}
-        self._portals[portal] = _substitute_params(sql, params)
+        self._portals[portal] = (_substitute_params(sql, params), tuple(rfmts))
         self._send(b"2")  # BindComplete
 
     def _prepared_entry(self, stmt: str) -> tuple[str, list[int]]:
@@ -555,9 +560,10 @@ class _Handler(socketserver.BaseRequestHandler):
             # plan; drivers accept NoData and re-describe the portal
             self._send(b"n")
             return
-        sql = self._portals.get(name) if hasattr(self, "_portals") else None
-        if sql is None:
+        entry = self._portals.get(name) if hasattr(self, "_portals") else None
+        if entry is None:
             raise ValueError(f"portal {name!r} does not exist")
+        sql, rfmts = entry
         if (
             _NO_RESULTSET.match(sql)
             or _COPY_RE.match(sql)
@@ -565,15 +571,18 @@ class _Handler(socketserver.BaseRequestHandler):
         ):
             self._send(b"n")  # NoData
         else:
-            self._send(b"T", self._row_description(self._run(sql).schema.fields))
+            self._send(
+                b"T", self._row_description(self._run(sql).schema.fields, rfmts)
+            )
 
     def _execute(self, payload: bytes) -> None:
         from timefusion_spark.pgshim import pg_sql  # noqa: F401 — via _run
 
         portal, off = self._cstr(payload, 0)
-        sql = self._portals.get(portal) if hasattr(self, "_portals") else None
-        if sql is None:
+        entry = self._portals.get(portal) if hasattr(self, "_portals") else None
+        if entry is None:
             raise ValueError(f"portal {portal!r} does not exist")
+        sql, rfmts = entry
         if self._handle_txn_verb(sql):
             return
         self._check_txn_failed()
@@ -598,7 +607,7 @@ class _Handler(socketserver.BaseRequestHandler):
         rows = df.collect()
         fields = df.schema.fields
         for row in rows:
-            self._send(b"D", self._data_row(fields, row))
+            self._send(b"D", self._data_row(fields, row, rfmts))
         self._send(b"C", _command_tag(sql, len(rows)).encode() + b"\x00")
 
     def _close_msg(self, payload: bytes) -> None:
@@ -1058,6 +1067,57 @@ def _decode_binary_param(oid: int, raw: bytes) -> str:
         f"binary parameter format is not supported for type OID {oid}; "
         "send this parameter in text format"
     )
+
+
+def _pg_binary(v, dtype: T.DataType) -> bytes | None:
+    """Encode one value in PG's BINARY result format for the OIDs whose
+    wire encodings are simple public structs (ints, floats, bool, bytea,
+    date, timestamp; text/json binary IS the utf-8 text). Raises for
+    types whose binary format this server does not implement (numeric's
+    base-10000 digits, array headers) — a clear error beats bytes the
+    client would misparse."""
+    oid = _oid_for(dtype)
+    if v is None:
+        return None
+    if oid == _OID_BOOL:
+        return b"\x01" if v else b"\x00"
+    if oid == _OID_INT2:
+        return struct.pack("!h", int(v))
+    if oid == _OID_INT4:
+        return struct.pack("!i", int(v))
+    if oid == _OID_INT8:
+        return struct.pack("!q", int(v))
+    if oid == _OID_FLOAT4:
+        return struct.pack("!f", float(v))
+    if oid == _OID_FLOAT8:
+        return struct.pack("!d", float(v))
+    if oid == _OID_BYTEA:
+        return bytes(v)
+    if oid == _OID_DATE:
+        return struct.pack("!i", (v - _PG_DATE_EPOCH).days)
+    if oid == _OID_TIMESTAMP:
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        delta = v - _PG_TS_EPOCH
+        us = (delta.days * 86400 + delta.seconds) * 10**6 + delta.microseconds
+        return struct.pack("!q", us)
+    if oid in (_OID_TEXT, _OID_JSON):
+        s = _pg_text(v, dtype)
+        return s.encode("utf-8") if s is not None else None
+    raise ValueError(
+        f"binary result format is not supported for type OID {oid}; "
+        "request text results for this column"
+    )
+
+
+def _result_fmt(rfmts: tuple[int, ...], i: int) -> int:
+    """Per-column result format from Bind's format-code list (PG rules:
+    empty = all text, one code = applies to all, else positional)."""
+    if not rfmts:
+        return 0
+    if len(rfmts) == 1:
+        return rfmts[0]
+    return rfmts[i] if i < len(rfmts) else 0
 
 
 def _is_storage_stmt(stmt: str) -> bool:
