@@ -165,6 +165,10 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         print(f"bench insert: ERROR {e}", file=sys.stderr)
     try:
+        extra["network_ingest"] = _network_ingest_bench(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench network-ingest: ERROR {e}", file=sys.stderr)
+    try:
         extra["select_latency_ms"] = _select_latency(spark, sf_dir, qs)
     except Exception as e:  # noqa: BLE001
         print(f"bench select-latency: ERROR {e}", file=sys.stderr)
@@ -230,6 +234,7 @@ def main() -> int:
             "queries": {k: round(v, 3) for k, v in timings.items()},
             "sf": sf,
             "insert": extra.get("insert"),
+            "network_ingest": extra.get("network_ingest"),
             "select_latency_ms": extra.get("select_latency_ms"),
         },
         separators=(",", ":"),
@@ -419,6 +424,159 @@ def _insert_bench(spark, sf_dir: str) -> dict:
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _network_ingest_bench(spark, sf_dir: str) -> dict:
+    """Throughput of the two NETWORK bulk-ingest entry points (the gRPC
+    ingest-endpoint analogs): COPY FROM STDIN over the pgwire socket and
+    the Arrow-IPC seq-acked listener, 100k rows each through the real
+    write path, measured client-side wall (connect → final ack)."""
+    import json as _json
+    import shutil
+    import socket as _socket
+    import struct as _struct
+    import tempfile
+    import time as _t
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from timefusion_spark.ingest_server import ArrowIngestServer
+    from timefusion_spark.server import PgWireServer
+    from timefusion_spark.storage import Table, load_schema_text
+
+    n = 100_000
+    out: dict = {}
+    base = tempfile.mkdtemp(prefix="tf_netbench_")
+
+    def recv_exact(s, k):
+        d = b""
+        while len(d) < k:
+            c = s.recv(k - len(d))
+            if not c:
+                raise ConnectionError("closed")
+            d += c
+        return d
+
+    def until_ready(s):
+        while True:
+            tag = recv_exact(s, 1)
+            (ln,) = _struct.unpack("!i", recv_exact(s, 4))
+            recv_exact(s, ln - 4)
+            if tag == b"Z":
+                return
+
+    srv = PgWireServer(spark, base_dir=os.path.join(base, "pg")).start()
+    try:
+        payload = "".join(
+            f"2026-01-01 {i % 24:02d}:{i % 60:02d}:00\tr{i}\t{i}.5\tp{i % 4}\n"
+            for i in range(n)
+        ).encode()
+        sock = _socket.create_connection(("127.0.0.1", srv.port), timeout=300)
+        start = _struct.pack("!i", 196608) + b"user\x00b\x00\x00"
+        sock.sendall(_struct.pack("!i", len(start) + 4) + start)
+        until_ready(sock)
+        q = (
+            b"CREATE TABLE copy_bench (ts TIMESTAMP, id TEXT, val DOUBLE, "
+            b"project_id TEXT)\x00"
+        )
+        sock.sendall(b"Q" + _struct.pack("!i", len(q) + 4) + q)
+        until_ready(sock)
+        t0 = _t.perf_counter()
+        q = b"COPY copy_bench FROM STDIN\x00"
+        sock.sendall(b"Q" + _struct.pack("!i", len(q) + 4) + q)
+        tag = recv_exact(sock, 1)
+        (ln,) = _struct.unpack("!i", recv_exact(sock, 4))
+        recv_exact(sock, ln - 4)
+        assert tag == b"G", tag
+        for i in range(0, len(payload), 262144):
+            d = payload[i : i + 262144]
+            sock.sendall(b"d" + _struct.pack("!i", len(d) + 4) + d)
+        sock.sendall(b"c" + _struct.pack("!i", 4))
+        until_ready(sock)
+        out["copy_rows_per_sec"] = round(n / (_t.perf_counter() - t0), 1)
+        sock.sendall(b"X" + _struct.pack("!i", 4))
+        sock.close()
+    finally:
+        srv.stop()
+
+    yaml = """
+table_name: arrow_bench
+partitions: [project_id]
+time_column: ts
+fields:
+  - {name: ts, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: val, data_type: Float64, nullable: true}
+  - {name: project_id, data_type: Utf8, nullable: true}
+"""
+    tbl = Table.create(
+        spark, load_schema_text(yaml), os.path.join(base, "arrow_bench")
+    )
+    ing = ArrowIngestServer(spark, {"arrow_bench": tbl}).start()
+    try:
+
+        class _Sink:
+            closed = False
+
+            def __init__(self, s):
+                self.s = s
+
+            def write(self, d):
+                self.s.sendall(d)
+                return len(d)
+
+            def writable(self):
+                return True
+
+            def readable(self):
+                return False
+
+            def seekable(self):
+                return False
+
+            def tell(self):
+                return 0
+
+            def flush(self):
+                pass
+
+            def close(self):
+                pass
+
+        size = 20_000
+        batches = [
+            pa.RecordBatch.from_pydict(
+                {
+                    "ts": [
+                        f"2026-01-01 {i % 24:02d}:{i % 60:02d}:00"
+                        for i in range(lo, lo + size)
+                    ],
+                    "id": [f"r{i}" for i in range(lo, lo + size)],
+                    "val": [i + 0.5 for i in range(lo, lo + size)],
+                    "project_id": [f"p{i % 4}" for i in range(lo, lo + size)],
+                }
+            )
+            for lo in range(0, n, size)
+        ]
+        t0 = _t.perf_counter()
+        sock = _socket.create_connection(("127.0.0.1", ing.port), timeout=300)
+        header = _json.dumps({"table": "arrow_bench"}).encode()
+        sock.sendall(_struct.pack("!I", len(header)) + header)
+        writer = ipc.new_stream(_Sink(sock), batches[0].schema)
+        for b in batches:
+            writer.write_batch(b)
+            assert recv_exact(sock, 1) == b"A"
+            recv_exact(sock, 8)
+        writer.close()
+        assert recv_exact(sock, 1) == b"F"
+        recv_exact(sock, 8)
+        sock.close()
+        out["arrow_rows_per_sec"] = round(n / (_t.perf_counter() - t0), 1)
+    finally:
+        ing.stop()
+        shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def _select_latency(spark, sf_dir: str, qs) -> dict:
