@@ -832,12 +832,12 @@ class TestTextMatchIndexOverSql:
         served = pgshim.TEXT_INDEX_SERVED
         assert rows_of(c.query(q)) == [["2"]]
         assert pgshim.TEXT_INDEX_SERVED == served  # declined (stale)
-        # re-running the DDL rebuilds; the index path resumes
-        c.query(
-            "CREATE INDEX ON tm_t USING gin (body gin_trgm_ops) WITH (key = 'id')"
-        )
+        # REINDEX refreshes INCREMENTALLY; the index path resumes
+        msgs = c.query("REINDEX TABLE tm_t")
+        assert rows_of(msgs) == [["body:incremental"]]
         assert rows_of(c.query(q)) == [["2"]]
         assert pgshim.TEXT_INDEX_SERVED == served + 1
+        assert rows_of(c.query("REINDEX tm_t")) == [["body:fresh"]]
         # CREATE INDEX refused inside a transaction block (commits
         # immediately — not group-staged)
         c.query("BEGIN")

@@ -1024,6 +1024,40 @@ fields:
         )
         assert sorted(r.id for r in hits.collect()) == ["a", "d"]
 
+    def test_incremental_refresh(self, spark, tmp_path):
+        """refresh_text_index indexes ONLY the files added since the base
+        version (the ingest-maintained-tantivy analog); a DELETE leaves
+        stale grams that can only over-select (exact verify removes
+        them), so the refreshed index still answers scan-identically."""
+        from timefusion_spark.operators.text_index import trigram_search
+
+        tbl = self._mk(spark, tmp_path)
+        maintenance.create_text_index(tbl, "body", id_col="id")
+        assert maintenance.refresh_text_index(tbl, "body") == "fresh"
+        tbl.append(
+            spark.createDataFrame(
+                [("2026-01-02 10:00:00", "d", "another merge window", "p1")],
+                "timestamp string, id string, body string, project_id string",
+            )
+        )
+        assert maintenance.text_index_for(tbl, "body") is None  # stale
+        assert maintenance.refresh_text_index(tbl, "body") == "incremental"
+        sidecar, meta = maintenance.text_index_for(tbl, "body")
+        hits = trigram_search(
+            tbl.read(), sidecar.read(), "merge window", id_col="id", text_col="body"
+        )
+        assert sorted(r.id for r in hits.collect()) == ["a", "d"]
+        # DELETE: rows vanish from the read view; the index over-selects
+        # but the verify keeps results scan-identical after a refresh
+        dml.delete(tbl, predicate=(F.col("id") == "a"))
+        assert maintenance.refresh_text_index(tbl, "body") == "incremental"
+        sidecar, meta = maintenance.text_index_for(tbl, "body")
+        hits = trigram_search(
+            tbl.read(), sidecar.read(), "merge window", id_col="id", text_col="body"
+        )
+        assert sorted(r.id for r in hits.collect()) == ["d"]
+        assert maintenance.text_indexes_of(tbl) == ["body"]
+
     def test_vacuum_protects_sidecars(self, spark, tmp_path):
         """vacuum's manifest diff must never collect files the BASE log
         doesn't track: the text-index sidecar (its own Table, own log)

@@ -1606,6 +1606,23 @@ def _apply_admin_statement(spark, stripped: str, tables):
 
         maintenance.create_text_index(tbl, col, id_col=key)
         return spark.createDataFrame([("ok",)], "create_index string")
+    # REINDEX [TABLE] t — PG's refresh verb, served INCREMENTALLY: only
+    # files committed since each sidecar's base version are indexed (the
+    # ingest-maintained-tantivy analog; a full rebuild stays available as
+    # re-running CREATE INDEX).
+    m = re.match(r"(?is)^REINDEX\s+(?:TABLE\s+)?([A-Za-z_]\w*)$", stripped)
+    if m:
+        name = m.group(1)
+        tbl = (tables or {}).get(name)
+        if tbl is None:
+            raise ValueError(f"REINDEX: unknown table {name!r}")
+        from timefusion_spark.storage import maintenance
+
+        cols = maintenance.text_indexes_of(tbl)
+        if not cols:
+            raise ValueError(f"REINDEX: {name!r} has no text indexes")
+        states = [f"{c}:{maintenance.refresh_text_index(tbl, c)}" for c in cols]
+        return spark.createDataFrame([(", ".join(states),)], "reindex string")
     m = re.match(
         r"(?is)^OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+WHERE\s+(.+))?$", stripped
     )

@@ -282,7 +282,9 @@ def _split_copy_lines(buf: bytes, csv_mode: bool) -> tuple[list[bytes], bytes]:
             lines.append(buf[start:i])
             start = i + 1
     return lines, buf[start:]
-_ADMIN_VERB_RE = re.compile(r"(?is)^\s*(VACUUM|OPTIMIZE|FLUSH|CREATE\s+INDEX)\b")
+_ADMIN_VERB_RE = re.compile(
+    r"(?is)^\s*(VACUUM|OPTIMIZE|FLUSH|CREATE\s+INDEX|REINDEX)\b"
+)
 _SAVEPOINT_RE = re.compile(r"(?is)^\s*SAVEPOINT\s+([A-Za-z_]\w*)\s*;?\s*$")
 _ROLLBACK_TO_RE = re.compile(
     r"(?is)^\s*ROLLBACK\s+(?:WORK\s+|TRANSACTION\s+)?TO\s+(?:SAVEPOINT\s+)?"

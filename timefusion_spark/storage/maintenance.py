@@ -92,6 +92,81 @@ def create_text_index(table: Table, text_col: str, id_col: str | None = None) ->
     return sidecar
 
 
+def refresh_text_index(table: Table, text_col: str) -> str:
+    """Bring the trigram sidecar up to the base table's commit tip
+    INCREMENTALLY — the ingest-maintained-tantivy analog: index only the
+    parquet files ADDED since the recorded base version and advance the
+    version stamp. Returns 'fresh' | 'incremental'.
+
+    Correctness argument (why adds are sufficient): the index may only
+    OVER-select — the exact text_match predicate re-verifies every
+    candidate. Removed/rewritten files, deletion vectors and tombstones
+    leave stale (id, gram) rows behind, which can only over-select; the
+    ONLY way to under-select is a visible row whose grams were never
+    indexed, and every such row lives in a file some commit ADDED after
+    the base version. Duplicate (id, gram) pairs from re-appends are
+    harmless: the candidate gate counts DISTINCT grams. Files added then
+    already vacuumed are skipped — their surviving rows were rewritten
+    into other added files."""
+    import json
+    import uuid as _uuid
+
+    from timefusion_spark.operators.text_index import trigram_index
+    from timefusion_spark.storage.table import DV_DIR
+
+    path = os.path.join(table.path, TEXT_INDEX_DIR, text_col)
+    meta_path = os.path.join(path, "_tf_textindex.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"no text index on {table.schema.table_name}.{text_col}; "
+            "build one with create_text_index / CREATE INDEX"
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    tip = table.log.latest_version()  # read BEFORE indexing: a commit
+    # landing after this point leaves meta < tip, so text_index_for still
+    # declines — never an unindexed visible row behind a 'fresh' stamp
+    base = int(meta["base_version"])
+    if base >= tip:
+        return "fresh"
+    added: list[str] = []
+    for v in range(base + 1, tip + 1):
+        rec = table.log.entry(v)
+        for f in rec.get("add", []):
+            p = f["path"]
+            if p.startswith(DV_DIR + "/") or not p.endswith(".parquet"):
+                continue
+            if p not in added:
+                added.append(p)
+    added = [p for p in added if os.path.exists(os.path.join(table.path, p))]
+    if added:
+        docs = table.spark.read.parquet(
+            *[os.path.join(table.path, p) for p in added]
+        ).select(meta["id_col"], text_col)
+        sidecar = Table.open(table.spark, path)
+        sidecar.append(
+            trigram_index(docs, id_col=meta["id_col"], text_col=text_col)
+        )
+    meta["base_version"] = tip
+    tmp = os.path.join(path, f".meta-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+    return "incremental"
+
+
+def text_indexes_of(table: Table) -> list[str]:
+    """Columns of `table` that have a trigram sidecar (fresh or stale)."""
+    root = os.path.join(table.path, TEXT_INDEX_DIR)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(root)
+        if os.path.exists(os.path.join(root, d, "_tf_textindex.json"))
+    )
+
+
 def text_index_for(table: Table, text_col: str):
     """The FRESH text-index sidecar for `text_col`, as (Table, meta dict) —
     or None when absent or stale (any base-table commit after the build,
