@@ -693,6 +693,62 @@ class TestCopyIn:
         c2.close()
 
 
+class TestCancelRequest:
+    """libpq cancel path: CancelRequest on a NEW connection carrying the
+    BackendKeyData (pid, secret) cancels the target connection's Spark
+    job group — the running query errors with SQLSTATE 57014 and the
+    connection stays usable; wrong keys are silently ignored (PG spec)."""
+
+    def test_cancel_running_query(self, server):
+        import threading
+        import time
+
+        c = WireClient(server.port)
+        msgs = c.startup()
+        key = [p for t, p in msgs if t == b"K"][0]
+        pid, secret = struct.unpack("!ii", key)
+        assert pid > 0 and secret > 0
+        result = {}
+
+        def run():
+            # 2000 small tasks: cancellation stops scheduling new ones, so
+            # the in-flight handful drains in seconds and the cores free up
+            result["msgs"] = c.query(
+                "SELECT max(sha2(CAST(id AS STRING), 256)) AS h "
+                "FROM range(0, 20000000000, 1, 2000)"
+            )
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        # cancelJobGroup only kills RUNNING jobs — on a cold session the
+        # first cancel can race ahead of job submission, so resend until
+        # the query dies (PG allows repeated CancelRequests)
+        deadline = time.time() + 120
+        while th.is_alive() and time.time() < deadline:
+            s = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+            s.sendall(struct.pack("!iiii", 16, 80877102, pid, secret))
+            s.close()
+            th.join(timeout=2.0)
+        assert not th.is_alive(), "query was not cancelled"
+        errs = [p for t, p in result["msgs"] if t == b"E"]
+        assert errs, result["msgs"]
+        assert b"57014" in errs[0], errs[0]
+        # the connection survives a cancel, exactly like PG
+        assert rows_of(c.query("SELECT 5 AS x")) == [["5"]]
+        c.close()
+
+    def test_wrong_secret_is_ignored(self, server):
+        c = WireClient(server.port)
+        msgs = c.startup()
+        key = [p for t, p in msgs if t == b"K"][0]
+        pid, _secret = struct.unpack("!ii", key)
+        s = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+        s.sendall(struct.pack("!iiii", 16, 80877102, pid, 12345))
+        s.close()
+        assert rows_of(c.query("SELECT 6 AS x")) == [["6"]]  # unaffected
+        c.close()
+
+
 class TestMetricsEndpoint:
     """metrics.rs analog: GET /metrics renders Prometheus text exposition
     from the commit-log manifests; commit counters advance scrape-over-

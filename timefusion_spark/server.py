@@ -334,6 +334,25 @@ _NO_RESULTSET = re.compile(
 )
 
 
+def _wire_error(e: Exception) -> tuple[str, str]:
+    """(message, SQLSTATE) for an execution error: failed-block 25P02;
+    user cancel 57014 — a job killed via cancelJobGroup surfaces as a
+    SparkException whose 'cancelled … job tags' detail sits on a LATER
+    line of the Py4J error text, so code detection scans the full text
+    and the wire message becomes PG's canonical one; else XX000 with the
+    first line."""
+    full = str(e)
+    msg = full.split("\n", 1)[0][:500] or type(e).__name__
+    if msg.startswith("current transaction is aborted"):
+        return msg, "25P02"
+    low = full.lower()
+    if ("cancelled" in low or "canceled" in low) and (
+        "job group" in low or "job tag" in low
+    ):
+        return "canceling statement due to user request", "57014"
+    return msg, "XX000"
+
+
 def _command_tag(stmt: str, n_rows: int) -> str:
     verb = stmt.split(None, 1)[0].upper() if stmt.split() else ""
     if verb == "SELECT" or verb == "WITH" or verb == "EXPLAIN" or verb == "SHOW":
@@ -410,6 +429,8 @@ class _Handler(socketserver.BaseRequestHandler):
         except (ConnectionError, OSError):
             pass
         finally:
+            if getattr(self, "_pid", None) is not None:
+                self.server.cancel_keys.pop((self._pid, self._secret), None)
             # A dropped connection mid-transaction rolls back: the group is
             # settled ABORTED definitively, so nothing the client staged
             # can ever become visible (PG disconnect semantics).
@@ -463,8 +484,7 @@ class _Handler(socketserver.BaseRequestHandler):
         try:
             fn(payload)
         except Exception as e:  # noqa: BLE001 — every error goes on the wire
-            msg = str(e).split("\n", 1)[0][:500] or type(e).__name__
-            code = "25P02" if msg.startswith("current transaction is aborted") else "XX000"
+            msg, code = _wire_error(e)
             self._send_error(msg, code=code)
             if self._txn is not None:
                 self._txn.failed = True  # PG: any in-block error fails it
@@ -899,7 +919,18 @@ class _Handler(socketserver.BaseRequestHandler):
             if code == 80877103:  # SSLRequest
                 self.request.sendall(b"N")
                 continue
-            if code == 80877102:  # CancelRequest — no-op, close
+            if code == 80877102:
+                # CancelRequest (pid, secret from BackendKeyData on a NEW
+                # connection — the libpq cancel path): cancel the Spark
+                # job group the target connection runs its actions under.
+                # Wrong keys are silently ignored, per the PG spec.
+                pid, secret = struct.unpack("!ii", payload[4:12])
+                tag = self.server.cancel_keys.get((pid, secret))
+                if tag is not None:
+                    try:
+                        self.server.spark.sparkContext.cancelJobsWithTag(tag)
+                    except Exception:  # noqa: BLE001 — cancel is best-effort
+                        pass
                 return False
             if code == 196608:  # protocol 3.0
                 break
@@ -915,7 +946,22 @@ class _Handler(socketserver.BaseRequestHandler):
             ("standard_conforming_strings", "on"),
         ):
             self._send(b"S", k.encode() + b"\x00" + v.encode() + b"\x00")
-        self._send(b"K", struct.pack("!ii", 0, 0))  # BackendKeyData (no cancel)
+        # BackendKeyData: a real (pid, secret) pair; a CancelRequest
+        # carrying it cancels this connection's Spark job group (running
+        # collects fail with 57014, the connection stays usable — PG
+        # cancel semantics).
+        import random as _random
+
+        self._pid = self.server.next_pid()
+        self._secret = _random.SystemRandom().randrange(1, 2**31 - 1)
+        self._job_tag = f"pgwire-conn-{self._pid}"
+        self.server.cancel_keys[(self._pid, self._secret)] = self._job_tag
+        # every Spark action this handler thread runs carries the tag
+        # (job TAGS, not setJobGroup: tags bind reliably across pyspark
+        # handler threads and cancelJobsWithTag interrupts in ~0.2 s)
+        self.server.spark.sparkContext.addJobTag(self._job_tag)
+        self.server.spark.sparkContext.setInterruptOnCancel(True)
+        self._send(b"K", struct.pack("!ii", self._pid, self._secret))
         self._ready()
         return True
 
@@ -960,8 +1006,7 @@ class _Handler(socketserver.BaseRequestHandler):
                     self._send(b"D", self._data_row(fields, row))
                 self._send(b"C", _command_tag(stmt, len(rows)).encode() + b"\x00")
             except Exception as e:  # noqa: BLE001 — every error goes on the wire
-                msg = str(e).split("\n", 1)[0][:500] or type(e).__name__
-                code = "25P02" if msg.startswith("current transaction is aborted") else "XX000"
+                msg, code = _wire_error(e)
                 self._send_error(msg, code=code)
                 if self._txn is not None:
                     # any error inside a transaction block fails the block
@@ -979,6 +1024,18 @@ def _is_status_frame(df) -> bool:
 class _TCPServer(socketserver.ThreadingMixIn, socketserver.TCPServer):
     allow_reuse_address = True
     daemon_threads = True
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # CancelRequest routing: (pid, secret) → Spark job-group tag
+        self.cancel_keys: dict[tuple[int, int], str] = {}
+        self._pid_counter = 0
+        self._pid_lock = threading.Lock()
+
+    def next_pid(self) -> int:
+        with self._pid_lock:
+            self._pid_counter += 1
+            return self._pid_counter
 
 
 def _substitute_params(sql: str, params: list[str | None]) -> str:
