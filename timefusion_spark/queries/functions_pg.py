@@ -289,3 +289,63 @@ def q_text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_match"))
         .orderBy("lang")
     )
+
+@query(
+    "q_text_search_sql",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    WHERE contains(lower(text), 'merge') AND contains(lower(text), 'window')
+    """,
+    doc="Transparent SQL serving of the trigram text index — the "
+    "TantivyPredicateRewriter hook under plain SQL (tantivy_rewriter.rs:"
+    "23-26 additive-AND, count_pushdown-style interception in pg_sql): "
+    "the documents corpus lands in a storage table through the SQL "
+    "INSERT path, `CREATE INDEX … USING gin (body gin_trgm_ops)` builds "
+    "the sidecar, and `SELECT count(*) … WHERE text_match(body, 'MERGE "
+    "window')` is served index-first — the in-query assert pins that the "
+    "interception engaged (served counter) AND that the answer equals "
+    "the registered scan-path text_match function, which the oracle "
+    "reproduces in closed form.",
+)
+def q_text_search_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import timefusion_spark.pgshim as pgshim
+    from timefusion_spark.pgshim import pg_sql
+    from timefusion_spark.slt import SltEnv
+
+    base_dir = tempfile.mkdtemp(prefix="tf_textsql_")
+    try:
+        env = SltEnv(spark, base_dir)
+        env.run_statement(
+            "CREATE TABLE docs_sql (ts TIMESTAMP, doc_id BIGINT, body TEXT, "
+            "project_id TEXT)"
+        )
+        t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_sql_src")
+        env.run_statement(
+            "INSERT INTO docs_sql SELECT timestamp '2026-03-01 00:00:00', "
+            "doc_id, text, 'p1' FROM __docs_sql_src"
+        )
+        pg_sql(
+            spark,
+            "CREATE INDEX ON docs_sql USING gin (body gin_trgm_ops) "
+            "WITH (key = 'doc_id')",
+            tables=env.tables,
+        ).collect()
+        q = "SELECT count(*) AS n FROM docs_sql WHERE text_match(body, 'MERGE window')"
+        before = pgshim.TEXT_INDEX_SERVED
+        out = pg_sql(spark, q, tables=env.tables).localCheckpoint(eager=True)
+        assert pgshim.TEXT_INDEX_SERVED == before + 1  # index path engaged
+        # scan-path identity: the registered SQL text_match function over
+        # the same view must agree exactly
+        scan_n = spark.sql(
+            "SELECT count(*) AS n FROM docs_sql "
+            "WHERE text_match(body, 'MERGE window')"
+        ).collect()[0][0]
+        idx_n = out.collect()[0][0]
+        assert idx_n == scan_n and idx_n > 0, (idx_n, scan_n)
+        return out
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

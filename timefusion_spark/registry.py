@@ -88,9 +88,12 @@ PRIORITY: tuple[str, ...] = (
     # certified, pure built-in shapes, unchanged).
     "q_copy_ingest",
     "q_arrow_ingest",
+    # new round 8: trigram index served transparently under plain SQL
+    # (CREATE INDEX DDL + text_match interception). Rotated out:
+    # q_dedup_embedding_cosine (multi-round certified, unchanged).
+    "q_text_search_sql",
     # similarity / ANN
     "q_knn_per_label",
-    "q_dedup_embedding_cosine",
     "q_ann_ivf_topk",
     "q_ann_ivf_flat",
     "q_ann_arrow_topk",
