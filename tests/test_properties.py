@@ -233,6 +233,55 @@ class TestWireParsingProperties:
         out = _substitute_params(sql, ["x"])
         assert out == f"SELECT {lit}, 'x'"
 
+    @given(
+        st.lists(st.integers(0, 999), min_size=1, max_size=4),
+        st.lists(
+            st.sampled_from(
+                [
+                    "-- junk; more\n",
+                    "/* junk; tail */",
+                    "/* junk; /* nested; deeper */ tail */",
+                    "",
+                ]
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_split_ignores_semicolons_in_comments(self, nums, comments):
+        """Semicolons inside `--` and (nesting) /* */ comments are text;
+        the statement count never changes and comment prose never leaks
+        into a statement."""
+        from timefusion_spark.server import _split_statements
+
+        stmts = [
+            f"SELECT {n} AS c{i} {comments[i % len(comments)]}"
+            for i, n in enumerate(nums)
+        ]
+        out = _split_statements(";".join(stmts))
+        assert len(out) == len(nums)
+        for i, piece in enumerate(out):
+            assert f"AS c{i}" in piece
+            assert "junk" not in piece and "nested" not in piece
+
+    @given(
+        st.integers(1, 5),
+        st.sampled_from(["-- $9 decoy\n", "/* $9 */", "'$9'", "$tag$ $9 $tag$"]),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_param_indices_distinct_and_region_blind(self, n, decoy):
+        """ParameterDescription arity: each index counts once however
+        often it repeats, and `$9` inside comments/literals/dollar-quoted
+        bodies counts zero."""
+        from timefusion_spark.server import _param_indices
+
+        exprs = " + ".join(
+            f"${i}" for i in list(range(1, n + 1)) + list(range(1, n + 1))
+        )
+        sql = f"SELECT {decoy}\n {exprs}"
+        assert _param_indices(sql) == set(range(1, n + 1))
+
 
 class TestRewriteIdents:
     """Property tests for the transaction view-overlay identifier rewrite
