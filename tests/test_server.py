@@ -188,6 +188,20 @@ class TestSimpleQuery:
         msgs = client.query("   ")
         assert tags_of(msgs)[0] == b"I"  # EmptyQueryResponse
 
+    def test_set_is_per_connection(self, server):
+        """PG scopes SET to the connection: two wire sessions never see
+        each other's settings."""
+        c1 = WireClient(server.port)
+        c1.startup()
+        c2 = WireClient(server.port)
+        c2.startup()
+        c1.query("SET application_name = 'alpha'")
+        c2.query("SET application_name = 'beta'")
+        assert rows_of(c1.query("SHOW application_name")) == [["alpha"]]
+        assert rows_of(c2.query("SHOW application_name")) == [["beta"]]
+        c1.close()
+        c2.close()
+
     def test_comments_do_not_split_statements(self, client):
         """A semicolon inside `--` or /* */ is text, not a separator; a
         comment-only statement is empty (PG behavior); PG block comments

@@ -1353,11 +1353,30 @@ _DEFAULT_SETTINGS: dict[str, str] = {
     "idle_in_transaction_session_timeout": "0",
 }
 
-_SESSION_SETTINGS: dict[int, dict[str, str]] = {}
+_SESSION_SETTINGS: dict[tuple, dict[str, str]] = {}
+# PG scopes SET to the CONNECTION, not the server: the pgwire handler
+# binds a per-connection token on its thread (set_settings_scope), so two
+# wire sessions never see each other's SETs; sessionless callers (tests,
+# notebooks) share the None scope — the old per-SparkSession behavior.
+_SETTINGS_SCOPE = _threading.local()
+
+
+def set_settings_scope(token: str | None) -> None:
+    _SETTINGS_SCOPE.token = token
+
+
+def drop_settings_scope(spark, token: str) -> None:
+    """Forget a disconnected connection's settings (PG: session state dies
+    with the backend)."""
+    _SESSION_SETTINGS.pop((id(spark), token), None)
+
+
+def _settings_key(spark) -> tuple:
+    return (id(spark), getattr(_SETTINGS_SCOPE, "token", None))
 
 
 def _settings_for(spark) -> dict[str, str]:
-    return _SESSION_SETTINGS.setdefault(id(spark), dict(_DEFAULT_SETTINGS))
+    return _SESSION_SETTINGS.setdefault(_settings_key(spark), dict(_DEFAULT_SETTINGS))
 
 
 def _setting_literal(raw: str) -> str:
@@ -1395,7 +1414,7 @@ def _apply_settings_statement(spark, stripped: str):
             return True
         raise ValueError(f"unsupported transaction statement: {stripped!r}")
     if re.match(r"(?is)^DISCARD\s+(ALL|PLANS|SEQUENCES|TEMP|TEMPORARY)$", stripped):
-        _SESSION_SETTINGS.pop(id(spark), None)
+        _SESSION_SETTINGS.pop(_settings_key(spark), None)
         return True
     st = _settings_for(spark)
     m = re.match(r"(?is)^SET\s+(?:SESSION\s+|LOCAL\s+)?TIME\s+ZONE\s+(.+)$", stripped)

@@ -431,6 +431,10 @@ class _Handler(socketserver.BaseRequestHandler):
         finally:
             if getattr(self, "_pid", None) is not None:
                 self.server.cancel_keys.pop((self._pid, self._secret), None)
+                from timefusion_spark.pgshim import drop_settings_scope
+
+                # session state dies with the backend (PG semantics)
+                drop_settings_scope(self.server.spark, self._job_tag)
             # A dropped connection mid-transaction rolls back: the group is
             # settled ABORTED definitively, so nothing the client staged
             # can ever become visible (PG disconnect semantics).
@@ -956,6 +960,12 @@ class _Handler(socketserver.BaseRequestHandler):
         self._secret = _random.SystemRandom().randrange(1, 2**31 - 1)
         self._job_tag = f"pgwire-conn-{self._pid}"
         self.server.cancel_keys[(self._pid, self._secret)] = self._job_tag
+        # PG scopes SET to the connection: bind this handler thread to a
+        # per-connection settings scope so sessions never see each
+        # other's SETs
+        from timefusion_spark.pgshim import set_settings_scope
+
+        set_settings_scope(self._job_tag)
         # every Spark action this handler thread runs carries the tag
         # (job TAGS, not setJobGroup: tags bind reliably across pyspark
         # handler threads and cancelJobsWithTag interrupts in ~0.2 s)
