@@ -188,6 +188,57 @@ def test_failed_batch_not_acked_prior_batches_durable(spark, table, srv):
     assert table.read().count() == 5  # the failed batch left nothing
 
 
+def test_variant_table_ingest(spark, tmp_path):
+    """The flagship otel shape carries Variant columns: JSON text sent
+    over the Arrow socket parses ONCE at insert into the physical Variant
+    binary (coerce path), so variant_get works on the ingested rows."""
+    from pyspark.sql import functions as F
+
+    yaml = """
+table_name: var_t
+partitions: [project_id]
+time_column: timestamp
+fields:
+  - {name: timestamp, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: attributes, data_type: Variant, nullable: true}
+  - {name: project_id, data_type: Utf8, nullable: true}
+"""
+    tbl = Table.create(spark, load_schema_text(yaml), str(tmp_path / "var_t"))
+    srv = ArrowIngestServer(spark, {"var_t": tbl}).start()
+    try:
+        batch = pa.RecordBatch.from_pydict(
+            {
+                "timestamp": ["2026-01-01 10:00:00"] * 3,
+                "id": ["a", "b", "c"],
+                "attributes": ['{"k": 7, "s": "x"}', None, "not json"],
+                "project_id": ["p1"] * 3,
+            }
+        )
+        acks, final = _send_stream(srv.port, "var_t", [batch])
+        assert acks == [1] and final == (b"F", 3)
+        got = {
+            r.id: r.k
+            for r in tbl.read()
+            .select(
+                "id",
+                F.expr("variant_get(attributes, '$.k', 'int')").alias("k"),
+            )
+            .collect()
+        }
+        assert got == {"a": 7, "b": None, "c": None}
+        # unparseable text degraded to a variant STRING, not a lost row
+        [c_row] = (
+            tbl.read()
+            .where("id = 'c'")
+            .select(F.expr("cast(attributes as string)").alias("s"))
+            .collect()
+        )
+        assert "not json" in c_row.s
+    finally:
+        srv.stop()
+
+
 def test_wire_created_table_is_ingestable_and_visible(spark, tmp_path):
     """End-to-end with the pgwire server: a table created over psql wire,
     bulk-ingested over the Arrow socket, is immediately visible to the
