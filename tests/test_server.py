@@ -685,6 +685,51 @@ class TestCopyIn:
         c.query("DROP TABLE cp_x")
         c.close()
 
+    def test_copy_out_text_round_trips_escapes(self, client):
+        """COPY TO STDOUT (text): tabs/newlines/backslashes re-escape so
+        out == in, NULL renders \\N; the (SELECT …) form works."""
+        client.query(
+            "CREATE TABLE co_t (ts TIMESTAMP, id TEXT, note TEXT, project_id TEXT)"
+        )
+        data_in = (
+            "2026-01-01 10:00:00\ta\twith\\ttab\tp1\n"
+            "2026-01-01 11:00:00\tb\t\\N\tp1\n"
+            "2026-01-01 12:00:00\tc\tback\\\\slash and\\nnewline\tp1\n"
+        ).encode()
+        copy_payload(client, "COPY co_t FROM STDIN", data_in)
+        msgs = client.query("COPY (SELECT id, note FROM co_t ORDER BY id) TO STDOUT")
+        assert b"H" in tags_of(msgs) and b"c" in tags_of(msgs)
+        assert command_tags(msgs) == ["COPY 3"]
+        out = b"".join(p for t, p in msgs if t == b"d").decode()
+        assert out.rstrip("\n").split("\n") == [
+            "a\twith\\ttab",
+            "b\t\\N",
+            "c\tback\\\\slash and\\nnewline",
+        ]
+        client.query("DROP TABLE co_t")
+
+    def test_copy_out_csv_header_quoting_and_nulls(self, client):
+        client.query(
+            "CREATE TABLE cv_t (ts TIMESTAMP, id TEXT, note TEXT, project_id TEXT)"
+        )
+        client.query(
+            "INSERT INTO cv_t VALUES "
+            "('2026-01-01 10:00:00', 'a', 'comma, here', 'p1'), "
+            "('2026-01-01 11:00:00', 'b', '', 'p1'), "
+            "('2026-01-01 12:00:00', 'c', NULL, 'p1')"
+        )
+        msgs = client.query(
+            "COPY (SELECT id, note FROM cv_t ORDER BY id) TO STDOUT "
+            "WITH (FORMAT csv, HEADER)"
+        )
+        out = b"".join(p for t, p in msgs if t == b"d").decode()
+        lines = out.rstrip("\n").split("\n")
+        assert lines[0] == "id,note"
+        assert lines[1] == 'a,"comma, here"'
+        assert lines[2] == 'b,""'  # empty string stays distinguishable…
+        assert lines[3] == "c,"  # …from NULL (unquoted empty)
+        client.query("DROP TABLE cv_t")
+
     def test_copy_inside_transaction_block(self, server):
         c1 = WireClient(server.port)
         c1.startup()

@@ -209,6 +209,36 @@ def _split_statements(sql: str) -> list[str]:
 
 _TXN_VERB_RE = re.compile(r"(?is)^\s*(BEGIN|START\s+TRANSACTION|COMMIT|END|ROLLBACK|ABORT)\b")
 _COPY_RE = re.compile(r"(?is)^\s*COPY\s+(\w+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN\s*(.*)$")
+_COPY_OUT_RE = re.compile(
+    r"(?is)^\s*COPY\s+(?:\(\s*(.+?)\s*\)|(\w+)\s*(?:\(([^)]*)\))?)\s+TO\s+STDOUT\s*(.*)$"
+)
+
+
+def _copy_text_escape(s: str) -> str:
+    """PG COPY text-format output escaping (the public COPY spec): data
+    backslashes, tabs, newlines and carriage returns must not collide
+    with the structural characters."""
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
+def _copy_csv_field(s: str | None, delim: str, null_s: str) -> str:
+    if s is None:
+        return null_s
+    if (
+        delim in s
+        or '"' in s
+        or "\n" in s
+        or "\r" in s
+        or (s == null_s)
+        or s == ""
+    ):
+        return '"' + s.replace('"', '""') + '"'
+    return s
 # Rows buffered per flush during COPY FROM STDIN: bounds driver memory to
 # one chunk however large the upload — each full chunk lands through the
 # storage write path while the client keeps streaming (the TCP receive
@@ -915,6 +945,66 @@ class _Handler(socketserver.BaseRequestHandler):
             runner.drop_txn_views(txn)
         self._send(b"C", f"COPY {total}".encode() + b"\x00")
 
+    def _copy_out(self, m: re.Match) -> None:
+        """COPY … TO STDOUT — the export half of the bulk protocol (psql
+        \\copy out): rows stream as CopyData in text or CSV format,
+        driver memory bounded by toLocalIterator (one partition at a
+        time), lines coalesced into ~64 KB frames."""
+        query, table, cols, opts = m.groups()
+        opts = opts or ""
+        if re.search(r"(?i)\bbinary\b", opts):
+            raise ValueError("COPY BINARY format is not supported; use text or csv")
+        fmt_csv = re.search(r"(?i)\bcsv\b", opts) is not None
+        header = fmt_csv and re.search(r"(?i)\bheader\b", opts) is not None
+        dm = re.search(r"(?i)\bDELIMITER\s+E?'(.*?)'", opts)
+        delim = dm.group(1).replace("\\t", "\t") if dm else ("," if fmt_csv else "\t")
+        nm = re.search(r"(?i)\bNULL\s+'(.*?)'", opts)
+        null_s = nm.group(1) if nm else ("" if fmt_csv else "\\N")
+        if query is not None:
+            sql = query
+        else:
+            collist = cols.strip() if cols else "*"
+            sql = f"SELECT {collist} FROM {table}"
+        df = self._run(sql)
+        fields = df.schema.fields
+        self._send(
+            b"H",
+            struct.pack("!bh", 0, len(fields))
+            + struct.pack(f"!{len(fields)}h", *([0] * len(fields))),
+        )
+        buf: list[str] = []
+        buf_bytes = 0
+        n = 0
+
+        def flush() -> None:
+            nonlocal buf, buf_bytes
+            if buf:
+                self._send(b"d", "".join(buf).encode("utf-8"))
+                buf, buf_bytes = [], 0
+
+        def emit(line: str) -> None:
+            nonlocal buf_bytes
+            buf.append(line)
+            buf_bytes += len(line)
+            if buf_bytes >= 65536:
+                flush()
+
+        if header:
+            emit(delim.join(f.name for f in fields) + "\n")
+        for row in df.toLocalIterator():
+            cells = []
+            for f, v in zip(fields, row):
+                s = _pg_text(v, f.dataType)
+                if fmt_csv:
+                    cells.append(_copy_csv_field(s, delim, null_s))
+                else:
+                    cells.append(null_s if s is None else _copy_text_escape(s))
+            emit(delim.join(cells) + "\n")
+            n += 1
+        flush()
+        self._send(b"c")  # CopyDone
+        self._send(b"C", f"COPY {n}".encode() + b"\x00")
+
     def _startup(self) -> bool:
         while True:
             (length,) = struct.unpack("!i", self._recv_exact(4))
@@ -991,6 +1081,9 @@ class _Handler(socketserver.BaseRequestHandler):
                 self._check_txn_allowed(stmt)
                 if m := _COPY_RE.match(stmt):
                     self._copy_in(m)
+                    continue
+                if m := _COPY_OUT_RE.match(stmt):
+                    self._copy_out(m)
                     continue
                 if self.server.runner is not None and _is_storage_stmt(stmt):
                     # storage DDL/DML (CREATE TABLE / INSERT / UPDATE /
