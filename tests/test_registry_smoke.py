@@ -100,6 +100,7 @@ def test_no_plan_antipatterns(spark_dfs):
     ALLOWED_TINY_BROADCAST = {
         "q22_sales_opportunity",
         "q11_important_stock",
+        "q16_supplier_relationship",
         "q_semantic_dedup",
         "q_ann_knn_join",
     }

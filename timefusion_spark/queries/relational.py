@@ -1612,3 +1612,237 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_volume").desc(), "nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q16 / Q20 shapes — the last three of the 22. The driver
+# testdata has no partsupp table, so each derives the part-supplier
+# relation from lineitem (the same adaptation q11 uses): ps_supplycost =
+# MIN(l_extendedprice / l_quantity) per (part, supplier); ps_availqty =
+# SUM(l_quantity). The SHAPES under test — correlated scalar-MIN
+# decorrelation (Q2), NOT IN exclusion + COUNT(DISTINCT) (Q16), nested
+# IN with a correlated scalar SUM (Q20) — are unchanged.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    ), rps AS (
+      SELECT ps.*, s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT ROUND(rps.s_acctbal, 2) AS acctbal, rps.s_name AS supp_name,
+           rps.n_name AS nation_name, p.p_partkey AS partkey,
+           p.p_type AS part_type,
+           FLOOR(rps.ps_supplycost * 10000 + 0.5) / 10000 AS supplycost
+    FROM part p
+    JOIN rps ON rps.ps_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+      AND rps.ps_supplycost = (
+          SELECT MIN(r2.ps_supplycost) FROM rps r2
+          WHERE r2.ps_partkey = p.p_partkey)
+    ORDER BY acctbal DESC, nation_name, supp_name, partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier; partsupp derived from "
+    "lineitem as MIN(price/qty) per (part, supplier)): the correlated "
+    "scalar-MIN subquery — 'the supplier whose cost equals the regional "
+    "minimum for that part' — hand-decorrelated into a per-part MIN "
+    "aggregate joined back on (partkey, cost), exactly Catalyst's "
+    "rewrite. Spark-first: supplier/nation/region dims broadcast into "
+    "the derived ps relation (no fact shuffle for the dim filter); the "
+    "per-part min and the probe share one shuffled base; final ORDER BY "
+    "… LIMIT 100 is TakeOrderedAndProject. Cost equality is exact: both "
+    "sides are the same IEEE double, and MIN returns a member of the "
+    "set, so engines agree bit-for-bit.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    p = t(spark, sf_dir, "part").where(F.col("p_size") <= 5).select("p_partkey", "p_type")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    rps = (
+        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    min_cost = rps.groupBy(F.col("ps_partkey").alias("_mc_partkey")).agg(
+        F.min("ps_supplycost").alias("_min_cost")
+    )
+    return (
+        rps.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("_mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("_min_cost")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_type").alias("part_type"),
+            # explicit half-up rounding (floor(x*1e4+0.5)/1e4): built-in
+            # ROUND()s disagree across engines exactly at half-step ties
+            (F.floor(F.col("ps_supplycost") * 10000 + F.lit(0.5)) / 10000).alias("supplycost"),
+        )
+        .orderBy(F.col("acctbal").desc(), "nation_name", "supp_name", "partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q16_supplier_relationship",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem
+    )
+    SELECT p.p_brand AS brand, p.p_type AS part_type, p.p_size AS size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier
+          WHERE s_acctbal < (SELECT AVG(s_acctbal) * 0.5 FROM supplier))
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, brand, part_type, size
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship; partsupp derived "
+    "as DISTINCT (l_partkey, l_suppkey); the comment-pattern exclusion "
+    "adapted to an acctbal-threshold subquery since the testdata "
+    "supplier has no s_comment): COUNT(DISTINCT supplier) per part "
+    "attribute bucket with a NOT IN anti-join exclusion. Spark-first: "
+    "the exclusion list is a self-threshold subquery (1-row global AVG "
+    "broadcast) resolved to a broadcast LEFT ANTI join — s_suppkey is "
+    "non-null so NOT IN == anti join; part dim broadcast; "
+    "COUNT(DISTINCT) is Spark's two-phase expand/partial-agg, no "
+    "driver-side distinct.",
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    p = (
+        t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#13")
+            & (~F.col("p_type").startswith("PROMO"))
+            & F.col("p_size").isin(list(range(1, 9)))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+    thresh = s.agg((F.avg("s_acctbal") * F.lit(0.5)).alias("_t"))
+    excluded = (
+        s.join(F.broadcast(thresh), F.col("s_acctbal") < F.col("_t"))
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(excluded), F.col("s_suppkey") == F.col("ps_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("part_type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "brand", "part_type", "size")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH avail AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             SUM(l_quantity) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_name AS supp_name, n.n_name AS nation_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (
+        SELECT ps_suppkey FROM avail
+        WHERE ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND ps_availqty > 0.5 * (
+              SELECT SUM(l_quantity) FROM lineitem
+              WHERE l_partkey = avail.ps_partkey
+                AND l_suppkey = avail.ps_suppkey
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'))
+    ORDER BY supp_name
+    """,
+    doc="TPC-H Q20 shape (potential part promotion; ps_availqty derived "
+    "as the all-time SUM(l_quantity) per (part, supplier)): nested IN "
+    "subqueries with a correlated scalar SUM — 'suppliers with more "
+    "stock of a small-part than half of what shipped in 1996'. "
+    "Spark-first: the correlated SUM is hand-decorrelated into a "
+    "filtered per-(part,supplier) aggregate LEFT-joined back (NULL "
+    "propagates: no 1996 shipments → comparison NULL → row excluded, "
+    "matching SQL's scalar-subquery semantics); both IN filters become "
+    "broadcast semi joins; the two aggregates share the lineitem scan "
+    "shuffle key (l_partkey, l_suppkey).",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    small_parts = (
+        t(spark, sf_dir, "part").where(F.col("p_name").like("small%")).select("p_partkey")
+    )
+    avail = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.sum("l_quantity").alias("ps_availqty"))
+    yr = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_partkey").alias("yr_partkey"), F.col("l_suppkey").alias("yr_suppkey"))
+        .agg(F.sum("l_quantity").alias("yr_qty"))
+    )
+    qualifying = (
+        avail.join(
+            F.broadcast(small_parts), F.col("p_partkey") == F.col("ps_partkey"), "left_semi"
+        )
+        .join(
+            yr,
+            (F.col("yr_partkey") == F.col("ps_partkey"))
+            & (F.col("yr_suppkey") == F.col("ps_suppkey")),
+            "left",
+        )
+        # NULL yr_qty (no 1996 shipments) keeps SQL's scalar-subquery
+        # semantics: NULL comparison → row excluded, NOT treated as 0.
+        .where(F.col("ps_availqty") > F.lit(0.5) * F.col("yr_qty"))
+        .select("ps_suppkey")
+    )
+    return (
+        s.join(qualifying, F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(F.col("s_name").alias("supp_name"), F.col("n_name").alias("nation_name"))
+        .orderBy("supp_name")
+    )
