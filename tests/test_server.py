@@ -416,6 +416,30 @@ class TestSimpleQuery:
         assert oid == 23
         c.close()
 
+    def test_execute_row_limit_suspends_portal(self, server):
+        """Execute's int32 row limit drains the portal across fetches with
+        PortalSuspended between them — the JDBC setFetchSize / libpq
+        cursor flow. The final CommandComplete tag counts ALL rows the
+        portal delivered (PG accumulates es_processed across runs)."""
+        c = WireClient(server.port)
+        c.startup()
+        parse = b"\x00" + b"SELECT id FROM range(5) ORDER BY id\x00" + struct.pack("!h", 0)
+        bind = b"\x00\x00" + struct.pack("!hhh", 0, 0, 0)
+        exec2 = b"\x00" + struct.pack("!i", 2)
+        exec_all = b"\x00" + struct.pack("!i", 0)
+        msgs = self._ext(
+            c, (b"P", parse), (b"B", bind),
+            (b"E", exec2), (b"E", exec2), (b"E", exec_all),
+        )
+        tags = tags_of(msgs)
+        # 2 rows, suspend; 2 rows, suspend; 1 row, complete
+        assert tags.count(b"s") == 2
+        assert [r[0] for r in rows_of(msgs)] == ["0", "1", "2", "3", "4"]
+        d_or_s = [t for t in tags if t in (b"D", b"s", b"C")]
+        assert d_or_s == [b"D", b"D", b"s", b"D", b"D", b"s", b"D", b"C"]
+        assert command_tags(msgs) == ["SELECT 5"]
+        c.close()
+
     def test_extended_protocol_error_skips_to_sync(self, server):
         c = WireClient(server.port)
         c.startup()

@@ -540,7 +540,7 @@ class _Handler(socketserver.BaseRequestHandler):
         oids = list(struct.unpack(f"!{n_types}i", payload[off : off + 4 * n_types]))
         if not hasattr(self, "_prepared"):
             self._prepared: dict[str, tuple[str, list[int]]] = {}
-            self._portals: dict[str, str] = {}
+            self._portals: dict[str, dict] = {}
         self._prepared[name] = (sql, oids)
         self._send(b"1")  # ParseComplete
 
@@ -582,7 +582,17 @@ class _Handler(socketserver.BaseRequestHandler):
             raise ValueError(f"unknown result format code in {list(rfmts)}")
         if not hasattr(self, "_portals"):
             self._portals = {}
-        self._portals[portal] = (_substitute_params(sql, params), tuple(rfmts))
+        # mutable cursor state: Execute with a row limit materializes the
+        # result once, then drains it across successive Execute messages
+        # (PortalSuspended between fetches — the JDBC setFetchSize /
+        # libpq single-row-mode flow)
+        self._portals[portal] = {
+            "sql": _substitute_params(sql, params),
+            "rfmts": tuple(rfmts),
+            "rows": None,
+            "fields": None,
+            "sent": 0,
+        }
         self._send(b"2")  # BindComplete
 
     def _prepared_entry(self, stmt: str) -> tuple[str, list[int]]:
@@ -619,7 +629,7 @@ class _Handler(socketserver.BaseRequestHandler):
         entry = self._portals.get(name) if hasattr(self, "_portals") else None
         if entry is None:
             raise ValueError(f"portal {name!r} does not exist")
-        sql, rfmts = entry
+        sql, rfmts = entry["sql"], entry["rfmts"]
         if (
             _NO_RESULTSET.match(sql)
             or _COPY_RE.match(sql)
@@ -638,7 +648,10 @@ class _Handler(socketserver.BaseRequestHandler):
         entry = self._portals.get(portal) if hasattr(self, "_portals") else None
         if entry is None:
             raise ValueError(f"portal {portal!r} does not exist")
-        sql, rfmts = entry
+        # int32 row limit after the portal name: 0 = no limit; nonzero =
+        # fetch that many rows and suspend the portal (PG wire spec)
+        max_rows = struct.unpack("!i", payload[off : off + 4])[0] if len(payload) >= off + 4 else 0
+        sql, rfmts = entry["sql"], entry["rfmts"]
         if self._handle_txn_verb(sql):
             return
         self._check_txn_failed()
@@ -655,16 +668,26 @@ class _Handler(socketserver.BaseRequestHandler):
                 self.server.runner.run_statement(sql, txn=self._txn)
             self._send(b"C", _command_tag(sql, 0).encode() + b"\x00")
             return
-        df = self._run(sql)
-        if _NO_RESULTSET.match(sql):
-            n = 0 if _is_status_frame(df) else df.count()
-            self._send(b"C", _command_tag(sql, n).encode() + b"\x00")
-            return
-        rows = df.collect()
-        fields = df.schema.fields
-        for row in rows:
+        if entry["rows"] is None:
+            df = self._run(sql)
+            if _NO_RESULTSET.match(sql):
+                n = 0 if _is_status_frame(df) else df.count()
+                self._send(b"C", _command_tag(sql, n).encode() + b"\x00")
+                return
+            entry["rows"] = df.collect()
+            entry["fields"] = df.schema.fields
+        rows, fields = entry["rows"], entry["fields"]
+        start = entry["sent"]
+        stop = len(rows) if max_rows <= 0 else min(start + max_rows, len(rows))
+        for row in rows[start:stop]:
             self._send(b"D", self._data_row(fields, row, rfmts))
-        self._send(b"C", _command_tag(sql, len(rows)).encode() + b"\x00")
+        entry["sent"] = stop
+        if stop < len(rows):
+            self._send(b"s")  # PortalSuspended — client re-Executes to drain
+        else:
+            # completion tag counts ALL rows the portal delivered (PG
+            # accumulates es_processed across Execute runs of one portal)
+            self._send(b"C", _command_tag(sql, stop).encode() + b"\x00")
 
     def _close_msg(self, payload: bytes) -> None:
         kind = payload[0:1]
