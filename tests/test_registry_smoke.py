@@ -103,6 +103,7 @@ def test_no_plan_antipatterns(spark_dfs):
         "q16_supplier_relationship",
         "q_semantic_dedup",
         "q_ann_knn_join",
+        "q_bm25_rank",
     }
     dfs, errors = spark_dfs
     bad = [f"{n}: build error {e}" for n, e in errors.items()]

@@ -1024,3 +1024,65 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
         F.round(F.corr(lf, lr), 4).alias("log_log_corr"),
     )
+
+
+@query(
+    "q_bm25_rank",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS dl,
+             len(list_filter(string_split(text, ' '), x -> x = 'filter')) AS tf_0,
+             len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf_1,
+             len(list_filter(string_split(text, ' '), x -> x = 'merge'))  AS tf_2
+      FROM documents
+    ), s AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+             SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+             SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+             SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+      FROM base
+    ), scored AS (
+      SELECT b.doc_id, b.dl,
+        ln(1.0 + (s.n_docs - s.df_0 + 0.5) / (s.df_0 + 0.5))
+          * b.tf_0 * 2.2 / (b.tf_0 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)) +
+        ln(1.0 + (s.n_docs - s.df_1 + 0.5) / (s.df_1 + 0.5))
+          * b.tf_1 * 2.2 / (b.tf_1 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)) +
+        ln(1.0 + (s.n_docs - s.df_2 + 0.5) / (s.df_2 + 0.5))
+          * b.tf_2 * 2.2 / (b.tf_2 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+          AS score
+      FROM base b, s
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           FLOOR(score * 1000000 + 0.5) / 1000000 AS score
+    FROM scored
+    WHERE score > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 25
+    """,
+    doc="BM25 ranked retrieval (Okapi formulation, Lucene's non-negative "
+    "idf) for the query {filter, window, merge} over the documents "
+    "corpus — the RANKED counterpart of the boolean text_match surface "
+    "(tantivy_index/udf.rs:1-60 is match-only). Spark-first: per-term "
+    "tf is a map-side higher-order filter over the token array (no "
+    "explode, no tf shuffle); N/avgdl/per-term df fold into ONE global "
+    "aggregate row broadcast back (the scalar-subquery BNLJ shape); "
+    "top-25 is TakeOrderedAndProject. Two corpus scans total — the "
+    "shape that holds at 100 TB. Scores are half-up rounded at 1e-6 "
+    "(engine ROUND()s diverge at half-step ties).",
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.operators.ranking import bm25_scores
+
+    d = t(spark, sf_dir, "documents")
+    scored = bm25_scores(d, "doc_id", "text", ["filter", "window", "merge"])
+    return (
+        scored.where(F.col("score") > 0)
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("dl"),
+            (F.floor(F.col("score") * 1000000 + F.lit(0.5)) / 1000000).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(25)
+    )
