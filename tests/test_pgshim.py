@@ -796,3 +796,102 @@ class TestTranslationCache:
         pgshim.register_variant_columns([col2], spark=s2)
         assert "variant_get" in pg_to_spark_sql(sql2, s2)
         assert "get_json_object" in pg_to_spark_sql(sql2, s1)
+
+
+class TestPgCatalog:
+    """psql's meta-commands (\\dt, \\d t, tab completion) read pg_catalog —
+    beyond-reference (the reference's pgwire layer serves no catalogs).
+    These are the VERBATIM statements psql 16 emits."""
+
+    PSQL_DT = """SELECT n.nspname as "Schema",
+  c.relname as "Name",
+  CASE c.relkind WHEN 'r' THEN 'table' WHEN 'v' THEN 'view' WHEN 'm' THEN 'materialized view' WHEN 'i' THEN 'index' WHEN 'S' THEN 'sequence' WHEN 't' THEN 'TOAST table' WHEN 'f' THEN 'foreign table' WHEN 'p' THEN 'partitioned table' WHEN 'I' THEN 'partitioned index' END as "Type",
+  pg_catalog.pg_get_userbyid(c.relowner) as "Owner"
+FROM pg_catalog.pg_class c
+     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+WHERE c.relkind IN ('r','p','')
+      AND n.nspname <> 'pg_catalog'
+      AND n.nspname !~ '^pg_toast'
+      AND n.nspname <> 'information_schema'
+  AND pg_catalog.pg_table_is_visible(c.oid)
+ORDER BY 1,2"""
+
+    PSQL_RESOLVE = """SELECT c.oid,
+  n.nspname,
+  c.relname
+FROM pg_catalog.pg_class c
+     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+WHERE c.relname OPERATOR(pg_catalog.~) '^(_pgcat_demo)$' COLLATE pg_catalog.default
+  AND pg_catalog.pg_table_is_visible(c.oid)
+ORDER BY 2, 3"""
+
+    PSQL_ATTRS = """SELECT a.attname,
+  pg_catalog.format_type(a.atttypid, a.atttypmod),
+  (SELECT pg_catalog.pg_get_expr(d.adbin, d.adrelid, true)
+   FROM pg_catalog.pg_attrdef d
+   WHERE d.adrelid = a.attrelid AND d.adnum = a.attnum AND a.atthasdef),
+  a.attnotnull,
+  (SELECT c.collname FROM pg_catalog.pg_collation c, pg_catalog.pg_type t
+   WHERE c.oid = a.attcollation AND t.oid = a.atttypid AND a.attcollation <> t.typcollation) AS attcollation,
+  a.attidentity,
+  a.attgenerated
+FROM pg_catalog.pg_attribute a
+WHERE a.attrelid = '{oid}' AND a.attnum > 0 AND NOT a.attisdropped
+ORDER BY a.attnum"""
+
+    def test_psql_backslash_dt(self, spark):
+        spark.createDataFrame(
+            [(1, "x")], "a int, b string"
+        ).createOrReplaceTempView("_pgcat_demo")
+        try:
+            rows = pg_sql(spark, self.PSQL_DT).collect()
+            mine = [tuple(r) for r in rows if r["Name"] == "_pgcat_demo"]
+            assert mine == [("public", "_pgcat_demo", "table", "timefusion")]
+        finally:
+            spark.catalog.dropTempView("_pgcat_demo")
+
+    def test_psql_backslash_d_resolve_then_describe(self, spark):
+        spark.createDataFrame(
+            [(1, "x", 2.5)], "a int, b string, c double"
+        ).createOrReplaceTempView("_pgcat_demo")
+        try:
+            rows = pg_sql(spark, self.PSQL_RESOLVE).collect()
+            assert len(rows) == 1 and rows[0]["relname"] == "_pgcat_demo"
+            oid = rows[0]["oid"]
+            attrs = pg_sql(spark, self.PSQL_ATTRS.format(oid=oid)).collect()
+            assert [(r[0], r[1]) for r in attrs] == [
+                ("a", "integer"),
+                ("b", "text"),
+                ("c", "double precision"),
+            ]
+            # synthesized catalogs carry no defaults / collations
+            assert all(r[2] is None and r[4] is None for r in attrs)
+        finally:
+            spark.catalog.dropTempView("_pgcat_demo")
+
+    def test_oids_stable_across_statements(self, spark):
+        spark.createDataFrame([(1,)], "a int").createOrReplaceTempView("_pgcat_demo")
+        try:
+            q = "SELECT oid FROM pg_catalog.pg_class WHERE relname = '_pgcat_demo'"
+            oid1 = pg_sql(spark, q).collect()[0][0]
+            oid2 = pg_sql(spark, q).collect()[0][0]
+            assert oid1 == oid2 >= 16384
+        finally:
+            spark.catalog.dropTempView("_pgcat_demo")
+
+    def test_not_regex_operator(self, spark):
+        rows = pg_sql(
+            spark,
+            "SELECT x FROM (SELECT 'pg_toast_1' AS x UNION ALL SELECT 'keepme') t "
+            "WHERE x !~ '^pg_toast' ORDER BY x",
+        ).collect()
+        assert [r["x"] for r in rows] == ["keepme"]
+        rows = pg_sql(
+            spark,
+            "SELECT count(*) AS n FROM (SELECT 'ABC' AS x) t WHERE x !~* '^a'",
+        ).collect()
+        assert rows[0]["n"] == 0
+
+    def test_quoted_identifier_aliases(self, spark):
+        df = pg_sql(spark, 'SELECT 1 AS "Mixed Case", 2 AS "with""quote"')
+        assert df.columns == ["Mixed Case", 'with"quote']

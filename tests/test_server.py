@@ -787,6 +787,10 @@ class TestCancelRequest:
         import time
 
         c = WireClient(server.port)
+        # under a loaded box the in-flight task drain can exceed the
+        # default 60 s client timeout — the cancel itself is what's under
+        # test, not the drain latency
+        c.sock.settimeout(180)
         msgs = c.startup()
         key = [p for t, p in msgs if t == b"K"][0]
         pid, secret = struct.unpack("!ii", key)

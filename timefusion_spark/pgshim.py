@@ -1206,6 +1206,12 @@ def _translate_misc(sql: str) -> str:
     )
     # ARRAY[...] → array(...)
     sql = re.sub(r"\bARRAY\s*\[([^\[\]]*)\]", r"array(\1)", sql, flags=re.IGNORECASE)
+    # a !~ 'p' / a !~* 'p' → a NOT RLIKE … (before ~*/~ so the tail of
+    # !~* never matches the positive rules)
+    sql = re.sub(
+        r"!~\*\s*'((?:''|[^'])*)'", lambda m: f"NOT RLIKE '(?i){m.group(1)}'", sql
+    )
+    sql = re.sub(r"!~\s*'((?:''|[^'])*)'", lambda m: f"NOT RLIKE '{m.group(1)}'", sql)
     # a ~* 'p' → a RLIKE '(?i)p'   |   a ~ 'p' → a RLIKE 'p'
     sql = re.sub(
         r"~\*\s*'((?:''|[^'])*)'", lambda m: f"RLIKE '(?i){m.group(1)}'", sql
@@ -1324,6 +1330,14 @@ def _pg_to_spark_sql_uncached(sql: str) -> str:
     # literals: PG '\d+' must reach Spark's RLIKE as \d+).
     toks = [
         t if not t.startswith("'") else t.replace("\\", "\\\\") for t in toks
+    ]
+    # PG double-quoted identifiers → Spark backticks ("Name" → `Name`;
+    # "" escapes a quote in PG, `` escapes a backtick in Spark)
+    toks = [
+        t
+        if not (t.startswith('"') and t.endswith('"') and len(t) >= 2)
+        else "`" + t[1:-1].replace('""', '"').replace("`", "``") + "`"
+        for t in toks
     ]
     toks = _translate_arrows(toks)
     toks = _translate_variant_compare(toks)
@@ -1742,6 +1756,169 @@ def _ensure_information_schema(spark) -> None:
     ).createOrReplaceTempView("__info_schema_columns")
 
 
+# ── pg_catalog (psql meta-command surface) ─────────────────────────────────
+#
+# Beyond-reference: the reference's pgwire layer serves data queries but
+# psql's introspection (`\dt`, `\d t`, tab completion) reads pg_catalog,
+# which it does not provide. Enough of pg_class / pg_namespace /
+# pg_attribute / pg_type is materialized here — over the session's live
+# registered tables — for psql's table-listing and describe flows. OIDs
+# are synthesized deterministically (16384 + rank of the table name), the
+# PG convention that user relations start above the reserved range; they
+# are stable for a given table set, so psql's two-step resolve-oid →
+# query-by-oid flow works across statements.
+
+_PG_TYPE_OIDS = {
+    "boolean": 16, "bytea": 17, "bigint": 20, "smallint": 21, "integer": 23,
+    "text": 25, "json": 114, "real": 700, "double precision": 701,
+    "character varying": 1043, "date": 1082, "timestamp without time zone": 1114,
+    "timestamp with time zone": 1184, "numeric": 1700, "jsonb": 3802,
+}
+
+_SPARK_TO_PG_TYPE = {
+    "boolean": "boolean", "binary": "bytea", "bigint": "bigint",
+    "smallint": "smallint", "int": "integer", "string": "text",
+    "float": "real", "double": "double precision", "date": "date",
+    "timestamp": "timestamp without time zone",
+    "timestamp_ntz": "timestamp without time zone", "variant": "jsonb",
+}
+
+
+def _pg_type_name(spark_type: str) -> str:
+    if spark_type.startswith("decimal"):
+        return "numeric"
+    if spark_type.startswith("array<"):
+        return _pg_type_name(spark_type[6:-1]) + "[]"
+    return _SPARK_TO_PG_TYPE.get(spark_type, "text")
+
+
+def _ensure_pg_catalog(spark) -> None:
+    from pyspark.sql import types as T
+
+    tabs = sorted(
+        tt.name for tt in spark.catalog.listTables() if not tt.name.startswith("__")
+    )
+    cls_rows, att_rows = [], []
+    for i, name in enumerate(tabs):
+        oid = 16384 + i
+        cls_rows.append((oid, name, 2200, "r", 10, 0, "p", False))
+        try:
+            schema = spark.table(name).schema
+        except Exception:  # noqa: BLE001 — dropped concurrently
+            continue
+        for n, f in enumerate(schema.fields, start=1):
+            pg_t = _pg_type_name(f.dataType.simpleString())
+            att_rows.append(
+                (oid, f.name, _PG_TYPE_OIDS.get(pg_t, 25), n, not f.nullable,
+                 -1, False, False, 0, "", "", pg_t)
+            )
+    spark.createDataFrame(
+        cls_rows,
+        T.StructType([
+            T.StructField("oid", T.LongType()),
+            T.StructField("relname", T.StringType()),
+            T.StructField("relnamespace", T.LongType()),
+            T.StructField("relkind", T.StringType()),
+            T.StructField("relowner", T.LongType()),
+            T.StructField("relchecks", T.IntegerType()),
+            T.StructField("relpersistence", T.StringType()),
+            T.StructField("relhasindex", T.BooleanType()),
+        ]),
+    ).createOrReplaceTempView("__pg_class")
+    spark.createDataFrame(
+        [(11, "pg_catalog", 10), (2200, "public", 10), (13000, "information_schema", 10)],
+        T.StructType([
+            T.StructField("oid", T.LongType()),
+            T.StructField("nspname", T.StringType()),
+            T.StructField("nspowner", T.LongType()),
+        ]),
+    ).createOrReplaceTempView("__pg_namespace")
+    spark.createDataFrame(
+        att_rows,
+        T.StructType([
+            T.StructField("attrelid", T.LongType()),
+            T.StructField("attname", T.StringType()),
+            T.StructField("atttypid", T.LongType()),
+            T.StructField("attnum", T.IntegerType()),
+            T.StructField("attnotnull", T.BooleanType()),
+            T.StructField("atttypmod", T.IntegerType()),
+            T.StructField("attisdropped", T.BooleanType()),
+            T.StructField("atthasdef", T.BooleanType()),
+            T.StructField("attcollation", T.LongType()),
+            T.StructField("attidentity", T.StringType()),
+            T.StructField("attgenerated", T.StringType()),
+            T.StructField("__typname", T.StringType()),
+        ]),
+    ).createOrReplaceTempView("__pg_attribute")
+    spark.createDataFrame(
+        [(oid, name, 0) for name, oid in _PG_TYPE_OIDS.items()],
+        T.StructType([
+            T.StructField("oid", T.LongType()),
+            T.StructField("typname", T.StringType()),
+            T.StructField("typcollation", T.LongType()),
+        ]),
+    ).createOrReplaceTempView("__pg_type")
+    # empty satellite catalogs psql's \d scalar subqueries probe — schema
+    # only, never rows (no column defaults / non-default collations here)
+    spark.createDataFrame(
+        [],
+        T.StructType([
+            T.StructField("adrelid", T.LongType()),
+            T.StructField("adnum", T.IntegerType()),
+            T.StructField("adbin", T.StringType()),
+        ]),
+    ).createOrReplaceTempView("__pg_attrdef")
+    spark.createDataFrame(
+        [],
+        T.StructType([
+            T.StructField("oid", T.LongType()),
+            T.StructField("collname", T.StringType()),
+        ]),
+    ).createOrReplaceTempView("__pg_collation")
+
+
+_PG_CATALOG_VIEWS = (
+    "pg_class", "pg_namespace", "pg_attribute", "pg_attrdef", "pg_collation",
+    "pg_type",
+)
+
+# format_type(atttypid, atttypmod) folds to a map-literal lookup — a pure
+# Catalyst expression, no UDF (typmod is always -1 in synthesized rows)
+_FORMAT_TYPE_MAP = (
+    "map("
+    + ", ".join(f"{oid}, '{name}'" for name, oid in _PG_TYPE_OIDS.items())
+    + ")"
+)
+
+
+def _rewrite_pg_catalog(sql: str) -> str:
+    """Rewrite psql's pg_catalog references/idioms to the shim's views.
+
+    Handles the syntax psql's \\dt and \\d flows emit: qualified
+    relation names, pg_table_is_visible / pg_get_userbyid / format_type
+    calls, OPERATOR(pg_catalog.~) and COLLATE clauses."""
+    sql = re.sub(r"(?i)\bOPERATOR\s*\(\s*pg_catalog\s*\.\s*(~\*?|=|<>)\s*\)", r" \1 ", sql)
+    sql = re.sub(r"(?i)\s+COLLATE\s+(pg_catalog\s*\.\s*default|\"[A-Za-z_.]+\")", " ", sql)
+    sql = re.sub(
+        r"(?i)\bpg_catalog\s*\.\s*pg_table_is_visible\s*\(([^()]*)\)", "(true)", sql
+    )
+    sql = re.sub(
+        r"(?i)\bpg_catalog\s*\.\s*pg_get_userbyid\s*\(([^()]*)\)", "('timefusion')", sql
+    )
+    # no stored defaults/expressions in synthesized catalogs → NULL
+    sql = re.sub(
+        r"(?i)\bpg_catalog\s*\.\s*pg_get_expr\s*\(([^()]*)\)", "(NULL)", sql
+    )
+    sql = re.sub(
+        r"(?i)\b(?:pg_catalog\s*\.\s*)?format_type\s*\(([^(),]+),\s*([^()]+)\)",
+        lambda m: f"coalesce(element_at({_FORMAT_TYPE_MAP}, CAST({m.group(1)} AS BIGINT)), 'text')",
+        sql,
+    )
+    for v in _PG_CATALOG_VIEWS:
+        sql = re.sub(rf"(?i)\b(?:pg_catalog\s*\.\s*)?{v}\b", f"__{v}", sql)
+    return sql
+
+
 def expand_qualified_star_in_calls(spark, sql: str) -> str:
     """PG parity: a qualified wildcard inside a FUNCTION call —
     `SELECT jsonb_build_array(sub.*) FROM (…) sub` — expands to the
@@ -1878,5 +2055,8 @@ def pg_sql(spark, sql: str, tables=None):
             lambda m: f"__info_schema_{m.group(1).lower()}",
             sql,
         )
+    if re.search(r"(?i)\b(pg_catalog\s*\.|pg_class\b|pg_namespace\b|pg_attribute\b|pg_type\b)", sql):
+        _ensure_pg_catalog(spark)
+        sql = _rewrite_pg_catalog(sql)
     sql = expand_qualified_star_in_calls(spark, sql)
     return spark.sql(pg_to_spark_sql(sql, spark))
