@@ -476,6 +476,33 @@ class TestStorageOverTheWire:
         assert rows_of(msgs) == [["a", "9.0"], ["b", "2.5"]]
         client.query("DROP TABLE wire_t")
 
+    def test_alter_table_add_column(self, client):
+        """ALTER TABLE … ADD COLUMN over the wire: the SQL face of the
+        migrate-columns job (main.rs:622-671 exposes it only as a CLI
+        verb). Zero rewrite — pre-migration rows read NULL."""
+        client.query(
+            "CREATE TABLE wire_alter (ts TIMESTAMP, id TEXT, project_id TEXT)"
+        )
+        client.query(
+            "INSERT INTO wire_alter VALUES ('2026-01-01 10:00:00', 'a', 'p1')"
+        )
+        msgs = client.query("ALTER TABLE wire_alter ADD COLUMN score DOUBLE")
+        assert command_tags(msgs) == ["ALTER TABLE"]
+        client.query(
+            "INSERT INTO wire_alter VALUES "
+            "('2026-01-01 11:00:00', 'b', 'p1', 2.5)"
+        )
+        msgs = client.query("SELECT id, score FROM wire_alter ORDER BY id")
+        assert rows_of(msgs) == [["a", None], ["b", "2.5"]]
+        # IF NOT EXISTS is idempotent; a duplicate without it errors
+        msgs = client.query(
+            "ALTER TABLE wire_alter ADD COLUMN IF NOT EXISTS score DOUBLE"
+        )
+        assert command_tags(msgs) == ["ALTER TABLE"]
+        msgs = client.query("ALTER TABLE wire_alter ADD COLUMN score DOUBLE")
+        assert b"E" in tags_of(msgs)
+        client.query("DROP TABLE wire_alter")
+
     def test_concurrent_connections(self, server):
         import threading
 

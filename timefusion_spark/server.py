@@ -395,6 +395,11 @@ def _command_tag(stmt: str, n_rows: int) -> str:
         return "COMMIT"
     if verb == "ABORT":
         return "ROLLBACK"
+    if verb in ("CREATE", "DROP", "ALTER"):
+        # PG tags carry the object kind: CREATE TABLE / DROP TABLE / …
+        words = stmt.split()
+        if len(words) > 1 and words[1].upper() in ("TABLE", "INDEX", "VIEW"):
+            return f"{verb} {words[1].upper()}"
     return verb or "OK"
 
 
@@ -1317,6 +1322,7 @@ def _is_storage_stmt(stmt: str) -> bool:
             _slt._UPDATE_RE,
             _slt._DELETE_RE,
             _slt._DROP_RE,
+            _slt._ALTER_ADD_RE,
         )
     )
 

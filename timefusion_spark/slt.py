@@ -166,6 +166,10 @@ _UPDATE_RE = re.compile(
 )
 _DELETE_RE = re.compile(r"(?is)^\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.*))?$")
 _DROP_RE = re.compile(r"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$")
+_ALTER_ADD_RE = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?"
+    r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+([A-Za-z][A-Za-z ]*(?:\([^)]*\))?)\s*$"
+)
 
 _PG_COLTYPE = {
     "integer": "Int32",
@@ -407,6 +411,26 @@ class SltEnv:
         schema = TableSchema(table_name=name, fields=fields)
         self._add_table(schema, from_create=True)
 
+    def _alter_add_column(self, m: re.Match) -> None:
+        """ALTER TABLE t ADD COLUMN c type — the SQL face of the
+        migrate-columns maintenance job (main.rs:622-671 exposes it only
+        as a CLI verb): the sidecar schema widens with a nullable column,
+        zero data rewrite, existing files read NULL through the explicit
+        read schema."""
+        from timefusion_spark.storage.maintenance import migrate_columns
+
+        name, if_not_exists, cname, ctype_text = m.groups()
+        tbl = self.tables.get(name)
+        if tbl is None:
+            raise ValueError(f"unknown table {name}")
+        if any(f.name == cname for f in tbl.schema.fields):
+            if if_not_exists:
+                return
+            raise ValueError(f"column {cname} of {name} already exists")
+        ctype = ctype_text.lower().split("(")[0].strip()
+        migrate_columns(tbl, [FieldDef(cname, _PG_COLTYPE.get(ctype, "Utf8"), True)])
+        self._refresh(name)
+
     def _resolve_insert_target(self, name: str) -> Table:
         """Resolve an INSERT target, honoring the `<table>__bulk` write
         alias (tests/e2e/bulk_load.rs): the reference's bulk alias commits
@@ -591,6 +615,9 @@ class SltEnv:
         elif m := _CREATE_RE.match(sql):
             _reject_in_txn(txn, "CREATE TABLE")
             self._create_table(m)
+        elif m := _ALTER_ADD_RE.match(sql):
+            _reject_in_txn(txn, "ALTER TABLE")
+            self._alter_add_column(m)
         elif m := _INSERT_RE.match(sql):
             self._insert(m, txn)
         elif m := _INSERT_SEL_RE.match(sql):
