@@ -851,6 +851,29 @@ class TestCancelRequest:
         assert rows_of(c.query("SELECT 5 AS x")) == [["5"]]
         c.close()
 
+    def test_statement_timeout(self, server):
+        """SET statement_timeout (PG knob, ms): a statement running past
+        the deadline is cancelled with PG's 57014 timeout message; the
+        connection stays usable and later fast statements are unaffected
+        by the disarmed timer."""
+        c = WireClient(server.port)
+        c.sock.settimeout(180)
+        c.startup()
+        c.query("SET statement_timeout = 2000")
+        msgs = c.query(
+            "SELECT max(sha2(CAST(id AS STRING), 256)) AS h "
+            "FROM range(0, 20000000000, 1, 2000)"
+        )
+        errs = [p for t, p in msgs if t == b"E"]
+        assert errs, msgs
+        assert b"57014" in errs[0] and b"statement timeout" in errs[0]
+        # the connection stays usable; timeout off because the killed
+        # stage's in-flight tasks drain for a while and queue time counts
+        # against the deadline (as in PG)
+        c.query("SET statement_timeout = 0")
+        assert rows_of(c.query("SELECT 7 AS x")) == [["7"]]
+        c.close()
+
     def test_wrong_secret_is_ignored(self, server):
         c = WireClient(server.port)
         msgs = c.startup()

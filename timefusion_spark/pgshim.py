@@ -1365,6 +1365,11 @@ _DEFAULT_SETTINGS: dict[str, str] = {
     # transaction session ages out on the PG-documented knob instead of
     # the engine's day-long interactive default (server.py BEGIN path).
     "idle_in_transaction_session_timeout": "0",
+    # PG default: disabled. When set (ms), the pgwire server arms a
+    # watchdog per statement that cancels the connection's Spark jobs at
+    # the deadline — the statement errors with PG's 57014 timeout
+    # message and the connection stays usable (server.py watchdog).
+    "statement_timeout": "0",
 }
 
 _SESSION_SETTINGS: dict[tuple, dict[str, str]] = {}

@@ -375,6 +375,8 @@ def _wire_error(e: Exception) -> tuple[str, str]:
     msg = full.split("\n", 1)[0][:500] or type(e).__name__
     if msg.startswith("current transaction is aborted"):
         return msg, "25P02"
+    if msg.startswith("canceling statement due to statement timeout"):
+        return msg, "57014"
     low = full.lower()
     if ("cancelled" in low or "canceled" in low) and (
         "job group" in low or "job tag" in low
@@ -669,17 +671,18 @@ class _Handler(socketserver.BaseRequestHandler):
                 "protocol"
             )
         if self.server.runner is not None and _is_storage_stmt(sql):
-            with self.server.lock:
+            with self._statement_watchdog(), self.server.lock:
                 self.server.runner.run_statement(sql, txn=self._txn)
             self._send(b"C", _command_tag(sql, 0).encode() + b"\x00")
             return
         if entry["rows"] is None:
-            df = self._run(sql)
-            if _NO_RESULTSET.match(sql):
-                n = 0 if _is_status_frame(df) else df.count()
-                self._send(b"C", _command_tag(sql, n).encode() + b"\x00")
-                return
-            entry["rows"] = df.collect()
+            with self._statement_watchdog():
+                df = self._run(sql)
+                if _NO_RESULTSET.match(sql):
+                    n = 0 if _is_status_frame(df) else df.count()
+                    self._send(b"C", _command_tag(sql, n).encode() + b"\x00")
+                    return
+                entry["rows"] = df.collect()
             entry["fields"] = df.schema.fields
         rows, fields = entry["rows"], entry["fields"]
         start = entry["sent"]
@@ -1093,6 +1096,61 @@ class _Handler(socketserver.BaseRequestHandler):
         self._ready()
         return True
 
+    def _statement_watchdog(self):
+        """PG's statement_timeout: when the session set it (ms), arm a
+        timer that cancels this connection's Spark jobs at the deadline —
+        the running collect errors and _wire_error maps it to PG's 57014
+        timeout message; the connection stays usable. Statements that run
+        no Spark job (pure-driver work) cannot be interrupted — the
+        deadline binds the distributed work, which is where the time
+        goes. A done-flag handshake keeps a late-firing timer from
+        cancelling the NEXT statement's jobs."""
+        import contextlib
+
+        from timefusion_spark.pgshim import _settings_for
+
+        @contextlib.contextmanager
+        def guard():
+            raw = _settings_for(self.server.spark).get("statement_timeout", "0")
+            try:
+                ms = int(float(raw))
+            except ValueError:
+                ms = 0
+            if ms <= 0:
+                yield
+                return
+            lock = threading.Lock()
+            state = {"done": False, "fired": False}
+
+            def fire():
+                with lock:
+                    if state["done"]:
+                        return
+                    state["fired"] = True
+                try:
+                    self.server.spark.sparkContext.cancelJobsWithTag(self._job_tag)
+                except Exception:  # noqa: BLE001 — cancel is best-effort
+                    pass
+
+            timer = threading.Timer(ms / 1000.0, fire)
+            timer.daemon = True
+            timer.start()
+            try:
+                yield
+            except Exception as e:
+                low = str(e).lower()
+                if state["fired"] and ("cancelled" in low or "canceled" in low):
+                    raise ValueError(
+                        "canceling statement due to statement timeout"
+                    ) from e
+                raise
+            finally:
+                with lock:
+                    state["done"] = True
+                timer.cancel()
+
+        return guard()
+
     def _simple_query(self, sql: str) -> None:
         from timefusion_spark.pgshim import pg_sql
 
@@ -1119,18 +1177,19 @@ class _Handler(socketserver.BaseRequestHandler):
                     # path — the pgwire INSERT sink of the reference;
                     # inside BEGIN…COMMIT the INSERT stages under the
                     # transaction's commit group
-                    with self.server.lock:
+                    with self._statement_watchdog(), self.server.lock:
                         self.server.runner.run_statement(stmt, txn=self._txn)
                     self._send(b"C", _command_tag(stmt, 0).encode() + b"\x00")
                     continue
-                df = self._run(stmt)
-                if _NO_RESULTSET.match(stmt):
-                    # command statements complete without a result set
-                    # (the shim returns an empty status frame for them)
-                    n = 0 if _is_status_frame(df) else df.count()
-                    self._send(b"C", _command_tag(stmt, n).encode() + b"\x00")
-                    continue
-                rows = df.collect()
+                with self._statement_watchdog():
+                    df = self._run(stmt)
+                    if _NO_RESULTSET.match(stmt):
+                        # command statements complete without a result set
+                        # (the shim returns an empty status frame for them)
+                        n = 0 if _is_status_frame(df) else df.count()
+                        self._send(b"C", _command_tag(stmt, n).encode() + b"\x00")
+                        continue
+                    rows = df.collect()
                 fields = df.schema.fields
                 self._send(b"T", self._row_description(fields))
                 for row in rows:
