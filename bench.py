@@ -62,6 +62,8 @@ HEADLINE = [
     # time-range counts (count index) and trigram-indexed text search
     "q_count_index",
     "q_text_search_indexed",
+    # round 8: BM25 ranked retrieval (two corpus scans, no tf shuffle)
+    "q_bm25_rank",
 ]
 
 
