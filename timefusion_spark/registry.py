@@ -93,21 +93,17 @@ PRIORITY: tuple[str, ...] = (
     # q_dedup_embedding_cosine (multi-round certified, unchanged).
     "q_text_search_sql",
     # similarity / ANN
-    "q_knn_per_label",
     "q_ann_ivf_topk",
     "q_ann_ivf_flat",
     "q_ann_arrow_topk",
     "q_ann_knn_join",
     "q_ann_knn_join_large",
     "q_semantic_dedup",
-    "q_salted_agg",
     # percentile family + timeseries operators
-    "q_percentile_duration",
     "q_percentile_sketch",
     "q_percentile_tiles",
     "q_asof_join",
     "q_hypertable_rollup",
-    "q_recent_events_topk",
     # round 7 late addition: the explicit-transaction lifecycle (commit-
     # group staging, atomic publish, definitive rollback, read-your-own-
     # writes) — brand-new code path; rotated out: q_latest_event_per_user
@@ -119,6 +115,16 @@ PRIORITY: tuple[str, ...] = (
     # are the new high-risk storage/accelerator surfaces)
     "q_count_index",
     "q_text_search_indexed",
+    # new round 8 (late): the last three TPC-H shapes (Q2's float-tie
+    # rounding and Q20's NULL-propagating correlated SUM are fresh
+    # cross-engine surfaces) and BM25 ranked retrieval (float ln() in
+    # the score). Rotated out: q_knn_per_label / q_salted_agg /
+    # q_percentile_duration / q_recent_events_topk — all multi-round
+    # certified, pure built-in shapes, unchanged.
+    "q2_min_cost_supplier",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
+    "q_bm25_rank",
     "q_jsonpath_filters",
     "q_media_bmp_decode",
     "q_time_travel",
