@@ -159,3 +159,51 @@ class TestWinnowing:
         pairs = dd.winnow_shared_pairs(df, k=8, w=4, min_shared=3, max_df=50)
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert (1, 2) in got
+
+
+class TestMinhashLshJoin:
+    """Cross-corpus fuzzy decontamination: LSH JOIN between two frames."""
+
+    def test_cross_side_pairs_only(self, spark, planted):
+        corpus = planted.where(F.col("doc_id") < 1000)  # base docs
+        probe = planted.where(F.col("doc_id") >= 1000)  # the near-dups
+        pairs = D.minhash_lsh_join(corpus, probe, threshold=0.5).collect()
+        got = {(r["corpus_id"], r["probe_id"]) for r in pairs}
+        expected = {(i, 1000 + i) for i in range(0, 40, 2)}
+        assert len(expected - got) <= 2  # same recall bound as self-dedup
+        assert got <= expected
+        # orientation: corpus id first, probe id second — never flipped
+        assert all(c < 1000 <= p for c, p in got)
+        # corpus-internal near-dups must NOT pair: corpus docs have
+        # disjoint vocab here, but assert the side filter structurally by
+        # probing a corpus WITH internal dups
+        dup_corpus = corpus.union(
+            corpus.withColumn("doc_id", F.col("doc_id") + 5000)
+        )
+        only_cross = D.minhash_lsh_join(
+            dup_corpus, probe.where(F.lit(False)), threshold=0.1
+        )
+        assert only_cross.count() == 0  # empty probe → no pairs at all
+
+    def test_overlapping_ids_between_sides(self, spark):
+        # the same id value on both sides must not alias: sides are
+        # tracked, not encoded into ids
+        a = spark.createDataFrame(
+            [(7, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        b = spark.createDataFrame(
+            [(7, "alpha beta gamma delta epsilon zeta eta iota")],
+            "doc_id long, text string",
+        )
+        pairs = D.minhash_lsh_join(a, b, threshold=0.3).collect()
+        assert [(r["corpus_id"], r["probe_id"]) for r in pairs] == [(7, 7)]
+        assert 0.3 <= pairs[0]["jaccard"] < 1.0
+
+    def test_plan_no_cartesian(self, planted):
+        corpus = planted.where(F.col("doc_id") < 1000)
+        probe = planted.where(F.col("doc_id") >= 1000)
+        plan = _plan(D.minhash_lsh_join(corpus, probe))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan

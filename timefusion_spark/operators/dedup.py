@@ -638,3 +638,107 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_join(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cross-corpus near-duplicate JOIN: fuzzy decontamination.
+
+    Exact n-gram decontamination (q_decontamination) misses paraphrased
+    or lightly-edited benchmark leakage; this is the fuzzy tier — MinHash
+    + banded LSH across TWO corpora (training corpus × benchmark/probe
+    set), exact-jaccard verified. Returns (corpus_id, probe_id, jaccard)
+    for pairs with J ≥ threshold.
+
+    Scale shape (the q_dedup_minhash_lsh single-shuffle discipline, made
+    cross-corpus): both sides' signatures union into ONE (band, key)
+    shuffle; buckets expand only CROSS-side pairs (side equality filtered
+    inside the per-bucket array combination — a corpus never pairs
+    against itself, so a 100 TB corpus with a small probe set does
+    near-zero pair work); the exact verify joins shingle sets only for
+    screened pairs. No all-pairs stage anywhere; corpus and probe ids may
+    overlap (sides are tracked, not encoded into ids).
+    """
+
+    def sigs(df: DataFrame, side: int) -> DataFrame:
+        base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        return (
+            base.select(
+                F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
+            )
+            .select("_id", shingle_hashes_from_token_hashes("_th", shingle_k).alias("_shh"))
+            .select(
+                "_id",
+                minhash_signature_from_hashes("_shh", LSH_BANDS * LSH_ROWS).alias("_sig"),
+            )
+            .withColumn("_side", F.lit(side))
+        )
+
+    u = sigs(corpus, 0).unionByName(sigs(probe, 1))
+    bands = u.select(
+        F.struct(
+            F.col("_id").alias("i"), F.col("_sig").alias("s"), F.col("_side").alias("d")
+        ).alias("m"),
+        F.expr(
+            f"explode(transform(sequence(0, {LSH_BANDS - 1}), j -> "
+            f"named_struct('band', j, 'key', "
+            f"concat_ws('-', transform(slice(_sig, j * {LSH_ROWS} + 1, {LSH_ROWS}), "
+            f"x -> cast(x AS string))))))"
+        ).alias("b"),
+    ).select("m", "b.band", "b.key")
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list("m").alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+
+    def pair(x: Column, y: Column) -> Column:
+        # orient: corpus member first; same-side pairs carry NULLs and
+        # are dropped before the explode output leaves the bucket
+        c = F.when(x["d"] == 0, x).otherwise(y)
+        p = F.when(x["d"] == 0, y).otherwise(x)
+        return F.when(
+            x["d"] != y["d"],
+            F.struct(c["i"].alias("corpus_id"), p["i"].alias("probe_id")),
+        )
+
+    ms = F.col("ms")
+    pairs_arr = F.filter(
+        F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + 2, F.size(ms)), lambda y: pair(x, y)
+                ),
+            )
+        ),
+        lambda s: s.isNotNull(),
+    )
+    cand = (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.corpus_id", "p.probe_id")
+        .distinct()
+    )
+
+    def shingles(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+        ).select("_id", word_shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh"))
+
+    sa, sb = shingles(corpus).alias("ca"), shingles(probe).alias("pb")
+    return (
+        cand.join(sa, F.col("corpus_id") == F.col("ca._id"))
+        .join(sb, F.col("probe_id") == F.col("pb._id"))
+        .select(
+            "corpus_id",
+            "probe_id",
+            jaccard(F.col("ca._sh"), F.col("pb._sh")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

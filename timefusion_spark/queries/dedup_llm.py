@@ -270,3 +270,49 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "edit_dist")
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_fuzzy_decontamination",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SHINGLES3} AS shingles FROM tok
+    ), inv AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), siz AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS corpus_id, b.doc_id AS probe_id, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.s = b.s
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      GROUP BY 1, 2
+    )
+    SELECT corpus_id, probe_id,
+           ROUND(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN siz sa ON sa.doc_id = corpus_id
+    JOIN siz sb ON sb.doc_id = probe_id
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+    ORDER BY corpus_id, probe_id
+    """,
+    doc="Cross-corpus FUZZY decontamination: MinHash + banded LSH JOIN "
+    "between a training corpus (even doc_ids) and a benchmark/probe set "
+    "(odd doc_ids), exact-jaccard verified at ≥0.5 — the paraphrase-"
+    "tolerant tier above q_decontamination's exact 5-gram overlap. "
+    "Spark-first: both sides' signatures union into ONE (band, key) "
+    "shuffle; buckets expand only cross-side pairs (a 100 TB corpus "
+    "never pairs against itself when the probe set is small); exact "
+    "verify joins shingle sets only for screened pairs. Oracle = exact "
+    "cross-side ground truth via the inverted-index equi-join (the LSH "
+    "path achieves full recall at the planted-duplicate similarity).",
+)
+def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    probe = d.where(F.col("doc_id") % 2 == 1)
+    pairs = dd.minhash_lsh_join(corpus, probe, threshold=0.5)
+    return pairs.select(
+        "corpus_id", "probe_id", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("corpus_id", "probe_id")
