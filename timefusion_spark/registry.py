@@ -102,7 +102,6 @@ PRIORITY: tuple[str, ...] = (
     # percentile family + timeseries operators
     "q_percentile_sketch",
     "q_percentile_tiles",
-    "q_asof_join",
     "q_hypertable_rollup",
     # round 7 late addition: the explicit-transaction lifecycle (commit-
     # group staging, atomic publish, definitive rollback, read-your-own-
@@ -125,6 +124,10 @@ PRIORITY: tuple[str, ...] = (
     "q16_supplier_relationship",
     "q20_potential_promotion",
     "q_bm25_rank",
+    # new round 8 (late): cross-corpus LSH join — fresh bucket-expansion
+    # code path. Rotated out: q_asof_join (multi-round certified,
+    # unchanged).
+    "q_fuzzy_decontamination",
     "q_jsonpath_filters",
     "q_media_bmp_decode",
     "q_time_travel",
