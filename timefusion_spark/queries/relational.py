@@ -1680,15 +1680,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
         .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
     )
-    min_cost = rps.groupBy(F.col("ps_partkey").alias("_mc_partkey")).agg(
-        F.min("ps_supplycost").alias("_min_cost")
-    )
+    # per-part regional MIN as a window, not a groupBy+self-join: the
+    # decorrelated-join plan evaluates the whole rps pipeline (lineitem
+    # agg + three broadcasts) TWICE and adds a sort-merge join on
+    # (partkey, cost); the window shuffles rps ONCE on ps_partkey and
+    # filters in place — the plan you'd want at 100 TB.
+    from pyspark.sql import Window as W
+
+    min_cost = F.min("ps_supplycost").over(W.partitionBy("ps_partkey"))
     return (
-        rps.join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("_mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("_min_cost")),
-        )
+        rps.withColumn("_min_cost", min_cost)
+        .where(F.col("ps_supplycost") == F.col("_min_cost"))
         .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
         .select(
             F.round("s_acctbal", 2).alias("acctbal"),
