@@ -337,3 +337,44 @@ class TestRewriteIdents:
         out = _rewrite_idents(sql, {"events": "__v"})
         # events AFTER a dot is a column ref — must survive verbatim
         assert ".events" in out and ".__v" not in out
+
+
+# ── BM25: Spark pipeline vs an independent Python model ─────────────────
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    terms=st.lists(
+        st.sampled_from(["alpha", "beta", "zeta"]), min_size=1, max_size=2, unique=True
+    ),
+)
+def test_bm25_matches_python_model(spark, docs, terms):
+    import math
+
+    from timefusion_spark.operators.ranking import bm25_scores
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(df, "doc_id", "text", list(terms)).collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(ws) for ws in docs) / n
+    for i, ws in enumerate(docs):
+        want = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            dfreq = sum(1 for w in docs if t in w)
+            idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            want += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+        assert abs(got[i] - want) < 1e-12, (i, got[i], want)
