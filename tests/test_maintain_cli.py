@@ -1,0 +1,91 @@
+"""The `python -m timefusion_spark.maintain` CLI — main.rs verb analog."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from timefusion_spark.maintain import main
+from timefusion_spark.storage import Table
+from timefusion_spark.storage.schema import FieldDef, TableSchema
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    schema = TableSchema(
+        table_name="cli_t",
+        fields=[
+            FieldDef("id", "Utf8", False),
+            FieldDef("timestamp", 'Timestamp(Microsecond, Some("UTC"))', False),
+            FieldDef("value", "Float64"),
+            FieldDef("project_id", "Utf8", False),
+            FieldDef("date", "Date32", False),
+        ],
+        partitions=["project_id", "date"],
+        time_column="timestamp",
+    )
+    tbl = Table.create(spark, schema, str(tmp_path / "cli_t"))
+    rows = spark.range(8).select(
+        F.col("id").cast("string"),
+        F.lit("2026-04-01 10:00:00").cast("timestamp").alias("timestamp"),
+        (F.col("id") * 1.5).alias("value"),
+        F.lit("p1").alias("project_id"),
+    )
+    tbl.append(rows)
+    return str(tmp_path)
+
+
+def test_stats_and_vacuum_and_optimize(store, capsys):
+    assert main(["stats", "--base-dir", store, "--table", "cli_t"]) == 0
+    out = capsys.readouterr().out
+    assert "p1" in out and "\t" in out
+    assert main(["optimize", "--base-dir", store]) == 0
+    assert "cli_t: consolidated" in capsys.readouterr().out
+    assert main(["vacuum", "--base-dir", store, "--retain-hours", "0"]) == 0
+    assert "cli_t: removed" in capsys.readouterr().out
+
+
+def test_migrate_columns_verb(spark, store, capsys):
+    rc = main([
+        "migrate-columns", "--base-dir", store, "--table", "cli_t",
+        "score:Float64", "note:Utf8",
+    ])
+    assert rc == 0
+    assert "7 columns" in capsys.readouterr().out
+    tbl = Table.open(spark, os.path.join(store, "cli_t"))
+    assert [f.name for f in tbl.schema.fields][-2:] == ["score", "note"]
+    assert tbl.read().select("score").distinct().collect()[0][0] is None
+
+
+def test_redrive_dry_run_empty_quarantine(store, capsys):
+    assert main(["redrive-dml", "--base-dir", store, "--dry-run"]) == 0
+    assert "recovered=0 parked=0" in capsys.readouterr().out
+
+
+def test_unknown_table_fails(store):
+    with pytest.raises(SystemExit):
+        main(["stats", "--base-dir", store, "--table", "nope"])
+
+
+class TestHealthcheck:
+    def test_ready_server(self, spark, tmp_path, capsys):
+        from timefusion_spark.server import PgWireServer
+
+        srv = PgWireServer(spark, base_dir=str(tmp_path / "hc")).start()
+        try:
+            assert main(["healthcheck", "--port", str(srv.port)]) == 0
+            assert capsys.readouterr().out.strip() == "ok"
+        finally:
+            srv.stop()
+
+    def test_dead_port_fails(self, capsys):
+        import socket
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()  # nothing listens here now
+        assert main(["healthcheck", "--port", str(port)]) == 1
+        assert "not reachable" in capsys.readouterr().err

@@ -1,0 +1,164 @@
+"""Operational maintenance CLI — the reference's `timefusion <verb>`
+subcommand surface (main.rs:86-100: `optimize`, `migrate-columns`,
+`redrive-dml`, plus the pgwire readiness healthcheck main.rs:124-148).
+
+    python -m timefusion_spark.maintain optimize      --base-dir D [--table T] [--target-mb N]
+    python -m timefusion_spark.maintain migrate-columns --base-dir D --table T col:type [...]
+    python -m timefusion_spark.maintain redrive-dml   --base-dir D [--table T] [--dry-run]
+    python -m timefusion_spark.maintain vacuum        --base-dir D [--table T] [--retain-hours H]
+    python -m timefusion_spark.maintain stats         --base-dir D --table T
+    python -m timefusion_spark.maintain healthcheck   [--host H] [--port P]
+
+Verbs that touch tables open them straight from the `_tf_schema.json`
+sidecars under --base-dir (the same layout the pgwire server mounts);
+`healthcheck` needs no Spark at all — it speaks just enough of the v3
+protocol to prove a REAL handler answered (AuthenticationRequest 'R'),
+exactly the reference's Docker readiness probe contract.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def _table_dirs(base_dir: str, table: str | None) -> list[str]:
+    if table is not None:
+        path = os.path.join(base_dir, table)
+        if not os.path.exists(os.path.join(path, "_tf_schema.json")):
+            raise SystemExit(f"no table {table!r} under {base_dir} (missing _tf_schema.json)")
+        return [path]
+    out = []
+    for entry in sorted(os.listdir(base_dir)) if os.path.isdir(base_dir) else []:
+        path = os.path.join(base_dir, entry)
+        if os.path.exists(os.path.join(path, "_tf_schema.json")):
+            out.append(path)
+    if not out:
+        raise SystemExit(f"no tables under {base_dir}")
+    return out
+
+
+def _open_tables(base_dir: str, table: str | None):
+    from timefusion_spark.session import get_spark
+    from timefusion_spark.storage import Table
+
+    spark = get_spark()
+    return [Table.open(spark, p) for p in _table_dirs(base_dir, table)]
+
+
+def healthcheck(host: str, port: int, timeout: float = 0.75) -> int:
+    """Send a startup message; a real handler answers AuthenticationOk
+    ('R'). Anything else (or no listener) fails the probe."""
+    import socket
+    import struct
+
+    body = b"user\x00timefusion_healthcheck\x00database\x00postgres\x00\x00"
+    payload = struct.pack("!i", 196608) + body
+    try:
+        with socket.create_connection((host, port), timeout=timeout) as s:
+            s.settimeout(timeout)
+            s.sendall(struct.pack("!i", len(payload) + 4) + payload)
+            tag = s.recv(1)
+    except OSError as e:
+        print(f"pgwire not reachable at {host}:{port}: {e}", file=sys.stderr)
+        return 1
+    if tag != b"R":
+        print(
+            f"pgwire bound but not ready (response tag {tag!r})", file=sys.stderr
+        )
+        return 1
+    print("ok")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="python -m timefusion_spark.maintain",
+        description="timefusion-spark maintenance verbs (main.rs CLI analog)",
+    )
+    sub = parser.add_subparsers(dest="verb", required=True)
+
+    def common(p, need_table=False):
+        p.add_argument("--base-dir", required=True, help="table-store root")
+        p.add_argument("--table", required=need_table, default=None)
+
+    p_opt = sub.add_parser("optimize", help="leveled small-file consolidation")
+    common(p_opt)
+    p_opt.add_argument("--target-mb", type=int, default=128)
+
+    p_mig = sub.add_parser("migrate-columns", help="widen schema with nullable columns")
+    common(p_mig, need_table=True)
+    p_mig.add_argument("columns", nargs="+", metavar="col:type",
+                       help="e.g. score:Float64 note:Utf8")
+
+    p_red = sub.add_parser("redrive-dml", help="replay quarantined coalesced-DML groups")
+    common(p_red)
+    p_red.add_argument("--dry-run", action="store_true")
+
+    p_vac = sub.add_parser("vacuum", help="drop unreferenced files older than the retention")
+    common(p_vac)
+    p_vac.add_argument("--retain-hours", type=float, default=0.0)
+
+    p_st = sub.add_parser("stats", help="per-partition file/byte introspection")
+    common(p_st, need_table=True)
+
+    p_hc = sub.add_parser("healthcheck", help="pgwire readiness probe")
+    p_hc.add_argument("--host", default="127.0.0.1")
+    p_hc.add_argument("--port", type=int, default=5432)
+
+    args = parser.parse_args(argv)
+
+    if args.verb == "healthcheck":
+        return healthcheck(args.host, args.port)
+
+    from timefusion_spark.storage import maintenance
+
+    tables = _open_tables(args.base_dir, args.table)
+    if args.verb == "optimize":
+        for tbl in tables:
+            written = maintenance.consolidate(
+                tbl, target_file_bytes=args.target_mb * 1024 * 1024
+            )
+            print(f"{tbl.schema.table_name}: consolidated into {len(written)} file(s)")
+        return 0
+    if args.verb == "migrate-columns":
+        from timefusion_spark.storage.schema import FieldDef
+
+        fields = []
+        for spec in args.columns:
+            name, _, dtype = spec.partition(":")
+            if not dtype:
+                raise SystemExit(f"bad column spec {spec!r}; want col:type")
+            fields.append(FieldDef(name, dtype, True))
+        (tbl,) = tables
+        maintenance.migrate_columns(tbl, fields)
+        print(
+            f"migrated: stored schema now has {len(tbl.schema.fields)} columns"
+        )
+        return 0
+    if args.verb == "redrive-dml":
+        total_rec = total_left = 0
+        for tbl in tables:
+            rec, left = maintenance.redrive_dml(tbl, dry_run=args.dry_run)
+            total_rec += rec
+            total_left += left
+        print(f"redrive: recovered={total_rec} parked={total_left}"
+              + (" (dry run)" if args.dry_run else ""))
+        return 0
+    if args.verb == "vacuum":
+        for tbl in tables:
+            removed = maintenance.vacuum(tbl, retain_hours=args.retain_hours)
+            print(f"{tbl.schema.table_name}: removed {len(removed)} file(s)")
+        return 0
+    if args.verb == "stats":
+        (tbl,) = tables
+        for row in maintenance.stats(tbl).collect():
+            print(f"{row['partition']}\t{row['n_files']}\t{row['bytes']}")
+        return 0
+    raise SystemExit(f"unknown verb {args.verb}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
