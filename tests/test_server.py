@@ -503,6 +503,33 @@ class TestStorageOverTheWire:
         assert b"E" in tags_of(msgs)
         client.query("DROP TABLE wire_alter")
 
+    def test_create_table_as_select(self, client):
+        """CTAS over the wire: schema derived from the SELECT result,
+        rows landed through the normal storage write path (one atomic
+        commit), decimals stored as double."""
+        client.query("CREATE TABLE ctas_src (ts TIMESTAMP, id TEXT, val DOUBLE)")
+        client.query(
+            "INSERT INTO ctas_src VALUES "
+            "('2026-01-01 10:00:00', 'a', 1.5), "
+            "('2026-01-01 11:00:00', 'b', 2.5), "
+            "('2026-01-01 12:00:00', 'b', 4.0)"
+        )
+        msgs = client.query(
+            "CREATE TABLE ctas_agg AS "
+            "SELECT id, count(*) AS n, sum(val) AS total "
+            "FROM ctas_src GROUP BY id"
+        )
+        assert command_tags(msgs) == ["CREATE TABLE"]
+        msgs = client.query("SELECT id, n, total FROM ctas_agg ORDER BY id")
+        assert rows_of(msgs) == [["a", "1", "1.5"], ["b", "2", "6.5"]]
+        # IF NOT EXISTS skips; a duplicate without it errors
+        msgs = client.query("CREATE TABLE IF NOT EXISTS ctas_agg AS SELECT 1 AS x")
+        assert command_tags(msgs) == ["CREATE TABLE"]
+        msgs = client.query("CREATE TABLE ctas_agg AS SELECT 1 AS x")
+        assert b"E" in tags_of(msgs)
+        client.query("DROP TABLE ctas_agg")
+        client.query("DROP TABLE ctas_src")
+
     def test_concurrent_connections(self, server):
         import threading
 

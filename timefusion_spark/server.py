@@ -1382,6 +1382,7 @@ def _is_storage_stmt(stmt: str) -> bool:
             _slt._DELETE_RE,
             _slt._DROP_RE,
             _slt._ALTER_ADD_RE,
+            _slt._CTAS_RE,
         )
     )
 

@@ -170,6 +170,10 @@ _ALTER_ADD_RE = re.compile(
     r"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?"
     r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+([A-Za-z][A-Za-z ]*(?:\([^)]*\))?)\s*$"
 )
+_CTAS_RE = re.compile(
+    r"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+"
+    r"((?:SELECT|WITH|VALUES|TABLE)\s+.*)$"
+)
 
 _PG_COLTYPE = {
     "integer": "Int32",
@@ -411,6 +415,50 @@ class SltEnv:
         schema = TableSchema(table_name=name, fields=fields)
         self._add_table(schema, from_create=True)
 
+    def _create_table_as(self, m: re.Match) -> None:
+        """CREATE TABLE t AS SELECT … (CTAS): run the SELECT through the
+        shim, derive the sidecar schema from the result, create the table
+        through the normal storage path, then append the rows as one
+        atomic commit. Decimals store as Float64 (the sidecar's numeric
+        vocabulary is the reference's arrow set, which the repo's CREATE
+        TABLE path also maps PG numeric onto)."""
+        from pyspark.sql import types as T
+
+        if_not_exists, name, select_text = m.groups()
+        if name in self.tables:
+            if if_not_exists:
+                return
+            raise ValueError(f"table {name} exists")
+        df = self.spark.sql(pg_to_spark_sql(select_text, self.spark))
+
+        def sidecar_type(dt: T.DataType) -> str:
+            mapping = {
+                T.StringType: "Utf8", T.IntegerType: "Int32", T.LongType: "Int64",
+                T.ShortType: "Int16", T.ByteType: "Int8", T.FloatType: "Float32",
+                T.DoubleType: "Float64", T.BooleanType: "Boolean",
+                T.DateType: "Date32", T.BinaryType: "Binary",
+                T.VariantType: "Variant",
+            }
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                return 'Timestamp(Microsecond, Some("UTC"))'
+            if isinstance(dt, T.DecimalType):
+                return "Float64"
+            if isinstance(dt, T.ArrayType):
+                return f"List({sidecar_type(dt.elementType)})"
+            for cls, s in mapping.items():
+                if isinstance(dt, cls):
+                    return s
+            raise ValueError(
+                f"CTAS cannot store column type {dt.simpleString()}"
+            )
+
+        fields = [FieldDef(f.name, sidecar_type(f.dataType), True) for f in df.schema.fields]
+        schema = TableSchema(table_name=name, fields=fields)
+        self._add_table(schema, from_create=True)
+        # Table.coerce casts the result to the declared types (decimal →
+        # double here) — the same coercion every INSERT gets
+        self._append(self.tables[name], df, txn=None)
+
     def _alter_add_column(self, m: re.Match) -> None:
         """ALTER TABLE t ADD COLUMN c type — the SQL face of the
         migrate-columns maintenance job (main.rs:622-671 exposes it only
@@ -612,6 +660,9 @@ class SltEnv:
                 raise ValueError(f"unknown table {name}")
             self.tables.pop(name, None)
             self.spark.catalog.dropTempView(name)
+        elif m := _CTAS_RE.match(sql):
+            _reject_in_txn(txn, "CREATE TABLE")
+            self._create_table_as(m)
         elif m := _CREATE_RE.match(sql):
             _reject_in_txn(txn, "CREATE TABLE")
             self._create_table(m)
