@@ -527,6 +527,10 @@ class TestStorageOverTheWire:
         assert command_tags(msgs) == ["CREATE TABLE"]
         msgs = client.query("CREATE TABLE ctas_agg AS SELECT 1 AS x")
         assert b"E" in tags_of(msgs)
+        # TRUNCATE empties through the same routed delete path
+        msgs = client.query("TRUNCATE TABLE ctas_src")
+        assert command_tags(msgs) == ["TRUNCATE TABLE"]
+        assert rows_of(client.query("SELECT count(*) AS n FROM ctas_src")) == [["0"]]
         client.query("DROP TABLE ctas_agg")
         client.query("DROP TABLE ctas_src")
 

@@ -397,6 +397,8 @@ def _command_tag(stmt: str, n_rows: int) -> str:
         return "COMMIT"
     if verb == "ABORT":
         return "ROLLBACK"
+    if verb == "TRUNCATE":
+        return "TRUNCATE TABLE"
     if verb in ("CREATE", "DROP", "ALTER"):
         # PG tags carry the object kind: CREATE TABLE / DROP TABLE / …
         words = stmt.split()
@@ -1383,6 +1385,7 @@ def _is_storage_stmt(stmt: str) -> bool:
             _slt._DROP_RE,
             _slt._ALTER_ADD_RE,
             _slt._CTAS_RE,
+            _slt._TRUNCATE_RE,
         )
     )
 

@@ -170,6 +170,7 @@ _ALTER_ADD_RE = re.compile(
     r"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?"
     r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+([A-Za-z][A-Za-z ]*(?:\([^)]*\))?)\s*$"
 )
+_TRUNCATE_RE = re.compile(r"(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?(\w+)\s*$")
 _CTAS_RE = re.compile(
     r"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+"
     r"((?:SELECT|WITH|VALUES|TABLE)\s+.*)$"
@@ -679,6 +680,16 @@ class SltEnv:
         elif m := _DELETE_RE.match(sql):
             _reject_in_txn(txn, "DELETE")
             self._delete(m)
+        elif m := _TRUNCATE_RE.match(sql):
+            # PG TRUNCATE == unpredicated DELETE through the same routed
+            # path (version-append tables tombstone, plain tables rewrite)
+            _reject_in_txn(txn, "TRUNCATE")
+            name = m.group(1)
+            tbl = self.tables.get(name)
+            if tbl is None:
+                raise ValueError(f"unknown table {name}")
+            dml.delete(tbl, predicate=None)
+            self._refresh(name)
         else:
             # plain SQL statement (SELECT used as a probe, etc.)
             self.spark.sql(pg_to_spark_sql(sql, self.spark)).collect()
