@@ -534,6 +534,34 @@ class TestStorageOverTheWire:
         client.query("DROP TABLE ctas_agg")
         client.query("DROP TABLE ctas_src")
 
+    def test_create_view_stays_live(self, client):
+        """CREATE VIEW definitions re-register when base tables refresh —
+        a view must see rows inserted AFTER its creation (Spark temp
+        views capture the analyzed plan, so the runner re-creates them)."""
+        client.query("CREATE TABLE view_base (ts TIMESTAMP, id TEXT, val DOUBLE)")
+        client.query("INSERT INTO view_base VALUES ('2026-01-01 10:00:00', 'a', 1.0)")
+        msgs = client.query(
+            "CREATE VIEW view_sums AS SELECT id, sum(val) AS total "
+            "FROM view_base GROUP BY id"
+        )
+        assert command_tags(msgs) == ["CREATE VIEW"]
+        client.query("INSERT INTO view_base VALUES ('2026-01-01 11:00:00', 'a', 2.0)")
+        msgs = client.query("SELECT id, total FROM view_sums ORDER BY id")
+        assert rows_of(msgs) == [["a", "3.0"]]
+        # OR REPLACE swaps the definition; plain duplicate errors
+        msgs = client.query("CREATE VIEW view_sums AS SELECT 1 AS x")
+        assert b"E" in tags_of(msgs)
+        msgs = client.query(
+            "CREATE OR REPLACE VIEW view_sums AS "
+            "SELECT count(*) AS n FROM view_base"
+        )
+        assert command_tags(msgs) == ["CREATE VIEW"]
+        assert rows_of(client.query("SELECT n FROM view_sums")) == [["2"]]
+        msgs = client.query("DROP VIEW view_sums")
+        assert command_tags(msgs) == ["DROP VIEW"]
+        assert b"E" in tags_of(client.query("SELECT * FROM view_sums"))
+        client.query("DROP TABLE view_base")
+
     def test_concurrent_connections(self, server):
         import threading
 
@@ -586,6 +614,30 @@ class TestRestartPersistence:
         assert rows_of(c2.query("SELECT id, val FROM survivor")) == [["a", "1.5"]]
         # the default otel table also attached (not FileExistsError'd)
         assert "otel_logs_and_spans" in runner.tables
+        c2.close()
+        srv2.stop()
+
+    def test_restart_remounts_views(self, spark, tmp_path):
+        from timefusion_spark.slt import SltEnv
+
+        base = str(tmp_path / "srv_views")
+        srv1 = PgWireServer(spark, base_dir=base).start()
+        c1 = WireClient(srv1.port)
+        c1.startup()
+        c1.query("CREATE TABLE vt (ts TIMESTAMP, id TEXT, val DOUBLE)")
+        c1.query("INSERT INTO vt VALUES ('2026-01-01 10:00:00', 'a', 2.0)")
+        c1.query("CREATE VIEW v_total AS SELECT sum(val) AS s FROM vt")
+        c1.close()
+        srv1.stop()
+
+        runner = SltEnv(spark, base)
+        runner.mount_existing()
+        assert "v_total" in runner.views
+        srv2 = PgWireServer(spark, runner=runner).start()
+        c2 = WireClient(srv2.port)
+        c2.startup()
+        assert rows_of(c2.query("SELECT s FROM v_total")) == [["2.0"]]
+        c2.query("DROP VIEW v_total")
         c2.close()
         srv2.stop()
 

@@ -402,6 +402,8 @@ def _command_tag(stmt: str, n_rows: int) -> str:
     if verb in ("CREATE", "DROP", "ALTER"):
         # PG tags carry the object kind: CREATE TABLE / DROP TABLE / …
         words = stmt.split()
+        if len(words) > 2 and " ".join(w.upper() for w in words[1:3]) == "OR REPLACE":
+            return f"{verb} VIEW"
         if len(words) > 1 and words[1].upper() in ("TABLE", "INDEX", "VIEW"):
             return f"{verb} {words[1].upper()}"
     return verb or "OK"
@@ -1386,6 +1388,8 @@ def _is_storage_stmt(stmt: str) -> bool:
             _slt._ALTER_ADD_RE,
             _slt._CTAS_RE,
             _slt._TRUNCATE_RE,
+            _slt._CREATE_VIEW_RE,
+            _slt._DROP_VIEW_RE,
         )
     )
 

@@ -171,6 +171,10 @@ _ALTER_ADD_RE = re.compile(
     r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+([A-Za-z][A-Za-z ]*(?:\([^)]*\))?)\s*$"
 )
 _TRUNCATE_RE = re.compile(r"(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?(\w+)\s*$")
+_CREATE_VIEW_RE = re.compile(
+    r"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$"
+)
+_DROP_VIEW_RE = re.compile(r"(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$")
 _CTAS_RE = re.compile(
     r"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+"
     r"((?:SELECT|WITH|VALUES|TABLE)\s+.*)$"
@@ -269,6 +273,12 @@ class SltEnv:
         self.spark = spark
         self.base_dir = base_dir
         self.tables: dict[str, Table] = {}
+        # named SQL views (CREATE VIEW): name -> PG-dialect SELECT text,
+        # in creation order. Spark temp views capture the ANALYZED plan,
+        # so after any table refresh every dependent view is re-created
+        # (cheap DDL) to stay live. Persisted under base_dir so a server
+        # restart remounts them (_tf_views.json).
+        self.views: dict[str, str] = {}
         # commit-log version each table's SQL view was registered at —
         # refresh_stale() compares against the live tip so external
         # writers become visible without a manual refresh
@@ -330,6 +340,58 @@ class SltEnv:
         self._view_versions[name] = (
             tbl.log.latest_version() if tbl.log.exists() else -1
         )
+        if self.views:
+            # dependent CREATE VIEW definitions captured the OLD analyzed
+            # plan of this table's view — re-create them against the new one
+            self._reregister_views()
+
+    def _views_path(self) -> str:
+        return os.path.join(self.base_dir, "_tf_views.json")
+
+    def _save_views(self) -> None:
+        import json
+
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = self._views_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.views, f)
+        os.replace(tmp, self._views_path())
+
+    def _register_view(self, name: str, select_text: str) -> None:
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
+            + pg_to_spark_sql(select_text, self.spark)
+        )
+
+    def _create_view(self, m: re.Match) -> None:
+        or_replace, name, select_text = m.groups()
+        if name in self.tables:
+            raise ValueError(f"{name} is a table")
+        if name in self.views and not or_replace:
+            raise ValueError(f"view {name} exists")
+        self._register_view(name, select_text)  # validates the SELECT
+        self.views[name] = select_text
+        self._save_views()
+
+    def _reregister_views(self) -> None:
+        for name, sql in self.views.items():
+            try:
+                self._register_view(name, sql)
+            except Exception:  # noqa: BLE001 — a dropped base table
+                pass
+
+    def mount_views(self) -> list[str]:
+        """Load persisted view definitions (restart remount)."""
+        import json
+
+        if not os.path.exists(self._views_path()):
+            return []
+        with open(self._views_path()) as f:
+            stored = json.load(f)
+        for name, sql in stored.items():
+            self.views.setdefault(name, sql)
+        self._reregister_views()
+        return list(stored)
 
     def refresh_stale(self) -> list[str]:
         """Re-register the SQL view of every table whose commit log
@@ -395,6 +457,7 @@ class SltEnv:
             )
             self._refresh(tbl.schema.table_name)
             mounted.append(tbl.schema.table_name)
+        self.mount_views()
         return mounted
 
     # ---- statements
@@ -680,6 +743,17 @@ class SltEnv:
         elif m := _DELETE_RE.match(sql):
             _reject_in_txn(txn, "DELETE")
             self._delete(m)
+        elif m := _CREATE_VIEW_RE.match(sql):
+            _reject_in_txn(txn, "CREATE VIEW")
+            self._create_view(m)
+        elif m := _DROP_VIEW_RE.match(sql):
+            _reject_in_txn(txn, "DROP VIEW")
+            name = m.group(1)
+            if name not in self.views and "IF EXISTS" not in sql.upper():
+                raise ValueError(f"unknown view {name}")
+            self.views.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            self._save_views()
         elif m := _TRUNCATE_RE.match(sql):
             # PG TRUNCATE == unpredicated DELETE through the same routed
             # path (version-append tables tombstone, plain tables rewrite)
