@@ -934,6 +934,30 @@ class TestCancelRequest:
         assert rows_of(c.query("SELECT 5 AS x")) == [["5"]]
         c.close()
 
+    def test_declare_fetch_move_close_cursor(self, server):
+        """Simple-protocol cursors: DECLARE materializes, FETCH pages with
+        PG's FETCH-n tags, MOVE advances without rows, CLOSE drops."""
+        c = WireClient(server.port)
+        c.startup()
+        c.query("BEGIN")
+        msgs = c.query("DECLARE pager CURSOR FOR SELECT id FROM range(7) ORDER BY id")
+        assert command_tags(msgs) == ["DECLARE CURSOR"]
+        msgs = c.query("FETCH 3 FROM pager")
+        assert [r[0] for r in rows_of(msgs)] == ["0", "1", "2"]
+        assert command_tags(msgs) == ["FETCH 3"]
+        msgs = c.query("MOVE 2 FROM pager")
+        assert command_tags(msgs) == ["MOVE 2"]
+        msgs = c.query("FETCH ALL FROM pager")
+        assert [r[0] for r in rows_of(msgs)] == ["5", "6"]
+        assert command_tags(msgs) == ["FETCH 2"]
+        msgs = c.query("FETCH 5 FROM pager")  # exhausted → FETCH 0
+        assert command_tags(msgs) == ["FETCH 0"] and rows_of(msgs) == []
+        msgs = c.query("CLOSE pager")
+        assert command_tags(msgs) == ["CLOSE CURSOR"]
+        assert b"E" in tags_of(c.query("FETCH 1 FROM pager"))
+        c.query("ROLLBACK")
+        c.close()
+
     def test_statement_timeout(self, server):
         """SET statement_timeout (PG knob, ms): a statement running past
         the deadline is cancelled with PG's 57014 timeout message; the

@@ -213,6 +213,18 @@ _COPY_OUT_RE = re.compile(
     r"(?is)^\s*COPY\s+(?:\(\s*(.+?)\s*\)|(\w+)\s*(?:\(([^)]*)\))?)\s+TO\s+STDOUT\s*(.*)$"
 )
 
+# simple-protocol cursors (DECLARE/FETCH/MOVE/CLOSE — the ODBC / BI-tool
+# paging flow; the extended-protocol counterpart is Execute's row limit)
+_CURSOR_RE = re.compile(
+    r"(?is)^\s*(?:"
+    r"DECLARE\s+(?P<dname>\w+)(?:\s+(?:BINARY|INSENSITIVE|NO\s+SCROLL|SCROLL))*"
+    r"\s+CURSOR(?:\s+WITH(?:OUT)?\s+HOLD)?\s+FOR\s+(?P<dsql>.+)"
+    r"|(?P<verb>FETCH|MOVE)\s+(?:(?:FORWARD\s+)?(?P<count>\d+|ALL)\s+)?"
+    r"(?:FROM\s+|IN\s+)?(?P<fname>\w+)"
+    r"|CLOSE\s+(?P<cname>\w+)"
+    r")\s*$"
+)
+
 
 def _copy_text_escape(s: str) -> str:
     """PG COPY text-format output escaping (the public COPY spec): data
@@ -1155,6 +1167,49 @@ class _Handler(socketserver.BaseRequestHandler):
 
         return guard()
 
+    def _cursor_verb(self, m: re.Match) -> None:
+        """DECLARE name CURSOR FOR … / FETCH [n|ALL] FROM name / MOVE /
+        CLOSE — PG's simple-protocol paging. The result materializes at
+        DECLARE (under the statement watchdog) and FETCH slices it; FETCH
+        returns a result set with PG's 'FETCH n' tag, MOVE advances
+        without rows, CLOSE drops the cursor."""
+        if not hasattr(self, "_cursors"):
+            self._cursors: dict[str, dict] = {}
+        if m.group("dname"):
+            name = m.group("dname")
+            if name in self._cursors:
+                raise ValueError(f'cursor "{name}" already exists')
+            with self._statement_watchdog():
+                df = self._run(m.group("dsql"))
+                rows = df.collect()
+            self._cursors[name] = {"rows": rows, "fields": df.schema.fields, "pos": 0}
+            self._send(b"C", b"DECLARE CURSOR\x00")
+            return
+        if m.group("cname"):
+            name = m.group("cname")
+            if self._cursors.pop(name, None) is None:
+                raise ValueError(f'cursor "{name}" does not exist')
+            self._send(b"C", b"CLOSE CURSOR\x00")
+            return
+        name = m.group("fname")
+        cur = self._cursors.get(name)
+        if cur is None:
+            raise ValueError(f'cursor "{name}" does not exist')
+        raw = m.group("count")
+        n = len(cur["rows"]) if raw and raw.upper() == "ALL" else int(raw) if raw else 1
+        start = cur["pos"]
+        stop = min(start + n, len(cur["rows"]))
+        cur["pos"] = stop
+        verb = m.group("verb").upper()
+        if verb == "MOVE":
+            self._send(b"C", f"MOVE {stop - start}\x00".encode())
+            return
+        fields = cur["fields"]
+        self._send(b"T", self._row_description(fields))
+        for row in cur["rows"][start:stop]:
+            self._send(b"D", self._data_row(fields, row))
+        self._send(b"C", f"FETCH {stop - start}\x00".encode())
+
     def _simple_query(self, sql: str) -> None:
         from timefusion_spark.pgshim import pg_sql
 
@@ -1169,6 +1224,9 @@ class _Handler(socketserver.BaseRequestHandler):
                     continue
                 self._check_txn_failed()
                 self._check_txn_allowed(stmt)
+                if m := _CURSOR_RE.match(stmt):
+                    self._cursor_verb(m)
+                    continue
                 if m := _COPY_RE.match(stmt):
                     self._copy_in(m)
                     continue
