@@ -981,6 +981,56 @@ class TestCancelRequest:
         assert rows_of(c.query("SELECT 7 AS x")) == [["7"]]
         c.close()
 
+    def test_pg_stat_activity_and_backend_pid(self, server):
+        c = WireClient(server.port)
+        msgs = c.startup()
+        key = [p for t, p in msgs if t == b"K"][0]
+        pid, _ = struct.unpack("!ii", key)
+        assert rows_of(c.query("SELECT pg_backend_pid() AS p")) == [[str(pid)]]
+        rows = rows_of(c.query(
+            "SELECT pid, state, query FROM pg_stat_activity "
+            f"WHERE pid = {pid}"
+        ))
+        # the observing statement sees itself active, like PG
+        assert rows and rows[0][0] == str(pid) and rows[0][1] == "active"
+        assert "pg_stat_activity" in rows[0][2]
+        c.close()
+
+    def test_pg_cancel_backend_kills_other_connection(self, server):
+        import threading
+
+        victim = WireClient(server.port)
+        victim.sock.settimeout(180)
+        msgs = victim.startup()
+        vpid, _ = struct.unpack("!ii", [p for t, p in msgs if t == b"K"][0])
+        result = {}
+
+        def run():
+            result["msgs"] = victim.query(
+                "SELECT max(sha2(CAST(id AS STRING), 256)) AS h "
+                "FROM range(0, 20000000000, 1, 2000)"
+            )
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        killer = WireClient(server.port)
+        killer.sock.settimeout(180)
+        killer.startup()
+        # unknown pid → false, connection unaffected
+        assert rows_of(killer.query("SELECT pg_cancel_backend(999999)")) == [["f"]]
+        import time
+
+        deadline = time.time() + 120
+        while th.is_alive() and time.time() < deadline:
+            got = rows_of(killer.query(f"SELECT pg_cancel_backend({vpid})"))
+            assert got == [["t"]]
+            th.join(timeout=2.0)
+        assert not th.is_alive(), "victim statement was not cancelled"
+        errs = [p for t, p in result["msgs"] if t == b"E"]
+        assert errs and b"57014" in errs[0]
+        killer.close()
+        victim.close()
+
     def test_wrong_secret_is_ignored(self, server):
         c = WireClient(server.port)
         msgs = c.startup()

@@ -213,6 +213,10 @@ _COPY_OUT_RE = re.compile(
     r"(?is)^\s*COPY\s+(?:\(\s*(.+?)\s*\)|(\w+)\s*(?:\(([^)]*)\))?)\s+TO\s+STDOUT\s*(.*)$"
 )
 
+_CANCEL_BACKEND_RE = re.compile(
+    r"(?is)^\s*SELECT\s+pg_cancel_backend\s*\(\s*(\d+)\s*\)\s*$"
+)
+
 # simple-protocol cursors (DECLARE/FETCH/MOVE/CLOSE — the ODBC / BI-tool
 # paging flow; the extended-protocol counterpart is Execute's row limit)
 _CURSOR_RE = re.compile(
@@ -484,6 +488,7 @@ class _Handler(socketserver.BaseRequestHandler):
         finally:
             if getattr(self, "_pid", None) is not None:
                 self.server.cancel_keys.pop((self._pid, self._secret), None)
+                self.server.activity.pop(self._pid, None)
                 from timefusion_spark.pgshim import drop_settings_scope
 
                 # session state dies with the backend (PG semantics)
@@ -724,6 +729,14 @@ class _Handler(socketserver.BaseRequestHandler):
 
     def _run(self, sql: str):
         from timefusion_spark.pgshim import pg_sql
+
+        # pg_backend_pid() folds to this connection's pid literal;
+        # pg_stat_activity materializes from the server's live registry
+        sql = re.sub(r"(?i)\bpg_backend_pid\s*\(\s*\)", str(self._pid), sql)
+        if re.search(r"(?i)\bpg_stat_activity\b", sql):
+            self._ensure_stat_activity()
+            sql = re.sub(r"(?i)\b(?:pg_catalog\s*\.\s*)?pg_stat_activity\b",
+                         "__pg_stat_activity", sql)
 
         # Read-your-own-writes: inside an open transaction that has staged
         # INSERTs, table references resolve to overlay views that include
@@ -1097,6 +1110,14 @@ class _Handler(socketserver.BaseRequestHandler):
         self._secret = _random.SystemRandom().randrange(1, 2**31 - 1)
         self._job_tag = f"pgwire-conn-{self._pid}"
         self.server.cancel_keys[(self._pid, self._secret)] = self._job_tag
+        import time as _time
+
+        self.server.activity[self._pid] = {
+            "state": "idle",
+            "query": None,
+            "backend_start": _time.time(),
+            "query_start": None,
+        }
         # PG scopes SET to the connection: bind this handler thread to a
         # per-connection settings scope so sessions never see each
         # other's SETs
@@ -1167,6 +1188,56 @@ class _Handler(socketserver.BaseRequestHandler):
 
         return guard()
 
+    def _ensure_stat_activity(self) -> None:
+        """Materialize pg_stat_activity (pid, state, query, timestamps)
+        from the live per-connection registry — the PG monitoring view
+        operators use to find and kill stuck queries (with
+        pg_cancel_backend, which routes to the same job-tag cancel as the
+        wire CancelRequest)."""
+        import datetime as _dt
+
+        from pyspark.sql import types as T
+
+        rows = []
+        for pid, a in sorted(self.server.activity.items()):
+            rows.append(
+                (
+                    pid,
+                    "timefusion",
+                    a["state"],
+                    a["query"],
+                    _dt.datetime.fromtimestamp(a["backend_start"], _dt.timezone.utc).replace(tzinfo=None),
+                    _dt.datetime.fromtimestamp(a["query_start"], _dt.timezone.utc).replace(tzinfo=None)
+                    if a["query_start"]
+                    else None,
+                )
+            )
+        self.server.spark.createDataFrame(
+            rows,
+            T.StructType([
+                T.StructField("pid", T.IntegerType()),
+                T.StructField("usename", T.StringType()),
+                T.StructField("state", T.StringType()),
+                T.StructField("query", T.StringType()),
+                T.StructField("backend_start", T.TimestampType()),
+                T.StructField("query_start", T.TimestampType()),
+            ]),
+        ).createOrReplaceTempView("__pg_stat_activity")
+
+    def _cancel_backend(self, pid: int) -> None:
+        found = pid in self.server.activity
+        if found:
+            try:
+                self.server.spark.sparkContext.cancelJobsWithTag(f"pgwire-conn-{pid}")
+            except Exception:  # noqa: BLE001 — cancel is best-effort
+                found = False
+        from pyspark.sql import types as T
+
+        fields = [T.StructField("pg_cancel_backend", T.BooleanType())]
+        self._send(b"T", self._row_description(fields))
+        self._send(b"D", self._data_row(fields, (found,)))
+        self._send(b"C", b"SELECT 1\x00")
+
     def _cursor_verb(self, m: re.Match) -> None:
         """DECLARE name CURSOR FOR … / FETCH [n|ALL] FROM name / MOVE /
         CLOSE — PG's simple-protocol paging. The result materializes at
@@ -1218,12 +1289,23 @@ class _Handler(socketserver.BaseRequestHandler):
             self._send(b"I")  # EmptyQueryResponse
             self._ready()
             return
+        import time as _time
+
         for stmt in stmts:
+            act = self.server.activity.get(getattr(self, "_pid", None))
+            if act is not None:
+                act.update(state="active", query=stmt[:500], query_start=_time.time())
             try:
                 if self._handle_txn_verb(stmt):
                     continue
                 self._check_txn_failed()
                 self._check_txn_allowed(stmt)
+                if m := _CANCEL_BACKEND_RE.match(stmt):
+                    # SELECT pg_cancel_backend(pid): cancel that backend's
+                    # Spark jobs via its job tag (the SQL face of the wire
+                    # CancelRequest); false when the pid is unknown, as PG
+                    self._cancel_backend(int(m.group(1)))
+                    continue
                 if m := _CURSOR_RE.match(stmt):
                     self._cursor_verb(m)
                     continue
@@ -1266,6 +1348,9 @@ class _Handler(socketserver.BaseRequestHandler):
                     # the client ends it
                     self._txn.failed = True
                 break  # PG aborts the rest of a multi-statement on error
+            finally:
+                if act is not None:
+                    act.update(state="idle", query_start=None)
         self._ready()
 
 
@@ -1283,6 +1368,8 @@ class _TCPServer(socketserver.ThreadingMixIn, socketserver.TCPServer):
         self.cancel_keys: dict[tuple[int, int], str] = {}
         self._pid_counter = 0
         self._pid_lock = threading.Lock()
+        # pg_stat_activity backing store: pid → {state, query, ts}
+        self.activity: dict[int, dict] = {}
 
     def next_pid(self) -> int:
         with self._pid_lock:
