@@ -557,6 +557,11 @@ class TestStorageOverTheWire:
         )
         assert command_tags(msgs) == ["CREATE VIEW"]
         assert rows_of(client.query("SELECT n FROM view_sums")) == [["2"]]
+        # pg_catalog reports relkind='v' → psql \dv finds it, \dt skips it
+        rows = rows_of(client.query(
+            "SELECT relkind FROM pg_catalog.pg_class WHERE relname = 'view_sums'"
+        ))
+        assert rows == [["v"]]
         msgs = client.query("DROP VIEW view_sums")
         assert command_tags(msgs) == ["DROP VIEW"]
         assert b"E" in tags_of(client.query("SELECT * FROM view_sums"))

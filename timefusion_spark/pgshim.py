@@ -1797,16 +1797,29 @@ def _pg_type_name(spark_type: str) -> str:
     return _SPARK_TO_PG_TYPE.get(spark_type, "text")
 
 
+# temp-view names that are user VIEWs (CREATE VIEW), not storage tables —
+# pg_catalog reports them relkind='v' so psql's \dv / \dt distinguish them
+_SESSION_VIEW_NAMES: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def register_catalog_views(names, spark) -> None:
+    target = _SESSION_VIEW_NAMES.setdefault(spark, set())
+    target.clear()
+    target.update(n.lower() for n in names)
+
+
 def _ensure_pg_catalog(spark) -> None:
     from pyspark.sql import types as T
 
+    view_names = _SESSION_VIEW_NAMES.get(spark, set())
     tabs = sorted(
         tt.name for tt in spark.catalog.listTables() if not tt.name.startswith("__")
     )
     cls_rows, att_rows = [], []
     for i, name in enumerate(tabs):
         oid = 16384 + i
-        cls_rows.append((oid, name, 2200, "r", 10, 0, "p", False))
+        relkind = "v" if name.lower() in view_names else "r"
+        cls_rows.append((oid, name, 2200, relkind, 10, 0, "p", False))
         try:
             schema = spark.table(name).schema
         except Exception:  # noqa: BLE001 — dropped concurrently

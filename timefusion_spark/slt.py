@@ -372,6 +372,12 @@ class SltEnv:
         self._register_view(name, select_text)  # validates the SELECT
         self.views[name] = select_text
         self._save_views()
+        self._sync_catalog_views()
+
+    def _sync_catalog_views(self) -> None:
+        from timefusion_spark.pgshim import register_catalog_views
+
+        register_catalog_views(self.views, self.spark)
 
     def _reregister_views(self) -> None:
         for name, sql in self.views.items():
@@ -391,6 +397,7 @@ class SltEnv:
         for name, sql in stored.items():
             self.views.setdefault(name, sql)
         self._reregister_views()
+        self._sync_catalog_views()
         return list(stored)
 
     def refresh_stale(self) -> list[str]:
@@ -754,6 +761,7 @@ class SltEnv:
             self.views.pop(name, None)
             self.spark.catalog.dropTempView(name)
             self._save_views()
+            self._sync_catalog_views()
         elif m := _TRUNCATE_RE.match(sql):
             # PG TRUNCATE == unpredicated DELETE through the same routed
             # path (version-append tables tombstone, plain tables rewrite)
