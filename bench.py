@@ -565,6 +565,8 @@ fields:
         sock = _socket.create_connection(("127.0.0.1", ing.port), timeout=300)
         header = _json.dumps({"table": "arrow_bench"}).encode()
         sock.sendall(_struct.pack("!I", len(header)) + header)
+        assert recv_exact(sock, 1) == b"W"  # resume watermark
+        recv_exact(sock, 8)
         writer = ipc.new_stream(_Sink(sock), batches[0].schema)
         for b in batches:
             writer.write_batch(b)

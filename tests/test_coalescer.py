@@ -124,6 +124,32 @@ class TestCoalescing:
         assert lo is None  # unparseable → unbounded, never mis-ordered
         assert hi == "2024-01-03"
 
+    def test_widened_window_mixes_aware_and_naive(self):
+        """A group mixing tz-aware ('…+00:00') and naive literals must
+        widen, not raise: Python refuses to order aware vs naive
+        datetimes, so the parser normalizes aware bounds to naive UTC
+        before comparing."""
+        from timefusion_spark.storage.coalescer import (
+            _Group,
+            _Statement,
+            _widened_window,
+        )
+
+        g = _Group(
+            table=None, join_keys=("id",), assignments={}, predicate=None,
+            project_id=None,
+        )
+        g.statements = [
+            _Statement(1, None, "2024-01-02 00:00:00", "2024-01-02 08:00:00"),
+            _Statement(
+                2, None, "2024-01-01 23:00:00+00:00", "2024-01-02 11:00:00+02:00"
+            ),
+        ]
+        lo, hi = _widened_window(g)  # must not raise TypeError
+        assert lo == "2024-01-01 23:00:00+00:00"  # 23:00 UTC < 00:00 naive
+        # 11:00+02:00 is 09:00 UTC > 08:00 naive
+        assert hi == "2024-01-02 11:00:00+02:00"
+
     def test_queue_empties_after_drain(self, spark, table):
         c = coalescer.DmlCoalescer()
         c.enqueue(table, _src(spark, [("a", 1.0)]), ["id"], {"value": "_src.adj"})

@@ -82,25 +82,33 @@ def _recv_exact(sock, n: int) -> bytes:
 
 def _read_frame(sock):
     tag = _recv_exact(sock, 1)
-    if tag in (b"A", b"F"):
+    if tag in (b"A", b"F", b"W"):
         return tag, struct.unpack("!Q", _recv_exact(sock, 8))[0]
     assert tag == b"E", tag
     (ln,) = struct.unpack("!I", _recv_exact(sock, 4))
     return tag, _recv_exact(sock, ln).decode()
 
 
-def _send_stream(port, table, batches, app_id=None):
+def _send_stream(port, table, batches, app_id=None, start_seq=None):
     """Drive the protocol with a per-batch ack window of 1 (strictest
     backpressure): send a batch, wait for its durable ack. Returns
     (acks, final_frame)."""
     sock = socket.create_connection(("127.0.0.1", port), timeout=120)
     header = json.dumps(
-        {"table": table, **({"app_id": app_id} if app_id else {})}
+        {
+            "table": table,
+            **({"app_id": app_id} if app_id else {}),
+            **({"start_seq": start_seq} if start_seq is not None else {}),
+        }
     ).encode()
     sock.sendall(struct.pack("!I", len(header)) + header)
     acks = []
     final = None
     try:
+        tag, _watermark = _read_frame(sock)
+        if tag == b"E":
+            return acks, (tag, _watermark)
+        assert tag == b"W"
         writer = ipc.new_stream(_SockSink(sock), batches[0].schema)
         for b in batches:
             writer.write_batch(b)
@@ -153,10 +161,39 @@ def test_reconnect_replay_is_idempotent(spark, table, srv):
     b1, b2, b3 = _batch(0, 10), _batch(10, 20), _batch(20, 30)
     acks, final = _send_stream(srv.port, "ing_t", [b1, b2], app_id="client-A")
     assert acks == [1, 2] and final == (b"F", 20)
-    # reconnect: client conservatively resends everything plus new data
-    acks, final = _send_stream(srv.port, "ing_t", [b1, b2, b3], app_id="client-A")
+    # reconnect: client conservatively resends everything plus new data —
+    # a full replay declares start_seq=1 so replayed seqs fall at or
+    # below the watermark and are skipped
+    acks, final = _send_stream(
+        srv.port, "ing_t", [b1, b2, b3], app_id="client-A", start_seq=1
+    )
     assert acks == [1, 2, 3]
     assert table.read().count() == 30  # replays skipped, b3 landed once
+
+
+def test_reconnect_resume_past_last_ack(spark, table, srv):
+    """The documented reconnect contract: resume by sending ONLY the
+    batches after the last ack. The server numbers the new connection's
+    first batch watermark+1 (announced in the W frame), so resumed
+    batches commit — they are not mistaken for replays."""
+    b1, b2, b3 = _batch(0, 10), _batch(10, 20), _batch(20, 30)
+    acks, final = _send_stream(srv.port, "ing_t", [b1, b2], app_id="client-B")
+    assert acks == [1, 2] and final == (b"F", 20)
+    # reconnect: the W frame reports watermark 2; send only b3
+    sock = socket.create_connection(("127.0.0.1", srv.port), timeout=120)
+    header = json.dumps({"table": "ing_t", "app_id": "client-B"}).encode()
+    sock.sendall(struct.pack("!I", len(header)) + header)
+    try:
+        assert _read_frame(sock) == (b"W", 2)
+        writer = ipc.new_stream(_SockSink(sock), b3.schema)
+        writer.write_batch(b3)
+        assert _read_frame(sock) == (b"A", 3)  # numbered watermark+1
+        writer.close()
+        assert _read_frame(sock) == (b"F", 10)
+    finally:
+        sock.close()
+    assert table.read().count() == 30  # b3 landed exactly once
+    assert table.log.txn_version("client-B") == 3
 
 
 def test_unknown_table_and_bad_header(spark, srv):

@@ -895,3 +895,19 @@ ORDER BY a.attnum"""
     def test_quoted_identifier_aliases(self, spark):
         df = pg_sql(spark, 'SELECT 1 AS "Mixed Case", 2 AS "with""quote"')
         assert df.columns == ["Mixed Case", 'with"quote']
+
+    def test_catalog_names_inside_literals_survive(self, spark):
+        """Catalog-view names and psql idioms inside STRING LITERALS (or
+        comments) are data, not references: rewriting '…pg_type…' to
+        '__pg_type' would silently change comparison/regex results."""
+        [r] = pg_sql(spark, "SELECT 'see pg_class docs' AS s").collect()
+        assert r["s"] == "see pg_class docs"
+        # length proves no '__' prefix landed inside the literal even
+        # when the statement ALSO references the real catalog
+        [r] = pg_sql(
+            spark,
+            "SELECT length('pg_type') AS n /* pg_class */ "
+            "FROM (SELECT 1 AS one) t -- pg_namespace\n"
+            "WHERE EXISTS (SELECT 1 FROM pg_catalog.pg_namespace)",
+        ).collect()
+        assert r["n"] == 7

@@ -125,6 +125,24 @@ def client(server):
     c.close()
 
 
+def test_pg_duration_ms_units():
+    """PG duration settings accept unit suffixes ('5s', '250ms', '1min');
+    a bare number is the setting's default unit (ms for the timeouts this
+    server honors). Unparseable → 0 = disabled."""
+    from timefusion_spark.server import _pg_duration_ms
+
+    assert _pg_duration_ms("2000") == 2000
+    assert _pg_duration_ms("5s") == 5000
+    assert _pg_duration_ms("250ms") == 250
+    assert _pg_duration_ms(" 1min ") == 60_000
+    assert _pg_duration_ms("2h") == 7_200_000
+    assert _pg_duration_ms("1d") == 86_400_000
+    assert _pg_duration_ms("1500us") == 1
+    assert _pg_duration_ms("0") == 0
+    assert _pg_duration_ms("bogus") == 0
+    assert _pg_duration_ms("") == 0
+
+
 class TestHandshake:
     def test_ssl_probe_then_startup(self, server):
         c = WireClient(server.port)
@@ -330,6 +348,24 @@ class TestSimpleQuery:
         bind = (
             b"\x00\x00" + struct.pack("!hh", 1, 1) + struct.pack("!h", 1)
             + struct.pack("!i", 2) + b"\x00\x01" + struct.pack("!h", 0)
+        )
+        msgs = self._ext(c, (b"P", parse), (b"B", bind))
+        errs = [p for t, p in msgs if t == b"E"]
+        assert errs and b"binary parameter format is not supported" in errs[0]
+        c.close()
+
+    def test_binary_param_undeclared_oid_rejected(self, server):
+        """format=1 with Parse OID 0 (type left to the server) must error
+        clearly, NOT decode the raw bytes as utf-8 text: a binary int8
+        'decoded' as text becomes NUL-laden garbage silently bound into
+        the statement."""
+        c = WireClient(server.port)
+        c.startup()
+        parse = b"\x00" + b"SELECT $1 AS x\x00" + struct.pack("!hi", 1, 0)
+        val = struct.pack("!q", 5)  # a binary int8 the server cannot type
+        bind = (
+            b"\x00\x00" + struct.pack("!hh", 1, 1) + struct.pack("!h", 1)
+            + struct.pack("!i", len(val)) + val + struct.pack("!h", 0)
         )
         msgs = self._ext(c, (b"P", parse), (b"B", bind))
         errs = [p for t, p in msgs if t == b"E"]
@@ -743,6 +779,21 @@ class TestCopyIn:
         assert rows == [["a", "comma, and\nnewline"], ["b", ""], ["c", None]]
         client.query("DROP TABLE cp_c")
 
+    def test_final_line_without_newline_all_empty_fields(self, client):
+        """The last uploaded record may lack a trailing newline AND be
+        whitespace-only (text-mode '\\t\\t\\t' = four empty fields): it is
+        a real row, not padding — a strip()-gated CopyDone would drop it
+        and under-count."""
+        client.query("CREATE TABLE cp_last (id TEXT, note TEXT, tag TEXT)")
+        data = b"a\tx\tp1\n\t\t"  # final record: three empty strings
+        msgs = copy_payload(client, "COPY cp_last FROM STDIN", data)
+        assert command_tags(msgs) == ["COPY 2"]
+        rows = rows_of(
+            client.query("SELECT id, note, tag FROM cp_last ORDER BY id")
+        )
+        assert rows == [["", "", ""], ["a", "x", "p1"]]
+        client.query("DROP TABLE cp_last")
+
     def test_bulk_100k_chunked_flush_and_oracle_count(self, server, monkeypatch):
         """≥100k rows stream in ack-paced TCP chunks; the handler flushes
         every COPY_CHUNK_ROWS so memory stays bounded (multiple staged
@@ -971,7 +1022,8 @@ class TestCancelRequest:
         c = WireClient(server.port)
         c.sock.settimeout(180)
         c.startup()
-        c.query("SET statement_timeout = 2000")
+        # PG unit-suffix form ('2s') — must arm exactly like bare-ms 2000
+        c.query("SET statement_timeout = '2s'")
         msgs = c.query(
             "SELECT max(sha2(CAST(id AS STRING), 256)) AS h "
             "FROM range(0, 20000000000, 1, 2000)"

@@ -11,12 +11,25 @@ This module is that endpoint over the public Arrow IPC stream format on a
 plain TCP socket — no gRPC dependency, same contract:
 
   client → server:  u32 header_len, header JSON
-                      {"table": str, "app_id": str|absent}
+                      {"table": str, "app_id": str|absent,
+                       "start_seq": int|absent}
                     then one standard Arrow IPC stream
                     (schema message, record batches, end-of-stream)
-  server → client:  per durable batch  b"A" + u64 seq   (1-based)
+  server → client:  after the header   b"W" + u64 watermark
+                      (highest durable seq for app_id; 0 when none /
+                       no app_id — the client's resume point)
+                    per durable batch  b"A" + u64 seq   (1-based)
                     at end-of-stream   b"F" + u64 total_rows
                     on error           b"E" + u32 len + utf8 message
+
+  Sequence numbering on reconnect: with an app_id and no explicit
+  `start_seq`, the FIRST batch of the connection is numbered
+  watermark+1 — so a client that resumes past its last ack (sending
+  only the unacked batches, the documented contract) has them numbered
+  and committed correctly. A client that instead replays its WHOLE
+  stream declares `"start_seq": 1`; batches numbered at or below the
+  watermark are then skipped by the commit log's txn watermark, not
+  duplicated. Either way ack == durable for every acked seq.
 
 - Each record batch lands through the table's FULL write path
   (`Table.append`: coerce → stamp → LWW dedup → sorted partitioned write)
@@ -86,6 +99,23 @@ class _IngestHandler(socketserver.BaseRequestHandler):
             return
         app_id = header.get("app_id") or None
 
+        # Resume point: highest durable seq for this app_id (0 when
+        # none). Sent to the client so a reconnect can resume past its
+        # last ack; also the default numbering base for this connection.
+        watermark = 0
+        if app_id and tbl.log.exists():
+            with self.server.lock:
+                watermark = max(tbl.log.txn_version(app_id), 0)
+        try:
+            start_seq = int(header.get("start_seq", watermark + 1))
+        except (TypeError, ValueError):
+            self._send_error(f"bad start_seq {header.get('start_seq')!r}")
+            return
+        if start_seq < 1:
+            self._send_error(f"start_seq must be >= 1, got {start_seq}")
+            return
+        self.request.sendall(b"W" + struct.pack("!Q", watermark))
+
         rfile = self.request.makefile("rb")
         try:
             try:
@@ -93,7 +123,7 @@ class _IngestHandler(socketserver.BaseRequestHandler):
             except Exception as e:  # noqa: BLE001 — bad stream header
                 self._send_error(f"invalid Arrow IPC stream: {e}")
                 return
-            seq = 0
+            seq = start_seq - 1
             total = 0
             while True:
                 try:

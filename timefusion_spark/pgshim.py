@@ -1909,14 +1909,81 @@ _FORMAT_TYPE_MAP = (
 )
 
 
+def _apply_outside_quotes(sql: str, transform) -> str:
+    """Apply `transform` (str → str) only to the segments of `sql`
+    OUTSIDE quoted regions ('…' with '' escapes, "…" identifiers,
+    $tag$…$tag$ bodies) and comments (`--` line, nesting /* */ block).
+    psql's own catalog queries carry relation names inside string
+    literals and regex patterns ('^(pg_class)$'); a whole-string re.sub
+    would corrupt those literals."""
+    out: list[str] = []
+    plain: list[str] = []
+    i, n = 0, len(sql)
+
+    def flush():
+        if plain:
+            out.append(transform("".join(plain)))
+            plain.clear()
+
+    while i < n:
+        c = sql[i]
+        j = None
+        if c == "'":
+            m = re.match(r"'(?:''|[^'])*'", sql[i:])
+            j = i + len(m.group(0)) if m else n
+        elif c == '"':
+            k = sql.find('"', i + 1)
+            j = n if k < 0 else k + 1
+        elif c == "$":
+            m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
+            if m:
+                tag = m.group(0)
+                k = sql.find(tag, i + len(tag))
+                j = n if k < 0 else k + len(tag)
+        elif c == "-" and sql[i : i + 2] == "--":
+            k = sql.find("\n", i)
+            j = n if k < 0 else k + 1
+        elif c == "/" and sql[i : i + 2] == "/*":
+            depth, k = 1, i + 2
+            while k < n and depth:
+                if sql[k : k + 2] == "/*":
+                    depth, k = depth + 1, k + 2
+                elif sql[k : k + 2] == "*/":
+                    depth, k = depth - 1, k + 2
+                else:
+                    k += 1
+            j = k
+        if j is not None:
+            flush()
+            out.append(sql[i:j])
+            i = j
+            continue
+        plain.append(c)
+        i += 1
+    flush()
+    return "".join(out)
+
+
 def _rewrite_pg_catalog(sql: str) -> str:
     """Rewrite psql's pg_catalog references/idioms to the shim's views.
 
     Handles the syntax psql's \\dt and \\d flows emit: qualified
     relation names, pg_table_is_visible / pg_get_userbyid / format_type
-    calls, OPERATOR(pg_catalog.~) and COLLATE clauses."""
-    sql = re.sub(r"(?i)\bOPERATOR\s*\(\s*pg_catalog\s*\.\s*(~\*?|=|<>)\s*\)", r" \1 ", sql)
+    calls, OPERATOR(pg_catalog.~) and COLLATE clauses. Rewrites apply
+    only OUTSIDE string literals/comments — psql's catalog queries
+    compare relname against quoted patterns like '^(pg_class)$' that
+    must pass through verbatim."""
+    # COLLATE "name" spans a double-QUOTED IDENTIFIER (not a string
+    # literal), which the segmenter would split mid-clause — strip it
+    # over the full text first. Known residual: the clause text inside a
+    # '-string literal would also be stripped, but psql's catalog
+    # queries never quote a COLLATE clause into a literal.
     sql = re.sub(r"(?i)\s+COLLATE\s+(pg_catalog\s*\.\s*default|\"[A-Za-z_.]+\")", " ", sql)
+    return _apply_outside_quotes(sql, _rewrite_pg_catalog_plain)
+
+
+def _rewrite_pg_catalog_plain(sql: str) -> str:
+    sql = re.sub(r"(?i)\bOPERATOR\s*\(\s*pg_catalog\s*\.\s*(~\*?|=|<>)\s*\)", r" \1 ", sql)
     sql = re.sub(
         r"(?i)\bpg_catalog\s*\.\s*pg_table_is_visible\s*\(([^()]*)\)", "(true)", sql
     )

@@ -795,10 +795,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 raw = _settings_for(self.server.spark).get(
                     "idle_in_transaction_session_timeout", "0"
                 )
-                try:
-                    timeout_ms = int(float(raw))
-                except ValueError:
-                    timeout_ms = 0
+                timeout_ms = _pg_duration_ms(raw)
                 self._txn = runner.begin_txn(
                     abort_after=timeout_ms / 1000.0 if timeout_ms > 0 else None
                 )
@@ -972,7 +969,10 @@ class _Handler(socketserver.BaseRequestHandler):
                 except Exception as e:  # noqa: BLE001 — report after drain
                     failed = str(e).split("\n", 1)[0][:500]
             elif tag == b"c":  # CopyDone
-                if failed is None and buf.strip():
+                # any remaining BYTES are the final (newline-less) record
+                # — not `buf.strip()`: a whitespace-only last line like
+                # b"\t\t" is a real row of empty fields in PG
+                if failed is None and buf:
                     try:
                         fields = parse_line(buf)
                         if fields is not None and not skip_header:
@@ -1149,10 +1149,7 @@ class _Handler(socketserver.BaseRequestHandler):
         @contextlib.contextmanager
         def guard():
             raw = _settings_for(self.server.spark).get("statement_timeout", "0")
-            try:
-                ms = int(float(raw))
-            except ValueError:
-                ms = 0
+            ms = _pg_duration_ms(raw)
             if ms <= 0:
                 yield
                 return
@@ -1160,14 +1157,24 @@ class _Handler(socketserver.BaseRequestHandler):
             state = {"done": False, "fired": False}
 
             def fire():
+                # the cancel happens INSIDE the lock: if it ran after
+                # releasing, a timer firing just as the statement
+                # completes could be descheduled between the done-check
+                # and the cancel, then kill the NEXT statement's jobs.
+                # The handler's finally takes the same lock to set done,
+                # so a fire() that saw done=False cancels before the next
+                # statement can start. cancelJobsWithTag is a fast
+                # scheduler-metadata call — holding the lock is cheap.
                 with lock:
                     if state["done"]:
                         return
                     state["fired"] = True
-                try:
-                    self.server.spark.sparkContext.cancelJobsWithTag(self._job_tag)
-                except Exception:  # noqa: BLE001 — cancel is best-effort
-                    pass
+                    try:
+                        self.server.spark.sparkContext.cancelJobsWithTag(
+                            self._job_tag
+                        )
+                    except Exception:  # noqa: BLE001 — cancel is best-effort
+                        pass
 
             timer = threading.Timer(ms / 1000.0, fire)
             timer.daemon = True
@@ -1199,7 +1206,10 @@ class _Handler(socketserver.BaseRequestHandler):
         from pyspark.sql import types as T
 
         rows = []
-        for pid, a in sorted(self.server.activity.items()):
+        # snapshot first: other handler threads insert/pop pids
+        # concurrently, and iterating the live dict can raise
+        # "dictionary changed size during iteration"
+        for pid, a in sorted(list(self.server.activity.items())):
             rows.append(
                 (
                     pid,
@@ -1362,19 +1372,51 @@ class _TCPServer(socketserver.ThreadingMixIn, socketserver.TCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
+    # PROCESS-GLOBAL pid counter: two PgWireServer instances sharing one
+    # SparkSession (tests do this; so can an app embedding both a pgwire
+    # and an ingest front door) must never mint the same pid — the pid
+    # names the Spark job tag AND the per-connection settings scope, so a
+    # collision would let a cancel/timeout on one server kill the other
+    # server's statement and cross-leak SET state.
+    _pid_counter = 0
+    _pid_lock = threading.Lock()
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         # CancelRequest routing: (pid, secret) → Spark job-group tag
         self.cancel_keys: dict[tuple[int, int], str] = {}
-        self._pid_counter = 0
-        self._pid_lock = threading.Lock()
         # pg_stat_activity backing store: pid → {state, query, ts}
         self.activity: dict[int, dict] = {}
 
     def next_pid(self) -> int:
-        with self._pid_lock:
-            self._pid_counter += 1
-            return self._pid_counter
+        with _TCPServer._pid_lock:
+            _TCPServer._pid_counter += 1
+            return _TCPServer._pid_counter
+
+
+_DURATION_UNITS_MS = {
+    "us": 0.001,
+    "ms": 1.0,
+    "s": 1000.0,
+    "min": 60_000.0,
+    "h": 3_600_000.0,
+    "d": 86_400_000.0,
+}
+
+
+def _pg_duration_ms(raw: str) -> int:
+    """Parse a PG duration setting value into milliseconds. PG accepts a
+    bare number (the setting's default unit — ms for statement_timeout
+    and idle_in_transaction_session_timeout) or a number with one of the
+    public unit suffixes us/ms/s/min/h/d ('5s', '250ms', '1min').
+    Unparseable values count as 0 = disabled (fail-open is wrong for a
+    protection knob, but PG rejects such values at SET time; here the
+    stored value is what SHOW reports, so the operator can see it)."""
+    m = re.match(r"^\s*(-?\d+(?:\.\d+)?)\s*(us|ms|s|min|h|d)?\s*$", raw or "")
+    if not m:
+        return 0
+    scale = _DURATION_UNITS_MS[m.group(2)] if m.group(2) else 1.0
+    return int(float(m.group(1)) * scale)
 
 
 def _substitute_params(sql: str, params: list[str | None]) -> str:
@@ -1453,7 +1495,11 @@ def _decode_binary_param(oid: int, raw: bytes) -> str:
         return repr(struct.unpack("!d", raw)[0])
     if oid == _OID_BOOL:
         return "true" if raw != b"\x00" else "false"
-    if oid in (_OID_TEXT, _OID_VARCHAR, _OID_UNKNOWN, _OID_JSON):
+    # NOT _OID_UNKNOWN (0): a binary value of undeclared type cannot be
+    # decoded — utf-8 "text" would silently misparse e.g. a binary int8
+    # into NUL-laden garbage. Error clearly; clients that leave the OID
+    # unspecified send text format.
+    if oid in (_OID_TEXT, _OID_VARCHAR, _OID_JSON):
         return raw.decode("utf-8")
     if oid in (_OID_TIMESTAMP, _OID_TIMESTAMPTZ):
         us = struct.unpack("!q", raw)[0]

@@ -178,9 +178,15 @@ def _widened_window(g: _Group) -> tuple[str | None, str | None]:
 
     def _parse(v: str) -> "_dt.datetime | None":
         try:
-            return _dt.datetime.fromisoformat(v)
+            parsed = _dt.datetime.fromisoformat(v)
         except ValueError:
             return None
+        # normalize tz-aware bounds to naive UTC: a group mixing
+        # '… 00:00:00' and '… 00:00:00+00:00' must compare, not raise
+        # (aware vs naive datetimes are unorderable in Python)
+        if parsed.tzinfo is not None:
+            parsed = parsed.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return parsed
 
     los = [st.ts_lo for st in g.statements]
     his = [st.ts_hi for st in g.statements]
