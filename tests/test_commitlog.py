@@ -385,6 +385,32 @@ class TestCommitGroups:
         # phase 2: both visible at once
         assert a.read().count() == 3 and b.read().count() == 1
 
+    def test_vacuum_protects_pending_group_stages(self, spark, tmp_path, two_tables):
+        """VACUUM with retain 0 while a group is mid-stage (an open wire
+        transaction, a multi-table flush between commit and publish) must
+        NOT collect the staged parquet: it is in no snapshot yet, but the
+        group's publish will reference it — collecting it is durable data
+        loss at COMMIT. Aborted groups' files stay collectible."""
+        from timefusion_spark.storage import maintenance
+        from timefusion_spark.storage.commitlog import CommitGroup, abort_group
+
+        a, b = two_tables
+        g = CommitGroup(str(tmp_path / "groups"))
+        a.append(_rows(spark, BASE), stamp="2026-01-01 00:00:00", group=g)
+        assert a.read().count() == 0  # staged, invisible
+        removed = maintenance.vacuum(a, retain_hours=0.0)
+        assert not any(p.endswith(".parquet") for p in removed)
+        g.publish()
+        assert a.read().count() == 3  # the staged files survived vacuum
+        # an ABORTED group's stage is not protected: once settled, its
+        # files are unreferenced garbage and collect normally
+        g2 = CommitGroup(str(tmp_path / "groups"))
+        b.append(_rows(spark, BASE[:1]), stamp="2026-01-02 00:00:00", group=g2)
+        rec = b.log.entry(b.log.latest_version())
+        abort_group(rec["group"], b.log.log_dir)
+        removed = maintenance.vacuum(b, retain_hours=0.0)
+        assert any(p.endswith(".parquet") for p in removed)
+
     def test_torn_multi_table_write_invisible(self, spark, tmp_path, two_tables):
         """Coordinator crashes after table A's commit, before the marker:
         NO reader surface (scan, count, change feed, time travel) observes

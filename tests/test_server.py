@@ -512,6 +512,30 @@ class TestStorageOverTheWire:
         assert rows_of(msgs) == [["a", "9.0"], ["b", "2.5"]]
         client.query("DROP TABLE wire_t")
 
+    def test_update_clause_parsing_edge_cases(self, client):
+        """' from ' inside a string literal must not misroute a plain
+        UPDATE into the UPDATE…FROM branch, and UPDATE without WHERE (all
+        rows, legal PG) must route through the DML path, not fall through
+        to spark.sql on a temp view."""
+        client.query(
+            "CREATE TABLE wire_u (ts TIMESTAMP, id TEXT, note TEXT, "
+            "val DOUBLE, project_id TEXT)"
+        )
+        client.query(
+            "INSERT INTO wire_u VALUES "
+            "('2026-01-01 10:00:00', 'a', 'x', 1.0, 'p1'), "
+            "('2026-01-01 11:00:00', 'b', 'y', 2.0, 'p1')"
+        )
+        msgs = client.query(
+            "UPDATE wire_u SET note = 'copied from backup' WHERE id = 'a'"
+        )
+        assert command_tags(msgs) == ["UPDATE"]
+        msgs = client.query("UPDATE wire_u SET val = 0.0")
+        assert command_tags(msgs) == ["UPDATE"]
+        rows = rows_of(client.query("SELECT id, note, val FROM wire_u ORDER BY id"))
+        assert rows == [["a", "copied from backup", "0.0"], ["b", "y", "0.0"]]
+        client.query("DROP TABLE wire_u")
+
     def test_alter_table_add_column(self, client):
         """ALTER TABLE … ADD COLUMN over the wire: the SQL face of the
         migrate-columns job (main.rs:622-671 exposes it only as a CLI
@@ -1280,6 +1304,45 @@ class TestCreateOverExistingSidecar:
         env3 = SltEnv(spark, base)
         env3.run_statement(create)
         assert len(env3.run_query("SELECT id FROM ct")) == 1
+
+    def test_create_table_constraints_do_not_corrupt_types(self, spark, tmp_path):
+        """Column constraints (NOT NULL, PRIMARY KEY, DEFAULT) must strip
+        BEFORE the type lookup — 'a INT NOT NULL' previously fell through
+        the type map to Utf8, silently turning numeric comparisons into
+        string ones ('10' < '9'). Table-level constraints are not
+        columns."""
+        from timefusion_spark.slt import SltEnv
+
+        env = SltEnv(spark, str(tmp_path / "d"))
+        env.run_statement(
+            "CREATE TABLE ck (a INT NOT NULL, b TEXT DEFAULT 'x', "
+            "c BIGINT PRIMARY KEY, PRIMARY KEY (a), CHECK (a > 0))"
+        )
+        assert [f.name for f in env.tables["ck"].schema.fields] == ["a", "b", "c"]
+        env.run_statement("INSERT INTO ck VALUES (10, 'r', 1), (9, 's', 2)")
+        rows = env.run_query("SELECT a FROM ck WHERE a > 9 ORDER BY a")
+        assert [r[0] for r in rows] == [10]  # numeric, not string, compare
+
+    def test_drop_table_destroys_storage(self, spark, tmp_path):
+        """PG DROP TABLE destroys the relation: re-CREATE after DROP gets
+        an EMPTY table (not the dropped rows resurrected from the
+        surviving sidecar, and not a schema-mismatch refusal), and a
+        restart does not remount the dropped table."""
+        import os
+
+        from timefusion_spark.slt import SltEnv
+
+        base = str(tmp_path / "d")
+        env = SltEnv(spark, base)
+        env.run_statement("CREATE TABLE dt (ts TIMESTAMP, id TEXT, project_id TEXT)")
+        env.run_statement("INSERT INTO dt VALUES ('2026-01-01 10:00:00','a','p1')")
+        env.run_statement("DROP TABLE dt")
+        assert not os.path.exists(os.path.join(base, "dt"))
+        # re-create with DIFFERENT columns: fresh table, no mismatch error
+        env.run_statement("CREATE TABLE dt (id BIGINT, name TEXT)")
+        assert env.run_query("SELECT count(*) AS n FROM dt")[0][0] == 0
+        env.run_statement("DROP TABLE dt")
+        assert SltEnv(spark, base).mount_existing() == []
 
 
 class TestTransactions:

@@ -306,6 +306,23 @@ class TestMaintenance:
         # non-nullable widening rejected
         with pytest.raises(ValueError, match="nullable"):
             maintenance.migrate_columns(mor_table, [FieldDef("bad", "Utf8", nullable=False)])
+        # duplicates WITHIN one call rejected; a bad second field must not
+        # half-apply — validation precedes any mutation, so the in-memory
+        # schema and the sidecar never diverge
+        with pytest.raises(ValueError, match="already exists"):
+            maintenance.migrate_columns(
+                mor_table,
+                [FieldDef("x", "Utf8", nullable=True), FieldDef("x", "Int64", nullable=True)],
+            )
+        with pytest.raises(ValueError, match="nullable"):
+            maintenance.migrate_columns(
+                mor_table,
+                [FieldDef("y", "Utf8", nullable=True), FieldDef("z", "Utf8", nullable=False)],
+            )
+        assert not {"x", "y", "z"} & {f.name for f in mor_table.schema.fields}
+        assert not {"x", "y", "z"} & {
+            f.name for f in Table.open(spark, mor_table.path).schema.fields
+        }
 
     def test_sorted_write_survives_partitioned_writer(self, spark, mor_table):
         """Within-file order must be sorting_columns (timestamp DESC, id):
@@ -571,6 +588,39 @@ class TestContinuousAggregate:
         assert sorted(refreshed) == [("p1", "2026-01-01")]
         assert self._rollup(spark, rollup) == self._full(mor_table)
 
+    def test_escaped_partition_values_refresh(self, spark, tmp_path, mor_table):
+        """Partition values needing Hive path-escaping ('team a' →
+        'team%20a' on disk) must still be matched by the refresh
+        predicate: comparing the ESCAPED dir text against column values
+        selects nothing, writes an empty tile, and then marks the
+        partition fresh — permanently stale with no error."""
+        rollup = str(tmp_path / "rollup")
+        mor_table.append(
+            _rows(spark, [("2026-01-01 10:00:00", "a", 1.0, "team a")]),
+            stamp="2026-02-01 00:00:00",
+        )
+        refreshed = maintenance.refresh_rollup(mor_table, rollup, self._agg)
+        assert refreshed == [("team a", "2026-01-01")]  # unescaped values
+        assert self._rollup(spark, rollup) == self._full(mor_table)
+        assert ("team a", "2026-01-01") in self._rollup(spark, rollup)
+
+    def test_deletion_vector_restales_tiles(self, spark, tmp_path):
+        """A deletion-vector DML adds only a `_tf_dv/` file — no data
+        partition's file set changes, but row VISIBILITY does. The DV set
+        folds into every tile's signature, so the next refresh recomputes
+        instead of reporting 'fresh' over a stale rollup (and never
+        IndexErrors on the '='-less _tf_dv manifest dir)."""
+        schema = load_schema_text(MOR_YAML.replace("version_append: true", "version_append: false"))
+        tbl = Table.create(spark, schema, str(tmp_path / "dvt"))
+        tbl.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        rollup = str(tmp_path / "rollup")
+        maintenance.refresh_rollup(tbl, rollup, self._agg)
+        assert self._rollup(spark, rollup) == self._full(tbl)
+        dml.delete(tbl, predicate=F.col("id") == "a", deletion_vectors=True)
+        refreshed = maintenance.refresh_rollup(tbl, rollup, self._agg)
+        assert refreshed != []  # DV change re-staled the tiles
+        assert self._rollup(spark, rollup) == self._full(tbl)
+
     def test_agg_must_retain_partition_columns(self, spark, tmp_path, mor_table):
         mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
         with pytest.raises(ValueError, match="partition columns"):
@@ -637,6 +687,25 @@ class TestConsolidate:
         assert mor_table.read_raw().count() == total_rows
         # Healthy layout → metadata-only no-op on the second pass.
         assert maintenance.consolidate(mor_table, target_file_bytes=1 << 20, min_files=2) == []
+
+    def test_consolidates_escaped_partition_values(self, spark, mor_table):
+        """A partition value needing Hive path-escaping ('t:a' →
+        't%3Aa' on disk) must actually consolidate: filtering on the
+        ESCAPED dir text matches zero rows, silently rewriting nothing
+        while reporting the partition done."""
+        from timefusion_spark.storage import maintenance
+
+        for i in range(5):
+            mor_table.append(
+                _rows(spark, [("2026-01-01 10:00:0%d" % i, f"k{i}", float(i), "t:a")]),
+                stamp="2026-02-01 00:00:0%d" % i,
+            )
+        done = maintenance.consolidate(mor_table, target_file_bytes=1 << 20)
+        assert any("t%3Aa" in d for d in done), done
+        after = _files_by_dir(mor_table)
+        for d in done:
+            assert len(after[d]) == 1, d  # actually rewritten, not a no-op
+        assert mor_table.read_raw().where(F.col("project_id") == "t:a").count() == 5
 
 
 def _files_by_dir(table):
@@ -1057,6 +1126,30 @@ fields:
         )
         assert sorted(r.id for r in hits.collect()) == ["d"]
         assert maintenance.text_indexes_of(tbl) == ["body"]
+
+    def test_incremental_refresh_partition_id_col(self, spark, tmp_path):
+        """An index keyed on a PARTITION column (id_col='project_id')
+        builds from the read view, so refresh must recover partition
+        columns too — reading the added data files without a basePath
+        would AnalysisException (Hive layout stores them in the path,
+        not the file)."""
+        from timefusion_spark.operators.text_index import trigram_search
+
+        tbl = self._mk(spark, tmp_path)
+        maintenance.create_text_index(tbl, "body", id_col="project_id")
+        tbl.append(
+            spark.createDataFrame(
+                [("2026-01-02 10:00:00", "d", "another merge window", "p3")],
+                "timestamp string, id string, body string, project_id string",
+            )
+        )
+        assert maintenance.refresh_text_index(tbl, "body") == "incremental"
+        sidecar, meta = maintenance.text_index_for(tbl, "body")
+        hits = trigram_search(
+            tbl.read(), sidecar.read(), "merge window",
+            id_col="project_id", text_col="body",
+        )
+        assert sorted(r.project_id for r in hits.collect()) == ["p1", "p3"]
 
     def test_vacuum_protects_sidecars(self, spark, tmp_path):
         """vacuum's manifest diff must never collect files the BASE log

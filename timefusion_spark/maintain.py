@@ -121,7 +121,7 @@ def main(argv: list[str] | None = None) -> int:
             written = maintenance.consolidate(
                 tbl, target_file_bytes=args.target_mb * 1024 * 1024
             )
-            print(f"{tbl.schema.table_name}: consolidated into {len(written)} file(s)")
+            print(f"{tbl.schema.table_name}: consolidated {len(written)} partition(s)")
         return 0
     if args.verb == "migrate-columns":
         from timefusion_spark.storage.schema import FieldDef

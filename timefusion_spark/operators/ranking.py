@@ -53,12 +53,23 @@ def bm25_scores(
     idf is Lucene's non-negative variant ln(1 + (N - df + 0.5)/(df + 0.5));
     score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
     Documents matching no term score 0.0 (callers filter or rank as
-    needed). Deterministic: every step is IEEE double arithmetic on
-    exact integer tf/dl/df inputs.
+    needed), including NULL-text rows (coalesced to the empty document —
+    a NULL score would silently drop them from `score > 0`-style
+    filters' complements). Deterministic: every step is IEEE double
+    arithmetic on exact integer tf/dl/df inputs.
+
+    Tokenization: `delimiter` is a LITERAL separator (quoted with
+    \\Q…\\E for the underlying regex split), and empty tokens from
+    repeated separators are dropped — 'a  b' is 2 tokens, not 3, so
+    run-of-spaces padding does not inflate dl and skew the length
+    normalization.
     """
     if not terms:
         raise ValueError("bm25_scores needs at least one query term")
-    toks = F.split(F.col(text_col), delimiter)
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + delimiter + "\\E"),
+        lambda x: x != F.lit(""),
+    )
     base = docs.select(
         F.col(id_col).alias("_bm_id"),
         F.size(toks).alias("dl"),

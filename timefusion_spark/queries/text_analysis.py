@@ -1031,10 +1031,14 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT doc_id,
-             len(string_split(text, ' ')) AS dl,
-             len(list_filter(string_split(text, ' '), x -> x = 'filter')) AS tf_0,
-             len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf_1,
-             len(list_filter(string_split(text, ' '), x -> x = 'merge'))  AS tf_2
+             len(list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> x <> '')) AS dl,
+             len(list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> x = 'filter')) AS tf_0,
+             len(list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> x = 'window')) AS tf_1,
+             len(list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> x = 'merge'))  AS tf_2
       FROM documents
     ), s AS (
       SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,

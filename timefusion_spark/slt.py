@@ -161,9 +161,11 @@ _CREATE_RE = re.compile(
 )
 _INSERT_RE = re.compile(r"(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(\(([^)]*)\))?\s*VALUES\s*(.*)$")
 _INSERT_SEL_RE = re.compile(r"(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(\(([^)]*)\))?\s*(SELECT\s+.*)$")
-_UPDATE_RE = re.compile(
-    r"(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+FROM\s+(.*?))?\s+WHERE\s+(.*)$"
-)
+# SET/FROM/WHERE are separated by a QUOTE-AWARE top-level scan in
+# _update, not by this regex: a greedy `(?:\s+FROM\s+…)?` binds ' from '
+# inside string literals ("SET note = 'copied from backup'"), and PG
+# allows UPDATE without WHERE (all rows).
+_UPDATE_RE = re.compile(r"(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*)$")
 _DELETE_RE = re.compile(r"(?is)^\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.*))?$")
 _DROP_RE = re.compile(r"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$")
 _ALTER_ADD_RE = re.compile(
@@ -199,6 +201,43 @@ _PG_COLTYPE = {
     "timestamp without time zone": 'Timestamp(Microsecond, Some("UTC"))',
     "timestamptz": 'Timestamp(Microsecond, Some("UTC"))',
 }
+
+
+def _split_top_kw(text: str, word: str) -> list[str]:
+    """Split `text` on a TOP-LEVEL keyword — outside single-quoted
+    literals and parens/brackets, bounded by ANY whitespace (newlines
+    included, which a literal `' WHERE '` separator would miss)."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth, i, n, wl = 0, 0, len(text), len(word)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            m = re.match(r"'(?:''|[^'])*'", text[i:])
+            frag = m.group(0) if m else ch
+            buf.append(frag)
+            i += len(frag)
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if (
+            depth == 0
+            and text[i : i + wl].upper() == word.upper()
+            and i > 0
+            and text[i - 1].isspace()
+            and i + wl < n
+            and text[i + wl].isspace()
+        ):
+            out.append("".join(buf))
+            buf = []
+            i += wl
+            continue
+        buf.append(ch)
+        i += 1
+    out.append("".join(buf))
+    return out
 
 
 def _split_top(text: str, sep: str = ",") -> list[str]:
@@ -477,12 +516,33 @@ class SltEnv:
             raise ValueError(f"table {name} exists")
         fields = []
         for coldef in _split_top(cols_text):
-            parts = coldef.strip().split()
-            if not parts:
+            coldef = coldef.strip()
+            if not coldef:
                 continue
+            # table-level constraints are not columns: `PRIMARY KEY (a)`,
+            # `UNIQUE (a,b)`, `CHECK (…)`, `FOREIGN KEY …`, `CONSTRAINT …`
+            # would otherwise parse as a column named PRIMARY/UNIQUE/…
+            if re.match(
+                r"(?is)^(PRIMARY\s+KEY|FOREIGN\s+KEY|UNIQUE|CHECK|CONSTRAINT|"
+                r"EXCLUDE)\b",
+                coldef,
+            ):
+                continue
+            parts = coldef.split()
             cname = parts[0]
-            ctype = " ".join(parts[1:]).lower().split("(")[0].strip() or "text"
-            fields.append(FieldDef(cname, _PG_COLTYPE.get(ctype, "Utf8"), True))
+            typetext = " ".join(parts[1:])
+            # strip column constraints BEFORE the type lookup — `a INT NOT
+            # NULL` must resolve type 'int', not fall through the
+            # type-map default to Utf8 (which would silently turn numeric
+            # comparisons into string ones)
+            nullable = re.search(r"(?i)\bNOT\s+NULL\b", typetext) is None
+            typetext = re.split(
+                r"(?i)\s+(?:NOT\s+NULL|NULL|PRIMARY\s+KEY|UNIQUE|DEFAULT|"
+                r"REFERENCES|CHECK|GENERATED|COLLATE)\b",
+                typetext,
+            )[0]
+            ctype = typetext.lower().split("(")[0].strip() or "text"
+            fields.append(FieldDef(cname, _PG_COLTYPE.get(ctype, "Utf8"), nullable))
         schema = TableSchema(table_name=name, fields=fields)
         self._add_table(schema, from_create=True)
 
@@ -651,7 +711,16 @@ class SltEnv:
         return src, m.group(2)
 
     def _update(self, m: re.Match) -> None:
-        name, set_text, from_text, where_text = m.groups()
+        name, rest = m.groups()
+        # quote-aware clause split: first top-level WHERE ends the
+        # SET[/FROM] region (subquery WHEREs sit inside parens, literal
+        # ' where ' inside quotes); WHERE itself is optional in PG
+        w = _split_top_kw(rest, "WHERE")
+        set_region = w[0]
+        where_text = " WHERE ".join(w[1:]) if len(w) > 1 else None
+        f = _split_top_kw(set_region, "FROM")
+        set_text = f[0]
+        from_text = " FROM ".join(f[1:]) if len(f) > 1 else None
         tbl = self.tables.get(name)
         if tbl is None:
             raise ValueError(f"unknown table {name}")
@@ -668,9 +737,22 @@ class SltEnv:
             dml.update(
                 tbl,
                 assigns,
-                predicate=pg_to_spark_sql(re.sub(rf"\b{name}\.", "", where_text), self.spark),
+                predicate=(
+                    pg_to_spark_sql(
+                        re.sub(rf"\b{name}\.", "", where_text), self.spark
+                    )
+                    if where_text is not None
+                    else None  # PG: UPDATE without WHERE touches all rows
+                ),
             )
         else:
+            if where_text is None:
+                # PG would cross-join target×source; this engine's
+                # UPDATE…FROM is a keyed broadcast merge — refuse loudly
+                # rather than guess a join
+                raise ValueError(
+                    "UPDATE … FROM requires join predicates in WHERE"
+                )
             src, alias = self._source_alias(from_text)
             join_keys: list[str] = []
             renames: dict[str, str] = {}
@@ -729,8 +811,19 @@ class SltEnv:
             name = m.group(1)
             if name not in self.tables and "IF EXISTS" not in sql.upper():
                 raise ValueError(f"unknown table {name}")
-            self.tables.pop(name, None)
+            dropped = self.tables.pop(name, None)
             self.spark.catalog.dropTempView(name)
+            # PG DROP TABLE destroys the relation's storage. Leaving the
+            # directory (with its _tf_schema.json sidecar) would make the
+            # next CREATE TABLE of the same name silently re-attach the
+            # dropped rows — or refuse outright on a schema mismatch —
+            # and a restart's mount_existing would resurrect the table.
+            if dropped is not None and os.path.realpath(dropped.path).startswith(
+                os.path.realpath(self.base_dir) + os.sep
+            ):
+                import shutil
+
+                shutil.rmtree(dropped.path, ignore_errors=True)
         elif m := _CTAS_RE.match(sql):
             _reject_in_txn(txn, "CREATE TABLE")
             self._create_table_as(m)

@@ -517,6 +517,28 @@ class CommitLog:
             version = start - 1
         return Snapshot(version=version, files=files, txns=txns, stats=stats)
 
+    def staged_files(self) -> set[str]:
+        """Relative paths ADDED by commit records whose coalesced group is
+        still PENDING — durable on disk at their final paths but not yet
+        visible in any snapshot. Vacuum must treat these as live: an open
+        transaction's staged parquet is referenced by nothing in
+        snapshot().files, and collecting it would turn the group's later
+        publish into a manifest pointing at deleted files (durable data
+        loss). Records of ABORTED groups (and trivially of published
+        ones) contribute nothing here: their resolution is settled, so
+        their unreferenced files age out with the retention window."""
+        out: set[str] = set()
+        for name in self._entries():
+            if name.endswith(".checkpoint.json"):
+                continue
+            with open(os.path.join(self.log_dir, name)) as fh:
+                rec = json.load(fh)
+            if rec.get("group") is None:
+                continue
+            if _group_state(rec, self.log_dir) == "pending":
+                out.update(f["path"] for f in rec.get("add", []))
+        return out
+
     def txn_version(self, app_id: str) -> int:
         """Highest committed txn version for `app_id`, or -1."""
         return self.snapshot().txns.get(app_id, -1)

@@ -129,20 +129,25 @@ def refresh_text_index(table: Table, text_col: str) -> str:
     base = int(meta["base_version"])
     if base >= tip:
         return "fresh"
-    added: list[str] = []
+    seen: dict[str, None] = {}
     for v in range(base + 1, tip + 1):
         rec = table.log.entry(v)
         for f in rec.get("add", []):
             p = f["path"]
             if p.startswith(DV_DIR + "/") or not p.endswith(".parquet"):
                 continue
-            if p not in added:
-                added.append(p)
-    added = [p for p in added if os.path.exists(os.path.join(table.path, p))]
+            seen.setdefault(p)
+    added = [p for p in seen if os.path.exists(os.path.join(table.path, p))]
     if added:
-        docs = table.spark.read.parquet(
-            *[os.path.join(table.path, p) for p in added]
-        ).select(meta["id_col"], text_col)
+        # basePath recovers PARTITION columns from the file paths — a
+        # sidecar keyed on a partition column (id_col='project_id' is a
+        # natural choice) would otherwise AnalysisException here, since
+        # Hive-partitioned data files don't physically store those columns
+        docs = (
+            table.spark.read.option("basePath", table.path)
+            .parquet(*[os.path.join(table.path, p) for p in added])
+            .select(meta["id_col"], text_col)
+        )
         sidecar = Table.open(table.spark, path)
         sidecar.append(
             trigram_index(docs, id_col=meta["id_col"], text_col=text_col)
@@ -186,8 +191,10 @@ def text_index_for(table: Table, text_col: str):
 
 
 def _partition_filter(df: DataFrame, partition_values: dict[str, str]) -> DataFrame:
+    # eqNullSafe: a None value (the __HIVE_DEFAULT_PARTITION__ dir) must
+    # select the NULL partition — `col == None` matches nothing
     for k, v in partition_values.items():
-        df = df.where(F.col(k) == v)
+        df = df.where(F.col(k).eqNullSafe(F.lit(v)))
     return df
 
 
@@ -280,7 +287,16 @@ def consolidate(
         total = sum(sizes)
         if len(sizes) < min_files or total / len(sizes) >= target_file_bytes / 2:
             continue
-        parts = dict(p.split("=", 1) for p in d.split("/") if "=" in p)
+        # manifest dir names are Hive-ESCAPED ('team%20a', the NULL
+        # sentinel): unescape before building the compact filter, or the
+        # predicate matches zero rows and the partition silently never
+        # consolidates while being reported done
+        from timefusion_spark.storage.dml import _unescape_partition_value
+
+        parts = {
+            k: _unescape_partition_value(v)
+            for k, v in (p.split("=", 1) for p in d.split("/") if "=" in p)
+        }
         n_out = max(1, -(-total // target_file_bytes))
         compact(table, parts, target_files=n_out)
         done.append(d)
@@ -308,7 +324,13 @@ def dv_sweep(table: Table) -> int:
         *[os.path.join(table.path, p) for p in dv_rel]
     ).select("_tf_dv_file", "_tf_dv_pos")
     keep = dv.where(F.col("_tf_dv_file").isin(data_live))
-    n_before, n_after = dv.count(), keep.count()
+    counts = dv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.col("_tf_dv_file").isin(data_live).cast("long")), F.lit(0)
+        ).alias("k"),
+    ).collect()[0]
+    n_before, n_after = counts["n"], counts["k"]
     if n_after == n_before:
         return 0
     if n_after == 0:
@@ -451,7 +473,14 @@ def vacuum(table: Table, retain_hours: float = 0.0) -> list[str]:
 
     cutoff = _time.time() - retain_hours * 3600.0
     removed: list[str] = []
-    live = set(table.log.snapshot().files) if table.log.exists() else None
+    live = None
+    if table.log.exists():
+        # staged_files(): parquet staged by PENDING commit groups (an open
+        # BEGIN…COMMIT, a mid-flight multi-table flush) sits at its final
+        # path but is in no snapshot — without this union, VACUUM (default
+        # retain 0) would collect an open transaction's data out from
+        # under its own COMMIT.
+        live = set(table.log.snapshot().files) | table.log.staged_files()
     # Sidecar stores live INSIDE the table dir but are NOT manifest-tracked
     # by the base log: quarantined DML rows (their only copy — losing them
     # is data loss) and text-index sidecars (self-contained Tables with
@@ -503,6 +532,10 @@ def migrate_columns(table: Table, new_fields: list[FieldDef]) -> None:
     Zero data rewrite: the sidecar gains the columns; every existing file
     reads NULL for them through the explicit read schema (parquet
     missing-column semantics — the mergeSchema analog)."""
+    # validate EVERYTHING before mutating anything: a bad second field
+    # must not leave the live schema half-migrated (in-memory fields out
+    # of sync with the sidecar), and duplicates WITHIN new_fields must
+    # not persist a sidecar with a doubled column
     existing = {f.name for f in table.schema.fields}
     for f in new_fields:
         if f.name in existing:
@@ -510,7 +543,8 @@ def migrate_columns(table: Table, new_fields: list[FieldDef]) -> None:
         if not f.nullable:
             raise ValueError(f"column {f.name}: widening must be nullable")
         f.to_spark()  # validates the type string
-        table.schema.fields.append(f)
+        existing.add(f.name)
+    table.schema.fields.extend(new_fields)
     table.save_schema()
 
 
@@ -610,12 +644,29 @@ def refresh_rollup(
     new_state: dict[str, list] = {}
     base = table.path
     if table.log.exists():
+        dv_sig: list[list] = []
         for rel, size in table.log.snapshot().files.items():
-            new_state.setdefault(os.path.dirname(rel), []).append([os.path.basename(rel), size])
+            d = os.path.dirname(rel)
+            # non-partition manifest dirs (deletion vectors under
+            # `_tf_dv/`) are not rollup tiles themselves: values() would
+            # IndexError on a '='-less segment and the agg predicate is
+            # meaningless. But a DV file CHANGES VISIBILITY of rows in
+            # ordinary partitions without touching their files — fold the
+            # DV set into every tile's signature so any DV change
+            # conservatively re-stales all tiles.
+            if any(seg.startswith("_") for seg in d.split("/")):
+                dv_sig.append([rel, size])
+                continue
+            new_state.setdefault(d, []).append([os.path.basename(rel), size])
+        dv_sig.sort()
         for sig in new_state.values():
             sig.sort()
+            sig.extend(dv_sig)
     else:
         for dirpath, _dirs, files in os.walk(base):
+            rel = os.path.relpath(dirpath, base)
+            if any(seg.startswith(("_", ".")) for seg in rel.split(os.sep)):
+                continue
             data = sorted(
                 (f, os.path.getsize(os.path.join(dirpath, f)),
                  os.path.getmtime(os.path.join(dirpath, f)))
@@ -623,23 +674,31 @@ def refresh_rollup(
                 if not f.startswith(("_", "."))
             )
             if data:
-                rel = os.path.relpath(dirpath, base)
                 new_state[rel] = [list(x) for x in data]
 
     stale = [p for p, sig in new_state.items() if old_state.get(p) != sig]
     if not stale:
         return []
 
-    # Partition-value tuples from the dir names (k=v/k=v...).
-    def values(rel: str) -> tuple[str, ...]:
-        return tuple(seg.split("=", 1)[1] for seg in rel.split(os.sep))
+    # Partition-value tuples from the dir names (k=v/k=v...), Hive-
+    # UNESCAPED: the dir says 'team%20a' for value 'team a' and the NULL
+    # sentinel for None — matching the escaped text against column values
+    # selects nothing, so the tile would be marked fresh without ever
+    # being recomputed (permanently-stale rollup).
+    from timefusion_spark.storage.dml import _unescape_partition_value
+
+    def values(rel: str) -> tuple[str | None, ...]:
+        return tuple(
+            _unescape_partition_value(seg.split("=", 1)[1])
+            for seg in rel.split(os.sep)
+        )
 
     stale_values = [values(p) for p in stale]
     pred = None
     for vals in stale_values:
         conj = None
         for col, v in zip(parts, vals):
-            c = F.col(col).cast("string") == v
+            c = F.col(col).cast("string").eqNullSafe(F.lit(v))
             conj = c if conj is None else (conj & c)
         pred = conj if pred is None else (pred | conj)
 
