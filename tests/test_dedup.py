@@ -100,6 +100,31 @@ def test_ngram_jaccard_results_and_plan(spark, planted):
     assert got == expected  # full recall at j≈0.87 gram similarity
 
 
+def test_ngram_jaccard_mixed_length_pair(spark):
+    """A true near-dup pair whose sides straddle any size cutoff must be
+    found: a per-document signature-universe switch (mod-sampling large
+    docs, full hashes for small ones) made mixed pairs' minhash agreement
+    estimate ~j/4 and silently screened them out. One side ~220 chars,
+    the other ~400 (prefix containment, gram jaccard ≈ 0.55)."""
+    import random
+
+    random.seed(11)
+    long_text = " ".join(
+        "".join(random.choice("abcdefgh") for _ in range(5)) for _ in range(66)
+    )  # ~395 chars
+    short_text = long_text[:220]
+    rows = [(1, short_text), (2, long_text)] + [
+        (10 + i, " ".join(
+            "".join(random.choice("qrstuvwx") for _ in range(5)) for _ in range(40)
+        ))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.ngram_jaccard_pairs(df, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in got or (2, 1) in got
+
+
 def test_nn_per_row_plan_no_cartesian(spark):
     import random
 

@@ -166,6 +166,60 @@ class TestChangeFeedBackpressure(TestChangeFeedSource):
         reader = _ChangeFeedStreamReader({"path": tbl.path})
         assert reader.latestOffset()["version"] == 1
 
+    def test_first_poll_gates_pending_group(self, spark, tmp_path):
+        """The pending-group cap must hold on the FIRST poll of a
+        (re)started reader too: skipping the gate there lets the
+        checkpoint advance past a still-pending commit, whose rows then
+        never appear in the feed after its group publishes — silent
+        loss. A commit pending at restart is always above the committed
+        checkpoint (steady-state polls never advance past one), so the
+        cap cannot plan a backward batch."""
+        from timefusion_spark.sources.changefeed import _ChangeFeedStreamReader
+        from timefusion_spark.storage.commitlog import CommitGroup
+
+        tbl = self._mk(spark, tmp_path)                 # v0 create + v1 append
+        g = CommitGroup(str(tmp_path / "groups"))
+        rows = spark.createDataFrame(
+            [("2026-01-03 10:00:00", "x", 9.0, "p1")],
+            "timestamp string, id string, value double, project_id string",
+        )
+        tbl.append(rows, group=g)                       # v2, PENDING
+        reader = _ChangeFeedStreamReader({"path": tbl.path})  # fresh reader
+        assert reader.latestOffset()["version"] == 1    # capped below v2
+        g.publish()
+        assert reader.latestOffset()["version"] == 2    # published → advances
+        parts = reader.partitions({"version": 1}, {"version": 2})
+        assert any(getattr(p, "version", None) == 2 for p in parts)
+
+
+class TestChangeFeedPartitionEscaping(TestChangeFeedSource):
+    def test_escaped_and_null_partition_values(self, spark, tmp_path):
+        """Partition values are Hive-escaped in dir names ('a:b' →
+        'a%3Ab') and NULL writes the sentinel dir: the stream must emit
+        the same values as the batch read — not the escaped text, and
+        not crash casting the sentinel."""
+        from timefusion_spark.storage.schema import load_schema_text
+        from timefusion_spark.storage.table import Table
+
+        register_sources(spark)
+        tbl = Table.create(spark, load_schema_text(self.YAML), str(tmp_path / "t"))
+        tbl.append(
+            spark.createDataFrame(
+                [
+                    ("2026-01-01 10:00:00", "e1", 1.0, "a:b"),
+                    ("2026-01-01 11:00:00", "e2", 2.0, None),
+                ],
+                "timestamp string, id string, value double, project_id string",
+            )
+        )
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._drain(spark, tbl, out, ckpt)
+        got = {
+            (r["id"], r["project_id"])
+            for r in spark.read.parquet(out).select("id", "project_id").collect()
+        }
+        assert got == {("e1", "a:b"), ("e2", None)}
+
 
 class TestChangeFeedSchemaWidening(TestChangeFeedSource):
     def test_feed_reads_files_predating_migrate_columns(self, spark, tmp_path):

@@ -777,6 +777,40 @@ class TestInPlaceDml:
         assert [r["id"] for r in plain_table.read().collect()] == ["a"]
         assert plain_table.read_raw().count() == 1  # physically gone
 
+    def test_dv_dml_on_empty_table_matches_zero(self, spark, tmp_path):
+        """Deletion-vector DML on an EMPTY table (or empty snapshot) must
+        report 0 matched rows — the coordinate columns exist even when no
+        data files do, instead of an unresolved-column error."""
+        tbl = Table.create(spark, load_schema_text(PLAIN_YAML), str(tmp_path / "e"))
+        assert dml.delete(tbl, predicate=(F.col("id") == "a"), deletion_vectors=True) == 0
+        assert (
+            dml.update(
+                tbl, {"value": F.lit(1.0)},
+                predicate=(F.col("id") == "a"), deletion_vectors=True,
+            )
+            == 0
+        )
+
+    def test_change_feed_fails_loud_on_inplace_dml(self, spark, plain_table):
+        """In-place DML rewrites mix changed and unchanged rows in their
+        files, so the change feed cannot reconstruct the change set — it
+        must REFUSE (loud), never skip the commit as if nothing changed
+        (a consumer would silently miss real updates). Compaction
+        rewrites (same visible rows) remain silently skipped."""
+        before = plain_table.log.latest_version()
+        dml.update(
+            plain_table, {"value": F.lit(42.0)}, predicate=(F.col("id") == "a")
+        )
+        with pytest.raises(ValueError, match="in-place DML"):
+            plain_table.read_changes(before).count()
+        # compaction after the DML: the feed STILL refuses ranges
+        # spanning the DML commit, but a post-DML cursor skips the
+        # compaction rewrite silently (dataChange=false)
+        maintenance.compact(
+            plain_table, {"project_id": "p1", "date": "2026-01-01"}
+        )
+        assert plain_table.read_changes(before + 1).count() == 0
+
     def test_delete_emptying_a_partition_clears_its_files(self, spark, plain_table):
         """A DELETE matching every row of a partition stages no replacement
         file there — the old files must still leave the manifest."""
@@ -1197,6 +1231,23 @@ class TestCountIndex:
         # empty far-future window: zero I/O
         n, info = tbl.count_range("2030-01-01", "2030-02-01", detail=True)
         assert n == 0 and info["scanned_files"] == 0 and info["metadata_files"] == 0
+
+    def test_declines_on_prelog_table(self, spark, tmp_path):
+        """A pre-log (plain parquet directory) table has no per-file
+        stats: trusting the empty manifest would answer 0 over a
+        directory full of data. count_range must decline to the
+        read-view count, matching count()/read_raw()'s listing
+        fallback."""
+        path = str(tmp_path / "legacy")
+        _rows(spark, BASE).selectExpr(
+            "cast(timestamp as timestamp) timestamp", "id", "value",
+            "project_id", "cast(timestamp as date) date",
+        ).write.partitionBy("project_id", "date").parquet(path)
+        tbl = Table(spark, load_schema_text(PLAIN_YAML), path)
+        assert not tbl.log.exists()
+        n, info = tbl.count_range("2026-01-01", "2026-01-03", detail=True)
+        assert info["declined"]
+        assert n == len(BASE)
 
     def test_declines_on_dedup_tombstone_and_dv(self, spark, tmp_path, mor_table):
         # dedup/tombstone table: count through the read view (LWW winners)

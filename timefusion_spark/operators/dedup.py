@@ -580,34 +580,24 @@ def ngram_jaccard_pairs(
         F.sequence(F.lit(1), F.greatest(F.length(F.col("_s")) - F.lit(ngram_n - 1), F.lit(1))),
         lambda i: F.pmod(F.xxhash64(F.col("_s").substr(i, F.lit(ngram_n))), F.lit(HASH_PRIME)),
     )
-    # Consistent sampling before the 32 permutation passes: keeping only
-    # hashes ≡ 0 (mod 4) selects the SAME 25% sub-universe of grams on
-    # every document (the bottom-k/mod-sketch idea), so Jaccard estimates
-    # are unchanged in expectation while signature cost drops 4×. Short
-    # documents fall back to their full hash set (sampling an ~0-gram doc
-    # would empty its signature).
-    sigs = (
-        nrm.select("_id", *blk_names, raw_gram_hashes.alias("_gh_all"))
-        .select(
-            "_id",
-            *blk_names,
-            F.col("_gh_all"),
-            F.filter(F.col("_gh_all"), lambda h: h % 4 == 0).alias("_gh_sample"),
-        )
-        .select(
-            "_id",
-            *blk_names,
-            F.when(F.size("_gh_sample") >= 64, F.col("_gh_sample"))
-            .otherwise(F.col("_gh_all"))
-            .alias("_gh"),
-        )
-        .select(
-            "_id",
-            *blk_names,
-            minhash_signature_from_hashes(
-                "_gh", NGRAM_LSH_BANDS * NGRAM_LSH_ROWS
-            ).alias("_sig"),
-        )
+    # Signatures run over the FULL gram-hash universe for every document.
+    # An earlier revision sampled hashes ≡ 0 (mod 4) with a fall-back to
+    # the full set for short documents — but a per-document cutoff makes
+    # the two sides of a boundary-straddling pair hash DIFFERENT
+    # universes, and minhash agreement between a full-universe and a
+    # sampled-universe signature estimates roughly j/4, not j: a true
+    # near-dup pair with one side under and one side over the cutoff was
+    # systematically screened out (a false negative no margin recovers).
+    # Mod-sketch sampling is only sound when BOTH sides sample, which no
+    # per-document rule can guarantee — so no sampling.
+    sigs = nrm.select(
+        "_id", *blk_names, raw_gram_hashes.alias("_gh")
+    ).select(
+        "_id",
+        *blk_names,
+        minhash_signature_from_hashes(
+            "_gh", NGRAM_LSH_BANDS * NGRAM_LSH_ROWS
+        ).alias("_sig"),
     )
     grams = nrm.select(
         "_id", *blk_names, char_ngrams_from_norm(F.col("_s"), ngram_n).alias("_grams")

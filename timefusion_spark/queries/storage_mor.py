@@ -2166,6 +2166,8 @@ fields:
         sock = _socket.create_connection(("127.0.0.1", srv.port), timeout=120)
         header = _json.dumps({"table": "arrow_t", "app_id": "q_arrow"}).encode()
         sock.sendall(_struct.pack("!I", len(header)) + header)
+        assert recv_exact(sock, 1) == b"W"  # resume watermark (0: fresh)
+        assert _struct.unpack("!Q", recv_exact(sock, 8))[0] == 0
         writer = ipc.new_stream(_Sink(sock), batches[0].schema)
         acks = []
         for b in batches[:-1]:
@@ -2182,9 +2184,16 @@ fields:
         assert total == len(rows), (total, len(rows))
 
         # stream 2: reconnect REPLAY — first batch again under the same
-        # app_id; the txn watermark must skip it (ack still arrives)
+        # app_id; a whole-stream replayer declares start_seq=1, so the
+        # txn watermark skips it (ack still arrives). The W frame
+        # announces the durable watermark for resume-style clients.
         sock = _socket.create_connection(("127.0.0.1", srv.port), timeout=120)
-        sock.sendall(_struct.pack("!I", len(header)) + header)
+        header2 = _json.dumps(
+            {"table": "arrow_t", "app_id": "q_arrow", "start_seq": 1}
+        ).encode()
+        sock.sendall(_struct.pack("!I", len(header2)) + header2)
+        assert recv_exact(sock, 1) == b"W"
+        assert _struct.unpack("!Q", recv_exact(sock, 8))[0] == len(batches) - 1
         writer = ipc.new_stream(_Sink(sock), batches[0].schema)
         writer.write_batch(batches[0])
         assert recv_exact(sock, 1) == b"A"

@@ -174,11 +174,17 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             abort_group,
         )
 
-        # Like the max_versions cap below, only applied in steady state —
-        # the first poll of a (re)started query must not plan a batch
-        # below the committed checkpoint offset.
+        # The FIRST poll of a (re)started query scans from the query's
+        # declared start — NOT from tip+1 (which would skip the gate
+        # entirely and let the checkpoint advance past a still-pending
+        # group, permanently dropping its rows from the feed once it
+        # publishes). Capping below a pending commit can never plan a
+        # backward batch: steady-state polls never hand out an offset at
+        # or past a young pending commit, so any commit still pending at
+        # restart is strictly ABOVE the committed checkpoint, and the
+        # loop's range keeps the cap at or above start_version.
         base = getattr(self, "_last", None)
-        scan_from = (base + 1) if base is not None else (tip + 1)
+        scan_from = (base if base is not None else self.start_version) + 1
         log_dir = os.path.join(self.path, _LOG_DIR)
         for v in range(scan_from, tip + 1):
             p = os.path.join(log_dir, f"{v:08d}.json")
@@ -219,8 +225,16 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
                 rec = json.load(fh)
             # Rewrite/retention commits carry no logical change (see
             # Table.read_changes — the Delta CDF dataChange=false rule);
-            # only append commits ship to the feed. Pending/aborted
-            # coalesced commits (unsettled group resolution) are invisible.
+            # only append commits ship to the feed. In-place DML commits
+            # (op 'dml') change visible rows in a way file adds cannot
+            # represent — fail the stream loudly, mirroring
+            # Table.read_changes. Pending/aborted coalesced commits
+            # (unsettled group resolution) are invisible.
+            if rec.get("op") == "dml":
+                raise ValueError(
+                    f"change feed cannot represent in-place DML commit {v}; "
+                    "use a version_append table for change-feed consumers"
+                )
             if rec.get("op") != "append":
                 continue
             from timefusion_spark.storage.commitlog import _group_visible
@@ -269,10 +283,17 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
                 # arrow type (not a date32-or-string special case), so an
                 # int/float-partitioned table emits arrays matching the
                 # stream's declared schema — same casting rule as the batch
-                # read path.
-                v = part_vals[name]
+                # read path. Directory names are Hive-ESCAPED ('a b' →
+                # 'a%20b', NULL → the sentinel dir): unescape exactly like
+                # the batch read path, or the stream emits a different key
+                # for the same row.
+                from timefusion_spark.storage.dml import _unescape_partition_value
+
+                v = _unescape_partition_value(part_vals[name])
                 typ = partition.arrow_types[name]
-                if pa.types.is_date(typ):
+                if v is None:
+                    arr = pa.nulls(n, type=typ)
+                elif pa.types.is_date(typ):
                     arr = pa.array([dt.date.fromisoformat(v)] * n, typ)
                 else:
                     arr = pc.cast(pa.array([v] * n, pa.string()), typ)

@@ -252,7 +252,7 @@ def _inplace_rewrite(table: Table, pred: Column, transform) -> int:
         out = out.sortWithinPartitions(
             *[F.col(c) for c in parts], *table._sort_cols()
         )
-    table.overwrite_partitions(out, dirs=dirs)
+    table.overwrite_partitions(out, dirs=dirs, op="dml")
     return n
 
 
@@ -466,7 +466,7 @@ def update_from(
             out = out.sortWithinPartitions(
                 *[F.col(c) for c in parts], *table._sort_cols()
             )
-        table.overwrite_partitions(out, dirs=dirs)
+        table.overwrite_partitions(out, dirs=dirs, op="dml")
         return n
     target = _resolve(table, predicate, project_id, ts_lo, ts_hi).alias("_tgt")
     src = F.broadcast(source.alias("_src"))

@@ -40,6 +40,7 @@ def stateful_running_counts(stream: DataFrame, key_col: str) -> DataFrame:
     guarantee: a resumed query continues counting, never resets) — pinned
     by tests/test_streaming.py. Arrow-batched: each group's rows arrive as
     pandas DataFrames, state is one scalar per key."""
+    from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def _update(key, pdf_iter, state):
@@ -51,9 +52,17 @@ def stateful_running_counts(stream: DataFrame, key_col: str) -> DataFrame:
         state.update((total,))
         yield pd.DataFrame({key_col: [key[0]], "n_events": [total]})
 
+    # key column keeps ITS OWN type — hardcoding 'string' would declare a
+    # schema the Arrow batches don't carry for int/date-keyed streams
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, stream.schema[key_col].dataType),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
     return stream.groupBy(key_col).applyInPandasWithState(
         _update,
-        outputStructType=f"{key_col} string, n_events long",
+        outputStructType=out_schema,
         stateStructType="n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -387,7 +387,9 @@ class Table:
         if added or txn is not None:
             self.log.commit(add=added, txn=txn, op="append", group=group, segment=segment)
 
-    def overwrite_partitions(self, df: DataFrame, dirs: list[str] | None = None) -> None:
+    def overwrite_partitions(
+        self, df: DataFrame, dirs: list[str] | None = None, op: str = "overwrite"
+    ) -> None:
         """Replace exactly the partitions present in `df` (dynamic partition
         overwrite, the replaceWhere analog — database.rs:6344
         recompress_partition), as ONE atomic commit: add the staged files,
@@ -407,7 +409,11 @@ class Table:
             affected |= set(dirs)
         snap = self.log.snapshot()
         removed = [p for p in snap.files if os.path.dirname(p) in affected]
-        self.log.commit(add=added, remove=removed, op="overwrite")
+        # `op` distinguishes LOGICAL-change rewrites (in-place DML passes
+        # op='dml') from same-rows rewrites (compaction's default
+        # 'overwrite') — the change feed treats them oppositely (skip vs
+        # fail-loud, see read_changes).
+        self.log.commit(add=added, remove=removed, op=op)
 
     # ── read path ────────────────────────────────────────────────────────
 
@@ -441,6 +447,17 @@ class Table:
             dv_rel = [p for p in snap_files if p.startswith(DV_DIR + "/")]
             if not data_rel:
                 empty = self.spark.createDataFrame([], self.schema.spark_schema)
+                if _dv_coords:
+                    # callers asking for coordinates (the DV DML path)
+                    # select these columns unconditionally — an empty
+                    # table must match 0 rows, not AnalysisException
+                    empty = empty.withColumns(
+                        {
+                            "_tf_dv_file": F.lit(None).cast("string"),
+                            "_tf_dv_pos": F.lit(None).cast("long"),
+                        }
+                    )
+                    return empty.select(*cols, "_tf_dv_file", "_tf_dv_pos")
                 return empty.select(*cols)
             df = (
                 self.spark.read.schema(self.schema.spark_schema)
@@ -534,12 +551,25 @@ class Table:
 
             if not _group_visible(entry, self.log.log_dir):
                 continue  # pending/aborted coalesced commit: no change yet
-            # Only APPEND commits carry logical changes. Rewrite commits
-            # (compaction / consolidation / z-order / dedup sweep, op
-            # 'overwrite') re-add the same visible rows in new files — the
-            # Delta CDF dataChange=false rule — and retention drops age
-            # data out without a logical delete event (Delta VACUUM
-            # semantics): a feed consumer must see neither.
+            # Only APPEND commits carry representable logical changes.
+            # Rewrite commits (compaction / consolidation / z-order /
+            # dedup sweep, op 'overwrite') re-add the same visible rows
+            # in new files — the Delta CDF dataChange=false rule — and
+            # retention drops age data out without a logical delete event
+            # (Delta VACUUM semantics): a feed consumer must see neither.
+            # IN-PLACE DML commits (op 'dml': partition rewrites and
+            # deletion-vector masks on non-version_append tables) DO
+            # change visible rows, but their files mix changed and
+            # unchanged rows (and DV deletes add no row files at all), so
+            # the feed cannot reconstruct the change set — fail LOUDLY
+            # rather than silently hand consumers a feed missing real
+            # updates. Version-append tables are the CDF-capable shape.
+            if entry.get("op") == "dml":
+                raise ValueError(
+                    f"change feed cannot represent in-place DML commit {v}: "
+                    "its rewrite mixes changed and unchanged rows. Use a "
+                    "version_append table for change-feed consumers."
+                )
             if entry.get("op") != "append":
                 continue
             added = [
@@ -694,7 +724,14 @@ class Table:
         tc = self.schema.time_column
         snap = self.log.snapshot()
         has_dv = any(p.startswith(DV_DIR + "/") for p in snap.files)
-        if self.schema.dedup_keys or self.schema.tombstone_column or has_dv:
+        if (
+            not self.log.exists()  # pre-log table: no per-file stats —
+            # snap.files is empty, and trusting it would return 0 for a
+            # directory full of data; decline to the read-view count
+            or self.schema.dedup_keys
+            or self.schema.tombstone_column
+            or has_dv
+        ):
             n = (
                 self.read()
                 .where((F.col(tc) >= F.lit(lo_ts)) & (F.col(tc) < F.lit(hi_ts)))
