@@ -232,3 +232,93 @@ class TestMinhashLshJoin:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestSubstringDedup:
+    """Exact duplicated-span removal (Lee et al. 2022 ExactSubstr)."""
+
+    K, W = 20, 8  # detection guarantee: spans ≥ K + W - 1 = 27 chars
+
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = D.substring_dedup(df, k=self.K, w=self.W)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_planted_cross_doc_span_removed_once(self, spark):
+        span = "the quick brown fox jumps over the lazy dog again and again tonight"
+        rows = [
+            (1, "alpha beta gamma " + span + " delta epsilon"),
+            (2, "zeta eta theta " + span + " iota kappa"),
+            (3, "completely unique text with no big repeats here at all friend"),
+        ]
+        by = self._run(spark, rows)
+        # canonical (globally first) copy untouched
+        assert by[1]["n_dup_spans"] == 0 and span in by[1]["clean_text"]
+        # duplicate copy loses the span, modulo ≤ W-1 + edge-gram slack
+        assert by[2]["n_dup_spans"] == 1
+        assert span not in by[2]["clean_text"]
+        assert by[2]["removed_chars"] >= len(span) - (self.K + self.W)
+        # removal never reaches the unique flanks
+        assert by[2]["clean_text"].startswith("zeta eta theta ")
+        assert by[2]["clean_text"].endswith(" iota kappa")
+        # untouched doc is byte-identical to its normalized text
+        assert by[3]["n_dup_spans"] == 0 and by[3]["removed_chars"] == 0
+        assert by[3]["clean_text"] == rows[2][1]
+
+    def test_self_repetition_removed(self, spark):
+        span = "repeated boilerplate sentence that shows up twice in one doc"
+        rows = [(1, "head " + span + " middle filler words " + span + " tail")]
+        by = self._run(spark, rows)
+        # second in-doc copy removed, first kept (globally-first semantics)
+        assert by[1]["n_dup_spans"] == 1
+        assert by[1]["clean_text"].count("repeated boilerplate") == 1
+        assert by[1]["clean_text"].startswith("head " + span)
+
+    def test_stitch_invariant_and_null_short_docs(self, spark):
+        rows = [
+            (1, None),
+            (2, "tiny"),
+            (3, "  Mixed   CASE and    whitespace   "),
+        ]
+        by = self._run(spark, rows)
+        for r in by.values():
+            assert r["clean_len"] == len(r["clean_text"])
+            assert r["n_dup_spans"] == 0 and r["removed_chars"] == 0
+        assert by[1]["clean_text"] == ""
+        assert by[3]["clean_text"] == "mixed case and whitespace"
+
+    def test_guarantee_any_long_shared_span_detected(self, spark):
+        # every shared span of length ≥ K + W - 1 must be detected in the
+        # non-canonical copy, wherever it sits in either doc
+        cases = []
+        for j, (pre_a, pre_b) in enumerate(
+            [("", "left pad "), ("start ", ""), ("aa ", "bbbb cc dd ")]
+        ):
+            # fully distinct span text per case — any cross-case shared
+            # 20-gram would make doc 1 the global canonical for all cases
+            alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+            base = " ".join(
+                alphabet[(5 * j + i) % 36 : (5 * j + i) % 36 + 9] for i in range(2, 8)
+            )
+            span = (str(j) * 3 + base)[: self.K + self.W - 1]
+            cases.append((10 * j + 1, pre_a + span + " unique tail " + str(j)))
+            cases.append((10 * j + 2, pre_b + span + " other ending " + str(j)))
+        by = self._run(spark, cases)
+        for j in range(3):
+            a, b = by[10 * j + 1], by[10 * j + 2]
+            # exactly one of the two copies is cut
+            assert (a["removed_chars"] > 0) != (b["removed_chars"] > 0)
+
+    def test_merge_sorted_intervals(self, spark):
+        df = spark.createDataFrame(
+            [([(1, 5), (3, 8), (10, 12), (12, 15), (20, 21)],)],
+            "iv array<struct<a:int,b:int>>",
+        )
+        out = df.select(D.merge_sorted_intervals("iv").alias("m")).collect()[0]["m"]
+        assert [(x["a"], x["b"]) for x in out] == [(1, 8), (10, 15), (20, 21)]
+
+    def test_plan_no_antipatterns(self, spark):
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        plan = _plan(D.substring_dedup(df, k=self.K, w=self.W))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan

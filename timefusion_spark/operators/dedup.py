@@ -630,6 +630,181 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_positions(gh: Column | str, w: int = 4) -> Column:
+    """Distinct winnowing-selected gram POSITIONS (1-based indexes into
+    the gram-hash array) of a MATERIALIZED gram-hash column — the
+    position-carrying twin of `winnow_minima`. Each w-window contributes
+    the index of its LEFTMOST minimum (array_position returns the first
+    match, so ties resolve identically in Spark and DuckDB).
+
+    The winnowing guarantee transfers to positions: two identical
+    substrings of length ≥ w + k − 1 select fingerprints at the SAME
+    offsets relative to the substring start (the hash windows inside the
+    copied region are identical arrays), which is what makes the
+    selection usable as a position-independent anchor for duplicated-SPAN
+    detection — a strided sample could never line up across copies at
+    different offsets.
+
+    `gh` MUST be an attribute (module evaluation-count note)."""
+    gh = F.col(gh) if isinstance(gh, str) else gh
+    return F.array_distinct(
+        F.when(
+            F.size(gh) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(gh) - F.lit(w - 1)),
+                lambda i: i
+                - F.lit(1)
+                + F.array_position(F.slice(gh, i, w), F.array_min(F.slice(gh, i, w))).cast(
+                    "int"
+                ),
+            ),
+        ).otherwise(F.array(F.array_position(gh, F.array_min(gh)).cast("int")))
+    )
+
+
+def merge_sorted_intervals(iv: Column | str) -> Column:
+    """Merge a SORTED array<struct<a:int,b:int>> of half-open [a, b)
+    intervals into disjoint islands (classic sorted-interval merge as a
+    single fold — per-row array work, no extra shuffle). `iv` must be an
+    attribute."""
+    iv = F.col(iv) if isinstance(iv, str) else iv
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    return F.aggregate(
+        iv,
+        F.expr("CAST(array() AS array<struct<a:int,b:int>>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (x["a"] <= last(acc)["b"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["a"].alias("a"),
+                        F.greatest(last(acc)["b"], x["b"]).alias("b"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 8,
+) -> DataFrame:
+    """Exact duplicated-SPAN removal — the Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") ExactSubstr operator,
+    re-expressed for Spark. Where the paper builds a monolithic suffix
+    array over the concatenated corpus, this uses winnowing-anchored
+    k-gram seeds: every duplicated span of length ≥ k + w − 1 (normalized
+    chars) is guaranteed to share fingerprint GRAMS at identical offsets
+    relative to the span, so duplicated regions are found by one
+    equi-shuffle on gram TEXT (exact by construction — the join key is
+    the literal substring, not a hash, so collisions are impossible).
+
+    Semantics: the globally FIRST occurrence of each duplicated gram
+    (ordered by (id, pos)) is canonical and kept; every other occurrence
+    marks its [pos, pos+k) char range for removal. Marks within one
+    duplicated span provably overlap (consecutive winnowing picks are ≤ w
+    gram-positions apart and k ≥ w + 1), so the per-doc interval merge
+    reconstructs each duplicated region as ONE island, modulo ≤ w − 1
+    unanchored chars at the span edges — the same edge slack the paper's
+    implementation accepts. Self-repeats inside a single document are
+    removed too (only the first copy survives), matching the paper.
+
+    Returns one row per input document:
+      (id_col, n_dup_spans, removed_chars, clean_len, clean_text)
+    where clean_text is the normalized text with islands cut out.
+
+    Scale shape (100 TB): gram hashing and fingerprint selection are
+    map-only per-row expression work (O(len·(k+w)) chars per row, zero
+    Python); the only corpus-wide shuffles are the (gram) group —
+    fan-out bounded at ~len/w fingerprints per doc, each group touched
+    by one window pass, never a pairwise join — and the per-doc
+    mark regroup + stitch join. No suffix array, no all-pairs stage,
+    no driver-side state."""
+    if k < w + 1:
+        raise ValueError(f"k must be ≥ w+1 so in-span marks merge (got k={k}, w={w})")
+    from pyspark.sql import Window
+
+    nrm = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("_id"),
+            normalize_text(F.coalesce(F.col(text_col), F.lit(""))).alias("_s"),
+        )
+    ).localCheckpoint(eager=True)
+    # HARD barrier between the gram-hash pass and the window-minima pass
+    # (winnow_shared_pairs note: CollapseProject would inline the hash
+    # pass into the per-window lambda — O(len²·k) per row).
+    gh = nrm.select(
+        "_id", "_s", winnow_gram_hashes(F.col("_s"), k).alias("_gh")
+    ).localCheckpoint(eager=True)
+    occ = gh.select(
+        "_id", "_s", F.explode(winnow_positions("_gh", w)).alias("_pos")
+    ).select("_id", "_pos", F.col("_s").substr(F.col("_pos"), F.lit(k)).alias("_gram"))
+    wg = Window.partitionBy("_gram")
+    marked = occ.select(
+        "_id",
+        "_pos",
+        F.row_number().over(wg.orderBy("_id", "_pos")).alias("_rn"),
+        F.count(F.lit(1)).over(wg).alias("_cnt"),
+    )
+    marks = marked.where((F.col("_cnt") >= 2) & (F.col("_rn") > 1)).select(
+        "_id",
+        F.col("_pos").alias("a"),
+        (F.col("_pos") + F.lit(k)).alias("b"),
+    )
+    islands = (
+        marks.groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("a", "b"))).alias("_iv"))
+        .select("_id", F.col("_iv").alias("_iv_sorted"))
+        .select("_id", merge_sorted_intervals("_iv_sorted").alias("_isl"))
+    )
+    joined = nrm.join(islands, "_id", "left").select(
+        "_id",
+        "_s",
+        F.coalesce(
+            # clamp island ends to len+1 so short-doc grams (substr clamps
+            # below k chars) never claim chars past the end of the string
+            F.transform(
+                F.col("_isl"),
+                lambda x: F.struct(
+                    x["a"].alias("a"),
+                    F.least(x["b"], F.length("_s") + F.lit(1)).alias("b"),
+                ),
+            ),
+            F.expr("CAST(array() AS array<struct<a:int,b:int>>)"),
+        ).alias("_isl"),
+    )
+    isl = F.col("_isl")
+    s = F.col("_s")
+    stitched = F.aggregate(
+        isl,
+        F.struct(F.lit("").alias("txt"), F.lit(1).alias("cur")),
+        lambda acc, x: F.struct(
+            F.concat(acc["txt"], s.substr(acc["cur"], x["a"] - acc["cur"])).alias("txt"),
+            x["b"].alias("cur"),
+        ),
+        lambda acc: F.concat(acc["txt"], s.substr(acc["cur"], F.length(s) - acc["cur"] + 1)),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.size(isl).cast("long").alias("n_dup_spans"),
+        F.aggregate(
+            isl, F.lit(0), lambda acc, x: acc + (x["b"] - x["a"])
+        ).cast("long").alias("removed_chars"),
+        stitched.alias("clean_text"),
+    ).select(
+        id_col,
+        "n_dup_spans",
+        "removed_chars",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        "clean_text",
+    )
+
+
 def minhash_lsh_join(
     corpus: DataFrame,
     probe: DataFrame,

@@ -273,6 +273,95 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT doc_id,
+             lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ), gr AS (
+      -- outer index is j: the poly-hash mirror's inner lambda binds i
+      SELECT doc_id, s,
+             list_transform(range(1, greatest(length(s) - 19, 1) + 1),
+                            j -> {_H.format(s='s[j:j+19]')}) AS gh
+      FROM nrm
+    ), fp AS (
+      SELECT doc_id, s,
+             list_distinct(CASE WHEN len(gh) >= 8
+                  THEN list_transform(range(1, len(gh) - 7 + 1),
+                                      j -> j - 1 + list_position(gh[j:j+7], list_min(gh[j:j+7])))
+                  ELSE [list_position(gh, list_min(gh))] END) AS pos
+      FROM gr
+    ), occ AS (
+      SELECT doc_id, unnest(pos) AS p, s FROM fp
+    ), occ2 AS (
+      SELECT doc_id, p, s[p:p+19] AS gram FROM occ
+    ), marked AS (
+      SELECT doc_id, p,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn,
+             count(*) OVER (PARTITION BY gram) AS cnt
+      FROM occ2
+    ), marks AS (
+      SELECT doc_id, p AS a, p + 20 AS b FROM marked WHERE cnt >= 2 AND rn > 1
+    ), isl0 AS (
+      SELECT doc_id, a, b,
+             CASE WHEN a <= coalesce(max(b) OVER (PARTITION BY doc_id ORDER BY a, b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 0 ELSE 1 END AS brk
+      FROM marks
+    ), isl AS (
+      SELECT doc_id, a, b,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY a, b ROWS UNBOUNDED PRECEDING) AS gid
+      FROM isl0
+    ), islands AS (
+      SELECT i.doc_id, gid, min(a) AS ia, least(max(b), length(any_value(n.s)) + 1) AS ib
+      FROM isl i JOIN nrm n USING (doc_id)
+      GROUP BY i.doc_id, gid
+    ), segs AS (
+      SELECT doc_id, coalesce(lag(ib) OVER (PARTITION BY doc_id ORDER BY ia), 1) AS sa,
+             ia AS sb_excl
+      FROM islands
+      UNION ALL
+      SELECT doc_id, max(ib) AS sa, NULL AS sb_excl FROM islands GROUP BY 1
+    ), built AS (
+      SELECT g.doc_id,
+             string_agg(CASE WHEN sb_excl IS NULL THEN n.s[sa:length(n.s)]
+                             ELSE n.s[sa:sb_excl - 1] END, '' ORDER BY sa) AS clean
+      FROM segs g JOIN nrm n USING (doc_id)
+      GROUP BY 1
+    ), agg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_dup_spans, sum(ib - ia)::BIGINT AS removed_chars
+      FROM islands GROUP BY 1
+    )
+    SELECT n.doc_id,
+           coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+           coalesce(a.removed_chars, 0)::BIGINT AS removed_chars,
+           length(coalesce(b.clean, n.s))::BIGINT AS clean_len,
+           coalesce(b.clean, n.s) AS clean_text
+    FROM nrm n
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN built b USING (doc_id)
+    ORDER BY n.doc_id
+    """,
+    doc="Exact duplicated-SPAN removal (Lee et al. 2022 ExactSubstr): "
+    "winnowing-anchored k=20-gram seeds (w=8 windows — every duplicated "
+    "span ≥ 27 normalized chars is guaranteed anchored at identical "
+    "relative offsets in both copies), grouped on the literal gram TEXT "
+    "(collision-free), globally-first occurrence kept, every other "
+    "occurrence's [pos, pos+20) range marked, per-doc marks merged into "
+    "islands (in-span marks provably overlap since k ≥ w+1) and cut out "
+    "of the text. Spark-first: suffix-array-free — gram hashing and "
+    "fingerprint selection are map-only JVM expressions; the corpus-wide "
+    "work is one (gram) window shuffle + one per-doc regroup. Oracle "
+    "reproduces the hash, argmin windowing, mark, merge and stitch "
+    "bit-for-bit in SQL (gaps-and-islands + ordered string_agg).",
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dd.substring_dedup(d, k=20, w=8).orderBy("doc_id")
+
+
+@query(
     "q_fuzzy_decontamination",
     oracle=f"""
     WITH tok AS (

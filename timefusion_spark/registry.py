@@ -128,7 +128,11 @@ PRIORITY: tuple[str, ...] = (
     # code path. Rotated out: q_asof_join (multi-round certified,
     # unchanged).
     "q_fuzzy_decontamination",
-    "q_jsonpath_filters",
+    # new round 8 (late): exact duplicated-span removal (Lee et al.
+    # ExactSubstr) — fresh winnow-anchor / interval-merge / stitch code
+    # path with a full SQL mirror oracle. Rotated out: q_jsonpath_filters
+    # (multi-round certified, unchanged).
+    "q_dedup_substring",
     "q_media_bmp_decode",
     "q_time_travel",
     "q_table_changes",
