@@ -727,8 +727,6 @@ def substring_dedup(
     no driver-side state."""
     if k < w + 1:
         raise ValueError(f"k must be ≥ w+1 so in-span marks merge (got k={k}, w={w})")
-    from pyspark.sql import Window
-
     nrm = ensure_parallelism(
         df.select(
             F.col(id_col).alias("_id"),
@@ -744,17 +742,31 @@ def substring_dedup(
     occ = gh.select(
         "_id", "_s", F.explode(winnow_positions("_gh", w)).alias("_pos")
     ).select("_id", "_pos", F.col("_s").substr(F.col("_pos"), F.lit(k)).alias("_gram"))
-    wg = Window.partitionBy("_gram")
-    marked = occ.select(
-        "_id",
-        "_pos",
-        F.row_number().over(wg.orderBy("_id", "_pos")).alias("_rn"),
-        F.count(F.lit(1)).over(wg).alias("_cnt"),
+    # Canonical selection via PARTIAL-AGGREGATABLE min(struct), not a
+    # row_number window: a boilerplate gram duplicated across millions of
+    # docs would put every occurrence in ONE window partition (windows
+    # sort whole partitions and AQE cannot split them); groupBy+min
+    # combines map-side so a hot gram reduces to one row per task, and
+    # the occ⋈canon equi-join below stays a sort-merge join that AQE's
+    # skew handling CAN split. min(struct(_id,_pos)) = the globally
+    # first occurrence under (id, pos) order — identical semantics.
+    canon = (
+        occ.groupBy("_gram")
+        .agg(
+            F.min(F.struct("_id", "_pos")).alias("_first"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .where(F.col("_cnt") >= 2)
+        .select("_gram", "_first")
     )
-    marks = marked.where((F.col("_cnt") >= 2) & (F.col("_rn") > 1)).select(
-        "_id",
-        F.col("_pos").alias("a"),
-        (F.col("_pos") + F.lit(k)).alias("b"),
+    marks = (
+        occ.join(canon, "_gram")
+        .where(F.struct("_id", "_pos") != F.col("_first"))
+        .select(
+            "_id",
+            F.col("_pos").alias("a"),
+            (F.col("_pos") + F.lit(k)).alias("b"),
+        )
     )
     islands = (
         marks.groupBy("_id")
