@@ -64,6 +64,9 @@ HEADLINE = [
     "q_text_search_indexed",
     # round 8: BM25 ranked retrieval (two corpus scans, no tf shuffle)
     "q_bm25_rank",
+    # round 8 (late): exact duplicated-span removal — winnow-anchored
+    # ExactSubstr (map-only hashing + one gram shuffle + stitch)
+    "q_dedup_substring",
 ]
 
 
