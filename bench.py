@@ -65,8 +65,9 @@ HEADLINE = [
     # round 8: BM25 ranked retrieval (two corpus scans, no tf shuffle)
     "q_bm25_rank",
     # round 8 (late): exact duplicated-span removal — winnow-anchored
-    # ExactSubstr (map-only hashing + one gram shuffle + stitch)
-    "q_dedup_substring",
+    # ExactSubstr via the Arrow rolling-hash kernel (the throughput path;
+    # the expression twin q_dedup_substring stays oracle-gated)
+    "q_dedup_substring_arrow",
 ]
 
 

@@ -322,3 +322,23 @@ class TestSubstringDedup:
         plan = _plan(D.substring_dedup(df, k=self.K, w=self.W))
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+    def test_arrow_kernel_bit_identical(self, spark):
+        # adversarial shapes: unicode codepoints (ascii() = codepoint),
+        # doc shorter than k, empty, None, ties in window minima
+        # (repeated chars), and a real duplicated span
+        span = "the quick brown fox jumps over the lazy dog again tonight"
+        rows = [
+            (1, "alpha beta gamma " + span + " delta"),
+            (2, "zeta eta theta " + span + " iota"),
+            (3, "héllo wörld ünïcode çhars " + span),
+            (4, None),
+            (5, "tiny"),
+            (6, "a" * 60),
+            (7, "ab" * 40),
+            (8, "x y " + "z" * 25 + " w v " + "z" * 25 + " end"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = D.substring_dedup(df, k=self.K, w=self.W, kernel="expr").orderBy("doc_id")
+        b = D.substring_dedup(df, k=self.K, w=self.W, kernel="arrow").orderBy("doc_id")
+        assert a.collect() == b.collect()

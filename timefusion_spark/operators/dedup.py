@@ -687,12 +687,81 @@ def merge_sorted_intervals(iv: Column | str) -> Column:
     )
 
 
+# Cached modular power tables for the Arrow winnow kernel (per executor,
+# grown geometrically on demand: 31^j and 31^-j mod P for j = 0..cap).
+_POW_TABLES: dict[str, "object"] = {}
+
+
+def _pow_tables(n: int):
+    import numpy as np
+
+    cur = _POW_TABLES.get("pow")
+    if cur is None or len(cur) <= n:
+        cap = max(2 * n, 4096)
+        inv31 = pow(31, HASH_PRIME - 2, HASH_PRIME)
+        powp = np.empty(cap + 1, dtype=np.int64)
+        invp = np.empty(cap + 1, dtype=np.int64)
+        powp[0] = invp[0] = 1
+        p, q = 1, 1
+        for j in range(1, cap + 1):
+            p = p * 31 % HASH_PRIME
+            q = q * inv31 % HASH_PRIME
+            powp[j] = p
+            invp[j] = q
+        _POW_TABLES["pow"], _POW_TABLES["inv"] = powp, invp
+    return _POW_TABLES["pow"], _POW_TABLES["inv"]
+
+
+def _winnow_seed_kernel(k: int, w: int):
+    """Build the mapInPandas kernel: (_id, _s) batches → (_id, _pos, _gram)
+    winnowing seed occurrences. Bit-identical to the expression path:
+    the O(len) vectorized rolling hash reproduces `poly_hash` exactly
+    (H[i] = 31^i · Σ c_j·31^-j mod P over unicode CODEPOINTS — Spark's
+    ascii()), numpy argmin picks the leftmost window minimum exactly like
+    array_position's first match, and gram text is sliced by codepoint
+    like substr. int64 bounds: Σ of ≤9·10⁹ terms < P each fits; every
+    product of two mod-P residues < P² ≈ 10¹⁸ < 2⁶³."""
+    import numpy as np
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_pos, out_gram = [], [], []
+            for i_, s in zip(pdf["_id"].values, pdf["_s"].values):
+                s = s or ""
+                c = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+                n = len(c)
+                powp, invp = _pow_tables(max(n, k))
+                S = np.concatenate(
+                    [[0], np.cumsum(c * invp[1 : n + 1] % HASH_PRIME)]
+                )
+                H = powp[: n + 1] * (S % HASH_PRIME) % HASH_PRIME
+                if n < k:
+                    g = H[n : n + 1]
+                else:
+                    p = np.arange(1, n - k + 2)
+                    g = (H[p + k - 1] - H[p - 1] * powp[k]) % HASH_PRIME
+                if len(g) >= w:
+                    wins = np.lib.stride_tricks.sliding_window_view(g, w)
+                    pos = np.unique(wins.argmin(axis=1) + np.arange(len(wins)) + 1)
+                else:
+                    pos = np.array([int(g.argmin()) + 1])
+                out_id.extend([i_] * len(pos))
+                out_pos.extend(int(x) for x in pos)
+                out_gram.extend(s[x - 1 : x - 1 + k] for x in pos)
+            yield pd.DataFrame({"_id": out_id, "_pos": out_pos, "_gram": out_gram})
+
+    return fn
+
+
 def substring_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 20,
     w: int = 8,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Exact duplicated-SPAN removal — the Lee et al. 2022 ("Deduplicating
     Training Data Makes Language Models Better") ExactSubstr operator,
@@ -719,12 +788,19 @@ def substring_dedup(
     where clean_text is the normalized text with islands cut out.
 
     Scale shape (100 TB): gram hashing and fingerprint selection are
-    map-only per-row expression work (O(len·(k+w)) chars per row, zero
-    Python); the only corpus-wide shuffles are the (gram) group —
-    fan-out bounded at ~len/w fingerprints per doc, each group touched
-    by one window pass, never a pairwise join — and the per-doc
-    mark regroup + stitch join. No suffix array, no all-pairs stage,
-    no driver-side state."""
+    map-only per-row work (zero shuffle); the only corpus-wide shuffles
+    are the (gram) group — fan-out bounded at ~len/w fingerprints per
+    doc, each group touched by one partial-aggregatable pass, never a
+    pairwise join — and the per-doc mark regroup + stitch join. No
+    suffix array, no all-pairs stage, no driver-side state.
+
+    `kernel` picks the seed-extraction path, both bit-identical:
+    - "expr" (default): pure JVM expressions — O(len·k) char folds in
+      whole-stage codegen, zero Python anywhere;
+    - "arrow": vectorized Arrow mapInPandas kernel — O(len) rolling
+      prefix hash + O(len·w) window argmin per row, the hot-loop shape
+      for large k (the q_ann_arrow_topk precedent: Arrow batches, numpy
+      inner loop, still map-only with no shuffle)."""
     if k < w + 1:
         raise ValueError(f"k must be ≥ w+1 so in-span marks merge (got k={k}, w={w})")
     nrm = ensure_parallelism(
@@ -733,15 +809,27 @@ def substring_dedup(
             normalize_text(F.coalesce(F.col(text_col), F.lit(""))).alias("_s"),
         )
     ).localCheckpoint(eager=True)
-    # HARD barrier between the gram-hash pass and the window-minima pass
-    # (winnow_shared_pairs note: CollapseProject would inline the hash
-    # pass into the per-window lambda — O(len²·k) per row).
-    gh = nrm.select(
-        "_id", "_s", winnow_gram_hashes(F.col("_s"), k).alias("_gh")
-    ).localCheckpoint(eager=True)
-    occ = gh.select(
-        "_id", "_s", F.explode(winnow_positions("_gh", w)).alias("_pos")
-    ).select("_id", "_pos", F.col("_s").substr(F.col("_pos"), F.lit(k)).alias("_gram"))
+    if kernel == "arrow":
+        id_type = dict(nrm.dtypes)["_id"]
+        occ = nrm.mapInPandas(
+            _winnow_seed_kernel(k, w), schema=f"_id {id_type}, _pos int, _gram string"
+        )
+    elif kernel == "expr":
+        # HARD barrier between the gram-hash pass and the window-minima pass
+        # (winnow_shared_pairs note: CollapseProject would inline the hash
+        # pass into the per-window lambda — O(len²·k) per row). A staged
+        # split-once codes-array variant was measured SLOWER (higher-order
+        # folds are interpreted either way; the extra checkpoint dominates),
+        # so the per-gram substr fold stays; `kernel="arrow"` is the fast
+        # path for throughput-bound corpora.
+        gh = nrm.select(
+            "_id", "_s", winnow_gram_hashes(F.col("_s"), k).alias("_gh")
+        ).localCheckpoint(eager=True)
+        occ = gh.select(
+            "_id", "_s", F.explode(winnow_positions("_gh", w)).alias("_pos")
+        ).select("_id", "_pos", F.col("_s").substr(F.col("_pos"), F.lit(k)).alias("_gram"))
+    else:
+        raise ValueError(f"unknown kernel {kernel!r} (expected 'expr' or 'arrow')")
     # Canonical selection via PARTIAL-AGGREGATABLE min(struct), not a
     # row_number window: a boilerplate gram duplicated across millions of
     # docs would put every occurrence in ONE window partition (windows

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from timefusion_spark.operators import dedup as dd
 from timefusion_spark.queries._tables import t
-from timefusion_spark.registry import query
+from timefusion_spark.registry import REGISTRY, query
 
 # DuckDB mirror of operators/dedup.py::poly_hash (acc*31+ascii mod 1e9+7).
 _H = (
@@ -359,6 +359,25 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return dd.substring_dedup(d, k=20, w=8).orderBy("doc_id")
+
+
+@query(
+    "q_dedup_substring_arrow",
+    # Same oracle as q_dedup_substring ON PURPOSE: the Arrow kernel
+    # (O(len) vectorized rolling hash + window argmin) must be
+    # bit-identical to the JVM expression path, so the same SQL mirror
+    # certifies BOTH the dedup semantics and the kernel equality.
+    oracle=REGISTRY["q_dedup_substring"].oracle,
+    doc="Arrow scale-path twin of q_dedup_substring: seed extraction via "
+    "a vectorized mapInPandas kernel (modular-inverse prefix hash — "
+    "H[i] = 31^i·Σ c_j·31^-j mod P — reproduces poly_hash exactly over "
+    "unicode codepoints in O(len); numpy sliding-window argmin = the "
+    "leftmost-minimum winnowing pick). Map-only like the expression "
+    "path; the downstream mark/merge/stitch pipeline is shared.",
+)
+def q_dedup_substring_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dd.substring_dedup(d, k=20, w=8, kernel="arrow").orderBy("doc_id")
 
 
 @query(
