@@ -342,3 +342,111 @@ class TestSubstringDedup:
         a = D.substring_dedup(df, k=self.K, w=self.W, kernel="expr").orderBy("doc_id")
         b = D.substring_dedup(df, k=self.K, w=self.W, kernel="arrow").orderBy("doc_id")
         assert a.collect() == b.collect()
+
+
+def _substring_dedup_model(rows, k, w):
+    """Independent pure-Python model of substring_dedup (same contract,
+    written directly from the spec: normalize → k-gram poly hashes →
+    winnow leftmost-minimum positions → gram-text groups → globally-first
+    canonical → per-doc merge + stitch)."""
+    import re
+    from collections import defaultdict
+
+    P = 1_000_000_007
+
+    def norm(t):
+        return re.sub(r"\s+", " ", (t or "").strip()).lower()
+
+    def phash(s):
+        a = 0
+        for ch in s:
+            a = (a * 31 + ord(ch)) % P
+        return a
+
+    nrm = {i: norm(t) for i, t in rows}
+    groups = defaultdict(list)
+    for i in sorted(nrm):
+        s = nrm[i]
+        n = len(s)
+        g = [phash(s)] if n < k else [phash(s[p : p + k]) for p in range(n - k + 1)]
+        if len(g) >= w:
+            pos = sorted(
+                {min(range(j, j + w), key=lambda x: (g[x], x)) + 1 for j in range(len(g) - w + 1)}
+            )
+        else:
+            pos = [min(range(len(g)), key=lambda x: (g[x], x)) + 1]
+        for p in pos:
+            groups[s[p - 1 : p - 1 + k]].append((i, p))
+    marks = defaultdict(list)
+    for lst in groups.values():
+        if len(lst) >= 2:
+            first = min(lst)
+            for i, p in lst:
+                if (i, p) != first:
+                    marks[i].append((p, p + k))
+    out = {}
+    for i, s in nrm.items():
+        merged = []
+        for a, b in sorted(marks.get(i, [])):
+            if merged and a <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+            else:
+                merged.append((a, b))
+        merged = [(a, min(b, len(s) + 1)) for a, b in merged]
+        clean, cur = [], 1
+        for a, b in merged:
+            clean.append(s[cur - 1 : a - 1])
+            cur = b
+        clean.append(s[cur - 1 :])
+        ct = "".join(clean)
+        out[i] = (len(merged), sum(b - a for a, b in merged), len(ct), ct)
+    return out
+
+
+class TestSubstringDedupProperties:
+    """Hypothesis: both kernels vs the independent Python model, on small
+    low-entropy corpora (alphabet 'ab ' breeds natural repeats) with one
+    planted shared span. Few examples — every example pays Spark jobs."""
+
+    def test_matches_model(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        K, W = 12, 4
+        doc = st.text(alphabet="ab ", min_size=0, max_size=90)
+
+        @settings(
+            max_examples=5,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            docs=st.lists(doc, min_size=3, max_size=5),
+            span=st.text(alphabet="xy z", min_size=20, max_size=28),
+        )
+        def prop(docs, span):
+            rows = [(i, t) for i, t in enumerate(docs)]
+            rows.append((100, "prefix " + span + " one"))
+            rows.append((101, "other lead " + span + " two"))
+            expected = _substring_dedup_model(rows, K, W)
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            for kern in ("expr", "arrow"):
+                got = {
+                    r["doc_id"]: (
+                        r["n_dup_spans"],
+                        r["removed_chars"],
+                        r["clean_len"],
+                        r["clean_text"],
+                    )
+                    for r in D.substring_dedup(df, k=K, w=W, kernel=kern).collect()
+                }
+                assert got == expected, f"kernel={kern}"
+
+        prop()
+
+
+def test_ngram_sig_kernels_identical(spark, planted):
+    df = planted.withColumn("src", F.lit("s"))
+    a = D.ngram_jaccard_pairs(df, block_col="src", threshold=0.6, sig_kernel="expr")
+    b = D.ngram_jaccard_pairs(df, block_col="src", threshold=0.6, sig_kernel="arrow")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

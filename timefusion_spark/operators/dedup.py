@@ -5,7 +5,9 @@ content-dedup analogs for training-data pipelines.)
 
 Design for 100 TB:
 - all hashing is per-row JVM expression arithmetic (no Python, no UDF) —
-  embarrassingly parallel, no shuffle;
+  embarrassingly parallel, no shuffle; the one exception is opt-in:
+  `substring_dedup(kernel="arrow")` swaps its seed extraction for a
+  vectorized Arrow mapInPandas kernel (still map-only, bit-identical);
 - EVERY near-dup operator generates candidates via banded LSH — shuffle
   only on (band, band_key) buckets, O(candidates) pair space, never O(n²);
 - the exact-jaccard verify recomputes shingle/gram sets only for candidate
@@ -552,6 +554,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     threshold: float = 0.5,
     ngram_n: int = 5,
+    sig_kernel: str = "expr",
 ) -> DataFrame:
     """Exact char-n-gram Jaccard near-dup pairs.
 
@@ -563,7 +566,14 @@ def ngram_jaccard_pairs(
     surviving pair is verified with EXACT jaccard over the true gram sets,
     so the output equals the all-pairs ground truth wherever LSH recall
     holds (≥0.999 at the 0.6 verify threshold; see NGRAM_LSH_BANDS note).
-    """
+
+    `sig_kernel` picks how the 32 permutation minima are computed over
+    the (full-universe — see the no-sampling note below) gram hashes,
+    bit-identical either way: "expr" = n_hashes interpreted array folds
+    per row, zero Python; "arrow" = one vectorized numpy broadcast per
+    Arrow batch — the throughput path now that signatures span every
+    gram (the sampling removal quadrupled the expression path's hash
+    work; the kernel wins it back and more)."""
     blk = [F.col(block_col).alias("_blk")] if block_col else []
     blk_names = ["_blk"] if block_col else []
     nrm = ensure_parallelism(
@@ -590,15 +600,25 @@ def ngram_jaccard_pairs(
     # systematically screened out (a false negative no margin recovers).
     # Mod-sketch sampling is only sound when BOTH sides sample, which no
     # per-document rule can guarantee — so no sampling.
-    sigs = nrm.select(
-        "_id", *blk_names, raw_gram_hashes.alias("_gh")
-    ).select(
-        "_id",
-        *blk_names,
-        minhash_signature_from_hashes(
-            "_gh", NGRAM_LSH_BANDS * NGRAM_LSH_ROWS
-        ).alias("_sig"),
-    )
+    gh_frame = nrm.select("_id", *blk_names, raw_gram_hashes.alias("_gh"))
+    n_sig = NGRAM_LSH_BANDS * NGRAM_LSH_ROWS
+    if sig_kernel == "arrow":
+        id_type = dict(gh_frame.dtypes)["_id"]
+        blk_schema = (
+            f", _blk {dict(gh_frame.dtypes)['_blk']}" if block_col else ""
+        )
+        sigs = gh_frame.mapInPandas(
+            _minhash_sig_arrow_kernel(n_sig, blk_names),
+            schema=f"_id {id_type}{blk_schema}, _sig array<long>",
+        )
+    elif sig_kernel == "expr":
+        sigs = gh_frame.select(
+            "_id",
+            *blk_names,
+            minhash_signature_from_hashes("_gh", n_sig).alias("_sig"),
+        )
+    else:
+        raise ValueError(f"unknown sig_kernel {sig_kernel!r} (expected 'expr' or 'arrow')")
     grams = nrm.select(
         "_id", *blk_names, char_ngrams_from_norm(F.col("_s"), ngram_n).alias("_grams")
     )
@@ -628,6 +648,38 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _minhash_sig_arrow_kernel(n_hashes: int, passthrough: list[str]):
+    """Build a mapInPandas kernel computing the SAME MinHash signature as
+    `minhash_signature_from_hashes` — min over pmod(a·h + b, P) per seed —
+    vectorized: one (seeds × gram-chunk) int64 broadcast multiply per
+    chunk instead of n_hashes interpreted array passes per row. Values
+    are bit-identical (a, h, b < P so a·h + b < P² ≈ 10¹⁸ < 2⁶³; numpy %
+    matches pmod on non-negative operands). Chunking bounds the temp to
+    seeds × 64Ki int64 (~16 MB) regardless of document size."""
+    import numpy as np
+
+    A = np.array([a for a, _ in MINHASH_SEEDS[:n_hashes]], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in MINHASH_SEEDS[:n_hashes]], dtype=np.int64)[:, None]
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sigs = []
+            for gh in pdf["_gh"].values:
+                h = np.asarray(gh, dtype=np.int64)
+                best = np.full(n_hashes, HASH_PRIME, dtype=np.int64)
+                for off in range(0, h.size, 65536):
+                    seg = h[off : off + 65536][None, :]
+                    np.minimum(best, ((A * seg + B) % HASH_PRIME).min(axis=1), out=best)
+                sigs.append(best.tolist())
+            out = {c: pdf[c].values for c in ["_id", *passthrough]}
+            out["_sig"] = sigs
+            yield pd.DataFrame(out)
+
+    return fn
 
 
 def winnow_positions(gh: Column | str, w: int = 4) -> Column:
@@ -795,8 +847,8 @@ def substring_dedup(
     suffix array, no all-pairs stage, no driver-side state.
 
     `kernel` picks the seed-extraction path, both bit-identical:
-    - "expr" (default): pure JVM expressions — O(len·k) char folds in
-      whole-stage codegen, zero Python anywhere;
+    - "expr" (default): pure JVM expressions — O(len·k) interpreted
+      higher-order char folds, zero Python anywhere;
     - "arrow": vectorized Arrow mapInPandas kernel — O(len) rolling
       prefix hash + O(len·w) window argmin per row, the hot-loop shape
       for large k (the q_ann_arrow_topk precedent: Arrow batches, numpy
