@@ -450,3 +450,43 @@ def test_ngram_sig_kernels_identical(spark, planted):
     a = D.ngram_jaccard_pairs(df, block_col="src", threshold=0.6, sig_kernel="expr")
     b = D.ngram_jaccard_pairs(df, block_col="src", threshold=0.6, sig_kernel="arrow")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestDegenerateBuckets:
+    """bucket_cap: a near-identical cluster collides in EVERY band; the
+    capped path must return the identical pair set while expanding the
+    hot bucket through the skew-splittable join, not one collect_list."""
+
+    def test_hot_bucket_join_equals_array_path(self, spark):
+        # 60 identical docs (one LSH cluster) + 6 distinct docs
+        rows = [(i, "the exact same boilerplate sentence repeated verbatim") for i in range(60)]
+        rows += [(100 + i, f"unique document number {i} with its own words {i}") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = (
+            df.select("doc_id", D.normalize_text(F.col("text")).alias("_s"))
+            .select(
+                F.col("doc_id").alias("_id"),
+                D.minhash_signature_from_hashes(
+                    D.token_hashes(F.col("_s")), 16
+                ).alias("_sig"),
+            )
+        )
+        uncapped = D.banded_candidate_pairs(sigs, 4, 4, bucket_cap=10**9)
+        capped = D.banded_candidate_pairs(sigs, 4, 4, bucket_cap=8)
+        a = sorted(map(tuple, uncapped.collect()))
+        b = sorted(map(tuple, capped.collect()))
+        assert a == b
+        # the cluster is fully paired: C(60, 2) pairs present
+        assert len([p for p in b if p[0] < 100 and p[1] < 100]) == 60 * 59 // 2
+
+    def test_est_screen_applies_on_hot_path(self, spark):
+        rows = [(i, "same same same same same") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = df.select(
+            F.col("doc_id").alias("_id"),
+            D.minhash_signature_from_hashes(
+                D.token_hashes(D.normalize_text(F.col("text"))), 16
+            ).alias("_sig"),
+        )
+        full = D.banded_candidate_pairs(sigs, 4, 4, est_min=0.9, bucket_cap=4)
+        assert full.count() == 20 * 19 // 2  # identical docs: est = 1.0 everywhere

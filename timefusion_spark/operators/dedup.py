@@ -289,6 +289,7 @@ def banded_candidate_pairs(
     n_rows: int,
     block_col: str | None = None,
     est_min: float | None = None,
+    bucket_cap: int = 512,
 ) -> DataFrame:
     """LSH banding: `sigs` is (_id, _sig array<long>[, block]); emit distinct
     candidate pairs (id_a < id_b) that collide in ≥1 band.
@@ -298,8 +299,22 @@ def banded_candidate_pairs(
     combination) — NOT a bands⋈bands self-join. The self-join shape would
     re-evaluate the (expensive) signature pipeline feeding `sigs` once per
     join side; here it runs exactly once per input row. The pair space is
-    the sum of per-bucket C(size, 2), never global O(n²); LSH bucket sizes
-    are bounded by band selectivity, so collect_list stays small per key.
+    the sum of per-bucket C(size, 2), never global O(n²); normal LSH bucket
+    sizes are bounded by band selectivity, so collect_list stays small.
+
+    `bucket_cap` guards the DEGENERATE case band selectivity cannot bound:
+    a near-identical cluster (boilerplate duplicated across millions of
+    pages) collides in EVERY band, and an uncapped collect_list would
+    materialize the whole cluster in one row and expand C(m, 2) pairs in
+    ONE task — a serialized O(m²) hot spot no amount of executors helps.
+    Buckets larger than the cap are routed through an equi-self-join on
+    the bucket key instead (their C(m, 2) output is demanded by the
+    all-pairs contract either way, but a join distributes the expansion
+    and AQE's skew handling can split the hot key across tasks, neither
+    of which a per-bucket array can do). The hot-key list is found with
+    one map-side-combinable count and is broadcast — tiny by definition
+    (only clusters larger than the cap). Results are IDENTICAL with or
+    without the cap; only the physical expansion changes.
 
     `est_min`: optional inline minhash-agreement prefilter — the fraction of
     agreeing signature positions estimates jaccard at O(len(sig)) per pair
@@ -321,21 +336,31 @@ def banded_candidate_pairs(
             f"x -> cast(x AS string))))))"
         ).alias("b"),
     ).select("m", *blk_names, "b.band", "b.key")
+    keys = ["band", "key", *blk_names]
+
+    hot = (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") > bucket_cap)
+        .select(*keys)
+    )
+    cold_bands = bands.join(F.broadcast(hot), keys, "left_anti")
 
     buckets = (
-        bands.groupBy("band", "key", *blk_names)
+        cold_bands.groupBy(*keys)
         .agg(F.collect_list("m").alias("ms"))
         .where(F.size("ms") > 1)
     )
 
+    def est(xs: Column, ys: Column) -> Column:
+        agree = F.size(F.filter(F.zip_with(xs, ys, lambda p, q: p == q), lambda eq: eq))
+        return agree.cast("double") / F.size(xs)
+
     def pair(x: Column, y: Column) -> Column:
-        agree = F.size(
-            F.filter(F.zip_with(x["s"], y["s"], lambda p, q: p == q), lambda eq: eq)
-        )
         return F.struct(
             F.least(x["i"], y["i"]).alias("id_a"),
             F.greatest(x["i"], y["i"]).alias("id_b"),
-            (agree.cast("double") / F.size(x["s"])).alias("est"),
+            est(x["s"], y["s"]).alias("est"),
         )
 
     ms = F.col("ms")
@@ -348,6 +373,20 @@ def banded_candidate_pairs(
     cand = buckets.select(F.explode(pairs_arr).alias("p")).select(
         "p.id_a", "p.id_b", "p.est"
     )
+
+    hot_bands = bands.join(F.broadcast(hot), keys)
+    ha, hb = hot_bands.alias("ha"), hot_bands.alias("hb")
+    hot_cand = ha.join(
+        hb,
+        [F.col(f"ha.{c}") == F.col(f"hb.{c}") for c in keys]
+        + [F.col("ha.m.i") < F.col("hb.m.i")],
+    ).select(
+        F.col("ha.m.i").alias("id_a"),
+        F.col("hb.m.i").alias("id_b"),
+        est(F.col("ha.m.s"), F.col("hb.m.s")).alias("est"),
+    )
+    cand = cand.unionByName(hot_cand)
+
     if est_min is not None:
         cand = cand.where(F.col("est") >= est_min)
     return cand.select("id_a", "id_b").distinct()
