@@ -289,7 +289,7 @@ def banded_candidate_pairs(
     n_rows: int,
     block_col: str | None = None,
     est_min: float | None = None,
-    bucket_cap: int = 512,
+    bucket_cap: int | None = 512,
 ) -> DataFrame:
     """LSH banding: `sigs` is (_id, _sig array<long>[, block]); emit distinct
     candidate pairs (id_a < id_b) that collide in ≥1 band.
@@ -311,10 +311,16 @@ def banded_candidate_pairs(
     the bucket key instead (their C(m, 2) output is demanded by the
     all-pairs contract either way, but a join distributes the expansion
     and AQE's skew handling can split the hot key across tasks, neither
-    of which a per-bucket array can do). The hot-key list is found with
-    one map-side-combinable count and is broadcast — tiny by definition
-    (only clusters larger than the cap). Results are IDENTICAL with or
-    without the cap; only the physical expansion changes.
+    of which a per-bucket array can do). The hot-key list comes from one
+    map-side-combinable count COLLECTED to the driver — bounded by
+    definition (≤ one key per cluster larger than the cap; the same
+    boundedness a broadcast would assume), and collecting it lets the
+    overwhelmingly common empty case keep the exact pre-guard plan: no
+    anti-join, no empty hot join, just one cheap count job over the
+    checkpointed signatures. Results are IDENTICAL with or without the
+    cap; only the physical expansion changes. `bucket_cap=None` skips
+    the guard (single-consumption plan, no checkpoint) for callers that
+    know their corpus cannot degenerate.
 
     `est_min`: optional inline minhash-agreement prefilter — the fraction of
     agreeing signature positions estimates jaccard at O(len(sig)) per pair
@@ -322,6 +328,14 @@ def banded_candidate_pairs(
     """
     blk = [F.col("_blk")] if block_col else []
     blk_names = ["_blk"] if block_col else []
+    if bucket_cap is not None:
+        # With the cap on, the banding relation is consumed THREE times
+        # below (hot-bucket count, cold anti-join, hot inner join);
+        # materialize the signatures so each consumer re-runs only the
+        # cheap band explode, never the expensive signature pipeline
+        # feeding `sigs` (id + sig ≈ 300 B/doc — the same size class the
+        # winnow/substring pipelines checkpoint).
+        sigs = sigs.localCheckpoint(eager=True)
     # Band structs as ONE nested-loop expression (a transform over the
     # band index) instead of n_bands unrolled struct trees: same values,
     # O(1) Catalyst tree size — plan analysis/optimization time on the
@@ -338,13 +352,33 @@ def banded_candidate_pairs(
     ).select("m", *blk_names, "b.band", "b.key")
     keys = ["band", "key", *blk_names]
 
-    hot = (
-        bands.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_bsz"))
-        .where(F.col("_bsz") > bucket_cap)
-        .select(*keys)
-    )
-    cold_bands = bands.join(F.broadcast(hot), keys, "left_anti")
+    hot_keys: list[tuple] = []
+    if bucket_cap is not None:
+        hot_keys = [
+            tuple(r[c] for c in keys)
+            for r in bands.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") > bucket_cap)
+            .select(*keys)
+            .collect()
+        ]
+    if hot_keys:
+        # Compose (band, key[, blk]) into one string so a literal isin
+        # filter splits hot from cold without any join. Delimiter
+        # collisions are impossible (band is an int, key a dash-joined
+        # decimal string, and the unit separator appears in neither); a
+        # NULL blk is coalesced to the empty field on BOTH sides —
+        # concat_ws would otherwise SKIP the null and desync the format.
+        sep = "\x1f"
+        composed = F.concat_ws(
+            sep, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in keys]
+        )
+        lits = ["\x1f".join("" if v is None else str(v) for v in t) for t in hot_keys]
+        cold_bands = bands.where(~composed.isin(lits))
+        hot_bands = bands.where(composed.isin(lits))
+    else:
+        cold_bands = bands
+        hot_bands = None
 
     buckets = (
         cold_bands.groupBy(*keys)
@@ -374,18 +408,18 @@ def banded_candidate_pairs(
         "p.id_a", "p.id_b", "p.est"
     )
 
-    hot_bands = bands.join(F.broadcast(hot), keys)
-    ha, hb = hot_bands.alias("ha"), hot_bands.alias("hb")
-    hot_cand = ha.join(
-        hb,
-        [F.col(f"ha.{c}") == F.col(f"hb.{c}") for c in keys]
-        + [F.col("ha.m.i") < F.col("hb.m.i")],
-    ).select(
-        F.col("ha.m.i").alias("id_a"),
-        F.col("hb.m.i").alias("id_b"),
-        est(F.col("ha.m.s"), F.col("hb.m.s")).alias("est"),
-    )
-    cand = cand.unionByName(hot_cand)
+    if hot_bands is not None:
+        ha, hb = hot_bands.alias("ha"), hot_bands.alias("hb")
+        hot_cand = ha.join(
+            hb,
+            [F.col(f"ha.{c}") == F.col(f"hb.{c}") for c in keys]
+            + [F.col("ha.m.i") < F.col("hb.m.i")],
+        ).select(
+            F.col("ha.m.i").alias("id_a"),
+            F.col("hb.m.i").alias("id_b"),
+            est(F.col("ha.m.s"), F.col("hb.m.s")).alias("est"),
+        )
+        cand = cand.unionByName(hot_cand)
 
     if est_min is not None:
         cand = cand.where(F.col("est") >= est_min)
