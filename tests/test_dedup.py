@@ -490,3 +490,26 @@ class TestDegenerateBuckets:
         )
         full = D.banded_candidate_pairs(sigs, 4, 4, est_min=0.9, bucket_cap=4)
         assert full.count() == 20 * 19 // 2  # identical docs: est = 1.0 everywhere
+
+
+def test_lsh_join_hot_bucket_equals_array_path(spark):
+    # a boilerplate cluster on BOTH sides: 30 corpus copies + 10 probe
+    # copies of the same text collide in every band; capped and uncapped
+    # paths must return the identical cross-side pair set
+    same = "identical boilerplate text shared by corpus and probe sides"
+    corpus = spark.createDataFrame(
+        [(i, same) for i in range(30)]
+        + [(50 + i, f"corpus only text {i} nothing shared {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100 + i, same) for i in range(10)]
+        + [(200, "probe only text with no match at all")],
+        "doc_id long, text string",
+    )
+    a = D.minhash_lsh_join(corpus, probe, threshold=0.5, bucket_cap=10**9)
+    b = D.minhash_lsh_join(corpus, probe, threshold=0.5, bucket_cap=8)
+    ra = sorted((r["corpus_id"], r["probe_id"]) for r in a.collect())
+    rb = sorted((r["corpus_id"], r["probe_id"]) for r in b.collect())
+    assert ra == rb
+    assert len(rb) == 30 * 10  # full cross-side coverage of the cluster

@@ -1037,6 +1037,7 @@ def minhash_lsh_join(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingle_k: int = 3,
+    bucket_cap: int | None = 512,
 ) -> DataFrame:
     """Cross-corpus near-duplicate JOIN: fuzzy decontamination.
 
@@ -1071,6 +1072,11 @@ def minhash_lsh_join(
         )
 
     u = sigs(corpus, 0).unionByName(sigs(probe, 1))
+    if bucket_cap is not None:
+        # mirror banded_candidate_pairs: the banding relation feeds the
+        # hot-bucket count and both split branches — checkpoint the
+        # signatures so only the cheap explode re-runs
+        u = u.localCheckpoint(eager=True)
     bands = u.select(
         F.struct(
             F.col("_id").alias("i"), F.col("_sig").alias("s"), F.col("_side").alias("d")
@@ -1082,8 +1088,30 @@ def minhash_lsh_join(
             f"x -> cast(x AS string))))))"
         ).alias("b"),
     ).select("m", "b.band", "b.key")
+    # Degenerate-bucket guard (same rationale and mechanics as
+    # banded_candidate_pairs): a boilerplate cluster shared by corpus and
+    # probe collides in every band; its bucket must not materialize as
+    # one collect_list row. Hot buckets expand through a cross-side
+    # equi-join instead — AQE-skew-splittable, and same-side pairs never
+    # form because the join sides are the side-0 and side-1 slices.
+    hot_keys: list[str] = []
+    if bucket_cap is not None:
+        hot_keys = [
+            f"{r['band']}\x1f{r['key']}"
+            for r in bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") > bucket_cap)
+            .select("band", "key")
+            .collect()
+        ]
+    hot_bands = None
+    cold_bands = bands
+    if hot_keys:
+        composed = F.concat_ws("\x1f", F.col("band").cast("string"), F.col("key"))
+        cold_bands = bands.where(~composed.isin(hot_keys))
+        hot_bands = bands.where(composed.isin(hot_keys))
     buckets = (
-        bands.groupBy("band", "key")
+        cold_bands.groupBy("band", "key")
         .agg(F.collect_list("m").alias("ms"))
         .where(F.size("ms") > 1)
     )
@@ -1110,11 +1138,20 @@ def minhash_lsh_join(
         ),
         lambda s: s.isNotNull(),
     )
-    cand = (
-        buckets.select(F.explode(pairs_arr).alias("p"))
-        .select("p.corpus_id", "p.probe_id")
-        .distinct()
+    cand = buckets.select(F.explode(pairs_arr).alias("p")).select(
+        "p.corpus_id", "p.probe_id"
     )
+    if hot_bands is not None:
+        ca_h = hot_bands.where(F.col("m.d") == 0).alias("hc")
+        pb_h = hot_bands.where(F.col("m.d") == 1).alias("hp")
+        hot_cand = ca_h.join(
+            pb_h,
+            (F.col("hc.band") == F.col("hp.band")) & (F.col("hc.key") == F.col("hp.key")),
+        ).select(
+            F.col("hc.m.i").alias("corpus_id"), F.col("hp.m.i").alias("probe_id")
+        )
+        cand = cand.unionByName(hot_cand)
+    cand = cand.distinct()
 
     def shingles(df: DataFrame) -> DataFrame:
         return df.select(
