@@ -104,6 +104,9 @@ def test_no_plan_antipatterns(spark_dfs):
         "q_semantic_dedup",
         "q_ann_knn_join",
         "q_bm25_rank",
+        # funnel: three 1-row stage-count aggregates cross-joined onto
+        # the 1-row n_users aggregate (the scalar-subquery shape)
+        "q_funnel_analysis",
     }
     dfs, errors = spark_dfs
     bad = [f"{n}: build error {e}" for n, e in errors.items()]

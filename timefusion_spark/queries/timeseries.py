@@ -669,40 +669,43 @@ def q_trace_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM t3) AS n_purchased
     """,
     doc="Ordered-funnel analysis (view -> click -> purchase strictly in "
-    "time order): ONE shuffle (groupBy user + collect_list) and a single "
-    "sorted fold per user carrying (stage, last_ts) — the sequential "
-    "event-pattern matcher as a pure higher-order expression, vs the "
-    "oracle's three-pass min-chasing formulation. At 100 TB this is one "
-    "pass over events; per-user state is O(1).",
+    "time order) via greedy min-chasing: earliest view, then earliest "
+    "later click, then earliest later purchase — provably the same "
+    "stage assignment as the sequential automaton (greedy-earliest "
+    "dominates: any feasible chain implies the greedy one is feasible), "
+    "but built ONLY from partial-aggregatable per-user MIN passes and "
+    "user-keyed joins. An earlier revision collected every event per "
+    "user into one sorted array and folded it — O(events-per-user) in a "
+    "single row, which a 100 TB bot user turns into an unspillable "
+    "hot-spot; min aggregations map-side combine and AQE can skew-split "
+    "the joins, so no per-user state ever materializes.",
 )
 def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("_evs")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t1"))
     )
-    folded = per_user.select(
-        "user_id",
-        F.expr(
-            """
-            aggregate(
-              _evs,
-              named_struct('stage', 0L, 't', timestamp'1900-01-01 00:00:00'),
-              (a, e) -> CASE
-                WHEN a.stage = 0 AND e.event_type = 'view'
-                  THEN named_struct('stage', 1L, 't', e.ts)
-                WHEN a.stage = 1 AND e.event_type = 'click' AND e.ts > a.t
-                  THEN named_struct('stage', 2L, 't', e.ts)
-                WHEN a.stage = 2 AND e.event_type = 'purchase' AND e.ts > a.t
-                  THEN named_struct('stage', 3L, 't', e.ts)
-                ELSE a END).stage
-            """
-        ).alias("_stage"),
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("_t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t2"))
     )
-    return folded.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.count(F.when(F.col("_stage") >= 1, 1)).alias("n_viewed"),
-        F.count(F.when(F.col("_stage") >= 2, 1)).alias("n_clicked"),
-        F.count(F.when(F.col("_stage") >= 3, 1)).alias("n_purchased"),
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("_t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t3"))
+    )
+    counts = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        counts.crossJoin(F.broadcast(t1.agg(F.count(F.lit(1)).alias("n_viewed"))))
+        .crossJoin(F.broadcast(t2.agg(F.count(F.lit(1)).alias("n_clicked"))))
+        .crossJoin(F.broadcast(t3.agg(F.count(F.lit(1)).alias("n_purchased"))))
     )
 
 
