@@ -218,7 +218,16 @@ def main() -> int:
         "by per-query Catalyst analysis + whole-stage-codegen compile, which "
         "amortizes to noise at cluster scale. Compare rounds via the "
         "untouched control queries (q1, q_dashboard_count_window) to factor "
-        "out box speed.",
+        "out box speed. Round-8 deliberate deltas vs BENCH_r07: "
+        "q_dedup_ngram_jaccard carries the full-universe-signature "
+        "correctness fix (the removed mod-4 sampling created cross-cutoff "
+        "false negatives; an Arrow signature kernel wins most of it back); "
+        "q_dedup_minhash_lsh/_ngram also pay ~0.3-0.4s for the "
+        "degenerate-bucket guard (one count job; hot boilerplate clusters "
+        "expand via AQE-skew-splittable joins instead of one collect_list "
+        "task); q_funnel_analysis moved from a per-user array fold "
+        "(unspillable under a bot user) to greedy min-chasing — slower at "
+        "this sf, skew-safe at corpus scale.",
         **extra,
     }
     try:

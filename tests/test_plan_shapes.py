@@ -308,16 +308,21 @@ def test_corpus_mixing_broadcasts_rates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_funnel_has_single_shuffle(spark, sf_dir):
-    """The funnel fold must ride on ONE groupBy exchange (plus AQE reads)
-    — the sequential matcher adds no joins or extra shuffles."""
+def test_funnel_min_chasing_shape(spark, sf_dir):
+    """The funnel is greedy min-chasing: partial-aggregatable per-user
+    MIN passes + user-keyed equi-joins (never a per-user collect_list —
+    an array fold is unspillable under a bot user), with the three 1-row
+    stage counts riding the scalar-subquery broadcast shape. Every
+    event_type filter must reach the scan as a pushed filter."""
     from timefusion_spark.registry import REGISTRY, load_all
 
     load_all()
     df = REGISTRY["q_funnel_analysis"].spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") <= 2  # user groupBy + final agg
-    assert "Join" not in plan
+    assert "collect_list" not in plan and "sort_array" not in plan
+    assert "partial_min" in plan  # map-side combine on every stage MIN
+    assert "CartesianProduct" not in plan
+    assert plan.count("EqualTo(event_type,") >= 3  # pushed stage filters
 
 
 def test_q7_broadcasts_all_dimensions(spark, sf_dir):
