@@ -513,3 +513,34 @@ def test_lsh_join_hot_bucket_equals_array_path(spark):
     rb = sorted((r["corpus_id"], r["probe_id"]) for r in b.collect())
     assert ra == rb
     assert len(rb) == 30 * 10  # full cross-side coverage of the cluster
+
+
+def test_streaming_online_dedup_semantics(spark, tmp_path):
+    """Online dedup-at-ingest on a tiny planted stream: the second copy of
+    a near-dup pair is dropped wherever it lands (same batch or a later
+    one), and 'prior' means stream history — a doc similar ONLY to an
+    already-dropped doc is still dropped (history indexes all seen docs)."""
+    import os
+
+    from timefusion_spark.registry import REGISTRY, load_all
+
+    load_all()
+    words = [f"tok{i}" for i in range(30)]
+    base_text = " ".join(words)
+    near = " ".join(words[:-2] + ["xx", "yy"])       # J vs base ≈ 0.78
+    near2 = " ".join(words[:-2] + ["zz", "ww"])      # J vs base ≈ 0.78, vs near ≈ 0.72
+    rows = [
+        (0, base_text),
+        (1, "completely different content " + " ".join(f"a{i}" for i in range(25))),
+        (2, near),       # dup of 0 → dropped
+        (3, near2),      # dup of 0 AND of (dropped) 2 → dropped either way
+        (4, "another unique text " + " ".join(f"b{i}" for i in range(25))),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    out = REGISTRY["q_streaming_dedup_online"].spark_fn(spark, sf_dir)
+    kept = [r["doc_id"] for r in out.collect()]
+    assert kept == [0, 1, 4]

@@ -430,3 +430,153 @@ def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "corpus_id", "probe_id", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("corpus_id", "probe_id")
+
+
+@query(
+    "q_streaming_dedup_online",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SHINGLES3} AS shingles FROM tok
+    ), inv AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), siz AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), dup AS (
+      SELECT ia, ib
+      FROM inter
+      JOIN siz sa ON sa.doc_id = ia
+      JOIN siz sb ON sb.doc_id = ib
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+    )
+    SELECT d.doc_id
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.ib = d.doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="STREAMING online near-dup dedup — dedup-at-ingest, the shape a "
+    "training pipeline runs so duplicates never land: documents arrive "
+    "in doc_id order over four micro-batches (file source, "
+    "maxFilesPerTrigger=1, mtime-ordered); each batch drops any doc "
+    "whose word-shingle jaccard ≥ 0.5 against ANY prior doc — earlier "
+    "in-batch docs or the persisted signature index of all previously "
+    "seen docs (kept or dropped — 'prior' is stream history, which is "
+    "what makes the semantics order-deterministic AND closed-form). "
+    "Candidates come from the same 4×4 banded MinHash keys as "
+    "q_dedup_minhash_lsh (full recall at j ≥ 0.5 on this corpus, "
+    "exact-oracle-certified there); every candidate is exact-verified "
+    "against stored distinct string shingles before dropping (at 100 TB "
+    "the index would store 64-bit shingle hashes instead of strings — "
+    "strings here keep the verify collision-free against the SQL "
+    "oracle). The oracle is the closed-form batch truth: kept(i) iff no "
+    "j < i with exact jaccard ≥ 0.5, via the all-pairs inverted index.",
+)
+def q_streaming_dedup_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="tf_sdedup_")
+    try:
+        d = t(spark, sf_dir, "documents").select("doc_id", "text")
+        max_id = d.agg(F.max("doc_id")).collect()[0][0]
+        width = (int(max_id) + 4) // 4
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        for b in range(4):
+            part_dir = os.path.join(base, f"part{b}")
+            d.where(
+                (F.col("doc_id") >= b * width) & (F.col("doc_id") < (b + 1) * width)
+            ).coalesce(1).write.json(part_dir)
+            (pf,) = glob.glob(os.path.join(part_dir, "part-*.json"))
+            dst = os.path.join(src, f"{b:02d}.json")
+            shutil.move(pf, dst)
+            # strictly increasing mtimes: FileStreamSource discovers files
+            # in (modificationTime, path) order, making batch order — and
+            # therefore the dedup semantics — deterministic
+            os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+
+        idx_dir = os.path.join(base, "index")
+        out_dir = os.path.join(base, "kept")
+        state = {"max_seen": -1}
+
+        def feats(df: DataFrame) -> DataFrame:
+            th = df.select(
+                F.col("doc_id").alias("_id"),
+                dd.token_hashes(F.col("text")).alias("_th"),
+                dd.word_shingles(F.col("text"), 3).alias("_sh"),
+            )
+            shh = th.select("_id", "_sh", dd.shingle_hashes_from_token_hashes("_th", 3).alias("_shh"))
+            sig = shh.select(
+                "_id",
+                "_sh",
+                dd.minhash_signature_from_hashes("_shh", dd.LSH_BANDS * dd.LSH_ROWS).alias("_sig"),
+            )
+            return sig.select(
+                "_id",
+                "_sh",
+                F.expr(
+                    f"transform(sequence(0, {dd.LSH_BANDS - 1}), j -> "
+                    f"concat_ws('-', cast(j AS string), "
+                    f"concat_ws('.', transform(slice(_sig, j * {dd.LSH_ROWS} + 1, "
+                    f"{dd.LSH_ROWS}), x -> cast(x AS string)))))"
+                ).alias("_keys"),
+            )
+
+        def handle(batch: DataFrame, _bid: int) -> None:
+            if batch.isEmpty():
+                return
+            fb = feats(batch).localCheckpoint(eager=True)
+            lo, hi = fb.agg(F.min("_id"), F.max("_id")).collect()[0]
+            assert lo > state["max_seen"], (
+                f"stream batches out of doc_id order: {lo} after {state['max_seen']}"
+            )
+            state["max_seen"] = int(hi)
+            kb = fb.select("_id", "_sh", F.explode("_keys").alias("_key"))
+            # in-batch: earlier (smaller-id) docs of the same batch are prior
+            a, b2 = kb.alias("a"), kb.alias("b")
+            in_batch = (
+                a.join(b2, (F.col("a._key") == F.col("b._key")) & (F.col("a._id") < F.col("b._id")))
+                .where(dd.jaccard(F.col("a._sh"), F.col("b._sh")) >= 0.5)
+                .select(F.col("b._id").alias("_id"))
+            )
+            dropped = in_batch
+            if os.path.exists(idx_dir):
+                hist = spark.read.parquet(idx_dir).select(
+                    F.col("_id").alias("_hid"), F.col("_sh").alias("_hsh"), F.explode("_keys").alias("_key")
+                )
+                vs_hist = (
+                    kb.join(hist, "_key")
+                    .where(dd.jaccard(F.col("_sh"), F.col("_hsh")) >= 0.5)
+                    .select("_id")
+                )
+                dropped = dropped.unionByName(vs_hist)
+            kept = fb.select("_id").exceptAll(fb.select("_id").join(dropped.distinct(), "_id", "semi"))
+            kept.write.mode("append").parquet(out_dir)
+            # history = ALL seen docs, kept or dropped
+            fb.select("_id", "_sh", "_keys").write.mode("append").parquet(idx_dir)
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = (
+            spark.read.parquet(out_dir)
+            .select(F.col("_id").alias("doc_id"))
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -133,7 +133,11 @@ PRIORITY: tuple[str, ...] = (
     # path with a full SQL mirror oracle. Rotated out: q_jsonpath_filters
     # (multi-round certified, unchanged).
     "q_dedup_substring",
-    "q_media_bmp_decode",
+    # new round 8 (late): streaming online near-dup dedup — fresh
+    # foreachBatch + persisted-signature-index code path with a
+    # closed-form sequential oracle. Rotated out: q_media_bmp_decode
+    # (multi-round certified, unchanged).
+    "q_streaming_dedup_online",
     "q_time_travel",
     "q_table_changes",
 )
