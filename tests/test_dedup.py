@@ -544,3 +544,38 @@ def test_streaming_online_dedup_semantics(spark, tmp_path):
     out = REGISTRY["q_streaming_dedup_online"].spark_fn(spark, sf_dir)
     kept = [r["doc_id"] for r in out.collect()]
     assert kept == [0, 1, 4]
+
+
+class TestBloomFilter:
+    """Expression-built Bloom filter: no false negatives ever; false
+    positives rare at the designed m/n; fixed filter size."""
+
+    M = 1 << 14  # small filter so the FPR check is meaningful
+
+    def test_no_false_negatives_and_low_fpr(self, spark):
+        grams = spark.createDataFrame(
+            [(f"gram number {i} alpha beta",) for i in range(500)], "g string"
+        )
+        bloom = D.bloom_build(grams, "g", self.M)
+        (row,) = bloom.collect()
+        assert len(row["bloom"]) == self.M // 64  # size fixed by m, not n
+        member = grams.crossJoin(F.broadcast(bloom)).where(
+            F.expr(D.bloom_might_contain_sql("g", self.M))
+        )
+        assert member.count() == 500  # every inserted gram passes
+        absent = spark.createDataFrame(
+            [(f"definitely absent {i} gamma delta",) for i in range(2000)], "g string"
+        )
+        fp = (
+            absent.crossJoin(F.broadcast(bloom))
+            .where(F.expr(D.bloom_might_contain_sql("g", self.M)))
+            .count()
+        )
+        # n=500, m=16384, k=4 → theoretical FPR ≈ 0.031%; allow slack
+        assert fp <= 10, f"false-positive rate too high: {fp}/2000"
+
+    def test_empty_build(self, spark):
+        empty = spark.createDataFrame([], "g string")
+        bloom = D.bloom_build(empty, "g", self.M)
+        (row,) = bloom.collect()
+        assert all(w == 0 for w in row["bloom"])

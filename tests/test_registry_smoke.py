@@ -107,6 +107,9 @@ def test_no_plan_antipatterns(spark_dfs):
         # funnel: three 1-row stage-count aggregates cross-joined onto
         # the 1-row n_users aggregate (the scalar-subquery shape)
         "q_funnel_analysis",
+        # bloom decontamination: the 1-row fixed-size filter broadcasts
+        # onto the corpus for the map-side might_contain probe
+        "q_decontamination_bloom",
     }
     dfs, errors = spark_dfs
     bad = [f"{n}: build error {e}" for n, e in errors.items()]

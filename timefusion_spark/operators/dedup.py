@@ -1030,6 +1030,63 @@ def substring_dedup(
     )
 
 
+# Salted double-hashing family for the expression-built Bloom filter.
+BLOOM_SALTS: tuple[str, ...] = ("b0:", "b1:", "b2:", "b3:")
+
+
+def bloom_positions_sql(gram_expr: str, m_bits: int) -> str:
+    """SQL array expression of the k bit positions for one gram value —
+    pmod(xxhash64(salt || gram), m) per salt. A string so callers can
+    embed it inside higher-order lambdas (shiftright/shiftleft take
+    column bit counts only in SQL form)."""
+    parts = ", ".join(
+        f"pmod(xxhash64(concat('{s}', {gram_expr})), {m_bits}L)" for s in BLOOM_SALTS
+    )
+    return f"array({parts})"
+
+
+def bloom_build(grams: DataFrame, gram_col: str, m_bits: int = 1 << 17) -> DataFrame:
+    """Build a Bloom filter over a gram relation as a 1-row DataFrame
+    (`bloom` array<long>, m_bits/64 words) — Spark ships no user-facing
+    bloom_filter_agg, so this is the expression-built equivalent: each
+    gram contributes k = len(BLOOM_SALTS) bit positions (map-side), the
+    positions reduce through ONE partial-aggregatable groupBy(word) →
+    bit_or, and the finished filter — FIXED size m/64 longs, independent
+    of input cardinality — is collected and re-emitted as a single row
+    for the scalar-broadcast probe join. The collect is bounded by m,
+    never by data (the same boundedness contract as the LSH hot-key
+    collect).
+
+    Scale: this is the decontamination shape when the benchmark gram set
+    outgrows a broadcast hash set — the filter stays KBs at any corpus
+    size, and the probe is pure map-side arithmetic."""
+    pos = grams.select(
+        F.explode(F.expr(bloom_positions_sql(gram_col, m_bits))).alias("_p")
+    )
+    words = (
+        pos.select(
+            (F.col("_p") / 64).cast("long").alias("_w"),
+            F.pmod(F.col("_p"), F.lit(64)).cast("int").alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(shiftleft(1L, _b))").alias("_word"))
+    )
+    filled = {int(r["_w"]): int(r["_word"]) for r in words.collect()}
+    arr = [filled.get(i, 0) for i in range(m_bits // 64)]
+    return grams.sparkSession.createDataFrame([(arr,)], "bloom array<long>")
+
+
+def bloom_might_contain_sql(gram_expr: str, m_bits: int, bloom_col: str = "bloom") -> str:
+    """SQL predicate: every salted bit position of `gram_expr` is set in
+    the `bloom_col` word array (the might_contain probe — no false
+    negatives; false-positive rate set by m/n and k)."""
+    return (
+        f"forall({bloom_positions_sql(gram_expr, m_bits)}, p -> "
+        f"(shiftright(element_at({bloom_col}, cast(p div 64 AS int) + 1), "
+        f"cast(p % 64 AS int)) & 1L) = 1L)"
+    )
+
+
 def minhash_lsh_join(
     corpus: DataFrame,
     probe: DataFrame,

@@ -549,6 +549,60 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_decontamination_bloom",
+    # Same oracle as q_decontamination ON PURPOSE: the Bloom filter is a
+    # no-false-negative PREFILTER and every survivor is exact-verified,
+    # so the result set must be identical to the exact path — the driver
+    # gate certifies both the bloom construction and the probe.
+    oracle=None,  # bound after q_decontamination registers (see below)
+    doc="Bloom-filter decontamination — the fixed-size-filter variant of "
+    "q_decontamination for when the benchmark gram set outgrows a "
+    "broadcast hash set: benchmark 5-word shingles build an "
+    "expression-level Bloom filter (2^17 bits, 4 salted xxhash64 "
+    "probes — one partial-aggregatable groupBy(word)+bit_or, filter "
+    "size independent of benchmark size), the corpus probes it "
+    "MAP-SIDE via a 1-row scalar broadcast (no corpus shuffle, no "
+    "broadcast of the gram set itself), and only the ~0.2%-FPR "
+    "survivors reach the exact broadcast join that restores 100% "
+    "precision. Result is bit-identical to the exact path by "
+    "construction (a Bloom filter admits no false negatives).",
+)
+def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m_bits = 1 << 17
+    d = t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", F.split(dd.normalize_text(F.col("text")), r"\s+").alias("tk")
+    ).where(F.size("tk") >= 5)
+    sh = staged.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(tk) - 4), "
+                "i -> concat_ws(' ', slice(tk, i, 5))))"
+            )
+        ).alias("g"),
+    )
+    bench = sh.where(F.col("doc_id") < 10).withColumnRenamed("doc_id", "bench_id")
+    corpus = sh.where(F.col("doc_id") >= 10)
+    bloom = dd.bloom_build(bench.select("g"), "g", m_bits)
+    survivors = corpus.crossJoin(F.broadcast(bloom)).where(
+        F.expr(dd.bloom_might_contain_sql("g", m_bits))
+    )
+    return (
+        survivors.join(F.broadcast(bench), "g")
+        .groupBy("bench_id")
+        .agg(F.countDistinct("doc_id").alias("n_contaminated"))
+        .select(F.col("bench_id").alias("doc_id"), "n_contaminated")
+        .orderBy("doc_id")
+    )
+
+
+from timefusion_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["q_decontamination_bloom"].oracle = _REG["q_decontamination"].oracle
+
+
+@query(
     "q_heavy_hitters_sketch",
     oracle=f"""
     WITH toks AS (
