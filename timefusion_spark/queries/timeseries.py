@@ -650,6 +650,65 @@ def q_trace_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_trace_path_recursive_sql",
+    # Same oracle as q_trace_critical_path ON PURPOSE: this is the SQL-
+    # surface twin — Spark's WITH RECURSIVE (4.x) through the PG shim
+    # must compute exactly what the pointer-doubling operator computes
+    # and what DuckDB's recursive CTE computes.
+    oracle=None,  # bound below from q_trace_critical_path
+    doc="Trace critical path via WITH RECURSIVE over the SQL surface — "
+    "the recursive-CTE formulation a DataFusion user would write "
+    "(DataFusion supports recursive CTEs), executed by Spark's native "
+    "recursive CTE through pg_sql. O(depth) sequential self-join rounds "
+    "(each round one shuffle) vs the pointer-doubling operator's "
+    "O(log depth) — registered to certify the SQL surface accepts and "
+    "correctly evaluates recursion, with the operator form remaining "
+    "the scale path. Decimal path sums keep both engines' recursion "
+    "associativity-exact.",
+)
+def q_trace_path_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.pgshim import pg_sql
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return pg_sql(
+        spark,
+        """
+        WITH RECURSIVE spans AS (
+          SELECT event_id AS id, event_id DIV 8 AS trace_id,
+                 CASE WHEN event_id % 8 = 0 THEN CAST(NULL AS BIGINT)
+                      ELSE (event_id DIV 8) * 8 + (event_id % 8 - 1) DIV 2 END AS parent_id,
+                 CAST(value AS DECIMAL(18,4)) AS w
+          FROM events
+        ), paths(id, trace_id, acc, depth) AS (
+          -- the accumulator type must be IDENTICAL across iterations
+          -- (Spark's recursive CTE refuses to widen DECIMAL(18,4) into
+          -- the addition's DECIMAL(19,4)); pin a wide fixed type in both
+          SELECT id, trace_id, CAST(w AS DECIMAL(38,4)), 1
+          FROM spans WHERE parent_id IS NULL
+          UNION ALL
+          SELECT c.id, c.trace_id, CAST(p.acc + c.w AS DECIMAL(38,4)), p.depth + 1
+          FROM spans c JOIN paths p ON c.parent_id = p.id
+        ), leaves AS (
+          SELECT p.* FROM paths p
+          WHERE p.id NOT IN (SELECT parent_id FROM spans WHERE parent_id IS NOT NULL)
+        ), crit AS (
+          SELECT trace_id, MAX(acc) AS critical, MAX(depth) AS depth
+          FROM leaves GROUP BY trace_id
+        )
+        SELECT trace_id % 10 AS bucket, COUNT(*) AS n_traces,
+               ROUND(CAST(SUM(critical) AS DOUBLE), 2) AS total_critical,
+               CAST(MAX(depth) AS BIGINT) AS max_depth
+        FROM crit GROUP BY trace_id % 10 ORDER BY bucket
+        """,
+    )
+
+
+from timefusion_spark.registry import REGISTRY as _TREG  # noqa: E402
+
+_TREG["q_trace_path_recursive_sql"].oracle = _TREG["q_trace_critical_path"].oracle
+
+
+@query(
     "q_funnel_analysis",
     oracle="""
     WITH t1 AS (
