@@ -165,6 +165,16 @@ class TestSimpleQuery:
         )
         assert rows_of(msgs) == [["7"]]
 
+    def test_recursive_cte_over_the_wire(self, client):
+        # DataFusion accepts recursive CTEs over pgwire; so must we —
+        # Spark's native WITH RECURSIVE through the shim and the wire
+        msgs = client.query(
+            "WITH RECURSIVE t(n) AS ("
+            "SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 10) "
+            "SELECT CAST(SUM(n) AS BIGINT) AS s FROM t"
+        )
+        assert rows_of(msgs) == [["55"]]
+
     def test_types_and_nulls(self, client):
         msgs = client.query(
             "SELECT CAST(1 AS BIGINT) AS i8, 1.5 AS f8, true AS b, "
