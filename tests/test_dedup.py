@@ -579,3 +579,33 @@ class TestBloomFilter:
         bloom = D.bloom_build(empty, "g", self.M)
         (row,) = bloom.collect()
         assert all(w == 0 for w in row["bloom"])
+
+
+def test_bucket_cap_invariance_property(spark):
+    """Hypothesis: for random low-entropy corpora (heavy natural
+    duplication), candidate pair sets are IDENTICAL for any bucket_cap —
+    the guard changes physical expansion only, never results."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    doc = st.text(alphabet="ab ", min_size=5, max_size=40)
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(docs=st.lists(doc, min_size=6, max_size=12), cap=st.sampled_from([1, 3, 7]))
+    def prop(docs, cap):
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        sigs = df.select(
+            F.col("doc_id").alias("_id"),
+            D.minhash_signature_from_hashes(
+                D.token_hashes(D.normalize_text(F.col("text"))), 16
+            ).alias("_sig"),
+        )
+        a = D.banded_candidate_pairs(sigs, 4, 4, bucket_cap=None)
+        b = D.banded_candidate_pairs(sigs, 4, 4, bucket_cap=cap)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    prop()
