@@ -219,3 +219,68 @@ def test_arrow_codebook_broadcast_memo(spark, sf_dir):
     sim._assign_cells_arrow(staged, cb, 2).select("vec_id").count()
     assert len(sim._ARROW_CODEBOOK_MEMO) == n_before
     sim._ARROW_CODEBOOK_MEMO.clear()
+
+
+class TestProductQuantization:
+    """PQ encode/ADC against an independent Python model."""
+
+    def test_encode_matches_python_argmin(self, spark):
+        import random
+
+        from timefusion_spark.operators import similarity as S
+
+        random.seed(3)
+        books = [
+            [[random.uniform(-1, 1) for _ in range(4)] for _ in range(8)]
+            for _ in range(2)
+        ]
+        vecs = [[random.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+        )
+        got = {
+            r["vec_id"]: list(r["_codes"])
+            for r in S.pq_encode(df, books).select("vec_id", "_codes").collect()
+        }
+
+        def argmin_code(sub, book):
+            d2 = [sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in book]
+            return d2.index(min(d2))  # leftmost tie, like the struct min
+
+        for i, v in enumerate(vecs):
+            want = [argmin_code(v[j * 4 : (j + 1) * 4], books[j]) for j in range(2)]
+            assert got[i] == want, f"vec {i}"
+
+    def test_adc_equals_quantized_distance(self, spark):
+        import random
+
+        from timefusion_spark.operators import similarity as S
+
+        random.seed(5)
+        books = [
+            [[random.uniform(-1, 1) for _ in range(4)] for _ in range(8)]
+            for _ in range(2)
+        ]
+        vecs = [[random.uniform(-1, 1) for _ in range(8)] for _ in range(30)]
+        q = [random.uniform(-1, 1) for _ in range(8)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+        )
+        enc = S.pq_encode(df, books)
+        got = {
+            r["vec_id"]: r["adc_dist"]
+            for r in S.pq_adc_topk(enc, books, q, k=30).collect()
+        }
+
+        def model_adc(v):
+            total = 0.0
+            for j in range(2):
+                sub = v[j * 4 : (j + 1) * 4]
+                d2 = [sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in books[j]]
+                code = d2.index(min(d2))
+                qsub = q[j * 4 : (j + 1) * 4]
+                total += sum((a - b) * (a - b) for a, b in zip(qsub, books[j][code]))
+            return total
+
+        for i, v in enumerate(vecs):
+            assert abs(got[i] - model_adc(v)) < 1e-9, f"vec {i}"

@@ -287,6 +287,111 @@ def l2_probes_expr(
     )
 
 
+def pq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 7,
+    max_fit_rows: int = 1_000_000,
+    max_iter: int = 8,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou/Douze/Schmid 2011): the
+    vector splits into `m` subspaces and each subspace gets its own
+    `ksub`-centroid k-means codebook — m·ksub centroids quantize a space
+    of ksub^m effective cells at codebook size m·ksub·dsub floats, the
+    memory trick that makes billion-vector ANN indexes fit. Fit follows
+    the ivf_assign discipline: deterministic hash-sample bounded by
+    `max_fit_rows` (a quantizer needs a representative sample, not the
+    corpus), fixed seeds, sample checkpointed once and re-read by the m
+    sub-fits. Returns books[m][ksub][dsub]."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    n = base.count()
+    if n > max_fit_rows:
+        denom = 1_000_000
+        keep = max(1, int(denom * max_fit_rows / n))
+        base = base.where(F.pmod(F.xxhash64(F.col("_v")), F.lit(denom)) < keep)
+    d = int(base.select(F.size("_v").alias("_d")).first()["_d"])
+    if d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible into m={m} subspaces")
+    dsub = d // m
+    base = base.localCheckpoint(eager=True)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = base.select(
+            array_to_vector(F.slice("_v", j * dsub + 1, dsub)).alias("_s")
+        )
+        model = KMeans(
+            k=ksub, seed=seed + j, maxIter=max_iter, featuresCol="_s", predictionCol="_c"
+        ).fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "_codes",
+) -> DataFrame:
+    """PQ encoding: per subspace, the L2-argmin codebook entry — one
+    map-side pass over the full corpus (the same constant-folded
+    ||c||²−2⟨v,c⟩ argmin expression as the IVF flat quantizer, applied to
+    each slice), zero shuffle, zero Python. Adds `out_col` array<int> of
+    m codes (the 100-TB artifact: m bytes-ish per vector instead of d
+    floats)."""
+    m = len(books)
+    dsub = len(books[0][0])
+    exprs = []
+    for j, book in enumerate(books):
+        cents = list(enumerate(book))
+        sub_expr = f"slice(cast({vec_col} AS array<double>), {j * dsub + 1}, {dsub})"
+        exprs.append(f"array_min({_l2_scores_expr(cents, sub_expr)}).cid")
+    return df.withColumn(out_col, F.expr("array(" + ", ".join(exprs) + ")"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "_codes",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC): the query stays unquantized;
+    per subspace a ksub-entry table of squared distances query-slice ↔
+    codebook-entry is computed ONCE driver-side (m·ksub floats) and ships
+    as plan literals, so the per-row distance is m table lookups + adds —
+    no vector arithmetic in the scan at all. Top-k by ADC distance is a
+    TakeOrderedAndProject over a map-only scan of the code column (the
+    codes-only projection is what a 100-TB PQ index reads — d-float
+    vectors never leave storage)."""
+    m = len(books)
+    dsub = len(books[0][0])
+    tables = []
+    for j, book in enumerate(books):
+        q_sub = [float(x) for x in query_vec[j * dsub : (j + 1) * dsub]]
+        tables.append(
+            [sum((qd - float(cd)) * (qd - float(cd)) for qd, cd in zip(q_sub, c)) for c in book]
+        )
+    tbl_lits = ", ".join(
+        "array(" + ", ".join(f"{v!r}D" for v in row) + ")" for row in tables
+    )
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, j) -> acc + "
+        f"element_at(element_at(array({tbl_lits}), j + 1), "
+        f"element_at({code_col}, j + 1) + 1))"
+    )
+    return (
+        encoded.select(F.col(id_col), F.expr(adc).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join(
     df: DataFrame,
     centroids: "list[tuple[int, list[float]]] | DataFrame",

@@ -246,6 +246,61 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_pq_adc",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND(l2, 4) AS l2_dist, CAST(100 AS BIGINT) AS n_shortlist
+    FROM (
+        SELECT e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   d -> (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE)
+                      * (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE))) AS l2
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    ) x
+    ORDER BY l2 ASC, vec_id
+    LIMIT 1
+    """,
+    doc="Product quantization + ADC (Jégou et al. 2011), the "
+    "billion-vector ANN memory shape: 16 subspace codebooks of 32 "
+    "centroids (deterministic sampled k-means fits), map-side PQ "
+    "encoding of the corpus, then an ASYMMETRIC-distance scan — the "
+    "query's m×ksub distance table ships as plan literals and each row "
+    "costs m table lookups over its code array (d-float vectors never "
+    "enter the scan). Oracled contract: the exact-L2 re-rank of the "
+    "ADC top-100 shortlist must return the true brute-force nearest "
+    "neighbor with its exact distance — if quantization distortion "
+    "pushes the true NN out of the shortlist, the row vanishes and the "
+    "gate fails. (IVF cell pruning composes orthogonally — this query "
+    "isolates the PQ/ADC stage.)",
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir, 0)
+    # deterministic layout → deterministic per-subspace k-means
+    pinned = e.repartition(1).sortWithinPartitions("vec_id")
+    books = sim.pq_fit(pinned, m=16, ksub=32)
+    enc = sim.pq_encode(e, books)
+    shortlist = sim.pq_adc_topk(enc, books, qv, k=100)
+    ql = F.array(*[F.lit(float(v)) for v in qv])
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), ql, lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    reranked = (
+        e.join(shortlist.select("vec_id"), "vec_id", "leftsemi")
+        .select("vec_id", F.round(l2, 4).alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(1)
+        .withColumn("n_shortlist", F.lit(100).cast("long"))
+    )
+    return reranked.localCheckpoint(eager=True)
+
+
+@query(
     "q_ann_ivf_flat",
     oracle=f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
