@@ -287,6 +287,24 @@ class TestSubstringDedup:
         assert by[1]["clean_text"] == ""
         assert by[3]["clean_text"] == "mixed case and whitespace"
 
+    def test_exact_dup_short_docs_pass_through(self, spark):
+        # ADVICE r8 #3: docs shorter than K used to collapse to one
+        # whole-text gram, so an exact-duplicate short doc was deleted
+        # in its entirety. Contract: <K docs emit no seeds and survive.
+        rows = [
+            (1, "short dup"),
+            (2, "short dup"),
+            (3, ""),
+            (4, "   "),  # whitespace-only normalizes to ''
+        ]
+        by = self._run(spark, rows)
+        for i in (1, 2):
+            assert by[i]["n_dup_spans"] == 0 and by[i]["removed_chars"] == 0
+            assert by[i]["clean_text"] == "short dup"
+        for i in (3, 4):
+            assert by[i]["n_dup_spans"] == 0 and by[i]["removed_chars"] == 0
+            assert by[i]["clean_text"] == ""
+
     def test_guarantee_any_long_shared_span_detected(self, spark):
         # every shared span of length ≥ K + W - 1 must be detected in the
         # non-canonical copy, wherever it sits in either doc
@@ -368,7 +386,9 @@ def _substring_dedup_model(rows, k, w):
     for i in sorted(nrm):
         s = nrm[i]
         n = len(s)
-        g = [phash(s)] if n < k else [phash(s[p : p + k]) for p in range(n - k + 1)]
+        if n < k:  # shorter than one gram: no seeds, doc passes through
+            continue
+        g = [phash(s[p : p + k]) for p in range(n - k + 1)]
         if len(g) >= w:
             pos = sorted(
                 {min(range(j, j + w), key=lambda x: (g[x], x)) + 1 for j in range(len(g) - w + 1)}
@@ -478,6 +498,73 @@ class TestDegenerateBuckets:
         assert a == b
         # the cluster is fully paired: C(60, 2) pairs present
         assert len([p for p in b if p[0] < 100 and p[1] < 100]) == 60 * 59 // 2
+
+    def test_null_block_hot_bucket_keeps_pairs(self, spark):
+        # An oversized bucket whose block value is NULL must survive the
+        # hot-join routing: eqNullSafe matches NULL==NULL (ADVICE r8 #1).
+        rows = [(i, "null block boilerplate duplicated verbatim", None) for i in range(30)]
+        rows += [(100 + i, f"unique text {i} apart {i}", "src") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+        sigs = df.select(
+            F.col("doc_id").alias("_id"),
+            D.minhash_signature_from_hashes(
+                D.token_hashes(D.normalize_text(F.col("text"))), 16
+            ).alias("_sig"),
+            F.col("blk").alias("_blk"),
+        )
+        uncapped = D.banded_candidate_pairs(sigs, 4, 4, block_col="blk", bucket_cap=10**9)
+        capped = D.banded_candidate_pairs(sigs, 4, 4, block_col="blk", bucket_cap=8)
+        a = sorted(map(tuple, uncapped.collect()))
+        b = sorted(map(tuple, capped.collect()))
+        assert a == b
+        assert len([p for p in b if p[0] < 100 and p[1] < 100]) == 30 * 29 // 2
+
+    def test_null_vs_empty_block_routing_distinct(self, spark):
+        # An oversized EMPTY-STRING block must not drag same-(band,key)
+        # NULL-block rows out of the cold path: the composed routing key
+        # encodes NULL and '' distinctly. The two small NULL-block dups
+        # pair up via the cold path; the big ''-block cluster via the hot.
+        same = "shared boilerplate text for both block values here"
+        rows = [(i, same, "") for i in range(30)]
+        rows += [(100, same, None), (101, same, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+        sigs = df.select(
+            F.col("doc_id").alias("_id"),
+            D.minhash_signature_from_hashes(
+                D.token_hashes(D.normalize_text(F.col("text"))), 16
+            ).alias("_sig"),
+            F.col("blk").alias("_blk"),
+        )
+        capped = D.banded_candidate_pairs(sigs, 4, 4, block_col="blk", bucket_cap=8)
+        got = sorted(map(tuple, capped.collect()))
+        assert (100, 101) in got                      # NULL-block pair kept (cold path)
+        assert len([p for p in got if p[0] < 100]) == 30 * 29 // 2  # ''-block cluster full
+
+    def test_broadcast_split_above_literal_max(self, spark, monkeypatch):
+        # Force the broadcast hot/cold split (literal threshold 0) and
+        # check results are identical AND no composed literal leaks into
+        # the plan string (r8 verdict ask #5 plan-size assertion).
+        rows = [(i, "the exact same boilerplate sentence repeated verbatim") for i in range(40)]
+        rows += [(100 + i, f"unique document number {i} with its own words {i}") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = df.select(
+            F.col("doc_id").alias("_id"),
+            D.minhash_signature_from_hashes(
+                D.token_hashes(D.normalize_text(F.col("text"))), 16
+            ).alias("_sig"),
+        )
+        baseline = sorted(
+            map(tuple, D.banded_candidate_pairs(sigs, 4, 4, bucket_cap=10**9).collect())
+        )
+        monkeypatch.setattr(D, "HOT_KEY_LITERAL_MAX", 0)
+        capped = D.banded_candidate_pairs(sigs, 4, 4, bucket_cap=8)
+        assert sorted(map(tuple, capped.collect())) == baseline
+        plan = capped._jdf.queryExecution().optimizedPlan().toString()
+        # Hot keys travel as a frame, not literals: the only \x1f bytes in
+        # the plan come from the concat_ws separator expressions (a handful),
+        # never one per hot key (the isin path embeds a \x1f-joined literal
+        # per hot bucket — dozens here).
+        assert plan.count("\x1f") < 10, plan.count("\x1f")
 
     def test_est_screen_applies_on_hot_path(self, spark):
         rows = [(i, "same same same same same") for i in range(20)]
@@ -589,23 +676,33 @@ def test_bucket_cap_invariance_property(spark):
     from hypothesis import strategies as st
 
     doc = st.text(alphabet="ab ", min_size=5, max_size=40)
+    # blocks include NULL and '' — the routing key must keep them distinct
+    # and the hot join must match NULL==NULL (ADVICE r8 #1)
+    blk = st.sampled_from([None, "", "x"])
 
     @settings(
         max_examples=4,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
-    @given(docs=st.lists(doc, min_size=6, max_size=12), cap=st.sampled_from([1, 3, 7]))
+    @given(
+        docs=st.lists(st.tuples(doc, blk), min_size=6, max_size=12),
+        cap=st.sampled_from([1, 3, 7]),
+    )
     def prop(docs, cap):
-        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        df = spark.createDataFrame(
+            [(i, t, b) for i, (t, b) in enumerate(docs)],
+            "doc_id long, text string, blk string",
+        )
         sigs = df.select(
             F.col("doc_id").alias("_id"),
             D.minhash_signature_from_hashes(
                 D.token_hashes(D.normalize_text(F.col("text"))), 16
             ).alias("_sig"),
+            F.col("blk").alias("_blk"),
         )
-        a = D.banded_candidate_pairs(sigs, 4, 4, bucket_cap=None)
-        b = D.banded_candidate_pairs(sigs, 4, 4, bucket_cap=cap)
+        a = D.banded_candidate_pairs(sigs, 4, 4, block_col="blk", bucket_cap=None)
+        b = D.banded_candidate_pairs(sigs, 4, 4, block_col="blk", bucket_cap=cap)
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
     prop()

@@ -1048,6 +1048,99 @@ class TestCancelRequest:
         c.query("ROLLBACK")
         c.close()
 
+    def test_cursor_streams_without_full_materialization(self, spark, server):
+        """The fetch-paged flows exist so a huge result never materializes
+        driver-side: DECLARE opens an incremental toLocalIterator drain and
+        the first FETCH computes only a prefix of the partitions. Pinned
+        end-to-end with a per-partition accumulator: after FETCH 10 from a
+        16-partition view, most partitions have NOT been computed (the old
+        collect()-at-DECLARE path would bump all 16 before the first row)."""
+        import time
+
+        acc = spark.sparkContext.accumulator(0)
+
+        def bump(it):
+            acc.add(1)
+            yield from it
+
+        n_parts, per_part = 16, 2000
+        rdd = (
+            spark.sparkContext.parallelize(range(n_parts * per_part), n_parts)
+            .mapPartitions(bump)
+            .map(lambda i: (i,))
+        )
+        spark.createDataFrame(rdd, "id long").createOrReplaceTempView("cursor_probe")
+        try:
+            c = WireClient(server.port)
+            c.startup()
+            msgs = c.query("DECLARE bigpager CURSOR FOR SELECT id FROM cursor_probe")
+            assert command_tags(msgs) == ["DECLARE CURSOR"]
+            time.sleep(0.5)  # accumulator updates land on task completion
+            assert acc.value == 0, "DECLARE ran jobs (materialized the result)"
+            msgs = c.query("FETCH 10 FROM bigpager")
+            assert len(rows_of(msgs)) == 10
+            assert command_tags(msgs) == ["FETCH 10"]
+            time.sleep(0.5)
+            assert acc.value < n_parts // 2, (
+                f"first page computed {acc.value}/{n_parts} partitions — "
+                "the drain materialized (nearly) the whole result"
+            )
+            msgs = c.query("FETCH ALL FROM bigpager")
+            assert len(rows_of(msgs)) == n_parts * per_part - 10
+            c.query("CLOSE bigpager")
+            c.close()
+        finally:
+            spark.catalog.dropTempView("cursor_probe")
+
+    def test_portal_execute_streams_without_full_materialization(self, spark, server):
+        """Same contract on the extended-protocol portal path (JDBC
+        setFetchSize): the first Execute with a row limit computes only a
+        prefix of the partitions, and the portal suspends/resumes with the
+        accumulated-count completion tag intact."""
+        import time
+
+        acc = spark.sparkContext.accumulator(0)
+
+        def bump(it):
+            acc.add(1)
+            yield from it
+
+        n_parts, per_part = 16, 500
+        rdd = (
+            spark.sparkContext.parallelize(range(n_parts * per_part), n_parts)
+            .mapPartitions(bump)
+            .map(lambda i: (i,))
+        )
+        spark.createDataFrame(rdd, "id long").createOrReplaceTempView("portal_probe")
+        try:
+            c = WireClient(server.port)
+            c.startup()
+            parse = b"\x00" + b"SELECT id FROM portal_probe\x00" + struct.pack("!h", 0)
+            bind = b"\x00\x00" + struct.pack("!hhh", 0, 0, 0)
+            exec5 = b"\x00" + struct.pack("!i", 5)
+            exec_all = b"\x00" + struct.pack("!i", 0)
+
+            def ext(c, *messages):
+                for tag, body in messages:
+                    c.sock.sendall(tag + struct.pack("!i", len(body) + 4) + body)
+                c.sock.sendall(b"S" + struct.pack("!i", 4))
+                return c.until_ready()
+
+            msgs = ext(c, (b"P", parse), (b"B", bind), (b"E", exec5))
+            assert tags_of(msgs).count(b"s") == 1  # suspended after 5 rows
+            assert len(rows_of(msgs)) == 5
+            time.sleep(0.5)
+            assert acc.value < n_parts // 2, (
+                f"first Execute computed {acc.value}/{n_parts} partitions"
+            )
+            msgs = ext(c, (b"E", exec_all))
+            assert len(rows_of(msgs)) == n_parts * per_part - 5
+            # es_processed accumulates across Execute runs of one portal
+            assert command_tags(msgs) == [f"SELECT {n_parts * per_part}"]
+            c.close()
+        finally:
+            spark.catalog.dropTempView("portal_probe")
+
     def test_statement_timeout(self, server):
         """SET statement_timeout (PG knob, ms): a statement running past
         the deadline is cancelled with PG's 57014 timeout message; the

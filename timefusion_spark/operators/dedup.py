@@ -33,6 +33,11 @@ from pyspark.sql import functions as F
 
 HASH_PRIME = 1_000_000_007
 
+# Above this many hot (band,key) buckets, banded_candidate_pairs routes the
+# hot/cold split through a broadcast join on a hot-key frame instead of
+# isin literals, keeping the plan string and driver memory bounded.
+HOT_KEY_LITERAL_MAX = 1000
+
 # Deterministic MinHash family h_i(x) = (a_i * x + b_i) mod P.
 # First 16 = 4 bands × 4 rows → catches jaccard ≳ 0.5 with high recall;
 # all 32 = 16 bands × 2 rows → near-certain recall at jaccard ≥ 0.6
@@ -366,16 +371,44 @@ def banded_candidate_pairs(
         # Compose (band, key[, blk]) into one string so a literal isin
         # filter splits hot from cold without any join. Delimiter
         # collisions are impossible (band is an int, key a dash-joined
-        # decimal string, and the unit separator appears in neither); a
-        # NULL blk is coalesced to the empty field on BOTH sides —
-        # concat_ws would otherwise SKIP the null and desync the format.
+        # decimal string, and the field separator appears in neither).
+        # A NULL field is encoded as the bare NUL sentinel and a non-null
+        # value gets a \x01 prefix, so NULL, '' and the literal string
+        # "\x00" all compose DISTINCTLY — plain coalesce-to-'' would let
+        # an oversized empty-string-block bucket drag same-(band,key)
+        # NULL-block rows out of the cold path (and vice versa), and the
+        # cold path groups NULL blocks into buckets while a plain-equality
+        # hot join would silently drop their pairs.
         sep = "\x1f"
-        composed = F.concat_ws(
-            sep, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in keys]
-        )
-        lits = ["\x1f".join("" if v is None else str(v) for v in t) for t in hot_keys]
-        cold_bands = bands.where(~composed.isin(lits))
-        hot_bands = bands.where(composed.isin(lits))
+
+        def enc_col(c: str) -> Column:
+            col = F.col(c).cast("string")
+            return F.when(col.isNull(), F.lit("\x00")).otherwise(
+                F.concat(F.lit("\x01"), col)
+            )
+
+        def enc_val(v) -> str:
+            return "\x00" if v is None else "\x01" + str(v)
+
+        composed = F.concat_ws(sep, *[enc_col(c) for c in keys])
+        lits = [sep.join(enc_val(v) for v in t) for t in hot_keys]
+        if len(lits) <= HOT_KEY_LITERAL_MAX:
+            cold_bands = bands.where(~composed.isin(lits))
+            hot_bands = bands.where(composed.isin(lits))
+        else:
+            # A pathologically boilerplate corpus (millions of distinct
+            # >cap clusters) would bloat the plan string and driver memory
+            # with isin literals; above the threshold, route the split
+            # through a BROADCAST semi/anti join on a hot-key frame
+            # instead — same rows either way (r8 verdict ask #5).
+            hk = F.broadcast(
+                sigs.sparkSession.createDataFrame(
+                    [(s,) for s in lits], schema="_ck string"
+                )
+            )
+            tagged = bands.withColumn("_ck", composed)
+            cold_bands = tagged.join(hk, "_ck", "left_anti").drop("_ck")
+            hot_bands = tagged.join(hk, "_ck", "left_semi").drop("_ck")
     else:
         cold_bands = bands
         hot_bands = None
@@ -410,9 +443,13 @@ def banded_candidate_pairs(
 
     if hot_bands is not None:
         ha, hb = hot_bands.alias("ha"), hot_bands.alias("hb")
+        # eqNullSafe on every key column: the cold collect_list path groups
+        # NULL blocks into buckets like any other value, so the hot join
+        # must match NULL==NULL too or an oversized NULL-block bucket's
+        # pairs vanish (ADVICE r8 #1). Costs nothing for non-null keys.
         hot_cand = ha.join(
             hb,
-            [F.col(f"ha.{c}") == F.col(f"hb.{c}") for c in keys]
+            [F.col(f"ha.{c}").eqNullSafe(F.col(f"hb.{c}")) for c in keys]
             + [F.col("ha.m.i") < F.col("hb.m.i")],
         ).select(
             F.col("ha.m.i").alias("id_a"),
@@ -857,16 +894,18 @@ def _winnow_seed_kernel(k: int, w: int):
                 s = s or ""
                 c = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)
                 n = len(c)
+                if n < k:
+                    # no k-gram fits: emit no seeds (a doc shorter than k
+                    # cannot contain a duplicated span ≥ k+w−1 — ADVICE r8
+                    # #3: whole-short-doc removal exceeded the contract)
+                    continue
                 powp, invp = _pow_tables(max(n, k))
                 S = np.concatenate(
                     [[0], np.cumsum(c * invp[1 : n + 1] % HASH_PRIME)]
                 )
                 H = powp[: n + 1] * (S % HASH_PRIME) % HASH_PRIME
-                if n < k:
-                    g = H[n : n + 1]
-                else:
-                    p = np.arange(1, n - k + 2)
-                    g = (H[p + k - 1] - H[p - 1] * powp[k]) % HASH_PRIME
+                p = np.arange(1, n - k + 2)
+                g = (H[p + k - 1] - H[p - 1] * powp[k]) % HASH_PRIME
                 if len(g) >= w:
                     wins = np.lib.stride_tricks.sliding_window_view(g, w)
                     pos = np.unique(wins.argmin(axis=1) + np.arange(len(wins)) + 1)
@@ -911,6 +950,10 @@ def substring_dedup(
     Returns one row per input document:
       (id_col, n_dup_spans, removed_chars, clean_len, clean_text)
     where clean_text is the normalized text with islands cut out.
+    Documents with normalized length < k pass through UNCHANGED (0 spans):
+    they cannot contain a span ≥ k+w−1, so they emit no seeds — exact-dup
+    short docs are intentionally NOT removed by this operator (use
+    exact_duplicates for whole-document dedup).
 
     Scale shape (100 TB): gram hashing and fingerprint selection are
     map-only per-row work (zero shuffle); the only corpus-wide shuffles
@@ -934,9 +977,15 @@ def substring_dedup(
             normalize_text(F.coalesce(F.col(text_col), F.lit(""))).alias("_s"),
         )
     ).localCheckpoint(eager=True)
+    # Docs with normalized length < k emit NO seed occurrences: they cannot
+    # contain a duplicated span of length ≥ k+w−1, and treating the whole
+    # text as one clamped gram deleted exact-dup short docs entirely —
+    # beyond the documented contract (ADVICE r8 #3). Such docs pass
+    # through unchanged (0 spans, 0 removed chars).
+    seedable = nrm.where(F.length("_s") >= k)
     if kernel == "arrow":
         id_type = dict(nrm.dtypes)["_id"]
-        occ = nrm.mapInPandas(
+        occ = seedable.mapInPandas(
             _winnow_seed_kernel(k, w), schema=f"_id {id_type}, _pos int, _gram string"
         )
     elif kernel == "expr":
@@ -947,7 +996,7 @@ def substring_dedup(
         # folds are interpreted either way; the extra checkpoint dominates),
         # so the per-gram substr fold stays; `kernel="arrow"` is the fast
         # path for throughput-bound corpora.
-        gh = nrm.select(
+        gh = seedable.select(
             "_id", "_s", winnow_gram_hashes(F.col("_s"), k).alias("_gh")
         ).localCheckpoint(eager=True)
         occ = gh.select(

@@ -286,11 +286,13 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
              lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')) AS s
       FROM documents
     ), gr AS (
-      -- outer index is j: the poly-hash mirror's inner lambda binds i
+      -- outer index is j: the poly-hash mirror's inner lambda binds i.
+      -- Docs shorter than k=20 emit no seeds (cannot hold a span ≥ k+w−1).
       SELECT doc_id, s,
-             list_transform(range(1, greatest(length(s) - 19, 1) + 1),
+             list_transform(range(1, length(s) - 19 + 1),
                             j -> {_H.format(s='s[j:j+19]')}) AS gh
       FROM nrm
+      WHERE length(s) >= 20
     ), fp AS (
       SELECT doc_id, s,
              list_distinct(CASE WHEN len(gh) >= 8
@@ -534,9 +536,13 @@ def q_streaming_dedup_online(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return
             fb = feats(batch).localCheckpoint(eager=True)
             lo, hi = fb.agg(F.min("_id"), F.max("_id")).collect()[0]
-            assert lo > state["max_seen"], (
-                f"stream batches out of doc_id order: {lo} after {state['max_seen']}"
-            )
+            # explicit raise, not assert: the ordering invariant is what
+            # makes the sequential oracle valid, and assert compiles out
+            # under python -O (ADVICE r8 #4)
+            if lo <= state["max_seen"]:
+                raise RuntimeError(
+                    f"stream batches out of doc_id order: {lo} after {state['max_seen']}"
+                )
             state["max_seen"] = int(hi)
             kb = fb.select("_id", "_sh", F.explode("_keys").alias("_key"))
             # in-batch: earlier (smaller-id) docs of the same batch are prior
@@ -571,7 +577,14 @@ def q_streaming_dedup_online(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "q_streaming_dedup_online: availableNow stream did not settle "
+                "within 600s — refusing to read a partial kept/ output"
+            )
+        if q.exception() is not None:
+            raise q.exception()
         out = (
             spark.read.parquet(out_dir)
             .select(F.col("_id").alias("doc_id"))

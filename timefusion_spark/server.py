@@ -703,20 +703,23 @@ class _Handler(socketserver.BaseRequestHandler):
                     n = 0 if _is_status_frame(df) else df.count()
                     self._send(b"C", _command_tag(sql, n).encode() + b"\x00")
                     return
-                entry["rows"] = df.collect()
-            entry["fields"] = df.schema.fields
-        rows, fields = entry["rows"], entry["fields"]
-        start = entry["sent"]
-        stop = len(rows) if max_rows <= 0 else min(start + max_rows, len(rows))
-        for row in rows[start:stop]:
+                # incremental drain, NOT collect: a fetch-paged portal
+                # over a huge result must never materialize driver-side
+                entry["rows"] = _RowStream(df)
+            entry["fields"] = entry["rows"].fields
+        stream, fields = entry["rows"], entry["fields"]
+        with self._statement_watchdog():
+            rows = stream.take(None if max_rows <= 0 else max_rows)
+            suspended = max_rows > 0 and not stream.exhausted()
+        for row in rows:
             self._send(b"D", self._data_row(fields, row, rfmts))
-        entry["sent"] = stop
-        if stop < len(rows):
+        entry["sent"] += len(rows)
+        if suspended:
             self._send(b"s")  # PortalSuspended — client re-Executes to drain
         else:
             # completion tag counts ALL rows the portal delivered (PG
             # accumulates es_processed across Execute runs of one portal)
-            self._send(b"C", _command_tag(sql, stop).encode() + b"\x00")
+            self._send(b"C", _command_tag(sql, entry["sent"]).encode() + b"\x00")
 
     def _close_msg(self, payload: bytes) -> None:
         kind = payload[0:1]
@@ -1250,10 +1253,13 @@ class _Handler(socketserver.BaseRequestHandler):
 
     def _cursor_verb(self, m: re.Match) -> None:
         """DECLARE name CURSOR FOR … / FETCH [n|ALL] FROM name / MOVE /
-        CLOSE — PG's simple-protocol paging. The result materializes at
-        DECLARE (under the statement watchdog) and FETCH slices it; FETCH
-        returns a result set with PG's 'FETCH n' tag, MOVE advances
-        without rows, CLOSE drops the cursor."""
+        CLOSE — PG's simple-protocol paging. DECLARE analyzes the plan
+        and opens an incremental _RowStream drain (toLocalIterator — one
+        partition at a time, never a full collect: the paged flows exist
+        precisely so a huge result doesn't materialize at once); each
+        FETCH pulls its page under the statement watchdog. FETCH returns
+        a result set with PG's 'FETCH n' tag, MOVE advances without
+        rows, CLOSE drops the cursor."""
         if not hasattr(self, "_cursors"):
             self._cursors: dict[str, dict] = {}
         if m.group("dname"):
@@ -1262,8 +1268,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 raise ValueError(f'cursor "{name}" already exists')
             with self._statement_watchdog():
                 df = self._run(m.group("dsql"))
-                rows = df.collect()
-            self._cursors[name] = {"rows": rows, "fields": df.schema.fields, "pos": 0}
+                self._cursors[name] = _RowStream(df)
             self._send(b"C", b"DECLARE CURSOR\x00")
             return
         if m.group("cname"):
@@ -1277,19 +1282,17 @@ class _Handler(socketserver.BaseRequestHandler):
         if cur is None:
             raise ValueError(f'cursor "{name}" does not exist')
         raw = m.group("count")
-        n = len(cur["rows"]) if raw and raw.upper() == "ALL" else int(raw) if raw else 1
-        start = cur["pos"]
-        stop = min(start + n, len(cur["rows"]))
-        cur["pos"] = stop
+        n = None if raw and raw.upper() == "ALL" else int(raw) if raw else 1
         verb = m.group("verb").upper()
+        with self._statement_watchdog():
+            rows = cur.take(n)
         if verb == "MOVE":
-            self._send(b"C", f"MOVE {stop - start}\x00".encode())
+            self._send(b"C", f"MOVE {len(rows)}\x00".encode())
             return
-        fields = cur["fields"]
-        self._send(b"T", self._row_description(fields))
-        for row in cur["rows"][start:stop]:
-            self._send(b"D", self._data_row(fields, row))
-        self._send(b"C", f"FETCH {stop - start}\x00".encode())
+        self._send(b"T", self._row_description(cur.fields))
+        for row in rows:
+            self._send(b"D", self._data_row(cur.fields, row))
+        self._send(b"C", f"FETCH {len(rows)}\x00".encode())
 
     def _simple_query(self, sql: str) -> None:
         from timefusion_spark.pgshim import pg_sql
@@ -1366,6 +1369,61 @@ class _Handler(socketserver.BaseRequestHandler):
 
 def _is_status_frame(df) -> bool:
     return [f.name for f in df.schema.fields] == ["status"] and df.isEmpty()
+
+
+class _RowStream:
+    """Incremental driver-side drain of a result DataFrame for the
+    fetch-paged flows (extended-protocol portals, DECLARE…FETCH cursors,
+    simple-query result sets). The reference's pgwire layer streams
+    encode_dataframe record batches over the wire (pgwire_handlers.rs);
+    the Spark analog is toLocalIterator, which computes one partition at
+    a time on demand — a cursor over a 100×-scale table holds at most
+    the current partition plus one peeked row driver-side, never the
+    whole result (r8 verdict ask #1; the old path did df.collect() at
+    DECLARE/first-Execute).
+
+    `pulled` counts rows drawn from Spark — tests pin the no-full-
+    materialization contract on it."""
+
+    def __init__(self, df):
+        self.fields = df.schema.fields
+        self._it = df.toLocalIterator()
+        self._peek = None
+        self.done = False
+        self.pulled = 0
+
+    def _next(self):
+        if self._peek is not None:
+            row, self._peek = self._peek, None
+            return row
+        row = next(self._it)  # may raise StopIteration
+        self.pulled += 1
+        return row
+
+    def take(self, n: int | None) -> list:
+        """Up to n rows (None = all remaining)."""
+        out: list = []
+        if self.done:
+            return out
+        try:
+            while n is None or len(out) < n:
+                out.append(self._next())
+        except StopIteration:
+            self.done = True
+        return out
+
+    def exhausted(self) -> bool:
+        """True iff no rows remain (peeks at most one row ahead, so the
+        portal-suspend decision matches the collect-based behavior:
+        CommandComplete exactly when the source is drained)."""
+        if self.done:
+            return True
+        if self._peek is None:
+            try:
+                self._peek = self._next()
+            except StopIteration:
+                self.done = True
+        return self.done
 
 
 class _TCPServer(socketserver.ThreadingMixIn, socketserver.TCPServer):
