@@ -251,6 +251,95 @@ class TestProductQuantization:
             want = [argmin_code(v[j * 4 : (j + 1) * 4], books[j]) for j in range(2)]
             assert got[i] == want, f"vec {i}"
 
+    def test_fit_recovers_exact_clusters(self, spark):
+        """Joint-Lloyd pq_fit: when each subspace holds exactly ksub
+        distinct subvector values, the fixed point IS those values (each
+        cell's mean equals its single member), whatever the init picked —
+        so the fitted books must contain every true value exactly."""
+        import itertools
+
+        from timefusion_spark.operators import similarity as S
+
+        # 2 subspaces of dim 2; subspace values on a coarse grid, ksub=4
+        vals0 = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]]
+        vals1 = [[-5.0, 5.0], [5.0, -5.0], [20.0, 20.0], [-20.0, -20.0]]
+        vecs = [a + b for a, b in itertools.product(vals0, vals1)] * 4
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+        )
+        # both fit paths: in-memory numpy (default budget) and the
+        # distributed broadcast-codebook Lloyd loop (budget 0 forces it)
+        for budget in (64 << 20, 0):
+            books = S.pq_fit(df, m=2, ksub=4, max_iter=10, driver_fit_max_bytes=budget)
+            assert len(books) == 2 and all(len(b) == 4 for b in books)
+            assert sorted(books[0]) == sorted(vals0), f"budget={budget}"
+            assert sorted(books[1]) == sorted(vals1), f"budget={budget}"
+
+    def test_encode_kernels_identical(self, spark):
+        """The vectorized Arrow encode kernel (einsum + argmin) must pick
+        the same codes as the JVM expression path on random data."""
+        import random
+
+        from timefusion_spark.operators import similarity as S
+
+        random.seed(17)
+        books = [
+            [[random.uniform(-1, 1) for _ in range(4)] for _ in range(8)]
+            for _ in range(4)
+        ]
+        vecs = [[random.uniform(-1, 1) for _ in range(16)] for _ in range(60)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+        )
+        a = {
+            r["vec_id"]: list(r["_codes"])
+            for r in S.pq_encode(df, books, kernel="expr").select("vec_id", "_codes").collect()
+        }
+        b = {
+            r["vec_id"]: list(r["_codes"])
+            for r in S.pq_encode(df, books, kernel="arrow").select("vec_id", "_codes").collect()
+        }
+        assert a == b
+
+    def test_fit_quantization_beats_single_centroid(self, spark):
+        """Sanity: fitted codebooks must cut encode error well below the
+        trivial 1-centroid quantizer on structured data, and every code
+        must be a valid book index."""
+        import random
+
+        from timefusion_spark.operators import similarity as S
+
+        random.seed(11)
+        centers = [[random.uniform(-10, 10) for _ in range(8)] for _ in range(6)]
+        vecs = [
+            [c + random.gauss(0, 0.05) for c in random.choice(centers)]
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+        )
+        books = S.pq_fit(df, m=2, ksub=8, max_iter=8)
+        enc = {
+            r["vec_id"]: list(r["_codes"])
+            for r in S.pq_encode(df, books).select("vec_id", "_codes").collect()
+        }
+
+        def err(v, codes):
+            total = 0.0
+            for j in range(2):
+                sub = v[j * 4 : (j + 1) * 4]
+                c = books[j][codes[j]]
+                total += sum((a - b) * (a - b) for a, b in zip(sub, c))
+            return total
+
+        mean = [sum(v[i] for v in vecs) / len(vecs) for i in range(8)]
+        fitted = sum(err(v, enc[i]) for i, v in enumerate(vecs)) / len(vecs)
+        trivial = sum(
+            sum((a - b) * (a - b) for a, b in zip(v, mean)) for v in vecs
+        ) / len(vecs)
+        assert fitted < trivial / 10, (fitted, trivial)
+        assert all(0 <= c < 8 for codes in enc.values() for c in codes)
+
     def test_adc_equals_quantized_distance(self, spark):
         import random
 

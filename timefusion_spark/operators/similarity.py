@@ -287,6 +287,49 @@ def l2_probes_expr(
     )
 
 
+def _pq_fit_driver(
+    base: DataFrame, m: int, dsub: int, ksub: int, max_iter: int
+) -> list[list[list[float]]]:
+    """In-memory joint Lloyd over the collected sample (the FAISS shape:
+    codebook training is always sample-bounded, so when the sample fits a
+    modest driver budget the fit is pure numpy — TWO Spark jobs total and
+    milliseconds of math, vs one job per Lloyd step distributed).
+    Deterministic: lexicographic-unique candidate pool, Gonzalez maxmin
+    init, leftmost argmin, empty cells keep their previous centroid."""
+    import numpy as np
+
+    V = np.array([r["_v"] for r in base.collect()], dtype=np.float64)
+    if len(V) == 0:
+        raise ValueError("pq_fit: no sample rows")
+    S = V.reshape(len(V), m, dsub)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        uniq = np.unique(S[:, j, :], axis=0)  # lexicographic → deterministic
+        chosen = [uniq[0]]
+        mind = ((uniq - uniq[0]) ** 2).sum(axis=1)
+        while len(chosen) < min(ksub, len(uniq)):
+            nxt = int(mind.argmax())
+            chosen.append(uniq[nxt])
+            mind = np.minimum(mind, ((uniq - uniq[nxt]) ** 2).sum(axis=1))
+        while len(chosen) < ksub:  # pad: duplicates never win the cid tiebreak
+            chosen.append(chosen[0].copy())
+        books[j] = np.stack(chosen)
+    for _ in range(max_iter):
+        c2 = (books**2).sum(axis=2)
+        codes = (c2[None] - 2.0 * np.einsum("nmd,mkd->nmk", S, books)).argmin(axis=2)
+        new_books = books.copy()
+        for j in range(m):
+            cnt = np.bincount(codes[:, j], minlength=ksub)
+            sums = np.zeros((ksub, dsub))
+            np.add.at(sums, codes[:, j], S[:, j, :])
+            nz = cnt > 0
+            new_books[j][nz] = sums[nz] / cnt[nz, None]
+        if np.array_equal(new_books, books):
+            break
+        books = new_books
+    return [[[float(x) for x in c] for c in book] for book in books]
+
+
 def pq_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -295,6 +338,7 @@ def pq_fit(
     seed: int = 7,
     max_fit_rows: int = 1_000_000,
     max_iter: int = 8,
+    driver_fit_max_bytes: int = 64 << 20,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou/Douze/Schmid 2011): the
     vector splits into `m` subspaces and each subspace gets its own
@@ -303,10 +347,25 @@ def pq_fit(
     memory trick that makes billion-vector ANN indexes fit. Fit follows
     the ivf_assign discipline: deterministic hash-sample bounded by
     `max_fit_rows` (a quantizer needs a representative sample, not the
-    corpus), fixed seeds, sample checkpointed once and re-read by the m
-    sub-fits. Returns books[m][ksub][dsub]."""
-    from pyspark.ml.clustering import KMeans
+    corpus), fixed seed. Returns books[m][ksub][dsub].
+
+    Two fit paths, same algorithm (maxmin init + joint Lloyd, empty cells
+    keep their centroid), picked by estimated sample size:
+    - sample ≤ `driver_fit_max_bytes` → `_pq_fit_driver`: collect the
+      bounded sample once and fit in numpy — 2 Spark jobs total (the
+      FAISS shape; codebook training is sample-bounded by design, so
+      per-iteration Spark job overhead would dominate the math by 100×).
+    - larger samples → distributed JOINT Lloyd (r8 verdict ask #2): the
+      sample explodes ONCE to (subspace, subvector) rows, checkpointed;
+      every Lloyd step ships the current codebooks as a BROADCAST m-row
+      frame, equi-joins on the subspace, argmin-assigns with the expanded
+      ||c||²−2⟨v,c⟩ (cid tiebreak), and ONE groupBy((subspace, cell))
+      Summarizer.mean recomputes every centroid — ~max_iter+3 jobs
+      regardless of m (the old shape ran m sequential MLlib fits ≈
+      m·max_iter tiny jobs, nearly all scheduling overhead)."""
     from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+    from pyspark.sql import Window as W
 
     base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
     n = base.count()
@@ -318,17 +377,163 @@ def pq_fit(
     if d % m != 0:
         raise ValueError(f"vector dim {d} not divisible into m={m} subspaces")
     dsub = d // m
-    base = base.localCheckpoint(eager=True)
+    if min(n, max_fit_rows) * d * 8 <= driver_fit_max_bytes:
+        return _pq_fit_driver(base, m, dsub, ksub, max_iter)
+    from timefusion_spark.operators.dedup import ensure_parallelism
+
+    # ensure_parallelism: a small sample often arrives as ONE unsplittable
+    # parquet row group, which would serialize every Lloyd job; the gated
+    # repartition is a no-op at real scale (many ≥128 MB row groups)
+    sub = (
+        ensure_parallelism(base)
+        .select(
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), "
+                    f"j -> slice(_v, j * {dsub} + 1, {dsub}))"
+                )
+            ).alias("_j", "_s")
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Deterministic farthest-point init (Gonzalez maxmin over a seeded
+    # candidate pool): ONE job collects the 8·ksub hash-first DISTINCT
+    # subvectors per subspace (distinct so duplicate-heavy samples don't
+    # seed coincident centroids; 8× pool so the greedy driver-side
+    # selection can spread seeds across the true clusters — plain
+    # hash-random init measurably loses cells to Lloyd local optima).
+    # Driver work is O(m · 8·ksub · ksub · dsub) — trivial and exact.
+    pool_n = 8 * ksub
+    w = W.partitionBy("_j").orderBy(F.xxhash64(F.col("_s"), F.lit(seed)), F.col("_s"))
+    pool_rows = (
+        sub.dropDuplicates(["_j", "_s"])
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= pool_n)
+        .select("_j", "_rn", "_s")
+        .collect()
+    )
+    pools: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(pool_rows, key=lambda r: (r["_j"], r["_rn"])):
+        pools[r["_j"]].append([float(x) for x in r["_s"]])
     books: list[list[list[float]]] = []
     for j in range(m):
-        sub = base.select(
-            array_to_vector(F.slice("_v", j * dsub + 1, dsub)).alias("_s")
+        cand = pools[j]
+        if not cand:
+            raise ValueError(f"pq_fit: subspace {j} has no sample rows")
+        chosen = [cand[0]]
+        mind = [
+            sum((a - b) * (a - b) for a, b in zip(c, cand[0])) for c in cand
+        ]
+        while len(chosen) < min(ksub, len(cand)):
+            nxt = max(range(len(cand)), key=lambda i: mind[i])
+            chosen.append(cand[nxt])
+            for i, c in enumerate(cand):
+                d2 = sum((a - b) * (a - b) for a, b in zip(c, cand[nxt]))
+                if d2 < mind[i]:
+                    mind[i] = d2
+        # fewer than ksub distinct subvectors: pad with the first centroid
+        # (cid-tiebreak argmin never assigns the duplicates — harmless)
+        while len(chosen) < ksub:
+            chosen.append(list(chosen[0]))
+        books.append(chosen)
+
+    # Each Lloyd step ships the current codebooks as a BROADCAST m-row
+    # frame (one row per subspace: centroid matrix + squared norms) and
+    # equi-joins it on the row's subspace — no plan literals at all, so
+    # the per-iteration Catalyst cost is constant and tiny (re-parsing an
+    # m·ksub·dsub-literal expression every iteration dominated the fit
+    # wall before). The argmin over the joined matrix attribute is the
+    # same expanded ||c||²−2⟨v,c⟩ with cid tiebreak.
+    # inner dot UNROLLED over the dsub terms (dsub is small by design):
+    # zip_with+aggregate per centroid costs an array allocation plus ~3
+    # interpreted nodes per element — the unrolled sum is one flat
+    # arithmetic expression, ~3× faster per row at dsub=4
+    dot = " + ".join(
+        f"element_at(_s, {i + 1}) * element_at(element_at(_mat, c + 1), {i + 1})"
+        for i in range(dsub)
+    )
+    assign = (
+        f"array_min(transform(sequence(0, {ksub - 1}), c -> named_struct("
+        f"'d', element_at(_c2, c + 1) - 2.0D * ({dot}), "
+        f"'cid', c))).cid"
+    )
+    spark = df.sparkSession
+    for _ in range(max_iter):
+        bk = spark.createDataFrame(
+            [
+                (j, books[j], [sum(x * x for x in c) for c in books[j]])
+                for j in range(m)
+            ],
+            schema="_j int, _mat array<array<double>>, _c2 array<double>",
         )
-        model = KMeans(
-            k=ksub, seed=seed + j, maxIter=max_iter, featuresCol="_s", predictionCol="_c"
-        ).fit(sub)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        means = (
+            sub.join(F.broadcast(bk), "_j")
+            .select(
+                "_j",
+                F.expr(assign).alias("_c"),
+                array_to_vector(F.col("_s")).alias("_vec"),
+            )
+            .groupBy("_j", "_c")
+            .agg(Summarizer.mean(F.col("_vec")).alias("_mean"))
+            .collect()
+        )
+        new_books = [[list(c) for c in book] for book in books]
+        for r in means:
+            new_books[r["_j"]][r["_c"]] = [float(x) for x in r["_mean"]]
+        if new_books == books:
+            break
+        books = new_books
     return books
+
+
+def _pq_lits(books: list[list[list[float]]]) -> tuple[str, str]:
+    """Nested [m][ksub][dsub] centroid-matrix and [m][ksub] squared-norm
+    SQL array-constructor literals. Callers MUST hoist these into
+    PROJECTED columns, never embed them inside a lambda body: constant
+    folding does not reach lambda bodies, so an in-lambda array literal
+    is re-CONSTRUCTED on every lambda invocation — measured 5× slower
+    encode (and the pre-hoist per-subspace unrolled form was 5× slower
+    again) purely from per-call array allocation."""
+    mat = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")" for c in book
+        ) + ")" for book in books
+    ) + ")"
+    c2 = "array(" + ", ".join(
+        "array(" + ", ".join(
+            f"{sum(float(x) * float(x) for x in c)!r}D" for c in book
+        ) + ")" for book in books
+    ) + ")"
+    return mat, c2
+
+
+def _pq_encode_kernel(books: list[list[list[float]]], vec_col: str, out_col: str):
+    """Vectorized Arrow encode kernel: one einsum per batch computes every
+    (row, subspace, centroid) score; argmin's leftmost-minimum matches the
+    expression path's cid tiebreak. The numpy inner loop is the
+    throughput shape for corpus-scale encode (q_ann_arrow_topk precedent:
+    Arrow batches, BLAS-class kernel, still map-only with no shuffle)."""
+    import numpy as np
+
+    B = np.array(books, dtype=np.float64)  # (m, ksub, dsub)
+    c2 = (B * B).sum(axis=2)  # (m, ksub)
+    m, _ksub, dsub = B.shape
+
+    def fn(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            S = V.reshape(len(V), m, dsub)
+            scores = c2[None, :, :] - 2.0 * np.einsum("nmd,mkd->nmk", S, B)
+            codes = scores.argmin(axis=2)
+            pdf[out_col] = [row.tolist() for row in codes.astype("int32")]
+            yield pdf
+
+    return fn
 
 
 def pq_encode(
@@ -336,21 +541,52 @@ def pq_encode(
     books: list[list[list[float]]],
     vec_col: str = "embedding",
     out_col: str = "_codes",
+    kernel: str = "expr",
 ) -> DataFrame:
     """PQ encoding: per subspace, the L2-argmin codebook entry — one
-    map-side pass over the full corpus (the same constant-folded
-    ||c||²−2⟨v,c⟩ argmin expression as the IVF flat quantizer, applied to
-    each slice), zero shuffle, zero Python. Adds `out_col` array<int> of
+    map-side pass over the full corpus (the expanded ||c||²−2⟨v,c⟩
+    argmin, cid tiebreak), zero shuffle. Adds `out_col` array<int> of
     m codes (the 100-TB artifact: m bytes-ish per vector instead of d
-    floats)."""
+    floats).
+
+    `kernel="expr"` (default) stays pure-JVM: the codebook rides as
+    hoisted constant-folded literal columns and a generic two-level
+    transform computes all m argmins in one expression tree.
+    `kernel="arrow"` is the throughput path: a vectorized einsum batch
+    kernel (mapInPandas — Arrow batches, no shuffle), same codes."""
     m = len(books)
+    ksub = len(books[0])
     dsub = len(books[0][0])
-    exprs = []
-    for j, book in enumerate(books):
-        cents = list(enumerate(book))
-        sub_expr = f"slice(cast({vec_col} AS array<double>), {j * dsub + 1}, {dsub})"
-        exprs.append(f"array_min({_l2_scores_expr(cents, sub_expr)}).cid")
-    return df.withColumn(out_col, F.expr("array(" + ", ".join(exprs) + ")"))
+    if kernel == "arrow":
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+        )
+        return df.mapInPandas(_pq_encode_kernel(books, vec_col, out_col), schema=schema)
+    if kernel != "expr":
+        raise ValueError(f"unknown kernel {kernel!r} (expected 'expr' or 'arrow')")
+    mat, c2 = _pq_lits(books)
+    # inner dot unrolled over the dsub terms (see pq_fit: zip_with +
+    # aggregate cost an allocation per centroid; the flat sum doesn't)
+    dot = " + ".join(
+        f"element_at(_pq_v, j * {dsub} + {i + 1}) * "
+        f"element_at(element_at(element_at(_pq_mat, j + 1), c + 1), {i + 1})"
+        for i in range(dsub)
+    )
+    codes = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"array_min(transform(sequence(0, {ksub - 1}), c -> named_struct("
+        f"'d', element_at(element_at(_pq_c2, j + 1), c + 1) - 2.0D * ({dot}), "
+        f"'cid', c))).cid)"
+    )
+    return (
+        df.withColumn("_pq_mat", F.expr(mat))
+        .withColumn("_pq_c2", F.expr(c2))
+        .withColumn("_pq_v", F.expr(f"cast({vec_col} AS array<double>)"))
+        .withColumn(out_col, F.expr(codes))
+        .drop("_pq_mat", "_pq_c2", "_pq_v")
+    )
 
 
 def pq_adc_topk(
@@ -377,16 +613,19 @@ def pq_adc_topk(
         tables.append(
             [sum((qd - float(cd)) * (qd - float(cd)) for qd, cd in zip(q_sub, c)) for c in book]
         )
-    tbl_lits = ", ".join(
+    tbl = "array(" + ", ".join(
         "array(" + ", ".join(f"{v!r}D" for v in row) + ")" for row in tables
-    )
+    ) + ")"
+    # lookup table hoisted into a projected column — in-lambda literals
+    # are re-constructed per lambda invocation (see _pq_lits)
     adc = (
         f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, j) -> acc + "
-        f"element_at(element_at(array({tbl_lits}), j + 1), "
+        f"element_at(element_at(_adc_tbl, j + 1), "
         f"element_at({code_col}, j + 1) + 1))"
     )
     return (
-        encoded.select(F.col(id_col), F.expr(adc).alias("adc_dist"))
+        encoded.withColumn("_adc_tbl", F.expr(tbl))
+        .select(F.col(id_col), F.expr(adc).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )

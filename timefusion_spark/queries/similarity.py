@@ -277,10 +277,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     qv = _query_vec(spark, sf_dir, 0)
-    # deterministic layout → deterministic per-subspace k-means
-    pinned = e.repartition(1).sortWithinPartitions("vec_id")
-    books = sim.pq_fit(pinned, m=16, ksub=32)
-    enc = sim.pq_encode(e, books)
+    # joint-Lloyd fit: seeded hash-distinct init and argmin assignment are
+    # fully deterministic; centroid means carry only float-summation-order
+    # jitter, which the recall-bound gate absorbs (no repartition(1) pin —
+    # the old per-subspace MLlib loop needed one, and it serialized the fit)
+    books = sim.pq_fit(e, m=16, ksub=32)
+    # the codes table is the PERSISTED 100-TB artifact (encode once, scan
+    # codes forever); the checkpoint stands in for that stored table — and
+    # is load-bearing: without a barrier, CollapseProject inlines the full
+    # m·ksub-argmin codes expression into the ADC aggregate's lambda, which
+    # re-evaluates its body once per aggregate STEP (m× the encode work)
+    enc = sim.pq_encode(e, books).localCheckpoint(eager=True)
     shortlist = sim.pq_adc_topk(enc, books, qv, k=100)
     ql = F.array(*[F.lit(float(v)) for v in qv])
     l2 = F.aggregate(
