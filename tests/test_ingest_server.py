@@ -136,6 +136,23 @@ def srv(spark, table):
     s.stop()
 
 
+def test_admission_gate_refuses_new_streams(spark, table):
+    """The deploy-handoff write fence covers bulk ingest: while the admit
+    callable returns False, a new ingest stream is refused up front with
+    a clear admission error; reopening admits again."""
+    fenced = {"on": True}
+    s = ArrowIngestServer(spark, {"ing_t": table}, admit=lambda: not fenced["on"]).start()
+    try:
+        acks, final = _send_stream(s.port, "ing_t", [_batch(0, 5)], app_id="gate")
+        assert acks == []
+        assert final[0] == b"E" and "fenced" in str(final[1])
+        fenced["on"] = False
+        acks, final = _send_stream(s.port, "ing_t", [_batch(0, 5)], app_id="gate")
+        assert acks == [1] and final == (b"F", 5)
+    finally:
+        s.stop()
+
+
 def test_batches_ack_after_durable(spark, table, srv):
     acks, final = _send_stream(
         srv.port, "ing_t", [_batch(0, 10), _batch(10, 25), _batch(25, 30)]

@@ -1323,6 +1323,171 @@ class TestMetricsEndpoint:
             srv.stop()
 
 
+class TestHandoff:
+    """HANDOFF deploy-drain verb (pgwire_handlers.rs:274-282 / 642-643 /
+    768; buffered_write_layer.rs prepare_deploy_handoff): lease a
+    write-admission fence, wait for admitted writers (open interactive
+    transactions), drain registered ingest streams, answer `HANDOFF <n>`
+    with the rows made durable by the drain. Timeout/failure reopens
+    admission before erroring; an undelivered shutdown is healed by the
+    lease expiring on its own. Reads stay available throughout."""
+
+    def _mk(self, spark, tmp_path, **kw):
+        srv = PgWireServer(spark, base_dir=str(tmp_path / "hd_data"), **kw).start()
+        c = WireClient(srv.port)
+        c.startup()
+        c.query(
+            "CREATE TABLE ht (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+        )
+        c.query("INSERT INTO ht VALUES ('2026-01-01 10:00:00','seed',0.0,'p1')")
+        return srv, c
+
+    def test_txn_tail_drained_and_tag_counts_rows(self, spark, tmp_path):
+        import threading
+        import time
+
+        srv, c = self._mk(spark, tmp_path, handoff_lease_s=60.0)
+        try:
+            # connection B stages 3 rows in an open transaction — the
+            # admitted writer HANDOFF must wait for
+            b = WireClient(srv.port)
+            b.startup()
+            b.query("BEGIN")
+            b.query(
+                "INSERT INTO ht VALUES "
+                "('2026-01-01 10:01:00','t1',1.0,'p1'), "
+                "('2026-01-01 10:02:00','t2',2.0,'p1'), "
+                "('2026-01-01 10:03:00','t3',3.0,'p1')"
+            )
+            result: dict = {}
+
+            def run_handoff():
+                result["msgs"] = c.query("HANDOFF")
+
+            t = threading.Thread(target=run_handoff, daemon=True)
+            t.start()
+            time.sleep(1.0)  # HANDOFF is fenced and waiting on B
+            assert t.is_alive(), "HANDOFF returned before the writer settled"
+            b.query("COMMIT")  # settling the txn publishes the 3 rows
+            t.join(timeout=60)
+            assert not t.is_alive()
+            # tag counts the rows made durable during the drain
+            assert command_tags(result["msgs"]) == ["HANDOFF 3"]
+            b.close()
+            c.close()
+        finally:
+            srv.stop()
+
+    def test_fence_refuses_writes_serves_reads_lease_expires(self, spark, tmp_path):
+        import json as _json
+        import os
+        import time
+
+        from timefusion_spark.storage.streaming import ingest_stream
+
+        srv, c = self._mk(spark, tmp_path, handoff_lease_s=4.0)
+        try:
+            src = str(tmp_path / "hd_src")
+            os.makedirs(src)
+
+            def feed(name, lo, hi):
+                with open(os.path.join(src, name), "w") as fh:
+                    for i in range(lo, hi):
+                        fh.write(
+                            _json.dumps(
+                                {
+                                    "ts": f"2026-01-01 10:{i % 60:02d}:00",
+                                    "id": f"r{i}",
+                                    "val": float(i),
+                                    "project_id": "p1",
+                                }
+                            )
+                            + "\n"
+                        )
+
+            feed("a.json", 0, 5)
+            stream = spark.readStream.schema(
+                "ts string, id string, val double, project_id string"
+            ).json(src)
+            tbl = srv._server.runner.tables["ht"]
+            q = ingest_stream(
+                tbl, stream, str(tmp_path / "hd_ckpt"), trigger_seconds=1
+            )
+            srv.register_stream(q)
+            try:
+                msgs = c.query("HANDOFF")
+                tag = command_tags(msgs)
+                assert len(tag) == 1 and tag[0].startswith("HANDOFF "), msgs
+                # the stream's tail is settled: every fed row is durable
+                # and visible (1 seed + 5 streamed)
+                assert rows_of(c.query("SELECT count(*) AS n FROM ht")) == [["6"]]
+                # fenced: INSERT refused with a clear admission error...
+                msgs = c.query(
+                    "INSERT INTO ht VALUES ('2026-01-01 11:00:00','z',9.0,'p1')"
+                )
+                errs = [p for t, p in msgs if t == b"E"]
+                assert errs and b"fenced" in errs[0], msgs
+                # ...COPY too...
+                msgs = c.query("COPY ht FROM STDIN")
+                assert [p for t, p in msgs if t == b"E"], msgs
+                # ...while reads stay fully available
+                assert rows_of(c.query("SELECT count(*) AS n FROM ht")) == [["6"]]
+                assert srv.write_fenced
+                # orchestration never delivered the shutdown: the lease
+                # expires and admission reopens on its own
+                time.sleep(4.5)
+                assert not srv.write_fenced
+                msgs = c.query(
+                    "INSERT INTO ht VALUES ('2026-01-01 11:00:00','z',9.0,'p1')"
+                )
+                assert not [p for t, p in msgs if t == b"E"], msgs
+            finally:
+                q.stop()
+            c.close()
+        finally:
+            srv.stop()
+
+    def test_drain_timeout_reopens_admission(self, spark, tmp_path):
+        srv, c = self._mk(
+            spark, tmp_path, handoff_lease_s=60.0, handoff_drain_budget_s=1.5
+        )
+        try:
+            b = WireClient(srv.port)
+            b.startup()
+            b.query("BEGIN")
+            b.query("INSERT INTO ht VALUES ('2026-01-01 10:01:00','x',1.0,'p1')")
+            msgs = c.query("HANDOFF")  # B never settles inside the budget
+            errs = [p for t, p in msgs if t == b"E"]
+            assert errs and b"timed out" in errs[0].lower(), msgs
+            # admission reopened by the failed handoff
+            msgs = c.query(
+                "INSERT INTO ht VALUES ('2026-01-01 11:00:00','y',2.0,'p1')"
+            )
+            assert not [p for t, p in msgs if t == b"E"], msgs
+            b.query("ROLLBACK")
+            b.close()
+            c.close()
+        finally:
+            srv.stop()
+
+    def test_handoff_refused_inside_txn_and_bare_verb_only(self, spark, tmp_path):
+        srv, c = self._mk(spark, tmp_path)
+        try:
+            c.query("BEGIN")
+            msgs = c.query("HANDOFF")
+            errs = [p for t, p in msgs if t == b"E"]
+            assert errs and b"transaction block" in errs[0], msgs
+            c.query("ROLLBACK")
+            # `HANDOFF now` is NOT the verb (parse_handoff: bare only) —
+            # it falls through to the shim and errors as ordinary SQL
+            msgs = c.query("HANDOFF now")
+            assert [p for t, p in msgs if t == b"E"], msgs
+            assert not command_tags(msgs)
+            c.close()
+        finally:
+            srv.stop()
+
+
 class TestTextMatchIndexOverSql:
     """Judge ask r7 #6: the trigram sidecar serves plain SQL transparently
     — CREATE INDEX (pg_trgm DDL shape) builds it, `SELECT count(*) …

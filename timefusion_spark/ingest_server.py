@@ -92,6 +92,14 @@ class _IngestHandler(socketserver.BaseRequestHandler):
         except (ValueError, KeyError) as e:
             self._send_error(f"bad ingest header: {e}")
             return
+        if not self.server.admit_fn():
+            # deploy-handoff fence (buffered_write_layer.rs accepting_writes
+            # gate): bulk ingest is refused while the pgwire HANDOFF lease
+            # holds; the client reconnects against the replacement process
+            self._send_error(
+                "write admission is fenced for deploy handoff; reconnect later"
+            )
+            return
         tables = self.server.tables_fn()
         tbl = tables.get(name)
         if tbl is None:
@@ -171,10 +179,13 @@ class ArrowIngestServer:
     >>> srv.stop()
     """
 
-    def __init__(self, spark, tables, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, spark, tables, host: str = "127.0.0.1", port: int = 0, admit=None):
         self._server = _IngestTCPServer((host, port), _IngestHandler)
         self._server.spark = spark
         self._server.tables_fn = tables if callable(tables) else (lambda: tables)
+        # write-admission gate (deploy handoff): a callable returning False
+        # while new ingest streams must be refused; default always-open
+        self._server.admit_fn = admit if admit is not None else (lambda: True)
         self._server.lock = threading.Lock()
         self._thread: threading.Thread | None = None
 

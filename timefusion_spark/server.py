@@ -329,7 +329,17 @@ def _split_copy_lines(buf: bytes, csv_mode: bool) -> tuple[list[bytes], bytes]:
             start = i + 1
     return lines, buf[start:]
 _ADMIN_VERB_RE = re.compile(
-    r"(?is)^\s*(VACUUM|OPTIMIZE|FLUSH|CREATE\s+INDEX|REINDEX)\b"
+    r"(?is)^\s*(VACUUM|OPTIMIZE|FLUSH|HANDOFF|CREATE\s+INDEX|REINDEX)\b"
+)
+# bare verb only, exactly like the reference's parse_handoff
+# (pgwire_handlers.rs:642-643: strip_command(query, "handoff") must leave
+# nothing — `HANDOFF now` is not it, `SELECT handoff FROM t` is not it)
+_HANDOFF_RE = re.compile(r"(?is)^\s*HANDOFF\s*;?\s*$")
+# statements the deploy fence refuses: every storage mutation (reads stay
+# fully available while fenced, exactly the reference's accepting_writes
+# admission gate)
+_WRITE_STMT_RE = re.compile(
+    r"(?is)^\s*(INSERT|UPDATE|DELETE|CREATE|DROP|ALTER|TRUNCATE|COPY)\b"
 )
 _SAVEPOINT_RE = re.compile(r"(?is)^\s*SAVEPOINT\s+([A-Za-z_]\w*)\s*;?\s*$")
 _ROLLBACK_TO_RE = re.compile(
@@ -497,6 +507,9 @@ class _Handler(socketserver.BaseRequestHandler):
             # settled ABORTED definitively, so nothing the client staged
             # can ever become visible (PG disconnect semantics).
             txn, self._txn = self._txn, None
+            if txn is not None:
+                with self.server.lock:
+                    self.server.open_txns.discard(id(txn))
             if txn is not None and self.server.runner is not None:
                 try:
                     with self.server.lock:
@@ -691,6 +704,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 "COPY FROM STDIN is supported only via the simple query "
                 "protocol"
             )
+        self._check_write_admission(sql)
         if self.server.runner is not None and _is_storage_stmt(sql):
             with self._statement_watchdog(), self.server.lock:
                 self.server.runner.run_statement(sql, txn=self._txn)
@@ -802,10 +816,17 @@ class _Handler(socketserver.BaseRequestHandler):
                 self._txn = runner.begin_txn(
                     abort_after=timeout_ms / 1000.0 if timeout_ms > 0 else None
                 )
+                with self.server.lock:
+                    # admitted-writer registry: HANDOFF waits for this to
+                    # drain before declaring the tail settled
+                    self.server.open_txns.add(id(self._txn))
             # BEGIN inside an open block: PG warns and leaves it open.
             self._send(b"C", b"BEGIN\x00")
             return True
         txn, self._txn = self._txn, None
+        if txn is not None:
+            with self.server.lock:
+                self.server.open_txns.discard(id(txn))
         if verb in ("COMMIT", "END"):
             tag = b"COMMIT"
             if txn is not None and runner is not None:
@@ -1294,6 +1315,110 @@ class _Handler(socketserver.BaseRequestHandler):
             self._send(b"D", self._data_row(cur.fields, row))
         self._send(b"C", f"FETCH {len(rows)}\x00".encode())
 
+    # ── HANDOFF: deploy-drain verb (pgwire_handlers.rs:274-282,768) ──────
+    #
+    # The reference's zero-downtime-deploy primitive: lease a write-
+    # admission fence, wait for admitted writers, drain the finite tail,
+    # report the drained rows — the process stays fully available for
+    # reads so orchestration can replace it with only SIGTERM's local
+    # snapshot left in the client-visible outage. Spark analog: the
+    # "finite tail" is open interactive transactions (their commit groups
+    # must settle) plus registered streaming-ingest queries
+    # (processAllAvailable drains their pending micro-batches); durable
+    # rows are counted from the commit-log manifests. The fence is LEASED
+    # (buffered_write_layer.rs:3188 HANDOFF_LEASE): if orchestration never
+    # delivers the shutdown, admission reopens automatically when the
+    # lease timestamp passes — no timer thread needed. Any drain failure
+    # or timeout reopens admission before erroring, exactly like the
+    # reference's reopen_on_error.
+
+    def _write_fenced(self) -> bool:
+        import time as _time
+
+        return _time.time() < self.server.handoff["until"]
+
+    def _check_write_admission(self, stmt: str) -> None:
+        if _WRITE_STMT_RE.match(stmt) and self._write_fenced():
+            raise ValueError(
+                "write admission is fenced for deploy handoff; "
+                "retry after the lease expires or the new process takes over"
+            )
+
+    def _run_handoff(self) -> None:
+        import time as _time
+
+        if self.server.runner is None and not self.server.streams:
+            # pgwire_handlers.rs:277 require_available: HANDOFF needs a
+            # write layer to fence; a read-only mount has nothing to drain
+            raise ValueError("HANDOFF requires a storage runner or registered streams")
+        h = self.server.handoff
+        with self.server.lock:
+            h["gen"] += 1
+            gen = h["gen"]
+            h["until"] = _time.time() + h["lease_s"]
+
+        def reopen() -> None:
+            with self.server.lock:
+                if self.server.handoff["gen"] == gen:
+                    self.server.handoff["until"] = 0.0
+
+        rows_before = _manifest_rows(self.server.tables)
+        deadline = _time.time() + h["drain_s"]
+        # wait for admitted writers: open interactive transactions settle
+        # (commit or roll back) on their own clients' schedule
+        while True:
+            with self.server.lock:
+                n_open = len(self.server.open_txns)
+            if n_open == 0:
+                break
+            if _time.time() >= deadline:
+                reopen()
+                raise ValueError(
+                    f"HANDOFF timed out waiting for {n_open} admitted "
+                    "writer(s); write admission reopened"
+                )
+            _time.sleep(0.05)
+        # Drain registered streams under the remaining budget.
+        # processAllAvailable honors the stream's own trigger schedule, so
+        # a stream on a long processingTime trigger cannot settle inside a
+        # deploy window — that is a config error this surfaces as a timed-
+        # out drain (admission reopened), not a silent partial handoff.
+        drain_err: list[BaseException] = []
+
+        def _drain() -> None:
+            try:
+                for q in list(self.server.streams):
+                    q.processAllAvailable()
+            except BaseException as e:  # noqa: BLE001 — carried to the caller
+                drain_err.append(e)
+
+        t = threading.Thread(target=_drain, name="tf-handoff-drain", daemon=True)
+        t.start()
+        t.join(timeout=max(deadline - _time.time(), 0.1))
+        if t.is_alive():
+            reopen()
+            raise ValueError(
+                "HANDOFF drain exceeded the budget (a registered stream's "
+                "trigger interval may be longer than the deploy window); "
+                "write admission reopened"
+            )
+        if drain_err:
+            reopen()
+            raise ValueError(
+                f"HANDOFF drain failed; write admission reopened: {drain_err[0]}"
+            ) from drain_err[0]
+        try:
+            if self.server.runner is not None:
+                with self.server.lock:
+                    self.server.runner.refresh_stale()
+        except Exception as e:  # noqa: BLE001 — reopen, then surface
+            reopen()
+            raise ValueError(
+                f"HANDOFF drain failed; write admission reopened: {e}"
+            ) from e
+        rows_after = _manifest_rows(self.server.tables)
+        self._send(b"C", f"HANDOFF {rows_after - rows_before}\x00".encode())
+
     def _simple_query(self, sql: str) -> None:
         from timefusion_spark.pgshim import pg_sql
 
@@ -1319,6 +1444,10 @@ class _Handler(socketserver.BaseRequestHandler):
                     # CancelRequest); false when the pid is unknown, as PG
                     self._cancel_backend(int(m.group(1)))
                     continue
+                if _HANDOFF_RE.match(stmt):
+                    self._run_handoff()
+                    continue
+                self._check_write_admission(stmt)
                 if m := _CURSOR_RE.match(stmt):
                     self._cursor_verb(m)
                     continue
@@ -1445,6 +1574,13 @@ class _TCPServer(socketserver.ThreadingMixIn, socketserver.TCPServer):
         self.cancel_keys: dict[tuple[int, int], str] = {}
         # pg_stat_activity backing store: pid → {state, query, ts}
         self.activity: dict[int, dict] = {}
+        # HANDOFF deploy-drain state: leased write-admission fence
+        # (until = wall-clock lease expiry; 0 = open) + drain budget
+        self.handoff: dict = {"gen": 0, "until": 0.0, "lease_s": 300.0, "drain_s": 240.0}
+        # admitted writers (open interactive txns, by id) + registered
+        # streaming-ingest queries HANDOFF must settle
+        self.open_txns: set[int] = set()
+        self.streams: list = []
 
     def next_pid(self) -> int:
         with _TCPServer._pid_lock:
@@ -1643,6 +1779,22 @@ def _is_storage_stmt(stmt: str) -> bool:
     )
 
 
+def _manifest_rows(tables) -> int:
+    """Total manifest-known rows across every mounted table's commit-log
+    snapshot (cheap local metadata reads, no Spark job) — HANDOFF reports
+    the delta of this figure across the drain as its drained-row count."""
+    total = 0
+    for name in tables or {}:
+        try:
+            snap = tables[name].log.snapshot()
+        except OSError:
+            continue
+        total += sum(
+            int(st["rows"]) for st in snap.stats.values() if st.get("rows") is not None
+        )
+    return total
+
+
 def _render_metrics(tables) -> str:
     """Prometheus text exposition (format 0.0.4) of every mounted table's
     commit-log manifest view: commits, live files/bytes, manifest-known
@@ -1766,6 +1918,8 @@ class PgWireServer:
         port: int = 0,
         metrics_port: int | None = None,
         arrow_port: int | None = None,
+        handoff_lease_s: float = 300.0,
+        handoff_drain_budget_s: float = 240.0,
     ):
         if runner is None and base_dir is not None:
             from timefusion_spark.slt import SltEnv
@@ -1776,6 +1930,10 @@ class PgWireServer:
         self._server.runner = runner
         self._server.tables = runner.tables if runner is not None else tables
         self._server.lock = threading.Lock()
+        # HANDOFF knobs (buffered_write_layer.rs:3189: lease 5 min, drain
+        # budget 4 min — configurable here so tests can compress time)
+        self._server.handoff["lease_s"] = handoff_lease_s
+        self._server.handoff["drain_s"] = handoff_drain_budget_s
         self._thread: threading.Thread | None = None
         # metrics.rs analog: GET /metrics beside the pgwire port (None =
         # disabled; 0 = ephemeral)
@@ -1791,7 +1949,12 @@ class PgWireServer:
             from timefusion_spark.ingest_server import ArrowIngestServer
 
             self._arrow = ArrowIngestServer(
-                spark, lambda: self._server.tables or {}, host=host, port=arrow_port
+                spark,
+                lambda: self._server.tables or {},
+                host=host,
+                port=arrow_port,
+                # the HANDOFF fence covers bulk ingest too
+                admit=lambda: not self.write_fenced,
             )
 
     @property
@@ -1805,6 +1968,17 @@ class PgWireServer:
     @property
     def arrow_port(self) -> int | None:
         return self._arrow.port if self._arrow is not None else None
+
+    def register_stream(self, query) -> None:
+        """Register a live StreamingQuery for HANDOFF to drain
+        (processAllAvailable) before declaring the tail settled."""
+        self._server.streams.append(query)
+
+    @property
+    def write_fenced(self) -> bool:
+        import time as _time
+
+        return _time.time() < self._server.handoff["until"]
 
     def start(self) -> "PgWireServer":
         self._thread = threading.Thread(
