@@ -68,6 +68,9 @@ HEADLINE = [
     # ExactSubstr via the Arrow rolling-hash kernel (the throughput path;
     # the expression twin q_dedup_substring stays oracle-gated)
     "q_dedup_substring_arrow",
+    # round 9: PQ/ADC after the joint-Lloyd fit + hoisted-literal encode
+    # rework (was ~46s at sf0.1 — worth tracking now that it's bench-fast)
+    "q_ann_pq_adc",
 ]
 
 
@@ -107,6 +110,21 @@ def main() -> int:
     for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         name = os.path.basename(p).removesuffix(".parquet")
         t(spark, sf_dir, name).selectExpr("count(1)").collect()
+
+    # PRE-battery select-latency probe (VERDICT r8 ask #6: the r8 p99
+    # spike was suspected GC pressure from the 38-query battery preceding
+    # the probe in the same JVM; probing both before and after the battery
+    # pins or clears that — and per-run latencies land in BENCH_NOTES so a
+    # straggler can be located, not just summarized).
+    extra: dict = {}
+    try:
+        extra["select_latency_pre_ms"] = _select_latency(spark, sf_dir, qs)
+        print(
+            f"bench select-latency(pre): p99={extra['select_latency_pre_ms']['p99']}ms",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"bench select-latency(pre): ERROR {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     runs_raw: dict[str, list[float]] = {}
@@ -165,7 +183,6 @@ def main() -> int:
     # ── The reference's bench contract beyond select wall-times
     # (README.md:284-289: insert throughput, select tail latency,
     # query-under-ingest) ────────────────────────────────────────────────
-    extra: dict = {}
     try:
         extra["insert"] = _insert_bench(spark, sf_dir)
     except Exception as e:  # noqa: BLE001
@@ -218,16 +235,12 @@ def main() -> int:
         "by per-query Catalyst analysis + whole-stage-codegen compile, which "
         "amortizes to noise at cluster scale. Compare rounds via the "
         "untouched control queries (q1, q_dashboard_count_window) to factor "
-        "out box speed. Round-8 deliberate deltas vs BENCH_r07: "
-        "q_dedup_ngram_jaccard carries the full-universe-signature "
-        "correctness fix (the removed mod-4 sampling created cross-cutoff "
-        "false negatives; an Arrow signature kernel wins most of it back); "
-        "q_dedup_minhash_lsh/_ngram also pay ~0.3-0.4s for the "
-        "degenerate-bucket guard (one count job; hot boilerplate clusters "
-        "expand via AQE-skew-splittable joins instead of one collect_list "
-        "task); q_funnel_analysis moved from a per-user array fold "
-        "(unspillable under a bot user) to greedy min-chasing — slower at "
-        "this sf, skew-safe at corpus scale.",
+        "out box speed. Round-9 deltas vs BENCH_r08: select-latency is now "
+        "probed BEFORE and AFTER the query battery with per-run latencies "
+        "recorded (select_latency_pre_ms / select_latency_ms runs_ms) to "
+        "pin or clear the r8 p99 straggler; the PQ fit/encode rework "
+        "(joint Lloyd, hoisted codebook literals, checkpointed codes) cut "
+        "q_ann_pq_adc's wall from ~46s to <10s if it appears in HEADLINE.",
         **extra,
     }
     try:
@@ -250,7 +263,13 @@ def main() -> int:
             "sf": sf,
             "insert": extra.get("insert"),
             "network_ingest": extra.get("network_ingest"),
-            "select_latency_ms": extra.get("select_latency_ms"),
+            # summary only — the 100 per-run latencies live in BENCH_NOTES
+            "select_latency_ms": {
+                k: v
+                for k, v in (extra.get("select_latency_ms") or {}).items()
+                if k != "runs_ms"
+            }
+            or None,
         },
         separators=(",", ":"),
     )
@@ -604,12 +623,12 @@ def _select_latency(spark, sf_dir: str, qs) -> dict:
     import time as _t
 
     fn = qs["q_dashboard_count_window"]
-    lat = []
+    runs = []
     for _ in range(100):
         t0 = _t.perf_counter()
         fn(spark, sf_dir).collect()
-        lat.append((_t.perf_counter() - t0) * 1000)
-    lat.sort()
+        runs.append((_t.perf_counter() - t0) * 1000)
+    lat = sorted(runs)
     n = len(lat)
     return {
         "p50": round(lat[n // 2], 1),
@@ -617,6 +636,9 @@ def _select_latency(spark, sf_dir: str, qs) -> dict:
         "p99": round(lat[min(n - 1, int(n * 0.99))], 1),
         "trimmed_max": round(lat[-2], 1),
         "n": n,
+        # RUN-ORDER latencies (not sorted): a straggler's position in the
+        # sequence distinguishes warmup, GC pauses, and steady-state noise
+        "runs_ms": [round(x, 1) for x in runs],
     }
 
 

@@ -1656,6 +1656,59 @@ class TestTextMatchIndexOverSql:
         c.query("DROP TABLE tm_t")
         c.close()
 
+    def test_raw_tokenizer_routes_equality_only(self, server):
+        """Per-field tokenizer routing (r8 verdict ask #7; reference
+        routing table tantivy_rewriter.rs:29-48): a tokenizer='raw' index
+        serves `col = 'lit'` index-first but DECLINES substring
+        text_match probes — which fall back to the scan path with
+        identical answers either way."""
+        from timefusion_spark import pgshim
+
+        c = WireClient(server.port)
+        c.startup()
+        c.query(
+            "CREATE TABLE raw_t (ts TIMESTAMP, id TEXT, label TEXT, project_id TEXT)"
+        )
+        c.query(
+            "INSERT INTO raw_t VALUES "
+            "('2026-01-01 10:00:00','a','alpha beta','p1'), "
+            "('2026-01-01 11:00:00','b','alpha beta','p1'), "
+            "('2026-01-01 12:00:00','c','gamma delta','p1')"
+        )
+        eq = "SELECT count(*) AS n FROM raw_t WHERE label = 'alpha beta'"
+        sub = "SELECT count(*) AS n FROM raw_t WHERE text_match(label, 'alpha')"
+        scan_eq = rows_of(c.query(eq))
+        scan_sub = rows_of(c.query(sub))
+        assert scan_eq == [["2"]] and scan_sub == [["2"]]
+        msgs = c.query(
+            "CREATE INDEX ON raw_t USING gin (label gin_trgm_ops) "
+            "WITH (key = 'id', tokenizer = 'raw')"
+        )
+        assert b"E" not in tags_of(msgs), msgs
+        served0 = pgshim.TEXT_INDEX_SERVED
+        assert rows_of(c.query(eq)) == scan_eq  # identical answer…
+        assert pgshim.TEXT_INDEX_SERVED == served0 + 1  # …served index-first
+        # whole-value term only: equality on a partial value matches nothing
+        assert rows_of(
+            c.query("SELECT count(*) AS n FROM raw_t WHERE label = 'alpha'")
+        ) == [["0"]]
+        served1 = pgshim.TEXT_INDEX_SERVED
+        # substring probe: the raw index DECLINES — scan path, same answer
+        assert rows_of(c.query(sub)) == scan_sub
+        assert pgshim.TEXT_INDEX_SERVED == served1
+        # unknown tokenizer errors clearly at DDL time
+        msgs = c.query("CREATE INDEX ON raw_t (label) WITH (tokenizer = 'stem')")
+        errs = [p for t, p in msgs if t == b"E"]
+        assert errs and b"unknown tokenizer" in errs[0], msgs
+        # and an ngram3 index does NOT serve equality (reference table:
+        # default tokenizer leaves `=` to bloom/stats)
+        c.query("CREATE INDEX ON raw_t USING gin (label gin_trgm_ops) WITH (key = 'id')")
+        served2 = pgshim.TEXT_INDEX_SERVED
+        assert rows_of(c.query(eq)) == scan_eq
+        assert pgshim.TEXT_INDEX_SERVED == served2
+        c.query("DROP TABLE raw_t")
+        c.close()
+
 
 class TestCreateOverExistingSidecar:
     def test_create_with_different_schema_raises(self, spark, tmp_path):

@@ -73,6 +73,46 @@ def trigram_index(
     return grams.withColumn("gbucket", gram_bucket(F.col("gram")))
 
 
+def raw_term_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """tokenizer='raw' sidecar rows: the WHOLE value as ONE term — the
+    reference's `raw` tantivy tokenizer (schemas/*.yaml `tantivy:
+    {tokenizer: raw}`; routing table tantivy_rewriter.rs:29-48), which
+    serves only equality / exact-term probes and declines substring
+    shapes. Same sidecar schema as the trigram index (id, gram, gbucket)
+    so the storage/refresh machinery is shared; one row per document
+    instead of one per trigram."""
+    return docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(text_col).alias("gram"),
+        gram_bucket(F.col(text_col)).alias("gbucket"),
+    )
+
+
+def raw_term_search(
+    docs: DataFrame,
+    index: DataFrame,
+    term: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents with text_col = term, served from a raw-term sidecar:
+    bucket-pruned exact-term probe for candidate ids, then the equality
+    predicate re-applies (additive contract — the index only prunes, so
+    the answer is byte-identical to the scan path even with stale
+    over-selecting rows)."""
+    ids = (
+        index.where(
+            (F.col("gbucket") == gram_bucket(F.lit(term)))
+            & (F.col("gram") == F.lit(term))
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(ids, id_col, "left_semi").where(F.col(text_col) == F.lit(term))
+
+
 def query_trigrams(token: str) -> list[str]:
     return [token[i : i + 3] for i in range(len(token) - 2)]
 

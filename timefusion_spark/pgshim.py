@@ -1570,6 +1570,13 @@ _TEXT_MATCH_Q_RE = re.compile(
     r"(?is)^SELECT\s+(COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?|\*)\s+FROM\s+"
     r"([A-Za-z_]\w*)\s+WHERE\s+text_match\(\s*([A-Za-z_]\w*)\s*,\s*'([^']*)'\s*\)$"
 )
+# col = 'literal' over one table — the shape a raw-tokenizer index serves
+# (tantivy_rewriter.rs:32 route_equality: `raw` serves term equality; the
+# ngram3/default tokenizers leave `=` to bloom/stats)
+_EQ_TERM_Q_RE = re.compile(
+    r"(?is)^SELECT\s+(COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?|\*)\s+FROM\s+"
+    r"([A-Za-z_]\w*)\s+WHERE\s+([A-Za-z_]\w*)\s*=\s*'([^']*)'$"
+)
 
 # Observability for tests: bumped each time a statement is served from a
 # trigram sidecar instead of the scan path.
@@ -1587,24 +1594,38 @@ def _apply_text_match_statement(spark, stripped: str, tables):
     function (the correctness fallback, udf.rs:1-60). A missing or STALE
     sidecar (base table advanced past the build version) declines: the
     index may only over-select, never miss a newer row."""
+    from timefusion_spark.storage.maintenance import text_index_for
+
     m = _TEXT_MATCH_Q_RE.match(stripped)
-    if not m:
+    eq = None if m else _EQ_TERM_Q_RE.match(stripped)
+    if not m and not eq:
         return None
-    proj, alias, name, col, q = m.groups()
+    proj, alias, name, col, q = (m or eq).groups()
     tbl = (tables or {}).get(name)
     if tbl is None:
         return None
-    from timefusion_spark.storage.maintenance import text_index_for
-
     found = text_index_for(tbl, col)
     if found is None:
         return None
     sidecar, meta = found
-    from timefusion_spark.operators.text_index import trigram_search
+    tokenizer = meta.get("tokenizer", "ngram3")
+    from timefusion_spark.operators.text_index import raw_term_search, trigram_search
 
-    hits = trigram_search(
-        tbl.read(), sidecar.read(), q, id_col=meta["id_col"], text_col=col
-    )
+    # per-field tokenizer ROUTING (tantivy_rewriter.rs:29-48): a raw index
+    # serves only exact-term equality and DECLINES substring probes; the
+    # ngram3 index serves substring text_match and leaves `=` to the scan
+    if m is not None:
+        if tokenizer != "ngram3":
+            return None  # raw field: substring probe → scan path
+        hits = trigram_search(
+            tbl.read(), sidecar.read(), q, id_col=meta["id_col"], text_col=col
+        )
+    else:
+        if tokenizer != "raw":
+            return None  # ngram3 field: equality → normal planning
+        hits = raw_term_search(
+            tbl.read(), sidecar.read(), q, id_col=meta["id_col"], text_col=col
+        )
     global TEXT_INDEX_SERVED
     TEXT_INDEX_SERVED += 1
     if proj.upper().startswith("COUNT"):
@@ -1624,25 +1645,39 @@ def _apply_admin_statement(spark, stripped: str, tables):
         # (the reference drains MemBuffer; there is no unflushed tier here).
         return spark.createDataFrame([("ok",)], "flush string")
     # CREATE INDEX [name] ON t [USING gin] (col [gin_trgm_ops])
-    # [WITH (key = 'id_col')] — PostgreSQL's pg_trgm DDL shape, building
-    # the trigram text-index sidecar that _apply_text_match_statement then
-    # serves transparently (the reference builds its tantivy sidecar at
-    # ingest; here the build is this explicit, re-runnable DDL).
+    # [WITH (key = 'id_col'[, tokenizer = 'ngram3'|'raw'])] — PostgreSQL's
+    # pg_trgm DDL shape, building the text-index sidecar that
+    # _apply_text_match_statement then serves transparently (the reference
+    # builds its tantivy sidecar at ingest with a per-field tokenizer from
+    # schemas/*.yaml; here the build is this explicit, re-runnable DDL and
+    # the tokenizer is a WITH option).
     m = re.match(
         r"(?is)^CREATE\s+INDEX\s+(?:\w+\s+)?ON\s+([A-Za-z_]\w*)\s*"
         r"(?:USING\s+(?:gin|gist|trgm)\s*)?\(\s*([A-Za-z_]\w*)"
         r"(?:\s+gin_trgm_ops)?\s*\)\s*"
-        r"(?:WITH\s*\(\s*key\s*=\s*'([A-Za-z_]\w*)'\s*\))?$",
+        r"(?:WITH\s*\(\s*([^)]*)\))?$",
         stripped,
     )
     if m:
-        name, col, key = m.groups()
+        name, col, optstr = m.groups()
+        opts = dict(re.findall(r"(\w+)\s*=\s*'([^']*)'", optstr or ""))
+        unknown = set(opts) - {"key", "tokenizer"}
+        if unknown:
+            raise ValueError(
+                f"CREATE INDEX: unknown option(s) {sorted(unknown)} "
+                "(supported: key, tokenizer)"
+            )
         tbl = (tables or {}).get(name)
         if tbl is None:
             raise ValueError(f"CREATE INDEX: unknown table {name!r}")
         from timefusion_spark.storage import maintenance
 
-        maintenance.create_text_index(tbl, col, id_col=key)
+        maintenance.create_text_index(
+            tbl,
+            col,
+            id_col=opts.get("key"),
+            tokenizer=opts.get("tokenizer", "ngram3"),
+        )
         return spark.createDataFrame([("ok",)], "create_index string")
     # REINDEX [TABLE] t — PG's refresh verb, served INCREMENTALLY: only
     # files committed since each sidecar's base version are indexed (the

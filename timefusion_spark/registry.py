@@ -50,23 +50,17 @@ PRIORITY: tuple[str, ...] = (
     "q_mor_keep_first",
     "q_update_from",
     "q_maintenance_invariance",
-    "q_stats_introspection",
-    "q_continuous_aggregate",
     "q_storage_partition_scan",
-    "q_insert_unnest_bulk",
     "q_snapshot_isolation",
     "q_otel_dashboard",
     "q_otel_recent_topk",
-    "q_otel_promoted_columns",
-    "q_otel_metrics_rollup",
     "q_otel_hash_enrichment",
-    # streaming + custom source (q_streaming_windowed_counts rotated out —
-    # multi-round certified pure built-in windowed agg; the coalesced
-    # multi-table ingest is the new high-risk surface)
+    # streaming + custom source (rotated out across rounds:
+    # q_streaming_windowed_counts, and in round 9
+    # q_streaming_session_windows / q_streaming_stream_join — all
+    # multi-round certified pure built-in streaming shapes, unchanged)
     "q_streaming_ingest",
     "q_streaming_multi_table",
-    "q_streaming_session_windows",
-    "q_streaming_stream_join",
     "q_streaming_changefeed",
     "q_custom_source",
     # corpus parity + end-to-end pipeline
@@ -140,6 +134,26 @@ PRIORITY: tuple[str, ...] = (
     "q_streaming_dedup_online",
     "q_time_travel",
     "q_table_changes",
+    # round 9 rotations (ADVICE r8 #2: changed/new queries belong in the
+    # gate window). Changed THIS round: the PQ/ADC pipeline (joint-Lloyd
+    # fit, hoisted-literal + Arrow encode, checkpointed codes), the LSH
+    # degenerate-bucket routing (null-safe hot join, NULL-vs-'' routing
+    # key, broadcast split), the substring-dedup short-doc contract
+    # (both kernels). Changed/new in r8 but never gate-certified:
+    # q_funnel_analysis (greedy min-chasing rewrite),
+    # q_decontamination_bloom, q_trace_path_recursive_sql. Rotated out
+    # (multi-round certified, pure built-in shapes, UNCHANGED):
+    # q_insert_unnest_bulk, q_otel_promoted_columns,
+    # q_otel_metrics_rollup, q_streaming_session_windows,
+    # q_streaming_stream_join, q_stats_introspection,
+    # q_continuous_aggregate.
+    "q_ann_pq_adc",
+    "q_dedup_substring_arrow",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_funnel_analysis",
+    "q_decontamination_bloom",
+    "q_trace_path_recursive_sql",
 )
 
 

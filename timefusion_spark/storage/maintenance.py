@@ -30,7 +30,12 @@ from timefusion_spark.storage.table import Table
 TEXT_INDEX_DIR = "_tf_text_index"
 
 
-def create_text_index(table: Table, text_col: str, id_col: str | None = None) -> Table:
+def create_text_index(
+    table: Table,
+    text_col: str,
+    id_col: str | None = None,
+    tokenizer: str = "ngram3",
+) -> Table:
     """Build (or rebuild) the trigram text-index sidecar for `text_col` —
     the tantivy-index-dir analog (`tantivy_index/`, built beside the data;
     TantivyPredicateRewriter serves text_match from it). The sidecar is a
@@ -45,13 +50,26 @@ def create_text_index(table: Table, text_col: str, id_col: str | None = None) ->
     `id_col` is the candidate-join column (defaults to the first dedup key,
     else the time column). It need not be unique: a matching row's own
     grams always qualify its id, so a shared id can only OVER-select —
-    the exact text_match verify removes the excess."""
+    the exact text_match verify removes the excess.
+
+    `tokenizer` routes per field exactly like the reference's per-field
+    tantivy config (schemas/*.yaml `tantivy: {tokenizer}`; routing table
+    tantivy_rewriter.rs:29-48): 'ngram3' (default) indexes trigrams and
+    serves substring text_match; 'raw' indexes the whole value as one
+    term and serves only equality probes — substring probes DECLINE to
+    the scan path (answers identical either way; acceleration only)."""
     import json
     import shutil
     import uuid as _uuid
 
-    from timefusion_spark.operators.text_index import trigram_index
+    from timefusion_spark.operators.text_index import raw_term_index, trigram_index
     from timefusion_spark.storage.schema import TableSchema
+
+    if tokenizer not in ("ngram3", "raw"):
+        raise ValueError(
+            f"create_text_index: unknown tokenizer {tokenizer!r} "
+            "(expected 'ngram3' or 'raw')"
+        )
 
     if id_col is None:
         id_col = (
@@ -68,7 +86,8 @@ def create_text_index(table: Table, text_col: str, id_col: str | None = None) ->
             )
     base_version = table.log.latest_version()
     docs = table.read().select(F.col(id_col), F.col(text_col))
-    idx_df = trigram_index(docs, id_col=id_col, text_col=text_col)
+    indexer = raw_term_index if tokenizer == "raw" else trigram_index
+    idx_df = indexer(docs, id_col=id_col, text_col=text_col)
     schema = TableSchema(
         table_name=f"{table.schema.table_name}__trgm_{text_col}",
         fields=[
@@ -84,7 +103,12 @@ def create_text_index(table: Table, text_col: str, id_col: str | None = None) ->
         shutil.rmtree(path)  # rebuild from scratch (REINDEX semantics)
     sidecar = Table.create(table.spark, schema, path)
     sidecar.append(idx_df)
-    meta = {"text_col": text_col, "id_col": id_col, "base_version": base_version}
+    meta = {
+        "text_col": text_col,
+        "id_col": id_col,
+        "base_version": base_version,
+        "tokenizer": tokenizer,
+    }
     tmp = os.path.join(path, f".meta-{_uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -111,7 +135,7 @@ def refresh_text_index(table: Table, text_col: str) -> str:
     import json
     import uuid as _uuid
 
-    from timefusion_spark.operators.text_index import trigram_index
+    from timefusion_spark.operators.text_index import raw_term_index, trigram_index
     from timefusion_spark.storage.table import DV_DIR
 
     path = os.path.join(table.path, TEXT_INDEX_DIR, text_col)
@@ -149,9 +173,10 @@ def refresh_text_index(table: Table, text_col: str) -> str:
             .select(meta["id_col"], text_col)
         )
         sidecar = Table.open(table.spark, path)
-        sidecar.append(
-            trigram_index(docs, id_col=meta["id_col"], text_col=text_col)
+        indexer = (
+            raw_term_index if meta.get("tokenizer", "ngram3") == "raw" else trigram_index
         )
+        sidecar.append(indexer(docs, id_col=meta["id_col"], text_col=text_col))
     meta["base_version"] = tip
     tmp = os.path.join(path, f".meta-{_uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
