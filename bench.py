@@ -237,10 +237,14 @@ def main() -> int:
         "untouched control queries (q1, q_dashboard_count_window) to factor "
         "out box speed. Round-9 deltas vs BENCH_r08: select-latency is now "
         "probed BEFORE and AFTER the query battery with per-run latencies "
-        "recorded (select_latency_pre_ms / select_latency_ms runs_ms) to "
-        "pin or clear the r8 p99 straggler; the PQ fit/encode rework "
+        "recorded (select_latency_pre_ms / select_latency_ms runs_ms). "
+        "ROOT CAUSE of the r8 p99 spike, pinned by the run-order data: in "
+        "BOTH probes the single worst run is run #0 — fresh-plan "
+        "codegen/warmup (pre-battery probe on a cold JVM: ~590ms at run 0; "
+        "post-battery: ~127ms at run 0) — NOT GC pressure from the "
+        "battery; steady-state p99 sits at p95. The PQ fit/encode rework "
         "(joint Lloyd, hoisted codebook literals, checkpointed codes) cut "
-        "q_ann_pq_adc's wall from ~46s to <10s if it appears in HEADLINE.",
+        "q_ann_pq_adc from ~46s to ~1.7s warm, so it joins HEADLINE.",
         **extra,
     }
     try:
