@@ -349,3 +349,78 @@ def q_text_search_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_text_search_raw_tokenizer",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE contains(lower(lang), 'e')) AS n_substring
+    FROM documents
+    WHERE lang = 'en'
+    """,
+    doc="Per-field tokenizer ROUTING under plain SQL (the reference's "
+    "per-field tantivy config, schemas/*.yaml `tantivy: {tokenizer}`; "
+    "routing table tantivy_rewriter.rs:29-48): `CREATE INDEX … WITH "
+    "(tokenizer = 'raw')` on the exact-value `lang` field builds a "
+    "whole-value term sidecar; `lang = 'en'` is then served INDEX-FIRST "
+    "(in-query assert on the served counter) while the substring "
+    "text_match probe on the same column DECLINES to the scan path "
+    "(counter pinned unchanged) — answers scan-identical on both routes, "
+    "reproduced closed-form by the oracle.",
+)
+def q_text_search_raw_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import timefusion_spark.pgshim as pgshim
+    from timefusion_spark.pgshim import pg_sql
+    from timefusion_spark.slt import SltEnv
+
+    base_dir = tempfile.mkdtemp(prefix="tf_rawtok_")
+    try:
+        env = SltEnv(spark, base_dir)
+        env.run_statement(
+            "CREATE TABLE docs_raw (ts TIMESTAMP, doc_id BIGINT, lang TEXT, "
+            "project_id TEXT)"
+        )
+        t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_raw_src")
+        env.run_statement(
+            "INSERT INTO docs_raw SELECT timestamp '2026-03-01 00:00:00', "
+            "doc_id, lang, 'p1' FROM __docs_raw_src"
+        )
+        pg_sql(
+            spark,
+            "CREATE INDEX ON docs_raw (lang) "
+            "WITH (key = 'doc_id', tokenizer = 'raw')",
+            tables=env.tables,
+        ).collect()
+        before = pgshim.TEXT_INDEX_SERVED
+        exact = pg_sql(
+            spark,
+            "SELECT count(*) AS n_exact FROM docs_raw WHERE lang = 'en'",
+            tables=env.tables,
+        ).localCheckpoint(eager=True)
+        n_exact = exact.collect()[0][0]
+        assert pgshim.TEXT_INDEX_SERVED == before + 1  # equality: index-first
+        # substring probe on the raw field DECLINES — scan path, counter flat
+        sub = pg_sql(
+            spark,
+            "SELECT count(*) AS n_substring FROM docs_raw "
+            "WHERE text_match(lang, 'e')",
+            tables=env.tables,
+        ).localCheckpoint(eager=True)
+        assert pgshim.TEXT_INDEX_SERVED == before + 1
+        n_sub = sub.collect()[0][0]
+        # scan identity for the equality route too
+        scan_n = spark.sql(
+            "SELECT count(*) FROM docs_raw WHERE lang = 'en'"
+        ).collect()[0][0]
+        assert n_exact == scan_n and n_exact > 0, (n_exact, scan_n)
+        out = spark.createDataFrame(
+            [(int(n_exact), int(n_sub))], "n_exact bigint, n_substring bigint"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

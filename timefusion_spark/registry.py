@@ -47,7 +47,6 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 PRIORITY: tuple[str, ...] = (
     # storage / MOR / DML / maintenance
     "q_mor_merge_on_read",
-    "q_mor_keep_first",
     "q_update_from",
     "q_maintenance_invariance",
     "q_storage_partition_scan",
@@ -154,6 +153,10 @@ PRIORITY: tuple[str, ...] = (
     "q_funnel_analysis",
     "q_decontamination_bloom",
     "q_trace_path_recursive_sql",
+    # new round 9: per-field tokenizer routing under plain SQL (raw-term
+    # index serves equality, declines substring). Rotated out:
+    # q_mor_keep_first (multi-round certified, unchanged).
+    "q_text_search_raw_tokenizer",
 )
 
 
