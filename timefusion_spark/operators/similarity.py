@@ -20,6 +20,12 @@ from pyspark.sql import functions as F
 # portable polynomial scheme used in dedup.py.
 SIGN_LSH_SEEDS = [7_368_787, 29_986_577, 71_316_922, 48_610_247, 93_310_753, 15_485_863]
 
+# PQ/IVF argmin expressions unroll the per-centroid dot product up to this
+# subspace width; wider subspaces use the zip_with/aggregate fold instead
+# (unrolled trees beat the interpreted fold per-row, but their Catalyst
+# analysis cost grows with m·ksub·dsub and dominates at dsub ≈ 64).
+_DOT_UNROLL_MAX = 8
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double (deterministic)."""
@@ -184,24 +190,31 @@ def ivf_assign(
     cell id then serves as the partition/shuffle key for probe-limited
     search — the IVF counterpart of the sign-LSH bucket (same
     candidate-bounding role, data-adaptive cells instead of fixed
-    hyperplanes)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    hyperplanes).
 
-    withvec = df.withColumn("_vec", array_to_vector(F.col(vec_col).cast("array<double>")))
-    fit_input = withvec
-    n = withvec.count()
-    if n > max_fit_rows:
-        # deterministic hash-sample: keep ≈ max_fit_rows rows
-        denom = 1_000_000
-        keep = max(1, int(denom * max_fit_rows / n))
-        fit_input = withvec.where(
-            F.pmod(F.xxhash64(F.col(vec_col).cast("array<double>")), F.lit(denom)) < keep
-        )
-    model = KMeans(k=k, seed=seed, featuresCol="_vec", predictionCol="_cell").fit(fit_input)
-    # full-corpus assignment stays map-side (model broadcast by MLlib)
-    assigned = model.transform(withvec).drop("_vec")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    The FIT is pq_fit's m=1 case (a full-vector k-means codebook): numpy
+    joint Lloyd over the bounded sample when it fits the driver budget
+    (2 Spark jobs), else the broadcast-codebook distributed loop — the
+    old per-query MLlib KMeans fit paid ~n_iter tiny Spark jobs on a
+    single-partition sample and dominated the IVF queries' wall. The
+    full-corpus ASSIGNMENT is one map-side pass through pq_encode's
+    hoisted-literal argmin (in-lambda centroid literals re-construct per
+    lambda call — see _pq_lits)."""
+    books = pq_fit(
+        df,
+        vec_col=vec_col,
+        m=1,
+        ksub=k,
+        seed=seed,
+        max_fit_rows=max_fit_rows,
+        max_iter=10,
+    )
+    centroids = books[0]
+    assigned = (
+        pq_encode(df, books, vec_col=vec_col, out_col="_ivf_codes")
+        .withColumn("_cell", F.expr("element_at(_ivf_codes, 1)"))
+        .drop("_ivf_codes")
+    )
     return centroids, assigned
 
 
@@ -217,18 +230,17 @@ def knn_ivf(
     """Approximate top-k via IVF: brute-force cosine only inside the
     `n_probe` cells whose centroids are nearest the query — candidate set
     ~ n_probe/n_cells of the corpus, vs the full linear scan."""
-    import math
-
     centroids, assigned = ivf_assign(df, vec_col, k=n_cells)
 
-    def cos(a: list[float], b: list[float]) -> float:
-        dot_ = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot_ / (na * nb) if na and nb else 0.0
-
+    # probe by the SAME metric the cells were built with (L2 argmin):
+    # cells partition the corpus by L2 geometry, so ranking them against
+    # the query by cosine can skip the cell that actually holds the
+    # nearest neighbor when vector norms vary
+    qd = [float(x) for x in query_vec]
     probe_cells = sorted(
-        range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec)
+        range(len(centroids)),
+        key=lambda i: sum(float(c) * float(c) for c in centroids[i])
+        - 2.0 * sum(x * float(c) for x, c in zip(qd, centroids[i])),
     )[:n_probe]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
@@ -444,14 +456,19 @@ def pq_fit(
     # m·ksub·dsub-literal expression every iteration dominated the fit
     # wall before). The argmin over the joined matrix attribute is the
     # same expanded ||c||²−2⟨v,c⟩ with cid tiebreak.
-    # inner dot UNROLLED over the dsub terms (dsub is small by design):
-    # zip_with+aggregate per centroid costs an array allocation plus ~3
-    # interpreted nodes per element — the unrolled sum is one flat
-    # arithmetic expression, ~3× faster per row at dsub=4
-    dot = " + ".join(
-        f"element_at(_s, {i + 1}) * element_at(element_at(_mat, c + 1), {i + 1})"
-        for i in range(dsub)
-    )
+    # inner dot: unrolled for small subspaces (~3× faster per row at
+    # dsub=4 — zip_with+aggregate allocate per centroid), HOF fold for
+    # wide ones (unrolled trees cost more analysis than the fold runs)
+    if dsub <= _DOT_UNROLL_MAX:
+        dot = " + ".join(
+            f"element_at(_s, {i + 1}) * element_at(element_at(_mat, c + 1), {i + 1})"
+            for i in range(dsub)
+        )
+    else:
+        dot = (
+            "aggregate(zip_with(_s, element_at(_mat, c + 1), "
+            "(x, y) -> x * y), 0.0D, (a, x) -> a + x)"
+        )
     assign = (
         f"array_min(transform(sequence(0, {ksub - 1}), c -> named_struct("
         f"'d', element_at(_c2, c + 1) - 2.0D * ({dot}), "
@@ -567,13 +584,22 @@ def pq_encode(
     if kernel != "expr":
         raise ValueError(f"unknown kernel {kernel!r} (expected 'expr' or 'arrow')")
     mat, c2 = _pq_lits(books)
-    # inner dot unrolled over the dsub terms (see pq_fit: zip_with +
-    # aggregate cost an allocation per centroid; the flat sum doesn't)
-    dot = " + ".join(
-        f"element_at(_pq_v, j * {dsub} + {i + 1}) * "
-        f"element_at(element_at(element_at(_pq_mat, j + 1), c + 1), {i + 1})"
-        for i in range(dsub)
-    )
+    # inner dot: UNROLLED for small subspaces (zip_with + aggregate cost
+    # an allocation per centroid; the flat sum doesn't), but the HOF form
+    # for wide ones — at dsub≈64 an unrolled m·ksub·dsub-term tree costs
+    # more in Catalyst analysis than the interpreted fold costs to run
+    if dsub <= _DOT_UNROLL_MAX:
+        dot = " + ".join(
+            f"element_at(_pq_v, j * {dsub} + {i + 1}) * "
+            f"element_at(element_at(element_at(_pq_mat, j + 1), c + 1), {i + 1})"
+            for i in range(dsub)
+        )
+    else:
+        dot = (
+            f"aggregate(zip_with(slice(_pq_v, j * {dsub} + 1, {dsub}), "
+            f"element_at(element_at(_pq_mat, j + 1), c + 1), "
+            f"(x, y) -> x * y), 0.0D, (a, x) -> a + x)"
+        )
     codes = (
         f"transform(sequence(0, {m - 1}), j -> "
         f"array_min(transform(sequence(0, {ksub - 1}), c -> named_struct("

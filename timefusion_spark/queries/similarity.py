@@ -231,10 +231,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     qv = _query_vec(spark, sf_dir, 0)
-    # Deterministic layout → deterministic k-means (its init samples by
-    # partition structure).
-    pinned = e.repartition(1).sortWithinPartitions("vec_id")
-    approx = sim.knn_ivf(pinned, qv, k=10, n_probe=6, n_cells=16)
+    # fit is the deterministic joint-Lloyd path now (no repartition(1)
+    # pin — the old MLlib k-means needed one for init determinism and it
+    # serialized the fit)
+    # k rows; checkpointed because BOTH consumers below (semi-join +
+    # candidate count) would otherwise re-run the fit/assign/probe plan
+    approx = sim.knn_ivf(e, qv, k=10, n_probe=6, n_cells=16).localCheckpoint(eager=True)
     exact1 = sim.knn_brute_force(e, qv, k=1)
     n_cand = approx.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     out = (
