@@ -340,6 +340,85 @@ class TestProductQuantization:
         assert fitted < trivial / 10, (fitted, trivial)
         assert all(0 <= c < 8 for codes in enc.values() for c in codes)
 
+    def test_ivfpq_roundtrip_matches_python_model(self, spark):
+        """IVF-PQ encode + per-cell ADC vs an independent Python model:
+        residual codes and asymmetric distances agree on random data."""
+        import random
+
+        from timefusion_spark.operators import similarity as S
+
+        random.seed(23)
+        d, n_cells, m, ksub = 8, 4, 2, 4
+        vecs = [[random.uniform(-2, 2) for _ in range(d)] for _ in range(80)]
+        q = [random.uniform(-2, 2) for _ in range(d)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+        )
+        cells, books = S.ivfpq_fit(df, n_cells=n_cells, m=m, ksub=ksub)
+        enc_df = S.ivfpq_encode(df, cells, books).localCheckpoint(eager=True)
+        enc = {
+            r["vec_id"]: (r["_cell"], list(r["_codes"]))
+            for r in enc_df.select("vec_id", "_cell", "_codes").collect()
+        }
+        got = {
+            r["vec_id"]: r["adc_dist"]
+            for r in S.ivfpq_adc_topk(
+                enc_df,
+                cells,
+                books,
+                q,
+                k=80,
+                n_probe=n_cells,  # all cells: every row must appear
+            ).collect()
+        }
+        dsub = d // m
+
+        def argmin_cell(v):
+            d2 = [sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cells]
+            return d2.index(min(d2))
+
+        def model(v):
+            cell = argmin_cell(v)
+            res = [a - b for a, b in zip(v, cells[cell])]
+            codes = []
+            for j in range(m):
+                sub = res[j * dsub : (j + 1) * dsub]
+                d2 = [sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in books[j]]
+                codes.append(d2.index(min(d2)))
+            qres = [a - b for a, b in zip(q, cells[cell])]
+            adc = 0.0
+            for j in range(m):
+                qsub = qres[j * dsub : (j + 1) * dsub]
+                c = books[j][codes[j]]
+                adc += sum((a - b) * (a - b) for a, b in zip(qsub, c))
+            return cell, codes, adc
+
+        for i, v in enumerate(vecs):
+            cell, codes, adc = model(v)
+            assert enc[i] == (cell, codes), f"vec {i}"
+            assert abs(got[i] - adc) < 1e-9, f"vec {i}"
+
+    def test_ivfpq_probe_prunes_to_probed_cells(self, spark):
+        import random
+
+        from timefusion_spark.operators import similarity as S
+
+        random.seed(29)
+        vecs = [[random.uniform(-2, 2) for _ in range(8)] for _ in range(60)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+        )
+        cells, books = S.ivfpq_fit(df, n_cells=4, m=2, ksub=4)
+        enc = S.ivfpq_encode(df, cells, books)
+        q = [0.0] * 8
+        hits = S.ivfpq_adc_topk(enc, cells, books, q, k=60, n_probe=1)
+        ids = {r["vec_id"] for r in hits.collect()}
+        by_cell = {
+            r["vec_id"]: r["_cell"] for r in enc.select("vec_id", "_cell").collect()
+        }
+        probed = {by_cell[i] for i in ids}
+        assert len(probed) == 1  # only the single probed cell's rows
+
     def test_adc_equals_quantized_distance(self, spark):
         import random
 

@@ -657,6 +657,152 @@ def pq_adc_topk(
     )
 
 
+def _residual_expr(cells: list[list[float]], vec_col: str, cell_col: str) -> Column:
+    """Residual v − centroid(cell) as one hoist-safe expression: the cell
+    centroid matrix rides as a projected literal column (`_ivfpq_cmat`
+    must be added by the caller via `_cells_lit`) — never inside a lambda
+    (see _pq_lits)."""
+    return F.expr(
+        f"zip_with(cast({vec_col} AS array<double>), "
+        f"element_at(_ivfpq_cmat, {cell_col} + 1), (x, y) -> x - y)"
+    )
+
+
+def _cells_lit(cells: list[list[float]]) -> str:
+    return "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")" for c in cells
+    ) + ")"
+
+
+def ivfpq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 7,
+    max_fit_rows: int = 1_000_000,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """IVF-PQ index fit (Jégou/Douze/Schmid 2011 IndexIVFPQ — the
+    composed billion-vector shape: coarse cells prune the scan, PQ codes
+    compress what remains): the coarse quantizer is pq_fit's m=1 case;
+    the PQ codebooks train on the RESIDUALS v − centroid(cell) (the
+    paper's key choice — residuals concentrate near zero so a small
+    codebook quantizes them far better than raw vectors). Returns
+    (cells[n_cells][d], books[m][ksub][d/m])."""
+    cells = pq_fit(
+        df, vec_col=vec_col, m=1, ksub=n_cells, seed=seed, max_fit_rows=max_fit_rows
+    )[0]
+    assigned = (
+        pq_encode(df, [cells], vec_col=vec_col, out_col="_ivfpq_ca")
+        .withColumn("_cell", F.expr("element_at(_ivfpq_ca, 1)"))
+        .drop("_ivfpq_ca")
+    )
+    res = assigned.withColumn("_ivfpq_cmat", F.expr(_cells_lit(cells))).withColumn(
+        "_res", _residual_expr(cells, vec_col, "_cell")
+    )
+    books = pq_fit(
+        res,
+        vec_col="_res",
+        m=m,
+        ksub=ksub,
+        seed=seed + 1,
+        max_fit_rows=max_fit_rows,
+    )
+    return cells, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    cells: list[list[float]],
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    cell_col: str = "_cell",
+    code_col: str = "_codes",
+) -> DataFrame:
+    """IVF-PQ encoding: one map-side pass adds (cell, residual-PQ codes)
+    — the persisted 100-TB artifact is (id, cell, m codes); cell is the
+    partition key, d-float vectors never leave storage on the search
+    path. Zero shuffle."""
+    assigned = (
+        pq_encode(df, [cells], vec_col=vec_col, out_col="_ivfpq_ca")
+        .withColumn(cell_col, F.expr("element_at(_ivfpq_ca, 1)"))
+        .drop("_ivfpq_ca")
+    )
+    res = assigned.withColumn("_ivfpq_cmat", F.expr(_cells_lit(cells))).withColumn(
+        "_ivfpq_res", _residual_expr(cells, vec_col, cell_col)
+    )
+    return pq_encode(res, books, vec_col="_ivfpq_res", out_col=code_col).drop(
+        "_ivfpq_cmat", "_ivfpq_res"
+    )
+
+
+def ivfpq_adc_topk(
+    encoded: DataFrame,
+    cells: list[list[float]],
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    cell_col: str = "_cell",
+    code_col: str = "_codes",
+) -> DataFrame:
+    """IVF-PQ search: probe the `n_probe` L2-nearest cells, then ADC over
+    the residual codes. Because codes quantize RESIDUALS, the query's
+    lookup table differs per probed cell — table[p][j][c] =
+    ||(q − centroid(cell_p))_j − book[j][c]||², an (n_probe · m · ksub)-
+    double array computed driver-side and hoisted as ONE literal column;
+    the per-row cost is a tiny probe-index CASE + m lookups + adds. The
+    scan reads (cell, codes) only, pruned to the probed cells — the
+    composed IndexIVFPQ read shape at any corpus size."""
+    m = len(books)
+    dsub = len(books[0][0])
+    qd = [float(x) for x in query_vec]
+    order = sorted(
+        range(len(cells)),
+        key=lambda i: sum(float(c) * float(c) for c in cells[i])
+        - 2.0 * sum(x * float(c) for x, c in zip(qd, cells[i])),
+    )
+    probe = order[:n_probe]
+    tables = []
+    for cell in probe:
+        qres = [x - float(c) for x, c in zip(qd, cells[cell])]
+        per_j = []
+        for j, book in enumerate(books):
+            q_sub = qres[j * dsub : (j + 1) * dsub]
+            per_j.append(
+                [
+                    sum((a - float(b)) * (a - float(b)) for a, b in zip(q_sub, c))
+                    for c in book
+                ]
+            )
+        tables.append(per_j)
+    tbl = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{v!r}D" for v in row) + ")" for row in per_j
+        ) + ")" for per_j in tables
+    ) + ")"
+    # probed-cell → table index (n_probe branches; rows outside the
+    # probed cells are filtered before this evaluates)
+    idx = "CASE " + " ".join(
+        f"WHEN {cell_col} = {cell} THEN {p + 1}" for p, cell in enumerate(probe)
+    ) + " END"
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, j) -> acc + "
+        f"element_at(element_at(_ivfpq_tbl, j + 1), "
+        f"element_at({code_col}, j + 1) + 1))"
+    )
+    return (
+        encoded.where(F.col(cell_col).isin([int(c) for c in probe]))
+        .withColumn("_ivfpq_tbls", F.expr(tbl))
+        .withColumn("_ivfpq_tbl", F.expr(f"element_at(_ivfpq_tbls, {idx})"))
+        .select(F.col(id_col), F.expr(adc).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join(
     df: DataFrame,
     centroids: "list[tuple[int, list[float]]] | DataFrame",

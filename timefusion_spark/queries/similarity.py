@@ -310,6 +310,61 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_ivfpq",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND(l2, 4) AS l2_dist, CAST(100 AS BIGINT) AS n_shortlist
+    FROM (
+        SELECT e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   d -> (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE)
+                      * (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE))) AS l2
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    ) x
+    ORDER BY l2 ASC, vec_id
+    LIMIT 1
+    """,
+    doc="IVF-PQ composed (Jégou et al. 2011 IndexIVFPQ — the "
+    "billion-vector ANN shape FAISS ships): 16 coarse cells prune the "
+    "scan to 8 probed cells, PQ codebooks over the RESIDUALS "
+    "v−centroid(cell) compress what remains (residuals concentrate near "
+    "zero, so the same codebook budget quantizes them far better than "
+    "raw vectors), and the ADC lookup table is computed per probed cell "
+    "(the query residual differs by cell) — hoisted as one literal "
+    "column with a probe-index CASE. The search scan reads (cell, codes) "
+    "only. Oracled contract: the exact-L2 re-rank of the composed "
+    "top-100 shortlist must return the true brute-force nearest "
+    "neighbor with its exact distance.",
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir, 0)
+    cells, books = sim.ivfpq_fit(e, n_cells=16, m=16, ksub=32)
+    # the (id, cell, codes) table is the persisted artifact at scale;
+    # the checkpoint stands in for it (and is the CollapseProject barrier
+    # — see q_ann_pq_adc)
+    enc = sim.ivfpq_encode(e, cells, books).localCheckpoint(eager=True)
+    shortlist = sim.ivfpq_adc_topk(enc, cells, books, qv, k=100, n_probe=8)
+    ql = F.array(*[F.lit(float(v)) for v in qv])
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), ql, lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    reranked = (
+        e.join(shortlist.select("vec_id"), "vec_id", "leftsemi")
+        .select("vec_id", F.round(l2, 4).alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(1)
+        .withColumn("n_shortlist", F.lit(100).cast("long"))
+    )
+    return reranked.localCheckpoint(eager=True)
+
+
+@query(
     "q_ann_ivf_flat",
     oracle=f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

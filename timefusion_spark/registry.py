@@ -92,10 +92,10 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_knn_join",
     "q_ann_knn_join_large",
     "q_semantic_dedup",
-    # percentile family + timeseries operators
+    # percentile family + timeseries operators (q_hypertable_rollup
+    # rotated out round 9 — multi-round certified, unchanged)
     "q_percentile_sketch",
     "q_percentile_tiles",
-    "q_hypertable_rollup",
     # round 7 late addition: the explicit-transaction lifecycle (commit-
     # group staging, atomic publish, definitive rollback, read-your-own-
     # writes) — brand-new code path; rotated out: q_latest_event_per_user
@@ -157,6 +157,10 @@ PRIORITY: tuple[str, ...] = (
     # index serves equality, declines substring). Rotated out:
     # q_mor_keep_first (multi-round certified, unchanged).
     "q_text_search_raw_tokenizer",
+    # new round 9: IVF-PQ composed (residual codebooks, per-probed-cell
+    # ADC tables — fresh composition code path). Rotated out:
+    # q_hypertable_rollup (multi-round certified, unchanged).
+    "q_ann_ivfpq",
 )
 
 
