@@ -1502,12 +1502,21 @@ class _Handler(socketserver.BaseRequestHandler):
                         n = 0 if _is_status_frame(df) else df.count()
                         self._send(b"C", _command_tag(stmt, n).encode() + b"\x00")
                         continue
-                    rows = df.collect()
-                fields = df.schema.fields
-                self._send(b"T", self._row_description(fields))
-                for row in rows:
-                    self._send(b"D", self._data_row(fields, row))
-                self._send(b"C", _command_tag(stmt, len(rows)).encode() + b"\x00")
+                    # stream the result one partition at a time instead of
+                    # collect(): a huge simple-protocol SELECT must not
+                    # materialize driver-side either (the reference streams
+                    # record batches); prefetch pipelines the next
+                    # partition's job behind the send of the current one,
+                    # so small results pay no extra wall. A runtime error
+                    # mid-stream surfaces as ErrorResponse after the rows
+                    # already sent — exactly PG's behavior.
+                    fields = df.schema.fields
+                    self._send(b"T", self._row_description(fields))
+                    n = 0
+                    for row in df.toLocalIterator(prefetchPartitions=True):
+                        self._send(b"D", self._data_row(fields, row))
+                        n += 1
+                self._send(b"C", _command_tag(stmt, n).encode() + b"\x00")
             except Exception as e:  # noqa: BLE001 — every error goes on the wire
                 msg, code = _wire_error(e)
                 self._send_error(msg, code=code)
