@@ -358,14 +358,23 @@ def banded_candidate_pairs(
     keys = ["band", "key", *blk_names]
 
     hot_keys: list[tuple] = []
+    hot_df = None
     if bucket_cap is not None:
-        hot_keys = [
-            tuple(r[c] for c in keys)
-            for r in bands.groupBy(*keys)
+        hot_df = (
+            bands.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("_bsz"))
             .where(F.col("_bsz") > bucket_cap)
             .select(*keys)
-            .collect()
+        )
+        # BOUNDED collect: at most HOT_KEY_LITERAL_MAX+1 keys ever reach
+        # the driver. ≤ max → this IS the complete hot set (limit returned
+        # everything) and the common empty case keeps the exact pre-guard
+        # plan. The overflow sentinel (+1 row) switches to the pure-frame
+        # join path below WITHOUT collecting the rest — a pathological
+        # corpus with millions of >cap clusters never lands driver-side.
+        hot_keys = [
+            tuple(r[c] for c in keys)
+            for r in hot_df.limit(HOT_KEY_LITERAL_MAX + 1).collect()
         ]
     if hot_keys:
         # Compose (band, key[, blk]) into one string so a literal isin
@@ -391,20 +400,20 @@ def banded_candidate_pairs(
             return "\x00" if v is None else "\x01" + str(v)
 
         composed = F.concat_ws(sep, *[enc_col(c) for c in keys])
-        lits = [sep.join(enc_val(v) for v in t) for t in hot_keys]
-        if len(lits) <= HOT_KEY_LITERAL_MAX:
+        if len(hot_keys) <= HOT_KEY_LITERAL_MAX:
+            lits = [sep.join(enc_val(v) for v in t) for t in hot_keys]
             cold_bands = bands.where(~composed.isin(lits))
             hot_bands = bands.where(composed.isin(lits))
         else:
-            # A pathologically boilerplate corpus (millions of distinct
-            # >cap clusters) would bloat the plan string and driver memory
-            # with isin literals; above the threshold, route the split
-            # through a BROADCAST semi/anti join on a hot-key frame
-            # instead — same rows either way (r8 verdict ask #5).
-            hk = F.broadcast(
-                sigs.sparkSession.createDataFrame(
-                    [(s,) for s in lits], schema="_ck string"
-                )
+            # Overflow (r8 verdict ask #5): more hot buckets than the
+            # literal budget — route the split through semi/anti joins
+            # against the UNCOLLECTED hot-key frame, composed with the
+            # same null-distinct encoding. AQE picks broadcast vs shuffle
+            # by the frame's actual size, so a pathologically boilerplate
+            # corpus (millions of distinct >cap clusters) neither bloats
+            # the plan string nor the driver. Same rows either way.
+            hk = hot_df.select(
+                F.concat_ws(sep, *[enc_col(c) for c in keys]).alias("_ck")
             )
             tagged = bands.withColumn("_ck", composed)
             cold_bands = tagged.join(hk, "_ck", "left_anti").drop("_ck")
