@@ -125,6 +125,56 @@ def client(server):
     c.close()
 
 
+def test_numeric_binary_roundtrip_property():
+    """Hypothesis: PG numeric binary encode → decode reproduces the
+    decimal's canonical plain text for any sign/scale/magnitude (pure
+    driver-side codec — no Spark). Covers digit-group alignment across
+    the decimal point, leading/trailing zero-group stripping, zero at
+    every dscale, and NaN."""
+    import decimal
+
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from timefusion_spark.server import _numeric_binary, _numeric_text_from_binary
+
+    def canonical(d: decimal.Decimal) -> str:
+        # plain (non-exponent) text with the decimal's own scale — what
+        # PG's text protocol prints for a value of that scale
+        sign, digits, exp = d.as_tuple()
+        s = "".join(map(str, digits))
+        if exp >= 0:
+            ints, frac = s + "0" * exp, ""
+        elif len(s) > -exp:
+            ints, frac = s[:exp], s[exp:]
+        else:
+            ints, frac = "", "0" * (-exp - len(s)) + s
+        # PG numeric has no negative zero — the codec normalizes it
+        neg = sign and any(x for x in digits)
+        out = ("-" if neg else "") + (ints.lstrip("0") or "0")
+        if frac or exp < 0:
+            out += "." + frac
+        return out
+
+    @given(
+        st.decimals(
+            allow_nan=False,
+            allow_infinity=False,
+            min_value=decimal.Decimal("-1e30"),
+            max_value=decimal.Decimal("1e30"),
+            places=None,
+        )
+    )
+    def prop(d):
+        assert _numeric_text_from_binary(_numeric_binary(d)) == canonical(d)
+
+    prop()
+    assert _numeric_text_from_binary(_numeric_binary(decimal.Decimal("NaN"))) == "NaN"
+    for z in ("0", "0.0", "0.00000", "-0", "-0.00"):
+        d = decimal.Decimal(z)
+        assert _numeric_text_from_binary(_numeric_binary(d)) == canonical(d)
+
+
 def test_pg_duration_ms_units():
     """PG duration settings accept unit suffixes ('5s', '250ms', '1min');
     a bare number is the setting's default unit (ms for the timeouts this
