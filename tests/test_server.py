@@ -1606,6 +1606,49 @@ class TestHandoff:
         finally:
             srv.stop()
 
+    def test_inflight_copy_counts_as_admitted_writer(self, spark, tmp_path):
+        """A COPY already streaming when HANDOFF starts is an admitted
+        writer (wait_for_active_writes): the handoff must wait for it and
+        its rows must be inside the drained-row tag — never published
+        after the count was reported."""
+        import threading
+        import time
+
+        srv, c = self._mk(spark, tmp_path, handoff_lease_s=60.0)
+        try:
+            b = WireClient(srv.port)
+            b.startup()
+            # open the COPY subprotocol and send HALF the data
+            body = b"COPY ht FROM STDIN\x00"
+            b.sock.sendall(b"Q" + struct.pack("!i", len(body) + 4) + body)
+            tag, _ = b.recv_msg()
+            assert tag == b"G"
+            d1 = b"2026-01-01 10:01:00\tc1\t1.0\tp1\n"
+            b.sock.sendall(b"d" + struct.pack("!i", len(d1) + 4) + d1)
+            time.sleep(0.3)  # the handler is mid-COPY (registered writer)
+            result: dict = {}
+
+            def run_handoff():
+                result["msgs"] = c.query("HANDOFF")
+
+            t = threading.Thread(target=run_handoff, daemon=True)
+            t.start()
+            time.sleep(1.0)
+            assert t.is_alive(), "HANDOFF returned while a COPY was mid-stream"
+            d2 = b"2026-01-01 10:02:00\tc2\t2.0\tp1\n"
+            b.sock.sendall(b"d" + struct.pack("!i", len(d2) + 4) + d2)
+            b.sock.sendall(b"c" + struct.pack("!i", 4))  # CopyDone → publish
+            msgs = b.until_ready()
+            assert command_tags(msgs) == ["COPY 2"], msgs
+            t.join(timeout=60)
+            assert not t.is_alive()
+            # the COPY's rows are INSIDE the drained count
+            assert command_tags(result["msgs"]) == ["HANDOFF 2"]
+            b.close()
+            c.close()
+        finally:
+            srv.stop()
+
     def test_drain_timeout_reopens_admission(self, spark, tmp_path):
         srv, c = self._mk(
             spark, tmp_path, handoff_lease_s=60.0, handoff_drain_budget_s=1.5

@@ -733,8 +733,9 @@ class _Handler(socketserver.BaseRequestHandler):
             )
         self._check_write_admission(sql)
         if self.server.runner is not None and _is_storage_stmt(sql):
-            with self._statement_watchdog(), self.server.lock:
-                self.server.runner.run_statement(sql, txn=self._txn)
+            with self._admitted_write(sql):
+                with self._statement_watchdog(), self.server.lock:
+                    self.server.runner.run_statement(sql, txn=self._txn)
             self._send(b"C", _command_tag(sql, 0).encode() + b"\x00")
             return
         if entry["rows"] is None:
@@ -1371,6 +1372,33 @@ class _Handler(socketserver.BaseRequestHandler):
                 "retry after the lease expires or the new process takes over"
             )
 
+    @contextlib.contextmanager
+    def _admitted_write(self, stmt: str):
+        """Atomically check the deploy fence AND register this statement
+        as an admitted writer for its duration — the reference's
+        wait_for_active_writes contract (buffered_write_layer.rs): a write
+        that passed admission before the fence went up is part of the
+        finite tail HANDOFF must wait for, so an in-flight autocommit
+        INSERT or a mid-stream COPY can never publish rows AFTER the
+        handoff reported its drained count. Non-writes pass through
+        unregistered."""
+        if not _WRITE_STMT_RE.match(stmt):
+            yield
+            return
+        token = object()
+        with self.server.lock:
+            if self._write_fenced():
+                raise ValueError(
+                    "write admission is fenced for deploy handoff; "
+                    "retry after the lease expires or the new process takes over"
+                )
+            self.server.open_txns.add(id(token))
+        try:
+            yield
+        finally:
+            with self.server.lock:
+                self.server.open_txns.discard(id(token))
+
     def _run_handoff(self) -> None:
         import time as _time
 
@@ -1479,7 +1507,11 @@ class _Handler(socketserver.BaseRequestHandler):
                     self._cursor_verb(m)
                     continue
                 if m := _COPY_RE.match(stmt):
-                    self._copy_in(m)
+                    # admitted-writer registration spans the whole COPY
+                    # subprotocol: a client mid-stream when HANDOFF starts
+                    # is part of the tail the drain waits for
+                    with self._admitted_write(stmt):
+                        self._copy_in(m)
                     continue
                 if m := _COPY_OUT_RE.match(stmt):
                     self._copy_out(m)
@@ -1490,8 +1522,9 @@ class _Handler(socketserver.BaseRequestHandler):
                     # path — the pgwire INSERT sink of the reference;
                     # inside BEGIN…COMMIT the INSERT stages under the
                     # transaction's commit group
-                    with self._statement_watchdog(), self.server.lock:
-                        self.server.runner.run_statement(stmt, txn=self._txn)
+                    with self._admitted_write(stmt):
+                        with self._statement_watchdog(), self.server.lock:
+                            self.server.runner.run_statement(stmt, txn=self._txn)
                     self._send(b"C", _command_tag(stmt, 0).encode() + b"\x00")
                     continue
                 with self._statement_watchdog():
