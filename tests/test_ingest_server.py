@@ -153,6 +153,46 @@ def test_admission_gate_refuses_new_streams(spark, table):
         s.stop()
 
 
+def test_fence_mid_stream_cuts_before_commit_and_resume_works(spark, table):
+    """The fence raised while a stream is in flight stops it BEFORE the
+    next batch commits: acked batches stay durable, the unacked tail is
+    refused, and a post-reopen reconnect resumes past the last ack — the
+    deploy-handoff story for bulk ingest."""
+    import socket as _socket
+    import struct as _struct
+
+    import pyarrow.ipc as ipc
+
+    fenced = {"on": False}
+    s = ArrowIngestServer(spark, {"ing_t": table}, admit=lambda: not fenced["on"]).start()
+    try:
+        sock = _socket.create_connection(("127.0.0.1", s.port), timeout=120)
+        header = json.dumps({"table": "ing_t", "app_id": "cutter"}).encode()
+        sock.sendall(_struct.pack("!I", len(header)) + header)
+        tag, _w = _read_frame(sock)
+        assert tag == b"W"
+        b1, b2 = _batch(0, 10), _batch(10, 25)
+        writer = ipc.new_stream(_SockSink(sock), b1.schema)
+        writer.write_batch(b1)
+        tag, val = _read_frame(sock)
+        assert (tag, val) == (b"A", 1)  # first batch durable
+        fenced["on"] = True  # deploy handoff raises the fence mid-stream
+        writer.write_batch(b2)
+        tag, val = _read_frame(sock)
+        assert tag == b"E" and "fenced" in str(val)
+        sock.close()
+        # acked data durable, the refused batch NOT committed
+        assert table.read().count() == 10
+        # reopen + reconnect: the watermark points past the last ack and
+        # the resent tail lands exactly once
+        fenced["on"] = False
+        acks, final = _send_stream(s.port, "ing_t", [b2], app_id="cutter")
+        assert acks == [2] and final == (b"F", 15)
+        assert table.read().count() == 25
+    finally:
+        s.stop()
+
+
 def test_batches_ack_after_durable(spark, table, srv):
     acks, final = _send_stream(
         srv.port, "ing_t", [_batch(0, 10), _batch(10, 25), _batch(25, 30)]

@@ -142,6 +142,18 @@ class _IngestHandler(socketserver.BaseRequestHandler):
                     self._send_error(f"Arrow stream error after seq {seq}: {e}")
                     return
                 seq += 1
+                if not self.server.admit_fn():
+                    # fence raised MID-STREAM (deploy handoff): stop before
+                    # this batch commits — everything acked is durable, the
+                    # unacked tail is exactly what the client resends to
+                    # the replacement process (the seq-ack protocol's
+                    # whole point), and the handoff's drained-row count
+                    # can never be trailed by late batch commits
+                    self._send_error(
+                        f"write admission fenced for deploy handoff before "
+                        f"seq {seq}; reconnect and resume past your last ack"
+                    )
+                    return
                 try:
                     pdf = batch.to_pandas()
                     df = self.server.spark.createDataFrame(pdf)
