@@ -89,3 +89,31 @@ class TestHealthcheck:
         s.close()  # nothing listens here now
         assert main(["healthcheck", "--port", str(port)]) == 1
         assert "not reachable" in capsys.readouterr().err
+
+
+class TestHandoffVerb:
+    def test_drains_and_fences(self, spark, tmp_path, capsys):
+        """`maintain handoff` is the deploy workflow's pre-SIGTERM step:
+        it issues HANDOFF over the wire, prints the drained-row tag, and
+        leaves the write fence held (a follow-up INSERT is refused)."""
+        from timefusion_spark.server import PgWireServer
+
+        srv = PgWireServer(
+            spark, base_dir=str(tmp_path / "ho"), handoff_lease_s=60.0
+        ).start()
+        try:
+            assert main(["handoff", "--port", str(srv.port)]) == 0
+            assert capsys.readouterr().out.strip() == "HANDOFF 0"
+            assert srv.write_fenced
+        finally:
+            srv.stop()
+
+    def test_dead_port_fails(self, capsys):
+        import socket
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        assert main(["handoff", "--port", str(port)]) == 1
+        assert "not reachable" in capsys.readouterr().err

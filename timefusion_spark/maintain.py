@@ -71,6 +71,61 @@ def healthcheck(host: str, port: int, timeout: float = 0.75) -> int:
     return 0
 
 
+def handoff(host: str, port: int, timeout: float = 300.0) -> int:
+    """Issue the HANDOFF deploy-drain verb against a live server (the
+    deploy workflow's pre-SIGTERM step, pgwire_handlers.rs:274-282): a
+    minimal simple-protocol exchange — startup, `HANDOFF`, print the tag
+    (`HANDOFF <rows>`) or the server's error. Exit 0 iff the drain
+    succeeded (the fence is then held under its lease for the task
+    replacement)."""
+    import socket
+    import struct
+
+    body = b"user\x00timefusion_deploy\x00database\x00postgres\x00\x00"
+    payload = struct.pack("!i", 196608) + body
+    try:
+        with socket.create_connection((host, port), timeout=timeout) as s:
+            s.settimeout(timeout)
+            s.sendall(struct.pack("!i", len(payload) + 4) + payload)
+
+            def recv_exact(n: int) -> bytes:
+                data = b""
+                while len(data) < n:
+                    chunk = s.recv(n - len(data))
+                    if not chunk:
+                        raise ConnectionError("server closed")
+                    data += chunk
+                return data
+
+            def msgs_until_ready():
+                while True:
+                    tag = recv_exact(1)
+                    (ln,) = struct.unpack("!i", recv_exact(4))
+                    pl = recv_exact(ln - 4)
+                    yield tag, pl
+                    if tag == b"Z":
+                        return
+
+            for tag, _pl in msgs_until_ready():
+                pass  # drain the startup burst
+            q = b"HANDOFF\x00"
+            s.sendall(b"Q" + struct.pack("!i", len(q) + 4) + q)
+            result, err = None, None
+            for tag, pl in msgs_until_ready():
+                if tag == b"C":
+                    result = pl.rstrip(b"\x00").decode()
+                elif tag == b"E":
+                    err = pl.replace(b"\x00", b" ").decode("utf-8", "replace")
+    except OSError as e:
+        print(f"pgwire not reachable at {host}:{port}: {e}", file=sys.stderr)
+        return 1
+    if err is not None or result is None:
+        print(f"HANDOFF failed: {err or 'no completion tag'}", file=sys.stderr)
+        return 1
+    print(result)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     import argparse
 
@@ -108,10 +163,19 @@ def main(argv: list[str] | None = None) -> int:
     p_hc.add_argument("--host", default="127.0.0.1")
     p_hc.add_argument("--port", type=int, default=5432)
 
+    p_ho = sub.add_parser(
+        "handoff", help="deploy drain: fence writes, settle the tail (pre-SIGTERM)"
+    )
+    p_ho.add_argument("--host", default="127.0.0.1")
+    p_ho.add_argument("--port", type=int, default=5432)
+    p_ho.add_argument("--timeout", type=float, default=300.0)
+
     args = parser.parse_args(argv)
 
     if args.verb == "healthcheck":
         return healthcheck(args.host, args.port)
+    if args.verb == "handoff":
+        return handoff(args.host, args.port, timeout=args.timeout)
 
     from timefusion_spark.storage import maintenance
 
