@@ -1785,6 +1785,17 @@ class TestTextMatchIndexOverSql:
         assert rows_of(
             c.query("SELECT count(*) AS n FROM raw_t WHERE label = 'alpha'")
         ) == [["0"]]
+        # exact LIKE (no wildcards, no escape) routes like equality…
+        srv_like = pgshim.TEXT_INDEX_SERVED
+        assert rows_of(
+            c.query("SELECT count(*) AS n FROM raw_t WHERE label LIKE 'alpha beta'")
+        ) == scan_eq
+        assert pgshim.TEXT_INDEX_SERVED == srv_like + 1
+        # …but a wildcard LIKE does NOT (raw cannot serve substring)
+        assert rows_of(
+            c.query("SELECT count(*) AS n FROM raw_t WHERE label LIKE 'alpha%'")
+        ) == [["2"]]
+        assert pgshim.TEXT_INDEX_SERVED == srv_like + 1
         served1 = pgshim.TEXT_INDEX_SERVED
         # substring probe: the raw index DECLINES — scan path, same answer
         assert rows_of(c.query(sub)) == scan_sub

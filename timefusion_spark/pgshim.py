@@ -1570,12 +1570,16 @@ _TEXT_MATCH_Q_RE = re.compile(
     r"(?is)^SELECT\s+(COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?|\*)\s+FROM\s+"
     r"([A-Za-z_]\w*)\s+WHERE\s+text_match\(\s*([A-Za-z_]\w*)\s*,\s*'([^']*)'\s*\)$"
 )
-# col = 'literal' over one table — the shape a raw-tokenizer index serves
-# (tantivy_rewriter.rs:32 route_equality: `raw` serves term equality; the
-# ngram3/default tokenizers leave `=` to bloom/stats)
+# col = 'literal' / col LIKE 'literal' (NO wildcards — exact-term LIKE)
+# over one table — the shapes a raw-tokenizer index serves
+# (tantivy_rewriter.rs:32-34 route_equality: `raw` serves term equality
+# and exact LIKE; the ngram3/default tokenizers leave `=` to bloom/stats)
 _EQ_TERM_Q_RE = re.compile(
     r"(?is)^SELECT\s+(COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?|\*)\s+FROM\s+"
-    r"([A-Za-z_]\w*)\s+WHERE\s+([A-Za-z_]\w*)\s*=\s*'([^']*)'$"
+    r"([A-Za-z_]\w*)\s+WHERE\s+([A-Za-z_]\w*)\s*"
+    # no %/_ (wildcards) and no backslash (PG's default LIKE escape):
+    # only then is LIKE 'lit' exactly term equality
+    r"(?:=|\bLIKE\b)\s*'([^'%_\\]*)'$"
 )
 
 # Observability for tests: bumped each time a statement is served from a
