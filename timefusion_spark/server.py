@@ -769,7 +769,9 @@ class _Handler(socketserver.BaseRequestHandler):
         if kind == b"S":
             getattr(self, "_prepared", {}).pop(name, None)
         else:
-            getattr(self, "_portals", {}).pop(name, None)
+            entry = getattr(self, "_portals", {}).pop(name, None)
+            if entry is not None and isinstance(entry.get("rows"), _RowStream):
+                entry["rows"].close()
         self._send(b"3")  # CloseComplete
 
     def _run(self, sql: str):
@@ -1322,8 +1324,10 @@ class _Handler(socketserver.BaseRequestHandler):
             return
         if m.group("cname"):
             name = m.group("cname")
-            if self._cursors.pop(name, None) is None:
+            cur = self._cursors.pop(name, None)
+            if cur is None:
                 raise ValueError(f'cursor "{name}" does not exist')
+            cur.close()
             self._send(b"C", b"CLOSE CURSOR\x00")
             return
         name = m.group("fname")
@@ -1622,6 +1626,18 @@ class _RowStream:
             except StopIteration:
                 self.done = True
         return self.done
+
+    def close(self) -> None:
+        """Release the underlying local-iterator connection promptly
+        (CLOSE portal/cursor on a long-lived session shouldn't wait for
+        GC to free the JVM-side serving thread)."""
+        self.done = True
+        close_fn = getattr(self._it, "close", None)
+        if close_fn is not None:
+            try:
+                close_fn()
+            except Exception:  # noqa: BLE001 — cleanup must not raise
+                pass
 
 
 class _TCPServer(socketserver.ThreadingMixIn, socketserver.TCPServer):
