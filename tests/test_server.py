@@ -922,7 +922,7 @@ def copy_payload(client: WireClient, sql: str, data: bytes, chunk: int = 65536,
     client.sock.sendall(b"Q" + struct.pack("!i", len(body) + 4) + body)
     tag, payload = client.recv_msg()
     assert tag == b"G", (tag, payload)  # CopyInResponse
-    assert payload[0] == 0  # overall text format
+    assert payload[0] in (0, 1)  # overall format: text or binary
     for i in range(0, len(data), chunk):
         d = data[i : i + chunk]
         client.sock.sendall(b"d" + struct.pack("!i", len(d) + 4) + d)
@@ -986,6 +986,95 @@ class TestCopyIn:
         )
         assert rows == [["", "", ""], ["a", "x", "p1"]]
         client.query("DROP TABLE cp_last")
+
+    @staticmethod
+    def _bin_tuple(*fields: bytes | None) -> bytes:
+        out = struct.pack("!h", len(fields))
+        for b in fields:
+            out += struct.pack("!i", -1) if b is None else struct.pack("!i", len(b)) + b
+        return out
+
+    def test_binary_format_roundtrip(self, client):
+        """COPY FROM STDIN (FORMAT binary): the PG binary COPY stream —
+        signature header, length-prefixed fields in each column's binary
+        wire format, trailer — decodes through the same codecs as binary
+        extended-protocol parameters. Sent in tiny chunks to exercise the
+        incremental tuple parser across frame boundaries."""
+        import datetime as dt
+
+        client.query(
+            "CREATE TABLE cp_b (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+        )
+        us = int(
+            (dt.datetime(2026, 1, 2, 3, 4, 5) - dt.datetime(2000, 1, 1)).total_seconds()
+        ) * 10**6
+        hdr = b"PGCOPY\n\xff\r\n\x00" + struct.pack("!ii", 0, 0)
+        data = (
+            hdr
+            + self._bin_tuple(
+                struct.pack("!q", us), b"a", struct.pack("!d", 1.5), b"p1"
+            )
+            + self._bin_tuple(struct.pack("!q", us + 10**6), b"b", None, b"p1")
+            + struct.pack("!h", -1)
+        )
+        msgs = copy_payload(
+            client, "COPY cp_b FROM STDIN WITH (FORMAT binary)", data, chunk=3
+        )
+        assert command_tags(msgs) == ["COPY 2"], msgs
+        rows = rows_of(client.query("SELECT id, val, ts FROM cp_b ORDER BY id"))
+        assert rows == [
+            ["a", "1.5", "2026-01-02 03:04:05"],
+            ["b", None, "2026-01-02 03:04:06"],
+        ]
+        client.query("DROP TABLE cp_b")
+
+    def test_binary_copy_out_feeds_binary_copy_in(self, client):
+        """The pg_dump-style round trip: COPY TO STDOUT (FORMAT binary)
+        over one table feeds COPY FROM STDIN (FORMAT binary) into another
+        verbatim — stream bytes are mutually intelligible."""
+        client.query(
+            "CREATE TABLE cp_src (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+        )
+        client.query(
+            "INSERT INTO cp_src VALUES "
+            "('2026-01-01 10:00:00','x',1.25,'p1'), "
+            "('2026-01-01 11:00:00','y',NULL,'p1')"
+        )
+        client.query(
+            "CREATE TABLE cp_dst (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+        )
+        body = b"COPY cp_src TO STDOUT WITH (FORMAT binary)\x00"
+        client.sock.sendall(b"Q" + struct.pack("!i", len(body) + 4) + body)
+        stream = b""
+        while True:
+            tag, payload = client.recv_msg()
+            if tag == b"d":
+                stream += payload
+            elif tag == b"Z":
+                break
+        assert stream.startswith(b"PGCOPY\n\xff\r\n\x00")
+        assert stream.endswith(struct.pack("!h", -1))
+        msgs = copy_payload(
+            client, "COPY cp_dst FROM STDIN WITH (FORMAT binary)", stream
+        )
+        assert command_tags(msgs) == ["COPY 2"], msgs
+        a = rows_of(client.query("SELECT ts, id, val FROM cp_src ORDER BY id"))
+        b = rows_of(client.query("SELECT ts, id, val FROM cp_dst ORDER BY id"))
+        assert a == b
+        client.query("DROP TABLE cp_src")
+        client.query("DROP TABLE cp_dst")
+
+    def test_binary_missing_trailer_publishes_nothing(self, client):
+        client.query("CREATE TABLE cp_torn (id TEXT, note TEXT, tag TEXT)")
+        hdr = b"PGCOPY\n\xff\r\n\x00" + struct.pack("!ii", 0, 0)
+        data = hdr + self._bin_tuple(b"a", b"x", b"p1")  # NO trailer
+        msgs = copy_payload(
+            client, "COPY cp_torn FROM STDIN WITH (FORMAT binary)", data
+        )
+        errs = [p for t, p in msgs if t == b"E"]
+        assert errs and b"trailer" in errs[0], msgs
+        assert rows_of(client.query("SELECT count(*) AS n FROM cp_torn")) == [["0"]]
+        client.query("DROP TABLE cp_torn")
 
     def test_bulk_100k_chunked_flush_and_oracle_count(self, server, monkeypatch):
         """≥100k rows stream in ack-paced TCP chunks; the handler flushes

@@ -956,8 +956,11 @@ class _Handler(socketserver.BaseRequestHandler):
         table = m.group(1)
         cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
         opts = m.group(3) or ""
-        fmt_csv = re.search(r"(?i)\bcsv\b", opts) is not None
+        fmt_bin = re.search(r"(?i)\bbinary\b", opts) is not None
+        fmt_csv = not fmt_bin and re.search(r"(?i)\bcsv\b", opts) is not None
         header = fmt_csv and re.search(r"(?i)\bheader\b", opts) is not None
+        if fmt_bin and re.search(r"(?i)\bheader\b|\bdelimiter\b|\bnull\b", opts):
+            raise ValueError("COPY BINARY does not accept HEADER/DELIMITER/NULL options")
         dm = re.search(r"(?i)\bDELIMITER\s+E?'(.*?)'", opts)
         delim = dm.group(1).replace("\\t", "\t") if dm else ("," if fmt_csv else "\t")
         nm = re.search(r"(?i)\bNULL\s+'(.*?)'", opts)
@@ -967,17 +970,85 @@ class _Handler(socketserver.BaseRequestHandler):
         with self.server.lock:
             tbl = runner._resolve_insert_target(table)
         ncols = len(cols) if cols else len(tbl.schema.fields)
+        oids: list[int] = []
+        if fmt_bin:
+            # field OIDs drive the per-field binary decode — resolve (and
+            # validate the column list) before entering copy mode
+            spark_types = {f.name: f.dataType for f in tbl.schema.spark_schema.fields}
+            names = cols if cols else [f.name for f in tbl.schema.fields]
+            unknown = [n for n in names if n not in spark_types]
+            if unknown:
+                raise ValueError(f"COPY: unknown column(s) {unknown} in {table!r}")
+            oids = [_oid_for(spark_types[n]) for n in names]
         own_txn = self._txn is None
         txn = runner.begin_txn() if own_txn else self._txn
+        fcode = 1 if fmt_bin else 0
         self._send(
             b"G",
-            struct.pack("!bh", 0, ncols) + struct.pack(f"!{ncols}h", *([0] * ncols)),
+            struct.pack("!bh", fcode, ncols)
+            + struct.pack(f"!{ncols}h", *([fcode] * ncols)),
         )
         buf = b""
         pending: list[list[str | None]] = []
         total = 0
         failed: str | None = None
         skip_header = header
+        bin_state = {"hdr": False, "done": False}
+
+        def parse_binary(data: bytes) -> tuple[list[list[str | None]], bytes]:
+            """Incremental parse of the PG COPY binary stream (public
+            format: 11-byte signature + int32 flags + int32 ext length,
+            then per tuple int16 field count + length-prefixed fields in
+            the column's binary format, int16 -1 trailer). Complete
+            tuples decode to their text representations — the SAME
+            coercion path as text COPY; an incomplete tail stays
+            buffered for the next CopyData frame."""
+            rows: list[list[str | None]] = []
+            pos = 0
+            if not bin_state["hdr"]:
+                if len(data) < 19:
+                    return rows, data
+                if data[:11] != b"PGCOPY\n\xff\r\n\x00":
+                    raise ValueError("invalid COPY binary signature")
+                (_flags, extlen) = struct.unpack("!ii", data[11:19])
+                if len(data) < 19 + extlen:
+                    return rows, data
+                pos = 19 + extlen
+                bin_state["hdr"] = True
+            while not bin_state["done"]:
+                if len(data) - pos < 2:
+                    break
+                (nf,) = struct.unpack("!h", data[pos : pos + 2])
+                if nf == -1:  # trailer
+                    bin_state["done"] = True
+                    pos += 2
+                    break
+                p = pos + 2
+                fields: list[str | None] = []
+                complete = True
+                for i in range(nf):
+                    if len(data) - p < 4:
+                        complete = False
+                        break
+                    (ln,) = struct.unpack("!i", data[p : p + 4])
+                    p += 4
+                    if ln == -1:
+                        fields.append(None)
+                        continue
+                    if len(data) - p < ln:
+                        complete = False
+                        break
+                    fields.append(_decode_binary_param(oids[i], data[p : p + ln]))
+                    p += ln
+                if not complete:
+                    break
+                if nf != ncols:
+                    raise ValueError(
+                        f"COPY binary tuple has {nf} fields, expected {ncols}"
+                    )
+                rows.append(fields)
+                pos = p
+            return rows, data[pos:]
 
         def parse_line(raw: bytes) -> list[str | None] | None:
             line = raw.decode("utf-8").rstrip("\r")
@@ -1008,8 +1079,14 @@ class _Handler(socketserver.BaseRequestHandler):
                 if failed is not None:
                     continue  # drain to CopyDone, then report the error
                 buf += payload
-                lines, buf = _split_copy_lines(buf, fmt_csv)
                 try:
+                    if fmt_bin:
+                        rows, buf = parse_binary(buf)
+                        pending.extend(rows)
+                        if len(pending) >= COPY_CHUNK_ROWS:
+                            flush()
+                        continue
+                    lines, buf = _split_copy_lines(buf, fmt_csv)
                     for raw in lines:
                         if skip_header:
                             skip_header = False
@@ -1023,10 +1100,23 @@ class _Handler(socketserver.BaseRequestHandler):
                 except Exception as e:  # noqa: BLE001 — report after drain
                     failed = str(e).split("\n", 1)[0][:500]
             elif tag == b"c":  # CopyDone
-                # any remaining BYTES are the final (newline-less) record
-                # — not `buf.strip()`: a whitespace-only last line like
-                # b"\t\t" is a real row of empty fields in PG
-                if failed is None and buf:
+                if failed is None and fmt_bin:
+                    # the binary format carries its own trailer; absent
+                    # one the stream is torn and nothing may publish
+                    if buf:
+                        try:
+                            rows, buf = parse_binary(buf)
+                            pending.extend(rows)
+                        except Exception as e:  # noqa: BLE001
+                            failed = str(e).split("\n", 1)[0][:500]
+                    if failed is None and not bin_state["done"] and (
+                        bin_state["hdr"] or buf or pending
+                    ):
+                        failed = "unexpected end of COPY binary data (missing trailer)"
+                # any remaining text BYTES are the final (newline-less)
+                # record — not `buf.strip()`: a whitespace-only last line
+                # like b"\t\t" is a real row of empty fields in PG
+                if failed is None and not fmt_bin and buf:
                     try:
                         fields = parse_line(buf)
                         if fields is not None and not skip_header:
@@ -1067,7 +1157,8 @@ class _Handler(socketserver.BaseRequestHandler):
         query, table, cols, opts = m.groups()
         opts = opts or ""
         if re.search(r"(?i)\bbinary\b", opts):
-            raise ValueError("COPY BINARY format is not supported; use text or csv")
+            self._copy_out_binary(query, table, cols)
+            return
         fmt_csv = re.search(r"(?i)\bcsv\b", opts) is not None
         header = fmt_csv and re.search(r"(?i)\bheader\b", opts) is not None
         dm = re.search(r"(?i)\bDELIMITER\s+E?'(.*?)'", opts)
@@ -1115,6 +1206,50 @@ class _Handler(socketserver.BaseRequestHandler):
                     cells.append(null_s if s is None else _copy_text_escape(s))
             emit(delim.join(cells) + "\n")
             n += 1
+        flush()
+        self._send(b"c")  # CopyDone
+        self._send(b"C", f"COPY {n}".encode() + b"\x00")
+
+    def _copy_out_binary(self, query, table, cols) -> None:
+        """COPY … TO STDOUT (FORMAT binary): the PG binary COPY stream —
+        signature header, per tuple int16 field count + length-prefixed
+        fields in each column's binary wire format (the same _pg_binary
+        codecs the extended protocol uses), int16 -1 trailer. Memory
+        bounded by toLocalIterator; frames coalesce to ~64 KB."""
+        if query is not None:
+            sql = query
+        else:
+            collist = cols.strip() if cols else "*"
+            sql = f"SELECT {collist} FROM {table}"
+        df = self._run(sql)
+        fields = df.schema.fields
+        nf = len(fields)
+        self._send(
+            b"H",
+            struct.pack("!bh", 1, nf) + struct.pack(f"!{nf}h", *([1] * nf)),
+        )
+        out = bytearray(b"PGCOPY\n\xff\r\n\x00" + struct.pack("!ii", 0, 0))
+        n = 0
+
+        def flush() -> None:
+            nonlocal out
+            if out:
+                self._send(b"d", bytes(out))
+                out = bytearray()
+
+        for row in df.toLocalIterator():
+            rec = bytearray(struct.pack("!h", nf))
+            for f, v in zip(fields, row):
+                b = _pg_binary(v, f.dataType)
+                if b is None:
+                    rec += struct.pack("!i", -1)
+                else:
+                    rec += struct.pack("!i", len(b)) + b
+            out += rec
+            n += 1
+            if len(out) >= 65536:
+                flush()
+        out += struct.pack("!h", -1)  # trailer
         flush()
         self._send(b"c")  # CopyDone
         self._send(b"C", f"COPY {n}".encode() + b"\x00")
