@@ -358,3 +358,89 @@ def test_wire_created_table_is_ingestable_and_visible(spark, tmp_path):
     finally:
         ing.stop()
         pg.stop()
+
+
+def test_handoff_waits_for_inflight_arrow_batch(spark, tmp_path):
+    """An Arrow batch whose append passed admission before HANDOFF's
+    fence went up is an admitted writer: the drain must wait for its
+    commit, and its rows must be INSIDE the drained-row tag — never
+    published after the count was reported (the reference's admit_write
+    active-write guard, buffered_write_layer.rs wait_for_active_writes;
+    ADVICE r9 medium)."""
+    import threading
+    import time
+
+    from test_server import WireClient, command_tags
+    from timefusion_spark.server import PgWireServer
+
+    srv = PgWireServer(
+        spark,
+        base_dir=str(tmp_path / "hoa_data"),
+        arrow_port=0,
+        handoff_lease_s=60.0,
+    ).start()
+    c = WireClient(srv.port)
+    c.startup()
+    tbl = None
+    real_append = None
+    try:
+        c.query(
+            "CREATE TABLE aht (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+        )
+        tbl = srv._server.runner.tables["aht"]
+        real_append = tbl.append
+        entered = threading.Event()
+        release = threading.Event()
+
+        def slow_append(df, **kw):
+            entered.set()
+            if not release.wait(60):
+                raise TimeoutError("test never released the stalled append")
+            return real_append(df, **kw)
+
+        tbl.append = slow_append
+        res: dict = {}
+
+        def send():
+            res["stream"] = _send_stream(
+                srv.arrow_port,
+                "aht",
+                [
+                    pa.RecordBatch.from_pydict(
+                        {
+                            "ts": ["2026-01-01 10:00:00"],
+                            "id": ["a1"],
+                            "val": [1.0],
+                            "project_id": ["p1"],
+                        }
+                    )
+                ],
+            )
+
+        ts = threading.Thread(target=send, daemon=True)
+        ts.start()
+        assert entered.wait(60)  # the batch commit is in flight (registered)
+        hres: dict = {}
+
+        def handoff():
+            hres["msgs"] = c.query("HANDOFF")
+
+        th = threading.Thread(target=handoff, daemon=True)
+        th.start()
+        time.sleep(1.0)
+        assert th.is_alive(), (
+            "HANDOFF returned while an Arrow batch commit was in flight"
+        )
+        release.set()
+        ts.join(timeout=120)
+        th.join(timeout=120)
+        assert not ts.is_alive() and not th.is_alive()
+        acks, final = res["stream"]
+        assert acks == [1] and final[0] == b"F"
+        # the in-flight batch's row is INSIDE the drained count
+        assert command_tags(hres["msgs"]) == ["HANDOFF 1"]
+    finally:
+        if tbl is not None and real_append is not None:
+            tbl.append = real_append
+        c.close()
+        srv.stop()

@@ -117,3 +117,35 @@ class TestHandoffVerb:
         s.close()
         assert main(["handoff", "--port", str(port)]) == 1
         assert "not reachable" in capsys.readouterr().err
+
+
+class TestHandoffVerbAuth:
+    def test_handoff_authenticates_with_password(self, spark, tmp_path, capsys):
+        """Against a password-protected server the handoff verb completes
+        the cleartext exchange; without credentials it fails cleanly."""
+        from timefusion_spark.server import PgWireServer
+
+        srv = PgWireServer(
+            spark,
+            base_dir=str(tmp_path / "hoauth"),
+            handoff_lease_s=60.0,
+            username="deployer",
+            password="pw9",
+        ).start()
+        try:
+            rc = main([
+                "handoff", "--port", str(srv.port),
+                "--user", "deployer", "--password", "pw9",
+            ])
+            assert rc == 0
+            assert capsys.readouterr().out.strip() == "HANDOFF 0"
+            assert srv.write_fenced
+            # wrong password: the server answers FATAL 28P01 and closes —
+            # the verb reports failure instead of hanging
+            rc = main([
+                "handoff", "--port", str(srv.port),
+                "--user", "deployer", "--password", "nope",
+            ])
+            assert rc == 1
+        finally:
+            srv.stop()

@@ -12,7 +12,11 @@ plain TCP socket — no gRPC dependency, same contract:
 
   client → server:  u32 header_len, header JSON
                       {"table": str, "app_id": str|absent,
-                       "start_seq": int|absent}
+                       "start_seq": int|absent,
+                       "token": str|absent — required and compared
+                        constant-time when the server was started with a
+                        shared token (the reference's GRPC_TOKEN bearer
+                        check, main.rs:457-459)}
                     then one standard Arrow IPC stream
                     (schema message, record batches, end-of-stream)
   server → client:  after the header   b"W" + u64 watermark
@@ -53,10 +57,16 @@ and sort order are identical to batch/streaming/COPY ingest.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import socketserver
 import struct
 import threading
+
+
+class WriteFenced(Exception):
+    """Raised by a writer_guard when the deploy-handoff fence refuses
+    admission — the handler maps it to the reconnect-and-resume error."""
 
 
 class _IngestHandler(socketserver.BaseRequestHandler):
@@ -92,6 +102,20 @@ class _IngestHandler(socketserver.BaseRequestHandler):
         except (ValueError, KeyError) as e:
             self._send_error(f"bad ingest header: {e}")
             return
+        required = self.server.token
+        if required is not None:
+            # shared-token auth — the reference's gRPC bearer-token check
+            # (main.rs:457-459 GRPC_TOKEN, grpc_handlers.rs Authorization
+            # header compare): refused BEFORE any table/stream processing;
+            # constant-time compare so the open port leaks nothing
+            import hmac
+
+            given = header.get("token")
+            if not isinstance(given, str) or not hmac.compare_digest(
+                given.encode(), required.encode()
+            ):
+                self._send_error("ingest authentication failed: bad token")
+                return
         if not self.server.admit_fn():
             # deploy-handoff fence (buffered_write_layer.rs accepting_writes
             # gate): bulk ingest is refused while the pgwire HANDOFF lease
@@ -142,27 +166,34 @@ class _IngestHandler(socketserver.BaseRequestHandler):
                     self._send_error(f"Arrow stream error after seq {seq}: {e}")
                     return
                 seq += 1
-                if not self.server.admit_fn():
-                    # fence raised MID-STREAM (deploy handoff): stop before
-                    # this batch commits — everything acked is durable, the
-                    # unacked tail is exactly what the client resends to
-                    # the replacement process (the seq-ack protocol's
-                    # whole point), and the handoff's drained-row count
-                    # can never be trailed by late batch commits
+                try:
+                    # writer_guard: atomically (under the pgwire server's
+                    # lock when wired through PgWireServer) checks the
+                    # deploy fence AND registers this batch's commit as an
+                    # admitted writer for its duration — HANDOFF's drain
+                    # waits for in-flight ingest commits instead of reading
+                    # rows_after while a tbl.append is still publishing
+                    # (the reference's admit_write active-write guard,
+                    # buffered_write_layer.rs wait_for_active_writes).
+                    # A fence raised MID-STREAM stops before this batch
+                    # commits: everything acked is durable, the unacked
+                    # tail is exactly what the client resends to the
+                    # replacement process.
+                    with self.server.writer_guard():
+                        pdf = batch.to_pandas()
+                        df = self.server.spark.createDataFrame(pdf)
+                        with self.server.lock:
+                            # txn watermark: a resent batch (reconnect
+                            # replay) is skipped, not duplicated
+                            tbl.append(
+                                df, txn=(app_id, seq) if app_id else None
+                            )
+                except WriteFenced:
                     self._send_error(
                         f"write admission fenced for deploy handoff before "
                         f"seq {seq}; reconnect and resume past your last ack"
                     )
                     return
-                try:
-                    pdf = batch.to_pandas()
-                    df = self.server.spark.createDataFrame(pdf)
-                    with self.server.lock:
-                        # txn watermark: a resent batch (reconnect replay)
-                        # is skipped, not duplicated
-                        tbl.append(
-                            df, txn=(app_id, seq) if app_id else None
-                        )
                 except Exception as e:  # noqa: BLE001 — commit failed: NOT acked
                     self._send_error(f"append failed at seq {seq}: {e}")
                     return
@@ -191,13 +222,42 @@ class ArrowIngestServer:
     >>> srv.stop()
     """
 
-    def __init__(self, spark, tables, host: str = "127.0.0.1", port: int = 0, admit=None):
+    def __init__(
+        self,
+        spark,
+        tables,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        admit=None,
+        writer_guard=None,
+        token=None,
+    ):
         self._server = _IngestTCPServer((host, port), _IngestHandler)
         self._server.spark = spark
+        # shared-token auth (reference GRPC_TOKEN): None = open — embedded
+        # or test posture; the CLI requires a token unless --insecure-auth
+        self._server.token = token
         self._server.tables_fn = tables if callable(tables) else (lambda: tables)
         # write-admission gate (deploy handoff): a callable returning False
         # while new ingest streams must be refused; default always-open
-        self._server.admit_fn = admit if admit is not None else (lambda: True)
+        admit_fn = admit if admit is not None else (lambda: True)
+        self._server.admit_fn = admit_fn
+
+        # per-batch admitted-writer guard: a contextmanager factory that
+        # fence-checks AND registers the in-flight commit so a concurrent
+        # HANDOFF drain waits for it (PgWireServer wires this to its
+        # open_txns registry under its own lock). The default guard
+        # fence-checks via admit_fn without registration — correct for a
+        # standalone listener with no handoff coordinator.
+        @contextlib.contextmanager
+        def _default_guard():
+            if not admit_fn():
+                raise WriteFenced()
+            yield
+
+        self._server.writer_guard = (
+            writer_guard if writer_guard is not None else _default_guard
+        )
         self._server.lock = threading.Lock()
         self._thread: threading.Thread | None = None
 

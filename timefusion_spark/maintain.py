@@ -71,7 +71,13 @@ def healthcheck(host: str, port: int, timeout: float = 0.75) -> int:
     return 0
 
 
-def handoff(host: str, port: int, timeout: float = 300.0) -> int:
+def handoff(
+    host: str,
+    port: int,
+    timeout: float = 300.0,
+    user: str = "timefusion_deploy",
+    password: str | None = None,
+) -> int:
     """Issue the HANDOFF deploy-drain verb against a live server (the
     deploy workflow's pre-SIGTERM step, pgwire_handlers.rs:274-282): a
     minimal simple-protocol exchange — startup, `HANDOFF`, print the tag
@@ -81,7 +87,7 @@ def handoff(host: str, port: int, timeout: float = 300.0) -> int:
     import socket
     import struct
 
-    body = b"user\x00timefusion_deploy\x00database\x00postgres\x00\x00"
+    body = b"user\x00" + user.encode() + b"\x00database\x00postgres\x00\x00"
     payload = struct.pack("!i", 196608) + body
     try:
         with socket.create_connection((host, port), timeout=timeout) as s:
@@ -106,8 +112,16 @@ def handoff(host: str, port: int, timeout: float = 300.0) -> int:
                     if tag == b"Z":
                         return
 
-            for tag, _pl in msgs_until_ready():
-                pass  # drain the startup burst
+            # startup burst; answer a cleartext-password request ('R'/3)
+            # with --password when the server requires auth
+            for tag, pl in msgs_until_ready():
+                if (
+                    tag == b"R"
+                    and len(pl) >= 4
+                    and struct.unpack("!i", pl[:4])[0] == 3
+                ):
+                    pw = (password or "").encode() + b"\x00"
+                    s.sendall(b"p" + struct.pack("!i", len(pw) + 4) + pw)
             q = b"HANDOFF\x00"
             s.sendall(b"Q" + struct.pack("!i", len(q) + 4) + q)
             result, err = None, None
@@ -169,13 +183,26 @@ def main(argv: list[str] | None = None) -> int:
     p_ho.add_argument("--host", default="127.0.0.1")
     p_ho.add_argument("--port", type=int, default=5432)
     p_ho.add_argument("--timeout", type=float, default=300.0)
+    p_ho.add_argument("--user", default=os.environ.get("PGWIRE_USER", "postgres"))
+    p_ho.add_argument(
+        "--password",
+        default=os.environ.get("PGWIRE_PASSWORD") or None,
+        help="pgwire password when the server requires auth "
+        "(default $PGWIRE_PASSWORD)",
+    )
 
     args = parser.parse_args(argv)
 
     if args.verb == "healthcheck":
         return healthcheck(args.host, args.port)
     if args.verb == "handoff":
-        return handoff(args.host, args.port, timeout=args.timeout)
+        return handoff(
+            args.host,
+            args.port,
+            timeout=args.timeout,
+            user=args.user,
+            password=args.password,
+        )
 
     from timefusion_spark.storage import maintenance
 

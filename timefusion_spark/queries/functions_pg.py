@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from timefusion_spark.functions.pg_format import to_char
 from timefusion_spark.functions.text import text_match
 from timefusion_spark.functions.time import at_time_zone, extract_epoch
-from timefusion_spark.queries._tables import t
+from timefusion_spark.queries._tables import _require, t
 from timefusion_spark.registry import query
 
 
@@ -283,7 +283,7 @@ def q_text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verify set holds all query trigrams; far fewer than the corpus)
     n_docs = d.count()
     n_hits = hits.count()
-    assert 0 < n_hits < n_docs, (n_hits, n_docs)
+    _require(0 < n_hits < n_docs, (n_hits, n_docs))
     return (
         hits.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_match"))
@@ -337,7 +337,7 @@ def q_text_search_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = "SELECT count(*) AS n FROM docs_sql WHERE text_match(body, 'MERGE window')"
         before = pgshim.TEXT_INDEX_SERVED
         out = pg_sql(spark, q, tables=env.tables).localCheckpoint(eager=True)
-        assert pgshim.TEXT_INDEX_SERVED == before + 1  # index path engaged
+        _require(pgshim.TEXT_INDEX_SERVED == before + 1)  # index path engaged
         # scan-path identity: the registered SQL text_match function over
         # the same view must agree exactly
         scan_n = spark.sql(
@@ -345,7 +345,7 @@ def q_text_search_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WHERE text_match(body, 'MERGE window')"
         ).collect()[0][0]
         idx_n = out.collect()[0][0]
-        assert idx_n == scan_n and idx_n > 0, (idx_n, scan_n)
+        _require(idx_n == scan_n and idx_n > 0, (idx_n, scan_n))
         return out
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
@@ -403,7 +403,7 @@ def q_text_search_raw_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             tables=env.tables,
         ).localCheckpoint(eager=True)
         n_exact = exact.collect()[0][0]
-        assert pgshim.TEXT_INDEX_SERVED == before + 1  # equality: index-first
+        _require(pgshim.TEXT_INDEX_SERVED == before + 1)  # equality: index-first
         # substring probe on the raw field DECLINES — scan path, counter flat
         sub = pg_sql(
             spark,
@@ -411,13 +411,13 @@ def q_text_search_raw_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WHERE text_match(lang, 'e')",
             tables=env.tables,
         ).localCheckpoint(eager=True)
-        assert pgshim.TEXT_INDEX_SERVED == before + 1
+        _require(pgshim.TEXT_INDEX_SERVED == before + 1)
         n_sub = sub.collect()[0][0]
         # scan identity for the equality route too
         scan_n = spark.sql(
             "SELECT count(*) FROM docs_raw WHERE lang = 'en'"
         ).collect()[0][0]
-        assert n_exact == scan_n and n_exact > 0, (n_exact, scan_n)
+        _require(n_exact == scan_n and n_exact > 0, (n_exact, scan_n))
         out = spark.createDataFrame(
             [(int(n_exact), int(n_sub))], "n_exact bigint, n_substring bigint"
         )

@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timefusion_spark.queries._tables import t
+from timefusion_spark.queries._tables import _require, t
 from timefusion_spark.registry import query
 
 _SCHEMA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "schemas")
@@ -152,7 +152,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl, base_dir = _build_mor_table(spark, sf_dir)
     try:
         # _build_mor_table commits: v0 create, v1 append, v2 UPDATE, v3 DELETE.
-        assert tbl.log.latest_version() == 3
+        _require(tbl.log.latest_version() == 3)
 
         def agg(df: DataFrame, label: str) -> DataFrame:
             return df.groupBy("project_id").agg(
@@ -255,7 +255,7 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _run("ckpt1")
         _run("ckpt2")  # full redelivery through a second stream
         n_src = rows.count()
-        assert tbl.read_raw().count() == 2 * n_src  # both deliveries landed
+        _require(tbl.read_raw().count() == 2 * n_src)
         out = (
             tbl.read()
             .groupBy("project_id")
@@ -342,7 +342,10 @@ def q_streaming_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 with open(os.path.join(tbl.log.log_dir, name)) as fh:
                     rec = _json.load(fh)
                 if rec.get("op") == "append" and rec.get("add"):
-                    assert rec.get("group"), f"{tbl.schema.table_name} {name} not grouped"
+                    _require(
+                        rec.get('group'),
+                        f'{tbl.schema.table_name} {name} not grouped',
+                    )
 
         def agg(tbl: Table, route: str) -> DataFrame:
             return (
@@ -926,8 +929,8 @@ def q_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         dml.delete(tbl, predicate=(key % 7 == 0), deletion_vectors=True)
         snap1 = set(tbl.log.snapshot().files)
         # every original data file is still LIVE — masked, never rewritten
-        assert snap0 <= snap1, "DV DML must not remove/rewrite original files"
-        assert sum(1 for p in snap1 if p.startswith(DV_DIR + "/")) == 2
+        _require(snap0 <= snap1, 'DV DML must not remove/rewrite original files')
+        _require(sum((1 for p in snap1 if p.startswith(DV_DIR + '/'))) == 2)
         out = (
             tbl.read()
             .groupBy("project_id")
@@ -1138,7 +1141,7 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             stamp="2026-01-03 00:00:00",
         )
         refreshed = maintenance.refresh_rollup(tbl, rollup, agg)  # incremental
-        assert refreshed, "DML must have staled at least one partition"
+        _require(refreshed, 'DML must have staled at least one partition')
         out = (
             spark.read.parquet(rollup)
             .select(
@@ -1679,9 +1682,9 @@ def q_dml_coalesced(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["id"], upper,
         )
         stats = c.drain()
-        assert stats["groups"] == 2, stats
-        assert stats["rounds"] == 3, stats  # additive: 2 rounds; upper: 1
-        assert stats["quarantined"] == 0, stats
+        _require(stats['groups'] == 2, stats)
+        _require(stats['rounds'] == 3, stats)
+        _require(stats['quarantined'] == 0, stats)
         out = (
             tbl.read()
             .groupBy("project_id", "name")
@@ -1838,13 +1841,13 @@ def q_count_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the fast path actually engaged: week-3 served from the log, the
         # straddling week-2 file scanned, weeks 1/4 touched not at all
-        assert not info["declined"], info
-        assert info["metadata_files"] >= 1, info
-        assert 1 <= info["scanned_files"] < info["files"], info
+        _require(not info['declined'], info)
+        _require(info['metadata_files'] >= 1, info)
+        _require(1 <= info['scanned_files'] < info['files'], info)
         n_empty, info_empty = tbl.count_range(
             "2030-01-01", "2030-02-01", detail=True
         )
-        assert n_empty == 0 and info_empty["scanned_files"] == 0, info_empty
+        _require(n_empty == 0 and info_empty['scanned_files'] == 0, info_empty)
         n_all = tbl.count_range("2020-01-01", "2030-01-01")
         return spark.createDataFrame(
             [("all", n_all), ("empty", n_empty), ("window", n)],
@@ -1899,10 +1902,10 @@ def q_txn_atomic_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # txn 1: first half, atomic commit
         txn1 = env.begin_txn()
         env.run_statement(ins.format(lo=0, hi=mid), txn=txn1)
-        assert tbl.read().count() == 0  # staged, invisible
+        _require(tbl.read().count() == 0)
         env.commit_txn(txn1)
         committed = tbl.read().count()
-        assert committed > 0
+        _require(committed > 0)
 
         # txn 2: poison rows (same keys, wild values) — rolled back
         txn2 = env.begin_txn()
@@ -1912,15 +1915,15 @@ def q_txn_atomic_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"WHERE o_orderkey <= {_N}",
             txn=txn2,
         )
-        assert tbl.read().count() == committed  # plain readers: unchanged
+        _require(tbl.read().count() == committed)
         env.rollback_txn(txn2)
 
         # txn 3: second half; read-your-own-writes asserted mid-flight
         txn3 = env.begin_txn()
         env.run_statement(ins.format(lo=mid, hi=_N), txn=txn3)
         own = tbl.read(include_group=txn3.group.id).count()
-        assert own > committed, (own, committed)  # owner: staged + committed
-        assert tbl.read().count() == committed  # others: committed only
+        _require(own > committed, (own, committed))
+        _require(tbl.read().count() == committed)
         env.commit_txn(txn3)
 
         out = (
@@ -2016,14 +2019,14 @@ def q_copy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag = recv_exact(sock, 1)
         (ln,) = struct.unpack("!i", recv_exact(sock, 4))
         recv_exact(sock, ln - 4)
-        assert tag == b"G", tag  # CopyInResponse
+        _require(tag == b'G', tag)
         for i in range(0, len(payload), 65536):  # ack-paced TCP chunks
             d = payload[i : i + 65536]
             sock.sendall(b"d" + struct.pack("!i", len(d) + 4) + d)
         sock.sendall(b"c" + struct.pack("!i", 4))
         msgs = until_ready(sock)
         tags = [p.rstrip(b"\x00").decode() for tg, p in msgs if tg == b"C"]
-        assert tags == [f"COPY {len(rows)}"], tags
+        _require(tags == [f'COPY {len(rows)}'], tags)
         sock.sendall(b"X" + struct.pack("!i", 4))
         sock.close()
 
@@ -2035,7 +2038,7 @@ def q_copy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         # bounded chunked flushes: one staged commit per 500-row chunk of
         # whatever the sf actually supplied
-        assert len(grouped) >= max(1, len(rows) // 500), (len(rows), grouped)
+        _require(len(grouped) >= max(1, len(rows) // 500), (len(rows), grouped))
 
         out = (
             tbl.read()
@@ -2166,22 +2169,22 @@ fields:
         sock = _socket.create_connection(("127.0.0.1", srv.port), timeout=120)
         header = _json.dumps({"table": "arrow_t", "app_id": "q_arrow"}).encode()
         sock.sendall(_struct.pack("!I", len(header)) + header)
-        assert recv_exact(sock, 1) == b"W"  # resume watermark (0: fresh)
-        assert _struct.unpack("!Q", recv_exact(sock, 8))[0] == 0
+        _require(recv_exact(sock, 1) == b'W')
+        _require(_struct.unpack('!Q', recv_exact(sock, 8))[0] == 0)
         writer = ipc.new_stream(_Sink(sock), batches[0].schema)
         acks = []
         for b in batches[:-1]:
             writer.write_batch(b)
             tag = recv_exact(sock, 1)
-            assert tag == b"A", tag
+            _require(tag == b'A', tag)
             acks.append(_struct.unpack("!Q", recv_exact(sock, 8))[0])
         writer.close()
         tag = recv_exact(sock, 1)
-        assert tag == b"F", tag
+        _require(tag == b'F', tag)
         total = _struct.unpack("!Q", recv_exact(sock, 8))[0]
         sock.close()
-        assert acks == list(range(1, len(batches))), acks
-        assert total == len(rows), (total, len(rows))
+        _require(acks == list(range(1, len(batches))), acks)
+        _require(total == len(rows), (total, len(rows)))
 
         # stream 2: reconnect REPLAY — first batch again under the same
         # app_id; a whole-stream replayer declares start_seq=1, so the
@@ -2192,18 +2195,18 @@ fields:
             {"table": "arrow_t", "app_id": "q_arrow", "start_seq": 1}
         ).encode()
         sock.sendall(_struct.pack("!I", len(header2)) + header2)
-        assert recv_exact(sock, 1) == b"W"
-        assert _struct.unpack("!Q", recv_exact(sock, 8))[0] == len(batches) - 1
+        _require(recv_exact(sock, 1) == b'W')
+        _require(_struct.unpack('!Q', recv_exact(sock, 8))[0] == len(batches) - 1)
         writer = ipc.new_stream(_Sink(sock), batches[0].schema)
         writer.write_batch(batches[0])
-        assert recv_exact(sock, 1) == b"A"
+        _require(recv_exact(sock, 1) == b'A')
         recv_exact(sock, 8)
         writer.close()
         recv_exact(sock, 9)
         sock.close()
 
         n_after = tbl.read().count()
-        assert n_after == len(rows), (n_after, len(rows))  # replay skipped
+        _require(n_after == len(rows), (n_after, len(rows)))
 
         out = (
             tbl.read()

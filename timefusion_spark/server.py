@@ -25,8 +25,12 @@ Scope:
   per-column format codes honored in RowDescription and DataRow, and
   1-D array columns declare their real array OIDs. Unsupported binary
   OIDs error clearly on both directions rather than misparse.
-- Trust auth (AuthenticationOk unconditionally), matching the
-  reference's default dev posture.
+- Auth: cleartext-password startup exchange when a password is
+  configured (AuthenticationCleartextPassword → PasswordMessage, wrong
+  credentials FATAL 28P01 before any query — the reference's required
+  handler, pgwire_handlers.rs:37-54); trust otherwise. The CLI front
+  door REQUIRES a password unless --insecure-auth explicitly opts out
+  (AuthConfig::from_core fail-secure semantics).
 - SSLRequest answered with 'N' (no TLS) so clients fall back to clear.
 
 Concurrency: one OS thread per connection (socketserver.ThreadingMixIn);
@@ -358,16 +362,25 @@ def _split_copy_lines(buf: bytes, csv_mode: bool) -> tuple[list[bytes], bytes]:
 _ADMIN_VERB_RE = re.compile(
     r"(?is)^\s*(VACUUM|OPTIMIZE|FLUSH|HANDOFF|CREATE\s+INDEX|REINDEX)\b"
 )
+# the file-REWRITING subset: declined while cursors/portals hold open
+# result streams (see _check_maintenance_allowed)
+_MAINT_VERB_RE = re.compile(r"(?is)^\s*(VACUUM|OPTIMIZE)\b")
 # bare verb only, exactly like the reference's parse_handoff
 # (pgwire_handlers.rs:642-643: strip_command(query, "handoff") must leave
 # nothing — `HANDOFF now` is not it, `SELECT handoff FROM t` is not it)
 _HANDOFF_RE = re.compile(r"(?is)^\s*HANDOFF\s*;?\s*$")
 # statements the deploy fence refuses: every storage mutation (reads stay
 # fully available while fenced, exactly the reference's accepting_writes
-# admission gate)
+# admission gate). COPY … TO STDOUT is a pure READ despite the COPY verb
+# — the reference's stop_accepting_writes fails only mutations — so
+# _is_write_stmt excludes it.
 _WRITE_STMT_RE = re.compile(
     r"(?is)^\s*(INSERT|UPDATE|DELETE|CREATE|DROP|ALTER|TRUNCATE|COPY)\b"
 )
+
+
+def _is_write_stmt(stmt: str) -> bool:
+    return bool(_WRITE_STMT_RE.match(stmt)) and not _COPY_OUT_RE.match(stmt)
 _SAVEPOINT_RE = re.compile(r"(?is)^\s*SAVEPOINT\s+([A-Za-z_]\w*)\s*;?\s*$")
 _ROLLBACK_TO_RE = re.compile(
     r"(?is)^\s*ROLLBACK\s+(?:WORK\s+|TRANSACTION\s+)?TO\s+(?:SAVEPOINT\s+)?"
@@ -476,8 +489,14 @@ class _Handler(socketserver.BaseRequestHandler):
     def _send(self, tag: bytes, payload: bytes = b"") -> None:
         self.request.sendall(tag + struct.pack("!i", len(payload) + 4) + payload)
 
-    def _send_error(self, message: str, code: str = "XX000") -> None:
-        fields = b"SERROR\x00" + b"C" + code.encode() + b"\x00" + b"M" + message.encode() + b"\x00\x00"
+    def _send_error(
+        self, message: str, code: str = "XX000", severity: str = "ERROR"
+    ) -> None:
+        fields = (
+            b"S" + severity.encode() + b"\x00"
+            + b"C" + code.encode() + b"\x00"
+            + b"M" + message.encode() + b"\x00\x00"
+        )
         self._send(b"E", fields)
 
     def _ready(self) -> None:
@@ -523,6 +542,14 @@ class _Handler(socketserver.BaseRequestHandler):
         except (ConnectionError, OSError):
             pass
         finally:
+            # connection teardown releases every open cursor/portal result
+            # stream (their JVM local-iterator serving resources must not
+            # wait for GC — the same prompt-release contract as Close)
+            for entry in getattr(self, "_portals", {}).values():
+                if isinstance(entry.get("rows"), _RowStream):
+                    entry["rows"].close()
+            for cur in getattr(self, "_cursors", {}).values():
+                cur.close()
             if getattr(self, "_pid", None) is not None:
                 self.server.cancel_keys.pop((self._pid, self._secret), None)
                 self.server.activity.pop(self._pid, None)
@@ -650,6 +677,12 @@ class _Handler(socketserver.BaseRequestHandler):
             raise ValueError(f"unknown result format code in {list(rfmts)}")
         if not hasattr(self, "_portals"):
             self._portals = {}
+        # re-Bind over an existing portal implicitly closes it (PG
+        # semantics) — release its live _RowStream promptly instead of
+        # leaking the JVM local-iterator serving thread until GC
+        old = self._portals.get(portal)
+        if old is not None and isinstance(old.get("rows"), _RowStream):
+            old["rows"].close()
         # mutable cursor state: Execute with a row limit materializes the
         # result once, then drains it across successive Execute messages
         # (PortalSuspended between fetches — the JDBC setFetchSize /
@@ -732,6 +765,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 "protocol"
             )
         self._check_write_admission(sql)
+        self._check_maintenance_allowed(sql)
         if self.server.runner is not None and _is_storage_stmt(sql):
             with self._admitted_write(sql):
                 with self._statement_watchdog(), self.server.lock:
@@ -747,7 +781,7 @@ class _Handler(socketserver.BaseRequestHandler):
                     return
                 # incremental drain, NOT collect: a fetch-paged portal
                 # over a huge result must never materialize driver-side
-                entry["rows"] = _RowStream(df)
+                entry["rows"] = _RowStream(df, registry=self.server.open_streams)
             entry["fields"] = entry["rows"].fields
         stream, fields = entry["rows"], entry["fields"]
         with self._statement_watchdog():
@@ -936,6 +970,24 @@ class _Handler(socketserver.BaseRequestHandler):
         if self._txn is not None and (m := _ADMIN_VERB_RE.match(stmt)):
             verb = re.sub(r"\s+", " ", m.group(1).upper())
             raise ValueError(f"{verb} cannot run inside a transaction block")
+
+    def _check_maintenance_allowed(self, stmt: str) -> None:
+        """Decline file-rewriting maintenance while any cursor/portal holds
+        an open result stream. The lazy drains (_RowStream) pin a plan over
+        the parquet files that existed at DECLARE/Bind time; OPTIMIZE /
+        VACUUM delete superseded files, so a concurrent rewrite would fail
+        the cursor mid-FETCH — PG cursors are snapshot-stable for their
+        lifetime, so the maintenance verb yields, not the cursor."""
+        if not _MAINT_VERB_RE.match(stmt):
+            return
+        live = sum(1 for s in self.server.open_streams if not s.done)
+        if live:
+            raise ValueError(
+                f"cannot run {stmt.split(None, 1)[0].upper()} while {live} "
+                "open cursor(s)/portal(s) hold undrained result streams; "
+                "close them first (their pinned plans reference files "
+                "maintenance would rewrite)"
+            )
 
     # ── COPY FROM STDIN (bulk network ingest) ────────────────────────────
     #
@@ -1279,7 +1331,16 @@ class _Handler(socketserver.BaseRequestHandler):
                 break
             self._send_error(f"unsupported protocol code {code}", code="08P01")
             return False
-        self._send(b"R", struct.pack("!i", 0))  # AuthenticationOk (trust)
+        # startup parameters (user, database, application_name, …)
+        kv = payload[4:].split(b"\x00")
+        params = {
+            kv[i].decode("utf-8", "replace"): kv[i + 1].decode("utf-8", "replace")
+            for i in range(0, len(kv) - 1, 2)
+            if kv[i]
+        }
+        if not self._authenticate(params.get("user", "")):
+            return False
+        self._send(b"R", struct.pack("!i", 0))  # AuthenticationOk
         for k, v in (
             ("server_version", "16.0 (timefusion-spark)"),
             ("server_encoding", "UTF8"),
@@ -1320,6 +1381,43 @@ class _Handler(socketserver.BaseRequestHandler):
         self.server.spark.sparkContext.setInterruptOnCancel(True)
         self._send(b"K", struct.pack("!ii", self._pid, self._secret))
         self._ready()
+        return True
+
+    def _authenticate(self, user: str) -> bool:
+        """Cleartext-password startup exchange (the PG v3 protocol's
+        AuthenticationCleartextPassword `R`/3 → PasswordMessage `p` flow,
+        and the reference's required auth handler — pgwire_handlers.rs:
+        37-54 AuthConfig::from_core, CleartextPasswordAuthStartupHandler).
+        With no configured password the server runs trust (the embedded /
+        test posture; the CLI requires an explicit --insecure-auth opt-out
+        instead, exactly like TIMEFUSION_ALLOW_INSECURE_AUTH). Wrong or
+        missing credentials answer FATAL 28P01 before ANY query can run,
+        mirroring PG's message text."""
+        pw = getattr(self.server, "auth_password", None)
+        if pw is None:
+            return True
+        import hmac
+
+        def reject() -> bool:
+            self._send_error(
+                f'password authentication failed for user "{user}"',
+                code="28P01",
+                severity="FATAL",
+            )
+            return False
+
+        self._send(b"R", struct.pack("!i", 3))  # AuthenticationCleartextPassword
+        tag = self.request.recv(1)
+        if tag != b"p":  # client bailed or sent garbage: no auth, no session
+            return reject()
+        (length,) = struct.unpack("!i", self._recv_exact(4))
+        given = self._recv_exact(length - 4).rstrip(b"\x00").decode("utf-8", "replace")
+        expect_user = getattr(self.server, "auth_user", "postgres")
+        # constant-time compares: an open port must not leak match length
+        user_ok = hmac.compare_digest(user.encode(), expect_user.encode())
+        pass_ok = hmac.compare_digest(given.encode(), pw.encode())
+        if not (user_ok and pass_ok):
+            return reject()
         return True
 
     def _statement_watchdog(self):
@@ -1454,7 +1552,9 @@ class _Handler(socketserver.BaseRequestHandler):
                 raise ValueError(f'cursor "{name}" already exists')
             with self._statement_watchdog():
                 df = self._run(m.group("dsql"))
-                self._cursors[name] = _RowStream(df)
+                self._cursors[name] = _RowStream(
+                    df, registry=self.server.open_streams
+                )
             self._send(b"C", b"DECLARE CURSOR\x00")
             return
         if m.group("cname"):
@@ -1505,7 +1605,7 @@ class _Handler(socketserver.BaseRequestHandler):
         return _time.time() < self.server.handoff["until"]
 
     def _check_write_admission(self, stmt: str) -> None:
-        if _WRITE_STMT_RE.match(stmt) and self._write_fenced():
+        if _is_write_stmt(stmt) and self._write_fenced():
             raise ValueError(
                 "write admission is fenced for deploy handoff; "
                 "retry after the lease expires or the new process takes over"
@@ -1521,7 +1621,7 @@ class _Handler(socketserver.BaseRequestHandler):
         INSERT or a mid-stream COPY can never publish rows AFTER the
         handoff reported its drained count. Non-writes pass through
         unregistered."""
-        if not _WRITE_STMT_RE.match(stmt):
+        if not _is_write_stmt(stmt):
             yield
             return
         token = object()
@@ -1642,6 +1742,7 @@ class _Handler(socketserver.BaseRequestHandler):
                     self._run_handoff()
                     continue
                 self._check_write_admission(stmt)
+                self._check_maintenance_allowed(stmt)
                 if m := _CURSOR_RE.match(stmt):
                     self._cursor_verb(m)
                     continue
@@ -1722,12 +1823,19 @@ class _RowStream:
     `pulled` counts rows drawn from Spark — tests pin the no-full-
     materialization contract on it."""
 
-    def __init__(self, df):
+    def __init__(self, df, registry=None):
         self.fields = df.schema.fields
         self._it = df.toLocalIterator()
         self._peek = None
         self.done = False
         self.pulled = 0
+        # live-stream registry (a WeakSet on the server): while this
+        # stream is open and undrained, VACUUM/OPTIMIZE are declined —
+        # the lazily-pinned plan references parquet files a maintenance
+        # rewrite would delete mid-FETCH (PG cursors are snapshot-stable
+        # for their lifetime; see _check_maintenance_allowed)
+        if registry is not None:
+            registry.add(self)
 
     def _next(self):
         if self._peek is not None:
@@ -1801,6 +1909,13 @@ class _TCPServer(socketserver.ThreadingMixIn, socketserver.TCPServer):
         # streaming-ingest queries HANDOFF must settle
         self.open_txns: set[int] = set()
         self.streams: list = []
+        # live cursor/portal result streams (weak: drained-and-dropped
+        # streams vanish on GC) — VACUUM/OPTIMIZE are declined while any
+        # is open, since their pinned plans reference on-disk files a
+        # maintenance rewrite would delete mid-FETCH
+        import weakref
+
+        self.open_streams = weakref.WeakSet()
 
     def next_pid(self) -> int:
         with _TCPServer._pid_lock:
@@ -1982,6 +2097,11 @@ def _decode_binary_param(oid: int, raw: bytes) -> str:
     # unspecified send text format.
     if oid in (_OID_TEXT, _OID_VARCHAR, _OID_JSON):
         return raw.decode("utf-8")
+    if oid == _OID_BYTEA:
+        # binary bytea IS the bytes; text form is PG's \x-hex (byteain
+        # accepts it, and Table.coerce's binary-column path decodes it) —
+        # closes the binary COPY OUT→IN round-trip asymmetry (ADVICE r9)
+        return "\\x" + raw.hex()
     if oid in (_OID_TIMESTAMP, _OID_TIMESTAMPTZ):
         us = struct.unpack("!q", raw)[0]
         return (_PG_TS_EPOCH + dt.timedelta(microseconds=us)).isoformat(sep=" ")
@@ -2275,6 +2395,9 @@ class PgWireServer:
         arrow_port: int | None = None,
         handoff_lease_s: float = 300.0,
         handoff_drain_budget_s: float = 240.0,
+        username: str = "postgres",
+        password: str | None = None,
+        ingest_token: str | None = None,
     ):
         if runner is None and base_dir is not None:
             from timefusion_spark.slt import SltEnv
@@ -2282,6 +2405,11 @@ class PgWireServer:
             runner = SltEnv(spark, base_dir)
         self._server = _TCPServer((host, port), _Handler)
         self._server.spark = spark
+        # cleartext-password auth (pgwire_handlers.rs AuthConfig): None =
+        # trust — the embedded/test posture; the CLI front door REQUIRES a
+        # password unless --insecure-auth explicitly opts out
+        self._server.auth_user = username
+        self._server.auth_password = password
         self._server.runner = runner
         self._server.tables = runner.tables if runner is not None else tables
         self._server.lock = threading.Lock()
@@ -2310,7 +2438,37 @@ class PgWireServer:
                 port=arrow_port,
                 # the HANDOFF fence covers bulk ingest too
                 admit=lambda: not self.write_fenced,
+                # per-batch commits register as admitted writers so the
+                # HANDOFF drain waits for in-flight ingest (mirrors the
+                # pgwire _admitted_write pattern; ADVICE r9 medium)
+                writer_guard=self._arrow_writer_guard,
+                # shared-token auth, the reference's GRPC_TOKEN bearer
+                # check (main.rs:457-459)
+                token=ingest_token,
             )
+
+    @contextlib.contextmanager
+    def _arrow_writer_guard(self):
+        """Fence-check AND register one Arrow-ingest batch commit in the
+        pgwire admitted-writer registry, atomically under the pgwire lock
+        — the same check-then-register HANDOFF's fence writer uses, so a
+        batch either sees the fence (refused before commit) or is part of
+        the finite tail the drain waits for."""
+        import time as _time
+
+        from timefusion_spark.ingest_server import WriteFenced
+
+        token = object()
+        srv = self._server
+        with srv.lock:
+            if _time.time() < srv.handoff["until"]:
+                raise WriteFenced()
+            srv.open_txns.add(id(token))
+        try:
+            yield
+        finally:
+            with srv.lock:
+                srv.open_txns.discard(id(token))
 
     @property
     def port(self) -> int:
@@ -2416,7 +2574,53 @@ def main(argv: list[str] | None = None) -> int:
         help="serve the Arrow-IPC seq-acked bulk-ingest socket at this "
         "port (0 = ephemeral; omit to disable)",
     )
+    parser.add_argument(
+        "--user",
+        default=os.environ.get("PGWIRE_USER", "postgres"),
+        help="pgwire username (default postgres or $PGWIRE_USER)",
+    )
+    parser.add_argument(
+        "--password",
+        default=os.environ.get("PGWIRE_PASSWORD") or None,
+        help="pgwire cleartext password (default $PGWIRE_PASSWORD). "
+        "REQUIRED unless --insecure-auth explicitly opts into trust",
+    )
+    parser.add_argument(
+        "--ingest-token",
+        default=os.environ.get("INGEST_TOKEN") or None,
+        help="shared token the Arrow-ingest socket requires (default "
+        "$INGEST_TOKEN); required with --arrow-port unless --insecure-auth",
+    )
+    parser.add_argument(
+        "--insecure-auth",
+        action="store_true",
+        default=os.environ.get("TIMEFUSION_ALLOW_INSECURE_AUTH", "").lower()
+        == "true",
+        help="explicitly allow password-less pgwire / token-less ingest — "
+        "local dev ONLY (reference: TIMEFUSION_ALLOW_INSECURE_AUTH)",
+    )
     args = parser.parse_args(argv)
+
+    # fail-secure startup, exactly AuthConfig::from_core
+    # (pgwire_handlers.rs:47-54) and the GRPC_TOKEN gate (main.rs:457-459):
+    # an explicit opt-out is required to run open, never a silent default.
+    if not args.password and not args.insecure_auth:
+        parser.error(
+            "a pgwire password is required: set --password/$PGWIRE_PASSWORD, "
+            "or pass --insecure-auth (TIMEFUSION_ALLOW_INSECURE_AUTH=true) "
+            "to explicitly accept any client — local dev ONLY"
+        )
+    if args.arrow_port is not None and not args.ingest_token and not args.insecure_auth:
+        parser.error(
+            "--arrow-port needs --ingest-token/$INGEST_TOKEN "
+            "(or --insecure-auth to explicitly run open ingest — local dev ONLY)"
+        )
+    if args.insecure_auth and not args.password:
+        print(
+            "WARNING: pgwire accepts any client (--insecure-auth). "
+            "Acceptable for local dev ONLY; never in production.",
+            flush=True,
+        )
 
     from timefusion_spark.session import get_spark
     from timefusion_spark.slt import SltEnv
@@ -2431,6 +2635,9 @@ def main(argv: list[str] | None = None) -> int:
         port=args.port,
         metrics_port=args.metrics_port,
         arrow_port=args.arrow_port,
+        username=args.user,
+        password=args.password,
+        ingest_token=args.ingest_token,
     )
     if srv._metrics is not None:
         srv._metrics.start()

@@ -195,6 +195,7 @@ _PG_COLTYPE = {
     "text": "Utf8",
     "boolean": "Boolean",
     "bool": "Boolean",
+    "bytea": "Binary",
     "date": "Date32",
     "timestamp": 'Timestamp(Microsecond, Some("UTC"))',
     "timestamp with time zone": 'Timestamp(Microsecond, Some("UTC"))',

@@ -209,6 +209,20 @@ class Table:
                         )
                     else:
                         c = F.col(f.name).cast(target)
+                elif isinstance(target, ST.BinaryType) and isinstance(
+                    in_types.get(f.name), ST.StringType
+                ):
+                    # PG bytea text input (byteain, public semantics): the
+                    # '\x…' hex form decodes to the bytes it names — this
+                    # is what COPY text/CSV, the binder's quoted literals
+                    # and binary-COPY's decoded tuples all deliver for a
+                    # binary column. Any other string stores its utf-8
+                    # bytes (the escape-format long tail is out of scope).
+                    src_c = F.col(f.name)
+                    c = F.when(
+                        src_c.startswith("\\x"),
+                        F.unhex(src_c.substr(F.lit(3), F.length(src_c))),
+                    ).otherwise(src_c.cast(target))
                 else:
                     c = F.col(f.name).cast(target)
                 if not f.nullable and f.name != "date":
