@@ -2641,3 +2641,110 @@ class TestPasswordAuth:
             c.close()
         finally:
             srv.stop()
+
+
+class TestDeltaVerbs:
+    """DELTA HISTORY / DELTA ACTIONS / DELTA RECOVERY AUDIT — the
+    reference's read-only commit-log introspection verbs
+    (pgwire_handlers.rs:287-443 runners, 449-520 parsers), served over the
+    wire from the table's commit log with the reference's exact arg
+    grammar: HISTORY LIMIT defaults 100 bounded 1..=10000, ACTIONS /
+    RECOVERY AUDIT require `VERSION <n>`, unknown sub-verbs error with the
+    HISTORY usage line."""
+
+    def _mk(self, spark, tmp_path):
+        srv = PgWireServer(spark, base_dir=str(tmp_path / "dv_data")).start()
+        c = WireClient(srv.port)
+        c.startup()
+        c.query(
+            "CREATE TABLE dvt (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+        )
+        c.query(
+            "INSERT INTO dvt VALUES ('2026-01-01 10:00:00','a',1.0,'p1'), "
+            "('2026-01-01 10:01:00','b',2.0,'p1')"
+        )
+        c.query("INSERT INTO dvt VALUES ('2026-01-02 10:00:00','c',3.0,'p2')")
+        return srv, c
+
+    def test_history_newest_first_and_limit(self, spark, tmp_path):
+        srv, c = self._mk(spark, tmp_path)
+        try:
+            msgs = c.query("DELTA HISTORY dvt")
+            assert [n for n, _ in row_desc_of(msgs)] == [
+                "version", "timestamp_utc", "operation", "read_version",
+                "is_blind_append", "operation_parameters", "commit_info",
+            ]
+            rows = rows_of(msgs)
+            assert [r[0] for r in rows] == ["2", "1", "0"]
+            assert [r[2] for r in rows] == ["append", "append", "create"]
+            assert [r[3] for r in rows] == ["1", "0", ""]
+            assert [r[4] for r in rows] == ["true", "true", "false"]
+            assert '"rows": 2' in rows[1][5]  # footer-stats row count
+            assert len(rows_of(c.query("DELTA HISTORY dvt LIMIT 2"))) == 2
+            c.close()
+        finally:
+            srv.stop()
+
+    def test_actions_lists_every_add_and_commit_info(self, spark, tmp_path):
+        srv, c = self._mk(spark, tmp_path)
+        try:
+            msgs = c.query("DELTA ACTIONS dvt VERSION 2")
+            rows = rows_of(msgs)
+            kinds = [r[1] for r in rows]
+            assert kinds.count("add") >= 1 and kinds[-1] == "commitInfo"
+            for r in rows:
+                if r[1] == "add":
+                    assert r[2].endswith(".parquet") and int(r[3]) > 0
+            # VERSION is required, numeric, and must exist
+            for bad, frag in [
+                ("DELTA ACTIONS dvt", b"expected: DELTA ACTIONS"),
+                ("DELTA ACTIONS dvt VERSION x", b"invalid Delta version"),
+                ("DELTA ACTIONS dvt VERSION 99", b"commit not found"),
+            ]:
+                errs = [p for t, p in c.query(bad) if t == b"E"]
+                assert errs and frag in errs[0], (bad, errs)
+            c.close()
+        finally:
+            srv.stop()
+
+    def test_recovery_audit_reconstructs_removed_files(self, spark, tmp_path):
+        srv, c = self._mk(spark, tmp_path)
+        try:
+            # OPTIMIZE rewrites small files: the new tip removes the old ones
+            msgs = c.query("OPTIMIZE dvt")
+            assert not [p for t, p in msgs if t == b"E"], msgs
+            tip = srv._server.runner.tables["dvt"].log.latest_version()
+            msgs = c.query(f"DELTA RECOVERY AUDIT dvt VERSION {tip}")
+            rows = rows_of(msgs)
+            assert [n for n, _ in row_desc_of(msgs)] == [
+                "removed_by_version", "path", "size_bytes", "source_add_json",
+            ]
+            assert rows and all(r[0] == str(tip) for r in rows)
+            assert rows == sorted(rows, key=lambda r: r[1])  # path-sorted
+            for r in rows:
+                assert '"add"' in r[3] and int(r[2]) > 0
+            # a commit that removed nothing refuses the audit
+            errs = [p for t, p in c.query("DELTA RECOVERY AUDIT dvt VERSION 1") if t == b"E"]
+            assert errs and b"removed no files" in errs[0]
+            c.close()
+        finally:
+            srv.stop()
+
+    def test_grammar_errors_match_reference(self, spark, tmp_path):
+        srv, c = self._mk(spark, tmp_path)
+        try:
+            for bad, frag in [
+                ("DELTA BOGUS dvt", b"DELTA supports only"),
+                ("DELTA HISTORY", b"DELTA HISTORY requires a table"),
+                ("DELTA HISTORY dvt LIMIT 0", b"between 1 and 10000"),
+                ("DELTA HISTORY dvt LIMIT 10001", b"between 1 and 10000"),
+                ("DELTA HISTORY dvt LIMIT x", b"invalid DELTA HISTORY limit"),
+                ("DELTA HISTORY dvt LIMIT 5 extra", b"expected: DELTA HISTORY"),
+                ("DELTA RECOVERY dvt", b"DELTA RECOVERY supports only"),
+                ("DELTA HISTORY nosuch", b"unknown table"),
+            ]:
+                errs = [p for t, p in c.query(bad) if t == b"E"]
+                assert errs and frag in errs[0], (bad, errs)
+            c.close()
+        finally:
+            srv.stop()

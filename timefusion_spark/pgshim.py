@@ -1638,11 +1638,184 @@ def _apply_text_match_statement(spark, stripped: str, tables):
     return hits
 
 
+def _apply_delta_statement(spark, rest: str, tables):
+    """`DELTA HISTORY <t> [LIMIT n]` / `DELTA ACTIONS <t> VERSION n` /
+    `DELTA RECOVERY AUDIT <t> VERSION n` — the reference's read-only
+    commit-log introspection verbs (pgwire_handlers.rs:287-443 runners,
+    449-520 parsers), served here from the table's own commit log. Arg
+    grammar and bounds mirror the reference exactly: HISTORY's LIMIT
+    defaults to 100 and must be 1..=10000; ACTIONS/RECOVERY AUDIT require
+    a numeric VERSION; every result column is text (VARCHAR rows in the
+    reference). RECOVERY AUDIT reconstructs, for each file REMOVED by
+    `version`, its full pre-commit add entry from the version-1 snapshot
+    — read-only, and it FAILS unless every removal has a source."""
+    import datetime as _dt
+    import json as _json
+    import os as _os
+
+    def _tbl(verb: str, name: str):
+        t = (tables or {}).get(name)
+        if t is None or not t.log.exists():
+            raise ValueError(f"DELTA {verb}: open table '{name}': unknown table")
+        return t
+
+    def _entry(verb: str, tbl, name: str, version: int) -> dict:
+        try:
+            return tbl.log.entry(version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"DELTA {verb} '{name}' VERSION {version}: commit not found"
+            ) from None
+
+    parts = rest.split()
+    verb = parts[0].upper() if parts else ""
+    if verb == "HISTORY":
+        if len(parts) < 2:
+            raise ValueError(
+                "DELTA HISTORY requires a table: DELTA HISTORY <table> [LIMIT <n>]"
+            )
+        name = parts[1]
+        if len(parts) == 2:
+            limit = 100
+        elif len(parts) == 4 and parts[2].upper() == "LIMIT":
+            try:
+                limit = int(parts[3])
+            except ValueError:
+                raise ValueError(f"invalid DELTA HISTORY limit '{parts[3]}'") from None
+            if not 1 <= limit <= 10_000:
+                raise ValueError("DELTA HISTORY limit must be between 1 and 10000")
+        else:
+            raise ValueError("expected: DELTA HISTORY <table> [LIMIT <n>]")
+        tbl = _tbl("HISTORY", name)
+        latest = tbl.log.latest_version()
+        rows = []
+        for v in range(latest, max(latest - limit, -1), -1):
+            rec = _entry("HISTORY", tbl, name, v)
+            path = _os.path.join(tbl.log.log_dir, f"{v:08d}.json")
+            ts = _dt.datetime.fromtimestamp(
+                _os.path.getmtime(path), _dt.timezone.utc
+            ).isoformat()
+            op = rec.get("op", "")
+            params = {
+                "n_add": len(rec.get("add", [])),
+                "n_remove": len(rec.get("remove", [])),
+                **({"txn": rec["txn"]} if rec.get("txn") else {}),
+                **({"group": rec["group"]["id"]} if rec.get("group") else {}),
+            }
+            # rows written by the commit, from the add-entries' footer
+            # stats (the Delta commitInfo numOutputRows analog) — only
+            # when every added file recorded stats, so the figure is
+            # exact or absent, never an undercount
+            row_counts = [
+                (f.get("stats") or {}).get("rows") for f in rec.get("add", [])
+            ]
+            if row_counts and all(r is not None for r in row_counts):
+                params["rows"] = int(sum(row_counts))
+            rows.append((
+                str(v),
+                ts,
+                op,
+                str(v - 1) if v > 0 else "",
+                str(op == "append" and not rec.get("remove")).lower(),
+                _json.dumps(params, sort_keys=True),
+                _json.dumps(rec, sort_keys=True),
+            ))
+        return spark.createDataFrame(
+            rows,
+            "version string, timestamp_utc string, operation string, "
+            "read_version string, is_blind_append string, "
+            "operation_parameters string, commit_info string",
+        )
+    if verb == "ACTIONS":
+        if len(parts) != 4 or parts[2].upper() != "VERSION":
+            raise ValueError("expected: DELTA ACTIONS <table> VERSION <n>")
+        name = parts[1]
+        try:
+            version = int(parts[3])
+            if version < 0:
+                raise ValueError
+        except ValueError:
+            raise ValueError(f"invalid Delta version '{parts[3]}'") from None
+        tbl = _tbl("ACTIONS", name)
+        rec = _entry("ACTIONS", tbl, name, version)
+        rows = []
+        for f in rec.get("add", []):
+            rows.append((
+                str(version), "add", f["path"], str(f["size"]),
+                _json.dumps({"add": f}, sort_keys=True),
+            ))
+        for p in rec.get("remove", []):
+            rows.append((
+                str(version), "remove", p, "",
+                _json.dumps({"remove": {"path": p}}, sort_keys=True),
+            ))
+        info = {k: v for k, v in rec.items() if k not in ("add", "remove")}
+        rows.append((
+            str(version), "commitInfo", "", "", _json.dumps(info, sort_keys=True)
+        ))
+        return spark.createDataFrame(
+            rows,
+            "version string, action string, path string, size_bytes string, "
+            "action_json string",
+        )
+    if verb == "RECOVERY":
+        if len(parts) < 2 or parts[1].upper() != "AUDIT":
+            raise ValueError(
+                "DELTA RECOVERY supports only: "
+                "DELTA RECOVERY AUDIT <table> VERSION <n>"
+            )
+        if len(parts) != 5 or parts[3].upper() != "VERSION":
+            raise ValueError("expected: DELTA RECOVERY AUDIT <table> VERSION <n>")
+        name = parts[2]
+        try:
+            version = int(parts[4])
+            if version < 0:
+                raise ValueError
+        except ValueError:
+            raise ValueError(f"invalid Delta version '{parts[4]}'") from None
+        tbl = _tbl("RECOVERY AUDIT", name)
+        rec = _entry("RECOVERY AUDIT", tbl, name, version)
+        removed = set(rec.get("remove", []))
+        if not removed:
+            raise ValueError(
+                f"DELTA RECOVERY AUDIT '{name}' VERSION {version}: "
+                "commit removed no files"
+            )
+        if version == 0:
+            raise ValueError("DELTA RECOVERY AUDIT cannot inspect before version 0")
+        before = tbl.log.snapshot_at(version - 1)
+        sources = {p: before.files[p] for p in removed if p in before.files}
+        if len(sources) != len(removed):
+            raise ValueError(
+                f"DELTA RECOVERY AUDIT '{name}' VERSION {version}: "
+                f"reconstructed {len(sources)} of {len(removed)} removed files"
+            )
+        rows = []
+        for p in sorted(sources):
+            add = {"path": p, "size": sources[p]}
+            st = before.stats.get(p)
+            if st:
+                add["stats"] = st
+            rows.append((
+                str(version), p, str(sources[p]),
+                _json.dumps({"add": add}, sort_keys=True),
+            ))
+        return spark.createDataFrame(
+            rows,
+            "removed_by_version string, path string, size_bytes string, "
+            "source_add_json string",
+        )
+    raise ValueError("DELTA supports only: DELTA HISTORY <table> [LIMIT <n>]")
+
+
 def _apply_admin_statement(spark, stripped: str, tables):
     """Admin verbs the reference intercepts before planning
-    (pgwire_handlers.rs:634-640,768: FLUSH / OPTIMIZE / VACUUM).
+    (pgwire_handlers.rs:634-640,768: FLUSH / OPTIMIZE / VACUUM; 449-520
+    DELTA HISTORY / ACTIONS / RECOVERY AUDIT).
     `tables` maps table name → storage Table. Returns a result DataFrame
     or None when not an admin statement."""
+    if m := re.match(r"(?is)^DELTA\s+(.+)$", stripped):
+        return _apply_delta_statement(spark, m.group(1).strip(), tables)
     if re.match(r"(?i)^FLUSH$", stripped):
         # Batch appends commit synchronously and streaming ingest is
         # driven by its own trigger — FLUSH is complete by definition

@@ -171,6 +171,86 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
+
+def _q_delta_history_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.pgshim import pg_sql
+
+    tbl, base_dir = _build_mor_table(spark, sf_dir)
+    try:
+        tables = {"mor_versioned": tbl}
+        hist = pg_sql(spark, "DELTA HISTORY mor_versioned", tables=tables)
+        out = (
+            hist.select(
+                F.col("version").cast("int").alias("version"),
+                "operation",
+                "read_version",
+                "is_blind_append",
+                F.coalesce(
+                    F.get_json_object("operation_parameters", "$.rows").cast(
+                        "bigint"
+                    ),
+                    F.lit(0),
+                ).alias("rows_added"),
+            )
+            .orderBy(F.desc("version"))
+            .localCheckpoint(eager=True)
+        )
+        # cross-verb consistency pins: ACTIONS of the base append lists
+        # exactly the files HISTORY's n_add reported, and RECOVERY AUDIT
+        # correctly refuses a commit that removed nothing
+        acts = pg_sql(
+            spark, "DELTA ACTIONS mor_versioned VERSION 1", tables=tables
+        ).collect()
+        n_add = sum(1 for r in acts if r.action == "add")
+        import json as _json
+
+        hist_n_add = _json.loads(
+            hist.where(F.col("version") == "1").collect()[0].operation_parameters
+        )["n_add"]
+        _require(n_add == hist_n_add and n_add > 0, (n_add, hist_n_add))
+        _require(any(r.action == "commitInfo" for r in acts))
+        try:
+            pg_sql(
+                spark,
+                "DELTA RECOVERY AUDIT mor_versioned VERSION 1",
+                tables=tables,
+            )
+            raise RuntimeError("RECOVERY AUDIT must refuse a remove-free commit")
+        except ValueError as e:
+            _require("removed no files" in str(e), str(e))
+        return out
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+query(
+    "q_delta_history",
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= {_N})
+    SELECT * FROM (
+      SELECT 3 AS version, 'append' AS operation, '2' AS read_version,
+             'true' AS is_blind_append,
+             CAST((SELECT COUNT(*) FROM base WHERE k % 7 = 0) AS BIGINT) AS rows_added
+      UNION ALL
+      SELECT 2, 'append', '1', 'true',
+             CAST((SELECT COUNT(*) FROM base WHERE k % 10 = 0) AS BIGINT)
+      UNION ALL
+      SELECT 1, 'append', '0', 'true',
+             CAST((SELECT COUNT(*) FROM base) AS BIGINT)
+      UNION ALL
+      SELECT 0, 'create', '', 'false', CAST(0 AS BIGINT)
+    ) ORDER BY version DESC
+    """,
+    doc="DELTA HISTORY / ACTIONS / RECOVERY AUDIT — the reference's "
+    "read-only commit-log introspection verbs (pgwire_handlers.rs:287-443, "
+    "parsers 449-520) served from the commit log: the MOR lifecycle's four "
+    "commits (create, base append, UPDATE version-append, DELETE "
+    "tombstones) come back newest-first with per-commit row counts from "
+    "the add-entries' footer stats; in-query pins prove ACTIONS lists "
+    "exactly HISTORY's n_add files and RECOVERY AUDIT refuses a "
+    "remove-free commit.",
+)(_q_delta_history_impl)
+
 @query(
     "q_mor_keep_first",
     oracle=f"""

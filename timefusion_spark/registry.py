@@ -132,7 +132,6 @@ PRIORITY: tuple[str, ...] = (
     # (multi-round certified, unchanged).
     "q_streaming_dedup_online",
     "q_time_travel",
-    "q_table_changes",
     # round 9 rotations (ADVICE r8 #2: changed/new queries belong in the
     # gate window). Changed THIS round: the PQ/ADC pipeline (joint-Lloyd
     # fit, hoisted-literal + Arrow encode, checkpointed codes), the LSH
@@ -161,6 +160,12 @@ PRIORITY: tuple[str, ...] = (
     # ADC tables — fresh composition code path). Rotated out:
     # q_hypertable_rollup (multi-round certified, unchanged).
     "q_ann_ivfpq",
+    # new round 10: DELTA HISTORY/ACTIONS/RECOVERY AUDIT commit-log
+    # introspection verbs (fresh pgshim code path over the commit log).
+    # Rotated out: q_table_changes (multi-round certified, unchanged —
+    # and the new q_delta_history exercises the same commit-log records
+    # from the introspection side).
+    "q_delta_history",
 )
 
 
