@@ -1890,11 +1890,19 @@ class TestTextMatchIndexOverSql:
             c.query("SELECT count(*) AS n FROM raw_t WHERE label LIKE 'alpha beta'")
         ) == scan_eq
         assert pgshim.TEXT_INDEX_SERVED == srv_like + 1
-        # …but a wildcard LIKE does NOT (raw cannot serve substring)
+        # …prefix-LIKE ALSO routes on raw since round 10 — the term-range
+        # startswith probe (tantivy_rewriter.rs:33: 'pre%' serves on every
+        # tokenizer) — with the scan-identical answer…
         assert rows_of(
             c.query("SELECT count(*) AS n FROM raw_t WHERE label LIKE 'alpha%'")
         ) == [["2"]]
-        assert pgshim.TEXT_INDEX_SERVED == srv_like + 1
+        assert pgshim.TEXT_INDEX_SERVED == srv_like + 2
+        # …but a SUFFIX wildcard does NOT (no term form on a whole-value
+        # index): scan path, same answer
+        assert rows_of(
+            c.query("SELECT count(*) AS n FROM raw_t WHERE label LIKE '%beta'")
+        ) == [["2"]]
+        assert pgshim.TEXT_INDEX_SERVED == srv_like + 2
         served1 = pgshim.TEXT_INDEX_SERVED
         # substring probe: the raw index DECLINES — scan path, same answer
         assert rows_of(c.query(sub)) == scan_sub

@@ -113,6 +113,80 @@ def raw_term_search(
     return docs.join(ids, id_col, "left_semi").where(F.col(text_col) == F.lit(term))
 
 
+def raw_prefix_search(
+    docs: DataFrame,
+    index: DataFrame,
+    prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents with text_col LIKE 'prefix%', served from a raw-term
+    sidecar: the whole-value terms are scanned with a startswith probe
+    (the tantivy term-range analog — tantivy_rewriter.rs:33 routes
+    prefix-LIKE on every tokenizer; a raw term dictionary serves it as a
+    range scan). No bucket pruning is possible — gbucket hashes the WHOLE
+    value — but the index is (id, term) only, far narrower than the
+    corpus scan it replaces. The LIKE predicate re-applies (additive
+    contract: byte-identical to the scan path)."""
+    ids = (
+        index.where(F.col("gram").startswith(prefix))
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(ids, id_col, "left_semi").where(
+        F.col(text_col).startswith(prefix)
+    )
+
+
+def trigram_literal_candidates(
+    index: DataFrame, literal: str, id_col: str = "doc_id"
+) -> DataFrame | None:
+    """Candidate ids whose text contains ALL trigrams of lower(literal)
+    — the pg_trgm pruning primitive behind LIKE/ILIKE serving
+    (tantivy_rewriter.rs:33-40: prefix/substring/suffix shapes route via
+    ngram). Unlike trigram_search's per-token probes, the literal is
+    taken VERBATIM (a LIKE chunk may contain spaces, and the index holds
+    space-crossing grams because _gram_expr slides over the whole
+    string). Returns None when the literal is too short to produce a
+    full trigram (NGRAM_MIN_QUERY_LEN analog) — the caller declines."""
+    lowered = literal.lower()
+    grams = sorted({lowered[i : i + 3] for i in range(len(lowered) - 2)})
+    if not grams:
+        return None
+    probe = index.where(F.col("gram").isin(grams))
+    if "gbucket" in index.columns:
+        bucket_pred = None
+        for g in grams:
+            eq = F.col("gbucket") == gram_bucket(F.lit(g))
+            bucket_pred = eq if bucket_pred is None else (bucket_pred | eq)
+        probe = probe.where(bucket_pred)
+    return (
+        probe.groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("_ng"))
+        .where(F.col("_ng") == len(grams))
+        .select(id_col)
+    )
+
+
+def trigram_like_search(
+    docs: DataFrame,
+    index: DataFrame,
+    literal: str,
+    predicate: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",  # noqa: ARG001 — signature parity with the peers
+) -> DataFrame:
+    """Documents satisfying a LIKE/ILIKE `predicate` whose pattern
+    contains the plain chunk `literal`, candidate-pruned by the trigram
+    sidecar. The index is lowercase, so candidates over-select across
+    case for case-sensitive LIKE — harmless, the exact predicate
+    re-applies (additive contract). Caller guarantees len(literal) >= 3
+    via trigram_literal_candidates' None return."""
+    cand = trigram_literal_candidates(index, literal, id_col=id_col)
+    pruned = docs if cand is None else docs.join(cand, id_col, "left_semi")
+    return pruned.where(predicate)
+
+
 def query_trigrams(token: str) -> list[str]:
     return [token[i : i + 3] for i in range(len(token) - 2)]
 

@@ -1566,72 +1566,188 @@ def _apply_count_statement(spark, stripped: str, tables):
     return spark.createDataFrame([(n,)], f"{alias or 'count'} bigint")
 
 
-_TEXT_MATCH_Q_RE = re.compile(
+# `SELECT COUNT(*)|* FROM t WHERE <predicates>` — the routable statement
+# envelope; the WHERE splits into top-level AND conjuncts and the FIRST
+# index-servable conjunct routes (tantivy_rewriter.rs rewrites one
+# predicate per indexed column inside arbitrary conjunctions)
+_TEXT_Q_RE = re.compile(
     r"(?is)^SELECT\s+(COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?|\*)\s+FROM\s+"
-    r"([A-Za-z_]\w*)\s+WHERE\s+text_match\(\s*([A-Za-z_]\w*)\s*,\s*'([^']*)'\s*\)$"
+    r"([A-Za-z_]\w*)\s+WHERE\s+(.+)$"
 )
-# col = 'literal' / col LIKE 'literal' (NO wildcards — exact-term LIKE)
-# over one table — the shapes a raw-tokenizer index serves
-# (tantivy_rewriter.rs:32-34 route_equality: `raw` serves term equality
-# and exact LIKE; the ngram3/default tokenizers leave `=` to bloom/stats)
-_EQ_TERM_Q_RE = re.compile(
-    r"(?is)^SELECT\s+(COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?|\*)\s+FROM\s+"
-    r"([A-Za-z_]\w*)\s+WHERE\s+([A-Za-z_]\w*)\s*"
-    # no %/_ (wildcards) and no backslash (PG's default LIKE escape):
-    # only then is LIKE 'lit' exactly term equality
-    r"(?:=|\bLIKE\b)\s*'([^'%_\\]*)'$"
+_TM_PRED_RE = re.compile(
+    r"(?is)^text_match\(\s*([A-Za-z_]\w*)\s*,\s*'([^']*)'\s*\)$"
+)
+_EQ_PRED_RE = re.compile(r"(?is)^([A-Za-z_]\w*)\s*=\s*'([^']*)'$")
+_LIKE_PRED_RE = re.compile(
+    r"(?is)^([A-Za-z_]\w*)\s+(NOT\s+)?(I?LIKE)\s+'([^']*)'$"
 )
 
+
+def _classify_like(pattern: str) -> tuple[str, str] | None:
+    """Classify a LIKE/ILIKE pattern into the shapes the routing table
+    serves (tantivy_rewriter.rs:29-48 + classify_like_pattern):
+    ('exact'|'prefix'|'suffix'|'substring', literal_chunk), or None to
+    DECLINE — backslash (PG's default escape), `_` (no tantivy
+    primitive), empty chunks, and multi-chunk patterns like 'a%b' all
+    fall back to the scan path (correctness preserved by the original
+    predicate; these return None, never a wrong route)."""
+    if "\\" in pattern or "_" in pattern:
+        return None
+    lead, trail = pattern.startswith("%"), pattern.endswith("%")
+    core = pattern.strip("%")
+    if not core or "%" in core:
+        return None
+    if lead and trail:
+        return ("substring", core)
+    if trail:
+        return ("prefix", core)
+    if lead:
+        return ("suffix", core)
+    return ("exact", core)
+
+
 # Observability for tests: bumped each time a statement is served from a
-# trigram sidecar instead of the scan path.
+# text-index sidecar instead of the scan path.
 TEXT_INDEX_SERVED = 0
 
 
-def _apply_text_match_statement(spark, stripped: str, tables):
-    """text_match predicate served index-first when a FRESH trigram
-    sidecar exists for the scanned column — the TantivyPredicateRewriter
-    analog (tantivy_rewriter.rs:23-26: the index is an additive AND
-    prefilter, the original predicate ALWAYS re-applies, so the answer is
-    byte-identical to the scan path). Supported shapes: `SELECT COUNT(*)`
-    and `SELECT *` over one table with the lone text_match predicate —
-    anything else plans normally through the registered text_match SQL
-    function (the correctness fallback, udf.rs:1-60). A missing or STALE
-    sidecar (base table advanced past the build version) declines: the
-    index may only over-select, never miss a newer row."""
+def _route_text_pred(tbl, conj: str):
+    """Try to serve ONE conjunct from a fresh text-index sidecar.
+    Returns the candidate-pruned, predicate-reapplied DataFrame, or None
+    to decline. The routing table is the reference's
+    (tantivy_rewriter.rs:29-48), by the TARGET COLUMN's tokenizer:
+
+      shape            | raw                  | ngram3
+      -----------------|----------------------|---------------------------
+      text_match(c,'q')| decline              | trigram AND-of-tokens
+      c = 'lit'        | term probe           | decline (bloom/stats)
+      c LIKE 'lit'     | term probe           | grams of lit (>=3 chars)
+      c LIKE 'pre%'    | term-range startswith| grams of pre (>=3 chars)
+      c LIKE '%suf'    | decline              | grams of suf (>=3 chars)
+      c LIKE '%mid%'   | decline              | grams of mid (>=3 chars)
+      c ILIKE <any>    | decline              | lowercased grams, >=3 chars
+      c NOT LIKE ...   | decline              | decline (negation has no
+                                                term form)
+
+    Every route re-applies the ORIGINAL predicate over the pruned rows
+    (additive contract, tantivy_rewriter.rs invariant #1), so the answer
+    is byte-identical to the scan path even with a stale-over-selecting
+    or lowercase-folded index."""
     from timefusion_spark.storage.maintenance import text_index_for
 
-    m = _TEXT_MATCH_Q_RE.match(stripped)
-    eq = None if m else _EQ_TERM_Q_RE.match(stripped)
-    if not m and not eq:
-        return None
-    proj, alias, name, col, q = (m or eq).groups()
-    tbl = (tables or {}).get(name)
-    if tbl is None:
+    from pyspark.sql import functions as F  # noqa: PLC0415 — local by style
+
+    kind = None
+    if m := _TM_PRED_RE.match(conj):
+        col, arg = m.groups()
+        kind = "text_match"
+    elif m := _EQ_PRED_RE.match(conj):
+        col, arg = m.groups()
+        kind = "eq"
+    elif m := _LIKE_PRED_RE.match(conj):
+        col, neg, op, arg = m.groups()
+        if neg:
+            return None  # negation has no term form
+        kind = op.lower()
+    else:
         return None
     found = text_index_for(tbl, col)
     if found is None:
         return None
     sidecar, meta = found
     tokenizer = meta.get("tokenizer", "ngram3")
-    from timefusion_spark.operators.text_index import raw_term_search, trigram_search
+    id_col = meta["id_col"]
+    from timefusion_spark.operators.text_index import (
+        raw_prefix_search,
+        raw_term_search,
+        trigram_like_search,
+        trigram_literal_candidates,
+        trigram_search,
+    )
 
-    # per-field tokenizer ROUTING (tantivy_rewriter.rs:29-48): a raw index
-    # serves only exact-term equality and DECLINES substring probes; the
-    # ngram3 index serves substring text_match and leaves `=` to the scan
-    if m is not None:
+    docs, index = tbl.read(), sidecar.read()
+    if kind == "text_match":
         if tokenizer != "ngram3":
             return None  # raw field: substring probe → scan path
-        hits = trigram_search(
-            tbl.read(), sidecar.read(), q, id_col=meta["id_col"], text_col=col
-        )
-    else:
+        return trigram_search(docs, index, arg, id_col=id_col, text_col=col)
+    if kind == "eq":
         if tokenizer != "raw":
-            return None  # ngram3 field: equality → normal planning
-        hits = raw_term_search(
-            tbl.read(), sidecar.read(), q, id_col=meta["id_col"], text_col=col
-        )
+            return None  # ngram3 field: equality → bloom/stats planning
+        return raw_term_search(docs, index, arg, id_col=id_col, text_col=col)
+    shape = _classify_like(arg)
+    if shape is None:
+        return None
+    what, lit = shape
+    if tokenizer == "raw":
+        if kind != "like":  # ILIKE needs case folding a raw term lacks
+            return None
+        if what == "exact":
+            return raw_term_search(docs, index, lit, id_col=id_col, text_col=col)
+        if what == "prefix":
+            return raw_prefix_search(docs, index, lit, id_col=id_col, text_col=col)
+        return None  # %suf / %mid%: no term form on a whole-value index
+    # ngram3: every shape serves via grams of the literal chunk when a
+    # full trigram exists (NGRAM_MIN_QUERY_LEN analog)
+    if trigram_literal_candidates(index, lit, id_col=id_col) is None:
+        return None
+    pred = (
+        F.col(col).like(arg) if kind == "like" else F.col(col).ilike(arg)
+    )
+    return trigram_like_search(
+        docs, index, lit, pred, id_col=id_col, text_col=col
+    )
+
+
+def _apply_text_match_statement(spark, stripped: str, tables):
+    """Index-first serving of text predicates when a FRESH sidecar exists
+    for the probed column — the TantivyPredicateRewriter analog
+    (tantivy_rewriter.rs:23-26: the index is an additive AND prefilter,
+    the original predicate ALWAYS re-applies, so the answer is
+    byte-identical to the scan path). Statement envelope: `SELECT
+    COUNT(*)` or `SELECT *` over one table; the WHERE splits into
+    top-level AND conjuncts, the FIRST index-servable conjunct routes
+    (see _route_text_pred's tokenizer table) and the REMAINING conjuncts
+    re-apply over the pruned rows through normal shim planning — so
+    `WHERE project_id='p1' AND body LIKE '%needle%'` is served
+    index-first too (VERDICT r9 wrong-#3). Anything unroutable plans
+    normally through the registered text_match SQL function (the
+    correctness fallback, udf.rs:1-60). A missing or STALE sidecar (base
+    table advanced past the build version) declines: the index may only
+    over-select, never miss a newer row."""
+    m = _TEXT_Q_RE.match(stripped)
+    if not m:
+        return None
+    proj, alias, name, where = m.groups()
+    tbl = (tables or {}).get(name)
+    if tbl is None:
+        return None
+    from timefusion_spark import slt as _slt
+
+    conjs = [c.strip() for c in _slt._split_top(where, "AND") if c.strip()]
+    hits = None
+    rest: list[str] = []
+    for conj in conjs:
+        if hits is None:
+            routed = _route_text_pred(tbl, conj)
+            if routed is not None:
+                hits = routed
+                continue
+        rest.append(conj)
+    if hits is None:
+        return None
     global TEXT_INDEX_SERVED
     TEXT_INDEX_SERVED += 1
+    if rest:
+        # remaining conjuncts re-apply through the full shim dialect over
+        # the pruned frame (::casts, = ANY, regex operators, … all keep
+        # working); the routed conjunct is already enforced by the search
+        view = f"__tf_textroute_{name}"
+        hits.createOrReplaceTempView(view)
+        hits = spark.sql(
+            pg_to_spark_sql(
+                f"SELECT * FROM {view} WHERE {' AND '.join(rest)}", spark
+            )
+        )
     if proj.upper().startswith("COUNT"):
         n = hits.count()
         return spark.createDataFrame([(n,)], f"{alias or 'count'} bigint")

@@ -424,3 +424,102 @@ def q_text_search_raw_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_text_search_prefix",
+    oracle="""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       WHERE text LIKE 'batch window%') AS n_prefix,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       WHERE text ILIKE '%MERGE batch%') AS n_ilike,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       WHERE text LIKE '%window') AS n_suffix,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       WHERE lang = 'en' AND text LIKE '%merge window%') AS n_compound
+    """,
+    doc="Prefix/ILIKE/suffix LIKE shapes and compound-AND predicates "
+    "served from the trigram sidecar under plain SQL — the rest of the "
+    "reference's per-tokenizer routing table (tantivy_rewriter.rs:29-48: "
+    "`LIKE 'pre%'` routes on every tokenizer, ILIKE and '%suf' via ngram; "
+    "one routed conjunct + the remaining conjuncts as post-filter). "
+    "In-query raises pin that each shape was served index-first, that a "
+    "sub-trigram pattern DECLINES to the scan path, and that every "
+    "indexed answer equals its scan twin; the oracle reproduces all four "
+    "counts in closed form.",
+)
+def q_text_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import timefusion_spark.pgshim as pgshim
+    from timefusion_spark.pgshim import pg_sql
+    from timefusion_spark.slt import SltEnv
+
+    base_dir = tempfile.mkdtemp(prefix="tf_textpfx_")
+    try:
+        env = SltEnv(spark, base_dir)
+        env.run_statement(
+            "CREATE TABLE docs_pfx (ts TIMESTAMP, doc_id BIGINT, content TEXT, "
+            "lang TEXT, project_id TEXT)"
+        )
+        t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_pfx_src")
+        env.run_statement(
+            "INSERT INTO docs_pfx SELECT timestamp '2026-03-01 00:00:00', "
+            "doc_id, text, lang, 'p1' FROM __docs_pfx_src"
+        )
+        pg_sql(
+            spark,
+            "CREATE INDEX ON docs_pfx (content) WITH (key = 'doc_id')",
+            tables=env.tables,
+        ).collect()
+
+        def served(q: str) -> int:
+            before = pgshim.TEXT_INDEX_SERVED
+            n = pg_sql(spark, q, tables=env.tables).collect()[0][0]
+            if pgshim.TEXT_INDEX_SERVED != before + 1:
+                raise RuntimeError(f"expected index-first serving for {q!r}")
+            return int(n)
+
+        n_prefix = served(
+            "SELECT count(*) AS n FROM docs_pfx WHERE content LIKE 'batch window%'"
+        )
+        n_ilike = served(
+            "SELECT count(*) AS n FROM docs_pfx WHERE content ILIKE '%MERGE batch%'"
+        )
+        n_suffix = served(
+            "SELECT count(*) AS n FROM docs_pfx WHERE content LIKE '%window'"
+        )
+        n_compound = served(
+            "SELECT count(*) AS n FROM docs_pfx "
+            "WHERE lang = 'en' AND content LIKE '%merge window%'"
+        )
+        # sub-trigram pattern: DECLINES (no full gram) — scan path, flat
+        # counter, identical answer
+        before = pgshim.TEXT_INDEX_SERVED
+        n_short = pg_sql(
+            spark,
+            "SELECT count(*) AS n FROM docs_pfx WHERE content LIKE '%xy%'",
+            tables=env.tables,
+        ).collect()[0][0]
+        if pgshim.TEXT_INDEX_SERVED != before:
+            raise RuntimeError("sub-trigram LIKE must decline to the scan path")
+        # scan identity for every routed shape
+        for q, n in (
+            ("content LIKE 'batch window%'", n_prefix),
+            ("content ILIKE '%MERGE batch%'", n_ilike),
+            ("content LIKE '%window'", n_suffix),
+            ("lang = 'en' AND content LIKE '%merge window%'", n_compound),
+            ("content LIKE '%xy%'", n_short),
+        ):
+            scan = spark.sql(f"SELECT count(*) FROM docs_pfx WHERE {q}").collect()[0][0]
+            _require(n == scan, (q, n, scan))
+        _require(min(n_prefix, n_ilike, n_suffix, n_compound) > 0)
+        out = spark.createDataFrame(
+            [(n_prefix, n_ilike, n_suffix, n_compound)],
+            "n_prefix bigint, n_ilike bigint, n_suffix bigint, n_compound bigint",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

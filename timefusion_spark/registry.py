@@ -150,7 +150,6 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     "q_funnel_analysis",
-    "q_decontamination_bloom",
     "q_trace_path_recursive_sql",
     # new round 9: per-field tokenizer routing under plain SQL (raw-term
     # index serves equality, declines substring). Rotated out:
@@ -166,6 +165,11 @@ PRIORITY: tuple[str, ...] = (
     # and the new q_delta_history exercises the same commit-log records
     # from the introspection side).
     "q_delta_history",
+    # new round 10: prefix/ILIKE/suffix LIKE routing + compound-AND
+    # post-filtering through the text-index sidecars (fresh pgshim
+    # routing code path, tantivy_rewriter.rs:29-48 full table). Rotated
+    # out: q_decontamination_bloom (gate-certified r8-r9, unchanged).
+    "q_text_search_prefix",
 )
 
 
