@@ -394,6 +394,103 @@ def _translate_variant_compare(toks: list[str]) -> list[str]:
     return out
 
 
+def _parse_pg_array_literal(s: str):
+    """Parse a PG array literal ('{…}' contents, already unquoted) into
+    nested lists of str | None — the array_in grammar (public PG syntax):
+    `{}` nesting for multi-dimensional values, `"…"` quoting with
+    backslash escapes, unquoted elements ending at `,`/`}` with the bare
+    word NULL meaning SQL NULL. Raises ValueError on malformed input (PG
+    errors there too)."""
+    pos = 0
+    n = len(s)
+
+    def skip_ws() -> None:
+        nonlocal pos
+        while pos < n and s[pos].isspace():
+            pos += 1
+
+    def parse_array():
+        nonlocal pos
+        if pos >= n or s[pos] != "{":
+            raise ValueError(f"malformed array literal: {s!r}")
+        pos += 1
+        items: list = []
+        skip_ws()
+        if pos < n and s[pos] == "}":
+            pos += 1
+            return items
+        while True:
+            skip_ws()
+            if pos >= n:
+                raise ValueError(f"malformed array literal: {s!r}")
+            if s[pos] == "{":
+                items.append(parse_array())
+            elif s[pos] == '"':
+                pos += 1
+                buf: list[str] = []
+                while pos < n and s[pos] != '"':
+                    if s[pos] == "\\" and pos + 1 < n:
+                        pos += 1
+                    buf.append(s[pos])
+                    pos += 1
+                if pos >= n:
+                    raise ValueError(f"unterminated quote in array literal: {s!r}")
+                pos += 1
+                items.append("".join(buf))
+            else:
+                start = pos
+                while pos < n and s[pos] not in ",}":
+                    pos += 1
+                raw = s[start:pos].strip()
+                items.append(None if raw.upper() == "NULL" else raw)
+            skip_ws()
+            if pos < n and s[pos] == ",":
+                pos += 1
+                continue
+            if pos < n and s[pos] == "}":
+                pos += 1
+                return items
+            raise ValueError(f"malformed array literal: {s!r}")
+
+    out = parse_array()
+    skip_ws()
+    if pos != n:
+        raise ValueError(f"trailing garbage in array literal: {s!r}")
+    return out
+
+
+def _pg_array_literal_sql(literal: str, spark_type: str) -> str:
+    """Render a PG array literal as a Spark array(...) expression.
+    1-D literals keep the bare `array(...)` form (Spark's element
+    coercion types them, and downstream rewrites like `= ANY` pattern-
+    match on it); multi-dimensional literals — which PG's cast accepts
+    at any depth, the value carries the dims — render CAST-wrapped so
+    `'{{1,2},{3,4}}'::int[]` becomes
+    `CAST(array(array(1, 2), array(3, 4)) AS ARRAY<ARRAY<INT>>)`."""
+    parsed = _parse_pg_array_literal(literal)
+
+    def depth_of(node, d: int = 1) -> int:
+        for x in node:
+            if isinstance(x, list):
+                return depth_of(x, d + 1)
+        return d
+
+    def render(node) -> str:
+        if isinstance(node, list):
+            return "array(" + ", ".join(render(x) for x in node) + ")"
+        if node is None:
+            return "NULL"
+        if re.fullmatch(r"-?\d+(\.\d+)?", node):
+            return node
+        return "'" + node.replace("'", "''") + "'"
+
+    d = depth_of(parsed)
+    if d == 1:
+        return render(parsed)
+    typed = "ARRAY<" * d + spark_type + ">" * d
+    return f"CAST({render(parsed)} AS {typed})"
+
+
 def _translate_casts(toks: list[str]) -> list[str]:
     out: list[str] = []
     i = 0
@@ -429,16 +526,11 @@ def _translate_casts(toks: list[str]) -> list[str]:
                     spark_type = PG_TYPE_MAP[pg_type]
                     del out[lstart:]
                     if is_array and base.startswith("'"):
-                        elems = [
-                            e.strip()
-                            for e in _strip_quotes(base).strip().strip("{}").split(",")
-                            if e.strip()
-                        ]
-                        rendered = ", ".join(
-                            e if re.fullmatch(r"-?\d+(\.\d+)?", e) else "'" + e.replace("'", "''") + "'"
-                            for e in elems
+                        out.append(
+                            _pg_array_literal_sql(
+                                _strip_quotes(base).strip(), spark_type
+                            )
                         )
-                        out.append(f"array({rendered})")
                     elif pg_type in ("json", "jsonb") and not is_array:
                         out.append(base)  # JSON columns are strings already
                     elif is_array:
