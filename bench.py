@@ -71,7 +71,120 @@ HEADLINE = [
     # round 9: PQ/ADC after the joint-Lloyd fit + hoisted-literal encode
     # rework (was ~46s at sf0.1 — worth tracking now that it's bench-fast)
     "q_ann_pq_adc",
+    # round 10: prefix/ILIKE/compound routing through the text sidecars
+    "q_text_search_prefix",
 ]
+
+
+# Control queries: multi-round-unchanged shapes used to factor box speed
+# out of round-over-round comparisons (VERDICT r9 wrong-#2: r9's headline
+# moved ±30% purely with box state). The gate measures them FIRST and
+# compares against the median of prior rounds' recorded values; >15%
+# deviation retries after a cool-down, and a still-deviating box is
+# flagged in the emitted line instead of silently recorded.
+CONTROLS = ("q1_pricing_summary", "q_dashboard_count_window", "q13_customer_distribution")
+CONTROL_BAND_PCT = 15.0
+CONTROL_RETRIES = 3
+
+
+def _box_fingerprint() -> dict:
+    """Load average + concurrent-JVM count + cpus at bench start — the
+    box-state stamp that makes a recorded artifact adjudicable (an idle
+    box shows load < ~1 and exactly the bench's own JVM)."""
+    la1, la5, la15 = os.getloadavg()
+    n_java = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        n_java += 1
+            except OSError:
+                continue
+    except OSError:
+        n_java = -1
+    return {
+        "loadavg": [round(la1, 2), round(la5, 2), round(la15, 2)],
+        "concurrent_jvms": n_java,
+        "cpus": os.cpu_count(),
+    }
+
+
+def _prior_control_anchor(sf: float) -> dict[str, float]:
+    """Median of each control query's recorded value across prior rounds'
+    BENCH_r*.json AT THE SAME SCALE FACTOR (the cross-round anchor is
+    robust to one contaminated round — r9's own recording was box-noise;
+    a dev run at another sf gets no anchor rather than a wrong one)."""
+    import glob as _glob
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    vals: dict[str, list[float]] = {c: [] for c in CONTROLS}
+    for p in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as fh:
+                rec = json.load(fh)
+            parsed = rec.get("parsed") or rec
+            if abs(float(parsed.get("sf", rec.get("sf", -1))) - sf) > 1e-9:
+                continue
+            qs = parsed.get("queries") or {}
+        except (OSError, ValueError, TypeError, AttributeError):
+            continue
+        for c in CONTROLS:
+            v = qs.get(c)
+            if isinstance(v, (int, float)) and v > 0:
+                vals[c].append(float(v))
+    return {c: statistics.median(v) for c, v in vals.items() if v}
+
+
+def _control_gate(spark, sf_dir: str, qs, sf: float) -> dict:
+    """Measure the control queries against the cross-round anchor; retry
+    with a cool-down while any deviates more than CONTROL_BAND_PCT. The
+    result (per-control measured/anchor/delta + ok flag) is recorded in
+    BENCH_NOTES and summarized in the emitted line — a non-comparable box
+    is FLAGGED, never silently recorded."""
+    import time as _t
+
+    anchor = _prior_control_anchor(sf)
+    result: dict = {"anchor": anchor, "ok": True, "attempts": 0}
+    if not anchor:
+        return result
+    for attempt in range(1, CONTROL_RETRIES + 1):
+        result["attempts"] = attempt
+        measured: dict[str, float] = {}
+        deltas: dict[str, float] = {}
+        for name in CONTROLS:
+            fn = qs.get(name)
+            if fn is None or name not in anchor:
+                continue
+            fn(spark, sf_dir).collect()  # warm
+            best = min(
+                _timed(lambda f=fn: f(spark, sf_dir).collect()) for _ in range(2)
+            )
+            measured[name] = round(best, 4)
+            deltas[name] = round(100.0 * (best - anchor[name]) / anchor[name], 1)
+        result["measured"] = measured
+        result["delta_pct"] = deltas
+        worst = max((abs(d) for d in deltas.values()), default=0.0)
+        result["ok"] = worst <= CONTROL_BAND_PCT
+        print(
+            f"bench controls attempt {attempt}: "
+            + ", ".join(f"{k} {deltas[k]:+.1f}%" for k in deltas)
+            + (" [within band]" if result["ok"] else " [OUT OF BAND]"),
+            file=sys.stderr,
+        )
+        if result["ok"] or attempt == CONTROL_RETRIES:
+            return result
+        _t.sleep(15)  # cool-down: let a transient co-tenant drain
+    return result
+
+
+def _timed(thunk) -> float:
+    t0 = time.perf_counter()
+    thunk()
+    return time.perf_counter() - t0
 
 
 def _settle(raws: list[float], run_once) -> float:
@@ -110,6 +223,19 @@ def main() -> int:
     for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         name = os.path.basename(p).removesuffix(".parquet")
         t(spark, sf_dir, name).selectExpr("count(1)").collect()
+
+    # Box-state discipline (VERDICT r9 wrong-#2): stamp the box, then gate
+    # on the untouched control queries vs the cross-round anchor — a
+    # deviating box retries after a cool-down and is FLAGGED in the
+    # emitted line if still out of band, so a contaminated recording can
+    # never masquerade as a code regression again.
+    box = _box_fingerprint()
+    print(
+        f"bench box: load={box['loadavg']} jvms={box['concurrent_jvms']} "
+        f"cpus={box['cpus']}",
+        file=sys.stderr,
+    )
+    controls = _control_gate(spark, sf_dir, qs, sf)
 
     # PRE-battery select-latency probe (VERDICT r8 ask #6: the r8 p99
     # spike was suspected GC pressure from the 38-query battery preceding
@@ -212,6 +338,8 @@ def main() -> int:
     # compact (round-5 lesson: BENCH_r05 came back parsed=null because this
     # line outgrew the capture window).
     notes = {
+        "box": box,
+        "controls": controls,
         "runs": runs_raw,
         # BASELINE.md rows each query maps to (reference numbers are
         # warm-cache, single-node, prod-tenant measurements).
@@ -233,18 +361,17 @@ def main() -> int:
         "notes": "near-dup/LSH queries are plan-overhead-bound at this sf: "
         "their reused-plan exec is ~0.1s (measured); wall time is dominated "
         "by per-query Catalyst analysis + whole-stage-codegen compile, which "
-        "amortizes to noise at cluster scale. Compare rounds via the "
-        "untouched control queries (q1, q_dashboard_count_window) to factor "
-        "out box speed. Round-9 deltas vs BENCH_r08: select-latency is now "
-        "probed BEFORE and AFTER the query battery with per-run latencies "
-        "recorded (select_latency_pre_ms / select_latency_ms runs_ms). "
-        "ROOT CAUSE of the r8 p99 spike, pinned by the run-order data: in "
-        "BOTH probes the single worst run is run #0 — fresh-plan "
-        "codegen/warmup (pre-battery probe on a cold JVM: ~590ms at run 0; "
-        "post-battery: ~127ms at run 0) — NOT GC pressure from the "
-        "battery; steady-state p99 sits at p95. The PQ fit/encode rework "
-        "(joint Lloyd, hoisted codebook literals, checkpointed codes) cut "
-        "q_ann_pq_adc from ~46s to ~1.7s warm, so it joins HEADLINE.",
+        "amortizes to noise at cluster scale. Round-10 box discipline "
+        "(VERDICT r9 wrong-#2): the artifact now opens with a box "
+        "fingerprint (loadavg, concurrent JVMs) and a CONTROL GATE — the "
+        "three untouched control queries are measured first against the "
+        "median of prior rounds' recordings; >15% deviation retries after "
+        "a cool-down and a still-deviating box stamps controls_ok=false in "
+        "the emitted line, so absolute deltas on a contaminated box can "
+        "never read as code regressions again (the r9 adjudication cost). "
+        "Compare rounds via controls.delta_pct in this file. Round-10 "
+        "headline addition: q_text_search_prefix (prefix/ILIKE/compound "
+        "routing through the text-index sidecars).",
         **extra,
     }
     try:
@@ -265,6 +392,11 @@ def main() -> int:
             "unit": "sec",
             "queries": {k: round(v, 3) for k, v in timings.items()},
             "sf": sf,
+            # box-state stamp + control verdict: controls_ok=false means
+            # this round's absolute numbers are NOT comparable to prior
+            # rounds (compare via BENCH_NOTES controls.delta_pct instead)
+            "box": {"load1": box["loadavg"][0], "jvms": box["concurrent_jvms"]},
+            "controls_ok": controls.get("ok", True),
             "insert": extra.get("insert"),
             "network_ingest": extra.get("network_ingest"),
             # summary only — the 100 per-run latencies live in BENCH_NOTES
