@@ -2870,3 +2870,67 @@ class TestMultiDimBinaryArrays:
         assert not errs, errs
         assert rows_of(msgs) == [["{{1,2},{3,4}}"]]
         c.close()
+
+
+class TestRegexAndInListRouting:
+    """Round-10 completion of the reference routing table
+    (tantivy_rewriter.rs:29-48,135): `col ~ 'lit'` / `col ~* 'lit'` route
+    via ngram ONLY for plain literal substrings (the monoscope KQL
+    has/contains shape `subject::text ~* term`); `col IN ('a','b')`
+    routes on raw columns as an OR of term probes capped at
+    MAX_ROUTED_IN_LIST; negations never route. Answers are always
+    scan-identical (additive contract)."""
+
+    def test_regex_literal_substring_and_in_list(self, spark, tmp_path):
+        import timefusion_spark.pgshim as pgshim
+
+        srv = PgWireServer(spark, base_dir=str(tmp_path / "rr_data")).start()
+        c = WireClient(srv.port)
+        c.startup()
+        try:
+            c.query(
+                "CREATE TABLE rr (ts TIMESTAMP, id TEXT, body2 TEXT, tag TEXT, "
+                "project_id TEXT)"
+            )
+            rows = ", ".join(
+                f"('2026-01-01 10:00:00','d{i}','alpha beta gamma {i}',"
+                f"'t{i % 4}','p1')"
+                for i in range(24)
+            )
+            c.query(f"INSERT INTO rr VALUES {rows}")
+            c.query("CREATE INDEX ON rr (body2) WITH (key = 'id')")
+            c.query("CREATE INDEX ON rr (tag) WITH (key = 'id', tokenizer = 'raw')")
+
+            def served(q: str, expect_rows):
+                before = pgshim.TEXT_INDEX_SERVED
+                out = rows_of(c.query(q))
+                assert out == expect_rows, (q, out)
+                assert pgshim.TEXT_INDEX_SERVED == before + 1, q
+            def scanned(q: str, expect_rows):
+                before = pgshim.TEXT_INDEX_SERVED
+                out = rows_of(c.query(q))
+                assert out == expect_rows, (q, out)
+                assert pgshim.TEXT_INDEX_SERVED == before, q
+
+            served("SELECT count(*) AS n FROM rr WHERE body2 ~ 'alpha beta'", [["24"]])
+            served("SELECT count(*) AS n FROM rr WHERE body2 ~* 'ALPHA beta'", [["24"]])
+            served(
+                "SELECT count(*) AS n FROM rr WHERE body2::text ~* 'beta GAMMA'",
+                [["24"]],
+            )
+            served("SELECT count(*) AS n FROM rr WHERE tag IN ('t0','t1')", [["12"]])
+            served(
+                "SELECT count(*) AS n FROM rr WHERE project_id = 'p1' "
+                "AND tag IN ('t2')",
+                [["6"]],
+            )
+            # declines: metachars, anchors, negation, ngram3 IN — all fall
+            # to the scan path with identical answers
+            scanned("SELECT count(*) AS n FROM rr WHERE body2 ~ '^alpha'", [["24"]])
+            scanned("SELECT count(*) AS n FROM rr WHERE body2 ~ 'alp.a'", [["24"]])
+            scanned("SELECT count(*) AS n FROM rr WHERE body2 !~ 'alpha'", [["0"]])
+            scanned("SELECT count(*) AS n FROM rr WHERE tag NOT IN ('t0')", [["18"]])
+            scanned("SELECT count(*) AS n FROM rr WHERE body2 IN ('x')", [["0"]])
+            c.close()
+        finally:
+            srv.stop()

@@ -113,6 +113,32 @@ def raw_term_search(
     return docs.join(ids, id_col, "left_semi").where(F.col(text_col) == F.lit(term))
 
 
+def raw_terms_search(
+    docs: DataFrame,
+    index: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents with text_col IN (terms), served from a raw-term sidecar
+    — the reference's IN-list routing (tantivy_rewriter.rs:8-10,159: an
+    IN on a raw column routes as an OR of per-item term probes, capped at
+    MAX_ROUTED_IN_LIST upstream). Bucket pruning ORs each term's bucket;
+    the membership predicate re-applies (additive contract)."""
+    bucket_pred = None
+    for t in terms:
+        eq = F.col("gbucket") == gram_bucket(F.lit(t))
+        bucket_pred = eq if bucket_pred is None else (bucket_pred | eq)
+    ids = (
+        index.where(bucket_pred & F.col("gram").isin(list(terms)))
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(ids, id_col, "left_semi").where(
+        F.col(text_col).isin(list(terms))
+    )
+
+
 def raw_prefix_search(
     docs: DataFrame,
     index: DataFrame,

@@ -1673,6 +1673,21 @@ _EQ_PRED_RE = re.compile(r"(?is)^([A-Za-z_]\w*)\s*=\s*'([^']*)'$")
 _LIKE_PRED_RE = re.compile(
     r"(?is)^([A-Za-z_]\w*)\s+(NOT\s+)?(I?LIKE)\s+'([^']*)'$"
 )
+# col [::text] ~ 'pat' / ~* 'pat' — routable only when the pattern is a
+# plain literal substring (regex_literal_substring): this is the shape
+# monoscope renders KQL has/contains into (tantivy_rewriter.rs:41-47).
+# The negated forms (!~, !~*) never route.
+_REGEX_PRED_RE = re.compile(
+    r"(?is)^([A-Za-z_]\w*)(?:\s*::\s*text)?\s*(!?~\*?)\s*'([^']*)'$"
+)
+# col [NOT] IN ('a', 'b', …) — string-literal lists only
+_IN_PRED_RE = re.compile(
+    r"(?is)^([A-Za-z_]\w*)\s+(NOT\s+)?IN\s*\(\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)$"
+)
+# IN-lists longer than this never route (tantivy_rewriter.rs:135)
+MAX_ROUTED_IN_LIST = 100
+
+_REGEX_META_RE = re.compile(r"[\\^$.|?*+()\[\]{}]")
 
 
 def _classify_like(pattern: str) -> tuple[str, str] | None:
@@ -1718,8 +1733,13 @@ def _route_text_pred(tbl, conj: str):
       c LIKE '%suf'    | decline              | grams of suf (>=3 chars)
       c LIKE '%mid%'   | decline              | grams of mid (>=3 chars)
       c ILIKE <any>    | decline              | lowercased grams, >=3 chars
-      c NOT LIKE ...   | decline              | decline (negation has no
-                                                term form)
+      c IN ('a','b')   | OR of term probes    | decline (bloom/stats)
+                         (<= MAX_ROUTED_IN_LIST items)
+      c [::text] ~ 's' | decline              | grams of s — ONLY when s is
+      c [::text] ~* 's'|                        a plain literal substring
+                                                (regex_literal_substring)
+      c NOT LIKE / !~ /| decline              | decline (negation has no
+      NOT IN             term form)
 
     Every route re-applies the ORIGINAL predicate over the pruned rows
     (additive contract, tantivy_rewriter.rs invariant #1), so the answer
@@ -1730,6 +1750,7 @@ def _route_text_pred(tbl, conj: str):
     from pyspark.sql import functions as F  # noqa: PLC0415 — local by style
 
     kind = None
+    in_terms: list[str] | None = None
     if m := _TM_PRED_RE.match(conj):
         col, arg = m.groups()
         kind = "text_match"
@@ -1741,6 +1762,20 @@ def _route_text_pred(tbl, conj: str):
         if neg:
             return None  # negation has no term form
         kind = op.lower()
+    elif m := _REGEX_PRED_RE.match(conj):
+        col, op, arg = m.groups()
+        if op.startswith("!"):
+            return None  # negation has no term form
+        kind = op  # "~" or "~*"
+    elif m := _IN_PRED_RE.match(conj):
+        col, neg, items = m.groups()
+        if neg:
+            return None  # NOT IN has no term form
+        in_terms = re.findall(r"'([^']*)'", items)
+        if not in_terms or len(in_terms) > MAX_ROUTED_IN_LIST:
+            return None
+        arg = ""
+        kind = "in"
     else:
         return None
     found = text_index_for(tbl, col)
@@ -1752,6 +1787,7 @@ def _route_text_pred(tbl, conj: str):
     from timefusion_spark.operators.text_index import (
         raw_prefix_search,
         raw_term_search,
+        raw_terms_search,
         trigram_like_search,
         trigram_literal_candidates,
         trigram_search,
@@ -1766,6 +1802,26 @@ def _route_text_pred(tbl, conj: str):
         if tokenizer != "raw":
             return None  # ngram3 field: equality → bloom/stats planning
         return raw_term_search(docs, index, arg, id_col=id_col, text_col=col)
+    if kind == "in":
+        if tokenizer != "raw":
+            return None  # IN routes as OR of term probes: raw only
+        return raw_terms_search(docs, index, in_terms, id_col=id_col, text_col=col)
+    if kind in ("~", "~*"):
+        # routable only as a plain literal substring (the reference's
+        # regex_literal_substring gate): any metacharacter — anchors,
+        # classes, escapes — leaves the predicate to the scan path
+        if tokenizer != "ngram3" or _REGEX_META_RE.search(arg):
+            return None
+        if trigram_literal_candidates(index, arg, id_col=id_col) is None:
+            return None
+        pred = (
+            F.col(col).rlike(arg)
+            if kind == "~"
+            else F.col(col).rlike("(?i)" + arg)
+        )
+        return trigram_like_search(
+            docs, index, arg, pred, id_col=id_col, text_col=col
+        )
     shape = _classify_like(arg)
     if shape is None:
         return None
