@@ -911,3 +911,39 @@ ORDER BY a.attnum"""
             "WHERE EXISTS (SELECT 1 FROM pg_catalog.pg_namespace)",
         ).collect()
         assert r["n"] == 7
+
+
+def test_variant_name_collision_narrows_to_statement_tables(spark, tmp_path):
+    """Variant registration is by bare column name per session; a plain
+    TEXT column sharing a name with another table's Variant field (body,
+    attributes, ...) must still translate as plain text in statements
+    over ITS table — positive non-Variant evidence from the statement's
+    own tables drops the name from the active set (round-10 fix for the
+    to_json(body) DATATYPE_MISMATCH wart)."""
+    from timefusion_spark.pgshim import pg_sql, register_variant_columns
+
+    register_variant_columns(["vbody"], spark=spark)
+    spark.createDataFrame(
+        [("a", "hello world"), ("b", "other")], "id string, vbody string"
+    ).createOrReplaceTempView("narrow_notes")
+    # without narrowing this plans to_json(vbody) LIKE ... and fails
+    assert (
+        pg_sql(
+            spark, "SELECT count(*) AS n FROM narrow_notes WHERE vbody LIKE '%hello%'"
+        ).collect()[0][0]
+        == 1
+    )
+    assert (
+        pg_sql(
+            spark, "SELECT count(*) AS n FROM narrow_notes WHERE vbody = 'other'"
+        ).collect()[0][0]
+        == 1
+    )
+    # a REAL Variant column keeps variant semantics in its own statements
+    spark.sql(
+        "SELECT id, parse_json(j) AS vbody FROM VALUES ('x', '{\"k\": 1}') AS t(id, j)"
+    ).createOrReplaceTempView("narrow_var")
+    row = pg_sql(
+        spark, "SELECT vbody->>'k' AS k FROM narrow_var"
+    ).collect()[0]
+    assert row.k == "1"

@@ -1383,12 +1383,61 @@ _TRANSLATION_CACHE: dict[tuple[str, frozenset[str]], str] = {}
 _TRANSLATION_CACHE_MAX = 4096
 
 
+_STMT_TABLE_RE = re.compile(
+    r"(?is)\b(?:FROM|JOIN|INTO|UPDATE)\s+([A-Za-z_]\w*)"
+)
+
+
+def _narrow_variant_cols(spark, sql: str, cols: frozenset[str]) -> frozenset[str]:
+    """Statement-scoped variant binding: registration is by bare column
+    NAME per session, so a plain TEXT column that happens to share a name
+    with some other table's Variant field (`body`, `attributes`, …) would
+    otherwise translate through to_json()/variant operators and fail
+    analysis. For each relation the statement references, resolve the
+    actual field types; a registered name POSITIVELY seen as non-Variant
+    in the statement's tables — and not Variant in any of them — drops
+    out of the active set. Unresolvable names (aliases, CTEs, missing
+    views) contribute no evidence, so behavior degrades to the session-
+    wide set, never the other way."""
+    mentioned = [
+        c
+        for c in cols
+        if re.search(rf"(?i)(?<![\w.]){re.escape(c)}(?!\w)", sql)
+    ]
+    if not mentioned:
+        return cols
+    names = set(_STMT_TABLE_RE.findall(sql))
+    if not names:
+        return cols
+    from pyspark.sql import types as _T
+
+    variant_evidence: set[str] = set()
+    plain_evidence: set[str] = set()
+    for t in names:
+        try:
+            fields = spark.table(t).schema.fields
+        except Exception:  # noqa: BLE001 — alias/CTE/unknown: no evidence
+            continue
+        for f in fields:
+            lf = f.name.lower()
+            if lf in mentioned:
+                if isinstance(f.dataType, _T.VariantType):
+                    variant_evidence.add(lf)
+                else:
+                    plain_evidence.add(lf)
+    return frozenset(cols - (plain_evidence - variant_evidence))
+
+
 def pg_to_spark_sql(sql: str, spark=None) -> str:
     """Translate a PG-dialect SQL string to Spark SQL text. With `spark`,
     the translation binds Variant operators against that session's
-    registered Variant columns (plus global registrations); without, the
+    registered Variant columns (plus global registrations), narrowed to
+    the STATEMENT's own tables when a registered name resolves to a
+    non-Variant column there (see _narrow_variant_cols); without, the
     global set alone."""
     cols = _variant_cols_for(spark)
+    if cols and spark is not None:
+        cols = _narrow_variant_cols(spark, sql, cols)
     key = (sql, cols)
     hit = _TRANSLATION_CACHE.get(key)
     if hit is not None:
