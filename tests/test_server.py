@@ -906,8 +906,10 @@ class TestRestartPersistence:
         try:
             t = threading.Thread(
                 target=srv_mod.main,
+                # --insecure-auth: the round-10 fail-secure gate refuses a
+                # password-less start otherwise (AuthConfig::from_core)
                 args=(["--base-dir", str(tmp_path / "cli"), "--host",
-                       "127.0.0.1", "--port", "0"],),
+                       "127.0.0.1", "--port", "0", "--insecure-auth"],),
                 daemon=True,
             )
             t.start()

@@ -431,7 +431,7 @@ def q_text_search_raw_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
-       WHERE text LIKE 'batch window%') AS n_prefix,
+       WHERE text LIKE 'window %') AS n_prefix,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
        WHERE text ILIKE '%MERGE batch%') AS n_ilike,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
@@ -483,7 +483,7 @@ def q_text_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             return int(n)
 
         n_prefix = served(
-            "SELECT count(*) AS n FROM docs_pfx WHERE content LIKE 'batch window%'"
+            "SELECT count(*) AS n FROM docs_pfx WHERE content LIKE 'window %'"
         )
         n_ilike = served(
             "SELECT count(*) AS n FROM docs_pfx WHERE content ILIKE '%MERGE batch%'"
@@ -507,7 +507,7 @@ def q_text_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("sub-trigram LIKE must decline to the scan path")
         # scan identity for every routed shape
         for q, n in (
-            ("content LIKE 'batch window%'", n_prefix),
+            ("content LIKE 'window %'", n_prefix),
             ("content ILIKE '%MERGE batch%'", n_ilike),
             ("content LIKE '%window'", n_suffix),
             ("lang = 'en' AND content LIKE '%merge window%'", n_compound),
