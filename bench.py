@@ -71,8 +71,9 @@ HEADLINE = [
     # round 9: PQ/ADC after the joint-Lloyd fit + hoisted-literal encode
     # rework (was ~46s at sf0.1 — worth tracking now that it's bench-fast)
     "q_ann_pq_adc",
-    # round 10: prefix/ILIKE/compound routing through the text sidecars
-    "q_text_search_prefix",
+    # (q_text_search_prefix stays oracle-gated but OUT of the headline:
+    # its 8 s wall is the per-run table+index build lifecycle — the
+    # indexed-serving path is already measured by q_text_search_indexed)
 ]
 
 
@@ -167,7 +168,11 @@ def _control_gate(spark, sf_dir: str, qs, sf: float) -> dict:
             deltas[name] = round(100.0 * (best - anchor[name]) / anchor[name], 1)
         result["measured"] = measured
         result["delta_pct"] = deltas
-        worst = max((abs(d) for d in deltas.values()), default=0.0)
+        # ASYMMETRIC band: contamination only ever makes controls SLOWER
+        # (a co-tenant stealing cores). A faster-than-anchor box just
+        # means the anchor rounds ran slower — absolute comparisons still
+        # need delta_pct, but the recording is trustworthy.
+        worst = max((d for d in deltas.values()), default=0.0)
         result["ok"] = worst <= CONTROL_BAND_PCT
         print(
             f"bench controls attempt {attempt}: "

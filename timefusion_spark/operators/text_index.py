@@ -200,17 +200,18 @@ def trigram_like_search(
     literal: str,
     predicate: Column,
     id_col: str = "doc_id",
-    text_col: str = "text",  # noqa: ARG001 — signature parity with the peers
-) -> DataFrame:
-    """Documents satisfying a LIKE/ILIKE `predicate` whose pattern
-    contains the plain chunk `literal`, candidate-pruned by the trigram
-    sidecar. The index is lowercase, so candidates over-select across
-    case for case-sensitive LIKE — harmless, the exact predicate
-    re-applies (additive contract). Caller guarantees len(literal) >= 3
-    via trigram_literal_candidates' None return."""
+) -> DataFrame | None:
+    """Documents satisfying a LIKE/ILIKE/regex-contains `predicate` whose
+    pattern contains the plain chunk `literal`, candidate-pruned by the
+    trigram sidecar. The index is lowercase, so candidates over-select
+    across case for case-sensitive predicates — harmless, the exact
+    predicate re-applies (additive contract). Returns None when the
+    literal is too short for a full trigram — the caller declines to the
+    scan path."""
     cand = trigram_literal_candidates(index, literal, id_col=id_col)
-    pruned = docs if cand is None else docs.join(cand, id_col, "left_semi")
-    return pruned.where(predicate)
+    if cand is None:
+        return None
+    return docs.join(cand, id_col, "left_semi").where(predicate)
 
 
 def query_trigrams(token: str) -> list[str]:

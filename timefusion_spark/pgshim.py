@@ -1838,7 +1838,6 @@ def _route_text_pred(tbl, conj: str):
         raw_term_search,
         raw_terms_search,
         trigram_like_search,
-        trigram_literal_candidates,
         trigram_search,
     )
 
@@ -1861,16 +1860,12 @@ def _route_text_pred(tbl, conj: str):
         # classes, escapes — leaves the predicate to the scan path
         if tokenizer != "ngram3" or _REGEX_META_RE.search(arg):
             return None
-        if trigram_literal_candidates(index, arg, id_col=id_col) is None:
-            return None
         pred = (
             F.col(col).rlike(arg)
             if kind == "~"
             else F.col(col).rlike("(?i)" + arg)
         )
-        return trigram_like_search(
-            docs, index, arg, pred, id_col=id_col, text_col=col
-        )
+        return trigram_like_search(docs, index, arg, pred, id_col=id_col)
     shape = _classify_like(arg)
     if shape is None:
         return None
@@ -1884,15 +1879,12 @@ def _route_text_pred(tbl, conj: str):
             return raw_prefix_search(docs, index, lit, id_col=id_col, text_col=col)
         return None  # %suf / %mid%: no term form on a whole-value index
     # ngram3: every shape serves via grams of the literal chunk when a
-    # full trigram exists (NGRAM_MIN_QUERY_LEN analog)
-    if trigram_literal_candidates(index, lit, id_col=id_col) is None:
-        return None
+    # full trigram exists (NGRAM_MIN_QUERY_LEN analog — trigram_like_search
+    # returns None for sub-trigram literals and the route declines)
     pred = (
         F.col(col).like(arg) if kind == "like" else F.col(col).ilike(arg)
     )
-    return trigram_like_search(
-        docs, index, lit, pred, id_col=id_col, text_col=col
-    )
+    return trigram_like_search(docs, index, lit, pred, id_col=id_col)
 
 
 def _apply_text_match_statement(spark, stripped: str, tables):

@@ -989,7 +989,16 @@ class _Handler(socketserver.BaseRequestHandler):
         lifetime, so the maintenance verb yields, not the cursor."""
         if not _MAINT_VERB_RE.match(stmt):
             return
-        live = sum(1 for s in self.server.open_streams if not s.done)
+        # snapshot defensively: other handler threads register/close
+        # streams concurrently and WeakSet iteration is not thread-safe
+        for _ in range(5):
+            try:
+                live = sum(1 for s in list(self.server.open_streams) if not s.done)
+                break
+            except RuntimeError:  # set changed size during iteration
+                continue
+        else:
+            live = 0  # contended beyond retries: fail open (scan-path VACUUM)
         if live:
             raise ValueError(
                 f"cannot run {stmt.split(None, 1)[0].upper()} while {live} "
