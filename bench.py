@@ -160,7 +160,12 @@ def _control_gate(spark, sf_dir: str, qs, sf: float) -> dict:
             fn = qs.get(name)
             if fn is None or name not in anchor:
                 continue
-            fn(spark, sf_dir).collect()  # warm
+            # two untimed warmups: the gate runs on a freshly-booted JVM
+            # and the first plan's codegen/AQE settle over ~2 runs — a
+            # cold first attempt would read as contamination and burn a
+            # retry cool-down for nothing
+            for _ in range(2 if attempt == 1 else 1):
+                fn(spark, sf_dir).collect()
             best = min(
                 _timed(lambda f=fn: f(spark, sf_dir).collect()) for _ in range(2)
             )
