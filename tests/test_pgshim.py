@@ -947,3 +947,25 @@ def test_variant_name_collision_narrows_to_statement_tables(spark, tmp_path):
         spark, "SELECT vbody->>'k' AS k FROM narrow_var"
     ).collect()[0]
     assert row.k == "1"
+
+
+def test_eq_any_uncast_brace_literal(spark):
+    """`x = ANY('{a,b}')` without a ::type[] cast — PG infers the array
+    from context — must render the brace literal as a real array, not
+    pass the string into array_contains (round-10 fix)."""
+    from timefusion_spark.pgshim import pg_sql
+
+    spark.createDataFrame(
+        [("p0",), ("p1",), ("p1",)], "pid string"
+    ).createOrReplaceTempView("anyv")
+    assert (
+        pg_sql(spark, "SELECT count(*) AS n FROM anyv WHERE pid = ANY('{p1}')")
+        .collect()[0][0]
+        == 2
+    )
+    assert (
+        pg_sql(
+            spark, "SELECT count(*) AS n FROM anyv WHERE pid = ANY('{p0,p1}')"
+        ).collect()[0][0]
+        == 3
+    )

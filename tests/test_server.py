@@ -2921,6 +2921,11 @@ class TestRegexAndInListRouting:
                 [["24"]],
             )
             served("SELECT count(*) AS n FROM rr WHERE tag IN ('t0','t1')", [["12"]])
+            # = ANY — the PG-array membership twin of IN — routes the same
+            served("SELECT count(*) AS n FROM rr WHERE tag = ANY('{t0,t1}')", [["12"]])
+            served(
+                "SELECT count(*) AS n FROM rr WHERE tag = ANY(ARRAY['t3'])", [["6"]]
+            )
             served(
                 "SELECT count(*) AS n FROM rr WHERE project_id = 'p1' "
                 "AND tag IN ('t2')",

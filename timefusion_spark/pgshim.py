@@ -1289,10 +1289,25 @@ def _translate_misc(sql: str) -> str:
         lambda m: f"{m.group(1) or ''}RLIKE '{_similar_to_regex(m.group(2))}'",
         sql,
     )
-    # lit = ANY(col) → array_contains(col, lit)
+    # lit = ANY(col) → array_contains(col, lit). An UNCAST brace literal
+    # on the array side — `x = ANY('{a,b}')`, PG infers the array type
+    # from context — renders as a typed array(...) expression; with a
+    # ::type[] cast the cast pass already handles it downstream.
+    def _any_side(expr: str) -> str:
+        expr = expr.strip()
+        m2 = re.fullmatch(r"'(\{(?:''|[^'])*\})'", expr)
+        if m2:
+            try:
+                return _pg_array_literal_sql(
+                    m2.group(1).replace("''", "'"), "STRING"
+                )
+            except ValueError:
+                return expr  # malformed literal: leave for analysis error
+        return expr
+
     sql = re.sub(
         r"('(?:''|[^'])*'|[A-Za-z_][\w\.]*|\d+)\s*=\s*ANY\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\)",
-        r"array_contains(\2, \1)",
+        lambda m: f"array_contains({_any_side(m.group(2))}, {m.group(1)})",
         sql,
         flags=re.IGNORECASE,
     )
@@ -1733,6 +1748,13 @@ _REGEX_PRED_RE = re.compile(
 _IN_PRED_RE = re.compile(
     r"(?is)^([A-Za-z_]\w*)\s+(NOT\s+)?IN\s*\(\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)$"
 )
+# col = ANY('{a,b}') / = ANY(ARRAY['a','b']) — the PG-array membership
+# twin of IN (what psycopg/JDBC emit for list binds); routes identically
+_ANY_PRED_RE = re.compile(
+    r"(?is)^([A-Za-z_]\w*)\s*=\s*ANY\s*\(\s*"
+    r"(?:'(\{[^']*\})'(?:\s*::\s*\w+\s*\[\s*\])?"
+    r"|ARRAY\s*\[\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\])\s*\)$"
+)
 # IN-lists longer than this never route (tantivy_rewriter.rs:135)
 MAX_ROUTED_IN_LIST = 100
 
@@ -1821,6 +1843,22 @@ def _route_text_pred(tbl, conj: str):
         if neg:
             return None  # NOT IN has no term form
         in_terms = re.findall(r"'([^']*)'", items)
+        if not in_terms or len(in_terms) > MAX_ROUTED_IN_LIST:
+            return None
+        arg = ""
+        kind = "in"
+    elif m := _ANY_PRED_RE.match(conj):
+        col, brace, arr = m.groups()
+        if brace is not None:
+            try:
+                parsed = _parse_pg_array_literal(brace)
+            except ValueError:
+                return None
+            if any(not isinstance(x, str) for x in parsed):
+                return None  # nested / NULL elements: scan path
+            in_terms = parsed
+        else:
+            in_terms = re.findall(r"'([^']*)'", arr)
         if not in_terms or len(in_terms) > MAX_ROUTED_IN_LIST:
             return None
         arg = ""
