@@ -65,10 +65,19 @@ def create_text_index(
     from timefusion_spark.operators.text_index import raw_term_index, trigram_index
     from timefusion_spark.storage.schema import TableSchema
 
+    if tokenizer == "default":
+        # the reference's third tokenizer (tantivy's simple word splitter,
+        # schema.rs DEFAULT_TOKENIZER) serves LIKE 'lit'/'pre%' and exact
+        # ILIKE (tantivy_rewriter.rs:29-48) — a strict SUBSET of what the
+        # trigram sidecar serves, and the additive contract (predicate
+        # always re-applies) makes the answers identical regardless of the
+        # physical index. Accepting the name keeps reference schemas with
+        # `tantivy: {tokenizer: default}` working verbatim.
+        tokenizer = "ngram3"
     if tokenizer not in ("ngram3", "raw"):
         raise ValueError(
             f"create_text_index: unknown tokenizer {tokenizer!r} "
-            "(expected 'ngram3' or 'raw')"
+            "(expected 'ngram3', 'raw' or 'default')"
         )
 
     if id_col is None:
