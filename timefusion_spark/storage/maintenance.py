@@ -97,6 +97,8 @@ def create_text_index(
     docs = table.read().select(F.col(id_col), F.col(text_col))
     indexer = raw_term_index if tokenizer == "raw" else trigram_index
     idx_df = indexer(docs, id_col=id_col, text_col=text_col)
+    from timefusion_spark.storage.schema import SortingColumnDef
+
     schema = TableSchema(
         table_name=f"{table.schema.table_name}__trgm_{text_col}",
         fields=[
@@ -106,6 +108,11 @@ def create_text_index(
         ],
         partitions=["gbucket"],
         time_column=id_col,
+        # files sort by gram: parquet row-group min/max stats then prune
+        # both the equi-probes (gram IN (...)) and the raw index's
+        # term-range startswith probes to the matching groups — at corpus
+        # scale a prefix probe seeks instead of scanning the sidecar
+        sorting_columns=[SortingColumnDef("gram")],
     )
     path = os.path.join(table.path, TEXT_INDEX_DIR, text_col)
     if os.path.isdir(path):
