@@ -2941,3 +2941,63 @@ class TestRegexAndInListRouting:
             c.close()
         finally:
             srv.stop()
+
+
+class TestDeltaVerbsExtendedProtocol:
+    def test_delta_history_via_parse_bind_execute(self, spark, tmp_path):
+        """JDBC-style clients issue admin introspection through the
+        extended protocol; DELTA verbs must serve rows there too (they
+        flow through the same shim dispatch as the simple path)."""
+        srv = PgWireServer(spark, base_dir=str(tmp_path / "dvx_data")).start()
+        c = WireClient(srv.port)
+        c.startup()
+        try:
+            c.query(
+                "CREATE TABLE dvx (ts TIMESTAMP, id TEXT, val DOUBLE, project_id TEXT)"
+            )
+            c.query("INSERT INTO dvx VALUES ('2026-01-01 10:00:00','a',1.0,'p1')")
+            parse = b"\x00" + b"DELTA HISTORY dvx LIMIT 2\x00" + struct.pack("!h", 0)
+            bind = (
+                b"\x00\x00" + struct.pack("!h", 0) + struct.pack("!h", 0)
+                + struct.pack("!h", 0)
+            )
+            execute = b"\x00" + struct.pack("!i", 0)
+            msgs = _ext_msgs(
+                c, (b"P", parse), (b"B", bind), (b"D", b"P\x00"), (b"E", execute)
+            )
+            assert not [p for t, p in msgs if t == b"E"], msgs
+            rows = rows_of(msgs)
+            assert [r[0] for r in rows] == ["1", "0"]
+            assert [r[2] for r in rows] == ["append", "create"]
+            c.close()
+        finally:
+            srv.stop()
+
+    def test_default_tokenizer_accepted_in_ddl(self, spark, tmp_path):
+        """tokenizer='default' (tantivy's word splitter in the reference's
+        schemas) is accepted and served through the trigram sidecar —
+        its routing shapes are a subset of ngram3's."""
+        import timefusion_spark.pgshim as pgshim
+
+        srv = PgWireServer(spark, base_dir=str(tmp_path / "dft_data")).start()
+        c = WireClient(srv.port)
+        c.startup()
+        try:
+            c.query(
+                "CREATE TABLE dft (ts TIMESTAMP, id TEXT, note TEXT, project_id TEXT)"
+            )
+            c.query(
+                "INSERT INTO dft VALUES ('2026-01-01 10:00:00','a','alpha beta','p1')"
+            )
+            msgs = c.query(
+                "CREATE INDEX ON dft (note) WITH (key = 'id', tokenizer = 'default')"
+            )
+            assert not [p for t, p in msgs if t == b"E"], msgs
+            before = pgshim.TEXT_INDEX_SERVED
+            assert rows_of(
+                c.query("SELECT count(*) AS n FROM dft WHERE note LIKE 'alpha%'")
+            ) == [["1"]]
+            assert pgshim.TEXT_INDEX_SERVED == before + 1
+            c.close()
+        finally:
+            srv.stop()
