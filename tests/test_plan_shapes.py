@@ -460,3 +460,46 @@ def test_variant_extraction_traverses_binary_not_text(spark, tmp_path):
     assert "variant_get" in plan
     assert "try_parse_json" not in plan
     assert out.where(F.col("k") == 4).count() == 10
+
+
+def test_routed_text_predicate_plan_shape(spark, tmp_path):
+    """The round-10 routed LIKE path must keep the physical plan the
+    100-TB story needs: BOTH the routed predicate and the remaining
+    compound conjuncts push down to the base parquet scan (the candidate
+    prune is ADDITIVE, never a substitute), the candidate set joins as a
+    broadcast LEFT SEMI, and no cartesian product appears anywhere."""
+    from timefusion_spark.pgshim import pg_sql
+    from timefusion_spark.slt import SltEnv
+
+    env = SltEnv(spark, str(tmp_path / "plan_route"))
+    env.run_statement(
+        "CREATE TABLE prt (ts TIMESTAMP, doc_id TEXT, content TEXT, project_id TEXT)"
+    )
+    rows = ", ".join(
+        f"('2026-01-01 10:00:00','d{i}','alpha beta gamma {i}','p{i % 3}')"
+        for i in range(60)
+    )
+    env.run_statement(f"INSERT INTO prt VALUES {rows}")
+    pg_sql(
+        spark, "CREATE INDEX ON prt (content) WITH (key='doc_id')", tables=env.tables
+    ).collect()
+    df = pg_sql(
+        spark,
+        "SELECT * FROM prt WHERE project_id = 'p1' AND content LIKE '%alpha beta%'",
+        tables=env.tables,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, plan
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the routed LIKE reaches the BASE scan as a pushed StringContains AND
+    # the compound project_id conjunct pushes beside it
+    base_scan_lines = [
+        l for l in formatted.splitlines() if "PushedFilters" in l
+    ]
+    assert any(
+        "StringContains(content,alpha beta)" in l and "EqualTo(project_id,p1)" in l
+        for l in base_scan_lines
+    ), formatted
