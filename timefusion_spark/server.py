@@ -503,6 +503,9 @@ class _Handler(socketserver.BaseRequestHandler):
     ) -> None:
         fields = (
             b"S" + severity.encode() + b"\x00"
+            # V: the non-localized severity (PG >= 9.6; psycopg3 and JDBC
+            # prefer it over S, which may be translated)
+            + b"V" + severity.encode() + b"\x00"
             + b"C" + code.encode() + b"\x00"
             + b"M" + message.encode() + b"\x00\x00"
         )
