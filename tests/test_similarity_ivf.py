@@ -452,3 +452,150 @@ class TestProductQuantization:
 
         for i, v in enumerate(vecs):
             assert abs(got[i] - model_adc(v)) < 1e-9, f"vec {i}"
+
+
+class TestOPQ:
+    """OPQ (Ge et al. 2013): learned-rotation PQ — the rotation must be
+    orthogonal (distance-preserving), must not increase quantization
+    error vs axis-aligned PQ, and both rotation kernels must agree."""
+
+    def _fit(self, spark, sf_dir):
+        e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+        return e, sim.opq_fit(e, m=8, ksub=16, opq_iters=6, pq_iters=4)
+
+    def test_rotation_is_orthogonal(self, spark, sf_dir):
+        import numpy as np
+
+        _, (R, _books) = self._fit(spark, sf_dir)
+        Rm = np.array(R)
+        assert Rm.shape[0] == Rm.shape[1]
+        assert np.abs(Rm @ Rm.T - np.eye(len(Rm))).max() < 1e-9
+
+    def test_opq_error_not_worse_than_pq(self, spark, sf_dir):
+        """The paper's guarantee: alternating minimization starting from
+        R=I can only improve the PQ objective — measured as mean squared
+        reconstruction error over the corpus sample."""
+        import numpy as np
+
+        e, (R, books) = self._fit(spark, sf_dir)
+        pq_books = sim.pq_fit(e, m=8, ksub=16)
+        X = np.array(
+            [list(r[0]) for r in e.select("embedding").collect()], dtype=np.float64
+        )
+
+        def mse(Y, books):
+            B = np.array(books)
+            m, _ksub, dsub = B.shape
+            S = Y.reshape(len(Y), m, dsub)
+            c2 = (B * B).sum(axis=2)
+            codes = (c2[None] - 2.0 * np.einsum("nmd,mkd->nmk", S, B)).argmin(axis=2)
+            Yhat = np.stack([B[j][codes[:, j]] for j in range(m)], axis=1).reshape(
+                len(Y), Y.shape[1]
+            )
+            return float(((Y - Yhat) ** 2).sum(axis=1).mean())
+
+        e_pq = mse(X, pq_books)
+        e_opq = mse(X @ np.array(R).T, books)
+        # allow fp slack: never meaningfully worse, usually much better
+        assert e_opq <= e_pq * 1.001, (e_opq, e_pq)
+
+    def test_rotation_kernels_agree_and_preserve_norms(self, spark, sf_dir):
+        import math
+
+        e, (R, _books) = self._fit(spark, sf_dir)
+        e50 = e.where(F.col("vec_id") <= 50)
+        got_expr = {
+            r["vec_id"]: r["_rot"]
+            for r in sim.opq_rotate(e50, R, kernel="expr").select("vec_id", "_rot").collect()
+        }
+        got_arrow = {
+            r["vec_id"]: r["_rot"]
+            for r in sim.opq_rotate(e50, R, kernel="arrow").select("vec_id", "_rot").collect()
+        }
+        orig = {
+            r["vec_id"]: list(r["embedding"])
+            for r in e50.select("vec_id", "embedding").collect()
+        }
+        assert got_expr.keys() == got_arrow.keys() == orig.keys()
+        for vid in got_expr:
+            a, b = got_expr[vid], got_arrow[vid]
+            assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
+            # orthogonal rotation preserves the L2 norm
+            n0 = math.sqrt(sum(float(x) ** 2 for x in orig[vid]))
+            n1 = math.sqrt(sum(x * x for x in a))
+            assert abs(n0 - n1) < 1e-6 * max(1.0, n0)
+
+    def test_query_vec_rotation_matches(self, spark, sf_dir):
+        """rotate_vec (driver) must agree with opq_rotate (cluster) so the
+        ADC query-side tables line up with the encoded corpus."""
+        e, (R, _books) = self._fit(spark, sf_dir)
+        row = e.where(F.col("vec_id") == 7).select("embedding").first()
+        drv = sim.rotate_vec(list(row[0]), R)
+        dist = sim.opq_rotate(
+            e.where(F.col("vec_id") == 7), R, kernel="expr"
+        ).select("_rot").first()[0]
+        assert max(abs(x - y) for x, y in zip(drv, dist)) < 1e-9
+
+
+class TestIVFAppend:
+    """Incremental IVF maintenance: append-assign must equal a
+    from-scratch build, the drift stats must cover the corpus, and the
+    probe search must serve appended rows."""
+
+    def _cents(self, spark, sf_dir):
+        return [
+            (int(r[0]), list(r[1]))
+            for r in t(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id").between(1, 16))
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+
+    def test_append_equals_from_scratch(self, spark, sf_dir):
+        cents = self._cents(spark, sf_dir)
+        e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+        base = e.where(F.col("vec_id") <= 300)
+        new = e.where(F.col("vec_id") > 300)
+        idx_base = base.withColumn("_cell", sim.l2_cell_expr(cents, "embedding"))
+        incremental = {
+            r["vec_id"]: r["_cell"]
+            for r in sim.ivf_append(idx_base, new, cents).select("vec_id", "_cell").collect()
+        }
+        scratch = {
+            r["vec_id"]: r["_cell"]
+            for r in e.withColumn("_cell", sim.l2_cell_expr(cents, "embedding"))
+            .select("vec_id", "_cell")
+            .collect()
+        }
+        assert incremental == scratch
+
+    def test_cell_stats_cover_corpus(self, spark, sf_dir):
+        cents = self._cents(spark, sf_dir)
+        e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+        idx = e.withColumn("_cell", sim.l2_cell_expr(cents, "embedding"))
+        stats = sim.ivf_cell_stats(idx).collect()
+        assert sum(r["n_vectors"] for r in stats) == e.count()
+        assert all(1 <= r["cell"] <= 16 for r in stats)
+
+    def test_search_serves_appended_rows(self, spark, sf_dir):
+        cents = self._cents(spark, sf_dir)
+        e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+        qv = list(
+            t(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") == 0)
+            .select("embedding")
+            .first()[0]
+        )
+        # make the appended batch contain the known true NN: append
+        # everything but a sliver, so the exact top-1 must come from it
+        base = e.where(F.col("vec_id") <= 20)
+        new = e.where(F.col("vec_id") > 20)
+        idx = sim.ivf_append(
+            base.withColumn("_cell", sim.l2_cell_expr(cents, "embedding")), new, cents
+        )
+        got = sim.knn_ivf_indexed(idx, cents, qv, k=10, n_probe=16).collect()
+        exact = sim.knn_brute_force(e, qv, k=1).collect()[0]
+        # n_probe = n_cells → exhaustive: the true NN must surface with
+        # its exact cosine
+        assert got[0]["vec_id"] == exact["vec_id"]
+        assert abs(got[0]["cos_sim"] - exact["cos_sim"]) < 1e-12

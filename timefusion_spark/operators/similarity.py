@@ -1259,3 +1259,263 @@ def jl_project(vec_col: str, n_out: int = 16) -> Column:
         f"(x, d) -> cast(x AS double) * IF(((element_at(array({seeds}), k + 1) * (cast(d AS bigint) + 1)) % 97) < 48, 1.0D, -1.0D)), "
         "0.0D, (a, x) -> a + x))"
     )
+
+
+def opq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    opq_iters: int = 10,
+    pq_iters: int = 4,
+    max_fit_rows: int = 100_000,
+    driver_fit_max_bytes: int = 64 << 20,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Optimized Product Quantization (Ge/He/Ke/Sun CVPR 2013,
+    non-parametric OPQ — the FAISS ``OPQMatrix`` pre-transform): learn an
+    ORTHOGONAL rotation R jointly with the PQ codebooks so the subspace
+    split lines up with the data's principal structure. PQ quantizes each
+    dsub-dim slice independently, so correlated/rotated data loses badly
+    to an axis-aligned split; the learned R provably never increases and
+    typically much reduces quantization error (the paper's monotone
+    alternating minimization):
+
+        repeat: Y = X·Rᵀ → PQ-fit(Y) → Ŷ (reconstruction)
+                R = U·Vᵀ from SVD(Ŷᵀ·X)        (orthogonal Procrustes)
+
+    Training is sample-bounded by design (the FAISS discipline — a
+    rotation + codebooks need a representative sample, not the corpus):
+    the deterministic hash-sample from the `pq_fit` path is capped at
+    `max_fit_rows` AND at the `driver_fit_max_bytes` driver budget, then
+    the whole alternation runs in numpy — per-iteration Spark jobs would
+    be pure scheduling overhead for d×d Procrustes solves. Determinism:
+    the PQ subroutine is `_pq_fit_driver` (lexicographic-unique pool,
+    Gonzalez maxmin, leftmost argmin) and SVD of a fixed matrix, so the
+    same sample always yields the same (R, books).
+
+    Returns ``(R, books)`` with R as a d×d row-major list (x' = R·x) and
+    books fitted in the ROTATED space. Encode/search compose with the
+    existing PQ machinery over `opq_rotate`-ed vectors; because R is
+    orthogonal, L2 distances are preserved, so ADC distances in rotated
+    space estimate true L2 and the exact re-rank contract is unchanged.
+    """
+    import numpy as np
+
+    base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    n = base.count()
+    d = int(base.select(F.size("_v").alias("_d")).first()["_d"])
+    if d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible into m={m} subspaces")
+    dsub = d // m
+    # bound the sample by rows AND bytes — OPQ's alternation is driver
+    # numpy, so the sample must fit the explicit budget (never "collect
+    # and hope"); halve until it does.
+    cap = max_fit_rows
+    while cap > 1 and cap * d * 8 > driver_fit_max_bytes:
+        cap //= 2
+    if n > cap:
+        denom = 1_000_000
+        keep = max(1, int(denom * cap / n))
+        base = base.where(F.pmod(F.xxhash64(F.col("_v")), F.lit(denom)) < keep)
+    X = np.array([r["_v"] for r in base.collect()], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("opq_fit: no sample rows")
+    R = np.eye(d)
+    for _ in range(opq_iters):
+        Y = X @ R.T
+        # PQ subroutine over the rotated sample: same deterministic
+        # joint-Lloyd as the plain-PQ driver path
+        books = _opq_pq_fit_np(Y, m, dsub, ksub, pq_iters)
+        # reconstruct Ŷ from the codes
+        c2 = (books**2).sum(axis=2)  # (m, ksub)
+        S = Y.reshape(len(Y), m, dsub)
+        codes = (c2[None] - 2.0 * np.einsum("nmd,mkd->nmk", S, books)).argmin(axis=2)
+        Yhat = np.stack(
+            [books[j][codes[:, j]] for j in range(m)], axis=1
+        ).reshape(len(Y), d)
+        # orthogonal Procrustes: min_R ||X Rᵀ − Ŷ||_F → R = U Vᵀ with
+        # U S Vᵀ = SVD(Ŷᵀ X). SVD sign ambiguity is broken
+        # deterministically by numpy's LAPACK gesdd on a fixed matrix.
+        U, _s, Vt = np.linalg.svd(Yhat.T @ X)
+        R_new = U @ Vt
+        if np.allclose(R_new, R, atol=1e-12):
+            break
+        R = R_new
+    # refit the codebooks against the FINAL rotation (the last Procrustes
+    # step moved R after the books were fitted)
+    books_np = _opq_pq_fit_np(X @ R.T, m, dsub, ksub, pq_iters)
+    return (
+        [[float(x) for x in row] for row in R],
+        [[[float(x) for x in c] for c in book] for book in books_np],
+    )
+
+
+def _opq_pq_fit_np(Y, m: int, dsub: int, ksub: int, max_iter: int):
+    """The `_pq_fit_driver` joint-Lloyd body over an in-memory matrix
+    (shared by the OPQ alternation, which re-fits codebooks per rotation
+    update). Deterministic: lexicographic-unique pool, Gonzalez maxmin
+    init, leftmost argmin, empty cells keep their centroid."""
+    import numpy as np
+
+    S = Y.reshape(len(Y), m, dsub)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        uniq = np.unique(S[:, j, :], axis=0)
+        chosen = [uniq[0]]
+        mind = ((uniq - uniq[0]) ** 2).sum(axis=1)
+        while len(chosen) < min(ksub, len(uniq)):
+            nxt = int(mind.argmax())
+            chosen.append(uniq[nxt])
+            mind = np.minimum(mind, ((uniq - uniq[nxt]) ** 2).sum(axis=1))
+        while len(chosen) < ksub:
+            chosen.append(chosen[0].copy())
+        books[j] = np.stack(chosen)
+    for _ in range(max_iter):
+        c2 = (books**2).sum(axis=2)
+        codes = (c2[None] - 2.0 * np.einsum("nmd,mkd->nmk", S, books)).argmin(axis=2)
+        new_books = books.copy()
+        for j in range(m):
+            cnt = np.bincount(codes[:, j], minlength=ksub)
+            sums = np.zeros((ksub, dsub))
+            np.add.at(sums, codes[:, j], S[:, j, :])
+            nz = cnt > 0
+            new_books[j][nz] = sums[nz] / cnt[nz, None]
+        if np.array_equal(new_books, books):
+            break
+        books = new_books
+    return books
+
+
+def rotate_vec(v: list[float], R: list[list[float]]) -> list[float]:
+    """Driver-side x' = R·x for the query vector (d² flops, trivial)."""
+    return [sum(float(r) * float(x) for r, x in zip(row, v)) for row in R]
+
+
+def opq_rotate(
+    df: DataFrame,
+    R: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "_rot",
+    kernel: str = "expr",
+) -> DataFrame:
+    """Apply the learned OPQ rotation x' = R·x as a MAP-ONLY pass — the
+    rotation of a 100-TB corpus is embarrassingly parallel and shuffles
+    nothing. Two kernels (the pq_encode precedent):
+
+    - ``expr`` (default, pure JVM): R rides as ONE hoisted literal column
+      (never inside the lambda — see `_pq_lits`); each output dim is a
+      zip_with·aggregate fold against its R row.
+    - ``arrow``: vectorized numpy ``V @ R.T`` over Arrow batches
+      (mapInPandas) — the BLAS-class throughput path for corpus-scale
+      rotation, still map-only.
+    """
+    d = len(R)
+    if kernel == "arrow":
+        from pyspark.sql import types as T
+
+        import numpy as np
+
+        Rm = np.array(R, dtype=np.float64)
+
+        def fn(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                if len(pdf) == 0:
+                    pdf[out_col] = []
+                    yield pdf
+                    continue
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                pdf[out_col] = [row.tolist() for row in V @ Rm.T]
+                yield pdf
+
+        schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+        )
+        return df.mapInPandas(fn, schema=schema)
+    if kernel != "expr":
+        raise ValueError(f"unknown kernel {kernel!r} (expected 'expr' or 'arrow')")
+    rlit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")" for row in R
+    ) + ")"
+    rot = (
+        f"transform(sequence(0, {d - 1}), i -> "
+        f"aggregate(zip_with(cast({vec_col} AS array<double>), "
+        f"element_at(_opq_r, i + 1), (x, y) -> x * y), 0.0D, (a, x) -> a + x))"
+    )
+    return (
+        df.withColumn("_opq_r", F.expr(rlit))
+        .withColumn(out_col, F.expr(rot))
+        .drop("_opq_r")
+    )
+
+
+def ivf_append(
+    index_df: DataFrame,
+    new_df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    cell_col: str = "_cell",
+) -> DataFrame:
+    """Incremental IVF index maintenance — the FAISS add-after-train
+    lifecycle (`IndexIVF::add` never re-trains the coarse quantizer):
+    assign ONLY the arriving rows to the FROZEN centroids (one map-only
+    pass over the new batch — the existing index is not rescanned, let
+    alone refitted) and append them to the stored (id, cell, vec) table.
+    Because assignment is a pure function of (vector, frozen centroids),
+    the combined index is bit-identical to what a from-scratch build
+    would produce — the property that makes an IVF index maintainable
+    under continuous ingest at 100 TB: the daily append touches only the
+    day's rows.
+
+    Centroid drift is the caller's policy decision (FAISS leaves it to
+    the user too): monitor per-cell counts (`ivf_cell_stats`) and refit
+    + re-encode when imbalance crosses a threshold."""
+    assigned = new_df.withColumn(cell_col, l2_cell_expr(centroids, vec_col))
+    return index_df.unionByName(assigned)
+
+
+def ivf_cell_stats(index_df: DataFrame, cell_col: str = "_cell") -> DataFrame:
+    """Per-cell occupancy of an IVF index (map-side partial count — one
+    tiny n_cells-row aggregate): the drift signal an index-maintenance
+    job watches. A healthy index keeps cells near the mean; a hot cell
+    growing unboundedly means the frozen quantizer no longer matches the
+    data distribution and a refit is due."""
+    return index_df.groupBy(F.col(cell_col).alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+def knn_ivf_indexed(
+    index_df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "_cell",
+) -> DataFrame:
+    """Probe-limited search over an ALREADY-ASSIGNED IVF index table (the
+    persisted (id, cell, vec) artifact `ivf_append` maintains): the
+    probed cell ids are computed driver-side from the same frozen
+    centroids (O(n_cells) — parameters, not data), the scan filters on
+    the STORED cell column (partition/row-group prunable at scale —
+    assignment cost was paid once at ingest), and brute-force cosine runs
+    only inside the probed cells."""
+    c2 = {cid: sum(float(x) * float(x) for x in cv) for cid, cv in centroids}
+    qd = [float(x) for x in query_vec]
+    scored = sorted(
+        (c2[cid] - 2.0 * sum(x * y for x, y in zip(qd, map(float, cv))), cid)
+        for cid, cv in centroids
+    )
+    probe = [cid for _, cid in scored[:n_probe]]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        index_df.where(F.col(cell_col).isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

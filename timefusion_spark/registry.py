@@ -85,11 +85,12 @@ PRIORITY: tuple[str, ...] = (
     # (CREATE INDEX DDL + text_match interception). Rotated out:
     # q_dedup_embedding_cosine (multi-round certified, unchanged).
     "q_text_search_sql",
-    # similarity / ANN
+    # similarity / ANN (rotated out round 10 continuation:
+    # q_ann_arrow_topk / q_ann_knn_join — multi-round certified,
+    # unchanged; the new OPQ query exercises the same Arrow-kernel
+    # surface and q_ann_knn_join_large keeps the join path pinned)
     "q_ann_ivf_topk",
     "q_ann_ivf_flat",
-    "q_ann_arrow_topk",
-    "q_ann_knn_join",
     "q_ann_knn_join_large",
     "q_semantic_dedup",
     # percentile family + timeseries operators (q_hypertable_rollup
@@ -170,6 +171,11 @@ PRIORITY: tuple[str, ...] = (
     # routing code path, tantivy_rewriter.rs:29-48 full table). Rotated
     # out: q_decontamination_bloom (gate-certified r8-r9, unchanged).
     "q_text_search_prefix",
+    # new round 10 (continuation): OPQ learned-rotation PQ (fresh
+    # fit/rotate code path composing with the PQ machinery) and the
+    # incremental IVF append lifecycle (fresh index-maintenance path).
+    "q_ann_opq_adc",
+    "q_ann_ivf_append",
 )
 
 
