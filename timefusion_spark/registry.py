@@ -92,7 +92,6 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_ivf_topk",
     "q_ann_ivf_flat",
     "q_ann_knn_join_large",
-    "q_semantic_dedup",
     # percentile family + timeseries operators (q_hypertable_rollup
     # rotated out round 9 — multi-round certified, unchanged)
     "q_percentile_sketch",
@@ -176,6 +175,10 @@ PRIORITY: tuple[str, ...] = (
     # incremental IVF append lifecycle (fresh index-maintenance path).
     "q_ann_opq_adc",
     "q_ann_ivf_append",
+    # new round 10 (continuation): bigram-LM perplexity filtering —
+    # fresh smoothed-LM scoring path with an exact-decimal keep verdict.
+    # Rotated out: q_semantic_dedup (multi-round certified, unchanged).
+    "q_bigram_perplexity_filter",
 )
 
 
