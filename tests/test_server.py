@@ -414,14 +414,75 @@ class TestSimpleQuery:
     def test_binary_param_unsupported_oid_clear_error(self, server):
         c = WireClient(server.port)
         c.startup()
-        parse = b"\x00" + b"SELECT $1 AS x\x00" + struct.pack("!hi", 1, 2950)  # uuid
+        parse = b"\x00" + b"SELECT $1 AS x\x00" + struct.pack("!hi", 1, 790)  # money
         bind = (
             b"\x00\x00" + struct.pack("!hh", 1, 1) + struct.pack("!h", 1)
-            + struct.pack("!i", 2) + b"\x00\x01" + struct.pack("!h", 0)
+            + struct.pack("!i", 8) + struct.pack("!q", 125) + struct.pack("!h", 0)
         )
         msgs = self._ext(c, (b"P", parse), (b"B", bind))
         errs = [p for t, p in msgs if t == b"E"]
         assert errs and b"binary parameter format is not supported" in errs[0]
+
+    def test_binary_uuid_time_interval_params(self, server):
+        """The long-tail OIDs psycopg3 sends binary by default: uuid
+        (16 raw bytes), time (µs since midnight), interval (µs, days,
+        months) — each must decode to its PG text form and bind like a
+        text-mode parameter."""
+        c = WireClient(server.port)
+        c.startup()
+        sql = b"SELECT $1 AS u, $2 AS t, $3 AS iv\x00"
+        oids = (2950, 1083, 1186)
+        parse = b"ut\x00" + sql + struct.pack("!h", len(oids)) + b"".join(
+            struct.pack("!i", o) for o in oids
+        )
+        uuid_raw = bytes.fromhex("0123456789abcdef0123456789abcdef")
+        time_raw = struct.pack("!q", (13 * 3600 + 4 * 60 + 5) * 10**6 + 250000)
+        iv_raw = struct.pack("!qii", 3 * 3600 * 10**6 + 500000, 2, 14)
+        vals = [uuid_raw, time_raw, iv_raw]
+        bind = (
+            b"\x00ut\x00"
+            + struct.pack("!h", 3) + struct.pack("!3h", 1, 1, 1)
+            + struct.pack("!h", 3)
+            + b"".join(struct.pack("!i", len(v)) + v for v in vals)
+            + struct.pack("!h", 0)
+        )
+        execute = b"\x00" + struct.pack("!i", 0)
+        msgs = self._ext(c, (b"P", parse), (b"B", bind), (b"D", b"P\x00"), (b"E", execute))
+        assert b"E" not in tags_of(msgs), msgs
+        [row] = rows_of(msgs)
+        assert row == [
+            "01234567-89ab-cdef-0123-456789abcdef",
+            "13:04:05.25",
+            "1 year 2 mons 2 days 03:00:00.5",
+        ]
+        c.close()
+
+    def test_binary_uuid_array_param(self, server):
+        """uuid[] (OID 2951) binary: the array wrapper decodes through the
+        element decoder like every other supported element type."""
+        c = WireClient(server.port)
+        c.startup()
+        parse = b"ua\x00" + b"SELECT $1 AS a\x00" + struct.pack("!hi", 1, 2951)
+        u1 = bytes.fromhex("00000000000000000000000000000001")
+        u2 = bytes.fromhex("ffffffffffffffffffffffffffffffff")
+        arr = (
+            struct.pack("!iii", 1, 0, 2950)
+            + struct.pack("!ii", 2, 1)
+            + struct.pack("!i", 16) + u1
+            + struct.pack("!i", 16) + u2
+        )
+        bind = (
+            b"\x00ua\x00" + struct.pack("!hh", 1, 1) + struct.pack("!h", 1)
+            + struct.pack("!i", len(arr)) + arr + struct.pack("!h", 0)
+        )
+        execute = b"\x00" + struct.pack("!i", 0)
+        msgs = self._ext(c, (b"P", parse), (b"B", bind), (b"D", b"P\x00"), (b"E", execute))
+        assert b"E" not in tags_of(msgs), msgs
+        [row] = rows_of(msgs)
+        assert row == [
+            "{00000000-0000-0000-0000-000000000001,"
+            "ffffffff-ffff-ffff-ffff-ffffffffffff}"
+        ]
         c.close()
 
     def test_binary_numeric_and_array_params_match_text_mode(self, server):

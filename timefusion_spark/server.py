@@ -68,6 +68,13 @@ _OID_TIMESTAMPTZ = 1184
 _OID_NUMERIC = 1700
 _OID_VARCHAR = 1043
 _OID_UNKNOWN = 0
+# decode-direction-only OIDs: no Spark type renders AS these, but
+# psycopg3/JDBC send them binary by default (uuid.UUID, datetime.time,
+# timedelta/PGInterval) — decoded to their PG text forms, which bind as
+# quoted literals exactly like text-mode params
+_OID_TIME = 1083
+_OID_INTERVAL = 1186
+_OID_UUID = 2950
 
 # 1-D array OIDs (pg_type.dat): element OID ↔ array OID for the scalar
 # element types whose binary formats this server implements. Nested /
@@ -86,6 +93,11 @@ _ELEM_TO_ARRAY_OID = {
     _OID_TIMESTAMPTZ: 1185,
     _OID_NUMERIC: 1231,
     _OID_VARCHAR: 1015,
+    # decode-direction only (see the OID constants): results never carry
+    # these element types, but binary array params of them decode fine
+    _OID_TIME: 1183,
+    _OID_INTERVAL: 1187,
+    _OID_UUID: 2951,
 }
 _ARRAY_TO_ELEM_OID = {a: e for e, a in _ELEM_TO_ARRAY_OID.items()}
 
@@ -2131,6 +2143,43 @@ def _decode_binary_param(oid: int, raw: bytes) -> str:
         return (_PG_DATE_EPOCH + dt.timedelta(days=days)).isoformat()
     if oid == _OID_NUMERIC:
         return _numeric_text_from_binary(raw)
+    if oid == _OID_UUID:
+        # uuid_send: 16 raw bytes → canonical 8-4-4-4-12 text (the shim
+        # types uuid columns as STRING, so the text form binds directly)
+        h = raw.hex()
+        return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+    if oid == _OID_TIME:
+        # time_send: int64 µs since midnight → HH:MM:SS[.ffffff]
+        us = struct.unpack("!q", raw)[0]
+        s, us = divmod(us, 1_000_000)
+        h, s = divmod(s, 3600)
+        mi, s = divmod(s, 60)
+        out = f"{h:02d}:{mi:02d}:{s:02d}"
+        return out + (f".{us:06d}".rstrip("0") if us else "")
+    if oid == _OID_INTERVAL:
+        # interval_send: int64 µs, int32 days, int32 months → PG
+        # postgres-style text ("1 year 2 mons 3 days 04:05:06.5";
+        # C-truncation year/mon split, zero parts omitted, lone zero
+        # renders 00:00:00 — interval_out's documented output)
+        us, days, months = struct.unpack("!qii", raw)
+        years = int(months / 12)  # truncate toward zero, C semantics
+        mons = months - years * 12
+        parts = []
+        if years:
+            parts.append(f"{years} year" + ("" if abs(years) == 1 else "s"))
+        if mons:
+            parts.append(f"{mons} mon" + ("" if abs(mons) == 1 else "s"))
+        if days:
+            parts.append(f"{days} day" + ("" if abs(days) == 1 else "s"))
+        if us or not parts:
+            sign = "-" if us < 0 else ""
+            aus = abs(us)
+            s, aus = divmod(aus, 1_000_000)
+            h, s = divmod(s, 3600)
+            mi, s = divmod(s, 60)
+            frac = f".{aus:06d}".rstrip("0") if aus else ""
+            parts.append(f"{sign}{h:02d}:{mi:02d}:{s:02d}{frac}")
+        return " ".join(parts)
     if oid in _ARRAY_TO_ELEM_OID:
         # PG array binary format (array_send): int32 ndim, int32 hasnull
         # flag, int32 element oid, per-dim (size, lower bound), then
