@@ -74,6 +74,13 @@ HEADLINE = [
     # (q_text_search_prefix stays oracle-gated but OUT of the headline:
     # its 8 s wall is the per-run table+index build lifecycle — the
     # indexed-serving path is already measured by q_text_search_indexed)
+    # round 10: OPQ (learned-rotation PQ — tracks the rotate+encode map
+    # pass on top of the PQ/ADC machinery) and the bigram-LM perplexity
+    # filter (two corpus-bigram shuffles + score join). q_ann_ivf_append
+    # stays oracle-gated but out: its search path is q_ann_ivf_flat's,
+    # already headlined via the IVF entries.
+    "q_ann_opq_adc",
+    "q_bigram_perplexity_filter",
 ]
 
 

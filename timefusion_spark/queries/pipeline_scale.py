@@ -311,6 +311,182 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_token_budget_sample",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT *,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY n_tokens DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    ), picked AS (
+      SELECT * FROM ranked WHERE cum_tokens <= 800
+    ), tot AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM toks GROUP BY source
+    )
+    SELECT tot.source,
+           CAST(COALESCE(COUNT(picked.doc_id), 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(SUM(picked.n_tokens), 0) AS BIGINT) AS tokens_selected,
+           tot.tot_tokens,
+           ROUND(CAST(COALESCE(SUM(picked.n_tokens), 0) AS DOUBLE) / tot.tot_tokens, 4)
+               AS budget_fill
+    FROM tot LEFT JOIN picked ON picked.source = tot.source
+    GROUP BY tot.source, tot.tot_tokens
+    ORDER BY tot.source
+    """,
+    doc="Token-budget corpus sampling — the budgeted-fill step a training "
+    "mixture runs per source/domain: rank each source's documents by a "
+    "deterministic priority (tokens-per-doc descending here — the policy "
+    "column is pluggable: quality score, recency, dedup-survivor rank) "
+    "and greedily keep documents while the source's cumulative token "
+    "count stays inside the budget. One window cumsum per source (pure "
+    "integer arithmetic — engine-exact), one filter; no collect, no "
+    "iteration. At 100 TB the window partitions by source and the "
+    "cumsum is a single shuffle on the already-needed mixture key.",
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    picked = ranked.where(F.col("cum_tokens") <= 800)
+    tot = toks.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("tot_tokens"))
+    sel = picked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_tokens").cast("long").alias("tokens_selected"),
+    )
+    return (
+        tot.join(sel, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce("tokens_selected", F.lit(0)).cast("long").alias("tokens_selected"),
+            "tot_tokens",
+            F.round(
+                F.coalesce("tokens_selected", F.lit(0)).cast("double")
+                / F.col("tot_tokens"),
+                4,
+            ).alias("budget_fill"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_leakage_safe_split",
+    oracle=_COMPONENTS_CTE.format(shingles=_SHINGLES3)
+    + """
+    , allkeys AS (
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS key
+      FROM documents d LEFT JOIN comp ON comp.n = d.doc_id
+    ), sp AS (
+      SELECT doc_id, key,
+             CASE WHEN (key * 2654435761) % 10 < 8 THEN 'train'
+                  WHEN (key * 2654435761) % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN (doc_id * 2654435761) % 10 < 8 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS naive_split
+      FROM allkeys
+    ), leaky AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_leaky,
+        CAST(COALESCE(SUM(CASE WHEN ss > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS safe_leaky
+      FROM (
+        SELECT comp.component,
+               COUNT(DISTINCT sp.naive_split) AS ns,
+               COUNT(DISTINCT sp.split) AS ss
+        FROM comp JOIN sp ON sp.doc_id = comp.n
+        GROUP BY comp.component
+      )
+    )
+    SELECT sp.split, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT sp.key) AS BIGINT) AS n_groups,
+           leaky.naive_leaky, leaky.safe_leaky
+    FROM sp, leaky
+    GROUP BY sp.split, leaky.naive_leaky, leaky.safe_leaky
+    ORDER BY sp.split
+    """,
+    doc="Leakage-safe train/val/test splitting — the step every serious "
+    "training-data pipeline must run AFTER near-dup detection: splitting "
+    "by document hashes members of the same near-dup cluster into "
+    "different splits (train/test contamination through paraphrases), "
+    "so the split key must be the CLUSTER, not the document. Every doc "
+    "keys on its connected-component root (its own id when unclustered) "
+    "and a deterministic multiplicative hash (Knuth 2^32/phi, exact "
+    "int64 arithmetic in both engines) buckets keys 80/10/10. Output "
+    "certifies the mechanism: the doc-keyed NAIVE split leaks real "
+    "clusters across splits at every test scale while the cluster-keyed "
+    "split leaks exactly ZERO. Scale shape: LSH pairs (banded, no "
+    "all-pairs), min-label components, one hash per row — the split "
+    "assignment itself is map-only.",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    allkeys = (
+        d.select("doc_id")
+        .join(comps.withColumnRenamed("n", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("key"))
+    )
+
+    def _split(c):
+        b = (c * F.lit(2654435761)) % 10
+        return (
+            F.when(b < 8, F.lit("train")).when(b == 8, F.lit("val")).otherwise(F.lit("test"))
+        )
+
+    sp = allkeys.select(
+        "doc_id",
+        "key",
+        _split(F.col("key")).alias("split"),
+        _split(F.col("doc_id")).alias("naive_split"),
+    )
+    per_comp = (
+        comps.join(sp, comps["n"] == sp["doc_id"])
+        .groupBy("component")
+        .agg(
+            F.countDistinct("naive_split").alias("ns"),
+            F.countDistinct("split").alias("ss"),
+        )
+    )
+    leaky = per_comp.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("naive_leaky"),
+        F.coalesce(
+            F.sum(F.when(F.col("ss") > 1, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("safe_leaky"),
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("key").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .orderBy("split")
+    )
+
+
+@query(
     "q_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE tok AS (

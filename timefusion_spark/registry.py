@@ -93,8 +93,9 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_ivf_flat",
     "q_ann_knn_join_large",
     # percentile family + timeseries operators (q_hypertable_rollup
-    # rotated out round 9 — multi-round certified, unchanged)
-    "q_percentile_sketch",
+    # rotated out round 9; q_percentile_sketch rotated out round 10
+    # continuation — multi-round certified, unchanged, and
+    # q_percentile_tiles keeps the t-digest two-step API pinned)
     "q_percentile_tiles",
     # round 7 late addition: the explicit-transaction lifecycle (commit-
     # group staging, atomic publish, definitive rollback, read-your-own-
@@ -117,10 +118,8 @@ PRIORITY: tuple[str, ...] = (
     "q16_supplier_relationship",
     "q20_potential_promotion",
     "q_bm25_rank",
-    # new round 8 (late): cross-corpus LSH join — fresh bucket-expansion
-    # code path. Rotated out: q_asof_join (multi-round certified,
-    # unchanged).
-    "q_fuzzy_decontamination",
+    # (q_fuzzy_decontamination rotated out round 10 continuation —
+    # gate-certified r8-r10, unchanged; q_asof_join rotated out r8)
     # new round 8 (late): exact duplicated-span removal (Lee et al.
     # ExactSubstr) — fresh winnow-anchor / interval-merge / stitch code
     # path with a full SQL mirror oracle. Rotated out: q_jsonpath_filters
@@ -179,6 +178,12 @@ PRIORITY: tuple[str, ...] = (
     # fresh smoothed-LM scoring path with an exact-decimal keep verdict.
     # Rotated out: q_semantic_dedup (multi-round certified, unchanged).
     "q_bigram_perplexity_filter",
+    # new round 10 (continuation): leakage-safe cluster-keyed splitting
+    # (fresh components→hash-split composition; the oracle certifies
+    # naive-split leakage > 0 and cluster-split leakage = 0) and
+    # token-budget greedy sampling (window cumsum fill).
+    "q_leakage_safe_split",
+    "q_token_budget_sample",
 )
 
 
