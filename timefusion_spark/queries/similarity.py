@@ -505,6 +505,68 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_ivfopq",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND(l2, 4) AS l2_dist, CAST(100 AS BIGINT) AS n_shortlist
+    FROM (
+        SELECT e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   d -> (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE)
+                      * (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE))) AS l2
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    ) x
+    ORDER BY l2 ASC, vec_id
+    LIMIT 1
+    """,
+    doc="IVF-OPQ-PQ composed — the full FAISS index-factory recipe "
+    "('OPQ16,IVF16,PQ16'): the OPQ rotation trains first (sample-bounded "
+    "driver alternation against a plain-PQ objective — the OPQMatrix "
+    "pre-transform discipline), the corpus rotates in one map-only Arrow "
+    "pass, and the IVF-PQ index (coarse cells + residual codebooks + "
+    "per-probed-cell ADC tables) fits, encodes and searches entirely in "
+    "the ROTATED space; the query vector rotates driver-side. R is "
+    "orthogonal, so rotated-space L2 IS original-space L2 and the "
+    "composed ADC estimates true distances. Oracled contract: exact-L2 "
+    "re-rank (in the ORIGINAL space) of the composed top-100 shortlist "
+    "must return the true brute-force nearest neighbor.",
+)
+def q_ann_ivfopq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir, 0)
+    R, _pq_books = sim.opq_fit(e, m=16, ksub=32)
+    rot = sim.opq_rotate(e, R, kernel="arrow").select(
+        "vec_id", F.col("_rot").alias("rotvec")
+    )
+    cells, books = sim.ivfpq_fit(rot, vec_col="rotvec", n_cells=16, m=16, ksub=32)
+    enc = (
+        sim.ivfpq_encode(rot, cells, books, vec_col="rotvec")
+        .select("vec_id", "_cell", "_codes")
+        .localCheckpoint(eager=True)
+    )
+    shortlist = sim.ivfpq_adc_topk(
+        enc, cells, books, sim.rotate_vec(qv, R), k=100, n_probe=8
+    )
+    ql = F.array(*[F.lit(float(v)) for v in qv])
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), ql, lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    reranked = (
+        e.join(shortlist.select("vec_id"), "vec_id", "leftsemi")
+        .select("vec_id", F.round(l2, 4).alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(1)
+        .withColumn("n_shortlist", F.lit(100).cast("long"))
+    )
+    return reranked.localCheckpoint(eager=True)
+
+
+@query(
     "q_ann_ivf_flat",
     oracle=f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

@@ -115,7 +115,6 @@ PRIORITY: tuple[str, ...] = (
     # q_percentile_duration / q_recent_events_topk — all multi-round
     # certified, pure built-in shapes, unchanged.
     "q2_min_cost_supplier",
-    "q16_supplier_relationship",
     "q20_potential_promotion",
     "q_bm25_rank",
     # (q_fuzzy_decontamination rotated out round 10 continuation —
@@ -184,6 +183,10 @@ PRIORITY: tuple[str, ...] = (
     # token-budget greedy sampling (window cumsum fill).
     "q_leakage_safe_split",
     "q_token_budget_sample",
+    # new round 10 (continuation): the full FAISS factory composition
+    # OPQ→IVF→PQ (fresh rotated-space index composition). Rotated out:
+    # q16_supplier_relationship (gate-certified r8-r10, unchanged).
+    "q_ann_ivfopq",
 )
 
 
