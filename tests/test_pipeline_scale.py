@@ -185,3 +185,136 @@ class TestRepetitionSignals:
         assert out[1] == (["a b", "b a", "a b", "b a"], 0.6)  # 2 distinct of 5
         assert out[2] == ([], 0.0)  # single token → no bigrams, no repeats
         assert out[3][0] == ["u v", "v w"]
+
+
+class TestLeakageSafeSplit:
+    """Cluster-keyed splitting: every member of a near-dup component must
+    land in the SAME split (the structural zero-leak guarantee), and the
+    multiplicative-hash bucketing must be exact int64 arithmetic."""
+
+    def test_component_members_share_split(self, spark, sf_dir):
+        from timefusion_spark.operators import dedup as dd
+        from timefusion_spark.operators.graph import connected_components
+        from timefusion_spark.queries._tables import t
+
+        d = t(spark, sf_dir, "documents")
+        pairs = dd.minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+        comps = connected_components(pairs, src="id_a", dst="id_b")
+        split = F.when((F.col("component") * 2654435761) % 10 < 8, "train").when(
+            (F.col("component") * 2654435761) % 10 == 8, "val"
+        ).otherwise("test")
+        spans = (
+            comps.withColumn("_split", split)
+            .groupBy("component")
+            .agg(F.countDistinct("_split").alias("ns"))
+            .where(F.col("ns") > 1)
+            .count()
+        )
+        assert spans == 0
+        # sanity: clusters exist at this scale (the guarantee is not vacuous)
+        assert comps.count() > 0
+
+    def test_hash_bucket_is_engine_exact(self, spark):
+        import duckdb
+
+        ids = list(range(0, 5000, 7))
+        df = spark.createDataFrame([(i,) for i in ids], "key long")
+        got = {
+            r["key"]: r["b"]
+            for r in df.select("key", ((F.col("key") * 2654435761) % 10).alias("b")).collect()
+        }
+        duck = duckdb.connect().execute(
+            "SELECT key, (key * 2654435761) % 10 AS b FROM "
+            "(SELECT unnest(?) AS key)", [ids]
+        ).fetchall()
+        assert got == {k: b for k, b in duck}
+
+
+class TestBigramPerplexity:
+    def test_toy_corpus_hand_computed(self, spark):
+        """2-doc toy corpus: add-one-smoothed bigram NLLs hand-computed.
+        Corpus: 'a b a b' and 'a b c'. Bigrams: (a,b)x3, (b,a)x1, (b,c)x1.
+        Prefix counts: a->3, b->2. Vocab = {a,b,c} = 3."""
+        import math
+
+        docs = spark.createDataFrame(
+            [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+        )
+        toks = docs.select(
+            "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("tk")
+        )
+        bg = (
+            toks.where(F.size("tk") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(tk) - 2), i -> "
+                        "struct(element_at(tk, i + 1) AS w1, element_at(tk, i + 2) AS w2))"
+                    )
+                ).alias("b"),
+            )
+            .select("doc_id", "b.w1", "b.w2")
+        )
+        c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        v = toks.select(F.explode("tk").alias("tok")).agg(
+            F.countDistinct("tok").alias("v")
+        )
+        nll = -F.log(
+            (F.col("c12").cast("double") + F.lit(1.0))
+            / (F.col("c1").cast("double") + F.col("v"))
+        )
+        got = (
+            bg.join(c12, ["w1", "w2"]).join(c1, ["w1"]).crossJoin(F.broadcast(v))
+            .groupBy("doc_id")
+            .agg(F.sum(nll).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        # P(b|a) = (3+1)/(3+3) = 2/3 ; P(a|b) = (1+1)/(2+3) = 2/5 ;
+        # P(c|b) = (1+1)/(2+3) = 2/5
+        p_ba, p_ab, p_cb = 2 / 3, 2 / 5, 2 / 5
+        want = {
+            0: (-(math.log(p_ba) * 2 + math.log(p_ab)), 3),  # a b a b
+            1: (-(math.log(p_ba) + math.log(p_cb)), 2),  # a b c
+        }
+        for r in got:
+            ws, wn = want[r["doc_id"]]
+            assert abs(r["s"] - ws) < 1e-12 and r["n"] == wn
+
+    def test_single_token_docs_score_nothing(self, spark, sf_dir):
+        """The sequence(0, size-2) descending-sequence hazard: 1-token docs
+        must contribute zero bigrams, not a wrapped negative range."""
+        docs = spark.createDataFrame([(0, "solo"), (1, "x y")], "doc_id long, text string")
+        toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk"))
+        bg = toks.where(F.size("tk") >= 2).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2), i -> "
+                    "struct(element_at(tk, i + 1) AS w1, element_at(tk, i + 2) AS w2))"
+                )
+            ).alias("b"),
+        )
+        assert [r["doc_id"] for r in bg.collect()] == [1]
+
+
+class TestTokenBudgetSample:
+    def test_greedy_fill_boundary(self, spark):
+        """Rank by tokens desc, cumsum <= budget keeps the prefix that
+        fits; a doc exactly on the boundary is kept."""
+        from pyspark.sql import Window
+
+        rows = [(1, "s", 500), (2, "s", 300), (3, "s", 200), (4, "s", 100)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+        w = (
+            Window.partitionBy("source")
+            .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked = (
+            df.withColumn("cum", F.sum("n_tokens").over(w))
+            .where(F.col("cum") <= 1000)
+            .collect()
+        )
+        assert sorted(r["doc_id"] for r in picked) == [1, 2, 3]  # 500+300+200 = 1000 exactly
