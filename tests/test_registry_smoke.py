@@ -110,6 +110,12 @@ def test_no_plan_antipatterns(spark_dfs):
         # bloom decontamination: the 1-row fixed-size filter broadcasts
         # onto the corpus for the map-side might_contain probe
         "q_decontamination_bloom",
+        # bigram LM: the 1-row distinct-vocab scalar broadcasts onto the
+        # scored bigrams for the add-one smoothing denominator
+        "q_bigram_perplexity_filter",
+        # leakage split: the 1-row leak-count aggregate cross-joins onto
+        # the 3-row per-split summary (the scalar-subquery shape)
+        "q_leakage_safe_split",
     }
     dfs, errors = spark_dfs
     bad = [f"{n}: build error {e}" for n, e in errors.items()]

@@ -599,3 +599,19 @@ class TestIVFAppend:
         # its exact cosine
         assert got[0]["vec_id"] == exact["vec_id"]
         assert abs(got[0]["cos_sim"] - exact["cos_sim"]) < 1e-12
+
+
+def test_opq_rotation_is_map_only(spark, sf_dir):
+    """The corpus rotation must shuffle nothing (100-TB claim: an
+    embarrassingly parallel map pass) — no Exchange in either kernel's
+    plan."""
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    R, _books = sim.opq_fit(e, m=8, ksub=16, opq_iters=3, pq_iters=2)
+    for kernel in ("expr", "arrow"):
+        plan = (
+            sim.opq_rotate(e, R, kernel=kernel)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, (kernel, plan)
