@@ -615,3 +615,22 @@ def test_opq_rotation_is_map_only(spark, sf_dir):
             .toString()
         )
         assert "Exchange" not in plan, (kernel, plan)
+
+
+def test_opq_fused_encode_matches_two_pass(spark, sf_dir):
+    """opq_encode (fused rotate+argmin kernel) must produce codes
+    identical to pq_encode over opq_rotate — same argmin, same tiebreak."""
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    R, books = sim.opq_fit(e, m=8, ksub=16, opq_iters=4, pq_iters=3)
+    fused = {
+        r["vec_id"]: r["_codes"]
+        for r in sim.opq_encode(e, R, books).select("vec_id", "_codes").collect()
+    }
+    rot = sim.opq_rotate(e, R, kernel="arrow")
+    two_pass = {
+        r["vec_id"]: r["_codes"]
+        for r in sim.pq_encode(rot, books, vec_col="_rot")
+        .select("vec_id", "_codes")
+        .collect()
+    }
+    assert fused == two_pass

@@ -1519,3 +1519,45 @@ def knn_ivf_indexed(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def opq_encode(
+    df: DataFrame,
+    R: list[list[float]],
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "_codes",
+) -> DataFrame:
+    """FUSED OPQ encode: rotation AND PQ code assignment in ONE Arrow
+    batch kernel — V·Rᵀ then the per-subspace argmin einsum, no
+    intermediate rotated column materialized, one mapInPandas pass over
+    the corpus (the 100-TB encode job is a single map stage reading raw
+    vectors and writing m-byte codes). Codes are identical to
+    `pq_encode(opq_rotate(df, R), books)` — argmin leftmost-minimum
+    matches the expression path's cid tiebreak."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    Rm = np.array(R, dtype=np.float64)
+    B = np.array(books, dtype=np.float64)  # (m, ksub, dsub)
+    c2 = (B * B).sum(axis=2)
+    m, _ksub, dsub = B.shape
+
+    def fn(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            S = (V @ Rm.T).reshape(len(V), m, dsub)
+            scores = c2[None, :, :] - 2.0 * np.einsum("nmd,mkd->nmk", S, B)
+            pdf[out_col] = [r.tolist() for r in scores.argmin(axis=2).astype("int32")]
+            yield pdf
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+    return df.mapInPandas(fn, schema=schema)

@@ -421,12 +421,12 @@ def q_ann_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     qv = _query_vec(spark, sf_dir, 0)
     R, books = sim.opq_fit(e, m=16, ksub=32)
-    # rotation + encode are ONE map-only pass; the (id, codes) table is
+    # rotation + encode FUSED into one Arrow batch kernel (a single map
+    # pass from raw vectors to m-byte codes); the (id, codes) table is
     # the persisted 100-TB artifact (the checkpoint stands in for it and
     # is the CollapseProject barrier — see q_ann_pq_adc)
-    rot = sim.opq_rotate(e, R, kernel="arrow")
     enc = (
-        sim.pq_encode(rot, books, vec_col="_rot")
+        sim.opq_encode(e, R, books)
         .select("vec_id", "_codes")
         .localCheckpoint(eager=True)
     )
