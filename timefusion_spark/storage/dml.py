@@ -362,7 +362,8 @@ def delete(
             table, pred, lambda df: df.where(~F.coalesce(pred, F.lit(False)))
         )
     tomb = table.schema.tombstone_column
-    assert tomb is not None  # guaranteed by version_append validation
+    if tomb is None:  # guaranteed by version_append validation; raise even under -O
+        raise RuntimeError(f"version_append table {table.schema.name!r} has no tombstone column")
     matched = _resolve(table, predicate, project_id, ts_lo, ts_hi)
     new_versions = matched.withColumn(tomb, F.lit(True))
     return _count_and_append(table, new_versions, stamp)
