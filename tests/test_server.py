@@ -3062,3 +3062,45 @@ class TestDeltaVerbsExtendedProtocol:
             c.close()
         finally:
             srv.stop()
+
+
+class TestPgIndexesView:
+    """pg_indexes introspection over the text-index sidecars: the five
+    documented PG columns, an indexdef that round-trips through this
+    shim's own CREATE INDEX grammar, live across DDL, empty when no
+    index exists."""
+
+    def test_pg_indexes_lists_and_roundtrips(self, server):
+        c = WireClient(server.port)
+        c.startup()
+        c.query("CREATE TABLE pgi_t (ts TIMESTAMP, id TEXT, body TEXT, project_id TEXT)")
+        c.query(
+            "INSERT INTO pgi_t VALUES "
+            "('2026-01-01 10:00:00','a','alpha beta gamma','p1')"
+        )
+        # no index yet → no rows for this table
+        msgs = c.query("SELECT * FROM pg_indexes WHERE tablename = 'pgi_t'")
+        assert rows_of(msgs) == []
+        assert [n for n, _ in row_desc_of(msgs)] == [
+            "schemaname", "tablename", "indexname", "tablespace", "indexdef",
+        ]
+        c.query(
+            "CREATE INDEX ON pgi_t USING gin (body gin_trgm_ops) "
+            "WITH (key = 'id', tokenizer = 'raw')"
+        )
+        msgs = c.query(
+            "SELECT indexname, indexdef FROM pg_indexes WHERE tablename = 'pgi_t'"
+        )
+        [row] = rows_of(msgs)
+        assert row[0] == "pgi_t_body_tfidx"
+        assert "USING gin (body gin_trgm_ops)" in row[1]
+        assert "key = 'id'" in row[1] and "tokenizer = 'raw'" in row[1]
+        # the indexdef is copy-paste re-runnable through the same grammar
+        msgs = c.query(row[1])
+        assert b"E" not in tags_of(msgs), msgs
+        # qualified reference works too
+        msgs = c.query(
+            "SELECT count(*) AS n FROM pg_catalog.pg_indexes WHERE tablename = 'pgi_t'"
+        )
+        assert rows_of(msgs) == [["1"]]
+        c.close()

@@ -2363,6 +2363,66 @@ def register_catalog_views(names, spark) -> None:
     target.update(n.lower() for n in names)
 
 
+# live handle on the session's mounted storage tables (SltEnv.tables
+# mutates in place, so one registration at env construction keeps the
+# pg_indexes view current across CREATE TABLE / CREATE INDEX)
+_SESSION_STORAGE_TABLES: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def register_storage_tables(tables, spark) -> None:
+    _SESSION_STORAGE_TABLES[spark] = tables
+
+
+def _ensure_pg_indexes(spark) -> None:
+    """Materialize PG's `pg_indexes` system view (schemaname, tablename,
+    indexname, tablespace, indexdef — pg_catalog's documented five
+    columns) over the text-index sidecars of the session's mounted
+    storage tables. Beyond-reference like the rest of pg_catalog: the
+    reference serves no introspection for its tantivy sidecars, but a
+    user debugging index routing asks `SELECT * FROM pg_indexes WHERE
+    tablename = 't'` — the indexdef round-trips through the CREATE INDEX
+    DDL this shim accepts, so it is copy-paste re-runnable."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from timefusion_spark.storage.maintenance import TEXT_INDEX_DIR, text_indexes_of
+
+    rows = []
+    for name, tbl in sorted((_SESSION_STORAGE_TABLES.get(spark) or {}).items()):
+        for col in text_indexes_of(tbl):
+            meta_path = _os.path.join(
+                tbl.path, TEXT_INDEX_DIR, col, "_tf_textindex.json"
+            )
+            try:
+                with open(meta_path) as fh:
+                    meta = _json.load(fh)
+            except (OSError, ValueError):  # racing rebuild: skip this row
+                continue
+            opts = [f"tokenizer = '{meta.get('tokenizer', 'ngram3')}'"]
+            if meta.get("id_col"):
+                opts.insert(0, f"key = '{meta['id_col']}'")
+            rows.append((
+                "public",
+                name,
+                f"{name}_{col}_tfidx",
+                None,
+                f"CREATE INDEX {name}_{col}_tfidx ON {name} USING gin "
+                f"({col} gin_trgm_ops) WITH ({', '.join(opts)})",
+            ))
+    spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("schemaname", T.StringType()),
+            T.StructField("tablename", T.StringType()),
+            T.StructField("indexname", T.StringType()),
+            T.StructField("tablespace", T.StringType()),
+            T.StructField("indexdef", T.StringType()),
+        ]),
+    ).createOrReplaceTempView("__pg_indexes")
+
+
 def _ensure_pg_catalog(spark) -> None:
     from pyspark.sql import types as T
 
@@ -2694,6 +2754,11 @@ def pg_sql(spark, sql: str, tables=None):
             r"(?i)\binformation_schema\s*\.\s*(tables|columns)\b",
             lambda m: f"__info_schema_{m.group(1).lower()}",
             sql,
+        )
+    if re.search(r"(?i)\bpg_indexes\b", sql):
+        _ensure_pg_indexes(spark)
+        sql = re.sub(
+            r"(?i)\b(?:pg_catalog\s*\.\s*)?pg_indexes\b", "__pg_indexes", sql
         )
     if re.search(r"(?i)\b(pg_catalog\s*\.|pg_class\b|pg_namespace\b|pg_attribute\b|pg_type\b)", sql):
         _ensure_pg_catalog(spark)

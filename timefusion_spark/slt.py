@@ -313,6 +313,11 @@ class SltEnv:
         self.spark = spark
         self.base_dir = base_dir
         self.tables: dict[str, Table] = {}
+        # live handle for pg_indexes (the dict mutates in place, so one
+        # registration keeps the catalog view current)
+        from timefusion_spark.pgshim import register_storage_tables
+
+        register_storage_tables(self.tables, spark)
         # named SQL views (CREATE VIEW): name -> PG-dialect SELECT text,
         # in creation order. Spark temp views capture the ANALYZED plan,
         # so after any table refresh every dependent view is re-created
