@@ -634,3 +634,25 @@ def test_opq_fused_encode_matches_two_pass(spark, sf_dir):
         .collect()
     }
     assert fused == two_pass
+
+
+def test_ivf_partitioned_index_prunes_files(spark, sf_dir):
+    """The cell-partitioned index read must prune at PLANNING time: the
+    probe predicate lands in the scan's PartitionFilters (directory-level
+    pruning — only probed cell= dirs are listed), NOT in DataFilters
+    (which would read every byte and discard n_probe/n_cells of it)."""
+    from timefusion_spark.queries.similarity import _ivf_index_table
+
+    tbl = _ivf_index_table(spark, sf_dir)
+    idx = tbl.read()
+    pruned = idx.where(F.col("cell").isin([1, 2, 3, 4]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert scan_lines, plan
+    [scan] = scan_lines
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan).group(1)
+    df_ = re.search(r"DataFilters: \[([^\]]*)\]", scan).group(1)
+    assert "cell" in pf and "IN (1,2,3,4)" in pf, scan
+    assert "cell" not in df_, scan

@@ -309,6 +309,112 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reranked.localCheckpoint(eager=True)
 
 
+def _ivf_index_table(spark: SparkSession, sf_dir: str):
+    """The IVF index PERSISTED as a storage table PARTITIONED BY cell —
+    the on-disk shape a 100-TB deployment wants: a probe-limited search
+    prunes to n_probe/n_cells of the FILES before any byte is read
+    (directory-level partition pruning, not a post-scan filter). Built
+    once per corpus under the content-keyed cache; the fixed coarse
+    quantizer (embeddings 1..16, the q_ann_ivf_flat closed form) keeps
+    the oracle exact."""
+    from timefusion_spark.queries._tables import cached_storage_table
+    from timefusion_spark.storage.schema import FieldDef, TableSchema
+
+    def schema():
+        return TableSchema(
+            table_name="ivf_index_cellpart",
+            fields=[
+                FieldDef("vec_id", "Int64", False),
+                FieldDef("embedding", "List(Float64)", False),
+                FieldDef("cell", "Int32", False),
+            ],
+            partitions=["cell"],
+            time_column="vec_id",
+        )
+
+    def build():
+        cents = [
+            (int(r[0]), list(r[1]))
+            for r in t(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id").between(1, 16))
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        return (
+            t(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") != 0)
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+                sim.l2_cell_expr(cents, "embedding").cast("int").alias("cell"),
+            )
+        )
+
+    return cached_storage_table(
+        spark, sf_dir, "ivf_index_cellpart", "fixed16-v1", schema, build
+    )
+
+
+@query(
+    "q_ann_ivf_partitioned",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cent AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+    ),
+    assigned AS (
+        SELECT vec_id, embedding FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_inner_product(c.cv, c.cv)
+                       - 2 * list_inner_product(e.embedding::DOUBLE[], c.cv) ASC,
+                       c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c
+            WHERE e.vec_id <> 0
+        ) WHERE rn = 1 AND cid IN (
+            SELECT cid FROM (
+                SELECT c.cid FROM cent c, q
+                ORDER BY list_inner_product(c.cv, c.cv)
+                         - 2 * list_inner_product(q.qv, c.cv) ASC, c.cid ASC
+                LIMIT 4
+            )
+        )
+    )
+    SELECT vec_id, ROUND(cos_raw, 4) AS cos_sim
+    FROM (
+        SELECT a.vec_id, {_COS.format(a='a.embedding', b='q.qv')} AS cos_raw
+        FROM assigned a, q
+        ORDER BY cos_raw DESC, a.vec_id
+        LIMIT 10
+    )
+    """,
+    doc="IVF search over the PARTITION-PRUNED persisted index: the "
+    "(vec_id, embedding) table is stored PARTITIONED BY cell (one "
+    "directory per coarse cell — the assignment cost was paid once at "
+    "index build), so probing 4 of 16 cells prunes 12/16 of the FILES at "
+    "planning time via directory-level partition pruning; a post-scan "
+    "filter would read every byte and discard 75% of it. This is the "
+    "on-disk layout that makes IVF probe cost proportional to n_probe/"
+    "n_cells at 100 TB. The pruning (inputFiles only from probed cell= "
+    "dirs) is plan-pinned in tests; answers are the q_ann_ivf_flat "
+    "closed form, oracle-exact.",
+)
+def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _ivf_index_table(spark, sf_dir)
+    idx = tbl.read()
+    qv = _query_vec(spark, sf_dir, 0)
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id").between(1, 16))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    top = sim.knn_ivf_indexed(idx, cents, qv, k=10, n_probe=4, cell_col="cell")
+    return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 @query(
     "q_ann_ivf_append",
     oracle=f"""

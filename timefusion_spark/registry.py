@@ -129,7 +129,9 @@ PRIORITY: tuple[str, ...] = (
     # closed-form sequential oracle. Rotated out: q_media_bmp_decode
     # (multi-round certified, unchanged).
     "q_streaming_dedup_online",
-    "q_time_travel",
+    # (q_time_travel rotated out round 10 continuation — multi-round
+    # certified, unchanged; q_snapshot_isolation and q_delta_history keep
+    # the commit-log read surfaces pinned)
     # round 9 rotations (ADVICE r8 #2: changed/new queries belong in the
     # gate window). Changed THIS round: the PQ/ADC pipeline (joint-Lloyd
     # fit, hoisted-literal + Arrow encode, checkpointed codes), the LSH
@@ -187,6 +189,10 @@ PRIORITY: tuple[str, ...] = (
     # OPQ→IVF→PQ (fresh rotated-space index composition). Rotated out:
     # q16_supplier_relationship (gate-certified r8-r10, unchanged).
     "q_ann_ivfopq",
+    # new round 10 (continuation): the cell-PARTITIONED persisted IVF
+    # index with planning-time directory pruning (fresh storage-layout
+    # path; PartitionFilters pinned in tests).
+    "q_ann_ivf_partitioned",
 )
 
 
