@@ -416,6 +416,125 @@ def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_ivf_streaming",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cent AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+    ),
+    assigned AS (
+        SELECT vec_id, embedding FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_inner_product(c.cv, c.cv)
+                       - 2 * list_inner_product(e.embedding::DOUBLE[], c.cv) ASC,
+                       c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c
+            WHERE e.vec_id <> 0
+        ) WHERE rn = 1 AND cid IN (
+            SELECT cid FROM (
+                SELECT c.cid FROM cent c, q
+                ORDER BY list_inner_product(c.cv, c.cv)
+                         - 2 * list_inner_product(q.qv, c.cv) ASC, c.cid ASC
+                LIMIT 4
+            )
+        )
+    )
+    SELECT vec_id, ROUND(cos_raw, 4) AS cos_sim,
+           CASE WHEN vec_id > 300 THEN 'wave2' ELSE 'wave1' END AS wave
+    FROM (
+        SELECT a.vec_id, {_COS.format(a='a.embedding', b='q.qv')} AS cos_raw
+        FROM assigned a, q
+        ORDER BY cos_raw DESC, a.vec_id
+        LIMIT 10
+    )
+    """,
+    doc="IVF index maintained UNDER STREAMING INGEST: cell assignment "
+    "against the frozen coarse quantizer rides the ingest stream as a "
+    "pure expression column, so every micro-batch lands already "
+    "partitioned into its cell directory through the real checkpointed "
+    "write path — the index is never rebuilt, and a second stream run "
+    "over the same checkpoint indexes ONLY the newly arrived files "
+    "(in-query raises pin the incremental row counts). Search probes the "
+    "cell-partitioned table exactly like q_ann_ivf_partitioned. The "
+    "oracle is the from-scratch build the streamed index must equal, "
+    "with each hit tagged by its arrival wave.",
+)
+def q_ann_ivf_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from timefusion_spark.queries._tables import _require
+    from timefusion_spark.storage import Table
+    from timefusion_spark.storage.schema import FieldDef, TableSchema
+    from timefusion_spark.storage.streaming import ingest_stream
+
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir, 0)
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id").between(1, 16))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    schema = TableSchema(
+        table_name="ivf_stream_idx",
+        fields=[
+            FieldDef("vec_id", "Int64", False),
+            FieldDef("embedding", "List(Float64)", False),
+            FieldDef("cell", "Int32", False),
+        ],
+        partitions=["cell"],
+        time_column="vec_id",
+    )
+    base_dir = tempfile.mkdtemp(prefix="tf_ivf_stream_")
+    tbl = Table.create(spark, schema, os.path.join(base_dir, "t"))
+    try:
+        src = os.path.join(base_dir, "src")
+        ckpt = os.path.join(base_dir, "ckpt")
+        src_schema = "vec_id bigint, embedding array<double>"
+
+        def _run_wave(df) -> None:
+            df.select("vec_id", F.col("embedding").cast("array<double>")).coalesce(
+                1
+            ).write.mode("append").json(src)
+            stream = (
+                spark.readStream.schema(src_schema)
+                .json(src)
+                .withColumn(
+                    "cell", sim.l2_cell_expr(cents, "embedding").cast("int")
+                )
+            )
+            ingest_stream(tbl, stream, ckpt).awaitTermination(300)
+
+        wave1 = e.where(F.col("vec_id") <= 300)
+        wave2 = e.where(F.col("vec_id") > 300)
+        n1, n2 = wave1.count(), wave2.count()
+        _run_wave(wave1)
+        _require(tbl.read_raw().count() == n1)
+        # the second run resumes from the checkpoint: ONLY wave2's files
+        # are read and indexed — incremental maintenance, no rebuild
+        _run_wave(wave2)
+        _require(tbl.read_raw().count() == n1 + n2)
+        top = sim.knn_ivf_indexed(
+            tbl.read(), cents, qv, k=10, n_probe=4, cell_col="cell"
+        )
+        out = top.select(
+            "vec_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            F.when(F.col("vec_id") > 300, F.lit("wave2"))
+            .otherwise(F.lit("wave1"))
+            .alias("wave"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
     "q_ann_ivf_append",
     oracle=f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

@@ -61,7 +61,9 @@ PRIORITY: tuple[str, ...] = (
     "q_streaming_ingest",
     "q_streaming_multi_table",
     "q_streaming_changefeed",
-    "q_custom_source",
+    # (q_custom_source rotated out round 10 continuation — certified
+    # r1-r10, unchanged; q_streaming_changefeed keeps the custom Python
+    # DataSource surface pinned)
     # corpus parity + end-to-end pipeline
     "q_slt_parity",
     "q_training_pipeline",
@@ -193,6 +195,10 @@ PRIORITY: tuple[str, ...] = (
     # index with planning-time directory pruning (fresh storage-layout
     # path; PartitionFilters pinned in tests).
     "q_ann_ivf_partitioned",
+    # new round 10 (continuation): IVF index maintained under streaming
+    # ingest (assignment rides the stream; checkpoint resume indexes only
+    # new arrivals — fresh streaming/index composition).
+    "q_ann_ivf_streaming",
 )
 
 
