@@ -453,6 +453,12 @@ class SltEnv:
         reference's always-live snapshot listing. Cost per call is one
         log-dir listing per table; runner-mediated writes refresh eagerly
         so this is a no-op on the common path."""
+        # several envs can interleave on one shared SparkSession (tests,
+        # embedded use); make THIS env's tables the ones pg_indexes sees
+        # for the statement about to run — registration is a dict swap
+        from timefusion_spark.pgshim import register_storage_tables
+
+        register_storage_tables(self.tables, self.spark)
         refreshed: list[str] = []
         for name, tbl in self.tables.items():
             tip = tbl.log.latest_version() if tbl.log.exists() else -1
