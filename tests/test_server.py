@@ -455,6 +455,17 @@ class TestSimpleQuery:
             "13:04:05.25",
             "1 year 2 mons 2 days 03:00:00.5",
         ]
+        # negative singular components: interval_out pluralizes with
+        # value != 1, so -1 renders "-1 years" / "-1 days" (PG parity)
+        neg = struct.pack("!qii", 0, -1, -12)
+        parse2 = b"nt\x00" + b"SELECT $1 AS iv\x00" + struct.pack("!hi", 1, 1186)
+        bind2 = (
+            b"\x00nt\x00" + struct.pack("!hh", 1, 1) + struct.pack("!h", 1)
+            + struct.pack("!i", len(neg)) + neg + struct.pack("!h", 0)
+        )
+        execute2 = b"\x00" + struct.pack("!i", 0)
+        msgs = self._ext(c, (b"P", parse2), (b"B", bind2), (b"D", b"P\x00"), (b"E", execute2))
+        assert rows_of(msgs) == [["-1 years -1 days"]]
         c.close()
 
     def test_binary_uuid_array_param(self, server):
@@ -3103,4 +3114,7 @@ class TestPgIndexesView:
             "SELECT count(*) AS n FROM pg_catalog.pg_indexes WHERE tablename = 'pgi_t'"
         )
         assert rows_of(msgs) == [["1"]]
+        # the rewrite must not touch 'pg_indexes' inside a STRING LITERAL
+        msgs = c.query("SELECT 'pg_indexes' AS s")
+        assert rows_of(msgs) == [["pg_indexes"]]
         c.close()

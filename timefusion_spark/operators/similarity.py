@@ -313,32 +313,11 @@ def _pq_fit_driver(
     V = np.array([r["_v"] for r in base.collect()], dtype=np.float64)
     if len(V) == 0:
         raise ValueError("pq_fit: no sample rows")
-    S = V.reshape(len(V), m, dsub)
-    books = np.empty((m, ksub, dsub), dtype=np.float64)
-    for j in range(m):
-        uniq = np.unique(S[:, j, :], axis=0)  # lexicographic → deterministic
-        chosen = [uniq[0]]
-        mind = ((uniq - uniq[0]) ** 2).sum(axis=1)
-        while len(chosen) < min(ksub, len(uniq)):
-            nxt = int(mind.argmax())
-            chosen.append(uniq[nxt])
-            mind = np.minimum(mind, ((uniq - uniq[nxt]) ** 2).sum(axis=1))
-        while len(chosen) < ksub:  # pad: duplicates never win the cid tiebreak
-            chosen.append(chosen[0].copy())
-        books[j] = np.stack(chosen)
-    for _ in range(max_iter):
-        c2 = (books**2).sum(axis=2)
-        codes = (c2[None] - 2.0 * np.einsum("nmd,mkd->nmk", S, books)).argmin(axis=2)
-        new_books = books.copy()
-        for j in range(m):
-            cnt = np.bincount(codes[:, j], minlength=ksub)
-            sums = np.zeros((ksub, dsub))
-            np.add.at(sums, codes[:, j], S[:, j, :])
-            nz = cnt > 0
-            new_books[j][nz] = sums[nz] / cnt[nz, None]
-        if np.array_equal(new_books, books):
-            break
-        books = new_books
+    # ONE copy of the deterministic joint-Lloyd body (shared with the OPQ
+    # alternation, which re-fits per rotation update) — a fix to the
+    # init/tiebreak/empty-cell rules must reach both callers identically
+    # or the documented fused-encode == two-pass guarantee breaks
+    books = _opq_pq_fit_np(V, m, dsub, ksub, max_iter)
     return [[[float(x) for x in c] for c in book] for book in books]
 
 

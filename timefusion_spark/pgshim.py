@@ -2363,14 +2363,17 @@ def register_catalog_views(names, spark) -> None:
     target.update(n.lower() for n in names)
 
 
-# live handle on the session's mounted storage tables (SltEnv.tables
-# mutates in place, so one registration at env construction keeps the
-# pg_indexes view current across CREATE TABLE / CREATE INDEX)
+# {table name → storage path} snapshot for pg_indexes, per session.
+# PATHS, not Table objects: a Table holds .spark, and a WeakKeyDictionary
+# value that references its key can never be collected — storing the live
+# tables dict would pin every discarded SparkSession for the process
+# lifetime. refresh_stale re-registers before each statement, so the
+# snapshot is always current for the executing env.
 _SESSION_STORAGE_TABLES: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def register_storage_tables(tables, spark) -> None:
-    _SESSION_STORAGE_TABLES[spark] = tables
+    _SESSION_STORAGE_TABLES[spark] = {n: t.path for n, t in tables.items()}
 
 
 def _ensure_pg_indexes(spark) -> None:
@@ -2387,14 +2390,17 @@ def _ensure_pg_indexes(spark) -> None:
 
     from pyspark.sql import types as T
 
-    from timefusion_spark.storage.maintenance import TEXT_INDEX_DIR, text_indexes_of
+    from timefusion_spark.storage.maintenance import TEXT_INDEX_DIR
 
     rows = []
-    for name, tbl in sorted((_SESSION_STORAGE_TABLES.get(spark) or {}).items()):
-        for col in text_indexes_of(tbl):
-            meta_path = _os.path.join(
-                tbl.path, TEXT_INDEX_DIR, col, "_tf_textindex.json"
-            )
+    for name, tpath in sorted((_SESSION_STORAGE_TABLES.get(spark) or {}).items()):
+        root = _os.path.join(tpath, TEXT_INDEX_DIR)
+        if not _os.path.isdir(root):
+            continue
+        for col in sorted(_os.listdir(root)):
+            meta_path = _os.path.join(root, col, "_tf_textindex.json")
+            if not _os.path.exists(meta_path):
+                continue
             try:
                 with open(meta_path) as fh:
                     meta = _json.load(fh)
@@ -2757,8 +2763,13 @@ def pg_sql(spark, sql: str, tables=None):
         )
     if re.search(r"(?i)\bpg_indexes\b", sql):
         _ensure_pg_indexes(spark)
-        sql = re.sub(
-            r"(?i)\b(?:pg_catalog\s*\.\s*)?pg_indexes\b", "__pg_indexes", sql
+        # outside quotes only: 'pg_indexes' as a STRING LITERAL (e.g. a
+        # tablename predicate value) must not be rewritten
+        sql = _apply_outside_quotes(
+            sql,
+            lambda s: re.sub(
+                r"(?i)\b(?:pg_catalog\s*\.\s*)?pg_indexes\b", "__pg_indexes", s
+            ),
         )
     if re.search(r"(?i)\b(pg_catalog\s*\.|pg_class\b|pg_namespace\b|pg_attribute\b|pg_type\b)", sql):
         _ensure_pg_catalog(spark)

@@ -508,7 +508,11 @@ def q_ann_ivf_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cell", sim.l2_cell_expr(cents, "embedding").cast("int")
                 )
             )
-            ingest_stream(tbl, stream, ckpt).awaitTermination(300)
+            if not ingest_stream(tbl, stream, ckpt).awaitTermination(300):
+                raise RuntimeError(
+                    "q_ann_ivf_streaming: ingest micro-batch did not finish "
+                    "within 300s"
+                )
 
         wave1 = e.where(F.col("vec_id") <= 300)
         wave2 = e.where(F.col("vec_id") > 300)

@@ -2164,13 +2164,14 @@ def _decode_binary_param(oid: int, raw: bytes) -> str:
         us, days, months = struct.unpack("!qii", raw)
         years = int(months / 12)  # truncate toward zero, C semantics
         mons = months - years * 12
+        # interval_out pluralizes with value != 1 (so -1 → "-1 years")
         parts = []
         if years:
-            parts.append(f"{years} year" + ("" if abs(years) == 1 else "s"))
+            parts.append(f"{years} year" + ("" if years == 1 else "s"))
         if mons:
-            parts.append(f"{mons} mon" + ("" if abs(mons) == 1 else "s"))
+            parts.append(f"{mons} mon" + ("" if mons == 1 else "s"))
         if days:
-            parts.append(f"{days} day" + ("" if abs(days) == 1 else "s"))
+            parts.append(f"{days} day" + ("" if days == 1 else "s"))
         if us or not parts:
             sign = "-" if us < 0 else ""
             aus = abs(us)

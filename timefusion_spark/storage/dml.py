@@ -363,7 +363,9 @@ def delete(
         )
     tomb = table.schema.tombstone_column
     if tomb is None:  # guaranteed by version_append validation; raise even under -O
-        raise RuntimeError(f"version_append table {table.schema.name!r} has no tombstone column")
+        raise RuntimeError(
+            f"version_append table {table.schema.table_name!r} has no tombstone column"
+        )
     matched = _resolve(table, predicate, project_id, ts_lo, ts_hi)
     new_versions = matched.withColumn(tomb, F.lit(True))
     return _count_and_append(table, new_versions, stamp)
