@@ -2756,10 +2756,14 @@ def pg_sql(spark, sql: str, tables=None):
     sql = _apply_clock_functions(sql)
     if re.search(r"(?i)\binformation_schema\s*\.\s*(tables|columns)\b", sql):
         _ensure_information_schema(spark)
-        sql = re.sub(
-            r"(?i)\binformation_schema\s*\.\s*(tables|columns)\b",
-            lambda m: f"__info_schema_{m.group(1).lower()}",
+        # outside quotes only — same literal-safety rule as pg_indexes
+        sql = _apply_outside_quotes(
             sql,
+            lambda s: re.sub(
+                r"(?i)\binformation_schema\s*\.\s*(tables|columns)\b",
+                lambda m: f"__info_schema_{m.group(1).lower()}",
+                s,
+            ),
         )
     if re.search(r"(?i)\bpg_indexes\b", sql):
         _ensure_pg_indexes(spark)
