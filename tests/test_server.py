@@ -3118,3 +3118,84 @@ class TestPgIndexesView:
         msgs = c.query("SELECT 'pg_indexes' AS s")
         assert rows_of(msgs) == [["pg_indexes"]]
         c.close()
+
+
+class TestRoutedPredicateEdgeCases:
+    """Round-10 review fixes: routing must decline (not break) statements
+    with trailing clauses, must not split identifiers containing '_and_',
+    and candidate temp views must be per-statement and cleaned up."""
+
+    def test_group_by_tail_declines_and_stays_correct(self, server):
+        c = WireClient(server.port)
+        c.startup()
+        c.query(
+            "CREATE TABLE rt_g (ts TIMESTAMP, id TEXT, body TEXT, lang TEXT, project_id TEXT)"
+        )
+        c.query(
+            "INSERT INTO rt_g VALUES "
+            "('2026-01-01 10:00:00','a','needle one','en','p1'), "
+            "('2026-01-01 11:00:00','b','needle two','de','p1'), "
+            "('2026-01-01 12:00:00','c','hay only','en','p1')"
+        )
+        q = (
+            "SELECT lang, count(*) AS n FROM rt_g "
+            "WHERE body LIKE '%needle%' GROUP BY lang ORDER BY lang"
+        )
+        before = rows_of(c.query(q))
+        assert before == [["de", "1"], ["en", "1"]]
+        msgs = c.query(
+            "CREATE INDEX ON rt_g USING gin (body gin_trgm_ops) WITH (key = 'id')"
+        )
+        assert b"E" not in tags_of(msgs), msgs
+        # the aggregate query still answers identically (declined route)
+        assert rows_of(c.query(q)) == before
+        c.close()
+
+    def test_identifier_containing_and_routes_correctly(self, server):
+        c = WireClient(server.port)
+        c.startup()
+        c.query(
+            "CREATE TABLE rt_a (ts TIMESTAMP, id TEXT, body TEXT, p_and_l TEXT, project_id TEXT)"
+        )
+        c.query(
+            "INSERT INTO rt_a VALUES "
+            "('2026-01-01 10:00:00','a','needle here','yes','p1'), "
+            "('2026-01-01 11:00:00','b','needle there','no','p1')"
+        )
+        q = "SELECT * FROM rt_a WHERE p_and_l = 'yes' AND body LIKE '%needle%'"
+        scan = rows_of(c.query(q))
+        assert len(scan) == 1
+        msgs = c.query(
+            "CREATE INDEX ON rt_a USING gin (body gin_trgm_ops) WITH (key = 'id')"
+        )
+        assert b"E" not in tags_of(msgs), msgs
+        assert rows_of(c.query(q)) == scan
+        c.close()
+
+    def test_candidate_views_are_per_statement_and_cleaned(self, server):
+        c = WireClient(server.port)
+        c.startup()
+        c.query(
+            "CREATE TABLE rt_v (ts TIMESTAMP, id TEXT, body TEXT, lang TEXT, project_id TEXT)"
+        )
+        c.query(
+            "INSERT INTO rt_v VALUES "
+            "('2026-01-01 10:00:00','a','alpha needle','en','p1'), "
+            "('2026-01-01 11:00:00','b','beta needle','de','p1')"
+        )
+        c.query("CREATE INDEX ON rt_v USING gin (body gin_trgm_ops) WITH (key = 'id')")
+        r1 = rows_of(
+            c.query("SELECT * FROM rt_v WHERE body LIKE '%needle%' AND lang = 'en'")
+        )
+        r2 = rows_of(
+            c.query("SELECT * FROM rt_v WHERE body LIKE '%needle%' AND lang = 'de'")
+        )
+        assert len(r1) == 1 and len(r2) == 1 and r1 != r2
+        # no leftover candidate views in the session catalog
+        leftovers = rows_of(
+            c.query(
+                "SELECT relname FROM pg_class WHERE relname LIKE '__tf_textroute%'"
+            )
+        )
+        assert leftovers == []
+        c.close()

@@ -89,6 +89,7 @@ def handoff(
 
     body = b"user\x00" + user.encode() + b"\x00database\x00postgres\x00\x00"
     payload = struct.pack("!i", 196608) + body
+    last_err: str | None = None
     try:
         with socket.create_connection((host, port), timeout=timeout) as s:
             s.settimeout(timeout)
@@ -113,8 +114,14 @@ def handoff(
                         return
 
             # startup burst; answer a cleartext-password request ('R'/3)
-            # with --password when the server requires auth
+            # with --password when the server requires auth. A FATAL
+            # ErrorResponse (e.g. 28P01 wrong password) arrives followed
+            # by a close with NO ReadyForQuery — remember it so the
+            # resulting ConnectionError reports the real cause instead of
+            # "not reachable" (review r10).
             for tag, pl in msgs_until_ready():
+                if tag == b"E":
+                    last_err = pl.replace(b"\x00", b" ").decode("utf-8", "replace")
                 if (
                     tag == b"R"
                     and len(pl) >= 4
@@ -131,7 +138,10 @@ def handoff(
                 elif tag == b"E":
                     err = pl.replace(b"\x00", b" ").decode("utf-8", "replace")
     except OSError as e:
-        print(f"pgwire not reachable at {host}:{port}: {e}", file=sys.stderr)
+        if last_err is not None:
+            print(f"HANDOFF refused by server: {last_err}", file=sys.stderr)
+        else:
+            print(f"pgwire not reachable at {host}:{port}: {e}", file=sys.stderr)
         return 1
     if err is not None or result is None:
         print(f"HANDOFF failed: {err or 'no completion tag'}", file=sys.stderr)

@@ -480,7 +480,11 @@ def _pg_array_literal_sql(literal: str, spark_type: str) -> str:
             return "array(" + ", ".join(render(x) for x in node) + ")"
         if node is None:
             return "NULL"
-        if re.fullmatch(r"-?\d+(\.\d+)?", node):
+        # only CANONICAL-form numerics render bare: '007' must stay text —
+        # against an int LHS both engines coerce it to 7 anyway, while
+        # against a text LHS PG compares the literal text ('007' <> '7'),
+        # which a bare 7 would silently match (review r10)
+        if re.fullmatch(r"-?(0|[1-9]\d*)(\.\d+)?", node):
             return node
         return "'" + node.replace("'", "''") + "'"
 
@@ -1403,6 +1407,43 @@ _STMT_TABLE_RE = re.compile(
 )
 
 
+# per-session memo of {table → {column (lower) → is_variant}} so the
+# statement-scoped narrowing doesn't pay a JVM catalog round-trip per
+# statement on 100%-cache-hit pgwire traffic (review r10). POSITIVE
+# resolutions only; SltEnv._refresh invalidates a table's entry whenever
+# its view is (re)registered — the only path that can change a mounted
+# relation's column types (CREATE/ALTER/refresh all re-register).
+_TABLE_TYPE_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def invalidate_table_types(spark, name: str | None = None) -> None:
+    memo = _TABLE_TYPE_MEMO.get(spark)
+    if memo is None:
+        return
+    if name is None:
+        memo.clear()
+    else:
+        memo.pop(name.lower(), None)
+
+
+def _table_variant_types(spark, t: str) -> dict[str, bool] | None:
+    memo = _TABLE_TYPE_MEMO.setdefault(spark, {})
+    hit = memo.get(t.lower())
+    if hit is not None:
+        return hit
+    from pyspark.sql import types as _T
+
+    try:
+        fields = spark.table(t).schema.fields
+    except Exception:  # noqa: BLE001 — alias/CTE/unknown: no evidence
+        return None  # not cached: the table may be created later
+    out = {
+        f.name.lower(): isinstance(f.dataType, _T.VariantType) for f in fields
+    }
+    memo[t.lower()] = out
+    return out
+
+
 def _narrow_variant_cols(spark, sql: str, cols: frozenset[str]) -> frozenset[str]:
     """Statement-scoped variant binding: registration is by bare column
     NAME per session, so a plain TEXT column that happens to share a name
@@ -1424,22 +1465,15 @@ def _narrow_variant_cols(spark, sql: str, cols: frozenset[str]) -> frozenset[str
     names = set(_STMT_TABLE_RE.findall(sql))
     if not names:
         return cols
-    from pyspark.sql import types as _T
-
     variant_evidence: set[str] = set()
     plain_evidence: set[str] = set()
     for t in names:
-        try:
-            fields = spark.table(t).schema.fields
-        except Exception:  # noqa: BLE001 — alias/CTE/unknown: no evidence
+        types = _table_variant_types(spark, t)
+        if types is None:
             continue
-        for f in fields:
-            lf = f.name.lower()
+        for lf, is_variant in types.items():
             if lf in mentioned:
-                if isinstance(f.dataType, _T.VariantType):
-                    variant_evidence.add(lf)
-                else:
-                    plain_evidence.add(lf)
+                (variant_evidence if is_variant else plain_evidence).add(lf)
     return frozenset(cols - (plain_evidence - variant_evidence))
 
 
@@ -1950,6 +1984,16 @@ def _apply_text_match_statement(spark, stripped: str, tables):
         return None
     from timefusion_spark import slt as _slt
 
+    # the envelope is a bare filtered scan/count: the greedy WHERE tail
+    # would otherwise swallow a trailing clause (GROUP BY / ORDER BY /
+    # HAVING / LIMIT / set ops) into the re-applied predicate and break a
+    # statement that plans fine unrouted — any top-level clause keyword
+    # declines to normal planning (routing must never change semantics)
+    for kw in ("GROUP", "ORDER", "HAVING", "LIMIT", "WINDOW",
+               "UNION", "INTERSECT", "EXCEPT"):
+        if len(_slt._split_top_kw(where, kw)) > 1:
+            return None
+
     conjs = [c.strip() for c in _slt._split_top(where, "AND") if c.strip()]
     hits = None
     rest: list[str] = []
@@ -1967,18 +2011,30 @@ def _apply_text_match_statement(spark, stripped: str, tables):
     if rest:
         # remaining conjuncts re-apply through the full shim dialect over
         # the pruned frame (::casts, = ANY, regex operators, … all keep
-        # working); the routed conjunct is already enforced by the search
-        view = f"__tf_textroute_{name}"
+        # working); the routed conjunct is already enforced by the search.
+        # The view name is UNIQUE per statement — concurrent pgwire
+        # connections routing the same table must never read each other's
+        # candidate frames — and dropped immediately: the returned
+        # DataFrame captures the ANALYZED plan, not the view name.
+        import uuid as _uuid
+
+        view = f"__tf_textroute_{name}_{_uuid.uuid4().hex[:12]}"
         hits.createOrReplaceTempView(view)
-        hits = spark.sql(
-            pg_to_spark_sql(
-                f"SELECT * FROM {view} WHERE {' AND '.join(rest)}", spark
+        try:
+            hits = spark.sql(
+                pg_to_spark_sql(
+                    f"SELECT * FROM {view} WHERE {' AND '.join(rest)}", spark
+                )
             )
-        )
+        finally:
+            spark.catalog.dropTempView(view)
     if proj.upper().startswith("COUNT"):
         n = hits.count()
         return spark.createDataFrame([(n,)], f"{alias or 'count'} bigint")
-    return hits
+    # SELECT * must keep the SCAN path's column order (the additive
+    # contract is byte-identical answers; the candidate frame's internal
+    # column layout is an implementation detail)
+    return hits.select(*tbl.read().columns)
 
 
 def _apply_delta_statement(spark, rest: str, tables):

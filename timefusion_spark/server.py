@@ -1013,7 +1013,12 @@ class _Handler(socketserver.BaseRequestHandler):
             except RuntimeError:  # set changed size during iteration
                 continue
         else:
-            live = 0  # contended beyond retries: fail open (scan-path VACUUM)
+            # contended beyond retries: fail CLOSED — proceeding could
+            # delete files under genuinely open cursors exactly when the
+            # server is busiest; the operator retries the verb
+            raise ValueError(
+                "maintenance declined: live-stream registry contended; retry"
+            )
         if live:
             raise ValueError(
                 f"cannot run {stmt.split(None, 1)[0].upper()} while {live} "
@@ -1819,9 +1824,20 @@ class _Handler(socketserver.BaseRequestHandler):
                     fields = df.schema.fields
                     self._send(b"T", self._row_description(fields))
                     n = 0
-                    for row in df.toLocalIterator(prefetchPartitions=True):
-                        self._send(b"D", self._data_row(fields, row))
-                        n += 1
+                    # register this drain in the maintenance guard for its
+                    # duration: the lazily-pinned plan references parquet
+                    # files a concurrent VACUUM/OPTIMIZE would delete
+                    # mid-send — the same snapshot-stability contract the
+                    # cursor _RowStreams get (review r10: this path was
+                    # unguarded)
+                    drain = _LiveDrain()
+                    self.server.open_streams.add(drain)
+                    try:
+                        for row in df.toLocalIterator(prefetchPartitions=True):
+                            self._send(b"D", self._data_row(fields, row))
+                            n += 1
+                    finally:
+                        drain.done = True
                 self._send(b"C", _command_tag(stmt, n).encode() + b"\x00")
             except Exception as e:  # noqa: BLE001 — every error goes on the wire
                 msg, code = _wire_error(e)
@@ -1840,6 +1856,19 @@ class _Handler(socketserver.BaseRequestHandler):
 
 def _is_status_frame(df) -> bool:
     return [f.name for f in df.schema.fields] == ["status"] and df.isEmpty()
+
+
+class _LiveDrain:
+    """Sentinel registered in the server's open_streams WeakSet for the
+    duration of a simple-protocol streaming drain — makes the drain
+    visible to _check_maintenance_allowed exactly like a cursor/portal
+    _RowStream (the pinned plan references files a maintenance rewrite
+    would delete mid-send)."""
+
+    __slots__ = ("done", "__weakref__")
+
+    def __init__(self) -> None:
+        self.done = False
 
 
 class _RowStream:

@@ -256,11 +256,17 @@ def _split_top(text: str, sep: str = ",") -> list[str]:
         elif ch in ")]":
             depth -= 1
         if depth == 0 and text[i : i + len(sep)].upper() == sep.upper():
-            # word separators need boundaries
+            # word separators need boundaries — underscore is a WORD char
+            # in SQL identifiers (p_and_l must not split at "and")
             if sep.strip() and sep[0].isalpha():
                 before = text[i - 1] if i else " "
                 after = text[i + len(sep)] if i + len(sep) < len(text) else " "
-                if before.isalnum() or after.isalnum():
+                if (
+                    before.isalnum()
+                    or before == "_"
+                    or after.isalnum()
+                    or after == "_"
+                ):
                     buf.append(ch)
                     i += 1
                     continue
@@ -370,6 +376,11 @@ class SltEnv:
         self._refresh(schema.table_name)
 
     def _refresh(self, name: str) -> None:
+        # the relation's column types may change with its view (CREATE /
+        # ALTER / refresh all land here) — drop the variant-type memo
+        from timefusion_spark.pgshim import invalidate_table_types
+
+        invalidate_table_types(self.spark, name)
         tbl = self.tables[name]
         try:
             df = tbl.read()
@@ -403,6 +414,9 @@ class SltEnv:
         os.replace(tmp, self._views_path())
 
     def _register_view(self, name: str, select_text: str) -> None:
+        from timefusion_spark.pgshim import invalidate_table_types
+
+        invalidate_table_types(self.spark, name)
         self.spark.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
             + pg_to_spark_sql(select_text, self.spark)
@@ -825,6 +839,9 @@ class SltEnv:
                 raise ValueError(f"unknown table {name}")
             dropped = self.tables.pop(name, None)
             self.spark.catalog.dropTempView(name)
+            from timefusion_spark.pgshim import invalidate_table_types
+
+            invalidate_table_types(self.spark, name)
             # PG DROP TABLE destroys the relation's storage. Leaving the
             # directory (with its _tf_schema.json sidecar) would make the
             # next CREATE TABLE of the same name silently re-attach the
@@ -865,6 +882,9 @@ class SltEnv:
                 raise ValueError(f"unknown view {name}")
             self.views.pop(name, None)
             self.spark.catalog.dropTempView(name)
+            from timefusion_spark.pgshim import invalidate_table_types
+
+            invalidate_table_types(self.spark, name)
             self._save_views()
             self._sync_catalog_views()
         elif m := _TRUNCATE_RE.match(sql):
