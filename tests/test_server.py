@@ -3199,3 +3199,55 @@ class TestRoutedPredicateEdgeCases:
         )
         assert leftovers == []
         c.close()
+
+
+def test_concurrent_routed_queries_do_not_cross(server):
+    """The review-r10 race: two connections routing compound predicates on
+    the SAME table concurrently must each get their own rows (candidate
+    temp views are per-statement now — a shared name let one statement be
+    analyzed against the other's pruned frame)."""
+    import threading
+
+    c0 = WireClient(server.port)
+    c0.startup()
+    c0.query(
+        "CREATE TABLE rt_c (ts TIMESTAMP, id TEXT, body TEXT, lang TEXT, project_id TEXT)"
+    )
+    rows = ", ".join(
+        f"('2026-01-01 10:00:00','{i}','needle doc {i}','{'en' if i % 2 else 'de'}','p1')"
+        for i in range(40)
+    )
+    c0.query(f"INSERT INTO rt_c VALUES {rows}")
+    c0.query("CREATE INDEX ON rt_c USING gin (body gin_trgm_ops) WITH (key = 'id')")
+    c0.close()
+
+    results: dict[str, list] = {}
+    errors: list[str] = []
+
+    def worker(lang: str, expect_n: int) -> None:
+        try:
+            c = WireClient(server.port)
+            c.startup()
+            for _ in range(8):
+                msgs = c.query(
+                    f"SELECT * FROM rt_c WHERE body LIKE '%needle%' AND lang = '{lang}'"
+                )
+                got = rows_of(msgs)
+                if len(got) != expect_n:
+                    errors.append(f"{lang}: {len(got)} rows, want {expect_n}")
+                    return
+                idx = [n for n, _ in row_desc_of(msgs)].index("lang")
+                if any(r[idx] != lang for r in got):
+                    errors.append(f"{lang}: foreign rows leaked in")
+                    return
+            results[lang] = got
+            c.close()
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"{lang}: {e}")
+
+    t_en = threading.Thread(target=worker, args=("en", 20))
+    t_de = threading.Thread(target=worker, args=("de", 20))
+    t_en.start(); t_de.start()
+    t_en.join(120); t_de.join(120)
+    assert not errors, errors
+    assert set(results) == {"en", "de"}
