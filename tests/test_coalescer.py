@@ -210,3 +210,76 @@ class TestQuarantineRedrive:
         with open(os.path.join(qroot, gid, "meta.json")) as fh:
             meta = json.load(fh)
         assert meta["attempts"] == 1 and "still failing" in meta["error"]
+
+
+class TestPerRoundProgress:
+    """Review r10: committed rounds must never re-apply — a retry or a
+    redrive of a parked group resumes at the first UNAPPLIED round (the
+    assignments are non-idempotent: `value + adj` applied twice corrupts
+    data)."""
+
+    def test_mid_group_failure_never_reapplies_committed_rounds(
+        self, spark, table, monkeypatch
+    ):
+        calls = {"n": 0}
+        real = dml.update_from
+
+        def fail_second(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected failure on round 2")
+            return real(*a, **kw)
+
+        monkeypatch.setattr(dml, "update_from", fail_second)
+        c = coalescer.DmlCoalescer(max_drain_attempts=1)
+        # same key twice → two ordered rounds
+        c.enqueue(table, _src(spark, [("a", 10.0)]), ["id"],
+                  {"value": "_tgt.value + _src.adj"})
+        c.enqueue(table, _src(spark, [("a", 100.0)]), ["id"],
+                  {"value": "_tgt.value + _src.adj"})
+        stats = c.drain()
+        assert stats["quarantined"] == 1
+        # round 1 committed exactly once: value = 1 + 10
+        assert {r["id"]: r["value"] for r in table.read().collect()}["a"] == 11.0
+        # the parked remainder is ONLY round 2's row
+        qroot = os.path.join(table.path, coalescer.QUARANTINE_DIR)
+        [gid] = os.listdir(qroot)
+        parked = spark.read.parquet(os.path.join(qroot, gid, "source"))
+        assert [r["adj"] for r in parked.collect()] == [100.0]
+        # fault cleared → redrive applies round 2 ONCE
+        monkeypatch.setattr(dml, "update_from", real)
+        assert coalescer.redrive(table) == (1, 0)
+        assert {r["id"]: r["value"] for r in table.read().collect()}["a"] == 111.0
+
+    def test_drained_groups_not_requeued_when_parking_fails(
+        self, spark, table, monkeypatch
+    ):
+        """A failure while PARKING one group must not leave ALREADY-DRAINED
+        groups queued (their assignments would re-apply on retry)."""
+        real = dml.update_from
+
+        def fail_for_b(table_arg, src, keys, *a, **kw):
+            if [r["id"] for r in src.select("id").collect()] == ["b"]:
+                raise RuntimeError("b always fails")
+            return real(table_arg, src, keys, *a, **kw)
+
+        monkeypatch.setattr(dml, "update_from", fail_for_b)
+        monkeypatch.setattr(
+            coalescer, "_quarantine",
+            lambda g, e: (_ for _ in ()).throw(RuntimeError("disk full")),
+        )
+        c = coalescer.DmlCoalescer(max_drain_attempts=1)
+        # distinct assignment expressions → two separate groups
+        c.enqueue(table, _src(spark, [("a", 10.0)]), ["id"],
+                  {"value": "_tgt.value + _src.adj"})
+        c.enqueue(table, _src(spark, [("b", 20.0)]), ["id"],
+                  {"value": "_tgt.value + _src.adj + 0"})
+        with pytest.raises(RuntimeError, match="disk full"):
+            c.drain()
+        # group a drained and is GONE from the queue; only b remains
+        assert c.pending() == 1
+        assert {r["id"]: r["value"] for r in table.read().collect()}["a"] == 11.0
+        # retrying the drain must not touch a again
+        monkeypatch.setattr(coalescer, "_quarantine", lambda g, e: None)
+        c.drain()
+        assert {r["id"]: r["value"] for r in table.read().collect()}["a"] == 11.0

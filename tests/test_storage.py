@@ -1334,3 +1334,72 @@ class TestCountIndex:
         maintenance.compact(tbl, {"project_id": "p1", "date": "2026-01-01"})
         n2, info2 = tbl.count_range("2026-01-01", "2026-01-02", detail=True)
         assert n2 == n and info2["scanned_files"] == 0
+
+
+KEYED_PLAIN_YAML = """
+table_name: keyed_plain
+partitions: [project_id, date]
+time_column: timestamp
+dedup_keys: [id]
+dedup_tiebreak: timestamp
+sorting_columns:
+  - {name: timestamp, descending: true, nulls_first: true}
+fields:
+  - {name: date, data_type: Date32, nullable: false}
+  - {name: timestamp, data_type: 'Timestamp(Microsecond, Some("UTC"))', nullable: false}
+  - {name: id, data_type: Utf8, nullable: false}
+  - {name: status, data_type: Utf8, nullable: true}
+  - {name: value, data_type: Float64, nullable: true}
+  - {name: project_id, data_type: Utf8, nullable: true}
+"""
+
+
+class TestInPlaceDmlOnDedupKeyedTable:
+    """Review r10: in-place DML on a dedup-keyed NON-version_append table
+    must work against the VISIBLE view — deleting only the matched raw
+    rows would resurrect a superseded older version, and counts must be
+    visible rows, not raw versions."""
+
+    def _tbl(self, spark, tmp_path):
+        tbl = Table.create(
+            spark, load_schema_text(KEYED_PLAIN_YAML), str(tmp_path / "kp")
+        )
+        # key K has an older loser (status=old) and a newer winner
+        # (status=active) — IN DIFFERENT PARTITIONS (date differs); key L
+        # is a singleton that must survive everything
+        rows = [
+            ("2026-01-01 10:00:00", "K", "old", 1.0, "p1"),
+            ("2026-01-02 10:00:00", "K", "active", 2.0, "p1"),
+            ("2026-01-01 11:00:00", "L", "active", 3.0, "p1"),
+        ]
+        df = spark.createDataFrame(
+            rows, "timestamp string, id string, status string, value double, project_id string"
+        ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+        tbl.append(df)
+        return tbl
+
+    def test_delete_never_resurrects_older_version(self, spark, tmp_path):
+        tbl = self._tbl(spark, tmp_path)
+        assert {r["id"]: r["status"] for r in tbl.read().collect()} == {
+            "K": "active", "L": "active",
+        }
+        n = dml.delete(tbl, predicate=(F.col("status") == "active") & (F.col("id") == "K"))
+        assert n == 1  # one VISIBLE row deleted
+        vis = {r["id"]: r["status"] for r in tbl.read().collect()}
+        assert vis == {"L": "active"}  # K is GONE — not resurrected as 'old'
+        # every raw version of K was removed
+        assert [r["id"] for r in tbl.read_raw().collect()] == ["L"]
+
+    def test_update_count_is_visible_rows(self, spark, tmp_path):
+        tbl = self._tbl(spark, tmp_path)
+        n = dml.update(tbl, {"value": F.lit(9.0)}, predicate=(F.col("id") == "K"))
+        # raw matches 2 versions of K, but PG reports 1 visible row
+        assert n == 1
+        got = {r["id"]: r["value"] for r in tbl.read().collect()}
+        assert got == {"K": 9.0, "L": 3.0}
+
+    def test_delete_matching_only_a_loser_is_a_noop(self, spark, tmp_path):
+        tbl = self._tbl(spark, tmp_path)
+        n = dml.delete(tbl, predicate=(F.col("status") == "old"))
+        assert n == 0  # the 'old' version is not visible — PG deletes 0
+        assert {r["id"] for r in tbl.read().collect()} == {"K", "L"}

@@ -59,6 +59,10 @@ class _Group:
     predicate: str | None
     project_id: str | None
     statements: list[_Statement] = field(default_factory=list)
+    # rounds [1, done_rounds] have COMMITTED — a retry or quarantine
+    # resumes AFTER them: re-applying a committed round would run its
+    # (non-idempotent) assignments twice (review r10)
+    done_rounds: int = 0
 
 
 def _group_key(table: Table, join_keys, assignments, predicate, project_id, src_schema):
@@ -127,27 +131,47 @@ class DmlCoalescer:
             "rounds": 0,
             "quarantined": 0,
         }
-        for g in self._groups.values():
+        # pop each group BEFORE processing: a failure while PARKING one
+        # group must never leave already-drained groups queued for a
+        # re-apply on the caller's retry (review r10)
+        for key in list(self._groups):
+            g = self._groups.pop(key)
             try:
                 updated, rounds = self._drain_group(g)
                 stats["rows_updated"] += updated
                 stats["rounds"] += rounds
             except Exception as e:  # park after exhausted attempts
-                _quarantine(g, str(e))
-                stats["quarantined"] += 1
-        self._groups.clear()
+                try:
+                    _quarantine(g, str(e))
+                    stats["quarantined"] += 1
+                except Exception:
+                    # parking itself failed: re-queue (done_rounds marks
+                    # the committed progress, so a later drain resumes
+                    # after it) rather than dropping unconverged rows
+                    self._groups[key] = g
+                    raise
         return stats
 
     def _drain_group(self, g: _Group) -> tuple[int, int]:
+        """Apply the group's rounds IN ORDER with per-round progress:
+        each committed round advances `g.done_rounds`, so the in-loop
+        retries — and any later redrive of a parked group — resume at
+        the first UNAPPLIED round instead of re-running committed
+        (non-idempotent) assignments (review r10)."""
         merged = _merge_sources(g)
+        n_rounds = merged.agg(F.max("_tf_round")).collect()[0][0] or 0
+        total = 0
         attempts = 0
-        while True:
+        while g.done_rounds < n_rounds:
+            r = g.done_rounds + 1
             try:
-                return _apply_group(g, merged)
+                total += _apply_round(g, merged, r)
+                g.done_rounds = r
             except Exception:
                 attempts += 1
                 if attempts >= self.max_drain_attempts:
                     raise
+        return total, n_rounds
 
 
 def _merge_sources(g: _Group) -> DataFrame:
@@ -200,23 +224,21 @@ def _widened_window(g: _Group) -> tuple[str | None, str | None]:
     return lo, hi
 
 
-def _apply_group(g: _Group, merged: DataFrame) -> tuple[int, int]:
+def _apply_round(g: _Group, merged: DataFrame, r: int) -> int:
+    """Commit ONE round of the group (each round's source has unique
+    keys by construction — see _merge_sources)."""
     ts_lo, ts_hi = _widened_window(g)
-    n_rounds = merged.agg(F.max("_tf_round")).collect()[0][0] or 0
-    total = 0
-    for r in range(1, n_rounds + 1):
-        src = merged.where(F.col("_tf_round") == r).drop("_tf_seq", "_tf_round")
-        total += dml.update_from(
-            g.table,
-            src,
-            list(g.join_keys),
-            {name: F.expr(expr) for name, expr in g.assignments.items()},
-            predicate=g.predicate,
-            project_id=g.project_id,
-            ts_lo=ts_lo,
-            ts_hi=ts_hi,
-        )
-    return total, n_rounds
+    src = merged.where(F.col("_tf_round") == r).drop("_tf_seq", "_tf_round")
+    return dml.update_from(
+        g.table,
+        src,
+        list(g.join_keys),
+        {name: F.expr(expr) for name, expr in g.assignments.items()},
+        predicate=g.predicate,
+        project_id=g.project_id,
+        ts_lo=ts_lo,
+        ts_hi=ts_hi,
+    )
 
 
 def _quarantine(g: _Group, error: str) -> None:
@@ -227,7 +249,14 @@ def _quarantine(g: _Group, error: str) -> None:
     gid = uuid.uuid4().hex
     qdir = os.path.join(g.table.path, QUARANTINE_DIR, gid)
     os.makedirs(qdir, exist_ok=True)
-    merged = _merge_sources(g).drop("_tf_round")
+    # park only the UNAPPLIED remainder: rounds <= done_rounds committed
+    # before the failure, and redriving them would re-run their
+    # non-idempotent assignments (review r10)
+    merged = (
+        _merge_sources(g)
+        .where(F.col("_tf_round") > g.done_rounds)
+        .drop("_tf_round")
+    )
     merged.write.mode("overwrite").parquet(os.path.join(qdir, "source"))
     ts_lo, ts_hi = _widened_window(g)
     meta = {
@@ -280,8 +309,19 @@ def redrive(table: Table, dry_run: bool = False, max_attempts: int | None = None
                 meta["predicate"],
                 meta["project_id"],
                 statements=[_Statement(0, merged, meta["ts_lo"], meta["ts_hi"])],
+                done_rounds=int(meta.get("done_rounds", 0)),
             )
-            _apply_group(g, merged)
+            # per-round progress persists to meta.json after EACH commit:
+            # a redrive that fails mid-group resumes at the first
+            # unapplied round next time (review r10)
+            n_rounds = merged.agg(F.max("_tf_round")).collect()[0][0] or 0
+            while g.done_rounds < n_rounds:
+                r = g.done_rounds + 1
+                _apply_round(g, merged, r)
+                g.done_rounds = r
+                meta["done_rounds"] = r
+                with open(meta_path, "w") as fh:
+                    json.dump(meta, fh)
             shutil.rmtree(qdir, ignore_errors=True)
             ok += 1
         except Exception as e:

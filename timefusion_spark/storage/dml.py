@@ -217,7 +217,59 @@ def _dv_dml(
     return n
 
 
-def _inplace_rewrite(table: Table, pred: Column, transform) -> int:
+def _keyed_visible_count(table: Table, matched_visible: DataFrame) -> int:
+    """Visible-row matched count for DML on a dedup-keyed PLAIN table:
+    PG reports rows the statement logically touched — the raw match count
+    also includes superseded loser versions (review r10)."""
+    return matched_visible.count()
+
+
+def _inplace_keyed_delete(table: Table, pred: Column) -> int:
+    """DELETE on a dedup-keyed non-version_append table: a key whose
+    VISIBLE winner matches the predicate is deleted ENTIRELY — every raw
+    version of it. Removing only the raw rows that match would let a
+    superseded older version become the new winner, resurrecting data PG
+    semantics say is gone (review r10). NULL-safe key equality matches
+    the dedup view's grouping."""
+    raw = table.read_raw()
+    vis_matched = table.read().where(pred)
+    n = vis_matched.count()
+    if n == 0:
+        return 0
+    keys = table.schema.dedup_keys
+    kdf = vis_matched.select(*keys).distinct().alias("_k")
+    cond = None
+    for k in keys:
+        eq = F.col(f"_t.{k}").eqNullSafe(F.col(f"_k.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    parts = table.schema.partitions
+    if parts:
+        # discovery from RAW versions of the matched keys: an older
+        # version may live in a DIFFERENT partition than its winner
+        vals = (
+            raw.alias("_t")
+            .join(kdf, cond, "leftsemi")
+            .select(*parts)
+            .distinct()
+            .collect()
+        )
+        pf, dirs = _partition_selection(table, vals)
+        affected = raw.where(pf)
+    else:
+        affected = raw
+        dirs = [""]
+    out = affected.alias("_t").join(kdf, cond, "left_anti")
+    if parts:
+        out = out.repartition(*[F.col(c) for c in parts])
+    if table.schema.sorting_columns:
+        out = out.sortWithinPartitions(
+            *[F.col(c) for c in parts], *table._sort_cols()
+        )
+    table.overwrite_partitions(out, dirs=dirs, op="dml")
+    return n
+
+
+def _inplace_rewrite(table: Table, pred: Column, transform, count_df=None) -> int:
     """Shared in-place DML engine (perform_delta_merge_update analog,
     dml.rs:958-1004): find the partitions holding matched rows, read ONLY
     those, apply `transform(partition_df)`, and publish one atomic
@@ -229,6 +281,11 @@ def _inplace_rewrite(table: Table, pred: Column, transform) -> int:
     from the commit log — replaced files stay on disk for older readers."""
     raw = table.read_raw()
     matched = raw.where(pred)
+    # `count_df` (the VISIBLE matched frame) overrides the raw match
+    # count: on dedup-keyed plain tables the raw count also includes
+    # superseded loser versions — PG reports logically-touched rows
+    # (review r10). Partition DISCOVERY stays raw: it must cover every
+    # file the rewrite touches, and raw matches are a superset.
     parts = table.schema.partitions
     if parts:
         vals = matched.select(*parts).distinct().collect()
@@ -236,13 +293,14 @@ def _inplace_rewrite(table: Table, pred: Column, transform) -> int:
             return 0
         pf, dirs = _partition_selection(table, vals)
         affected = raw.where(pf)
-        n = matched.count()
     else:
-        n = matched.count()
-        if n == 0:
-            return 0
         affected = raw
         dirs = [""]
+    n = (matched if count_df is None else count_df).count()
+    if n == 0:
+        # zero VISIBLE matches: PG reports 0; any raw-only loser matches
+        # are invisible either way, so the rewrite is skipped
+        return 0
     out = transform(affected)
     if parts:
         # one writer task per partition dir → one rewritten file per dir
@@ -288,16 +346,14 @@ def _count_and_append(table: Table, new_versions: DataFrame, stamp) -> int:
         # report). But an unreadable observation can ALSO follow a
         # successful non-empty append (py4j/listener failures), where
         # returning 0 would misreport a write that happened — so don't
-        # guess: count the appended batch itself by the stamp this call
-        # pinned above (a pushdown-friendly tiebreak-equality scan).
-        tb = table.schema.dedup_tiebreak
-        if isinstance(stamp, str) and tb:
-            return (
-                table.read_raw()
-                .where(F.col(tb) == F.lit(stamp).cast("timestamp"))
-                .count()
-            )
-        raise
+        # guess: re-execute the matched plan itself. `new_versions` was
+        # built over read_raw()'s EXPLICIT pre-append file list, so the
+        # recount is pinned to the statement's own snapshot and scoped to
+        # exactly this statement's rows. (The previous stamp-equality
+        # rescan counted EVERY row sharing the tiebreak value — under a
+        # frozen clock two statements stamp identically, so an earlier
+        # append's rows inflated the count; review r10.)
+        return new_versions.count()
 
 
 def update(
@@ -334,7 +390,13 @@ def update(
                 ]
             )
 
-        return _inplace_rewrite(table, pred, apply_update)
+        # dedup-keyed plain table: count VISIBLE matches (the raw count
+        # includes superseded loser versions; the rewrite itself is
+        # visible-correct — losers keep losing after the update)
+        count_df = (
+            table.read().where(pred) if table.schema.dedup_keys else None
+        )
+        return _inplace_rewrite(table, pred, apply_update, count_df=count_df)
     matched = _resolve(table, predicate, project_id, ts_lo, ts_hi)
     new_versions = matched.withColumns(assignments)
     return _count_and_append(table, new_versions, stamp)
@@ -356,6 +418,10 @@ def delete(
         pred = _dml_condition(table, predicate, project_id, ts_lo, ts_hi)
         if deletion_vectors:
             return _dv_dml(table, pred, None)
+        if table.schema.dedup_keys:
+            # dedup-keyed plain table: delete the KEY (every raw version of
+            # it) when its visible winner matches — see _inplace_keyed_delete
+            return _inplace_keyed_delete(table, pred)
         # Keep rows where the predicate is NOT TRUE (NULL ⇒ not matched,
         # so the row survives — PG DELETE semantics).
         return _inplace_rewrite(
@@ -398,20 +464,22 @@ def update_from(
     n_src = source.count()
     if n_src > MAX_UPDATE_SOURCE_ROWS:
         raise ValueError(f"UPDATE…FROM source too large: {n_src} > {MAX_UPDATE_SOURCE_ROWS}")
+    # Duplicate join keys in the source MULTIPLY matching target rows
+    # through the join — the in-place rewrite would publish physically
+    # duplicated data, and the MOR path would append several same-stamp
+    # versions per visible row (nondeterministic _tf_pos winner, inflated
+    # update count; PG updates each target row once). Same contract as
+    # Delta MERGE's multiple-source-match error, on BOTH paths
+    # (review r10: the guard previously covered only the in-place path).
+    n_keys = source.select(*join_keys).distinct().count()
+    if n_keys != n_src:
+        raise ValueError(
+            f"UPDATE…FROM source has duplicate join keys "
+            f"({n_src} rows, {n_keys} distinct {join_keys}): a merge "
+            "would update matched target rows more than once; "
+            "de-duplicate the source first"
+        )
     if not table.schema.version_append:
-        # Duplicate join keys in the source would MULTIPLY matching target
-        # rows through the left join — the in-place rewrite would publish
-        # physically duplicated data (the MOR path tolerates duplicates
-        # because LWW dedup keeps one winner; this path has no such net).
-        # Same contract as Delta MERGE's multiple-source-match error.
-        n_keys = source.select(*join_keys).distinct().count()
-        if n_keys != n_src:
-            raise ValueError(
-                f"UPDATE…FROM source has duplicate join keys "
-                f"({n_src} rows, {n_keys} distinct {join_keys}): an in-place "
-                "merge would duplicate matched target rows; de-duplicate the "
-                "source first"
-            )
         pred = _dml_condition(table, predicate, project_id, ts_lo, ts_hi)
         src_flagged = F.broadcast(
             source.withColumn("_tf_m", F.lit(True)).alias("_src")
@@ -448,16 +516,37 @@ def update_from(
             .join(src_flagged, cond_for("_tgt"), "left")
             .where(F.col("_tf_m").isNotNull() & F.col("_tgt._tf_p"))
         )
+        # dedup-keyed plain table: report VISIBLE matched rows (the raw
+        # join also matches superseded loser versions — review r10; the
+        # rewrite itself stays visible-correct, losers keep losing)
+        n_visible = None
+        if table.schema.dedup_keys:
+            vis = table.read().withColumn("_tf_p", F.coalesce(pred, F.lit(False)))
+            n_visible = (
+                vis.alias("_tgt")
+                .join(src_flagged, cond_for("_tgt"), "left")
+                .where(F.col("_tf_m").isNotNull() & F.col("_tgt._tf_p"))
+                .count()
+            )
         parts = table.schema.partitions
         if parts:
-            vals = matched_pred_df.select(*parts).distinct().collect()
+            # qualify with _tgt: the source legitimately carries partition
+            # columns (e.g. project_id among the join keys), and the bare
+            # name over the join is AMBIGUOUS_REFERENCE (review r10)
+            vals = (
+                matched_pred_df.select(
+                    *[F.col(f"_tgt.{c}").alias(c) for c in parts]
+                )
+                .distinct()
+                .collect()
+            )
             if not vals:
                 return 0
             pf, dirs = _partition_selection(table, vals)
             affected = table.read_raw().where(pf)
-            n = matched_pred_df.count()
+            n = n_visible if n_visible is not None else matched_pred_df.count()
         else:
-            n = matched_pred_df.count()
+            n = n_visible if n_visible is not None else matched_pred_df.count()
             if n == 0:
                 return 0
             affected = table.read_raw()

@@ -118,11 +118,21 @@ class TableSchema:
             *self.partitions,
             *self.dedup_keys,
             *(c.name for c in self.sorting_columns),
+            *self.z_order_columns,
             *([self.dedup_tiebreak] if self.dedup_tiebreak else []),
             *([self.tombstone_column] if self.tombstone_column else []),
         ):
             if col not in known:
                 raise ValueError(f"{self.table_name}: option references unknown column {col!r}")
+        # date partition derivation reads time_column at ingest; a typo'd
+        # time_column would silently route EVERY row to the default
+        # partition (coerce's in-columns guard skips derivation) — fail at
+        # load, where the misconfiguration is (review r10)
+        if "date" in self.partitions and self.time_column not in known:
+            raise ValueError(
+                f"{self.table_name}: date partitioning derives from "
+                f"time_column {self.time_column!r}, which is not a declared field"
+            )
         if self.version_append and not (
             self.dedup_keys and self.dedup_tiebreak and self.tombstone_column
         ):

@@ -369,7 +369,15 @@ class Table:
         `group` (a commitlog.CommitGroup) stages this append inside a
         coalesced multi-table commit: invisible until the group publishes
         (database.rs:5181 — one transaction across several tables)."""
-        if txn is not None and self.log.exists() and self.log.txn_version(txn[0]) >= txn[1]:
+        if txn is not None and not self.log.exists():
+            # the idempotence contract NEEDS the commit log to record the
+            # watermark; silently degrading on a pre-log table would write
+            # replayed batches twice with no dedup net (review r10)
+            raise ValueError(
+                "txn idempotence requires a commit log "
+                "(pre-log table: recreate via Table.create)"
+            )
+        if txn is not None and self.log.txn_version(txn[0]) >= txn[1]:
             return
         batch = self.dedup_batch(self.stamp_version(self.coerce(df), stamp))
         if self.schema.partitions:
@@ -517,6 +525,41 @@ class Table:
         # migrate to the end of the scan output).
         return df.select(*cols)
 
+    def changes_upper_bound(self) -> int:
+        """The highest log version an incremental change-feed cursor may
+        safely advance to: the tip, CAPPED just below the oldest
+        still-PENDING young coalesced-group commit. A pending version may
+        yet publish — a cursor that advanced past it would permanently
+        miss that batch's rows when it does (the silent-gap hazard; the
+        streaming changefeed source caps its offsets the same way, and
+        review r10 closed this batch-API gap). A pending entry older than
+        its group's declared abort_after is settled ABORTED here exactly
+        like the streaming source does — aborted groups can never
+        publish, so they stop capping."""
+        import json as _json
+        import os as _os
+        import time as _time
+
+        from timefusion_spark.storage.commitlog import (
+            _group_abort_after,
+            _group_state,
+            abort_group,
+        )
+
+        tip = self.log.latest_version()
+        log_dir = self.log.log_dir
+        for v in range(1, tip + 1):
+            p = _os.path.join(log_dir, f"{v:08d}.json")
+            if not _os.path.exists(p):
+                continue
+            with open(p) as fh:
+                rec = _json.load(fh)
+            if _group_state(rec, log_dir) == "pending":
+                if _time.time() - _os.path.getmtime(p) < _group_abort_after(rec):
+                    return v - 1
+                abort_group(rec["group"], log_dir)
+        return tip
+
     def read_changes(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -535,8 +578,13 @@ class Table:
         they apply upserts idempotently by dedup key).
 
         Incremental consumers poll: `read_changes(last_seen)` then
-        remember `log.latest_version()` — the same cursor contract as the
-        reference's WAL-tailing subscribers (buffered_write_layer.rs).
+        remember `changes_upper_bound()` — NOT `log.latest_version()`:
+        with `to_version=None` the range is capped just below the oldest
+        young PENDING coalesced-group commit (it may yet publish; a
+        cursor that advanced past it would silently lose that batch), so
+        the upper bound IS what this call consumed. Same cursor contract
+        as the reference's WAL-tailing subscribers
+        (buffered_write_layer.rs) and the streaming changefeed source.
 
         Retention: historical ranges stay readable across rewrite commits
         (snapshot isolation keeps replaced files on disk) until `vacuum`
@@ -546,7 +594,10 @@ class Table:
         if not self.log.exists():
             raise ValueError("read_changes requires a commit log (Table.create)")
         latest = self.log.latest_version()
-        to_version = latest if to_version is None else to_version
+        # default range caps below young pending group commits (see
+        # docstring; an EXPLICIT to_version keeps the caller's range and
+        # the per-entry visibility skip below)
+        to_version = self.changes_upper_bound() if to_version is None else to_version
         if not from_version <= to_version <= latest:
             raise ValueError(
                 f"bad change range ({from_version}, {to_version}] at tip {latest}"
