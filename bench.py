@@ -387,8 +387,13 @@ def main() -> int:
         "the emitted line, so absolute deltas on a contaminated box can "
         "never read as code regressions again (the r9 adjudication cost). "
         "Compare rounds via controls.delta_pct in this file. Round-10 "
-        "headline addition: q_text_search_prefix (prefix/ILIKE/compound "
-        "routing through the text-index sidecars).",
+        "headline additions: q_ann_opq_adc (OPQ learned-rotation PQ) and "
+        "q_bigram_perplexity_filter (bigram-LM corpus gate); "
+        "q_text_search_prefix stays oracle-gated but OUT of the headline "
+        "(its wall is the per-run table+index build lifecycle, and the "
+        "indexed-serving path is already measured by q_text_search_indexed). "
+        "Round 11 adds no headline queries (hardening round: the new "
+        "compound-OR routing-decline query is oracle-gated only).",
         **extra,
     }
     try:

@@ -283,3 +283,42 @@ class TestPerRoundProgress:
         monkeypatch.setattr(coalescer, "_quarantine", lambda g, e: None)
         c.drain()
         assert {r["id"]: r["value"] for r in table.read().collect()}["a"] == 11.0
+
+    def test_requeued_group_is_sealed_against_new_enqueues(
+        self, spark, table, monkeypatch
+    ):
+        """ADVICE r10: a group re-queued after a parking failure carries a
+        committed done_rounds watermark; a LATER enqueue matching the
+        same logical key must start a FRESH group — appending to the
+        sealed one would give any new join keys round numbers at or
+        below the watermark and silently skip their rows on the next
+        drain."""
+        real = dml.update_from
+        calls = {"n": 0}
+
+        def fail_first(table_arg, src, keys, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient")
+            return real(table_arg, src, keys, *a, **kw)
+
+        monkeypatch.setattr(dml, "update_from", fail_first)
+        monkeypatch.setattr(
+            coalescer, "_quarantine",
+            lambda g, e: (_ for _ in ()).throw(RuntimeError("disk full")),
+        )
+        add = {"value": "_tgt.value + _src.adj"}
+        c = coalescer.DmlCoalescer(max_drain_attempts=1)
+        c.enqueue(table, _src(spark, [("a", 10.0)]), ["id"], add)
+        with pytest.raises(RuntimeError, match="disk full"):
+            c.drain()
+        # the failed group re-queued; a NEW statement with the SAME
+        # logical group key must land in a SEPARATE group
+        c.enqueue(table, _src(spark, [("b", 20.0)]), ["id"], add)
+        assert len(c._groups) == 2
+        monkeypatch.setattr(coalescer, "_quarantine", lambda g, e: None)
+        stats = c.drain()
+        assert stats["quarantined"] == 0
+        got = {r["id"]: r["value"] for r in table.read().collect()}
+        # BOTH statements converged exactly once: a=1+10, b=2+20
+        assert got["a"] == 11.0 and got["b"] == 22.0

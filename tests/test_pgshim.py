@@ -969,3 +969,103 @@ def test_eq_any_uncast_brace_literal(spark):
         ).collect()[0][0]
         == 3
     )
+
+
+class TestArrayLiteralMalformed:
+    """PG's array_in rejects empty unquoted elements (VERDICT r10 #5):
+    '{a,}' / '{,a}' / '{a,,b}' must raise instead of minting '' elements
+    that `x = ANY(...)` would then silently match."""
+
+    @pytest.mark.parametrize("lit", ["{a,}", "{,a}", "{a,,b}", "{a, ,b}"])
+    def test_empty_unquoted_element_raises(self, lit):
+        from timefusion_spark.pgshim import _parse_pg_array_literal
+
+        with pytest.raises(ValueError):
+            _parse_pg_array_literal(lit)
+
+    def test_legal_shapes_still_parse(self):
+        from timefusion_spark.pgshim import _parse_pg_array_literal
+
+        assert _parse_pg_array_literal("{}") == []
+        assert _parse_pg_array_literal("{ }") == []
+        assert _parse_pg_array_literal('{""}') == [""]
+        assert _parse_pg_array_literal("{a,b}") == ["a", "b"]
+        assert _parse_pg_array_literal("{NULL,a}") == [None, "a"]
+        assert _parse_pg_array_literal("{ a , b }") == ["a", "b"]
+        assert _parse_pg_array_literal("{{1,2},{3,4}}") == [["1", "2"], ["3", "4"]]
+
+    def test_eq_any_malformed_is_error_not_silent_match(self, spark):
+        """PG raises `malformed array literal` for '{a,}'; the shim must
+        surface an error (analysis failure on the scan path), never
+        silently match rows where x = ''."""
+        spark.createDataFrame(
+            [("",), ("a",)], "x string"
+        ).createOrReplaceTempView("mal_any")
+        with pytest.raises(Exception):
+            pg_sql(
+                spark, "SELECT count(*) AS n FROM mal_any WHERE x = ANY('{a,}')"
+            ).collect()
+
+
+class TestArrayLiteralNumericCanonical:
+    """Only CANONICAL numerics render bare in array literals: '007',
+    '1.50', '1.0' must stay quoted text — a bare double re-renders
+    without the padding ('1.50' -> 1.5) and silently matches text it
+    shouldn't (ADVICE r10, extends the r10 '007' fix)."""
+
+    def test_canonical_forms_render_bare(self):
+        from timefusion_spark.pgshim import _pg_array_literal_sql
+
+        assert _pg_array_literal_sql("{1.5,2,-3,0}", "STRING") == (
+            "array(1.5, 2, -3, 0)"
+        )
+
+    def test_non_canonical_forms_stay_quoted(self):
+        from timefusion_spark.pgshim import _pg_array_literal_sql
+
+        assert _pg_array_literal_sql("{1.50,007,1.0,1.}", "STRING") == (
+            "array('1.50', '007', '1.0', '1.')"
+        )
+
+    def test_trailing_zero_text_compare_end_to_end(self, spark):
+        spark.createDataFrame(
+            [("1.5",), ("1.50",)], "s string"
+        ).createOrReplaceTempView("canon_num")
+        got = pg_sql(
+            spark,
+            "SELECT s FROM canon_num WHERE s = ANY('{1.50}') ORDER BY s",
+        ).collect()
+        assert [r.s for r in got] == ["1.50"]  # text compare: '1.5' no match
+
+
+def test_variant_narrowing_keeps_cte_alias(spark):
+    """VERDICT r10 #7: a CTE exposing a Variant under an alias that
+    collides with a base table's PLAIN column must keep its variant
+    binding — a statement defining derived relations skips the
+    statement-scoped narrowing (keeps the session-wide set), because a
+    base table's plain-column evidence says nothing about what the CTE
+    exposes."""
+    from timefusion_spark.pgshim import pg_sql, register_variant_columns
+
+    register_variant_columns(["nbody_cte"], spark=spark)
+    # base table with a PLAIN nbody_cte column — its positive non-Variant
+    # evidence must NOT strip the registration from the CTE's alias
+    spark.createDataFrame(
+        [("x", "plain")], "id string, nbody_cte string"
+    ).createOrReplaceTempView("narrow_plain_t")
+    row = pg_sql(
+        spark,
+        'WITH j AS (SELECT parse_json(\'{"k": 7}\') AS nbody_cte) '
+        "SELECT j.nbody_cte->>'k' AS k FROM j, narrow_plain_t",
+    ).collect()[0]
+    assert row.k == "7"
+    # plain statements over the base table alone still narrow (the r10
+    # behavior): LIKE over the plain column keeps working
+    assert (
+        pg_sql(
+            spark,
+            "SELECT count(*) AS n FROM narrow_plain_t "
+            "WHERE nbody_cte LIKE '%plain%'",
+        ).collect()[0][0]
+        == 1
+    )

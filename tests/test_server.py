@@ -1995,6 +1995,128 @@ class TestTextMatchIndexOverSql:
         c.close()
 
 
+class TestTextRouteCompoundGuards:
+    """VERDICT r10 #1-#3: the compound-AND routing envelope must (1)
+    DECLINE on a top-level OR — routing one conjunct and AND-re-applying
+    the rest computes `like AND (a OR b)` where SQL means `(like AND a)
+    OR b`; (2) alias the candidate view back to the table name so
+    qualified references and correlated EXISTS conjuncts keep resolving;
+    (3) decline trailing OFFSET/FETCH/FOR clauses."""
+
+    def _mk(self, c):
+        c.query(
+            "CREATE TABLE cor_t (ts TIMESTAMP, id TEXT, body TEXT, lang TEXT, "
+            "project_id TEXT)"
+        )
+        c.query(
+            "INSERT INTO cor_t VALUES "
+            "('2026-01-01 10:00:00','a','the merge window closed','en','p1'), "
+            "('2026-01-01 11:00:00','b','window shopping only','fr','p1'), "
+            "('2026-01-01 12:00:00','c','nothing to see','en','p1'), "
+            "('2026-01-01 13:00:00','d','the merge window opened','fr','p1')"
+        )
+        msgs = c.query(
+            "CREATE INDEX ON cor_t USING gin (body gin_trgm_ops) WITH (key = 'id')"
+        )
+        assert b"E" not in tags_of(msgs), msgs
+
+    def test_top_level_or_declines_with_correct_answer(self, server):
+        from timefusion_spark import pgshim
+
+        c = WireClient(server.port)
+        c.startup()
+        self._mk(c)
+        served0 = pgshim.TEXT_INDEX_SERVED
+        # (like AND lang='en') OR id='c' -> rows a (like+en) and c (id)
+        msgs = c.query(
+            "SELECT count(*) AS n FROM cor_t "
+            "WHERE body LIKE '%merge window%' AND lang = 'en' OR id = 'c'"
+        )
+        assert rows_of(msgs) == [["2"]], msgs  # pre-fix routing said 1
+        assert pgshim.TEXT_INDEX_SERVED == served0  # declined
+        # parenthesized OR is BELOW top level: routes, correct semantics
+        msgs = c.query(
+            "SELECT count(*) AS n FROM cor_t "
+            "WHERE body LIKE '%merge window%' AND (lang = 'en' OR id = 'd')"
+        )
+        assert rows_of(msgs) == [["2"]], msgs  # a and d
+        assert pgshim.TEXT_INDEX_SERVED == served0 + 1
+        c.query("DROP TABLE cor_t")
+        c.close()
+
+    def test_qualified_and_correlated_conjuncts_resolve(self, server):
+        from timefusion_spark import pgshim
+
+        c = WireClient(server.port)
+        c.startup()
+        self._mk(c)
+        c.query("CREATE TABLE cor_ref (ts TIMESTAMP, id TEXT, project_id TEXT)")
+        c.query(
+            "INSERT INTO cor_ref VALUES ('2026-01-01 10:00:00','a','p1'), "
+            "('2026-01-01 10:00:00','x','p1')"
+        )
+        served0 = pgshim.TEXT_INDEX_SERVED
+        # table-qualified remaining conjunct routes and resolves against
+        # the aliased candidate view (pre-fix: UNRESOLVED_COLUMN)
+        msgs = c.query(
+            "SELECT count(*) AS n FROM cor_t "
+            "WHERE body LIKE '%merge window%' AND cor_t.lang = 'fr'"
+        )
+        assert rows_of(msgs) == [["1"]], msgs  # d only
+        assert pgshim.TEXT_INDEX_SERVED == served0 + 1
+        # correlated EXISTS conjunct keeps resolving too
+        msgs = c.query(
+            "SELECT count(*) AS n FROM cor_t "
+            "WHERE body LIKE '%merge window%' AND EXISTS "
+            "(SELECT 1 FROM cor_ref WHERE cor_ref.id = cor_t.id)"
+        )
+        assert rows_of(msgs) == [["1"]], msgs  # a only
+        assert pgshim.TEXT_INDEX_SERVED == served0 + 2
+        c.query("DROP TABLE cor_t")
+        c.query("DROP TABLE cor_ref")
+        c.close()
+
+    def test_trailing_clauses_served_with_identical_answers(self, server):
+        """Round 11: trailing clauses are SERVED — the whole statement
+        re-plans over the aliased candidate view, so ORDER BY / LIMIT /
+        OFFSET / GROUP BY / FETCH apply after the re-verified predicate
+        exactly as on the scan path. A locking clause (FOR UPDATE) still
+        declines — counter flat, scan-path behavior untouched."""
+        from timefusion_spark import pgshim
+
+        c = WireClient(server.port)
+        c.startup()
+        self._mk(c)
+        served0 = pgshim.TEXT_INDEX_SERVED
+        msgs = c.query(
+            "SELECT * FROM cor_t WHERE body LIKE '%merge window%' "
+            "ORDER BY id LIMIT 10 OFFSET 1"
+        )
+        idx = [n for n, _ in row_desc_of(msgs)].index("id")
+        assert [r[idx] for r in rows_of(msgs)] == ["d"]
+        assert pgshim.TEXT_INDEX_SERVED == served0 + 1
+        # dashboard shape: GROUP BY over an indexed predicate is served
+        msgs = c.query(
+            "SELECT lang, count(*) AS n FROM cor_t "
+            "WHERE body LIKE '%merge window%' GROUP BY lang ORDER BY lang"
+        )
+        assert rows_of(msgs) == [["en", "1"], ["fr", "1"]], msgs
+        assert pgshim.TEXT_INDEX_SERVED == served0 + 2
+        # SQL-standard FETCH FIRST spelling routes too (shim LIMIT twin)
+        msgs = c.query(
+            "SELECT id FROM cor_t WHERE body LIKE '%merge window%' "
+            "ORDER BY id FETCH FIRST 1 ROWS ONLY"
+        )
+        assert rows_of(msgs) == [["a"]], msgs
+        assert pgshim.TEXT_INDEX_SERVED == served0 + 3
+        # locking clause: declined — whatever the scan path does, the
+        # routing must not mint different behavior
+        c.query("SELECT * FROM cor_t WHERE body LIKE '%merge window%' FOR UPDATE")
+        assert pgshim.TEXT_INDEX_SERVED == served0 + 3
+        c.query("DROP TABLE cor_t")
+        c.close()
+
+
 class TestCreateOverExistingSidecar:
     def test_create_with_different_schema_raises(self, spark, tmp_path):
         """ADVICE r7: a user-issued CREATE TABLE over a reused base dir

@@ -1403,3 +1403,129 @@ class TestInPlaceDmlOnDedupKeyedTable:
         n = dml.delete(tbl, predicate=(F.col("status") == "old"))
         assert n == 0  # the 'old' version is not visible — PG deletes 0
         assert {r["id"] for r in tbl.read().collect()} == {"K", "L"}
+
+
+class TestDvDmlOnDedupKeyedTable:
+    """ADVICE r10 (medium): the deletion-vector DML path on a dedup-keyed
+    plain table must carry the same visible-view semantics as the
+    in-place path — DELETE masks EVERY raw version of a key whose
+    VISIBLE winner matches (no resurrection of superseded versions), and
+    both verbs report the visible matched count, never the raw count."""
+
+    def _tbl(self, spark, tmp_path):
+        tbl = Table.create(
+            spark, load_schema_text(KEYED_PLAIN_YAML), str(tmp_path / "kpdv")
+        )
+        rows = [
+            ("2026-01-01 10:00:00", "K", "old", 1.0, "p1"),
+            ("2026-01-02 10:00:00", "K", "active", 2.0, "p1"),
+            ("2026-01-01 11:00:00", "L", "active", 3.0, "p1"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "timestamp string, id string, status string, value double, "
+            "project_id string",
+        ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+        tbl.append(df)
+        return tbl
+
+    def test_dv_delete_never_resurrects_older_version(self, spark, tmp_path):
+        tbl = self._tbl(spark, tmp_path)
+        n = dml.delete(
+            tbl,
+            predicate=(F.col("status") == "active") & (F.col("id") == "K"),
+            deletion_vectors=True,
+        )
+        assert n == 1  # one VISIBLE row deleted (not 1-per-raw-version)
+        vis = {r["id"]: r["status"] for r in tbl.read().collect()}
+        assert vis == {"L": "active"}  # K gone — NOT resurrected as 'old'
+        # every raw version of K is masked
+        assert [r["id"] for r in tbl.read_raw().collect()] == ["L"]
+
+    def test_dv_update_count_is_visible_rows(self, spark, tmp_path):
+        tbl = self._tbl(spark, tmp_path)
+        n = dml.update(
+            tbl,
+            {"value": F.lit(9.0)},
+            predicate=(F.col("id") == "K"),
+            deletion_vectors=True,
+        )
+        assert n == 1  # raw matches 2 versions of K; PG reports 1
+        got = {r["id"]: r["value"] for r in tbl.read().collect()}
+        assert got == {"K": 9.0, "L": 3.0}
+
+    def test_dv_delete_matching_only_a_loser_is_a_noop(self, spark, tmp_path):
+        tbl = self._tbl(spark, tmp_path)
+        v0 = tbl.log.latest_version()
+        n = dml.delete(
+            tbl, predicate=(F.col("status") == "old"), deletion_vectors=True
+        )
+        assert n == 0  # the 'old' version is invisible — PG deletes 0
+        assert {r["id"] for r in tbl.read().collect()} == {"K", "L"}
+        # and no DV commit landed (zero visible matches writes nothing)
+        assert tbl.log.latest_version() == v0
+
+
+class TestChangesUpperBoundIncremental:
+    """VERDICT r10 #4/#6: the batch CDF cursor API — a default poll from
+    a cursor legally past a pending commit yields an EMPTY batch (not a
+    bad-range error), and each upper-bound poll reads only commit
+    records above the instance's settled prefix (O(new), not O(tip))."""
+
+    def _mk(self, spark, tmp_path, name="cdf"):
+        return Table.create(
+            spark, load_schema_text(MOR_YAML), str(tmp_path / name)
+        )
+
+    def _row(self, spark, i):
+        return spark.createDataFrame(
+            [(f"2026-01-01 0{i % 10}:00:00", f"r{i}", float(i), "p1",
+              "2026-01-01 00:00:00", False)],
+            "timestamp string, id string, value double, project_id string, "
+            "updated_at string, deleted boolean",
+        ).withColumn("timestamp", F.col("timestamp").cast("timestamp")).withColumn(
+            "updated_at", F.col("updated_at").cast("timestamp")
+        )
+
+    def test_explicit_then_default_poll_gets_empty_batch(self, spark, tmp_path):
+        from timefusion_spark.storage.commitlog import CommitGroup
+
+        tbl = self._mk(spark, tmp_path)
+        tbl.append(self._row(spark, 1))
+        g = CommitGroup(str(tmp_path / "groups"))
+        tbl.append(self._row(spark, 2), group=g)  # pending (young)
+        tbl.append(self._row(spark, 3))  # published, above the pending one
+        tip = tbl.log.latest_version()
+        assert tbl.changes_upper_bound() < tip  # capped below the pending v
+        # documented-legal: an EXPLICIT to_version may pass the cap
+        n = tbl.read_changes(0, to_version=tip).count()
+        assert n == 2  # v1 + v3 (pending v2 skipped by visibility)
+        # the consumer's cursor now sits at tip; a DEFAULT poll must hand
+        # back an empty batch, not ValueError("bad change range")
+        out = tbl.read_changes(tip)
+        assert out.count() == 0
+        g.publish()
+
+    def test_poll_opens_only_new_log_files(self, spark, tmp_path, monkeypatch):
+        import builtins
+        import re as _re
+
+        tbl = self._mk(spark, tmp_path, "cdfinc")
+        for i in range(6):
+            tbl.append(self._row(spark, i))
+        tbl.changes_upper_bound()  # settles the prefix
+        for i in range(6, 9):
+            tbl.append(self._row(spark, i))
+        real_open = builtins.open
+        opened: list[str] = []
+
+        def spy(path, *a, **k):
+            if isinstance(path, str) and _re.search(r"\d{8}\.json$", path):
+                opened.append(path)
+            return real_open(path, *a, **k)
+
+        monkeypatch.setattr(builtins, "open", spy)
+        assert tbl.changes_upper_bound() == tbl.log.latest_version()
+        monkeypatch.undo()
+        # only the 3 NEW commit records were read — not all 9 (O(tip))
+        assert len(opened) == 3, opened

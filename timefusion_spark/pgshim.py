@@ -442,6 +442,11 @@ def _parse_pg_array_literal(s: str):
                 while pos < n and s[pos] not in ",}":
                     pos += 1
                 raw = s[start:pos].strip()
+                if not raw:
+                    # PG's array_in rejects empty unquoted elements —
+                    # '{a,}' / '{,a}' / '{a,,b}' are all malformed (an
+                    # empty STRING element must be quoted: '{""}')
+                    raise ValueError(f"malformed array literal: {s!r}")
                 items.append(None if raw.upper() == "NULL" else raw)
             skip_ws()
             if pos < n and s[pos] == ",":
@@ -483,8 +488,11 @@ def _pg_array_literal_sql(literal: str, spark_type: str) -> str:
         # only CANONICAL-form numerics render bare: '007' must stay text —
         # against an int LHS both engines coerce it to 7 anyway, while
         # against a text LHS PG compares the literal text ('007' <> '7'),
-        # which a bare 7 would silently match (review r10)
-        if re.fullmatch(r"-?(0|[1-9]\d*)(\.\d+)?", node):
+        # which a bare 7 would silently match (review r10). Same for
+        # trailing fraction zeros: '1.50' rendered as a bare double prints
+        # back '1.5', silently matching text it shouldn't (ADVICE r10) —
+        # the fraction must end in a nonzero digit to render bare.
+        if re.fullmatch(r"-?(0|[1-9]\d*)(\.\d*[1-9])?", node):
             return node
         return "'" + node.replace("'", "''") + "'"
 
@@ -1462,6 +1470,16 @@ def _narrow_variant_cols(spark, sql: str, cols: frozenset[str]) -> frozenset[str
     ]
     if not mentioned:
         return cols
+    # a CTE or derived relation can expose a Variant under ANY alias
+    # (`WITH j AS (SELECT attributes AS body …)`) that this pass cannot
+    # resolve — but a base table's plain column of the same name WOULD
+    # contribute plain evidence and wrongly drop the registration. Any
+    # statement defining derived relations keeps the session-wide set
+    # (degrade direction only, VERDICT r10 #7).
+    if re.match(r"(?is)^\s*WITH\b", sql) or re.search(
+        r"(?is)\b(?:FROM|JOIN)\s*\(", sql
+    ):
+        return cols
     names = set(_STMT_TABLE_RE.findall(sql))
     if not names:
         return cols
@@ -1756,14 +1774,6 @@ def _apply_count_statement(spark, stripped: str, tables):
     return spark.createDataFrame([(n,)], f"{alias or 'count'} bigint")
 
 
-# `SELECT COUNT(*)|* FROM t WHERE <predicates>` — the routable statement
-# envelope; the WHERE splits into top-level AND conjuncts and the FIRST
-# index-servable conjunct routes (tantivy_rewriter.rs rewrites one
-# predicate per indexed column inside arbitrary conjunctions)
-_TEXT_Q_RE = re.compile(
-    r"(?is)^SELECT\s+(COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?|\*)\s+FROM\s+"
-    r"([A-Za-z_]\w*)\s+WHERE\s+(.+)$"
-)
 _TM_PRED_RE = re.compile(
     r"(?is)^text_match\(\s*([A-Za-z_]\w*)\s*,\s*'([^']*)'\s*\)$"
 )
@@ -1974,67 +1984,95 @@ def _apply_text_match_statement(spark, stripped: str, tables):
     normally through the registered text_match SQL function (the
     correctness fallback, udf.rs:1-60). A missing or STALE sidecar (base
     table advanced past the build version) declines: the index may only
-    over-select, never miss a newer row."""
-    m = _TEXT_Q_RE.match(stripped)
+    over-select, never miss a newer row.
+
+    Envelope (round 11, generalized): any single-table SELECT with a
+    WHERE — arbitrary projection, GROUP BY / ORDER BY / HAVING / LIMIT /
+    OFFSET / FETCH / WINDOW tails all serve, because the ENTIRE
+    statement re-plans over the candidate view aliased back to the table
+    name with the FULL original WHERE re-applied (routed conjunct
+    included): the index can only over-select, never change the answer.
+    Declines: joins / derived sources, set ops, locking clauses, and a
+    TOP-LEVEL OR in the WHERE (routing one AND-conjunct under an OR
+    would change precedence — VERDICT r10 #1)."""
+    from timefusion_spark import slt as _slt
+
+    m = re.match(r"(?is)^SELECT\s+(.+)$", stripped)
     if not m:
         return None
-    proj, alias, name, where = m.groups()
+    parts = _slt._split_top_kw(m.group(1), "FROM")
+    if len(parts) != 2:
+        return None  # no table, or multiple top-level FROMs (set ops)
+    proj, after = parts[0].strip(), parts[1].strip()
+    fm = re.match(r"(?is)^([A-Za-z_]\w*)\s+WHERE\s+(.+)$", after)
+    if not fm:
+        return None  # joins / aliases / derived sources: scan path
+    name, rest = fm.groups()
     tbl = (tables or {}).get(name)
     if tbl is None:
         return None
-    from timefusion_spark import slt as _slt
-
-    # the envelope is a bare filtered scan/count: the greedy WHERE tail
-    # would otherwise swallow a trailing clause (GROUP BY / ORDER BY /
-    # HAVING / LIMIT / set ops) into the re-applied predicate and break a
-    # statement that plans fine unrouted — any top-level clause keyword
-    # declines to normal planning (routing must never change semantics)
-    for kw in ("GROUP", "ORDER", "HAVING", "LIMIT", "WINDOW",
-               "UNION", "INTERSECT", "EXCEPT"):
-        if len(_slt._split_top_kw(where, kw)) > 1:
+    for kw in ("UNION", "INTERSECT", "EXCEPT", "FOR"):
+        if (
+            len(_slt._split_top_kw(rest, kw)) > 1
+            or len(_slt._split_top_kw(proj, kw)) > 1
+        ):
             return None
+    # split the WHERE region from trailing clauses; the tail re-applies
+    # verbatim in the re-planned statement, AFTER the re-verified
+    # predicate — exactly the scan path's evaluation order
+    where = rest
+    for kw in ("GROUP", "ORDER", "HAVING", "LIMIT",
+               "WINDOW", "OFFSET", "FETCH"):
+        pieces = _slt._split_top_kw(where, kw)
+        if len(pieces) > 1:
+            where = pieces[0]
+    tail = rest[len(where):]
+    # a top-level OR changes precedence: routing one AND-conjunct as a
+    # prefilter would compute `like AND (a OR b)` where SQL means
+    # `(like AND a) OR b` — decline so the additive contract
+    # (tantivy_rewriter.rs:23-26: routing never changes answers) holds
+    # for mixed AND/OR statements (VERDICT r10 #1)
+    if len(_slt._split_top_kw(where, "OR")) > 1:
+        return None
 
-    conjs = [c.strip() for c in _slt._split_top(where, "AND") if c.strip()]
     hits = None
-    rest: list[str] = []
-    for conj in conjs:
-        if hits is None:
-            routed = _route_text_pred(tbl, conj)
-            if routed is not None:
-                hits = routed
-                continue
-        rest.append(conj)
+    for conj in _slt._split_top(where, "AND"):
+        if conj.strip():
+            hits = _route_text_pred(tbl, conj.strip())
+            if hits is not None:
+                break
     if hits is None:
         return None
     global TEXT_INDEX_SERVED
     TEXT_INDEX_SERVED += 1
-    if rest:
-        # remaining conjuncts re-apply through the full shim dialect over
-        # the pruned frame (::casts, = ANY, regex operators, … all keep
-        # working); the routed conjunct is already enforced by the search.
-        # The view name is UNIQUE per statement — concurrent pgwire
-        # connections routing the same table must never read each other's
-        # candidate frames — and dropped immediately: the returned
-        # DataFrame captures the ANALYZED plan, not the view name.
-        import uuid as _uuid
+    # The view name is UNIQUE per statement — concurrent pgwire
+    # connections routing the same table must never read each other's
+    # candidate frames — and dropped immediately: the returned DataFrame
+    # captures the ANALYZED plan, not the view name. Column order is
+    # pinned to the scan layout so `SELECT *` answers byte-identically.
+    import uuid as _uuid
 
-        view = f"__tf_textroute_{name}_{_uuid.uuid4().hex[:12]}"
-        hits.createOrReplaceTempView(view)
-        try:
-            hits = spark.sql(
-                pg_to_spark_sql(
-                    f"SELECT * FROM {view} WHERE {' AND '.join(rest)}", spark
-                )
+    view = f"__tf_textroute_{name}_{_uuid.uuid4().hex[:12]}"
+    hits.select(*tbl.read().columns).createOrReplaceTempView(view)
+    try:
+        # aliased back to the table's own name so qualified references
+        # (`docs.lang='en'`) and correlated subqueries keep resolving
+        # (VERDICT r10 #2); the full WHERE (routed conjunct included)
+        # and any trailing clauses re-plan through the full shim dialect
+        out = spark.sql(
+            pg_to_spark_sql(
+                f"SELECT {proj} FROM {view} AS {name} WHERE {where}{tail}",
+                spark,
             )
-        finally:
-            spark.catalog.dropTempView(view)
-    if proj.upper().startswith("COUNT"):
-        n = hits.count()
-        return spark.createDataFrame([(n,)], f"{alias or 'count'} bigint")
-    # SELECT * must keep the SCAN path's column order (the additive
-    # contract is byte-identical answers; the candidate frame's internal
-    # column layout is an implementation detail)
-    return hits.select(*tbl.read().columns)
+        )
+        cm = re.fullmatch(r"(?is)COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?", proj)
+        if cm and not tail.strip():
+            # bare-count column naming parity with the count-range
+            # interception (and PG's default `count` label)
+            out = out.toDF(cm.group(1) or "count")
+        return out
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def _apply_delta_statement(spark, rest: str, tables):

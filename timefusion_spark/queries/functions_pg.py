@@ -523,3 +523,141 @@ def q_text_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_text_search_compound_or",
+    oracle="""
+    WITH d AS (
+      SELECT text, lang,
+             CASE WHEN doc_id % 7 = 0 THEN 'bob' ELSE 'alice' END AS author
+      FROM documents
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+        WHERE text LIKE '%merge window%' AND lang = 'en' OR author = 'bob')
+        AS n_mixed,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+        WHERE text LIKE '%merge window%' AND (lang = 'en' OR author = 'bob'))
+        AS n_paren,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+        WHERE text LIKE '%merge window%' AND lang = 'en') AS n_qualified,
+      (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM d
+        WHERE text LIKE '%merge window%') AS n_groups
+    """,
+    doc="Mixed AND/OR precedence under text-index routing (VERDICT r10 "
+    "#1-#2; tantivy_rewriter.rs:23-26 additive contract). A WHERE with a "
+    "TOP-LEVEL OR must DECLINE routing — serving the LIKE conjunct and "
+    "re-applying the rest as an AND post-filter would compute "
+    "`like AND (a OR b)` where SQL means `(like AND a) OR b` — while a "
+    "PARENTHESIZED OR conjunct still routes (it re-applies with correct "
+    "semantics), and a table-QUALIFIED remaining conjunct resolves "
+    "against the aliased candidate view. In-query raises pin the decline "
+    "(served counter flat), both routed shapes (counter +1 each), the "
+    "scan-path-identical answer for every shape, and that the mixed "
+    "statement's answer STRICTLY exceeds the parenthesized one — i.e. "
+    "the OR-only rows the pre-fix routing silently dropped are present. "
+    "Round-11 generalized envelope: a GROUP BY dashboard shape over the "
+    "indexed predicate is ALSO served (the whole statement re-plans over "
+    "the aliased candidate view), with the per-group counts pinned "
+    "scan-identical in-query and the group count reproduced closed-form.",
+)
+def q_text_search_compound_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import timefusion_spark.pgshim as pgshim
+    from timefusion_spark.pgshim import pg_sql
+    from timefusion_spark.slt import SltEnv
+
+    base_dir = tempfile.mkdtemp(prefix="tf_textcor_")
+    try:
+        env = SltEnv(spark, base_dir)
+        env.run_statement(
+            "CREATE TABLE docs_cor (ts TIMESTAMP, doc_id BIGINT, content TEXT, "
+            "lang TEXT, author TEXT, project_id TEXT)"
+        )
+        t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_cor_src")
+        env.run_statement(
+            "INSERT INTO docs_cor SELECT timestamp '2026-03-01 00:00:00', "
+            "doc_id, text, lang, "
+            "CASE WHEN doc_id % 7 = 0 THEN 'bob' ELSE 'alice' END, "
+            "'p1' FROM __docs_cor_src"
+        )
+        pg_sql(
+            spark,
+            "CREATE INDEX ON docs_cor (content) WITH (key = 'doc_id')",
+            tables=env.tables,
+        ).collect()
+
+        def run(q: str, served_delta: int) -> int:
+            before = pgshim.TEXT_INDEX_SERVED
+            n = pg_sql(spark, q, tables=env.tables).collect()[0][0]
+            if pgshim.TEXT_INDEX_SERVED != before + served_delta:
+                raise RuntimeError(
+                    f"expected served counter +{served_delta} for {q!r}"
+                )
+            return int(n)
+
+        mixed_where = (
+            "content LIKE '%merge window%' AND lang = 'en' OR author = 'bob'"
+        )
+        paren_where = (
+            "content LIKE '%merge window%' AND (lang = 'en' OR author = 'bob')"
+        )
+        qual_where = "content LIKE '%merge window%' AND docs_cor.lang = 'en'"
+        # top-level OR: DECLINES (counter flat) — the scan path answers
+        n_mixed = run(
+            f"SELECT count(*) AS n FROM docs_cor WHERE {mixed_where}", 0
+        )
+        # parenthesized OR conjunct: ROUTES (the re-applied AND post-filter
+        # is semantics-preserving below top level)
+        n_paren = run(
+            f"SELECT count(*) AS n FROM docs_cor WHERE {paren_where}", 1
+        )
+        # table-qualified remaining conjunct: ROUTES and must resolve
+        # against the aliased candidate view
+        n_qual = run(
+            f"SELECT count(*) AS n FROM docs_cor WHERE {qual_where}", 1
+        )
+        # scan identity for every shape (Spark SQL has PG's precedence)
+        for where, n in (
+            (mixed_where, n_mixed),
+            (paren_where, n_paren),
+            ("content LIKE '%merge window%' AND lang = 'en'", n_qual),
+        ):
+            scan = spark.sql(
+                f"SELECT count(*) FROM docs_cor WHERE {where}"
+            ).collect()[0][0]
+            _require(n == scan, (where, n, scan))
+        # the precedence difference is NON-EMPTY: rows matching only the
+        # OR arm exist, so the pre-fix routing would have answered wrong
+        _require(n_mixed > n_paren > 0, (n_mixed, n_paren))
+        # round-11 envelope: GROUP BY over the indexed predicate SERVES
+        # (whole-statement re-plan over the aliased candidate view), with
+        # every per-group count scan-identical
+        before = pgshim.TEXT_INDEX_SERVED
+        grouped = pg_sql(
+            spark,
+            "SELECT lang, count(*) AS n FROM docs_cor "
+            "WHERE content LIKE '%merge window%' GROUP BY lang ORDER BY lang",
+            tables=env.tables,
+        ).collect()
+        _require(pgshim.TEXT_INDEX_SERVED == before + 1)
+        scan_grouped = spark.sql(
+            "SELECT lang, count(*) AS n FROM docs_cor "
+            "WHERE content LIKE '%merge window%' GROUP BY lang ORDER BY lang"
+        ).collect()
+        _require(
+            [(r.lang, r.n) for r in grouped]
+            == [(r.lang, r.n) for r in scan_grouped],
+            (grouped, scan_grouped),
+        )
+        out = spark.createDataFrame(
+            [(n_mixed, n_paren, n_qual, len(grouped))],
+            "n_mixed bigint, n_paren bigint, n_qualified bigint, "
+            "n_groups bigint",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

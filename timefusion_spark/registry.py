@@ -110,27 +110,16 @@ PRIORITY: tuple[str, ...] = (
     # are the new high-risk storage/accelerator surfaces)
     "q_count_index",
     "q_text_search_indexed",
-    # new round 8 (late): the last three TPC-H shapes (Q2's float-tie
-    # rounding and Q20's NULL-propagating correlated SUM are fresh
-    # cross-engine surfaces) and BM25 ranked retrieval (float ln() in
-    # the score). Rotated out: q_knn_per_label / q_salted_agg /
-    # q_percentile_duration / q_recent_events_topk — all multi-round
-    # certified, pure built-in shapes, unchanged.
-    "q2_min_cost_supplier",
-    "q20_potential_promotion",
+    # round 8 late additions q2_min_cost_supplier / q20_potential_promotion
+    # rotated out round 11 (gate-certified r8-r10, unchanged pure
+    # relational shapes); BM25 stays (float ln() in the score).
     "q_bm25_rank",
     # (q_fuzzy_decontamination rotated out round 10 continuation —
-    # gate-certified r8-r10, unchanged; q_asof_join rotated out r8)
-    # new round 8 (late): exact duplicated-span removal (Lee et al.
-    # ExactSubstr) — fresh winnow-anchor / interval-merge / stitch code
-    # path with a full SQL mirror oracle. Rotated out: q_jsonpath_filters
-    # (multi-round certified, unchanged).
-    "q_dedup_substring",
-    # new round 8 (late): streaming online near-dup dedup — fresh
-    # foreachBatch + persisted-signature-index code path with a
-    # closed-form sequential oracle. Rotated out: q_media_bmp_decode
-    # (multi-round certified, unchanged).
-    "q_streaming_dedup_online",
+    # gate-certified r8-r10, unchanged; q_asof_join rotated out r8;
+    # q_dedup_substring rotated out round 11 — gate-certified r8-r10,
+    # unchanged, and its Arrow twin q_dedup_substring_arrow stays pinned;
+    # q_streaming_dedup_online rotated out round 11 — gate-certified
+    # r8-r10, unchanged)
     # (q_time_travel rotated out round 10 continuation — multi-round
     # certified, unchanged; q_snapshot_isolation and q_delta_history keep
     # the commit-log read surfaces pinned)
@@ -199,6 +188,21 @@ PRIORITY: tuple[str, ...] = (
     # ingest (assignment rides the stream; checkpoint resume indexes only
     # new arrivals — fresh streaming/index composition).
     "q_ann_ivf_streaming",
+    # new round 11: mixed AND/OR precedence under text-index routing —
+    # the VERDICT r10 wrong-answer bug's regression query (top-level OR
+    # declines, parenthesized OR and qualified conjuncts route, answers
+    # scan-identical).
+    "q_text_search_compound_or",
+    # rotated IN round 11 (changed code must sit in the gate window):
+    # q_deletion_vectors — the DV DML path gained dedup-keyed visible-row
+    # semantics (ADVICE r10 medium); q_table_changes — read_changes'
+    # default cap clamp + the settled-prefix incremental upper-bound scan
+    # (VERDICT r10 #4/#6); q_pg_shim_dialect — array-literal parsing now
+    # rejects empty unquoted elements and the canonical-numeric rule
+    # covers trailing fraction zeros (VERDICT r10 #5, ADVICE r10).
+    "q_deletion_vectors",
+    "q_table_changes",
+    "q_pg_shim_dialect",
 )
 
 

@@ -147,8 +147,14 @@ class DmlCoalescer:
                 except Exception:
                     # parking itself failed: re-queue (done_rounds marks
                     # the committed progress, so a later drain resumes
-                    # after it) rather than dropping unconverged rows
-                    self._groups[key] = g
+                    # after it) rather than dropping unconverged rows.
+                    # SEAL the re-queued group under a unique key: a later
+                    # enqueue matching the ORIGINAL key must start a fresh
+                    # group — appending here would give any NEW join keys
+                    # round numbers <= done_rounds, which _drain_group has
+                    # already advanced past, silently skipping their rows
+                    # (ADVICE r10)
+                    self._groups[key + (("__requeued__", uuid.uuid4().hex),)] = g
                     raise
         return stats
 

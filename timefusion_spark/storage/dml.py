@@ -166,7 +166,35 @@ def _dv_dml(
     if not table.log.exists():
         raise ValueError("deletion vectors require a commit log (Table.create)")
     raw = table.read_raw()
-    matched = table.read_raw(_dv_coords=True).where(pred)
+    # dedup-keyed plain table (ADVICE r10): DML semantics are against the
+    # VISIBLE view. A DELETE must mask EVERY raw version of a key whose
+    # visible winner matches — masking only pred-matching raw rows lets a
+    # superseded older version become the new winner (the resurrection
+    # bug _inplace_keyed_delete fixes). Both verbs report the VISIBLE
+    # matched count, not the raw count (which includes loser versions).
+    keys = table.schema.dedup_keys
+    n_visible: int | None = None
+    if keys:
+        vis_matched = table.read().where(pred)
+        n_visible = vis_matched.count()
+        if n_visible == 0:
+            # zero VISIBLE matches: PG reports 0; loser-only raw matches
+            # are invisible either way, so no DV is written
+            return 0
+    if keys and assignments is None:
+        kdf = vis_matched.select(*keys).distinct().alias("_k")
+        cond = None
+        for k in keys:
+            eq = F.col(f"_t.{k}").eqNullSafe(F.col(f"_k.{k}"))
+            cond = eq if cond is None else (cond & eq)
+        matched = (
+            table.read_raw(_dv_coords=True).alias("_t").join(kdf, cond, "leftsemi")
+        )
+    else:
+        # UPDATE (or unkeyed DELETE): mask exactly the pred-matching raw
+        # rows — rewritten copies keep their tiebreak, so losers keep
+        # losing and the visible view stays correct.
+        matched = table.read_raw(_dv_coords=True).where(pred)
     # Stage the DV file (tiny: matched-row coordinates only).
     stage = os.path.join(table.path, "_tf_staging", _uuid.uuid4().hex)
     matched.select("_tf_dv_file", "_tf_dv_pos").coalesce(1).write.parquet(stage)
@@ -195,6 +223,8 @@ def _dv_dml(
         for rel, *_ in added:
             os.remove(os.path.join(table.path, rel))
         return 0
+    if n_visible is not None:
+        n = n_visible
     if assignments is not None:
         rewritten = raw.where(pred).select(
             *[
@@ -215,13 +245,6 @@ def _dv_dml(
         added += table._stage_write(rewritten)
     table.log.commit(add=added, op="dml")
     return n
-
-
-def _keyed_visible_count(table: Table, matched_visible: DataFrame) -> int:
-    """Visible-row matched count for DML on a dedup-keyed PLAIN table:
-    PG reports rows the statement logically touched — the raw match count
-    also includes superseded loser versions (review r10)."""
-    return matched_visible.count()
 
 
 def _inplace_keyed_delete(table: Table, pred: Column) -> int:

@@ -145,6 +145,9 @@ class Table:
         self.schema = schema
         self.path = path
         self.log = CommitLog(path)
+        # highest log version below which every commit record is settled
+        # (terminal state) — lets changes_upper_bound poll O(new commits)
+        self._settled_floor = 0
 
     # ── lifecycle ────────────────────────────────────────────────────────
 
@@ -535,7 +538,15 @@ class Table:
         review r10 closed this batch-API gap). A pending entry older than
         its group's declared abort_after is settled ABORTED here exactly
         like the streaming source does — aborted groups can never
-        publish, so they stop capping."""
+        publish, so they stop capping.
+
+        Each poll scans only commit records ABOVE this instance's cached
+        settled prefix — the highest version below which every record is
+        settled (group-free, published, or aborted; all terminal states)
+        — so a long-lived polling consumer pays O(new commits) file
+        reads per poll, not O(tip) (VERDICT r10 #6). The streaming
+        changefeed source keeps the same O(new) shape via its own
+        `_last` offset cursor."""
         import json as _json
         import os as _os
         import time as _time
@@ -548,7 +559,7 @@ class Table:
 
         tip = self.log.latest_version()
         log_dir = self.log.log_dir
-        for v in range(1, tip + 1):
+        for v in range(self._settled_floor + 1, tip + 1):
             p = _os.path.join(log_dir, f"{v:08d}.json")
             if not _os.path.exists(p):
                 continue
@@ -556,8 +567,10 @@ class Table:
                 rec = _json.load(fh)
             if _group_state(rec, log_dir) == "pending":
                 if _time.time() - _os.path.getmtime(p) < _group_abort_after(rec):
+                    self._settled_floor = v - 1
                     return v - 1
                 abort_group(rec["group"], log_dir)
+        self._settled_floor = tip
         return tip
 
     def read_changes(
@@ -596,8 +609,15 @@ class Table:
         latest = self.log.latest_version()
         # default range caps below young pending group commits (see
         # docstring; an EXPLICIT to_version keeps the caller's range and
-        # the per-entry visibility skip below)
-        to_version = self.changes_upper_bound() if to_version is None else to_version
+        # the per-entry visibility skip below). The cap is clamped UP to
+        # from_version: a consumer legally positioned past a still-pending
+        # commit by an earlier explicit to_version gets an EMPTY batch on
+        # a default poll, not a bad-range error (VERDICT r10 #4).
+        to_version = (
+            max(self.changes_upper_bound(), from_version)
+            if to_version is None
+            else to_version
+        )
         if not from_version <= to_version <= latest:
             raise ValueError(
                 f"bad change range ({from_version}, {to_version}] at tip {latest}"
