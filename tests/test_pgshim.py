@@ -1069,3 +1069,61 @@ def test_variant_narrowing_keeps_cte_alias(spark):
         ).collect()[0][0]
         == 1
     )
+
+
+class TestEqAnyTypeResolution:
+    """Review r11: `x = ANY('{...}')` rewrites to an IN-list of QUOTED
+    literals, so Spark's comparison coercion resolves each element
+    against the LHS type exactly like PG's unknown-literal rule —
+    numeric LHS matches '1.0'/'1.50', text LHS keeps exact text
+    compares; a typed ::float8[] cast renders numeric elements bare even
+    in non-canonical forms."""
+
+    def test_numeric_lhs_resolves_elements_numerically(self, spark):
+        spark.createDataFrame(
+            [(1.0,), (3.0,)], "v double"
+        ).createOrReplaceTempView("anynum")
+        q = "SELECT count(*) AS n FROM anynum WHERE v = ANY('{1.0,2.0}')"
+        assert pg_sql(spark, q).collect()[0][0] == 1
+        q = "SELECT count(*) AS n FROM anynum WHERE v = ANY('{1.50,3.50}')"
+        assert pg_sql(spark, q).collect()[0][0] == 0
+        q = "SELECT count(*) AS n FROM anynum WHERE v = ANY('{3.0}'::float8[])"
+        assert pg_sql(spark, q).collect()[0][0] == 1
+
+    def test_float_cast_array_elements_are_doubles(self, spark):
+        [r] = pg_sql(spark, "SELECT unnest('{1.50}'::float8[]) AS v").collect()
+        assert r.v == 1.5 and isinstance(r.v, float)
+
+    def test_empty_array_matches_nothing(self, spark):
+        spark.createDataFrame(
+            [(None,), ("a",)], "x string"
+        ).createOrReplaceTempView("anyempty")
+        q = "SELECT count(*) AS n FROM anyempty WHERE x = ANY('{}')"
+        assert pg_sql(spark, q).collect()[0][0] == 0
+
+    def test_null_element_keeps_pg_semantics(self, spark):
+        spark.createDataFrame(
+            [("a",), ("b",), (None,)], "x string"
+        ).createOrReplaceTempView("anynull")
+        q = "SELECT count(*) AS n FROM anynull WHERE x = ANY('{a,NULL}')"
+        assert pg_sql(spark, q).collect()[0][0] == 1  # 'b'/NULL don't match
+
+
+def test_variant_narrowing_survives_extract_from_paren(spark):
+    """Review r11: `EXTRACT(YEAR FROM (expr))` / `SUBSTRING(x FROM n)`
+    are not derived relations — the derived-source probe requires the
+    paren to open SELECT/VALUES/WITH, so statement-scoped narrowing
+    still runs and a plain column sharing a registered variant name
+    keeps translating as plain text."""
+    from timefusion_spark.pgshim import pg_sql, register_variant_columns
+
+    register_variant_columns(["nbody_ex"], spark=spark)
+    spark.createDataFrame(
+        [("2026-01-01 10:00:00", "hello")], "ts string, nbody_ex string"
+    ).createOrReplaceTempView("narrow_ex")
+    q = (
+        "SELECT count(*) AS n FROM narrow_ex "
+        "WHERE nbody_ex LIKE '%hello%' "
+        "AND EXTRACT(YEAR FROM (ts::timestamp)) = 2026"
+    )
+    assert pg_sql(spark, q).collect()[0][0] == 1

@@ -2113,6 +2113,17 @@ class TestTextRouteCompoundGuards:
         # routing must not mint different behavior
         c.query("SELECT * FROM cor_t WHERE body LIKE '%merge window%' FOR UPDATE")
         assert pgshim.TEXT_INDEX_SERVED == served0 + 3
+        # a table_changes() reference declines: its view substitution is
+        # a LATER pg_sql pass the routed re-plan would bypass (review
+        # r11) — scan path serves it, counter flat, no error
+        msgs = c.query(
+            "SELECT count(*) AS n FROM cor_t "
+            "WHERE body LIKE '%merge window%' AND id IN "
+            "(SELECT id FROM table_changes('cor_t', 0))"
+        )
+        assert b"E" not in tags_of(msgs), msgs
+        assert rows_of(msgs) == [["2"]], msgs  # a and d, all rows are v1
+        assert pgshim.TEXT_INDEX_SERVED == served0 + 3
         c.query("DROP TABLE cor_t")
         c.close()
 

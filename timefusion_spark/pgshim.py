@@ -480,18 +480,37 @@ def _pg_array_literal_sql(literal: str, spark_type: str) -> str:
                 return depth_of(x, d + 1)
         return d
 
+    # with a NUMERIC target type ('{1.50}'::float8[]), the element's text
+    # form is irrelevant — PG parses it as a number — so any valid
+    # numeric renders as a TYPED bare literal ('1.50' → 1.50D, value
+    # semantics, exactly PG's float8in/int4in). Quoting them instead
+    # types the array STRING and breaks numeric = ANY / unnest; a
+    # per-element CAST(...) would nest parens past what the downstream
+    # `= ANY` matcher accepts — Spark's typed-literal suffixes (D double,
+    # L bigint) keep the rendered array() flat (review r11). Non-numeric
+    # text against a numeric target stays quoted and surfaces as a type
+    # error, like PG's invalid-input-syntax.
+    floatish = spark_type in ("FLOAT", "DOUBLE")
+    intish = spark_type in ("SMALLINT", "INT", "BIGINT")
+
     def render(node) -> str:
         if isinstance(node, list):
             return "array(" + ", ".join(render(x) for x in node) + ")"
         if node is None:
             return "NULL"
-        # only CANONICAL-form numerics render bare: '007' must stay text —
-        # against an int LHS both engines coerce it to 7 anyway, while
-        # against a text LHS PG compares the literal text ('007' <> '7'),
-        # which a bare 7 would silently match (review r10). Same for
-        # trailing fraction zeros: '1.50' rendered as a bare double prints
-        # back '1.5', silently matching text it shouldn't (ADVICE r10) —
-        # the fraction must end in a nonzero digit to render bare.
+        if floatish and re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)", node):
+            return node + "D"
+        if floatish and re.fullmatch(
+            r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+", node
+        ):
+            return node  # exponent literals are DOUBLE already
+        if intish and re.fullmatch(r"[+-]?\d+", node):
+            return node + ("L" if spark_type == "BIGINT" else "")
+        # STRING target: only CANONICAL-form numerics render bare — '007'
+        # must stay text (against a text LHS PG compares the literal text,
+        # '007' <> '7', which a bare 7 would silently match — review r10);
+        # same for trailing fraction zeros ('1.50' re-renders as '1.5',
+        # ADVICE r10) — the fraction must end in a nonzero digit.
         if re.fullmatch(r"-?(0|[1-9]\d*)(\.\d*[1-9])?", node):
             return node
         return "'" + node.replace("'", "''") + "'"
@@ -1302,24 +1321,38 @@ def _translate_misc(sql: str) -> str:
         sql,
     )
     # lit = ANY(col) → array_contains(col, lit). An UNCAST brace literal
-    # on the array side — `x = ANY('{a,b}')`, PG infers the array type
-    # from context — renders as a typed array(...) expression; with a
-    # ::type[] cast the cast pass already handles it downstream.
-    def _any_side(expr: str) -> str:
-        expr = expr.strip()
-        m2 = re.fullmatch(r"'(\{(?:''|[^'])*\})'", expr)
+    # on the array side — `x = ANY('{a,b}')`, PG types the elements from
+    # the LHS (unknown-literal resolution) — rewrites to an IN-list of
+    # QUOTED literals instead: Spark's comparison coercion then resolves
+    # each element against the LHS type exactly like PG (double_col IN
+    # ('1.50') casts to 1.5; text_col IN ('1.50') compares text), which
+    # no fixed array() element typing can do (review r11 — bare doubles
+    # broke text compares, quoted text broke numeric = ANY). A ::type[]
+    # cast is already rendered as a TYPED array by the cast pass upstream.
+    def _any_rewrite(m: "re.Match[str]") -> str:
+        needle, side = m.group(1), m.group(2).strip()
+        m2 = re.fullmatch(r"'(\{(?:''|[^'])*\})'", side)
         if m2:
             try:
-                return _pg_array_literal_sql(
-                    m2.group(1).replace("''", "'"), "STRING"
-                )
+                parsed = _parse_pg_array_literal(m2.group(1).replace("''", "'"))
             except ValueError:
-                return expr  # malformed literal: leave for analysis error
-        return expr
+                # malformed literal: leave verbatim for the analysis error
+                return f"array_contains({side}, {needle})"
+            if all(x is None or isinstance(x, str) for x in parsed):
+                if not parsed:
+                    return "FALSE"  # = ANY('{}') is FALSE for every LHS
+                elems = ", ".join(
+                    "NULL" if x is None else "'" + x.replace("'", "''") + "'"
+                    for x in parsed
+                )
+                return f"{needle} IN ({elems})"
+            # nested (multi-dim) literal: typed array rendering
+            side = _pg_array_literal_sql(m2.group(1).replace("''", "'"), "STRING")
+        return f"array_contains({side}, {needle})"
 
     sql = re.sub(
         r"('(?:''|[^'])*'|[A-Za-z_][\w\.]*|\d+)\s*=\s*ANY\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\)",
-        lambda m: f"array_contains({_any_side(m.group(2))}, {m.group(1)})",
+        _any_rewrite,
         sql,
         flags=re.IGNORECASE,
     )
@@ -1475,9 +1508,13 @@ def _narrow_variant_cols(spark, sql: str, cols: frozenset[str]) -> frozenset[str
     # resolve — but a base table's plain column of the same name WOULD
     # contribute plain evidence and wrongly drop the registration. Any
     # statement defining derived relations keeps the session-wide set
-    # (degrade direction only, VERDICT r10 #7).
+    # (degrade direction only, VERDICT r10 #7). The derived-source probe
+    # requires the paren to open a SELECT/VALUES/WITH: a bare `FROM (`
+    # also appears in EXTRACT(YEAR FROM (expr)) / SUBSTRING(x FROM (n)),
+    # which define nothing and must keep narrowing (review r11); the
+    # leading-comma alternative catches `FROM a, (SELECT …) b`.
     if re.match(r"(?is)^\s*WITH\b", sql) or re.search(
-        r"(?is)\b(?:FROM|JOIN)\s*\(", sql
+        r"(?is)(?:\bFROM\b|\bJOIN\b|,)\s*\(\s*(?:SELECT|VALUES|WITH)\b", sql
     ):
         return cols
     names = set(_STMT_TABLE_RE.findall(sql))
@@ -2011,6 +2048,11 @@ def _apply_text_match_statement(spark, stripped: str, tables):
     tbl = (tables or {}).get(name)
     if tbl is None:
         return None
+    # table_changes() is substituted by a LATER pg_sql pass the re-plan
+    # would bypass — a routed statement referencing it would fail with an
+    # unresolved relation where the scan path serves it; decline
+    if re.search(r"(?i)\btable_changes\s*\(", stripped):
+        return None
     for kw in ("UNION", "INTERSECT", "EXCEPT", "FOR"):
         if (
             len(_slt._split_top_kw(rest, kw)) > 1
@@ -2053,7 +2095,9 @@ def _apply_text_match_statement(spark, stripped: str, tables):
     import uuid as _uuid
 
     view = f"__tf_textroute_{name}_{_uuid.uuid4().hex[:12]}"
-    hits.select(*tbl.read().columns).createOrReplaceTempView(view)
+    # schema fields ARE the scan's column order (Table.read selects
+    # exactly them) — don't build a read() plan just to ask for .columns
+    hits.select(*[f.name for f in tbl.schema.fields]).createOrReplaceTempView(view)
     try:
         # aliased back to the table's own name so qualified references
         # (`docs.lang='en'`) and correlated subqueries keep resolving

@@ -210,21 +210,25 @@ def _dv_dml(
         os.replace(src, os.path.join(table.path, rel))
         added.append((rel, size))
     shutil.rmtree(stage, ignore_errors=True)
-    # Count the masked rows from the staged DV itself (no second scan of
-    # the table): read the moved file back.
-    if added:
-        n = (
-            table.spark.read.parquet(
-                *[os.path.join(table.path, p) for p, *_ in added]
-            ).count()
-        )
-    if n == 0:
-        # nothing matched: drop the empty DV file, commit nothing
-        for rel, *_ in added:
-            os.remove(os.path.join(table.path, rel))
-        return 0
     if n_visible is not None:
+        # keyed path: the visible count IS the answer, and n_visible > 0
+        # guarantees a non-empty DV (visible matches ⊆ masked raw rows) —
+        # no read-back job needed
         n = n_visible
+    else:
+        # Count the masked rows from the staged DV itself (no second scan
+        # of the table): read the moved file back.
+        if added:
+            n = (
+                table.spark.read.parquet(
+                    *[os.path.join(table.path, p) for p, *_ in added]
+                ).count()
+            )
+        if n == 0:
+            # nothing matched: drop the empty DV file, commit nothing
+            for rel, *_ in added:
+                os.remove(os.path.join(table.path, rel))
+            return 0
     if assignments is not None:
         rewritten = raw.where(pred).select(
             *[

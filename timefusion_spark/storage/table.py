@@ -599,6 +599,14 @@ class Table:
         as the reference's WAL-tailing subscribers
         (buffered_write_layer.rs) and the streaming changefeed source.
 
+        An EXPLICIT `to_version` past that cap is allowed but FORFEITS
+        the skipped pending commits for this cursor: their rows are
+        invisible in the explicit read (per-entry visibility skip), and
+        if the group later publishes, polls from the advanced cursor
+        will never revisit them — default polls simply return empty
+        batches until the log catches up (VERDICT r10 #4). Cursors that
+        must never forfeit should only advance to the DEFAULT cap.
+
         Retention: historical ranges stay readable across rewrite commits
         (snapshot isolation keeps replaced files on disk) until `vacuum`
         collects them — Delta's CDF-retention rule; a consumer further
