@@ -1529,3 +1529,142 @@ class TestChangesUpperBoundIncremental:
         monkeypatch.undo()
         # only the 3 NEW commit records were read — not all 9 (O(tip))
         assert len(opened) == 3, opened
+
+
+class TestMaintenanceHardening:
+    """Review r11 findings over the maintenance module: data-loss guards,
+    concurrent-append preservation, bounded incremental reindex, rollup
+    tile clearing, stats hygiene."""
+
+    def test_rewrites_reject_non_partition_columns(self, spark, mor_table):
+        """compact/dedup_sweep/zorder filtered by a DATA column would read
+        only matching rows but clear EVERY file in the affected dirs —
+        silent data loss. They must refuse."""
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        with pytest.raises(ValueError, match="not partition columns"):
+            maintenance.compact(mor_table, {"id": "a"})
+        with pytest.raises(ValueError, match="not partition columns"):
+            maintenance.dedup_sweep(mor_table, {"value": "1.0"})
+        with pytest.raises(ValueError, match="not partition columns"):
+            maintenance.zorder_rewrite(mor_table, {"id": "a"}, cols=["value"])
+        assert mor_table.read().count() == 3  # nothing was rewritten
+
+    def test_overwrite_preserves_concurrent_append(self, spark, mor_table):
+        """A file appended to a partition between a maintenance read and
+        its overwrite commit must STAY LIVE: the remove-set pins to the
+        snapshot the rewrite was computed from (read_version), so the
+        late arrival's rows are not silently dropped."""
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        rv = mor_table.log.latest_version()
+        frame = mor_table.read_raw(version=rv)
+        # a concurrent writer lands a new row in p1's partition dir
+        mor_table.append(
+            _rows(spark, [("2026-01-01 13:00:00", "z", 9.0, "p1")]),
+            stamp="2026-02-02 00:00:00",
+        )
+        mor_table.overwrite_partitions(frame.repartition(1), read_version=rv)
+        got = sorted(r["id"] for r in mor_table.read().collect())
+        assert got == ["a", "b", "c", "z"]  # z survived, nothing doubled
+
+    def test_compact_preserves_concurrent_append_end_to_end(
+        self, spark, mor_table, monkeypatch
+    ):
+        """compact() itself pins its read version; an append racing the
+        rewrite (injected between the read and the commit) survives."""
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        real = maintenance._overwrite_partitions
+
+        def inject_then_overwrite(table, df, read_version=None):
+            table.append(
+                _rows(spark, [("2026-01-01 14:00:00", "y", 8.0, "p1")]),
+                stamp="2026-02-03 00:00:00",
+            )
+            real(table, df, read_version=read_version)
+
+        monkeypatch.setattr(maintenance, "_overwrite_partitions", inject_then_overwrite)
+        maintenance.compact(mor_table, {"project_id": "p1", "date": "2026-01-01"})
+        got = sorted(r["id"] for r in mor_table.read().collect())
+        assert got == ["a", "b", "c", "y"]
+
+    def test_reindex_skips_same_rows_rewrites(self, spark, tmp_path):
+        """An op='overwrite' commit (compaction) re-adds rows that were
+        already indexed; incremental REINDEX must skip it or the sidecar
+        grows by a full partition copy per maintenance cycle."""
+        yaml = TestTextIndexSidecar.YAML
+        tbl = Table.create(spark, load_schema_text(yaml), str(tmp_path / "rix"))
+        df = spark.createDataFrame(
+            [
+                ("2026-01-01 10:00:00", "a", "the merge window closed", "p1"),
+                ("2026-01-01 11:00:00", "b", "window shopping only", "p1"),
+            ],
+            "timestamp string, id string, body string, project_id string",
+        )
+        tbl.append(df)
+        maintenance.create_text_index(tbl, "body", id_col="id")
+        sidecar, _ = maintenance.text_index_for(tbl, "body")
+        n0 = sidecar.read().count()
+        maintenance.compact(tbl, {"project_id": "p1"})
+        assert maintenance.text_index_for(tbl, "body") is None  # staled
+        assert maintenance.refresh_text_index(tbl, "body") == "incremental"
+        sidecar, _ = maintenance.text_index_for(tbl, "body")
+        assert sidecar.read().count() == n0  # no duplicate gram rows
+        # and a REAL append after the rewrite still gets indexed
+        tbl.append(
+            spark.createDataFrame(
+                [("2026-01-02 10:00:00", "d", "another merge window", "p1")],
+                "timestamp string, id string, body string, project_id string",
+            )
+        )
+        assert maintenance.refresh_text_index(tbl, "body") == "incremental"
+        sidecar, _ = maintenance.text_index_for(tbl, "body")
+        assert sidecar.read().count() > n0
+        from timefusion_spark.operators.text_index import trigram_search
+
+        hits = trigram_search(
+            tbl.read(), sidecar.read(), "merge window", id_col="id", text_col="body"
+        )
+        assert sorted(r.id for r in hits.collect()) == ["a", "d"]
+
+    def test_rollup_clears_tile_when_aggregate_empties(self, spark, tmp_path):
+        """A tile whose recomputed aggregate has ZERO rows gets nothing
+        from the dynamic overwrite — refresh must clear the stale tile
+        explicitly instead of reporting it fresh forever."""
+        schema = load_schema_text(
+            MOR_YAML.replace("version_append: true", "version_append: false")
+        )
+        tbl = Table.create(spark, schema, str(tmp_path / "rcl"))
+        tbl.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        rollup = str(tmp_path / "rollup")
+
+        def agg(visible):
+            return visible.groupBy("project_id", "date").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+
+        maintenance.refresh_rollup(tbl, rollup, agg)
+        tiles = {
+            (r["project_id"], str(r["date"]))
+            for r in spark.read.parquet(rollup).collect()
+        }
+        assert ("p2", "2026-01-02") in tiles
+        # empty p2's only partition entirely (in-place delete)
+        dml.delete(tbl, predicate=F.col("project_id") == "p2")
+        refreshed = maintenance.refresh_rollup(tbl, rollup, agg)
+        assert refreshed != []
+        tiles = {
+            (r["project_id"], str(r["date"]))
+            for r in spark.read.parquet(rollup).collect()
+        }
+        assert ("p2", "2026-01-02") not in tiles  # stale tile cleared
+        assert ("p1", "2026-01-01") in tiles
+
+    def test_stats_skips_dv_files(self, spark, tmp_path):
+        schema = load_schema_text(
+            MOR_YAML.replace("version_append: true", "version_append: false")
+        )
+        tbl = Table.create(spark, schema, str(tmp_path / "sdv"))
+        tbl.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        dml.delete(tbl, predicate=F.col("id") == "a", deletion_vectors=True)
+        parts = [r["partition"] for r in maintenance.stats(tbl).collect()]
+        assert all("_tf_dv" not in p for p in parts)
+        assert len(parts) == 2  # the two real (project, date) partitions

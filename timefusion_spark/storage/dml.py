@@ -258,7 +258,11 @@ def _inplace_keyed_delete(table: Table, pred: Column) -> int:
     superseded older version become the new winner, resurrecting data PG
     semantics say is gone (review r10). NULL-safe key equality matches
     the dedup view's grouping."""
-    raw = table.read_raw()
+    # pin the read to a log version so the overwrite's remove-set covers
+    # exactly the files this statement read — a concurrent append to an
+    # affected partition stays live instead of being dropped (review r11)
+    rv = table.log.latest_version() if table.log.exists() else None
+    raw = table.read_raw(version=rv)
     vis_matched = table.read().where(pred)
     n = vis_matched.count()
     if n == 0:
@@ -292,7 +296,7 @@ def _inplace_keyed_delete(table: Table, pred: Column) -> int:
         out = out.sortWithinPartitions(
             *[F.col(c) for c in parts], *table._sort_cols()
         )
-    table.overwrite_partitions(out, dirs=dirs, op="dml")
+    table.overwrite_partitions(out, dirs=dirs, op="dml", read_version=rv)
     return n
 
 
@@ -305,8 +309,11 @@ def _inplace_rewrite(table: Table, pred: Column, transform, count_df=None) -> in
     Scale shape: the matched-partition discovery collects partition VALUES
     only (bounded by partition count, never row data); the rewrite reads
     and writes exactly the affected directories. Snapshot isolation comes
-    from the commit log — replaced files stay on disk for older readers."""
-    raw = table.read_raw()
+    from the commit log — replaced files stay on disk for older readers.
+    The read pins to a log version so the overwrite's remove-set covers
+    exactly the files read (concurrent appends stay live, review r11)."""
+    rv = table.log.latest_version() if table.log.exists() else None
+    raw = table.read_raw(version=rv)
     matched = raw.where(pred)
     # `count_df` (the VISIBLE matched frame) overrides the raw match
     # count: on dedup-keyed plain tables the raw count also includes
@@ -337,7 +344,7 @@ def _inplace_rewrite(table: Table, pred: Column, transform, count_df=None) -> in
         out = out.sortWithinPartitions(
             *[F.col(c) for c in parts], *table._sort_cols()
         )
-    table.overwrite_partitions(out, dirs=dirs, op="dml")
+    table.overwrite_partitions(out, dirs=dirs, op="dml", read_version=rv)
     return n
 
 
@@ -537,7 +544,10 @@ def update_from(
                 ]
             )
 
-        raw = table.read_raw().withColumn("_tf_p", F.coalesce(pred, F.lit(False)))
+        rv = table.log.latest_version() if table.log.exists() else None
+        raw = table.read_raw(version=rv).withColumn(
+            "_tf_p", F.coalesce(pred, F.lit(False))
+        )
         matched_pred_df = (
             raw.alias("_tgt")
             .join(src_flagged, cond_for("_tgt"), "left")
@@ -570,13 +580,13 @@ def update_from(
             if not vals:
                 return 0
             pf, dirs = _partition_selection(table, vals)
-            affected = table.read_raw().where(pf)
+            affected = table.read_raw(version=rv).where(pf)
             n = n_visible if n_visible is not None else matched_pred_df.count()
         else:
             n = n_visible if n_visible is not None else matched_pred_df.count()
             if n == 0:
                 return 0
-            affected = table.read_raw()
+            affected = table.read_raw(version=rv)
             dirs = [""]
         out = apply_merge(affected)
         if parts:
@@ -585,7 +595,7 @@ def update_from(
             out = out.sortWithinPartitions(
                 *[F.col(c) for c in parts], *table._sort_cols()
             )
-        table.overwrite_partitions(out, dirs=dirs, op="dml")
+        table.overwrite_partitions(out, dirs=dirs, op="dml", read_version=rv)
         return n
     target = _resolve(table, predicate, project_id, ts_lo, ts_hi).alias("_tgt")
     src = F.broadcast(source.alias("_src"))

@@ -172,6 +172,14 @@ def refresh_text_index(table: Table, text_col: str) -> str:
     seen: dict[str, None] = {}
     for v in range(base + 1, tip + 1):
         rec = table.log.entry(v)
+        if rec.get("op") == "overwrite":
+            # same-rows rewrite (compaction / consolidation / z-order /
+            # dedup sweep): every row it re-adds was visible before the
+            # rewrite and is already indexed — re-indexing it each
+            # maintenance cycle would grow the sidecar without bound
+            # (review r11). 'append' and 'dml' commits are the only ops
+            # that can introduce unindexed visible rows.
+            continue
         for f in rec.get("add", []):
             p = f["path"]
             if p.startswith(DV_DIR + "/") or not p.endswith(".parquet"):
@@ -231,6 +239,24 @@ def text_index_for(table: Table, text_col: str):
     return Table.open(table.spark, path), meta
 
 
+def _check_partition_keys(table: Table, partition_values: dict[str, str]) -> None:
+    """Refuse partition_values keys that are not partition columns. A
+    rewrite filtered by a DATA column reads only the matching rows but
+    overwrite_partitions clears EVERY live file in the affected dirs —
+    silently dropping all non-matching rows from the manifest (review
+    r11: `OPTIMIZE t WHERE project_id='p1'` on a [date]-partitioned
+    table would destroy every other project's rows in those dates)."""
+    bad = sorted(set(partition_values) - set(table.schema.partitions))
+    if bad:
+        raise ValueError(
+            f"{bad} are not partition columns of "
+            f"{table.schema.table_name!r} (partitions: "
+            f"{table.schema.partitions}); a rewrite filtered by a data "
+            "column would drop the non-matching rows in the affected "
+            "partitions"
+        )
+
+
 def _partition_filter(df: DataFrame, partition_values: dict[str, str]) -> DataFrame:
     # eqNullSafe: a None value (the __HIVE_DEFAULT_PARTITION__ dir) must
     # select the NULL partition — `col == None` matches nothing
@@ -258,7 +284,9 @@ def _dynamic_overwrite(spark: SparkSession):
             spark.conf.set(key, prev)
 
 
-def _overwrite_partitions(table: Table, df: DataFrame) -> None:
+def _overwrite_partitions(
+    table: Table, df: DataFrame, read_version: int | None = None
+) -> None:
     # Dynamic partition overwrite: only the partitions present in `df` are
     # replaced — the replaceWhere analog (database.rs:6344
     # recompress_partition). Log-tracked tables publish the rewrite as ONE
@@ -266,8 +294,11 @@ def _overwrite_partitions(table: Table, df: DataFrame) -> None:
     # files) so a concurrent reader sees either the old or the new layout,
     # never a mix; pre-log tables use Spark's dynamic overwrite, with the
     # mode asserted locally rather than assumed from the session builder.
+    # `read_version` pins the remove-set to the snapshot the rewrite read
+    # (see Table.overwrite_partitions): a file appended concurrently to
+    # the partition survives instead of being silently dropped.
     if table.log.exists():
-        table.overwrite_partitions(df)
+        table.overwrite_partitions(df, read_version=read_version)
         return
     writer = df.write.mode("overwrite").options(**table._writer_options())
     if table.schema.partitions:
@@ -280,7 +311,9 @@ def compact(table: Table, partition_values: dict[str, str], target_files: int = 
     """OPTIMIZE: rewrite one partition's files into `target_files` sorted
     files. Returns rows rewritten. Keeps ALL row versions (compaction does
     not resolve merge-on-read — that is the dedup sweep's job)."""
-    part = _partition_filter(table.read_raw(), partition_values)
+    _check_partition_keys(table, partition_values)
+    rv = table.log.latest_version() if table.log.exists() else None
+    part = _partition_filter(table.read_raw(version=rv), partition_values)
     rows = part.count()
     if rows == 0:
         return 0
@@ -289,7 +322,7 @@ def compact(table: Table, partition_values: dict[str, str], target_files: int = 
         out = out.sortWithinPartitions(
             *[F.col(c) for c in table.schema.partitions], *table._sort_cols()
         )
-    _overwrite_partitions(table, out)
+    _overwrite_partitions(table, out, read_version=rv)
     return rows
 
 
@@ -364,11 +397,24 @@ def dv_sweep(table: Table) -> int:
     dv = table.spark.read.parquet(
         *[os.path.join(table.path, p) for p in dv_rel]
     ).select("_tf_dv_file", "_tf_dv_pos")
-    keep = dv.where(F.col("_tf_dv_file").isin(data_live))
-    counts = dv.agg(
+    # membership via a broadcast join, not Column.isin: a literal IN over
+    # every live file path is O(files) per row and bloats the plan at the
+    # file counts this module targets (review r11)
+    live_df = F.broadcast(
+        table.spark.createDataFrame(
+            [(p,) for p in data_live], "_tf_live string"
+        )
+    )
+    joined = dv.join(
+        live_df, F.col("_tf_dv_file") == F.col("_tf_live"), "left"
+    )
+    keep = joined.where(F.col("_tf_live").isNotNull()).select(
+        "_tf_dv_file", "_tf_dv_pos"
+    )
+    counts = joined.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
-            F.sum(F.col("_tf_dv_file").isin(data_live).cast("long")), F.lit(0)
+            F.sum(F.col("_tf_live").isNotNull().cast("long")), F.lit(0)
         ).alias("k"),
     ).collect()[0]
     n_before, n_after = counts["n"], counts["k"]
@@ -399,7 +445,9 @@ def dedup_sweep(table: Table, partition_values: dict[str, str]) -> int:
     number of physical rows removed."""
     if not table.schema.dedup_keys:
         return 0
-    raw = _partition_filter(table.read_raw(), partition_values)
+    _check_partition_keys(table, partition_values)
+    rv = table.log.latest_version() if table.log.exists() else None
+    raw = _partition_filter(table.read_raw(version=rv), partition_values)
     before = raw.count()
     winners = table._dedup_view(raw, policy="keep_greatest")
     after = winners.count()
@@ -409,7 +457,7 @@ def dedup_sweep(table: Table, partition_values: dict[str, str]) -> int:
             out = out.sortWithinPartitions(
                 *[F.col(c) for c in table.schema.partitions], *table._sort_cols()
             )
-        _overwrite_partitions(table, out)
+        _overwrite_partitions(table, out, read_version=rv)
     return before - after
 
 
@@ -435,7 +483,9 @@ def zorder_rewrite(
         return 0
     from pyspark.sql import Window as W
 
-    part = _partition_filter(table.read_raw(), partition_values)
+    _check_partition_keys(table, partition_values)
+    rv = table.log.latest_version() if table.log.exists() else None
+    part = _partition_filter(table.read_raw(version=rv), partition_values)
     rows = part.count()
     if rows == 0:
         return 0
@@ -462,7 +512,7 @@ def zorder_rewrite(
         .sortWithinPartitions(*table.schema.partitions, "_zkey", *cols)
         .drop("_zkey", *[f"_zb{i}" for i in range(n)])
     )
-    _overwrite_partitions(table, out)
+    _overwrite_partitions(table, out, read_version=rv)
     return rows
 
 
@@ -599,11 +649,23 @@ def stats(table: Table) -> DataFrame:
     rows = []
     base = table.path
     if table.log.exists():
+        from timefusion_spark.storage.dml import _unescape_partition_value
+
         by_dir: dict[str, list[int]] = {}
         for rel, size in table.log.snapshot().files.items():
-            by_dir.setdefault(os.path.dirname(rel), []).append(size)
+            d = os.path.dirname(rel)
+            if any(seg.startswith("_") for seg in d.split("/")):
+                # deletion-vector masks (_tf_dv/…) and other sidecar dirs
+                # are not data partitions — consolidate() skips them for
+                # the same reason (review r11: on an unpartitioned table
+                # they even collided with the real root-partition row)
+                continue
+            by_dir.setdefault(d, []).append(size)
         for d, sizes in by_dir.items():
-            parts = dict(p.split("=", 1) for p in d.split("/") if "=" in p)
+            parts = {
+                k: _unescape_partition_value(v)
+                for k, v in (p.split("=", 1) for p in d.split("/") if "=" in p)
+            }
             rows.append(
                 {
                     "partition": json_dumps_sorted(parts),
@@ -718,7 +780,12 @@ def refresh_rollup(
                 new_state[rel] = [list(x) for x in data]
 
     stale = [p for p, sig in new_state.items() if old_state.get(p) != sig]
-    if not stale:
+    # a partition whose files ALL left the manifest (a DELETE emptied it)
+    # disappears from new_state instead of changing signature — its tile
+    # must still be cleared, or the rollup reports rows for a partition
+    # that no longer exists (review r11)
+    vanished = [p for p in old_state if p not in new_state]
+    if not stale and not vanished:
         return []
 
     # Partition-value tuples from the dir names (k=v/k=v...), Hive-
@@ -734,34 +801,63 @@ def refresh_rollup(
             for seg in rel.split(os.sep)
         )
 
+    import shutil as _shutil
+
     stale_values = [values(p) for p in stale]
-    pred = None
-    for vals in stale_values:
-        conj = None
-        for col, v in zip(parts, vals):
-            c = F.col(col).cast("string").eqNullSafe(F.lit(v))
-            conj = c if conj is None else (conj & c)
-        pred = conj if pred is None else (pred | conj)
+    if stale:
+        pred = None
+        for vals in stale_values:
+            conj = None
+            for col, v in zip(parts, vals):
+                c = F.col(col).cast("string").eqNullSafe(F.lit(v))
+                conj = c if conj is None else (conj & c)
+            pred = conj if pred is None else (pred | conj)
 
-    from timefusion_spark.storage.table import KEEP_GREATEST
+        from timefusion_spark.storage.table import KEEP_GREATEST
 
-    visible = table._tombstone_filter(
-        table._dedup_view(table.read_raw().where(pred), policy=KEEP_GREATEST if policy == "keep_greatest" else policy)
-    )
-    out = agg_fn(visible)
-    missing = [c for c in parts if c not in out.columns]
-    if missing:
-        raise ValueError(f"agg_fn output must retain partition columns; missing {missing}")
-    with _dynamic_overwrite(table.spark):
-        (
-            out.write.mode("overwrite")
-            .options(**table._writer_options())
-            .partitionBy(*parts)
-            .parquet(rollup_path)
+        visible = table._tombstone_filter(
+            table._dedup_view(table.read_raw().where(pred), policy=KEEP_GREATEST if policy == "keep_greatest" else policy)
         )
-    with open(state_file, "w") as fh:
+        out = agg_fn(visible)
+        missing = [c for c in parts if c not in out.columns]
+        if missing:
+            raise ValueError(
+                f"agg_fn output must retain partition columns; missing {missing}"
+            )
+        # tiles whose recomputed aggregate is EMPTY (all source rows
+        # deleted/tombstoned) get nothing from the dynamic overwrite — it
+        # only replaces partitions present in `out` — so their stale tile
+        # must be cleared explicitly or it would report forever while the
+        # state file marks it fresh (review r11)
+        present = {
+            tuple(None if r[c] is None else str(r[c]) for c in parts)
+            for r in out.select(*parts).distinct().collect()
+        }
+        with _dynamic_overwrite(table.spark):
+            (
+                out.write.mode("overwrite")
+                .options(**table._writer_options())
+                .partitionBy(*parts)
+                .parquet(rollup_path)
+            )
+        for rel, vals in zip(stale, stale_values):
+            if vals not in present:
+                _shutil.rmtree(os.path.join(rollup_path, rel), ignore_errors=True)
+    # partitions that left the manifest entirely have no rows to
+    # aggregate — just clear their tiles
+    for rel in vanished:
+        _shutil.rmtree(os.path.join(rollup_path, rel), ignore_errors=True)
+    # atomic state write (tmp + replace, like the text-index meta): a
+    # crash mid-dump would otherwise leave a truncated JSON that breaks
+    # every later refresh until manually deleted (review r11)
+    import uuid as _uuid
+
+    os.makedirs(rollup_path, exist_ok=True)
+    tmp = os.path.join(rollup_path, f".state-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
         json.dump(new_state, fh, sort_keys=True)
-    return stale_values
+    os.replace(tmp, state_file)
+    return stale_values + [values(p) for p in vanished]
 
 
 def redrive_dml(table: Table, dry_run: bool = False) -> tuple[int, int]:

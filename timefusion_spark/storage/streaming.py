@@ -179,14 +179,36 @@ def ingest_stream_multi(
     group_dir = os.path.join(os.path.abspath(checkpoint_dir), "_tf_groups")
 
     def _write_batch(batch: DataFrame, batch_id: int) -> None:
+        import threading
+
         group = CommitGroup(group_dir)
-        for name, (table, selector) in routes.items():
-            table.append(
-                selector(batch),
-                txn=(f"{app_base}:{name}", batch_id),
-                group=group,
-            )
-        group.publish()
+        # keep the group's pending records young for as long as this
+        # coordinator is ALIVE: a multi-table batch slower than the 60 s
+        # streaming abort_after (an availableNow restart can replay a
+        # large backlog as ONE batch) would otherwise be settled ABORTED
+        # by a concurrent changefeed poll / checkpoint ager mid-batch,
+        # making publish() raise and the replayed batch loop the same
+        # failure forever (review r11). The heartbeat refreshes committed
+        # records' mtimes every 15 s until publish/failure.
+        stop = threading.Event()
+
+        def _tick() -> None:
+            while not stop.wait(15.0):
+                group.heartbeat()
+
+        beat = threading.Thread(target=_tick, daemon=True)
+        beat.start()
+        try:
+            for name, (table, selector) in routes.items():
+                table.append(
+                    selector(batch),
+                    txn=(f"{app_base}:{name}", batch_id),
+                    group=group,
+                )
+            group.publish()
+        finally:
+            stop.set()
+            beat.join(timeout=1.0)
 
     writer = (
         stream.writeStream.foreachBatch(_write_batch)

@@ -413,7 +413,11 @@ class Table:
             self.log.commit(add=added, txn=txn, op="append", group=group, segment=segment)
 
     def overwrite_partitions(
-        self, df: DataFrame, dirs: list[str] | None = None, op: str = "overwrite"
+        self,
+        df: DataFrame,
+        dirs: list[str] | None = None,
+        op: str = "overwrite",
+        read_version: int | None = None,
     ) -> None:
         """Replace exactly the partitions present in `df` (dynamic partition
         overwrite, the replaceWhere analog — database.rs:6344
@@ -425,14 +429,27 @@ class Table:
         `dirs` names ADDITIONAL partition directories to clear even when
         `df` writes nothing into them — a DELETE that empties a partition
         stages zero files there, but its old files must still leave the
-        manifest (the in-place DML path passes the affected set explicitly)."""
+        manifest (the in-place DML path passes the affected set explicitly).
+
+        `read_version` pins the remove-set to the snapshot the rewrite
+        was COMPUTED from: a file appended to an affected partition
+        between the caller's read and this commit is then NOT removed —
+        its rows were never in the rewritten frame, so removing it would
+        silently drop them from the manifest (review r11; Delta fails
+        such commits, here the late arrival simply stays live alongside
+        the rewrite). Without it the remove-set comes from the commit-
+        time snapshot (correct only when no concurrent writer exists)."""
         if not self.log.exists():
             raise ValueError("overwrite_partitions requires a commit log (Table.create)")
         added = self._stage_write(df)
         affected = {os.path.dirname(rel) for rel, *_ in added}
         if dirs is not None:
             affected |= set(dirs)
-        snap = self.log.snapshot()
+        snap = (
+            self.log.snapshot()
+            if read_version is None
+            else self.log.snapshot_at(read_version)
+        )
         removed = [p for p in snap.files if os.path.dirname(p) in affected]
         # `op` distinguishes LOGICAL-change rewrites (in-place DML passes
         # op='dml') from same-rows rewrites (compaction's default
