@@ -444,3 +444,14 @@ def test_handoff_waits_for_inflight_arrow_batch(spark, tmp_path):
             tbl.append = real_append
         c.close()
         srv.stop()
+
+
+def test_oversized_header_refused_before_buffering(spark, srv):
+    """Review r11: the 4-byte header length is attacker-controlled and
+    read before the token check — a declaration of 4 GiB must be refused
+    immediately, not buffered into memory."""
+    sock = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+    sock.sendall(struct.pack("!I", 0xFFFFFFFF))
+    tag, msg = _read_frame(sock)
+    assert tag == b"E" and "too large" in msg
+    sock.close()

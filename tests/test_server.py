@@ -756,7 +756,7 @@ class TestStorageOverTheWire:
         msgs = client.query(
             "UPDATE wire_t SET val = 9.0 WHERE id = 'a'"
         )
-        assert command_tags(msgs) == ["UPDATE"]
+        assert command_tags(msgs) == ["UPDATE 1"]
         msgs = client.query(
             "SELECT id, val FROM wire_t ORDER BY id"
         )
@@ -780,9 +780,9 @@ class TestStorageOverTheWire:
         msgs = client.query(
             "UPDATE wire_u SET note = 'copied from backup' WHERE id = 'a'"
         )
-        assert command_tags(msgs) == ["UPDATE"]
+        assert command_tags(msgs) == ["UPDATE 1"]
         msgs = client.query("UPDATE wire_u SET val = 0.0")
-        assert command_tags(msgs) == ["UPDATE"]
+        assert command_tags(msgs) == ["UPDATE 2"]
         rows = rows_of(client.query("SELECT id, note, val FROM wire_u ORDER BY id"))
         assert rows == [["a", "copied from backup", "0.0"], ["b", "y", "0.0"]]
         client.query("DROP TABLE wire_u")
@@ -3384,3 +3384,146 @@ def test_concurrent_routed_queries_do_not_cross(server):
     t_en.join(120); t_de.join(120)
     assert not errors, errors
     assert set(results) == {"en", "de"}
+
+
+class TestWireCoreHardening:
+    """Review r11 wire-core findings: numeric column typing, real DML
+    rowcount tags, in-txn INSERT…SELECT read-your-own-writes, the
+    table-position-aware overlay rewrite, and DROP/TRUNCATE gating while
+    cursors hold streams."""
+
+    @pytest.fixture()
+    def srv(self, spark, tmp_path):
+        server = PgWireServer(spark, base_dir=str(tmp_path / "wch_data")).start()
+        yield server
+        server.stop()
+
+    @staticmethod
+    def _c(srv):
+        c = WireClient(srv.port)
+        c.startup()
+        return c
+
+    def test_numeric_columns_compare_numerically(self, srv):
+        """numeric/int8/float4 previously fell through the type map to
+        Utf8, turning `a > 5` into a STRING comparison ('10' > '5' is
+        false) — silently wrong rows."""
+        c = self._c(srv)
+        c.query(
+            "CREATE TABLE num_t (ts TIMESTAMP, a NUMERIC, b INT8, c FLOAT4, "
+            "project_id TEXT)"
+        )
+        c.query(
+            "INSERT INTO num_t VALUES "
+            "('2026-01-01 10:00:00', 2, 2, 2.5, 'p1'), "
+            "('2026-01-01 11:00:00', 10, 10, 10.5, 'p1')"
+        )
+        for col in ("a", "b", "c"):
+            assert rows_of(
+                c.query(f"SELECT count(*) AS n FROM num_t WHERE {col} > 5")
+            ) == [["1"]], col
+        c.query("DROP TABLE num_t")
+        c.close()
+
+    def test_type_map_covers_every_shim_pg_type(self):
+        """Every PG type the shim translates must resolve in CREATE
+        TABLE's column-type map — a miss silently types the column Utf8."""
+        from timefusion_spark.pgshim import PG_TYPE_MAP
+        from timefusion_spark.slt import _PG_COLTYPE
+
+        assert [k for k in PG_TYPE_MAP if k not in _PG_COLTYPE] == []
+
+    def test_dml_tags_carry_rowcounts(self, srv):
+        c = self._c(srv)
+        c.query(
+            "CREATE TABLE tag_t (ts TIMESTAMP, id TEXT, v DOUBLE, project_id TEXT)"
+        )
+        msgs = c.query(
+            "INSERT INTO tag_t VALUES "
+            "('2026-01-01 10:00:00','a',1.0,'p1'), "
+            "('2026-01-01 11:00:00','b',2.0,'p1')"
+        )
+        assert "INSERT 0 2" in command_tags(msgs)
+        # DELETE with a table-qualified predicate (valid PG) + real count
+        msgs = c.query("DELETE FROM tag_t WHERE tag_t.id = 'a'")
+        assert "DELETE 1" in command_tags(msgs)
+        assert rows_of(c.query("SELECT count(*) AS n FROM tag_t")) == [["1"]]
+        c.query("DROP TABLE tag_t")
+        c.close()
+
+    def test_txn_insert_select_sees_staged_rows(self, srv):
+        """BEGIN; INSERT INTO a …; INSERT INTO b SELECT * FROM a — the
+        SELECT must read the txn's own staged rows (previously it read
+        the committed-only view and b committed empty)."""
+        c = self._c(srv)
+        c.query("CREATE TABLE rys_a (ts TIMESTAMP, id TEXT, project_id TEXT)")
+        c.query("CREATE TABLE rys_b (ts TIMESTAMP, id TEXT, project_id TEXT)")
+        c.query("BEGIN")
+        c.query("INSERT INTO rys_a VALUES ('2026-01-01 10:00:00','x','p1')")
+        msgs = c.query("INSERT INTO rys_b SELECT * FROM rys_a")
+        assert "INSERT 0 1" in command_tags(msgs), command_tags(msgs)
+        c.query("COMMIT")
+        assert rows_of(c.query("SELECT count(*) AS n FROM rys_b")) == [["1"]]
+        c.query("DROP TABLE rys_a")
+        c.query("DROP TABLE rys_b")
+        c.close()
+
+    def test_column_sharing_staged_table_name_not_rewritten(self, srv):
+        """The overlay rewrite is table-position aware: with table
+        `status` staged in the txn, `SELECT status FROM orders_t` (a
+        COLUMN reference) must not be rewritten to the overlay view."""
+        c = self._c(srv)
+        c.query("CREATE TABLE status (ts TIMESTAMP, id TEXT, project_id TEXT)")
+        c.query(
+            "CREATE TABLE orders_t (ts TIMESTAMP, status TEXT, project_id TEXT)"
+        )
+        c.query(
+            "INSERT INTO orders_t VALUES ('2026-01-01 10:00:00','open','p1')"
+        )
+        c.query("BEGIN")
+        c.query("INSERT INTO status VALUES ('2026-01-01 10:00:00','s1','p1')")
+        # column reference: untouched
+        assert rows_of(c.query("SELECT status FROM orders_t")) == [["open"]]
+        # table reference and qualifier: rewritten (read-your-own-writes)
+        assert rows_of(c.query("SELECT count(*) AS n FROM status")) == [["1"]]
+        assert rows_of(c.query("SELECT status.id FROM status")) == [["s1"]]
+        # comma FROM-list position rewrites too
+        assert rows_of(
+            c.query("SELECT count(*) AS n FROM orders_t, status")
+        ) == [["1"]]
+        c.query("COMMIT")
+        c.query("DROP TABLE status")
+        c.query("DROP TABLE orders_t")
+        c.close()
+
+    def test_drop_and_truncate_declined_while_cursor_open(self, srv):
+        c = self._c(srv)
+        c.query("CREATE TABLE cur_t (ts TIMESTAMP, id TEXT, project_id TEXT)")
+        c.query(
+            "INSERT INTO cur_t VALUES ('2026-01-01 10:00:00','a','p1'), "
+            "('2026-01-01 11:00:00','b','p1')"
+        )
+        c.query("BEGIN")
+        c.query("DECLARE cx CURSOR FOR SELECT * FROM cur_t ORDER BY id")
+        c.query("FETCH 1 FROM cx")
+        c2 = self._c(srv)
+        for verb in ("DROP TABLE cur_t", "TRUNCATE cur_t"):
+            msgs = c2.query(verb)
+            errs = [p for t, p in msgs if t == b"E"]
+            assert errs and b"open cursor" in errs[0], (verb, msgs)
+        c.query("CLOSE cx")
+        c.query("COMMIT")
+        # streams closed: the drop proceeds
+        msgs = c2.query("DROP TABLE cur_t")
+        assert b"E" not in tags_of(msgs), msgs
+        c.close()
+        c2.close()
+
+    def test_startup_packet_length_capped(self, srv):
+        import socket
+
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        s.sendall(struct.pack("!i", 1 << 30))  # absurd pre-auth length
+        tag = s.recv(1)
+        assert tag == b"E"  # refused, not buffered
+        s.close()

@@ -84,18 +84,28 @@ class _IngestHandler(socketserver.BaseRequestHandler):
             pass
 
     def _recv_exact(self, n: int) -> bytes:
-        data = b""
+        # bytearray accumulation: bytes += chunk re-copies the whole
+        # buffer per recv (O(n²) for large frames)
+        data = bytearray()
         while len(data) < n:
             chunk = self.request.recv(n - len(data))
             if not chunk:
                 raise ConnectionError("client closed")
             data += chunk
-        return data
+        return bytes(data)
+
+    # a JSON ingest header is tiny; the length field is attacker-
+    # controlled and read BEFORE the token check, so an unauthenticated
+    # client declaring 4 GiB must be refused, not buffered (review r11)
+    MAX_HEADER_BYTES = 1 << 20
 
     def _serve(self) -> None:
         import pyarrow.ipc as ipc
 
         (hlen,) = struct.unpack("!I", self._recv_exact(4))
+        if hlen > self.MAX_HEADER_BYTES:
+            self._send_error(f"ingest header too large: {hlen} bytes")
+            return
         try:
             header = json.loads(self._recv_exact(hlen).decode("utf-8"))
             name = header["table"]

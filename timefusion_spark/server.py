@@ -383,9 +383,13 @@ def _split_copy_lines(buf: bytes, csv_mode: bool) -> tuple[list[bytes], bytes]:
 _ADMIN_VERB_RE = re.compile(
     r"(?is)^\s*(VACUUM|OPTIMIZE|FLUSH|HANDOFF|CREATE\s+INDEX|REINDEX)\b"
 )
-# the file-REWRITING subset: declined while cursors/portals hold open
-# result streams (see _check_maintenance_allowed)
-_MAINT_VERB_RE = re.compile(r"(?is)^\s*(VACUUM|OPTIMIZE)\b")
+# the file-REWRITING/DELETING subset: declined while cursors/portals hold
+# open result streams (see _check_maintenance_allowed). DROP TABLE and
+# TRUNCATE delete the files a pinned plan references, exactly like a
+# vacuum would — PG blocks them on the cursor's lock (review r11).
+_MAINT_VERB_RE = re.compile(
+    r"(?is)^\s*(VACUUM|OPTIMIZE|DROP\s+TABLE|TRUNCATE)\b"
+)
 # bare verb only, exactly like the reference's parse_handoff
 # (pgwire_handlers.rs:642-643: strip_command(query, "handoff") must leave
 # nothing — `HANDOFF now` is not it, `SELECT handoff FROM t` is not it)
@@ -410,37 +414,91 @@ _ROLLBACK_TO_RE = re.compile(
 _RELEASE_RE = re.compile(r"(?is)^\s*RELEASE\s+(?:SAVEPOINT\s+)?([A-Za-z_]\w*)\s*;?\s*$")
 
 
+# keywords a table reference directly follows; and the clause keywords
+# that END a FROM-list at the same paren depth (so a `,` in a SELECT
+# list or an IN-list never marks table position)
+_TBL_POS_KEYWORDS = frozenset({"from", "join", "into", "update", "table", "only"})
+_FROM_LIST_END = frozenset({
+    "where", "group", "order", "having", "limit", "window", "on", "using",
+    "select", "set", "union", "intersect", "except", "offset", "fetch",
+    "returning", "values", "when", "then", "else", "case", "end",
+})
+
+
 def _rewrite_idents(sql: str, mapping: dict[str, str]) -> str:
-    """Replace unquoted whole-word table identifiers with their
+    """Replace unquoted table identifiers IN TABLE POSITION with their
     transaction-overlay view names (read-your-own-writes SELECTs inside
     BEGIN…COMMIT). Quote-aware — single-, double- and dollar-quoted
     regions pass through verbatim, so literals and quoted identifiers are
     never touched; comments pass through verbatim (a table name inside a
-    `--` or /* */ comment is prose, not a reference); a word preceded by
-    `.` is a column reference behind a qualifier and is left alone (a word
-    FOLLOWED by `.` is the qualifier itself and IS rewritten, so `t.col`
-    tracks `FROM t`)."""
+    `--` or /* */ comment is prose, not a reference).
+
+    Table position (review r11 — a bare rewrite of every matching word
+    broke column references sharing a touched table's name, e.g.
+    `SELECT status FROM orders` with table `status` staged): a word
+    rewrites when it directly follows FROM/JOIN/INTO/UPDATE/TABLE/ONLY,
+    follows a `,` while a FROM-list is open at the current paren depth
+    (`FROM a, b`), or is itself followed by `.` (the qualifier of a
+    qualified column, which tracks its `FROM t`)."""
     if not mapping:
         return sql
     low = {k.lower(): v for k, v in mapping.items()}
     out: list[str] = []
     i, n = 0, len(sql)
+    depth = 0
+    in_from: dict[int, bool] = {0: False}
+    prev_tok = ""  # last meaningful token (lowercased word or punct char)
     while i < n:
         c = sql[i]
         reg = _skip_region(sql, i)
         if reg is not None:
             out.append(sql[i : reg[0]])
+            if not reg[1]:  # a literal is an operand; a comment is not
+                prev_tok = "'"
             i = reg[0]
+            continue
+        if c in "([":
+            depth += 1
+            in_from[depth] = False
+            out.append(c)
+            prev_tok = c
+            i += 1
+            continue
+        if c in ")]":
+            in_from.pop(depth, None)
+            depth = max(0, depth - 1)
+            out.append(c)
+            prev_tok = c
+            i += 1
             continue
         if c.isalpha() or c == "_":
             m = re.match(r"[A-Za-z_]\w*", sql[i:])
             word = m.group(0)
+            lw = word.lower()
             prev = sql[i - 1] if i else " "
-            repl = low.get(word.lower())
-            out.append(repl if repl is not None and prev != "." else word)
+            j = i + len(word)
+            while j < n and sql[j] in " \t\r\n":
+                j += 1
+            qualifier = j < n and sql[j] == "."
+            repl = low.get(lw)
+            table_pos = (
+                prev_tok in _TBL_POS_KEYWORDS
+                or (prev_tok == "," and in_from.get(depth, False))
+                or qualifier
+            )
+            out.append(
+                repl if repl is not None and prev != "." and table_pos else word
+            )
+            if lw in ("from", "join"):
+                in_from[depth] = True
+            elif lw in _FROM_LIST_END:
+                in_from[depth] = False
             i += len(word)
+            prev_tok = lw
             continue
         out.append(c)
+        if not c.isspace():
+            prev_tok = c
         i += 1
     return "".join(out)
 
@@ -478,6 +536,8 @@ def _command_tag(stmt: str, n_rows: int) -> str:
         return f"SELECT {n_rows}"
     if verb == "INSERT":
         return f"INSERT 0 {n_rows}"
+    if verb in ("UPDATE", "DELETE"):
+        return f"{verb} {n_rows}"
     if verb in ("BEGIN", "START"):
         return "BEGIN"
     if verb in ("END",):
@@ -499,13 +559,14 @@ def _command_tag(stmt: str, n_rows: int) -> str:
 class _Handler(socketserver.BaseRequestHandler):
     # ── low-level framing ────────────────────────────────────────────────
     def _recv_exact(self, n: int) -> bytes:
-        data = b""
+        # bytearray: bytes += chunk re-copies the buffer per recv (O(n²))
+        data = bytearray()
         while len(data) < n:
             chunk = self.request.recv(n - len(data))
             if not chunk:
                 raise ConnectionError("client closed")
             data += chunk
-        return data
+        return bytes(data)
 
     def _send(self, tag: bytes, payload: bytes = b"") -> None:
         self.request.sendall(tag + struct.pack("!i", len(payload) + 4) + payload)
@@ -788,13 +849,22 @@ class _Handler(socketserver.BaseRequestHandler):
                 "COPY FROM STDIN is supported only via the simple query "
                 "protocol"
             )
+        if _COPY_OUT_RE.match(sql):
+            # same for the export half: a clear routing error instead of
+            # the shim's opaque parse failure (review r11)
+            raise ValueError(
+                "COPY TO STDOUT is supported only via the simple query "
+                "protocol"
+            )
         self._check_write_admission(sql)
         self._check_maintenance_allowed(sql)
         if self.server.runner is not None and _is_storage_stmt(sql):
             with self._admitted_write(sql):
                 with self._statement_watchdog(), self.server.lock:
-                    self.server.runner.run_statement(sql, txn=self._txn)
-            self._send(b"C", _command_tag(sql, 0).encode() + b"\x00")
+                    n_rows = self.server.runner.run_statement(
+                        sql, txn=self._txn
+                    )
+            self._send(b"C", _command_tag(sql, n_rows or 0).encode() + b"\x00")
             return
         if entry["rows"] is None:
             with self._statement_watchdog():
@@ -1286,16 +1356,25 @@ class _Handler(socketserver.BaseRequestHandler):
 
         if header:
             emit(delim.join(f.name for f in fields) + "\n")
-        for row in df.toLocalIterator():
-            cells = []
-            for f, v in zip(fields, row):
-                s = _pg_text(v, f.dataType)
-                if fmt_csv:
-                    cells.append(_copy_csv_field(s, delim, null_s))
-                else:
-                    cells.append(null_s if s is None else _copy_text_escape(s))
-            emit(delim.join(cells) + "\n")
-            n += 1
+        # the export's pinned plan references parquet files a concurrent
+        # VACUUM/OPTIMIZE would delete mid-stream: register the drain in
+        # the maintenance guard like every other toLocalIterator drain
+        # (review r11 — this path was unguarded)
+        drain = _LiveDrain()
+        self.server.open_streams.add(drain)
+        try:
+            for row in df.toLocalIterator():
+                cells = []
+                for f, v in zip(fields, row):
+                    s = _pg_text(v, f.dataType)
+                    if fmt_csv:
+                        cells.append(_copy_csv_field(s, delim, null_s))
+                    else:
+                        cells.append(null_s if s is None else _copy_text_escape(s))
+                emit(delim.join(cells) + "\n")
+                n += 1
+        finally:
+            drain.done = True
         flush()
         self._send(b"c")  # CopyDone
         self._send(b"C", f"COPY {n}".encode() + b"\x00")
@@ -1327,18 +1406,24 @@ class _Handler(socketserver.BaseRequestHandler):
                 self._send(b"d", bytes(out))
                 out = bytearray()
 
-        for row in df.toLocalIterator():
-            rec = bytearray(struct.pack("!h", nf))
-            for f, v in zip(fields, row):
-                b = _pg_binary(v, f.dataType)
-                if b is None:
-                    rec += struct.pack("!i", -1)
-                else:
-                    rec += struct.pack("!i", len(b)) + b
-            out += rec
-            n += 1
-            if len(out) >= 65536:
-                flush()
+        # maintenance-guard registration, same contract as _copy_out
+        drain = _LiveDrain()
+        self.server.open_streams.add(drain)
+        try:
+            for row in df.toLocalIterator():
+                rec = bytearray(struct.pack("!h", nf))
+                for f, v in zip(fields, row):
+                    b = _pg_binary(v, f.dataType)
+                    if b is None:
+                        rec += struct.pack("!i", -1)
+                    else:
+                        rec += struct.pack("!i", len(b)) + b
+                out += rec
+                n += 1
+                if len(out) >= 65536:
+                    flush()
+        finally:
+            drain.done = True
         out += struct.pack("!h", -1)  # trailer
         flush()
         self._send(b"c")  # CopyDone
@@ -1347,6 +1432,15 @@ class _Handler(socketserver.BaseRequestHandler):
     def _startup(self) -> bool:
         while True:
             (length,) = struct.unpack("!i", self._recv_exact(4))
+            # pre-auth length is attacker-controlled: a real startup
+            # packet is a handful of key/value strings — refuse giant
+            # declarations instead of buffering them (review r11; PG
+            # similarly caps the startup packet)
+            if not 4 <= length <= (1 << 20):
+                self._send_error(
+                    f"invalid startup packet length {length}", code="08P01"
+                )
+                return False
             payload = self._recv_exact(length - 4)
             (code,) = struct.unpack("!i", payload[:4])
             if code == 80877103:  # SSLRequest
@@ -1802,8 +1896,12 @@ class _Handler(socketserver.BaseRequestHandler):
                     # transaction's commit group
                     with self._admitted_write(stmt):
                         with self._statement_watchdog(), self.server.lock:
-                            self.server.runner.run_statement(stmt, txn=self._txn)
-                    self._send(b"C", _command_tag(stmt, 0).encode() + b"\x00")
+                            n_rows = self.server.runner.run_statement(
+                                stmt, txn=self._txn
+                            )
+                    self._send(
+                        b"C", _command_tag(stmt, n_rows or 0).encode() + b"\x00"
+                    )
                     continue
                 with self._statement_watchdog():
                     df = self._run(stmt)

@@ -185,13 +185,31 @@ _CTAS_RE = re.compile(
 _PG_COLTYPE = {
     "integer": "Int32",
     "int": "Int32",
+    "int4": "Int32",
     "bigint": "Int64",
+    "int8": "Int64",
     "smallint": "Int16",
+    "int2": "Int16",
     "double": "Float64",
     "double precision": "Float64",
     "real": "Float32",
+    "float4": "Float32",
     "float": "Float64",
+    "float8": "Float64",
+    # PG numeric is arbitrary precision; the sidecar vocabulary (the
+    # reference's arrow set) stores it as Float64 — same mapping as the
+    # shim's PG_TYPE_MAP and the CTAS decimal rule. Leaving these out
+    # fell through to Utf8, silently turning `a > 5` into a STRING
+    # comparison ('10' > '5' false) — wrong answers, no error (review
+    # r11). Every key of PG_TYPE_MAP must resolve here; pinned by test.
+    "numeric": "Float64",
+    "decimal": "Float64",
     "varchar": "Utf8",
+    "char": "Utf8",
+    "bpchar": "Utf8",
+    "uuid": "Utf8",
+    "json": "Utf8",
+    "jsonb": "Utf8",
     "text": "Utf8",
     "boolean": "Boolean",
     "bool": "Boolean",
@@ -651,26 +669,51 @@ class SltEnv:
             raise ValueError(f"unknown table {name}")
         return tbl
 
-    def _append(self, tbl: Table, df: DataFrame, txn: "TxnState | None") -> None:
+    def _append(self, tbl: Table, df: DataFrame, txn: "TxnState | None") -> int:
         """One INSERT's landing: autocommit publishes immediately and
         refreshes the view; inside an explicit transaction the append
         stages under the txn's commit group (invisible everywhere until
-        commit_txn) and the view refresh waits for the commit."""
+        commit_txn) and the view refresh waits for the commit. Returns
+        the inserted-row count (an Observation side output of the write
+        job itself — no second action; the fallback re-count covers
+        AQE's empty-relation propagation, same as dml._count_and_append)
+        so the wire can answer a real `INSERT 0 <n>` tag (review r11:
+        drivers' rowcount was always 0)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
         if txn is None:
-            tbl.append(df)
+            tbl.append(observed)
             self._refresh(tbl.schema.table_name)
         else:
             txn.group.heartbeat()  # active coordinator: refresh pending age
-            tbl.append(df, group=txn.group, segment=txn.current_segment)
+            tbl.append(observed, group=txn.group, segment=txn.current_segment)
             txn.tables.add(tbl.schema.table_name)
+        try:
+            return int(obs.get["n"])
+        except Exception:  # noqa: BLE001 — unreadable observation
+            return df.count()
 
-    def _insert_select(self, m: re.Match, txn: "TxnState | None" = None) -> None:
+    def _insert_select(self, m: re.Match, txn: "TxnState | None" = None) -> int:
         """INSERT INTO t [(cols)] SELECT … — the column-oriented bulk path
         (tests/e2e/insert_unnest_variant.rs): the SELECT usually reads
         FROM unnest(<array per column>), which the shim lowers to
         inline(arrays_zip(…)). Column alignment is positional, like PG."""
         tbl = self._resolve_insert_target(m.group(1))
-        df = self.spark.sql(pg_to_spark_sql(m.group(4).strip().rstrip(";"), self.spark))
+        select_text = m.group(4).strip().rstrip(";")
+        if txn is not None and txn.tables:
+            # read-your-own-writes: inside an open transaction the SELECT
+            # must see the txn's staged rows — rewrite its table
+            # references to the overlay views exactly like an in-txn
+            # SELECT does (review r11: `BEGIN; INSERT INTO a …; INSERT
+            # INTO b SELECT * FROM a` silently read committed-only `a`)
+            from timefusion_spark.server import _rewrite_idents
+
+            select_text = _rewrite_idents(
+                select_text, self.register_txn_views(txn)
+            )
+        df = self.spark.sql(pg_to_spark_sql(select_text, self.spark))
         cols = (
             [c.strip() for c in m.group(3).split(",")]
             if m.group(3)
@@ -680,9 +723,9 @@ class SltEnv:
             raise ValueError(
                 f"INSERT column count {len(cols)} != SELECT width {len(df.columns)}"
             )
-        self._append(tbl, df.toDF(*cols), txn)
+        return self._append(tbl, df.toDF(*cols), txn)
 
-    def _insert(self, m: re.Match, txn: "TxnState | None" = None) -> None:
+    def _insert(self, m: re.Match, txn: "TxnState | None" = None) -> int:
         tbl = self._resolve_insert_target(m.group(1))
         name = tbl.schema.table_name
         cols = (
@@ -696,7 +739,7 @@ class SltEnv:
         df = self.spark.sql(
             f"SELECT * FROM VALUES {values_text}\nAS __ins({', '.join(cols)})"
         )
-        self._append(tbl, df, txn)
+        return self._append(tbl, df, txn)
 
     def copy_rows(
         self,
@@ -736,7 +779,7 @@ class SltEnv:
         src = self.spark.sql(pg_to_spark_sql(m.group(1), self.spark))
         return src, m.group(2)
 
-    def _update(self, m: re.Match) -> None:
+    def _update(self, m: re.Match) -> int:
         name, rest = m.groups()
         # quote-aware clause split: first top-level WHERE ends the
         # SET[/FROM] region (subquery WHEREs sit inside parens, literal
@@ -760,7 +803,7 @@ class SltEnv:
                 c: F.expr(pg_to_spark_sql(re.sub(rf"\b{name}\.", "", e), self.spark))
                 for c, e in assigns_raw.items()
             }
-            dml.update(
+            n = dml.update(
                 tbl,
                 assigns,
                 predicate=(
@@ -810,20 +853,34 @@ class SltEnv:
                     re.sub(rf"\b{name}\.", "", " AND ".join(target_conj)),
                     self.spark,
                 )
-            dml.update_from(tbl, src, join_keys, assigns, predicate=predicate)
+            n = dml.update_from(tbl, src, join_keys, assigns, predicate=predicate)
         self._refresh(name)
+        return n
 
-    def _delete(self, m: re.Match) -> None:
+    def _delete(self, m: re.Match) -> int:
         name, where_text = m.group(1), m.group(2)
         tbl = self.tables.get(name)
         if tbl is None:
             raise ValueError(f"unknown table {name}")
-        dml.delete(tbl, predicate=pg_to_spark_sql(where_text, self.spark) if where_text else None)
+        # strip the table qualifier like _update does: `DELETE FROM t
+        # WHERE t.id = 5` is valid PG, but the predicate evaluates over
+        # the bare read view where alias `t` does not resolve (review r11)
+        n = dml.delete(
+            tbl,
+            predicate=(
+                pg_to_spark_sql(
+                    re.sub(rf"\b{name}\.", "", where_text), self.spark
+                )
+                if where_text
+                else None
+            ),
+        )
         self._refresh(name)
+        return n
 
     # ---- entry points
 
-    def run_statement(self, sql: str, txn: "TxnState | None" = None) -> None:
+    def run_statement(self, sql: str, txn: "TxnState | None" = None) -> int | None:
         """Execute one storage statement. With `txn` (an open explicit
         transaction from begin_txn), INSERTs stage inside the transaction's
         commit group — invisible to every reader until commit_txn publishes
@@ -863,15 +920,15 @@ class SltEnv:
             _reject_in_txn(txn, "ALTER TABLE")
             self._alter_add_column(m)
         elif m := _INSERT_RE.match(sql):
-            self._insert(m, txn)
+            return self._insert(m, txn)
         elif m := _INSERT_SEL_RE.match(sql):
-            self._insert_select(m, txn)
+            return self._insert_select(m, txn)
         elif m := _UPDATE_RE.match(sql):
             _reject_in_txn(txn, "UPDATE")
-            self._update(m)
+            return self._update(m)
         elif m := _DELETE_RE.match(sql):
             _reject_in_txn(txn, "DELETE")
-            self._delete(m)
+            return self._delete(m)
         elif m := _CREATE_VIEW_RE.match(sql):
             _reject_in_txn(txn, "CREATE VIEW")
             self._create_view(m)
@@ -895,8 +952,9 @@ class SltEnv:
             tbl = self.tables.get(name)
             if tbl is None:
                 raise ValueError(f"unknown table {name}")
-            dml.delete(tbl, predicate=None)
+            n = dml.delete(tbl, predicate=None)
             self._refresh(name)
+            return n
         else:
             # plain SQL statement (SELECT used as a probe, etc.)
             self.spark.sql(pg_to_spark_sql(sql, self.spark)).collect()
