@@ -318,3 +318,56 @@ class TestTokenBudgetSample:
             .collect()
         )
         assert sorted(r["doc_id"] for r in picked) == [1, 2, 3]  # 500+300+200 = 1000 exactly
+
+
+class TestPackingAndGraphHardening:
+    """Review r11 operator findings: ROWS-frame prefix sums under tied
+    order keys, NULL-array row survival with clamped chunk counts, and
+    type-agnostic / fail-loud component convergence."""
+
+    def test_tied_order_keys_get_distinct_prefix_sums(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1, 10), ("g", 1, 10)], "grp string, ord int, sz int"
+        )
+        out = pack_concat_chunks(df, "grp", "ord", "sz", budget=16)
+        spans = sorted((r.chunk_id, r.chunk_last) for r in out.collect())
+        # tokens 0-9 fit chunk 0; tokens 10-19 straddle chunks 0-1 —
+        # the default RANGE frame gave BOTH rows the post-tie total
+        # (both (0, 1))
+        assert spans == [(0, 0), (0, 1)]
+
+    def test_chunk_overlap_null_rows_survive_and_no_empty_chunks(self, spark):
+        from timefusion_spark.operators.packing import chunk_with_overlap
+
+        df = spark.createDataFrame(
+            [(1, list(range(10))), (2, None)],
+            "id int, toks array<int>",
+        )
+        out = chunk_with_overlap(df, F.col("toks"), size=1, stride=10).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r.id, []).append(r)
+        # stride past the end: exactly ONE chunk, no trailing empty one
+        assert len(by_id[1]) == 1 and by_id[1][0].chunk_tokens == [0]
+        # the NULL-array row is kept (not silently dropped from the set)
+        assert len(by_id[2]) == 1 and by_id[2][0].chunk_tokens is None
+
+    def test_connected_components_string_ids(self, spark):
+        edges = spark.createDataFrame(
+            [("doc_a", "doc_b"), ("doc_b", "doc_c")], "src string, dst string"
+        )
+        comps = {
+            r.n: r.component for r in connected_components(edges).collect()
+        }
+        # the sum-of-labels probe returned NULL for string ids and
+        # stopped after one round, leaving doc_c labeled doc_b
+        assert comps == {"doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a"}
+
+    def test_connected_components_raises_when_unconverged(self, spark):
+        import pytest as _pytest
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "src int, dst int"
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iter=2)

@@ -77,3 +77,18 @@ def test_plan_is_two_scans_no_explode(corpus):
     assert "BatchEvalPython" not in plan
     # the stats side reaches the scorer as a broadcast, not a shuffle
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_all_empty_corpus_scores_zero(spark):
+    """avgdl = 0 (all-NULL/empty text) must not NULL every score: the
+    documented contract is no-match rows score 0.0 (review r11)."""
+    from timefusion_spark.operators.ranking import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r.score
+        for r in bm25_scores(docs, "doc_id", "text", ["merge"]).collect()
+    }
+    assert got == {1: 0.0, 2: 0.0}

@@ -335,3 +335,38 @@ fields:
         assert got["2"]["k"] == 9
         assert got["3"]["attr_null"] and got["3"]["j"] is None
         assert all(r["_change_type"] == "upsert" for r in got.values())
+
+
+class TestEventGenOffsetHardening:
+    """Review r11: the generator's per-instance head restarts at 0 with
+    the process — after a checkpoint restart it must never hand Spark an
+    offset below the committed one, nor replay rows below the floor."""
+
+    def test_batch_n_zero_yields_empty_frame(self, spark):
+        from timefusion_spark.sources.eventgen import register_sources
+
+        register_sources(spark)
+        df = spark.read.format("eventgen").option("n", 0).load()
+        assert df.count() == 0
+
+    def test_backward_offset_is_clamped_not_replayed(self):
+        from timefusion_spark.sources.eventgen import _StreamReader
+
+        r = _StreamReader({"n": 1000, "rowsPerBatch": 250})
+        # restart scenario: committed offset 500, fresh instance head 0
+        parts = r.partitions({"index": 500}, {"index": 250})
+        assert [(p.start, p.end) for p in parts] == [(500, 500)]  # empty
+        # the floor now pins the head at or above the committed offset
+        assert r.latestOffset()["index"] >= 500
+        # even if the offset log regressed, planned ranges never re-emit
+        # rows below the floor
+        parts = r.partitions({"index": 250}, {"index": 750})
+        assert min(p.start for p in parts) >= 500
+
+    def test_commit_advances_floor(self):
+        from timefusion_spark.sources.eventgen import _StreamReader
+
+        r = _StreamReader({"n": 1000, "rowsPerBatch": 250})
+        r.commit({"index": 400})
+        parts = r.partitions({"index": 250}, {"index": 600})
+        assert min(p.start for p in parts) >= 400

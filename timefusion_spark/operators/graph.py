@@ -9,11 +9,16 @@ the input is any (src, dst) edge DataFrame, e.g. the output of
 Algorithm: iterative min-label propagation. Each node starts labeled
 with itself; every round each node takes the min of its own label and
 its neighbors' labels; fixpoint = components. Convergence is detected
-with a one-scalar aggregate (sum of labels, strictly decreasing until
-stable) — no driver-side data materialization. Rounds = graph diameter;
-near-dup clusters are shallow (pairs/stars), so 2-4 rounds in practice.
-Each round is one shuffled join + one aggregate, and lineage is
-truncated per round with localCheckpoint so plans stay O(1) deep.
+with a one-scalar CHANGED-ROW count — type-agnostic (a sum-of-labels
+probe returns NULL for string node ids, which would read as converged
+after one round; review r11) and still no driver-side data
+materialization. Rounds = graph diameter; near-dup clusters are shallow
+(pairs/stars), so 2-4 rounds in practice. Each round is one shuffled
+join + one aggregate, and lineage is truncated per round with
+localCheckpoint so plans stay O(1) deep. A graph deeper than
+``max_iter`` RAISES instead of returning silently-partial components
+(a split keyed on partial components would certify zero leakage while
+real leakage exists).
 
 At 100 TB the diameter-bound loop is the right baseline; for adversarial
 long-chain graphs the known upgrade is large-star/small-star halving
@@ -40,25 +45,31 @@ def connected_components(
         "component", F.col("n")
     )
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, und["b"] == labels["n"])
             .groupBy(und["a"].alias("n2"))
             .agg(F.min("component").alias("_nbr"))
         )
-        labels = (
+        staged = (
             labels.join(nbr_min, labels["n"] == nbr_min["n2"], "left")
             .select(
                 "n",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce("_nbr", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("component")).first()[0]
-        if cur_sum == prev_sum:
+        changed = staged.where(F.col("component") != F.col("_old")).count()
+        labels = staged.drop("_old")
+        if changed == 0:
             break
-        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "rounds (graph diameter exceeds max_iter); raise max_iter — "
+            "returning partial components would silently split clusters"
+        )
     return labels

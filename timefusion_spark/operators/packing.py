@@ -35,19 +35,27 @@ def pack_concat_chunks(
     At cluster scale the group key is the unit of parallelism — use a
     sharded group (e.g. ``(source, shard)``) if single groups exceed an
     executor's sort budget.
+
+    The running sum uses an explicit ROWS frame: the default RANGE frame
+    includes every ``order_col`` PEER in each row's sum, so two docs
+    tied on the order key would both see the post-both total and get
+    wrong chunk spans (review r11). Ties order arbitrarily within the
+    frame — any tie order is a valid packing.
     """
-    w = Window.partitionBy(group_col).orderBy(order_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum(size_col).over(w)
     first_chunk = F.floor((cum - F.col(size_col)) / F.lit(budget))
     last_chunk = F.floor((cum - F.lit(1)) / F.lit(budget))
     return (
-        df.withColumn("_cum", cum)
-        .withColumn("chunk_id", first_chunk)
+        df.withColumn("chunk_id", first_chunk)
         .withColumn("chunk_last", last_chunk)
         .withColumn(
             "chunks_spanned", F.col("chunk_last") - F.col("chunk_id") + F.lit(1)
         )
-        .drop("_cum")
     )
 
 
@@ -131,15 +139,22 @@ def chunk_with_overlap(
     ATTRIBUTE column (see ngrams note in text_analysis).
 
     Adds ``chunk_index`` (long, 0-based) and ``chunk_tokens`` (the
-    window's token array)."""
+    window's token array). A NULL token array keeps its row (NULL
+    chunk_index/chunk_tokens via posexplode_outer) — silently dropping
+    rows from a training set is the one failure a pipeline can't see
+    (review r11); the chunk count is clamped so a stride larger than
+    the remaining tokens never emits a trailing EMPTY chunk."""
     n = F.size(toks_col)
     n_chunks = F.when(n <= size, F.lit(1).cast("long")).otherwise(
-        F.ceil((n - F.lit(size)) / F.lit(float(stride))) + 1
+        F.least(
+            F.ceil((n - F.lit(size)) / F.lit(float(stride))) + 1,
+            F.ceil(n / F.lit(float(stride))),
+        )
     )
     ks = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
     chunks = F.transform(
         ks, lambda k: F.slice(toks_col, (k * stride + 1).cast("int"), size)
     )
     return df.select(
-        "*", F.posexplode(chunks).alias("chunk_index", "chunk_tokens")
+        "*", F.posexplode_outer(chunks).alias("chunk_index", "chunk_tokens")
     ).withColumn("chunk_index", F.col("chunk_index").cast("long"))

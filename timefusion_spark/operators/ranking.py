@@ -84,7 +84,16 @@ def bm25_scores(
         ],
     )
     scored = base.crossJoin(F.broadcast(stats))
-    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    # avgdl = 0 (an all-empty corpus) would make dl/avgdl a
+    # divide-by-zero NULL that propagates into EVERY score — violating
+    # the documented "no-match rows score 0.0" contract and letting a
+    # `score > 0` filter silently drop the corpus (review r11); with
+    # every dl = 0 the normalized term is 0 regardless, so a floor on
+    # the divisor is exact, not an approximation
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl") / F.greatest(F.col("avgdl"), F.lit(1e-12))
+    )
     score = None
     for i in range(len(terms)):
         idf = F.log(

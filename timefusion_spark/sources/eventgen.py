@@ -59,6 +59,8 @@ class _Reader(DataSourceReader):
         self.parts = int(options.get("numPartitions", 4))
 
     def partitions(self):
+        if self.n <= 0:
+            return [_Range(0, 0)]  # n=0: empty frame, not range(0,0,0)
         step = -(-self.n // self.parts)
         return [
             _Range(lo, min(lo + step, self.n)) for lo in range(0, self.n, step)
@@ -79,15 +81,23 @@ class _StreamReader(DataSourceStreamReader):
         return {"index": 0}
 
     def latestOffset(self):
-        # A real connector asks the feed for its head; the generator's
-        # head advances one batch per poll until the configured total.
+        # A real connector asks the feed for its head (an ABSOLUTE
+        # position); this generator's per-instance counter restarts at 0
+        # with the process, so after a checkpoint restart it could hand
+        # Spark an offset BELOW the committed one and re-emit committed
+        # rows (review r11). `_floor` — the highest offset this instance
+        # has seen planned or committed — makes the head monotone again;
+        # partitions() additionally clamps its low edge to the floor so
+        # a transient backward offset in the log never replays rows.
         if not hasattr(self, "_head"):
             self._head = 0
         self._head = min(self._head + self.per_batch, self.total)
-        return {"index": self._head}
+        return {"index": max(self._head, getattr(self, "_floor", 0))}
 
     def partitions(self, start, end):
         lo, hi = start["index"], end["index"]
+        lo = max(lo, min(hi, getattr(self, "_floor", 0)))
+        self._floor = max(getattr(self, "_floor", 0), lo, hi)
         if hi <= lo:
             return [_Range(lo, lo)]
         step = -(-(hi - lo) // self.parts)
@@ -98,7 +108,7 @@ class _StreamReader(DataSourceStreamReader):
             yield row_for(i)
 
     def commit(self, end):
-        pass
+        self._floor = max(getattr(self, "_floor", 0), end["index"])
 
 
 class EventGenDataSource(DataSource):
