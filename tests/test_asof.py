@@ -47,3 +47,39 @@ def test_asof_plan_no_theta_join(spark):
     # union-and-carry: one window, no join operator at all
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_matched_rows_null_payload_not_resurrected(spark):
+    """Review r11: the payload carries as ONE struct — a matched right
+    row's genuine NULL field must come through as NULL, not be skipped
+    in favor of the stale prior value; and fields of different right
+    rows must never stitch into one row."""
+    left = spark.createDataFrame(
+        [("k", "2026-01-01 14:00:00")], "k string, ts string"
+    ).selectExpr("k", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [
+            ("k", "2026-01-01 12:00:00", 10.0, "a"),
+            ("k", "2026-01-01 13:00:00", None, "b"),
+        ],
+        "k string, ts string, price double, status string",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "price", "status")
+    [r] = asof_join(left, right, on="k").collect()
+    # the 13:00 row matches: price cleared to NULL, status 'b' — the
+    # per-column carry returned (10.0, 'b'), a row that never existed
+    assert r["price_asof"] is None and r["status_asof"] == "b"
+
+
+def test_null_right_ts_and_keys_never_match(spark):
+    """SQL `>=`/`=` never match NULL: a null-ts right row must not carry
+    its payload anywhere, and null keys must not match each other."""
+    left = spark.createDataFrame(
+        [("k", "2026-01-01 14:00:00"), (None, "2026-01-01 14:00:00")],
+        "k string, ts string",
+    ).selectExpr("k", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [("k", None, 7.0), (None, "2026-01-01 10:00:00", 8.0)],
+        "k string, ts string, v double",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+    got = {r["k"]: r["v_asof"] for r in asof_join(left, right, on="k").collect()}
+    assert got == {"k": None, None: None}

@@ -43,3 +43,44 @@ def test_interval_grammar(text, micros):
 def test_interval_errors(bad):
     with pytest.raises(ValueError):
         parse_interval_to_micros(bad)
+
+
+def test_left_join_keeps_unmatched_points(spark):
+    """Review r11: the exact range predicate lives in the join condition
+    — a post-join filter NULL-dropped every null-extended row, silently
+    degrading `left` to inner."""
+    from timefusion_spark.operators.interval_join import interval_join
+
+    points = spark.createDataFrame(
+        [("p1", "2026-01-01 10:30:00"), ("p2", "2026-01-05 00:00:00")],
+        "pid string, ts string",
+    ).selectExpr("pid", "cast(ts as timestamp) ts")
+    ivals = spark.createDataFrame(
+        [("i1", "2026-01-01 10:00:00", "2026-01-01 11:00:00")],
+        "iid string, start_ts string, end_ts string",
+    ).selectExpr(
+        "iid", "cast(start_ts as timestamp) start_ts",
+        "cast(end_ts as timestamp) end_ts",
+    )
+    rows = {r.pid: r.iid for r in interval_join(points, ivals, how="left").collect()}
+    assert rows == {"p1": "i1", "p2": None}  # p2 kept, null-extended
+
+
+def test_right_and_full_joins_rejected(spark):
+    import pytest as _pytest
+
+    from timefusion_spark.operators.interval_join import interval_join
+
+    points = spark.createDataFrame(
+        [("p1", "2026-01-01 10:30:00")], "pid string, ts string"
+    ).selectExpr("pid", "cast(ts as timestamp) ts")
+    ivals = spark.createDataFrame(
+        [("i1", "2026-01-01 10:00:00", "2026-01-01 11:00:00")],
+        "iid string, start_ts string, end_ts string",
+    ).selectExpr(
+        "iid", "cast(start_ts as timestamp) start_ts",
+        "cast(end_ts as timestamp) end_ts",
+    )
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="unsupported how"):
+            interval_join(points, ivals, how=how)

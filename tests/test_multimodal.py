@@ -131,3 +131,17 @@ class TestWavDecode:
         payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
         with _pt.raises(NotImplementedError):
             decode_wav(payload)
+
+
+def test_extract_features_null_payload_yields_null_features(spark):
+    """Review r11: MEDIA_SCHEMA declares payload nullable — a NULL
+    payload must yield NULL features, not a len(None) TypeError inside
+    the executor task."""
+    from timefusion_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, "image", "bmp", None), (2, "image", "bmp", bytearray(b"x"))],
+        "media_id long, kind string, format string, payload binary",
+    )
+    got = {r.media_id: (r.size_bytes, r.mean_byte) for r in extract_features(media).collect()}
+    assert got[1] == (None, None)

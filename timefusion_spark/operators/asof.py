@@ -9,15 +9,23 @@ scale-traps: a theta-join `l.ts >= r.ts` explodes to O(|L|·|R|) per key,
 and a windowed subquery per left row re-scans. The scalable shape is the
 UNION-AND-CARRY merge:
 
-  1. tag right rows (carrying their payload) and left rows (payload NULL),
+  1. tag right rows (payload packed into ONE struct) and left rows
+     (struct NULL),
   2. union, ONE window per key ordered by (ts, tag) with
-     `last(payload, ignoreNulls)` carrying the latest right payload
-     forward,
+     `last(struct, ignoreNulls)` carrying the latest right ROW forward,
   3. keep left rows.
 
 One shuffle on the key, one sort — the same cost as a groupBy window,
 independent of how many right rows precede each left row. Ties (equal
 ts) resolve right-before-left (tag order), matching ASOF `>=` semantics.
+
+The payload carries as a single STRUCT, never per column (review r11):
+per-column `last(ignorenulls)` would skip a matched row's GENUINE NULL
+field and resurrect the stale prior value — and could stitch fields of
+DIFFERENT right rows into one row that never existed. Right rows with a
+NULL key or NULL timestamp are excluded up front: SQL `=`/`>=` never
+match NULL (a null-key left row therefore gets no match, and DuckDB's
+ASOF JOIN oracle agrees).
 """
 
 from __future__ import annotations
@@ -43,21 +51,30 @@ def asof_join(
     payload_cols = payload_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    r_clean = right.where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+    prow_t = (
+        r_clean.select(
+            F.struct(*[F.col(c) for c in payload_cols]).alias("_prow")
+        ).schema["_prow"].dataType
+    )
+    lrow_t = (
+        left.select(
+            F.struct(*[F.col(c) for c in left.columns]).alias("_lrow")
+        ).schema["_lrow"].dataType
+    )
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(None).cast(prow_t).alias("_prow"),
     )
-    r_tagged = right.select(
+    r_tagged = r_clean.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        F.lit(None).cast(
-            l_tagged.schema["_lrow"].dataType
-        ).alias("_lrow"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(None).cast(lrow_t).alias("_lrow"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_prow"),
     )
     w = (
         W.partitionBy("_k")
@@ -67,13 +84,10 @@ def asof_join(
     carried = l_tagged.unionByName(r_tagged).select(
         "_is_left",
         "_lrow",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in payload_cols
-        ],
+        F.last("_prow", ignorenulls=True).over(w).alias("_prow"),
     )
     out = carried.where(F.col("_is_left") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in payload_cols],
+        *[F.col(f"_prow.{c}").alias(f"{c}{suffix}") for c in payload_cols],
     )
     return out

@@ -49,6 +49,21 @@ def interval_join(
     inputs (select/alias first if not).
     """
     keys = keys or []
+    # the exact range predicate must live IN the join condition, not as a
+    # post-join filter: a filter after an outer join evaluates NULL on
+    # null-extended rows and silently drops them, degrading `left` to
+    # inner (review r11). Right/full joins are refused outright — the
+    # interval side is bucket-EXPLODED, so their unmatched rows would
+    # surface once per bucket replica.
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti",
+        "cross",
+    ):
+        raise ValueError(
+            f"interval_join: unsupported how={how!r} (the interval side "
+            "is bucket-exploded; right/full would duplicate unmatched "
+            "intervals per bucket replica)"
+        )
     w_us = int(bucket_width_s) * 1_000_000
     p = points.withColumn(
         "_bkt", F.floor(F.unix_micros(F.col(point_ts)) / F.lit(w_us))
@@ -61,11 +76,13 @@ def interval_join(
         .withColumn("_bkt", F.explode(F.sequence(F.col("_sb"), F.col("_eb"))))
         .drop("_sb", "_eb")
     )
-    cond = [p["_bkt"] == i["_bkt"]]
+    cond = [
+        p["_bkt"] == i["_bkt"],
+        p[point_ts] >= i[start_col],
+        p[point_ts] <= i[end_col],
+    ]
     cond += [p[k] == i[k] for k in keys]
-    joined = p.join(i, cond, how).where(
-        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
-    )
+    joined = p.join(i, cond, how)
     drop = [p["_bkt"], i["_bkt"]] + [i[k] for k in keys]
     for c in drop:
         joined = joined.drop(c)

@@ -206,16 +206,26 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
         import pandas as pd
 
         for pdf in it:
+            # MEDIA_SCHEMA declares payload nullable (synthesize_media
+            # emits NULL for NULL text): a NULL payload yields NULL
+            # features instead of a len(None) TypeError deep inside the
+            # executor task (review r11)
             decoded = [
-                decode_image(p, f, deterministic_fake=deterministic_fake)
+                None
+                if p is None
+                else decode_image(p, f, deterministic_fake=deterministic_fake)
                 for p, f in zip(pdf["payload"], pdf["format"])
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "size_bytes": [len(p) for p in pdf["payload"]],
-                    "mean_byte": [float(d.mean()) for d in decoded],
+                    "size_bytes": [
+                        None if p is None else len(p) for p in pdf["payload"]
+                    ],
+                    "mean_byte": [
+                        None if d is None else float(d.mean()) for d in decoded
+                    ],
                 }
             )
 

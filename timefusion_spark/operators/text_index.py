@@ -34,12 +34,17 @@ from timefusion_spark.functions.text import text_match
 
 def _gram_expr(text_col: str) -> Column:
     """All distinct 3-grams of lower(text) as an array — one pass, JVM
-    expression only (sequence + transform + substring)."""
-    lowered = f"lower({text_col})"
+    expression only (sequence + transform + substring). The lowered text
+    stages through a 1-element array + transform so it evaluates ONCE
+    per row: CSE does not reach inside HOF lambdas, and inlining
+    `lower(text)` in the gram lambda re-lowercases the whole string per
+    gram — O(len²) per document on every build/refresh (review r11; same
+    discipline as dedup.py's module note)."""
     return F.expr(
+        f"transform(array(lower({text_col})), t -> "
         f"array_distinct(transform("
-        f"sequence(1, greatest(length({lowered}) - 2, 1)),"
-        f" i -> substring({lowered}, i, 3)))"
+        f"sequence(1, greatest(length(t) - 2, 1)),"
+        f" i -> substring(t, i, 3))))[0]"
     )
 
 
@@ -181,6 +186,10 @@ def trigram_literal_candidates(
         return None
     probe = index.where(F.col("gram").isin(grams))
     if "gbucket" in index.columns:
+        # partition pruning: gram_bucket(lit) is a foldable expression
+        # (xxhash64 of a constant), so Catalyst folds each equality to a
+        # literal and the partition filter prunes the bucketed index to
+        # O(|query grams|) partitions before any I/O
         bucket_pred = None
         for g in grams:
             eq = F.col("gbucket") == gram_bucket(F.lit(g))
@@ -236,26 +245,12 @@ def trigram_search(
     tokens = [tok for tok in query.lower().split() if tok]
     cand: DataFrame | None = None
     for tok in tokens:
-        grams = sorted(set(query_trigrams(tok)))
-        if not grams:
+        # a token is already lowercased and space-free, so its gram set
+        # and HAVING-count gate are exactly the literal primitive's
+        # (review r11: this block was a copy of it)
+        c = trigram_literal_candidates(index, tok, id_col=id_col)
+        if c is None:
             continue  # short token: verify-stage only
-        probe = index.where(F.col("gram").isin(grams))
-        if "gbucket" in index.columns:
-            # partition pruning: gram_bucket(lit) is a foldable expression
-            # (xxhash64 of a constant), so Catalyst folds each equality to
-            # a literal and the partition filter prunes the bucketed index
-            # to O(|query grams|) partitions before any I/O
-            bucket_pred = None
-            for g in grams:
-                eq = F.col("gbucket") == gram_bucket(F.lit(g))
-                bucket_pred = eq if bucket_pred is None else (bucket_pred | eq)
-            probe = probe.where(bucket_pred)
-        c = (
-            probe.groupBy(id_col)
-            .agg(F.count_distinct("gram").alias("_ng"))
-            .where(F.col("_ng") == len(grams))
-            .select(id_col)
-        )
         cand = c if cand is None else cand.join(c, id_col)
     pruned = docs if cand is None else docs.join(cand, id_col, "left_semi")
     return pruned.where(text_match(F.col(text_col), query))
