@@ -2048,6 +2048,17 @@ def _apply_text_match_statement(spark, stripped: str, tables):
     tbl = (tables or {}).get(name)
     if tbl is None:
         return None
+    # cheap early decline: no text-index sidecar directory → nothing can
+    # route, and the per-conjunct probes below would otherwise pay a
+    # commit-log LISTING (freshness check) on EVERY single-table SELECT
+    # over an unindexed table — measurable p50 latency on the hot pgwire
+    # path now that the envelope accepts arbitrary projections (r11)
+    import os as _os
+
+    from timefusion_spark.storage.maintenance import TEXT_INDEX_DIR
+
+    if not _os.path.isdir(_os.path.join(tbl.path, TEXT_INDEX_DIR)):
+        return None
     # table_changes() is substituted by a LATER pg_sql pass the re-plan
     # would bypass — a routed statement referencing it would fail with an
     # unresolved relation where the scan path serves it; decline

@@ -669,27 +669,41 @@ class SltEnv:
             raise ValueError(f"unknown table {name}")
         return tbl
 
-    def _append(self, tbl: Table, df: DataFrame, txn: "TxnState | None") -> int:
+    def _append(
+        self,
+        tbl: Table,
+        df: DataFrame,
+        txn: "TxnState | None",
+        n_rows: int | None = None,
+    ) -> int:
         """One INSERT's landing: autocommit publishes immediately and
         refreshes the view; inside an explicit transaction the append
         stages under the txn's commit group (invisible everywhere until
         commit_txn) and the view refresh waits for the commit. Returns
-        the inserted-row count (an Observation side output of the write
-        job itself — no second action; the fallback re-count covers
-        AQE's empty-relation propagation, same as dml._count_and_append)
-        so the wire can answer a real `INSERT 0 <n>` tag (review r11:
-        drivers' rowcount was always 0)."""
-        from pyspark.sql import Observation
+        the inserted-row count so the wire can answer a real
+        `INSERT 0 <n>` tag (review r11: drivers' rowcount was always 0).
+        Callers that already KNOW the row count (VALUES tuples, COPY
+        chunks) pass `n_rows` and pay nothing; otherwise an Observation
+        rides the write job (no second action; the fallback re-count
+        covers AQE's empty-relation propagation, same as
+        dml._count_and_append). Observation.get waits on a listener
+        callback — measurable per-statement latency on the hot ingest
+        path, which is why the known-count fast path exists."""
+        obs = None
+        if n_rows is None:
+            from pyspark.sql import Observation
 
-        obs = Observation()
-        observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         if txn is None:
-            tbl.append(observed)
+            tbl.append(df)
             self._refresh(tbl.schema.table_name)
         else:
             txn.group.heartbeat()  # active coordinator: refresh pending age
-            tbl.append(observed, group=txn.group, segment=txn.current_segment)
+            tbl.append(df, group=txn.group, segment=txn.current_segment)
             txn.tables.add(tbl.schema.table_name)
+        if obs is None:
+            return int(n_rows)
         try:
             return int(obs.get["n"])
         except Exception:  # noqa: BLE001 — unreadable observation
@@ -739,7 +753,10 @@ class SltEnv:
         df = self.spark.sql(
             f"SELECT * FROM VALUES {values_text}\nAS __ins({', '.join(cols)})"
         )
-        return self._append(tbl, df, txn)
+        # the row count is the number of TOP-LEVEL tuples in the VALUES
+        # list — known without any Spark action
+        n_tuples = len([t for t in _split_top(values_text) if t.strip()])
+        return self._append(tbl, df, txn, n_rows=n_tuples)
 
     def copy_rows(
         self,
@@ -769,7 +786,9 @@ class SltEnv:
         from pyspark.sql.types import StringType, StructField, StructType
 
         schema = StructType([StructField(n, StringType(), True) for n in names])
-        self._append(tbl, self.spark.createDataFrame(rows, schema), txn)
+        self._append(
+            tbl, self.spark.createDataFrame(rows, schema), txn, n_rows=len(rows)
+        )
         return len(rows)
 
     def _source_alias(self, from_text: str) -> tuple[DataFrame, str]:
