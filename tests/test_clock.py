@@ -55,3 +55,26 @@ def test_frozen_clock_stamps_appends_and_dml(spark, table):
     assert vals["a"] == (2.0, dt.datetime(2026, 5, 1, 0, 1, 0))
     assert vals["b"][1] == dt.datetime(2026, 5, 1, 0, 0, 0)
     assert clock.now_micros() == t0 + 60 * 1_000_000
+
+
+def test_time_bucket_integer_arithmetic_edges(spark):
+    """Review r11: double-precision floor(m/size) loses integer precision
+    past 2^53 µs — year-9999 sentinels bucketed UP across the boundary;
+    and a zero-width interval must fail fast, not NULL the column."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from timefusion_spark.functions.time import parse_interval_to_micros, time_bucket
+
+    [r] = (
+        spark.range(1)
+        .select(
+            time_bucket(
+                "1s", F.lit("9999-12-31 23:59:59.999999").cast("timestamp")
+            ).alias("x")
+        )
+        .collect()
+    )
+    assert str(r["x"]) == "9999-12-31 23:59:59"
+    with _pytest.raises(ValueError, match="zero-width"):
+        parse_interval_to_micros("0 minutes")

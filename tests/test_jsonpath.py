@@ -94,3 +94,84 @@ def test_unsupported_paths_raise():
     for bad in ("$..a", "$.*", "$.a ? (@.size() > 1)", "a.b"):
         with pytest.raises(ValueError):
             jsonpath_exists_sql("j", bad)
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+class TestJsonFnReviewFixes:
+    """Review r11 findings across the JSON function surface — each was
+    live-verified broken before the fix."""
+
+    def _one(self, spark, c):
+        return spark.range(1).select(c.alias("x")).collect()[0]["x"]
+
+    def test_json_to_pg_text_unquotes(self, spark):
+        # from_json(col, "string") raised DATATYPE_MISMATCH on every call
+        import timefusion_spark.functions.json_fns as J
+
+        assert self._one(spark, J.json_to_pg_text(F.lit('"café \\"q\\""'))) == 'café "q"'
+        assert self._one(spark, J.json_to_pg_text(F.lit("123"))) == "123"
+        assert self._one(spark, J.json_to_pg_text(F.lit("null"))) is None
+
+    def test_keys_with_dots_and_quotes(self, spark):
+        import timefusion_spark.functions.json_fns as J
+
+        assert self._one(spark, J.json_get_text(F.lit('{"a.b": 1}'), "a.b")) == "1"
+        assert self._one(spark, J.json_get(F.lit('{"a.b": "x"}'), "a.b")) == '"x"'
+
+    def test_json_contains_null_value_key_and_null_input(self, spark):
+        import timefusion_spark.functions.json_fns as J
+
+        # PG `?`: an existing key with a JSON null VALUE is contained
+        assert self._one(spark, J.json_contains(F.lit('{"a": null}'), "a")) is True
+        assert self._one(spark, J.json_contains(F.lit("{}"), "a")) is False
+        assert (
+            self._one(spark, J.json_contains(F.lit(None).cast("string"), "a"))
+            is None
+        )
+
+    def test_pg_to_json_null_without_sniffing(self, spark):
+        import timefusion_spark.functions.json_fns as J
+
+        assert (
+            self._one(
+                spark, J.pg_to_json(F.lit(None).cast("string"), sniff_json=False)
+            )
+            is None
+        )
+
+    def test_string_input_simple_path_is_lax(self, spark):
+        import timefusion_spark.functions.json_fns as J
+
+        # lax member access auto-unwraps arrays; the variant fast path
+        # (strict) answered False for the same path string
+        assert (
+            self._one(
+                spark,
+                J.jsonb_path_exists(
+                    "'{\"items\":[{\"name\":1}]}'", "$.items.name"
+                ),
+            )
+            is True
+        )
+        # Column-input fast path: NULL in → NULL out (was False)
+        assert (
+            self._one(
+                spark, J.jsonb_path_exists(F.lit(None).cast("string"), "$.k")
+            )
+            is None
+        )
+
+    def test_non_ascii_string_filter_matches(self, spark):
+        import timefusion_spark.functions.json_fns as J
+
+        # ensure_ascii=True escaped the literal to \uXXXX while to_json
+        # renders raw UTF-8 — accented text never matched
+        assert (
+            self._one(
+                spark,
+                J.jsonb_path_exists("'[\"café\"]'", '$[*] ? (@ == "café")'),
+            )
+            is True
+        )

@@ -72,3 +72,16 @@ def test_to_char_unterminated_literal(ts_df):
 def test_to_char_escaped_quote(ts_df):
     got = ts_df.select(to_char(F.col("ts"), '"a""b"DD').alias("s")).collect()[0]["s"]
     assert got == 'a"b10'
+
+
+def test_to_char_null_ts_empty_format_is_null(spark):
+    """Review r11: to_char(NULL, '') must be NULL — the zero-segment
+    early return bypassed the NULL guard and answered ''."""
+    from timefusion_spark.functions.pg_format import to_char
+
+    [r] = (
+        spark.range(1)
+        .select(to_char(F.lit(None).cast("timestamp"), "").alias("x"))
+        .collect()
+    )
+    assert r["x"] is None

@@ -14,7 +14,14 @@ from pyspark.sql import functions as F
 def _path(key: str | int) -> str:
     if isinstance(key, int):
         return f"$[{key}]"
-    return f"$.{key}"
+    import re as _re
+
+    if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+        return f"$.{key}"
+    # keys containing '.', '[', quotes or spaces must bracket-quote —
+    # `$.a.b` would navigate a NESTED path instead of the literal key
+    # 'a.b' and silently return NULL (review r11; PG -> accepts any text)
+    return "$['" + key.replace("\\", "\\\\").replace("'", "\\'") + "']"
 
 
 def json_get(col: Column, key: str | int) -> Column:
@@ -38,14 +45,18 @@ def json_get_text(col: Column, key: str | int) -> Column:
 
 
 def json_to_pg_text(json_text: Column) -> Column:
-    """PG text rendering of a JSON value (functions.rs:256-303)."""
+    """PG text rendering of a JSON value (functions.rs:256-303).
+
+    The string branch unquotes/unescapes via the Variant cast —
+    `from_json(col, "string")` is not a legal primitive schema and
+    raised DATATYPE_MISMATCH on every call (review r11: this export was
+    analysis-time broken)."""
     trimmed = F.trim(json_text)
     return (
         F.when(json_text.isNull() | (trimmed == "null"), F.lit(None).cast("string"))
         .when(
             trimmed.startswith('"') & trimmed.endswith('"'),
-            # unquote + unescape via from_json to a string
-            F.from_json(json_text, "string"),
+            F.try_variant_get(F.try_parse_json(json_text), "$", "string"),
         )
         .otherwise(json_text)
     )
@@ -67,7 +78,12 @@ def pg_to_json(c: Column, sniff_json: bool = True) -> Column:
     looks = (t.startswith("{") & t.endswith("}")) | (t.startswith("[") & t.endswith("]"))
     parsed = F.try_parse_json(c)
     if not sniff_json:
-        return _quote_json_string(c)
+        # same NULL guard as the sniffing branch: to_json(array(NULL))
+        # renders '[null]' and the bracket strip left the literal text
+        # 'null' where PG's to_json(NULL) is SQL NULL (review r11)
+        return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+            _quote_json_string(c)
+        )
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
         F.when(looks & parsed.isNotNull(), F.to_json(parsed)).otherwise(_quote_json_string(c))
     )
@@ -93,8 +109,14 @@ def json_length(col: Column) -> Column:
 
 
 def json_contains(col: Column, key: str) -> Column:
-    """True if the JSON object contains `key` (json_contains parity)."""
-    return F.get_json_object(col, _path(key)).isNotNull()
+    """True if the JSON object contains `key` (json_contains / PG `?`
+    parity). Variant-based: get_json_object conflates a JSON null VALUE
+    with a missing key — `{"a": null} ? 'a'` is true in PG (review r11);
+    NULL input yields NULL, like the PG operator."""
+    v = F.variant_get(F.try_parse_json(col), _path(key), "variant")
+    return F.when(
+        col.isNull(), F.lit(None).cast("boolean")
+    ).otherwise(v.isNotNull() | F.is_variant_null(v))
 
 
 _SIMPLE_JSONPATH = __import__("re").compile(r"^\$(\.[A-Za-z_][A-Za-z0-9_]*|\[\d+\])*$")
@@ -110,17 +132,27 @@ def jsonb_path_exists(col: Column | str, path: str) -> Column:
     no Python in the row path (SURVEY §2.11). Filter paths need the json
     argument as a column name / SQL expression string (the compiler emits
     SQL text shared with the pgshim rewrite)."""
+    if isinstance(col, str):
+        # SQL-expression input: ALWAYS the compiled path — the variant
+        # fast path implements STRICT member access (no lax array
+        # auto-unwrap) and returned a different answer than the compiler
+        # for the same path string (review r11)
+        return F.expr(jsonpath_exists_sql(col, path))
     if _SIMPLE_JSONPATH.match(path):
-        # JSON null is an existing value for jsonb_path_exists; variant_get
-        # distinguishes it (variant null) from a missing path (SQL NULL).
+        # Column input, simple path: variant fast path. JSON null is an
+        # existing value for jsonb_path_exists; variant_get distinguishes
+        # it (variant null) from a missing path (SQL NULL). NULL input
+        # yields NULL, like PG (review r11). CAVEAT: member access here
+        # is STRICT — lax array auto-unwrap ($.a over [{"a":1}]) needs
+        # the compiled path, i.e. a SQL-expression argument.
         v = F.variant_get(F.try_parse_json(col), path, "variant")
-        return v.isNotNull() | F.is_variant_null(v)
-    if not isinstance(col, str):
-        raise ValueError(
-            "jsonpath with wildcards/filters needs the json argument as a "
-            "column name or SQL expression string (the path compiles to SQL text)"
+        return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
+            v.isNotNull() | F.is_variant_null(v)
         )
-    return F.expr(jsonpath_exists_sql(col, path))
+    raise ValueError(
+        "jsonpath with wildcards/filters needs the json argument as a "
+        "column name or SQL expression string (the path compiles to SQL text)"
+    )
 
 
 # ── PG SQL/JSON path compiler (lax mode) ─────────────────────────────────
@@ -362,8 +394,12 @@ class _SqlEmitter:
             # variant string cast, gated by the quote guard so its
             # number→string coercion can never fire.
             if op in ("=", "!="):
+                # ensure_ascii=False: to_json renders raw UTF-8, while
+                # dumps' default \uXXXX escapes would never match any
+                # non-ASCII literal (review r11)
                 return (
-                    f"(startswith({tj}, '\"') AND {tj} {op} {_sq(_json.dumps(lit))})"
+                    f"(startswith({tj}, '\"') AND {tj} {op} "
+                    f"{_sq(_json.dumps(lit, ensure_ascii=False))})"
                 )
             s = f"try_variant_get({e}, '$', 'string')"
             return f"(startswith({tj}, '\"') AND {s} {op} {_sq(lit)})"

@@ -142,8 +142,8 @@ def to_char(ts: Column, fmt: str) -> Column:
             cols.append(F.date_format(ts, "a"))
         else:  # am / pm — lowercase meridiem
             cols.append(F.lower(F.date_format(ts, "a")))
-    if not cols:
-        return F.lit("")
-    out = F.concat(*cols) if len(cols) > 1 else cols[0]
-    # to_char(NULL) is NULL; concat of literals would otherwise be non-null.
+    # to_char(NULL, fmt) is NULL for EVERY format — including a
+    # zero-segment one like '' (the early empty-literal return previously
+    # bypassed this guard, review r11)
+    out = F.lit("") if not cols else (F.concat(*cols) if len(cols) > 1 else cols[0])
     return F.when(ts.isNull(), F.lit(None).cast("string")).otherwise(out)

@@ -29,7 +29,7 @@ _SQL_FUNCTIONS: dict[str, str] = {
     "time_bucket_secs": """
         CREATE OR REPLACE TEMPORARY FUNCTION time_bucket_secs(secs BIGINT, ts TIMESTAMP)
         RETURNS TIMESTAMP
-        RETURN timestamp_micros(CAST(floor(unix_micros(ts) / (secs * 1000000)) AS BIGINT) * secs * 1000000)
+        RETURN timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), secs * 1000000))
     """,
     # PG ->> scalar text extraction over a JSON string column
     "json_get_text": """

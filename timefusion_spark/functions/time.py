@@ -57,19 +57,36 @@ def parse_interval_to_micros(interval: str) -> int:
     value, unit = int(m.group(1)), m.group(2).lower()
     if unit not in _MICROS_PER_UNIT:
         raise ValueError(f"Unsupported time unit: {unit}")
+    if value == 0:
+        # a zero-width bucket divides by zero downstream; under Spark's
+        # non-ANSI division that silently NULLs the whole column instead
+        # of erroring (the reference's Rust integer division aborts the
+        # query) — fail fast at parse time (review r11)
+        raise ValueError(f"zero-width interval: {interval!r}")
     return value * _MICROS_PER_UNIT[unit]
 
 
 def time_bucket(interval: str, ts: Column) -> Column:
     """Floor `ts` to the epoch-aligned bucket of width `interval`.
 
-    Pure integer arithmetic on unix microseconds — vectorized, codegen'd,
-    and bucket boundaries are partition-pruning-friendly at 100 TB (the
-    groupBy key is derived, never a Python round trip).
+    Pure integer arithmetic on unix microseconds — `m - pmod(m, size)`,
+    never a double-precision division: floor(m/size) in doubles loses
+    integer precision past 2^53 µs and rounds timestamps near year 9999
+    (PG's common 'infinity' sentinel) UP across the bucket boundary
+    (review r11). Vectorized, codegen'd, and bucket boundaries are
+    partition-pruning-friendly at 100 TB (the groupBy key is derived,
+    never a Python round trip).
+
+    Documented divergence: pre-1970 timestamps floor toward -infinity
+    (TimescaleDB/PG time_bucket semantics, and what the DuckDB oracle
+    computes); the reference's `(v / size) * size` (functions.rs
+    bucket_timestamps, Rust integer division) truncates toward zero,
+    which mis-aligns every negative-epoch bucket — its corpus is all
+    post-1970, so the flooring definition is kept here.
     """
     size = parse_interval_to_micros(interval)
     micros = F.unix_micros(ts)
-    return F.timestamp_micros(F.floor(micros / F.lit(size)).cast("long") * F.lit(size))
+    return F.timestamp_micros(micros - F.pmod(micros, F.lit(size)))
 
 
 def at_time_zone(ts: Column, tz: str | Column) -> Column:
@@ -85,13 +102,13 @@ def extract_epoch(ts: Column) -> Column:
 
 
 def date_bin(interval: str, ts: Column, origin: str | None = None) -> Column:
-    """PG date_bin: like time_bucket but with an explicit origin."""
+    """PG date_bin: like time_bucket but with an explicit origin. Integer
+    arithmetic for the same 2^53 reason as time_bucket."""
     size = parse_interval_to_micros(interval)
     micros = F.unix_micros(ts)
     if origin is None:
         off = F.lit(0)
     else:
         off = F.unix_micros(F.lit(origin).cast("timestamp"))
-    return F.timestamp_micros(
-        (F.floor((micros - off) / F.lit(size)).cast("long") * F.lit(size)) + off
-    )
+    rel = micros - off
+    return F.timestamp_micros(rel - F.pmod(rel, F.lit(size)) + off)
