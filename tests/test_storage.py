@@ -1552,17 +1552,17 @@ class TestMaintenanceHardening:
     def test_overwrite_preserves_concurrent_append(self, spark, mor_table):
         """A file appended to a partition between a maintenance read and
         its overwrite commit must STAY LIVE: the remove-set pins to the
-        snapshot the rewrite was computed from (read_version), so the
+        file list the rewrite was computed from (read_files), so the
         late arrival's rows are not silently dropped."""
         mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
-        rv = mor_table.log.latest_version()
-        frame = mor_table.read_raw(version=rv)
+        rf = list(mor_table.log.snapshot().files)
+        frame = mor_table.read_raw(snapshot_files=rf)
         # a concurrent writer lands a new row in p1's partition dir
         mor_table.append(
             _rows(spark, [("2026-01-01 13:00:00", "z", 9.0, "p1")]),
             stamp="2026-02-02 00:00:00",
         )
-        mor_table.overwrite_partitions(frame.repartition(1), read_version=rv)
+        mor_table.overwrite_partitions(frame.repartition(1), read_files=rf)
         got = sorted(r["id"] for r in mor_table.read().collect())
         assert got == ["a", "b", "c", "z"]  # z survived, nothing doubled
 
@@ -1574,12 +1574,12 @@ class TestMaintenanceHardening:
         mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
         real = maintenance._overwrite_partitions
 
-        def inject_then_overwrite(table, df, read_version=None):
+        def inject_then_overwrite(table, df, read_files=None):
             table.append(
                 _rows(spark, [("2026-01-01 14:00:00", "y", 8.0, "p1")]),
                 stamp="2026-02-03 00:00:00",
             )
-            real(table, df, read_version=read_version)
+            real(table, df, read_files=read_files)
 
         monkeypatch.setattr(maintenance, "_overwrite_partitions", inject_then_overwrite)
         maintenance.compact(mor_table, {"project_id": "p1", "date": "2026-01-01"})
@@ -1668,3 +1668,64 @@ class TestMaintenanceHardening:
         parts = [r["partition"] for r in maintenance.stats(tbl).collect()]
         assert all("_tf_dv" not in p for p in parts)
         assert len(parts) == 2  # the two real (project, date) partitions
+
+
+    def test_overwrite_preserves_in_window_group_publish(self, spark, mor_table):
+        """Review r11 (commitlog pass): a coalesced-group commit PENDING
+        when the rewrite read its file list, publishing before the
+        rewrite commits, must stay live — group visibility resolves at
+        read time, so even a version-pinned snapshot recomputation at
+        commit time would wrongly include (and remove) the file."""
+        from timefusion_spark.storage.commitlog import CommitGroup
+
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        g = CommitGroup(str(mor_table.path) + "/_groups")
+        mor_table.append(
+            _rows(spark, [("2026-01-01 13:00:00", "gz", 9.0, "p1")]),
+            stamp="2026-02-02 00:00:00",
+            group=g,
+        )
+        # the rewrite reads while the group is PENDING: its file list
+        # excludes the staged file
+        rf = list(mor_table.log.snapshot().files)
+        frame = mor_table.read_raw(snapshot_files=rf)
+        g.publish()  # in-window publish, before the rewrite commit
+        mor_table.overwrite_partitions(frame.repartition(1), read_files=rf)
+        got = sorted(r["id"] for r in mor_table.read().collect())
+        assert got == ["a", "b", "c", "gz"]  # the published row survived
+
+
+class TestStorageCoreReviewFixes:
+    """Review r11 (commitlog/schema/guard pass)."""
+
+    def test_guard_accepts_qualified_and_case_variants(self, spark):
+        from timefusion_spark.storage.guard import contains_project_id
+
+        assert contains_project_id("t.project_id = 'a' AND ts > '2026-01-01'")
+        assert contains_project_id("PROJECT_ID = 'a'")
+        assert not contains_project_id("t.project_id = 'a' OR b = 1")
+
+    def test_schema_rejects_unknown_option_keys(self):
+        import pytest as _pytest
+
+        from timefusion_spark.storage.schema import TableSchema
+
+        with _pytest.raises(ValueError, match="unknown schema option"):
+            TableSchema.from_dict(
+                {
+                    "table_name": "t",
+                    "fields": [{"name": "a", "data_type": "Utf8"}],
+                    "dedup_key": ["a"],  # typo for dedup_keys
+                }
+            )
+
+    def test_schema_roundtrip_through_sidecar_json(self, spark, tmp_path):
+        # to_json -> from_dict must stay key-compatible with the check
+        import json as _json
+
+        tbl = Table.create(
+            spark, load_schema_text(MOR_YAML), str(tmp_path / "rt")
+        )
+        from timefusion_spark.storage.schema import TableSchema
+
+        TableSchema.from_dict(_json.loads(tbl.schema.to_json()))

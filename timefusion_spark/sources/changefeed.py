@@ -166,13 +166,7 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         # arbiter makes a late publish() fail instead of resurrecting rows
         # this feed has permanently advanced past — so the skip is
         # definitive, never a silent data loss.
-        import time as _time
-
-        from timefusion_spark.storage.commitlog import (
-            _group_abort_after,
-            _group_state,
-            abort_group,
-        )
+        from timefusion_spark.storage.commitlog import settle_if_aged
 
         # The FIRST poll of a (re)started query scans from the query's
         # declared start — NOT from tip+1 (which would skip the gate
@@ -192,12 +186,9 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
                 continue
             with open(p) as fh:
                 rec = json.load(fh)
-            state = _group_state(rec, log_dir)
-            if state == "pending":
-                if _time.time() - os.path.getmtime(p) < _group_abort_after(rec):
-                    tip = v - 1
-                    break
-                abort_group(rec["group"], log_dir)
+            if settle_if_aged(rec, p, log_dir) == "pending":
+                tip = v - 1
+                break
         if self.max_versions is not None:
             # The cap bounds the STEADY-STATE advance: each poll after the
             # first moves at most max_versions past the furthest offset

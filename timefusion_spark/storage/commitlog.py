@@ -74,6 +74,23 @@ def _group_abort_after(rec: dict) -> float:
         return ABORT_AFTER_SECONDS
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a just-created entry (os.link / os.replace)
+    survives power loss — POSIX durability for file creation requires
+    syncing the parent directory, not just the file content (review
+    r11). Best-effort on filesystems that refuse O_RDONLY dir fds."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _settle(marker: str, state: str) -> str:
     """Settle a group's resolution file to `state` with one atomic
     create-if-absent; returns the ACTUAL settled state (the winner of a
@@ -86,6 +103,7 @@ def _settle(marker: str, state: str) -> str:
         os.fsync(fh.fileno())
     try:
         os.link(tmp, marker)
+        _fsync_dir(os.path.dirname(marker))
         return state
     except FileExistsError:
         with open(marker) as fh:
@@ -111,7 +129,14 @@ def _write_local_group_record(log_dir: str, gid: str, state: str) -> None:
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         fh.write(state)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, path)
+    # publish() acks COMMIT to the client on the strength of this record
+    # (the coordinator's marker dir may be a resettable checkpoint): a
+    # page-cache-only record lost to power failure would let an ager
+    # settle the acknowledged group ABORTED (review r11)
+    _fsync_dir(d)
 
 
 class CommitGroup:
@@ -192,6 +217,24 @@ class CommitGroup:
         for ld in self._log_dirs:
             _write_local_group_record(ld, self.id, "published")
         self._published = True
+
+
+def settle_if_aged(rec: dict, path: str, log_dir: str | None = None) -> str:
+    """The pending-group crash arbiter, shared by every ager — the
+    checkpoint writer, the batch change-feed poll and the streaming
+    changefeed source (review r11: three divergence-prone copies): a
+    PENDING group younger than its own declared abort_after stays
+    pending (the caller defers); an older one is settled ABORTED
+    definitively, so a late publish fails loudly instead of resurrecting
+    rows past visibility decisions. Returns the resulting state."""
+    import time as _time
+
+    state = _group_state(rec, log_dir)
+    if state != "pending":
+        return state
+    if _time.time() - os.path.getmtime(path) < _group_abort_after(rec):
+        return "pending"
+    return abort_group(rec["group"], log_dir)
 
 
 def abort_group(group_ref: dict, log_dir: str | None = None) -> str:
@@ -358,6 +401,10 @@ class CommitLog:
                     os.link(tmp, dst)
                 except FileExistsError:
                     continue  # lost the version race — rebuild against the new tip
+                # the record content is fsync'd above; the DIRECTORY entry
+                # also needs a sync or an acked commit can vanish on power
+                # loss (review r11)
+                _fsync_dir(self.log_dir)
                 if group is not None:
                     group.register(self.log_dir)
                     group.note_record(dst)
@@ -385,23 +432,32 @@ class CommitLog:
             # it as aborted DEFINITIVELY (a late publish then fails
             # loudly) so a single torn group can never disable
             # checkpointing forever and let the replay tail grow unbounded.
-            import time as _time
-
-            for name in self._entries():
+            entries = self._entries()
+            # records at or below the LAST checkpoint are provably settled
+            # (that checkpoint was only written once nothing below it was
+            # pending, and group resolutions are terminal) — scanning from
+            # version 0 every time made checkpointing O(total commits) per
+            # boundary, O(n²) cumulative on the commit hot path (review
+            # r11)
+            floor = max(
+                (
+                    int(e.split(".")[0])
+                    for e in entries
+                    if e.endswith(".checkpoint.json")
+                ),
+                default=-1,
+            )
+            for name in entries:
                 if name.endswith(".checkpoint.json"):
                     continue
-                if int(name.split(".")[0]) > version:
+                v = int(name.split(".")[0])
+                if v > version or v <= floor:
                     continue
                 path = os.path.join(self.log_dir, name)
                 with open(path) as fh:
                     rec = json.load(fh)
-                state = _group_state(rec, self.log_dir)
-                if state == "pending":
-                    if _time.time() - os.path.getmtime(path) < _group_abort_after(rec):
-                        return  # young: defer, don't bake
-                    state = abort_group(rec["group"], self.log_dir)
-                    if state == "pending":  # unreachable; defensive
-                        return
+                if settle_if_aged(rec, path, self.log_dir) == "pending":
+                    return  # young: defer, don't bake
             snap = self._replay(upto=version)
             tmp = os.path.join(self.log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
@@ -528,8 +584,22 @@ class CommitLog:
         ones) contribute nothing here: their resolution is settled, so
         their unreferenced files age out with the retention window."""
         out: set[str] = set()
-        for name in self._entries():
+        entries = self._entries()
+        # same settled-prefix bound as _write_checkpoint: nothing at or
+        # below the last checkpoint can still be pending (review r11 —
+        # this was an O(total commits) scan per vacuum)
+        floor = max(
+            (
+                int(e.split(".")[0])
+                for e in entries
+                if e.endswith(".checkpoint.json")
+            ),
+            default=-1,
+        )
+        for name in entries:
             if name.endswith(".checkpoint.json"):
+                continue
+            if int(name.split(".")[0]) <= floor:
                 continue
             with open(os.path.join(self.log_dir, name)) as fh:
                 rec = json.load(fh)

@@ -258,11 +258,12 @@ def _inplace_keyed_delete(table: Table, pred: Column) -> int:
     superseded older version become the new winner, resurrecting data PG
     semantics say is gone (review r10). NULL-safe key equality matches
     the dedup view's grouping."""
-    # pin the read to a log version so the overwrite's remove-set covers
-    # exactly the files this statement read — a concurrent append to an
-    # affected partition stays live instead of being dropped (review r11)
-    rv = table.log.latest_version() if table.log.exists() else None
-    raw = table.read_raw(version=rv)
+    # pin the read to an EXPLICIT file list so the overwrite's remove-set
+    # covers exactly the files this statement read — a concurrent append
+    # (or an in-window group publish) to an affected partition stays live
+    # instead of being dropped (review r11)
+    rf = list(table.log.snapshot().files) if table.log.exists() else None
+    raw = table.read_raw(snapshot_files=rf)
     vis_matched = table.read().where(pred)
     n = vis_matched.count()
     if n == 0:
@@ -296,7 +297,7 @@ def _inplace_keyed_delete(table: Table, pred: Column) -> int:
         out = out.sortWithinPartitions(
             *[F.col(c) for c in parts], *table._sort_cols()
         )
-    table.overwrite_partitions(out, dirs=dirs, op="dml", read_version=rv)
+    table.overwrite_partitions(out, dirs=dirs, op="dml", read_files=rf)
     return n
 
 
@@ -310,10 +311,11 @@ def _inplace_rewrite(table: Table, pred: Column, transform, count_df=None) -> in
     only (bounded by partition count, never row data); the rewrite reads
     and writes exactly the affected directories. Snapshot isolation comes
     from the commit log — replaced files stay on disk for older readers.
-    The read pins to a log version so the overwrite's remove-set covers
-    exactly the files read (concurrent appends stay live, review r11)."""
-    rv = table.log.latest_version() if table.log.exists() else None
-    raw = table.read_raw(version=rv)
+    The read pins to an explicit file list so the overwrite's remove-set
+    covers exactly the files read (concurrent appends and in-window group
+    publishes stay live, review r11)."""
+    rf = list(table.log.snapshot().files) if table.log.exists() else None
+    raw = table.read_raw(snapshot_files=rf)
     matched = raw.where(pred)
     # `count_df` (the VISIBLE matched frame) overrides the raw match
     # count: on dedup-keyed plain tables the raw count also includes
@@ -344,7 +346,7 @@ def _inplace_rewrite(table: Table, pred: Column, transform, count_df=None) -> in
         out = out.sortWithinPartitions(
             *[F.col(c) for c in parts], *table._sort_cols()
         )
-    table.overwrite_partitions(out, dirs=dirs, op="dml", read_version=rv)
+    table.overwrite_partitions(out, dirs=dirs, op="dml", read_files=rf)
     return n
 
 
@@ -544,8 +546,8 @@ def update_from(
                 ]
             )
 
-        rv = table.log.latest_version() if table.log.exists() else None
-        raw = table.read_raw(version=rv).withColumn(
+        rf = list(table.log.snapshot().files) if table.log.exists() else None
+        raw = table.read_raw(snapshot_files=rf).withColumn(
             "_tf_p", F.coalesce(pred, F.lit(False))
         )
         matched_pred_df = (
@@ -580,13 +582,13 @@ def update_from(
             if not vals:
                 return 0
             pf, dirs = _partition_selection(table, vals)
-            affected = table.read_raw(version=rv).where(pf)
+            affected = table.read_raw(snapshot_files=rf).where(pf)
             n = n_visible if n_visible is not None else matched_pred_df.count()
         else:
             n = n_visible if n_visible is not None else matched_pred_df.count()
             if n == 0:
                 return 0
-            affected = table.read_raw(version=rv)
+            affected = table.read_raw(snapshot_files=rf)
             dirs = [""]
         out = apply_merge(affected)
         if parts:
@@ -595,7 +597,7 @@ def update_from(
             out = out.sortWithinPartitions(
                 *[F.col(c) for c in parts], *table._sort_cols()
             )
-        table.overwrite_partitions(out, dirs=dirs, op="dml", read_version=rv)
+        table.overwrite_partitions(out, dirs=dirs, op="dml", read_files=rf)
         return n
     target = _resolve(table, predicate, project_id, ts_lo, ts_hi).alias("_tgt")
     src = F.broadcast(source.alias("_src"))

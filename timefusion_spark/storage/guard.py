@@ -33,9 +33,14 @@ def _walk_contains_project_id(jexpr) -> bool:
         left, right = jexpr.left(), jexpr.right()
 
         def is_pid_col(e) -> bool:
-            return e.getClass().getSimpleName() == "UnresolvedAttribute" and (
-                e.name() == "project_id"
-            )
+            # match the LAST name part case-insensitively: Spark resolves
+            # columns case-insensitively and `t.project_id = 'x'` is a
+            # legitimately tenant-pinned predicate — the bare exact-case
+            # compare rejected both (review r11; fail-safe direction, but
+            # valid queries errored)
+            if e.getClass().getSimpleName() != "UnresolvedAttribute":
+                return False
+            return e.name().rsplit(".", 1)[-1].lower() == "project_id"
 
         def is_lit(e) -> bool:
             return e.getClass().getSimpleName() == "Literal"

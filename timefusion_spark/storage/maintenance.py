@@ -285,7 +285,7 @@ def _dynamic_overwrite(spark: SparkSession):
 
 
 def _overwrite_partitions(
-    table: Table, df: DataFrame, read_version: int | None = None
+    table: Table, df: DataFrame, read_files: list[str] | None = None
 ) -> None:
     # Dynamic partition overwrite: only the partitions present in `df` are
     # replaced — the replaceWhere analog (database.rs:6344
@@ -294,11 +294,12 @@ def _overwrite_partitions(
     # files) so a concurrent reader sees either the old or the new layout,
     # never a mix; pre-log tables use Spark's dynamic overwrite, with the
     # mode asserted locally rather than assumed from the session builder.
-    # `read_version` pins the remove-set to the snapshot the rewrite read
-    # (see Table.overwrite_partitions): a file appended concurrently to
-    # the partition survives instead of being silently dropped.
+    # `read_files` pins the remove-set to the exact file list the rewrite
+    # read (see Table.overwrite_partitions): a file appended concurrently
+    # — or published by an in-window group — survives instead of being
+    # silently dropped.
     if table.log.exists():
-        table.overwrite_partitions(df, read_version=read_version)
+        table.overwrite_partitions(df, read_files=read_files)
         return
     writer = df.write.mode("overwrite").options(**table._writer_options())
     if table.schema.partitions:
@@ -312,8 +313,8 @@ def compact(table: Table, partition_values: dict[str, str], target_files: int = 
     files. Returns rows rewritten. Keeps ALL row versions (compaction does
     not resolve merge-on-read — that is the dedup sweep's job)."""
     _check_partition_keys(table, partition_values)
-    rv = table.log.latest_version() if table.log.exists() else None
-    part = _partition_filter(table.read_raw(version=rv), partition_values)
+    rf = list(table.log.snapshot().files) if table.log.exists() else None
+    part = _partition_filter(table.read_raw(snapshot_files=rf), partition_values)
     rows = part.count()
     if rows == 0:
         return 0
@@ -322,7 +323,7 @@ def compact(table: Table, partition_values: dict[str, str], target_files: int = 
         out = out.sortWithinPartitions(
             *[F.col(c) for c in table.schema.partitions], *table._sort_cols()
         )
-    _overwrite_partitions(table, out, read_version=rv)
+    _overwrite_partitions(table, out, read_files=rf)
     return rows
 
 
@@ -446,8 +447,8 @@ def dedup_sweep(table: Table, partition_values: dict[str, str]) -> int:
     if not table.schema.dedup_keys:
         return 0
     _check_partition_keys(table, partition_values)
-    rv = table.log.latest_version() if table.log.exists() else None
-    raw = _partition_filter(table.read_raw(version=rv), partition_values)
+    rf = list(table.log.snapshot().files) if table.log.exists() else None
+    raw = _partition_filter(table.read_raw(snapshot_files=rf), partition_values)
     before = raw.count()
     winners = table._dedup_view(raw, policy="keep_greatest")
     after = winners.count()
@@ -457,7 +458,7 @@ def dedup_sweep(table: Table, partition_values: dict[str, str]) -> int:
             out = out.sortWithinPartitions(
                 *[F.col(c) for c in table.schema.partitions], *table._sort_cols()
             )
-        _overwrite_partitions(table, out, read_version=rv)
+        _overwrite_partitions(table, out, read_files=rf)
     return before - after
 
 
@@ -484,8 +485,8 @@ def zorder_rewrite(
     from pyspark.sql import Window as W
 
     _check_partition_keys(table, partition_values)
-    rv = table.log.latest_version() if table.log.exists() else None
-    part = _partition_filter(table.read_raw(version=rv), partition_values)
+    rf = list(table.log.snapshot().files) if table.log.exists() else None
+    part = _partition_filter(table.read_raw(snapshot_files=rf), partition_values)
     rows = part.count()
     if rows == 0:
         return 0
@@ -512,7 +513,7 @@ def zorder_rewrite(
         .sortWithinPartitions(*table.schema.partitions, "_zkey", *cols)
         .drop("_zkey", *[f"_zb{i}" for i in range(n)])
     )
-    _overwrite_partitions(table, out, read_version=rv)
+    _overwrite_partitions(table, out, read_files=rf)
     return rows
 
 

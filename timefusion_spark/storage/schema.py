@@ -154,8 +154,29 @@ class TableSchema:
 
         return json.dumps(dataclasses.asdict(self), indent=1)
 
+    _KNOWN_KEYS = frozenset({
+        "table_name", "fields", "partitions", "sorting_columns",
+        "z_order_columns", "time_column", "dedup_keys", "dedup_tiebreak",
+        "tombstone_column", "version_append", "tantivy",
+    })
+
+    @classmethod
+    def _check_keys(cls, d: dict) -> None:
+        # a typo'd load-bearing option ('dedup_key' for 'dedup_keys')
+        # would otherwise silently default away the table's semantics and
+        # surface later as duplicate rows, far from the cause — same
+        # fail-at-load principle as the unknown-COLUMN validation
+        # (review r11)
+        unknown = sorted(set(d) - cls._KNOWN_KEYS)
+        if unknown:
+            raise ValueError(
+                f"unknown schema option(s) {unknown} for table "
+                f"{d.get('table_name')!r}; known: {sorted(cls._KNOWN_KEYS)}"
+            )
+
     @classmethod
     def from_dict(cls, d: dict) -> TableSchema:
+        cls._check_keys(d)
         return cls(
             table_name=d["table_name"],
             fields=[

@@ -417,7 +417,7 @@ class Table:
         df: DataFrame,
         dirs: list[str] | None = None,
         op: str = "overwrite",
-        read_version: int | None = None,
+        read_files: list[str] | None = None,
     ) -> None:
         """Replace exactly the partitions present in `df` (dynamic partition
         overwrite, the replaceWhere analog — database.rs:6344
@@ -431,26 +431,28 @@ class Table:
         stages zero files there, but its old files must still leave the
         manifest (the in-place DML path passes the affected set explicitly).
 
-        `read_version` pins the remove-set to the snapshot the rewrite
-        was COMPUTED from: a file appended to an affected partition
-        between the caller's read and this commit is then NOT removed —
-        its rows were never in the rewritten frame, so removing it would
-        silently drop them from the manifest (review r11; Delta fails
-        such commits, here the late arrival simply stays live alongside
-        the rewrite). Without it the remove-set comes from the commit-
-        time snapshot (correct only when no concurrent writer exists)."""
+        `read_files` pins the remove-set to the EXACT file list the
+        rewrite read: a file that entered an affected partition after
+        that list was captured — a concurrent append, or a coalesced-
+        group commit that was PENDING at read time and published
+        in-window (group visibility resolves at read time, so a
+        commit-time or even snapshot_at() recomputation would include
+        it) — is then NOT removed: its rows were never in the rewritten
+        frame, so removing it would silently drop them from the manifest
+        (review r11; Delta fails such commits, here the late arrival
+        simply stays live alongside the rewrite). Without it the
+        remove-set comes from the commit-time snapshot (correct only
+        when no concurrent writer exists)."""
         if not self.log.exists():
             raise ValueError("overwrite_partitions requires a commit log (Table.create)")
         added = self._stage_write(df)
         affected = {os.path.dirname(rel) for rel, *_ in added}
         if dirs is not None:
             affected |= set(dirs)
-        snap = (
-            self.log.snapshot()
-            if read_version is None
-            else self.log.snapshot_at(read_version)
+        files = (
+            list(self.log.snapshot().files) if read_files is None else read_files
         )
-        removed = [p for p in snap.files if os.path.dirname(p) in affected]
+        removed = [p for p in files if os.path.dirname(p) in affected]
         # `op` distinguishes LOGICAL-change rewrites (in-place DML passes
         # op='dml') from same-rows rewrites (compaction's default
         # 'overwrite') — the change feed treats them oppositely (skip vs
@@ -464,6 +466,7 @@ class Table:
         version: int | None = None,
         _dv_coords: bool = False,
         include_group: str | None = None,
+        snapshot_files: list[str] | None = None,
     ) -> DataFrame:
         """All physical row versions (no dedup, no tombstone filter), read
         from the commit log's CURRENT SNAPSHOT — exactly the committed
@@ -474,12 +477,20 @@ class Table:
         `version` time-travels: read the snapshot as of that log version
         (Delta's VERSION AS OF; the reference's snapshot_cache keeps old
         snapshots readable the same way — replaced files survive on disk
-        until vacuum)."""
+        until vacuum).
+
+        `snapshot_files` reads EXACTLY those manifest-relative files —
+        the DML/maintenance rewrite path captures one file list and
+        threads the SAME list into overwrite_partitions' remove-set, so
+        the read basis and the remove-set can never diverge under
+        concurrent commits or in-window group publishes (review r11)."""
         if version is not None and not self.log.exists():
             raise ValueError("time travel requires a commit log (Table.create)")
         cols = [f.name for f in self.schema.fields]
         if self.log.exists():
-            if version is None:
+            if snapshot_files is not None:
+                snap_files = list(snapshot_files)
+            elif version is None:
                 # include_group = read-your-own-writes for an open
                 # interactive transaction (see CommitLog.snapshot)
                 snap_files = list(self.log.snapshot(include_group=include_group).files)
@@ -566,13 +577,8 @@ class Table:
         `_last` offset cursor."""
         import json as _json
         import os as _os
-        import time as _time
 
-        from timefusion_spark.storage.commitlog import (
-            _group_abort_after,
-            _group_state,
-            abort_group,
-        )
+        from timefusion_spark.storage.commitlog import settle_if_aged
 
         tip = self.log.latest_version()
         log_dir = self.log.log_dir
@@ -582,11 +588,9 @@ class Table:
                 continue
             with open(p) as fh:
                 rec = _json.load(fh)
-            if _group_state(rec, log_dir) == "pending":
-                if _time.time() - _os.path.getmtime(p) < _group_abort_after(rec):
-                    self._settled_floor = v - 1
-                    return v - 1
-                abort_group(rec["group"], log_dir)
+            if settle_if_aged(rec, p, log_dir) == "pending":
+                self._settled_floor = v - 1
+                return v - 1
         self._settled_floor = tip
         return tip
 
