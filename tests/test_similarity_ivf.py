@@ -206,13 +206,15 @@ def test_arrow_codebook_broadcast_memo(spark, sf_dir):
         sim._assign_cells_arrow(staged, cb, 2, codebook_cache_key=key)
         .select("vec_id", "cid", "_crank").collect()
     )
-    assert (id(spark.sparkContext), key) in sim._ARROW_CODEBOOK_MEMO
-    bc1 = sim._ARROW_CODEBOOK_MEMO[(id(spark.sparkContext), key)]
+    # keyed on applicationId, not id(sc) — address reuse after a context
+    # restart could hand out a destroyed broadcast (review r11)
+    assert (spark.sparkContext.applicationId, key) in sim._ARROW_CODEBOOK_MEMO
+    bc1 = sim._ARROW_CODEBOOK_MEMO[(spark.sparkContext.applicationId, key)]
     r2 = sorted(
         sim._assign_cells_arrow(staged, cb, 2, codebook_cache_key=key)
         .select("vec_id", "cid", "_crank").collect()
     )
-    assert sim._ARROW_CODEBOOK_MEMO[(id(spark.sparkContext), key)] is bc1
+    assert sim._ARROW_CODEBOOK_MEMO[(spark.sparkContext.applicationId, key)] is bc1
     assert r1 == r2
     # keyless path stays un-memoized
     n_before = len(sim._ARROW_CODEBOOK_MEMO)
@@ -656,3 +658,94 @@ def test_ivf_partitioned_index_prunes_files(spark, sf_dir):
     df_ = re.search(r"DataFilters: \[([^\]]*)\]", scan).group(1)
     assert "cell" in pf and "IN (1,2,3,4)" in pf, scan
     assert "cell" not in df_, scan
+
+
+class TestSimilarityReviewFixes:
+    """Review r11 findings over the similarity/dedup operators."""
+
+    def test_cosine_zero_vector_scores_zero_both_paths(self, spark):
+        import timefusion_spark.operators.similarity as sim
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.9, 0.1])],
+            "vec_id long, embedding array<double>",
+        )
+        jvm = sim.knn_brute_force(df, [1.0, 0.0], k=3).collect()
+        # NaN ordered ABOVE every real similarity pre-fix, putting the
+        # zero vector at rank 1; it must now score 0.0 and rank last
+        assert [r.vec_id for r in jvm] == [1, 3, 2]
+        assert jvm[-1].cos_sim == 0.0
+        arrow = sim.knn_brute_force_arrow(df, [1.0, 0.0], k=3).collect()
+        assert [r.vec_id for r in arrow] == [1, 3, 2]  # JVM/Arrow parity
+
+    def test_semantic_dedup_zero_vector_not_mass_duplicate(self, spark):
+        import timefusion_spark.operators.similarity as sim
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+            "doc_id long, embedding array<double>",
+        )
+        # one centroid: every row lands in the same cell
+        kept = sorted(
+            r.doc_id
+            for r in sim.semantic_dedup(
+                df, [(0, [0.5, 0.5])], threshold=0.9, id_col="doc_id"
+            ).collect()
+        )
+        # pre-fix, the zero vector's NaN pair-cos satisfied >= threshold
+        # and dropped every larger-id row in its cell
+        assert kept == [1, 2, 3]  # orthogonal vectors: nothing is a dup
+
+    def test_sign_lsh_planes_beyond_seed_table_are_distinct(self, spark):
+        import timefusion_spark.operators.similarity as sim
+        from pyspark.sql import functions as F
+
+        import random
+
+        random.seed(7)
+        rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(24)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = df.select(
+            sim.sign_lsh_bucket(F.col("embedding"), 12).alias("b")
+        ).collect()
+        # cycled seeds forced bit i == bit i+6 for EVERY vector; distinct
+        # derived seeds must break that for at least one vector/plane
+        def bit(v, i):
+            return (v >> i) & 1
+
+        assert any(
+            bit(r.b, i) != bit(r.b, i + 6) for r in got for i in range(6)
+        )
+
+    def test_pq_adc_rejects_wrong_query_dims(self, spark):
+        import pytest as _pytest
+
+        import timefusion_spark.operators.similarity as sim
+
+        books = [[[0.0, 0.0], [1.0, 1.0]]] * 2  # m=2, dsub=2 → d=4
+        enc = spark.createDataFrame(
+            [(1, [0, 1])], "vec_id long, _codes array<int>"
+        )
+        with _pytest.raises(ValueError, match="fitted at"):
+            sim.pq_adc_topk(enc, books, [1.0, 2.0, 3.0])  # 3 dims, not 4
+
+    def test_knn_arrow_non_long_ids(self, spark):
+        import timefusion_spark.operators.similarity as sim
+
+        df = spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+            "vec_id string, embedding array<double>",
+        )
+        got = sim.knn_brute_force_arrow(df, [1.0, 0.0], k=1, id_col="vec_id").collect()
+        assert got[0].vec_id == "a"
+
+    def test_minhash_rejects_oversized_banding(self, spark):
+        import pytest as _pytest
+
+        from timefusion_spark.operators.dedup import (
+            MINHASH_SEEDS,
+            minhash_signature_from_hashes,
+        )
+
+        with _pytest.raises(ValueError, match="seed table"):
+            minhash_signature_from_hashes("_h", n_hashes=len(MINHASH_SEEDS) + 1)

@@ -245,6 +245,15 @@ def minhash_signature_from_hashes(set_hashes: Column | str, n_hashes: int = 16) 
 
     Pass the column NAME (str) in hot paths: n_hashes transform trees
     render as ONE SQL parse instead of ~6·n_hashes py4j round-trips."""
+    if n_hashes > len(MINHASH_SEEDS):
+        # the Column form would silently truncate to the seed-table
+        # length; banded slicing past the shorter signature then yields
+        # empty band keys that merge EVERY document into one global
+        # bucket (review r11)
+        raise ValueError(
+            f"n_hashes={n_hashes} exceeds the {len(MINHASH_SEEDS)}-entry "
+            "seed table (MINHASH_SEEDS); extend the table to raise banding"
+        )
     if isinstance(set_hashes, str):
         # Nested-loop form: ONE transform over the seed index with the
         # (a, b) coefficient vectors as literal arrays, instead of
@@ -480,6 +489,12 @@ def jaccard(a: Column, b: Column) -> Column:
 def simhash32_from_hashes(hashes: Column | str) -> Column:
     """32-bit SimHash from a MATERIALIZED distinct-token-hash column: bit j
     set iff the sum over hashes of (±1 by hash bit j) is positive.
+
+    Effective width is 30 bits: inputs are mod-P hashes (P < 2^30), so
+    bits 30/31 of every signature are 0 — calibrate prefix banding and
+    hamming thresholds for 30 discriminating bits (review r11; the
+    closed-form oracle mirrors the same mod-P inputs, so both sides
+    share the dead bits and parity is unaffected).
 
     String form (hot path): ONE fold over the hash array carrying a
     32-slot vote vector (vs 32 separate folds in the Column form — same
@@ -1210,21 +1225,42 @@ def minhash_lsh_join(
     # equi-join instead — AQE-skew-splittable, and same-side pairs never
     # form because the join sides are the side-0 and side-1 slices.
     hot_keys: list[str] = []
+    hot_df = None
     if bucket_cap is not None:
-        hot_keys = [
-            f"{r['band']}\x1f{r['key']}"
-            for r in bands.groupBy("band", "key")
+        hot_df = (
+            bands.groupBy("band", "key")
             .agg(F.count(F.lit(1)).alias("_bsz"))
             .where(F.col("_bsz") > bucket_cap)
             .select("band", "key")
-            .collect()
+        )
+        # BOUNDED collect + overflow join path — the same discipline as
+        # banded_candidate_pairs (review r11: this copy collected the
+        # full hot set unbounded and inlined every key as a plan
+        # literal, the exact failure HOT_KEY_LITERAL_MAX was added to
+        # prevent). band is an int and key a dash-joined decimal string,
+        # both non-null, so the plain composition needs no null encoding.
+        hot_keys = [
+            f"{r['band']}\x1f{r['key']}"
+            for r in hot_df.limit(HOT_KEY_LITERAL_MAX + 1).collect()
         ]
     hot_bands = None
     cold_bands = bands
     if hot_keys:
         composed = F.concat_ws("\x1f", F.col("band").cast("string"), F.col("key"))
-        cold_bands = bands.where(~composed.isin(hot_keys))
-        hot_bands = bands.where(composed.isin(hot_keys))
+        if len(hot_keys) <= HOT_KEY_LITERAL_MAX:
+            cold_bands = bands.where(~composed.isin(hot_keys))
+            hot_bands = bands.where(composed.isin(hot_keys))
+        else:
+            # overflow: split via semi/anti joins against the UNCOLLECTED
+            # hot-key frame (AQE picks broadcast vs shuffle by size)
+            hk = hot_df.select(
+                F.concat_ws(
+                    "\x1f", F.col("band").cast("string"), F.col("key")
+                ).alias("_ck")
+            )
+            tagged = bands.withColumn("_ck", composed)
+            cold_bands = tagged.join(hk, "_ck", "left_anti").drop("_ck")
+            hot_bands = tagged.join(hk, "_ck", "left_semi").drop("_ck")
     buckets = (
         cold_bands.groupBy("band", "key")
         .agg(F.collect_list("m").alias("ms"))

@@ -41,7 +41,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-norm guard: 0/0 yields NaN, which Spark ORDERS ABOVE every
+    # real similarity (NaN-is-largest) — a single all-zero embedding
+    # would occupy the top-k of every query, satisfy `>= threshold`
+    # dedup predicates, and diverge from the numpy twin (argsort ranks
+    # NaN LAST). A zero vector has no direction: similarity 0.0
+    # (review r11).
+    denom = norm(a) * norm(b)
+    return F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def knn_brute_force(
@@ -95,7 +102,11 @@ def nearest_neighbor_per_row(
         norm(F.col(vec_col)).alias("_n"),
         *([F.col(block_col).alias("_blk")] if block_col else []),
         sign_lsh_bucket(F.col(vec_col), n_planes).alias("_bucket"),
-    )
+        # materialized once: both self-join sides derive from this frame
+        # and Catalyst does not dedupe common subplans — unpersisted, the
+        # n_planes-fold bucket computation ran twice (review r11; same
+        # discipline as knn_join / semantic_dedup)
+    ).persist()
     probe_keys = [F.col("_bucket")]
     if multi_probe:
         probe_keys += [F.col("_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
@@ -107,9 +118,11 @@ def nearest_neighbor_per_row(
     pairs = a.join(b, cond).select(
         F.col("a._id").alias("id_a"),
         F.col("b._id").alias("id_b"),
-        (dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))).alias(
-            "cos_sim"
-        ),
+        F.when(
+            (F.col("a._n") * F.col("b._n")) == F.lit(0.0), F.lit(0.0)
+        ).otherwise(
+            dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b"))
     return (
@@ -134,9 +147,18 @@ def sign_lsh_bucket(vec: Column, n_planes: int = 6) -> Column:
     analysis time, not execution, dominates these queries at bench
     scale.)"""
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    # planes past the base seed table derive DISTINCT seeds (base + a
+    # large odd multiple of the wrap count): plain cycling made plane
+    # i+6 identical to plane i, so every single-bit multi-probe key
+    # violated the bit_i == bit_{i+6} invariant of real buckets and
+    # multi-probe silently matched nothing for n_planes > 6 (review
+    # r11). n_planes <= 6 is bit-for-bit unchanged.
     seeds = F.array(
         *[
-            F.lit(SIGN_LSH_SEEDS[i % len(SIGN_LSH_SEEDS)]).cast("long")
+            F.lit(
+                SIGN_LSH_SEEDS[i % len(SIGN_LSH_SEEDS)]
+                + 1_000_003 * (i // len(SIGN_LSH_SEEDS))
+            ).cast("long")
             for i in range(n_planes)
         ]
     )
@@ -612,6 +634,13 @@ def pq_adc_topk(
     vectors never leave storage)."""
     m = len(books)
     dsub = len(books[0][0])
+    if len(query_vec) != m * dsub:
+        # zip() would silently truncate the last subspace's distance
+        # table and return wrong top-k (review r11)
+        raise ValueError(
+            f"query_vec has {len(query_vec)} dims; the codebooks were "
+            f"fitted at m*dsub = {m * dsub}"
+        )
     tables = []
     for j, book in enumerate(books):
         q_sub = [float(x) for x in query_vec[j * dsub : (j + 1) * dsub]]
@@ -737,6 +766,14 @@ def ivfpq_adc_topk(
     composed IndexIVFPQ read shape at any corpus size."""
     m = len(books)
     dsub = len(books[0][0])
+    if len(query_vec) != m * dsub or (cells and len(cells[0]) != m * dsub):
+        # zip() against the centroid/codebook would silently truncate
+        # and produce wrong distances (review r11)
+        raise ValueError(
+            f"query_vec has {len(query_vec)} dims "
+            f"(centroids: {len(cells[0]) if cells else 0}); the codebooks "
+            f"were fitted at m*dsub = {m * dsub}"
+        )
     qd = [float(x) for x in query_vec]
     order = sorted(
         range(len(cells)),
@@ -995,7 +1032,14 @@ def _assign_cells_arrow(
     from timefusion_spark.operators.dedup import ensure_parallelism
 
     sc = staged.sparkSession.sparkContext
-    memo_key = None if codebook_cache_key is None else (id(sc), codebook_cache_key)
+    # key on applicationId, not id(sc): CPython reuses addresses after a
+    # stopped context is collected, so a restarted session could receive
+    # a DESTROYED broadcast from the stale entry (review r11)
+    memo_key = (
+        None
+        if codebook_cache_key is None
+        else (sc.applicationId, codebook_cache_key)
+    )
     bc = _ARROW_CODEBOOK_MEMO.get(memo_key) if memo_key is not None else None
     if bc is None:
         rows = sorted(
@@ -1090,8 +1134,12 @@ def semantic_dedup(
         .persist()
     )
     a, b = staged.alias("a"), staged.alias("b")
-    pair_cos = dot(F.col("a._v"), F.col("b._v")) / (
-        F.col("a._nrm") * F.col("b._nrm")
+    # zero-norm guard (see cosine()): a NaN here satisfies `>= threshold`
+    # under Spark's NaN-is-largest ordering, so one all-zero embedding
+    # would mark every same-cell larger-id row a duplicate (review r11)
+    _pd = F.col("a._nrm") * F.col("b._nrm")
+    pair_cos = F.when(_pd == F.lit(0.0), F.lit(0.0)).otherwise(
+        dot(F.col("a._v"), F.col("b._v")) / _pd
     )
     dup_ids = (
         a.join(
@@ -1205,14 +1253,23 @@ def knn_brute_force_arrow(
             if not len(pdf):
                 continue
             m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            sims = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            denom = np.sqrt((m * m).sum(axis=1)) * qn
+            # zero-norm guard, same convention as the JVM cosine(): a
+            # zero vector scores 0.0 — np.argsort would otherwise rank
+            # NaN OPPOSITE to Spark's NaN-is-largest, breaking the
+            # documented JVM/Arrow parity (review r11)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom == 0.0, 0.0, (m @ q) / denom)
             order = np.argsort(-sims, kind="stable")[:k]
             yield pd.DataFrame(
                 {id_col: pdf[id_col].iloc[order].to_numpy(), "cos_sim": sims[order]}
             )
 
+    # derive the id type from the input — hardcoding `long` crashed the
+    # Arrow conversion for string/int ids (review r11)
+    id_t = dict(df.dtypes)[id_col]
     local = df.select(id_col, vec_col).mapInPandas(
-        topk_batches, schema=f"{id_col} long, cos_sim double"
+        topk_batches, schema=f"{id_col} {id_t}, cos_sim double"
     )
     return local.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
