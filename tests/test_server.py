@@ -787,6 +787,37 @@ class TestStorageOverTheWire:
         assert rows == [["a", "copied from backup", "0.0"], ["b", "y", "0.0"]]
         client.query("DROP TABLE wire_u")
 
+    def test_dml_qualifier_strip_is_literal_safe(self, client):
+        """DELETE/UPDATE whose predicate (or SET expr) contains the table
+        name inside a STRING LITERAL: the qualifier strip must rewrite only
+        real `t.` qualifiers, never literal content (review r11-judge #1 —
+        the old re.sub deleted rows with note='x' for
+        `DELETE … WHERE note = 'wire_q.x'`)."""
+        client.query(
+            "CREATE TABLE wire_q (ts TIMESTAMP, id TEXT, note TEXT, "
+            "project_id TEXT)"
+        )
+        client.query(
+            "INSERT INTO wire_q VALUES "
+            "('2026-01-01 10:00:00', 'a', 'wire_q.x', 'p1'), "
+            "('2026-01-01 11:00:00', 'b', 'x', 'p1'), "
+            "('2026-01-01 12:00:00', 'c', 'keep', 'p1')"
+        )
+        # literal containing 'wire_q.' — must delete ONLY row a
+        msgs = client.query("DELETE FROM wire_q WHERE note = 'wire_q.x'")
+        assert command_tags(msgs) == ["DELETE 1"]
+        rows = rows_of(client.query("SELECT id, note FROM wire_q ORDER BY id"))
+        assert rows == [["b", "x"], ["c", "keep"]]
+        # UPDATE: qualifier in expression position strips; literal survives
+        msgs = client.query(
+            "UPDATE wire_q SET note = 'wire_q.renamed' "
+            "WHERE wire_q.id = 'b' AND wire_q.note = 'x'"
+        )
+        assert command_tags(msgs) == ["UPDATE 1"]
+        rows = rows_of(client.query("SELECT id, note FROM wire_q ORDER BY id"))
+        assert rows == [["b", "wire_q.renamed"], ["c", "keep"]]
+        client.query("DROP TABLE wire_q")
+
     def test_alter_table_add_column(self, client):
         """ALTER TABLE … ADD COLUMN over the wire: the SQL face of the
         migrate-columns job (main.rs:622-671 exposes it only as a CLI

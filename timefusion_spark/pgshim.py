@@ -298,6 +298,23 @@ def _variant_pg_text(v: str) -> str:
     )
 
 
+def _sql_str(s: str) -> str:
+    """SQL single-quoted literal for `s` (quote-doubled)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _key_seg(key: str) -> str:
+    """One member/bracket path segment for a literal JSON key — the shared
+    json_fns._path rules (identifier → `.k`, else bracket-quoted with
+    whichever quote kind the key does not contain; both kinds raise).
+    Shared so the SQL path and the Column API address keys identically
+    (review r11-judge #4/#5: the shim's `$.{key}` broke dotted/special
+    keys the Column API handled)."""
+    from timefusion_spark.functions.json_fns import _path
+
+    return _path(key)[1:]
+
+
 def _translate_arrows(toks: list[str]) -> list[str]:
     """Collapse `base -> 'a' -> 2 ->> 'b'` chains into one Variant path
     extraction (functions.rs:94-254 semantics: `->` JSON rendering, final
@@ -321,7 +338,7 @@ def _translate_arrows(toks: list[str]) -> list[str]:
                     return f"[{key}]"
                 k = _strip_quotes(key)
                 # ->>'' : empty key = text rendering of the current value
-                return f".{k}" if k else ""
+                return _key_seg(k) if k else ""
 
             key = right[1]
             path.append(seg(key))
@@ -346,19 +363,29 @@ def _translate_arrows(toks: list[str]) -> list[str]:
             # the emitted call as an un-translatable inline cast
             base = re.sub(r"(?is)\s*::\s*jsonb?$", "", base)
             vbase = _variant_producing(base)
+            # bracket-quoted segments can contain a single quote (the
+            # `$["o'k"]` form) — double it for the SQL literal; and
+            # get_json_object accepts only the single-quoted bracket
+            # dialect, so double-quoted-form paths on a text base route
+            # through the Variant extraction instead of silently
+            # returning NULL (review r11-judge #5)
+            p_sql = _sql_str(jpath)
             if op == "->>":
-                if vbase is None:
-                    out.append(f"get_json_object({base}, '{jpath}')")
+                if vbase is None and '["' not in jpath:
+                    out.append(f"get_json_object({base}, {p_sql})")
                 else:
                     out.append(
-                        _variant_pg_text(f"variant_get({vbase}, '{jpath}', 'variant')")
+                        _variant_pg_text(
+                            f"variant_get({vbase or f'try_parse_json({base})'},"
+                            f" {p_sql}, 'variant')"
+                        )
                     )
             else:
                 # __TOJSON__ sentinel: keep the user-facing to_json rewrite
                 # pass from re-wrapping this engine-generated call.
                 out.append(
                     f"__TOJSON__(variant_get({vbase or f'try_parse_json({base})'},"
-                    f" '{jpath}', 'variant'))"
+                    f" {p_sql}, 'variant'))"
                 )
             continue
         out.append(toks[i])
@@ -915,23 +942,44 @@ def _translate_fn_calls(sql: str) -> str:
     sql = _rewrite_calls(sql, "string_to_array", _string_to_array)
     # datafusion-functions-json surface (database.rs:3350).
     def _json_length(a: list[str]) -> str | None:
-        target = a[0] if len(a) == 1 else f"get_json_object({a[0]}, '$.{_strip_quotes(a[1])}')"
         if len(a) > 2:
             return None
+        if len(a) == 1:
+            target = a[0]
+        else:
+            # literal keys only (a column-valued key has no static path);
+            # shared _key_seg rules so dotted/special keys address the
+            # LITERAL key, not a nested path (review r11-judge #4 class)
+            if not a[1].strip().startswith("'"):
+                return None
+            try:
+                p = "$" + _key_seg(_strip_quotes(a[1].strip()))
+            except ValueError:
+                return None
+            target = f"__TOJSON__(variant_get({_as_variant(a[0])}, {_sql_str(p)}, 'variant'))"
         arr = f"try_variant_get(try_parse_json({target}), '$', 'array<variant>')"
         obj = f"try_variant_get(try_parse_json({target}), '$', 'map<string,variant>')"
         return f"coalesce(size({arr}), size(map_keys({obj})))"
 
     sql = _rewrite_calls(sql, "json_length", _json_length)
-    sql = _rewrite_calls(
-        sql,
-        "json_contains",
-        lambda a: (
-            f"get_json_object({a[0]}, '$.{_strip_quotes(a[1])}') IS NOT NULL"
-            if len(a) == 2
-            else None
-        ),
-    )
+    # json_contains / PG `?`: ONE compilation with the Column API
+    # (json_fns.json_contains) — the old get_json_object form conflated a
+    # JSON null VALUE with a missing key ({"a": null} ? 'a' is TRUE in PG)
+    # and broke dotted/special keys via `$.{key}` (review r11-judge #4).
+    def _json_contains(a: list[str]) -> str | None:
+        if len(a) != 2 or not a[1].strip().startswith("'"):
+            return None
+        try:
+            p = "$" + _key_seg(_strip_quotes(a[1].strip()))
+        except ValueError:
+            return None  # both quote kinds: unaddressable — fail loud, not wrong
+        v = f"variant_get({_as_variant(a[0])}, {_sql_str(p)}, 'variant')"
+        return (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+            f" ELSE (({v}) IS NOT NULL OR __ISVNULL__({v})) END)"
+        )
+
+    sql = _rewrite_calls(sql, "json_contains", _json_contains)
     # DataFusion 1-arg array_length (0 for empty); PG's 2-arg (arr, dim=1).
     sql = _rewrite_calls(
         sql,

@@ -259,6 +259,67 @@ def _split_top_kw(text: str, word: str) -> list[str]:
     return out
 
 
+def _balanced_end(text: str, i: int) -> int:
+    """One past the ')' balancing the '(' at `i`, quote-aware; len(text)
+    if unterminated."""
+    depth, j, n = 0, i, len(text)
+    while j < n:
+        ch = text[j]
+        if ch == "'":
+            m = re.match(r"'(?:''|[^'])*'", text[j:])
+            j += len(m.group(0)) if m else 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+        j += 1
+    return n
+
+
+def _rewrite_qual(text: str, name: str, repl: str = "") -> str:
+    """Replace `name.` relation qualifiers in an expression with `repl`
+    — OUTSIDE single-quoted literals (a literal containing 'name.' is
+    data, not a qualifier: the old `re.sub(rf"\\b{name}\\.", ...)`
+    deleted the WRONG rows for `DELETE FROM t WHERE note = 't.x'` —
+    review r11-judge #1) and outside `(SELECT …)` subqueries, whose FROM
+    may re-alias `name` to a different relation (PG scoping: the inner
+    alias shadows the DML target). Case-insensitive like PG's identifier
+    folding; schema-qualified `other.name.col` is left alone."""
+    out: list[str] = []
+    i, n, nl = 0, len(text), len(name)
+    low = name.lower()
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            m = re.match(r"'(?:''|[^'])*'", text[i:])
+            frag = m.group(0) if m else ch
+            out.append(frag)
+            i += len(frag)
+            continue
+        if ch == "(" and re.match(r"\(\s*SELECT\b", text[i:], re.IGNORECASE):
+            j = _balanced_end(text, i)
+            out.append(text[i:j])
+            i = j
+            continue
+        if (
+            text[i : i + nl].lower() == low
+            and i + nl < n
+            and text[i + nl] == "."
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] in '_."'))
+            and i + nl + 1 < n
+            and (text[i + nl + 1].isalpha() or text[i + nl + 1] in '_"*')
+        ):
+            out.append(repl)
+            i += nl + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _split_top(text: str, sep: str = ",") -> list[str]:
     out, depth, buf, i = [], 0, [], 0
     while i < len(text):
@@ -819,16 +880,14 @@ class SltEnv:
 
         if from_text is None:
             assigns = {
-                c: F.expr(pg_to_spark_sql(re.sub(rf"\b{name}\.", "", e), self.spark))
+                c: F.expr(pg_to_spark_sql(_rewrite_qual(e, name), self.spark))
                 for c, e in assigns_raw.items()
             }
             n = dml.update(
                 tbl,
                 assigns,
                 predicate=(
-                    pg_to_spark_sql(
-                        re.sub(rf"\b{name}\.", "", where_text), self.spark
-                    )
+                    pg_to_spark_sql(_rewrite_qual(where_text, name), self.spark)
                     if where_text is not None
                     else None  # PG: UPDATE without WHERE touches all rows
                 ),
@@ -863,13 +922,13 @@ class SltEnv:
                     src = src.withColumnRenamed(scol, tcol)
             assigns = {}
             for c, e in assigns_raw.items():
-                e2 = re.sub(rf"\b{name}\.", "_tgt.", e)
-                e2 = re.sub(rf"\b{alias}\.", "_src.", e2)
+                e2 = _rewrite_qual(e, name, "_tgt.")
+                e2 = _rewrite_qual(e2, alias, "_src.")
                 assigns[c] = F.expr(pg_to_spark_sql(e2, self.spark))
             predicate = None
             if target_conj:
                 predicate = pg_to_spark_sql(
-                    re.sub(rf"\b{name}\.", "", " AND ".join(target_conj)),
+                    _rewrite_qual(" AND ".join(target_conj), name),
                     self.spark,
                 )
             n = dml.update_from(tbl, src, join_keys, assigns, predicate=predicate)
@@ -883,13 +942,12 @@ class SltEnv:
             raise ValueError(f"unknown table {name}")
         # strip the table qualifier like _update does: `DELETE FROM t
         # WHERE t.id = 5` is valid PG, but the predicate evaluates over
-        # the bare read view where alias `t` does not resolve (review r11)
+        # the bare read view where alias `t` does not resolve (review r11;
+        # literal-skipping + subquery-scoped — review r11-judge #1)
         n = dml.delete(
             tbl,
             predicate=(
-                pg_to_spark_sql(
-                    re.sub(rf"\b{name}\.", "", where_text), self.spark
-                )
+                pg_to_spark_sql(_rewrite_qual(where_text, name), self.spark)
                 if where_text
                 else None
             ),
