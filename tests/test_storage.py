@@ -1658,6 +1658,108 @@ class TestMaintenanceHardening:
         assert ("p2", "2026-01-02") not in tiles  # stale tile cleared
         assert ("p1", "2026-01-01") in tiles
 
+    def test_rollup_boolean_partition_tile_survives_cleanup(self, spark, tmp_path):
+        """review r11-judge #2: `present` was built with Python str()
+        ('True') while the Hive dir name and the selection predicate use
+        Spark's rendering ('true') — the membership test failed and every
+        fresh tile of a boolean-partitioned rollup was rmtree'd right
+        after being written, while the state file marked it fresh
+        (permanent silent data loss)."""
+        yaml = (
+            MOR_YAML.replace("partitions: [project_id, date]", "partitions: [flag, date]")
+            .replace("version_append: true", "version_append: false")
+            .replace(
+                "  - {name: value, data_type: Float64, nullable: true}",
+                "  - {name: value, data_type: Float64, nullable: true}\n"
+                "  - {name: flag, data_type: Boolean, nullable: false}",
+            )
+        )
+        schema = load_schema_text(yaml)
+        tbl = Table.create(spark, schema, str(tmp_path / "bool_t"))
+        df = spark.createDataFrame(
+            [
+                ("2026-01-01 10:00:00", "a", 1.0, True, "p1"),
+                ("2026-01-01 11:00:00", "b", 2.0, False, "p1"),
+            ],
+            "timestamp string, id string, value double, flag boolean, "
+            "project_id string",
+        )
+        tbl.append(df, stamp="2026-02-01 00:00:00")
+        rollup = str(tmp_path / "rollup")
+
+        def agg(visible):
+            return visible.groupBy("flag", "date").agg(F.count(F.lit(1)).alias("n"))
+
+        refreshed = maintenance.refresh_rollup(tbl, rollup, agg)
+        assert refreshed != []
+        # parquet partition-dir inference reads booleans back as strings —
+        # the point is the tiles EXIST with the right counts
+        tiles = {
+            (str(r["flag"]).lower(), r["n"])
+            for r in spark.read.parquet(rollup).collect()
+        }
+        assert tiles == {("true", 1), ("false", 1)}  # fresh tiles SURVIVED cleanup
+        # second refresh: nothing stale, tiles intact
+        assert maintenance.refresh_rollup(tbl, rollup, agg) == []
+        assert {
+            (str(r["flag"]).lower(), r["n"])
+            for r in spark.read.parquet(rollup).collect()
+        } == tiles
+
+    def test_rollup_timestamp_partition_tile_survives_cleanup(self, spark, tmp_path):
+        """Same rendering-mismatch class over a timestamp partition column
+        (Hive-escaped dir '10%3A00%3A00' vs value rendering)."""
+        yaml = (
+            MOR_YAML.replace(
+                "partitions: [project_id, date]", "partitions: [date, timestamp]"
+            ).replace("version_append: true", "version_append: false")
+        )
+        schema = load_schema_text(yaml)
+        tbl = Table.create(spark, schema, str(tmp_path / "ts_t"))
+        tbl.append(
+            _rows(spark, [("2026-01-01 10:00:00", "a", 1.0, "p1")]),
+            stamp="2026-02-01 00:00:00",
+        )
+        rollup = str(tmp_path / "rollup_ts")
+
+        def agg(visible):
+            return visible.groupBy("date", "timestamp").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+
+        refreshed = maintenance.refresh_rollup(tbl, rollup, agg)
+        assert refreshed != []
+        assert [r["n"] for r in spark.read.parquet(rollup).collect()] == [1]
+        assert maintenance.refresh_rollup(tbl, rollup, agg) == []
+        assert [r["n"] for r in spark.read.parquet(rollup).collect()] == [1]
+
+    def test_rollup_refresh_runs_aggregate_once(self, spark, tmp_path):
+        """review r11-judge #7: the `present` distinct-collect executed
+        agg_fn's whole plan and the overwrite recomputed it. The checkpoint
+        pays the aggregation once — observed via an accumulator ticking per
+        source row flowing through the agg plan."""
+        schema = load_schema_text(
+            MOR_YAML.replace("version_append: true", "version_append: false")
+        )
+        tbl = Table.create(spark, schema, str(tmp_path / "once_t"))
+        tbl.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        acc = spark.sparkContext.accumulator(0)
+
+        def tick(v):
+            acc.add(1)
+            return v
+
+        tick_udf = F.udf(tick, "double")
+
+        def agg(visible):
+            return visible.groupBy("project_id", "date").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(tick_udf(F.col("value"))).alias("total"),
+            )
+
+        maintenance.refresh_rollup(tbl, rollup_path=str(tmp_path / "r_once"), agg_fn=agg)
+        assert acc.value == len(BASE)  # each source row aggregated exactly once
+
     def test_stats_skips_dv_files(self, spark, tmp_path):
         schema = load_schema_text(
             MOR_YAML.replace("version_append: true", "version_append: false")
@@ -1701,9 +1803,28 @@ class TestStorageCoreReviewFixes:
     def test_guard_accepts_qualified_and_case_variants(self, spark):
         from timefusion_spark.storage.guard import contains_project_id
 
-        assert contains_project_id("t.project_id = 'a' AND ts > '2026-01-01'")
+        assert contains_project_id(
+            "t.project_id = 'a' AND ts > '2026-01-01'", table_name="t"
+        )
         assert contains_project_id("PROJECT_ID = 'a'")
-        assert not contains_project_id("t.project_id = 'a' OR b = 1")
+        assert contains_project_id("T.project_id = 'a'", table_name="t")
+        assert not contains_project_id("t.project_id = 'a' OR b = 1", table_name="t")
+
+    def test_guard_rejects_foreign_and_struct_qualifiers(self, spark):
+        """review r11-judge #3: the last-part match was FAIL-OPEN —
+        `meta.project_id` (a struct/Variant field) and a joined relation's
+        `o.project_id` satisfied the guard without pinning the scanned
+        table's tenant (the reference rejects, optimizers/mod.rs:192-216)."""
+        from timefusion_spark.storage.guard import contains_project_id
+
+        assert not contains_project_id("meta.project_id = 'a'", table_name="t")
+        assert not contains_project_id("o.project_id = 'a'", table_name="t")
+        # 3-part (schema-qualified / nested-struct) never qualifies
+        assert not contains_project_id("db.t.project_id = 'a'", table_name="t")
+        # no table context: qualified names are rejected fail-safe
+        assert not contains_project_id("t.project_id = 'a'")
+        # declared aliases pin
+        assert contains_project_id("s.project_id = 'a'", table_name="t", aliases=("s",))
 
     def test_schema_rejects_unknown_option_keys(self):
         import pytest as _pytest

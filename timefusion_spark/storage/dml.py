@@ -262,8 +262,7 @@ def _inplace_keyed_delete(table: Table, pred: Column) -> int:
     # covers exactly the files this statement read — a concurrent append
     # (or an in-window group publish) to an affected partition stays live
     # instead of being dropped (review r11)
-    rf = list(table.log.snapshot().files) if table.log.exists() else None
-    raw = table.read_raw(snapshot_files=rf)
+    raw, rf = table.pinned_raw()
     vis_matched = table.read().where(pred)
     n = vis_matched.count()
     if n == 0:
@@ -314,8 +313,7 @@ def _inplace_rewrite(table: Table, pred: Column, transform, count_df=None) -> in
     The read pins to an explicit file list so the overwrite's remove-set
     covers exactly the files read (concurrent appends and in-window group
     publishes stay live, review r11)."""
-    rf = list(table.log.snapshot().files) if table.log.exists() else None
-    raw = table.read_raw(snapshot_files=rf)
+    raw, rf = table.pinned_raw()
     matched = raw.where(pred)
     # `count_df` (the VISIBLE matched frame) overrides the raw match
     # count: on dedup-keyed plain tables the raw count also includes
@@ -546,8 +544,8 @@ def update_from(
                 ]
             )
 
-        rf = list(table.log.snapshot().files) if table.log.exists() else None
-        raw = table.read_raw(snapshot_files=rf).withColumn(
+        raw, rf = table.pinned_raw()
+        raw = raw.withColumn(
             "_tf_p", F.coalesce(pred, F.lit(False))
         )
         matched_pred_df = (

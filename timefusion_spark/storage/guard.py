@@ -23,24 +23,35 @@ def _parse_expression(predicate: str):
     return spark._jsparkSession.sessionState().sqlParser().parseExpression(predicate)
 
 
-def _walk_contains_project_id(jexpr) -> bool:
+def _walk_contains_project_id(jexpr, allowed_quals: frozenset[str]) -> bool:
     name = jexpr.getClass().getSimpleName()
     if name == "And":
-        return _walk_contains_project_id(jexpr.left()) or _walk_contains_project_id(
-            jexpr.right()
-        )
+        return _walk_contains_project_id(
+            jexpr.left(), allowed_quals
+        ) or _walk_contains_project_id(jexpr.right(), allowed_quals)
     if name == "EqualTo":
         left, right = jexpr.left(), jexpr.right()
 
         def is_pid_col(e) -> bool:
-            # match the LAST name part case-insensitively: Spark resolves
-            # columns case-insensitively and `t.project_id = 'x'` is a
-            # legitimately tenant-pinned predicate — the bare exact-case
-            # compare rejected both (review r11; fail-safe direction, but
-            # valid queries errored)
+            # Bare `project_id` always pins the scanned table's tenant.
+            # A QUALIFIED name pins it only when the qualifier IS the
+            # guarded table (or a declared alias): `meta.project_id` may
+            # be a struct/Variant FIELD and `o.project_id` a JOINED
+            # relation's column — the r11 last-part match accepted both
+            # without pinning the scanned table (review r11-judge #3,
+            # fail-open; the reference rejects —
+            # optimizers/mod.rs:192-216). Case-insensitive like Spark's
+            # resolution.
             if e.getClass().getSimpleName() != "UnresolvedAttribute":
                 return False
-            return e.name().rsplit(".", 1)[-1].lower() == "project_id"
+            parts = [p.lower() for p in e.name().split(".")]
+            if parts == ["project_id"]:
+                return True
+            return (
+                len(parts) == 2
+                and parts[1] == "project_id"
+                and parts[0] in allowed_quals
+            )
 
         def is_lit(e) -> bool:
             return e.getClass().getSimpleName() == "Literal"
@@ -49,16 +60,31 @@ def _walk_contains_project_id(jexpr) -> bool:
     return False
 
 
-def contains_project_id(predicate: str) -> bool:
+def contains_project_id(
+    predicate: str,
+    table_name: str | None = None,
+    aliases: tuple[str, ...] = (),
+) -> bool:
     """True iff the predicate pins project_id via equality in an
-    AND-conjunct chain (OR never qualifies)."""
-    return _walk_contains_project_id(_parse_expression(predicate))
+    AND-conjunct chain (OR never qualifies). Qualified references
+    (`t.project_id`) count only when the qualifier names the guarded
+    table (`table_name`) or one of its `aliases` — unknown qualifiers
+    are rejected fail-safe."""
+    allowed = frozenset(
+        q.lower() for q in ((table_name,) if table_name else ()) + tuple(aliases)
+    )
+    return _walk_contains_project_id(_parse_expression(predicate), allowed)
 
 
-def require_project_guard(predicate: str) -> None:
-    if not contains_project_id(predicate):
+def require_project_guard(
+    predicate: str,
+    table_name: str | None = None,
+    aliases: tuple[str, ...] = (),
+) -> None:
+    if not contains_project_id(predicate, table_name, aliases):
         raise ValueError(
-            "query must filter on project_id = '<tenant>' (AND-conjuncts "
-            "only; OR across projects is rejected by design — "
+            "query must filter on project_id = '<tenant>' (bare or "
+            "qualified by the scanned table; AND-conjuncts only; OR "
+            "across projects is rejected by design — "
             "optimizers/mod.rs:192-216)"
         )

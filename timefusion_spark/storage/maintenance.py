@@ -313,8 +313,8 @@ def compact(table: Table, partition_values: dict[str, str], target_files: int = 
     files. Returns rows rewritten. Keeps ALL row versions (compaction does
     not resolve merge-on-read — that is the dedup sweep's job)."""
     _check_partition_keys(table, partition_values)
-    rf = list(table.log.snapshot().files) if table.log.exists() else None
-    part = _partition_filter(table.read_raw(snapshot_files=rf), partition_values)
+    pinned, rf = table.pinned_raw()
+    part = _partition_filter(pinned, partition_values)
     rows = part.count()
     if rows == 0:
         return 0
@@ -447,8 +447,8 @@ def dedup_sweep(table: Table, partition_values: dict[str, str]) -> int:
     if not table.schema.dedup_keys:
         return 0
     _check_partition_keys(table, partition_values)
-    rf = list(table.log.snapshot().files) if table.log.exists() else None
-    raw = _partition_filter(table.read_raw(snapshot_files=rf), partition_values)
+    pinned, rf = table.pinned_raw()
+    raw = _partition_filter(pinned, partition_values)
     before = raw.count()
     winners = table._dedup_view(raw, policy="keep_greatest")
     after = winners.count()
@@ -485,8 +485,8 @@ def zorder_rewrite(
     from pyspark.sql import Window as W
 
     _check_partition_keys(table, partition_values)
-    rf = list(table.log.snapshot().files) if table.log.exists() else None
-    part = _partition_filter(table.read_raw(snapshot_files=rf), partition_values)
+    pinned, rf = table.pinned_raw()
+    part = _partition_filter(pinned, partition_values)
     rows = part.count()
     if rows == 0:
         return 0
@@ -825,14 +825,28 @@ def refresh_rollup(
             raise ValueError(
                 f"agg_fn output must retain partition columns; missing {missing}"
             )
+        # one aggregation pass: the `present` collect below and the
+        # overwrite would each execute agg_fn's whole plan — checkpoint
+        # the result so the nightly maintenance path pays it once
+        # (review r11-judge #7)
+        out = out.localCheckpoint(eager=True)
         # tiles whose recomputed aggregate is EMPTY (all source rows
         # deleted/tombstoned) get nothing from the dynamic overwrite — it
         # only replaces partitions present in `out` — so their stale tile
         # must be cleared explicitly or it would report forever while the
-        # state file marks it fresh (review r11)
+        # state file marks it fresh (review r11). Membership uses Spark's
+        # OWN string rendering (cast, same as the selection predicate and
+        # the Hive dir names): Python str() diverges on booleans
+        # ('True' vs dir 'flag=true'), which made every fresh tile of a
+        # boolean-partitioned rollup look absent and get rmtree'd right
+        # after being written (review r11-judge #2)
         present = {
-            tuple(None if r[c] is None else str(r[c]) for c in parts)
-            for r in out.select(*parts).distinct().collect()
+            tuple(r[c] for c in parts)
+            for r in out.select(
+                [F.col(c).cast("string").alias(c) for c in parts]
+            )
+            .distinct()
+            .collect()
         }
         with _dynamic_overwrite(table.spark):
             (
