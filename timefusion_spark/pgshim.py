@@ -2112,10 +2112,13 @@ def _apply_text_match_statement(spark, stripped: str, tables):
     # unresolved relation where the scan path serves it; decline
     if re.search(r"(?i)\btable_changes\s*\(", stripped):
         return None
+    # _split_top (not _split_top_kw): the keyword may sit flush against
+    # ')' or a closing quote — `…)UNION SELECT` is valid SQL the
+    # whitespace-bounded splitter misses (review r12, ADVICE r11 #1 class)
     for kw in ("UNION", "INTERSECT", "EXCEPT", "FOR"):
         if (
-            len(_slt._split_top_kw(rest, kw)) > 1
-            or len(_slt._split_top_kw(proj, kw)) > 1
+            len(_slt._split_top(rest, kw)) > 1
+            or len(_slt._split_top(proj, kw)) > 1
         ):
             return None
     # split the WHERE region from trailing clauses; the tail re-applies
@@ -2124,7 +2127,7 @@ def _apply_text_match_statement(spark, stripped: str, tables):
     where = rest
     for kw in ("GROUP", "ORDER", "HAVING", "LIMIT",
                "WINDOW", "OFFSET", "FETCH"):
-        pieces = _slt._split_top_kw(where, kw)
+        pieces = _slt._split_top(where, kw)
         if len(pieces) > 1:
             where = pieces[0]
     tail = rest[len(where):]
@@ -2132,8 +2135,12 @@ def _apply_text_match_statement(spark, stripped: str, tables):
     # prefilter would compute `like AND (a OR b)` where SQL means
     # `(like AND a) OR b` — decline so the additive contract
     # (tantivy_rewriter.rs:23-26: routing never changes answers) holds
-    # for mixed AND/OR statements (VERDICT r10 #1)
-    if len(_slt._split_top_kw(where, "OR")) > 1:
+    # for mixed AND/OR statements (VERDICT r10 #1). Punctuation-
+    # permissive split: `…'%x%' AND lang='en' OR(author='bob')` has no
+    # whitespace after OR, which the _split_top_kw form missed — the
+    # LIKE conjunct routed and rows satisfying only the OR arm were
+    # silently dropped (ADVICE r11 #1)
+    if len(_slt._split_top(where, "OR")) > 1:
         return None
 
     hits = None

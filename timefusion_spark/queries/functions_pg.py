@@ -538,6 +538,9 @@ def q_text_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE text LIKE '%merge window%' AND lang = 'en' OR author = 'bob')
         AS n_mixed,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+        WHERE text LIKE '%merge window%' AND lang = 'en' OR(author = 'bob'))
+        AS n_mixed_tight,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM d
         WHERE text LIKE '%merge window%' AND (lang = 'en' OR author = 'bob'))
         AS n_paren,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM d
@@ -610,6 +613,17 @@ def q_text_search_compound_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_mixed = run(
             f"SELECT count(*) AS n FROM docs_cor WHERE {mixed_where}", 0
         )
+        # OR flush against '(' — no whitespace after the keyword: the
+        # whitespace-bounded splitter missed it, the LIKE conjunct routed,
+        # and rows matching only the OR arm were silently dropped
+        # (ADVICE r11 #1) — must DECLINE exactly like the spaced form
+        tight_where = (
+            "content LIKE '%merge window%' AND lang = 'en' OR(author = 'bob')"
+        )
+        n_mixed_tight = run(
+            f"SELECT count(*) AS n FROM docs_cor WHERE {tight_where}", 0
+        )
+        _require(n_mixed_tight == n_mixed, (n_mixed_tight, n_mixed))
         # parenthesized OR conjunct: ROUTES (the re-applied AND post-filter
         # is semantics-preserving below top level)
         n_paren = run(
@@ -654,9 +668,9 @@ def q_text_search_compound_or(spark: SparkSession, sf_dir: str) -> DataFrame:
             (grouped, scan_grouped),
         )
         out = spark.createDataFrame(
-            [(n_mixed, n_paren, n_qual, len(grouped))],
-            "n_mixed bigint, n_paren bigint, n_qualified bigint, "
-            "n_groups bigint",
+            [(n_mixed, n_mixed_tight, n_paren, n_qual, len(grouped))],
+            "n_mixed bigint, n_mixed_tight bigint, n_paren bigint, "
+            "n_qualified bigint, n_groups bigint",
         )
         return out.localCheckpoint(eager=True)
     finally:
