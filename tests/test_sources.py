@@ -370,3 +370,78 @@ class TestEventGenOffsetHardening:
         r.commit({"index": 400})
         parts = r.partitions({"index": 250}, {"index": 600})
         assert min(p.start for p in parts) >= 400
+
+    def test_head_resumes_from_floor_after_restart_seed(self):
+        """ADVICE r11 #4: after the restart re-plan seeds the floor
+        (partitions(restored, restored) precedes the fresh instance's
+        first latestOffset — verified live on Spark 4.1.2), the next poll
+        must advance PAST the floor immediately, not stall replaying
+        per_batch-sized sub-floor heads."""
+        from timefusion_spark.sources.eventgen import _StreamReader
+
+        r = _StreamReader({"n": 10_000, "rowsPerBatch": 100})
+        r.partitions({"index": 400}, {"index": 400})  # restart re-plan
+        assert r.latestOffset()["index"] == 500  # floor + per_batch
+
+    def test_checkpoint_restart_no_duplicates_and_monotone_offsets(
+        self, spark, tmp_path
+    ):
+        """End-to-end ADVICE r11 #4 pin: stop a checkpointed eventgen
+        stream mid-feed and restart it with a FRESH reader instance —
+        the stream must advance, emit zero duplicate event_ids, and the
+        offset log must never record a regressed batch end (the replay
+        window the per-instance head could otherwise open)."""
+        import glob
+        import json
+        import os
+
+        from timefusion_spark.sources.eventgen import register_sources
+
+        register_sources(spark)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run_until(target_rows: int) -> None:
+            q = (
+                spark.readStream.format("eventgen")
+                .option("n", 100_000)
+                .option("rowsPerBatch", 50)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            try:
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    try:
+                        if spark.read.parquet(out).count() >= target_rows:
+                            break
+                    except Exception:
+                        pass
+                    time.sleep(1)
+            finally:
+                q.stop()
+
+        run_until(150)
+        n1 = spark.read.parquet(out).count()
+        run_until(n1 + 150)  # fresh _StreamReader, same checkpoint
+        res = spark.read.parquet(out)
+        assert res.count() > n1  # advanced past the restart
+        assert (
+            res.groupBy("event_id").count().where("count > 1").count() == 0
+        )  # zero replays across the restart
+        # the offset log is monotone: no batch end below a predecessor's
+        ends = []
+        for f in sorted(
+            glob.glob(os.path.join(ckpt, "offsets", "*")),
+            key=lambda p: int(os.path.basename(p)),
+        ):
+            if not os.path.basename(f).isdigit():
+                continue
+            with open(f) as fh:
+                last = fh.read().strip().splitlines()[-1]
+            ends.append(json.loads(last)["index"])
+        assert ends == sorted(ends), ends

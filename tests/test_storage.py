@@ -1465,6 +1465,61 @@ class TestDvDmlOnDedupKeyedTable:
         # and no DV commit landed (zero visible matches writes nothing)
         assert tbl.log.latest_version() == v0
 
+    def test_dv_update_rewrites_one_row_per_key(self, spark, tmp_path):
+        """The keyed DV UPDATE masks EVERY raw version of a visibly-
+        matched key and appends ONE rewritten row (the visible winner):
+        the old path masked only pred-matching raw rows and appended a
+        rewritten copy of EACH, leaving loser copies alive in the file
+        set (safe only while a tiebreak keeps them losing)."""
+        tbl = self._tbl(spark, tmp_path)
+        n = dml.update(
+            tbl,
+            {"status": F.lit("touched")},
+            predicate=(F.col("id") == "K"),
+            deletion_vectors=True,
+        )
+        assert n == 1
+        raw_k = [r for r in tbl.read_raw().collect() if r["id"] == "K"]
+        assert len(raw_k) == 1  # single live version, not one per raw copy
+        assert raw_k[0]["status"] == "touched"
+        got = {r["id"]: r["status"] for r in tbl.read().collect()}
+        assert got == {"K": "touched", "L": "active"}
+
+    def test_dv_update_no_tiebreak_no_resurrection(self, spark, tmp_path):
+        """ADVICE r11 #5: with dedup_tiebreak UNSET there is no ordering
+        to keep an appended rewritten loser copy below the true winner —
+        the old UPDATE path could leave multiple live candidates for one
+        key and the visible row flips arbitrarily. The key-scoped mask +
+        visible-basis rewrite leaves exactly ONE live raw version per
+        updated key, deterministic under any dedup ordering."""
+        yaml = KEYED_PLAIN_YAML.replace("dedup_tiebreak: timestamp\n", "")
+        tbl = Table.create(spark, load_schema_text(yaml), str(tmp_path / "ntb"))
+        df1 = spark.createDataFrame(
+            [("2026-01-01 10:00:00", "K", "old", 1.0, "p1"),
+             ("2026-01-01 11:00:00", "L", "active", 3.0, "p1")],
+            "timestamp string, id string, status string, value double, "
+            "project_id string",
+        ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+        df2 = spark.createDataFrame(
+            [("2026-01-02 10:00:00", "K", "active", 2.0, "p1")],
+            "timestamp string, id string, status string, value double, "
+            "project_id string",
+        ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+        tbl.append(df1)
+        tbl.append(df2)  # two raw versions of K across appends
+        assert len([r for r in tbl.read_raw().collect() if r["id"] == "K"]) == 2
+        n = dml.update(
+            tbl,
+            {"status": F.lit("touched")},
+            predicate=(F.col("id") == "K"),
+            deletion_vectors=True,
+        )
+        assert n == 1
+        raw_k = [r for r in tbl.read_raw().collect() if r["id"] == "K"]
+        assert len(raw_k) == 1 and raw_k[0]["status"] == "touched"
+        got = {r["id"]: r["status"] for r in tbl.read().collect()}
+        assert got == {"K": "touched", "L": "active"}
+
 
 class TestChangesUpperBoundIncremental:
     """VERDICT r10 #4/#6: the batch CDF cursor API — a default poll from

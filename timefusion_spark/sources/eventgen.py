@@ -89,8 +89,19 @@ class _StreamReader(DataSourceStreamReader):
         # has seen planned or committed — makes the head monotone again;
         # partitions() additionally clamps its low edge to the floor so
         # a transient backward offset in the log never replays rows.
+        #
+        # Restart safety (ADVICE r11 #4, verified live on Spark 4.1.2):
+        # a checkpoint restart ALWAYS re-plans the restored batch first —
+        # partitions(restored_start, restored_end) runs BEFORE the first
+        # latestOffset and seeds _floor with the committed position — so
+        # no poll on the fresh instance can log a regressed offset.
+        # Resuming the head FROM the floor (not 0) removes even the
+        # cosmetic sub-floor heads: the first post-restart poll advances
+        # straight to floor + per_batch instead of stalling per_batch-at-
+        # a-time until the counter catches up.
         if not hasattr(self, "_head"):
             self._head = 0
+        self._head = max(self._head, getattr(self, "_floor", 0))
         self._head = min(self._head + self.per_batch, self.total)
         return {"index": max(self._head, getattr(self, "_floor", 0))}
 

@@ -181,7 +181,16 @@ def _dv_dml(
             # zero VISIBLE matches: PG reports 0; loser-only raw matches
             # are invisible either way, so no DV is written
             return 0
-    if keys and assignments is None:
+    if keys:
+        # DELETE and UPDATE alike mask EVERY raw version of a visibly-
+        # matched key. The old UPDATE path masked only pred-matching raw
+        # rows and appended a rewritten copy of EACH (losers included);
+        # on keep-last-by-position tables (dedup_tiebreak=None, per
+        # TableSchema docs) an appended loser copy sits later in position
+        # than the true winner and resurrects superseded values
+        # (ADVICE r11 #5). Masking the whole key and rewriting from the
+        # VISIBLE winners is correct under both tiebreak policies — and
+        # writes one row per key instead of one per raw version.
         kdf = vis_matched.select(*keys).distinct().alias("_k")
         cond = None
         for k in keys:
@@ -191,9 +200,8 @@ def _dv_dml(
             table.read_raw(_dv_coords=True).alias("_t").join(kdf, cond, "leftsemi")
         )
     else:
-        # UPDATE (or unkeyed DELETE): mask exactly the pred-matching raw
-        # rows — rewritten copies keep their tiebreak, so losers keep
-        # losing and the visible view stays correct.
+        # unkeyed table: every raw row is visible — mask exactly the
+        # pred-matching rows.
         matched = table.read_raw(_dv_coords=True).where(pred)
     # Stage the DV file (tiny: matched-row coordinates only).
     stage = os.path.join(table.path, "_tf_staging", _uuid.uuid4().hex)
@@ -230,7 +238,10 @@ def _dv_dml(
                 os.remove(os.path.join(table.path, rel))
             return 0
     if assignments is not None:
-        rewritten = raw.where(pred).select(
+        # keyed: rewrite from the VISIBLE winners (their every raw
+        # version is masked above); unkeyed: from the pred-matching rows.
+        basis = vis_matched if keys else raw.where(pred)
+        rewritten = basis.select(
             *[
                 assignments[f.name].cast(f.to_spark().dataType).alias(f.name)
                 if f.name in assignments
