@@ -2302,3 +2302,101 @@ fields:
         if srv is not None:
             srv.stop()
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q_pgwire_dml_literals",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'dml_lit.x'
+                  WHEN o_orderkey % 5 = 1 THEN 'x'
+                  ELSE 'keep' END AS note,
+             o_totalprice AS value
+      FROM orders
+      WHERE o_orderkey <= 900
+    )
+    SELECT CASE WHEN note = 'x' THEN 'dml_lit.renamed' ELSE note END AS note,
+           COUNT(*) AS n,
+           ROUND(SUM(value + CASE WHEN note = 'x' THEN 10 ELSE 0 END), 2)
+             AS total_value
+    FROM base
+    WHERE note <> 'dml_lit.x'
+    GROUP BY 1
+    ORDER BY note
+    """,
+    doc="pgwire-path DML whose predicates and SET expressions contain the "
+    "table name INSIDE string literals, on a partitioned table — the "
+    "review r11-judge #1 wrong-row-data-loss shape. The statement path "
+    "(SltEnv.run_statement, the same code the wire server executes) strips "
+    "`dml_lit.` relation qualifiers with a literal-skipping scanner: "
+    "DELETE ... WHERE note = 'dml_lit.x' must delete exactly the rows "
+    "whose note IS 'dml_lit.x' (the old re.sub rewrote the literal to 'x' "
+    "and deleted the wrong rows), while qualified references outside "
+    "literals (dml_lit.note, dml_lit.value) still strip and resolve. The "
+    "oracle reproduces the post-DML visible state closed-form from orders.",
+)
+def q_pgwire_dml_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timefusion_spark.slt import SltEnv
+    from timefusion_spark.storage import Table
+    from timefusion_spark.storage.schema import FieldDef, SortingColumnDef, TableSchema
+
+    schema = TableSchema(
+        table_name="dml_lit",
+        fields=[
+            FieldDef("id", "Utf8", False),
+            FieldDef("timestamp", 'Timestamp(Microsecond, Some("UTC"))', False),
+            FieldDef("note", "Utf8"),
+            FieldDef("value", "Float64"),
+            FieldDef("project_id", "Utf8", False),
+            FieldDef("date", "Date32", False),
+        ],
+        partitions=["project_id", "date"],
+        sorting_columns=[SortingColumnDef("timestamp", descending=True)],
+        time_column="timestamp",
+    )
+    base_dir = tempfile.mkdtemp(prefix="tf_pgdml_")
+    try:
+        tbl = Table.create(spark, schema, os.path.join(base_dir, "dml_lit"))
+        orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 900)
+        base = orders.select(
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.expr(
+                "timestamp'2026-03-01 00:00:00'"
+                " + make_interval(0,0,0,cast(o_orderkey % 4 as int),0,0,0)"
+            ).alias("timestamp"),
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("dml_lit.x"))
+            .when(F.col("o_orderkey") % 5 == 1, F.lit("x"))
+            .otherwise(F.lit("keep"))
+            .alias("note"),
+            F.col("o_totalprice").alias("value"),
+            F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias(
+                "project_id"
+            ),
+        )
+        tbl.append(base)
+        env = SltEnv(spark, base_dir)
+        mounted = env.mount_existing()
+        _require("dml_lit" in mounted or "dml_lit" in env.tables, mounted)
+        # literal containing 'dml_lit.' — must delete ONLY those rows
+        # (the old quote-unaware strip executed note = 'x' instead)
+        n_del = env.run_statement("DELETE FROM dml_lit WHERE note = 'dml_lit.x'")
+        # qualified references strip; the SET literal survives intact
+        n_upd = env.run_statement(
+            "UPDATE dml_lit SET note = 'dml_lit.renamed', "
+            "value = dml_lit.value + 10 WHERE dml_lit.note = 'x'"
+        )
+        _require(n_del > 0 and n_upd > 0, (n_del, n_upd))
+        out = (
+            env.tables["dml_lit"]
+            .read()
+            .groupBy("note")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("note")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -140,7 +140,8 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_substring_arrow",
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
-    "q_funnel_analysis",
+    # (q_funnel_analysis rotated out round 12 — gate-certified r9-r11,
+    # unchanged pure built-in shape; slot taken by q_pgwire_dml_literals)
     "q_trace_path_recursive_sql",
     # new round 9: per-field tokenizer routing under plain SQL (raw-term
     # index serves equality, declines substring). Rotated out:
@@ -203,6 +204,13 @@ PRIORITY: tuple[str, ...] = (
     "q_deletion_vectors",
     "q_table_changes",
     "q_pg_shim_dialect",
+    # new round 12: pgwire-path DML whose predicates/SET exprs contain the
+    # table name INSIDE string literals on a partitioned table — the
+    # review r11-judge #1 wrong-row-data-loss regression shape (the
+    # qualifier strip is now literal-skipping and subquery-scoped).
+    # Rotated out: q_funnel_analysis (gate-certified r9-r11, pure
+    # built-in window/aggregation shape, unchanged since r9).
+    "q_pgwire_dml_literals",
 )
 
 
