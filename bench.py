@@ -393,7 +393,17 @@ def main() -> int:
         "(its wall is the per-run table+index build lifecycle, and the "
         "indexed-serving path is already measured by q_text_search_indexed). "
         "Round 11 adds no headline queries (hardening round: the new "
-        "compound-OR routing-decline query is oracle-gated only).",
+        "compound-OR routing-decline query is oracle-gated only). "
+        "Round 12 adjudication of the r11 q_semantic_dedup reading "
+        "(VERDICT r11 next-#9): on an idle box (1 JVM, load1 1.3) the "
+        "warm min over 3 runs is 0.994s at sf0.1 vs r10's 0.875s — "
+        "1.14x, within the 1.2x bar; the r11 1.31s reading was "
+        "box-inflated. The retained ~0.12s is the NaN-guard's zero-"
+        "product branch per candidate pair (correctness: one all-zero "
+        "embedding must not mark every same-cell row a duplicate) — "
+        "kept as-is; the per-row norms were already hoisted. Round 12 "
+        "adds no headline queries (defect-fix round: q_pgwire_dml_"
+        "literals is oracle-gated only).",
         **extra,
     }
     try:

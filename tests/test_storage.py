@@ -1585,6 +1585,50 @@ class TestChangesUpperBoundIncremental:
         # only the 3 NEW commit records were read — not all 9 (O(tip))
         assert len(opened) == 3, opened
 
+    def test_settled_floor_shared_across_instances(self, spark, tmp_path, monkeypatch):
+        """r11 stretch: the settled prefix is cached PER PATH, so a FRESH
+        Table object over an already-settled log pays zero commit-record
+        reads on its first poll (O(new), not O(tip) per instance)."""
+        import builtins
+        import re as _re
+
+        tbl = self._mk(spark, tmp_path, "cdfshared")
+        for i in range(5):
+            tbl.append(self._row(spark, i))
+        tbl.changes_upper_bound()  # settles + publishes the shared floor
+        fresh = Table.open(spark, tbl.path)
+        real_open = builtins.open
+        opened: list[str] = []
+
+        def spy(path, *a, **k):
+            if isinstance(path, str) and _re.search(r"\d{8}\.json$", path):
+                opened.append(path)
+            return real_open(path, *a, **k)
+
+        monkeypatch.setattr(builtins, "open", spy)
+        assert fresh.changes_upper_bound() == fresh.log.latest_version()
+        monkeypatch.undo()
+        assert opened == [], opened  # fresh instance adopted the shared floor
+
+    def test_settled_floor_reset_on_recreate(self, spark, tmp_path):
+        """A table recreated at the same path restarts version numbering —
+        Table.create must forget the shared floor or a later poll would
+        skip (and advance past) a pending commit in the fresh log."""
+        import shutil as _shutil
+
+        from timefusion_spark.storage.commitlog import settled_floor
+
+        tbl = self._mk(spark, tmp_path, "cdfreset")
+        for i in range(4):
+            tbl.append(self._row(spark, i))
+        tbl.changes_upper_bound()
+        assert settled_floor(tbl.log.log_dir) == 4
+        _shutil.rmtree(tbl.path)
+        tbl2 = self._mk(spark, tmp_path, "cdfreset")
+        assert settled_floor(tbl2.log.log_dir) == 0
+        tbl2.append(self._row(spark, 0))
+        assert tbl2.changes_upper_bound() == tbl2.log.latest_version() == 1
+
 
 class TestMaintenanceHardening:
     """Review r11 findings over the maintenance module: data-loss guards,

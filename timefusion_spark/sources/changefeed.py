@@ -180,6 +180,20 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         base = getattr(self, "_last", None)
         scan_from = (base if base is not None else self.start_version) + 1
         log_dir = os.path.join(self.path, _LOG_DIR)
+        # shared settled-prefix cache (r11 stretch): versions at or below
+        # the floor are terminal — no pending commit can live there, so
+        # the cap can never need to land below it. Skipping them keeps
+        # the FIRST poll of a (re)started query O(new commits) instead of
+        # O(tip - start) within this process (the cache is process-local;
+        # correctness never depends on it).
+        from timefusion_spark.storage.commitlog import (
+            raise_settled_floor,
+            settled_floor,
+        )
+
+        floor = settled_floor(log_dir)
+        scan_from = max(scan_from, floor + 1)
+        capped_at = None
         for v in range(scan_from, tip + 1):
             p = os.path.join(log_dir, f"{v:08d}.json")
             if not os.path.exists(p):
@@ -187,8 +201,14 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             with open(p) as fh:
                 rec = json.load(fh)
             if settle_if_aged(rec, p, log_dir) == "pending":
+                capped_at = v
                 tip = v - 1
                 break
+        # raise the shared floor only when this scan EXTENDS a proven
+        # prefix (scan started at the floor's edge): a scan that began at
+        # the consumer's start offset says nothing about older versions
+        if scan_from <= floor + 1:
+            raise_settled_floor(log_dir, capped_at - 1 if capped_at else tip)
         if self.max_versions is not None:
             # The cap bounds the STEADY-STATE advance: each poll after the
             # first moves at most max_versions past the furthest offset

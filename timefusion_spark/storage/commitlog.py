@@ -219,6 +219,41 @@ class CommitGroup:
         self._published = True
 
 
+# ── shared settled-prefix cache ─────────────────────────────────────────
+#
+# Highest log version below which every commit record is SETTLED (group-
+# free, published, or aborted — all terminal states), per log directory.
+# Settledness is monotone, so the cache can only be raised; it is shared
+# by every consumer IN THIS PROCESS (fresh Table objects, the batch CDF
+# API, the streaming changefeed's first-poll scan), so a new instance
+# over an old table pays O(new commits), never O(tip) (VERDICT r11
+# stretch). Process-local by design: the streaming source's Python
+# worker keeps its own copy — correctness never depends on the cache,
+# it only skips versions already proven terminal. Table.create resets
+# the entry (a recreated table restarts version numbering).
+
+_SETTLED_PREFIX: dict[str, int] = {}
+
+
+def settled_floor(log_dir: str) -> int:
+    """Cached settled-prefix floor for `log_dir` (0 if unknown)."""
+    return _SETTLED_PREFIX.get(os.path.realpath(log_dir), 0)
+
+
+def raise_settled_floor(log_dir: str, version: int) -> None:
+    """Raise (never lower) the cached settled prefix for `log_dir`."""
+    key = os.path.realpath(log_dir)
+    if version > _SETTLED_PREFIX.get(key, 0):
+        _SETTLED_PREFIX[key] = version
+
+
+def reset_settled_floor(log_dir: str) -> None:
+    """Forget the cached prefix — a table (re)created at this path
+    restarts version numbering, so a stale high floor could skip a
+    pending commit in the fresh log."""
+    _SETTLED_PREFIX.pop(os.path.realpath(log_dir), None)
+
+
 def settle_if_aged(rec: dict, path: str, log_dir: str | None = None) -> str:
     """The pending-group crash arbiter, shared by every ager — the
     checkpoint writer, the batch change-feed poll and the streaming

@@ -161,6 +161,12 @@ class Table:
             fh.write(schema.to_json())
         table = cls(spark, schema, path)
         table.log.init()
+        # a recreated table restarts version numbering — a stale shared
+        # settled floor from a previous table at this path could skip a
+        # pending commit in the fresh log
+        from timefusion_spark.storage.commitlog import reset_settled_floor
+
+        reset_settled_floor(table.log.log_dir)
         return table
 
     @classmethod
@@ -591,11 +597,20 @@ class Table:
         import json as _json
         import os as _os
 
-        from timefusion_spark.storage.commitlog import settle_if_aged
+        from timefusion_spark.storage.commitlog import (
+            raise_settled_floor,
+            settle_if_aged,
+            settled_floor,
+        )
 
         tip = self.log.latest_version()
         log_dir = self.log.log_dir
-        for v in range(self._settled_floor + 1, tip + 1):
+        # share the settled prefix across instances over the same path
+        # (r11 stretch): a FRESH Table object starts from the process-wide
+        # floor instead of rescanning from 0 — settledness is terminal, so
+        # the shared floor is always safe to adopt
+        floor = max(self._settled_floor, settled_floor(log_dir))
+        for v in range(floor + 1, tip + 1):
             p = _os.path.join(log_dir, f"{v:08d}.json")
             if not _os.path.exists(p):
                 continue
@@ -603,8 +618,10 @@ class Table:
                 rec = _json.load(fh)
             if settle_if_aged(rec, p, log_dir) == "pending":
                 self._settled_floor = v - 1
+                raise_settled_floor(log_dir, v - 1)
                 return v - 1
         self._settled_floor = tip
+        raise_settled_floor(log_dir, tip)
         return tip
 
     def read_changes(
