@@ -1398,12 +1398,16 @@ def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # NULL priority counts in NEITHER class: `IN`/`NOT IN` over NULL are
+    # both NULL, so the oracle's CASE falls to ELSE 0 on both sides —
+    # when(high, 0).otherwise(1) would count a NULL as low (review r12)
+    low = ~F.coalesce(high, F.lit(True))
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(F.col("l_returnflag").alias("returnflag"))
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            F.sum(F.when(low, 1).otherwise(0)).alias("low_line_count"),
         )
         .orderBy("returnflag")
     )

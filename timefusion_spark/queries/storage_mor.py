@@ -45,6 +45,38 @@ def _otel_schema_path() -> str:
 _N = 2000
 
 
+def _ts_5day(key: str):
+    """Timestamp compressed onto a 5-day domain keyed by `key` — the
+    oracle-mirrored date math every events-based scenario uses (one
+    definition; review r12)."""
+    return F.expr(
+        f"timestamp'2026-03-01 00:00:00'"
+        f" + make_interval(0,0,0,cast({key} % 5 as int),0,0,0)"
+    )
+
+
+def _orders_rows(orders: DataFrame) -> DataFrame:
+    """The canonical orders -> MOR row projection shared by every storage
+    scenario in this module: id, timestamp compressed onto a 5-day domain
+    (a realistic (project_id, date) partition grid instead of one
+    micro-partition per historical order date), name, value, project_id.
+    ONE definition on purpose: every oracle's date math mirrors exactly
+    this expression, so a drifted copy silently desynchronizes a query
+    from its oracle (review r12 -- the block was copy-pasted 7x)."""
+    return orders.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.expr(
+            "timestamp'2026-03-01 00:00:00'"
+            " + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
+        ).alias("timestamp"),
+        F.col("o_orderstatus").alias("name"),
+        F.col("o_totalprice").alias("value"),
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            "project_id"
+        ),
+    )
+
+
 def _build_mor_table(spark: SparkSession, sf_dir: str):
     """Create a fresh mor_versioned table from orders and run the scenario."""
     from timefusion_spark.storage import Table, dml, load_schema
@@ -57,15 +89,7 @@ def _build_mor_table(spark: SparkSession, sf_dir: str):
     # Compress the time domain to 5 days so the scenario lands in a
     # realistic (project_id, date) partition grid (15 dirs), not one
     # micro-partition per historical order date.
-    base = orders.select(
-        F.col("o_orderkey").cast("string").alias("id"),
-        F.expr(
-            "timestamp'2026-03-01 00:00:00' + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
-        ).alias("timestamp"),
-        F.col("o_orderstatus").alias("name"),
-        F.col("o_totalprice").alias("value"),
-        F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias("project_id"),
-    )
+    base = _orders_rows(orders)
     tbl.append(base, stamp="2026-01-01 00:00:00")
     dml.update(
         tbl,
@@ -313,10 +337,7 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 3000)
         rows = ev.select(
             F.col("event_id").cast("string").alias("id"),
-            F.expr(
-                "timestamp'2026-03-01 00:00:00'"
-                " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
-            ).alias("timestamp"),
+            _ts_5day("event_id").alias("timestamp"),
             F.col("event_type").alias("name"),
             F.col("value").alias("value"),
             F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
@@ -330,7 +351,7 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _run(ckpt: str) -> None:
             stream = spark.readStream.schema(src_schema).json(src)
             q = ingest_stream(tbl, stream, os.path.join(base_dir, ckpt))
-            q.awaitTermination(300)
+            _require(q.awaitTermination(300), "stream timed out (300s)")
 
         _run("ckpt1")
         _run("ckpt2")  # full redelivery through a second stream
@@ -392,10 +413,7 @@ def q_streaming_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
         rows = ev.select(
             F.col("event_id").cast("string").alias("id"),
-            F.expr(
-                "timestamp'2026-03-01 00:00:00'"
-                " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
-            ).alias("timestamp"),
+            _ts_5day("event_id").alias("timestamp"),
             F.col("event_type").alias("name"),
             F.col("value").alias("value"),
             F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
@@ -413,7 +431,7 @@ def q_streaming_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream,
             os.path.join(base_dir, "ckpt"),
         )
-        q.awaitTermination(300)
+        _require(q.awaitTermination(300), "stream timed out (300s)")
         # every data commit in BOTH logs is group-stamped (coalesced)
         for tbl in (t_all, t_clicks):
             for name in sorted(os.listdir(tbl.log.log_dir)):
@@ -472,10 +490,9 @@ def q_otel_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 4000)
         rows = ev.select(
             F.col("event_id").cast("string").alias("id"),
-            F.expr(
-                "timestamp'2026-03-01 00:00:00'"
-                " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
-                " + make_interval(0,0,0,0,0,0,cast(event_id % 86400 as int))"
+            (
+                _ts_5day("event_id")
+                + F.expr("make_interval(0,0,0,0,0,0,cast(event_id % 86400 as int))")
             ).alias("timestamp"),
             F.col("event_type").alias("name"),
             F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
@@ -525,10 +542,9 @@ def q_otel_recent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 4000)
         rows = ev.select(
             F.col("event_id").cast("string").alias("id"),
-            F.expr(
-                "timestamp'2026-03-01 00:00:00'"
-                " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
-                " + make_interval(0,0,0,0,0,0,cast(event_id % 86400 as int))"
+            (
+                _ts_5day("event_id")
+                + F.expr("make_interval(0,0,0,0,0,0,cast(event_id % 86400 as int))")
             ).alias("timestamp"),
             F.col("event_type").alias("name"),
             F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
@@ -575,10 +591,7 @@ def q_otel_promoted_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         status = ((F.col("event_id") % 5) * 100 + 100).cast("int")
         rows = ev.select(
             F.col("event_id").cast("string").alias("id"),
-            F.expr(
-                "timestamp'2026-03-01 00:00:00'"
-                " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
-            ).alias("timestamp"),
+            _ts_5day("event_id").alias("timestamp"),
             F.col("event_type").alias("name"),
             F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
             F.array(F.col("event_type")).alias("summary"),
@@ -626,18 +639,19 @@ def q_otel_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ref = "/root/reference/schemas/otel_metrics.yaml"
     if not os.path.exists(ref):
-        # metrics schema only ships in the reference tree; reuse the otel
-        # schema shape check there is nothing to compare against otherwise
+        # The 69-column metrics schema ships ONLY in the reference tree
+        # (no in-repo copy, unlike the otel schema's fallback): the
+        # query's whole point is exercising the reference's own
+        # declaration through the write path, so without the checkout
+        # there is nothing real to run — fail loudly rather than
+        # silently certifying a stand-in.
         raise FileNotFoundError("reference otel_metrics.yaml not present")
     schema = load_schema(ref)
     base_dir = tempfile.mkdtemp(prefix="tf_metrics_")
     tbl = Table.create(spark, schema, os.path.join(base_dir, "metrics"))
     try:
         ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 3000)
-        ts = F.expr(
-            "timestamp'2026-03-01 00:00:00'"
-            " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
-        )
+        ts = _ts_5day("event_id")
         rows = ev.select(
             F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
             ts.alias("timestamp"),
@@ -820,16 +834,7 @@ def q_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = Table.create(spark, schema, os.path.join(base_dir, "t"))
     try:
         orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
-        base = orders.select(
-            F.col("o_orderkey").cast("string").alias("id"),
-            F.expr(
-                "timestamp'2026-03-01 00:00:00'"
-                " + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
-            ).alias("timestamp"),
-            F.col("o_orderstatus").alias("name"),
-            F.col("o_totalprice").alias("value"),
-            F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias("project_id"),
-        )
+        base = _orders_rows(orders)
         tbl.append(base, stamp="2026-01-01 00:00:00")
         src = orders.where(F.col("o_orderkey") % 9 == 0).select(
             F.col("o_orderkey").cast("string").alias("id"),
@@ -900,18 +905,7 @@ def q_update_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = Table.create(spark, schema, os.path.join(base_dir, "t"))
     try:
         orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1200)
-        base = orders.select(
-            F.col("o_orderkey").cast("string").alias("id"),
-            F.expr(
-                "timestamp'2026-03-01 00:00:00'"
-                " + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
-            ).alias("timestamp"),
-            F.col("o_orderstatus").alias("name"),
-            F.col("o_totalprice").alias("value"),
-            F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias(
-                "project_id"
-            ),
-        )
+        base = _orders_rows(orders)
         tbl.append(base)
         key = F.col("id").cast("bigint")
         # in-place UPDATE: rewrite only the partitions holding matched rows
@@ -985,18 +979,7 @@ def q_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = Table.create(spark, schema, os.path.join(base_dir, "t"))
     try:
         orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1200)
-        base = orders.select(
-            F.col("o_orderkey").cast("string").alias("id"),
-            F.expr(
-                "timestamp'2026-03-01 00:00:00'"
-                " + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
-            ).alias("timestamp"),
-            F.col("o_orderstatus").alias("name"),
-            F.col("o_totalprice").alias("value"),
-            F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias(
-                "project_id"
-            ),
-        )
+        base = _orders_rows(orders)
         tbl.append(base)
         snap0 = set(tbl.log.snapshot().files)
         key = F.col("id").cast("bigint")
@@ -1055,10 +1038,7 @@ def q_otel_hash_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = t(spark, sf_dir, "events").where(F.col("event_id") <= 3000)
         rows = ev.select(
             F.col("event_id").cast("string").alias("id"),
-            F.expr(
-                "timestamp'2026-03-01 00:00:00'"
-                " + make_interval(0,0,0,cast(event_id % 5 as int),0,0,0)"
-            ).alias("timestamp"),
+            _ts_5day("event_id").alias("timestamp"),
             F.col("event_type").alias("name"),
             F.concat(F.lit("p"), (F.col("user_id") % 3).cast("string")).alias("project_id"),
             F.array(F.col("event_type")).alias("summary"),
@@ -1190,15 +1170,7 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         tbl = Table.create(spark, schema, os.path.join(base_dir, "mor_versioned"))
         orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= _N)
-        base = orders.select(
-            F.col("o_orderkey").cast("string").alias("id"),
-            F.expr(
-                "timestamp'2026-03-01 00:00:00' + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
-            ).alias("timestamp"),
-            F.col("o_orderstatus").alias("name"),
-            F.col("o_totalprice").alias("value"),
-            F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias("project_id"),
-        )
+        base = _orders_rows(orders)
         tbl.append(base, stamp="2026-01-01 00:00:00")
         rollup = os.path.join(base_dir, "rollup")
 
@@ -1285,26 +1257,38 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         # event time as a microsecond epoch long for an exact round-trip.
         ev.select("user_id", F.unix_micros("ts").alias("ts_us")).coalesce(2).write.json(src)
         out_dir = os.path.join(base_dir, "sessions")
-        stream = (
-            spark.readStream.schema("user_id long, ts_us long")
-            .json(src)
-            .select("user_id", F.timestamp_micros("ts_us").alias("ts"))
-        )
-        agg = (
-            stream.withWatermark("ts", "1 minute")
-            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-            .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
-        )
-        q = (
-            agg.select("user_id", "n_events", "session_start", "session_end")
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+
+        # one pipeline definition for both passes: the resumed checkpoint
+        # must sessionize with EXACTLY the same gap/watermark as the first
+        # pass, so the drain run re-invokes this instead of duplicating
+        # the plan (review r12)
+        def _run() -> None:
+            stream = (
+                spark.readStream.schema("user_id long, ts_us long")
+                .json(src)
+                .select("user_id", F.timestamp_micros("ts_us").alias("ts"))
+            )
+            agg = (
+                stream.withWatermark("ts", "1 minute")
+                .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.min("ts").alias("session_start"),
+                    F.max("ts").alias("session_end"),
+                )
+            )
+            q = (
+                agg.select("user_id", "n_events", "session_start", "session_end")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _require(q.awaitTermination(300), "stream timed out (300s)")
+
+        _run()
         # Sessions still open at end-of-stream (beyond the last watermark)
         # never emit in append mode; run one drain pass with a far-future
         # row so every session closes, then exclude the sentinel user.
@@ -1313,26 +1297,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
         ).write.mode("append").json(src)
-        stream2 = (
-            spark.readStream.schema("user_id long, ts_us long")
-            .json(src)
-            .select("user_id", F.timestamp_micros("ts_us").alias("ts"))
-        )
-        agg2 = (
-            stream2.withWatermark("ts", "1 minute")
-            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-            .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
-        )
-        q2 = (
-            agg2.select("user_id", "n_events", "session_start", "session_end")
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q2.awaitTermination(300)
+        _run()
         out = (
             spark.read.parquet(out_dir)
             .where(F.col("user_id") >= 0)
@@ -1397,7 +1362,7 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _require(q.awaitTermination(300), "stream timed out (300s)")
         out = (
             spark.read.parquet(out_dir)
             .where(F.col("event_type") != "__drain__")
@@ -1439,14 +1404,8 @@ def q_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = t(spark, sf_dir, "orders")
 
         def batch(lo: int, hi: int) -> DataFrame:
-            return orders.where((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)).select(
-                F.col("o_orderkey").cast("string").alias("id"),
-                F.expr(
-                    "timestamp'2026-03-01 00:00:00' + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
-                ).alias("timestamp"),
-                F.col("o_orderstatus").alias("name"),
-                F.col("o_totalprice").alias("value"),
-                F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias("project_id"),
+            return _orders_rows(
+                orders.where((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi))
             )
 
         tbl.append(batch(0, _N), stamp="2026-01-01 00:00:00", txn=("loader", 1))
@@ -1541,7 +1500,7 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _require(q.awaitTermination(300), "stream timed out (300s)")
         out = (
             spark.read.parquet(out_dir)
             .groupBy("user_id")
@@ -1649,7 +1608,7 @@ def q_streaming_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _require(q.awaitTermination(300), "stream timed out (300s)")
         out = (
             spark.read.parquet(out_dir)
             .groupBy("_commit_version", "_change_type", "project_id")
@@ -1713,18 +1672,7 @@ def q_dml_coalesced(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = Table.create(spark, schema, os.path.join(base_dir, "t"))
     try:
         orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1500)
-        base = orders.select(
-            F.col("o_orderkey").cast("string").alias("id"),
-            F.expr(
-                "timestamp'2026-03-01 00:00:00'"
-                " + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
-            ).alias("timestamp"),
-            F.col("o_orderstatus").alias("name"),
-            F.col("o_totalprice").alias("value"),
-            F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias(
-                "project_id"
-            ),
-        )
+        base = _orders_rows(orders)
         tbl.append(base)
         k = F.col("o_orderkey")
         c = coalescer.DmlCoalescer()
@@ -1848,7 +1796,7 @@ def q_streaming_changefeed_variant(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _require(q.awaitTermination(300), "stream timed out (300s)")
         out = (
             spark.read.parquet(out_dir)
             .groupBy("_commit_version", "project_id")
@@ -1878,10 +1826,10 @@ def q_streaming_changefeed_variant(spark: SparkSession, sf_dir: str) -> DataFram
     "Delta add-action stats idiom); COUNT(*) over a time range then "
     "answers files wholly inside the window from the LOG ALONE and scans "
     "only boundary files with the predicate pushed down. The query "
-    "ingests events as one file per week, counts a window that covers "
-    "two weeks exactly and one partially, and asserts in-query that at "
-    "least one file was answered from metadata, at least one was "
-    "scanned, and wholly-outside files were neither. Decline-on-doubt "
+    "ingests events as one file per week, counts a window covering one "
+    "week wholly (served from the log) and one partially (scanned), and "
+    "asserts in-query that at least one file was answered from metadata, "
+    "at least one was scanned, and wholly-outside files were neither. Decline-on-doubt "
     "(dedup keys / tombstones / deletion vectors -> full view count) is "
     "pinned by tests/test_storage.py::TestCountIndex.",
 )
@@ -2082,6 +2030,11 @@ def q_copy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (ln,) = struct.unpack("!i", recv_exact(sock, 4))
                 msgs.append((tag, recv_exact(sock, ln - 4)))
                 if tag == b"Z":
+                    # surface server errors with their payload — a
+                    # swallowed ErrorResponse otherwise resurfaces later
+                    # as an opaque tag assertion (review r12)
+                    errs = [p for tg, p in msgs if tg == b"E"]
+                    _require(not errs, errs)
                     return msgs
 
         sock = socket.create_connection(("127.0.0.1", srv.port), timeout=120)
@@ -2098,8 +2051,8 @@ def q_copy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sock.sendall(b"Q" + struct.pack("!i", len(q) + 4) + q)
         tag = recv_exact(sock, 1)
         (ln,) = struct.unpack("!i", recv_exact(sock, 4))
-        recv_exact(sock, ln - 4)
-        _require(tag == b'G', tag)
+        pl = recv_exact(sock, ln - 4)
+        _require(tag == b"G", (tag, pl))  # 'E' payload names the real error
         for i in range(0, len(payload), 65536):  # ack-paced TCP chunks
             d = payload[i : i + 65536]
             sock.sendall(b"d" + struct.pack("!i", len(d) + 4) + d)
