@@ -455,3 +455,50 @@ def test_oversized_header_refused_before_buffering(spark, srv):
     tag, msg = _read_frame(sock)
     assert tag == b"E" and "too large" in msg
     sock.close()
+
+
+def test_zero_row_batch_acked_and_stream_continues(spark, table, srv):
+    """review r12: an empty RecordBatch is legal IPC (schema-only /
+    heartbeat flush) — it must be acked without aborting the stream, and
+    the data batches around it still commit."""
+    empty = _batch(0, 3).slice(0, 0)  # same schema, zero rows
+    acks, final = _send_stream(
+        srv.port, "ing_t", [_batch(0, 3), empty, _batch(3, 5)], app_id="zr"
+    )
+    assert acks == [1, 2, 3]
+    assert final[0] == b"F" and final[1] == 5
+    assert table.read().count() == 5
+
+
+def test_oversized_start_seq_refused_before_commit(spark, table, srv):
+    """review r12: a start_seq >= 2^63 must be refused BEFORE anything
+    commits — it would land durably and poison the app_id's u64 txn
+    watermark for every later connection."""
+    acks, final = _send_stream(
+        srv.port, "ing_t", [_batch(0, 2)], app_id="big", start_seq=2**64
+    )
+    assert acks == []
+    assert final[0] == b"E" and "start_seq too large" in final[1]
+    assert table.read().count() == 0
+    # the app_id is NOT bricked: a sane stream still works
+    acks, final = _send_stream(srv.port, "ing_t", [_batch(0, 2)], app_id="big")
+    assert acks == [1]
+    assert final[0] == b"F"
+
+
+def test_non_object_header_gets_error_frame(spark, srv):
+    """review r12: valid JSON that is not an object ('\"x\"', '[1]') must
+    produce the bad-header error frame, not an uncaught TypeError."""
+    for payload in (b'"x"', b"[1]"):
+        sock = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        sock.sendall(struct.pack("!I", len(payload)) + payload)
+        tag, msg = _read_frame(sock)
+        assert tag == b"E" and "bad ingest header" in msg
+        sock.close()
+
+
+def test_stop_before_start_does_not_hang(spark, table):
+    """review r12: TCPServer.shutdown() waits on an event only
+    serve_forever() sets — stop() on a never-started server must return."""
+    s = ArrowIngestServer(spark, {"ing_t": table})
+    s.stop()  # must not block

@@ -59,6 +59,16 @@ def test_migrate_columns_verb(spark, store, capsys):
     assert tbl.read().select("score").distinct().collect()[0][0] is None
 
 
+def test_migrate_columns_rejects_empty_name_or_type(spark, store):
+    """review r12: ':Float64' would persist a NAMELESS column into the
+    schema sidecar (Spark allows StructField(''))."""
+    import pytest as _pytest
+
+    for bad in (":Float64", "score:", "score"):
+        with _pytest.raises(SystemExit):
+            main(["migrate-columns", "--base-dir", store, "--table", "cli_t", bad])
+
+
 def test_redrive_dry_run_empty_quarantine(store, capsys):
     assert main(["redrive-dml", "--base-dir", store, "--dry-run"]) == 0
     assert "recovered=0 parked=0" in capsys.readouterr().out

@@ -77,9 +77,25 @@ class _IngestHandler(socketserver.BaseRequestHandler):
             pass  # client went away; everything acked is durable
 
     def _send_error(self, message: str) -> None:
-        data = message.encode("utf-8")[:2000]
+        # UTF-8-safe truncation: a byte slice can split a multibyte
+        # character and ship invalid UTF-8 in the documented utf8 frame
+        # (review r12)
+        data = (
+            message.encode("utf-8")[:2000].decode("utf-8", "ignore").encode("utf-8")
+        )
         try:
             self.request.sendall(b"E" + struct.pack("!I", len(data)) + data)
+            # Half-close and drain briefly: closing with unread inbound
+            # bytes (a client streaming ahead) makes the kernel RST the
+            # connection, destroying the just-sent error frame before the
+            # client reads it (review r12).
+            import socket as _socket
+
+            self.request.shutdown(_socket.SHUT_WR)
+            self.request.settimeout(1.0)
+            for _ in range(64):
+                if not self.request.recv(1 << 16):
+                    break
         except OSError:
             pass
 
@@ -108,6 +124,8 @@ class _IngestHandler(socketserver.BaseRequestHandler):
             return
         try:
             header = json.loads(self._recv_exact(hlen).decode("utf-8"))
+            if not isinstance(header, dict):
+                raise ValueError(f"header must be a JSON object, got {type(header).__name__}")
             name = header["table"]
         except (ValueError, KeyError) as e:
             self._send_error(f"bad ingest header: {e}")
@@ -156,6 +174,15 @@ class _IngestHandler(socketserver.BaseRequestHandler):
         if start_seq < 1:
             self._send_error(f"start_seq must be >= 1, got {start_seq}")
             return
+        if start_seq >= 1 << 63:
+            # refuse BEFORE anything commits: a huge seq fits Python ints
+            # and JSON, so the append would land durably and only the
+            # u64 ack pack would raise — permanently poisoning the
+            # app_id's txn watermark (every later connection crashes
+            # packing it, every sane-seq batch is skipped-but-acked)
+            # (review r12)
+            self._send_error(f"start_seq too large: {start_seq}")
+            return
         self.request.sendall(b"W" + struct.pack("!Q", watermark))
 
         rfile = self.request.makefile("rb")
@@ -176,6 +203,15 @@ class _IngestHandler(socketserver.BaseRequestHandler):
                     self._send_error(f"Arrow stream error after seq {seq}: {e}")
                     return
                 seq += 1
+                if batch.num_rows == 0:
+                    # legal in the IPC format (schema-only / heartbeat
+                    # flush); createDataFrame cannot infer types from a
+                    # 0-row object-dtype frame and would abort the whole
+                    # stream for a batch that carries nothing — skip the
+                    # append but still ack so the client's seq bookkeeping
+                    # stays aligned (review r12)
+                    self.request.sendall(b"A" + struct.pack("!Q", seq))
+                    continue
                 try:
                     # writer_guard: atomically (under the pgwire server's
                     # lock when wired through PgWireServer) checks the
@@ -283,7 +319,11 @@ class ArrowIngestServer:
         return self
 
     def stop(self) -> None:
-        self._server.shutdown()
+        # shutdown() blocks on an event only serve_forever() sets — a
+        # stop() before start() (cleanup after a partial bring-up) would
+        # hang forever (review r12)
+        if self._thread is not None:
+            self._server.shutdown()
         self._server.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)

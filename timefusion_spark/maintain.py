@@ -137,6 +137,11 @@ def handoff(
                     result = pl.rstrip(b"\x00").decode()
                 elif tag == b"E":
                     err = pl.replace(b"\x00", b" ").decode("utf-8", "replace")
+                    # a server that errors THEN closes without ReadyForQuery
+                    # raises ConnectionError next — report the real error,
+                    # not "not reachable" (review r12; same fix as the
+                    # startup loop, review r10)
+                    last_err = err
     except OSError as e:
         if last_err is not None:
             print(f"HANDOFF refused by server: {last_err}", file=sys.stderr)
@@ -193,7 +198,11 @@ def main(argv: list[str] | None = None) -> int:
     p_ho.add_argument("--host", default="127.0.0.1")
     p_ho.add_argument("--port", type=int, default=5432)
     p_ho.add_argument("--timeout", type=float, default=300.0)
-    p_ho.add_argument("--user", default=os.environ.get("PGWIRE_USER", "postgres"))
+    # same default as handoff() — two sources of truth for the deploy
+    # runbook's auth principal would desynchronize (review r12)
+    p_ho.add_argument(
+        "--user", default=os.environ.get("PGWIRE_USER", "timefusion_deploy")
+    )
     p_ho.add_argument(
         "--password",
         default=os.environ.get("PGWIRE_PASSWORD") or None,
@@ -230,7 +239,10 @@ def main(argv: list[str] | None = None) -> int:
         fields = []
         for spec in args.columns:
             name, _, dtype = spec.partition(":")
-            if not dtype:
+            # ':Float64' would persist a NAMELESS column into the schema
+            # sidecar (Spark allows StructField("")) — reject both halves
+            # (review r12)
+            if not name or not dtype:
                 raise SystemExit(f"bad column spec {spec!r}; want col:type")
             fields.append(FieldDef(name, dtype, True))
         (tbl,) = tables
