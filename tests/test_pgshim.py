@@ -1127,3 +1127,93 @@ def test_variant_narrowing_survives_extract_from_paren(spark):
         "AND EXTRACT(YEAR FROM (ts::timestamp)) = 2026"
     )
     assert pg_sql(spark, q).collect()[0][0] == 1
+
+
+class TestShimReviewR12:
+    """review r12 pgshim pass: subscripts, dynamic arrow keys, = ANY
+    edges, coalesce array literals, settings unescape, multi-word SHOW,
+    EXPLAIN pipeline parity, qualified variant refs."""
+
+    def test_bare_column_subscript_is_one_based(self, spark):
+        spark.createDataFrame(
+            [(["a", "b", "c"],)], "tags array<string>"
+        ).createOrReplaceTempView("sub_t")
+        from timefusion_spark.pgshim import pg_sql
+
+        rows = pg_sql(spark, "SELECT tags[1] AS first_el FROM sub_t").collect()
+        assert rows[0][0] == "a"  # PG 1-based; the old passthrough gave 'b'
+        rows = pg_sql(spark, "SELECT tags[3] AS last_el FROM sub_t").collect()
+        assert rows[0][0] == "c"
+
+    def test_subscript_translation_shapes(self):
+        from timefusion_spark.pgshim import _subscripts_to_element_at as f
+
+        assert f("SELECT a[1][2]") == "SELECT element_at(element_at(a, 1), 2)"
+        assert f("SELECT 'lit[1]'") == "SELECT 'lit[1]'"
+        assert (
+            f("SELECT (string_to_array(c, '('))[2]")
+            == "SELECT element_at((string_to_array(c, '(')), 2)"
+        )
+        assert f("SELECT x[y]") == "SELECT x[y]"  # dynamic: untouched
+
+    def test_any_subquery_and_decimal_needle_decline(self, spark):
+        assert "= ANY(SELECT" in pg_to_spark_sql(
+            "SELECT * FROM t WHERE id = ANY(SELECT user_id FROM a)"
+        )
+        out = pg_to_spark_sql("SELECT 1.5 = ANY(vals) FROM t")
+        assert "array_contains(vals, 1.5)" in out and "1.array_contains" not in out
+
+    def test_coalesce_array_literal_quoted_null_noncanonical(self, spark):
+        out = pg_to_spark_sql("SELECT coalesce(tags, '{\"x,y\"}') FROM t")
+        assert "array('x,y')" in out  # embedded comma stays one element
+        out = pg_to_spark_sql("SELECT coalesce(tags, '{NULL,a}') FROM t")
+        assert "array(NULL, 'a')" in out  # NULL sentinel, not the string
+        out = pg_to_spark_sql("SELECT coalesce(tags, '{007}') FROM t")
+        assert "array('007')" in out  # non-canonical numeric stays text
+
+    def test_settings_unescape_once(self, spark):
+        from timefusion_spark.pgshim import pg_sql
+
+        pg_sql(spark, "SET application_name = 'a''''b'")  # PG value a''b
+        assert pg_sql(spark, "SHOW application_name").collect()[0][0] == "a''b"
+        pg_sql(spark, "SELECT set_config('application_name', 'c''''d', false)").collect()
+        assert pg_sql(spark, "SHOW application_name").collect()[0][0] == "c''d"
+        pg_sql(spark, "RESET application_name")
+
+    def test_multiword_show(self, spark):
+        from timefusion_spark.pgshim import pg_sql
+
+        df = pg_sql(spark, "SHOW TRANSACTION ISOLATION LEVEL")
+        assert df.columns == ["transaction_isolation"]
+        assert df.collect()[0][0] == "read committed"
+        assert (
+            pg_sql(spark, "SHOW SESSION AUTHORIZATION").collect()[0][0] == "postgres"
+        )
+
+    def test_explain_runs_full_pipeline(self, spark):
+        from timefusion_spark.pgshim import pg_sql
+
+        # catalog views + clock/settings rewrites must engage under
+        # EXPLAIN exactly like the non-EXPLAIN path
+        assert pg_sql(spark, "EXPLAIN SELECT name FROM pg_settings").count() > 0
+        assert (
+            pg_sql(
+                spark, "EXPLAIN SELECT table_name FROM information_schema.tables"
+            ).count()
+            > 0
+        )
+
+    def test_dynamic_arrow_key_declines(self, spark):
+        # a column-ref key has no static path — the arrow must stay
+        # verbatim (loud analysis error), never '$[key_col]' (all-NULL)
+        out = pg_to_spark_sql("SELECT payload ->> key_col FROM t")
+        assert "->>" in out and "$[key_col]" not in out
+
+    def test_qualified_variant_compare_and_arrow(self, spark):
+        from timefusion_spark.pgshim import register_variant_columns
+
+        register_variant_columns(["qvbody"], spark=spark)
+        out = pg_to_spark_sql("SELECT * FROM v WHERE v.qvbody = '\"a\"'", spark)
+        assert "to_json(v.qvbody)" in out
+        out = pg_to_spark_sql("SELECT '\"a\"' = v.qvbody FROM v", spark)
+        assert "to_json(v.qvbody)" in out

@@ -303,6 +303,66 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+_SUBSCRIPT_STOPWORDS = frozenset(
+    "select where and or not from join on when then else end case as in "
+    "by group order having limit union all distinct values set returning "
+    "between like ilike is exists any some".split()
+)
+
+
+def _subscripts_to_element_at(sql: str) -> str:
+    """Rewrite PG 1-based integer subscripts to element_at: both
+    `fn(...)[n]` and bare `col[n]`, outside string literals. One forward
+    scan with an open-paren stack (literals are consumed atomically, so
+    parens inside them never enter the balance — review r12). A
+    keyword before '(' is a parenthesized expression, not a call name,
+    and stays outside the wrapped base."""
+    open_stack: list[int] = []
+    last_call: tuple[int, int] | None = None  # (open_pos, one-past-')') of last close
+    out = ""
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            m = re.match(r"'(?:''|[^'])*'", sql[i:])
+            frag = m.group(0) if m else ch
+            out += frag
+            i += len(frag)
+            continue
+        if ch == "(":
+            open_stack.append(len(out))
+        elif ch == ")":
+            if open_stack:
+                last_call = (open_stack.pop(), len(out) + 1)
+        elif ch == "[":
+            m = re.match(r"\[\s*(\d+)\s*\]", sql[i:])
+            if m:
+                stripped = out.rstrip()
+                start = None
+                if (
+                    stripped.endswith(")")
+                    and last_call
+                    and last_call[1] == len(stripped)
+                ):
+                    start = last_call[0]
+                    k = re.search(r"[A-Za-z_][\w\.]*\s*$", out[:start])
+                    if k and k.group(0).strip().lower() not in _SUBSCRIPT_STOPWORDS:
+                        start = k.start()
+                else:
+                    k = re.search(r"[A-Za-z_][\w\.]*$", out)
+                    if k and k.group(0).lower() not in _SUBSCRIPT_STOPWORDS:
+                        start = k.start()
+                if start is not None:
+                    base = out[start:].rstrip()
+                    out = f"{out[:start]}element_at({base}, {m.group(1)})"
+                    last_call = (start, len(out))
+                    i += len(m.group(0))
+                    continue
+        out += ch
+        i += 1
+    return out
+
+
 def _key_seg(key: str) -> str:
     """One member/bracket path segment for a literal JSON key — the shared
     json_fns._path rules (identifier → `.k`, else bracket-quoted with
@@ -333,15 +393,24 @@ def _translate_arrows(toks: list[str]) -> list[str]:
             path = []
             op = toks[i]
 
-            def seg(key: str) -> str:
+            def seg(key: str) -> str | None:
                 if not key.startswith("'"):
-                    return f"[{key}]"
+                    # only INTEGER literals form a static path segment —
+                    # a column ref / expression key (PG dynamic access)
+                    # embedded as literal path text would silently return
+                    # NULL for every row; decline instead (review r12)
+                    return f"[{key}]" if re.fullmatch(r"-?\d+", key) else None
                 k = _strip_quotes(key)
                 # ->>'' : empty key = text rendering of the current value
                 return _key_seg(k) if k else ""
 
             key = right[1]
-            path.append(seg(key))
+            first = seg(key)
+            if first is None:
+                out.append(toks[i])  # untranslatable: leave the arrow verbatim
+                i += 1
+                continue
+            path.append(first)
             i = right[0] + 1
             # chain further arrows
             while True:
@@ -350,9 +419,11 @@ def _translate_arrows(toks: list[str]) -> list[str]:
                     nxt = _operand_right(toks, n)
                     if nxt is None:
                         break
+                    s = seg(nxt[1])
+                    if s is None:
+                        break  # stop the chain BEFORE the dynamic key
                     op = toks[n]
-                    key = nxt[1]
-                    path.append(seg(key))
+                    path.append(s)
                     i = nxt[0] + 1
                 else:
                     break
@@ -409,15 +480,47 @@ def _translate_variant_compare(toks: list[str]) -> list[str]:
         n = _next_idx(out, i)
         prev = out[p] if p >= 0 else ""
         nxt = out[n] if n < len(out) else ""
-        if prev == "." or nxt == "(" or prev.endswith("."):
-            continue  # qualified tail / function name
+        if nxt == "(":
+            continue  # function name
+        qual_start = None
+        if prev == "." or prev.endswith("."):
+            # `t.body` — a RELATION-qualified variant ref is the same
+            # compare (the old skip left raw VARIANT against text and
+            # Spark has no such ordering — review r12); wrap the whole
+            # qualified pair. A deeper path (a.b.body) is a struct/field
+            # access, not a relation qualifier — skip those.
+            q = _prev_idx(out, p)
+            if (
+                prev == "."
+                and q >= 0
+                and re.fullmatch(r"[A-Za-z_]\w*", out[q])
+                and (
+                    _prev_idx(out, q) < 0
+                    or out[_prev_idx(out, q)] != "."
+                )
+            ):
+                qual_start = q
+            else:
+                continue  # qualified tail beyond one level / dotted token
+        if qual_start is None:
+            cmp_left = prev
+        else:
+            ql = _prev_idx(out, qual_start)
+            cmp_left = out[ql] if ql >= 0 else ""
         if (
             nxt in cmp_ops
             or nxt.upper() in ("IN", "LIKE")
-            or prev in cmp_ops
-            or prev.upper() == "IN"
+            or cmp_left in cmp_ops
+            or cmp_left.upper() == "IN"
         ):
-            out[i] = f"__TOJSON__({tok})"
+            if qual_start is not None:
+                out[i] = f"__TOJSON__({out[qual_start]}.{tok})"
+                # spaces, not empty strings: later token passes
+                # (_translate_casts) skip whitespace tokens via _is_ws
+                out[qual_start] = " "
+                out[p] = " "
+            else:
+                out[i] = f"__TOJSON__({tok})"
     return out
 
 
@@ -999,12 +1102,30 @@ def _translate_fn_calls(sql: str) -> str:
         for x in a:
             x = x.strip()
             if re.fullmatch(r"'\{[^{}]*\}'", x):
-                elems = [e.strip() for e in _strip_quotes(x).strip("{}").split(",") if e.strip()]
-                rendered = ", ".join(
-                    e if re.fullmatch(r"-?\d+(\.\d+)?", e) else "'" + e.replace("'", "''") + "'"
-                    for e in elems
-                )
-                out.append(f"array({rendered})")
+                # REAL PG array parsing (quoted elements, embedded commas,
+                # NULL sentinel) — the old naive comma split broke
+                # '{"x,y"}' apart and stringified NULL (review r12).
+                # Untyped context: canonical numerics render bare so the
+                # coalesce arms coerce like PG's unknown-literal
+                # resolution; every other element stays a quoted string
+                # (the r10 canonical rule — '007' must not become 7).
+                try:
+                    parsed = _parse_pg_array_literal(_strip_quotes(x))
+                except ValueError:
+                    return None  # malformed: leave verbatim for the error
+                parts = []
+                for e in parsed:
+                    if e is None:
+                        parts.append("NULL")
+                    elif isinstance(e, str) and re.fullmatch(
+                        r"-?(0|[1-9]\d*)(\.\d*[1-9])?", e
+                    ):
+                        parts.append(e)
+                    elif isinstance(e, str):
+                        parts.append("'" + e.replace("'", "''") + "'")
+                    else:
+                        return None  # nested literal can't appear in '{[^{}]*}'
+                out.append(f"array({', '.join(parts)})")
             else:
                 out.append(x)
         return f"coalesce({', '.join(out)})"
@@ -1379,6 +1500,10 @@ def _translate_misc(sql: str) -> str:
     # cast is already rendered as a TYPED array by the cast pass upstream.
     def _any_rewrite(m: "re.Match[str]") -> str:
         needle, side = m.group(1), m.group(2).strip()
+        # = ANY(SELECT …) is PG's IN-subquery spelling — array_contains
+        # over a subquery is a parse error; leave verbatim (review r12)
+        if re.match(r"(?is)^\s*SELECT\b", side):
+            return m.group(0)
         m2 = re.fullmatch(r"'(\{(?:''|[^'])*\})'", side)
         if m2:
             try:
@@ -1398,8 +1523,12 @@ def _translate_misc(sql: str) -> str:
             side = _pg_array_literal_sql(m2.group(1).replace("''", "'"), "STRING")
         return f"array_contains({side}, {needle})"
 
+    # needle boundary (?<![\w.']): without it `1.5 = ANY(vals)` matched
+    # only the trailing '5', leaving '1.' behind and corrupting the
+    # statement; decimals now match whole (review r12)
     sql = re.sub(
-        r"('(?:''|[^'])*'|[A-Za-z_][\w\.]*|\d+)\s*=\s*ANY\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\)",
+        r"(?<![\w.'])('(?:''|[^'])*'|[A-Za-z_][\w\.]*|\d+(?:\.\d+)?)"
+        r"\s*=\s*ANY\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\)",
         _any_rewrite,
         sql,
         flags=re.IGNORECASE,
@@ -1442,26 +1571,13 @@ def _translate_misc(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
-    # PG 1-based subscript after a call: fn(...)[n] → element_at(fn(...), n)
-    # (Spark's native arr[n] subscript is 0-based, so every PG subscript
-    # must translate). Balanced-paren backtrack from each `)[n]`.
-    while True:
-        m = re.search(r"\)\s*\[\s*(\d+)\s*\]", sql)
-        if not m:
-            break
-        depth, j = 0, m.start()
-        while j >= 0:
-            if sql[j] == ")":
-                depth += 1
-            elif sql[j] == "(":
-                depth -= 1
-                if depth == 0:
-                    break
-            j -= 1
-        k = re.search(r"[A-Za-z_][\w\.]*\s*$", sql[:j])
-        start = k.start() if k else j
-        call = sql[start : m.start() + 1]
-        sql = f"{sql[:start]}element_at({call}, {m.group(1)}){sql[m.end():]}"
+    # PG 1-based subscripts → element_at (Spark's native arr[n] subscript
+    # is 0-based, so EVERY PG integer subscript must translate): both the
+    # call form fn(...)[n] and the bare-column form col[n] — the old loop
+    # handled only the call form, so `SELECT tags[1]` silently returned
+    # the SECOND element, and its paren backtrack was not quote-aware
+    # (a '(' inside a string literal broke the balance) (review r12).
+    sql = _subscripts_to_element_at(sql)
     sql = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
 
     # time_bucket('5 minutes', ts) → time_bucket_secs(300, ts): the interval
@@ -1547,7 +1663,15 @@ def _narrow_variant_cols(spark, sql: str, cols: frozenset[str]) -> frozenset[str
     mentioned = [
         c
         for c in cols
-        if re.search(rf"(?i)(?<![\w.]){re.escape(c)}(?!\w)", sql)
+        if re.search(
+            # bare mention, or ONE-level relation-qualified (`t.col`) —
+            # a statement whose only reference is qualified previously
+            # skipped narrowing and misrouted a plain text column through
+            # variant operators (review r12); deeper dotted paths are
+            # struct-field accesses and still don't count
+            rf"(?i)(?<![\w.])(?:[A-Za-z_]\w*\.)?{re.escape(c)}(?!\w)",
+            sql,
+        )
     ]
     if not mentioned:
         return cols
@@ -1653,6 +1777,11 @@ _DEFAULT_SETTINGS: dict[str, str] = {
     "application_name": "",
     "client_encoding": "UTF8",
     "standard_conforming_strings": "on",
+    # the engine is auto-commit with snapshot-isolated reads; PG's
+    # default spelling, served to JDBC handshakes via the multi-word SHOW
+    "transaction_isolation": "read committed",
+    "default_transaction_isolation": "read committed",
+    "session_authorization": "postgres",
     # PG default: disabled. When set (ms), a wire BEGIN declares it as
     # the transaction's pending-group abort threshold, so an idle-in-
     # transaction session ages out on the PG-documented knob instead of
@@ -1694,7 +1823,10 @@ def _settings_for(spark) -> dict[str, str]:
 def _setting_literal(raw: str) -> str:
     raw = raw.strip()
     if raw.startswith("'"):
-        return _strip_quotes(raw).replace("''", "'")
+        # _strip_quotes already collapses '' → '; a second replace
+        # double-unescaped values containing literal quote pairs
+        # (review r12)
+        return _strip_quotes(raw)
     return raw
 
 
@@ -1761,6 +1893,21 @@ def _apply_settings_statement(spark, stripped: str):
     if m:
         rows = sorted(st.items())
         return spark.createDataFrame(rows, "name string, setting string")
+    # PG multi-word SHOW spellings (JDBC drivers issue these during the
+    # connection handshake; the single-word pattern below missed them and
+    # the statement leaked to the Spark parser as query text — review r12)
+    m = re.match(
+        r"(?is)^SHOW\s+(TRANSACTION\s+ISOLATION\s+LEVEL|SESSION\s+AUTHORIZATION"
+        r"|STANDARD\s+CONFORMING\s+STRINGS|DEFAULT\s+TRANSACTION\s+ISOLATION)$",
+        stripped,
+    )
+    if m:
+        name = re.sub(r"\s+", "_", m.group(1).lower())
+        # PG's column name for SHOW TRANSACTION ISOLATION LEVEL
+        name = {
+            "transaction_isolation_level": "transaction_isolation",
+        }.get(name, name)
+        return spark.createDataFrame([(st.get(name, ""),)], f"{name} string")
     m = re.match(r"(?is)^SHOW\s+([A-Za-z_][\w.]*)$", stripped)
     if m:
         name = m.group(1).lower()
@@ -1781,7 +1928,9 @@ def _apply_settings_functions(spark, sql: str) -> str:
         if len(a) != 3:
             return None
         name = _strip_quotes(a[0]).lower()
-        value = _strip_quotes(a[1]).replace("''", "'")
+        # _strip_quotes already collapses '' → ' (review r12: the second
+        # replace double-unescaped values with literal quote pairs)
+        value = _strip_quotes(a[1])
         st[name] = value
         return _q(value)
 
@@ -2941,7 +3090,13 @@ def pg_sql(spark, sql: str, tables=None):
                         )
                 elif name not in ("VERBOSE", "COSTS", "BUFFERS", "TIMING", "SUMMARY", "SETTINGS"):
                     raise ValueError(f"unsupported EXPLAIN option {opt.strip()!r}")
-        inner = spark.sql(pg_to_spark_sql(_apply_settings_functions(spark, m.group(3)), spark))
+        # the FULL rewrite pipeline, same as the non-EXPLAIN tail below:
+        # the old branch applied only the settings functions, so
+        # EXPLAIN SELECT * FROM pg_settings / information_schema /
+        # pg_catalog (or a clock function) failed with an unresolved
+        # relation while the same query without EXPLAIN worked
+        # (review r12)
+        inner = _translate_and_run(spark, m.group(3))
         qe = inner._jdf.queryExecution()
         if analyze:
             # PG semantics: ANALYZE EXECUTES the statement (including side
@@ -2954,6 +3109,14 @@ def pg_sql(spark, sql: str, tables=None):
         return spark.createDataFrame(
             [(line,) for line in text.rstrip("\n").split("\n")], "`QUERY PLAN` string"
         )
+    return _translate_and_run(spark, sql)
+
+
+def _translate_and_run(spark: SparkSession, sql: str) -> DataFrame:
+    """The tail of pg_sql's pipeline — catalog/settings/clock view
+    wiring, qualified-star expansion, dialect translation, execution.
+    Factored out so EXPLAIN renders the plan of EXACTLY the statement
+    the non-EXPLAIN path would run (review r12)."""
     if re.search(r"(?i)\bpg_settings\b", sql):
         _ensure_pg_settings_view(spark)
     sql = _apply_settings_functions(spark, sql)
