@@ -191,6 +191,18 @@ def sign_lsh_bucket(vec: Column, n_planes: int = 6) -> Column:
     )
 
 
+def _assign_cell_col(df: DataFrame, cells, vec_col: str, cell_col: str) -> DataFrame:
+    """Coarse cell assignment as an m=1 PQ encode (one codebook = the
+    cell centroids; code[1] = nearest cell id) — the shared idiom behind
+    ivf_assign / ivfpq fit / ivfpq encode (review r12: three drifting
+    copies varied only in temp-column name)."""
+    return (
+        pq_encode(df, [cells], vec_col=vec_col, out_col="_cell_codes")
+        .withColumn(cell_col, F.expr("element_at(_cell_codes, 1)"))
+        .drop("_cell_codes")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -232,12 +244,32 @@ def ivf_assign(
         max_iter=10,
     )
     centroids = books[0]
-    assigned = (
-        pq_encode(df, books, vec_col=vec_col, out_col="_ivf_codes")
-        .withColumn("_cell", F.expr("element_at(_ivf_codes, 1)"))
-        .drop("_ivf_codes")
-    )
+    assigned = _assign_cell_col(df, books[0], vec_col, "_cell")
     return centroids, assigned
+
+
+def _probe_cells(cells, query_vec, n_probe: int) -> list[int]:
+    """Rank coarse cells against the query by the SAME metric they were
+    built with (expanded L2: ||c||^2 - 2<q,c>; the query's own norm is
+    constant across cells), ties toward the smallest cell id. ONE
+    definition for every probe site — the copy at each caller had begun
+    to drift in input shape (review r12). `cells` is a list of centroid
+    vectors (cell id = list index) or of (cid, vector) pairs."""
+    qd = [float(x) for x in query_vec]
+    if (
+        cells
+        and isinstance(cells[0], tuple)
+        and len(cells[0]) == 2
+        and isinstance(cells[0][1], (list, tuple))
+    ):
+        pairs = [(int(cid), [float(c) for c in cv]) for cid, cv in cells]
+    else:
+        pairs = [(i, [float(c) for c in cv]) for i, cv in enumerate(cells)]
+    scored = sorted(
+        (sum(c * c for c in cv) - 2.0 * sum(x * c for x, c in zip(qd, cv)), cid)
+        for cid, cv in pairs
+    )
+    return [cid for _, cid in scored[:n_probe]]
 
 
 def knn_ivf(
@@ -258,12 +290,7 @@ def knn_ivf(
     # cells partition the corpus by L2 geometry, so ranking them against
     # the query by cosine can skip the cell that actually holds the
     # nearest neighbor when vector norms vary
-    qd = [float(x) for x in query_vec]
-    probe_cells = sorted(
-        range(len(centroids)),
-        key=lambda i: sum(float(c) * float(c) for c in centroids[i])
-        - 2.0 * sum(x * float(c) for x, c in zip(qd, centroids[i])),
-    )[:n_probe]
+    probe_cells = _probe_cells(centroids, query_vec, n_probe)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         assigned.where(F.col("_cell").isin(probe_cells))
@@ -307,18 +334,6 @@ def l2_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str) -> Colu
     the argmin with the struct's field order giving the cid tiebreak for
     free."""
     return F.expr(f"array_min({_l2_scores_expr(centroids, vec_col)}).cid")
-
-
-def l2_probes_expr(
-    centroids: list[tuple[int, list[float]]], vec_col: str, n_probe: int
-) -> Column:
-    """The row's `n_probe` nearest cells (array<int>, nearest first):
-    sort the same (distance_score, cid) structs and slice. The row's own
-    cell is always probes[0], so probe-joins never miss the home cell."""
-    return F.expr(
-        f"transform(slice(array_sort({_l2_scores_expr(centroids, vec_col)}),"
-        f" 1, {n_probe}), s -> s.cid)"
-    )
 
 
 def _pq_fit_driver(
@@ -701,11 +716,7 @@ def ivfpq_fit(
     cells = pq_fit(
         df, vec_col=vec_col, m=1, ksub=n_cells, seed=seed, max_fit_rows=max_fit_rows
     )[0]
-    assigned = (
-        pq_encode(df, [cells], vec_col=vec_col, out_col="_ivfpq_ca")
-        .withColumn("_cell", F.expr("element_at(_ivfpq_ca, 1)"))
-        .drop("_ivfpq_ca")
-    )
+    assigned = _assign_cell_col(df, cells, vec_col, "_cell")
     res = assigned.withColumn("_ivfpq_cmat", F.expr(_cells_lit(cells))).withColumn(
         "_res", _residual_expr(cells, vec_col, "_cell")
     )
@@ -732,11 +743,7 @@ def ivfpq_encode(
     — the persisted 100-TB artifact is (id, cell, m codes); cell is the
     partition key, d-float vectors never leave storage on the search
     path. Zero shuffle."""
-    assigned = (
-        pq_encode(df, [cells], vec_col=vec_col, out_col="_ivfpq_ca")
-        .withColumn(cell_col, F.expr("element_at(_ivfpq_ca, 1)"))
-        .drop("_ivfpq_ca")
-    )
+    assigned = _assign_cell_col(df, cells, vec_col, cell_col)
     res = assigned.withColumn("_ivfpq_cmat", F.expr(_cells_lit(cells))).withColumn(
         "_ivfpq_res", _residual_expr(cells, vec_col, cell_col)
     )
@@ -775,12 +782,7 @@ def ivfpq_adc_topk(
             f"were fitted at m*dsub = {m * dsub}"
         )
     qd = [float(x) for x in query_vec]
-    order = sorted(
-        range(len(cells)),
-        key=lambda i: sum(float(c) * float(c) for c in cells[i])
-        - 2.0 * sum(x * float(c) for x, c in zip(qd, cells[i])),
-    )
-    probe = order[:n_probe]
+    probe = _probe_cells(cells, query_vec, n_probe)
     tables = []
     for cell in probe:
         qres = [x - float(c) for x, c in zip(qd, cells[cell])]
@@ -888,15 +890,16 @@ def knn_join(
         F.col("_nrm").alias("_nb"),
         F.col("cid").alias("_cell"),
     )
+    # zero-norm guard (same convention as cosine()/semantic_dedup, review
+    # r12): one all-zero embedding otherwise scores NaN against every
+    # probed row and NaN-is-largest ordering ranks it rank-1 everywhere
+    _pd = F.col("_na") * F.col("_nb")
+    pair_cos = F.when(_pd == F.lit(0.0), F.lit(0.0)).otherwise(
+        dot(F.col("_va"), F.col("_vb")) / _pd
+    )
     scored = (
         a.join(b, (F.col("_probe") == F.col("_cell")) & (F.col("_a_id") != F.col("_b_id")))
-        .select(
-            "_a_id",
-            "_b_id",
-            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
-                "cos_sim"
-            ),
-        )
+        .select("_a_id", "_b_id", pair_cos.alias("cos_sim"))
     )
     w = W.partitionBy("_a_id").orderBy(F.col("cos_sim").desc(), F.col("_b_id"))
     return (
@@ -1182,43 +1185,16 @@ def knn_ivf_flat(
     assignment is per-row arithmetic — zero shuffle; the probe filter
     bounds the brute-force candidate set to ~n_probe/n_cells of the
     corpus, then TakeOrderedAndProject takes the top-k."""
-    c2 = {cid: sum(float(x) * float(x) for x in cv) for cid, cv in centroids}
     cell = l2_cell_expr(centroids, vec_col)
 
     # Probed cells: same score against the query vector, driver-side
     # (centroids and query are O(1) parameters).
-    qd = [float(x) for x in query_vec]
-    scored = sorted(
-        (c2[cid] - 2.0 * sum(x * y for x, y in zip(qd, map(float, cv))), cid)
-        for cid, cv in centroids
-    )
-    probe = [cid for _, cid in scored[:n_probe]]
+    probe = _probe_cells(centroids, query_vec, n_probe)
 
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         df.withColumn("_cell", cell)
         .where(F.col("_cell").isin(probe))
-        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
-        .limit(k)
-    )
-
-
-def knn_lsh(
-    df: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 6,
-) -> DataFrame:
-    """Approximate top-k: restrict brute force to the query's sign-LSH
-    bucket (scale path: bucket column is precomputable + partitionable)."""
-    with_bucket = df.withColumn("_bucket", sign_lsh_bucket(F.col(vec_col), n_planes))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    qb = with_bucket.sparkSession.range(1).select(sign_lsh_bucket(q, n_planes).alias("qb")).collect()[0][0]
-    return (
-        with_bucket.where(F.col("_bucket") == qb)
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -1260,7 +1236,13 @@ def knn_brute_force_arrow(
             # documented JVM/Arrow parity (review r11)
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = np.where(denom == 0.0, 0.0, (m @ q) / denom)
-            order = np.argsort(-sims, kind="stable")[:k]
+            # tiebreak by id, not batch position: a stable positional
+            # argsort could drop the globally-winning id of an exact-tie
+            # pair at the batch's k-th score, and the global merge cannot
+            # recover a dropped row (review r12; global order is
+            # (cos_sim desc, id asc))
+            ids = pdf[id_col].to_numpy()
+            order = np.lexsort((ids, -sims))[:k]
             yield pd.DataFrame(
                 {id_col: pdf[id_col].iloc[order].to_numpy(), "cos_sim": sims[order]}
             )
@@ -1541,13 +1523,7 @@ def knn_ivf_indexed(
     the STORED cell column (partition/row-group prunable at scale —
     assignment cost was paid once at ingest), and brute-force cosine runs
     only inside the probed cells."""
-    c2 = {cid: sum(float(x) * float(x) for x in cv) for cid, cv in centroids}
-    qd = [float(x) for x in query_vec]
-    scored = sorted(
-        (c2[cid] - 2.0 * sum(x * y for x, y in zip(qd, map(float, cv))), cid)
-        for cid, cv in centroids
-    )
-    probe = [cid for _, cid in scored[:n_probe]]
+    probe = _probe_cells(centroids, query_vec, n_probe)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         index_df.where(F.col(cell_col).isin(probe))

@@ -301,9 +301,13 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reranked = (
         e.join(shortlist.select("vec_id"), "vec_id", "leftsemi")
-        .select("vec_id", F.round(l2, 4).alias("l2_dist"))
-        .orderBy("l2_dist", "vec_id")
+        # order by the RAW distance, round only for display — the oracle
+        # orders by raw l2, so a rounded near-tie could pick a different
+        # row than the true NN (review r12)
+        .select("vec_id", l2.alias("_l2"))
+        .orderBy("_l2", "vec_id")
         .limit(1)
+        .select("vec_id", F.round("_l2", 4).alias("l2_dist"))
         .withColumn("n_shortlist", F.lit(100).cast("long"))
     )
     return reranked.localCheckpoint(eager=True)
@@ -670,9 +674,13 @@ def q_ann_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reranked = (
         e.join(shortlist.select("vec_id"), "vec_id", "leftsemi")
-        .select("vec_id", F.round(l2, 4).alias("l2_dist"))
-        .orderBy("l2_dist", "vec_id")
+        # order by the RAW distance, round only for display — the oracle
+        # orders by raw l2, so a rounded near-tie could pick a different
+        # row than the true NN (review r12)
+        .select("vec_id", l2.alias("_l2"))
+        .orderBy("_l2", "vec_id")
         .limit(1)
+        .select("vec_id", F.round("_l2", 4).alias("l2_dist"))
         .withColumn("n_shortlist", F.lit(100).cast("long"))
     )
     return reranked.localCheckpoint(eager=True)
@@ -725,9 +733,13 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reranked = (
         e.join(shortlist.select("vec_id"), "vec_id", "leftsemi")
-        .select("vec_id", F.round(l2, 4).alias("l2_dist"))
-        .orderBy("l2_dist", "vec_id")
+        # order by the RAW distance, round only for display — the oracle
+        # orders by raw l2, so a rounded near-tie could pick a different
+        # row than the true NN (review r12)
+        .select("vec_id", l2.alias("_l2"))
+        .orderBy("_l2", "vec_id")
         .limit(1)
+        .select("vec_id", F.round("_l2", 4).alias("l2_dist"))
         .withColumn("n_shortlist", F.lit(100).cast("long"))
     )
     return reranked.localCheckpoint(eager=True)
@@ -787,9 +799,13 @@ def q_ann_ivfopq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reranked = (
         e.join(shortlist.select("vec_id"), "vec_id", "leftsemi")
-        .select("vec_id", F.round(l2, 4).alias("l2_dist"))
-        .orderBy("l2_dist", "vec_id")
+        # order by the RAW distance, round only for display — the oracle
+        # orders by raw l2, so a rounded near-tie could pick a different
+        # row than the true NN (review r12)
+        .select("vec_id", l2.alias("_l2"))
+        .orderBy("_l2", "vec_id")
         .limit(1)
+        .select("vec_id", F.round("_l2", 4).alias("l2_dist"))
         .withColumn("n_shortlist", F.lit(100).cast("long"))
     )
     return reranked.localCheckpoint(eager=True)
