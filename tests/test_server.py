@@ -3558,3 +3558,113 @@ class TestWireCoreHardening:
         tag = s.recv(1)
         assert tag == b"E"  # refused, not buffered
         s.close()
+
+
+class TestServerReviewR12:
+    """review r12 server pass: HANDOFF post-fence txns, COPY delimiter
+    escaping + option rejection, interval text rendering, stat-activity
+    for the extended protocol, literal-safe pg_backend_pid rewrite."""
+
+    def test_copy_custom_delimiter_roundtrip(self, client):
+        """Data containing the custom delimiter must escape on output and
+        unescape on input — the old path emitted it raw (readers see two
+        fields) and split escaped delimiters (wrong column count)."""
+        client.query("CREATE TABLE cp_d (id TEXT, note TEXT, tag TEXT)")
+        data = "a\ty|z\tp1\n".replace("\t", "|").replace("y|z", "y\\|z").encode()
+        msgs = copy_payload(
+            client, "COPY cp_d FROM STDIN (DELIMITER '|')", data
+        )
+        assert command_tags(msgs) == ["COPY 1"]
+        rows = rows_of(client.query("SELECT id, note, tag FROM cp_d"))
+        assert rows == [["a", "y|z", "p1"]]
+        # output direction: the value re-escapes
+        out = client.query("COPY cp_d TO STDOUT (DELIMITER '|')")
+        payload = b"".join(p for t, p in out if t == b"d").decode()
+        assert payload == "a|y\\|z|p1\n"
+        client.query("DROP TABLE cp_d")
+
+    def test_copy_unsupported_option_rejected(self, client):
+        client.query("CREATE TABLE cp_q (id TEXT)")
+        msgs = client.query("COPY cp_q TO STDOUT (FORMAT csv, QUOTE '|')")
+        assert b"E" in tags_of(msgs)  # rejected up front, like PG
+        client.query("DROP TABLE cp_q")
+
+    def test_interval_results_render_pg_text(self, client):
+        rows = rows_of(
+            client.query(
+                "SELECT timestamp '2026-01-02 00:00:01' - "
+                "timestamp '2026-01-01 00:00:00' AS iv"
+            )
+        )
+        assert rows == [["1 day 00:00:01"]]
+        rows = rows_of(
+            client.query(
+                "SELECT timestamp '2026-01-01 00:00:00' - "
+                "timestamp '2026-01-01 00:00:01' AS iv"
+            )
+        )
+        assert rows == [["-00:00:01"]]  # not Python's '-1 day, 23:59:59'
+
+    def test_pg_backend_pid_literal_untouched(self, client):
+        rows = rows_of(client.query("SELECT 'see pg_backend_pid() docs' AS t"))
+        assert rows == [["see pg_backend_pid() docs"]]
+        rows = rows_of(client.query("SELECT 'pg_stat_activity' AS t"))
+        assert rows == [["pg_stat_activity"]]
+
+    def test_handoff_ignores_post_fence_readonly_txn(self, spark, tmp_path):
+        """A BEGIN arriving AFTER the fence registers in open_txns but
+        cannot stage writes — HANDOFF must not wait on it (the old live-
+        set wait made any idle read-only txn client time out every
+        deploy)."""
+        import threading
+        import time
+
+        srv = PgWireServer(
+            spark, base_dir=str(tmp_path / "hd12"), handoff_lease_s=60.0
+        ).start()
+        try:
+            c = WireClient(srv.port)
+            c.startup()
+            c.query("CREATE TABLE h12 (ts TIMESTAMP, id TEXT, project_id TEXT)")
+            c.query("INSERT INTO h12 VALUES ('2026-01-01 10:00:00','a','p1')")
+            result: dict = {}
+
+            def run_handoff():
+                result["msgs"] = c.query("HANDOFF")
+
+            # open a post-fence read-only transaction from another conn
+            # the moment the handoff thread starts
+            b = WireClient(srv.port)
+            b.startup()
+            t = threading.Thread(target=run_handoff, daemon=True)
+            t.start()
+            time.sleep(0.3)  # fence is up; now BEGIN a read-only txn
+            b.query("BEGIN")
+            b.query("SELECT 1")
+            t.join(timeout=30)
+            assert not t.is_alive(), "HANDOFF waited on a post-fence txn"
+            assert command_tags(result["msgs"])[0].startswith("HANDOFF")
+            b.query("ROLLBACK")
+            b.close()
+            c.close()
+        finally:
+            srv.stop()
+
+    def test_fetch_all_streams_without_full_materialization(self, client):
+        """FETCH ALL drains per row through the cursor's _RowStream."""
+        client.query("CREATE TABLE fa_t (id TEXT)")
+        client.query(
+            "INSERT INTO fa_t VALUES " + ", ".join(f"('r{i}')" for i in range(50))
+        )
+        client.query("BEGIN")
+        client.query("DECLARE fa_cur CURSOR FOR SELECT id FROM fa_t ORDER BY id")
+        msgs = client.query("FETCH 10 FROM fa_cur")
+        assert command_tags(msgs) == ["FETCH 10"]
+        msgs = client.query("MOVE 5 FROM fa_cur")
+        assert command_tags(msgs) == ["MOVE 5"]
+        msgs = client.query("FETCH ALL FROM fa_cur")
+        assert command_tags(msgs) == ["FETCH 35"]
+        assert len(rows_of(msgs)) == 35
+        client.query("CLOSE fa_cur")
+        client.query("COMMIT")
+        client.query("DROP TABLE fa_t")

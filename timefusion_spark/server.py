@@ -102,6 +102,33 @@ _ELEM_TO_ARRAY_OID = {
 _ARRAY_TO_ELEM_OID = {a: e for e, a in _ELEM_TO_ARRAY_OID.items()}
 
 
+def _interval_text(us: int, days: int, months: int) -> str:
+    """PG postgres-style interval text ("1 year 2 mons 3 days 04:05:06.5";
+    C-truncation year/mon split, zero parts omitted, lone zero renders
+    00:00:00 — interval_out's documented output). Shared by the binary
+    param decode and the result-direction timedelta rendering
+    (review r12)."""
+    years = int(months / 12)  # truncate toward zero, C semantics
+    mons = months - years * 12
+    # interval_out pluralizes with value != 1 (so -1 -> "-1 years")
+    parts = []
+    if years:
+        parts.append(f"{years} year" + ("" if years == 1 else "s"))
+    if mons:
+        parts.append(f"{mons} mon" + ("" if mons == 1 else "s"))
+    if days:
+        parts.append(f"{days} day" + ("" if days == 1 else "s"))
+    if us or not parts:
+        sign = "-" if us < 0 else ""
+        aus = abs(us)
+        s, aus = divmod(aus, 1_000_000)
+        h, s = divmod(s, 3600)
+        mi, s = divmod(s, 60)
+        frac = f".{aus:06d}".rstrip("0") if aus else ""
+        parts.append(f"{sign}{h:02d}:{mi:02d}:{s:02d}{frac}")
+    return " ".join(parts)
+
+
 def _oid_for(dtype: T.DataType) -> int:
     if isinstance(dtype, T.BooleanType):
         return _OID_BOOL
@@ -123,6 +150,11 @@ def _oid_for(dtype: T.DataType) -> int:
         return _OID_DATE
     if isinstance(dtype, T.TimestampType):
         return _OID_TIMESTAMP
+    if isinstance(dtype, (T.DayTimeIntervalType, T.YearMonthIntervalType)):
+        # timestamp subtraction / INTERVAL expressions — previously fell
+        # to OID 25 with Python str(timedelta) text ('1 day, 0:00:01'),
+        # not PG interval text (review r12)
+        return _OID_INTERVAL
     if isinstance(dtype, (T.StructType, T.MapType)) or dtype.typeName() == "variant":
         return _OID_JSON
     if isinstance(dtype, T.ArrayType):
@@ -154,6 +186,13 @@ def _pg_text(v, dtype: T.DataType | None = None) -> str | None:
         return repr(v)
     if isinstance(v, decimal.Decimal):
         return str(v)
+    if isinstance(v, dt.timedelta):
+        # DayTimeIntervalType results: PG interval text via the shared
+        # renderer; day/time components keep one sign like interval_out
+        # ('-1 days -00:00:01', never Python's '-1 day, 23:59:59')
+        total = v.days * 86_400_000_000 + v.seconds * 1_000_000 + v.microseconds
+        d = int(total / 86_400_000_000)  # truncate toward zero
+        return _interval_text(total - d * 86_400_000_000, d, 0)
     if isinstance(v, dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
@@ -282,16 +321,64 @@ _CURSOR_RE = re.compile(
 )
 
 
-def _copy_text_escape(s: str) -> str:
+_COPY_UNSUPPORTED_OPTS = re.compile(
+    r"(?i)\b(QUOTE|ESCAPE|FORCE_QUOTE|FORCE_NOT_NULL|FORCE_NULL|ENCODING|"
+    r"FREEZE|ON_ERROR|LOG_VERBOSITY|DEFAULT)\b"
+)
+
+
+def _check_copy_options(opts: str) -> None:
+    """Reject COPY options this endpoint does not implement — PG errors
+    on unknown options up front; silently accepting `QUOTE '|'` and
+    emitting standard-quoted output the client then misparses is data
+    corruption (review r12)."""
+    m = _COPY_UNSUPPORTED_OPTS.search(opts or "")
+    if m:
+        raise ValueError(f"COPY option {m.group(1).upper()} is not supported")
+
+
+def _copy_text_escape(s: str, delim: str = "\t") -> str:
     """PG COPY text-format output escaping (the public COPY spec): data
-    backslashes, tabs, newlines and carriage returns must not collide
-    with the structural characters."""
-    return (
+    backslashes, tabs, newlines, carriage returns AND the delimiter
+    character must not collide with the structural characters — PG
+    escapes a custom delimiter in data (CopyAttributeOutText), so
+    'a|b' under DELIMITER '|' emits 'a\\|b' (review r12)."""
+    s = (
         s.replace("\\", "\\\\")
         .replace("\t", "\\t")
         .replace("\n", "\\n")
         .replace("\r", "\\r")
     )
+    if delim not in ("\t", "\n", "\r", "\\"):
+        s = s.replace(delim, "\\" + delim)
+    return s
+
+
+def _split_copy_text_fields(line: str, delim: str) -> list[str]:
+    """Split a COPY text-format line on UNESCAPED delimiters: backslash +
+    delimiter is literal data (PG CopyReadAttributesText) — a naive
+    str.split cut escaped delimiters into two fields (review r12)."""
+    if "\\" not in line:
+        return line.split(delim)
+    fields: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(line)
+    while i < n:
+        ch = line[i]
+        if ch == "\\" and i + 1 < n:
+            buf.append(ch)
+            buf.append(line[i + 1])
+            i += 2
+            continue
+        if ch == delim:
+            fields.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    fields.append("".join(buf))
+    return fields
 
 
 def _copy_csv_field(s: str | None, delim: str, null_s: str) -> str:
@@ -622,6 +709,9 @@ class _Handler(socketserver.BaseRequestHandler):
                     self._skip_phase = True
                 elif tag == b"S":  # Sync: end of the extended batch
                     self._skip_phase = False
+                    act = self.server.activity.get(getattr(self, "_pid", None))
+                    if act is not None:
+                        act.update(state="idle", query_start=None)
                     self._ready()
                 # anything else: ignore (per-protocol NoticeResponse optional)
         except (ConnectionError, OSError):
@@ -838,6 +928,16 @@ class _Handler(socketserver.BaseRequestHandler):
         # fetch that many rows and suspend the portal (PG wire spec)
         max_rows = struct.unpack("!i", payload[off : off + 4])[0] if len(payload) >= off + 4 else 0
         sql, rfmts = entry["sql"], entry["rfmts"]
+        # pg_stat_activity visibility for the extended protocol too:
+        # JDBC/psycopg3 queries used to run with the entry stuck on
+        # state='idle', query=None — invisible to the monitoring view and
+        # to pg_cancel_backend discovery (review r12). The Sync handler
+        # resets to idle like the simple path's tail.
+        import time as _time
+
+        act = self.server.activity.get(getattr(self, "_pid", None))
+        if act is not None:
+            act.update(state="active", query=sql[:500], query_start=_time.time())
         if self._handle_txn_verb(sql):
             return
         self._check_txn_failed()
@@ -878,12 +978,21 @@ class _Handler(socketserver.BaseRequestHandler):
                 entry["rows"] = _RowStream(df, registry=self.server.open_streams)
             entry["fields"] = entry["rows"].fields
         stream, fields = entry["rows"], entry["fields"]
+        sent_now = 0
         with self._statement_watchdog():
-            rows = stream.take(None if max_rows <= 0 else max_rows)
-            suspended = max_rows > 0 and not stream.exhausted()
-        for row in rows:
-            self._send(b"D", self._data_row(fields, row, rfmts))
-        entry["sent"] += len(rows)
+            if max_rows <= 0:
+                # unbounded Execute streams per row (review r12: take(None)
+                # materialized the full result driver-side)
+                for row in stream.iter_rows():
+                    self._send(b"D", self._data_row(fields, row, rfmts))
+                    sent_now += 1
+                suspended = False
+            else:
+                for row in stream.iter_rows(max_rows):
+                    self._send(b"D", self._data_row(fields, row, rfmts))
+                    sent_now += 1
+                suspended = not stream.exhausted()
+        entry["sent"] += sent_now
         if suspended:
             self._send(b"s")  # PortalSuspended — client re-Executes to drain
         else:
@@ -903,15 +1012,27 @@ class _Handler(socketserver.BaseRequestHandler):
         self._send(b"3")  # CloseComplete
 
     def _run(self, sql: str):
-        from timefusion_spark.pgshim import pg_sql
+        from timefusion_spark.pgshim import _apply_outside_quotes, pg_sql
 
         # pg_backend_pid() folds to this connection's pid literal;
-        # pg_stat_activity materializes from the server's live registry
-        sql = re.sub(r"(?i)\bpg_backend_pid\s*\(\s*\)", str(self._pid), sql)
+        # pg_stat_activity materializes from the server's live registry.
+        # Outside quotes only (review r12): a literal like
+        # 'see pg_backend_pid() docs' is DATA, and every other rewriter
+        # in this file passes quoted regions through verbatim.
+        sql = _apply_outside_quotes(
+            sql,
+            lambda s: re.sub(r"(?i)\bpg_backend_pid\s*\(\s*\)", str(self._pid), s),
+        )
         if re.search(r"(?i)\bpg_stat_activity\b", sql):
             self._ensure_stat_activity()
-            sql = re.sub(r"(?i)\b(?:pg_catalog\s*\.\s*)?pg_stat_activity\b",
-                         "__pg_stat_activity", sql)
+            sql = _apply_outside_quotes(
+                sql,
+                lambda s: re.sub(
+                    r"(?i)\b(?:pg_catalog\s*\.\s*)?pg_stat_activity\b",
+                    "__pg_stat_activity",
+                    s,
+                ),
+            )
 
         # Read-your-own-writes: inside an open transaction that has staged
         # INSERTs, table references resolve to overlay views that include
@@ -1116,6 +1237,7 @@ class _Handler(socketserver.BaseRequestHandler):
         table = m.group(1)
         cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
         opts = m.group(3) or ""
+        _check_copy_options(opts)
         fmt_bin = re.search(r"(?i)\bbinary\b", opts) is not None
         fmt_csv = not fmt_bin and re.search(r"(?i)\bcsv\b", opts) is not None
         header = fmt_csv and re.search(r"(?i)\bheader\b", opts) is not None
@@ -1218,7 +1340,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 return _parse_csv_fields(line, delim, null_s)
             return [
                 None if f == null_s else _unescape_copy_text(f)
-                for f in line.split(delim)
+                for f in _split_copy_text_fields(line, delim)
             ]
 
         def flush() -> None:
@@ -1229,74 +1351,90 @@ class _Handler(socketserver.BaseRequestHandler):
                 total += runner.copy_rows(table, cols, pending, txn=txn)
             pending = []
 
-        while True:
-            tag = self.request.recv(1)
-            if not tag:
-                raise ConnectionError("client closed during COPY")
-            (length,) = struct.unpack("!i", self._recv_exact(4))
-            payload = self._recv_exact(length - 4)
-            if tag == b"d":  # CopyData
-                if failed is not None:
-                    continue  # drain to CopyDone, then report the error
-                buf += payload
-                try:
-                    if fmt_bin:
-                        rows, buf = parse_binary(buf)
-                        pending.extend(rows)
-                        if len(pending) >= COPY_CHUNK_ROWS:
-                            flush()
-                        continue
-                    lines, buf = _split_copy_lines(buf, fmt_csv)
-                    for raw in lines:
-                        if skip_header:
-                            skip_header = False
-                            continue
-                        fields = parse_line(raw)
-                        if fields is None:
-                            continue
-                        pending.append(fields)
-                        if len(pending) >= COPY_CHUNK_ROWS:
-                            flush()
-                except Exception as e:  # noqa: BLE001 — report after drain
-                    failed = str(e).split("\n", 1)[0][:500]
-            elif tag == b"c":  # CopyDone
-                if failed is None and fmt_bin:
-                    # the binary format carries its own trailer; absent
-                    # one the stream is torn and nothing may publish
-                    if buf:
-                        try:
+        try:
+            while True:
+                tag = self.request.recv(1)
+                if not tag:
+                    raise ConnectionError("client closed during COPY")
+                (length,) = struct.unpack("!i", self._recv_exact(4))
+                payload = self._recv_exact(length - 4)
+                if tag == b"d":  # CopyData
+                    if failed is not None:
+                        continue  # drain to CopyDone, then report the error
+                    buf += payload
+                    try:
+                        if fmt_bin:
                             rows, buf = parse_binary(buf)
                             pending.extend(rows)
+                            if len(pending) >= COPY_CHUNK_ROWS:
+                                flush()
+                            continue
+                        lines, buf = _split_copy_lines(buf, fmt_csv)
+                        for raw in lines:
+                            if skip_header:
+                                skip_header = False
+                                continue
+                            fields = parse_line(raw)
+                            if fields is None:
+                                continue
+                            pending.append(fields)
+                            if len(pending) >= COPY_CHUNK_ROWS:
+                                flush()
+                    except Exception as e:  # noqa: BLE001 — report after drain
+                        failed = str(e).split("\n", 1)[0][:500]
+                elif tag == b"c":  # CopyDone
+                    if failed is None and fmt_bin:
+                        # the binary format carries its own trailer; absent
+                        # one the stream is torn and nothing may publish
+                        if buf:
+                            try:
+                                rows, buf = parse_binary(buf)
+                                pending.extend(rows)
+                            except Exception as e:  # noqa: BLE001
+                                failed = str(e).split("\n", 1)[0][:500]
+                        if failed is None and not bin_state["done"] and (
+                            bin_state["hdr"] or buf or pending
+                        ):
+                            failed = "unexpected end of COPY binary data (missing trailer)"
+                    # any remaining text BYTES are the final (newline-less)
+                    # record — not `buf.strip()`: a whitespace-only last line
+                    # like b"\t\t" is a real row of empty fields in PG
+                    if failed is None and not fmt_bin and buf:
+                        try:
+                            fields = parse_line(buf)
+                            if fields is not None and not skip_header:
+                                pending.append(fields)
                         except Exception as e:  # noqa: BLE001
                             failed = str(e).split("\n", 1)[0][:500]
-                    if failed is None and not bin_state["done"] and (
-                        bin_state["hdr"] or buf or pending
-                    ):
-                        failed = "unexpected end of COPY binary data (missing trailer)"
-                # any remaining text BYTES are the final (newline-less)
-                # record — not `buf.strip()`: a whitespace-only last line
-                # like b"\t\t" is a real row of empty fields in PG
-                if failed is None and not fmt_bin and buf:
-                    try:
-                        fields = parse_line(buf)
-                        if fields is not None and not skip_header:
-                            pending.append(fields)
-                    except Exception as e:  # noqa: BLE001
-                        failed = str(e).split("\n", 1)[0][:500]
-                if failed is None:
-                    try:
-                        flush()
-                    except Exception as e:  # noqa: BLE001
-                        failed = str(e).split("\n", 1)[0][:500]
-                break
-            elif tag == b"f":  # CopyFail
-                failed = "COPY aborted by client: " + payload.rstrip(b"\x00").decode(
-                    "utf-8", "replace"
-                )
-                break
-            elif tag == b"X":
-                raise ConnectionError("client terminated during COPY")
-            # Flush/Sync mid-copy: ignore, per protocol
+                    if failed is None:
+                        try:
+                            flush()
+                        except Exception as e:  # noqa: BLE001
+                            failed = str(e).split("\n", 1)[0][:500]
+                    break
+                elif tag == b"f":  # CopyFail
+                    failed = "COPY aborted by client: " + payload.rstrip(b"\x00").decode(
+                        "utf-8", "replace"
+                    )
+                    break
+                elif tag == b"X":
+                    raise ConnectionError("client terminated during COPY")
+                # Flush/Sync mid-copy: ignore, per protocol
+        except BaseException:
+            # client vanished / torn frame mid-COPY: settle the
+            # ephemeral group NOW — the ConnectionError paths used to
+            # propagate without the rollback, leaving staged files +
+            # a pending group for the day-long interactive abort
+            # window (review r12)
+            if own_txn:
+                try:
+                    with self.server.lock:
+                        runner.rollback_txn(txn)
+                    runner.drop_txn_views(txn)
+                except Exception:
+                    pass
+            raise
+
         if failed is not None:
             if own_txn:
                 with self.server.lock:
@@ -1316,6 +1454,7 @@ class _Handler(socketserver.BaseRequestHandler):
         time), lines coalesced into ~64 KB frames."""
         query, table, cols, opts = m.groups()
         opts = opts or ""
+        _check_copy_options(opts)
         if re.search(r"(?i)\bbinary\b", opts):
             self._copy_out_binary(query, table, cols)
             return
@@ -1330,7 +1469,8 @@ class _Handler(socketserver.BaseRequestHandler):
         else:
             collist = cols.strip() if cols else "*"
             sql = f"SELECT {collist} FROM {table}"
-        df = self._run(sql)
+        with self._statement_watchdog():
+            df = self._run(sql)
         fields = df.schema.fields
         self._send(
             b"H",
@@ -1355,7 +1495,13 @@ class _Handler(socketserver.BaseRequestHandler):
                 flush()
 
         if header:
-            emit(delim.join(f.name for f in fields) + "\n")
+            # header fields run through the CSV quoting rules like data —
+            # a column named 'a,b' must not emit a malformed header
+            # (review r12)
+            emit(
+                delim.join(_copy_csv_field(f.name, delim, null_s) for f in fields)
+                + "\n"
+            )
         # the export's pinned plan references parquet files a concurrent
         # VACUUM/OPTIMIZE would delete mid-stream: register the drain in
         # the maintenance guard like every other toLocalIterator drain
@@ -1363,16 +1509,21 @@ class _Handler(socketserver.BaseRequestHandler):
         drain = _LiveDrain()
         self.server.open_streams.add(drain)
         try:
-            for row in df.toLocalIterator():
-                cells = []
-                for f, v in zip(fields, row):
-                    s = _pg_text(v, f.dataType)
-                    if fmt_csv:
-                        cells.append(_copy_csv_field(s, delim, null_s))
-                    else:
-                        cells.append(null_s if s is None else _copy_text_escape(s))
-                emit(delim.join(cells) + "\n")
-                n += 1
+            # statement_timeout applies to the export drain too — every
+            # other Spark-action path is watchdog-guarded (review r12)
+            with self._statement_watchdog():
+                for row in df.toLocalIterator():
+                    cells = []
+                    for f, v in zip(fields, row):
+                        s = _pg_text(v, f.dataType)
+                        if fmt_csv:
+                            cells.append(_copy_csv_field(s, delim, null_s))
+                        else:
+                            cells.append(
+                                null_s if s is None else _copy_text_escape(s, delim)
+                            )
+                    emit(delim.join(cells) + "\n")
+                    n += 1
         finally:
             drain.done = True
         flush()
@@ -1390,7 +1541,8 @@ class _Handler(socketserver.BaseRequestHandler):
         else:
             collist = cols.strip() if cols else "*"
             sql = f"SELECT {collist} FROM {table}"
-        df = self._run(sql)
+        with self._statement_watchdog():
+            df = self._run(sql)
         fields = df.schema.fields
         nf = len(fields)
         self._send(
@@ -1410,18 +1562,21 @@ class _Handler(socketserver.BaseRequestHandler):
         drain = _LiveDrain()
         self.server.open_streams.add(drain)
         try:
-            for row in df.toLocalIterator():
-                rec = bytearray(struct.pack("!h", nf))
-                for f, v in zip(fields, row):
-                    b = _pg_binary(v, f.dataType)
-                    if b is None:
-                        rec += struct.pack("!i", -1)
-                    else:
-                        rec += struct.pack("!i", len(b)) + b
-                out += rec
-                n += 1
-                if len(out) >= 65536:
-                    flush()
+            # statement_timeout applies to the binary export drain too
+            # (review r12)
+            with self._statement_watchdog():
+                for row in df.toLocalIterator():
+                    rec = bytearray(struct.pack("!h", nf))
+                    for f, v in zip(fields, row):
+                        b = _pg_binary(v, f.dataType)
+                        if b is None:
+                            rec += struct.pack("!i", -1)
+                        else:
+                            rec += struct.pack("!i", len(b)) + b
+                    out += rec
+                    n += 1
+                    if len(out) >= 65536:
+                        flush()
         finally:
             drain.done = True
         out += struct.pack("!h", -1)  # trailer
@@ -1704,15 +1859,24 @@ class _Handler(socketserver.BaseRequestHandler):
         raw = m.group("count")
         n = None if raw and raw.upper() == "ALL" else int(raw) if raw else 1
         verb = m.group("verb").upper()
-        with self._statement_watchdog():
-            rows = cur.take(n)
         if verb == "MOVE":
-            self._send(b"C", f"MOVE {len(rows)}\x00".encode())
+            # count without retaining (review r12: MOVE ALL built the
+            # full row list only to len() it)
+            moved = 0
+            with self._statement_watchdog():
+                for _ in cur.iter_rows(n):
+                    moved += 1
+            self._send(b"C", f"MOVE {moved}\x00".encode())
             return
         self._send(b"T", self._row_description(cur.fields))
-        for row in rows:
-            self._send(b"D", self._data_row(cur.fields, row))
-        self._send(b"C", f"FETCH {len(rows)}\x00".encode())
+        sent = 0
+        with self._statement_watchdog():
+            # per-row streaming drain — FETCH ALL over a huge cursor must
+            # never materialize driver-side (review r12)
+            for row in cur.iter_rows(n):
+                self._send(b"D", self._data_row(cur.fields, row))
+                sent += 1
+        self._send(b"C", f"FETCH {sent}\x00".encode())
 
     # ── HANDOFF: deploy-drain verb (pgwire_handlers.rs:274-282,768) ──────
     #
@@ -1790,11 +1954,17 @@ class _Handler(socketserver.BaseRequestHandler):
 
         rows_before = _manifest_rows(self.server.tables)
         deadline = _time.time() + h["drain_s"]
-        # wait for admitted writers: open interactive transactions settle
-        # (commit or roll back) on their own clients' schedule
+        # wait for admitted writers — SNAPSHOT at fence time: a BEGIN
+        # arriving after the fence still registers in open_txns but its
+        # writes are fenced by _admitted_write, so it can never stage
+        # anything this drain must wait for. Waiting on the live set let
+        # any idle read-only txn client (psycopg2 sends BEGIN implicitly)
+        # time out every deploy handoff (review r12).
+        with self.server.lock:
+            fenced = set(self.server.open_txns)
         while True:
             with self.server.lock:
-                n_open = len(self.server.open_txns)
+                n_open = len(fenced & self.server.open_txns)
             if n_open == 0:
                 break
             if _time.time() >= deadline:
@@ -2016,6 +2186,21 @@ class _RowStream:
         except StopIteration:
             self.done = True
         return out
+
+    def iter_rows(self, n: int | None = None):
+        """Yield up to n rows (None = all remaining) ONE AT A TIME — the
+        unbounded drains (FETCH ALL, Execute with no row limit) used
+        take(None), which accumulated the whole result driver-side and
+        defeated this class's no-materialization contract (review r12)."""
+        if self.done:
+            return
+        sent = 0
+        try:
+            while n is None or sent < n:
+                yield self._next()
+                sent += 1
+        except StopIteration:
+            self.done = True
 
     def exhausted(self) -> bool:
         """True iff no rows remain (peeks at most one row ahead, so the
@@ -2284,30 +2469,9 @@ def _decode_binary_param(oid: int, raw: bytes) -> str:
         out = f"{h:02d}:{mi:02d}:{s:02d}"
         return out + (f".{us:06d}".rstrip("0") if us else "")
     if oid == _OID_INTERVAL:
-        # interval_send: int64 µs, int32 days, int32 months → PG
-        # postgres-style text ("1 year 2 mons 3 days 04:05:06.5";
-        # C-truncation year/mon split, zero parts omitted, lone zero
-        # renders 00:00:00 — interval_out's documented output)
+        # interval_send: int64 µs, int32 days, int32 months
         us, days, months = struct.unpack("!qii", raw)
-        years = int(months / 12)  # truncate toward zero, C semantics
-        mons = months - years * 12
-        # interval_out pluralizes with value != 1 (so -1 → "-1 years")
-        parts = []
-        if years:
-            parts.append(f"{years} year" + ("" if years == 1 else "s"))
-        if mons:
-            parts.append(f"{mons} mon" + ("" if mons == 1 else "s"))
-        if days:
-            parts.append(f"{days} day" + ("" if days == 1 else "s"))
-        if us or not parts:
-            sign = "-" if us < 0 else ""
-            aus = abs(us)
-            s, aus = divmod(aus, 1_000_000)
-            h, s = divmod(s, 3600)
-            mi, s = divmod(s, 60)
-            frac = f".{aus:06d}".rstrip("0") if aus else ""
-            parts.append(f"{sign}{h:02d}:{mi:02d}:{s:02d}{frac}")
-        return " ".join(parts)
+        return _interval_text(us, days, months)
     if oid in _ARRAY_TO_ELEM_OID:
         # PG array binary format (array_send): int32 ndim, int32 hasnull
         # flag, int32 element oid, per-dim (size, lower bound), then
