@@ -1217,3 +1217,58 @@ class TestShimReviewR12:
         assert "to_json(v.qvbody)" in out
         out = pg_to_spark_sql("SELECT '\"a\"' = v.qvbody FROM v", spark)
         assert "to_json(v.qvbody)" in out
+
+
+class TestSltEnvReviewR12:
+    """review r12 slt.py pass: wrong-verb DROP, CTAS over existing dirs,
+    ALTER column type parsing, read-failure surfacing."""
+
+    def test_drop_wrong_verb_errors_and_preserves_relation(self, spark, tmp_path):
+        from timefusion_spark.slt import SltEnv
+
+        env = SltEnv(spark, str(tmp_path))
+        env.run_statement("CREATE TABLE dv_t (ts TIMESTAMP, id TEXT)")
+        env.run_statement(
+            "INSERT INTO dv_t VALUES ('2026-01-01 10:00:00', 'a')"
+        )
+        env.run_statement("CREATE VIEW dv_v AS SELECT id FROM dv_t")
+        with pytest.raises(ValueError, match="not a view"):
+            env.run_statement("DROP VIEW IF EXISTS dv_t")
+        # the table still answers (its temp view was NOT dropped)
+        assert len(env.run_query("SELECT id FROM dv_t")) == 1
+        with pytest.raises(ValueError, match="not a table"):
+            env.run_statement("DROP TABLE IF EXISTS dv_v")
+        assert len(env.run_query("SELECT id FROM dv_v")) == 1
+
+    def test_ctas_refuses_existing_directory(self, spark, tmp_path):
+        from timefusion_spark.slt import SltEnv
+
+        env = SltEnv(spark, str(tmp_path))
+        env.run_statement("CREATE TABLE ct_src (id TEXT)")
+        env.run_statement("INSERT INTO ct_src VALUES ('a'), ('b')")
+        env.run_statement("CREATE TABLE ct_dst AS SELECT id FROM ct_src")
+        assert len(env.run_query("SELECT id FROM ct_dst")) == 2
+        # a fresh env over the same base_dir (restart) must refuse to
+        # re-CTAS onto the existing directory — attach+append would
+        # duplicate the old rows under the new result
+        env2 = SltEnv(spark, str(tmp_path))
+        with pytest.raises(ValueError, match="already exists"):
+            env2.run_statement("CREATE TABLE ct_dst AS SELECT id FROM ct_src")
+
+    def test_alter_add_column_types_and_constraints(self, spark, tmp_path):
+        from timefusion_spark.slt import SltEnv
+
+        env = SltEnv(spark, str(tmp_path))
+        env.run_statement("CREATE TABLE al_t (id TEXT)")
+        env.run_statement("INSERT INTO al_t VALUES ('a')")
+        # digit-bearing type name + a column constraint: both previously
+        # broke (int4 missed the regex; 'int NOT NULL' resolved Utf8)
+        env.run_statement("ALTER TABLE al_t ADD COLUMN n1 int4")
+        env.run_statement("ALTER TABLE al_t ADD COLUMN n2 int NOT NULL")
+        tbl = env.tables["al_t"]
+        types = {f.name: f.data_type for f in tbl.schema.fields}
+        assert types["n1"] == "Int32" and types["n2"] == "Int32"
+        # numeric comparison works (a Utf8 fallback would string-compare)
+        env.run_statement("INSERT INTO al_t VALUES ('b', 10, 10)")
+        rows = env.run_query("SELECT id FROM al_t WHERE n2 > 5")
+        assert [r[0] for r in rows] == ["b"]

@@ -140,17 +140,16 @@ def format_rows(rows, types: str) -> list[str]:
 
 
 def compare(actual: list[str], expected: list[str], sort: str) -> bool:
-    exp = [e.strip() for e in expected]
-    act = [a.strip() for a in actual]
+    # whitespace-normalize in EVERY branch: slt authors column-align
+    # expected blocks, and format_rows single-space-joins — rowsort used
+    # to compare raw stripped lines (review r12)
+    exp = [re.sub(r"\s+", " ", e.strip()) for e in expected]
+    act = [re.sub(r"\s+", " ", a.strip()) for a in actual]
     if sort == "rowsort":
         act, exp = sorted(act), sorted(exp)
     elif sort == "valuesort":
         act = sorted(v for a in act for v in a.split())
         exp = sorted(v for e in exp for v in e.split())
-    else:
-        # whitespace-normalized exact-order compare
-        act = [re.sub(r"\s+", " ", a) for a in act]
-        exp = [re.sub(r"\s+", " ", e) for e in exp]
     return act == exp
 
 
@@ -169,8 +168,11 @@ _UPDATE_RE = re.compile(r"(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*)$")
 _DELETE_RE = re.compile(r"(?is)^\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.*))?$")
 _DROP_RE = re.compile(r"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$")
 _ALTER_ADD_RE = re.compile(
+    # [\w ]*: digit-bearing type names (int4, int8, float8) failed the
+    # letters-only tail and fell through to the plain spark.sql path
+    # (review r12)
     r"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?"
-    r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+([A-Za-z][A-Za-z ]*(?:\([^)]*\))?)\s*$"
+    r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+([A-Za-z][\w ]*(?:\([^)]*\))?[\w ]*)\s*$"
 )
 _TRUNCATE_RE = re.compile(r"(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?(\w+)\s*$")
 _CREATE_VIEW_RE = re.compile(
@@ -463,7 +465,22 @@ class SltEnv:
         tbl = self.tables[name]
         try:
             df = tbl.read()
-        except Exception:  # no files yet → empty relation with the schema
+        except Exception:
+            # ONLY the no-files-yet case may fall back to an empty
+            # relation — swallowing a real read failure (corrupt parquet,
+            # torn commit log) would silently serve 0 rows for a table
+            # that has data (review r12)
+            has_data = (
+                bool(tbl.log.snapshot().files)
+                if tbl.log.exists()
+                else any(
+                    f.endswith(".parquet")
+                    for _, _, fs in os.walk(tbl.path)
+                    for f in fs
+                )
+            )
+            if has_data:
+                raise
             df = self.spark.createDataFrame([], tbl.schema.spark_schema)
             vis = [
                 f.name
@@ -665,6 +682,14 @@ class SltEnv:
             if if_not_exists:
                 return
             raise ValueError(f"table {name} exists")
+        if os.path.exists(os.path.join(self.base_dir, name, "_tf_schema.json")):
+            # plain CREATE's idempotent re-attach is safe; CTAS's
+            # attach-then-append would duplicate the old rows under the
+            # new result (review r12) — PG raises 'relation exists'
+            raise ValueError(
+                f"table {name} already exists on disk; CTAS will not "
+                "append onto it — DROP TABLE it first"
+            )
         df = self.spark.sql(pg_to_spark_sql(select_text, self.spark))
 
         def sidecar_type(dt: T.DataType) -> str:
@@ -711,6 +736,15 @@ class SltEnv:
             if if_not_exists:
                 return
             raise ValueError(f"column {cname} of {name} already exists")
+        # strip column constraints BEFORE the type lookup, same as
+        # _create_table: `ADD COLUMN c int NOT NULL` would resolve type
+        # 'int not null' and silently fall through to Utf8, turning
+        # numeric comparisons into string ones (review r12)
+        ctype_text = re.split(
+            r"(?i)\s+(?:NOT\s+NULL|NULL|PRIMARY\s+KEY|UNIQUE|DEFAULT|"
+            r"REFERENCES|CHECK|GENERATED|COLLATE)\b",
+            ctype_text,
+        )[0]
         ctype = ctype_text.lower().split("(")[0].strip()
         migrate_columns(tbl, [FieldDef(cname, _PG_COLTYPE.get(ctype, "Utf8"), True)])
         self._refresh(name)
@@ -969,6 +1003,10 @@ class SltEnv:
         if m := _DROP_RE.match(sql):
             _reject_in_txn(txn, "DROP TABLE")
             name = m.group(1)
+            if name in self.views:
+                # PG: wrong-verb DROP errors and leaves the relation
+                # intact — even under IF EXISTS (review r12)
+                raise ValueError(f'"{name}" is not a table')
             if name not in self.tables and "IF EXISTS" not in sql.upper():
                 raise ValueError(f"unknown table {name}")
             dropped = self.tables.pop(name, None)
@@ -1012,6 +1050,11 @@ class SltEnv:
         elif m := _DROP_VIEW_RE.match(sql):
             _reject_in_txn(txn, "DROP VIEW")
             name = m.group(1)
+            if name in self.tables:
+                # dropping a TABLE's temp view would break every later
+                # query on the still-existing table until its next write;
+                # PG errors '"t" is not a view' (review r12)
+                raise ValueError(f'"{name}" is not a view')
             if name not in self.views and "IF EXISTS" not in sql.upper():
                 raise ValueError(f"unknown view {name}")
             self.views.pop(name, None)

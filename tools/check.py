@@ -24,16 +24,25 @@ TABLES = (
 
 
 def canon(v):
+    # \x00/\x01 prefixes keep NULL and nested lists from colliding with
+    # the literal strings 'NULL' / '[1,2]' — a NULL-vs-text divergence
+    # previously canonicalized equal and passed (review r12); strings
+    # stay raw (string-vs-number divergence is caught by the type-drift
+    # sampler below).
     if v is None:
-        return "NULL"
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            # int(v) raised OverflowError and killed the whole run
+            # before the first guard (review r12)
+            return "Infinity" if v > 0 else "-Infinity"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
-    if isinstance(v, bool):
-        return "true" if v else "false"
     if isinstance(v, dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
@@ -41,7 +50,7 @@ def canon(v):
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+        return "\x01[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
 
@@ -51,8 +60,19 @@ def rows_key(columns: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    # strict argv handling (review r12): a nonexistent sf_dir or a typo'd
+    # query name used to become a filter matching nothing — '0 passed,
+    # 0 failed', exit 0 — a no-op run reading as green in CI.
+    sf_dir = "/root/testdata/sf0.01"
+    only: set[str] = set()
+    for a in sys.argv[1:]:
+        if os.path.isdir(a):
+            sf_dir = a
+        elif os.sep in a or a.startswith("."):
+            print(f"ERROR: sf_dir {a!r} does not exist", file=sys.stderr)
+            return 2
+        else:
+            only.add(a)
 
     import duckdb
 
@@ -62,6 +82,10 @@ def main() -> int:
     spark = get_spark("tf-check")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
 
     con = duckdb.connect()
     for tbl in TABLES:
@@ -85,9 +109,15 @@ def main() -> int:
             print(f"skip  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # con.sql (relation API): .types reports DuckDB's NATIVE type
+            # names — the DBAPI description says 'NUMBER' for every
+            # numeric, so the old HUGEINT check never fired and uncast
+            # SUM() oracles passed here while failing the driver's typed
+            # hash (review r12)
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t).upper() for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL  {name}: oracle error: {str(e)[:500]}")
@@ -100,14 +130,11 @@ def main() -> int:
         # HUGEINT vs Spark BIGINT, or TIMESTAMPTZ vs TIMESTAMP, fails there
         # even when canonicalized values match. Catch it here.
         for j, ocol in enumerate(ocols):
-            otype = str(res.description[j][1]).upper()
-            if "HUGEINT" in otype or "INT128" in otype:
+            if "HUGEINT" in otypes[j] or "INT128" in otypes[j]:
                 problems.append(f"oracle col {ocol} is HUGEINT (cast to BIGINT in oracle)")
-        for j in range(len(ocols)):
-            oval = next((r[j] for r in orows if r[j] is not None), None)
-            if isinstance(oval, dt.datetime) and oval.tzinfo is not None:
+            if "WITH TIME ZONE" in otypes[j] or "TIMESTAMPTZ" in otypes[j]:
                 problems.append(
-                    f"oracle col {ocols[j]} is tz-aware TIMESTAMPTZ (cast to TIMESTAMP)"
+                    f"oracle col {ocol} is tz-aware TIMESTAMPTZ (cast to TIMESTAMP)"
                 )
         if not problems and srows and orows:
             smap = {c: i for i, c in enumerate(scols)}
