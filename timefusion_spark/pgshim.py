@@ -349,8 +349,14 @@ def _subscripts_to_element_at(sql: str) -> str:
                     if k and k.group(0).strip().lower() not in _SUBSCRIPT_STOPWORDS:
                         start = k.start()
                 else:
-                    k = re.search(r"[A-Za-z_][\w\.]*$", out)
-                    if k and k.group(0).lower() not in _SUBSCRIPT_STOPWORDS:
+                    # match on the rstripped text: PG allows whitespace
+                    # between the column and '[' ("tags [1]"), which the
+                    # un-rstripped anchor silently missed (review r12)
+                    k = re.search(r"[A-Za-z_][\w\.]*\s*$", out)
+                    if (
+                        k
+                        and k.group(0).strip().lower() not in _SUBSCRIPT_STOPWORDS
+                    ):
                         start = k.start()
                 if start is not None:
                     base = out[start:].rstrip()

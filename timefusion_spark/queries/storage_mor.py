@@ -65,10 +65,7 @@ def _orders_rows(orders: DataFrame) -> DataFrame:
     from its oracle (review r12 -- the block was copy-pasted 7x)."""
     return orders.select(
         F.col("o_orderkey").cast("string").alias("id"),
-        F.expr(
-            "timestamp'2026-03-01 00:00:00'"
-            " + make_interval(0,0,0,cast(o_orderkey % 5 as int),0,0,0)"
-        ).alias("timestamp"),
+        _ts_5day("o_orderkey").alias("timestamp"),
         F.col("o_orderstatus").alias("name"),
         F.col("o_totalprice").alias("value"),
         F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias(

@@ -331,8 +331,10 @@ def _check_copy_options(opts: str) -> None:
     """Reject COPY options this endpoint does not implement — PG errors
     on unknown options up front; silently accepting `QUOTE '|'` and
     emitting standard-quoted output the client then misparses is data
-    corruption (review r12)."""
-    m = _COPY_UNSUPPORTED_OPTS.search(opts or "")
+    corruption (review r12). Quoted option VALUES are blanked first:
+    `NULL 'QUOTE'` names a sentinel string, not an option."""
+    bare = re.sub(r"'(?:''|[^'])*'", "''", opts or "")
+    m = _COPY_UNSUPPORTED_OPTS.search(bare)
     if m:
         raise ValueError(f"COPY option {m.group(1).upper()} is not supported")
 
@@ -2608,6 +2610,14 @@ def _pg_binary(v, dtype: T.DataType) -> bytes | None:
         return struct.pack("!q", us)
     if oid == _OID_NUMERIC:
         return _numeric_binary(v)
+    if oid == _OID_INTERVAL and isinstance(v, dt.timedelta):
+        # interval_send: int64 µs, int32 days, int32 months — the result-
+        # direction twin of _decode_binary_param's interval branch; the
+        # interval OID without this encoder made binary-format requests
+        # on timestamp-subtraction columns error (review r12)
+        total = v.days * 86_400_000_000 + v.seconds * 1_000_000 + v.microseconds
+        d = int(total / 86_400_000_000)  # truncate toward zero
+        return struct.pack("!qii", total - d * 86_400_000_000, d, 0)
     if oid in (_OID_TEXT, _OID_JSON):
         s = _pg_text(v, dtype)
         return s.encode("utf-8") if s is not None else None

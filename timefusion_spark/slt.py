@@ -685,7 +685,10 @@ class SltEnv:
         if os.path.exists(os.path.join(self.base_dir, name, "_tf_schema.json")):
             # plain CREATE's idempotent re-attach is safe; CTAS's
             # attach-then-append would duplicate the old rows under the
-            # new result (review r12) — PG raises 'relation exists'
+            # new result (review r12) — PG raises 'relation exists',
+            # and IF NOT EXISTS skips like the mounted-table branch
+            if if_not_exists:
+                return
             raise ValueError(
                 f"table {name} already exists on disk; CTAS will not "
                 "append onto it — DROP TABLE it first"

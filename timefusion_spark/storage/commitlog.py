@@ -232,26 +232,44 @@ class CommitGroup:
 # it only skips versions already proven terminal. Table.create resets
 # the entry (a recreated table restarts version numbering).
 
-_SETTLED_PREFIX: dict[str, int] = {}
+_SETTLED_PREFIX: dict[tuple[str, int], int] = {}
+
+
+def _floor_key(log_dir: str) -> tuple[str, int] | None:
+    # keyed by (path, directory inode): a table recreated at the same
+    # path — by THIS process or an external one — gets a fresh directory
+    # and therefore a fresh inode, so the new log can never inherit the
+    # old log's floor and skip a pending commit in versions the old
+    # numbering had already passed (review r12; the in-process
+    # Table.create reset alone missed cross-process recreation)
+    p = os.path.realpath(log_dir)
+    try:
+        return (p, os.stat(p).st_ino)
+    except OSError:
+        return None
 
 
 def settled_floor(log_dir: str) -> int:
     """Cached settled-prefix floor for `log_dir` (0 if unknown)."""
-    return _SETTLED_PREFIX.get(os.path.realpath(log_dir), 0)
+    key = _floor_key(log_dir)
+    return _SETTLED_PREFIX.get(key, 0) if key is not None else 0
 
 
 def raise_settled_floor(log_dir: str, version: int) -> None:
     """Raise (never lower) the cached settled prefix for `log_dir`."""
-    key = os.path.realpath(log_dir)
-    if version > _SETTLED_PREFIX.get(key, 0):
+    key = _floor_key(log_dir)
+    if key is not None and version > _SETTLED_PREFIX.get(key, 0):
         _SETTLED_PREFIX[key] = version
 
 
 def reset_settled_floor(log_dir: str) -> None:
     """Forget the cached prefix — a table (re)created at this path
     restarts version numbering, so a stale high floor could skip a
-    pending commit in the fresh log."""
-    _SETTLED_PREFIX.pop(os.path.realpath(log_dir), None)
+    pending commit in the fresh log. (The inode key already isolates a
+    RECREATED directory; this clears the same-directory case.)"""
+    key = _floor_key(log_dir)
+    if key is not None:
+        _SETTLED_PREFIX.pop(key, None)
 
 
 def settle_if_aged(rec: dict, path: str, log_dir: str | None = None) -> str:
