@@ -43,15 +43,22 @@ def avg_token_len(c: Column) -> Column:
     return total.cast("double") / F.size(t)
 
 
+def quality_score_parts(n_tok: Column, stop_ratio: Column, atl: Column) -> Column:
+    """The quality formula over PRE-STAGED features — the ONE definition
+    both quality_score() and staged pipelines (q_training_pipeline)
+    compose, so the band constants cannot drift between copies (review
+    r12). Mirrored verbatim by the oracles of q_quality_scores and
+    q_training_pipeline."""
+    len_score = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    shape_score = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score + stop_score + shape_score) / 3.0
+
+
 def quality_score(c: Column) -> Column:
     """Composite quality score in [0,1]: length band + stopword presence +
     token-length sanity. Deterministic, oracle-mirrorable."""
-    n_tok = token_count(c).cast("double")
-    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    stop_score = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
-    atl = avg_token_len(c)
-    shape_score = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    return (len_score + stop_score + shape_score) / 3.0
+    return quality_score_parts(token_count(c), stopword_ratio(c), avg_token_len(c))
 
 
 def english_likelihood(c: Column) -> Column:

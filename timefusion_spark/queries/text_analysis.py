@@ -209,14 +209,9 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         n_tok.alias("n_tok"),
-        (
-            (
-                F.least(n_tok.cast("double") / 50.0, F.lit(1.0))
-                + F.least(stop_ratio * 5.0, F.lit(1.0))
-                + F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-            )
-            / 3.0
-        ).alias("q"),
+        # ONE formula definition, composed over the staged features
+        # (review r12: the band constants were inlined here too)
+        ta.quality_score_parts(n_tok, stop_ratio, atl).alias("q"),
         stop_ratio.alias("en"),
         F.md5("_norm").alias("fp"),
     )
@@ -247,7 +242,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bpe_ish_tokens",
     oracle="""
     SELECT source,
-           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]'))) AS BIGINT) AS total_pieces
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))) AS BIGINT) AS total_pieces
     FROM documents
     GROUP BY source
     ORDER BY source
@@ -401,8 +396,9 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "placeholders via chained regexp_replace — a map-only JVM expression "
     "stage, no UDF, no shuffle. PII is injected deterministically into "
     "the documents so both engines scrub identical text; patterns are "
-    "lookaround-free so Java regex and RE2 agree. Counts come from "
-    "regexp_count on the raw text, the redacted text is hash-compared.",
+    "lookaround-free so Java regex and RE2 agree. Counts run "
+    "regexp_count on the AUGMENTED text (raw + injected PII — matching "
+    "the oracle's aug CTE); the redacted text is hash-compared.",
 )
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
@@ -646,13 +642,23 @@ def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         F.explode(F.split(dd.normalize_text(F.col("text")), r"\s+")).alias("tok")
     )
-    salted = toks.select(
-        "tok", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
-    ).select(
-        "tok",
-        "i",
-        F.substring(F.md5(F.concat(F.col("tok"), F.lit("#"), F.col("i").cast("string"))), 1, 2).alias("b"),
-    )
+    def salt_buckets(df: DataFrame, *carry: str) -> DataFrame:
+        # the sketch's bucket function is its correctness contract with
+        # the oracle — ONE definition for both the build and the probe
+        # (review r12: the expression was pasted verbatim in each)
+        return df.select(
+            *carry, F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+        ).select(
+            *carry,
+            "i",
+            F.substring(
+                F.md5(F.concat(F.col("tok"), F.lit("#"), F.col("i").cast("string"))),
+                1,
+                2,
+            ).alias("b"),
+        )
+
+    salted = salt_buckets(toks, "tok")
     cm = salted.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
     top = (
         toks.groupBy("tok")
@@ -660,14 +666,7 @@ def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_n").desc(), "tok")
         .limit(10)
     )
-    probe = top.select(
-        "tok", "exact_n", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
-    ).select(
-        "tok",
-        "exact_n",
-        "i",
-        F.substring(F.md5(F.concat(F.col("tok"), F.lit("#"), F.col("i").cast("string"))), 1, 2).alias("b"),
-    )
+    probe = salt_buckets(top, "tok", "exact_n")
     return (
         F.broadcast(probe)
         .join(cm, ["i", "b"])
@@ -860,15 +859,18 @@ def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OOV bucket) and broadcasts; the corpus side never shuffles twice.",
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    freq = freq.withColumn("t", F.sum("c").over(W.partitionBy()))
+    # corpus total as a 1-row broadcast, not an unpartitioned window —
+    # F.sum().over(partitionBy()) funnels the whole vocab through ONE
+    # window task (review r12; q_bigram_perplexity_filter already uses
+    # this shape)
+    total = freq.agg(F.sum("c").alias("t"))
+    freq = freq.crossJoin(F.broadcast(total))
     nll = (-F.log(F.col("c").cast("double") / F.col("t"))).cast("decimal(28,12)")
     scored = toks.join(F.broadcast(freq), "tok").select("source", nll.alias("nll"))
     return (

@@ -461,30 +461,45 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(which is what the oracle computes).",
 )
 def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
+    from timefusion_spark.queries._tables import cached_storage_table
+    from timefusion_spark.storage.schema import FieldDef, TableSchema
 
-    ev = t(spark, sf_dir, "events")
-    rollup_dir = tempfile.mkdtemp(prefix="tf_rollup_")
-    try:
-        hourly = ev.groupBy(
+    # the materialized hourly aggregate is a build-once sidecar — a
+    # continuous aggregate is REUSED across queries, and rebuilding the
+    # rollup per invocation made every warm run measure the build, not
+    # the serving path (review r12)
+    def schema_factory() -> TableSchema:
+        return TableSchema(
+            table_name="hypertable_rollup",
+            fields=[
+                FieldDef("bucket", 'Timestamp(Microsecond, Some("UTC"))', False),
+                FieldDef("event_type", "Utf8", False),
+                FieldDef("n", "Int64", False),
+                FieldDef("sum_value", "Float64", True),
+            ],
+            time_column="bucket",
+        )
+
+    def build_df() -> DataFrame:
+        return t(spark, sf_dir, "events").groupBy(
             time_bucket("1 hour", F.col("ts")).alias("bucket"), "event_type"
         ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
-        hourly.write.mode("overwrite").parquet(rollup_dir)  # materialized aggregate
-        daily = (
-            t(spark, sf_dir, "events").sparkSession.read.parquet(rollup_dir)
-            .groupBy(
-                F.col("bucket").cast("date").cast("string").alias("day"), "event_type"
-            )
-            .agg(
-                F.sum("n").alias("n"),
-                F.round(F.sum("sum_value"), 2).alias("total_value"),
-            )
-            .orderBy("day", "event_type")
+
+    rollup = cached_storage_table(
+        spark, sf_dir, "hypertable_rollup", "v1", schema_factory, build_df
+    )
+    daily = (
+        rollup.read()
+        .groupBy(
+            F.col("bucket").cast("date").cast("string").alias("day"), "event_type"
         )
-        return daily.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(rollup_dir, ignore_errors=True)
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+    return daily.localCheckpoint(eager=True)
 
 
 @query(
@@ -500,7 +515,9 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT f.event_type,
            CAST(f.filled AS BIGINT) AS filled,
-           ROUND(-4096.0 * ln(1 - f.filled / 4096.0), 2) AS est_distinct,
+           CASE WHEN f.filled >= 4096 THEN NULL
+                ELSE ROUND(-4096.0 * ln(1 - f.filled / 4096.0), 2)
+                END AS est_distinct,
            x.exact_distinct
     FROM f JOIN x ON f.event_type = x.event_type
     ORDER BY f.event_type
@@ -532,9 +549,14 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "filled",
-            F.round(-4096.0 * F.log(1 - F.col("filled") / 4096.0), 2).alias(
-                "est_distinct"
-            ),
+            # saturation guard (review r12): at filled == m the estimate is
+            # undefined — DuckDB's ln(0) RAISES where Spark's log(0) is
+            # NULL, so both sides pin NULL explicitly
+            F.when(
+                F.col("filled") >= 4096, F.lit(None).cast("double")
+            ).otherwise(
+                F.round(-4096.0 * F.log(1 - F.col("filled") / 4096.0), 2)
+            ).alias("est_distinct"),
             "exact_distinct",
         )
         .orderBy("event_type")
