@@ -403,7 +403,17 @@ def main() -> int:
         "embedding must not mark every same-cell row a duplicate) — "
         "kept as-is; the per-row norms were already hoisted. Round 12 "
         "adds no headline queries (defect-fix round: q_pgwire_dml_"
-        "literals is oracle-gated only).",
+        "literals is oracle-gated only). Round-12 dedup-family note: the "
+        "MinHash signature stages now sit behind a hard materialization "
+        "barrier (CollapseProject otherwise inlines the staged hash "
+        "array into the per-seed lambda and the whole shingle/gram-hash "
+        "pass re-evaluates once per seed — measured 16x wall on "
+        "~800-char docs, the winnow path's long-documented hazard). At "
+        "THIS bench's ~300-char synthetic docs the hash pass is so "
+        "cheap that the checkpoint write costs ~0.3s on "
+        "q_dedup_ngram_jaccard (1.7 -> 2.0s) — a deliberate trade: the "
+        "barrier is the 100-TB-correct shape and its win grows with "
+        "document length.",
         **extra,
     }
     try:

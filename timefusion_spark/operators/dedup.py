@@ -191,12 +191,19 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def token_hashes_from_tokens(t: Column) -> Column:
+    """Per-token hashes reduced mod P over an already-staged token ARRAY
+    (see `ngrams`' staging note: pass an attribute column so the split
+    is not re-evaluated per element)."""
+    return F.transform(t, lambda x: F.pmod(F.xxhash64(x), F.lit(HASH_PRIME)))
+
+
 def token_hashes(c: Column) -> Column:
     """Per-token hashes reduced mod P (array<long>): one xxhash64 JVM call
     per token. Reduction keeps later affine combinations below 2^63 (ANSI
     mode throws on long overflow — magnitudes are controlled algebraically,
     not by wraparound)."""
-    return F.transform(tokens(c), lambda x: F.pmod(F.xxhash64(x), F.lit(HASH_PRIME)))
+    return token_hashes_from_tokens(tokens(c))
 
 
 def shingle_hashes_from_token_hashes(th: Column | str, k: int = 3) -> Column:
@@ -266,6 +273,13 @@ def minhash_signature_from_hashes(set_hashes: Column | str, n_hashes: int = 16) 
         # to literals).
         a_arr = ", ".join(f"{a}L" for a, b in MINHASH_SEEDS[:n_hashes])
         b_arr = ", ".join(f"{b}L" for a, b in MINHASH_SEEDS[:n_hashes])
+        # CALLER CONTRACT (review r12): {set_hashes} must name a
+        # MATERIALIZED attribute (a localCheckpoint barrier below the
+        # projection), not a live staged expression — CollapseProject
+        # inlines a single-reference projection into this per-seed
+        # lambda and the whole shingle/gram-hash pass re-evaluates once
+        # per seed (measured 16x wall on the LSH pipelines; a CASE
+        # double-reference does NOT stop the inlining — verified).
         return F.expr(
             f"transform(sequence(0, {n_hashes - 1}), i -> "
             f"array_min(transform({set_hashes}, h -> "
@@ -555,9 +569,14 @@ def minhash_lsh_pairs(
     df = ensure_parallelism(df.select(F.col(id_col).alias(id_col), F.col(text_col)))
     # Staged projections: each hash array becomes an ATTRIBUTE before the
     # next stage scans it many times (module evaluation-count note).
+    # HARD barrier before the per-seed transform (review r12, same
+    # hazard the winnow path documents): CollapseProject inlines the
+    # single-reference _shh projection into the seed lambda, re-running
+    # the whole shingle-hash pass once PER SEED (16x measured).
     sigs = (
         df.select(F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th"))
         .select("_id", shingle_hashes_from_token_hashes("_th", shingle_k).alias("_shh"))
+        .localCheckpoint(eager=True)
         .select(
             "_id",
             minhash_signature_from_hashes("_shh", LSH_BANDS * LSH_ROWS).alias("_sig"),
@@ -741,12 +760,23 @@ def ngram_jaccard_pairs(
         blk_schema = (
             f", _blk {dict(gh_frame.dtypes)['_blk']}" if block_col else ""
         )
+        if n_sig > len(MINHASH_SEEDS):
+            # same fast failure as the expr path — the kernel would
+            # otherwise die mid-job with a cryptic numpy broadcast error
+            # (review r12)
+            raise ValueError(
+                f"n_sig={n_sig} exceeds the {len(MINHASH_SEEDS)}-entry "
+                "seed table (MINHASH_SEEDS); extend the table"
+            )
         sigs = gh_frame.mapInPandas(
             _minhash_sig_arrow_kernel(n_sig, blk_names),
             schema=f"_id {id_type}{blk_schema}, _sig array<long>",
         )
     elif sig_kernel == "expr":
-        sigs = gh_frame.select(
+        # HARD barrier (review r12; see the winnow note): without it the
+        # gram-hash projection inlines into the per-seed lambda and the
+        # gram pass re-runs once per signature seed (32x for 2-row bands)
+        sigs = gh_frame.localCheckpoint(eager=True).select(
             "_id",
             *blk_names,
             minhash_signature_from_hashes("_gh", n_sig).alias("_sig"),
@@ -1194,6 +1224,8 @@ def minhash_lsh_join(
                 F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
             )
             .select("_id", shingle_hashes_from_token_hashes("_th", shingle_k).alias("_shh"))
+            # HARD barrier: see minhash_lsh_pairs (review r12)
+            .localCheckpoint(eager=True)
             .select(
                 "_id",
                 minhash_signature_from_hashes("_shh", LSH_BANDS * LSH_ROWS).alias("_sig"),

@@ -136,7 +136,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
       FROM inv a JOIN inv b
-        ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+        ON a.g = b.g AND a.source IS NOT DISTINCT FROM b.source AND a.doc_id < b.doc_id -- null-safe: the operator pairs docs WITHIN a NULL block (review r12)
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -246,7 +246,7 @@ def q_winnow_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand c
     JOIN nrm na ON na.doc_id = c.id_a
     JOIN nrm nb ON nb.doc_id = c.id_b
-    WHERE levenshtein(na.s, nb.s) <= CAST(0.2 * greatest(length(na.s), length(nb.s)) AS BIGINT)
+    WHERE levenshtein(na.s, nb.s) <= CAST(FLOOR(0.2 * greatest(length(na.s), length(nb.s))) AS BIGINT) -- FLOOR: Spark's double->bigint cast truncates, DuckDB's rounds (review r12)
     ORDER BY id_a, id_b
     """,
     doc="Edit-distance verification tier: shingle-level near-dup "
@@ -509,12 +509,24 @@ def q_streaming_dedup_online(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = {"max_seen": -1}
 
         def feats(df: DataFrame) -> DataFrame:
-            th = df.select(
+            # stage the token array as an ATTRIBUTE before word_shingles
+            # slices it (an inline tokens() expression re-splits the raw
+            # text once per shingle position — review r12), and put a
+            # HARD barrier below the staged hash array so CollapseProject
+            # cannot inline it into the per-seed lambda (see
+            # minhash_lsh_pairs)
+            toks = df.select(
                 F.col("doc_id").alias("_id"),
-                dd.token_hashes(F.col("text")).alias("_th"),
-                dd.word_shingles(F.col("text"), 3).alias("_sh"),
+                dd.tokens(F.col("text")).alias("_toks"),
             )
-            shh = th.select("_id", "_sh", dd.shingle_hashes_from_token_hashes("_th", 3).alias("_shh"))
+            th = toks.select(
+                "_id",
+                dd.token_hashes_from_tokens(F.col("_toks")).alias("_th"),
+                dd.word_shingles_from_tokens(F.col("_toks"), 3).alias("_sh"),
+            )
+            shh = th.select(
+                "_id", "_sh", dd.shingle_hashes_from_token_hashes("_th", 3).alias("_shh")
+            ).localCheckpoint(eager=True)
             sig = shh.select(
                 "_id",
                 "_sh",
@@ -563,7 +575,9 @@ def q_streaming_dedup_online(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .select("_id")
                 )
                 dropped = dropped.unionByName(vs_hist)
-            kept = fb.select("_id").exceptAll(fb.select("_id").join(dropped.distinct(), "_id", "semi"))
+            # set difference as ONE anti join (review r12: exceptAll +
+            # semi evaluated fb twice and shuffled three times)
+            kept = fb.select("_id").join(dropped.distinct(), "_id", "left_anti")
             kept.write.mode("append").parquet(out_dir)
             # history = ALL seen docs, kept or dropped
             fb.select("_id", "_sh", "_keys").write.mode("append").parquet(idx_dir)
