@@ -110,6 +110,10 @@ def test_no_plan_antipatterns(spark_dfs):
         # bloom decontamination: the 1-row fixed-size filter broadcasts
         # onto the corpus for the map-side might_contain probe
         "q_decontamination_bloom",
+        # unigram LM: the 1-row corpus-total scalar broadcasts onto the
+        # vocab (review r12 — replaced the unpartitioned window that
+        # funneled the whole vocab through one task)
+        "q_unigram_logprob",
         # bigram LM: the 1-row distinct-vocab scalar broadcasts onto the
         # scored bigrams for the add-one smoothing denominator
         "q_bigram_perplexity_filter",
