@@ -3605,6 +3605,71 @@ class TestServerReviewR12:
         )
         assert rows == [["-00:00:01"]]  # not Python's '-1 day, 23:59:59'
 
+    def test_interval_render_exact_past_2p53_us(self, client):
+        """Judge r12 Wrong #2: `int(total / 86_400_000_000)` detours
+        through a float; at ~146k years the rounded quotient overshoots
+        by one day and a POSITIVE interval rendered with a negative time
+        component. PG's interval_out is exact int64 arithmetic."""
+        import datetime as dt
+
+        from timefusion_spark.server import _interval_text, _pg_text, _tdiv
+
+        D = 86_400_000_000
+        # k*D - 1 where k*D ≈ 2**62: float(total) rounds UP to k*D exactly
+        k = (1 << 62) // D
+        total = k * D - 1  # 53375994 days 23:59:59.999999
+        td = dt.timedelta(days=total // D, microseconds=total % D)
+        assert _pg_text(td) == "53375994 days 23:59:59.999999"
+        assert _pg_text(-td) == "-53375994 days -23:59:59.999999"
+        # binary twin: interval_send packs the same exact split
+        d = _tdiv(total, D)
+        assert (d, total - d * D) == (53375994, D - 1)
+        # months leg of the shared renderer: same truncation discipline
+        assert _interval_text(0, 0, -13) == "-1 years -1 mons"
+
+    def test_interval_render_matches_integer_golden(self, client):
+        """Property: the timedelta rendering equals an independent exact-
+        integer interval_out golden across sign/magnitude boundaries
+        (±2**53 µs neighborhoods included)."""
+        import datetime as dt
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from timefusion_spark.server import _pg_text
+
+        D = 86_400_000_000
+
+        def golden(total: int) -> str:
+            d = abs(total) // D * (1 if total >= 0 else -1)
+            us = total - d * D
+            parts = []
+            if d:
+                parts.append(f"{d} day" + ("" if d == 1 else "s"))
+            if us or not parts:
+                sign = "-" if us < 0 else ""
+                s, frac_us = divmod(abs(us), 1_000_000)
+                h, s = divmod(s, 3600)
+                mi, s = divmod(s, 60)
+                frac = f".{frac_us:06d}".rstrip("0") if frac_us else ""
+                parts.append(f"{sign}{h:02d}:{mi:02d}:{s:02d}{frac}")
+            return " ".join(parts)
+
+        lim = 999_999_999 * D  # timedelta's representable range
+        near = st.integers(-(1 << 55), 1 << 55)
+        wide = st.integers(-lim, lim)
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.one_of(near, wide))
+        def check(total):
+            td = dt.timedelta(
+                days=abs(total) // D * (1 if total >= 0 else -1),
+                microseconds=total - (abs(total) // D * (1 if total >= 0 else -1)) * D,
+            )
+            assert _pg_text(td) == golden(total)
+
+        check()
+
     def test_pg_backend_pid_literal_untouched(self, client):
         rows = rows_of(client.query("SELECT 'see pg_backend_pid() docs' AS t"))
         assert rows == [["see pg_backend_pid() docs"]]

@@ -1629,6 +1629,82 @@ class TestChangesUpperBoundIncremental:
         tbl2.append(self._row(spark, 0))
         assert tbl2.changes_upper_bound() == tbl2.log.latest_version() == 1
 
+    def test_settled_floor_cross_process_recreate(self, spark, tmp_path, monkeypatch):
+        """Judge r12 Wrong #1: ext4 reuses a freed inode on immediate
+        rmtree+recreate, so an inode-keyed floor survives a CROSS-PROCESS
+        DROP+recreate (where this process's Table.create reset never
+        runs) and skips pending commits in the fresh log. The creation
+        nonce must isolate the incarnations on its own — here the
+        in-process reset is disabled to simulate the external recreate."""
+        import shutil as _shutil
+
+        from timefusion_spark.storage import commitlog as _cl
+        from timefusion_spark.storage.commitlog import CommitGroup, settled_floor
+
+        tbl = self._mk(spark, tmp_path, "cdfxproc")
+        for i in range(4):
+            tbl.append(self._row(spark, i))
+        tbl.changes_upper_bound()
+        old_key = _cl._floor_key(tbl.log.log_dir)
+        assert settled_floor(tbl.log.log_dir) == 4
+        # external recreate: same path (same inode on ext4), no reset
+        monkeypatch.setattr(_cl, "reset_settled_floor", lambda log_dir: None)
+        _shutil.rmtree(tbl.path)
+        tbl2 = self._mk(spark, tmp_path, "cdfxproc")
+        assert _cl._floor_key(tbl2.log.log_dir) != old_key
+        assert settled_floor(tbl2.log.log_dir) == 0
+        # a PENDING commit at a version the OLD floor had passed must
+        # still cap the poll — a stale inherited floor would jump past it
+        tbl2.append(self._row(spark, 0))  # v1 published
+        g = CommitGroup(str(tmp_path / "xgroups"))
+        tbl2.append(self._row(spark, 1), group=g)  # v2 pending, v2 <= old floor 4
+        tbl2.append(self._row(spark, 2))  # v3 published above it
+        assert tbl2.changes_upper_bound() == 1
+        g.publish()
+        assert tbl2.changes_upper_bound() == tbl2.log.latest_version()
+
+    def test_settled_floor_prenonce_log_lazily_stamped(self, spark, tmp_path):
+        """A log created before the nonce existed has no `_log_id`: the
+        floor must fall back to uncached (still correct, O(tip)) and the
+        first prefix proof stamps an identity so caching resumes."""
+        import os as _os
+
+        from timefusion_spark.storage.commitlog import (
+            LOG_ID_FILE,
+            settled_floor,
+        )
+
+        tbl = self._mk(spark, tmp_path, "cdfprenonce")
+        for i in range(3):
+            tbl.append(self._row(spark, i))
+        tbl.changes_upper_bound()
+        _os.unlink(_os.path.join(tbl.log.log_dir, LOG_ID_FILE))
+        assert settled_floor(tbl.log.log_dir) == 0  # no identity → no cache
+        assert tbl.changes_upper_bound() == tbl.log.latest_version()
+        assert _os.path.exists(_os.path.join(tbl.log.log_dir, LOG_ID_FILE))
+        assert settled_floor(tbl.log.log_dir) == tbl.log.latest_version()
+
+    def test_changefeed_floor_isolated_across_recreate(self, spark, tmp_path, monkeypatch):
+        """The streaming changefeed keys through the same nonce: after an
+        external recreate its cached floor must not apply to the fresh
+        log (a consumer holding floor=N would treat fresh versions <= N
+        as terminal and never age/settle a pending commit there)."""
+        import shutil as _shutil
+
+        from timefusion_spark.storage import commitlog as _cl
+        from timefusion_spark.storage.commitlog import raise_settled_floor, settled_floor
+
+        tbl = self._mk(spark, tmp_path, "cdffeed")
+        for i in range(5):
+            tbl.append(self._row(spark, i))
+        raise_settled_floor(tbl.log.log_dir, 5)  # consumer's poll proved 5
+        monkeypatch.setattr(_cl, "reset_settled_floor", lambda log_dir: None)
+        _shutil.rmtree(tbl.path)
+        tbl2 = self._mk(spark, tmp_path, "cdffeed")
+        tbl2.append(self._row(spark, 0))
+        # the consumer's NEXT poll against the fresh log starts from 0
+        assert settled_floor(tbl2.log.log_dir) == 0
+
 
 class TestMaintenanceHardening:
     """Review r11 findings over the maintenance module: data-loss guards,
