@@ -45,15 +45,18 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # those high-risk queries into the first 50 slots; everything else (almost all
 # of it already driver-certified in rounds 1-4) follows in registration order.
 PRIORITY: tuple[str, ...] = (
-    # storage / MOR / DML / maintenance
+    # storage / MOR / DML / maintenance (rotated out round 13 —
+    # VERDICT r12 #2 backlog retirement, all gate-certified r5-r12 and
+    # unchanged: q_storage_partition_scan [scan surface kept pinned by
+    # q_mor_merge_on_read / q_snapshot_isolation / q_otel_dashboard],
+    # q_otel_recent_topk [pure built-in top-K; the DESC sorted-write
+    # plan shape stays pinned in tests/test_plan_shapes.py],
+    # q_otel_hash_enrichment [UPDATE…FROM kept pinned by q_update_from])
     "q_mor_merge_on_read",
     "q_update_from",
     "q_maintenance_invariance",
-    "q_storage_partition_scan",
     "q_snapshot_isolation",
     "q_otel_dashboard",
-    "q_otel_recent_topk",
-    "q_otel_hash_enrichment",
     # streaming + custom source (rotated out across rounds:
     # q_streaming_windowed_counts, and in round 9
     # q_streaming_session_windows / q_streaming_stream_join — all
@@ -64,15 +67,19 @@ PRIORITY: tuple[str, ...] = (
     # (q_custom_source rotated out round 10 continuation — certified
     # r1-r10, unchanged; q_streaming_changefeed keeps the custom Python
     # DataSource surface pinned)
-    # corpus parity + end-to-end pipeline
+    # corpus parity (q_training_pipeline rotated out round 13 —
+    # gate-certified r5-r12, unchanged composite of surfaces that each
+    # keep their own gate pin)
     "q_slt_parity",
-    "q_training_pipeline",
     # new/changed round 6-7 (rotated in; rotated out across rounds:
     # q_token_stats / q_bpe_ish_tokens / q_distinct_sketch /
     # q_time_bucket_counts / q_error_rate — all multi-round certified,
     # pure built-in expression shapes, unchanged)
+    # (q_variant_family rotated out round 13 — gate-certified r2-r12
+    # [10 rounds, the longest streak in the registry], unchanged; the
+    # Variant storage/coerce/`->>` surface stays pinned by
+    # q_streaming_changefeed_variant)
     "q_update_inplace",
-    "q_variant_family",
     "q_dml_coalesced",
     "q_streaming_changefeed_variant",
     # new round 8: bulk network ingest entry points — COPY FROM STDIN
@@ -81,19 +88,20 @@ PRIORITY: tuple[str, ...] = (
     # together the gRPC ingest-endpoint analog. Rotated out:
     # q_lsh_bucket_histogram and q_ann_bruteforce_topk (multi-round
     # certified, pure built-in shapes, unchanged).
-    "q_copy_ingest",
+    # (q_copy_ingest rotated out round 13 — gate-certified r8-r12
+    # including the r12 delimiter/quote hardening; the network bulk-
+    # ingest surface stays pinned by q_arrow_ingest and the COPY wire
+    # tests; q_text_search_sql rotated out round 13 — gate-certified
+    # r8-r12, unchanged; the text-index family keeps THREE gate pins:
+    # q_text_search_prefix / q_text_search_raw_tokenizer /
+    # q_text_search_compound_or)
     "q_arrow_ingest",
-    # new round 8: trigram index served transparently under plain SQL
-    # (CREATE INDEX DDL + text_match interception). Rotated out:
-    # q_dedup_embedding_cosine (multi-round certified, unchanged).
-    "q_text_search_sql",
-    # similarity / ANN (rotated out round 10 continuation:
-    # q_ann_arrow_topk / q_ann_knn_join — multi-round certified,
-    # unchanged; the new OPQ query exercises the same Arrow-kernel
-    # surface and q_ann_knn_join_large keeps the join path pinned)
-    "q_ann_ivf_topk",
-    "q_ann_ivf_flat",
-    "q_ann_knn_join_large",
+    # similarity / ANN (rotated out round 13 — VERDICT r12 #2 backlog
+    # retirement: q_ann_ivf_topk / q_ann_ivf_flat / q_ann_knn_join_large,
+    # all gate-certified r5/r6-r12 and unchanged; the IVF/ANN family
+    # keeps five gate pins: q_ann_pq_adc / q_ann_opq_adc /
+    # q_ann_ivf_append / q_ann_ivfopq / q_ann_ivf_partitioned /
+    # q_ann_ivf_streaming)
     # percentile family + timeseries operators (q_hypertable_rollup
     # rotated out round 9; q_percentile_sketch rotated out round 10
     # continuation — multi-round certified, unchanged, and
@@ -108,8 +116,9 @@ PRIORITY: tuple[str, ...] = (
     # q_sessionization — multi-round certified, pure built-in window
     # shapes, unchanged; the count index and the trigram-indexed search
     # are the new high-risk storage/accelerator surfaces)
+    # (q_text_search_indexed rotated out round 13 — gate-certified
+    # r7-r12, unchanged; see the text-index family pins above)
     "q_count_index",
-    "q_text_search_indexed",
     # round 8 late additions q2_min_cost_supplier / q20_potential_promotion
     # rotated out round 11 (gate-certified r8-r10, unchanged pure
     # relational shapes); BM25 stays (float ln() in the score).
@@ -147,10 +156,9 @@ PRIORITY: tuple[str, ...] = (
     # index serves equality, declines substring). Rotated out:
     # q_mor_keep_first (multi-round certified, unchanged).
     "q_text_search_raw_tokenizer",
-    # new round 9: IVF-PQ composed (residual codebooks, per-probed-cell
-    # ADC tables — fresh composition code path). Rotated out:
-    # q_hypertable_rollup (multi-round certified, unchanged).
-    "q_ann_ivfpq",
+    # (q_ann_ivfpq rotated out round 13 — gate-certified r9-r12,
+    # unchanged; q_ann_ivfopq keeps the composed residual-codebook ADC
+    # path pinned as its superset)
     # new round 10: DELTA HISTORY/ACTIONS/RECOVERY AUDIT commit-log
     # introspection verbs (fresh pgshim code path over the commit log).
     # Rotated out: q_table_changes (multi-round certified, unchanged —
@@ -211,6 +219,28 @@ PRIORITY: tuple[str, ...] = (
     # Rotated out: q_funnel_analysis (gate-certified r9-r11, pure
     # built-in window/aggregation shape, unchanged since r9).
     "q_pgwire_dml_literals",
+    # rotated IN round 13 (VERDICT r12 #2: start retiring the 48-query
+    # never-gate-certified backlog; these 12 are the shapes the gate has
+    # never seen at all — window families, ordered-set/regression aggs,
+    # gapfill/LOCF, anomaly scoring, the pointer-doubling critical path,
+    # three TPC-H join shapes (EXISTS decorrelation, left-join
+    # distribution, multi-relation anti/semi), plus the two queries whose
+    # code changed in r12 (q_dedup_editdistance's FLOOR-aligned oracle,
+    # q_unigram_logprob's 1-row corpus-total broadcast) — changed code
+    # belongs in the gate window. All 12 verified green at
+    # sf0.001/0.01/0.1 this round before rotating in.
+    "q_window_rank_family",
+    "q_window_time_range",
+    "q_ordered_set_aggs",
+    "q_regression_stats",
+    "q_gapfill_locf",
+    "q_anomaly_zscore",
+    "q_trace_critical_path",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "q_dedup_editdistance",
+    "q_unigram_logprob",
 )
 
 
