@@ -28,18 +28,127 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
     return list(row[0])
 
 
-@query(
-    "q_ann_bruteforce_topk",
-    oracle=f"""
+def _fixed_cents(
+    spark: SparkSession, sf_dir: str, lo: int = 1, hi: int = 16
+) -> list[tuple[int, list[float]]]:
+    """The frozen coarse quantizer: embeddings lo..hi collected as
+    (cid, vector). ONE definition — four queries and the persisted-index
+    builder share this quantizer with their oracles' `cent` CTE, and four
+    pasted copies had started to be the drift surface (review r13; the
+    bounded collect is k rows, the sanctioned codebook class)."""
+    return [
+        (int(r[0]), list(r[1]))
+        for r in t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id").between(lo, hi))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+
+def _exact_l2_rerank(e: DataFrame, shortlist: DataFrame, qv: list[float]) -> DataFrame:
+    """Exact-L2 re-rank (in the ORIGINAL space) of an ADC top-100
+    shortlist — the shared tail of all four PQ-family queries (review
+    r13: four verbatim copies of contract-bearing code; the r12
+    raw-vs-rounded fix had to be applied to each). Orders by the RAW
+    distance, rounds only for display — the oracle orders by raw l2, so
+    a rounded near-tie could pick a different row than the true NN
+    (review r12)."""
+    ql = F.array(*[F.lit(float(v)) for v in qv])
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), ql, lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        e.join(shortlist.select("vec_id"), "vec_id", "leftsemi")
+        .select("vec_id", l2.alias("_l2"))
+        .orderBy("_l2", "vec_id")
+        .limit(1)
+        .select("vec_id", F.round("_l2", 4).alias("l2_dist"))
+        .withColumn("n_shortlist", F.lit(100).cast("long"))
+    )
+
+
+# the PQ-family oracled contract, shared by all four ADC queries: the
+# exact-L2 re-rank of the top-100 shortlist must return the true
+# brute-force nearest neighbor with its exact distance (ORDER BY binds
+# to the unshadowed raw `l2`, not the rounded display alias)
+_ADC_RERANK_ORACLE = """
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, ROUND(cos_sim, 4) AS cos_sim
+    SELECT vec_id, ROUND(l2, 4) AS l2_dist, CAST(100 AS BIGINT) AS n_shortlist
     FROM (
-        SELECT e.vec_id, {_COS.format(a='e.embedding', b='q.qv')} AS cos_sim
+        SELECT e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   d -> (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE)
+                      * (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE))) AS l2
         FROM embeddings e, q
         WHERE e.vec_id <> 0
     ) x
-    ORDER BY cos_sim DESC, vec_id
-    LIMIT 10
+    ORDER BY l2 ASC, vec_id
+    LIMIT 1
+    """
+
+
+def _ivf_fixed_oracle(extra_col: str = "") -> str:
+    """The fixed-quantizer IVF oracle shared by the flat / partitioned /
+    streaming / append queries: centroids = embeddings 1..16, closed-form
+    L2-argmin assignment, top-4 probed cells, raw-cosine top-10
+    (review r13: the ~30-line CTE prefix was pasted verbatim four times).
+    `extra_col` appends a per-query tag column to the SELECT tail."""
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cent AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+    ),
+    assigned AS (
+        SELECT vec_id, embedding FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_inner_product(c.cv, c.cv)
+                       - 2 * list_inner_product(e.embedding::DOUBLE[], c.cv) ASC,
+                       c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c
+            WHERE e.vec_id <> 0
+        ) WHERE rn = 1 AND cid IN (
+            SELECT cid FROM (
+                SELECT c.cid FROM cent c, q
+                ORDER BY list_inner_product(c.cv, c.cv)
+                         - 2 * list_inner_product(q.qv, c.cv) ASC, c.cid ASC
+                LIMIT 4
+            )
+        )
+    )
+    SELECT vec_id, ROUND(cos_raw, 4) AS cos_sim{extra_col}
+    FROM (
+        SELECT a.vec_id, {_COS.format(a='a.embedding', b='q.qv')} AS cos_raw
+        FROM assigned a, q
+        ORDER BY cos_raw DESC, a.vec_id
+        LIMIT 10
+    )
+    """
+
+
+@query(
+    "q_ann_bruteforce_topk",
+    # ORDER BY + LIMIT live INSIDE the subquery over the RAW cosine: a
+    # bare `ORDER BY cos_sim` outside would bind to the ROUND(...) output
+    # alias (DuckDB alias shadowing) and a 4dp near-tie at the top-10
+    # boundary could admit a different row than the Spark side, which
+    # orders by the raw value (review r13 — the same raw-vs-rounded class
+    # r12 fixed in the L2 queries)
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND(cos_raw, 4) AS cos_sim
+    FROM (
+        SELECT e.vec_id, {_COS.format(a='e.embedding', b='q.qv')} AS cos_raw
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_raw DESC, e.vec_id
+        LIMIT 10
+    ) x
     """,
     doc="Brute-force cosine top-k (exact-recall ANN baseline): per-row "
     "fold + TakeOrderedAndProject — linear scan, no shuffle.",
@@ -51,14 +160,19 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
-_BUCKET = """
+# ONE definition of the sign-LSH bucket rule (seeds + the (seed*d)%97<48
+# weight scheme) — it must stay bit-identical to operators/similarity
+# SIGN_LSH_SEEDS, and three drifting copies once lived here (review r13)
+_BUCKET_OF = """
         CAST(list_sum(list_transform(range(0, 6), i ->
-            CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), d ->
-                     embedding[d]::DOUBLE *
+            CASE WHEN list_sum(list_transform(range(1, len({v})+1), d ->
+                     {v}[d]::DOUBLE *
                      (CASE WHEN (([7368787,29986577,71316922,48610247,93310753,15485863][i+1]::BIGINT * d) % 97) < 48
                            THEN 1.0 ELSE -1.0 END))) > 0
                  THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)
 """
+
+_BUCKET = _BUCKET_OF.format(v="embedding")
 
 
 @query(
@@ -94,15 +208,9 @@ def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_lsh_bucket_histogram",
-    oracle="""
+    oracle=f"""
     WITH b AS (
-        SELECT vec_id,
-               CAST(list_sum(list_transform(range(0, 6), i ->
-                   CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), d ->
-                            embedding[d]::DOUBLE *
-                            (CASE WHEN (([7368787,29986577,71316922,48610247,93310753,15485863][i+1]::BIGINT * d) % 97) < 48
-                                  THEN 1.0 ELSE -1.0 END))) > 0
-                        THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        SELECT vec_id, {_BUCKET} AS bucket
         FROM embeddings
     )
     SELECT bucket, COUNT(*) AS n
@@ -120,16 +228,6 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
     )
-
-
-_BUCKET_OF = """
-        CAST(list_sum(list_transform(range(0, 6), i ->
-            CASE WHEN list_sum(list_transform(range(1, len({v})+1), d ->
-                     {v}[d]::DOUBLE *
-                     (CASE WHEN (([7368787,29986577,71316922,48610247,93310753,15485863][i+1]::BIGINT * d) % 97) < 48
-                           THEN 1.0 ELSE -1.0 END))) > 0
-                 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)
-"""
 
 
 @query(
@@ -173,9 +271,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
         "label",
     ).unionByName(dup)
+    # persisted: the self-join consumes `staged` on BOTH sides and
+    # Catalyst does not dedupe common subplans — unpersisted, the 6-plane
+    # bucket fold and the union run twice (the module-wide r11 idiom;
+    # review r13 found this site missed it)
     staged = base.select(
         "vec_id", "embedding", sim.sign_lsh_bucket(F.col("embedding"), 6).alias("_bucket")
-    )
+    ).persist()
     probes = staged.withColumn(
         "_probe",
         F.explode(
@@ -206,16 +308,17 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ann_ivf_topk",
+    # raw-cosine ordering inside the subquery — see q_ann_bruteforce_topk
     oracle=f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, ROUND(cos_sim, 4) AS cos_sim, CAST(10 AS BIGINT) AS n_candidates
+    SELECT vec_id, ROUND(cos_raw, 4) AS cos_sim, CAST(10 AS BIGINT) AS n_candidates
     FROM (
-        SELECT e.vec_id, {_COS.format(a='e.embedding', b='q.qv')} AS cos_sim
+        SELECT e.vec_id, {_COS.format(a='e.embedding', b='q.qv')} AS cos_raw
         FROM embeddings e, q
         WHERE e.vec_id <> 0
+        ORDER BY cos_raw DESC, e.vec_id
+        LIMIT 1
     ) x
-    ORDER BY cos_sim DESC, vec_id
-    LIMIT 1
     """,
     doc="IVF approximate nearest neighbor: k-means coarse cells (MLlib, "
     "fixed seed), probe the 6 nearest cells, brute-force cosine inside — "
@@ -249,20 +352,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ann_pq_adc",
-    oracle="""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, ROUND(l2, 4) AS l2_dist, CAST(100 AS BIGINT) AS n_shortlist
-    FROM (
-        SELECT e.vec_id,
-               list_sum(list_transform(range(1, len(e.embedding) + 1),
-                   d -> (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE)
-                      * (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE))) AS l2
-        FROM embeddings e, q
-        WHERE e.vec_id <> 0
-    ) x
-    ORDER BY l2 ASC, vec_id
-    LIMIT 1
-    """,
+    oracle=_ADC_RERANK_ORACLE,
     doc="Product quantization + ADC (Jégou et al. 2011), the "
     "billion-vector ANN memory shape: 16 subspace codebooks of 32 "
     "centroids (deterministic sampled k-means fits), map-side PQ "
@@ -289,28 +379,16 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is load-bearing: without a barrier, CollapseProject inlines the full
     # m·ksub-argmin codes expression into the ADC aggregate's lambda, which
     # re-evaluates its body once per aggregate STEP (m× the encode work)
-    enc = sim.pq_encode(e, books).localCheckpoint(eager=True)
+    # narrow to (id, codes) BEFORE the checkpoint — the persisted artifact
+    # is the m-byte codes, not the d-float vectors it compresses (review
+    # r13: the unprojected checkpoint was materializing every raw vector)
+    enc = (
+        sim.pq_encode(e, books)
+        .select("vec_id", "_codes")
+        .localCheckpoint(eager=True)
+    )
     shortlist = sim.pq_adc_topk(enc, books, qv, k=100)
-    ql = F.array(*[F.lit(float(v)) for v in qv])
-    l2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"), ql, lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    reranked = (
-        e.join(shortlist.select("vec_id"), "vec_id", "leftsemi")
-        # order by the RAW distance, round only for display — the oracle
-        # orders by raw l2, so a rounded near-tie could pick a different
-        # row than the true NN (review r12)
-        .select("vec_id", l2.alias("_l2"))
-        .orderBy("_l2", "vec_id")
-        .limit(1)
-        .select("vec_id", F.round("_l2", 4).alias("l2_dist"))
-        .withColumn("n_shortlist", F.lit(100).cast("long"))
-    )
-    return reranked.localCheckpoint(eager=True)
+    return _exact_l2_rerank(e, shortlist, qv).localCheckpoint(eager=True)
 
 
 def _ivf_index_table(spark: SparkSession, sf_dir: str):
@@ -337,13 +415,7 @@ def _ivf_index_table(spark: SparkSession, sf_dir: str):
         )
 
     def build():
-        cents = [
-            (int(r[0]), list(r[1]))
-            for r in t(spark, sf_dir, "embeddings")
-            .where(F.col("vec_id").between(1, 16))
-            .select("vec_id", "embedding")
-            .collect()
-        ]
+        cents = _fixed_cents(spark, sf_dir)
         return (
             t(spark, sf_dir, "embeddings")
             .where(F.col("vec_id") != 0)
@@ -361,38 +433,7 @@ def _ivf_index_table(spark: SparkSession, sf_dir: str):
 
 @query(
     "q_ann_ivf_partitioned",
-    oracle=f"""
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-    cent AS (
-        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-        FROM embeddings WHERE vec_id BETWEEN 1 AND 16
-    ),
-    assigned AS (
-        SELECT vec_id, embedding FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                       list_inner_product(c.cv, c.cv)
-                       - 2 * list_inner_product(e.embedding::DOUBLE[], c.cv) ASC,
-                       c.cid ASC) AS rn
-            FROM embeddings e CROSS JOIN cent c
-            WHERE e.vec_id <> 0
-        ) WHERE rn = 1 AND cid IN (
-            SELECT cid FROM (
-                SELECT c.cid FROM cent c, q
-                ORDER BY list_inner_product(c.cv, c.cv)
-                         - 2 * list_inner_product(q.qv, c.cv) ASC, c.cid ASC
-                LIMIT 4
-            )
-        )
-    )
-    SELECT vec_id, ROUND(cos_raw, 4) AS cos_sim
-    FROM (
-        SELECT a.vec_id, {_COS.format(a='a.embedding', b='q.qv')} AS cos_raw
-        FROM assigned a, q
-        ORDER BY cos_raw DESC, a.vec_id
-        LIMIT 10
-    )
-    """,
+    oracle=_ivf_fixed_oracle(),
     doc="IVF search over the PARTITION-PRUNED persisted index: the "
     "(vec_id, embedding) table is stored PARTITIONED BY cell (one "
     "directory per coarse cell — the assignment cost was paid once at "
@@ -408,52 +449,16 @@ def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = _ivf_index_table(spark, sf_dir)
     idx = tbl.read()
     qv = _query_vec(spark, sf_dir, 0)
-    cents = [
-        (int(r[0]), list(r[1]))
-        for r in t(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id").between(1, 16))
-        .select("vec_id", "embedding")
-        .collect()
-    ]
+    cents = _fixed_cents(spark, sf_dir)
     top = sim.knn_ivf_indexed(idx, cents, qv, k=10, n_probe=4, cell_col="cell")
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
 @query(
     "q_ann_ivf_streaming",
-    oracle=f"""
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-    cent AS (
-        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-        FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+    oracle=_ivf_fixed_oracle(
+        ",\n           CASE WHEN vec_id > 300 THEN 'wave2' ELSE 'wave1' END AS wave"
     ),
-    assigned AS (
-        SELECT vec_id, embedding FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                       list_inner_product(c.cv, c.cv)
-                       - 2 * list_inner_product(e.embedding::DOUBLE[], c.cv) ASC,
-                       c.cid ASC) AS rn
-            FROM embeddings e CROSS JOIN cent c
-            WHERE e.vec_id <> 0
-        ) WHERE rn = 1 AND cid IN (
-            SELECT cid FROM (
-                SELECT c.cid FROM cent c, q
-                ORDER BY list_inner_product(c.cv, c.cv)
-                         - 2 * list_inner_product(q.qv, c.cv) ASC, c.cid ASC
-                LIMIT 4
-            )
-        )
-    )
-    SELECT vec_id, ROUND(cos_raw, 4) AS cos_sim,
-           CASE WHEN vec_id > 300 THEN 'wave2' ELSE 'wave1' END AS wave
-    FROM (
-        SELECT a.vec_id, {_COS.format(a='a.embedding', b='q.qv')} AS cos_raw
-        FROM assigned a, q
-        ORDER BY cos_raw DESC, a.vec_id
-        LIMIT 10
-    )
-    """,
     doc="IVF index maintained UNDER STREAMING INGEST: cell assignment "
     "against the frozen coarse quantizer rides the ingest stream as a "
     "pure expression column, so every micro-batch lands already "
@@ -477,13 +482,7 @@ def q_ann_ivf_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     qv = _query_vec(spark, sf_dir, 0)
-    cents = [
-        (int(r[0]), list(r[1]))
-        for r in t(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id").between(1, 16))
-        .select("vec_id", "embedding")
-        .collect()
-    ]
+    cents = _fixed_cents(spark, sf_dir)
     schema = TableSchema(
         table_name="ivf_stream_idx",
         fields=[
@@ -544,39 +543,9 @@ def q_ann_ivf_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ann_ivf_append",
-    oracle=f"""
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-    cent AS (
-        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-        FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+    oracle=_ivf_fixed_oracle(
+        ",\n           CASE WHEN vec_id > 400 THEN 'appended' ELSE 'base' END AS generation"
     ),
-    assigned AS (
-        SELECT vec_id, embedding FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                       list_inner_product(c.cv, c.cv)
-                       - 2 * list_inner_product(e.embedding::DOUBLE[], c.cv) ASC,
-                       c.cid ASC) AS rn
-            FROM embeddings e CROSS JOIN cent c
-            WHERE e.vec_id <> 0
-        ) WHERE rn = 1 AND cid IN (
-            SELECT cid FROM (
-                SELECT c.cid FROM cent c, q
-                ORDER BY list_inner_product(c.cv, c.cv)
-                         - 2 * list_inner_product(q.qv, c.cv) ASC, c.cid ASC
-                LIMIT 4
-            )
-        )
-    )
-    SELECT vec_id, ROUND(cos_raw, 4) AS cos_sim,
-           CASE WHEN vec_id > 400 THEN 'appended' ELSE 'base' END AS generation
-    FROM (
-        SELECT a.vec_id, {_COS.format(a='a.embedding', b='q.qv')} AS cos_raw
-        FROM assigned a, q
-        ORDER BY cos_raw DESC, a.vec_id
-        LIMIT 10
-    )
-    """,
     doc="Incremental IVF index maintenance — the FAISS add-after-train "
     "lifecycle (IndexIVF::add): the base corpus is assigned to a frozen "
     "16-cell coarse quantizer and PERSISTED as the (id, cell, vec) index "
@@ -594,13 +563,7 @@ def q_ann_ivf_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     qv = _query_vec(spark, sf_dir, 0)
-    cents = [
-        (int(r[0]), list(r[1]))
-        for r in t(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id").between(1, 16))
-        .select("vec_id", "embedding")
-        .collect()
-    ]
+    cents = _fixed_cents(spark, sf_dir)
     base = e.where(F.col("vec_id") <= 400)
     new = e.where(F.col("vec_id") > 400)
     # the persisted index artifact: assignment cost paid once at ingest
@@ -620,20 +583,7 @@ def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ann_opq_adc",
-    oracle="""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, ROUND(l2, 4) AS l2_dist, CAST(100 AS BIGINT) AS n_shortlist
-    FROM (
-        SELECT e.vec_id,
-               list_sum(list_transform(range(1, len(e.embedding) + 1),
-                   d -> (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE)
-                      * (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE))) AS l2
-        FROM embeddings e, q
-        WHERE e.vec_id <> 0
-    ) x
-    ORDER BY l2 ASC, vec_id
-    LIMIT 1
-    """,
+    oracle=_ADC_RERANK_ORACLE,
     doc="OPQ + ADC (Ge et al. CVPR 2013 non-parametric OPQ — the FAISS "
     "OPQMatrix pre-transform): a learned ORTHOGONAL rotation R aligns "
     "the subspace split with the data's principal structure before "
@@ -664,44 +614,12 @@ def q_ann_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     shortlist = sim.pq_adc_topk(enc, books, sim.rotate_vec(qv, R), k=100)
-    ql = F.array(*[F.lit(float(v)) for v in qv])
-    l2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"), ql, lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    reranked = (
-        e.join(shortlist.select("vec_id"), "vec_id", "leftsemi")
-        # order by the RAW distance, round only for display — the oracle
-        # orders by raw l2, so a rounded near-tie could pick a different
-        # row than the true NN (review r12)
-        .select("vec_id", l2.alias("_l2"))
-        .orderBy("_l2", "vec_id")
-        .limit(1)
-        .select("vec_id", F.round("_l2", 4).alias("l2_dist"))
-        .withColumn("n_shortlist", F.lit(100).cast("long"))
-    )
-    return reranked.localCheckpoint(eager=True)
+    return _exact_l2_rerank(e, shortlist, qv).localCheckpoint(eager=True)
 
 
 @query(
     "q_ann_ivfpq",
-    oracle="""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, ROUND(l2, 4) AS l2_dist, CAST(100 AS BIGINT) AS n_shortlist
-    FROM (
-        SELECT e.vec_id,
-               list_sum(list_transform(range(1, len(e.embedding) + 1),
-                   d -> (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE)
-                      * (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE))) AS l2
-        FROM embeddings e, q
-        WHERE e.vec_id <> 0
-    ) x
-    ORDER BY l2 ASC, vec_id
-    LIMIT 1
-    """,
+    oracle=_ADC_RERANK_ORACLE,
     doc="IVF-PQ composed (Jégou et al. 2011 IndexIVFPQ — the "
     "billion-vector ANN shape FAISS ships): 16 coarse cells prune the "
     "scan to 8 probed cells, PQ codebooks over the RESIDUALS "
@@ -721,46 +639,19 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (id, cell, codes) table is the persisted artifact at scale;
     # the checkpoint stands in for it (and is the CollapseProject barrier
     # — see q_ann_pq_adc)
-    enc = sim.ivfpq_encode(e, cells, books).localCheckpoint(eager=True)
+    # narrow to (id, cell, codes) BEFORE the checkpoint — see q_ann_pq_adc
+    enc = (
+        sim.ivfpq_encode(e, cells, books)
+        .select("vec_id", "_cell", "_codes")
+        .localCheckpoint(eager=True)
+    )
     shortlist = sim.ivfpq_adc_topk(enc, cells, books, qv, k=100, n_probe=8)
-    ql = F.array(*[F.lit(float(v)) for v in qv])
-    l2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"), ql, lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    reranked = (
-        e.join(shortlist.select("vec_id"), "vec_id", "leftsemi")
-        # order by the RAW distance, round only for display — the oracle
-        # orders by raw l2, so a rounded near-tie could pick a different
-        # row than the true NN (review r12)
-        .select("vec_id", l2.alias("_l2"))
-        .orderBy("_l2", "vec_id")
-        .limit(1)
-        .select("vec_id", F.round("_l2", 4).alias("l2_dist"))
-        .withColumn("n_shortlist", F.lit(100).cast("long"))
-    )
-    return reranked.localCheckpoint(eager=True)
+    return _exact_l2_rerank(e, shortlist, qv).localCheckpoint(eager=True)
 
 
 @query(
     "q_ann_ivfopq",
-    oracle="""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, ROUND(l2, 4) AS l2_dist, CAST(100 AS BIGINT) AS n_shortlist
-    FROM (
-        SELECT e.vec_id,
-               list_sum(list_transform(range(1, len(e.embedding) + 1),
-                   d -> (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE)
-                      * (e.embedding[d]::DOUBLE - q.qv[d]::DOUBLE))) AS l2
-        FROM embeddings e, q
-        WHERE e.vec_id <> 0
-    ) x
-    ORDER BY l2 ASC, vec_id
-    LIMIT 1
-    """,
+    oracle=_ADC_RERANK_ORACLE,
     doc="IVF-OPQ-PQ composed — the full FAISS index-factory recipe "
     "('OPQ16,IVF16,PQ16'): the OPQ rotation trains first (sample-bounded "
     "driver alternation against a plain-PQ objective — the OPQMatrix "
@@ -789,62 +680,12 @@ def q_ann_ivfopq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = sim.ivfpq_adc_topk(
         enc, cells, books, sim.rotate_vec(qv, R), k=100, n_probe=8
     )
-    ql = F.array(*[F.lit(float(v)) for v in qv])
-    l2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"), ql, lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    reranked = (
-        e.join(shortlist.select("vec_id"), "vec_id", "leftsemi")
-        # order by the RAW distance, round only for display — the oracle
-        # orders by raw l2, so a rounded near-tie could pick a different
-        # row than the true NN (review r12)
-        .select("vec_id", l2.alias("_l2"))
-        .orderBy("_l2", "vec_id")
-        .limit(1)
-        .select("vec_id", F.round("_l2", 4).alias("l2_dist"))
-        .withColumn("n_shortlist", F.lit(100).cast("long"))
-    )
-    return reranked.localCheckpoint(eager=True)
+    return _exact_l2_rerank(e, shortlist, qv).localCheckpoint(eager=True)
 
 
 @query(
     "q_ann_ivf_flat",
-    oracle=f"""
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-    cent AS (
-        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-        FROM embeddings WHERE vec_id BETWEEN 1 AND 16
-    ),
-    assigned AS (
-        SELECT vec_id, embedding FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                       list_inner_product(c.cv, c.cv)
-                       - 2 * list_inner_product(e.embedding::DOUBLE[], c.cv) ASC,
-                       c.cid ASC) AS rn
-            FROM embeddings e CROSS JOIN cent c
-            WHERE e.vec_id <> 0
-        ) WHERE rn = 1 AND cid IN (
-            SELECT cid FROM (
-                SELECT c.cid FROM cent c, q
-                ORDER BY list_inner_product(c.cv, c.cv)
-                         - 2 * list_inner_product(q.qv, c.cv) ASC, c.cid ASC
-                LIMIT 4
-            )
-        )
-    )
-    SELECT vec_id, ROUND(cos_raw, 4) AS cos_sim
-    FROM (
-        SELECT a.vec_id, {_COS.format(a='a.embedding', b='q.qv')} AS cos_raw
-        FROM assigned a, q
-        ORDER BY cos_raw DESC, a.vec_id
-        LIMIT 10
-    )
-    """,
+    oracle=_ivf_fixed_oracle(),
     doc="IVF ANN with a FIXED deterministic coarse quantizer (centroids = "
     "vec_ids 1-16): map-only L2-argmin cell assignment (||c||² − 2⟨v,c⟩ — "
     "no sqrt/division, bit-identical across engines), probe the 4 nearest "
@@ -853,13 +694,7 @@ def q_ann_ivfopq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    cents = [
-        (int(r[0]), list(r[1]))
-        for r in t(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id").between(1, 16))
-        .select("vec_id", "embedding")
-        .collect()
-    ]
+    cents = _fixed_cents(spark, sf_dir)
     qv = _query_vec(spark, sf_dir, 0)
     top = sim.knn_ivf_flat(e, cents, qv, k=10, n_probe=4)
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
