@@ -52,6 +52,29 @@ def test_out_of_range_clamps(spark):
     assert d[0] == 1 and d[N - 1] == 1
 
 
+def test_far_out_of_range_and_infinity_clamp_not_crash(spark):
+    """Review r13: the clamp ran AFTER the int cast, so a value whose
+    scaled bucket exceeds int32 (or ±Infinity) threw CAST_OVERFLOW under
+    ANSI mode instead of clamping to the edge bucket."""
+    df = spark.createDataFrame(
+        [("g", 4.0e9), ("g", -4.0e9), ("g", float("inf")), ("g", float("-inf"))],
+        "g string, v double",
+    )
+    d = P.percentile_agg(df, ["g"], "v", LO, HI, N).collect()[0]["digest"]
+    assert d[0] == 2 and d[N - 1] == 2
+
+
+def test_null_and_nan_values_skipped_not_crash(spark):
+    """Review r13: a NULL value produced a NULL bucket key and
+    map_from_entries threw NULL_MAP_KEY; NaN would silently claim a
+    bucket. Both are skipped like SQL aggregate inputs."""
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", None), ("g", float("nan"))], "g string, v double"
+    )
+    d = P.percentile_agg(df, ["g"], "v", LO, HI, N).collect()[0]["digest"]
+    assert sum(d) == 1
+
+
 class TestTDigest:
     """Rank-based t-digest (functions/tdigest.py): the boundedness contract
     mirrors functions.rs:1508-1525 (centroid count capped regardless of
@@ -147,3 +170,46 @@ class TestTDigestSharded:
         # digest stays bounded after the merge
         merged = TD.tdigest_agg_sharded(df, ["g"], "v", shards=8).collect()
         assert all(len(r["digest"]) <= TD.DELTA // 2 + 2 for r in merged)
+
+
+class TestOracleCoeffParity:
+    """Review r13: the oracle emitted the δ/(2π) coefficient as a bare
+    decimal literal, which DuckDB types DECIMAL(17,15) — its
+    decimal→double conversion is 1 ulp off the Python/Spark double for
+    ~11% of delta values, silently breaking op-for-op compression parity
+    for non-default deltas. The coefficient now ships as a string cast
+    to DOUBLE (correctly-rounded on both engines)."""
+
+    @pytest.mark.parametrize("delta", [60, 100, 200, 919])
+    def test_compress_matches_duckdb_exactly(self, spark, delta):
+        import duckdb
+
+        from timefusion_spark.functions import tdigest as TD
+
+        df = spark.range(3000).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            # heavy-ish tail so centroid boundaries are exercised
+            (F.pow(F.col("id") % 700, F.lit(1.3))).alias("v"),
+        )
+        d = TD.tdigest_agg(df, ["g"], "v", delta=delta)
+        got = {
+            (r["g"], i): (c["m"], c["c"])
+            for r in d.collect()
+            for i, c in enumerate(r["digest"])
+        }
+        rows = df.collect()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pts (g TEXT, m DOUBLE, c BIGINT)")
+        con.executemany(
+            "INSERT INTO pts VALUES (?, ?, ?)", [(r["g"], r["v"], 1) for r in rows]
+        )
+        sql = TD.oracle_compress_sql("pts", ["g"], delta=delta)
+        want_rows = con.execute(
+            f"SELECT g, m, c FROM ({sql}) ORDER BY g, m, c"
+        ).fetchall()
+        want = {}
+        idx: dict[str, int] = {}
+        for g, m, c in want_rows:
+            want[(g, idx.setdefault(g, 0))] = (m, int(c))
+            idx[g] += 1
+        assert got == want  # exact float equality — op-for-op parity

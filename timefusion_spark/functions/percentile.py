@@ -40,9 +40,18 @@ DEFAULT_BUCKETS = 64
 def bucket_index(value: Column, lo: float, hi: float, n: int = DEFAULT_BUCKETS) -> Column:
     """Clamped equi-width bucket index in [0, n-1]. The expression shape
     ((value - lo) / (hi - lo)) * n is mirrored verbatim by the oracle so
-    float rounding agrees."""
-    raw = F.floor(((value - F.lit(lo)) / F.lit(hi - lo)) * F.lit(n)).cast("int")
-    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1))
+    float rounding agrees.
+
+    The clamp runs on the DOUBLE before the int cast: clamping after
+    would feed the unclamped value through the cast, and under ANSI mode
+    (Spark 4 default) a far-out-of-range value — or ±Infinity — throws
+    CAST_OVERFLOW instead of clamping (review r13, reproduced). For all
+    finite in-scale values clamp-then-floor ≡ floor-then-clamp, so oracle
+    parity is unchanged. NaN yields NULL (skipped like a NULL value —
+    Spark's NaN ordering would otherwise silently claim the top bucket)."""
+    scaled = ((value.cast("double") - F.lit(lo)) / F.lit(hi - lo)) * F.lit(n)
+    clamped = F.floor(F.least(F.greatest(scaled, F.lit(0.0)), F.lit(float(n - 1))))
+    return F.when(F.isnan(scaled), F.lit(None)).otherwise(clamped).cast("int")
 
 
 def percentile_agg(
@@ -57,9 +66,19 @@ def percentile_agg(
 
     Plan shape: ONE hash aggregate on (group, bucket) — map-side partial
     counts, then a bounded collect (≤ n entries per group) assembled into
-    the dense array. No wide 64-column aggregate, no UDAF."""
+    the dense array. No wide 64-column aggregate, no UDAF.
+
+    NULL (and NaN) values are skipped — without the filter a NULL bucket
+    key reaches map_from_entries, which throws NULL_MAP_KEY at runtime
+    (review r13, reproduced). A group whose values are ALL NULL therefore
+    has no output row — the same divergence tdigest_agg documents."""
     idx = bucket_index(F.col(value_col), lo, hi, n)
-    counts = df.groupBy(*group_cols, idx.alias("_b")).agg(F.count(F.lit(1)).alias("_c"))
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, idx.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_b").isNotNull())  # NaN values bucket to NULL
+    )
     dense = counts.groupBy(*group_cols).agg(
         F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m")
     )
@@ -99,26 +118,15 @@ def with_percentiles(
 ) -> DataFrame:
     """approx_percentile reader: add one column per requested quantile
     (midpoint of the first bucket whose cumulative count reaches
-    ceil(p·total)). Staged so the digest/cumsum arrays are attributes —
-    each is scanned n times (module evaluation-count rule in
-    operators/dedup.py)."""
+    ceil(p·total)) via the shared cumulative walk in functions/tdigest
+    (one definition of the walk for both sketches — review r13; see
+    quantile_walk's evaluation-count note)."""
+    from timefusion_spark.functions.tdigest import quantile_walk
+
     width = (hi - lo) / n
-    staged = df.withColumn(
-        "_tot", F.aggregate(F.col(digest_col), F.lit(0).cast("long"), lambda a, x: a + x)
-    ).withColumn(
-        "_cum",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(n)),
-            lambda i: F.aggregate(
-                F.slice(F.col(digest_col), F.lit(1), i), F.lit(0).cast("long"), lambda a, x: a + x
-            ),
-        ),
+    return quantile_walk(
+        df,
+        F.col(digest_col),
+        ps,
+        lambda idx: F.lit(lo) + (idx.cast("double") + F.lit(0.5)) * F.lit(width),
     )
-    out = staged
-    for name, p in ps.items():
-        target = F.ceil(F.lit(p) * F.col("_tot"))
-        idx = F.size(F.filter(F.col("_cum"), lambda c: c < target))
-        out = out.withColumn(
-            name, F.lit(lo) + (idx.cast("double") + F.lit(0.5)) * F.lit(width)
-        )
-    return out.drop("_tot", "_cum")

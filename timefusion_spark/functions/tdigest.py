@@ -42,13 +42,16 @@ from __future__ import annotations
 
 import math
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DELTA = 200  # functions.rs:1107 — centroid budget (|cid| values ≤ δ/2 + 2)
 
-# δ/(2π), inlined as one double literal on BOTH the Spark and the oracle
-# side so the scale arithmetic is op-for-op identical.
+# δ/(2π), one double value shared by the Spark side (F.lit) and the
+# oracle side (emitted as a STRING cast to DOUBLE — see oracle_compress_sql)
+# so the scale arithmetic is op-for-op identical.
 def scale_coeff(delta: int = DELTA) -> float:
     return delta / (2.0 * math.pi)
 
@@ -105,7 +108,16 @@ def tdigest_agg(
     df: DataFrame, group_cols: list[str], value_col: str, delta: int = DELTA
 ) -> DataFrame:
     """Step 1 (percentile_agg analog): one bounded digest per group from
-    raw values. NULLs are skipped (aggregate-function semantics)."""
+    raw values. NULL values are skipped (aggregate-function semantics).
+
+    Documented divergence from a SQL aggregate (review r13): a group
+    whose values are ALL NULL has no output row here, where `SELECT g,
+    percentile_agg(v) … GROUP BY g` would keep g with a NULL digest.
+    Preserving those groups costs a second full input scan (distinct
+    keys + outer join) — the wrong default at 100 TB; callers needing
+    SQL semantics outer-join their key frame onto this result. The
+    pgwire surface is unaffected (pgshim maps percentile_agg to Spark's
+    native percentile aggregate, which keeps NULL groups)."""
     pts = df.where(F.col(value_col).isNotNull()).select(
         *group_cols,
         F.col(value_col).cast("double").alias("m"),
@@ -120,18 +132,31 @@ def tdigest_agg_sharded(
     value_col: str,
     shards: int = 32,
     delta: int = DELTA,
+    shard_expr: Column | None = None,
 ) -> DataFrame:
-    """Scale-safe digest build: shard each group by a value hash, build
-    per-shard digests in parallel, merge per group — the two-step pattern
+    """Scale-safe digest build: shard each group, build per-shard digests
+    in parallel, merge per group — the two-step pattern
     q_percentile_sketch demonstrates, packaged as one call.
 
     Use this instead of `tdigest_agg` when |groups| < cores: the plain
     form's per-group sort window would funnel every value of a group
     through ONE task (the classic few-groups window skew), while the
     sharded form's first pass spreads each group over `shards` tasks and
-    the merge pass sorts only ~shards·δ/2 centroids per group."""
+    the merge pass sorts only ~shards·δ/2 centroids per group.
+
+    The default shard key is the VALUE hash — deterministic (re-runs
+    produce the identical digest, which the exact-hash oracle gate
+    needs), but it sends every duplicate of a value to one shard, so a
+    group dominated by a single repeated value (a quantized/zero-heavy
+    column) keeps the one-task funnel (review r13). For such columns
+    pass a deterministic row-identity `shard_expr` (e.g.
+    `F.col("user_id") % shards`, the q_percentile_sketch idiom) to
+    spread duplicates."""
     sharded = df.withColumn(
-        "_tf_shard", F.pmod(F.xxhash64(F.col(value_col)), F.lit(shards))
+        "_tf_shard",
+        shard_expr
+        if shard_expr is not None
+        else F.pmod(F.xxhash64(F.col(value_col)), F.lit(shards)),
     )
     partials = tdigest_agg(sharded, [*group_cols, "_tf_shard"], value_col, delta)
     return tdigest_merge(partials.drop("_tf_shard"), group_cols, delta=delta)
@@ -150,16 +175,22 @@ def tdigest_merge(
     return _compress(pts, group_cols, delta)
 
 
-def with_quantiles(
-    df: DataFrame, ps: dict[str, float], digest_col: str = "digest"
+def quantile_walk(
+    df: DataFrame,
+    counts: Column,
+    ps: dict[str, float],
+    read_out: Callable[[Column], Column],
 ) -> DataFrame:
-    """approx_percentile reader: for each requested p, the mean of the
-    first centroid whose cumulative weight reaches ceil(p·total) — the
-    same deterministic walk as the oracle (centroid means are sorted, so
-    cumulative weight is monotone in m)."""
-    staged = df.withColumn(
-        "_cnts", F.transform(digest_col, lambda e: e["c"])
-    ).withColumn(
+    """Shared cumulative-walk reader (review r13: this ~25-line walk was
+    duplicated between with_quantiles and percentile.with_percentiles):
+    for each requested p, `idx` = number of cumulative counts below
+    ceil(p·total), handed to `read_out(idx)` for the sketch-specific
+    value. Evaluation-count note: CollapseProject inlines the staged
+    `_tot`/`_cum` expressions into the filter lambda (the project-wide
+    hazard), re-evaluating them per element — tolerated here because the
+    arrays are digest-bounded (≤ δ/2 + 2 ≈ 102 elements), unlike the
+    unbounded-document sites that need a hard barrier."""
+    staged = df.withColumn("_cnts", counts).withColumn(
         "_tot", F.aggregate("_cnts", F.lit(0).cast("long"), lambda a, x: a + x)
     ).withColumn(
         "_cum",
@@ -174,10 +205,23 @@ def with_quantiles(
     for name, p in ps.items():
         target = F.ceil(F.lit(p) * F.col("_tot"))
         idx = F.size(F.filter(F.col("_cum"), lambda c: c < target))
-        out = out.withColumn(
-            name, F.element_at(F.col(digest_col), idx + 1)["m"]
-        )
+        out = out.withColumn(name, read_out(idx))
     return out.drop("_cnts", "_tot", "_cum")
+
+
+def with_quantiles(
+    df: DataFrame, ps: dict[str, float], digest_col: str = "digest"
+) -> DataFrame:
+    """approx_percentile reader: for each requested p, the mean of the
+    first centroid whose cumulative weight reaches ceil(p·total) — the
+    same deterministic walk as the oracle (centroid means are sorted, so
+    cumulative weight is monotone in m)."""
+    return quantile_walk(
+        df,
+        F.transform(digest_col, lambda e: e["c"]),
+        ps,
+        lambda idx: F.element_at(F.col(digest_col), idx + 1)["m"],
+    )
 
 
 def oracle_compress_sql(
@@ -187,7 +231,12 @@ def oracle_compress_sql(
     — emitted by the query modules so Spark and oracle share one algorithm
     definition. Returns a SELECT yielding (group..., m, c) centroids."""
     g = ", ".join(group_cols)
-    coeff = repr(scale_coeff(delta))
+    # emitted as a STRING cast to DOUBLE: a bare decimal literal parses as
+    # DECIMAL(17,15) in DuckDB, whose decimal→double conversion is 1 ulp
+    # off the Python/Spark double for ~11% of delta values (review r13,
+    # reproduced — delta=200 round-trips only by luck); string→double is
+    # correctly rounded on both engines
+    coeff = f"CAST('{scale_coeff(delta)!r}' AS DOUBLE)"
     # The weighted sum must be a SEQUENTIAL left fold over the sorted
     # members to match Spark's F.aggregate bit-for-bit — a windowed SUM
     # won't do (DuckDB's segment-tree association differs from a fold), so
