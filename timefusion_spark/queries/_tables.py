@@ -5,6 +5,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+def await_settled(q, timeout: int, what: str) -> None:
+    """awaitTermination with orphan cleanup: on timeout the query is
+    STOPPED before raising, so a caller's finally-block cleanup (rmtree
+    of the source/checkpoint dirs) can't yank files out from under a
+    still-running stream — which would crash asynchronously into the
+    shared SparkSession and can fail unrelated queries in the same
+    harness run (review r13)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(f"{what}: stream did not settle within {timeout}s")
+    exc = q.exception()
+    if exc is not None:
+        raise exc
+
+
 def _require(cond, *info) -> None:
     """In-query invariant pin that survives `python -O` (a bare `assert`
     compiles out, silently disabling the contract the query exists to

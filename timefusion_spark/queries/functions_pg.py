@@ -70,8 +70,8 @@ def q_extract_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_at_time_zone",
     oracle="""
     SELECT event_id,
-           timezone('America/New_York', ts::TIMESTAMPTZ) AS ny_time,
-           timezone('Asia/Tokyo', ts::TIMESTAMPTZ) AS tokyo_time
+           timezone('America/New_York', timezone('UTC', ts)) AS ny_time,
+           timezone('Asia/Tokyo', timezone('UTC', ts)) AS tokyo_time
     FROM events
     WHERE event_id <= 100
     ORDER BY event_id
@@ -278,7 +278,12 @@ def q_text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda: trigram_index(d),
     )
-    hits = trigram_search(d, idx_tbl.read(), "MERGE window")
+    # checkpoint: the pruning assert's count() and the returned groupBy
+    # would otherwise EACH run the full candidate join + verify — the
+    # timed query paid the search twice (review r13)
+    hits = trigram_search(d, idx_tbl.read(), "MERGE window").localCheckpoint(
+        eager=True
+    )
     # accelerator sanity: candidate pruning really happened (every doc in
     # the verify set holds all query trigrams; far fewer than the corpus)
     n_docs = d.count()

@@ -172,8 +172,8 @@ def q_pg_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            ROUND(epoch(ts), 6) AS epoch_secs,
-           CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS bucket,
-           timezone('America/New_York', ts::TIMESTAMPTZ) AS ny_time
+           timezone('UTC', to_timestamp(floor(epoch(ts) / 300) * 300)) AS bucket,
+           timezone('America/New_York', timezone('UTC', ts)) AS ny_time
     FROM events
     WHERE event_id <= 50
     ORDER BY event_id

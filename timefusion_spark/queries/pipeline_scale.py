@@ -220,7 +220,8 @@ def q_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared oracle scaffold: exact J≥0.5 near-dup edge set via the
 # sub-quadratic inverted-index equi-join, closed into components with a
-# recursive CTE (used by q_dedup_clusters and q_dedup_canonical).
+# recursive CTE (used by q_dedup_clusters, q_dedup_canonical and
+# q_leakage_safe_split).
 _COMPONENTS_CTE = """
     WITH RECURSIVE tok AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -355,7 +356,7 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         "source",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.size(dd.tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("source")
@@ -488,38 +489,9 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE tok AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
-    ), sh AS (
-      SELECT doc_id, {_SHINGLES3} AS shingles FROM tok
-    ), inv AS (
-      SELECT doc_id, unnest(shingles) AS s FROM sh
-    ), siz AS (
-      SELECT doc_id, len(shingles) AS n FROM sh
-    ), inter AS (
-      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
-      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), pairs AS (
-      SELECT ia, ib
-      FROM inter
-      JOIN siz sa ON sa.doc_id = ia
-      JOIN siz sb ON sb.doc_id = ib
-      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
-    ), edges AS (
-      SELECT ia AS a, ib AS b FROM pairs
-      UNION ALL
-      SELECT ib, ia FROM pairs
-    ), nodes AS (
-      SELECT DISTINCT a AS n FROM edges
-    ), reach(n, lab) AS (
-      SELECT n, n FROM nodes
-      UNION
-      SELECT e.a, r.lab FROM edges e JOIN reach r ON r.n = e.b
-    ), comp AS (
-      SELECT n, MIN(lab) AS component FROM reach GROUP BY n
-    ), csize AS (
+    oracle=_COMPONENTS_CTE.format(shingles=_SHINGLES3)
+    + """
+    , csize AS (
       SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
     )
     SELECT cluster_size, COUNT(*) AS n_clusters, MIN(component) AS min_root

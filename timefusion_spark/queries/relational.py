@@ -620,8 +620,8 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_date_bin_origin",
     oracle="""
-    SELECT CAST(to_timestamp(floor((epoch(ts) - epoch(TIMESTAMP '2026-01-01 00:30:00')) / 3600) * 3600
-                + epoch(TIMESTAMP '2026-01-01 00:30:00')) AS TIMESTAMP) AS bucket,
+    SELECT timezone('UTC', to_timestamp(floor((epoch(ts) - epoch(TIMESTAMP '2026-01-01 00:30:00')) / 3600) * 3600
+                + epoch(TIMESTAMP '2026-01-01 00:30:00'))) AS bucket,
            COUNT(*) AS n
     FROM events
     GROUP BY 1

@@ -7,7 +7,7 @@ match bit-for-bit before the display rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timefusion_spark.operators import similarity as sim
@@ -61,13 +61,20 @@ def _exact_l2_rerank(e: DataFrame, shortlist: DataFrame, qv: list[float]) -> Dat
         F.lit(0.0),
         lambda a, x: a + x,
     )
+    # n_shortlist is COUNTED from the shortlist, not a literal: the oracle
+    # pins 100, so an ADC path that truncated the shortlist (yet happened
+    # to keep the true NN) hash-mismatches instead of passing (review
+    # r13). The unpartitioned window runs over the bounded k-row
+    # shortlist only — a single 100-row task, not a corpus-wide exchange.
+    sl = shortlist.select("vec_id").withColumn(
+        "n_shortlist", F.count("*").over(Window.partitionBy())
+    )
     return (
-        e.join(shortlist.select("vec_id"), "vec_id", "leftsemi")
-        .select("vec_id", l2.alias("_l2"))
+        e.join(sl, "vec_id")
+        .select("vec_id", l2.alias("_l2"), "n_shortlist")
         .orderBy("_l2", "vec_id")
         .limit(1)
-        .select("vec_id", F.round("_l2", 4).alias("l2_dist"))
-        .withColumn("n_shortlist", F.lit(100).cast("long"))
+        .select("vec_id", F.round("_l2", 4).alias("l2_dist"), "n_shortlist")
     )
 
 
@@ -475,7 +482,7 @@ def q_ann_ivf_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from timefusion_spark.queries._tables import _require
+    from timefusion_spark.queries._tables import _require, await_settled
     from timefusion_spark.storage import Table
     from timefusion_spark.storage.schema import FieldDef, TableSchema
     from timefusion_spark.storage.streaming import ingest_stream
@@ -511,11 +518,9 @@ def q_ann_ivf_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cell", sim.l2_cell_expr(cents, "embedding").cast("int")
                 )
             )
-            if not ingest_stream(tbl, stream, ckpt).awaitTermination(300):
-                raise RuntimeError(
-                    "q_ann_ivf_streaming: ingest micro-batch did not finish "
-                    "within 300s"
-                )
+            await_settled(
+                ingest_stream(tbl, stream, ckpt), 300, "q_ann_ivf_streaming"
+            )
 
         wave1 = e.where(F.col("vec_id") <= 300)
         wave2 = e.where(F.col("vec_id") > 300)
@@ -1035,10 +1040,11 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH staged AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), cent AS (
-        SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM staged WHERE vec_id <= 512
+        SELECT CAST(vec_id AS INT) AS cid, v AS cv
+        FROM staged WHERE vec_id BETWEEN 1 AND 512
         UNION ALL
         SELECT CAST(vec_id + 512 AS INT) AS cid, list_transform(v, x -> -x) AS cv
-        FROM staged WHERE vec_id <= 512
+        FROM staged WHERE vec_id BETWEEN 1 AND 512
     ), scored_cells AS (
         SELECT s.vec_id, s.v, c.cid,
                ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
@@ -1116,7 +1122,12 @@ def _codebook_table(spark: SparkSession, sf_dir: str):
         )
 
     def build():
-        base = t(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 512).select(
+        # BETWEEN 1 AND 512, not <= 512: vec_id 0's negation would get cid
+        # 0+512 = 512 and collide with the base centroid for vector 512
+        # (two distinct centroids sharing one cell id).
+        base = t(spark, sf_dir, "embeddings").where(
+            F.col("vec_id").between(1, 512)
+        ).select(
             F.col("vec_id").cast("int").alias("cid"),
             F.col("embedding").cast("array<double>").alias("cv"),
         )
@@ -1128,5 +1139,5 @@ def _codebook_table(spark: SparkSession, sf_dir: str):
         )
 
     return cached_storage_table(
-        spark, sf_dir, "ivf_codebook", "neg512-v1", schema, build
+        spark, sf_dir, "ivf_codebook", "neg512-v2", schema, build
     )

@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timefusion_spark.queries._tables import _require, t
+from timefusion_spark.queries._tables import _require, await_settled, t
 from timefusion_spark.registry import query
 
 _SCHEMA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "schemas")
@@ -348,7 +348,7 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _run(ckpt: str) -> None:
             stream = spark.readStream.schema(src_schema).json(src)
             q = ingest_stream(tbl, stream, os.path.join(base_dir, ckpt))
-            _require(q.awaitTermination(300), "stream timed out (300s)")
+            await_settled(q, 300, "storage_mor ingest stream")
 
         _run("ckpt1")
         _run("ckpt2")  # full redelivery through a second stream
@@ -428,7 +428,7 @@ def q_streaming_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream,
             os.path.join(base_dir, "ckpt"),
         )
-        _require(q.awaitTermination(300), "stream timed out (300s)")
+        await_settled(q, 300, "storage_mor ingest stream")
         # every data commit in BOTH logs is group-stamped (coalesced)
         for tbl in (t_all, t_clicks):
             for name in sorted(os.listdir(tbl.log.log_dir)):
@@ -1283,7 +1283,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            _require(q.awaitTermination(300), "stream timed out (300s)")
+            await_settled(q, 300, "storage_mor ingest stream")
 
         _run()
         # Sessions still open at end-of-stream (beyond the last watermark)
@@ -1359,7 +1359,7 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        _require(q.awaitTermination(300), "stream timed out (300s)")
+        await_settled(q, 300, "storage_mor ingest stream")
         out = (
             spark.read.parquet(out_dir)
             .where(F.col("event_type") != "__drain__")
@@ -1497,7 +1497,7 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        _require(q.awaitTermination(300), "stream timed out (300s)")
+        await_settled(q, 300, "storage_mor ingest stream")
         out = (
             spark.read.parquet(out_dir)
             .groupBy("user_id")
@@ -1605,7 +1605,7 @@ def q_streaming_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        _require(q.awaitTermination(300), "stream timed out (300s)")
+        await_settled(q, 300, "storage_mor ingest stream")
         out = (
             spark.read.parquet(out_dir)
             .groupBy("_commit_version", "_change_type", "project_id")
@@ -1793,7 +1793,7 @@ def q_streaming_changefeed_variant(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        _require(q.awaitTermination(300), "stream timed out (300s)")
+        await_settled(q, 300, "storage_mor ingest stream")
         out = (
             spark.read.parquet(out_dir)
             .groupBy("_commit_version", "project_id")

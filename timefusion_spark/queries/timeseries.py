@@ -25,7 +25,7 @@ from timefusion_spark.registry import query
 @query(
     "q_time_bucket_counts",
     oracle="""
-    SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS bucket,
+    SELECT timezone('UTC', to_timestamp(floor(epoch(ts) / 300) * 300)) AS bucket,
            event_type,
            COUNT(*) AS n,
            ROUND(SUM(value), 2) AS total_value
@@ -86,7 +86,7 @@ def q_dashboard_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dashboard_24h",
     oracle="""
-    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
+    SELECT timezone('UTC', to_timestamp(floor(epoch(ts) / 3600) * 3600)) AS bucket,
            COUNT(*) AS n,
            COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
            COUNT(DISTINCT user_id) AS n_users,
@@ -126,7 +126,7 @@ def q_dashboard_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_error_rate",
     oracle="""
-    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
+    SELECT timezone('UTC', to_timestamp(floor(epoch(ts) / 3600) * 3600)) AS bucket,
            COUNT(*) AS n_total,
            COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
            ROUND(COUNT(*) FILTER (WHERE event_type = 'error') * 100.0 / COUNT(*), 4) AS error_pct
@@ -207,7 +207,7 @@ def q_recent_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY event_type ORDER BY bucket
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_n
     FROM (
-        SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
+        SELECT timezone('UTC', to_timestamp(floor(epoch(ts) / 3600) * 3600)) AS bucket,
                event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2
     ) b
@@ -794,7 +794,7 @@ def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_anomaly_zscore",
     oracle="""
     WITH b AS (
-      SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS bucket,
+      SELECT timezone('UTC', to_timestamp(floor(epoch(ts) / 300) * 300)) AS bucket,
              event_type, COUNT(*) AS n
       FROM events GROUP BY 1, 2
     ), w AS (
