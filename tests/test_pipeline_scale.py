@@ -371,3 +371,116 @@ class TestPackingAndGraphHardening:
         )
         with _pytest.raises(RuntimeError, match="did not converge"):
             connected_components(chain, max_iter=2)
+
+
+class TestR13OperatorEdges:
+    """Regression pins for the round-13 operator review findings."""
+
+    def test_pack_zero_size_doc_on_boundary(self, spark):
+        # a zero-size doc ending exactly on a chunk boundary used to get
+        # chunk_id = chunk_last + 1 (a phantom chunk) with spanned = 0
+        df = spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 0), ("a", 3, 3)], "g string, i long, n long"
+        )
+        out = {
+            (r.g, r.i): (r.chunk_id, r.chunk_last, r.chunks_spanned)
+            for r in pack_concat_chunks(df, "g", "i", "n", budget=10).collect()
+        }
+        assert out[("a", 1)] == (0, 0, 1)
+        assert out[("a", 2)] == (0, 0, 0)  # anchored to preceding token's chunk
+        assert out[("a", 3)] == (1, 1, 1)
+
+    def test_pack_zero_size_doc_first_in_group(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 0), ("a", 2, 5)], "g string, i long, n long"
+        )
+        out = {
+            r.i: (r.chunk_id, r.chunk_last, r.chunks_spanned)
+            for r in pack_concat_chunks(df, "g", "i", "n", budget=10).collect()
+        }
+        assert out[1] == (0, 0, 0)
+        assert out[2] == (0, 0, 1)
+
+    def test_components_converge_at_diameter_eq_max_iter(self, spark):
+        # diameter == max_iter must converge (propagation rounds + one
+        # confirming round); the loop used to raise despite full labels
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        got = {
+            r.n: r.component
+            for r in connected_components(edges, max_iter=2).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_quality_score_null_text_is_null(self, spark):
+        from timefusion_spark.operators.text_analysis import quality_score
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat with a hat"), (2, None)],
+            "id long, text string",
+        )
+        rows = {r.id: r.q for r in df.select(
+            "id", quality_score(F.col("text")).alias("q")
+        ).collect()}
+        assert rows[1] is not None and 0.0 <= rows[1] <= 1.0
+        assert rows[2] is None  # used to score ~0.833 via least() NULL-skip
+
+    def test_ngrams_null_tokens_is_null(self, spark):
+        from timefusion_spark.operators.text_analysis import ngrams
+
+        df = spark.createDataFrame(
+            [(1, ["a", "b", "c"]), (2, None)], "id long, toks array<string>"
+        )
+        rows = {r.id: r.g for r in df.select(
+            "id", ngrams(F.col("toks"), 2).alias("g")
+        ).collect()}
+        assert rows[1] == ["a b", "b c"]
+        assert rows[2] is None  # used to come back as an empty array
+
+    def test_mix_sample_null_source_and_key_not_dropped(self, spark):
+        from timefusion_spark.operators.packing import (
+            mix_sample,
+            temperature_mix_rates,
+        )
+
+        rows = [(f"k{i}", "web") for i in range(50)]
+        rows += [(f"n{i}", None) for i in range(50)]
+        rows += [(None, "books")]
+        df = spark.createDataFrame(rows, "k string, source string")
+        rates = temperature_mix_rates(df, "source", alpha=0.5, target_rows=200)
+        assert rates.count() == 3  # NULL source gets its own rates row
+        assert all(r.rate_ppb >= 1 for r in rates.collect())
+        kept = mix_sample(df, rates, "source", F.col("k"))
+        # target_rows (200) > corpus (101): every rate saturates at 1.0,
+        # so nothing may be dropped — including NULL source and NULL key
+        assert kept.count() == 101
+        assert kept.where(F.col("source").isNull()).count() == 50
+
+    def test_redact_email_with_ip_domain(self, spark):
+        from timefusion_spark.operators.text_analysis import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "contact john.doe@10.0.0.1 or jane@example.com")],
+            "id long, t string",
+        )
+        out = df.select(redact_pii(F.col("t")).alias("r")).first().r
+        # the local part used to survive as 'john.doe@<IP>'
+        assert "john.doe" not in out
+        assert out == "contact <EMAIL> or <EMAIL>"
+
+    def test_sample_hash_salt_decorrelates(self, spark):
+        from timefusion_spark.operators.packing import sample_hash
+
+        df = spark.createDataFrame(
+            [(f"key{i}",) for i in range(400)], "k string"
+        )
+        base = {r.k for r in df.where(sample_hash(F.col("k"), 10, 1)).collect()}
+        salted = {
+            r.k
+            for r in df.where(
+                sample_hash(F.col("k"), 10, 1, salt="v2")
+            ).collect()
+        }
+        assert base and salted
+        assert base != salted  # same call without salt returns base exactly
+        rerun = {r.k for r in df.where(sample_hash(F.col("k"), 10, 1)).collect()}
+        assert rerun == base

@@ -100,16 +100,26 @@ def poly_hash(s: Column) -> Column:
     )
 
 
+def gram_join(t: Column, k: int) -> Column:
+    """Positional space-joined k-gram list over a MATERIALIZED token-array
+    column — the ONE slice-and-join kernel shared by word shingles (here)
+    and text_analysis.ngrams, so gram semantics cannot drift between the
+    dedup and analysis families (review r13). Caller handles the
+    short-input (< k tokens) and NULL cases."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+
+
 def word_shingles_from_tokens(t: Column, k: int = 3) -> Column:
     """Distinct k-word shingles from a MATERIALIZED token-array column
     (array<string>) — `t` is sliced once per shingle, so it must be an
     attribute (see evaluation-count note below)."""
     n = F.size(t)
-    shingled = F.transform(
-        F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    return F.array_distinct(
+        F.when(n >= k, gram_join(t, k)).otherwise(F.array(F.concat_ws(" ", t)))
     )
-    return F.array_distinct(F.when(n >= k, shingled).otherwise(F.array(F.concat_ws(" ", t))))
 
 
 def word_shingles(c: Column, k: int = 3) -> Column:

@@ -12,7 +12,8 @@ its neighbors' labels; fixpoint = components. Convergence is detected
 with a one-scalar CHANGED-ROW count — type-agnostic (a sum-of-labels
 probe returns NULL for string node ids, which would read as converged
 after one round; review r11) and still no driver-side data
-materialization. Rounds = graph diameter; near-dup clusters are shallow
+materialization. Rounds = graph diameter + 1 (the confirming
+zero-changed round); near-dup clusters are shallow
 (pairs/stars), so 2-4 rounds in practice. Each round is one shuffled
 join + one aggregate, and lineage is truncated per round with
 localCheckpoint so plans stay O(1) deep. A graph deeper than
@@ -45,7 +46,11 @@ def connected_components(
         "component", F.col("n")
     )
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    # max_iter + 1: convergence needs diameter rounds to propagate PLUS
+    # one confirming round observing changed == 0 — with exactly max_iter
+    # iterations a graph of diameter == max_iter raised despite being
+    # fully converged (review r13)
+    for _ in range(max_iter + 1):
         nbr_min = (
             und.join(labels, und["b"] == labels["n"])
             .groupBy(und["a"].alias("n2"))
@@ -69,7 +74,8 @@ def connected_components(
     else:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "
-            "rounds (graph diameter exceeds max_iter); raise max_iter — "
-            "returning partial components would silently split clusters"
+            "label-propagation rounds (graph diameter exceeds max_iter); "
+            "raise max_iter — returning partial components would "
+            "silently split clusters"
         )
     return labels

@@ -48,24 +48,42 @@ def pack_concat_chunks(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(size_col).over(w)
-    first_chunk = F.floor((cum - F.col(size_col)) / F.lit(budget))
+    size = F.col(size_col)
+    first_chunk = F.floor((cum - size) / F.lit(budget))
     last_chunk = F.floor((cum - F.lit(1)) / F.lit(budget))
+    # A zero-size document ending exactly on a chunk boundary would get
+    # chunk_id = chunk_last + 1 — a phantom chunk no token ever reaches
+    # (review r13). Zero-size docs anchor both ids at the chunk of the
+    # preceding token (0 when first in group) with chunks_spanned = 0.
+    anchor = F.greatest(last_chunk, F.lit(0))
     return (
-        df.withColumn("chunk_id", first_chunk)
-        .withColumn("chunk_last", last_chunk)
+        df.withColumn("chunk_id", F.when(size == 0, anchor).otherwise(first_chunk))
+        .withColumn("chunk_last", F.when(size == 0, anchor).otherwise(last_chunk))
         .withColumn(
-            "chunks_spanned", F.col("chunk_last") - F.col("chunk_id") + F.lit(1)
+            "chunks_spanned",
+            F.when(size == 0, F.lit(0)).otherwise(
+                F.col("chunk_last") - F.col("chunk_id") + F.lit(1)
+            ),
         )
     )
 
 
-def sample_hash(key: Column, modulus: int = 10, keep_below: int = 1) -> Column:
+def sample_hash(
+    key: Column, modulus: int = 10, keep_below: int = 1, salt: str | None = None
+) -> Column:
     """Deterministic hash-sampling predicate: keep rows where
     ``poly_hash(key) % modulus < keep_below`` (a ``keep_below/modulus``
     rate). A pure per-row filter — no shuffle, no RNG state, reproducible
     across engines (poly_hash has a bit-exact DuckDB mirror) and across
-    reruns, which is what makes ablation/holdout splits auditable."""
-    return F.pmod(poly_hash(key), F.lit(modulus)) < F.lit(keep_below)
+    reruns, which is what makes ablation/holdout splits auditable.
+
+    ``salt`` decorrelates independent samples: without it two same-rate
+    samples over the same key are the IDENTICAL row set and different-
+    modulus samples are correlated (h%20==0 implies h%10==0) — pass a
+    distinct salt per draw (the DuckDB mirror prepends the same literal)
+    (review r13)."""
+    k = F.concat(F.lit(salt), key) if salt else key
+    return F.pmod(poly_hash(k), F.lit(modulus)) < F.lit(keep_below)
 
 
 def stratified_rank(
@@ -75,7 +93,12 @@ def stratified_rank(
     ``group_col`` stratum (1 = first sampled). ``_rk <= k`` is an exact-k
     per-stratum sample with hash-order determinism — the distributed
     analog of seeded reservoir sampling, as one window. ``tiebreak``
-    (default: the key itself) makes equal-hash rows totally ordered."""
+    (default: the key itself) makes equal-hash rows totally ordered —
+    but ONLY if the key (or tiebreak) is unique per stratum: rows
+    SHARING a key tie on (hash, key) and row_number breaks the tie
+    partition-order-dependently, so duplicate keys need an explicit
+    unique ``tiebreak`` for the determinism claim to hold (review
+    r13)."""
     h = poly_hash(key)
     w = Window.partitionBy(group_col).orderBy(
         h, key if tiebreak is None else tiebreak
@@ -87,14 +110,18 @@ def temperature_mix_rates(
     df: DataFrame, source_col: str, alpha: float, target_rows: int
 ) -> DataFrame:
     """Temperature-scaled corpus-mixing rates: one row per source with
-    `n_src` and `rate_ppm`, the per-source keep probability (parts per
-    million) such that sampled sources mix in proportion to n^alpha
+    `n_src` and `rate_ppb`, the per-source keep probability (parts per
+    billion) such that sampled sources mix in proportion to n^alpha
     (alpha < 1 upweights small sources — the standard multilingual /
     multi-corpus mixing rule) with ~`target_rows` total rows kept.
 
     rate_s = min(1, target_rows · n_s^α / Σ n^α / n_s), published as an
-    integer ppm so the hash filter `poly_hash(key) % 1e6 < rate_ppm` is an
-    exact integer comparison, bit-reproducible across engines and reruns.
+    integer parts-per-BILLION so the hash filter `poly_hash(key) % 1e9 <
+    rate_ppb` is an exact integer comparison, bit-reproducible across
+    engines and reruns. ppb, not ppm, and floored at 1: at ppm a dominant
+    source whose rate fell below 0.5e-6 rounded to 0 and was dropped from
+    the mix ENTIRELY, and 1-ppm rates carried up to ~50% relative error
+    (review r13).
 
     Scale: one map-side-combinable count per source plus a single-row
     normalization window over |sources| rows — the rates frame is tiny by
@@ -109,7 +136,8 @@ def temperature_mix_rates(
         F.lit(float(target_rows)) * F.col("_w") / F.col("_w_tot") / F.col("n_src"),
     )
     return w.withColumn(
-        "rate_ppm", F.round(rate * F.lit(1_000_000)).cast("long")
+        "rate_ppb",
+        F.greatest(F.lit(1), F.round(rate * F.lit(1_000_000_000))).cast("long"),
     ).drop("_w", "_w_tot")
 
 
@@ -117,10 +145,21 @@ def mix_sample(
     df: DataFrame, rates: DataFrame, source_col: str, key: Column
 ) -> DataFrame:
     """Apply temperature-mix rates: broadcast-join the tiny rates frame and
-    keep rows whose portable hash lands under the source's rate_ppm. A
-    map-only filter after a broadcast join — zero corpus shuffle."""
-    return df.join(F.broadcast(rates), source_col).where(
-        F.pmod(poly_hash(key), F.lit(1_000_000)) < F.col("rate_ppm")
+    keep rows whose portable hash lands under the source's rate_ppb. A
+    map-only filter after a broadcast join — zero corpus shuffle.
+
+    Null-safe on both legs (review r13): the join matches a NULL source
+    to its NULL-source rates row (a plain equi-join never matches NULL =
+    NULL, silently dropping every such row while the rates frame claims
+    they are sampled), and a NULL key hashes as the empty string instead
+    of making the filter predicate NULL — silently dropping training
+    rows is the one failure a pipeline can't see."""
+    joined = df.join(
+        F.broadcast(rates), df[source_col].eqNullSafe(rates[source_col])
+    ).drop(rates[source_col])
+    return joined.where(
+        F.pmod(poly_hash(F.coalesce(key, F.lit(""))), F.lit(1_000_000_000))
+        < F.col("rate_ppb")
     )
 
 

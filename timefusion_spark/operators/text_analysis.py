@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from timefusion_spark.operators.dedup import normalize_text, tokens
+from timefusion_spark.operators.dedup import gram_join, normalize_text, tokens
 
 # English function words used by the stopword-ratio features. Deliberately
 # tiny + hardcoded so the DuckDB oracle can mirror it exactly.
@@ -48,11 +48,19 @@ def quality_score_parts(n_tok: Column, stop_ratio: Column, atl: Column) -> Colum
     both quality_score() and staged pipelines (q_training_pipeline)
     compose, so the band constants cannot drift between copies (review
     r12). Mirrored verbatim by the oracles of q_quality_scores and
-    q_training_pipeline."""
+    q_training_pipeline (whose corpus has no NULL text, so the NULL guard
+    below is Spark-side semantics only).
+
+    NULL features propagate to a NULL score: F.least SKIPS NULLs, so
+    without the guard a missing document scored ~0.833 — outranking most
+    real documents in any quality filter (review r13)."""
     len_score = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
     stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
     shape_score = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    return (len_score + stop_score + shape_score) / 3.0
+    return F.when(
+        n_tok.isNull() | stop_ratio.isNull() | atl.isNull(),
+        F.lit(None).cast("double"),
+    ).otherwise((len_score + stop_score + shape_score) / 3.0)
 
 
 def quality_score(c: Column) -> Column:
@@ -76,14 +84,20 @@ def doc_fingerprint(c: Column) -> Column:
 
 def ngrams(toks: Column, n: int) -> Column:
     """Array of space-joined token n-grams over an already-staged token
-    array. Pass an ATTRIBUTE column (withColumn the token split first):
-    transform(sequence) re-reads its input per element, so an unstaged
-    split() expression would re-tokenize O(len) times."""
+    array (the shared dedup.gram_join kernel). Pass an ATTRIBUTE column
+    (withColumn the token split first): transform(sequence) re-reads its
+    input per element, so an unstaged split() expression would
+    re-tokenize O(len) times.
+
+    A NULL token array yields NULL, not an empty array — masking missing
+    documents as 'no ngrams' conflates them with genuinely short docs
+    (review r13)."""
     count = F.size(toks) - F.lit(n - 1)
-    return F.when(count >= 1, F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )).otherwise(F.array().cast("array<string>"))
+    return (
+        F.when(toks.isNull(), F.lit(None).cast("array<string>"))
+        .when(count >= 1, gram_join(toks, n))
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def dup_token_fraction(toks: Column) -> Column:
@@ -97,6 +111,10 @@ def dup_token_fraction(toks: Column) -> Column:
 # deliberately lookaround-free so Java regex (Spark) and RE2 (DuckDB)
 # agree character-for-character.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# emails whose domain is a dotted quad: PII_EMAIL requires an alphabetic
+# TLD, so without this pattern 'john.doe@10.0.0.1' kept its identifying
+# local part while only the IP half was redacted (review r13)
+PII_EMAIL_IPDOM = r"[A-Za-z0-9._%+-]+@(\d{1,3}\.){3}\d{1,3}"
 PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
 PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
 
@@ -105,9 +123,11 @@ def redact_pii(c: Column) -> Column:
     """Training-data PII scrub: emails → <EMAIL>, IPv4 → <IP>, phone-ish
     digit runs → <PHONE>. Chained regexp_replace — pure JVM expression,
     map-only at any scale. Order matters: emails first (their local part
-    contains digits), IPs before phones (so dotted quads never feed the
-    looser digit-run pattern)."""
+    contains digits; IP-domain emails before bare IPs so the dotted quad
+    doesn't strand the username), IPs before phones (so dotted quads
+    never feed the looser digit-run pattern)."""
     out = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_EMAIL_IPDOM, "<EMAIL>")
     out = F.regexp_replace(out, PII_IPV4, "<IP>")
     return F.regexp_replace(out, PII_PHONE, "<PHONE>")
 

@@ -176,18 +176,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     ), r AS (
       SELECT source, n_src,
-             CAST(ROUND(LEAST(1.0, 2000 * w_raw / w_tot / n_src) * 1000000)
-                  AS BIGINT) AS rate_ppm
+             CAST(GREATEST(1, ROUND(LEAST(1.0, 2000 * w_raw / w_tot / n_src)
+                  * 1000000000)) AS BIGINT) AS rate_ppb
       FROM w
     ), keyed AS (
       SELECT source, CAST(doc_id AS VARCHAR) AS k FROM documents
     ), s AS (
       SELECT keyed.source, COUNT(*) AS n_sampled
       FROM keyed JOIN r ON keyed.source = r.source
-      WHERE {_H.format(s="k")} % 1000000 < r.rate_ppm
+      WHERE {_H.format(s="k")} % 1000000000 < r.rate_ppb
       GROUP BY 1
     )
-    SELECT r.source, r.n_src, r.rate_ppm,
+    SELECT r.source, r.n_src, r.rate_ppb,
            COALESCE(s.n_sampled, 0) AS n_sampled
     FROM r LEFT JOIN s ON r.source = s.source
     ORDER BY r.source
@@ -195,7 +195,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Temperature-scaled corpus mixing (operators/packing.py::"
     "temperature_mix_rates): per-source keep rates ∝ n^0.5 targeting "
     "~2000 rows (the standard multilingual upweight-small-sources rule), "
-    "applied as a broadcast join + portable-hash ppm filter — zero corpus "
+    "applied as a broadcast join + portable-hash ppb filter — zero corpus "
     "shuffle, deterministic across engines/reruns. Oracle reproduces the "
     "rate arithmetic and poly_hash bit-for-bit.",
 )
@@ -211,7 +211,7 @@ def q_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_src",
-            "rate_ppm",
+            "rate_ppb",
             F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
         )
         .orderBy("source")

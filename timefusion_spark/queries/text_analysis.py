@@ -385,7 +385,9 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips,
            regexp_replace(
              regexp_replace(
-               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@(\\d{1,3}\\.){3}\\d{1,3}', '<EMAIL>', 'g'),
                '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
              '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS redacted
     FROM aug
