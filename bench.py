@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -195,7 +196,7 @@ def _control_gate(spark, sf_dir: str, qs, sf: float) -> dict:
         if result["ok"] or attempt == CONTROL_RETRIES:
             return result
         _t.sleep(15)  # cool-down: let a transient co-tenant drain
-    return result
+    raise AssertionError("unreachable: final attempt always returns")
 
 
 def _timed(thunk) -> float:
@@ -219,7 +220,12 @@ def _settle(raws: list[float], run_once) -> float:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # only literally sf<number>-named dirs carry a scale factor; anything
+    # else records sf=-1.0 (unknown) rather than crashing at startup or
+    # mislabeling foreign data as sf0.1 and poisoning the sf-matched
+    # control anchor (review r13)
+    m = re.fullmatch(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else -1.0
 
     import __spark_entry__ as entrymod
     from timefusion_spark.session import get_spark
@@ -496,6 +502,10 @@ def main() -> int:
         separators=(",", ":"),
     )
     if len(line) > 1500:  # drop optional fields before breaking the contract
+        # the ingest/latency extras go first; box + controls_ok stay —
+        # dropping the contamination flag would let an out-of-band round
+        # be recorded as a clean measurement, the exact r9 failure the
+        # control gate exists to prevent (review r13)
         line = json.dumps(
             {
                 "metric": "headline_total_wall",
@@ -503,6 +513,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": sf,
+                "box": {"load1": box["loadavg"][0], "jvms": box["concurrent_jvms"]},
+                "controls_ok": controls.get("ok", True),
             },
             separators=(",", ":"),
         )
@@ -639,9 +651,16 @@ def _mor_split_bench(spark, sf_dir: str) -> dict:
         read_once()  # warm (codegen + page cache), matching baseline's warm rows
         read_runs = [read_once() for _ in range(2)]
         best["q_mor_read"] = _settle(read_runs, read_once)
+        runs["q_mor_read"] = read_runs
+    except Exception as e:  # noqa: BLE001
+        # the lifecycle timings above are already measured — a read-phase
+        # failure must not discard them from the round artifact; record
+        # the headline -1.0 error sentinel instead (review r13)
+        print(f"bench mor-read: ERROR {e}", file=sys.stderr)
+        best["q_mor_read"] = -1.0
+        runs["q_mor_read"] = []
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
-    runs["q_mor_read"] = read_runs
     return {"best": best, "runs": runs}
 
 
@@ -715,14 +734,36 @@ def _network_ingest_bench(spark, sf_dir: str) -> dict:
         return d
 
     def until_ready(s):
+        # an ErrorResponse before ReadyForQuery FAILS the bench run — the
+        # old drain-everything loop recorded a failed COPY as a healthy
+        # rows/sec number (review r13)
+        err = None
         while True:
             tag = recv_exact(s, 1)
             (ln,) = _struct.unpack("!i", recv_exact(s, 4))
-            recv_exact(s, ln - 4)
+            body = recv_exact(s, ln - 4)
+            if tag == b"E" and err is None:
+                err = body
             if tag == b"Z":
+                if err is not None:
+                    raise RuntimeError(
+                        f"pgwire error during bench: {err[:300]!r}"
+                    )
                 return
 
+    def expect_tag(s, want):
+        # explicit raise, not assert: `python -O` compiles asserts out,
+        # turning a protocol desync into silent garbage metrics
+        tag = recv_exact(s, 1)
+        (ln,) = _struct.unpack("!i", recv_exact(s, 4))
+        body = recv_exact(s, ln - 4)
+        if tag != want:
+            raise RuntimeError(
+                f"pgwire bench expected {want!r}, got {tag!r} ({body[:200]!r})"
+            )
+
     srv = PgWireServer(spark, base_dir=os.path.join(base, "pg")).start()
+    sock = None
     try:
         payload = "".join(
             f"2026-01-01 {i % 24:02d}:{i % 60:02d}:00\tr{i}\t{i}.5\tp{i % 4}\n"
@@ -741,10 +782,7 @@ def _network_ingest_bench(spark, sf_dir: str) -> dict:
         t0 = _t.perf_counter()
         q = b"COPY copy_bench FROM STDIN\x00"
         sock.sendall(b"Q" + _struct.pack("!i", len(q) + 4) + q)
-        tag = recv_exact(sock, 1)
-        (ln,) = _struct.unpack("!i", recv_exact(sock, 4))
-        recv_exact(sock, ln - 4)
-        assert tag == b"G", tag
+        expect_tag(sock, b"G")
         for i in range(0, len(payload), 262144):
             d = payload[i : i + 262144]
             sock.sendall(b"d" + _struct.pack("!i", len(d) + 4) + d)
@@ -752,8 +790,9 @@ def _network_ingest_bench(spark, sf_dir: str) -> dict:
         until_ready(sock)
         out["copy_rows_per_sec"] = round(n / (_t.perf_counter() - t0), 1)
         sock.sendall(b"X" + _struct.pack("!i", 4))
-        sock.close()
     finally:
+        if sock is not None:
+            sock.close()
         srv.stop()
 
     yaml = """
@@ -815,21 +854,28 @@ fields:
             )
             for lo in range(0, n, size)
         ]
+        def expect_ack(s, want):
+            tag = recv_exact(s, 1)
+            if tag != want:
+                raise RuntimeError(
+                    f"arrow ingest bench expected {want!r}, got {tag!r}"
+                )
+            recv_exact(s, 8)
+
         t0 = _t.perf_counter()
         sock = _socket.create_connection(("127.0.0.1", ing.port), timeout=300)
-        header = _json.dumps({"table": "arrow_bench"}).encode()
-        sock.sendall(_struct.pack("!I", len(header)) + header)
-        assert recv_exact(sock, 1) == b"W"  # resume watermark
-        recv_exact(sock, 8)
-        writer = ipc.new_stream(_Sink(sock), batches[0].schema)
-        for b in batches:
-            writer.write_batch(b)
-            assert recv_exact(sock, 1) == b"A"
-            recv_exact(sock, 8)
-        writer.close()
-        assert recv_exact(sock, 1) == b"F"
-        recv_exact(sock, 8)
-        sock.close()
+        try:
+            header = _json.dumps({"table": "arrow_bench"}).encode()
+            sock.sendall(_struct.pack("!I", len(header)) + header)
+            expect_ack(sock, b"W")  # resume watermark
+            writer = ipc.new_stream(_Sink(sock), batches[0].schema)
+            for b in batches:
+                writer.write_batch(b)
+                expect_ack(sock, b"A")
+            writer.close()
+            expect_ack(sock, b"F")
+        finally:
+            sock.close()
         out["arrow_rows_per_sec"] = round(n / (_t.perf_counter() - t0), 1)
     finally:
         ing.stop()
@@ -900,8 +946,7 @@ def _query_under_ingest(spark, sf_dir: str, qs) -> dict:
             t0 = _t.perf_counter()
             fn(spark, sf_dir).collect()
             lat.append((_t.perf_counter() - t0) * 1000)
-            if not q.awaitTermination(0.05):
-                continue
+            q.awaitTermination(0.05)  # brief poll between timed queries
         q.awaitTermination(120)
         lat.sort()
         return {

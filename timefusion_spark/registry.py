@@ -31,6 +31,11 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator: register a (spark, sf_dir) -> DataFrame callable."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # a silent overwrite would replace BOTH the implementation and its
+        # oracle — the gate then certifies the surviving duplicate while
+        # the shadowed query is never verified (review r13)
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
         REGISTRY[name] = QuerySpec(name=name, spark_fn=fn, oracle=oracle, doc=doc or fn.__doc__ or "")
         return fn
 
@@ -245,9 +250,23 @@ PRIORITY: tuple[str, ...] = (
 
 
 def _reorder() -> None:
-    """Rebuild REGISTRY with PRIORITY names first (skipping any not yet
-    registered), then the remaining entries in registration order."""
-    ordered = {n: REGISTRY[n] for n in PRIORITY if n in REGISTRY}
+    """Rebuild REGISTRY with PRIORITY names first, then the remaining
+    entries in registration order. A PRIORITY name missing from the
+    registry is a hard error, not a silent skip: a typo'd rotation would
+    shift every later entry up one slot and evict the query the rotation
+    meant to pin from the driver's first-50 gate with zero signal
+    (review r13)."""
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    if missing:
+        raise ValueError(f"PRIORITY names not registered: {missing}")
+    if len(PRIORITY) != len(set(PRIORITY)):
+        raise ValueError("PRIORITY contains duplicate names")
+    if len(PRIORITY) != 50:
+        raise ValueError(
+            f"PRIORITY must pin exactly the 50-query gate window, got "
+            f"{len(PRIORITY)}"
+        )
+    ordered = {n: REGISTRY[n] for n in PRIORITY}
     for n, spec in REGISTRY.items():
         if n not in ordered:
             ordered[n] = spec
