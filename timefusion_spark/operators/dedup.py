@@ -321,6 +321,101 @@ def minhash_signature(shingles: Column) -> Column:
     return F.array(*mins)
 
 
+def _band_explode(
+    sigs: DataFrame,
+    n_bands: int,
+    n_rows: int,
+    m_struct: Column,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Explode a (_id, _sig[, ...]) signature frame into banding rows
+    (m, *extra, band, key) — the ONE band-hash expression shared by
+    same-corpus candidate pairing and the cross-corpus decontamination
+    join, which had drifted as a ~90-line copy (review r12, closed r13).
+
+    Band structs as ONE nested-loop expression (a transform over the
+    band index) instead of n_bands unrolled struct trees: same values,
+    O(1) Catalyst tree size — plan analysis/optimization time on the
+    near-dup pipelines is dominated by tree size, not execution."""
+    return sigs.select(
+        m_struct.alias("m"),
+        *[F.col(c) for c in extra],
+        F.expr(
+            f"explode(transform(sequence(0, {n_bands - 1}), j -> "
+            f"named_struct('band', j, 'key', "
+            f"concat_ws('-', transform(slice(_sig, j * {n_rows} + 1, {n_rows}), "
+            f"x -> cast(x AS string))))))"
+        ).alias("b"),
+    ).select("m", *extra, "b.band", "b.key")
+
+
+def _split_hot_cold(
+    bands: DataFrame, keys: list[str], bucket_cap: int | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split banding rows into (cold_bands, hot_bands-or-None) around the
+    degenerate-bucket guard: buckets larger than ``bucket_cap`` must not
+    materialize as one collect_list row (a boilerplate cluster collides
+    in EVERY band; C(m, 2) expansion in one task is a serialized hot spot
+    no executor count helps) — the caller expands them through an
+    equi-join instead, which AQE's skew handling can split.
+
+    The hot-key list comes from one map-side-combinable count with a
+    BOUNDED collect: at most HOT_KEY_LITERAL_MAX+1 keys ever reach the
+    driver. ≤ max → this IS the complete hot set (limit returned
+    everything) and the common empty case keeps the exact pre-guard
+    plan. The overflow sentinel (+1 row) switches to a semi/anti-join
+    split against the UNCOLLECTED hot-key frame (r8 verdict ask #5) —
+    a pathological corpus with millions of >cap clusters neither bloats
+    the plan string nor the driver; AQE picks broadcast vs shuffle by
+    the frame's actual size. Same rows either way.
+
+    Key composition: one string so a literal isin filter splits hot from
+    cold without any join. Delimiter collisions are impossible (band is
+    an int, key a dash-joined decimal string, and the field separator
+    appears in neither). A NULL field is encoded as the bare NUL sentinel
+    and a non-null value gets a \\x01 prefix, so NULL, '' and the literal
+    string "\\x00" all compose DISTINCTLY — plain coalesce-to-'' would
+    let an oversized empty-string-block bucket drag same-(band,key)
+    NULL-block rows out of the cold path (and vice versa), and the cold
+    path groups NULL blocks into buckets while a plain-equality hot join
+    would silently drop their pairs."""
+    if bucket_cap is None:
+        return bands, None
+    hot_df = (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") > bucket_cap)
+        .select(*keys)
+    )
+    hot_keys = [
+        tuple(r[c] for c in keys)
+        for r in hot_df.limit(HOT_KEY_LITERAL_MAX + 1).collect()
+    ]
+    if not hot_keys:
+        return bands, None
+    sep = "\x1f"
+
+    def enc_col(c: str) -> Column:
+        col = F.col(c).cast("string")
+        return F.when(col.isNull(), F.lit("\x00")).otherwise(
+            F.concat(F.lit("\x01"), col)
+        )
+
+    def enc_val(v) -> str:
+        return "\x00" if v is None else "\x01" + str(v)
+
+    composed = F.concat_ws(sep, *[enc_col(c) for c in keys])
+    if len(hot_keys) <= HOT_KEY_LITERAL_MAX:
+        lits = [sep.join(enc_val(v) for v in t) for t in hot_keys]
+        return bands.where(~composed.isin(lits)), bands.where(composed.isin(lits))
+    hk = hot_df.select(F.concat_ws(sep, *[enc_col(c) for c in keys]).alias("_ck"))
+    tagged = bands.withColumn("_ck", composed)
+    return (
+        tagged.join(hk, "_ck", "left_anti").drop("_ck"),
+        tagged.join(hk, "_ck", "left_semi").drop("_ck"),
+    )
+
+
 def banded_candidate_pairs(
     sigs: DataFrame,
     n_bands: int,
@@ -364,7 +459,6 @@ def banded_candidate_pairs(
     agreeing signature positions estimates jaccard at O(len(sig)) per pair
     from the signatures already collected, so screening costs no extra join.
     """
-    blk = [F.col("_blk")] if block_col else []
     blk_names = ["_blk"] if block_col else []
     if bucket_cap is not None:
         # With the cap on, the banding relation is consumed THREE times
@@ -374,86 +468,15 @@ def banded_candidate_pairs(
         # feeding `sigs` (id + sig ≈ 300 B/doc — the same size class the
         # winnow/substring pipelines checkpoint).
         sigs = sigs.localCheckpoint(eager=True)
-    # Band structs as ONE nested-loop expression (a transform over the
-    # band index) instead of n_bands unrolled struct trees: same values,
-    # O(1) Catalyst tree size — plan analysis/optimization time on the
-    # near-dup pipelines is dominated by tree size, not execution.
-    bands = sigs.select(
-        F.struct(F.col("_id").alias("i"), F.col("_sig").alias("s")).alias("m"),
-        *blk,
-        F.expr(
-            f"explode(transform(sequence(0, {n_bands - 1}), j -> "
-            f"named_struct('band', j, 'key', "
-            f"concat_ws('-', transform(slice(_sig, j * {n_rows} + 1, {n_rows}), "
-            f"x -> cast(x AS string))))))"
-        ).alias("b"),
-    ).select("m", *blk_names, "b.band", "b.key")
+    bands = _band_explode(
+        sigs,
+        n_bands,
+        n_rows,
+        F.struct(F.col("_id").alias("i"), F.col("_sig").alias("s")),
+        extra=tuple(blk_names),
+    )
     keys = ["band", "key", *blk_names]
-
-    hot_keys: list[tuple] = []
-    hot_df = None
-    if bucket_cap is not None:
-        hot_df = (
-            bands.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("_bsz"))
-            .where(F.col("_bsz") > bucket_cap)
-            .select(*keys)
-        )
-        # BOUNDED collect: at most HOT_KEY_LITERAL_MAX+1 keys ever reach
-        # the driver. ≤ max → this IS the complete hot set (limit returned
-        # everything) and the common empty case keeps the exact pre-guard
-        # plan. The overflow sentinel (+1 row) switches to the pure-frame
-        # join path below WITHOUT collecting the rest — a pathological
-        # corpus with millions of >cap clusters never lands driver-side.
-        hot_keys = [
-            tuple(r[c] for c in keys)
-            for r in hot_df.limit(HOT_KEY_LITERAL_MAX + 1).collect()
-        ]
-    if hot_keys:
-        # Compose (band, key[, blk]) into one string so a literal isin
-        # filter splits hot from cold without any join. Delimiter
-        # collisions are impossible (band is an int, key a dash-joined
-        # decimal string, and the field separator appears in neither).
-        # A NULL field is encoded as the bare NUL sentinel and a non-null
-        # value gets a \x01 prefix, so NULL, '' and the literal string
-        # "\x00" all compose DISTINCTLY — plain coalesce-to-'' would let
-        # an oversized empty-string-block bucket drag same-(band,key)
-        # NULL-block rows out of the cold path (and vice versa), and the
-        # cold path groups NULL blocks into buckets while a plain-equality
-        # hot join would silently drop their pairs.
-        sep = "\x1f"
-
-        def enc_col(c: str) -> Column:
-            col = F.col(c).cast("string")
-            return F.when(col.isNull(), F.lit("\x00")).otherwise(
-                F.concat(F.lit("\x01"), col)
-            )
-
-        def enc_val(v) -> str:
-            return "\x00" if v is None else "\x01" + str(v)
-
-        composed = F.concat_ws(sep, *[enc_col(c) for c in keys])
-        if len(hot_keys) <= HOT_KEY_LITERAL_MAX:
-            lits = [sep.join(enc_val(v) for v in t) for t in hot_keys]
-            cold_bands = bands.where(~composed.isin(lits))
-            hot_bands = bands.where(composed.isin(lits))
-        else:
-            # Overflow (r8 verdict ask #5): more hot buckets than the
-            # literal budget — route the split through semi/anti joins
-            # against the UNCOLLECTED hot-key frame, composed with the
-            # same null-distinct encoding. AQE picks broadcast vs shuffle
-            # by the frame's actual size, so a pathologically boilerplate
-            # corpus (millions of distinct >cap clusters) neither bloats
-            # the plan string nor the driver. Same rows either way.
-            hk = hot_df.select(
-                F.concat_ws(sep, *[enc_col(c) for c in keys]).alias("_ck")
-            )
-            tagged = bands.withColumn("_ck", composed)
-            cold_bands = tagged.join(hk, "_ck", "left_anti").drop("_ck")
-            hot_bands = tagged.join(hk, "_ck", "left_semi").drop("_ck")
-    else:
-        cold_bands = bands
-        hot_bands = None
+    cold_bands, hot_bands = _split_hot_cold(bands, keys, bucket_cap)
 
     buckets = (
         cold_bands.groupBy(*keys)
@@ -1249,60 +1272,21 @@ def minhash_lsh_join(
         # hot-bucket count and both split branches — checkpoint the
         # signatures so only the cheap explode re-runs
         u = u.localCheckpoint(eager=True)
-    bands = u.select(
+    bands = _band_explode(
+        u,
+        LSH_BANDS,
+        LSH_ROWS,
         F.struct(
             F.col("_id").alias("i"), F.col("_sig").alias("s"), F.col("_side").alias("d")
-        ).alias("m"),
-        F.expr(
-            f"explode(transform(sequence(0, {LSH_BANDS - 1}), j -> "
-            f"named_struct('band', j, 'key', "
-            f"concat_ws('-', transform(slice(_sig, j * {LSH_ROWS} + 1, {LSH_ROWS}), "
-            f"x -> cast(x AS string))))))"
-        ).alias("b"),
-    ).select("m", "b.band", "b.key")
-    # Degenerate-bucket guard (same rationale and mechanics as
-    # banded_candidate_pairs): a boilerplate cluster shared by corpus and
-    # probe collides in every band; its bucket must not materialize as
-    # one collect_list row. Hot buckets expand through a cross-side
-    # equi-join instead — AQE-skew-splittable, and same-side pairs never
-    # form because the join sides are the side-0 and side-1 slices.
-    hot_keys: list[str] = []
-    hot_df = None
-    if bucket_cap is not None:
-        hot_df = (
-            bands.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
-            .where(F.col("_bsz") > bucket_cap)
-            .select("band", "key")
-        )
-        # BOUNDED collect + overflow join path — the same discipline as
-        # banded_candidate_pairs (review r11: this copy collected the
-        # full hot set unbounded and inlined every key as a plan
-        # literal, the exact failure HOT_KEY_LITERAL_MAX was added to
-        # prevent). band is an int and key a dash-joined decimal string,
-        # both non-null, so the plain composition needs no null encoding.
-        hot_keys = [
-            f"{r['band']}\x1f{r['key']}"
-            for r in hot_df.limit(HOT_KEY_LITERAL_MAX + 1).collect()
-        ]
-    hot_bands = None
-    cold_bands = bands
-    if hot_keys:
-        composed = F.concat_ws("\x1f", F.col("band").cast("string"), F.col("key"))
-        if len(hot_keys) <= HOT_KEY_LITERAL_MAX:
-            cold_bands = bands.where(~composed.isin(hot_keys))
-            hot_bands = bands.where(composed.isin(hot_keys))
-        else:
-            # overflow: split via semi/anti joins against the UNCOLLECTED
-            # hot-key frame (AQE picks broadcast vs shuffle by size)
-            hk = hot_df.select(
-                F.concat_ws(
-                    "\x1f", F.col("band").cast("string"), F.col("key")
-                ).alias("_ck")
-            )
-            tagged = bands.withColumn("_ck", composed)
-            cold_bands = tagged.join(hk, "_ck", "left_anti").drop("_ck")
-            hot_bands = tagged.join(hk, "_ck", "left_semi").drop("_ck")
+        ),
+    )
+    # Degenerate-bucket guard (shared _split_hot_cold mechanics): a
+    # boilerplate cluster shared by corpus and probe collides in every
+    # band; its bucket must not materialize as one collect_list row. Hot
+    # buckets expand through a cross-side equi-join instead —
+    # AQE-skew-splittable, and same-side pairs never form because the
+    # join sides are the side-0 and side-1 slices.
+    cold_bands, hot_bands = _split_hot_cold(bands, ["band", "key"], bucket_cap)
     buckets = (
         cold_bands.groupBy("band", "key")
         .agg(F.collect_list("m").alias("ms"))
