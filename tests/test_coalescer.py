@@ -322,3 +322,103 @@ class TestPerRoundProgress:
         got = {r["id"]: r["value"] for r in table.read().collect()}
         # BOTH statements converged exactly once: a=1+10, b=2+20
         assert got["a"] == 11.0 and got["b"] == 22.0
+
+
+class TestR13Hardening:
+    """Round-13 review pins: intra-statement duplicate keys, oversize-round
+    chunking, enqueue type validation, exhausted redrive skip."""
+
+    def test_intra_statement_duplicate_keys_park_with_loud_error(
+        self, spark, table
+    ):
+        c = coalescer.DmlCoalescer()
+        add = {"value": "_tgt.value + _src.adj"}
+        # two different payloads for 'a' in ONE statement: no defined
+        # order — the group must park with the duplicate-keys error, not
+        # apply an arbitrary payload order
+        c.enqueue(table, _src(spark, [("a", 10.0), ("a", 99.0)]), ["id"], add)
+        stats = c.drain()
+        assert stats["quarantined"] == 1 and stats["rows_updated"] == 0
+        qroot = os.path.join(table.path, coalescer.QUARANTINE_DIR)
+        gid = os.listdir(qroot)[0]
+        import json
+
+        with open(os.path.join(qroot, gid, "meta.json")) as fh:
+            meta = json.load(fh)
+        assert "duplicate join keys" in meta["error"]
+        # target untouched
+        got = {r["id"]: r["value"] for r in table.read().collect()}
+        assert got["a"] == 1.0
+
+    def test_oversize_round_chunks_under_source_cap(
+        self, spark, table, monkeypatch
+    ):
+        monkeypatch.setattr(dml, "MAX_UPDATE_SOURCE_ROWS", 2)
+        c = coalescer.DmlCoalescer()
+        # one statement, 4 distinct keys -> one occurrence-round of 4 rows
+        # > cap 2 -> must chunk into subrounds instead of raising
+        # 'source too large' forever
+        src = _src(spark, [("a", 10.0), ("b", 10.0), ("c", 10.0), ("d", 10.0)])
+        c.enqueue(table, src, ["id"], {"value": "_tgt.value + _src.adj"})
+        stats = c.drain()
+        assert stats["quarantined"] == 0
+        assert stats["rows_updated"] == 4
+        assert stats["rounds"] >= 2  # chunked
+        got = {r["id"]: r["value"] for r in table.read().collect()}
+        assert got == {"a": 11.0, "b": 12.0, "c": 13.0, "d": 14.0}
+
+    def test_non_string_predicate_and_bounds_rejected(self, spark, table):
+        import datetime as dt
+
+        c = coalescer.DmlCoalescer()
+        with pytest.raises(TypeError, match="predicate"):
+            c.enqueue(
+                table, _src(spark, [("a", 1.0)]), ["id"],
+                {"value": "_src.adj"}, predicate=F.lit(True),
+            )
+        with pytest.raises(TypeError, match="ts_lo"):
+            c.enqueue(
+                table, _src(spark, [("a", 1.0)]), ["id"],
+                {"value": "_src.adj"}, ts_lo=dt.datetime(2026, 1, 1),
+            )
+        assert c.pending() == 0
+
+    def test_redrive_skips_exhausted_groups(self, spark, table):
+        c = coalescer.DmlCoalescer(max_drain_attempts=1)
+        # an assignment referencing a column that doesn't exist fails
+        # every apply -> parks, then every redrive fails too
+        c.enqueue(
+            table, _src(spark, [("a", 1.0)]), ["id"],
+            {"value": "_src.no_such_col"},
+        )
+        stats = c.drain()
+        assert stats["quarantined"] == 1
+        ok, left = coalescer.redrive(table, max_attempts=1)
+        assert (ok, left) == (0, 1)
+        qroot = os.path.join(table.path, coalescer.QUARANTINE_DIR)
+        gid = os.listdir(qroot)[0]
+        import json
+
+        meta_path = os.path.join(qroot, gid, "meta.json")
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        assert meta["exhausted"] is True and meta["attempts"] == 1
+        # second redrive must SKIP (attempts unchanged), not churn forever
+        ok, left = coalescer.redrive(table, max_attempts=1)
+        assert (ok, left) == (0, 1)
+        with open(meta_path) as fh:
+            assert json.load(fh)["attempts"] == 1
+
+
+class TestStreamJoinGuard:
+    def test_same_ts_name_rejected(self, spark):
+        from timefusion_spark.storage.streaming import stream_stream_join
+
+        left = spark.readStream.format("rate").load().select(
+            F.col("value").alias("user_id"), F.col("timestamp").alias("ts")
+        )
+        right = spark.readStream.format("rate").load().select(
+            F.col("value").alias("user_id"), F.col("timestamp").alias("ts")
+        )
+        with pytest.raises(ValueError, match="must differ"):
+            stream_stream_join(left, right, key="user_id", left_ts="ts", right_ts="ts")

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 def text_match(col: Column, query: str) -> Column:
     """AND-of-tokens case-insensitive substring match; empty query → true."""
-    tokens = [tok for tok in query.lower().split() if tok]
+    tokens = query.lower().split()
     if not tokens:
         return F.lit(True)
     lowered = F.lower(col)

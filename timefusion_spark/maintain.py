@@ -8,6 +8,7 @@ subcommand surface (main.rs:86-100: `optimize`, `migrate-columns`,
     python -m timefusion_spark.maintain vacuum        --base-dir D [--table T] [--retain-hours H]
     python -m timefusion_spark.maintain stats         --base-dir D --table T
     python -m timefusion_spark.maintain healthcheck   [--host H] [--port P]
+    python -m timefusion_spark.maintain handoff       [--host H] [--port P] [--timeout S] [--user U] [--password P]
 
 Verbs that touch tables open them straight from the `_tf_schema.json`
 sidecars under --base-dir (the same layout the pgwire server mounts);

@@ -105,6 +105,17 @@ class DmlCoalescer:
                     f"coalesced assignment '{name}' must be a SQL string "
                     "(quarantined groups must serialize losslessly)"
                 )
+        # predicate and bounds carry the same lossless-serialization
+        # contract: a datetime/Column here is accepted at enqueue but then
+        # breaks BOTH drain (unparseable window) and quarantine (meta.json
+        # can't serialize it), wedging the group in memory (review r13)
+        if predicate is not None and not isinstance(predicate, str):
+            raise TypeError("coalesced predicate must be a SQL string or None")
+        for label, v in (("ts_lo", ts_lo), ("ts_hi", ts_hi)):
+            if v is not None and not isinstance(v, str):
+                raise TypeError(
+                    f"coalesced {label} must be a timestamp STRING or None"
+                )
         key = _group_key(
             table, join_keys, assignments, predicate, project_id,
             source.schema.simpleString(),
@@ -137,9 +148,11 @@ class DmlCoalescer:
         for key in list(self._groups):
             g = self._groups.pop(key)
             try:
-                updated, rounds = self._drain_group(g)
-                stats["rows_updated"] += updated
-                stats["rounds"] += rounds
+                # stats update per COMMITTED round inside _drain_group: a
+                # park/requeue after partial progress must not report the
+                # already-written rows as 0, and a resumed group counts
+                # only the rounds it actually ran (review r13)
+                self._drain_group(g, stats)
             except Exception as e:  # park after exhausted attempts
                 try:
                     _quarantine(g, str(e))
@@ -158,26 +171,42 @@ class DmlCoalescer:
                     raise
         return stats
 
-    def _drain_group(self, g: _Group) -> tuple[int, int]:
+    def _drain_group(self, g: _Group, stats: dict) -> None:
         """Apply the group's rounds IN ORDER with per-round progress:
         each committed round advances `g.done_rounds`, so the in-loop
         retries — and any later redrive of a parked group — resume at
         the first UNAPPLIED round instead of re-running committed
         (non-idempotent) assignments (review r10)."""
-        merged = _merge_sources(g)
-        n_rounds = merged.agg(F.max("_tf_round")).collect()[0][0] or 0
-        total = 0
+        # ONE materialization: the merged union+window plan is consumed by
+        # the round count, every round's filter/chunking, and each of
+        # update_from's actions — uncached it re-read every source per
+        # action, and re-evaluation could re-break row_number ties
+        # between actions (review r13)
+        merged = _merge_sources(g).localCheckpoint(eager=True)
+        agg = merged.agg(F.max("_tf_round"), F.max("_tf_dup")).collect()[0]
+        n_rounds, max_dup = agg[0] or 0, agg[1] or 0
+        if max_dup > 1:
+            # mirror dml.update_from's loud duplicate-keys raise: same-key
+            # rows WITHIN one statement have no defined submission order,
+            # so round assignment would be arbitrary — drain() parks the
+            # group with this error instead of applying payloads in a
+            # nondeterministic order (review r13)
+            raise ValueError(
+                "coalesced statement has duplicate join keys within a "
+                "single source (dml.update_from would raise; parking the "
+                "group rather than applying an arbitrary payload order)"
+            )
         attempts = 0
         while g.done_rounds < n_rounds:
             r = g.done_rounds + 1
             try:
-                total += _apply_round(g, merged, r)
+                stats["rows_updated"] += _apply_round(g, merged, r)
                 g.done_rounds = r
+                stats["rounds"] += 1
             except Exception:
                 attempts += 1
                 if attempts >= self.max_drain_attempts:
                     raise
-        return total, n_rounds
 
 
 def _merge_sources(g: _Group) -> DataFrame:
@@ -191,8 +220,55 @@ def _merge_sources(g: _Group) -> DataFrame:
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
-    w = Window.partitionBy(*[F.col(k) for k in g.join_keys]).orderBy(F.col("_tf_seq"))
-    return merged.withColumn("_tf_round", F.row_number().over(w))
+    return _with_rounds(merged, list(g.join_keys))
+
+
+def _with_rounds(merged: DataFrame, join_keys: list[str]) -> DataFrame:
+    """Assign `_tf_round` (and the `_tf_dup` intra-statement duplicate
+    probe) to a `_tf_seq`-tagged union — shared by drain and redrive so
+    both number rounds identically.
+
+    Rounds larger than `dml.MAX_UPDATE_SOURCE_ROWS` are CHUNKED (the
+    module contract: an unbounded merged group is how the reference once
+    lost a 1.25M-row drain — without this, a group with >1M distinct keys
+    could never converge and would park/redrive-fail forever, review
+    r13): each oversize occurrence-round splits into C = ceil(max round
+    size / cap) subrounds via ntile over a total deterministic order, and
+    round numbers renumber as (round-1)*C + subround. Keys within one
+    subround stay unique (a subround is a subset of a unique-key round)
+    and a key's Nth occurrence still applies before its (N+1)th (all of
+    round N's subrounds precede round N+1's). The renumbering is
+    deterministic for fixed input, so per-round resume (done_rounds)
+    stays coherent across drain retries, quarantine and redrive."""
+    w = Window.partitionBy(*[F.col(k) for k in join_keys]).orderBy(F.col("_tf_seq"))
+    # _tf_dup detects same-key rows WITHIN one statement (same _tf_seq):
+    # their round assignment would be an arbitrary tiebreak, so
+    # _drain_group raises on max(_tf_dup) > 1 (review r13)
+    w_dup = Window.partitionBy(
+        *[F.col(k) for k in join_keys], F.col("_tf_seq")
+    ).orderBy(F.lit(1))
+    merged = merged.withColumn("_tf_round", F.row_number().over(w)).withColumn(
+        "_tf_dup", F.row_number().over(w_dup)
+    )
+    max_n = (
+        merged.groupBy("_tf_round")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n"))
+        .collect()[0][0]
+        or 0
+    )
+    cap = dml.MAX_UPDATE_SOURCE_ROWS
+    if max_n > cap:
+        n_chunks = -(-max_n // cap)
+        w_sub = Window.partitionBy("_tf_round").orderBy(
+            F.hash(*[F.col(k) for k in join_keys]),
+            *[F.col(k) for k in join_keys],
+        )
+        merged = merged.withColumn(
+            "_tf_round",
+            (F.col("_tf_round") - 1) * n_chunks + F.ntile(n_chunks).over(w_sub),
+        )
+    return merged
 
 
 def _widened_window(g: _Group) -> tuple[str | None, str | None]:
@@ -234,7 +310,9 @@ def _apply_round(g: _Group, merged: DataFrame, r: int) -> int:
     """Commit ONE round of the group (each round's source has unique
     keys by construction — see _merge_sources)."""
     ts_lo, ts_hi = _widened_window(g)
-    src = merged.where(F.col("_tf_round") == r).drop("_tf_seq", "_tf_round")
+    src = merged.where(F.col("_tf_round") == r).drop(
+        "_tf_seq", "_tf_round", "_tf_dup"
+    )
     return dml.update_from(
         g.table,
         src,
@@ -261,7 +339,7 @@ def _quarantine(g: _Group, error: str) -> None:
     merged = (
         _merge_sources(g)
         .where(F.col("_tf_round") > g.done_rounds)
-        .drop("_tf_round")
+        .drop("_tf_round", "_tf_dup")
     )
     merged.write.mode("overwrite").parquet(os.path.join(qdir, "source"))
     ts_lo, ts_hi = _widened_window(g)
@@ -302,12 +380,16 @@ def redrive(table: Table, dry_run: bool = False, max_attempts: int | None = None
         if dry_run:
             left += 1
             continue
+        if meta.get("exhausted"):
+            # max_attempts was reached on a previous redrive: retrying the
+            # identical group forever is pointless churn — it stays parked
+            # (and counted) until an operator clears the flag or removes
+            # the entry (review r13: the flag was written but never read)
+            left += 1
+            continue
         try:
             merged = table.spark.read.parquet(os.path.join(qdir, "source"))
-            w = Window.partitionBy(
-                *[F.col(k) for k in meta["join_keys"]]
-            ).orderBy(F.col("_tf_seq"))
-            merged = merged.withColumn("_tf_round", F.row_number().over(w))
+            merged = _with_rounds(merged, list(meta["join_keys"]))
             g = _Group(
                 table,
                 tuple(meta["join_keys"]),

@@ -290,6 +290,14 @@ def stream_stream_join(
 
     if not (left.isStreaming and right.isStreaming):
         raise ValueError("stream_stream_join requires two streaming DataFrames")
+    if left_ts == right_ts:
+        # the output selects both under their caller-supplied names — a
+        # shared name would produce duplicate columns that fail at the
+        # sink, not here (review r13)
+        raise ValueError(
+            "stream_stream_join: left_ts and right_ts must differ (rename "
+            "one side before joining, e.g. withColumnRenamed)"
+        )
     lw = left.withWatermark(left_ts, watermark).alias("l")
     rw = right.withWatermark(right_ts, watermark).alias("r")
     return lw.join(
