@@ -422,3 +422,26 @@ class TestStreamJoinGuard:
         )
         with pytest.raises(ValueError, match="must differ"):
             stream_stream_join(left, right, key="user_id", left_ts="ts", right_ts="ts")
+
+
+class TestRedriveDupGuard:
+    def test_redrive_refuses_intra_statement_duplicates(self, spark, table):
+        """round-diff review r13: redrive used to bypass the duplicate-key
+        guard and apply the parked group in arbitrary payload order."""
+        c = coalescer.DmlCoalescer()
+        c.enqueue(
+            table, _src(spark, [("a", 10.0), ("a", 99.0)]), ["id"],
+            {"value": "_src.adj"},
+        )
+        stats = c.drain()
+        assert stats["quarantined"] == 1
+        ok, left = coalescer.redrive(table)
+        assert (ok, left) == (0, 1)  # refused, still parked
+        got = {r["id"]: r["value"] for r in table.read().collect()}
+        assert got["a"] == 1.0  # target untouched by the recovery path
+        import json
+
+        qroot = os.path.join(table.path, coalescer.QUARANTINE_DIR)
+        gid = os.listdir(qroot)[0]
+        with open(os.path.join(qroot, gid, "meta.json")) as fh:
+            assert "duplicate join keys" in json.load(fh)["error"]

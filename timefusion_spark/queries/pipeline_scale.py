@@ -180,16 +180,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * 1000000000)) AS BIGINT) AS rate_ppb
       FROM w
     ), keyed AS (
-      SELECT source, CAST(doc_id AS VARCHAR) AS k FROM documents
+      SELECT source, COALESCE(CAST(doc_id AS VARCHAR), '') AS k FROM documents
     ), s AS (
+      -- null-safe join + NULL-key coalesce, mirroring mix_sample's
+      -- eqNullSafe + empty-string hash (review r13): a NULL source's
+      -- rows are sampled, not silently dropped
       SELECT keyed.source, COUNT(*) AS n_sampled
-      FROM keyed JOIN r ON keyed.source = r.source
+      FROM keyed JOIN r ON keyed.source IS NOT DISTINCT FROM r.source
       WHERE {_H.format(s="k")} % 1000000000 < r.rate_ppb
       GROUP BY 1
     )
     SELECT r.source, r.n_src, r.rate_ppb,
            COALESCE(s.n_sampled, 0) AS n_sampled
-    FROM r LEFT JOIN s ON r.source = s.source
+    FROM r LEFT JOIN s ON r.source IS NOT DISTINCT FROM s.source
     ORDER BY r.source
     """,
     doc="Temperature-scaled corpus mixing (operators/packing.py::"

@@ -74,8 +74,9 @@ PRIORITY: tuple[str, ...] = (
     # DataSource surface pinned)
     # corpus parity (q_training_pipeline rotated out round 13 —
     # gate-certified r5-r12, unchanged composite of surfaces that each
-    # keep their own gate pin)
-    "q_slt_parity",
+    # keep their own gate pin; q_slt_parity rotated out round 13
+    # continuation — gate-certified r1-r12, the longest streak in the
+    # registry, and slt.py is untouched this round)
     # new/changed round 6-7 (rotated in; rotated out across rounds:
     # q_token_stats / q_bpe_ish_tokens / q_distinct_sketch /
     # q_time_bucket_counts / q_error_rate — all multi-round certified,
@@ -101,35 +102,49 @@ PRIORITY: tuple[str, ...] = (
     # q_text_search_prefix / q_text_search_raw_tokenizer /
     # q_text_search_compound_or)
     "q_arrow_ingest",
-    # similarity / ANN (rotated out round 13 — VERDICT r12 #2 backlog
-    # retirement: q_ann_ivf_topk / q_ann_ivf_flat / q_ann_knn_join_large,
-    # all gate-certified r5/r6-r12 and unchanged; the IVF/ANN family
-    # keeps five gate pins: q_ann_pq_adc / q_ann_opq_adc /
-    # q_ann_ivf_append / q_ann_ivfopq / q_ann_ivf_partitioned /
-    # q_ann_ivf_streaming)
-    # percentile family + timeseries operators (q_hypertable_rollup
-    # rotated out round 9; q_percentile_sketch rotated out round 10
-    # continuation — multi-round certified, unchanged, and
-    # q_percentile_tiles keeps the t-digest two-step API pinned)
+    # similarity / ANN — round 13 CORRECTION of this round's own earlier
+    # out-rotation: q_ann_ivf_topk / q_ann_knn_join_large / q_ann_ivfpq /
+    # q_ann_bruteforce_topk were rotated out as "unchanged", then changed
+    # LATER in round 13 (raw-vs-rounded oracle ORDER BY fix, the
+    # vec_id-0 codebook cell-512 collision fix + codebook rebuild,
+    # encode-path narrowing + counted n_shortlist, shared rerank/oracle
+    # extraction) — changed code belongs in the gate window, so all four
+    # rotate back IN. Still out, certified via in-window kin:
+    # q_ann_ivf_flat (shares _ivf_fixed_oracle with append/partitioned/
+    # streaming, all in-window), q_ann_knn_join (shares the knn_join
+    # kernel with q_ann_knn_join_large), q_dedup_embedding_cosine
+    # (plan-only persist fix; judge-sweep certified).
+    "q_ann_ivf_topk",
+    "q_ann_bruteforce_topk",
+    "q_ann_ivfpq",
+    "q_ann_knn_join_large",
+    # percentile family: percentile.py + tdigest.py changed round 13
+    # (ANSI cast clamp, NULL-key filter, oracle coeff string-cast,
+    # shared quantile walk) — q_percentile_tiles stays and
+    # q_percentile_sketch rotates back IN (t-digest sharded path);
+    # q_percentile_duration certified via the same percentile.py path
+    # as tiles. (q_txn_atomic_commit rotated out round 13 continuation —
+    # gate-certified r7-r12, txn path untouched this round;
+    # q_count_index rotated out round 13 continuation — gate-certified
+    # r7-r12, unchanged; q_bm25_rank rotated out round 13 continuation —
+    # gate-certified r8-r12, ranking.py untouched this round)
     "q_percentile_tiles",
-    # round 7 late addition: the explicit-transaction lifecycle (commit-
-    # group staging, atomic publish, definitive rollback, read-your-own-
-    # writes) — brand-new code path; rotated out: q_latest_event_per_user
-    # (multi-round certified, pure built-in window shape, unchanged)
-    "q_txn_atomic_commit",
-    # new round 7 (rotated in; rotated out: q_moving_avg /
-    # q_sessionization — multi-round certified, pure built-in window
-    # shapes, unchanged; the count index and the trigram-indexed search
-    # are the new high-risk storage/accelerator surfaces)
-    # (q_text_search_indexed rotated out round 13 — gate-certified
-    # r7-r12, unchanged; see the text-index family pins above)
-    "q_count_index",
-    # round 8 late additions q2_min_cost_supplier / q20_potential_promotion
-    # rotated out round 11 (gate-certified r8-r10, unchanged pure
-    # relational shapes); BM25 stays (float ln() in the score).
-    "q_bm25_rank",
-    # (q_fuzzy_decontamination rotated out round 10 continuation —
-    # gate-certified r8-r10, unchanged; q_asof_join rotated out r8;
+    "q_percentile_sketch",
+    # round 13: q_text_search_indexed rotates back IN (the earlier
+    # out-rotation said unchanged; the timed path then gained the
+    # candidate localCheckpoint) — the text-index family keeps
+    # q_text_search_prefix / q_text_search_compound_or pinned too.
+    "q_text_search_indexed",
+    # round 13: q_fuzzy_decontamination rotates back IN — its banding
+    # and hot-bucket split now route through the shared _band_explode /
+    # _split_hot_cold helpers (plan-affecting refactor), and
+    # q_corpus_mixing rotates IN for the rate_ppm → rate_ppb precision/
+    # schema change plus the null-safe mix join; q_pii_redaction's new
+    # IP-domain email pattern is oracle-mirrored and judge-sweep
+    # certified (out of window for slots).
+    "q_fuzzy_decontamination",
+    "q_corpus_mixing",
+    # (q_asof_join rotated out r8;
     # q_dedup_substring rotated out round 11 — gate-certified r8-r10,
     # unchanged, and its Arrow twin q_dedup_substring_arrow stays pinned;
     # q_streaming_dedup_online rotated out round 11 — gate-certified
@@ -155,21 +170,22 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     # (q_funnel_analysis rotated out round 12 — gate-certified r9-r11,
-    # unchanged pure built-in shape; slot taken by q_pgwire_dml_literals)
-    "q_trace_path_recursive_sql",
-    # new round 9: per-field tokenizer routing under plain SQL (raw-term
-    # index serves equality, declines substring). Rotated out:
-    # q_mor_keep_first (multi-round certified, unchanged).
-    "q_text_search_raw_tokenizer",
+    # unchanged pure built-in shape; slot taken by q_pgwire_dml_literals.
+    # q_trace_path_recursive_sql and q_text_search_raw_tokenizer rotated
+    # out round 13 continuation — both gate-certified r9-r12 and their
+    # code paths [recursive-CTE pgwire, per-field tokenizer routing] are
+    # untouched this round; the text-index family keeps
+    # q_text_search_prefix / q_text_search_compound_or /
+    # q_text_search_indexed pinned)
     # (q_ann_ivfpq rotated out round 13 — gate-certified r9-r12,
     # unchanged; q_ann_ivfopq keeps the composed residual-codebook ADC
     # path pinned as its superset)
-    # new round 10: DELTA HISTORY/ACTIONS/RECOVERY AUDIT commit-log
-    # introspection verbs (fresh pgshim code path over the commit log).
-    # Rotated out: q_table_changes (multi-round certified, unchanged —
-    # and the new q_delta_history exercises the same commit-log records
-    # from the introspection side).
-    "q_delta_history",
+    # (q_delta_history rotated out round 13 continuation — gate-
+    # certified r10-r12; the round's commit-log change [creation-nonce
+    # cache key] is pinned in-window by q_table_changes /
+    # q_snapshot_isolation / q_streaming_changefeed, which exercise the
+    # settled-floor path directly; the introspection verbs are
+    # untouched)
     # new round 10: prefix/ILIKE/suffix LIKE routing + compound-AND
     # post-filtering through the text-index sidecars (fresh pgshim
     # routing code path, tantivy_rewriter.rs:29-48 full table). Rotated
@@ -180,10 +196,9 @@ PRIORITY: tuple[str, ...] = (
     # incremental IVF append lifecycle (fresh index-maintenance path).
     "q_ann_opq_adc",
     "q_ann_ivf_append",
-    # new round 10 (continuation): bigram-LM perplexity filtering —
-    # fresh smoothed-LM scoring path with an exact-decimal keep verdict.
-    # Rotated out: q_semantic_dedup (multi-round certified, unchanged).
-    "q_bigram_perplexity_filter",
+    # (q_bigram_perplexity_filter rotated out round 13 continuation —
+    # gate-certified r10-r12, the smoothed-LM scoring path is untouched
+    # this round)
     # new round 10 (continuation): leakage-safe cluster-keyed splitting
     # (fresh components→hash-split composition; the oracle certifies
     # naive-split leakage > 0 and cluster-split leakage = 0) and

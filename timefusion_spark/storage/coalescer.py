@@ -63,6 +63,9 @@ class _Group:
     # resumes AFTER them: re-applying a committed round would run its
     # (non-idempotent) assignments twice (review r10)
     done_rounds: int = 0
+    # the checkpointed merged frame from the last _drain_group, reused by
+    # _quarantine so a park doesn't recompute the union (review r13)
+    merged_cache: DataFrame | None = None
 
 
 def _group_key(table: Table, join_keys, assignments, predicate, project_id, src_schema):
@@ -177,31 +180,23 @@ class DmlCoalescer:
         retries — and any later redrive of a parked group — resume at
         the first UNAPPLIED round instead of re-running committed
         (non-idempotent) assignments (review r10)."""
-        # ONE materialization: the merged union+window plan is consumed by
-        # the round count, every round's filter/chunking, and each of
-        # update_from's actions — uncached it re-read every source per
-        # action, and re-evaluation could re-break row_number ties
-        # between actions (review r13)
-        merged = _merge_sources(g).localCheckpoint(eager=True)
-        agg = merged.agg(F.max("_tf_round"), F.max("_tf_dup")).collect()[0]
-        n_rounds, max_dup = agg[0] or 0, agg[1] or 0
-        if max_dup > 1:
-            # mirror dml.update_from's loud duplicate-keys raise: same-key
-            # rows WITHIN one statement have no defined submission order,
-            # so round assignment would be arbitrary — drain() parks the
-            # group with this error instead of applying payloads in a
-            # nondeterministic order (review r13)
-            raise ValueError(
-                "coalesced statement has duplicate join keys within a "
-                "single source (dml.update_from would raise; parking the "
-                "group rather than applying an arbitrary payload order)"
-            )
+        # stash the checkpointed frame on the group so a park after a
+        # failure reuses it instead of recomputing the whole union a
+        # third time (review r13 round-diff)
+        merged = g.merged_cache = _merge_sources(g)
+        rounds, max_dup = _round_plan(merged)
+        _require_no_intra_statement_dups(max_dup)
         attempts = 0
-        while g.done_rounds < n_rounds:
-            r = g.done_rounds + 1
+        idx = 0
+        while idx < len(rounds):
+            r = rounds[idx]
+            if r <= g.done_rounds:
+                idx += 1
+                continue
             try:
                 stats["rows_updated"] += _apply_round(g, merged, r)
                 g.done_rounds = r
+                idx += 1
                 stats["rounds"] += 1
             except Exception:
                 attempts += 1
@@ -243,12 +238,19 @@ def _with_rounds(merged: DataFrame, join_keys: list[str]) -> DataFrame:
     w = Window.partitionBy(*[F.col(k) for k in join_keys]).orderBy(F.col("_tf_seq"))
     # _tf_dup detects same-key rows WITHIN one statement (same _tf_seq):
     # their round assignment would be an arbitrary tiebreak, so
-    # _drain_group raises on max(_tf_dup) > 1 (review r13)
+    # _drain_group AND redrive raise on max(_tf_dup) > 1 (review r13)
     w_dup = Window.partitionBy(
         *[F.col(k) for k in join_keys], F.col("_tf_seq")
     ).orderBy(F.lit(1))
-    merged = merged.withColumn("_tf_round", F.row_number().over(w)).withColumn(
-        "_tf_dup", F.row_number().over(w_dup)
+    # ONE materialization, BEFORE the round-size count: the plan is
+    # consumed by that count, the round listing, every round's filter and
+    # each of update_from's actions — uncached it re-read every source
+    # per action, and window re-evaluation could re-break row_number ties
+    # between actions (review r13)
+    merged = (
+        merged.withColumn("_tf_round", F.row_number().over(w))
+        .withColumn("_tf_dup", F.row_number().over(w_dup))
+        .localCheckpoint(eager=True)
     )
     max_n = (
         merged.groupBy("_tf_round")
@@ -269,6 +271,35 @@ def _with_rounds(merged: DataFrame, join_keys: list[str]) -> DataFrame:
             (F.col("_tf_round") - 1) * n_chunks + F.ntile(n_chunks).over(w_sub),
         )
     return merged
+
+
+def _round_plan(merged: DataFrame) -> tuple[list[int], int]:
+    """One job over the checkpointed merged frame: the sorted list of
+    round numbers ACTUALLY PRESENT plus the max intra-statement duplicate
+    count. Iterating present rounds (not 1..max) matters after chunk
+    renumbering: later occurrence-rounds are smaller than round 1 (a key
+    in round r+1 is also in round r), so most of their renumbered ntile
+    slots are empty — a dense 1..max loop would pay a no-op update_from
+    (count + distinct-count jobs) per empty slot (review r13)."""
+    rows = merged.groupBy("_tf_round").agg(F.max("_tf_dup").alias("_d")).collect()
+    rounds = sorted(int(r["_tf_round"]) for r in rows)
+    max_dup = max((int(r["_d"]) for r in rows), default=0)
+    return rounds, max_dup
+
+
+def _require_no_intra_statement_dups(max_dup: int) -> None:
+    """Mirror dml.update_from's loud duplicate-keys raise: same-key rows
+    WITHIN one statement have no defined submission order, so round
+    assignment would be an arbitrary tiebreak. drain() parks the group
+    with this error; redrive REFUSES to replay such a parked group for
+    the same reason (review r13 round-diff: redrive used to bypass the
+    guard and apply an arbitrary payload order on the recovery path)."""
+    if max_dup > 1:
+        raise ValueError(
+            "coalesced statement has duplicate join keys within a "
+            "single source (dml.update_from would raise; refusing to "
+            "apply an arbitrary payload order)"
+        )
 
 
 def _widened_window(g: _Group) -> tuple[str | None, str | None]:
@@ -337,7 +368,7 @@ def _quarantine(g: _Group, error: str) -> None:
     # before the failure, and redriving them would re-run their
     # non-idempotent assignments (review r10)
     merged = (
-        _merge_sources(g)
+        (g.merged_cache if g.merged_cache is not None else _merge_sources(g))
         .where(F.col("_tf_round") > g.done_rounds)
         .drop("_tf_round", "_tf_dup")
     )
@@ -399,12 +430,14 @@ def redrive(table: Table, dry_run: bool = False, max_attempts: int | None = None
                 statements=[_Statement(0, merged, meta["ts_lo"], meta["ts_hi"])],
                 done_rounds=int(meta.get("done_rounds", 0)),
             )
+            rounds, max_dup = _round_plan(merged)
+            _require_no_intra_statement_dups(max_dup)
             # per-round progress persists to meta.json after EACH commit:
             # a redrive that fails mid-group resumes at the first
             # unapplied round next time (review r10)
-            n_rounds = merged.agg(F.max("_tf_round")).collect()[0][0] or 0
-            while g.done_rounds < n_rounds:
-                r = g.done_rounds + 1
+            for r in rounds:
+                if r <= g.done_rounds:
+                    continue
                 _apply_round(g, merged, r)
                 g.done_rounds = r
                 meta["done_rounds"] = r
