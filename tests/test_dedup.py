@@ -706,3 +706,40 @@ def test_bucket_cap_invariance_property(spark):
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
     prop()
+
+
+class TestNullTextExclusion:
+    """review r13: NULL-text docs used to collapse to the identical [""]
+    shingle set / all-NULL signature and pair with each other at
+    jaccard=1.0 — pairs no oracle reproduces. They are excluded from
+    pairing (a NULL doc can't be a near-duplicate of anything)."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, None),
+            (4, None),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_minhash_pairs_exclude_null_text(self, spark):
+        pairs = D.minhash_lsh_pairs(self._docs(spark), threshold=0.5).collect()
+        ids = {(r.id_a, r.id_b) for r in pairs}
+        assert (3, 4) not in ids
+        assert all(3 not in p and 4 not in p for p in ids)
+        assert (1, 2) in ids  # real near-dups still found
+
+    def test_ngram_pairs_exclude_null_text(self, spark):
+        pairs = D.ngram_jaccard_pairs(self._docs(spark), threshold=0.5).collect()
+        assert all(r.id_a not in (3, 4) and r.id_b not in (3, 4) for r in pairs)
+
+    def test_lsh_join_excludes_null_text(self, spark):
+        corpus = self._docs(spark)
+        probe = spark.createDataFrame(
+            [(10, None), (11, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        out = D.minhash_lsh_join(corpus, probe, threshold=0.5).collect()
+        assert all(r.probe_id != 10 for r in out)
+        assert any(r.probe_id == 11 for r in out)

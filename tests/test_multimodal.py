@@ -145,3 +145,17 @@ def test_extract_features_null_payload_yields_null_features(spark):
     )
     got = {r.media_id: (r.size_bytes, r.mean_byte) for r in extract_features(media).collect()}
     assert got[1] == (None, None)
+
+
+def test_audio_features_null_payload_yields_null_features(spark):
+    """review r13: extract_audio_features crashed on NULL payloads
+    (decode_wav(None) TypeError) where extract_features had the guard."""
+    from timefusion_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    media = M.synthesize_wav_media(docs)
+    rows = {r.media_id: r for r in M.extract_audio_features(media).collect()}
+    assert rows[1].rms is not None and rows[1].n_samples > 0
+    assert rows[2].rms is None and rows[2].n_samples is None

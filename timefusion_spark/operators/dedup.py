@@ -599,7 +599,16 @@ def minhash_lsh_pairs(
     (band, key) → candidate pairs → exact jaccard filter. Returns
     (id_a, id_b, jaccard) with id_a < id_b.
     """
-    df = ensure_parallelism(df.select(F.col(id_col).alias(id_col), F.col(text_col)))
+    # NULL-text rows are EXCLUDED from pairing, not hashed: the shingle
+    # fallback would give every NULL doc the identical [""] shingle set
+    # and all-NULL signature, emitting spurious jaccard=1.0 pairs that
+    # no oracle reproduces (NULL never equi-joins) — a NULL document
+    # cannot be a near-duplicate of anything (review r13).
+    df = ensure_parallelism(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col)).where(
+            F.col(text_col).isNotNull()
+        )
+    )
     # Staged projections: each hash array becomes an ATTRIBUTE before the
     # next stage scans it many times (module evaluation-count note).
     # HARD barrier before the per-seed transform (review r12, same
@@ -762,8 +771,9 @@ def ngram_jaccard_pairs(
     work; the kernel wins it back and more)."""
     blk = [F.col(block_col).alias("_blk")] if block_col else []
     blk_names = ["_blk"] if block_col else []
+    # NULL text excluded from pairing — see minhash_lsh_pairs (review r13)
     nrm = ensure_parallelism(
-        df.select(
+        df.where(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("_id"),
             *blk,
             normalize_text(F.col(text_col)).alias("_s"),
@@ -1251,7 +1261,12 @@ def minhash_lsh_join(
     """
 
     def sigs(df: DataFrame, side: int) -> DataFrame:
-        base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        # NULL text excluded — see minhash_lsh_pairs (review r13)
+        base = ensure_parallelism(
+            df.select(F.col(id_col), F.col(text_col)).where(
+                F.col(text_col).isNotNull()
+            )
+        )
         return (
             base.select(
                 F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")

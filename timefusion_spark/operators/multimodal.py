@@ -332,6 +332,12 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                # NULL payload (synthesize emits NULL for NULL text) →
+                # NULL features, not a TypeError in the executor task —
+                # the same guard extract_features carries (review r13)
+                if p is None:
+                    rows.append((mid, None, None, None, None))
+                    continue
                 samples, rate = decode_wav(p)
                 sq = int((samples.astype("int64") ** 2).sum())
                 n = len(samples)

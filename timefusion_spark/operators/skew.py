@@ -33,7 +33,10 @@ def salted_sum_count(
     `salt_buckets` reducers; stage 2 shuffles only |keys|·salt_buckets
     partial rows. Result is identical to the direct groupBy (SUM/COUNT are
     algebraic), which the oracle asserts."""
-    salt = (F.abs(F.hash(salt_col)) % F.lit(salt_buckets)).alias("_salt")
+    # pmod, not abs(hash) % n: abs(Integer.MIN_VALUE) overflows (throws
+    # under ANSI; negative salt otherwise, spreading rows over up to
+    # 2*salt_buckets-1 buckets) (review r13)
+    salt = F.pmod(F.hash(salt_col), F.lit(salt_buckets)).alias("_salt")
     partial = (
         df.select(*key_cols, F.col(value_col).alias("_v"), salt)
         .groupBy(*key_cols, "_salt")

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timefusion_spark.operators import dedup as dd
-from timefusion_spark.queries._tables import t
+from timefusion_spark.queries._tables import await_settled, t
 from timefusion_spark.registry import REGISTRY, query
 
 # DuckDB mirror of operators/dedup.py::poly_hash (acc*31+ascii mod 1e9+7).
@@ -37,7 +37,6 @@ _SHINGLES3 = """
            MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
     FROM documents
     GROUP BY 1
-    HAVING COUNT(*) >= 1
     ORDER BY keep_id
     """,
     doc="Exact dedup: hash-groupBy on normalized-text md5 (scale: one "
@@ -508,14 +507,18 @@ def q_streaming_dedup_online(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir = os.path.join(base, "kept")
         state = {"max_seen": -1}
 
-        def feats(df: DataFrame) -> DataFrame:
+        def feats(df: DataFrame) -> tuple[DataFrame, DataFrame]:
             # stage the token array as an ATTRIBUTE before word_shingles
             # slices it (an inline tokens() expression re-splits the raw
-            # text once per shingle position — review r12), and put a
-            # HARD barrier below the staged hash array so CollapseProject
+            # text once per shingle position — review r12), put a HARD
+            # barrier below the staged hash array so CollapseProject
             # cannot inline it into the per-seed lambda (see
-            # minhash_lsh_pairs)
-            toks = df.select(
+            # minhash_lsh_pairs), and ANOTHER below the signature so the
+            # band transform cannot inline the 16-permutation fold and
+            # re-run it once per band (review r13 — the same hazard one
+            # stage later). NULL-text rows are excluded from banding (a
+            # NULL doc can't near-dup anything; caller keeps them).
+            toks = df.where(F.col("text").isNotNull()).select(
                 F.col("doc_id").alias("_id"),
                 dd.tokens(F.col("text")).alias("_toks"),
             )
@@ -531,32 +534,38 @@ def q_streaming_dedup_online(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "_id",
                 "_sh",
                 dd.minhash_signature_from_hashes("_shh", dd.LSH_BANDS * dd.LSH_ROWS).alias("_sig"),
+            ).localCheckpoint(eager=True)
+            # band keys via the SHARED banding kernel (review r13: this
+            # site hand-rolled a third key format; one definition keeps
+            # the streaming recall identical to the certified batch LSH)
+            kb = dd._band_explode(
+                sig,
+                dd.LSH_BANDS,
+                dd.LSH_ROWS,
+                F.struct(F.col("_id").alias("i"), F.col("_sh").alias("sh")),
+            ).select(
+                F.col("m.i").alias("_id"),
+                F.col("m.sh").alias("_sh"),
+                F.concat_ws(
+                    "-", F.col("band").cast("string"), F.col("key")
+                ).alias("_key"),
             )
-            return sig.select(
-                "_id",
-                "_sh",
-                F.expr(
-                    f"transform(sequence(0, {dd.LSH_BANDS - 1}), j -> "
-                    f"concat_ws('-', cast(j AS string), "
-                    f"concat_ws('.', transform(slice(_sig, j * {dd.LSH_ROWS} + 1, "
-                    f"{dd.LSH_ROWS}), x -> cast(x AS string)))))"
-                ).alias("_keys"),
-            )
+            return sig, kb
 
         def handle(batch: DataFrame, _bid: int) -> None:
             if batch.isEmpty():
                 return
-            fb = feats(batch).localCheckpoint(eager=True)
+            fb, kb = feats(batch)
             lo, hi = fb.agg(F.min("_id"), F.max("_id")).collect()[0]
             # explicit raise, not assert: the ordering invariant is what
             # makes the sequential oracle valid, and assert compiles out
             # under python -O (ADVICE r8 #4)
-            if lo <= state["max_seen"]:
+            if lo is not None and lo <= state["max_seen"]:
                 raise RuntimeError(
                     f"stream batches out of doc_id order: {lo} after {state['max_seen']}"
                 )
-            state["max_seen"] = int(hi)
-            kb = fb.select("_id", "_sh", F.explode("_keys").alias("_key"))
+            if hi is not None:
+                state["max_seen"] = int(hi)
             # in-batch: earlier (smaller-id) docs of the same batch are prior
             a, b2 = kb.alias("a"), kb.alias("b")
             in_batch = (
@@ -567,7 +576,7 @@ def q_streaming_dedup_online(spark: SparkSession, sf_dir: str) -> DataFrame:
             dropped = in_batch
             if os.path.exists(idx_dir):
                 hist = spark.read.parquet(idx_dir).select(
-                    F.col("_id").alias("_hid"), F.col("_sh").alias("_hsh"), F.explode("_keys").alias("_key")
+                    F.col("_id").alias("_hid"), F.col("_sh").alias("_hsh"), "_key"
                 )
                 vs_hist = (
                     kb.join(hist, "_key")
@@ -576,11 +585,17 @@ def q_streaming_dedup_online(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 dropped = dropped.unionByName(vs_hist)
             # set difference as ONE anti join (review r12: exceptAll +
-            # semi evaluated fb twice and shuffled three times)
+            # semi evaluated fb twice and shuffled three times); NULL-text
+            # docs never enter banding but are KEPT — dedup may not
+            # silently drop rows it cannot compare (review r13)
             kept = fb.select("_id").join(dropped.distinct(), "_id", "left_anti")
-            kept.write.mode("append").parquet(out_dir)
-            # history = ALL seen docs, kept or dropped
-            fb.select("_id", "_sh", "_keys").write.mode("append").parquet(idx_dir)
+            nulls = batch.where(F.col("text").isNull()).select(
+                F.col("doc_id").alias("_id")
+            )
+            kept.unionByName(nulls).write.mode("append").parquet(out_dir)
+            # history = ALL seen banded docs, kept or dropped (exploded
+            # (_id, _sh, _key) rows — the shape the lookup consumes)
+            kb.write.mode("append").parquet(idx_dir)
 
         q = (
             spark.readStream.schema("doc_id long, text string")
@@ -591,14 +606,7 @@ def q_streaming_dedup_online(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                "q_streaming_dedup_online: availableNow stream did not settle "
-                "within 600s — refusing to read a partial kept/ output"
-            )
-        if q.exception() is not None:
-            raise q.exception()
+        await_settled(q, 600, "q_streaming_dedup_online")
         out = (
             spark.read.parquet(out_dir)
             .select(F.col("_id").alias("doc_id"))

@@ -90,8 +90,8 @@ def q_media_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + strpos('0123456789abcdef', substr(md5(text), 2*i+2, 1)) - 1)) AS mean_byte
         FROM documents
     )
-    SELECT COUNT(*) AS n_decoded,
-           CAST(COUNT(*) * 102 AS BIGINT) AS total_bytes,
+    SELECT CAST(COUNT(mean_byte) AS BIGINT) AS n_decoded,
+           CAST(COUNT(mean_byte) * 102 AS BIGINT) AS total_bytes,
            ROUND(AVG(mean_byte), 4) AS avg_mean_pixel
     FROM f
     """,
@@ -105,8 +105,11 @@ def q_media_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_bmp_media(t(spark, sf_dir, "documents"))
     feats = M.extract_features(media, deterministic_fake=False)
+    # count DECODED rows (NULL-payload docs carry NULL features), so
+    # n_decoded means what it says and total_bytes matches the SUM's
+    # NULL-skip on both engines (review r13)
     return feats.agg(
-        F.count(F.lit(1)).alias("n_decoded"),
+        F.count("mean_byte").alias("n_decoded"),
         F.sum("size_bytes").alias("total_bytes"),
         F.round(F.avg("mean_byte"), 4).alias("avg_mean_pixel"),
     )

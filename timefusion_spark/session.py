@@ -75,25 +75,3 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     ):
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
-
-
-def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict:
-    """Load the driver testdata parquet tables and register temp views."""
-    names = names or (
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-        "events",
-        "documents",
-        "embeddings",
-    )
-    out = {}
-    for name in names:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df.createOrReplaceTempView(name)
-        out[name] = df
-    return out
