@@ -2025,3 +2025,108 @@ class TestStorageCoreReviewFixes:
         from timefusion_spark.storage.schema import TableSchema
 
         TableSchema.from_dict(_json.loads(tbl.schema.to_json()))
+
+
+class TestR13StorageHardening:
+    """Round-13 review pins: partition-reassigning UPDATEs, derived-date
+    maintenance, vacuum vs in-flight appends, create atomicity, pre-log
+    group appends."""
+
+    def test_update_moving_rows_across_partitions_preserves_destination(
+        self, spark, plain_table
+    ):
+        """An UPDATE assigning a partition column writes into a partition
+        it never read; the destination's pre-existing rows must survive
+        (the remove-set used to sweep every live file there)."""
+        n = dml.update(
+            plain_table,
+            {"project_id": F.lit("p2")},
+            predicate=(F.col("id") == "a"),
+        )
+        assert n == 1
+        got = {r["id"]: r["project_id"] for r in plain_table.read().collect()}
+        # mover arrived in p2; p2's original row c SURVIVES; b untouched
+        assert got == {"a": "p2", "b": "p1", "c": "p2"}
+
+    def test_update_assigning_time_column_rederives_date(
+        self, spark, plain_table
+    ):
+        """date = CAST(ts AS DATE) is a generated column: assigning the
+        time column must recompute it, or time-bounded scans (which push
+        the derived date bound) silently exclude the row."""
+        n = dml.update(
+            plain_table,
+            {"timestamp": F.lit("2026-02-05 12:00:00").cast("timestamp")},
+            predicate=(F.col("id") == "a"),
+        )
+        assert n == 1
+        row = plain_table.read().where(F.col("id") == "a").collect()[0]
+        assert str(row["date"]) == "2026-02-05"
+        # the pushed date bound must FIND the moved row
+        got = plain_table.scan(ts_lo="2026-02-01 00:00:00").collect()
+        assert [r["id"] for r in got] == ["a"]
+
+    def test_vacuum_spares_staged_uncommitted_files(self, spark, plain_table):
+        """Files moved to final paths but not yet committed are protected
+        by the staging intent — VACUUM RETAIN 0 used to collect them and
+        the later commit published a manifest of deleted files."""
+        from timefusion_spark.storage import maintenance
+
+        batch = plain_table.dedup_batch(
+            plain_table.stamp_version(
+                plain_table.coerce(
+                    _rows(spark, [("2026-01-03 08:00:00", "d", 4.0, "p3")])
+                )
+            )
+        )
+        added = plain_table._stage_write(batch)  # staged, NOT committed
+        assert added
+        removed = maintenance.vacuum(plain_table, retain_hours=0.0)
+        staged_paths = {rel for rel, *_ in added}
+        removed_rels = {
+            os.path.relpath(p, plain_table.path).replace(os.sep, "/")
+            for p in removed
+        }
+        assert not (staged_paths & removed_rels)
+        # the commit still publishes a complete, readable table
+        plain_table.log.commit(add=added, op="append")
+        plain_table._clear_intents()
+        assert plain_table.read().count() == 4
+        # after the commit, nothing live is collectible
+        removed2 = maintenance.vacuum(plain_table, retain_hours=0.0)
+        assert not any(p.endswith(".parquet") for p in removed2)
+
+    def test_stale_intents_expire(self, spark, plain_table):
+        intent = plain_table._write_intent(["project_id=p9/x.parquet"])
+        os.utime(intent, (1, 1))  # ancient
+        assert plain_table.intent_files() == set()
+        assert not os.path.exists(intent)
+
+    def test_create_refuses_existing_sidecar_atomically(self, spark, tmp_path):
+        p = str(tmp_path / "t2")
+        Table.create(spark, load_schema_text(PLAIN_YAML), p)
+        with pytest.raises(FileExistsError):
+            Table.create(spark, load_schema_text(PLAIN_YAML), p)
+
+    def test_create_repairs_crashed_half_create(self, spark, tmp_path):
+        """Crash between log.init() and the sidecar write leaves a log-only
+        dir; the next create repairs it instead of wedging."""
+        p = str(tmp_path / "t3")
+        t = Table(spark, load_schema_text(PLAIN_YAML), p)
+        os.makedirs(p, exist_ok=True)
+        t.log.init()  # simulate the half-created state
+        tbl = Table.create(spark, load_schema_text(PLAIN_YAML), p)
+        tbl.append(_rows(spark, BASE))
+        assert tbl.read().count() == 3
+
+    def test_pre_log_group_append_raises(self, spark, tmp_path):
+        import json as _json
+
+        p = str(tmp_path / "legacy")
+        os.makedirs(p)
+        with open(os.path.join(p, "_tf_schema.json"), "w") as fh:
+            fh.write(load_schema_text(PLAIN_YAML).to_json())
+        tbl = Table.open(spark, p)
+        assert not tbl.log.exists()
+        with pytest.raises(ValueError, match="group/segment"):
+            tbl.append(_rows(spark, BASE), group=object())

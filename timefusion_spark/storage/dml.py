@@ -259,6 +259,7 @@ def _dv_dml(
             )
         added += table._stage_write(rewritten)
     table.log.commit(add=added, op="dml")
+    table._clear_intents()
     return n
 
 
@@ -307,8 +308,45 @@ def _inplace_keyed_delete(table: Table, pred: Column) -> int:
         out = out.sortWithinPartitions(
             *[F.col(c) for c in parts], *table._sort_cols()
         )
-    table.overwrite_partitions(out, dirs=dirs, op="dml", read_files=rf)
+    table.overwrite_partitions(
+        out, dirs=dirs, op="dml", read_files=_read_files_in(rf, dirs)
+    )
     return n
+
+
+def _with_derived_date(table: Table, assignments: dict) -> dict:
+    """Generated-column maintenance (review r13): `date` is derived as
+    CAST(time_column AS DATE) at ingest, and scan() pushes date-partition
+    bounds below the dedup window ON THAT INVARIANT — an UPDATE assigning
+    the time column without recomputing `date` would leave a row whose
+    date no longer matches its timestamp, silently excluded by
+    time-bounded scans (and stranded in the wrong partition dir). When
+    the time column is assigned and `date` is not, the derived
+    assignment is injected (an EXPLICIT date assignment is respected)."""
+    tc = table.schema.time_column
+    if (
+        "date" in table.schema.partitions
+        and tc in assignments
+        and "date" not in assignments
+    ):
+        return {
+            **assignments,
+            "date": assignments[tc].cast("timestamp").cast("date"),
+        }
+    return assignments
+
+
+def _read_files_in(rf: list[str] | None, dirs: list[str]) -> list[str] | None:
+    """Restrict a pinned whole-table file list to the partition dirs a
+    rewrite actually READ. Passing the full pinned list as
+    `read_files` let a rewrite whose output lands in a partition it
+    never read (an UPDATE assigning a partition column) sweep that
+    partition's untouched live files out of the manifest — silent data
+    loss of every pre-existing row there (review r13)."""
+    if rf is None:
+        return None
+    dset = {d.rstrip("/") for d in dirs}
+    return [p for p in rf if os.path.dirname(p) in dset]
 
 
 def _inplace_rewrite(table: Table, pred: Column, transform, count_df=None) -> int:
@@ -355,7 +393,9 @@ def _inplace_rewrite(table: Table, pred: Column, transform, count_df=None) -> in
         out = out.sortWithinPartitions(
             *[F.col(c) for c in parts], *table._sort_cols()
         )
-    table.overwrite_partitions(out, dirs=dirs, op="dml", read_files=rf)
+    table.overwrite_partitions(
+        out, dirs=dirs, op="dml", read_files=_read_files_in(rf, dirs)
+    )
     return n
 
 
@@ -418,6 +458,7 @@ def update(
     in place — or, with `deletion_vectors=True`, mask the matched rows and
     append only their rewritten copies (deletion_vectors.rs: the
     sparse-update shape; O(matched) written, zero partition rewrites)."""
+    assignments = _with_derived_date(table, assignments)
     if not table.schema.version_append:
         pred = _dml_condition(table, predicate, project_id, ts_lo, ts_hi)
         if deletion_vectors:
@@ -506,6 +547,7 @@ def update_from(
     Non-version_append tables take the in-place MERGE path
     (dml.rs:958-1004): affected partitions LEFT-join the broadcast source
     and rewrite atomically; unmatched rows pass through unchanged."""
+    assignments = _with_derived_date(table, assignments)
     n_src = source.count()
     if n_src > MAX_UPDATE_SOURCE_ROWS:
         raise ValueError(f"UPDATE…FROM source too large: {n_src} > {MAX_UPDATE_SOURCE_ROWS}")
@@ -606,7 +648,9 @@ def update_from(
             out = out.sortWithinPartitions(
                 *[F.col(c) for c in parts], *table._sort_cols()
             )
-        table.overwrite_partitions(out, dirs=dirs, op="dml", read_files=rf)
+        table.overwrite_partitions(
+        out, dirs=dirs, op="dml", read_files=_read_files_in(rf, dirs)
+    )
         return n
     target = _resolve(table, predicate, project_id, ts_lo, ts_hi).alias("_tgt")
     src = F.broadcast(source.alias("_src"))

@@ -571,8 +571,16 @@ def vacuum(table: Table, retain_hours: float = 0.0) -> list[str]:
         # BEGIN…COMMIT, a mid-flight multi-table flush) sits at its final
         # path but is in no snapshot — without this union, VACUUM (default
         # retain 0) would collect an open transaction's data out from
-        # under its own COMMIT.
-        live = set(table.log.snapshot().files) | table.log.staged_files()
+        # under its own COMMIT. intent_files(): same protection for a
+        # PLAIN append between its file moves and its log commit — the
+        # writer declares the destination paths before moving, so a
+        # concurrent VACUUM RETAIN 0 can't collect files the imminent
+        # commit is about to publish (review r13).
+        live = (
+            set(table.log.snapshot().files)
+            | table.log.staged_files()
+            | table.intent_files()
+        )
     # Sidecar stores live INSIDE the table dir but are NOT manifest-tracked
     # by the base log: quarantined DML rows (their only copy — losing them
     # is data loss) and text-index sidecars (self-contained Tables with

@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -39,6 +40,9 @@ from timefusion_spark.storage.schema import TableSchema
 _SIDECAR = "_tf_schema.json"
 _STAGING = "_tf_staging"
 DV_DIR = "_tf_dv"
+# staged-write intent records live under the log dir (see _stage_write)
+_INTENT_DIR = "_tf_intent"
+INTENT_TTL_S = 24 * 3600.0
 
 KEEP_GREATEST = "keep_greatest"
 KEEP_FIRST = "keep_first"
@@ -148,6 +152,7 @@ class Table:
         # highest log version below which every commit record is settled
         # (terminal state) — lets changes_upper_bound poll O(new commits)
         self._settled_floor = 0
+        self._pending_intents: list[str] = []
 
     # ── lifecycle ────────────────────────────────────────────────────────
 
@@ -155,12 +160,28 @@ class Table:
     def create(cls, spark: SparkSession, schema: TableSchema, path: str) -> Table:
         os.makedirs(path, exist_ok=True)
         sidecar = os.path.join(path, _SIDECAR)
-        if os.path.exists(sidecar):
-            raise FileExistsError(f"table already exists at {path}")
-        with open(sidecar, "w") as fh:
-            fh.write(schema.to_json())
+        # init the LOG before the sidecar: a crash between the two leaves
+        # a sidecar-less log dir (repaired by the next create below)
+        # instead of a sidecar-only PRE-LOG table that silently loses
+        # atomic commits, time travel and txn idempotence (review r13)
         table = cls(spark, schema, path)
-        table.log.init()
+        if os.path.exists(sidecar):
+            # up-front check so an existing PRE-LOG table is refused
+            # without having a fresh (empty-manifest) log grafted onto it
+            raise FileExistsError(f"table already exists at {path}")
+        if not table.log.exists():
+            table.log.init()
+        # else: crashed half-create (log without sidecar) — repair by
+        # writing the sidecar against the existing log
+        # 'x' (exclusive create), not exists-check-then-write: two
+        # concurrent CREATEs at one path must not both "succeed" with
+        # last-schema-wins; the loser's extra empty 'create' commit on
+        # the winner's log is a benign no-op (review r13)
+        try:
+            with open(sidecar, "x") as fh:
+                fh.write(schema.to_json())
+        except FileExistsError:
+            raise FileExistsError(f"table already exists at {path}") from None
         # a recreated table restarts version numbering — a stale shared
         # settled floor from a previous table at this path could skip a
         # pending commit in the fresh log
@@ -327,28 +348,86 @@ class Table:
         size, stats)] for the commit — stats is the per-file footer summary
         (_parquet_file_stats) the count index reads, or None. Spark
         part-file names embed the job UUID, so moved files never collide
-        across concurrent writers."""
+        across concurrent writers.
+
+        An INTENT record listing the destination paths is written BEFORE
+        the first move: between the move and the log commit the files are
+        at their final paths but in no snapshot, and a concurrent VACUUM
+        RETAIN 0 would otherwise collect them — the subsequent commit
+        would then publish a manifest pointing at deleted files (review
+        r13). vacuum unions young intents into its live set; the caller
+        clears intents (_clear_intents) once the commit lands."""
         staging = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
         writer = batch.write.mode("append").options(**self._writer_options())
         if self.schema.partitions:
             writer = writer.partitionBy(*self.schema.partitions)
         with _unshredded_variants(self.spark):
             writer.parquet(staging)
-        added: list[tuple[str, int, dict | None]] = []
+        moves: list[tuple[str, str]] = []
         for root, _dirs, files in os.walk(staging):
             for name in files:
                 if not name.endswith(".parquet"):
                     continue
                 src = os.path.join(root, name)
-                rel = os.path.relpath(src, staging)
-                dst = os.path.join(self.path, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                size = os.path.getsize(src)
-                os.replace(src, dst)
-                stats = _parquet_file_stats(dst, self.schema.time_column)
-                added.append((rel.replace(os.sep, "/"), size, stats))
+                moves.append((src, os.path.relpath(src, staging)))
+        if moves and self.log.exists():
+            self._pending_intents.append(
+                self._write_intent([rel.replace(os.sep, "/") for _, rel in moves])
+            )
+        added: list[tuple[str, int, dict | None]] = []
+        for src, rel in moves:
+            dst = os.path.join(self.path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            size = os.path.getsize(src)
+            os.replace(src, dst)
+            stats = _parquet_file_stats(dst, self.schema.time_column)
+            added.append((rel.replace(os.sep, "/"), size, stats))
         shutil.rmtree(staging, ignore_errors=True)
         return added
+
+    def _write_intent(self, rels: list[str]) -> str:
+        d = os.path.join(self.log.log_dir, _INTENT_DIR)
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"{uuid.uuid4().hex}.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"files": rels}, fh)
+        os.replace(tmp, p)
+        return p
+
+    def _clear_intents(self) -> None:
+        """Drop this table's staged-write intents — called once the commit
+        that publishes (or abandons) the staged files has landed."""
+        for p in self._pending_intents:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        self._pending_intents = []
+
+    def intent_files(self, max_age_s: float = INTENT_TTL_S) -> set[str]:
+        """Relative paths named by YOUNG staged-write intents (vacuum
+        protection). Intents older than `max_age_s` belong to crashed
+        writers — they are deleted here so their orphaned files become
+        collectible instead of being protected forever."""
+        out: set[str] = set()
+        d = os.path.join(self.log.log_dir, _INTENT_DIR)
+        if not os.path.isdir(d):
+            return out
+        now = time.time()
+        for name in os.listdir(d):
+            if not name.endswith(".json"):
+                continue
+            p = os.path.join(d, name)
+            try:
+                if now - os.path.getmtime(p) > max_age_s:
+                    os.unlink(p)
+                    continue
+                with open(p) as fh:
+                    out.update(json.load(fh).get("files", ()))
+            except OSError:
+                continue
+        return out
 
     def append(
         self,
@@ -407,6 +486,15 @@ class Table:
                 *[F.col(c) for c in self.schema.partitions], *self._sort_cols()
             )
         if not self.log.exists():
+            if group is not None or segment is not None:
+                # a group-staged append NEEDS the commit log to defer
+                # visibility; silently writing direct would make the rows
+                # visible before COMMIT and unrollbackable — the same
+                # loud-degrade contract as txn above (review r13)
+                raise ValueError(
+                    "group/segment-staged append requires a commit log "
+                    "(pre-log table: recreate via Table.create)"
+                )
             # Pre-log table: legacy direct append (directory-listing reads).
             writer = batch.write.mode("append").options(**self._writer_options())
             if self.schema.partitions:
@@ -417,6 +505,10 @@ class Table:
         added = self._stage_write(batch)
         if added or txn is not None:
             self.log.commit(add=added, txn=txn, op="append", group=group, segment=segment)
+        # a group-staged commit's files are protected by staged_files()
+        # from here on; a published commit's by the snapshot — either way
+        # the staging intents have done their job
+        self._clear_intents()
 
     def overwrite_partitions(
         self,
@@ -464,6 +556,7 @@ class Table:
         # 'overwrite') — the change feed treats them oppositely (skip vs
         # fail-loud, see read_changes).
         self.log.commit(add=added, remove=removed, op=op)
+        self._clear_intents()
 
     # ── read path ────────────────────────────────────────────────────────
 
@@ -594,9 +687,6 @@ class Table:
         reads per poll, not O(tip) (VERDICT r10 #6). The streaming
         changefeed source keeps the same O(new) shape via its own
         `_last` offset cursor."""
-        import json as _json
-        import os as _os
-
         from timefusion_spark.storage.commitlog import (
             raise_settled_floor,
             settle_if_aged,
@@ -611,11 +701,13 @@ class Table:
         # the shared floor is always safe to adopt
         floor = max(self._settled_floor, settled_floor(log_dir))
         for v in range(floor + 1, tip + 1):
-            p = _os.path.join(log_dir, f"{v:08d}.json")
-            if not _os.path.exists(p):
+            # record loading via the log's own reader — the per-version
+            # path convention lives in ONE place (review r13); the path
+            # is still needed for settle_if_aged's age stat
+            p = os.path.join(log_dir, f"{v:08d}.json")
+            if not os.path.exists(p):
                 continue
-            with open(p) as fh:
-                rec = _json.load(fh)
+            rec = self.log.entry(v)
             if settle_if_aged(rec, p, log_dir) == "pending":
                 self._settled_floor = v - 1
                 raise_settled_floor(log_dir, v - 1)
@@ -665,7 +757,6 @@ class Table:
         silent gaps."""
         if not self.log.exists():
             raise ValueError("read_changes requires a commit log (Table.create)")
-        latest = self.log.latest_version()
         # default range caps below young pending group commits (see
         # docstring; an EXPLICIT to_version keeps the caller's range and
         # the per-entry visibility skip below). The cap is clamped UP to
@@ -677,6 +768,11 @@ class Table:
             if to_version is None
             else to_version
         )
+        # tip read AFTER the upper bound: the log only grows, so a commit
+        # landing between the two reads can only RAISE the tip — reading
+        # it first made a default poll racing a concurrent commit fail
+        # with a spurious bad-range error (review r13)
+        latest = self.log.latest_version()
         if not from_version <= to_version <= latest:
             raise ValueError(
                 f"bad change range ({from_version}, {to_version}] at tip {latest}"
@@ -688,11 +784,11 @@ class Table:
             if tomb
             else F.lit("upsert")
         )
+        from timefusion_spark.storage.commitlog import _group_visible
+
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             entry = self.log.entry(v)
-            from timefusion_spark.storage.commitlog import _group_visible
-
             if not _group_visible(entry, self.log.log_dir):
                 continue  # pending/aborted coalesced commit: no change yet
             # Only APPEND commits carry representable logical changes.

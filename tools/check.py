@@ -31,6 +31,11 @@ def canon(v):
     # sampler below).
     if v is None:
         return "\x00NULL"
+    if isinstance(v, (bytes, bytearray)):
+        # Spark collect() hands back bytearray for BinaryType, DuckDB
+        # bytes — same contents must canonicalize equal, and str() of
+        # either would render them differently anyway (review r13)
+        return "\x02" + bytes(v).hex()
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
@@ -147,6 +152,10 @@ def main() -> int:
                 if sval is None or oval is None:
                     continue
                 st, ot = type(sval).__name__, type(oval).__name__
+                # bytearray (Spark BinaryType) vs bytes (DuckDB BLOB) is
+                # representation, not drift — canon() hex-normalizes both
+                if {st, ot} == {"bytearray", "bytes"}:
+                    continue
                 if st != ot:
                     problems.append(f"col {ocol} type drift spark={st} oracle={ot}")
         if len(srows) != len(orows):
