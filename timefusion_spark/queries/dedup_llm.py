@@ -575,8 +575,21 @@ def q_streaming_dedup_online(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             dropped = in_batch
             if os.path.exists(idx_dir):
-                hist = spark.read.parquet(idx_dir).select(
-                    F.col("_id").alias("_hid"), F.col("_sh").alias("_hsh"), "_key"
+                # history stores ONE row per doc (_id, _sh, _sig); band
+                # keys re-derive at read through the shared kernel — an
+                # exploded store would persist the full shingle array
+                # once per band, 4x the dominant column (review r13)
+                hist = dd._band_explode(
+                    spark.read.parquet(idx_dir),
+                    dd.LSH_BANDS,
+                    dd.LSH_ROWS,
+                    F.struct(F.col("_id").alias("i"), F.col("_sh").alias("sh")),
+                ).select(
+                    F.col("m.i").alias("_hid"),
+                    F.col("m.sh").alias("_hsh"),
+                    F.concat_ws(
+                        "-", F.col("band").cast("string"), F.col("key")
+                    ).alias("_key"),
                 )
                 vs_hist = (
                     kb.join(hist, "_key")
@@ -593,9 +606,9 @@ def q_streaming_dedup_online(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("_id")
             )
             kept.unionByName(nulls).write.mode("append").parquet(out_dir)
-            # history = ALL seen banded docs, kept or dropped (exploded
-            # (_id, _sh, _key) rows — the shape the lookup consumes)
-            kb.write.mode("append").parquet(idx_dir)
+            # history = ALL seen banded docs, kept or dropped — one row
+            # per doc; the lookup re-derives band keys from _sig
+            fb.write.mode("append").parquet(idx_dir)
 
         q = (
             spark.readStream.schema("doc_id long, text string")

@@ -210,12 +210,21 @@ def q_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picked = sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
     return (
-        rates.join(picked, "source", "left")
+        # eqNullSafe like the oracle's IS NOT DISTINCT FROM: a plain
+        # equi-join would report n_sampled=0 for a NULL-source group even
+        # though mix_sample kept its rows (review r13 round-diff);
+        # explicit aliases because rates and picked share lineage
+        rates.alias("r")
+        .join(
+            picked.alias("p"),
+            F.col("r.source").eqNullSafe(F.col("p.source")),
+            "left",
+        )
         .select(
-            "source",
+            F.col("r.source").alias("source"),
             "n_src",
             "rate_ppb",
-            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            F.coalesce(F.col("p.n_sampled"), F.lit(0)).alias("n_sampled"),
         )
         .orderBy("source")
     )

@@ -209,11 +209,21 @@ def _dv_dml(
     added: list[tuple[str, int]] = []
     os.makedirs(os.path.join(table.path, DV_DIR), exist_ok=True)
     n = 0
-    for name in os.listdir(stage):
-        if not name.endswith(".parquet"):
-            continue
-        rel = f"{DV_DIR}/{_uuid.uuid4().hex}.parquet"
-        src = os.path.join(stage, name)
+    moves = [
+        (os.path.join(stage, name), f"{DV_DIR}/{_uuid.uuid4().hex}.parquet")
+        for name in os.listdir(stage)
+        if name.endswith(".parquet")
+    ]
+    if moves:
+        # staging intent BEFORE the move — the same vacuum-race protection
+        # _stage_write carries: between this move and the commit (a full
+        # rewrite-stage job away) a VACUUM RETAIN 0 would otherwise
+        # collect the DV file and the commit would publish a manifest
+        # entry for a nonexistent file (review r13 round-diff)
+        table._pending_intents.append(
+            table._write_intent([rel for _, rel in moves])
+        )
+    for src, rel in moves:
         size = os.path.getsize(src)
         os.replace(src, os.path.join(table.path, rel))
         added.append((rel, size))
@@ -236,6 +246,7 @@ def _dv_dml(
             # nothing matched: drop the empty DV file, commit nothing
             for rel, *_ in added:
                 os.remove(os.path.join(table.path, rel))
+            table._clear_intents()
             return 0
     if assignments is not None:
         # keyed: rewrite from the VISIBLE winners (their every raw
