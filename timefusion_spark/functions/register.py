@@ -31,10 +31,15 @@ _SQL_FUNCTIONS: dict[str, str] = {
         RETURNS TIMESTAMP
         RETURN timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), secs * 1000000))
     """,
-    # PG ->> scalar text extraction over a JSON string column
+    # PG ->> scalar text extraction over a JSON string column. The key is
+    # bracket-quoted ($['k']) so PG's literal-key semantics hold for keys
+    # containing dots/brackets/spaces — concat('$.', k) resolved 'a.b' as
+    # a NESTED path and returned NULL (review r13). Keys containing a
+    # single quote remain unaddressable through this SQL fallback (NULL);
+    # the pgshim layer's per-key quote-form selection handles those.
     "json_get_text": """
         CREATE OR REPLACE TEMPORARY FUNCTION json_get_text(j STRING, k STRING)
-        RETURNS STRING RETURN get_json_object(j, concat('$.', k))
+        RETURNS STRING RETURN get_json_object(j, concat('$[\\'', k, '\\']'))
     """,
     # text_match correctness path in SQL (tantivy_index/udf.rs:1-60:
     # case-insensitive AND of query tokens as substrings; empty query →
@@ -43,10 +48,15 @@ _SQL_FUNCTIONS: dict[str, str] = {
     # pgshim's trigram-sidecar interception accelerates the simple
     # one-table shapes; THIS definition is what any other placement of the
     # predicate (joins, extra conjuncts, projections) resolves to.
+    # (?U): Java \\s is ASCII-only by default, but the Python helper this
+    # mirrors tokenizes with str.split() (Unicode whitespace) — without
+    # the flag 'foo\\u00a0bar' stayed one fused token here while the
+    # DataFrame surface split it, same predicate different answer
+    # (review r13)
     "text_match": """
         CREATE OR REPLACE TEMPORARY FUNCTION text_match(col STRING, q STRING)
         RETURNS BOOLEAN RETURN coalesce(
-          forall(filter(split(lower(q), '\\\\s+'), t -> t <> ''),
+          forall(filter(split(lower(q), '(?U)\\\\s+'), t -> t <> ''),
                  t -> contains(lower(col), t)),
           false)
     """,

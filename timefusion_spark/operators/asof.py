@@ -26,6 +26,14 @@ DIFFERENT right rows into one row that never existed. Right rows with a
 NULL key or NULL timestamp are excluded up front: SQL `=`/`>=` never
 match NULL (a null-key left row therefore gets no match, and DuckDB's
 ASOF JOIN oracle agrees).
+
+DETERMINISM CONTRACT (review r13): right rows must be unique per
+(key, timestamp) — ties share the window sort position (_ts, _is_left),
+so which tied payload carries forward is partition-order dependent.
+Pre-aggregate the right side (as q_asof_join does) or add a tiebreak
+column to its timestamp when duplicates are possible; the operator
+cannot impose one generically (payload structs may hold unorderable
+types like maps).
 """
 
 from __future__ import annotations
@@ -48,9 +56,10 @@ def asof_join(
     (NULL when no prior right row exists)."""
     from pyspark.sql import Window as W
 
-    payload_cols = payload_cols or [
-        c for c in right.columns if c not in (on, right_ts)
-    ]
+    # `is None`, not falsy: an explicit empty list is a legitimate
+    # existence-style probe, not a request for the default (review r13)
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in (on, right_ts)]
     r_clean = right.where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     prow_t = (
         r_clean.select(

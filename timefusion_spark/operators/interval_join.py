@@ -68,8 +68,13 @@ def interval_join(
     p = points.withColumn(
         "_bkt", F.floor(F.unix_micros(F.col(point_ts)) / F.lit(w_us))
     )
+    # inverted intervals (end < start) match nothing, but F.sequence
+    # would silently step -1 and explode each such row into a DESCENDING
+    # bucket range — one corrupt sentinel interval became ~500k pure-
+    # waste join rows (review r13); dropping them up front is exact
     i = (
-        intervals.withColumn(
+        intervals.where(F.col(end_col) >= F.col(start_col))
+        .withColumn(
             "_sb", F.floor(F.unix_micros(F.col(start_col)) / F.lit(w_us))
         )
         .withColumn("_eb", F.floor(F.unix_micros(F.col(end_col)) / F.lit(w_us)))

@@ -101,7 +101,16 @@ def bm25_scores(
             + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
             / (F.col(f"df_{i}") + F.lit(0.5))
         )
-        part = idf * F.col(f"tf_{i}") * F.lit(k1 + 1.0) / (F.col(f"tf_{i}") + norm)
+        # same floor on THIS divisor: at b=1.0 an empty document (dl=0,
+        # tf=0) makes tf + k1*(1-b+b*dl/avgdl) exactly 0 — DIVIDE_BY_ZERO
+        # under ANSI, a silent NULL score otherwise (review r13); tf=0
+        # makes the numerator 0, so the floored result is exactly 0.0
+        part = (
+            idf
+            * F.col(f"tf_{i}")
+            * F.lit(k1 + 1.0)
+            / F.greatest(F.col(f"tf_{i}") + norm, F.lit(1e-12))
+        )
         score = part if score is None else score + part
     return scored.select(
         F.col("_bm_id").alias(id_col),
