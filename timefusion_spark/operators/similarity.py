@@ -396,12 +396,22 @@ def pq_fit(
     from pyspark.sql import Window as W
 
     base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
-    n = base.count()
+    # ONE job reads the sample size AND the vector dimension (the
+    # separate count() + first(size) actions each scanned the input —
+    # optimization r13, guide §1.2); min(size) over uniform-dim input is
+    # the dimension, and a mixed-dim corpus still fails the divisibility
+    # check below rather than fitting garbage.
+    nd = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.min(F.size("_v")).alias("_d")
+    ).first()
+    n = int(nd["_n"])
+    if n == 0:
+        raise ValueError("pq_fit: no sample rows")
+    d = int(nd["_d"])
     if n > max_fit_rows:
         denom = 1_000_000
         keep = max(1, int(denom * max_fit_rows / n))
         base = base.where(F.pmod(F.xxhash64(F.col("_v")), F.lit(denom)) < keep)
-    d = int(base.select(F.size("_v").alias("_d")).first()["_d"])
     if d % m != 0:
         raise ValueError(f"vector dim {d} not divisible into m={m} subspaces")
     dsub = d // m
@@ -1320,8 +1330,14 @@ def opq_fit(
     import numpy as np
 
     base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
-    n = base.count()
-    d = int(base.select(F.size("_v").alias("_d")).first()["_d"])
+    # one job for (n, d) — see pq_fit (optimization r13, guide §1.2)
+    nd = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.min(F.size("_v")).alias("_d")
+    ).first()
+    n = int(nd["_n"])
+    if n == 0:
+        raise ValueError("opq_fit: no sample rows")
+    d = int(nd["_d"])
     if d % m != 0:
         raise ValueError(f"vector dim {d} not divisible into m={m} subspaces")
     dsub = d // m

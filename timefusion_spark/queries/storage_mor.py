@@ -1849,18 +1849,38 @@ def q_count_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev = t(spark, sf_dir, "events").select("event_id", "ts", "value")
         # one append (= one file) per ISO week of the January 2024 corpus,
-        # so the window below covers some files wholly and one partially
-        for wk_lo, wk_hi in (
-            ("2024-01-01", "2024-01-08"),
-            ("2024-01-08", "2024-01-15"),
-            ("2024-01-15", "2024-01-22"),
-            ("2024-01-22", "2024-02-01"),
-        ):
+        # so the window below covers some files wholly and one partially.
+        # The four weekly appends are INDEPENDENT jobs (distinct row sets;
+        # the commit log's optimistic os.link loop serializes versions),
+        # so they run from a small thread pool and overlap instead of
+        # paying four sequential scan+write walls (optimization r13,
+        # guide §2.6). Each thread opens its own Table handle so the
+        # staged-write intent bookkeeping stays per-writer. count_range
+        # reads the manifest as a SET, so commit order is immaterial.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from timefusion_spark.storage import Table as _Table
+
+        def _append_week(bounds: tuple[str, str]) -> None:
+            wk_lo, wk_hi = bounds
             batch = ev.where(
                 (F.col("ts") >= F.lit(wk_lo).cast("timestamp"))
                 & (F.col("ts") < F.lit(wk_hi).cast("timestamp"))
             ).coalesce(1)
-            tbl.append(batch)
+            _Table.open(spark, tbl.path).append(batch)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(
+                pool.map(
+                    _append_week,
+                    (
+                        ("2024-01-01", "2024-01-08"),
+                        ("2024-01-08", "2024-01-15"),
+                        ("2024-01-15", "2024-01-22"),
+                        ("2024-01-22", "2024-02-01"),
+                    ),
+                )
+            )
         n, info = tbl.count_range(
             "2024-01-10 00:00:00", "2024-01-22 00:00:00", detail=True
         )

@@ -783,11 +783,23 @@ def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("_t3"))
     )
     counts = ev.agg(F.countDistinct("user_id").alias("n_users"))
-    return (
-        counts.crossJoin(F.broadcast(t1.agg(F.count(F.lit(1)).alias("n_viewed"))))
-        .crossJoin(F.broadcast(t2.agg(F.count(F.lit(1)).alias("n_clicked"))))
-        .crossJoin(F.broadcast(t3.agg(F.count(F.lit(1)).alias("n_purchased"))))
+    # ONE aggregation computes all three stage counts: t2/t3 carry at most
+    # one row per user (per-user MIN aggregates), so left-joining them
+    # onto t1 keeps exactly |t1| rows and count(_t2)/count(_t3) equal
+    # |t2|/|t3|. The previous three broadcast crossJoins each built a
+    # separate 1-row broadcast — three extra jobs re-running the shared
+    # t1/t2 subtrees (optimization r13, guide §1.2/§2.4; AQE's stage
+    # cache now reuses the t1 and t2 exchanges inside one action).
+    stages = (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_viewed"),
+            F.count("_t2").alias("n_clicked"),
+            F.count("_t3").alias("n_purchased"),
+        )
     )
+    return counts.crossJoin(F.broadcast(stages))
 
 
 @query(

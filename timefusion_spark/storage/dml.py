@@ -382,15 +382,32 @@ def _inplace_rewrite(table: Table, pred: Column, transform, count_df=None) -> in
     # file the rewrite touches, and raw matches are a superset.
     parts = table.schema.partitions
     if parts:
-        vals = matched.select(*parts).distinct().collect()
-        if not vals:
-            return 0
+        if count_df is None:
+            # ONE job discovers the affected partitions AND the matched
+            # count: groupBy(partition cols) collects one row per affected
+            # partition (bounded by partition count, like the old distinct)
+            # carrying its match count — the separate matched.count() job
+            # re-scanned the table for a number this aggregate already
+            # knows (optimization r13, guide §1.2: remove redundant passes)
+            vals = (
+                matched.groupBy(*[F.col(c) for c in parts])
+                .agg(F.count(F.lit(1)).alias("_tf_cnt"))
+                .collect()
+            )
+            if not vals:
+                return 0
+            n = sum(r["_tf_cnt"] for r in vals)
+        else:
+            vals = matched.select(*parts).distinct().collect()
+            if not vals:
+                return 0
+            n = count_df.count()
         pf, dirs = _partition_selection(table, vals)
         affected = raw.where(pf)
     else:
         affected = raw
         dirs = [""]
-    n = (matched if count_df is None else count_df).count()
+        n = (matched if count_df is None else count_df).count()
     if n == 0:
         # zero VISIBLE matches: PG reports 0; any raw-only loser matches
         # are invisible either way, so the rewrite is skipped
@@ -559,7 +576,19 @@ def update_from(
     (dml.rs:958-1004): affected partitions LEFT-join the broadcast source
     and rewrite atomically; unmatched rows pass through unchanged."""
     assignments = _with_derived_date(table, assignments)
-    n_src = source.count()
+    # ONE job guards both source bounds: rows-per-key groups re-aggregate
+    # into (total rows, distinct key tuples) — the separate count() and
+    # distinct().count() actions each scanned the source (optimization
+    # r13, guide §1.2). groupBy groups NULL key tuples exactly like
+    # distinct() counted them.
+    kc = (
+        source.groupBy(*join_keys)
+        .agg(F.count(F.lit(1)).alias("_tf_c"))
+        .agg(F.sum("_tf_c").alias("_tf_n"), F.count(F.lit(1)).alias("_tf_k"))
+        .first()
+    )
+    n_src = int(kc["_tf_n"] or 0)
+    n_keys = int(kc["_tf_k"])
     if n_src > MAX_UPDATE_SOURCE_ROWS:
         raise ValueError(f"UPDATE…FROM source too large: {n_src} > {MAX_UPDATE_SOURCE_ROWS}")
     # Duplicate join keys in the source MULTIPLY matching target rows
@@ -569,7 +598,6 @@ def update_from(
     # update count; PG updates each target row once). Same contract as
     # Delta MERGE's multiple-source-match error, on BOTH paths
     # (review r10: the guard previously covered only the in-place path).
-    n_keys = source.select(*join_keys).distinct().count()
     if n_keys != n_src:
         raise ValueError(
             f"UPDATE…FROM source has duplicate join keys "
@@ -634,18 +662,25 @@ def update_from(
             # qualify with _tgt: the source legitimately carries partition
             # columns (e.g. project_id among the join keys), and the bare
             # name over the join is AMBIGUOUS_REFERENCE (review r10)
+            # ONE job discovers affected partitions AND (on unkeyed
+            # tables) the matched count — same merge as _inplace_rewrite
+            # (optimization r13, guide §1.2)
             vals = (
-                matched_pred_df.select(
+                matched_pred_df.groupBy(
                     *[F.col(f"_tgt.{c}").alias(c) for c in parts]
                 )
-                .distinct()
+                .agg(F.count(F.lit(1)).alias("_tf_cnt"))
                 .collect()
             )
             if not vals:
                 return 0
             pf, dirs = _partition_selection(table, vals)
             affected = table.read_raw(snapshot_files=rf).where(pf)
-            n = n_visible if n_visible is not None else matched_pred_df.count()
+            n = (
+                n_visible
+                if n_visible is not None
+                else sum(r["_tf_cnt"] for r in vals)
+            )
         else:
             n = n_visible if n_visible is not None else matched_pred_df.count()
             if n == 0:

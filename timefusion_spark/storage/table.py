@@ -374,14 +374,36 @@ class Table:
             self._pending_intents.append(
                 self._write_intent([rel.replace(os.sep, "/") for _, rel in moves])
             )
-        added: list[tuple[str, int, dict | None]] = []
+        moved: list[tuple[str, int, str]] = []
         for src, rel in moves:
             dst = os.path.join(self.path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             size = os.path.getsize(src)
             os.replace(src, dst)
-            stats = _parquet_file_stats(dst, self.schema.time_column)
-            added.append((rel.replace(os.sep, "/"), size, stats))
+            moved.append((rel.replace(os.sep, "/"), size, dst))
+        # Footer-stats reads are independent local metadata I/O; a
+        # partitioned append produces one file per partition dir and the
+        # serial pyarrow loop cost ~5 ms/file of pure driver latency per
+        # write (optimization r13, guide §5: keep the driver thin). Order
+        # of `added` is preserved (map respects input order).
+        if len(moved) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(moved))) as pool:
+                stats_list = list(
+                    pool.map(
+                        lambda m: _parquet_file_stats(m[2], self.schema.time_column),
+                        moved,
+                    )
+                )
+        else:
+            stats_list = [
+                _parquet_file_stats(dst, self.schema.time_column)
+                for _rel, _size, dst in moved
+            ]
+        added = [
+            (rel, size, st) for (rel, size, _dst), st in zip(moved, stats_list)
+        ]
         shutil.rmtree(staging, ignore_errors=True)
         return added
 
