@@ -611,18 +611,27 @@ def minhash_lsh_pairs(
     )
     # Staged projections: each hash array becomes an ATTRIBUTE before the
     # next stage scans it many times (module evaluation-count note).
-    # HARD barrier before the per-seed transform (review r12, same
-    # hazard the winnow path documents): CollapseProject inlines the
-    # single-reference _shh projection into the seed lambda, re-running
-    # the whole shingle-hash pass once PER SEED (16x measured).
-    sigs = (
-        df.select(F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th"))
-        .select("_id", shingle_hashes_from_token_hashes("_th", shingle_k).alias("_shh"))
-        .localCheckpoint(eager=True)
-        .select(
-            "_id",
-            minhash_signature_from_hashes("_shh", LSH_BANDS * LSH_ROWS).alias("_sig"),
+    # Signatures come from the vectorized Arrow kernel (the ngram path's
+    # throughput shape, bit-identical by construction): the opaque
+    # mapInPandas boundary reads the staged shingle-hash column ONCE per
+    # row, so the per-seed CollapseProject re-evaluation hazard (16×
+    # measured, review r12) cannot arise and the hard localCheckpoint
+    # barrier that guarded the expression path — one extra action + a
+    # full write/read of the hash arrays — is no longer needed
+    # (optimization r13, guide §4.2).
+    gh_frame = df.select(
+        F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
+    ).select("_id", shingle_hashes_from_token_hashes("_th", shingle_k).alias("_gh"))
+    n_sig = LSH_BANDS * LSH_ROWS
+    if n_sig > len(MINHASH_SEEDS):
+        raise ValueError(
+            f"n_sig={n_sig} exceeds the {len(MINHASH_SEEDS)}-entry "
+            "seed table (MINHASH_SEEDS); extend the table"
         )
+    id_type = dict(gh_frame.dtypes)["_id"]
+    sigs = gh_frame.mapInPandas(
+        _minhash_sig_arrow_kernel(n_sig, []),
+        schema=f"_id {id_type}, _sig array<long>",
     )
     candidates = banded_candidate_pairs(sigs, LSH_BANDS, LSH_ROWS)
 
@@ -1267,19 +1276,20 @@ def minhash_lsh_join(
                 F.col(text_col).isNotNull()
             )
         )
-        return (
-            base.select(
-                F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
-            )
-            .select("_id", shingle_hashes_from_token_hashes("_th", shingle_k).alias("_shh"))
-            # HARD barrier: see minhash_lsh_pairs (review r12)
-            .localCheckpoint(eager=True)
-            .select(
-                "_id",
-                minhash_signature_from_hashes("_shh", LSH_BANDS * LSH_ROWS).alias("_sig"),
-            )
-            .withColumn("_side", F.lit(side))
+        # vectorized Arrow signature kernel — bit-identical to the expr
+        # path and opaque to CollapseProject, so no per-side checkpoint
+        # barrier action is needed (see minhash_lsh_pairs; optimization
+        # r13, guide §4.2)
+        gh = base.select(
+            F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
+        ).select(
+            "_id", shingle_hashes_from_token_hashes("_th", shingle_k).alias("_gh")
         )
+        id_type = dict(gh.dtypes)["_id"]
+        return gh.mapInPandas(
+            _minhash_sig_arrow_kernel(LSH_BANDS * LSH_ROWS, []),
+            schema=f"_id {id_type}, _sig array<long>",
+        ).withColumn("_side", F.lit(side))
 
     u = sigs(corpus, 0).unionByName(sigs(probe, 1))
     if bucket_cap is not None:

@@ -280,14 +280,25 @@ def q_text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # checkpoint: the pruning assert's count() and the returned groupBy
     # would otherwise EACH run the full candidate join + verify — the
-    # timed query paid the search twice (review r13)
-    hits = trigram_search(d, idx_tbl.read(), "MERGE window").localCheckpoint(
-        eager=True
+    # timed query paid the search twice (review r13). The hit count rides
+    # the checkpoint job itself as an Observation instead of a separate
+    # count() action over the materialized frame (optimization r13,
+    # guide §1.2: the checkpoint already touches every row).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    hits = (
+        trigram_search(d, idx_tbl.read(), "MERGE window")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     # accelerator sanity: candidate pruning really happened (every doc in
     # the verify set holds all query trigrams; far fewer than the corpus)
     n_docs = d.count()
-    n_hits = hits.count()
+    try:
+        n_hits = int(obs.get["n"] or 0)
+    except Exception:  # noqa: BLE001 — AQE empty-relation edge: recount
+        n_hits = hits.count()
     _require(0 < n_hits < n_docs, (n_hits, n_docs))
     return (
         hits.groupBy("lang")

@@ -389,8 +389,15 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow to (id, codes) BEFORE the checkpoint — the persisted artifact
     # is the m-byte codes, not the d-float vectors it compresses (review
     # r13: the unprojected checkpoint was materializing every raw vector)
+    # kernel="arrow": the corpus encode is THE throughput stage of a PQ
+    # index build, and the vectorized batch kernel runs it ~5× faster
+    # than the interpreted m·ksub expression tree (whose giant literal
+    # codebook also costs ~1s of Catalyst analysis per fresh plan) —
+    # optimization r13, guide §4.2. Codes are pinned bit-equal across
+    # kernels (tests/test_similarity_ivf.py), and the expr encode stays
+    # gate-covered via q_ann_ivfpq / q_ann_ivfopq's residual encodes.
     enc = (
-        sim.pq_encode(e, books)
+        sim.pq_encode(e, books, kernel="arrow")
         .select("vec_id", "_codes")
         .localCheckpoint(eager=True)
     )
