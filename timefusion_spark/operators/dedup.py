@@ -611,27 +611,26 @@ def minhash_lsh_pairs(
     )
     # Staged projections: each hash array becomes an ATTRIBUTE before the
     # next stage scans it many times (module evaluation-count note).
-    # Signatures come from the vectorized Arrow kernel (the ngram path's
-    # throughput shape, bit-identical by construction): the opaque
-    # mapInPandas boundary reads the staged shingle-hash column ONCE per
-    # row, so the per-seed CollapseProject re-evaluation hazard (16×
-    # measured, review r12) cannot arise and the hard localCheckpoint
-    # barrier that guarded the expression path — one extra action + a
-    # full write/read of the hash arrays — is no longer needed
-    # (optimization r13, guide §4.2).
-    gh_frame = df.select(
-        F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
-    ).select("_id", shingle_hashes_from_token_hashes("_th", shingle_k).alias("_gh"))
-    n_sig = LSH_BANDS * LSH_ROWS
-    if n_sig > len(MINHASH_SEEDS):
-        raise ValueError(
-            f"n_sig={n_sig} exceeds the {len(MINHASH_SEEDS)}-entry "
-            "seed table (MINHASH_SEEDS); extend the table"
+    # HARD barrier before the per-seed transform (review r12, same
+    # hazard the winnow path documents): CollapseProject inlines the
+    # single-reference _shh projection into the seed lambda, re-running
+    # the whole shingle-hash pass once PER SEED (16x measured).
+    # (Optimization r13 trialled the ngram path's Arrow signature kernel
+    # here to drop this barrier action; an interleaved A/B on the bench
+    # corpus showed the expression path equal-or-faster — word-shingle
+    # hash arrays are ~6× shorter than the ngram path's char-gram arrays,
+    # so the kernel's per-row Python loop outweighs the saved checkpoint
+    # at this document length. The kernel remains the cross-corpus join's
+    # shape (minhash_lsh_join), where its two per-side barriers were pure
+    # cost; revisit if the corpus document length grows.)
+    sigs = (
+        df.select(F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th"))
+        .select("_id", shingle_hashes_from_token_hashes("_th", shingle_k).alias("_shh"))
+        .localCheckpoint(eager=True)
+        .select(
+            "_id",
+            minhash_signature_from_hashes("_shh", LSH_BANDS * LSH_ROWS).alias("_sig"),
         )
-    id_type = dict(gh_frame.dtypes)["_id"]
-    sigs = gh_frame.mapInPandas(
-        _minhash_sig_arrow_kernel(n_sig, []),
-        schema=f"_id {id_type}, _sig array<long>",
     )
     candidates = banded_candidate_pairs(sigs, LSH_BANDS, LSH_ROWS)
 
