@@ -261,6 +261,29 @@ class TestDML:
         vals = {r["id"]: r["value"] for r in mor_table.read().collect()}
         assert vals == {"a": 1.0, "b": 2.0, "c": 3.0}
 
+    def test_key_predicate_sits_below_window_in_plan(self, spark, mor_table):
+        """Optimization r13 finding: Catalyst (PushPredicateThroughNonJoin)
+        already pushes a deterministic predicate referencing only the dedup
+        window's partitionBy columns (the dedup keys) BELOW the window —
+        the reference's DML pushdown-classification rule
+        (database.rs:12507-12533) is subsumed by the optimizer, so
+        `_resolve` needs no manual classification. Pin that plan shape: if
+        a Spark upgrade regressed it, keyed DML would silently start
+        shuffling whole partitions through the dedup window at scale."""
+        from timefusion_spark.storage.dml import _resolve
+
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        keyed = _resolve(mor_table, F.expr("id IN ('a','b')"), None, None, None)
+        plan = keyed._jdf.queryExecution().optimizedPlan().toString()
+        # top-down rendering: the IN filter printed after the Window node
+        # means it executes below (before) the window shuffle
+        assert plan.index(" IN ") > plan.index("Window")
+        # …and a predicate on a version-MUTABLE column must stay ABOVE the
+        # window (pruning losing versions early would change the winner)
+        mutable = _resolve(mor_table, F.expr("value > 0"), None, None, None)
+        plan2 = mutable._jdf.queryExecution().optimizedPlan().toString()
+        assert plan2.index("> 0.0") < plan2.index("Window")
+
     def test_dml_routes_by_table_config(self, spark, tmp_path):
         """database.rs:2056-2064 routing: the SAME dml.update call
         version-appends on a version_append table but rewrites in place on
