@@ -284,6 +284,55 @@ class TestDML:
         plan2 = mutable._jdf.queryExecution().optimizedPlan().toString()
         assert plan2.index("> 0.0") < plan2.index("Window")
 
+    def test_dml_append_skips_batch_dedup_only_when_provably_unique(
+        self, spark, mor_table
+    ):
+        """Optimization r14: DML version-appends feed append() from the
+        dedup VIEW (one row per key), so the in-batch LWW window is a
+        provable identity and is skipped — UNLESS an assignment rewrites
+        a dedup-key column, which can collide keys inside the batch and
+        must still collapse through dedup_batch."""
+        mor_table.append(_rows(spark, BASE), stamp="2026-02-01 00:00:00")
+        # non-key assignment: one appended version per matched key (the
+        # skip path), visible state updated
+        n = dml.update(
+            mor_table,
+            {"value": F.col("value") + 1.0},
+            stamp="2026-02-02 00:00:00",
+        )
+        assert n == 3
+        assert mor_table.read_raw().count() == 6
+        vals = {r["id"]: r["value"] for r in mor_table.read().collect()}
+        assert vals == {"a": 2.0, "b": 3.0, "c": 4.0}
+        # KEY assignment: all matched rows collide on the full key tuple
+        # (timestamp, id) = (const, 'z'); dedup_batch must still collapse
+        # them to ONE appended version (LWW), exactly the pre-r14 behavior
+        n = dml.update(
+            mor_table,
+            {
+                "id": F.lit("z"),
+                "timestamp": F.lit("2026-01-01 10:00:00").cast("timestamp"),
+            },
+            stamp="2026-02-03 00:00:00",
+        )
+        assert n == 3
+        assert mor_table.read_raw().count() == 7  # 6 + ONE collapsed version
+        # append() with the flag on a batch that is NOT unique proves the
+        # window really is skipped: both duplicate raw versions land
+        before = mor_table.read_raw().count()
+        mor_table.append(
+            _rows(
+                spark,
+                [
+                    ("2026-01-01 10:00:00", "dup", 1.0, "p1"),
+                    ("2026-01-01 10:00:00", "dup", 2.0, "p1"),
+                ],
+            ),
+            stamp="2026-02-04 00:00:00",
+            batch_key_unique=True,
+        )
+        assert mor_table.read_raw().count() == before + 2
+
     def test_dml_routes_by_table_config(self, spark, tmp_path):
         """database.rs:2056-2064 routing: the SAME dml.update call
         version-appends on a version_append table but rewrites in place on

@@ -811,14 +811,8 @@ def ngram_jaccard_pairs(
         blk_schema = (
             f", _blk {dict(gh_frame.dtypes)['_blk']}" if block_col else ""
         )
-        if n_sig > len(MINHASH_SEEDS):
-            # same fast failure as the expr path — the kernel would
-            # otherwise die mid-job with a cryptic numpy broadcast error
-            # (review r12)
-            raise ValueError(
-                f"n_sig={n_sig} exceeds the {len(MINHASH_SEEDS)}-entry "
-                "seed table (MINHASH_SEEDS); extend the table"
-            )
+        # seed-table bound is checked inside _minhash_sig_arrow_kernel
+        # (one definition; every kernel caller inherits the fast failure)
         sigs = gh_frame.mapInPandas(
             _minhash_sig_arrow_kernel(n_sig, blk_names),
             schema=f"_id {id_type}{blk_schema}, _sig array<long>",
@@ -875,6 +869,15 @@ def _minhash_sig_arrow_kernel(n_hashes: int, passthrough: list[str]):
     seeds × 64Ki int64 (~16 MB) regardless of document size."""
     import numpy as np
 
+    if n_hashes > len(MINHASH_SEEDS):
+        # fail fast and descriptively at BUILD time for every caller —
+        # MINHASH_SEEDS[:n] silently truncates, so a bands/rows config
+        # past the seed table would otherwise die mid-job with a numpy
+        # shape mismatch (ADVICE r13)
+        raise ValueError(
+            f"n_hashes={n_hashes} exceeds the {len(MINHASH_SEEDS)}-entry "
+            "seed table (MINHASH_SEEDS); extend the table"
+        )
     A = np.array([a for a, _ in MINHASH_SEEDS[:n_hashes]], dtype=np.int64)[:, None]
     B = np.array([b for _, b in MINHASH_SEEDS[:n_hashes]], dtype=np.int64)[:, None]
 

@@ -107,10 +107,21 @@ def path_to_root(
             .observe(obs, F.sum(F.col("ptr").isNotNull().cast("long")).alias("n"))
             .localCheckpoint(eager=True)
         )
-        try:
-            live = int(obs.get["n"] or 0) > 0
-        except Exception:  # noqa: BLE001 — AQE empty-relation edge: fall back
-            live = not state.where(F.col("ptr").isNotNull()).isEmpty()
+        # bounded metric read (ADVICE r13): on the AQE empty-relation
+        # edge the CollectMetrics node is eliminated and a bare obs.get
+        # would hang forever, not raise — fall back to the recount
+        from timefusion_spark.obsutil import observed_count
+
+        live = (
+            observed_count(
+                obs,
+                "n",
+                lambda: 0
+                if state.where(F.col("ptr").isNotNull()).isEmpty()
+                else 1,
+            )
+            > 0
+        )
 
     return state.select(
         "id",

@@ -398,16 +398,24 @@ def pq_fit(
     base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
     # ONE job reads the sample size AND the vector dimension (the
     # separate count() + first(size) actions each scanned the input —
-    # optimization r13, guide §1.2); min(size) over uniform-dim input is
-    # the dimension, and a mixed-dim corpus still fails the divisibility
-    # check below rather than fitting garbage.
+    # optimization r13, guide §1.2). max(size) rides the same aggregate
+    # for free: min == max pins uniform dimensionality — min alone could
+    # pass the divisibility check on a mixed-dim corpus (e.g. dims
+    # {8, 12} with m=4) and silently fit against ragged vectors
+    # (ADVICE r13).
     nd = base.agg(
-        F.count(F.lit(1)).alias("_n"), F.min(F.size("_v")).alias("_d")
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.size("_v")).alias("_d"),
+        F.max(F.size("_v")).alias("_dmax"),
     ).first()
     n = int(nd["_n"])
     if n == 0:
         raise ValueError("pq_fit: no sample rows")
     d = int(nd["_d"])
+    if d != int(nd["_dmax"]):
+        raise ValueError(
+            f"pq_fit: mixed vector dimensions (min {d}, max {int(nd['_dmax'])})"
+        )
     if n > max_fit_rows:
         denom = 1_000_000
         keep = max(1, int(denom * max_fit_rows / n))
@@ -1330,14 +1338,21 @@ def opq_fit(
     import numpy as np
 
     base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
-    # one job for (n, d) — see pq_fit (optimization r13, guide §1.2)
+    # one job for (n, d), with the min==max uniform-dimension pin — see
+    # pq_fit (optimization r13, guide §1.2; ADVICE r13)
     nd = base.agg(
-        F.count(F.lit(1)).alias("_n"), F.min(F.size("_v")).alias("_d")
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.size("_v")).alias("_d"),
+        F.max(F.size("_v")).alias("_dmax"),
     ).first()
     n = int(nd["_n"])
     if n == 0:
         raise ValueError("opq_fit: no sample rows")
     d = int(nd["_d"])
+    if d != int(nd["_dmax"]):
+        raise ValueError(
+            f"opq_fit: mixed vector dimensions (min {d}, max {int(nd['_dmax'])})"
+        )
     if d % m != 0:
         raise ValueError(f"vector dim {d} not divisible into m={m} subspaces")
     dsub = d // m

@@ -295,10 +295,12 @@ def q_text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accelerator sanity: candidate pruning really happened (every doc in
     # the verify set holds all query trigrams; far fewer than the corpus)
     n_docs = d.count()
-    try:
-        n_hits = int(obs.get["n"] or 0)
-    except Exception:  # noqa: BLE001 — AQE empty-relation edge: recount
-        n_hits = hits.count()
+    # bounded metric read (ADVICE r13): on the AQE empty-relation edge
+    # obs.get would hang forever, not raise — observed_count polls the
+    # JVM-side getOrEmpty under a deadline and falls back to the recount
+    from timefusion_spark.obsutil import observed_count
+
+    n_hits = observed_count(obs, "n", hits.count)
     _require(0 < n_hits < n_docs, (n_hits, n_docs))
     return (
         hits.groupBy("lang")

@@ -956,9 +956,24 @@ def q_bigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
         .select("doc_id", "b.w1", "b.w2")
+        # vacuously-true filter (split() elements are never NULL), stated
+        # EXPLICITLY so the c12 subtree canonicalizes identically under
+        # both consumers below: the scored join pushes isnotnull(w1) AND
+        # isnotnull(w2) into the c12-broadcast branch while the c1 rollup
+        # pushes only isnotnull(w1) — without this, the two c12 subtrees
+        # differ by one pushed filter and AQE cannot reuse the corpus-
+        # bigram shuffle between them (it ran twice; optimization r14)
+        .where(F.col("w1").isNotNull() & F.col("w2").isNotNull())
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c(w1) = Σ_w2 c(w1, w2) EXACTLY (both count the same bg rows), so
+    # the unigram model derives from the bigram model with a second-level
+    # aggregate over the vocab²-bounded c12 relation instead of a second
+    # full corpus explode+shuffle — the model side now reads and shuffles
+    # the corpus bigrams ONCE, and AQE's exchange reuse shares the c12
+    # shuffle between this rollup and the c12 broadcast (optimization
+    # r14, guide §1.2/§2.4; VERDICT r13 next-#2).
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = toks.select(F.explode("tk").alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )

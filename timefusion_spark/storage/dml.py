@@ -427,13 +427,20 @@ def _inplace_rewrite(table: Table, pred: Column, transform, count_df=None) -> in
     return n
 
 
-def _count_and_append(table: Table, new_versions: DataFrame, stamp) -> int:
+def _count_and_append(
+    table: Table, new_versions: DataFrame, stamp, key_unique: bool = False
+) -> int:
     """Append the new versions and count them in the SAME job via an
     Observation metric: the resolve plan — a dedup-window scan of the
     whole table — executes exactly once, and no persist/second action is
     needed (dml.rs materializes the matched set before its version-append;
     the observe node is the Spark-native way to get the matched count as a
-    side output of the write job itself)."""
+    side output of the write job itself).
+
+    `key_unique=True` (caller-proved: the batch derives from the dedup
+    view — one row per key — and no assignment rewrites a dedup-key
+    column) skips append's in-batch LWW window, one full batch shuffle
+    per DML (optimization r14, guide §2.4)."""
     from datetime import datetime, timezone
 
     from pyspark.sql import Observation
@@ -449,24 +456,29 @@ def _count_and_append(table: Table, new_versions: DataFrame, stamp) -> int:
             clock.now_micros() / 1_000_000, tz=timezone.utc
         ).strftime("%Y-%m-%d %H:%M:%S.%f")
     obs = Observation()
-    table.append(new_versions.observe(obs, F.count(F.lit(1)).alias("n")), stamp=stamp)
-    try:
-        return int(obs.get["n"])
-    except Exception:
-        # AQE's empty-relation propagation removes the CollectMetrics node
-        # when the runtime-materialized matched set is EMPTY (the observe
-        # subtree is replaced by an empty LocalRelation before it can
-        # report). But an unreadable observation can ALSO follow a
-        # successful non-empty append (py4j/listener failures), where
-        # returning 0 would misreport a write that happened — so don't
-        # guess: re-execute the matched plan itself. `new_versions` was
-        # built over read_raw()'s EXPLICIT pre-append file list, so the
-        # recount is pinned to the statement's own snapshot and scoped to
-        # exactly this statement's rows. (The previous stamp-equality
-        # rescan counted EVERY row sharing the tiebreak value — under a
-        # frozen clock two statements stamp identically, so an earlier
-        # append's rows inflated the count; review r10.)
-        return new_versions.count()
+    table.append(
+        new_versions.observe(obs, F.count(F.lit(1)).alias("n")),
+        stamp=stamp,
+        batch_key_unique=key_unique,
+    )
+    # Bounded metric read (ADVICE r13): AQE's empty-relation propagation
+    # removes the CollectMetrics node when the runtime-materialized
+    # matched set is EMPTY (the observe subtree is replaced by an empty
+    # LocalRelation before it can report) — a bare obs.get would then
+    # HANG forever, never raise. observed_count polls the JVM-side
+    # getOrEmpty under a deadline; when no metrics arrive (eliminated
+    # node OR py4j/listener failure after a non-empty append, where
+    # guessing 0 would misreport a write that happened) it re-executes
+    # the matched plan itself. `new_versions` was built over read_raw()'s
+    # EXPLICIT pre-append file list, so the recount is pinned to the
+    # statement's own snapshot and scoped to exactly this statement's
+    # rows. (The previous stamp-equality rescan counted EVERY row sharing
+    # the tiebreak value — under a frozen clock two statements stamp
+    # identically, so an earlier append's rows inflated the count;
+    # review r10.)
+    from timefusion_spark.obsutil import observed_count
+
+    return observed_count(obs, "n", new_versions.count)
 
 
 def update(
@@ -513,7 +525,15 @@ def update(
         return _inplace_rewrite(table, pred, apply_update, count_df=count_df)
     matched = _resolve(table, predicate, project_id, ts_lo, ts_hi)
     new_versions = matched.withColumns(assignments)
-    return _count_and_append(table, new_versions, stamp)
+    # the dedup view yields one row per key; unless an assignment rewrites
+    # a key column the batch stays key-unique and append's in-batch LWW
+    # window is a provable identity (optimization r14)
+    return _count_and_append(
+        table,
+        new_versions,
+        stamp,
+        key_unique=not (set(table.schema.dedup_keys or ()) & set(assignments)),
+    )
 
 
 def delete(
@@ -548,7 +568,14 @@ def delete(
         )
     matched = _resolve(table, predicate, project_id, ts_lo, ts_hi)
     new_versions = matched.withColumn(tomb, F.lit(True))
-    return _count_and_append(table, new_versions, stamp)
+    # one row per key from the dedup view; the tombstone column is never
+    # a dedup key by schema validation, but guard structurally anyway
+    return _count_and_append(
+        table,
+        new_versions,
+        stamp,
+        key_unique=tomb not in set(table.schema.dedup_keys or ()),
+    )
 
 
 def update_from(
@@ -576,13 +603,23 @@ def update_from(
     (dml.rs:958-1004): affected partitions LEFT-join the broadcast source
     and rewrite atomically; unmatched rows pass through unchanged."""
     assignments = _with_derived_date(table, assignments)
+    # Materialize the bounded source ONCE (≤ MAX_UPDATE_SOURCE_ROWS by
+    # contract): the duplicate-key guard, the matched-partition probe,
+    # the visible-count job and the rewrite each build their broadcast
+    # from this materialization instead of re-running the source plan
+    # per action — 2-3 evaluations of an arbitrary caller query folded
+    # into one (optimization r14, guide §3/§1.2; VERDICT r13 next-#4).
+    source = source.localCheckpoint(eager=True)
     # ONE job guards both source bounds: rows-per-key groups re-aggregate
     # into (total rows, distinct key tuples) — the separate count() and
     # distinct().count() actions each scanned the source (optimization
     # r13, guide §1.2). groupBy groups NULL key tuples exactly like
-    # distinct() counted them.
+    # distinct() counted them. coalesce(1) over the tiny checkpointed
+    # blocks gives SinglePartition output, which satisfies the aggregate's
+    # distribution — the guard runs as one exchange-free job.
     kc = (
-        source.groupBy(*join_keys)
+        source.coalesce(1)
+        .groupBy(*join_keys)
         .agg(F.count(F.lit(1)).alias("_tf_c"))
         .agg(F.sum("_tf_c").alias("_tf_n"), F.count(F.lit(1)).alias("_tf_k"))
         .first()
@@ -715,4 +752,11 @@ def update_from(
             for f in table.schema.fields
         ]
     )
-    return _count_and_append(table, new_versions, stamp)
+    # dedup view ⋈ distinct-keyed source (guarded above) keeps one row
+    # per target key; key-unique unless an assignment rewrites a key
+    return _count_and_append(
+        table,
+        new_versions,
+        stamp,
+        key_unique=not (set(table.schema.dedup_keys or ()) & set(assignments)),
+    )

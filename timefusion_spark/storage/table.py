@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -121,23 +122,45 @@ class _unshredded_variants:
     worker-side (DuckDB's parquet reader hands back the two binaries,
     which ARE Spark's Arrow encoding for VariantType), whereas a shredded
     typed_value tree would need a full variant re-encoder outside the JVM.
-    Scoped per write job; restores the session value on exit."""
+
+    The conf is SESSION-wide, so the scope is refcounted process-wide
+    (ADVICE r13): concurrent appends (Table handles are append-safe per
+    handle, and q_count_index overlaps four writers) each used to
+    save/set/restore independently — an interleaved enter/exit could run
+    a concurrent write with shredding re-enabled or leak the override
+    session-wide. Now the FIRST writer in saves the session value and
+    the LAST writer out restores it; the conf stays 'false' while any
+    staged write is in flight. Only the tiny depth/save mutation holds
+    the lock — never the write job itself, so writer overlap (guide
+    §2.6) is preserved."""
+
+    _lock = threading.Lock()
+    _depth = 0
+    _saved: str | None = None
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
     def __enter__(self):
-        try:
-            self.old = self.spark.conf.get(_SHRED_KEY)
-        except Exception:
-            self.old = None
-        self.spark.conf.set(_SHRED_KEY, "false")
+        cls = _unshredded_variants
+        with cls._lock:
+            if cls._depth == 0:
+                try:
+                    cls._saved = self.spark.conf.get(_SHRED_KEY)
+                except Exception:
+                    cls._saved = None
+                self.spark.conf.set(_SHRED_KEY, "false")
+            cls._depth += 1
 
     def __exit__(self, *exc):
-        if self.old is None:
-            self.spark.conf.unset(_SHRED_KEY)
-        else:
-            self.spark.conf.set(_SHRED_KEY, self.old)
+        cls = _unshredded_variants
+        with cls._lock:
+            cls._depth -= 1
+            if cls._depth == 0:
+                if cls._saved is None:
+                    self.spark.conf.unset(_SHRED_KEY)
+                else:
+                    self.spark.conf.set(_SHRED_KEY, cls._saved)
         return False
 
 
@@ -458,6 +481,7 @@ class Table:
         txn: tuple[str, int] | None = None,
         group=None,
         segment=None,
+        batch_key_unique: bool = False,
     ) -> None:
         """Full write path: coerce → stamp_version → in-batch LWW dedup →
         sortWithinPartitions(sorting_columns) → staged partitioned write →
@@ -478,7 +502,17 @@ class Table:
 
         `group` (a commitlog.CommitGroup) stages this append inside a
         coalesced multi-table commit: invisible until the group publishes
-        (database.rs:5181 — one transaction across several tables)."""
+        (database.rs:5181 — one transaction across several tables).
+
+        `batch_key_unique=True` asserts the batch holds AT MOST ONE row
+        per dedup-key tuple, letting the in-batch LWW dedup window (a
+        full batch shuffle + sort per append) be skipped as a provable
+        identity — the DML version-append path qualifies: its batches
+        come from the dedup VIEW (one row per key) and the caller checks
+        no assignment rewrites a key column (optimization r14, guide
+        §2.4/§1.2). Semantics are unchanged for qualifying batches by
+        construction; callers that cannot prove uniqueness must leave
+        the default."""
         if txn is not None and not self.log.exists():
             # the idempotence contract NEEDS the commit log to record the
             # watermark; silently degrading on a pre-log table would write
@@ -489,7 +523,9 @@ class Table:
             )
         if txn is not None and self.log.txn_version(txn[0]) >= txn[1]:
             return
-        batch = self.dedup_batch(self.stamp_version(self.coerce(df), stamp))
+        batch = self.stamp_version(self.coerce(df), stamp)
+        if not batch_key_unique:
+            batch = self.dedup_batch(batch)
         if self.schema.partitions:
             # One writer task per (project_id, date) hash → one sorted file
             # per partition dir per append — the flush-commit file layout

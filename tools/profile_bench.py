@@ -6,9 +6,10 @@ warm-then-timed methodology as bench.py but additionally records:
   - Spark JOB COUNT per run (statusTracker delta) — the fixed-overhead
     driver cost each query pays regardless of data volume
   - the returned DataFrame's formatted physical plan (written to
-    plans/r13/<query>_<tag>.txt when --plans <tag> is given)
+    plans/<round>/<query>_<tag>.txt when --plans <tag> is given; the round
+    dir defaults to r14 and is overridable with --plans-dir)
 
-Usage: python tools/profile_bench.py [--plans before] [query ...]
+Usage: python tools/profile_bench.py [--plans before] [--plans-dir plans/r14] [query ...]
 """
 
 from __future__ import annotations
@@ -32,6 +33,11 @@ def main() -> int:
     if "--runs" in args:
         i = args.index("--runs")
         runs = int(args[i + 1])
+        args = args[:i] + args[i + 2 :]
+    plans_dir_arg = None
+    if "--plans-dir" in args:
+        i = args.index("--plans-dir")
+        plans_dir_arg = args[i + 1]
         args = args[:i] + args[i + 2 :]
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,8 +65,8 @@ def main() -> int:
     def job_count() -> int:
         return len(tracker.getJobIdsForGroup(None) or [])
 
-    plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+    plans_dir = plans_dir_arg or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
     )
     if plans_tag:
         os.makedirs(plans_dir, exist_ok=True)
