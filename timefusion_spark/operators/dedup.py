@@ -1112,6 +1112,15 @@ def substring_dedup(
         ).select("_id", "_pos", F.col("_s").substr(F.col("_pos"), F.lit(k)).alias("_gram"))
     else:
         raise ValueError(f"unknown kernel {kernel!r} (expected 'expr' or 'arrow')")
+    # Materialize the seed occurrences ONCE: `occ` feeds two consumers —
+    # the canonical-gram aggregate and the marks join — whose exchange
+    # shapes differ (partial-agg vs raw shuffle), so exchange reuse can
+    # never share them and the seed-extraction pass (THE throughput
+    # stage: the O(len·w) winnow kernel / window-minima explode) ran
+    # twice per action. The checkpointed frame is the fingerprint table
+    # (~len/w rows per doc), measured 2.1 → 1.8 s on the islands subgraph
+    # at sf0.1 (optimization r14, guide §5/§1.2).
+    occ = occ.localCheckpoint(eager=True)
     # Canonical selection via PARTIAL-AGGREGATABLE min(struct), not a
     # row_number window: a boilerplate gram duplicated across millions of
     # docs would put every occurrence in ONE window partition (windows

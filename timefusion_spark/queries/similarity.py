@@ -396,8 +396,11 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # optimization r13, guide §4.2. Codes are pinned bit-equal across
     # kernels (tests/test_similarity_ivf.py), and the expr encode stays
     # gate-covered via q_ann_ivfpq / q_ann_ivfopq's residual encodes.
+    # prune to (id, vector) BEFORE the Arrow kernel: mapInPandas is opaque
+    # to Catalyst's column pruning, so un-selected columns (label) would
+    # cross the Python boundary both ways for nothing (guide §4.1)
     enc = (
-        sim.pq_encode(e, books, kernel="arrow")
+        sim.pq_encode(e.select("vec_id", "embedding"), books, kernel="arrow")
         .select("vec_id", "_codes")
         .localCheckpoint(eager=True)
     )
@@ -620,8 +623,9 @@ def q_ann_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass from raw vectors to m-byte codes); the (id, codes) table is
     # the persisted 100-TB artifact (the checkpoint stands in for it and
     # is the CollapseProject barrier — see q_ann_pq_adc)
+    # prune to (id, vector) before the fused Arrow kernel — see q_ann_pq_adc
     enc = (
-        sim.opq_encode(e, R, books)
+        sim.opq_encode(e.select("vec_id", "embedding"), R, books)
         .select("vec_id", "_codes")
         .localCheckpoint(eager=True)
     )
@@ -652,8 +656,9 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the checkpoint stands in for it (and is the CollapseProject barrier
     # — see q_ann_pq_adc)
     # narrow to (id, cell, codes) BEFORE the checkpoint — see q_ann_pq_adc
+    # prune to (id, vector) before the encode — see q_ann_pq_adc
     enc = (
-        sim.ivfpq_encode(e, cells, books)
+        sim.ivfpq_encode(e.select("vec_id", "embedding"), cells, books)
         .select("vec_id", "_cell", "_codes")
         .localCheckpoint(eager=True)
     )

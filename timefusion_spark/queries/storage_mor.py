@@ -87,7 +87,11 @@ def _build_mor_table(spark: SparkSession, sf_dir: str):
     # realistic (project_id, date) partition grid (15 dirs), not one
     # micro-partition per historical order date.
     base = _orders_rows(orders)
-    tbl.append(base, stamp="2026-01-01 00:00:00")
+    # the batch is provably key-unique — id = o_orderkey (the orders PK)
+    # and the dedup keys are (timestamp, id) — so append's in-batch LWW
+    # window is a verifiable identity and is skipped (guide §8: use what
+    # the caller knows; optimization r14)
+    tbl.append(base, stamp="2026-01-01 00:00:00", batch_key_unique=True)
     dml.update(
         tbl,
         {"value": F.col("value") + 1000.0},
@@ -832,7 +836,9 @@ def q_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
         base = _orders_rows(orders)
-        tbl.append(base, stamp="2026-01-01 00:00:00")
+        # key-unique by construction (id = the orders PK) — see
+        # _build_mor_table (optimization r14)
+        tbl.append(base, stamp="2026-01-01 00:00:00", batch_key_unique=True)
         src = orders.where(F.col("o_orderkey") % 9 == 0).select(
             F.col("o_orderkey").cast("string").alias("id"),
             (F.col("o_orderkey") * 0.01).alias("adj"),
