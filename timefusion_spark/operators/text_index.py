@@ -169,6 +169,53 @@ def raw_prefix_search(
     )
 
 
+def trigram_literals_candidates(
+    index: DataFrame, literals: list[str], id_col: str = "doc_id"
+) -> DataFrame | None:
+    """Candidate ids whose text contains ALL trigrams of EVERY qualifying
+    literal, computed in ONE bucket-pruned index pass + ONE aggregate —
+    per-literal membership rides the same groupBy as a conditional
+    count_distinct, so an n-literal conjunction costs one shuffle instead
+    of n probe aggregates intersected through n−1 joins (optimization
+    r14, guide §1.2/§2.4; the candidate set is identical — each literal's
+    HAVING-count gate is evaluated per id from the same distinct grams).
+
+    Literals too short to produce a full trigram are SKIPPED (a trigram
+    index cannot prune them; callers re-verify exactly). Returns None
+    when no literal qualifies — the caller declines to the scan path."""
+    gram_sets: list[list[str]] = []
+    for literal in literals:
+        lowered = literal.lower()
+        grams = sorted({lowered[i : i + 3] for i in range(len(lowered) - 2)})
+        if grams:
+            gram_sets.append(grams)
+    if not gram_sets:
+        return None
+    all_grams = sorted({g for gs in gram_sets for g in gs})
+    probe = index.where(F.col("gram").isin(all_grams))
+    if "gbucket" in index.columns:
+        # partition pruning: gram_bucket(lit) is a foldable expression
+        # (xxhash64 of a constant), so Catalyst folds each equality to a
+        # literal and the partition filter prunes the bucketed index to
+        # O(|query grams|) partitions before any I/O
+        bucket_pred = None
+        for g in all_grams:
+            eq = F.col("gbucket") == gram_bucket(F.lit(g))
+            bucket_pred = eq if bucket_pred is None else (bucket_pred | eq)
+        probe = probe.where(bucket_pred)
+    aggs = []
+    cond = None
+    for i, gs in enumerate(gram_sets):
+        aggs.append(
+            F.count_distinct(
+                F.when(F.col("gram").isin(gs), F.col("gram"))
+            ).alias(f"_ng{i}")
+        )
+        c = F.col(f"_ng{i}") == len(gs)
+        cond = c if cond is None else (cond & c)
+    return probe.groupBy(id_col).agg(*aggs).where(cond).select(id_col)
+
+
 def trigram_literal_candidates(
     index: DataFrame, literal: str, id_col: str = "doc_id"
 ) -> DataFrame | None:
@@ -179,28 +226,10 @@ def trigram_literal_candidates(
     taken VERBATIM (a LIKE chunk may contain spaces, and the index holds
     space-crossing grams because _gram_expr slides over the whole
     string). Returns None when the literal is too short to produce a
-    full trigram (NGRAM_MIN_QUERY_LEN analog) — the caller declines."""
-    lowered = literal.lower()
-    grams = sorted({lowered[i : i + 3] for i in range(len(lowered) - 2)})
-    if not grams:
-        return None
-    probe = index.where(F.col("gram").isin(grams))
-    if "gbucket" in index.columns:
-        # partition pruning: gram_bucket(lit) is a foldable expression
-        # (xxhash64 of a constant), so Catalyst folds each equality to a
-        # literal and the partition filter prunes the bucketed index to
-        # O(|query grams|) partitions before any I/O
-        bucket_pred = None
-        for g in grams:
-            eq = F.col("gbucket") == gram_bucket(F.lit(g))
-            bucket_pred = eq if bucket_pred is None else (bucket_pred | eq)
-        probe = probe.where(bucket_pred)
-    return (
-        probe.groupBy(id_col)
-        .agg(F.count_distinct("gram").alias("_ng"))
-        .where(F.col("_ng") == len(grams))
-        .select(id_col)
-    )
+    full trigram (NGRAM_MIN_QUERY_LEN analog) — the caller declines.
+    The single-literal case of trigram_literals_candidates (one
+    definition; review r11)."""
+    return trigram_literals_candidates(index, [literal], id_col=id_col)
 
 
 def trigram_like_search(
@@ -238,19 +267,14 @@ def trigram_search(
 
     Per qualifying token (≥ 3 chars): candidates = ids holding ALL of the
     token's trigrams (equi-join on gram literals, HAVING-count gate);
-    token candidate sets intersect. Tokens under 3 chars cannot be pruned
-    by a trigram index and fall through to the verify stage. The final
-    text_match verify makes the result EXACTLY the scan path's — the
-    index only prunes."""
+    token candidate sets intersect INSIDE one aggregate — the whole
+    multi-token conjunction is a single bucket-pruned index pass (see
+    trigram_literals_candidates; the old per-token probes paid one
+    aggregate + one intersect join per token). Tokens under 3 chars
+    cannot be pruned by a trigram index and fall through to the verify
+    stage. The final text_match verify makes the result EXACTLY the scan
+    path's — the index only prunes."""
     tokens = [tok for tok in query.lower().split() if tok]
-    cand: DataFrame | None = None
-    for tok in tokens:
-        # a token is already lowercased and space-free, so its gram set
-        # and HAVING-count gate are exactly the literal primitive's
-        # (review r11: this block was a copy of it)
-        c = trigram_literal_candidates(index, tok, id_col=id_col)
-        if c is None:
-            continue  # short token: verify-stage only
-        cand = c if cand is None else cand.join(c, id_col)
+    cand = trigram_literals_candidates(index, tokens, id_col=id_col)
     pruned = docs if cand is None else docs.join(cand, id_col, "left_semi")
     return pruned.where(text_match(F.col(text_col), query))
