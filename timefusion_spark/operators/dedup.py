@@ -957,72 +957,129 @@ def merge_sorted_intervals(iv: Column | str) -> Column:
     )
 
 
-# Cached modular power tables for the Arrow winnow kernel (per executor,
-# grown geometrically on demand: 31^j and 31^-j mod P for j = 0..cap).
-_POW_TABLES: dict[str, "object"] = {}
-
-
-def _pow_tables(n: int):
-    import numpy as np
-
-    cur = _POW_TABLES.get("pow")
-    if cur is None or len(cur) <= n:
-        cap = max(2 * n, 4096)
-        inv31 = pow(31, HASH_PRIME - 2, HASH_PRIME)
-        powp = np.empty(cap + 1, dtype=np.int64)
-        invp = np.empty(cap + 1, dtype=np.int64)
-        powp[0] = invp[0] = 1
-        p, q = 1, 1
-        for j in range(1, cap + 1):
-            p = p * 31 % HASH_PRIME
-            q = q * inv31 % HASH_PRIME
-            powp[j] = p
-            invp[j] = q
-        _POW_TABLES["pow"], _POW_TABLES["inv"] = powp, invp
-    return _POW_TABLES["pow"], _POW_TABLES["inv"]
-
-
 def _winnow_seed_kernel(k: int, w: int):
     """Build the mapInPandas kernel: (_id, _s) batches → (_id, _pos, _gram)
     winnowing seed occurrences. Bit-identical to the expression path:
-    the O(len) vectorized rolling hash reproduces `poly_hash` exactly
-    (H[i] = 31^i · Σ c_j·31^-j mod P over unicode CODEPOINTS — Spark's
-    ascii()), numpy argmin picks the leftmost window minimum exactly like
-    array_position's first match, and gram text is sliced by codepoint
-    like substr. int64 bounds: Σ of ≤9·10⁹ terms < P each fits; every
-    product of two mod-P residues < P² ≈ 10¹⁸ < 2⁶³."""
+    the vectorized Horner pass reproduces `poly_hash` exactly (the gram
+    hash Σ c_{p+j}·31^(k−1−j) mod P over unicode CODEPOINTS is reduced
+    mod P at every step, so each value is the unique residue in [0, P)
+    the expression path's prefix-hash form also lands on), numpy argmin
+    picks the leftmost window minimum exactly like array_position's
+    first match, and gram text is sliced by codepoint like substr.
+    int64 bounds: h·31 + c < 31·P + 2²¹ ≪ 2⁶³.
+
+    Vectorized ACROSS documents (optimization r14, guide §4.2): each
+    chunk's texts concatenate into ONE codepoint array, the k-step
+    Horner loop hashes every gram position of the chunk in O(N·k)
+    vectorized work, and one global windowed argmin + segmented
+    row-range selection replaces the per-document numpy calls (the old
+    per-row loop paid ~25 numpy dispatches per document — measured
+    ~290 µs/doc on a 300-char-mean corpus, several times the math).
+    Gram hashes are position-independent, so values computed over the
+    concatenation equal the per-document values exactly, and windows
+    never cross documents because each document's window rows are
+    selected from its own gram range. CHUNK bounds the scratch arrays
+    (~5 int64 arrays of ≤ CHUNK elements) regardless of batch size."""
     import numpy as np
+
+    CHUNK = 1 << 20  # codepoints per vectorized chunk (~40 MB scratch)
+
+    def run_chunk(ids, texts, lens):
+        """ids/texts/lens: chunk-local docs, each len ≥ k, batch order.
+        Returns (id_array, pos_array, grams_list) ordered by (doc, pos)
+        — the same emission order as the old per-document loop."""
+        nd = len(texts)
+        big = "".join(texts)
+        c = np.frombuffer(big.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+        n_all = len(c)
+        m_all = n_all - k + 1
+        h = np.zeros(m_all, dtype=np.int64)
+        for j in range(k):
+            h *= 31
+            h += c[j : j + m_all]
+            h %= HASH_PRIME
+        offs = np.zeros(nd, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        ngrams = lens - k + 1
+        nwin = ngrams - w + 1
+        big_key = int(lens.max()) + 2  # > any 1-based pos; packs (doc, pos)
+        keys = []
+        sel = np.nonzero(nwin >= 1)[0]
+        if len(sel):
+            # one argmin over every w-window of the chunk (windows that
+            # straddle documents are computed but never selected below)
+            amin_all = np.lib.stride_tricks.sliding_window_view(h, w).argmin(axis=1)
+            nw = nwin[sel]
+            tot = int(nw.sum())
+            ends = np.cumsum(nw)
+            # segmented arange: r_local = 0..nwin_d-1 within each doc
+            r_local = np.arange(tot, dtype=np.int64) - np.repeat(ends - nw, nw)
+            rows = np.repeat(offs[sel], nw) + r_local
+            pos_local = amin_all[rows] + r_local + 1
+            keys.append(np.repeat(sel.astype(np.int64), nw) * big_key + pos_local)
+        for d in np.nonzero(nwin < 1)[0]:
+            # fewer grams than one window: the doc's single seed is the
+            # argmin over all its grams (same fallback as the expr path)
+            o = int(offs[d])
+            g = h[o : o + int(ngrams[d])]
+            keys.append(
+                np.array([d * big_key + int(g.argmin()) + 1], dtype=np.int64)
+            )
+        # np.unique = per-doc DISTINCT positions, sorted by (doc, pos) —
+        # identical rows and order to the old per-doc np.unique loop
+        ukey = np.unique(np.concatenate(keys))
+        d_idx = ukey // big_key
+        pos = ukey % big_key
+        gpos = (offs[d_idx] + pos - 1).tolist()
+        grams = [big[q : q + k] for q in gpos]
+        return ids[d_idx], pos, grams
 
     def fn(batches):
         import pandas as pd
 
         for pdf in batches:
-            out_id, out_pos, out_gram = [], [], []
-            for i_, s in zip(pdf["_id"].values, pdf["_s"].values):
-                s = s or ""
-                c = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)
-                n = len(c)
-                if n < k:
+            ids_all = pdf["_id"].values
+            texts_all = pdf["_s"].values
+            id_parts, pos_parts, grams = [], [], []
+            cur: list[int] = []
+            cur_chars = 0
+
+            def flush():
+                nonlocal cur, cur_chars
+                if cur:
+                    idx = np.array(cur, dtype=np.int64)
+                    texts = [texts_all[i] or "" for i in cur]
+                    lens = np.fromiter(
+                        (len(s) for s in texts), dtype=np.int64, count=len(texts)
+                    )
+                    i_a, p_a, g_l = run_chunk(ids_all[idx], texts, lens)
+                    id_parts.append(i_a)
+                    pos_parts.append(p_a)
+                    grams.extend(g_l)
+                cur, cur_chars = [], 0
+
+            for i in range(len(texts_all)):
+                s = texts_all[i] or ""
+                if len(s) < k:
                     # no k-gram fits: emit no seeds (a doc shorter than k
                     # cannot contain a duplicated span ≥ k+w−1 — ADVICE r8
                     # #3: whole-short-doc removal exceeded the contract)
                     continue
-                powp, invp = _pow_tables(max(n, k))
-                S = np.concatenate(
-                    [[0], np.cumsum(c * invp[1 : n + 1] % HASH_PRIME)]
+                cur.append(i)
+                cur_chars += len(s)
+                if cur_chars >= CHUNK:
+                    flush()
+            flush()
+            if id_parts:
+                yield pd.DataFrame(
+                    {
+                        "_id": np.concatenate(id_parts),
+                        "_pos": np.concatenate(pos_parts),
+                        "_gram": grams,
+                    }
                 )
-                H = powp[: n + 1] * (S % HASH_PRIME) % HASH_PRIME
-                p = np.arange(1, n - k + 2)
-                g = (H[p + k - 1] - H[p - 1] * powp[k]) % HASH_PRIME
-                if len(g) >= w:
-                    wins = np.lib.stride_tricks.sliding_window_view(g, w)
-                    pos = np.unique(wins.argmin(axis=1) + np.arange(len(wins)) + 1)
-                else:
-                    pos = np.array([int(g.argmin()) + 1])
-                out_id.extend([i_] * len(pos))
-                out_pos.extend(int(x) for x in pos)
-                out_gram.extend(s[x - 1 : x - 1 + k] for x in pos)
-            yield pd.DataFrame({"_id": out_id, "_pos": out_pos, "_gram": out_gram})
+            else:
+                yield pd.DataFrame({"_id": [], "_pos": [], "_gram": []})
 
     return fn
 
