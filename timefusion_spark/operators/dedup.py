@@ -1006,9 +1006,23 @@ def _winnow_seed_kernel(k: int, w: int):
         keys = []
         sel = np.nonzero(nwin >= 1)[0]
         if len(sel):
-            # one argmin over every w-window of the chunk (windows that
-            # straddle documents are computed but never selected below)
-            amin_all = np.lib.stride_tricks.sliding_window_view(h, w).argmin(axis=1)
+            # leftmost argmin of every w-window of the chunk via an O(w)
+            # offset sweep over CONTIGUOUS slices (windows that straddle
+            # documents are computed but never selected below). argmin
+            # over sliding_window_view(h, w) computes the same thing but
+            # reduces a strided (m, w) view element-by-element — measured
+            # 1.5 s/1.4M windows vs 0.03 s for this sweep (the microbench
+            # that caught it: plans/r14/winnow_kernel_micro.txt). Strict
+            # `<` keeps the EARLIEST offset on ties — exactly numpy
+            # argmin's leftmost-match rule.
+            nw_all = m_all - w + 1
+            best = h[:nw_all].copy()
+            amin_all = np.zeros(nw_all, dtype=np.int64)
+            for j in range(1, w):
+                cand = h[j : j + nw_all]
+                better = cand < best
+                amin_all[better] = j
+                np.copyto(best, cand, where=better)
             nw = nwin[sel]
             tot = int(nw.sum())
             ends = np.cumsum(nw)
