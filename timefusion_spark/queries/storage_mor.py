@@ -1174,7 +1174,9 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl = Table.create(spark, schema, os.path.join(base_dir, "mor_versioned"))
         orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= _N)
         base = _orders_rows(orders)
-        tbl.append(base, stamp="2026-01-01 00:00:00")
+        # key-unique by construction (id = the orders PK ⊂ the (timestamp,
+        # id) dedup keys) — same proof as _build_mor_table (optimization r14)
+        tbl.append(base, stamp="2026-01-01 00:00:00", batch_key_unique=True)
         rollup = os.path.join(base_dir, "rollup")
 
         def agg(visible):
@@ -1411,7 +1413,14 @@ def q_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 orders.where((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi))
             )
 
-        tbl.append(batch(0, _N), stamp="2026-01-01 00:00:00", txn=("loader", 1))
+        # key-unique by construction (id = the orders PK ⊂ the (timestamp,
+        # id) dedup keys) — same proof as _build_mor_table (optimization r14)
+        tbl.append(
+            batch(0, _N),
+            stamp="2026-01-01 00:00:00",
+            txn=("loader", 1),
+            batch_key_unique=True,
+        )
         # Re-deliveries of the committed batch: the txn watermark skips both.
         tbl.append(batch(0, _N), stamp="2026-01-01 00:00:00", txn=("loader", 1))
         tbl.append(batch(0, _N), stamp="2026-01-01 00:00:00", txn=("loader", 0))
