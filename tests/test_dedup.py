@@ -361,6 +361,36 @@ class TestSubstringDedup:
         b = D.substring_dedup(df, k=self.K, w=self.W, kernel="arrow").orderBy("doc_id")
         assert a.collect() == b.collect()
 
+    def test_arrow_kernel_chunking_and_doc_independence(self):
+        # The vectorized kernel concatenates a batch's texts and flushes
+        # in ~1M-codepoint chunks (optimization r14). Pin, WITHOUT Spark,
+        # that (a) a batch big enough to span multiple chunks produces
+        # exactly the per-document outputs (vectorizing across docs and
+        # chunk placement must not interact), and (b) seeds of a doc that
+        # straddles the flush boundary are unaffected. Tie-heavy repeated
+        # content plus unicode exercise the leftmost-argmin sweep.
+        import pandas as pd
+
+        k, w = 20, 8
+        fn_all = D._winnow_seed_kernel(k, w)
+        span = "the quick brown fox jumps över the lazy dög tonight "
+        texts = []
+        for i in range(320):
+            # ~5.3k chars/doc -> ~1.7M chars total -> at least 2 flushes
+            body = (span * 90) + f" uniq{i} " + ("z" * (i % 37))
+            texts.append(body)
+        pdf = pd.DataFrame({"_id": list(range(320)), "_s": texts})
+        full = pd.concat(list(fn_all(iter([pdf]))), ignore_index=True)
+        singles = []
+        for i in range(320):
+            fn_one = D._winnow_seed_kernel(k, w)
+            singles.extend(fn_one(iter([pdf.iloc[i : i + 1]])))
+        each = pd.concat(singles, ignore_index=True)
+        assert len(full) == len(each) > 0
+        assert (full["_id"].values == each["_id"].values).all()
+        assert (full["_pos"].astype("int64").values == each["_pos"].astype("int64").values).all()
+        assert (full["_gram"].values == each["_gram"].values).all()
+
 
 def _substring_dedup_model(rows, k, w):
     """Independent pure-Python model of substring_dedup (same contract,
